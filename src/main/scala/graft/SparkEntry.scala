@@ -1,13 +1,24 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.queries.{LogOps, Relational}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` is the union of the per-domain modules; each name present
+  * in `oracleSql` is hash-compared against DuckDB by the driver at
+  * sf0.01. Names absent from `oracleSql` (non-SQL-expressible ops,
+  * e.g. hash-seeded MinHash/LSH) get a weaker rows-only check.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q3_join_agg")(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, Q] =
+    Relational.queries ++ LogOps.queries
+
+  def oracleSql: Map[String, String] =
+    Relational.oracles ++ LogOps.oracles
 }

@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Loaders for the driver-generated parquet tables (TESTDATA.md).
+  *
+  * All queries take an `sfDir` (e.g. `/root/testdata/sf0.01`) and read
+  * single-parquet tables from it. Reads go through `spark.read.parquet`
+  * so Catalyst gets full pushdown/pruning; never cache here — the
+  * driver's Verify/Bench mains decide lifecycle.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    if (name == "events") loadEvents(spark, sfDir)
+    else spark.read.parquet(s"$sfDir/$name.parquet")
+  }
+
+  /** `events.ts` is nanosecond-precision parquet, which Spark 4 rejects
+    * ([PARQUET_TYPE_ILLEGAL]). Read it as nanos-since-epoch long
+    * (legacy conf) and truncate to microsecond TimestampType — the same
+    * truncation DuckDB's `epoch_us` applies, keeping oracle parity
+    * (SURVEY.md §7.4). Integer `div` (not `/`) — ~1.7e18 ns does not
+    * fit a double's 53-bit mantissa.
+    */
+  def loadEvents(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    if (raw.schema("ts").dataType == LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
+  }
+}

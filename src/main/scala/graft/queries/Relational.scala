@@ -1,0 +1,332 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+
+/** Relational operator coverage (SURVEY.md §2b): filter/project with
+  * pushdown, joins of every flavor, hash aggregation, rollup/cube,
+  * window functions, sort/top-k, set operations, distinct aggregation,
+  * JSON scalar functions, time bucketing, and sessionization.
+  *
+  * Every query has a DuckDB oracle. Parity rules (SURVEY.md §7.4):
+  * money aggregates are `round(_, 2)`; counts stay BIGINT in both
+  * engines; int-width-changing functions (year) are cast explicitly;
+  * every result is deterministically ordered.
+  */
+object Relational {
+
+  def queries: Map[String, Q] = Map(
+    "q1_agg" -> ((s, d) => {
+      import s.implicits._
+      Tables.load(s, d, "lineitem")
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(
+          round(sum($"l_quantity"), 2).as("sum_qty"),
+          round(sum($"l_extendedprice"), 2).as("sum_base_price"),
+          round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2)
+            .as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy($"l_returnflag", $"l_linestatus")
+    }),
+
+    "q2_filter_project" -> ((s, d) => {
+      import s.implicits._
+      // Predicate + projection both reach the parquet scan
+      // (PushedFilters / ReadSchema in the formatted plan).
+      Tables.load(s, d, "part")
+        .filter($"p_size" >= 30 && $"p_type" === "ECONOMY")
+        .select($"p_partkey", $"p_name", $"p_brand", $"p_retailprice")
+        .orderBy($"p_partkey")
+    }),
+
+    "q3_join_agg" -> ((s, d) => {
+      import s.implicits._
+      val c = Tables.load(s, d, "customer")
+      val o = Tables.load(s, d, "orders")
+      val l = Tables.load(s, d, "lineitem")
+      // customer is the small side at every SF — broadcast it; the
+      // orders⋈lineitem join shuffles on the shared orderkey.
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .filter(o("o_orderstatus") === "O")
+        .groupBy(c("c_custkey"), c("c_name"))
+        .agg(
+          round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2)
+            .as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(desc("revenue"), $"c_custkey")
+        .limit(100)
+    }),
+
+    "q4_semijoin" -> ((s, d) => {
+      import s.implicits._
+      val o = Tables.load(s, d, "orders")
+      val bigLines = Tables.load(s, d, "lineitem")
+        .filter($"l_quantity" >= 48).select($"l_orderkey")
+      o.join(bigLines, o("o_orderkey") === bigLines("l_orderkey"), "left_semi")
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy($"o_orderpriority")
+    }),
+
+    "q5_antijoin" -> ((s, d) => {
+      import s.implicits._
+      val c = Tables.load(s, d, "customer")
+      val pending = Tables.load(s, d, "orders")
+        .filter($"o_orderstatus" === "P").select($"o_custkey")
+      c.join(pending, c("c_custkey") === pending("o_custkey"), "left_anti")
+        .groupBy($"c_mktsegment")
+        .agg(count(lit(1)).as("n_customers"),
+          round(sum($"c_acctbal"), 2).as("total_bal"))
+        .orderBy($"c_mktsegment")
+    }),
+
+    "q6_window" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey")
+        .orderBy(desc("o_totalprice"), $"o_orderkey")
+      Tables.load(s, d, "orders")
+        .withColumn("rn", row_number().over(w))
+        .withColumn("prev_price", lag($"o_totalprice", 1).over(w))
+        .filter($"rn" <= 3)
+        .select($"o_custkey", $"rn".cast("long").as("rn"), $"o_orderkey",
+          $"o_totalprice",
+          round(coalesce($"prev_price" - $"o_totalprice", lit(0.0)), 2)
+            .as("gap_from_prev"))
+        .orderBy($"o_custkey", $"rn")
+    }),
+
+    "q7_topk" -> ((s, d) => {
+      import s.implicits._
+      // orderBy+limit => TakeOrderedAndProject: per-partition top-k then
+      // a single driver merge — no full sort at scale.
+      Tables.load(s, d, "orders")
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+        .orderBy(desc("o_totalprice"), $"o_orderkey")
+        .limit(100)
+    }),
+
+    "q8_setops" -> ((s, d) => {
+      import s.implicits._
+      val custN = Tables.load(s, d, "customer")
+        .select($"c_nationkey".as("nationkey")).distinct()
+      val suppN = Tables.load(s, d, "supplier")
+        .select($"s_nationkey".as("nationkey")).distinct()
+      custN.intersect(suppN).withColumn("tag", lit("both"))
+        .unionByName(custN.except(suppN).withColumn("tag", lit("cust_only")))
+        .unionByName(suppN.except(custN).withColumn("tag", lit("supp_only")))
+        .select($"tag", $"nationkey")
+        .orderBy($"tag", $"nationkey")
+    }),
+
+    "q9_rollup" -> ((s, d) => {
+      import s.implicits._
+      val c = Tables.load(s, d, "customer")
+      val n = Tables.load(s, d, "nation")
+      val r = Tables.load(s, d, "region")
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .rollup($"r_name", $"n_name")
+        .agg(round(sum($"c_acctbal"), 2).as("total_bal"),
+          count(lit(1)).as("n_cust"))
+        .orderBy(asc_nulls_first("r_name"), asc_nulls_first("n_name"))
+    }),
+
+    "q10_distinct" -> ((s, d) => {
+      import s.implicits._
+      Tables.load(s, d, "lineitem").agg(
+        countDistinct($"l_partkey").as("n_parts"),
+        countDistinct($"l_suppkey").as("n_supps"),
+        countDistinct($"l_returnflag", $"l_linestatus").as("n_flag_status"),
+        count(lit(1)).as("n_rows"))
+    }),
+
+    "q11_events_props" -> ((s, d) => {
+      import s.implicits._
+      // JSON scalar path: props is a raw JSON string column.
+      Tables.load(s, d, "events")
+        .withColumn("k", get_json_object($"props", "$.k").cast("double"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"),
+          round(sum($"value"), 2).as("sum_value"),
+          round(sum($"k"), 2).as("sum_k"),
+          max($"k").as("max_k"))
+        .orderBy($"event_type")
+    }),
+
+    "q12_time_window" -> ((s, d) => {
+      import s.implicits._
+      // Batch twin of the streaming tumbling window (graft.streaming):
+      // 1-hour buckets over event time.
+      Tables.load(s, d, "events")
+        .withColumn("hour", date_trunc("hour", $"ts"))
+        .groupBy($"hour", $"event_type")
+        .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("sum_value"))
+        .orderBy($"hour", $"event_type")
+    }),
+
+    "q13_dim_join" -> ((s, d) => {
+      import s.implicits._
+      val c = Tables.load(s, d, "customer")
+      val n = Tables.load(s, d, "nation")
+      val r = Tables.load(s, d, "region")
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy($"r_name")
+        .agg(count(lit(1)).as("n_customers"),
+          round(sum($"c_acctbal"), 2).as("total_bal"))
+        .orderBy($"r_name")
+    }),
+
+    "q14_cube" -> ((s, d) => {
+      import s.implicits._
+      Tables.load(s, d, "orders")
+        .cube($"o_orderstatus", $"o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          round(sum($"o_totalprice"), 2).as("total"))
+        .orderBy(asc_nulls_first("o_orderstatus"),
+          asc_nulls_first("o_orderpriority"))
+    }),
+
+    "q15_sessionize" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      import s.implicits._
+      // Gap-based sessionization (30 min) — the window-function batch
+      // twin of streaming session_window.
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      Tables.load(s, d, "events")
+        .withColumn("prev_us", lag(unix_micros($"ts"), 1).over(w))
+        .withColumn("new_sess",
+          when($"prev_us".isNull ||
+            unix_micros($"ts") - $"prev_us" > 1800L * 1000000L, 1L)
+            .otherwise(0L))
+        .groupBy($"user_id")
+        .agg(sum($"new_sess").as("n_sessions"), count(lit(1)).as("n_events"))
+        .orderBy($"user_id")
+    }),
+
+    "q16_scalar_funcs" -> ((s, d) => {
+      import s.implicits._
+      Tables.load(s, d, "events")
+        .select(
+          $"event_id",
+          upper($"event_type").as("type_u"),
+          substring($"event_type", 1, 3).as("type3"),
+          length($"event_type").cast("long").as("type_len"),
+          year($"ts").cast("long").as("yr"),
+          month($"ts").cast("long").as("mo"),
+          dayofmonth($"ts").cast("long").as("dom"),
+          round($"value" * 2.0, 2).as("value_doubled"),
+          concat($"event_type", lit(":"), $"user_id").as("type_user"))
+        .orderBy($"event_id")
+    }))
+
+  def oracles: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+         round(sum(l_quantity), 2) AS sum_qty,
+         round(sum(l_extendedprice), 2) AS sum_base_price,
+         round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+         count(*) AS count_order
+         FROM lineitem GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+    "q2_filter_project" ->
+      """SELECT p_partkey, p_name, p_brand, p_retailprice FROM part
+         WHERE p_size >= 30 AND p_type = 'ECONOMY' ORDER BY p_partkey""",
+    "q3_join_agg" ->
+      """SELECT c_custkey, c_name,
+         round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+         count(*) AS n_items
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         WHERE o_orderstatus = 'O'
+         GROUP BY c_custkey, c_name
+         ORDER BY revenue DESC, c_custkey LIMIT 100""",
+    "q4_semijoin" ->
+      """SELECT o_orderpriority, count(*) AS n_orders FROM orders
+         WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_quantity >= 48)
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q5_antijoin" ->
+      """SELECT c_mktsegment, count(*) AS n_customers,
+         round(sum(c_acctbal), 2) AS total_bal
+         FROM customer
+         WHERE c_custkey NOT IN
+           (SELECT o_custkey FROM orders WHERE o_orderstatus = 'P')
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "q6_window" ->
+      """SELECT o_custkey, rn, o_orderkey, o_totalprice,
+         round(coalesce(prev_price - o_totalprice, 0.0), 2) AS gap_from_prev
+         FROM (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER w AS rn,
+             lag(o_totalprice, 1) OVER w AS prev_price
+           FROM orders
+           WINDOW w AS (PARTITION BY o_custkey
+                        ORDER BY o_totalprice DESC, o_orderkey))
+         WHERE rn <= 3 ORDER BY o_custkey, rn""",
+    "q7_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""",
+    "q8_setops" ->
+      """WITH cn AS (SELECT DISTINCT c_nationkey AS nationkey FROM customer),
+            sn AS (SELECT DISTINCT s_nationkey AS nationkey FROM supplier)
+         SELECT 'both' AS tag, nationkey FROM (SELECT nationkey FROM cn INTERSECT SELECT nationkey FROM sn)
+         UNION ALL
+         SELECT 'cust_only' AS tag, nationkey FROM (SELECT nationkey FROM cn EXCEPT SELECT nationkey FROM sn)
+         UNION ALL
+         SELECT 'supp_only' AS tag, nationkey FROM (SELECT nationkey FROM sn EXCEPT SELECT nationkey FROM cn)
+         ORDER BY tag, nationkey""",
+    "q9_rollup" ->
+      """SELECT r_name, n_name, round(sum(c_acctbal), 2) AS total_bal,
+         count(*) AS n_cust
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY ROLLUP(r_name, n_name)
+         ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""",
+    "q10_distinct" ->
+      """SELECT count(DISTINCT l_partkey) AS n_parts,
+         count(DISTINCT l_suppkey) AS n_supps,
+         count(DISTINCT (l_returnflag, l_linestatus)) AS n_flag_status,
+         count(*) AS n_rows FROM lineitem""",
+    "q11_events_props" ->
+      """SELECT event_type, count(*) AS n,
+         round(sum(value), 2) AS sum_value,
+         round(sum(CAST(json_extract_string(props, '$.k') AS DOUBLE)), 2) AS sum_k,
+         max(CAST(json_extract_string(props, '$.k') AS DOUBLE)) AS max_k
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "q12_time_window" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
+         count(*) AS n, round(sum(value), 2) AS sum_value
+         FROM events GROUP BY 1, 2 ORDER BY hour, event_type""",
+    "q13_dim_join" ->
+      """SELECT r_name, count(*) AS n_customers,
+         round(sum(c_acctbal), 2) AS total_bal
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name ORDER BY r_name""",
+    "q14_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+         round(sum(o_totalprice), 2) AS total
+         FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+         ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
+    "q15_sessionize" ->
+      """WITH e AS (
+           SELECT user_id, event_id, epoch_us(ts) AS us,
+             lag(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+           FROM events)
+         SELECT user_id,
+           CAST(sum(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+           count(*) AS n_events
+         FROM e GROUP BY user_id ORDER BY user_id""",
+    "q16_scalar_funcs" ->
+      """SELECT event_id, upper(event_type) AS type_u,
+         substr(event_type, 1, 3) AS type3,
+         CAST(length(event_type) AS BIGINT) AS type_len,
+         CAST(year(ts) AS BIGINT) AS yr,
+         CAST(month(ts) AS BIGINT) AS mo,
+         CAST(day(ts) AS BIGINT) AS dom,
+         round(value * 2.0, 2) AS value_doubled,
+         event_type || ':' || CAST(user_id AS VARCHAR) AS type_user
+         FROM events ORDER BY event_id""")
+}

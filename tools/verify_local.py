@@ -1,0 +1,116 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate.
+
+Usage: python3 tools/verify_local.py [sfDir] [outDir]
+
+Assumes `sbt "runMain graft.Verify <sfDir> <outDir>"` has already dumped
+one parquet dir per query plus oracle_sql.json. Runs each oracle in
+DuckDB over views named after the tables, then compares: schema (column
+names + dtypes after name-sort), row count, and values (exact for
+non-floats; tiny-tolerance report for floats so we can see whether a
+mismatch is real or an ulp).
+"""
+import json
+import sys
+import glob
+import duckdb
+import pandas as pd
+import numpy as np
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    # timestamps: compare at microsecond precision, tz-naive
+    for c in df.columns:
+        if str(df[c].dtype).startswith("datetime64"):
+            df[c] = df[c].astype("datetime64[us]")
+    if len(df):
+        df = df.sort_values(by=list(df.columns), ignore_index=True)
+    return df
+
+
+def compare(name: str, spark_df: pd.DataFrame, oracle_df: pd.DataFrame):
+    a, b = normalize(spark_df), normalize(oracle_df)
+    problems = []
+    if list(a.columns) != list(b.columns):
+        problems.append(f"columns: spark={list(a.columns)} oracle={list(b.columns)}")
+        return problems
+    if len(a) != len(b):
+        problems.append(f"rowcount: spark={len(a)} oracle={len(b)}")
+        return problems
+    for c in a.columns:
+        da, db_ = str(a[c].dtype), str(b[c].dtype)
+        if da != db_:
+            problems.append(f"dtype[{c}]: spark={da} oracle={db_}")
+    for c in a.columns:
+        av, bv = a[c], b[c]
+        if av.dtype.kind == "f":
+            both_nan = av.isna() & bv.isna()
+            eq = np.isclose(av.fillna(0), bv.fillna(0), rtol=0, atol=0) | both_nan
+            exact_bad = int((~eq).sum())
+            close = np.isclose(av.fillna(0), bv.fillna(0), rtol=1e-9, atol=1e-9) | both_nan
+            close_bad = int((~close).sum())
+            if exact_bad:
+                tag = "FLOAT-EXACT" if close_bad == 0 else "FLOAT-REAL"
+                idx = (~eq).idxmax()
+                problems.append(
+                    f"{tag}[{c}]: {exact_bad} rows differ exactly, {close_bad} beyond 1e-9 "
+                    f"(e.g. row {idx}: {av[idx]!r} vs {bv[idx]!r})")
+        else:
+            neq = ~((av == bv) | (av.isna() & bv.isna()))
+            if int(neq.sum()):
+                idx = neq.idxmax()
+                problems.append(
+                    f"VAL[{c}]: {int(neq.sum())} rows differ "
+                    f"(e.g. row {idx}: {av[idx]!r} vs {bv[idx]!r})")
+    return problems
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify"
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    result_dirs = {p.split("/")[-1]: p for p in glob.glob(f"{out_dir}/*") if not p.endswith(".json")}
+    n_pass = n_fail = 0
+    for name in sorted(result_dirs):
+        files = glob.glob(f"{result_dirs[name]}/*.parquet")
+        if not files:
+            print(f"[FAIL] {name}: no spark output parquet")
+            n_fail += 1
+            continue
+        spark_df = pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
+        if name not in oracles:
+            print(f"[rows] {name}: {len(spark_df)} rows (no oracle — rows-only)")
+            n_pass += 1
+            continue
+        try:
+            oracle_df = con.sql(oracles[name]).df()
+        except Exception as e:
+            print(f"[FAIL] {name}: oracle SQL error: {e}")
+            n_fail += 1
+            continue
+        problems = compare(name, spark_df, oracle_df)
+        if problems:
+            print(f"[FAIL] {name}:")
+            for p in problems:
+                print(f"       {p}")
+            n_fail += 1
+        else:
+            print(f"[ ok ] {name}: {len(spark_df)} rows")
+            n_pass += 1
+    missing = set(oracles) - set(result_dirs)
+    for name in sorted(missing):
+        print(f"[FAIL] {name}: oracle present but no spark output")
+        n_fail += 1
+    print(f"\n{n_pass} ok, {n_fail} fail")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
