@@ -1,7 +1,11 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.dedup.Dedup
+import graft.multimodal.Multimodal
 import graft.queries.{LogOps, Relational}
+import graft.sim.Similarity
+import graft.text.TextAnalysis
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -17,8 +21,10 @@ object SparkEntry {
     queries("q3_join_agg")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, Q] =
-    Relational.queries ++ LogOps.queries
+    Relational.queries ++ LogOps.queries ++ Dedup.queries ++
+      TextAnalysis.queries ++ Similarity.queries ++ Multimodal.queries
 
   def oracleSql: Map[String, String] =
-    Relational.oracles ++ LogOps.oracles
+    Relational.oracles ++ LogOps.oracles ++ Dedup.oracles ++
+      TextAnalysis.oracles ++ Similarity.oracles ++ Multimodal.oracles
 }

@@ -1,0 +1,134 @@
+package graft.multimodal
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column handling (north-star extension): media as opaque
+  * `binary` columns + typed metadata, with decode / feature-extract /
+  * resize / frame-sample stages.
+  *
+  * The container has no image/audio codecs, so the *decode kernel* is
+  * STUBBED with a deterministic fake (byte-length arithmetic). The
+  * Spark-side plumbing is real and is the part that matters at scale:
+  * binary column schema, typed Dataset encoders, batched
+  * `mapPartitions` (the JVM analogue of `mapInPandas` — decode
+  * amortized over batches, not per-row calls), and the explode shape
+  * for frame sampling.
+  */
+object Multimodal {
+
+  /** A packed multimodal record: payload is the raw media bytes. */
+  case class MediaRecord(
+      doc_id: Long, payload: Array[Byte], lang: String, source: String,
+      label: Int, embedding: Array[Float])
+
+  /** Decoded media metadata. STUB: real impl would run an image codec;
+    * the fake derives dimensions from byte length deterministically so
+    * the pipeline is oracle-checkable.
+    */
+  case class DecodedMedia(
+      doc_id: Long, byte_len: Long, width: Long, height: Long,
+      n_frames: Long, out_w: Long, out_h: Long)
+
+  /** STUB decode kernel — deterministic fake of an image header parse.
+    * Real deployments replace the body with a codec call; the
+    * signature (bytes in, metadata out, called once per element inside
+    * a batched iterator) is the real contract.
+    */
+  def fakeDecode(docId: Long, payload: Array[Byte]): DecodedMedia = {
+    val n = payload.length.toLong
+    val width = 64L + n % 512L
+    val height = 64L + (n * 7L) % 512L
+    val frames = 1L + n % 8L
+    // "resize" to fit 224 on the long edge, aspect preserved
+    val longEdge = math.max(width, height)
+    val outW = width * 224L / longEdge
+    val outH = height * 224L / longEdge
+    DecodedMedia(docId, n, width, height, frames, outW, outH)
+  }
+
+  /** documents ⋈ embeddings packed into one multimodal frame. The join
+    * key is doc_id=vec_id (1:1); embeddings is the smaller relation →
+    * broadcast; text bytes become the opaque payload column.
+    */
+  def pack(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.load(s, d, "documents")
+    val embs = Tables.load(s, d, "embeddings")
+    docs.join(broadcast(embs), docs("doc_id") === embs("vec_id"))
+      .select(docs("doc_id"),
+        docs("text").cast("binary").as("payload"),
+        docs("lang"), docs("source"), embs("label"), embs("embedding"))
+  }
+
+  /** Batched decode over the packed frame: typed mapPartitions pulling
+    * fixed-size batches through the (stubbed) kernel — the shape a
+    * vectorized decoder needs. Stays fully distributed: no collect, no
+    * driver involvement.
+    */
+  def decode(packed: DataFrame, batchSize: Int = 64): DataFrame = {
+    val s = packed.sparkSession
+    import s.implicits._
+    packed.select("doc_id", "payload", "lang", "source", "label", "embedding")
+      .as[MediaRecord]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          // STUB: a real kernel would decode `batch` in one vectorized
+          // call (GPU/JNI); the per-element map is the fake.
+          batch.map(r => fakeDecode(r.doc_id, r.payload))
+        }
+      }
+      .toDF()
+  }
+
+  def queries: Map[String, Q] = Map(
+    "mm_pack" -> ((s, d) => {
+      import s.implicits._
+      pack(s, d).select(
+        $"doc_id",
+        length($"payload").cast("long").as("payload_bytes"),
+        $"lang", $"source",
+        $"label",
+        size($"embedding").cast("long").as("emb_dim"))
+        .orderBy($"doc_id")
+    }),
+    "mm_decode" -> ((s, d) => {
+      import s.implicits._
+      decode(pack(s, d)).orderBy($"doc_id")
+    }),
+    "mm_frame_sample" -> ((s, d) => {
+      import s.implicits._
+      // sample every 2nd frame of each decoded media item
+      decode(pack(s, d))
+        .select($"doc_id", $"n_frames",
+          explode(sequence(lit(0L), $"n_frames" - 1L, lit(2L)))
+            .as("frame_idx"))
+        .orderBy($"doc_id", $"frame_idx")
+    }))
+
+  /** The stub decode is pure byte-length arithmetic, so DuckDB can
+    * replay it from length(text) (ASCII corpus: chars == bytes).
+    */
+  def oracles: Map[String, String] = Map(
+    "mm_pack" ->
+      """SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS payload_bytes,
+         d.lang, d.source, e.label, CAST(len(e.embedding) AS BIGINT) AS emb_dim
+         FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+         ORDER BY d.doc_id""",
+    "mm_decode" ->
+      """WITH m AS (SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n
+           FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id)
+         SELECT doc_id, n AS byte_len,
+           64 + n % 512 AS width, 64 + (n * 7) % 512 AS height,
+           1 + n % 8 AS n_frames,
+           (64 + n % 512) * 224 // greatest(64 + n % 512, 64 + (n * 7) % 512) AS out_w,
+           (64 + (n * 7) % 512) * 224 // greatest(64 + n % 512, 64 + (n * 7) % 512) AS out_h
+         FROM m ORDER BY doc_id""",
+    "mm_frame_sample" ->
+      """WITH m AS (SELECT d.doc_id,
+           1 + CAST(length(d.text) AS BIGINT) % 8 AS n_frames
+           FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id)
+         SELECT doc_id, n_frames, CAST(f AS BIGINT) AS frame_idx
+         FROM m, LATERAL (SELECT unnest(range(0, n_frames, 2)) AS f)
+         ORDER BY doc_id, frame_idx""")
+}

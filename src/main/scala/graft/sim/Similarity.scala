@@ -1,0 +1,174 @@
+package graft.sim
+
+import graft.{Q, Tables}
+import graft.dedup.Dedup.cosine
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over the `embeddings` table
+  * (north-star extension). Three tiers:
+  *
+  *  - `bruteForceTopK` — exact baseline: query-set × corpus cosine,
+  *    windowed top-k. At scale this is the *rerank* stage, never the
+  *    candidate stage: queries are broadcast against the corpus scan,
+  *    so there is no corpus shuffle at all.
+  *  - `lshTopK` — random-hyperplane LSH (Charikar 2002): 16-bit sign
+  *    signatures, bucket-join with 1-bit multiprobe, exact rerank
+  *    within candidates. The corpus-side work is one scan + one
+  *    shuffle on the bucket id; candidate counts are corpus/2^16 per
+  *    probe on average, independent of corpus size per query.
+  *  - `ivfTopK` — IVF with the `label` column as the coarse quantizer
+  *    (stand-in for a k-means codebook): probe the nprobe nearest
+  *    centroids, search only those cells.
+  */
+object Similarity {
+
+  /** Deterministic query workload: every 100th vector. */
+  private def queryVecs(e: DataFrame): DataFrame =
+    e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+
+  // ------------------------------------------------------ brute force
+  def bruteForceTopK(s: SparkSession, d: String, k: Int = 10): DataFrame = {
+    val e = Tables.load(s, d, "embeddings")
+    val q = queryVecs(e)
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(desc("cosine"), col("vec_id"))
+    // broadcast the small query side; corpus side stays a scan
+    e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cosine", cosine(col("q_emb"), col("embedding")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("vec_id"), col("cosine"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  // -------------------------------------------------------------- LSH
+  /** Fixed random hyperplanes (seeded — signatures must be identical
+    * across driver re-runs). 8 planes → 256 buckets: sized so buckets
+    * hold ~corpus/256 vectors; more planes would empty the buckets at
+    * small corpus sizes (and the plane count is the recall/cost knob
+    * at large ones).
+    */
+  private val NumPlanes = 8
+  private val Dim = 64
+  private val planes: Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(7)
+    Seq.fill(NumPlanes)(Seq.fill(Dim)(rnd.nextGaussian()))
+  }
+
+  private def dotLit(emb: Column, plane: Seq[Double]): Column =
+    aggregate(zip_with(emb, typedLit(plane), (x, p) => x.cast("double") * p),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** 16-bit sign signature of an embedding. */
+  def lshSignature(emb: Column): Column =
+    (0 until NumPlanes).map { p =>
+      when(dotLit(emb, planes(p)) > 0, lit(1 << p)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** Candidate buckets for a query signature: the bucket itself plus
+    * all 1-bit flips (multiprobe) — recall insurance for near-boundary
+    * vectors.
+    */
+  private def probeBuckets(sig: Column): Column =
+    array((sig +: (0 until NumPlanes).map(b =>
+      sig.bitwiseXOR(lit(1 << b)))): _*)
+
+  def lshTopK(s: SparkSession, d: String, k: Int = 10): DataFrame = {
+    val e = Tables.load(s, d, "embeddings")
+      .withColumn("bucket", lshSignature(col("embedding")))
+    val q = queryVecs(e.drop("bucket"))
+      .withColumn("q_sig", lshSignature(col("q_emb")))
+      .select(col("q_id"), col("q_emb"),
+        explode(probeBuckets(col("q_sig"))).as("bucket"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(desc("cosine"), col("vec_id"))
+    e.join(broadcast(q), Seq("bucket"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), col("q_emb"), col("embedding"))
+      .distinct() // a (q, candidate) pair can match several probes
+      .withColumn("cosine", cosine(col("q_emb"), col("embedding")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("vec_id"), col("cosine"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  // -------------------------------------------------------------- IVF
+  /** Element-wise mean embedding per cell (label = coarse codebook).
+    * posexplode → (cell, pos) mean → re-assemble sorted array. Two
+    * small shuffles over ncells×dim rows — negligible at any scale.
+    */
+  def centroids(e: DataFrame): DataFrame =
+    e.select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos"))
+      .agg(avg(col("v")).as("mean_v"))
+      .groupBy(col("label"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("mean_v")))),
+        x => x.getField("mean_v")).as("centroid"))
+
+  def ivfTopK(s: SparkSession, d: String, k: Int = 10, nprobe: Int = 3)
+      : DataFrame = {
+    val e = Tables.load(s, d, "embeddings")
+    val cents = centroids(e)
+    val q = queryVecs(e)
+    // rank cells per query by centroid cosine, keep nprobe
+    val wc = Window.partitionBy(col("q_id"))
+      .orderBy(desc("c_sim"), col("label"))
+    val probed = q.crossJoin(broadcast(cents))
+      .withColumn("c_sim", cosine(col("q_emb"), col("centroid")))
+      .withColumn("c_rank", row_number().over(wc))
+      .filter(col("c_rank") <= nprobe)
+      .select(col("q_id"), col("q_emb"), col("label"))
+    // search only the probed cells
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(desc("cosine"), col("vec_id"))
+    e.join(broadcast(probed), Seq("label"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cosine", cosine(col("q_emb"), col("embedding")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("vec_id"), col("cosine"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  def queries: Map[String, Q] = Map(
+    "ann_bruteforce" -> ((s, d) => bruteForceTopK(s, d)),
+    "ann_lsh" -> ((s, d) => lshTopK(s, d)),
+    "ann_ivf" -> ((s, d) => ivfTopK(s, d)))
+
+  /** Brute force is exactly SQL-expressible (list_reduce replays the
+    * same left-fold double summation — see Dedup oracle note). LSH/IVF
+    * depend on seeded hyperplanes / learned centroids: rows-only check
+    * plus recall assertions in SimilaritySpec.
+    */
+  def oracles: Map[String, String] = Map(
+    "ann_bruteforce" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
+                    FROM embeddings WHERE vec_id % 100 = 0),
+         pairs AS (
+           SELECT q.q_id, e.vec_id,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(range(1, len(q.q_emb) + 1),
+                 i -> CAST(q.q_emb[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))),
+               (x, y) -> x + y) /
+             (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(range(1, len(q.q_emb) + 1),
+                 i -> CAST(q.q_emb[i] AS DOUBLE) * CAST(q.q_emb[i] AS DOUBLE))),
+               (x, y) -> x + y)) *
+              sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(range(1, len(e.embedding) + 1),
+                 i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))),
+               (x, y) -> x + y))) AS cosine
+           FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.q_id),
+         ranked AS (
+           SELECT q_id, vec_id, cosine,
+             row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank
+           FROM pairs)
+         SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id, cosine
+         FROM ranked WHERE rank <= 10 ORDER BY q_id, rank""")
+}

@@ -1,0 +1,173 @@
+package graft.text
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline (north-star
+  * extension, SURVEY.md §2b): token statistics, quality scoring,
+  * stopword-vote language ID, BPE-ish token counting, and document
+  * fingerprinting. Everything is row-local built-in expressions — no
+  * shuffle except the final ORDER BY for oracle determinism, so the
+  * operators scan-scale linearly at 100 TB.
+  */
+object TextAnalysis {
+
+  private def toks(c: Column): Column = split(lower(c), "\\s+")
+
+  /** Stopword lists for the vote-based language-ID heuristic. Tiny on
+    * purpose: the heuristic is the operator; real deployments swap the
+    * lists. Deterministic alphabetical-first tie-break.
+    */
+  val stopwords: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "es" -> Seq("el", "la", "de", "y", "es"),
+    "fr" -> Seq("le", "la", "les", "et", "est"),
+    "zh" -> Seq("de", "shi", "le", "he", "zai"))
+
+  private def stopCount(t: Column, words: Seq[String]): Column =
+    size(filter(t, x => x.isInCollection(words))).cast("long")
+
+  /** English-ish stopword ratio used by the quality score. */
+  private val qualityStops = Seq("the", "a", "of", "and", "is", "to", "in")
+
+  // The "BPE-ish" token pattern: letter runs, digit runs, single
+  // non-alphanumeric marks — the pre-tokenizer shape GPT-2-style BPEs
+  // use before merges.
+  private val BpePattern = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+  def queries: Map[String, Q] = Map(
+    "text_stats" -> ((s, d) => {
+      import s.implicits._
+      Tables.load(s, d, "documents")
+        .withColumn("t", toks($"text"))
+        .select(
+          $"doc_id", $"lang",
+          size($"t").cast("long").as("n_tokens"),
+          size(array_distinct($"t")).cast("long").as("n_distinct"),
+          (size(array_distinct($"t")).cast("double") /
+            size($"t").cast("double")).as("ttr"),
+          (aggregate($"t", lit(0L), (acc, x) => acc + length(x))
+            .cast("double") / size($"t").cast("double")).as("avg_token_len"))
+        .orderBy($"doc_id")
+    }),
+
+    "text_quality" -> ((s, d) => {
+      import s.implicits._
+      val df = Tables.load(s, d, "documents").withColumn("t", toks($"text"))
+      df.select(
+        $"doc_id",
+        length($"text").cast("long").as("n_chars_actual"),
+        (stopCount($"t", qualityStops).cast("double") /
+          size($"t").cast("double")).as("stopword_ratio"),
+        (size(array_distinct($"t")).cast("double") /
+          size($"t").cast("double")).as("distinct_ratio"),
+        // crude composite quality: long enough, diverse, some glue words
+        (when(length($"text") >= 100, lit(1.0)).otherwise(lit(0.0)) +
+          size(array_distinct($"t")).cast("double") / size($"t").cast("double") +
+          stopCount($"t", qualityStops).cast("double") / size($"t").cast("double"))
+          .as("quality_score"))
+        .orderBy($"doc_id")
+    }),
+
+    "text_langid" -> ((s, d) => {
+      import s.implicits._
+      val df = Tables.load(s, d, "documents").withColumn("t", toks($"text"))
+      val scored = stopwords.foldLeft(df) { case (acc, (lang, words)) =>
+        acc.withColumn(s"s_$lang", stopCount(col("t"), words))
+      }
+      val best = greatest(stopwords.map { case (l, _) => col(s"s_$l") }: _*)
+      // alphabetical-first tie-break via ordered CASE chain
+      val predicted = stopwords.foldRight(lit(null).cast("string"): Column) {
+        case ((l, _), els) => when(col(s"s_$l") === best, lit(l)).otherwise(els)
+      }
+      // foldRight gives en-first priority? No: foldRight nests from the
+      // right, so the leftmost (alphabetically first) lang is the
+      // outermost WHEN — first match wins, as in the SQL oracle.
+      scored.select($"doc_id", $"lang".as("labeled_lang"),
+        predicted.as("predicted_lang"), best.as("best_score"))
+        .orderBy($"doc_id")
+    }),
+
+    "text_tokens" -> ((s, d) => {
+      import s.implicits._
+      Tables.load(s, d, "documents")
+        .select(
+          $"doc_id",
+          size(toks($"text")).cast("long").as("ws_tokens"),
+          size(regexp_extract_all(lower($"text"), lit(BpePattern), lit(0)))
+            .cast("long").as("bpe_tokens"),
+          ceil(length($"text").cast("double") / 4.0).as("chars_div4_est"))
+        .orderBy($"doc_id")
+    }),
+
+    "text_fingerprint" -> ((s, d) => {
+      import s.implicits._
+      // Canonical content fingerprint: md5 over the sorted distinct
+      // token set — stable under token reordering, the standard
+      // "bag-of-words fingerprint" for clustering-level dedup.
+      Tables.load(s, d, "documents")
+        .select(
+          $"doc_id",
+          md5(array_join(array_sort(array_distinct(toks($"text"))), " "))
+            .as("bow_fingerprint"),
+          md5($"text").as("exact_fingerprint"))
+        .orderBy($"doc_id")
+    }))
+
+  def oracles: Map[String, String] = Map(
+    "text_stats" ->
+      """WITH t AS (SELECT doc_id, lang,
+           string_split_regex(lower(text), '\s+') AS tk FROM documents)
+         SELECT doc_id, lang,
+           CAST(len(tk) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(tk)) AS BIGINT) AS n_distinct,
+           CAST(len(list_distinct(tk)) AS DOUBLE) / CAST(len(tk) AS DOUBLE) AS ttr,
+           CAST(list_sum(list_transform(tk, x -> length(x))) AS DOUBLE) /
+             CAST(len(tk) AS DOUBLE) AS avg_token_len
+         FROM t ORDER BY doc_id""",
+    "text_quality" ->
+      """WITH t AS (SELECT doc_id, text,
+           string_split_regex(lower(text), '\s+') AS tk FROM documents)
+         SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars_actual,
+           CAST(len(list_filter(tk, x -> x IN ('the','a','of','and','is','to','in'))) AS DOUBLE) /
+             CAST(len(tk) AS DOUBLE) AS stopword_ratio,
+           CAST(len(list_distinct(tk)) AS DOUBLE) / CAST(len(tk) AS DOUBLE) AS distinct_ratio,
+           (CASE WHEN length(text) >= 100 THEN 1.0 ELSE 0.0 END +
+            CAST(len(list_distinct(tk)) AS DOUBLE) / CAST(len(tk) AS DOUBLE) +
+            CAST(len(list_filter(tk, x -> x IN ('the','a','of','and','is','to','in'))) AS DOUBLE) /
+              CAST(len(tk) AS DOUBLE)) AS quality_score
+         FROM t ORDER BY doc_id""",
+    "text_langid" ->
+      """WITH t AS (SELECT doc_id, lang,
+           string_split_regex(lower(text), '\s+') AS tk FROM documents),
+         s AS (SELECT doc_id, lang,
+           CAST(len(list_filter(tk, x -> x IN ('der','die','das','und','ist'))) AS BIGINT) AS s_de,
+           CAST(len(list_filter(tk, x -> x IN ('the','a','of','and','is'))) AS BIGINT) AS s_en,
+           CAST(len(list_filter(tk, x -> x IN ('el','la','de','y','es'))) AS BIGINT) AS s_es,
+           CAST(len(list_filter(tk, x -> x IN ('le','la','les','et','est'))) AS BIGINT) AS s_fr,
+           CAST(len(list_filter(tk, x -> x IN ('de','shi','le','he','zai'))) AS BIGINT) AS s_zh
+           FROM t)
+         SELECT doc_id, lang AS labeled_lang,
+           CASE WHEN s_de = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'de'
+                WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+                WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+                WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+                ELSE 'zh' END AS predicted_lang,
+           greatest(s_de, s_en, s_es, s_fr, s_zh) AS best_score
+         FROM s ORDER BY doc_id""",
+    "text_tokens" ->
+      """SELECT doc_id,
+           CAST(len(string_split_regex(lower(text), '\s+')) AS BIGINT) AS ws_tokens,
+           CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS bpe_tokens,
+           CAST(ceil(CAST(length(text) AS DOUBLE) / 4.0) AS BIGINT) AS chars_div4_est
+         FROM documents ORDER BY doc_id""",
+    "text_fingerprint" ->
+      """SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct(
+             string_split_regex(lower(text), '\s+'))), ' ')) AS bow_fingerprint,
+           md5(text) AS exact_fingerprint
+         FROM documents ORDER BY doc_id""")
+}

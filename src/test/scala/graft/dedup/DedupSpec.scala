@@ -1,0 +1,90 @@
+package graft.dedup
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val baseToks = (1 to 60).map(i => s"tok$i")
+  private val base = baseToks.mkString(" ")
+  // doc 1 = doc 0 with one token changed → 3 of 58 shingles differ,
+  // shingle Jaccard ≈ 0.90 (comfortably above the LSH s-curve knee)
+  private val nearDup = baseToks.updated(29, "zz").mkString(" ")
+  private val unrelated1 = (1 to 60).map(i => s"u$i").mkString(" ")
+  private val unrelated2 = (1 to 60).map(i => s"v$i").mkString(" ")
+
+  private def docs = Seq(
+    (0L, base, "en", "s0", base.length.toLong),
+    (1L, nearDup, "en", "s0", nearDup.length.toLong),
+    (2L, base, "en", "s0", base.length.toLong), // exact copy of 0
+    (3L, unrelated1, "en", "s0", unrelated1.length.toLong),
+    (4L, unrelated2, "en", "s0", unrelated2.length.toLong))
+    .toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  test("exact dedup groups identical texts, keeps min doc_id") {
+    val out = Dedup.exactOver(docs)
+      .select("keeper_doc_id", "n_copies")
+      .as[(Long, Long)].collect().toMap
+    assert(out(0L) == 2L) // docs 0 and 2 collapsed, keeper is 0
+    assert(out.values.sum == 5L)
+  }
+
+  test("minhash LSH finds planted near-dups and exact dups only") {
+    val withShingles = docs
+      .withColumn("toks", split(lower($"text"), "\\s+"))
+      .withColumn("sh", array_distinct(transform(
+        sequence(lit(1), size($"toks") - 2),
+        i => concat_ws(" ", element_at($"toks", i),
+          element_at($"toks", i + 1), element_at($"toks", i + 2)))))
+    val pairs = Dedup.minhashLshOver(withShingles, threshold = 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 2L))) // exact dup always collides
+    assert(pairs.contains((0L, 1L)) || pairs.contains((1L, 2L)),
+      s"near-dup pair not found: $pairs") // high-jaccard pair caught
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("simhash: identical texts at hamming 0, near-dups close, unrelated apart") {
+    val out = Dedup.simhashOver(docs, maxHamming = 12)
+      .select("doc_a", "doc_b", "hamming")
+      .as[(Long, Long, Long)].collect()
+    val asMap = out.map(t => (t._1, t._2) -> t._3).toMap
+    assert(asMap((0L, 2L)) == 0L) // exact copies
+    assert(asMap.contains((0L, 1L)), s"near-dup not within hamming 12: $asMap")
+    assert(!asMap.keySet.exists(p => p._1 >= 3L || p._2 >= 3L))
+  }
+
+  test("ngram jaccard on planted pair is high, unrelated absent") {
+    // run the same pipeline privately: block on lang+bucket like the query
+    val a = docs.select($"doc_id".as("doc_a"),
+      array_distinct(split(lower($"text"), "\\s+")).as("t_a"))
+    val b = docs.select($"doc_id".as("doc_b"),
+      array_distinct(split(lower($"text"), "\\s+")).as("t_b"))
+    val j = a.crossJoin(b).filter($"doc_a" < $"doc_b")
+      .select($"doc_a", $"doc_b",
+        (size(array_intersect($"t_a", $"t_b")).cast("double") /
+          size(array_union($"t_a", $"t_b")).cast("double")).as("jac"))
+      .as[(Long, Long, Double)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    assert(j((0L, 2L)) == 1.0)
+    assert(j((0L, 1L)) > 0.8)
+    assert(j((0L, 3L)) == 0.0)
+  }
+
+  test("embedding cosine: identical vectors similarity 1.0") {
+    val e = Seq(
+      (0L, Array(1.0f, 2.0f, 3.0f)),
+      (1L, Array(1.0f, 2.0f, 3.0f)),
+      (2L, Array(-3.0f, 1.0f, 0.5f))).toDF("vec_id", "embedding")
+    val sims = e.select($"vec_id", $"embedding")
+      .crossJoin(e.select($"vec_id".as("v2"), $"embedding".as("e2")))
+      .filter($"vec_id" < $"v2")
+      .select($"vec_id", $"v2", Dedup.cosine($"embedding", $"e2").as("c"))
+      .as[(Long, Long, Double)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    assert(math.abs(sims((0L, 1L)) - 1.0) < 1e-12)
+    assert(math.abs(sims((0L, 2L))) < 0.3)
+  }
+}

@@ -1,0 +1,52 @@
+package graft.sim
+
+import graft.SparkSpec
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def topSets(rows: Array[(Long, Long, Long)]): Map[Long, Set[Long]] =
+    rows.groupBy(_._1).map { case (q, rs) => q -> rs.map(_._3).toSet }
+
+  test("brute force top-k: 10 ranked neighbors per query, self excluded") {
+    val out = Similarity.bruteForceTopK(spark, sf)
+      .select("q_id", "rank", "vec_id").as[(Long, Long, Long)].collect()
+    val byQ = out.groupBy(_._1)
+    assert(byQ.nonEmpty)
+    byQ.foreach { case (q, rows) =>
+      assert(rows.map(_._2).sorted.toSeq == (1L to 10L))
+      assert(!rows.exists(_._3 == q))
+    }
+  }
+
+  test("LSH candidates are a subset-rerank: hits agree with brute force cosines") {
+    val bf = Similarity.bruteForceTopK(spark, sf, k = 50)
+      .select("q_id", "vec_id", "cosine").as[(Long, Long, Double)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    val lsh = Similarity.lshTopK(spark, sf)
+      .select("q_id", "vec_id", "cosine").as[(Long, Long, Double)].collect()
+    assert(lsh.nonEmpty, "LSH returned no candidates — buckets too fine")
+    // every LSH hit that appears in the brute-force top-50 must carry
+    // the identical cosine (the rerank is exact)
+    lsh.foreach { case (q, v, c) =>
+      bf.get((q, v)).foreach(expected => assert(c == expected))
+    }
+  }
+
+  test("IVF top-k overlaps brute-force top-k (nprobe cells only)") {
+    val bf = topSets(Similarity.bruteForceTopK(spark, sf)
+      .select("q_id", "rank", "vec_id").as[(Long, Long, Long)].collect())
+    val ivf = topSets(Similarity.ivfTopK(spark, sf)
+      .select("q_id", "rank", "vec_id").as[(Long, Long, Long)].collect())
+    assert(ivf.nonEmpty)
+    // with nprobe=3 of 10 cells we expect meaningful but partial recall
+    val recalls = bf.keys.toSeq.map { q =>
+      val hit = ivf.getOrElse(q, Set.empty)
+      (bf(q) & hit).size.toDouble / bf(q).size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean > 0.15, s"mean IVF recall@10 too low: $mean")
+  }
+}
