@@ -1,0 +1,174 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, Row}
+import scala.collection.mutable.ArrayBuffer
+
+/** Kinesis-style record sink (reference W1+B1, basestreamer.go:19-87).
+  *
+  * The AWS SDK is not on this classpath, so the transport is the
+  * pluggable `RecordsClient` trait: production wires an SDK-backed
+  * implementation (PutRecords), tests use `InMemoryRecordsClient`. The
+  * batching policy, partition-key routing, and retry semantics — the
+  * parts the reference actually implements — are all here and tested.
+  *
+  * Semantics: the reference drops failed records (at-most-once,
+  * basestreamer.go:73-83). We retry per-record failures up to
+  * `maxRetries` and throw when exhausted, which under Spark's
+  * micro-batch checkpointing yields at-least-once — deliberately
+  * STRONGER than the reference (SURVEY.md §7.4); deduplicate
+  * downstream on a record key if exactly-once matters.
+  */
+object KinesisSink {
+
+  case class RecordEntry(data: Array[Byte], partitionKey: String)
+
+  case class PutResult(failedIndices: Seq[Int], errors: Seq[String])
+
+  /** Transport contract — mirrors Kinesis PutRecords: a batch call that
+    * can partially fail per record.
+    */
+  trait RecordsClient extends Serializable {
+    def putRecords(streamName: String, records: Seq[RecordEntry]): PutResult
+  }
+
+  /** Kinesis service limits (public AWS docs): ≤500 records and ≤5 MiB
+    * per PutRecords call, ≤1 MiB per record. The reference's batch of 5
+    * (basestreamer.go:20) was a latency choice, not a limit — at 100 TB
+    * we fill the API maximums instead.
+    */
+  val MaxBatchRecords = 500
+  val MaxBatchBytes: Long = 5L * 1024 * 1024
+  val MaxRecordBytes: Long = 1L * 1024 * 1024
+
+  /** Count/size-bounded buffer with retry-on-partial-failure. One
+    * instance per task/partition — single-threaded use.
+    */
+  final class BufferedPutter(client: RecordsClient, streamName: String,
+      maxRecords: Int = MaxBatchRecords, maxBytes: Long = MaxBatchBytes,
+      maxRetries: Int = 3) extends Serializable {
+    private val buf = new ArrayBuffer[RecordEntry]()
+    private var bufBytes = 0L
+    private var flushed = 0L
+
+    def add(r: RecordEntry): Unit = {
+      require(r.data.length <= MaxRecordBytes,
+        s"record of ${r.data.length} B exceeds the 1 MiB Kinesis limit")
+      val recBytes = r.data.length.toLong + r.partitionKey.length
+      if (buf.size >= maxRecords || bufBytes + recBytes > maxBytes) flush()
+      buf += r
+      bufBytes += recBytes
+    }
+
+    def flush(): Unit = {
+      if (buf.isEmpty) return
+      var pending: Seq[RecordEntry] = buf.toSeq
+      var attempt = 0
+      while (pending.nonEmpty) {
+        val res = client.putRecords(streamName, pending)
+        val failed = res.failedIndices.map(pending)
+        if (failed.nonEmpty) {
+          attempt += 1
+          if (attempt > maxRetries)
+            throw new RuntimeException(
+              s"${failed.size} records still failing after $maxRetries " +
+                s"retries: ${res.errors.take(3).mkString("; ")}")
+        }
+        flushed += pending.size - failed.size
+        pending = failed
+      }
+      buf.clear()
+      bufBytes = 0L
+    }
+
+    def totalFlushed: Long = { flushed }
+  }
+
+  /** Batch write: each partition streams its rows through a putter.
+    * Executor-side only — no collect; per-partition client instances.
+    * Expects columns `data: binary|string` and `partition_key: string`
+    * (K1's column).
+    */
+  def writeBatch(df: DataFrame, streamName: String, client: RecordsClient)
+      : Unit = {
+    val data = df.schema.fieldIndex("data")
+    val key = df.schema.fieldIndex("partition_key")
+    df.foreachPartition { rows: Iterator[Row] =>
+      val putter = new BufferedPutter(client, streamName)
+      rows.foreach { row =>
+        val bytes = row.get(data) match {
+          case b: Array[Byte] => b
+          case s: String => s.getBytes("UTF-8")
+          case other => other.toString.getBytes("UTF-8")
+        }
+        putter.add(RecordEntry(bytes, row.getString(key)))
+      }
+      putter.flush()
+    }
+  }
+
+  /** Streaming write via foreachBatch — Spark checkpointing + the
+    * retry policy above give at-least-once end-to-end.
+    */
+  def writeStream(df: DataFrame, streamName: String, client: RecordsClient,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        writeBatch(batch, streamName, client)
+      }
+      .start()
+}
+
+/** Test/local transport: collects records into a JVM-wide registry
+  * (works in local mode where executors share the JVM). Optionally
+  * fails the first N calls per stream to exercise retry.
+  */
+class InMemoryRecordsClient(registryId: String, failFirstN: Int = 0)
+    extends KinesisSink.RecordsClient {
+  def putRecords(streamName: String,
+      records: Seq[KinesisSink.RecordEntry]): KinesisSink.PutResult = {
+    val shouldFail = InMemoryRecordsClient.synchronized {
+      val k = s"$registryId/$streamName"
+      val n = InMemoryRecordsClient.failures.getOrElse(k, 0)
+      if (n < failFirstN) {
+        InMemoryRecordsClient.failures(k) = n + 1
+        true
+      } else false
+    }
+    val failedIdx =
+      if (shouldFail)
+        records.indices.takeRight(math.max(1, records.size / 2)).toSet
+      else Set.empty[Int]
+    InMemoryRecordsClient.synchronized {
+      val k = s"$registryId/$streamName"
+      // like real Kinesis: non-failed records of a partial failure ARE
+      // persisted — only the failed indices need a retry
+      InMemoryRecordsClient.records.getOrElseUpdate(k,
+        new ArrayBuffer[KinesisSink.RecordEntry]()) ++=
+        records.indices.filterNot(failedIdx).map(records)
+      InMemoryRecordsClient.calls(k) =
+        InMemoryRecordsClient.calls.getOrElse(k, 0) + 1
+    }
+    KinesisSink.PutResult(failedIdx.toSeq.sorted,
+      if (failedIdx.nonEmpty) Seq("InternalFailure (simulated)") else Nil)
+  }
+}
+
+object InMemoryRecordsClient {
+  import scala.collection.mutable
+  private val records =
+    mutable.Map[String, ArrayBuffer[KinesisSink.RecordEntry]]()
+  private val calls = mutable.Map[String, Int]()
+  private val failures = mutable.Map[String, Int]()
+
+  def recordsFor(registryId: String, stream: String)
+      : Seq[KinesisSink.RecordEntry] = synchronized {
+    records.getOrElse(s"$registryId/$stream", Nil).toSeq
+  }
+  def callsFor(registryId: String, stream: String): Int = synchronized {
+    calls.getOrElse(s"$registryId/$stream", 0)
+  }
+  def clear(): Unit = synchronized {
+    records.clear(); calls.clear(); failures.clear()
+  }
+}

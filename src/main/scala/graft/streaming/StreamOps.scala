@@ -1,0 +1,75 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming surface. The reference's processing model is an
+  * unbounded arrival-ordered record stream (SURVEY.md §1.1); here that
+  * is `readStream` + the same row-local transform library
+  * (graft.ops.Transforms — every §2a op is stateless, so the exact
+  * batch combinators apply to streaming frames unchanged).
+  *
+  * Everything time-based (watermarks, tumbling/sliding/session
+  * windows, streaming dedup) is pure extension — the reference has no
+  * event time (§2b). Batch twins of the windowed aggregations live in
+  * graft.queries.Relational (q12_time_window, q15_sessionize) and are
+  * oracle-checked; the streaming forms are spec-checked with
+  * MemoryStream (DuckDB cannot express watermarks, SURVEY.md §7.4).
+  */
+object StreamOps {
+
+  /** Tail a directory of log files as an unbounded line stream — the
+    * Spark-idiomatic equivalent of the reference's stdin scan (S1).
+    * `maxFilesPerTrigger` is the micro-batch admission control that
+    * replaces the reference's bounded-channel backpressure (B1).
+    */
+  def lineStream(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Int = 16): DataFrame =
+    spark.readStream
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .text(dir)
+
+  /** NDJSON stream with explicit schema (S2; schema-on-read per §1.3 —
+    * pass the access-log StructType for the canonical shape, or read
+    * as text + from_json for schemaless passthrough).
+    */
+  def jsonStream(spark: SparkSession, dir: String, schemaDdl: String)
+      : DataFrame =
+    spark.readStream.schema(schemaDdl).json(dir)
+
+  /** Tumbling event-time window aggregation with a watermark bounding
+    * state. Keys: window + any additional group columns.
+    */
+  def tumblingCounts(events: DataFrame, tsCol: String, windowLen: String,
+      watermark: String, groupCols: Seq[String]): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy((window(col(tsCol), windowLen) +: groupCols.map(col)): _*)
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+
+  /** Sliding window variant. */
+  def slidingCounts(events: DataFrame, tsCol: String, windowLen: String,
+      slide: String, watermark: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen, slide))
+      .agg(count(lit(1)).as("n"))
+
+  /** Session windows with a gap timeout — the streaming twin of the
+    * batch q15_sessionize (30-min gap rule).
+    */
+  def sessionCounts(events: DataFrame, tsCol: String, gap: String,
+      watermark: String, keyCols: Seq[String]): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy((session_window(col(tsCol), gap) +: keyCols.map(col)): _*)
+      .agg(count(lit(1)).as("n"))
+
+  /** Streaming exact dedup on a key subset, state bounded by the
+    * watermark (the streaming twin of dedup_exact).
+    */
+  def dedupStream(events: DataFrame, tsCol: String, watermark: String,
+      keys: Seq[String]): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keys)
+}

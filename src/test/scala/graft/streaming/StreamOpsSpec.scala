@@ -1,0 +1,91 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.ops.Transforms
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+class StreamOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("tumbling window aggregates by event time with watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String, Double)]
+    val events = in.toDF().toDF("ts", "event_type", "value")
+    val q = StreamOps.tumblingCounts(events, "ts", "1 hour", "2 hours",
+      Seq("event_type"))
+      .writeStream.format("memory").queryName("tumbling")
+      .outputMode("update").start()
+    in.addData(
+      (ts("2024-01-01 10:05:00"), "click", 1.0),
+      (ts("2024-01-01 10:55:00"), "click", 2.0),
+      (ts("2024-01-01 11:05:00"), "click", 4.0))
+    q.processAllAvailable()
+    val rows = spark.table("tumbling")
+      .select(col("window.start").cast("string"), $"event_type", $"n",
+        $"sum_value")
+      .as[(String, String, Long, Double)].collect().toSet
+    q.stop()
+    assert(rows == Set(
+      ("2024-01-01 10:00:00", "click", 2L, 3.0),
+      ("2024-01-01 11:00:00", "click", 1L, 4.0)))
+  }
+
+  test("session window closes after gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long)]
+    val events = in.toDF().toDF("ts", "user_id")
+    val q = StreamOps.sessionCounts(events, "ts", "30 minutes", "2 hours",
+      Seq("user_id"))
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("complete").start()
+    in.addData(
+      (ts("2024-01-01 10:00:00"), 1L),
+      (ts("2024-01-01 10:10:00"), 1L), // same session
+      (ts("2024-01-01 11:30:00"), 1L)) // gap > 30min => new session
+    q.processAllAvailable()
+    val n = spark.table("sessions").count()
+    q.stop()
+    assert(n == 2)
+  }
+
+  test("streaming dedup within watermark drops repeats") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long)]
+    val events = in.toDF().toDF("ts", "event_id")
+    val q = StreamOps.dedupStream(events, "ts", "1 hour", Seq("event_id"))
+      .writeStream.format("memory").queryName("deduped")
+      .outputMode("append").start()
+    in.addData(
+      (ts("2024-01-01 10:00:00"), 1L),
+      (ts("2024-01-01 10:01:00"), 1L), // dup
+      (ts("2024-01-01 10:02:00"), 2L))
+    q.processAllAvailable()
+    val n = spark.table("deduped").count()
+    q.stop()
+    assert(n == 2)
+  }
+
+  test("reference line pipeline runs unchanged on a streaming frame") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[String]
+    val lines = in.toDF().toDF("value")
+    val piped = lines
+      .transform(Transforms.dropEmptyLines())
+      .transform(Transforms.wrapLine("LogEntry", Seq("LogFile" -> "ErrorLog")))
+      .transform(Transforms.withPartitionKey("host-x"))
+    assert(piped.isStreaming)
+    val q = piped.writeStream.format("memory").queryName("lines")
+      .outputMode("append").start()
+    in.addData("a line", "", "another")
+    q.processAllAvailable()
+    val out = spark.table("lines").select("record").as[String].collect().toSet
+    q.stop()
+    assert(out == Set(
+      """{"LogEntry":"a line","LogFile":"ErrorLog"}""",
+      """{"LogEntry":"another","LogFile":"ErrorLog"}"""))
+  }
+}
