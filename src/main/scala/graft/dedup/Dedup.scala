@@ -25,38 +25,66 @@ object Dedup {
   /** Whitespace tokens of lowercased text. */
   private def tokens(c: Column): Column = split(lower(c), "\\s+")
 
-  /** Distinct word 3-gram shingles. `sequence(1, n)` with n < 1 would
-    * generate a *descending* sequence in Spark, so short docs need the
-    * explicit empty guard.
+  /** Exact token-set Jaccard between two pre-distinct arrays via the
+    * inclusion-exclusion identity |A∪B| = |A|+|B|-|A∩B| — one
+    * array_intersect per pair instead of intersect+union (union cost
+    * equals a second intersect; this halved the sf0.1 query time).
+    * Integer identity → bit-identical doubles to the |A∩B|/|A∪B|
+    * oracle formulation.
     */
-  private def shingles(toks: Column): Column =
-    when(size(toks) >= 3,
-      array_distinct(transform(
-        sequence(lit(1), size(toks) - 2),
-        i => concat_ws(" ",
-          element_at(toks, i), element_at(toks, i + 1),
-          element_at(toks, i + 2)))))
-      .otherwise(array().cast("array<string>"))
+  private def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b))
+    inter.cast("double") /
+      (size(a) + size(b) - inter).cast("double")
+  }
 
-  /** Exact token-set Jaccard between two pre-distinct arrays. Division
-    * is done in doubles; both engines evaluate it identically, so no
-    * rounding is needed for oracle parity.
+  /** documents with hashed shingle sets and a cheap blocking key:
+    * language + length bucket. At 100 TB, blocking bounds candidate
+    * pairs to within-block quadratic instead of corpus quadratic.
+    *
+    * `shh` is the xxhash64 of each distinct shingle: set intersections
+    * per candidate pair then compare longs instead of re-hashing ~25
+    * -char strings — measured ~2× on the pair stage. Cardinalities
+    * (and therefore Jaccard values) are unchanged short of a 64-bit
+    * collision (~1e-14/pair), so DuckDB oracles over the string
+    * shingles stay hash-exact.
     */
-  private def jaccard(a: Column, b: Column): Column =
-    size(array_intersect(a, b)).cast("double") /
-      size(array_union(a, b)).cast("double")
-
-  /** documents with tokens/shingles and a cheap blocking key: language
-    * + length bucket. At 100 TB, blocking bounds candidate pairs to
-    * within-block quadratic instead of corpus quadratic.
-    */
-  private def docsWithShingles(s: SparkSession, d: String): DataFrame = {
+  private[dedup] def docsWithShingles(s: SparkSession, d: String)
+      : DataFrame = {
+    // The documents table is a single small parquet file locally → one
+    // input split → the (comparatively expensive) per-doc shingle
+    // stage would run on ONE core. Spread it across the cluster first;
+    // at 100 TB the scan has thousands of splits and this repartition
+    // collapses into the natural parallelism.
     val df = Tables.load(s, d, "documents")
+      .repartition(s.sessionState.conf.numShufflePartitions)
     df.withColumn("toks", tokens(col("text")))
-      .withColumn("sh", shingles(col("toks")))
+      .withColumn("th", tokenHashes(col("toks")))
+      .withColumn("shh", hashedShingles(col("th")))
       .withColumn("block", concat_ws("#", col("lang"),
         floor(col("n_chars") / 100).cast("long")))
+      .select(col("doc_id"), col("block"), col("shh"))
   }
+
+  /** Per-token xxhash64. Materialize this as its own column BEFORE
+    * building shingles: the shingle lambda references it three times,
+    * and an inlined (collapsed) projection would re-run the whole
+    * token-hash transform per reference.
+    */
+  def tokenHashes(toks: Column): Column = transform(toks, t => xxhash64(t))
+
+  /** Distinct word-3-gram shingle hashes, combined directly from the
+    * materialized token hashes — no shingle *strings* are ever built
+    * (the interpreted concat-per-shingle was ~6× the cost of the whole
+    * rest of the MinHash pipeline at sf0.1).
+    */
+  def hashedShingles(th: Column): Column =
+    when(size(th) >= 3,
+      array_distinct(transform(
+        sequence(lit(1), size(th) - 2),
+        i => xxhash64(element_at(th, i), element_at(th, i + 1),
+          element_at(th, i + 2)))))
+      .otherwise(array().cast("array<bigint>"))
 
   // ------------------------------------------------------------ exact
   /** Exact dedup: hash-groupBy on content digest. One shuffle, partial
@@ -82,11 +110,10 @@ object Dedup {
   def ngramJaccard(s: SparkSession, d: String, threshold: Double = 0.05)
       : DataFrame = {
     val docs = docsWithShingles(s, d)
-      .select(col("doc_id"), col("block"), col("sh"))
     val a = docs.select(col("doc_id").as("doc_a"), col("block"),
-      col("sh").as("sh_a"))
+      col("shh").as("sh_a"))
     val b = docs.select(col("doc_id").as("doc_b"), col("block"),
-      col("sh").as("sh_b"))
+      col("shh").as("sh_b"))
     a.join(b, Seq("block"))
       .filter(col("doc_a") < col("doc_b"))
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
@@ -105,45 +132,60 @@ object Dedup {
   private val NumPerms = 32
   private val BandRows = 4 // => 8 bands; s-curve threshold ~ (1/8)^(1/4) ≈ 0.59
 
-  /** 32-perm MinHash signature, computed row-local with HOFs (stays in
-    * codegen; no UDF). Empty shingle sets get a sentinel so they never
-    * collide with real signatures.
-    */
-  private def signature(sh: Column): Column =
-    array((0 until NumPerms).map { i =>
-      when(size(sh) === 0, lit(Long.MaxValue)).otherwise(
-        array_min(transform(sh, x => xxhash64(lit(i), x))))
-    }: _*)
-
-  /** MinHash LSH near-dup: signature → 8 bands of 4 → explode bands →
-    * groupBy band bucket (the only shuffle is on the band-bucket key)
-    * → candidate pairs within buckets → verify with exact Jaccard.
+  /** MinHash LSH near-dup: 32-perm signatures over the hashed shingle
+    * sets (one `array_min(transform(shh, xxhash64(i, _)))` per
+    * permutation — long-only math, no strings) → 8 bands of 4 →
+    * explode bands → self-join on the band bucket (the shuffle key) →
+    * candidate pairs → verify with exact Jaccard.
+    *
     * Rows-only driver check (the hash seeds aren't SQL-expressible);
-    * correctness is asserted in MinHashSpec against planted dups.
+    * correctness is asserted in DedupSpec against planted dups.
     */
   def minhashLsh(s: SparkSession, d: String, threshold: Double = 0.5)
       : DataFrame = minhashLshOver(docsWithShingles(s, d), threshold)
 
-  /** Same pipeline over any (doc_id, sh) frame — reused by the spec to
-    * run on planted near-duplicates.
+  /** Same pipeline over any (doc_id, shh) frame — reused by the spec
+    * to run on planted near-duplicates. Docs with no shingles (<3
+    * tokens) are filtered out — no content, nothing to dedup (and
+    * array_min of an empty array is null, which would bucket all empty
+    * docs together).
     */
-  def minhashLshOver(docs: DataFrame, threshold: Double): DataFrame = {
-    val withSig = docs.select(col("doc_id"), col("sh"))
-      .withColumn("sig", signature(col("sh")))
-    val banded = withSig.select(col("doc_id"), col("sh"),
-      posexplode(transform(sequence(lit(0), lit(NumPerms / BandRows - 1)),
-        b => xxhash64(
-          (0 until BandRows).map(r =>
-            element_at(col("sig"), b * lit(BandRows) + lit(r + 1))): _*)))
-        .as(Seq("band", "band_hash")))
+  def minhashLshOver(docs0: DataFrame, threshold: Double): DataFrame = {
+    // The shingled frame feeds FOUR plan branches (two banded sides +
+    // two verification joins) and the broadcast joins defeat exchange
+    // reuse — without persist the shingle stage runs four times. This
+    // is the local analogue of materializing the signature table,
+    // which a 100 TB MinHash pipeline does anyway.
+    val docs = docs0.persist(org.apache.spark.storage.StorageLevel
+      .MEMORY_AND_DISK)
+    val sigs = docs
+      .filter(size(col("shh")) > 0)
+      .select(col("doc_id"), array((0 until NumPerms).map(i =>
+        array_min(transform(col("shh"), h => xxhash64(lit(i), h)))): _*)
+        .as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bandCols = (0 until NumPerms / BandRows).map { b =>
+      xxhash64((lit(b) +: (0 until BandRows).map(r =>
+        element_at(col("sig"), b * BandRows + r + 1))): _*)
+    }
+    val banded = sigs.select(col("doc_id"),
+      posexplode(array(bandCols: _*)).as(Seq("band", "band_hash")))
     val a = banded.select(col("band"), col("band_hash"),
-      col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+      col("doc_id").as("doc_a"))
     val b = banded.select(col("band"), col("band_hash"),
-      col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+      col("doc_id").as("doc_b"))
+    val shingleSets = docs.select(col("doc_id"), col("shh"))
+    // dedupe candidate pairs on ids ONLY, then join the shingle sets
+    // back for verification (distinct over the arrays would hash every
+    // shingle set once per banded collision)
     a.join(b, Seq("band", "band_hash"))
       .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("sh_a"), col("sh_b"))
+      .select(col("doc_a"), col("doc_b"))
       .distinct() // a pair can collide in several bands
+      .join(shingleSets.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("shh", "sh_a"), Seq("doc_a"))
+      .join(shingleSets.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("shh", "sh_b"), Seq("doc_b"))
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
@@ -152,32 +194,37 @@ object Dedup {
 
   // ----------------------------------------------------------- SimHash
   /** 64-bit SimHash over tokens (Charikar): per bit, sign of the sum of
-    * ±1 votes from each token's xxhash64 bit. Row-local HOF compute;
-    * near-dup candidates via 4×16-bit band blocking, verified with
-    * bit_count(xor) Hamming distance. Rows-only driver check;
-    * SimHashSpec asserts on planted dups.
+    * ±1 votes from each token's xxhash64 bit. Computed *relationally*:
+    * explode tokens → hash each token ONCE → 64 codegen'd conditional
+    * sums in a single hash aggregate. (A per-row HOF formulation
+    * re-hashed every token 64× through interpreted lambdas — >2 min at
+    * sf0.1; this shape runs in seconds and scales out on the doc_id
+    * shuffle key.) Near-dup candidates via 4×16-bit band blocking,
+    * verified with bit_count(xor) Hamming distance. Rows-only driver
+    * check; DedupSpec asserts on planted dups.
     */
-  def simhashBits(textCol: Column): Column = {
-    val toks = tokens(textCol)
-    transform(sequence(lit(0), lit(63)), k =>
-      when(aggregate(toks, lit(0L), (acc, t) =>
-        acc + when(call_function("shiftright", xxhash64(t), k)
-          .bitwiseAND(1) === 1, 1L).otherwise(-1L)) > 0,
-        lit(1L)).otherwise(lit(0L)))
-  }
-
-  def simhashValue(bits: Column): Column =
-    aggregate(sequence(lit(0), lit(63)), lit(0L),
-      (acc, k) => acc.bitwiseOR(
-        call_function("shiftleft", element_at(bits, k + 1), k)))
-
   def simhash(s: SparkSession, d: String, maxHamming: Int = 3): DataFrame =
-    simhashOver(Tables.load(s, d, "documents"), maxHamming)
+    simhashOver(Tables.load(s, d, "documents")
+      .repartition(s.sessionState.conf.numShufflePartitions), maxHamming)
 
   def simhashOver(docs: DataFrame, maxHamming: Int): DataFrame = {
-    val withSim = docs
-      .withColumn("simhash", simhashValue(simhashBits(col("text"))))
-      .select(col("doc_id"), col("simhash"))
+    val tokenRows = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val bitCols = (0 until 64).map { k =>
+      sum(when(call_function("shiftright", col("h"), lit(k))
+        .bitwiseAND(1) === 1, 1L).otherwise(-1L)).as(s"b$k")
+    }
+    val bitSums = tokenRows.groupBy(col("doc_id"))
+      .agg(bitCols.head, bitCols.tail: _*)
+    val simhashCol = (0 until 64).map { k =>
+      when(col(s"b$k") > 0, lit(1L << k)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+    val withSim = bitSums
+      .select(col("doc_id"), simhashCol.as("simhash"))
+      // feeds both banded self-join sides; persist so the token
+      // explode + 64-column aggregate runs once
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // 4 bands of 16 bits: two docs within Hamming 3 must agree exactly
     // on at least one band (pigeonhole).
     val banded = withSim.select(col("doc_id"), col("simhash"),
@@ -201,16 +248,16 @@ object Dedup {
   }
 
   // ------------------------------------------- embedding cosine near-dup
-  /** Cosine similarity between two float-array columns, computed in
-    * doubles with a strict left fold — DuckDB's `list_reduce` replays
-    * the same fold order, so oracle doubles are bit-identical.
+  /** Cosine similarity between two numeric-array columns: the native
+    * codegen expression (graft.functions.CosineSimilarity) — one fused
+    * loop for dot + both norms. Doubles are summed left-to-right, so
+    * DuckDB's `list_reduce` left fold replays bit-identical values for
+    * the oracles. (The HOF formulation `aggregate(zip_with(...))`
+    * computes the same doubles but through interpreted lambdas —
+    * measured 43 s vs <2 s at sf0.1 for the 2M-pair query.)
     */
-  def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
-        lit(0.0), (acc, v) => acc + v)
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
-  }
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.VectorFunctions.cosine_similarity(a, b)
 
   /** Embedding near-dup: all pairs above a cosine threshold. Candidate
     * blocking at 100 TB comes from the LSH variant (graft.sim); this is

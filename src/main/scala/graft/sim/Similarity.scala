@@ -88,8 +88,12 @@ object Similarity {
       .orderBy(desc("cosine"), col("vec_id"))
     e.join(broadcast(q), Seq("bucket"))
       .filter(col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id"), col("q_emb"), col("embedding"))
-      .distinct() // a (q, candidate) pair can match several probes
+      .select(col("q_id"), col("vec_id"))
+      .distinct() // a (q, candidate) pair can match several probes;
+      // dedupe on ids only, then join embeddings back (distinct over
+      // the float arrays would hash every vector per candidate)
+      .join(e.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .join(broadcast(queryVecs(e.drop("bucket"))), Seq("q_id"))
       .withColumn("cosine", cosine(col("q_emb"), col("embedding")))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)

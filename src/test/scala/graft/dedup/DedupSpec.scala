@@ -33,10 +33,8 @@ class DedupSpec extends SparkSpec {
   test("minhash LSH finds planted near-dups and exact dups only") {
     val withShingles = docs
       .withColumn("toks", split(lower($"text"), "\\s+"))
-      .withColumn("sh", array_distinct(transform(
-        sequence(lit(1), size($"toks") - 2),
-        i => concat_ws(" ", element_at($"toks", i),
-          element_at($"toks", i + 1), element_at($"toks", i + 2)))))
+      .withColumn("th", Dedup.tokenHashes($"toks"))
+      .withColumn("shh", Dedup.hashedShingles($"th"))
     val pairs = Dedup.minhashLshOver(withShingles, threshold = 0.5)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
     assert(pairs.contains((0L, 2L))) // exact dup always collides
