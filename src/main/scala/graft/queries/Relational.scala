@@ -220,6 +220,55 @@ object Relational {
           round($"value" * 2.0, 2).as("value_doubled"),
           concat($"event_type", lit(":"), $"user_id").as("type_user"))
         .orderBy($"event_id")
+    }),
+
+    "q17_sql_exists" -> ((s, d) => {
+      // SQL entry point: temp views + correlated EXISTS subquery
+      // (Catalyst rewrites it to the same left-semi join as q4).
+      Tables.load(s, d, "orders").createOrReplaceTempView("orders_v")
+      Tables.load(s, d, "lineitem").createOrReplaceTempView("lineitem_v")
+      s.sql("""
+        SELECT o_orderpriority, count(*) AS n_orders
+        FROM orders_v o
+        WHERE EXISTS (SELECT 1 FROM lineitem_v l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_quantity >= 49)
+        GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+    }),
+
+    "q18_pivot" -> ((s, d) => {
+      import s.implicits._
+      Tables.load(s, d, "orders")
+        .groupBy($"o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .na.fill(0L, Seq("F", "O", "P"))
+        .orderBy($"o_orderpriority")
+    }),
+
+    "q19_scalar_subquery" -> ((s, d) => {
+      Tables.load(s, d, "customer").createOrReplaceTempView("customer_v")
+      s.sql("""
+        SELECT c_mktsegment, count(*) AS n_above
+        FROM customer_v
+        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer_v)
+        GROUP BY c_mktsegment ORDER BY c_mktsegment""")
+    }),
+
+    "q20_percentiles" -> ((s, d) => {
+      import s.implicits._
+      // exact percentiles at dyadic fractions: the (n-1)*p
+      // interpolation lands on exactly-representable quarters, so
+      // Spark and DuckDB produce identical doubles
+      Tables.load(s, d, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(
+          expr("percentile(l_quantity, 0.25)").as("p25"),
+          expr("percentile(l_quantity, 0.5)").as("p50"),
+          expr("percentile(l_quantity, 0.75)").as("p75"),
+          min($"l_quantity").as("qmin"),
+          max($"l_quantity").as("qmax"))
+        .orderBy($"l_returnflag")
     }))
 
   def oracles: Map[String, String] = Map(
@@ -328,5 +377,28 @@ object Relational {
          CAST(day(ts) AS BIGINT) AS dom,
          round(value * 2.0, 2) AS value_doubled,
          event_type || ':' || CAST(user_id AS VARCHAR) AS type_user
-         FROM events ORDER BY event_id""")
+         FROM events ORDER BY event_id""",
+    "q17_sql_exists" ->
+      """SELECT o_orderpriority, count(*) AS n_orders FROM orders o
+         WHERE EXISTS (SELECT 1 FROM lineitem l
+                       WHERE l.l_orderkey = o.o_orderkey
+                         AND l.l_quantity >= 49)
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q18_pivot" ->
+      """SELECT o_orderpriority,
+         count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS "F",
+         count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS "O",
+         count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS "P"
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q19_scalar_subquery" ->
+      """SELECT c_mktsegment, count(*) AS n_above FROM customer
+         WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "q20_percentiles" ->
+      """SELECT l_returnflag,
+         quantile_cont(l_quantity, 0.25) AS p25,
+         quantile_cont(l_quantity, 0.5) AS p50,
+         quantile_cont(l_quantity, 0.75) AS p75,
+         min(l_quantity) AS qmin, max(l_quantity) AS qmax
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
 }
