@@ -72,4 +72,50 @@ object StreamOps {
       keys: Seq[String]): DataFrame =
     events.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keys)
+
+  // ----------------------------------------------------- custom state
+  case class UserEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  case class UserState(count: Long, sum: Double, lastTs: Long)
+  case class UserSummary(user_id: Long, n_events: Long, sum_value: Double,
+      closed_by_timeout: Boolean)
+
+  /** Custom keyed state via flatMapGroupsWithState: accumulates a
+    * per-user running summary and emits it when the user goes idle —
+    * the arbitrary-state API for semantics the built-in windows can't
+    * express. Event-time timeouts (not processing-time): the watermark
+    * drives expiry, which is deterministic, replayable, and doesn't
+    * make the no-data query spin micro-batches to poll wall-clock
+    * timeouts. State is O(1) per key; the watermark bounds its
+    * lifetime.
+    */
+  def idleUserSummaries(events: org.apache.spark.sql.Dataset[UserEvent],
+      idleMs: Long, watermarkDelay: String = "0 seconds")
+      : org.apache.spark.sql.Dataset[UserSummary] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserState, UserSummary](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, rows: Iterator[UserEvent],
+            state: GroupState[UserState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(UserSummary(userId, s.count, s.sum,
+              closed_by_timeout = true))
+          } else {
+            val prev = state.getOption.getOrElse(UserState(0L, 0.0, 0L))
+            val next = rows.foldLeft(prev) { (acc, e) =>
+              UserState(acc.count + 1, acc.sum + e.value,
+                math.max(acc.lastTs, e.ts.getTime))
+            }
+            state.update(next)
+            // expire when the watermark passes lastTs + idle gap
+            state.setTimeoutTimestamp(next.lastTs + idleMs)
+            Iterator.empty
+          }
+      }
+  }
 }

@@ -1,0 +1,40 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.streaming.StreamOps.{UserEvent, UserSummary}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import java.sql.Timestamp
+
+class StatefulSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("flatMapGroupsWithState: event-time idle timeout emits summaries") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[UserEvent]
+    // 60 s idle gap, zero watermark delay → deterministic expiry
+    val q = StreamOps.idleUserSummaries(in.toDS(), idleMs = 60000L)
+      .writeStream.format("memory").queryName("idle_users")
+      .outputMode("append").start()
+    in.addData(
+      UserEvent(1L, ts("2024-01-01 10:00:00"), 2.0),
+      UserEvent(1L, ts("2024-01-01 10:00:05"), 3.0),
+      UserEvent(2L, ts("2024-01-01 10:00:01"), 7.0))
+    q.processAllAvailable()
+    assert(spark.table("idle_users").count() == 0) // users still live
+    // a much-later event advances the watermark past both users' gaps
+    in.addData(UserEvent(3L, ts("2024-01-01 10:30:00"), 1.0))
+    q.processAllAvailable()
+    // timeouts fire on the batch AFTER the watermark advances
+    in.addData(UserEvent(3L, ts("2024-01-01 10:30:01"), 1.0))
+    q.processAllAvailable()
+    val out = spark.table("idle_users").as[UserSummary]
+      .collect().map(s => s.user_id -> s).toMap
+    q.stop()
+    assert(out.keySet == Set(1L, 2L))
+    assert(out(1L).n_events == 2 && out(1L).sum_value == 5.0)
+    assert(out(2L).n_events == 1 && out(2L).sum_value == 7.0)
+    assert(out(1L).closed_by_timeout && out(2L).closed_by_timeout)
+  }
+}
