@@ -211,19 +211,13 @@ object Dedup {
     val tokenRows = docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
       .withColumn("h", xxhash64(col("tok")))
-    val bitCols = (0 until 64).map { k =>
-      sum(when(call_function("shiftright", col("h"), lit(k))
-        .bitwiseAND(1) === 1, 1L).otherwise(-1L)).as(s"b$k")
-    }
-    val bitSums = tokenRows.groupBy(col("doc_id"))
-      .agg(bitCols.head, bitCols.tail: _*)
-    val simhashCol = (0 until 64).map { k =>
-      when(col(s"b$k") > 0, lit(1L << k)).otherwise(lit(0L))
-    }.reduce(_.bitwiseOR(_))
-    val withSim = bitSums
-      .select(col("doc_id"), simhashCol.as("simhash"))
+    // custom TypedImperativeAggregate: one tight 64-bit-vote loop per
+    // token. The declarative 64-sum-column formulation generated so
+    // much code that Janino+JIT compilation alone cost ~11 s/session.
+    val withSim = tokenRows.groupBy(col("doc_id"))
+      .agg(graft.functions.SimHashAgg.simhash_agg(col("h")).as("simhash"))
       // feeds both banded self-join sides; persist so the token
-      // explode + 64-column aggregate runs once
+      // explode + aggregate runs once
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // 4 bands of 16 bits: two docs within Hamming 3 must agree exactly
     // on at least one band (pigeonhole).
