@@ -255,6 +255,24 @@ object Relational {
         GROUP BY c_mktsegment ORDER BY c_mktsegment""")
     }),
 
+    "q21_array_funcs" -> ((s, d) => {
+      import s.implicits._
+      // array/higher-order function coverage over tokenized documents
+      val t = split(lower($"text"), "\\s+")
+      Tables.load(s, d, "documents")
+        .select(
+          $"doc_id",
+          element_at(t, 1).as("first_tok"),
+          element_at(t, -1).as("last_tok"),
+          array_join(slice(t, 1, 3), "-").as("head3_joined"),
+          size(array_distinct(t)).cast("long").as("n_distinct"),
+          array_contains(t, "spark").as("has_spark"),
+          size(filter(t, x => length(x) > 5)).cast("long").as("n_long_toks"),
+          array_max(transform(t, x => length(x))).cast("long")
+            .as("max_tok_len"))
+        .orderBy($"doc_id")
+    }),
+
     "q20_percentiles" -> ((s, d) => {
       import s.implicits._
       // exact percentiles at dyadic fractions: the (n-1)*p
@@ -394,6 +412,18 @@ object Relational {
       """SELECT c_mktsegment, count(*) AS n_above FROM customer
          WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
          GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "q21_array_funcs" ->
+      """WITH t AS (SELECT doc_id,
+           string_split_regex(lower(text), '\s+') AS tk FROM documents)
+         SELECT doc_id,
+           tk[1] AS first_tok,
+           tk[len(tk)] AS last_tok,
+           array_to_string(tk[1:3], '-') AS head3_joined,
+           CAST(len(list_distinct(tk)) AS BIGINT) AS n_distinct,
+           list_contains(tk, 'spark') AS has_spark,
+           CAST(len(list_filter(tk, x -> length(x) > 5)) AS BIGINT) AS n_long_toks,
+           CAST(list_max(list_transform(tk, x -> length(x))) AS BIGINT) AS max_tok_len
+         FROM t ORDER BY doc_id""",
     "q20_percentiles" ->
       """SELECT l_returnflag,
          quantile_cont(l_quantity, 0.25) AS p25,

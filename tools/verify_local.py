@@ -23,10 +23,15 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
 
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
-    # timestamps: compare at microsecond precision, tz-naive
     for c in df.columns:
+        # timestamps: compare at microsecond precision, tz-naive
         if str(df[c].dtype).startswith("datetime64"):
             df[c] = df[c].astype("datetime64[us]")
+        # list/array columns (numpy arrays are unhashable/unsortable):
+        # compare as tuples
+        elif df[c].dtype == object and len(df) and \
+                isinstance(df[c].iloc[0], (list, np.ndarray)):
+            df[c] = df[c].map(lambda v: tuple(v) if v is not None else None)
     if len(df):
         df = df.sort_values(by=list(df.columns), ignore_index=True)
     return df
