@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.dedup.Dedup
 import graft.multimodal.Multimodal
-import graft.queries.{LogOps, Relational}
+import graft.queries.{LogOps, Pipeline, Relational}
 import graft.sim.Similarity
 import graft.text.TextAnalysis
 
@@ -22,9 +22,11 @@ object SparkEntry {
 
   def queries: Map[String, Q] =
     Relational.queries ++ LogOps.queries ++ Dedup.queries ++
-      TextAnalysis.queries ++ Similarity.queries ++ Multimodal.queries
+      TextAnalysis.queries ++ Similarity.queries ++ Multimodal.queries ++
+      Pipeline.queries
 
   def oracleSql: Map[String, String] =
     Relational.oracles ++ LogOps.oracles ++ Dedup.oracles ++
-      TextAnalysis.oracles ++ Similarity.oracles ++ Multimodal.oracles
+      TextAnalysis.oracles ++ Similarity.oracles ++ Multimodal.oracles ++
+      Pipeline.oracles
 }

@@ -270,12 +270,32 @@ object Dedup {
       .orderBy(col("v1"), col("v2"))
   }
 
+  // ------------------------------------------- incremental (batch-vs-corpus)
+  /** The production dedup shape at 100 TB: an incoming batch is
+    * dropped against the existing corpus (anti-join on content digest)
+    * rather than re-deduping the world. Here the split is simulated on
+    * doc_id (< pivot = corpus, >= pivot = new batch); returns the new
+    * docs that survive.
+    */
+  def incrementalExact(s: SparkSession, d: String, pivot: Long = 250)
+      : DataFrame = {
+    val docs = Tables.load(s, d, "documents")
+    val corpusDigests = docs.filter(col("doc_id") < pivot)
+      .select(md5(col("text")).as("digest")).distinct()
+    docs.filter(col("doc_id") >= pivot)
+      .withColumn("digest", md5(col("text")))
+      .join(corpusDigests, Seq("digest"), "left_anti")
+      .select(col("doc_id"), col("digest"))
+      .orderBy(col("doc_id"))
+  }
+
   def queries: Map[String, Q] = Map(
     "dedup_exact" -> ((s, d) => exact(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => ngramJaccard(s, d)),
     "dedup_minhash_lsh" -> ((s, d) => minhashLsh(s, d)),
     "dedup_simhash" -> ((s, d) => simhash(s, d)),
-    "dedup_embedding_cosine" -> ((s, d) => embeddingCosine(s, d)))
+    "dedup_embedding_cosine" -> ((s, d) => embeddingCosine(s, d)),
+    "dedup_incremental" -> ((s, d) => incrementalExact(s, d)))
 
   /** DuckDB twins. minhash/simhash are seeded-hash pipelines — not
     * SQL-expressible — and get the rows-only check.
@@ -302,6 +322,11 @@ object Dedup {
          WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
                CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) >= 0.05
          ORDER BY doc_a, doc_b""",
+    "dedup_incremental" ->
+      """SELECT doc_id, md5(text) AS digest FROM documents
+         WHERE doc_id >= 250 AND md5(text) NOT IN
+           (SELECT md5(text) FROM documents WHERE doc_id < 250)
+         ORDER BY doc_id""",
     "dedup_embedding_cosine" ->
       """WITH pairs AS (
            SELECT a.vec_id AS v1, b.vec_id AS v2, a.embedding AS ea,

@@ -140,10 +140,82 @@ object Similarity {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  // ---------------------------------------------------- k-means IVF
+  /** Distributed Lloyd iterations for a real IVF codebook (the label
+    * column is a stand-in; production trains k-means). Deterministic
+    * init (every n/k-th vector by id); each iteration is one broadcast
+    * assign + one explode/mean reduce — both scan-shaped, no
+    * corpus-quadratic work. k and iters are tiny; centroids always fit
+    * in a broadcast.
+    */
+  def kmeansCentroids(e: DataFrame, k: Int, iters: Int): DataFrame = {
+    val n = e.count()
+    val stride = math.max(n / k, 1L)
+    var cents = e.filter(pmod(col("vec_id"), lit(stride)) === 0)
+      .limit(k)
+      .select(col("vec_id").as("cell"), col("embedding").as("centroid"))
+    for (_ <- 1 to iters) {
+      val wc = Window.partitionBy(col("vec_id"))
+        .orderBy(desc("c_sim"), col("cell"))
+      val assigned = e.crossJoin(broadcast(cents))
+        .withColumn("c_sim", cosine(col("embedding"), col("centroid")))
+        .withColumn("r", row_number().over(wc))
+        .filter(col("r") === 1)
+        .select(col("cell"), col("embedding"))
+      cents = assigned
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(avg(col("v")).as("mean_v"))
+        .groupBy(col("cell"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("mean_v")))),
+          x => x.getField("mean_v")).as("centroid"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+    cents
+  }
+
+  /** IVF top-k with a trained k-means codebook instead of labels. */
+  def ivfKmeansTopK(s: SparkSession, d: String, k: Int = 10,
+      nClusters: Int = 16, iters: Int = 2, nprobe: Int = 4): DataFrame = {
+    val e = Tables.load(s, d, "embeddings")
+    val cents = kmeansCentroids(e, nClusters, iters)
+      .withColumnRenamed("cell", "km_cell")
+    // assign every corpus vector to its nearest trained centroid
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(desc("c_sim"), col("km_cell"))
+    val cells = e.crossJoin(broadcast(cents))
+      .withColumn("c_sim", cosine(col("embedding"), col("centroid")))
+      .withColumn("r", row_number().over(wAssign))
+      .filter(col("r") === 1)
+      .select(col("vec_id"), col("km_cell"), col("embedding"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val q = cells.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    // probe the nprobe nearest centroids per query
+    val wProbe = Window.partitionBy(col("q_id"))
+      .orderBy(desc("c_sim"), col("km_cell"))
+    val probed = q.crossJoin(broadcast(cents))
+      .withColumn("c_sim", cosine(col("q_emb"), col("centroid")))
+      .withColumn("r", row_number().over(wProbe))
+      .filter(col("r") <= nprobe)
+      .select(col("q_id"), col("q_emb"), col("km_cell"))
+    val wRank = Window.partitionBy(col("q_id"))
+      .orderBy(desc("cosine"), col("vec_id"))
+    cells.join(broadcast(probed), Seq("km_cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cosine", cosine(col("q_emb"), col("embedding")))
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("vec_id"), col("cosine"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   def queries: Map[String, Q] = Map(
     "ann_bruteforce" -> ((s, d) => bruteForceTopK(s, d)),
     "ann_lsh" -> ((s, d) => lshTopK(s, d)),
-    "ann_ivf" -> ((s, d) => ivfTopK(s, d)))
+    "ann_ivf" -> ((s, d) => ivfTopK(s, d)),
+    "ann_ivf_kmeans" -> ((s, d) => ivfKmeansTopK(s, d)))
 
   /** Brute force is exactly SQL-expressible (list_reduce replays the
     * same left-fold double summation — see Dedup oracle note). LSH/IVF

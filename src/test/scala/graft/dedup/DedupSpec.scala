@@ -71,6 +71,22 @@ class DedupSpec extends SparkSpec {
     assert(j((0L, 3L)) == 0.0)
   }
 
+  test("incremental dedup drops new docs whose content exists in corpus") {
+    import org.apache.spark.sql.functions.{col, md5}
+    // corpus: ids 0-2; batch: ids 3-4 where doc 3 repeats doc 0's text
+    val all = Seq(
+      (0L, "alpha beta gamma"), (1L, "delta"), (2L, "epsilon"),
+      (3L, "alpha beta gamma"), (4L, "zeta eta"))
+      .toDF("doc_id", "text")
+    val corpus = all.filter(col("doc_id") < 3)
+      .select(md5(col("text")).as("digest")).distinct()
+    val survivors = all.filter(col("doc_id") >= 3)
+      .withColumn("digest", md5(col("text")))
+      .join(corpus, Seq("digest"), "left_anti")
+      .select("doc_id").as[Long].collect().toSeq
+    assert(survivors == Seq(4L))
+  }
+
   test("embedding cosine: identical vectors similarity 1.0") {
     val e = Seq(
       (0L, Array(1.0f, 2.0f, 3.0f)),

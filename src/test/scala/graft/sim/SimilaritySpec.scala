@@ -35,6 +35,19 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("k-means IVF: trained codebook recall meets the label-cell bound") {
+    val bf = topSets(Similarity.bruteForceTopK(spark, sf)
+      .select("q_id", "rank", "vec_id").as[(Long, Long, Long)].collect())
+    val km = topSets(Similarity.ivfKmeansTopK(spark, sf)
+      .select("q_id", "rank", "vec_id").as[(Long, Long, Long)].collect())
+    assert(km.nonEmpty)
+    val recalls = bf.keys.toSeq.map { q =>
+      (bf(q) & km.getOrElse(q, Set.empty)).size.toDouble / bf(q).size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean > 0.2, s"mean k-means IVF recall@10 too low: $mean")
+  }
+
   test("IVF top-k overlaps brute-force top-k (nprobe cells only)") {
     val bf = topSets(Similarity.bruteForceTopK(spark, sf)
       .select("q_id", "rank", "vec_id").as[(Long, Long, Long)].collect())
