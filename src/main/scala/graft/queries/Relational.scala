@@ -255,6 +255,21 @@ object Relational {
         GROUP BY c_mktsegment ORDER BY c_mktsegment""")
     }),
 
+    "q22_grouping_sets" -> ((s, d) => {
+      // SQL GROUPING SETS with grouping() disambiguation of the
+      // super-aggregate null rows
+      Tables.load(s, d, "orders").createOrReplaceTempView("orders_gs")
+      s.sql("""
+        SELECT o_orderstatus, o_orderpriority,
+          CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+          CAST(grouping(o_orderpriority) AS BIGINT) AS g_prio,
+          count(*) AS n, round(sum(o_totalprice), 2) AS total
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY g_status, g_prio, o_orderstatus NULLS FIRST,
+          o_orderpriority NULLS FIRST""")
+    }),
+
     "q21_array_funcs" -> ((s, d) => {
       import s.implicits._
       // array/higher-order function coverage over tokenized documents
@@ -412,6 +427,15 @@ object Relational {
       """SELECT c_mktsegment, count(*) AS n_above FROM customer
          WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
          GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "q22_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+         CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+         CAST(grouping(o_orderpriority) AS BIGINT) AS g_prio,
+         count(*) AS n, round(sum(o_totalprice), 2) AS total
+         FROM orders
+         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+         ORDER BY g_status, g_prio, o_orderstatus NULLS FIRST,
+           o_orderpriority NULLS FIRST""",
     "q21_array_funcs" ->
       """WITH t AS (SELECT doc_id,
            string_split_regex(lower(text), '\s+') AS tk FROM documents)

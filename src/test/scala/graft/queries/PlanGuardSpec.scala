@@ -1,0 +1,70 @@
+package graft.queries
+
+import graft.{SparkEntry, SparkSpec}
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec}
+
+/** Physical-plan regression guards: the scale properties the queries
+  * were designed around must survive future edits — a silently
+  * reverted broadcast or lost pushdown is a 100 TB incident that no
+  * row-level test catches.
+  */
+class PlanGuardSpec extends SparkSpec with AdaptiveSparkPlanHelper {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def executedPlan(name: String) = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.collect()
+    df.queryExecution.executedPlan
+  }
+
+  test("q3_join_agg broadcasts the customer dimension") {
+    val plan = executedPlan("q3_join_agg")
+    val broadcasts = collectWithSubqueries(plan) {
+      case b: BroadcastHashJoinExec => b
+    }
+    assert(broadcasts.nonEmpty, "customer join must be broadcast")
+  }
+
+  test("q13_dim_join broadcasts both dimension tables") {
+    val plan = executedPlan("q13_dim_join")
+    val exchanges = collectWithSubqueries(plan) {
+      case b: BroadcastExchangeExec => b
+    }
+    assert(exchanges.size >= 2, s"expected 2 broadcast dims, got ${exchanges.size}")
+  }
+
+  test("q2_filter_project pushes filters and prunes columns at the scan") {
+    val plan = executedPlan("q2_filter_project")
+    val scan = collectWithSubqueries(plan) {
+      case s: FileSourceScanExec => s
+    }.head
+    val pushed = scan.metadata.getOrElse("PushedFilters", "")
+    assert(pushed.contains("GreaterThanOrEqual(p_size,30)") &&
+      pushed.contains("EqualTo(p_type,ECONOMY)"), s"filters not pushed: $pushed")
+    assert(!scan.requiredSchema.fieldNames.contains("p_name") ||
+      scan.requiredSchema.fieldNames.length <= 6,
+      "scan reads more columns than the projection needs")
+  }
+
+  test("q7_topk runs as partial top-k, not a global sort") {
+    val df = SparkEntry.queries("q7_topk")(spark, sf)
+    df.collect()
+    val s = df.queryExecution.executedPlan.toString
+    assert(s.contains("TakeOrderedAndProject"),
+      s"expected TakeOrderedAndProject in:\n$s")
+  }
+
+  test("ann_bruteforce broadcasts the query side and partial-limits the window") {
+    val plan = executedPlan("ann_bruteforce")
+    val bnl = collectWithSubqueries(plan) {
+      case b: BroadcastNestedLoopJoinExec => b
+    }
+    assert(bnl.nonEmpty, "query side must be broadcast")
+    assert(plan.toString.contains("WindowGroupLimit"),
+      "top-k must pre-limit per partition before the shuffle")
+  }
+}
