@@ -1,0 +1,38 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.ops.ErrorModes
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+class ConcatJsonSourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("concat-json source splits whitespace-separated values into rows") {
+    val dir = Files.createTempDirectory("graft-cj")
+    Files.writeString(dir.resolve("a.json"),
+      """{"k": 1} 17 "s" [1,2] null {"k": 2}""")
+    Files.writeString(dir.resolve("b.json"), """{"k": 3}{"k": 4}""")
+    val df = spark.read.format("concat-json").load(dir.toString)
+    val vals = df.as[String].collect().toSet
+    assert(vals == Set("""{"k": 1}""", """{"k": 2}""", "17", "\"s\"",
+      "[1,2]", "null", """{"k": 3}""", """{"k": 4}"""))
+    // one partition per file
+    assert(df.rdd.getNumPartitions == 2)
+  }
+
+  test("pipes into from_json with the F2 null filter and E1 policy") {
+    val dir = Files.createTempDirectory("graft-cj2")
+    // malformed tail LAST: an unbalanced '{' swallows everything after
+    // it (the splitter can't rebound) — same stream-abort semantics as
+    // Go's json.Decoder (E2); here the E1 policy just drops the tail
+    Files.writeString(dir.resolve("in.json"),
+      """{"k": 1} null {"k": 2} {"k": 3} {bad""")
+    val out = spark.read.format("concat-json").load(dir.toString)
+      .filter(trim($"value") =!= "null") // F2
+      .select(ErrorModes.parseDropMalformed($"value", "k double").as("p"))
+      .select($"p.k").na.drop() // E1: malformed "{bad" dropped
+      .as[Double].collect().toSeq.sorted
+    assert(out == Seq(1.0, 2.0, 3.0))
+  }
+}

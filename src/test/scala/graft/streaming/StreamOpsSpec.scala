@@ -34,6 +34,25 @@ class StreamOpsSpec extends SparkSpec {
       ("2024-01-01 11:00:00", "click", 1L, 4.0)))
   }
 
+  test("sliding window: events fall into overlapping windows") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String, Double)]
+    val events = in.toDF().toDF("ts", "event_type", "value")
+    val q = StreamOps.slidingCounts(events, "ts", "1 hour", "30 minutes",
+      "2 hours")
+      .writeStream.format("memory").queryName("sliding")
+      .outputMode("complete").start()
+    in.addData((ts("2024-01-01 10:40:00"), "click", 1.0))
+    q.processAllAvailable()
+    val windows = spark.table("sliding")
+      .select(col("window.start").cast("string")).as[String]
+      .collect().toSet
+    q.stop()
+    // one event at 10:40 belongs to the [10:00,11:00) and [10:30,11:30)
+    // hour-long windows sliding every 30 min
+    assert(windows == Set("2024-01-01 10:00:00", "2024-01-01 10:30:00"))
+  }
+
   test("session window closes after gap") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Timestamp, Long)]
