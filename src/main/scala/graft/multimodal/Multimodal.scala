@@ -96,6 +96,26 @@ object Multimodal {
       import s.implicits._
       decode(pack(s, d)).orderBy($"doc_id")
     }),
+    "mm_features" -> ((s, d) => {
+      import s.implicits._
+      // feature-extract stage: a deterministic character-class
+      // histogram over the payload — the stub stand-in for an image
+      // feature vector; real deployments swap in a model encoder.
+      // Kept scalar-per-class (array outputs break the hash gate).
+      val txt = lower($"text")
+      Tables.load(s, d, "documents")
+        .select(
+          $"doc_id",
+          size(regexp_extract_all(txt, lit("[a-z]"), lit(0))).cast("long")
+            .as("f_alpha"),
+          size(regexp_extract_all(txt, lit("[0-9]"), lit(0))).cast("long")
+            .as("f_digit"),
+          size(regexp_extract_all(txt, lit("\\s"), lit(0))).cast("long")
+            .as("f_space"),
+          length($"text").cast("long").as("f_len"))
+        .orderBy($"doc_id")
+    }),
+
     "mm_frame_sample" -> ((s, d) => {
       import s.implicits._
       // sample every 2nd frame of each decoded media item
@@ -124,6 +144,13 @@ object Multimodal {
            (64 + n % 512) * 224 // greatest(64 + n % 512, 64 + (n * 7) % 512) AS out_w,
            (64 + (n * 7) % 512) * 224 // greatest(64 + n % 512, 64 + (n * 7) % 512) AS out_h
          FROM m ORDER BY doc_id""",
+    "mm_features" ->
+      """SELECT doc_id,
+         CAST(len(regexp_extract_all(lower(text), '[a-z]')) AS BIGINT) AS f_alpha,
+         CAST(len(regexp_extract_all(lower(text), '[0-9]')) AS BIGINT) AS f_digit,
+         CAST(len(regexp_extract_all(lower(text), '\s')) AS BIGINT) AS f_space,
+         CAST(length(text) AS BIGINT) AS f_len
+         FROM documents ORDER BY doc_id""",
     "mm_frame_sample" ->
       """WITH m AS (SELECT d.doc_id,
            1 + CAST(length(d.text) AS BIGINT) % 8 AS n_frames

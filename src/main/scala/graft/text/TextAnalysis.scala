@@ -104,15 +104,18 @@ object TextAnalysis {
 
     "text_fingerprint" -> ((s, d) => {
       import s.implicits._
-      // Canonical content fingerprint: md5 over the sorted distinct
-      // token set — stable under token reordering, the standard
-      // "bag-of-words fingerprint" for clustering-level dedup.
+      // Three fingerprint flavors: md5 over the sorted distinct token
+      // set (order-free, clustering-level), exact md5, and the
+      // order-sensitive polynomial rolling hash (native codegen
+      // expression graft.functions.RollingHash).
       Tables.load(s, d, "documents")
         .select(
           $"doc_id",
           md5(array_join(array_sort(array_distinct(toks($"text"))), " "))
             .as("bow_fingerprint"),
-          md5($"text").as("exact_fingerprint"))
+          md5($"text").as("exact_fingerprint"),
+          graft.functions.RollingHash.rolling_hash($"text")
+            .as("rolling_fp"))
         .orderBy($"doc_id")
     }))
 
@@ -168,6 +171,11 @@ object TextAnalysis {
       """SELECT doc_id,
            md5(array_to_string(list_sort(list_distinct(
              string_split_regex(lower(text), '\s+'))), ' ')) AS bow_fingerprint,
-           md5(text) AS exact_fingerprint
+           md5(text) AS exact_fingerprint,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(range(1, length(text) + 1),
+                 i -> CAST(ascii(text[i]) AS BIGINT))),
+             (h, b) -> (h * 31 + b) % 1000000007) AS rolling_fp
          FROM documents ORDER BY doc_id""")
 }

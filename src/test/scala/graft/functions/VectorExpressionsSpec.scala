@@ -59,6 +59,20 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(math.abs(out._2 - 1.0) < 1e-15)
   }
 
+  test("rolling hash: golden values, order sensitivity, codegen=interp") {
+    import graft.functions.RollingHash.rolling_hash
+    // golden value computed by the definition: fold(h*31+byte) mod 1e9+7
+    def ref(s: String): Long =
+      s.getBytes("UTF-8").foldLeft(0L)((h, b) => (h * 31 + (b & 0xFF)) % 1000000007L)
+    val rows = Seq("", "a", "ab", "ba", "the quick brown fox")
+      .toDF("s").select($"s", rolling_hash($"s").as("h"))
+      .as[(String, Long)].collect().toMap
+    assert(rows("") == 0L)
+    assert(rows("a") == ref("a") && rows("ab") == ref("ab"))
+    assert(rows("ab") != rows("ba")) // order-sensitive
+    assert(rows("the quick brown fox") == ref("the quick brown fox"))
+  }
+
   test("type check rejects non-array inputs") {
     val err = intercept[Exception] {
       vecs.select(cosine_similarity($"id", $"a")).collect()
