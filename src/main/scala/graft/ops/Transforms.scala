@@ -116,4 +116,26 @@ object Transforms {
       case LineFormat => StringOutput
       case JsonFormat => JsonOutput
     })
+
+  /** Parse repeated `--add-entry K=V` arguments. Duplicate keys are a
+    * configuration error (main.go:115-118), rejected at parse time —
+    * not silently last-wins (that overwrite semantic applies only to
+    * payload-vs-entry collisions, P2, not entry-vs-entry).
+    */
+  def parseAddEntries(args: Seq[String])
+      : Either[String, Seq[(String, String)]] = {
+    val parsed = args.map { a =>
+      a.split("=", 2) match {
+        case Array(k, v) if k.nonEmpty => Right(k -> v)
+        case _ => Left(s"invalid --add-entry '$a': expected KEY=VALUE")
+      }
+    }
+    parsed.collectFirst { case Left(e) => Left(e) }.getOrElse {
+      val entries = parsed.collect { case Right(kv) => kv }
+      val dups = entries.groupBy(_._1).filter(_._2.size > 1).keys
+      if (dups.nonEmpty)
+        Left(s"duplicate --add-entry key(s): ${dups.mkString(", ")}")
+      else Right(entries)
+    }
+  }
 }

@@ -63,6 +63,14 @@ class TransformsSpec extends SparkSpec {
     assert(resolveOutputFormat(LineFormat, Some(JsonOutput)) == JsonOutput)
   }
 
+  test("C1: duplicate --add-entry keys rejected at parse (main.go:115-118)") {
+    assert(parseAddEntries(Seq("A=1", "B=2")) == Right(Seq("A" -> "1", "B" -> "2")))
+    assert(parseAddEntries(Seq("A=1", "A=2")).isLeft)
+    assert(parseAddEntries(Seq("noequals")).isLeft)
+    assert(parseAddEntries(Seq("K=a=b")) == Right(Seq("K" -> "a=b")))
+    assert(parseAddEntries(Nil) == Right(Nil))
+  }
+
   test("T1: text source splits LF and CRLF; final unterminated line kept") {
     // The reference drops a final unterminated line (linestreamer.go:49-54
     // never flushes `pending`) — we deliberately keep it (SURVEY §2a T1).
