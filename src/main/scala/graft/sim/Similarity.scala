@@ -151,8 +151,11 @@ object Similarity {
   def kmeansCentroids(e: DataFrame, k: Int, iters: Int): DataFrame = {
     val n = e.count()
     val stride = math.max(n / k, 1L)
+    // orderBy before limit: the stride can match k+1 ids (e.g. 500/31
+    // → 17 multiples), and an unordered limit would pick a
+    // run-dependent subset — centroid init must be deterministic
     var cents = e.filter(pmod(col("vec_id"), lit(stride)) === 0)
-      .limit(k)
+      .orderBy(col("vec_id")).limit(k)
       .select(col("vec_id").as("cell"), col("embedding").as("centroid"))
     for (_ <- 1 to iters) {
       val wc = Window.partitionBy(col("vec_id"))
