@@ -255,6 +255,41 @@ object Relational {
         GROUP BY c_mktsegment ORDER BY c_mktsegment""")
     }),
 
+    "q23_csv_roundtrip" -> ((s, d) => {
+      import s.implicits._
+      // CSV connector coverage: parquet → csv (header + explicit
+      // schema read-back) → aggregate. Integral doubles + strings only
+      // so text serialization is lossless; oracle aggregates the
+      // parquet source directly.
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-csv").toString
+      Tables.load(s, d, "lineitem")
+        .select($"l_orderkey", $"l_returnflag", $"l_quantity")
+        .write.mode("overwrite").option("header", "true").csv(tmp)
+      s.read.option("header", "true")
+        .schema("l_orderkey bigint, l_returnflag string, l_quantity double")
+        .csv(tmp)
+        .groupBy($"l_returnflag")
+        .agg(count(lit(1)).as("n"), sum($"l_quantity").as("sum_qty"),
+          countDistinct($"l_orderkey").as("n_orders"))
+        .orderBy($"l_returnflag")
+    }),
+
+    "q24_orc_roundtrip" -> ((s, d) => {
+      import s.implicits._
+      // ORC connector coverage: full-fidelity binary roundtrip.
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-orc").toString
+      Tables.load(s, d, "orders")
+        .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+        .write.mode("overwrite").orc(tmp)
+      s.read.orc(tmp)
+        .groupBy($"o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          round(sum($"o_totalprice"), 2).as("total"))
+        .orderBy($"o_orderstatus")
+    }),
+
     "q22_grouping_sets" -> ((s, d) => {
       // SQL GROUPING SETS with grouping() disambiguation of the
       // super-aggregate null rows
@@ -427,6 +462,14 @@ object Relational {
       """SELECT c_mktsegment, count(*) AS n_above FROM customer
          WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
          GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "q23_csv_roundtrip" ->
+      """SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS sum_qty,
+         count(DISTINCT l_orderkey) AS n_orders
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q24_orc_roundtrip" ->
+      """SELECT o_orderstatus, count(*) AS n,
+         round(sum(o_totalprice), 2) AS total
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     "q22_grouping_sets" ->
       """SELECT o_orderstatus, o_orderpriority,
          CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
