@@ -65,6 +65,23 @@ object LogOps {
         .orderBy($"event_id")
     }),
 
+    // S2 through the custom DataSource V2: events.props re-serialized
+    // as a concatenated JSON value stream, read back via the
+    // `concat-json` source, parsed and aggregated — the reference's
+    // json-mode input path inside the oracle gate.
+    "ref_concat_json_source" -> ((s, d) => {
+      import s.implicits._
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-cjsrc").toString
+      Tables.load(s, d, "events").select($"props").coalesce(1)
+        .write.mode("overwrite").text(tmp)
+      s.read.format("concat-json").load(tmp)
+        .select(get_json_object($"value", "$.k").cast("double").as("k"))
+        .groupBy((floor($"k" / 10) * 10).cast("long").as("k_bucket"))
+        .agg(count(lit(1)).as("n"), round(sum($"k"), 2).as("sum_k"))
+        .orderBy($"k_bucket")
+    }),
+
     // P4: identity projection (line mode, --output-format string).
     "ref_identity" -> ((s, d) => {
       import s.implicits._
@@ -92,5 +109,10 @@ object LogOps {
       """SELECT event_id, 'overwritten' AS k FROM events ORDER BY event_id""",
     "ref_identity" ->
       """SELECT doc_id, text AS value FROM documents
-         WHERE length(text) > 0 ORDER BY doc_id""")
+         WHERE length(text) > 0 ORDER BY doc_id""",
+    "ref_concat_json_source" ->
+      """SELECT CAST(floor(CAST(json_extract_string(props, '$.k') AS DOUBLE) / 10) * 10 AS BIGINT) AS k_bucket,
+         count(*) AS n,
+         round(sum(CAST(json_extract_string(props, '$.k') AS DOUBLE)), 2) AS sum_k
+         FROM events GROUP BY 1 ORDER BY 1""")
 }

@@ -60,9 +60,17 @@ class ConcatJsonScanBuilder(path: String) extends ScanBuilder with Scan
 
   override def planInputPartitions(): Array[InputPartition] = {
     val p = Paths.get(path)
+    // skip Hadoop sidecar/hidden files (_SUCCESS, .*.crc) like the
+    // built-in file sources do — a binary .crc would otherwise leak
+    // garbage tokens into the stream
+    def visible(f: Path): Boolean = {
+      val n = f.getFileName.toString
+      !n.startsWith("_") && !n.startsWith(".")
+    }
     val files: Seq[Path] =
       if (Files.isDirectory(p))
-        Files.list(p).iterator().asScala.filter(Files.isRegularFile(_))
+        Files.list(p).iterator().asScala
+          .filter(f => Files.isRegularFile(f) && visible(f))
           .toSeq.sortBy(_.toString)
       else Seq(p)
     files.map(f => ConcatJsonPartition(f.toString): InputPartition).toArray
