@@ -108,8 +108,14 @@ object Dedup {
     * shingle sets.
     */
   def ngramJaccard(s: SparkSession, d: String, threshold: Double = 0.05)
-      : DataFrame = {
-    val docs = docsWithShingles(s, d)
+      : DataFrame = ngramJaccardOver(docsWithShingles(s, d), threshold)
+
+  def ngramJaccardOver(docs0: DataFrame, threshold: Double): DataFrame = {
+    // <3-token docs have empty shingle sets; a pair of them would make
+    // jaccard() divide 0/0, which THROWS under Spark 4's default ANSI
+    // mode (the oracle's NULL silently drops the row — also a
+    // divergence). No shingles → nothing to near-dup → filter first.
+    val docs = docs0.filter(size(col("shh")) > 0)
     val a = docs.select(col("doc_id").as("doc_a"), col("block"),
       col("shh").as("sh_a"))
     val b = docs.select(col("doc_id").as("doc_b"), col("block"),

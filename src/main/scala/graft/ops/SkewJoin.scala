@@ -17,9 +17,22 @@ import org.apache.spark.sql.functions._
   */
 object SkewJoin {
 
+  /** Join types where right-side replication cannot change result
+    * multiplicity: every left row sees exactly its one salt replica.
+    * right/full outer would emit unmatched right REPLICAS (up to
+    * saltFactor copies) — rejected.
+    */
+  private val SafeJoinTypes =
+    Set("inner", "left", "left_outer", "leftouter", "left_semi",
+      "leftsemi", "left_anti", "leftanti")
+
   def saltedEquiJoin(left: DataFrame, right: DataFrame, key: String,
       saltFactor: Int = 8, joinType: String = "inner"): DataFrame = {
     require(saltFactor > 0)
+    require(SafeJoinTypes.contains(joinType.toLowerCase),
+      s"saltedEquiJoin supports $SafeJoinTypes, not '$joinType': " +
+        "right/full outer joins would duplicate unmatched right rows " +
+        "once per salt replica")
     // deterministic salt from stable row content would skew with the
     // data itself; uniform pseudo-random is the point (seeded for
     // reproducible plans)

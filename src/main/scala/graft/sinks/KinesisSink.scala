@@ -53,7 +53,10 @@ object KinesisSink {
     def add(r: RecordEntry): Unit = {
       require(r.data.length <= MaxRecordBytes,
         s"record of ${r.data.length} B exceeds the 1 MiB Kinesis limit")
-      val recBytes = r.data.length.toLong + r.partitionKey.length
+      // partition key counts toward the request limit in UTF-8 bytes,
+      // not UTF-16 code units
+      val recBytes = r.data.length.toLong +
+        r.partitionKey.getBytes("UTF-8").length
       if (buf.size >= maxRecords || bufBytes + recBytes > maxBytes) flush()
       buf += r
       bufBytes += recBytes

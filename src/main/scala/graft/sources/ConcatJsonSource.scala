@@ -68,11 +68,13 @@ class ConcatJsonScanBuilder(path: String) extends ScanBuilder with Scan
       !n.startsWith("_") && !n.startsWith(".")
     }
     val files: Seq[Path] =
-      if (Files.isDirectory(p))
-        Files.list(p).iterator().asScala
+      if (Files.isDirectory(p)) {
+        val stream = Files.list(p)
+        try stream.iterator().asScala
           .filter(f => Files.isRegularFile(f) && visible(f))
           .toSeq.sortBy(_.toString)
-      else Seq(p)
+        finally stream.close() // directory fd leaks at GC otherwise
+      } else Seq(p)
     files.map(f => ConcatJsonPartition(f.toString): InputPartition).toArray
   }
 

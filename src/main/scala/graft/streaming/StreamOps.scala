@@ -112,8 +112,15 @@ object StreamOps {
                 math.max(acc.lastTs, e.ts.getTime))
             }
             state.update(next)
-            // expire when the watermark passes lastTs + idle gap
-            state.setTimeoutTimestamp(next.lastTs + idleMs)
+            // expire when the watermark passes lastTs + idle gap; for
+            // late events (lastTs already behind the watermark) the
+            // raw timestamp would be rejected with
+            // IllegalArgumentException and kill the query — clamp to
+            // just past the current watermark so the group expires on
+            // the next batch instead
+            state.setTimeoutTimestamp(
+              math.max(next.lastTs + idleMs,
+                state.getCurrentWatermarkMs() + 1))
             Iterator.empty
           }
       }

@@ -71,6 +71,23 @@ class DedupSpec extends SparkSpec {
     assert(j((0L, 3L)) == 0.0)
   }
 
+  test("ngram jaccard survives <3-token docs (empty shingles, ANSI 0/0)") {
+    import org.apache.spark.sql.functions.{col, lit, lower, split => splitF, concat_ws}
+    val shortDocs = Seq(
+      (0L, "one two"), (1L, "a b"), // both shingle-less, same block
+      (2L, base), (3L, nearDup))
+      .toDF("doc_id", "text")
+      .withColumn("block", lit("en#0"))
+      .withColumn("toks", splitF(lower(col("text")), "\\s+"))
+      .withColumn("th", Dedup.tokenHashes(col("toks")))
+      .withColumn("shh", Dedup.hashedShingles(col("th")))
+      .select("doc_id", "block", "shh")
+    // would throw DIVIDE_BY_ZERO under ANSI without the empty filter
+    val pairs = Dedup.ngramJaccardOver(shortDocs, threshold = 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((2L, 3L))) // only the real near-dup pair
+  }
+
   test("incremental dedup drops new docs whose content exists in corpus") {
     import org.apache.spark.sql.functions.{col, md5}
     // corpus: ids 0-2; batch: ids 3-4 where doc 3 repeats doc 0's text

@@ -29,10 +29,15 @@ class StatefulSpec extends SparkSpec {
     // timeouts fire on the batch AFTER the watermark advances
     in.addData(UserEvent(3L, ts("2024-01-01 10:30:01"), 1.0))
     q.processAllAvailable()
+    // a LATE event (behind the watermark) must not kill the query:
+    // setTimeoutTimestamp clamps to watermark+1 instead of throwing
+    in.addData(UserEvent(9L, ts("2024-01-01 09:00:00"), 5.0))
+    q.processAllAvailable()
+    assert(q.isActive, "late event killed the stateful query")
     val out = spark.table("idle_users").as[UserSummary]
       .collect().map(s => s.user_id -> s).toMap
     q.stop()
-    assert(out.keySet == Set(1L, 2L))
+    assert(out.keySet.contains(1L) && out.keySet.contains(2L))
     assert(out(1L).n_events == 2 && out(1L).sum_value == 5.0)
     assert(out(2L).n_events == 1 && out(2L).sum_value == 7.0)
     assert(out(1L).closed_by_timeout && out(2L).closed_by_timeout)

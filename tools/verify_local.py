@@ -54,6 +54,13 @@ def compare(name: str, spark_df: pd.DataFrame, oracle_df: pd.DataFrame):
         av, bv = a[c], b[c]
         if av.dtype.kind == "f":
             both_nan = av.isna() & bv.isna()
+            null_mismatch = av.isna() != bv.isna()
+            if int(null_mismatch.sum()):
+                idx = null_mismatch.idxmax()
+                problems.append(
+                    f"NULL[{c}]: {int(null_mismatch.sum())} rows have NULL on "
+                    f"one side only (e.g. row {idx}: {av[idx]!r} vs {bv[idx]!r})")
+                continue
             eq = np.isclose(av.fillna(0), bv.fillna(0), rtol=0, atol=0) | both_nan
             exact_bad = int((~eq).sum())
             close = np.isclose(av.fillna(0), bv.fillna(0), rtol=1e-9, atol=1e-9) | both_nan
@@ -109,9 +116,15 @@ def main():
         else:
             print(f"[ ok ] {name}: {len(spark_df)} rows")
             n_pass += 1
-    missing = set(oracles) - set(result_dirs)
+    # a crashed query writes no output dir; check against the full
+    # manifest (rows-only queries included), not just oracle keys
+    import os
+    manifest_path = f"{out_dir}/queries.json"
+    expected = set(json.load(open(manifest_path))) \
+        if os.path.exists(manifest_path) else set(oracles)
+    missing = expected - set(result_dirs)
     for name in sorted(missing):
-        print(f"[FAIL] {name}: oracle present but no spark output")
+        print(f"[FAIL] {name}: query produced no spark output (crashed?)")
         n_fail += 1
     print(f"\n{n_pass} ok, {n_fail} fail")
     sys.exit(1 if n_fail else 0)
