@@ -255,6 +255,23 @@ object Relational {
         GROUP BY c_mktsegment ORDER BY c_mktsegment""")
     }),
 
+    "q25_stats" -> ((s, d) => {
+      import s.implicits._
+      // statistical aggregates; rounded to 2 decimals — stddev/corr
+      // accumulate in fold-order-dependent doubles, and 2dp absorbs
+      // the cross-engine ulp noise
+      Tables.load(s, d, "events")
+        .withColumn("k", get_json_object($"props", "$.k").cast("double"))
+        .groupBy($"event_type")
+        .agg(
+          round(avg($"value"), 2).as("mean_value"),
+          round(stddev_samp($"value"), 2).as("sd_value"),
+          round(var_samp($"value"), 2).as("var_value"),
+          round(corr($"value", $"k"), 2).as("corr_vk"),
+          count(lit(1)).as("n"))
+        .orderBy($"event_type")
+    }),
+
     "q23_csv_roundtrip" -> ((s, d) => {
       import s.implicits._
       // CSV connector coverage: parquet → csv (header + explicit
@@ -462,6 +479,14 @@ object Relational {
       """SELECT c_mktsegment, count(*) AS n_above FROM customer
          WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
          GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "q25_stats" ->
+      """SELECT event_type,
+         round(avg(value), 2) AS mean_value,
+         round(stddev_samp(value), 2) AS sd_value,
+         round(var_samp(value), 2) AS var_value,
+         round(corr(value, CAST(json_extract_string(props, '$.k') AS DOUBLE)), 2) AS corr_vk,
+         count(*) AS n
+         FROM events GROUP BY event_type ORDER BY event_type""",
     "q23_csv_roundtrip" ->
       """SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS sum_qty,
          count(DISTINCT l_orderkey) AS n_orders
