@@ -255,6 +255,20 @@ object Relational {
         GROUP BY c_mktsegment ORDER BY c_mktsegment""")
     }),
 
+    "q26_multiset" -> ((s, d) => {
+      import s.implicits._
+      // multiset (bag) semantics: INTERSECT ALL / EXCEPT ALL keep
+      // multiplicities — distinct operators from q8's set versions
+      val li = Tables.load(s, d, "lineitem").select($"l_orderkey".as("k"))
+      val oo = Tables.load(s, d, "orders").select($"o_orderkey".as("k"))
+      li.exceptAll(oo).agg(count(lit(1)).as("n"))
+        .withColumn("op", lit("except_all"))
+        .unionByName(li.intersectAll(oo).agg(count(lit(1)).as("n"))
+          .withColumn("op", lit("intersect_all")))
+        .select($"op", $"n")
+        .orderBy($"op")
+    }),
+
     "q25_stats" -> ((s, d) => {
       import s.implicits._
       // statistical aggregates; rounded to 2 decimals — stddev/corr
@@ -479,6 +493,17 @@ object Relational {
       """SELECT c_mktsegment, count(*) AS n_above FROM customer
          WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
          GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "q26_multiset" ->
+      """SELECT 'except_all' AS op,
+           (SELECT count(*) FROM
+             (SELECT l_orderkey FROM lineitem EXCEPT ALL
+              SELECT o_orderkey FROM orders)) AS n
+         UNION ALL
+         SELECT 'intersect_all' AS op,
+           (SELECT count(*) FROM
+             (SELECT l_orderkey FROM lineitem INTERSECT ALL
+              SELECT o_orderkey FROM orders)) AS n
+         ORDER BY op""",
     "q25_stats" ->
       """SELECT event_type,
          round(avg(value), 2) AS mean_value,
