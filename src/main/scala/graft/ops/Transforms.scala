@@ -61,7 +61,7 @@ object Transforms {
     val schema = df.schema(col).dataType
       .asInstanceOf[org.apache.spark.sql.types.StructType]
     val overwritten = entries.toMap
-    val kept = schema.fieldNames.filterNot(overwritten.contains)
+    val kept = schema.fieldNames.toSeq.filterNot(overwritten.contains)
       .map(f => f -> (df(col).getField(f): Column))
     val added = entries.map { case (k, v) => k -> (lit(v): Column) }
     val fields = (kept ++ added).sortBy(_._1)
