@@ -61,22 +61,30 @@ object Multimodal {
         docs("lang"), docs("source"), embs("label"), embs("embedding"))
   }
 
+  /** A decode kernel: one *vectorized* call per batch of records.
+    * Production swaps in a codec/GPU/JNI implementation; the default
+    * maps the deterministic stub. Must be serializable (runs on
+    * executors).
+    */
+  type DecodeKernel = Seq[MediaRecord] => Seq[DecodedMedia]
+
+  val stubKernel: DecodeKernel =
+    batch => batch.map(r => fakeDecode(r.doc_id, r.payload))
+
   /** Batched decode over the packed frame: typed mapPartitions pulling
-    * fixed-size batches through the (stubbed) kernel — the shape a
-    * vectorized decoder needs. Stays fully distributed: no collect, no
+    * fixed-size batches through the kernel — the shape a vectorized
+    * decoder needs (decode cost amortizes over `batchSize` elements,
+    * not per-row calls). Stays fully distributed: no collect, no
     * driver involvement.
     */
-  def decode(packed: DataFrame, batchSize: Int = 64): DataFrame = {
+  def decode(packed: DataFrame, batchSize: Int = 64,
+      kernel: DecodeKernel = stubKernel): DataFrame = {
     val s = packed.sparkSession
     import s.implicits._
     packed.select("doc_id", "payload", "lang", "source", "label", "embedding")
       .as[MediaRecord]
       .mapPartitions { it =>
-        it.grouped(batchSize).flatMap { batch =>
-          // STUB: a real kernel would decode `batch` in one vectorized
-          // call (GPU/JNI); the per-element map is the fake.
-          batch.map(r => fakeDecode(r.doc_id, r.payload))
-        }
+        it.grouped(batchSize).flatMap(batch => kernel(batch))
       }
       .toDF()
   }

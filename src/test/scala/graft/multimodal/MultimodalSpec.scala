@@ -1,0 +1,46 @@
+package graft.multimodal
+
+import graft.SparkSpec
+import graft.multimodal.Multimodal.{DecodedMedia, MediaRecord}
+import java.util.concurrent.ConcurrentLinkedQueue
+import scala.jdk.CollectionConverters._
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def packedDf(n: Int) = {
+    (0 until n).map(i => MediaRecord(i.toLong,
+      Array.fill(10 + i % 50)(i.toByte), "en", "s0", i % 3,
+      Array(0.1f, 0.2f))).toDF()
+  }
+
+  test("decode kernel receives bounded batches covering every record") {
+    MultimodalSpec.calls.clear()
+    val out = Multimodal.decode(packedDf(130).repartition(2),
+      batchSize = 32, kernel = MultimodalSpec.recordingKernel)
+      .as[DecodedMedia].collect()
+    assert(out.length == 130)
+    assert(out.map(_.doc_id).toSet == (0L until 130L).toSet)
+    val sizes = MultimodalSpec.calls.asScala.toSeq
+    assert(sizes.forall(_ <= 32), s"oversized batch: $sizes")
+    assert(sizes.sum == 130)
+    // amortization happened: far fewer kernel calls than records
+    assert(sizes.size <= 8, s"too many kernel invocations: ${sizes.size}")
+  }
+
+  test("stub decode is deterministic over payload bytes") {
+    val a = Multimodal.fakeDecode(1L, Array[Byte](1, 2, 3))
+    val b = Multimodal.fakeDecode(1L, Array[Byte](9, 9, 9))
+    assert(a == b) // depends only on length + id
+    assert(a.byte_len == 3 && a.n_frames == 1L + 3 % 8)
+  }
+}
+
+object MultimodalSpec {
+  // executor-side recording (local mode shares the JVM)
+  val calls = new ConcurrentLinkedQueue[Int]()
+  val recordingKernel: Multimodal.DecodeKernel = { batch =>
+    calls.add(batch.size)
+    Multimodal.stubKernel(batch)
+  }
+}
