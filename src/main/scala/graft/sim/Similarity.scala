@@ -70,20 +70,33 @@ object Similarity {
     }.reduce(_ + _)
 
   /** Candidate buckets for a query signature: the bucket itself plus
-    * all 1-bit flips (multiprobe) — recall insurance for near-boundary
-    * vectors.
+    * all masks of ≤probeBits flipped bits (multiprobe). The knob IS
+    * the recall/cost curve: radius 0 scans ~corpus/2^planes per query,
+    * radius 1 adds ×planes probes, radius 2 ×planes²/2 — recall rises
+    * monotonically (asserted in SimilaritySpec) while cost stays
+    * corpus-size-independent per probe.
     */
-  private def probeBuckets(sig: Column): Column =
-    array((sig +: (0 until NumPlanes).map(b =>
-      sig.bitwiseXOR(lit(1 << b)))): _*)
+  private def probeBuckets(sig: Column, probeBits: Int): Column = {
+    val oneBit = (0 until NumPlanes).map(1 << _)
+    val twoBit = for {
+      i <- 0 until NumPlanes; j <- (i + 1) until NumPlanes
+    } yield (1 << i) | (1 << j)
+    val masks = probeBits match {
+      case 0 => Seq.empty[Int]
+      case 1 => oneBit
+      case _ => oneBit ++ twoBit
+    }
+    array((sig +: masks.map(m => sig.bitwiseXOR(lit(m)))): _*)
+  }
 
-  def lshTopK(s: SparkSession, d: String, k: Int = 10): DataFrame = {
+  def lshTopK(s: SparkSession, d: String, k: Int = 10, probeBits: Int = 1)
+      : DataFrame = {
     val e = Tables.load(s, d, "embeddings")
       .withColumn("bucket", lshSignature(col("embedding")))
     val q = queryVecs(e.drop("bucket"))
       .withColumn("q_sig", lshSignature(col("q_emb")))
       .select(col("q_id"), col("q_emb"),
-        explode(probeBuckets(col("q_sig"))).as("bucket"))
+        explode(probeBuckets(col("q_sig"), probeBits)).as("bucket"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(desc("cosine"), col("vec_id"))
     e.join(broadcast(q), Seq("bucket"))

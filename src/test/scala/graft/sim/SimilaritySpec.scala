@@ -35,6 +35,25 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("LSH multiprobe radius raises recall monotonically") {
+    val bf = topSets(Similarity.bruteForceTopK(spark, sf)
+      .select("q_id", "rank", "vec_id").as[(Long, Long, Long)].collect())
+    def recall(probeBits: Int): Double = {
+      val hits = topSets(Similarity.lshTopK(spark, sf, probeBits = probeBits)
+        .select("q_id", "rank", "vec_id").as[(Long, Long, Long)].collect())
+      val rs = bf.keys.toSeq.map { q =>
+        (bf(q) & hits.getOrElse(q, Set.empty)).size.toDouble / bf(q).size
+      }
+      rs.sum / rs.size
+    }
+    val r0 = recall(0)
+    val r1 = recall(1)
+    val r2 = recall(2)
+    assert(r0 <= r1 + 1e-9 && r1 <= r2 + 1e-9,
+      s"recall not monotone in probe radius: $r0, $r1, $r2")
+    assert(r2 > r0, s"widening probes should find more: $r0 vs $r2")
+  }
+
   test("k-means IVF: trained codebook recall meets the label-cell bound") {
     val bf = topSets(Similarity.bruteForceTopK(spark, sf)
       .select("q_id", "rank", "vec_id").as[(Long, Long, Long)].collect())
