@@ -48,7 +48,11 @@ object LogOps {
         .apply(parsed)
         .select($"event_id",
           to_json($"payload").as("record"),
-          $"payload_map".as("canonical"))
+          $"payload_map".as("canonical"),
+          // full-fidelity canonicalizer (nested-capable Expression);
+          // must agree with the schema-based path on flat payloads
+          graft.functions.CanonicalizeJson.canonicalize_json($"value")
+            .as("canonical_full"))
         .orderBy($"event_id")
     }),
 
@@ -101,7 +105,8 @@ object LogOps {
       """SELECT event_id,
          json_object('LogFile', 'AccessLog',
                      'k', CAST(json_extract_string(props, '$.k') AS DOUBLE)) AS record,
-         json_object('k', CAST(json_extract_string(props, '$.k') AS DOUBLE)) AS canonical
+         json_object('k', CAST(json_extract_string(props, '$.k') AS DOUBLE)) AS canonical,
+         json_object('k', CAST(json_extract_string(props, '$.k') AS DOUBLE)) AS canonical_full
          FROM events
          WHERE props IS NOT NULL AND trim(props) <> 'null'
          ORDER BY event_id""",

@@ -31,6 +31,17 @@ class HostIdSpec extends AnyFunSuite {
     assert(id.startsWith("arn:aws:ecs:"))
   }
 
+  test("ECS v2 fixed endpoint probed when env URIs absent") {
+    val http = new HostId.HttpProbe {
+      def get(url: String, t: Int): Option[String] =
+        if (url == "http://169.254.170.2/v2/metadata") Some(taskJson)
+        else None
+    }
+    val id = HostId.resolve(env = Map.empty, http = http,
+      interfaces = () => Nil, randomBytes = () => Array.fill(16)(0))
+    assert(id == "arn:aws:ecs:us-west-2:123:task/abc")
+  }
+
   test("EC2 IMDS path constructs the instance ARN") {
     val http = new HostId.HttpProbe {
       def get(url: String, t: Int): Option[String] = url match {

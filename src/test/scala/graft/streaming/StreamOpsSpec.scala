@@ -88,6 +88,24 @@ class StreamOpsSpec extends SparkSpec {
     assert(n == 2)
   }
 
+  test("lineStream maxFilesPerTrigger bounds each micro-batch (B1 backpressure)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mft")
+    (1 to 3).foreach(i => java.nio.file.Files.write(
+      dir.resolve(s"f$i.log"), s"line$i\n".getBytes("UTF-8")))
+    val q = StreamOps.lineStream(spark, dir.toString, maxFilesPerTrigger = 1)
+      .writeStream.format("memory").queryName("mft")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    val batches = q.recentProgress.filter(_.numInputRows > 0)
+    val total = spark.table("mft").count()
+    q.stop()
+    assert(total == 3)
+    // one file (= one row here) per micro-batch, three batches
+    assert(batches.length == 3, s"expected 3 bounded batches, got " +
+      batches.map(_.numInputRows).mkString(","))
+    assert(batches.forall(_.numInputRows == 1))
+  }
+
   test("reference line pipeline runs unchanged on a streaming frame") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[String]
