@@ -109,6 +109,23 @@ object KinesisSink {
     }
   }
 
+  /** Per-key FIFO write — the reference's delivery ordering (SURVEY
+    * §1.4): all records of one partition key land on one shard in
+    * order. Spark-side that means co-locating each key in one task
+    * (repartition on the key) and ordering within it (sortWithin
+    * Partitions on the sequence column) before the sequential
+    * per-partition flush. No global order — exactly the reference's
+    * guarantee, no more.
+    */
+  def writeBatchOrdered(df: DataFrame, streamName: String,
+      client: RecordsClient, seqCol: String): Unit = {
+    import org.apache.spark.sql.functions.col
+    writeBatch(
+      df.repartition(col("partition_key"))
+        .sortWithinPartitions(col("partition_key"), col(seqCol)),
+      streamName, client)
+  }
+
   /** Streaming write via foreachBatch — Spark checkpointing + the
     * retry policy above give at-least-once end-to-end.
     */

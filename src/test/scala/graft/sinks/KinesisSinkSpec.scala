@@ -62,6 +62,26 @@ class KinesisSinkSpec extends SparkSpec {
       Set("host-0", "host-1", "host-2"))
   }
 
+  test("writeBatchOrdered preserves per-key FIFO (reference §1.4 semantics)") {
+    InMemoryRecordsClient.clear()
+    val client = new InMemoryRecordsClient("fifo")
+    val rows = for {
+      host <- Seq("h0", "h1", "h2"); i <- 1 to 40
+    } yield (f"$host:$i%03d", host, i.toLong)
+    val df = scala.util.Random.shuffle(rows)
+      .toDF("data", "partition_key", "seq")
+      .repartition(8) // deliberately scrambled input layout
+    KinesisSink.writeBatchOrdered(df, "ordered", client, "seq")
+    val got = InMemoryRecordsClient.recordsFor("fifo", "ordered")
+    assert(got.size == 120)
+    // per key, arrival order must be the seq order (no global order)
+    Seq("h0", "h1", "h2").foreach { host =>
+      val seqs = got.filter(_.partitionKey == host)
+        .map(r => new String(r.data).split(":")(1).toInt)
+      assert(seqs == seqs.sorted, s"$host out of order: $seqs")
+    }
+  }
+
   test("writeStream delivers micro-batches via foreachBatch") {
     InMemoryRecordsClient.clear()
     implicit val sqlCtx = spark.sqlContext
