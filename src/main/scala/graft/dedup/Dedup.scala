@@ -164,10 +164,14 @@ object Dedup {
     // which a 100 TB MinHash pipeline does anyway.
     val docs = docs0.persist(org.apache.spark.storage.StorageLevel
       .MEMORY_AND_DISK)
+    // signatures via the custom MinHashAgg (one JVM loop per shingle)
+    // over exploded shingle hashes — replaces 32 interpreted
+    // array_min(transform(...)) HOFs per doc
     val sigs = docs
       .filter(size(col("shh")) > 0)
-      .select(col("doc_id"), array((0 until NumPerms).map(i =>
-        array_min(transform(col("shh"), h => xxhash64(lit(i), h)))): _*)
+      .select(col("doc_id"), explode(col("shh")).as("h"))
+      .groupBy(col("doc_id"))
+      .agg(graft.functions.MinHashAgg.minhash_agg(col("h"), NumPerms)
         .as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bandCols = (0 until NumPerms / BandRows).map { b =>

@@ -1,0 +1,89 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graftshim.GraftShim
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import java.nio.ByteBuffer
+
+/** MinHash signature aggregate over hashed shingles: for each of
+  * `numPerms` seeded xxhash64 "permutations", keep the minimum hash
+  * seen — one tight JVM loop per input row instead of `numPerms`
+  * interpreted `array_min(transform(...))` HOF evaluations per
+  * document (the same compile-weight/interpretation argument as
+  * SimHashAgg; signature build was the dominant term of the MinHash
+  * pipeline). Uses Spark's own XXH64 with the permutation index as
+  * the seed — deterministic across processes, as driver re-runs
+  * require.
+  */
+case class MinHashAgg(
+    child: Expression,
+    numPerms: Int = 32,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]] {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def createAggregationBuffer(): Array[Long] =
+    Array.fill(numPerms)(Long.MaxValue)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val h = v.asInstanceOf[Long]
+      var i = 0
+      while (i < numPerms) {
+        val p = XXH64.hashLong(h, i)
+        if (p < buf(i)) buf(i) = p
+        i += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < numPerms) {
+      if (b(i) < a(i)) a(i) = b(i)
+      i += 1
+    }
+    a
+  }
+
+  override def eval(buf: Array[Long]): Any = new GenericArrayData(buf)
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(numPerms * 8)
+    buf.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    Array.fill(numPerms)(bb.getLong())
+  }
+
+  override def withNewMutableAggBufferOffset(offset: Int): MinHashAgg =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): MinHashAgg =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): MinHashAgg =
+    copy(child = newChildren.head)
+}
+
+object MinHashAgg {
+  /** Column API: `minhash_agg(shingleHashCol)` → array<long> of
+    * numPerms minimums.
+    */
+  def minhash_agg(shingleHash: Column, numPerms: Int = 32): Column =
+    GraftShim.toColumn(
+      MinHashAgg(GraftShim.toExpression(shingleHash), numPerms)
+        .toAggregateExpression())
+}
