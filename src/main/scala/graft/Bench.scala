@@ -25,12 +25,35 @@ object Bench {
         .withColumn("r", row_number().over(w))
         .groupBy("l_returnflag").agg(sum("r")).collect()
     } catch { case _: Throwable => }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
+    // dev knob: SPARK_GRAFT_ONLY=ann_lsh,ann_bruteforce benches a
+    // subset while iterating; the driver never sets it
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    val results = selected.map {
       case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        // pruning-proof sink: hashing a struct of every column forces
+        // the full projection to materialize (a bare count() lets the
+        // optimizer delete the projection work of projection-only
+        // queries, so their timings measured little more than a scan).
+        // bit_xor, not sum — summing full-range hashes overflows long
+        // under ANSI mode
+        try {
+          import org.apache.spark.sql.functions._
+          fn(spark, sfDir)
+            .agg(bit_xor(xxhash64(struct(col("*"))))).collect()
+        } catch { case t: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${t.getMessage}")
+        }
         val sec = (System.nanoTime() - t0) / 1e9
         System.err.println(f"[bench] $name%-28s $sec%8.2f s")
+        // drop caches a query persisted internally: CacheManager
+        // matches by logical plan, so a leaked cache would silently
+        // serve later queries that scan the same subplan and make
+        // their numbers measure cache reads instead of the operator
+        spark.catalog.clearCache()
         name -> sec
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

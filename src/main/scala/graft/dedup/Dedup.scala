@@ -16,9 +16,10 @@ import org.apache.spark.sql.functions._
   *    pair expansion happens only within buckets.
   *  - Exact dedup is a single hash-shuffle groupBy (map-side partial
   *    aggregation applies).
-  *  - MinHash signatures are computed row-local with higher-order
-  *    functions (one pass over shingles per permutation batch) — no
-  *    UDFs, stays in codegen.
+  *  - Shingles and MinHash signatures are computed row-local by
+  *    native codegen expressions (graft.functions.ShingleHashes /
+  *    MinHashSignature) — one pass over the text where the document
+  *    already lives, no explode and no shuffle before banding.
   */
 object Dedup {
 
@@ -58,9 +59,11 @@ object Dedup {
     // collapses into the natural parallelism.
     val df = Tables.load(s, d, "documents")
       .repartition(s.sessionState.conf.numShufflePartitions)
-    df.withColumn("toks", tokens(col("text")))
-      .withColumn("th", tokenHashes(col("toks")))
-      .withColumn("shh", hashedShingles(col("th")))
+    // native one-pass shingle expression; the declarative HOF chain
+    // below (tokenHashes/hashedShingles) is its bit-identical twin,
+    // kept for the parity spec and planted-corpus fixtures
+    df.withColumn("shh",
+        graft.functions.ShingleFunctions.shingle_hashes(col("text")))
       .withColumn("block", concat_ws("#", col("lang"),
         floor(col("n_chars") / 100).cast("long")))
       .select(col("doc_id"), col("block"), col("shh"))
@@ -115,7 +118,12 @@ object Dedup {
     // jaccard() divide 0/0, which THROWS under Spark 4's default ANSI
     // mode (the oracle's NULL silently drops the row — also a
     // divergence). No shingles → nothing to near-dup → filter first.
+    // both self-join sides project the same (expensive) shingle frame;
+    // differing projections defeat exchange reuse, so without persist
+    // the tokenize+shingle stage runs twice (same reasoning as
+    // minhashLshOver below)
     val docs = docs0.filter(size(col("shh")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = docs.select(col("doc_id").as("doc_a"), col("block"),
       col("shh").as("sh_a"))
     val b = docs.select(col("doc_id").as("doc_b"), col("block"),
@@ -162,17 +170,18 @@ object Dedup {
     // reuse — without persist the shingle stage runs four times. This
     // is the local analogue of materializing the signature table,
     // which a 100 TB MinHash pipeline does anyway.
-    val docs = docs0.persist(org.apache.spark.storage.StorageLevel
-      .MEMORY_AND_DISK)
-    // signatures via the custom MinHashAgg (one JVM loop per shingle)
-    // over exploded shingle hashes — replaces 32 interpreted
-    // array_min(transform(...)) HOFs per doc
-    val sigs = docs
+    // one materialized frame: shingles + row-local MinHash signature
+    // (graft.functions.MinHashSignature — no shingle explode, no
+    // groupBy shuffle; the signature falls out of the scan). It feeds
+    // FOUR plan branches (two banded sides + two verification joins)
+    // and the broadcast joins defeat exchange reuse, so persist — the
+    // local analogue of the signature table a 100 TB MinHash pipeline
+    // materializes anyway.
+    val sigs = docs0
       .filter(size(col("shh")) > 0)
-      .select(col("doc_id"), explode(col("shh")).as("h"))
-      .groupBy(col("doc_id"))
-      .agg(graft.functions.MinHashAgg.minhash_agg(col("h"), NumPerms)
-        .as("sig"))
+      .select(col("doc_id"), col("shh"),
+        graft.functions.ShingleFunctions
+          .minhash_signature(col("shh"), NumPerms).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bandCols = (0 until NumPerms / BandRows).map { b =>
       xxhash64((lit(b) +: (0 until BandRows).map(r =>
@@ -184,7 +193,7 @@ object Dedup {
       col("doc_id").as("doc_a"))
     val b = banded.select(col("band"), col("band_hash"),
       col("doc_id").as("doc_b"))
-    val shingleSets = docs.select(col("doc_id"), col("shh"))
+    val shingleSets = sigs.select(col("doc_id"), col("shh"))
     // dedupe candidate pairs on ids ONLY, then join the shingle sets
     // back for verification (distinct over the arrays would hash every
     // shingle set once per banded collision)

