@@ -23,7 +23,8 @@ import scala.jdk.CollectionConverters._
   * classpath. CodegenFallback: the work is Jackson parse/serialize,
   * which generated code could not inline anyway.
   */
-case class CanonicalizeJson(child: Expression) extends UnaryExpression
+case class CanonicalizeJson(child: Expression,
+    entries: Seq[(String, String)] = Nil) extends UnaryExpression
     with CodegenFallback {
 
   override def dataType: DataType = StringType
@@ -51,7 +52,16 @@ case class CanonicalizeJson(child: Expression) extends UnaryExpression
   override def nullSafeEval(v: Any): Any = {
     try {
       val parsed = mapper.readTree(v.asInstanceOf[UTF8String].toString)
-      UTF8String.fromString(mapper.writeValueAsString(canonical(parsed)))
+      // --add-entry enrichment before the canonical marshal, overwrite
+      // on collision (jsonstreamer.go:49-56); entries only apply to
+      // top-level objects — a scalar/array value passes through
+      val enriched = parsed match {
+        case obj: ObjectNode if entries.nonEmpty =>
+          entries.foreach { case (k, value) => obj.put(k, value) }
+          obj
+        case other => other
+      }
+      UTF8String.fromString(mapper.writeValueAsString(canonical(enriched)))
     } catch {
       case _: Exception => null // malformed payload → null (E1)
     }
@@ -64,4 +74,11 @@ case class CanonicalizeJson(child: Expression) extends UnaryExpression
 object CanonicalizeJson {
   def canonicalize_json(c: Column): Column =
     GraftShim.toColumn(CanonicalizeJson(GraftShim.toExpression(c)))
+
+  /** Canonicalize with --add-entry constants merged into top-level
+    * objects (overwrite on collision) before the key-sorted marshal.
+    */
+  def canonicalize_json(c: Column, entries: Seq[(String, String)]): Column =
+    GraftShim.toColumn(
+      CanonicalizeJson(GraftShim.toExpression(c), entries))
 }

@@ -37,6 +37,28 @@ object StreamOps {
       : DataFrame =
     spark.readStream.schema(schemaDdl).json(dir)
 
+  /** Unbounded stream of *concatenated* (whitespace-separated, NOT
+    * line-delimited) top-level JSON values — the streaming form of S2
+    * (the reference's json mode is an unbounded stdin stream,
+    * jsonstreamer.go:40-46; the `concat-json` DSv2 source is its batch
+    * twin). A value can span lines, so the line-split text source
+    * can't work: whole files are the split unit (`wholetext`), each
+    * run through JsonValueSplitter executor-side — the same
+    * one-partition-per-file scale shape as the batch source, with
+    * `maxFilesPerTrigger` as micro-batch admission control.
+    */
+  def concatJsonStream(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Int = 16): DataFrame = {
+    import spark.implicits._
+    spark.readStream
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .option("wholetext", "true")
+      .text(dir)
+      .as[String]
+      .flatMap(graft.ops.JsonValueSplitter.split _)
+      .toDF("value")
+  }
+
   /** Tumbling event-time window aggregation with a watermark bounding
     * state. Keys: window + any additional group columns.
     */

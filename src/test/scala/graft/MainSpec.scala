@@ -1,0 +1,161 @@
+package graft
+
+import graft.ops.Transforms.{JsonFormat, JsonOutput, LineFormat, StringOutput}
+import graft.sinks.InMemoryRecordsClient
+import java.nio.file.Files
+
+/** CLI surface (C1): flag-validation parity with the reference
+  * (main.go:79-140) and the wired source→transforms→sink path, driven
+  * end-to-end through Main.run with the in-memory transport.
+  */
+class MainSpec extends SparkSpec {
+
+  // ------------------------------------------------ flag validation
+  test("parse rejects with exit 2 exactly like the reference") {
+    def reject(args: String*): String = Main.parse(args) match {
+      case Left((msg, 2)) => msg
+      case other => fail(s"expected exit-2 rejection, got $other")
+    }
+    assert(reject("--format", "xml", "s").contains("Unrecognized format"))
+    assert(reject("--output-format", "yaml", "s")
+      .contains("Unrecognized output format"))
+    assert(reject("--add-entry", "NoEquals", "s").contains("NoEquals"))
+    assert(reject("--add-entry", "k=1", "--add-entry", "k=2", "s")
+      .contains("duplicate"))
+    assert(reject() == "Kinesis stream must be specified.")
+    assert(reject("stream1", "stream2").contains("stream2"))
+    assert(reject("--bogus", "s").contains("Unknown option"))
+  }
+
+  test("parse accepts the reference's full flag surface") {
+    val cfg = Main.parse(Seq("-f", "json", "--output-format=json",
+      "-k", "Line", "-I", "LogFile=AccessLog", "-I", "Env=prod",
+      "--region", "us-west-2", "--profile", "dev",
+      "--input-dir", "/logs", "--once", "my-stream")) match {
+      case Right(c) => c
+      case Left(e) => fail(s"unexpected rejection: $e")
+    }
+    assert(cfg.format == JsonFormat)
+    assert(cfg.outputFormat.contains(JsonOutput))
+    assert(cfg.outputKey == "Line")
+    assert(cfg.entries == Seq("LogFile" -> "AccessLog", "Env" -> "prod"))
+    assert(cfg.region.contains("us-west-2"))
+    assert(cfg.profile.contains("dev"))
+    assert(cfg.inputDir.contains("/logs"))
+    assert(cfg.once && cfg.stream == "my-stream")
+  }
+
+  test("auto output format folds line→string, json→json (main.go:93-99)") {
+    val line = Main.parse(Seq("s")).toOption.get
+    val json = Main.parse(Seq("-f", "json", "s")).toOption.get
+    assert(graft.ops.Transforms
+      .resolveOutputFormat(line.format, line.outputFormat) == StringOutput)
+    assert(graft.ops.Transforms
+      .resolveOutputFormat(json.format, json.outputFormat) == JsonOutput)
+  }
+
+  // ------------------------------------------- end-to-end: line mode
+  test("line mode e2e: error-log lines → wrapped JSON records in the sink") {
+    val dir = Files.createTempDirectory("graft-cli-line")
+    Files.write(dir.resolve("error.log"),
+      ("[Wed Aug 12 05:00:01 2026] [warn] worker process 1234 exiting\n" +
+        "\n" + // F1 drops this
+        "[Wed Aug 12 05:00:02 2026] [error] disk full\n").getBytes("UTF-8"))
+    val cfg = Main.parse(Seq("--format", "line", "--output-format", "json",
+      "--add-entry", "LogFile=ErrorLog",
+      "--input-dir", dir.toString, "--once", "ErrLines")).toOption.get
+    InMemoryRecordsClient.clear()
+    val client = new InMemoryRecordsClient("mainspec-line")
+    val ck = Files.createTempDirectory("graft-cli-ck1").toString
+    val q = Main.run(spark, cfg, client, ck)
+    q.processAllAvailable(); q.stop()
+    val got = InMemoryRecordsClient.recordsFor("mainspec-line", "ErrLines")
+      .map(r => new String(r.data, "UTF-8")).sorted
+    // FIXTURES.md §2 byte shape: {outputKey: line, ...entries} key-sorted
+    assert(got == Seq(
+      """{"LogEntry":"[Wed Aug 12 05:00:01 2026] [warn] worker process 1234 exiting","LogFile":"ErrorLog"}""",
+      """{"LogEntry":"[Wed Aug 12 05:00:02 2026] [error] disk full","LogFile":"ErrorLog"}""").sorted)
+    // K1: every record carries the resolved host id as partition key
+    val keys = InMemoryRecordsClient.recordsFor("mainspec-line", "ErrLines")
+      .map(_.partitionKey).toSet
+    assert(keys == Set(graft.sinks.HostId.cached))
+  }
+
+  // ------------------------------------------- end-to-end: json mode
+  test("json mode e2e: concatenated values → canonical enriched records") {
+    val dir = Files.createTempDirectory("graft-cli-json")
+    // multi-line concatenated values (NOT NDJSON): an object split
+    // across lines, a null (F2 drop), a malformed token (E1 skip)
+    Files.write(dir.resolve("a.json"),
+      "{\"b\": 2,\n \"a\": \"x\"}\n null {nope} {\"c\":1}".getBytes("UTF-8"))
+    val cfg = Main.parse(Seq("--format", "json",
+      "--add-entry", "LogFile=AccessLog",
+      "--input-dir", dir.toString, "--once", "JsonVals")).toOption.get
+    InMemoryRecordsClient.clear()
+    val client = new InMemoryRecordsClient("mainspec-json")
+    val ck = Files.createTempDirectory("graft-cli-ck2").toString
+    val q = Main.run(spark, cfg, client, ck)
+    q.processAllAvailable(); q.stop()
+    val got = InMemoryRecordsClient.recordsFor("mainspec-json", "JsonVals")
+      .map(r => new String(r.data, "UTF-8")).sorted
+    // canonical marshal: keys sorted at every level, numbers as
+    // float64, add-entry merged (overwrite semantics)
+    assert(got == Seq(
+      """{"LogFile":"AccessLog","a":"x","b":2.0}""",
+      """{"LogFile":"AccessLog","c":1.0}""").sorted)
+  }
+
+  // ---------------------- end-to-end: access-log fixture (SURVEY §5.5)
+  test("access-log fixture: NDJSON through json mode, payload bytes + FIFO") {
+    val rec1 =
+      """{"ClientAddress":"203.0.113.7","PeerAddress":"203.0.113.7",""" +
+        """"Protocol":"HTTP/1.1","QueryString":"?q=1","RequestHandler":"-",""" +
+        """"RequestLine":"GET /index.html?q=1 HTTP/1.1","RequestMethod":"GET",""" +
+        """"RequestTimeMicroseconds":1532,"ResponseBodySize":5120,""" +
+        """"Referer":"-","StartTime":"2026-08-12T05:00:00.123456Z",""" +
+        """"Status":200,"User":"-","UserAgent":"curl/8.0","UrlPath":"/index.html"}"""
+    // second record pre-sets LogFile to assert --add-entry overwrite
+    val rec2 = """{"LogFile":"stale","Status":404,"UrlPath":"/missing"}"""
+    val dir = Files.createTempDirectory("graft-cli-access")
+    Files.write(dir.resolve("access.json"), (rec1 + "\n" + rec2 + "\n")
+      .getBytes("UTF-8"))
+    val cfg = Main.parse(Seq("--format", "json",
+      "--add-entry", "LogFile=AccessLog",
+      "--input-dir", dir.toString, "--once", "Apache")).toOption.get
+    InMemoryRecordsClient.clear()
+    val client = new InMemoryRecordsClient("mainspec-access")
+    val ck = Files.createTempDirectory("graft-cli-ck3").toString
+    val q = Main.run(spark, cfg, client, ck)
+    q.processAllAvailable(); q.stop()
+    val got = InMemoryRecordsClient.recordsFor("mainspec-access", "Apache")
+    val texts = got.map(r => new String(r.data, "UTF-8"))
+    // exact canonical bytes of the FIXTURES.md §1 record: key-sorted,
+    // numbers re-rendered as float64
+    assert(texts.head ==
+      """{"ClientAddress":"203.0.113.7","LogFile":"AccessLog",""" +
+        """"PeerAddress":"203.0.113.7","Protocol":"HTTP/1.1",""" +
+        """"QueryString":"?q=1","Referer":"-","RequestHandler":"-",""" +
+        """"RequestLine":"GET /index.html?q=1 HTTP/1.1","RequestMethod":"GET",""" +
+        """"RequestTimeMicroseconds":1532.0,"ResponseBodySize":5120.0,""" +
+        """"StartTime":"2026-08-12T05:00:00.123456Z","Status":200.0,""" +
+        """"UrlPath":"/index.html","User":"-","UserAgent":"curl/8.0"}""")
+    // overwrite-on-collision: add-entry's LogFile wins over the payload's
+    assert(texts(1) ==
+      """{"LogFile":"AccessLog","Status":404.0,"UrlPath":"/missing"}""")
+    // per-key FIFO: one partition key (the host id) and arrival order
+    // preserved within it — the reference's delivery guarantee (§1.4)
+    assert(got.map(_.partitionKey).toSet == Set(graft.sinks.HostId.cached))
+    assert(texts.indexWhere(_.contains("/index.html")) <
+      texts.indexWhere(_.contains("/missing")))
+  }
+
+  // ------------------------------------------------- SDK seam guard
+  test("SdkRecordsClient fails fast without the AWS SDK on classpath") {
+    val c = new graft.sinks.SdkRecordsClient(Some("us-east-1"), None)
+    val e = intercept[IllegalStateException] {
+      c.putRecords("s", Seq(graft.sinks.KinesisSink
+        .RecordEntry("x".getBytes("UTF-8"), "pk")))
+    }
+    assert(e.getMessage.contains("software.amazon.awssdk"))
+  }
+}

@@ -106,6 +106,25 @@ class StreamOpsSpec extends SparkSpec {
     assert(batches.forall(_.numInputRows == 1))
   }
 
+  test("concatJsonStream splits multi-line concatenated values (S2 streaming)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cjstream")
+    // values span lines and are NOT line-delimited — the line-oriented
+    // sources cannot split this
+    java.nio.file.Files.write(dir.resolve("v.json"),
+      "{\"a\":\n 1} 17 \"s\"\n[1,2] null".getBytes("UTF-8"))
+    val q = StreamOps.concatJsonStream(spark, dir.toString)
+      .writeStream.format("memory").queryName("cjs")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    val rows = spark.table("cjs").as[String].collect().toSeq
+    q.stop()
+    assert(rows == Seq("{\"a\":\n 1}", "17", "\"s\"", "[1,2]", "null"))
+    // the batch twin (concat-json DSv2 source) agrees exactly
+    val batch = spark.read.format("concat-json").load(dir.toString)
+      .as[String].collect().toSeq
+    assert(batch == rows)
+  }
+
   test("reference line pipeline runs unchanged on a streaming frame") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[String]
