@@ -226,6 +226,63 @@ object Dedup {
     simhashOver(Tables.load(s, d, "documents")
       .repartition(s.sessionState.conf.numShufflePartitions), maxHamming)
 
+  /** Banding keys for a 64-bit simhash. Single-level: 4 probes, one
+    * per 16-bit band — two docs within Hamming 3 must agree exactly on
+    * ≥1 band (pigeonhole), but a 16-bit key space means bucket
+    * occupancy grows linearly with the corpus → within-bucket
+    * quadratic at 100×.
+    *
+    * Two-level (multi-index hashing, Norouzi et al. 2012, applied
+    * recursively): for the guaranteed 0-error band, the remaining 48
+    * bits still carry ≤3 errors, so one of their four 12-bit
+    * sub-blocks is also 0-error — the pair must agree on a 28-bit
+    * (band ‖ sub-block) key for one of the 16 probes. Same exactness
+    * for Hamming ≤ 3, but a 2^28 key space → bucket occupancy shrinks
+    * ~4096× vs 2^16, which is what keeps the pair stage ~linear as
+    * the corpus grows (asserted in DedupSpec).
+    */
+  private def sr(c: Column, n: Int): Column =
+    call_function("shiftright", c, lit(n))
+  private def sl(c: Column, n: Int): Column =
+    call_function("shiftleft", c, lit(n))
+
+  private def singleLevelKeys(sim: Column): Seq[Column] =
+    (0 until 4).map(b => sr(sim, b * 16).bitwiseAND(0xFFFFL))
+
+  private def twoLevelKeys(sim: Column): Seq[Column] = {
+    def band16(b: Int) = sr(sim, b * 16).bitwiseAND(0xFFFFL)
+    for { b <- 0 until 4; s <- 0 until 4 } yield {
+      val o = (1 to 3).map(j => band16((b + j) % 4))
+      val rem48 = sl(o(0), 32).bitwiseOR(sl(o(1), 16)).bitwiseOR(o(2))
+      val sub12 = sr(rem48, 36 - 12 * s).bitwiseAND(0xFFFL)
+      sl(band16(b), 12).bitwiseOR(sub12)
+    }
+  }
+
+  /** Candidate pairs from banding alone (no Hamming verification) —
+    * factored out so the growth spec can measure candidate-stage input
+    * directly. Input: a (doc_id, simhash) frame.
+    */
+  private[dedup] def simhashCandidates(withSim: DataFrame, maxHamming: Int)
+      : DataFrame = {
+    // 28-bit probes are exact for the pigeonhole radius (≤ bands-1 =
+    // 3); beyond it recall was already heuristic under single-level
+    // banding, so keep the wider 16-bit buckets there
+    val keys =
+      if (maxHamming < 4) twoLevelKeys(col("simhash"))
+      else singleLevelKeys(col("simhash"))
+    val banded = withSim.select(col("doc_id"), col("simhash"),
+      posexplode(array(keys: _*)).as(Seq("band", "band_bits")))
+    val a = banded.select(col("band"), col("band_bits"),
+      col("doc_id").as("doc_a"), col("simhash").as("sim_a"))
+    val b = banded.select(col("band"), col("band_bits"),
+      col("doc_id").as("doc_b"), col("simhash").as("sim_b"))
+    a.join(b, Seq("band", "band_bits"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("sim_a"), col("sim_b"))
+      .distinct() // a pair can collide on several probes
+  }
+
   def simhashOver(docs: DataFrame, maxHamming: Int): DataFrame = {
     val tokenRows = docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
@@ -238,21 +295,7 @@ object Dedup {
       // feeds both banded self-join sides; persist so the token
       // explode + aggregate runs once
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // 4 bands of 16 bits: two docs within Hamming 3 must agree exactly
-    // on at least one band (pigeonhole).
-    val banded = withSim.select(col("doc_id"), col("simhash"),
-      posexplode(transform(sequence(lit(0), lit(3)), b =>
-        call_function("shiftright", col("simhash"), b * lit(16))
-          .bitwiseAND(0xFFFFL))))
-      .toDF("doc_id", "simhash", "band", "band_bits")
-    val a = banded.select(col("band"), col("band_bits"),
-      col("doc_id").as("doc_a"), col("simhash").as("sim_a"))
-    val b = banded.select(col("band"), col("band_bits"),
-      col("doc_id").as("doc_b"), col("simhash").as("sim_b"))
-    a.join(b, Seq("band", "band_bits"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("sim_a"), col("sim_b"))
-      .distinct()
+    simhashCandidates(withSim, maxHamming)
       .withColumn("hamming",
         bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long"))
       .filter(col("hamming") <= maxHamming)

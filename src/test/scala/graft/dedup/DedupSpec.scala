@@ -54,6 +54,41 @@ class DedupSpec extends SparkSpec {
     assert(!asMap.keySet.exists(p => p._1 >= 3L || p._2 >= 3L))
   }
 
+  test("two-level simhash probes are exact within the pigeonhole radius") {
+    val s0 = 0x0123456789ABCDEFL
+    for (bits <- Seq(Seq(0), Seq(5, 17), Seq(63, 31, 2), Seq(1, 2, 3))) {
+      val s1 = bits.foldLeft(s0)((a, b) => a ^ (1L << b))
+      val df = Seq((0L, s0), (1L, s1)).toDF("doc_id", "simhash")
+      assert(Dedup.simhashCandidates(df, maxHamming = 3).count() == 1L,
+        s"pair at hamming ${bits.size} missed by two-level probes")
+    }
+  }
+
+  test("simhash candidate growth: ~linear under two-level keys where " +
+    "single-level grows quadratically") {
+    // uniform random simhashes = unrelated docs: measures pure
+    // collision noise of the banding key space as the corpus doubles
+    val rnd = new scala.util.Random(11)
+    def frame(n: Int) = (0 until n).map(i => (i.toLong, rnd.nextLong()))
+      .toDF("doc_id", "simhash")
+    val n = 4000
+    val (f1, f2) = (frame(n), frame(2 * n))
+    // single-level 16-bit buckets: noise ~ 4·n²/2/2^16 → ~4× on doubling
+    val single1 = Dedup.simhashCandidates(f1, maxHamming = 12).count()
+    val single2 = Dedup.simhashCandidates(f2, maxHamming = 12).count()
+    assert(single1 > 100, s"expected measurable collision noise: $single1")
+    assert(single2 > 3 * single1,
+      s"single-level should grow ~quadratically: $single1 -> $single2")
+    // two-level 28-bit keys: noise ~ 16·n²/2/2^28 — stays near zero at
+    // a corpus size where single-level already generates thousands
+    val two1 = Dedup.simhashCandidates(f1, maxHamming = 3).count()
+    val two2 = Dedup.simhashCandidates(f2, maxHamming = 3).count()
+    assert(two2 < single2 / 50,
+      s"two-level noise should be orders below single-level: $two2 vs $single2")
+    assert(two2 <= math.max(8 * math.max(two1, 1L), 16L),
+      s"two-level growth should stay ~linear-ish: $two1 -> $two2")
+  }
+
   test("ngram jaccard on planted pair is high, unrelated absent") {
     // run the same pipeline privately: block on lang+bucket like the query
     val a = docs.select($"doc_id".as("doc_a"),
