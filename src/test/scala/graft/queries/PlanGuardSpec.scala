@@ -58,6 +58,29 @@ class PlanGuardSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       s"expected TakeOrderedAndProject in:\n$s")
   }
 
+  test("ann_lsh signature uses the native dot product, not interpreted HOFs") {
+    val plan = executedPlan("ann_lsh").toString
+    assert(plan.contains("dotproduct"),
+      "LSH signature must go through the codegen DotProduct expression")
+    assert(!plan.contains("zip_with"),
+      "interpreted aggregate(zip_with) crept back into the signature")
+  }
+
+  test("dedup queries build shingles/signatures row-local (no explode shuffle)") {
+    val lsh = executedPlan("dedup_minhash_lsh").toString
+    assert(lsh.contains("shinglehashes") && lsh.contains("minhashsignature"),
+      "minhash pipeline must use the native row-local expressions")
+    val ngram = executedPlan("dedup_ngram_jaccard").toString
+    assert(ngram.contains("shinglehashes"),
+      "ngram pipeline must use the native shingle expression")
+  }
+
+  test("mm_decode spreads the kernel stage across partitions") {
+    val plan = executedPlan("mm_decode").toString
+    assert(plan.contains("RoundRobinPartitioning"),
+      "decode must repartition before the CPU-heavy kernel stage")
+  }
+
   test("ann_bruteforce broadcasts the query side and partial-limits the window") {
     val plan = executedPlan("ann_bruteforce")
     val bnl = collectWithSubqueries(plan) {
