@@ -332,6 +332,59 @@ object Dedup {
       .orderBy(col("v1"), col("v2"))
   }
 
+  // --------------------------------------- duplicate-cluster formation
+  /** Connected components over a near-dup pair graph — the stage a
+    * production dedup pipeline runs AFTER pair generation: transitively
+    * linked near-dups form one cluster, and the min doc_id is the
+    * cluster's keeper (everything else is dropped).
+    *
+    * Iterative min-label propagation: each round every node takes the
+    * minimum label among itself and its neighbors; converges in
+    * O(cluster diameter) rounds. Near-dup clusters are dense and
+    * shallow (diameter 2–3), so this is a handful of scan-shaped
+    * hash joins over the EDGE list only — never the corpus. For
+    * adversarially long chains, swap in alternating large-star/
+    * small-star contraction (Kiveris et al. 2014); the per-round
+    * shuffle shape is the same.
+    */
+  def connectedComponents(pairs: DataFrame): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val edges = pairs
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist(lvl)
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id"))
+      .persist(lvl)
+    var changed = 1L
+    while (changed > 0) {
+      val prev = labels
+      val nbrMin = edges
+        .join(labels.withColumnRenamed("doc_id", "src"), Seq("src"))
+        .groupBy(col("dst").as("doc_id"))
+        .agg(min(col("label")).as("nbr_label"))
+      labels = prev.join(nbrMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("nbr_label"), col("label")))
+            .as("label"))
+        .persist(lvl)
+      // materialize the new frame, then count changes and release the
+      // old cache (same discipline as the k-means Lloyd loop)
+      changed = labels
+        .join(prev.withColumnRenamed("label", "old_label"), Seq("doc_id"))
+        .filter(col("label") =!= col("old_label")).count()
+      prev.unpersist()
+    }
+    edges.unpersist()
+    labels.select(col("label").as("component"), col("doc_id"))
+      .orderBy(col("component"), col("doc_id"))
+  }
+
+  /** Cluster formation over the blocked ngram-Jaccard pairs. */
+  def dupClusters(s: SparkSession, d: String, threshold: Double = 0.05)
+      : DataFrame =
+    connectedComponents(ngramJaccard(s, d, threshold))
+
   // ------------------------------------------- incremental (batch-vs-corpus)
   /** The production dedup shape at 100 TB: an incoming batch is
     * dropped against the existing corpus (anti-join on content digest)
@@ -352,6 +405,7 @@ object Dedup {
   }
 
   def queries: Map[String, Q] = Map(
+    "dedup_clusters" -> ((s, d) => dupClusters(s, d)),
     "dedup_exact" -> ((s, d) => exact(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => ngramJaccard(s, d)),
     "dedup_minhash_lsh" -> ((s, d) => minhashLsh(s, d)),
@@ -363,6 +417,36 @@ object Dedup {
     * SQL-expressible — and get the rows-only check.
     */
   def oracles: Map[String, String] = Map(
+    // the ngram pair generation replayed, then components via a
+    // recursive transitive closure (tiny graph: only docs that appear
+    // in a near-dup pair) with component = min reachable id
+    "dedup_clusters" ->
+      """WITH RECURSIVE docs AS (
+           SELECT doc_id,
+             lang || '#' || CAST(CAST(floor(n_chars / 100) AS BIGINT) AS VARCHAR) AS block,
+             list_distinct(list_transform(
+               range(1, greatest(len(string_split_regex(lower(text), '\s+')) - 2, 0) + 1),
+               i -> string_split_regex(lower(text), '\s+')[i] || ' ' ||
+                    string_split_regex(lower(text), '\s+')[i+1] || ' ' ||
+                    string_split_regex(lower(text), '\s+')[i+2])) AS sh
+           FROM documents),
+         pairs AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM docs a JOIN docs b ON a.block = b.block AND a.doc_id < b.doc_id
+           WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                 CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) >= 0.05),
+         edges AS (
+           SELECT doc_a AS src, doc_b AS dst FROM pairs
+           UNION ALL SELECT doc_b, doc_a FROM pairs),
+         reach(src, dst) AS (
+           SELECT src, dst FROM edges
+           UNION
+           SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         members AS (SELECT DISTINCT src AS doc_id FROM edges)
+         SELECT least(m.doc_id, min(r.dst)) AS component, m.doc_id
+         FROM members m JOIN reach r ON r.src = m.doc_id
+         GROUP BY m.doc_id
+         ORDER BY component, doc_id""",
     "dedup_exact" ->
       """SELECT md5(text) AS content_md5, min(doc_id) AS keeper_doc_id,
          count(*) AS n_copies

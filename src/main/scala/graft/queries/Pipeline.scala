@@ -13,6 +13,23 @@ import org.apache.spark.sql.functions._
 object Pipeline {
 
   def queries: Map[String, Q] = Map(
+    // Deterministic train/test split — the leakage-safe way to split a
+    // training corpus: the split is a pure function of content (first
+    // hex digit of md5), so re-runs, incremental batches, and other
+    // engines agree row-for-row with no stored split table. 12/16
+    // buckets → train, 4/16 → held out. Row-local, scan-shaped; the
+    // lexicographic hex compare is numeric order ('0'<'9'<'a'<'f').
+    "pipeline_split" -> ((s, d) => {
+      import s.implicits._
+      val bucket = substring(md5($"text"), 1, 1)
+      Tables.load(s, d, "documents")
+        .withColumn("split",
+          when(bucket < lit("c"), lit("train")).otherwise(lit("test")))
+        .groupBy($"lang", $"split")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_chars").as("sum_chars"))
+        .orderBy($"lang", $"split")
+    }),
     "pipeline_training_prep" -> ((s, d) => {
       import s.implicits._
       val docs = Tables.load(s, d, "documents")
@@ -37,6 +54,13 @@ object Pipeline {
     }))
 
   def oracles: Map[String, String] = Map(
+    "pipeline_split" ->
+      """SELECT lang,
+           CASE WHEN substring(md5(text), 1, 1) < 'c'
+                THEN 'train' ELSE 'test' END AS split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         FROM documents GROUP BY 1, 2 ORDER BY lang, split""",
     "pipeline_training_prep" ->
       """WITH scored AS (
            SELECT doc_id, lang, source, n_chars, text,

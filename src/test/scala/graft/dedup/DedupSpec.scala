@@ -156,6 +156,15 @@ class DedupSpec extends SparkSpec {
     assert(viaScalar == viaAgg)
   }
 
+  test("connected components merges transitive near-dup chains") {
+    // 1-2-5 is one cluster only transitively (no direct 1-5 pair);
+    // 7-9 is a separate cluster — takes ≥2 propagation rounds
+    val pairs = Seq((1L, 2L), (2L, 5L), (7L, 9L)).toDF("doc_a", "doc_b")
+    val cc = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toSeq
+    assert(cc == Seq((1L, 1L), (1L, 2L), (1L, 5L), (7L, 7L), (7L, 9L)))
+  }
+
   test("incremental dedup drops new docs whose content exists in corpus") {
     import org.apache.spark.sql.functions.{col, md5}
     // corpus: ids 0-2; batch: ids 3-4 where doc 3 repeats doc 0's text
