@@ -269,6 +269,80 @@ object Relational {
         .orderBy($"op")
     }),
 
+    "q27_asof_join" -> ((s, d) => {
+      import s.implicits._
+      // As-of join — attach to each purchase the user's latest click
+      // at-or-before it. Spark has no ASOF operator; the naive range
+      // join is a per-row scan of the right side. This is the
+      // single-shuffle formulation: union both sides, one window pass
+      // per user carrying the last-seen mark forward — O(n log n) in
+      // the partition, ONE shuffle on the join key, no inequality
+      // join anywhere (DuckDB's native ASOF JOIN replays it exactly).
+      val ev = Tables.load(s, d, "events")
+      // ties on (user_id, ts) among clicks: keep max event_id, like
+      // the oracle's row_number tie-break
+      val clickW = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id", $"ts").orderBy($"event_id".desc)
+      val clicks = ev.filter($"event_type" === "click")
+        .withColumn("rn", row_number().over(clickW))
+        .filter($"rn" === 1)
+        .select($"user_id", $"ts", $"event_id".as("mark_id"),
+          $"value".as("mark_value"), lit(1).as("is_mark"),
+          lit(null).cast("long").as("event_id"),
+          lit(null).cast("double").as("value"))
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"user_id", $"ts", lit(null).cast("long").as("mark_id"),
+          lit(null).cast("double").as("mark_value"), lit(0).as("is_mark"),
+          $"event_id", $"value")
+      // marks sort before purchases at equal ts (is_mark desc) so an
+      // exactly-simultaneous click is visible to the purchase (>=)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id").orderBy($"ts", $"is_mark".desc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, 0)
+      clicks.unionByName(purchases)
+        .withColumn("click_event_id",
+          last($"mark_id", ignoreNulls = true).over(w))
+        .withColumn("click_value",
+          last($"mark_value", ignoreNulls = true).over(w))
+        .filter($"is_mark" === 0 && $"click_event_id".isNotNull)
+        .select($"event_id", $"user_id", $"ts",
+          $"click_event_id", $"click_value")
+        .orderBy($"event_id")
+    }),
+
+    "q28_range_join" -> ((s, d) => {
+      import s.implicits._
+      // Range join, binned: events within 10 minutes after each error.
+      // A raw interval predicate is a BroadcastNestedLoop O(n·m) scan;
+      // binning both sides to 10-minute buckets turns it into an
+      // equi-hash-join on the bin id (each error probes its bin and
+      // the next — a window of length L needs ceil(L/bin)+1 probes),
+      // with the exact interval re-checked after the join. Shuffle is
+      // on the bin key; per-bin fan-out is bounded by bin occupancy,
+      // not table size.
+      val binUs = 600L * 1000 * 1000 // 10 min in microseconds
+      val ev = Tables.load(s, d, "events")
+        .withColumn("bin", floor(unix_micros($"ts") / binUs))
+      val errors = ev.filter($"event_type" === "error")
+        .select($"event_id", $"ts", $"bin")
+        .withColumn("probe_bin", explode(array($"bin", $"bin" + 1)))
+      val matched = errors.join(
+          ev.select($"event_id".as("x_id"), $"ts".as("x_ts"),
+            $"bin".as("probe_bin")),
+          Seq("probe_bin"))
+        .filter($"x_ts" >= $"ts" &&
+          $"x_ts" < $"ts" + expr("INTERVAL 10 MINUTES") &&
+          $"x_id" =!= $"event_id")
+        .groupBy($"event_id").agg(count(lit(1)).as("n_following"))
+      // left join back: errors with an empty window count 0
+      ev.filter($"event_type" === "error").select($"event_id")
+        .join(matched, Seq("event_id"), "left")
+        .select($"event_id",
+          coalesce($"n_following", lit(0L)).as("n_following"))
+        .orderBy($"event_id")
+    }),
+
     "q25_stats" -> ((s, d) => {
       import s.implicits._
       // statistical aggregates; rounded to 2 decimals — stddev/corr
@@ -504,6 +578,30 @@ object Relational {
              (SELECT l_orderkey FROM lineitem INTERSECT ALL
               SELECT o_orderkey FROM orders)) AS n
          ORDER BY op""",
+    "q27_asof_join" ->
+      """WITH clicks AS (
+           SELECT user_id, ts, event_id, value,
+             row_number() OVER (PARTITION BY user_id, ts
+                                ORDER BY event_id DESC) AS rn
+           FROM events WHERE event_type = 'click'),
+         c AS (SELECT user_id, ts, event_id AS click_event_id,
+                      value AS click_value
+               FROM clicks WHERE rn = 1),
+         p AS (SELECT event_id, user_id, ts, value FROM events
+               WHERE event_type = 'purchase')
+         SELECT p.event_id, p.user_id, p.ts, c.click_event_id,
+                c.click_value
+         FROM p ASOF JOIN c
+           ON p.user_id = c.user_id AND p.ts >= c.ts
+         ORDER BY p.event_id""",
+    "q28_range_join" ->
+      """SELECT e.event_id,
+           CAST(count(x.event_id) AS BIGINT) AS n_following
+         FROM events e LEFT JOIN events x
+           ON x.ts >= e.ts AND x.ts < e.ts + INTERVAL 10 MINUTE
+              AND x.event_id <> e.event_id
+         WHERE e.event_type = 'error'
+         GROUP BY e.event_id ORDER BY e.event_id""",
     "q25_stats" ->
       """SELECT event_type,
          round(avg(value), 2) AS mean_value,

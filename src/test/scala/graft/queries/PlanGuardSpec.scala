@@ -81,6 +81,22 @@ class PlanGuardSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       "decode must repartition before the CPU-heavy kernel stage")
   }
 
+  test("q27_asof_join is join-free: union + one window pass per key") {
+    val plan = executedPlan("q27_asof_join").toString
+    assert(!plan.contains("Join"),
+      s"as-of must not degenerate into a range join:\n$plan")
+    assert(plan.contains("Window"), "expected the carry-forward window")
+  }
+
+  test("q28_range_join is binned into an equi-join, never nested-loop") {
+    val plan = executedPlan("q28_range_join")
+    val bnl = collectWithSubqueries(plan) {
+      case b: BroadcastNestedLoopJoinExec => b
+    }
+    assert(bnl.isEmpty,
+      "interval predicate must ride the bin equi-join, not a BNL scan")
+  }
+
   test("ann_bruteforce broadcasts the query side and partial-limits the window") {
     val plan = executedPlan("ann_bruteforce")
     val bnl = collectWithSubqueries(plan) {
