@@ -1,6 +1,7 @@
 package graft
 
-import graft.functions.{CosineSimilarity, DotProduct}
+import graft.functions.{CanonicalizeJson, CosineSimilarity, DotProduct, MinHashSignature, RollingHash, ShingleHashes}
+import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -32,7 +33,34 @@ object GraftFunctions {
       (args: Seq[Expression]) => CosineSimilarity(args(0), args(1))),
     (FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
-      (args: Seq[Expression]) => DotProduct(args(0), args(1))))
+      (args: Seq[Expression]) => DotProduct(args(0), args(1))),
+    (FunctionIdentifier("rolling_hash"),
+      new ExpressionInfo(classOf[RollingHash].getName, "rolling_hash"),
+      (args: Seq[Expression]) => RollingHash(args(0))),
+    (FunctionIdentifier("canonicalize_json"),
+      new ExpressionInfo(classOf[CanonicalizeJson].getName,
+        "canonicalize_json"),
+      (args: Seq[Expression]) => CanonicalizeJson(args(0))),
+    // optional int arg = shingle width / permutation count; must be a
+    // foldable literal, like Spark's own e.g. `round(x, 2)`
+    (FunctionIdentifier("shingle_hashes"),
+      new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
+      (args: Seq[Expression]) => args match {
+        case Seq(t) => ShingleHashes(t)
+        case Seq(t, Literal(n: Int, _)) => ShingleHashes(t, n)
+        case _ => throw new IllegalArgumentException(
+          "shingle_hashes(text[, n]) — n must be an integer literal")
+      }),
+    (FunctionIdentifier("minhash_signature"),
+      new ExpressionInfo(classOf[MinHashSignature].getName,
+        "minhash_signature"),
+      (args: Seq[Expression]) => args match {
+        case Seq(a) => MinHashSignature(a)
+        case Seq(a, Literal(n: Int, _)) => MinHashSignature(a, n)
+        case _ => throw new IllegalArgumentException(
+          "minhash_signature(shingles[, perms]) — perms must be an " +
+            "integer literal")
+      }))
 
   /** Imperative registration for an already-built session. */
   def register(spark: SparkSession): Unit =

@@ -347,35 +347,42 @@ object Dedup {
     * small-star contraction (Kiveris et al. 2014); the per-round
     * shuffle shape is the same.
     */
-  def connectedComponents(pairs: DataFrame): DataFrame = {
+  def connectedComponents(pairs0: DataFrame): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // both union branches read the pair frame with different
+    // projections — without persist the (expensive) pair generation
+    // runs twice before edges even materialize
+    val pairs = pairs0.persist(lvl)
     val edges = pairs
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .persist(lvl)
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("label", col("doc_id"))
+    // seed with the 1-hop minimum (every member appears as src since
+    // edges are bidirectional) — one propagation round for free
+    var labels = edges.groupBy(col("src").as("doc_id"))
+      .agg(min(col("dst")).as("m"))
+      .select(col("doc_id"), least(col("doc_id"), col("m")).as("label"))
       .persist(lvl)
     var changed = 1L
     while (changed > 0) {
       val prev = labels
       val nbrMin = edges
-        .join(labels.withColumnRenamed("doc_id", "src"), Seq("src"))
+        .join(prev.withColumnRenamed("doc_id", "src"), Seq("src"))
         .groupBy(col("dst").as("doc_id"))
         .agg(min(col("label")).as("nbr_label"))
-      labels = prev.join(nbrMin, Seq("doc_id"), "left")
-        .select(col("doc_id"),
+      // carry the old label through so convergence is read off the
+      // same materialized frame — one join + one action per round
+      val next = prev.join(nbrMin, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("label").as("old_label"),
           least(col("label"), coalesce(col("nbr_label"), col("label")))
             .as("label"))
         .persist(lvl)
-      // materialize the new frame, then count changes and release the
-      // old cache (same discipline as the k-means Lloyd loop)
-      changed = labels
-        .join(prev.withColumnRenamed("label", "old_label"), Seq("doc_id"))
-        .filter(col("label") =!= col("old_label")).count()
+      changed = next.filter(col("label") =!= col("old_label")).count()
       prev.unpersist()
+      labels = next.select(col("doc_id"), col("label"))
     }
     edges.unpersist()
+    pairs.unpersist()
     labels.select(col("label").as("component"), col("doc_id"))
       .orderBy(col("component"), col("doc_id"))
   }

@@ -24,6 +24,16 @@ object ExtensionsSmoke {
     println(s"[ext-smoke] cosine=${row.getDouble(0)} dot=${row.getDouble(1)}")
     assert(math.abs(row.getDouble(0) - 1.0) < 1e-15)
     assert(row.getDouble(1) == 11.0)
+    val row2 = spark.sql(
+      """SELECT rolling_hash('abc') AS rh,
+                canonicalize_json('{"b":2,"a":1}') AS cj,
+                size(shingle_hashes('a b c d', 3)) AS ns,
+                size(minhash_signature(shingle_hashes('a b c d'), 16)) AS np""")
+      .collect().head
+    println(s"[ext-smoke] rh=${row2.getLong(0)} cj=${row2.getString(1)} " +
+      s"ns=${row2.getInt(2)} np=${row2.getInt(3)}")
+    assert(row2.getString(1) == """{"a":1.0,"b":2.0}""")
+    assert(row2.getInt(2) == 2 && row2.getInt(3) == 16)
     spark.stop()
   }
 }
