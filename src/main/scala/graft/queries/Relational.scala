@@ -269,6 +269,27 @@ object Relational {
         .orderBy($"op")
     }),
 
+    "q29_approx_agg" -> ((s, d) => {
+      import s.implicits._
+      // Sketch aggregates — the only viable shapes for distincts and
+      // quantiles at 100 TB: HyperLogLog++ (fixed ~kB state per group,
+      // map-side mergeable — an exact distinct shuffles every key) and
+      // the positional quantile sketch behind approx_percentile
+      // (bounded state vs a full sort). Sketch outputs are
+      // implementation-defined → rows-only driver check; error bounds
+      // vs exact values are asserted in ApproxAggSpec.
+      Tables.load(s, d, "events")
+        .groupBy($"event_type")
+        .agg(
+          approx_count_distinct($"user_id").as("approx_users"),
+          approx_count_distinct($"user_id", rsd = 0.01)
+            .as("approx_users_1pct"),
+          percentile_approx($"value", lit(0.5), lit(10000)).as("p50"),
+          percentile_approx($"value", lit(0.95), lit(10000)).as("p95"),
+          count(lit(1)).as("n"))
+        .orderBy($"event_type")
+    }),
+
     "q27_asof_join" -> ((s, d) => {
       import s.implicits._
       // As-of join — attach to each purchase the user's latest click

@@ -1,0 +1,56 @@
+package graft.queries
+
+import graft.{SparkEntry, SparkSpec}
+import org.apache.spark.sql.functions._
+
+/** Error-bound checks for the sketch aggregates (q29_approx_agg is
+  * rows-only at the driver gate — sketch outputs are implementation-
+  * defined, so the bounds ARE the correctness contract).
+  */
+class ApproxAggSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.01"
+
+  test("HLL distinct counts are within the configured relative error") {
+    val approx = SparkEntry.queries("q29_approx_agg")(spark, sf)
+      .select($"event_type", $"approx_users", $"approx_users_1pct")
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    val exact = graft.Tables.load(spark, sf, "events")
+      .groupBy($"event_type")
+      .agg(countDistinct($"user_id").as("u"))
+      .as[(String, Long)].collect().toMap
+    exact.foreach { case (et, ex) =>
+      val (a, a1) = approx(et)
+      // default rsd 5%: allow 3 standard errors; 1% rsd must be tighter
+      assert(math.abs(a - ex).toDouble / ex <= 0.15,
+        s"$et: default-rsd HLL $a vs exact $ex")
+      assert(math.abs(a1 - ex).toDouble / ex <= 0.03,
+        s"$et: 1%-rsd HLL $a1 vs exact $ex")
+    }
+  }
+
+  test("approx percentiles land within the positional accuracy bound") {
+    val approx = SparkEntry.queries("q29_approx_agg")(spark, sf)
+      .select($"event_type", $"p50", $"p95")
+      .as[(String, Double, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    val exact = graft.Tables.load(spark, sf, "events")
+      .groupBy($"event_type")
+      .agg(expr("percentile(value, 0.5)").as("p50"),
+        expr("percentile(value, 0.95)").as("p95"),
+        count(lit(1)).as("n"))
+      .as[(String, Double, Double, Long)].collect()
+    exact.foreach { case (et, e50, e95, n) =>
+      val (a50, a95) = approx(et)
+      // accuracy 10000 → positional error ≤ n/10000 ranks; translate
+      // to a value tolerance via a generous relative band (values are
+      // roughly uniform in this table)
+      assert(math.abs(a50 - e50) / math.max(e50, 1.0) <= 0.05,
+        s"$et: p50 $a50 vs exact $e50 (n=$n)")
+      assert(math.abs(a95 - e95) / math.max(e95, 1.0) <= 0.05,
+        s"$et: p95 $a95 vs exact $e95 (n=$n)")
+    }
+  }
+}
