@@ -95,6 +95,55 @@ object StreamOps {
     events.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keys)
 
+  // ----------------------------------------------- streaming as-of join
+  case class TypedEvent(user_id: Long, ts: java.sql.Timestamp,
+      event_type: String, event_id: Long, value: Double)
+  case class AsofState(clickId: Long, clickValue: Double, clickTs: Long)
+  case class AsofMatch(event_id: Long, user_id: Long,
+      ts: java.sql.Timestamp, click_event_id: Long, click_value: Double)
+
+  /** Streaming twin of q27_asof_join: enrich each purchase with the
+    * user's latest at-or-before click, incrementally. State per user
+    * is O(1) — just the last click — where a stream-stream interval
+    * join would buffer the whole watermark window of both sides.
+    * Within a micro-batch rows are re-ordered by event time (the
+    * iterator has no order guarantee); across batches the carried
+    * state provides the "past" side, so a click in batch N enriches a
+    * purchase in batch N+k with no rescan. Tie-breaks match the batch
+    * twin (same-timestamp click visible to the purchase; max event_id
+    * wins among simultaneous clicks).
+    */
+  def asofEnrichStream(events: org.apache.spark.sql.Dataset[TypedEvent])
+      : org.apache.spark.sql.Dataset[AsofMatch] = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[AsofState, AsofMatch](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (uid, rows, state) =>
+          val sorted = rows.toSeq.sortBy(e =>
+            (e.ts.getTime, if (e.event_type == "click") 0 else 1,
+              e.event_id))
+          val out = Seq.newBuilder[AsofMatch]
+          var st = state.getOption
+            .getOrElse(AsofState(-1L, 0.0, Long.MinValue))
+          sorted.foreach { e =>
+            if (e.event_type == "click") {
+              if (e.ts.getTime > st.clickTs ||
+                (e.ts.getTime == st.clickTs && e.event_id > st.clickId))
+                st = AsofState(e.event_id, e.value, e.ts.getTime)
+            } else if (e.event_type == "purchase" &&
+              st.clickTs != Long.MinValue) {
+              out += AsofMatch(e.event_id, uid, e.ts, st.clickId,
+                st.clickValue)
+            }
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   // ----------------------------------------------------- custom state
   case class UserEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
   case class UserState(count: Long, sum: Double, lastTs: Long)

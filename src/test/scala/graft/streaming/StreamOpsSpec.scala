@@ -125,6 +125,31 @@ class StreamOpsSpec extends SparkSpec {
     assert(batch == rows)
   }
 
+  test("streaming as-of join carries click state across micro-batches") {
+    import StreamOps.{AsofMatch, TypedEvent}
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[TypedEvent]
+    val q = StreamOps.asofEnrichStream(in.toDS())
+      .writeStream.format("memory").queryName("asof")
+      .outputMode("append").start()
+    // batch 1: click then purchase (same batch, out of insertion order)
+    in.addData(
+      TypedEvent(1L, ts("2024-01-01 10:05:00"), "purchase", 100L, 9.99),
+      TypedEvent(1L, ts("2024-01-01 10:00:00"), "click", 10L, 1.0),
+      TypedEvent(2L, ts("2024-01-01 10:01:00"), "purchase", 200L, 5.0))
+    q.processAllAvailable()
+    // batch 2: purchase only — must match batch 1's click via state
+    in.addData(
+      TypedEvent(1L, ts("2024-01-01 11:00:00"), "purchase", 101L, 2.50))
+    q.processAllAvailable()
+    val out = spark.table("asof")
+      .as[AsofMatch].collect().map(m => m.event_id -> m.click_event_id)
+      .toMap
+    q.stop()
+    // user 2 had no prior click → no match (inner as-of semantics)
+    assert(out == Map(100L -> 10L, 101L -> 10L))
+  }
+
   test("reference line pipeline runs unchanged on a streaming frame") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[String]
