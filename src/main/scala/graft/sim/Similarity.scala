@@ -165,7 +165,18 @@ object Similarity {
     * corpus-quadratic work. k and iters are tiny; centroids always fit
     * in a broadcast.
     */
-  def kmeansCentroids(e: DataFrame, k: Int, iters: Int): DataFrame = {
+  def kmeansCentroids(e: DataFrame, k: Int, iters: Int): DataFrame =
+    kmeansCentroidsWithStats(e, k, iters, tol = 0.0)._1
+
+  /** As kmeansCentroids, with a convergence stop: iteration ends early
+    * once no centroid moved more than `tol` in cosine distance —
+    * training cost tracks the data instead of a guessed iteration
+    * budget. Returns (centroids, iterations actually run). The
+    * movement check is a k-row broadcast join — negligible next to the
+    * assign step it can save.
+    */
+  def kmeansCentroidsWithStats(e: DataFrame, k: Int, iters: Int,
+      tol: Double): (DataFrame, Int) = {
     val n = e.count()
     val stride = math.max(n / k, 1L)
     // orderBy before limit: the stride can match k+1 ids (e.g. 500/31
@@ -174,7 +185,9 @@ object Similarity {
     var cents = e.filter(pmod(col("vec_id"), lit(stride)) === 0)
       .orderBy(col("vec_id")).limit(k)
       .select(col("vec_id").as("cell"), col("embedding").as("centroid"))
-    for (_ <- 1 to iters) {
+    var itersRun = 0
+    var converged = false
+    for (_ <- 1 to iters if !converged) {
       val prev = cents
       val wc = Window.partitionBy(col("vec_id"))
         .orderBy(desc("c_sim"), col("cell"))
@@ -197,9 +210,18 @@ object Similarity {
       // the old handle so Lloyd iterations hold one cached frame, not
       // `iters` of them (no-op on the unpersisted init frame)
       cents.count()
+      itersRun += 1
+      if (tol > 0.0) {
+        val moved = prev
+          .withColumnRenamed("centroid", "c_prev")
+          .join(cents.withColumnRenamed("centroid", "c_next"), Seq("cell"))
+          .agg(max(lit(1.0) - cosine(col("c_prev"), col("c_next"))))
+          .head.getDouble(0)
+        converged = moved <= tol
+      }
       prev.unpersist()
     }
-    cents
+    (cents, itersRun)
   }
 
   /** IVF top-k with a trained k-means codebook instead of labels. */

@@ -10,6 +10,21 @@ class SimilaritySpec extends SparkSpec {
   private def topSets(rows: Array[(Long, Long, Long)]): Map[Long, Set[Long]] =
     rows.groupBy(_._1).map { case (q, rs) => q -> rs.map(_._3).toSet }
 
+  test("k-means convergence stop ends Lloyd iterations early on separable data") {
+    // two tight, well-separated clusters: one iteration snaps the
+    // centroids and the next moves ~0 — the tol stop must fire long
+    // before the iteration budget
+    val vecs = ((0 until 20).map(i =>
+      (i.toLong, Array(1.0f + i * 1e-4f, 0.0f))) ++
+      (20 until 40).map(i =>
+        (i.toLong, Array(0.0f, 1.0f + i * 1e-4f))))
+      .toDF("vec_id", "embedding")
+    val (cents, itersRun) = Similarity.kmeansCentroidsWithStats(
+      vecs, k = 2, iters = 10, tol = 1e-9)
+    assert(cents.count() == 2)
+    assert(itersRun < 10, s"expected early convergence, ran $itersRun")
+  }
+
   test("brute force top-k: 10 ranked neighbors per query, self excluded") {
     val out = Similarity.bruteForceTopK(spark, sf)
       .select("q_id", "rank", "vec_id").as[(Long, Long, Long)].collect()
