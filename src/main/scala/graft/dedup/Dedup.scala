@@ -183,6 +183,28 @@ object Dedup {
         graft.functions.ShingleFunctions
           .minhash_signature(col("shh"), NumPerms).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val shingleSets = sigs.select(col("doc_id"), col("shh"))
+    // dedupe candidate pairs on ids ONLY, then join the shingle sets
+    // back for verification (distinct over the arrays would hash every
+    // shingle set once per banded collision)
+    minhashCandidates(sigs)
+      .join(shingleSets.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("shh", "sh_a"), Seq("doc_a"))
+      .join(shingleSets.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("shh", "sh_b"), Seq("doc_b"))
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Banded candidate pairs from a (doc_id, sig) signature frame —
+    * factored out (like simhashCandidates) so the growth spec can
+    * measure the candidate stage directly. Band keys are full 64-bit
+    * hashes, so bucket occupancy tracks near-dup CLUSTER size, not
+    * corpus size — the property the spec asserts.
+    */
+  private[dedup] def minhashCandidates(sigs: DataFrame): DataFrame = {
     val bandCols = (0 until NumPerms / BandRows).map { b =>
       xxhash64((lit(b) +: (0 until BandRows).map(r =>
         element_at(col("sig"), b * BandRows + r + 1))): _*)
@@ -193,22 +215,10 @@ object Dedup {
       col("doc_id").as("doc_a"))
     val b = banded.select(col("band"), col("band_hash"),
       col("doc_id").as("doc_b"))
-    val shingleSets = sigs.select(col("doc_id"), col("shh"))
-    // dedupe candidate pairs on ids ONLY, then join the shingle sets
-    // back for verification (distinct over the arrays would hash every
-    // shingle set once per banded collision)
     a.join(b, Seq("band", "band_hash"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"))
       .distinct() // a pair can collide in several bands
-      .join(shingleSets.withColumnRenamed("doc_id", "doc_a")
-        .withColumnRenamed("shh", "sh_a"), Seq("doc_a"))
-      .join(shingleSets.withColumnRenamed("doc_id", "doc_b")
-        .withColumnRenamed("shh", "sh_b"), Seq("doc_b"))
-      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
-      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   // ----------------------------------------------------------- SimHash

@@ -156,6 +156,31 @@ class DedupSpec extends SparkSpec {
     assert(viaScalar == viaAgg)
   }
 
+  test("minhash banding: candidates track planted clusters, not corpus size") {
+    // synthetic signature frames: unrelated docs get random distinct
+    // shingle sets (band collisions ~0 since keys are 64-bit hashes);
+    // 5 planted dup-pairs keep a constant candidate floor. Doubling
+    // the unrelated corpus must NOT grow candidates.
+    val rnd = new scala.util.Random(23)
+    def sigsOf(n: Int) = {
+      val docs = (0 until n).map { i =>
+        (i.toLong + 1000L, Array.fill(40)(rnd.nextLong()))
+      } ++ (0 until 5).flatMap { p => // planted identical pairs, ids < 1000
+        val sh = Array.fill(40)(scala.util.hashing.MurmurHash3
+          .stringHash(s"dup$p").toLong)
+        Seq((p.toLong * 2, sh), (p.toLong * 2 + 1, sh))
+      }
+      docs.toDF("doc_id", "shh")
+        .select($"doc_id", graft.functions.ShingleFunctions
+          .minhash_signature($"shh", 32).as("sig"))
+    }
+    val c1 = Dedup.minhashCandidates(sigsOf(2000)).count()
+    val c2 = Dedup.minhashCandidates(sigsOf(4000)).count()
+    assert(c1 >= 5, s"planted dup pairs must collide: $c1")
+    assert(c2 <= c1 + 10,
+      s"candidates must not grow with unrelated corpus: $c1 -> $c2")
+  }
+
   test("connected components merges transitive near-dup chains") {
     // 1-2-5 is one cluster only transitively (no direct 1-5 pair);
     // 7-9 is a separate cluster — takes ≥2 propagation rounds
