@@ -391,6 +391,10 @@ object Relational {
         .createTempDirectory("graft-csv").toString
       Tables.load(s, d, "lineitem")
         .select($"l_orderkey", $"l_returnflag", $"l_quantity")
+        // single writer task (one parquet split in) measured FASTER
+        // than repartition-then-write at this size — the shuffle costs
+        // more than parallel text serialization saves; at real scale
+        // the scan has many splits and the writers parallelize anyway
         .write.mode("overwrite").option("header", "true").csv(tmp)
       s.read.option("header", "true")
         .schema("l_orderkey bigint, l_returnflag string, l_quantity double")
