@@ -140,6 +140,33 @@ class DedupSpec extends SparkSpec {
     assert(native == declarative)
   }
 
+  test("ShingleHashes parity holds on 500 randomized texts (fuzz)") {
+    // unicode letters, exotic whitespace, punctuation, empties — the
+    // native expression must replay lower()+split()+xxhash64 exactly
+    val rnd = new scala.util.Random(99)
+    val alphabets = Array(
+      "abcdefghij", "ÄÖÜßÉÑ", "котик", "漢字かな", "0123!?#.,;",
+      " \t\n\f\r", "emoji😀mix")
+    def randText(): String = {
+      val n = rnd.nextInt(120)
+      (0 until n).map { _ =>
+        val a = alphabets(rnd.nextInt(alphabets.length))
+        a(rnd.nextInt(a.length))
+      }.mkString
+    }
+    val texts = (0 until 500).map(i => (i.toLong, randText()))
+      .toDF("doc_id", "text")
+    val declarative = texts
+      .withColumn("toks", split(lower($"text"), "\\s+"))
+      .withColumn("shh", Dedup.hashedShingles(Dedup.tokenHashes($"toks")))
+      .select($"doc_id", $"shh")
+      .as[(Long, Seq[Long])].collect().toMap
+    val native = texts.select($"doc_id",
+      graft.functions.ShingleFunctions.shingle_hashes($"text").as("shh"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(native == declarative)
+  }
+
   test("row-local MinHashSignature matches the MinHashAgg aggregate") {
     val withShingles = docs.withColumn("shh",
       graft.functions.ShingleFunctions.shingle_hashes($"text"))
