@@ -13,7 +13,8 @@ import java.nio.file.{Files, Path, Paths}
 import java.util.{Map => JMap}
 import scala.jdk.CollectionConverters._
 
-/** DataSource V2 batch source for *concatenated* JSON value streams —
+/** DataSource V2 batch + micro-batch source for *concatenated* JSON
+  * value streams —
   * the reference's json-mode input shape (whitespace-separated
   * top-level values, jsonstreamer.go:40-46), which stock Spark's
   * line-oriented json/text sources cannot split. One row per top-level
@@ -47,9 +48,32 @@ class ConcatJsonTable(path: String) extends Table with SupportsRead {
   override def name(): String = s"concat-json:$path"
   override def schema(): StructType = ConcatJsonSource.schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : ScanBuilder = new ConcatJsonScanBuilder(path)
+}
+
+object ConcatJsonFiles {
+  /** Visible regular files under `path`, sorted. Skips Hadoop
+    * sidecar/hidden files (_SUCCESS, .*.crc) like the built-in file
+    * sources do — a binary .crc would otherwise leak garbage tokens
+    * into the stream.
+    */
+  def list(path: String): Seq[String] = {
+    val p = Paths.get(path)
+    def visible(f: Path): Boolean = {
+      val n = f.getFileName.toString
+      !n.startsWith("_") && !n.startsWith(".")
+    }
+    if (Files.isDirectory(p)) {
+      val stream = Files.list(p)
+      try stream.iterator().asScala
+        .filter(f => Files.isRegularFile(f) && visible(f))
+        .map(_.toString).toSeq.sorted
+      finally stream.close() // directory fd leaks at GC otherwise
+    } else Seq(p.toString)
+  }
 }
 
 class ConcatJsonScanBuilder(path: String) extends ScanBuilder with Scan
@@ -58,28 +82,59 @@ class ConcatJsonScanBuilder(path: String) extends ScanBuilder with Scan
   override def readSchema(): StructType = ConcatJsonSource.schema
   override def toBatch: Batch = this
 
-  override def planInputPartitions(): Array[InputPartition] = {
-    val p = Paths.get(path)
-    // skip Hadoop sidecar/hidden files (_SUCCESS, .*.crc) like the
-    // built-in file sources do — a binary .crc would otherwise leak
-    // garbage tokens into the stream
-    def visible(f: Path): Boolean = {
-      val n = f.getFileName.toString
-      !n.startsWith("_") && !n.startsWith(".")
-    }
-    val files: Seq[Path] =
-      if (Files.isDirectory(p)) {
-        val stream = Files.list(p)
-        try stream.iterator().asScala
-          .filter(f => Files.isRegularFile(f) && visible(f))
-          .toSeq.sortBy(_.toString)
-        finally stream.close() // directory fd leaks at GC otherwise
-      } else Seq(p)
-    files.map(f => ConcatJsonPartition(f.toString): InputPartition).toArray
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new ConcatJsonMicroBatchStream(path)
+
+  override def planInputPartitions(): Array[InputPartition] =
+    ConcatJsonFiles.list(path)
+      .map(f => ConcatJsonPartition(f): InputPartition).toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ConcatJsonReaderFactory()
+}
+
+/** Streaming form of the source (MICRO_BATCH_READ): the offset is the
+  * SET of files already ingested (serialized as a JSON array), so each
+  * micro-batch reads exactly the files that appeared since the last —
+  * no ordering or naming assumptions on arrivals, the same
+  * one-partition-per-file shape as the batch scan, and replayable
+  * batches (start/end offsets pin the file set) for at-least-once
+  * recovery under checkpointing. Unbounded concatenated-JSON ingestion
+  * was the reference's whole json mode (jsonstreamer.go:40-46).
+  */
+class ConcatJsonMicroBatchStream(path: String)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  case class FilesOffset(files: Set[String]) extends Offset {
+    override def json(): String =
+      mapper.writeValueAsString(files.toArray.sorted)
+  }
+
+  override def initialOffset(): Offset = FilesOffset(Set.empty)
+
+  override def latestOffset(): Offset =
+    FilesOffset(ConcatJsonFiles.list(path).toSet)
+
+  override def deserializeOffset(json: String): Offset =
+    FilesOffset(mapper.readValue(json, classOf[Array[String]]).toSet)
+
+  override def planInputPartitions(start: Offset, end: Offset)
+      : Array[InputPartition] = {
+    val seen = start.asInstanceOf[FilesOffset].files
+    val now = end.asInstanceOf[FilesOffset].files
+    (now -- seen).toArray.sorted
+      .map(f => ConcatJsonPartition(f): InputPartition)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new ConcatJsonReaderFactory()
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 case class ConcatJsonPartition(file: String) extends InputPartition

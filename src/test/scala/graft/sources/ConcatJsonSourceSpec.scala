@@ -21,6 +21,26 @@ class ConcatJsonSourceSpec extends SparkSpec {
     assert(df.rdd.getNumPartitions == 2)
   }
 
+  test("streams micro-batches of newly arrived files (MICRO_BATCH_READ)") {
+    val dir = Files.createTempDirectory("graft-cjmb")
+    Files.writeString(dir.resolve("first.json"), """{"k": 1} {"k": 2}""")
+    val q = spark.readStream.format("concat-json").load(dir.toString)
+      .writeStream.format("memory").queryName("cjmb")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    assert(spark.table("cjmb").count() == 2)
+    // a file arrives mid-stream — the next offset covers exactly it
+    // (file-SET offsets: no ordering/naming assumptions on arrivals)
+    Files.writeString(dir.resolve("0-early-name.json"), """17 "s" null""")
+    q.processAllAvailable()
+    val vals = spark.table("cjmb").as[String].collect().toSet
+    q.stop()
+    assert(vals == Set("""{"k": 1}""", """{"k": 2}""", "17", "\"s\"",
+      "null"))
+    // second batch ingested only the new file's 3 values
+    assert(spark.table("cjmb").count() == 5)
+  }
+
   test("pipes into from_json with the F2 null filter and E1 policy") {
     val dir = Files.createTempDirectory("graft-cj2")
     // malformed tail LAST: an unbalanced '{' swallows everything after
