@@ -179,7 +179,10 @@ object Main {
       throw new IllegalArgumentException("--input-dir is required"))
     val src = cfg.format match {
       case LineFormat => StreamOps.lineStream(spark, dir)
-      case JsonFormat => StreamOps.concatJsonStream(spark, dir)
+      // the DSv2 streaming source: checkpointable file-set offsets +
+      // the same maxFilesPerTrigger admission control as line mode
+      case JsonFormat => spark.readStream.format("concat-json")
+        .option("maxFilesPerTrigger", "16").load(dir)
     }
     KinesisSink.writeStream(
       pipeline(src, cfg, HostId.cached), cfg.stream, client, checkpointDir)

@@ -51,7 +51,8 @@ class ConcatJsonTable(path: String) extends Table with SupportsRead {
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap)
-      : ScanBuilder = new ConcatJsonScanBuilder(path)
+      : ScanBuilder = new ConcatJsonScanBuilder(path,
+    Option(options.get("maxFilesPerTrigger")).map(_.toInt))
 }
 
 object ConcatJsonFiles {
@@ -76,7 +77,8 @@ object ConcatJsonFiles {
   }
 }
 
-class ConcatJsonScanBuilder(path: String) extends ScanBuilder with Scan
+class ConcatJsonScanBuilder(path: String,
+    maxFilesPerTrigger: Option[Int] = None) extends ScanBuilder with Scan
     with Batch {
   override def build(): Scan = this
   override def readSchema(): StructType = ConcatJsonSource.schema
@@ -84,7 +86,7 @@ class ConcatJsonScanBuilder(path: String) extends ScanBuilder with Scan
 
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new ConcatJsonMicroBatchStream(path)
+    new ConcatJsonMicroBatchStream(path, maxFilesPerTrigger)
 
   override def planInputPartitions(): Array[InputPartition] =
     ConcatJsonFiles.list(path)
@@ -103,9 +105,12 @@ class ConcatJsonScanBuilder(path: String) extends ScanBuilder with Scan
   * recovery under checkpointing. Unbounded concatenated-JSON ingestion
   * was the reference's whole json mode (jsonstreamer.go:40-46).
   */
-class ConcatJsonMicroBatchStream(path: String)
-    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
-  import org.apache.spark.sql.connector.read.streaming.Offset
+class ConcatJsonMicroBatchStream(path: String,
+    maxFilesPerTrigger: Option[Int] = None)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming
+      .SupportsAdmissionControl {
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit, ReadMaxFiles}
 
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
@@ -118,6 +123,26 @@ class ConcatJsonMicroBatchStream(path: String)
 
   override def latestOffset(): Offset =
     FilesOffset(ConcatJsonFiles.list(path).toSet)
+
+  /** B1-style admission control: cap how many newly arrived files one
+    * micro-batch admits (`maxFilesPerTrigger`, matching the built-in
+    * file sources' knob) so a backlog drains in bounded batches
+    * instead of one giant catch-up batch.
+    */
+  override def getDefaultReadLimit: ReadLimit =
+    maxFilesPerTrigger.map(ReadLimit.maxFiles)
+      .getOrElse(ReadLimit.allAvailable())
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val seen = start.asInstanceOf[FilesOffset].files
+    val now = ConcatJsonFiles.list(path)
+    limit match {
+      case mf: ReadMaxFiles =>
+        val admitted = now.filterNot(seen).take(mf.maxFiles())
+        FilesOffset(seen ++ admitted)
+      case _ => FilesOffset(now.toSet)
+    }
+  }
 
   override def deserializeOffset(json: String): Offset =
     FilesOffset(mapper.readValue(json, classOf[Array[String]]).toSet)

@@ -41,6 +41,24 @@ class ConcatJsonSourceSpec extends SparkSpec {
     assert(spark.table("cjmb").count() == 5)
   }
 
+  test("maxFilesPerTrigger bounds each DSv2 micro-batch (B1 backpressure)") {
+    val dir = Files.createTempDirectory("graft-cjadm")
+    (1 to 3).foreach(i =>
+      Files.writeString(dir.resolve(s"f$i.json"), s"""{"k": $i}"""))
+    val q = spark.readStream.format("concat-json")
+      .option("maxFilesPerTrigger", "1").load(dir.toString)
+      .writeStream.format("memory").queryName("cjadm")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    val batches = q.recentProgress.filter(_.numInputRows > 0)
+    val total = spark.table("cjadm").count()
+    q.stop()
+    assert(total == 3)
+    assert(batches.length == 3, s"expected 3 bounded batches, got " +
+      batches.map(_.numInputRows).mkString(","))
+    assert(batches.forall(_.numInputRows == 1))
+  }
+
   test("pipes into from_json with the F2 null filter and E1 policy") {
     val dir = Files.createTempDirectory("graft-cj2")
     // malformed tail LAST: an unbalanced '{' swallows everything after
