@@ -30,6 +30,7 @@ object Pipeline {
           sum($"n_chars").as("sum_chars"))
         .orderBy($"lang", $"split")
     }),
+    "pipeline_training_prep_v2" -> ((s, d) => trainingPrepV2(s, d)),
     "pipeline_training_prep" -> ((s, d) => {
       import s.implicits._
       val docs = Tables.load(s, d, "documents")
@@ -53,6 +54,55 @@ object Pipeline {
         .orderBy($"doc_id")
     }))
 
+  /** The full modern prep flow in ONE optimized plan: quality filter →
+    * exact dedup (digest keeper) → NEAR-dup removal (blocked ngram
+    * pairs → connected components → keep cluster minima) →
+    * deterministic split assignment → embedding attach. Each stage is
+    * the scale shape proven for its standalone operator; composing
+    * them lets Catalyst push the quality predicates into the scan
+    * under everything else.
+    */
+  def trainingPrepV2(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val docs = Tables.load(s, d, "documents")
+    val embs = Tables.load(s, d, "embeddings")
+    val scored = docs
+      .withColumn("t", split(lower($"text"), "\\s+"))
+      .withColumn("ttr",
+        size(array_distinct($"t")).cast("double") /
+          size($"t").cast("double"))
+      .filter($"n_chars" >= 200 && $"ttr" >= 0.3)
+    val deduped = scored
+      .withColumn("digest", md5($"text"))
+      .withColumn("keeper",
+        min($"doc_id").over(
+          org.apache.spark.sql.expressions.Window.partitionBy($"digest")))
+      .filter($"doc_id" === $"keeper")
+      .drop("t", "digest", "keeper")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // near-dup clusters among the survivors; droppees = cluster
+    // members that are not the component minimum
+    val shingled = deduped
+      .withColumn("shh",
+        graft.functions.ShingleFunctions.shingle_hashes($"text"))
+      .withColumn("block", concat_ws("#", $"lang",
+        floor($"n_chars" / 100).cast("long")))
+      .select($"doc_id", $"block", $"shh")
+    val pairs = graft.dedup.Dedup.ngramJaccardOver(shingled, 0.6)
+    val droppees = graft.dedup.Dedup.connectedComponents(pairs)
+      .filter($"doc_id" =!= $"component")
+      .select($"doc_id")
+    deduped
+      .join(droppees, Seq("doc_id"), "left_anti")
+      .withColumn("split",
+        when(substring(md5($"text"), 1, 1) < lit("c"), lit("train"))
+          .otherwise(lit("test")))
+      .join(broadcast(embs), $"doc_id" === embs("vec_id"))
+      .select($"doc_id", $"lang", $"split", embs("label"))
+      .orderBy($"doc_id")
+  }
+
   def oracles: Map[String, String] = Map(
     "pipeline_split" ->
       """SELECT lang,
@@ -61,6 +111,55 @@ object Pipeline {
            CAST(count(*) AS BIGINT) AS n_docs,
            CAST(sum(n_chars) AS BIGINT) AS sum_chars
          FROM documents GROUP BY 1, 2 ORDER BY lang, split""",
+    "pipeline_training_prep_v2" ->
+      """WITH RECURSIVE scored AS (
+           SELECT doc_id, lang, source, n_chars, text,
+             CAST(len(list_distinct(string_split_regex(lower(text), '\s+'))) AS DOUBLE) /
+             CAST(len(string_split_regex(lower(text), '\s+')) AS DOUBLE) AS ttr
+           FROM documents
+           WHERE n_chars >= 200),
+         filtered AS (SELECT * FROM scored WHERE ttr >= 0.3),
+         dedup1 AS (
+           SELECT * FROM (
+             SELECT *, min(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+             FROM filtered)
+           WHERE doc_id = keeper),
+         shingled AS (
+           SELECT doc_id,
+             lang || '#' || CAST(CAST(floor(n_chars / 100) AS BIGINT) AS VARCHAR) AS block,
+             list_distinct(list_transform(
+               range(1, greatest(len(string_split_regex(lower(text), '\s+')) - 2, 0) + 1),
+               i -> string_split_regex(lower(text), '\s+')[i] || ' ' ||
+                    string_split_regex(lower(text), '\s+')[i+1] || ' ' ||
+                    string_split_regex(lower(text), '\s+')[i+2])) AS sh
+           FROM dedup1),
+         pairs AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM shingled a JOIN shingled b
+             ON a.block = b.block AND a.doc_id < b.doc_id
+           WHERE len(a.sh) > 0 AND len(b.sh) > 0 AND
+                 CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                 CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) >= 0.6),
+         edges AS (
+           SELECT doc_a AS src, doc_b AS dst FROM pairs
+           UNION ALL SELECT doc_b, doc_a FROM pairs),
+         reach(src, dst) AS (
+           SELECT src, dst FROM edges
+           UNION
+           SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         members AS (SELECT DISTINCT src AS doc_id FROM edges),
+         droppees AS (
+           SELECT m.doc_id FROM members m JOIN reach r ON r.src = m.doc_id
+           GROUP BY m.doc_id
+           HAVING m.doc_id <> least(m.doc_id, min(r.dst)))
+         SELECT d.doc_id, d.lang,
+           CASE WHEN substring(md5(d.text), 1, 1) < 'c'
+                THEN 'train' ELSE 'test' END AS split,
+           e.label
+         FROM dedup1 d
+         JOIN embeddings e ON d.doc_id = e.vec_id
+         WHERE d.doc_id NOT IN (SELECT doc_id FROM droppees)
+         ORDER BY d.doc_id""",
     "pipeline_training_prep" ->
       """WITH scored AS (
            SELECT doc_id, lang, source, n_chars, text,
