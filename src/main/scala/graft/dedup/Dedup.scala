@@ -296,6 +296,12 @@ object Dedup {
   def simhashOver(docs: DataFrame, maxHamming: Int): DataFrame = {
     val tokenRows = docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      // whitespace-only docs split to [""] — no content, nothing to
+      // near-dup, and the shared degenerate signature would pair
+      // EVERY empty doc with every other (quadratic at scale; the
+      // ScaleProbe surfaced this). Same guard as minhash's
+      // size(shh) > 0.
+      .filter(length(col("tok")) > 0)
       .withColumn("h", xxhash64(col("tok")))
     // custom TypedImperativeAggregate: one tight 64-bit-vote loop per
     // token. The declarative 64-sum-column formulation generated so

@@ -1,0 +1,77 @@
+package graft.tools
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Empirical scaling probe for the dedup hot paths: synthesize a k×
+  * corpus by unioning token-renamed copies of `documents` (prefixing
+  * every token with the copy index keeps each copy's internal near-dup
+  * structure — Jaccard is invariant under injective token renaming —
+  * while making cross-copy shingles disjoint), then time the full
+  * pipelines at 1×/2×/4×. A corpus-linear pipeline should show
+  * time(k×)/time(1×) ≈ k; a quadratic candidate stage shows k².
+  *
+  *   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
+  *     sbt "runMain graft.tools.ScaleProbe"
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
+      "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def corpus(mult: Int): DataFrame = {
+      val base = Tables.load(spark, sfDir, "documents")
+      (0 until mult).map { i =>
+        base.select(
+          (col("doc_id") + lit(i.toLong * 10000000L)).as("doc_id"),
+          regexp_replace(col("text"), "(\\S+)", s"c${i}_$$1").as("text"),
+          col("lang"), col("source"), col("n_chars"))
+      }.reduce(_ unionByName _)
+        .repartition(spark.sessionState.conf.numShufflePartitions)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
+    def shingled(docs: DataFrame): DataFrame =
+      docs.withColumn("shh",
+          graft.functions.ShingleFunctions.shingle_hashes(col("text")))
+        .withColumn("block", concat_ws("#", col("lang"),
+          floor(col("n_chars") / 100).cast("long")))
+        .select(col("doc_id"), col("block"), col("shh"))
+
+    def time(f: => Long): (Double, Long) = {
+      val t0 = System.nanoTime()
+      val rows = f
+      ((System.nanoTime() - t0) / 1e9, rows)
+    }
+
+    Seq(1, 2, 4).foreach { mult =>
+      val docs = corpus(mult)
+      val n = docs.count() // materialize input out of the timed region
+      val sh = shingled(docs)
+      val (tMin, rMin) = time(
+        graft.dedup.Dedup.minhashLshOver(sh, 0.5).count())
+      spark.catalog.clearCache()
+      val docs2 = corpus(mult); docs2.count()
+      val (tSim, rSim) = time(
+        graft.dedup.Dedup.simhashOver(docs2, 3).count())
+      spark.catalog.clearCache()
+      val docs3 = corpus(mult); docs3.count()
+      val (tNg, rNg) = time(
+        graft.dedup.Dedup.ngramJaccardOver(shingled(docs3), 0.5).count())
+      spark.catalog.clearCache()
+      println(f"[scale] mult=$mult docs=$n " +
+        f"minhash=$tMin%.1fs($rMin) simhash=$tSim%.1fs($rSim) " +
+        f"ngram(0.5)=$tNg%.1fs($rNg)")
+    }
+    spark.stop()
+  }
+}
