@@ -53,6 +53,16 @@ object ScaleProbe {
       ((System.nanoTime() - t0) / 1e9, rows)
     }
 
+    // untimed warm-up at 1×: codegen + JIT of the whole pipeline, so
+    // the timed 1× row measures the operator, not compilation
+    {
+      val w = corpus(1); w.count()
+      graft.dedup.Dedup.minhashLshOver(shingled(w), 0.5).count()
+      graft.dedup.Dedup.simhashOver(w, 3).count()
+      graft.dedup.Dedup.ngramJaccardOver(shingled(w), 0.5).count()
+      spark.catalog.clearCache()
+    }
+
     Seq(1, 2, 4).foreach { mult =>
       val docs = corpus(mult)
       val n = docs.count() // materialize input out of the timed region
