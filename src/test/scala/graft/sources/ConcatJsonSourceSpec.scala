@@ -59,6 +59,36 @@ class ConcatJsonSourceSpec extends SparkSpec {
     assert(batches.forall(_.numInputRows == 1))
   }
 
+  test("restart from checkpoint resumes at the stored file-set offset") {
+    val dir = Files.createTempDirectory("graft-cjck")
+    val ck = Files.createTempDirectory("graft-cjck-meta").toString
+    Files.writeString(dir.resolve("one.json"), """{"k": 1}""")
+    ConcatJsonSourceSpec.received.clear()
+    // memory sink refuses checkpoint recovery; foreachBatch supports it
+    def start() = spark.readStream.format("concat-json")
+      .load(dir.toString)
+      .writeStream
+      .option("checkpointLocation", ck)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.collect().foreach(r =>
+          ConcatJsonSourceSpec.received.add(r.getString(0)))
+      }
+      .start()
+    val q1 = start()
+    q1.processAllAvailable(); q1.stop()
+    assert(ConcatJsonSourceSpec.received.size() == 1)
+    ConcatJsonSourceSpec.received.clear()
+    // new file arrives while the query is DOWN; the restarted query
+    // must deserialize the committed offset and ingest only the delta
+    Files.writeString(dir.resolve("two.json"), """{"k": 2} {"k": 3}""")
+    val q2 = start()
+    q2.processAllAvailable(); q2.stop()
+    import scala.jdk.CollectionConverters._
+    val second = ConcatJsonSourceSpec.received.asScala.toSet
+    assert(second == Set("""{"k": 2}""", """{"k": 3}"""),
+      s"restart must skip already-committed files: $second")
+  }
+
   test("pipes into from_json with the F2 null filter and E1 policy") {
     val dir = Files.createTempDirectory("graft-cj2")
     // malformed tail LAST: an unbalanced '{' swallows everything after
@@ -73,4 +103,9 @@ class ConcatJsonSourceSpec extends SparkSpec {
       .as[Double].collect().toSeq.sorted
     assert(out == Seq(1.0, 2.0, 3.0))
   }
+}
+
+object ConcatJsonSourceSpec {
+  // executor-side collection (local mode shares the JVM)
+  val received = new java.util.concurrent.ConcurrentLinkedQueue[String]()
 }
