@@ -162,9 +162,14 @@ object Main {
           .select(graft.functions.CanonicalizeJson
             .canonicalize_json($"value", cfg.entries).as("data"))
           .filter($"data".isNotNull) // malformed value → E1 skip
-      case (JsonFormat, StringOutput) => // F2, raw value bytes through
+      case (JsonFormat, StringOutput) => // F2 + P3 without enrichment:
+        // the reference STILL re-marshals the decoded value in string
+        // mode — only the add-entries step is json-output-gated
+        // (jsonstreamer.go:48-58) — so canonicalization applies here too
         src.transform(Transforms.dropNullJson())
-          .select($"value".as("data"))
+          .select(graft.functions.CanonicalizeJson
+            .canonicalize_json($"value").as("data"))
+          .filter($"data".isNotNull)
     }
     shaped.transform(Transforms.withPartitionKey(hostId))
   }

@@ -105,6 +105,24 @@ class MainSpec extends SparkSpec {
       """{"LogFile":"AccessLog","c":1.0}""").sorted)
   }
 
+  test("json mode with string output canonicalizes but does not enrich") {
+    // jsonstreamer.go:48-58: add-entries are json-output-gated, but the
+    // decoded value is ALWAYS re-marshaled (key-sorted, float64)
+    val dir = Files.createTempDirectory("graft-cli-jstr")
+    Files.write(dir.resolve("a.json"), """{"b":2,"a":"x"}""".getBytes("UTF-8"))
+    val cfg = Main.parse(Seq("--format", "json", "--output-format", "string",
+      "--add-entry", "LogFile=ShouldNotAppear",
+      "--input-dir", dir.toString, "--once", "JsonStr")).toOption.get
+    InMemoryRecordsClient.clear()
+    val client = new InMemoryRecordsClient("mainspec-jstr")
+    val ck = Files.createTempDirectory("graft-cli-ck4").toString
+    val q = Main.run(spark, cfg, client, ck)
+    q.processAllAvailable(); q.stop()
+    val got = InMemoryRecordsClient.recordsFor("mainspec-jstr", "JsonStr")
+      .map(r => new String(r.data, "UTF-8"))
+    assert(got == Seq("""{"a":"x","b":2.0}"""))
+  }
+
   // ---------------------- end-to-end: access-log fixture (SURVEY §5.5)
   test("access-log fixture: NDJSON through json mode, payload bytes + FIFO") {
     val rec1 =
