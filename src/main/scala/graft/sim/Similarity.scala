@@ -54,10 +54,26 @@ object Similarity {
     */
   private val NumPlanes = 8
   private val Dim = 64
-  private val planes: Seq[Seq[Double]] = {
+  /** Seeded hyperplanes for a given plane count — deterministic across
+    * driver re-runs, and a prefix-stable sequence (plane i is the same
+    * regardless of how many planes follow it).
+    */
+  private def planesOf(n: Int): Seq[Seq[Double]] = {
     val rnd = new scala.util.Random(7)
-    Seq.fill(NumPlanes)(Seq.fill(Dim)(rnd.nextGaussian()))
+    Seq.fill(n)(Seq.fill(Dim)(rnd.nextGaussian()))
   }
+  private val planes: Seq[Seq[Double]] = planesOf(NumPlanes)
+
+  /** Plane count sized to the corpus: each added plane halves expected
+    * bucket occupancy, so `planes = log2(n / targetBucket)` keeps the
+    * per-probe candidate count ~constant as the corpus grows — the
+    * property that makes the index sublinear. Floor 4 (buckets empty
+    * below that at small n), cap 24 (16M buckets; beyond that the
+    * signature cost dominates).
+    */
+  def planesFor(n: Long, targetBucket: Int = 64): Int =
+    math.min(24, math.max(4,
+      math.ceil(math.log(n.toDouble / targetBucket) / math.log(2.0)).toInt))
 
   /** Native codegen dot-product against the literal hyperplane — the
     * interpreted `aggregate(zip_with(...))` formulation made the
@@ -67,11 +83,13 @@ object Similarity {
   private def dotLit(emb: Column, plane: Seq[Double]): Column =
     graft.functions.VectorFunctions.dot_product(emb, typedLit(plane))
 
-  /** 16-bit sign signature of an embedding. */
-  def lshSignature(emb: Column): Column =
-    (0 until NumPlanes).map { p =>
-      when(dotLit(emb, planes(p)) > 0, lit(1 << p)).otherwise(lit(0))
+  /** Sign signature of an embedding over `nPlanes` hyperplanes. */
+  def lshSignature(emb: Column, nPlanes: Int = NumPlanes): Column = {
+    val ps = planesOf(nPlanes)
+    (0 until nPlanes).map { p =>
+      when(dotLit(emb, ps(p)) > 0, lit(1 << p)).otherwise(lit(0))
     }.reduce(_ + _)
+  }
 
   /** Candidate buckets for a query signature: the bucket itself plus
     * all masks of ≤probeBits flipped bits (multiprobe). The knob IS
@@ -80,10 +98,11 @@ object Similarity {
     * monotonically (asserted in SimilaritySpec) while cost stays
     * corpus-size-independent per probe.
     */
-  private def probeBuckets(sig: Column, probeBits: Int): Column = {
-    val oneBit = (0 until NumPlanes).map(1 << _)
+  private def probeBuckets(sig: Column, probeBits: Int,
+      nPlanes: Int = NumPlanes): Column = {
+    val oneBit = (0 until nPlanes).map(1 << _)
     val twoBit = for {
-      i <- 0 until NumPlanes; j <- (i + 1) until NumPlanes
+      i <- 0 until nPlanes; j <- (i + 1) until nPlanes
     } yield (1 << i) | (1 << j)
     val masks = probeBits match {
       case 0 => Seq.empty[Int]
@@ -94,13 +113,27 @@ object Similarity {
   }
 
   def lshTopK(s: SparkSession, d: String, k: Int = 10, probeBits: Int = 1)
-      : DataFrame = {
+      : DataFrame = lshTopKWith(s, d, k, probeBits, NumPlanes)
+
+  /** Corpus-sized variant: the plane count is derived from the corpus
+    * cardinality so bucket occupancy stays ~targetBucket regardless of
+    * scale (at 100 TB the count comes from table stats, not a scan).
+    */
+  def lshTopKAuto(s: SparkSession, d: String, k: Int = 10,
+      probeBits: Int = 1, targetBucket: Int = 64): DataFrame = {
+    val n = Tables.load(s, d, "embeddings").count()
+    lshTopKWith(s, d, k, probeBits, planesFor(n, targetBucket))
+  }
+
+  def lshTopKWith(s: SparkSession, d: String, k: Int, probeBits: Int,
+      nPlanes: Int): DataFrame = {
     val e = Tables.load(s, d, "embeddings")
-      .withColumn("bucket", lshSignature(col("embedding")))
+      .withColumn("bucket", lshSignature(col("embedding"), nPlanes))
     val q = queryVecs(e.drop("bucket"))
-      .withColumn("q_sig", lshSignature(col("q_emb")))
+      .withColumn("q_sig", lshSignature(col("q_emb"), nPlanes))
       .select(col("q_id"), col("q_emb"),
-        explode(probeBuckets(col("q_sig"), probeBits)).as("bucket"))
+        explode(probeBuckets(col("q_sig"), probeBits, nPlanes))
+          .as("bucket"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(desc("cosine"), col("vec_id"))
     e.join(broadcast(q), Seq("bucket"))

@@ -10,6 +10,27 @@ class SimilaritySpec extends SparkSpec {
   private def topSets(rows: Array[(Long, Long, Long)]): Map[Long, Set[Long]] =
     rows.groupBy(_._1).map { case (q, rs) => q -> rs.map(_._3).toSet }
 
+  test("auto plane count keeps bucket occupancy flat as corpus grows") {
+    // each added plane halves expected occupancy: n / 2^planes stays
+    // within a constant factor of the target across 6 orders of corpus
+    for (n <- Seq(1000L, 100000L, 10000000L, 1000000000L)) {
+      val p = Similarity.planesFor(n, targetBucket = 64)
+      val occ = n.toDouble / math.pow(2, p)
+      assert(p >= 4 && p <= 24)
+      if (p > 4 && p < 24) // inside the clamp, occupancy tracks target
+        assert(occ >= 16 && occ <= 256,
+          s"n=$n planes=$p occupancy=$occ off target")
+    }
+    assert(Similarity.planesFor(1000000000L) >
+      Similarity.planesFor(1000000L))
+    // auto query returns ranked neighbors like the fixed-plane form
+    val out = Similarity.lshTopKAuto(spark, sf, targetBucket = 32)
+      .select("q_id", "rank", "vec_id").as[(Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    assert(out.groupBy(_._1).values.forall(_.map(_._2).toSet
+      .subsetOf((1L to 10L).toSet)))
+  }
+
   test("k-means convergence stop ends Lloyd iterations early on separable data") {
     // two tight, well-separated clusters: one iteration snaps the
     // centroids and the next moves ~0 — the tol stop must fire long
