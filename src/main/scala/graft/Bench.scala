@@ -31,6 +31,7 @@ object Bench {
       .map(_.split(",").map(_.trim).toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
+    val failed = scala.collection.mutable.ArrayBuffer[String]()
     val results = selected.map {
       case (name, fn) =>
         val t0 = System.nanoTime()
@@ -45,6 +46,10 @@ object Bench {
           fn(spark, sfDir)
             .agg(bit_xor(xxhash64(struct(col("*"))))).collect()
         } catch { case t: Throwable =>
+          // record the failure in the machine-readable output too — a
+          // throwing query's time-to-fail would otherwise read as an
+          // impressively fast query in the summary JSON
+          failed += name
           System.err.println(s"[bench] $name FAILED: ${t.getMessage}")
         }
         val sec = (System.nanoTime() - t0) / 1e9
@@ -58,8 +63,9 @@ object Bench {
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val fj = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fj,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -43,6 +43,7 @@ object Main {
       region: Option[String] = None,
       profile: Option[String] = None,
       inputDir: Option[String] = None,
+      checkpointDir: Option[String] = None,
       once: Boolean = false,
       help: Boolean = false)
 
@@ -57,6 +58,10 @@ object Main {
       |  -r, --region REGION            AWS region (SDK transport only)
       |  -p, --profile PROFILE          AWS credentials profile (SDK transport only)
       |      --input-dir DIR            directory to tail (required to run)
+      |      --checkpoint-dir DIR       streaming checkpoint location
+      |                                 (default: stable per input-dir+stream,
+      |                                 so restarts resume; --once uses a
+      |                                 fresh temp dir)
       |      --once                     drain available input, then exit
       |  -h, --help                     show this message
       |""".stripMargin
@@ -86,6 +91,10 @@ object Main {
       def v(): Either[(String, Int), String] =
         inline.map(Right(_)).getOrElse(value(flag))
       flag match {
+        // boolean flags take no value — `--once=false` silently meaning
+        // TRUE would invert the user's intent, so reject it outright
+        case "-h" | "--help" | "--once" if inline.isDefined =>
+          return Left((s"Option $flag does not take a value", 2))
         case "-h" | "--help" => cfg = cfg.copy(help = true)
         case "-f" | "--format" => v() match {
           case Right("line") => cfg = cfg.copy(format = LineFormat)
@@ -121,6 +130,10 @@ object Main {
         }
         case "--input-dir" => v() match {
           case Right(d) => cfg = cfg.copy(inputDir = Some(d))
+          case Left(e) => return Left(e)
+        }
+        case "--checkpoint-dir" => v() match {
+          case Right(d) => cfg = cfg.copy(checkpointDir = Some(d))
           case Left(e) => return Left(e)
         }
         case "--once" => cfg = cfg.copy(once = true)
@@ -184,10 +197,13 @@ object Main {
       throw new IllegalArgumentException("--input-dir is required"))
     val src = cfg.format match {
       case LineFormat => StreamOps.lineStream(spark, dir)
-      // the DSv2 streaming source: checkpointable file-set offsets +
-      // the same maxFilesPerTrigger admission control as line mode
-      case JsonFormat => spark.readStream.format("concat-json")
-        .option("maxFilesPerTrigger", "16").load(dir)
+      // wholetext wrapper, not the concat-json DSv2 stream: the CLI's
+      // follow mode is unbounded, and the built-in file source behind
+      // the wrapper keeps a COMPACTED seen-files log, where the DSv2
+      // source's file-set offsets grow with every file ever ingested
+      // (fine for the bounded backlogs it demos; wrong for a
+      // weeks-long tail)
+      case JsonFormat => StreamOps.concatJsonStream(spark, dir)
     }
     KinesisSink.writeStream(
       pipeline(src, cfg, HostId.cached), cfg.stream, client, checkpointDir)
@@ -220,8 +236,22 @@ object Main {
         // the SDK-backed client (graft.sinks.SdkRecordsClient scaladoc
         // documents the drop-in shape for --region/--profile)
         val client = new InMemoryRecordsClient("cli")
-        val ck = java.nio.file.Files
-          .createTempDirectory("graft-cli-ck").toString
+        // follow mode must RESUME across restarts — a fresh temp
+        // checkpoint would re-ingest the whole directory and
+        // double-deliver every record. Default to a location derived
+        // from (input-dir, stream) so the same invocation finds its
+        // own offsets; --once drains are one-shot and get a temp dir.
+        val ck = cfg.checkpointDir.getOrElse {
+          if (cfg.once)
+            java.nio.file.Files.createTempDirectory("graft-cli-ck")
+              .toString
+          else {
+            val id = java.security.MessageDigest.getInstance("MD5")
+              .digest(s"${cfg.inputDir.get}#${cfg.stream}"
+                .getBytes("UTF-8")).map("%02x".format(_)).mkString
+            s"${sys.props("java.io.tmpdir")}/graft-ck-$id"
+          }
+        }
         val q = run(spark, cfg, client, ck)
         if (cfg.once) {
           q.processAllAvailable()

@@ -399,6 +399,11 @@ object Dedup {
     }
     edges.unpersist()
     pairs.unpersist()
+    // NOTE the returned frame still reads the final `labels` cache —
+    // it cannot be released here without recomputing the whole loop
+    // lineage on first use. Library callers running many queries in
+    // one session should spark.catalog.clearCache() between them (the
+    // Bench and Verify harnesses both do).
     labels.select(col("label").as("component"), col("doc_id"))
       .orderBy(col("component"), col("doc_id"))
   }

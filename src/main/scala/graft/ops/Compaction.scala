@@ -34,6 +34,25 @@ object Compaction {
     */
   def compactParquet(spark: SparkSession, dir: String,
       targetBytes: Long = 128L * 1024 * 1024): Int = {
+    // flat-directory contract, checked BEFORE anything is deleted: a
+    // partitioned layout or a streaming sink's _spark_metadata
+    // subdirectory would otherwise fail the swap mid-deletion and
+    // leave the table missing an arbitrary subset of files. Compact
+    // partitioned tables per leaf directory; metadata-logged sink
+    // output must be rewritten through the log, not swapped under it.
+    {
+      val p = java.nio.file.Paths.get(dir)
+      val s = java.nio.file.Files.list(p)
+      val subdirs =
+        try { import scala.jdk.CollectionConverters._
+          s.iterator().asScala
+            .filter(java.nio.file.Files.isDirectory(_)).map(_.toString)
+            .toList }
+        finally s.close()
+      require(subdirs.isEmpty,
+        s"compactParquet works on flat directories only; $dir contains " +
+          s"subdirectories: ${subdirs.mkString(", ")}")
+    }
     val nOut = math.max(1,
       math.ceil(dataBytes(dir).toDouble / targetBytes).toInt)
     val tmp = dir + "_compacting"

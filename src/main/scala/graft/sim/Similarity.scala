@@ -245,12 +245,14 @@ object Similarity {
       cents.count()
       itersRun += 1
       if (tol > 0.0) {
-        val moved = prev
+        val movedRow = prev
           .withColumnRenamed("centroid", "c_prev")
           .join(cents.withColumnRenamed("centroid", "c_next"), Seq("cell"))
           .agg(max(lit(1.0) - cosine(col("c_prev"), col("c_next"))))
-          .head.getDouble(0)
-        converged = moved <= tol
+          .head
+        // max over zero rows (empty input / all cells lost) is null —
+        // treat as converged rather than NPE on getDouble
+        converged = movedRow.isNullAt(0) || movedRow.getDouble(0) <= tol
       }
       prev.unpersist()
     }

@@ -1,6 +1,7 @@
 package graft.sinks
 
 import graft.sinks.KinesisSink.{PutResult, RecordEntry, RecordsClient}
+import java.lang.reflect.Method
 
 /** AWS-SDK-backed transport for [[KinesisSink]] — the production
   * implementation of the `RecordsClient` seam (reference
@@ -10,8 +11,13 @@ import graft.sinks.KinesisSink.{PutResult, RecordEntry, RecordsClient}
   * The AWS SDK cannot resolve in this build (offline classpath), so
   * the SDK types are reached by reflection: this class COMPILES here,
   * and works unchanged the moment `software.amazon.awssdk:kinesis` is
-  * on the runtime classpath. The equivalent direct SDK-v2 code — what
-  * the reflective calls below spell out — is:
+  * on the runtime classpath. Every method is resolved on the PUBLIC
+  * interface/builder types (KinesisClientBuilder,
+  * PutRecordsRequestEntry.Builder, …), never via `getClass` — the
+  * SDK's concrete builder/client classes are package-private, and a
+  * Method resolved from a non-public declaring class throws
+  * IllegalAccessException on invoke. The equivalent direct SDK-v2
+  * code — what the reflective calls below spell out — is:
   *
   * {{{
   * val b = KinesisClient.builder()
@@ -40,27 +46,6 @@ import graft.sinks.KinesisSink.{PutResult, RecordEntry, RecordsClient}
 class SdkRecordsClient(region: Option[String] = None,
     profile: Option[String] = None) extends RecordsClient {
 
-  // resolved lazily per executor after deserialization
-  @transient private lazy val client: AnyRef = {
-    val builderCls = loadSdk("software.amazon.awssdk.services.kinesis.KinesisClient")
-    var b = builderCls.getMethod("builder").invoke(null)
-    region.foreach { r =>
-      val regionCls = loadSdk("software.amazon.awssdk.regions.Region")
-      val reg = regionCls.getMethod("of", classOf[String]).invoke(null, r)
-      b = b.getClass.getMethod("region", regionCls).invoke(b, reg)
-    }
-    profile.foreach { p =>
-      val provCls = loadSdk(
-        "software.amazon.awssdk.auth.credentials.ProfileCredentialsProvider")
-      val prov = provCls.getMethod("create", classOf[String]).invoke(null, p)
-      val credsIface = loadSdk(
-        "software.amazon.awssdk.auth.credentials.AwsCredentialsProvider")
-      b = b.getClass.getMethod("credentialsProvider", credsIface)
-        .invoke(b, prov)
-    }
-    b.getClass.getMethod("build").invoke(b)
-  }
-
   private def loadSdk(name: String): Class[_] =
     try Class.forName(name)
     catch {
@@ -70,45 +55,84 @@ class SdkRecordsClient(region: Option[String] = None,
           "wire a different RecordsClient (tests: InMemoryRecordsClient).")
     }
 
-  override def putRecords(streamName: String,
-      records: Seq[RecordEntry]): PutResult = {
+  // all lookups on PUBLIC types; impl classes are package-private
+  @transient private lazy val api = new {
+    val clientIface =
+      loadSdk("software.amazon.awssdk.services.kinesis.KinesisClient")
+    val builderIface = loadSdk(
+      "software.amazon.awssdk.services.kinesis.KinesisClientBuilder")
+    val regionCls = loadSdk("software.amazon.awssdk.regions.Region")
+    val credsIface = loadSdk(
+      "software.amazon.awssdk.auth.credentials.AwsCredentialsProvider")
+    val profProvCls = loadSdk(
+      "software.amazon.awssdk.auth.credentials.ProfileCredentialsProvider")
     val sdkBytesCls = loadSdk("software.amazon.awssdk.core.SdkBytes")
     val entryCls = loadSdk(
       "software.amazon.awssdk.services.kinesis.model.PutRecordsRequestEntry")
+    val entryBuilderIface = loadSdk(
+      "software.amazon.awssdk.services.kinesis.model.PutRecordsRequestEntry$Builder")
     val reqCls = loadSdk(
       "software.amazon.awssdk.services.kinesis.model.PutRecordsRequest")
+    val reqBuilderIface = loadSdk(
+      "software.amazon.awssdk.services.kinesis.model.PutRecordsRequest$Builder")
+    val respCls = loadSdk(
+      "software.amazon.awssdk.services.kinesis.model.PutRecordsResponse")
+    val resultEntryCls = loadSdk(
+      "software.amazon.awssdk.services.kinesis.model.PutRecordsResultEntry")
 
-    val entries = records.map { r =>
-      var eb = entryCls.getMethod("builder").invoke(null)
-      val bytes = sdkBytesCls
+    val putRecords: Method = clientIface.getMethod("putRecords", reqCls)
+    val respRecords: Method = respCls.getMethod("records")
+    val errorCode: Method = resultEntryCls.getMethod("errorCode")
+    val errorMessage: Method = resultEntryCls.getMethod("errorMessage")
+  }
+
+  // resolved lazily per executor after deserialization
+  @transient private lazy val client: AnyRef = {
+    val b = api.clientIface.getMethod("builder").invoke(null)
+    region.foreach { r =>
+      val reg = api.regionCls.getMethod("of", classOf[String])
+        .invoke(null, r)
+      api.builderIface.getMethod("region", api.regionCls).invoke(b, reg)
+    }
+    profile.foreach { p =>
+      val prov = api.profProvCls.getMethod("create", classOf[String])
+        .invoke(null, p)
+      api.builderIface.getMethod("credentialsProvider", api.credsIface)
+        .invoke(b, prov)
+    }
+    api.builderIface.getMethod("build").invoke(b)
+  }
+
+  override def putRecords(streamName: String,
+      records: Seq[RecordEntry]): PutResult = {
+    val entries = new java.util.ArrayList[AnyRef](records.size)
+    records.foreach { r =>
+      val eb = api.entryCls.getMethod("builder").invoke(null)
+      val bytes = api.sdkBytesCls
         .getMethod("fromByteArray", classOf[Array[Byte]])
         .invoke(null, r.data)
-      eb = eb.getClass.getMethod("data", sdkBytesCls).invoke(eb, bytes)
-      eb = eb.getClass.getMethod("partitionKey", classOf[String])
+      api.entryBuilderIface.getMethod("data", api.sdkBytesCls)
+        .invoke(eb, bytes)
+      api.entryBuilderIface.getMethod("partitionKey", classOf[String])
         .invoke(eb, r.partitionKey)
-      eb.getClass.getMethod("build").invoke(eb)
+      entries.add(api.entryBuilderIface.getMethod("build").invoke(eb))
     }
-    var rb = reqCls.getMethod("builder").invoke(null)
-    rb = rb.getClass.getMethod("streamName", classOf[String])
+    val rb = api.reqCls.getMethod("builder").invoke(null)
+    api.reqBuilderIface.getMethod("streamName", classOf[String])
       .invoke(rb, streamName)
-    rb = rb.getClass.getMethod("records", classOf[java.util.Collection[_]])
-      .invoke(rb, new java.util.ArrayList[AnyRef] {
-        entries.foreach(add)
-      })
-    val req = rb.getClass.getMethod("build").invoke(rb)
+    api.reqBuilderIface
+      .getMethod("records", classOf[java.util.Collection[_]])
+      .invoke(rb, entries)
+    val req = api.reqBuilderIface.getMethod("build").invoke(rb)
 
-    val resp = client.getClass
-      .getMethod("putRecords", reqCls).invoke(client, req)
-    val recs = resp.getClass.getMethod("records").invoke(resp)
+    val resp = api.putRecords.invoke(client, req)
+    val recs = api.respRecords.invoke(resp)
       .asInstanceOf[java.util.List[AnyRef]]
     val failures = (0 until recs.size()).flatMap { idx =>
       val rec = recs.get(idx)
-      val code = rec.getClass.getMethod("errorCode").invoke(rec)
+      val code = api.errorCode.invoke(rec)
       if (code == null) None
-      else {
-        val msg = rec.getClass.getMethod("errorMessage").invoke(rec)
-        Some(idx -> s"$code: $msg")
-      }
+      else Some(idx -> s"$code: ${api.errorMessage.invoke(rec)}")
     }
     PutResult(failures.map(_._1), failures.map(_._2))
   }

@@ -104,6 +104,12 @@ class ConcatJsonScanBuilder(path: String,
   * batches (start/end offsets pin the file set) for at-least-once
   * recovery under checkpointing. Unbounded concatenated-JSON ingestion
   * was the reference's whole json mode (jsonstreamer.go:40-46).
+  *
+  * Scope: suited to bounded backlogs and rotating directories — the
+  * offset carries every file ever ingested, so a weeks-long tail of a
+  * busy directory grows the offset log without bound (the built-in
+  * file source behind StreamOps.concatJsonStream keeps a compacted
+  * seen-files log instead; the CLI's follow mode uses that wrapper).
   */
 class ConcatJsonMicroBatchStream(path: String,
     maxFilesPerTrigger: Option[Int] = None)

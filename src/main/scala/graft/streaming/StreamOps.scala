@@ -134,7 +134,14 @@ object StreamOps {
                 (e.ts.getTime == st.clickTs && e.event_id > st.clickId))
                 st = AsofState(e.event_id, e.value, e.ts.getTime)
             } else if (e.event_type == "purchase" &&
-              st.clickTs != Long.MinValue) {
+              st.clickTs != Long.MinValue &&
+              // at-or-before contract ACROSS batches too: a purchase
+              // arriving event-time-late must not match a click that
+              // happened after it (the O(1) state can't recover the
+              // overwritten earlier click, so the late purchase goes
+              // unmatched — a miss, never a wrong match; bound late
+              // data with a watermark upstream if misses matter)
+              st.clickTs <= e.ts.getTime) {
               out += AsofMatch(e.event_id, uid, e.ts, st.clickId,
                 st.clickValue)
             }

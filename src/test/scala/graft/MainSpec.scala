@@ -25,13 +25,16 @@ class MainSpec extends SparkSpec {
     assert(reject() == "Kinesis stream must be specified.")
     assert(reject("stream1", "stream2").contains("stream2"))
     assert(reject("--bogus", "s").contains("Unknown option"))
+    // --once=false would silently mean TRUE; boolean flags reject values
+    assert(reject("--once=false", "s").contains("does not take a value"))
   }
 
   test("parse accepts the reference's full flag surface") {
     val cfg = Main.parse(Seq("-f", "json", "--output-format=json",
       "-k", "Line", "-I", "LogFile=AccessLog", "-I", "Env=prod",
       "--region", "us-west-2", "--profile", "dev",
-      "--input-dir", "/logs", "--once", "my-stream")) match {
+      "--input-dir", "/logs", "--checkpoint-dir", "/ck",
+      "--once", "my-stream")) match {
       case Right(c) => c
       case Left(e) => fail(s"unexpected rejection: $e")
     }
@@ -42,6 +45,7 @@ class MainSpec extends SparkSpec {
     assert(cfg.region.contains("us-west-2"))
     assert(cfg.profile.contains("dev"))
     assert(cfg.inputDir.contains("/logs"))
+    assert(cfg.checkpointDir.contains("/ck"))
     assert(cfg.once && cfg.stream == "my-stream")
   }
 

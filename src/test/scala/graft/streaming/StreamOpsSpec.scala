@@ -142,11 +142,17 @@ class StreamOpsSpec extends SparkSpec {
     in.addData(
       TypedEvent(1L, ts("2024-01-01 11:00:00"), "purchase", 101L, 2.50))
     q.processAllAvailable()
+    // batch 3: an event-time-LATE purchase (before the stored click)
+    // must not match the later click — miss, never a wrong match
+    in.addData(
+      TypedEvent(1L, ts("2024-01-01 09:00:00"), "purchase", 102L, 1.0))
+    q.processAllAvailable()
     val out = spark.table("asof")
       .as[AsofMatch].collect().map(m => m.event_id -> m.click_event_id)
       .toMap
     q.stop()
-    // user 2 had no prior click → no match (inner as-of semantics)
+    // user 2 had no prior click → no match (inner as-of semantics);
+    // late purchase 102 absent
     assert(out == Map(100L -> 10L, 101L -> 10L))
   }
 
