@@ -23,8 +23,15 @@ object Relational {
         .agg(
           round(sum($"l_quantity"), 2).as("sum_qty"),
           round(sum($"l_extendedprice"), 2).as("sum_base_price"),
-          round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2)
-            .as("sum_disc_price"),
+          // product of 2dp values lands arbitrarily on the cent grid,
+          // so round(sum(double), 2) can flip at a half-cent boundary
+          // where engines' sums differ by ulps (bit q3 at sf0.1);
+          // integer-cents sum is order-independent and exact. Plain
+          // 2dp sums (qty, base price) sit ~1e-7 from a grid point —
+          // no boundary to hit — and stay in the rounded form.
+          (sum(round($"l_extendedprice" * 100).cast("long") *
+            (lit(100L) - round($"l_discount" * 100).cast("long"))) /
+            10000.0).as("sum_disc_price"),
           count(lit(1)).as("count_order"))
         .orderBy($"l_returnflag", $"l_linestatus")
     }),
@@ -51,8 +58,16 @@ object Relational {
         .filter(o("o_orderstatus") === "O")
         .groupBy(c("c_custkey"), c("c_name"))
         .agg(
-          round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2)
-            .as("revenue"),
+          // exact integer-cents arithmetic: prices/discounts are 2dp
+          // values, so round(x*100) recovers exact integers and the
+          // revenue sum is a BIGINT sum — order-independent and
+          // bit-identical across engines — with ONE final division.
+          // The round(sum(double), 2) formulation flipped a cent at
+          // sf0.1 where the float sum landed on a half-cent boundary
+          // (Spark rounds the decimal string, DuckDB the raw double).
+          (sum(round($"l_extendedprice" * 100).cast("long") *
+            (lit(100L) - round($"l_discount" * 100).cast("long"))) /
+            10000.0).as("revenue"),
           count(lit(1)).as("n_items"))
         .orderBy(desc("revenue"), $"c_custkey")
         .limit(100)
@@ -474,7 +489,9 @@ object Relational {
       """SELECT l_returnflag, l_linestatus,
          round(sum(l_quantity), 2) AS sum_qty,
          round(sum(l_extendedprice), 2) AS sum_base_price,
-         round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+                  (100 - CAST(round(l_discount * 100) AS BIGINT)))
+              AS BIGINT) / 10000.0 AS sum_disc_price,
          count(*) AS count_order
          FROM lineitem GROUP BY l_returnflag, l_linestatus
          ORDER BY l_returnflag, l_linestatus""",
@@ -483,7 +500,9 @@ object Relational {
          WHERE p_size >= 30 AND p_type = 'ECONOMY' ORDER BY p_partkey""",
     "q3_join_agg" ->
       """SELECT c_custkey, c_name,
-         round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+                  (100 - CAST(round(l_discount * 100) AS BIGINT)))
+              AS BIGINT) / 10000.0 AS revenue,
          count(*) AS n_items
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          JOIN customer ON o_custkey = c_custkey
