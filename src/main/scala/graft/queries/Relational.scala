@@ -381,18 +381,35 @@ object Relational {
 
     "q25_stats" -> ((s, d) => {
       import s.implicits._
-      // statistical aggregates; rounded to 2 decimals — stddev/corr
-      // accumulate in fold-order-dependent doubles, and 2dp absorbs
-      // the cross-engine ulp noise
+      // statistical aggregates via EXACT integer moments: value is a
+      // 2dp double (→ cents) and k is integral, so every sum is an
+      // order-independent BIGINT — both engines then evaluate the
+      // identical float expression on identical inputs, and the final
+      // round(_, 2) has no cross-engine ulp noise to flip at a
+      // half-way boundary (streaming stddev/corr accumulate in
+      // fold-order-dependent doubles, the same latent flake the q1/q3
+      // revenue sums hit at sf0.1). Moment magnitudes stay < 2^62 up
+      // to sf≈1; beyond that, widen to decimal sums.
+      val c = round($"value" * 100).cast("long")
+      val k = get_json_object($"props", "$.k").cast("double").cast("long")
       Tables.load(s, d, "events")
-        .withColumn("k", get_json_object($"props", "$.k").cast("double"))
+        .select($"event_type", c.as("c"), k.as("k"))
         .groupBy($"event_type")
-        .agg(
-          round(avg($"value"), 2).as("mean_value"),
-          round(stddev_samp($"value"), 2).as("sd_value"),
-          round(var_samp($"value"), 2).as("var_value"),
-          round(corr($"value", $"k"), 2).as("corr_vk"),
-          count(lit(1)).as("n"))
+        .agg(count(lit(1)).as("n0"),
+          sum($"c").as("s1"), sum($"c" * $"c").as("s2"),
+          sum($"k").as("sk"), sum($"k" * $"k").as("skk"),
+          sum($"c" * $"k").as("svk"))
+        .select($"event_type",
+          round($"s1" / ($"n0" * 100.0), 2).as("mean_value"),
+          round(sqrt(($"n0" * $"s2" - $"s1" * $"s1").cast("double") /
+            ($"n0" * ($"n0" - 1)) / 10000.0), 2).as("sd_value"),
+          round(($"n0" * $"s2" - $"s1" * $"s1").cast("double") /
+            ($"n0" * ($"n0" - 1)) / 10000.0, 2).as("var_value"),
+          round(($"n0" * $"svk" - $"s1" * $"sk").cast("double") /
+            (sqrt(($"n0" * $"s2" - $"s1" * $"s1").cast("double")) *
+              sqrt(($"n0" * $"skk" - $"sk" * $"sk").cast("double"))), 2)
+            .as("corr_vk"),
+          $"n0".as("n"))
         .orderBy($"event_type")
     }),
 
@@ -647,13 +664,30 @@ object Relational {
          WHERE e.event_type = 'error'
          GROUP BY e.event_id ORDER BY e.event_id""",
     "q25_stats" ->
-      """SELECT event_type,
-         round(avg(value), 2) AS mean_value,
-         round(stddev_samp(value), 2) AS sd_value,
-         round(var_samp(value), 2) AS var_value,
-         round(corr(value, CAST(json_extract_string(props, '$.k') AS DOUBLE)), 2) AS corr_vk,
-         count(*) AS n
-         FROM events GROUP BY event_type ORDER BY event_type""",
+      """WITH m AS (
+           SELECT event_type, count(*) AS n0,
+             CAST(sum(c) AS BIGINT) AS s1,
+             CAST(sum(c * c) AS BIGINT) AS s2,
+             CAST(sum(k) AS BIGINT) AS sk,
+             CAST(sum(k * k) AS BIGINT) AS skk,
+             CAST(sum(c * k) AS BIGINT) AS svk
+           FROM (SELECT event_type,
+                   CAST(round(value * 100) AS BIGINT) AS c,
+                   CAST(CAST(json_extract_string(props, '$.k') AS DOUBLE)
+                        AS BIGINT) AS k
+                 FROM events)
+           GROUP BY event_type)
+         SELECT event_type,
+           round(CAST(s1 AS DOUBLE) / (n0 * 100.0), 2) AS mean_value,
+           round(sqrt(CAST(n0 * s2 - s1 * s1 AS DOUBLE) /
+             (n0 * (n0 - 1)) / 10000.0), 2) AS sd_value,
+           round(CAST(n0 * s2 - s1 * s1 AS DOUBLE) /
+             (n0 * (n0 - 1)) / 10000.0, 2) AS var_value,
+           round(CAST(n0 * svk - s1 * sk AS DOUBLE) /
+             (sqrt(CAST(n0 * s2 - s1 * s1 AS DOUBLE)) *
+              sqrt(CAST(n0 * skk - sk * sk AS DOUBLE))), 2) AS corr_vk,
+           n0 AS n
+         FROM m ORDER BY event_type""",
     "q23_csv_roundtrip" ->
       """SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS sum_qty,
          count(DISTINCT l_orderkey) AS n_orders
