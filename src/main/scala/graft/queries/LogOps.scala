@@ -75,8 +75,10 @@ object LogOps {
     // json-mode input path inside the oracle gate.
     "ref_concat_json_source" -> ((s, d) => {
       import s.implicits._
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft-cjsrc").toString
+      // fixed scratch path, not a fresh temp dir per run — repeated
+      // bench/verify invocations would otherwise accumulate in /tmp
+      // (overwrite mode makes reruns safe)
+      val tmp = s"${sys.props("java.io.tmpdir")}/graft-scratch/cjsrc"
       Tables.load(s, d, "events").select($"props").coalesce(1)
         .write.mode("overwrite").text(tmp)
       s.read.format("concat-json").load(tmp)

@@ -419,8 +419,8 @@ object Relational {
       // schema read-back) → aggregate. Integral doubles + strings only
       // so text serialization is lossless; oracle aggregates the
       // parquet source directly.
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft-csv").toString
+      // fixed scratch path (see LogOps cjsrc note): bounded /tmp use
+      val tmp = s"${sys.props("java.io.tmpdir")}/graft-scratch/csv"
       Tables.load(s, d, "lineitem")
         .select($"l_orderkey", $"l_returnflag", $"l_quantity")
         // single writer task (one parquet split in) measured FASTER
@@ -440,8 +440,8 @@ object Relational {
     "q24_orc_roundtrip" -> ((s, d) => {
       import s.implicits._
       // ORC connector coverage: full-fidelity binary roundtrip.
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft-orc").toString
+      // fixed scratch path (see LogOps cjsrc note): bounded /tmp use
+      val tmp = s"${sys.props("java.io.tmpdir")}/graft-scratch/orc"
       Tables.load(s, d, "orders")
         .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
         .write.mode("overwrite").orc(tmp)
