@@ -57,17 +57,23 @@ object Dedup {
     // stage would run on ONE core. Spread it across the cluster first;
     // at 100 TB the scan has thousands of splits and this repartition
     // collapses into the natural parallelism.
-    val df = Tables.load(s, d, "documents")
-      .repartition(s.sessionState.conf.numShufflePartitions)
-    // native one-pass shingle expression; the declarative HOF chain
-    // below (tokenHashes/hashedShingles) is its bit-identical twin,
-    // kept for the parity spec and planted-corpus fixtures
+    shingleBlocks(Tables.load(s, d, "documents")
+      .repartition(s.sessionState.conf.numShufflePartitions))
+  }
+
+  /** (doc_id, block, shh) from any documents-shaped frame — the
+    * shared shingle+block projection (native one-pass shingle
+    * expression; the declarative HOF chain below — tokenHashes/
+    * hashedShingles — is its bit-identical twin, kept for the parity
+    * spec and planted-corpus fixtures). Partitioning is the caller's
+    * concern.
+    */
+  def shingleBlocks(df: DataFrame): DataFrame =
     df.withColumn("shh",
         graft.functions.ShingleFunctions.shingle_hashes(col("text")))
       .withColumn("block", concat_ws("#", col("lang"),
         floor(col("n_chars") / 100).cast("long")))
       .select(col("doc_id"), col("block"), col("shh"))
-  }
 
   /** Per-token xxhash64. Materialize this as its own column BEFORE
     * building shingles: the shingle lambda references it three times,
@@ -113,7 +119,16 @@ object Dedup {
   def ngramJaccard(s: SparkSession, d: String, threshold: Double = 0.05)
       : DataFrame = ngramJaccardOver(docsWithShingles(s, d), threshold)
 
-  def ngramJaccardOver(docs0: DataFrame, threshold: Double): DataFrame = {
+  def ngramJaccardOver(docs0: DataFrame, threshold: Double): DataFrame =
+    // the global sort exists only for oracle-deterministic output;
+    // pipeline stages (connected components, trainingPrepV2) consume
+    // the unsorted pairs — persisting a range-shuffled sort the next
+    // stage immediately re-shuffles away would be pure waste
+    ngramJaccardPairs(docs0, threshold)
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  /** Unsorted near-dup pairs — the composable form. */
+  def ngramJaccardPairs(docs0: DataFrame, threshold: Double): DataFrame = {
     // <3-token docs have empty shingle sets; a pair of them would make
     // jaccard() divide 0/0, which THROWS under Spark 4's default ANSI
     // mode (the oracle's NULL silently drops the row — also a
@@ -133,7 +148,6 @@ object Dedup {
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
-      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   // ---------------------------------------------------- MinHash + LSH
@@ -411,7 +425,8 @@ object Dedup {
   /** Cluster formation over the blocked ngram-Jaccard pairs. */
   def dupClusters(s: SparkSession, d: String, threshold: Double = 0.05)
       : DataFrame =
-    connectedComponents(ngramJaccard(s, d, threshold))
+    connectedComponents(
+      ngramJaccardPairs(docsWithShingles(s, d), threshold))
 
   // ------------------------------------------- incremental (batch-vs-corpus)
   /** The production dedup shape at 100 TB: an incoming batch is

@@ -75,10 +75,9 @@ object LogOps {
     // json-mode input path inside the oracle gate.
     "ref_concat_json_source" -> ((s, d) => {
       import s.implicits._
-      // fixed scratch path, not a fresh temp dir per run — repeated
-      // bench/verify invocations would otherwise accumulate in /tmp
-      // (overwrite mode makes reruns safe)
-      val tmp = s"${sys.props("java.io.tmpdir")}/graft-scratch/cjsrc"
+      // per-process scratch (isolated from concurrent sessions,
+      // removed on JVM exit, overwrite keeps it bounded within a run)
+      val tmp = graft.ScratchDir.path("cjsrc")
       Tables.load(s, d, "events").select($"props").coalesce(1)
         .write.mode("overwrite").text(tmp)
       s.read.format("concat-json").load(tmp)

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** End-to-end training-data preparation pipeline — the composition the
@@ -12,19 +13,42 @@ import org.apache.spark.sql.functions._
   */
 object Pipeline {
 
+  /** Quality scoring + filter (length + type-token ratio) — the shared
+    * first stage of both prep pipelines; a threshold tweak here stays
+    * in lockstep across them (and must be mirrored in their oracles).
+    */
+  private def qualityFiltered(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("t", split(lower(col("text")), "\\s+"))
+      .withColumn("ttr",
+        size(array_distinct(col("t"))).cast("double") /
+          size(col("t")).cast("double"))
+      .filter(col("n_chars") >= 200 && col("ttr") >= 0.3)
+
+  /** Exact dedup keeping the lowest doc_id per content digest. */
+  private def keepFirstDigest(df: DataFrame): DataFrame =
+    df.withColumn("digest", md5(col("text")))
+      .withColumn("keeper",
+        min(col("doc_id")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("digest"))))
+      .filter(col("doc_id") === col("keeper"))
+
+  /** Deterministic content-hash split assignment: 12/16 md5 buckets →
+    * train, 4/16 → test. Pure function of content, so re-runs,
+    * incremental batches, and other engines agree row-for-row; the
+    * lexicographic hex compare is numeric order ('0'<'9'<'a'<'f').
+    */
+  private def splitCol(text: Column): Column =
+    when(substring(md5(text), 1, 1) < lit("c"), lit("train"))
+      .otherwise(lit("test"))
+
   def queries: Map[String, Q] = Map(
-    // Deterministic train/test split — the leakage-safe way to split a
-    // training corpus: the split is a pure function of content (first
-    // hex digit of md5), so re-runs, incremental batches, and other
-    // engines agree row-for-row with no stored split table. 12/16
-    // buckets → train, 4/16 → held out. Row-local, scan-shaped; the
-    // lexicographic hex compare is numeric order ('0'<'9'<'a'<'f').
+    // Leakage-safe corpus split summary (see splitCol). Row-local,
+    // scan-shaped.
     "pipeline_split" -> ((s, d) => {
       import s.implicits._
-      val bucket = substring(md5($"text"), 1, 1)
       Tables.load(s, d, "documents")
-        .withColumn("split",
-          when(bucket < lit("c"), lit("train")).otherwise(lit("test")))
+        .withColumn("split", splitCol($"text"))
         .groupBy($"lang", $"split")
         .agg(count(lit(1)).as("n_docs"),
           sum($"n_chars").as("sum_chars"))
@@ -33,20 +57,9 @@ object Pipeline {
     "pipeline_training_prep_v2" -> ((s, d) => trainingPrepV2(s, d)),
     "pipeline_training_prep" -> ((s, d) => {
       import s.implicits._
-      val docs = Tables.load(s, d, "documents")
       val embs = Tables.load(s, d, "embeddings")
-      val scored = docs
-        .withColumn("t", split(lower($"text"), "\\s+"))
-        .withColumn("ttr",
-          size(array_distinct($"t")).cast("double") /
-            size($"t").cast("double"))
-        .filter($"n_chars" >= 200 && $"ttr" >= 0.3)
-      val deduped = scored
-        .withColumn("digest", md5($"text"))
-        .withColumn("keeper",
-          min($"doc_id").over(
-            org.apache.spark.sql.expressions.Window.partitionBy($"digest")))
-        .filter($"doc_id" === $"keeper")
+      val deduped = keepFirstDigest(
+        qualityFiltered(Tables.load(s, d, "documents")))
       deduped
         .join(broadcast(embs), deduped("doc_id") === embs("vec_id"))
         .select($"doc_id", $"lang", $"source", $"n_chars", $"ttr",
@@ -63,41 +76,23 @@ object Pipeline {
     * under everything else.
     */
   def trainingPrepV2(s: org.apache.spark.sql.SparkSession, d: String)
-      : org.apache.spark.sql.DataFrame = {
+      : DataFrame = {
     import s.implicits._
-    val docs = Tables.load(s, d, "documents")
     val embs = Tables.load(s, d, "embeddings")
-    val scored = docs
-      .withColumn("t", split(lower($"text"), "\\s+"))
-      .withColumn("ttr",
-        size(array_distinct($"t")).cast("double") /
-          size($"t").cast("double"))
-      .filter($"n_chars" >= 200 && $"ttr" >= 0.3)
-    val deduped = scored
-      .withColumn("digest", md5($"text"))
-      .withColumn("keeper",
-        min($"doc_id").over(
-          org.apache.spark.sql.expressions.Window.partitionBy($"digest")))
-      .filter($"doc_id" === $"keeper")
+    val deduped = keepFirstDigest(
+      qualityFiltered(Tables.load(s, d, "documents")))
       .drop("t", "digest", "keeper")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // near-dup clusters among the survivors; droppees = cluster
     // members that are not the component minimum
-    val shingled = deduped
-      .withColumn("shh",
-        graft.functions.ShingleFunctions.shingle_hashes($"text"))
-      .withColumn("block", concat_ws("#", $"lang",
-        floor($"n_chars" / 100).cast("long")))
-      .select($"doc_id", $"block", $"shh")
-    val pairs = graft.dedup.Dedup.ngramJaccardOver(shingled, 0.6)
+    val pairs = graft.dedup.Dedup.ngramJaccardPairs(
+      graft.dedup.Dedup.shingleBlocks(deduped), 0.6)
     val droppees = graft.dedup.Dedup.connectedComponents(pairs)
       .filter($"doc_id" =!= $"component")
       .select($"doc_id")
     deduped
       .join(droppees, Seq("doc_id"), "left_anti")
-      .withColumn("split",
-        when(substring(md5($"text"), 1, 1) < lit("c"), lit("train"))
-          .otherwise(lit("test")))
+      .withColumn("split", splitCol($"text"))
       .join(broadcast(embs), $"doc_id" === embs("vec_id"))
       .select($"doc_id", $"lang", $"split", embs("label"))
       .orderBy($"doc_id")

@@ -391,7 +391,14 @@ object Relational {
       // revenue sums hit at sf0.1). Moment magnitudes stay < 2^62 up
       // to sf≈1; beyond that, widen to decimal sums.
       val c = round($"value" * 100).cast("long")
-      val k = get_json_object($"props", "$.k").cast("double").cast("long")
+      // floor BEFORE the long cast: Spark's ANSI double→long cast
+      // truncates while DuckDB's rounds — floor on both sides is the
+      // parity rule (k is integral in the fixtures, but the contract
+      // shouldn't depend on that)
+      val k = floor(get_json_object($"props", "$.k").cast("double"))
+        .cast("long")
+      val varNum = ($"n0" * $"s2" - $"s1" * $"s1").cast("double")
+      val kVarNum = ($"n0" * $"skk" - $"sk" * $"sk").cast("double")
       Tables.load(s, d, "events")
         .select($"event_type", c.as("c"), k.as("k"))
         .groupBy($"event_type")
@@ -401,13 +408,18 @@ object Relational {
           sum($"c" * $"k").as("svk"))
         .select($"event_type",
           round($"s1" / ($"n0" * 100.0), 2).as("mean_value"),
-          round(sqrt(($"n0" * $"s2" - $"s1" * $"s1").cast("double") /
-            ($"n0" * ($"n0" - 1)) / 10000.0), 2).as("sd_value"),
-          round(($"n0" * $"s2" - $"s1" * $"s1").cast("double") /
-            ($"n0" * ($"n0" - 1)) / 10000.0, 2).as("var_value"),
-          round(($"n0" * $"svk" - $"s1" * $"sk").cast("double") /
-            (sqrt(($"n0" * $"s2" - $"s1" * $"s1").cast("double")) *
-              sqrt(($"n0" * $"skk" - $"sk" * $"sk").cast("double"))), 2)
+          // degenerate groups → NULL like the sample-stat functions
+          // would return (n0=1 zeroes the Bessel denominator; a
+          // constant-valued group zeroes a correlation factor)
+          when($"n0" > 1,
+            round(sqrt(varNum / ($"n0" * ($"n0" - 1)) / 10000.0), 2))
+            .as("sd_value"),
+          when($"n0" > 1,
+            round(varNum / ($"n0" * ($"n0" - 1)) / 10000.0, 2))
+            .as("var_value"),
+          when($"n0" > 1 && varNum > 0 && kVarNum > 0,
+            round(($"n0" * $"svk" - $"s1" * $"sk").cast("double") /
+              (sqrt(varNum) * sqrt(kVarNum)), 2))
             .as("corr_vk"),
           $"n0".as("n"))
         .orderBy($"event_type")
@@ -419,8 +431,8 @@ object Relational {
       // schema read-back) → aggregate. Integral doubles + strings only
       // so text serialization is lossless; oracle aggregates the
       // parquet source directly.
-      // fixed scratch path (see LogOps cjsrc note): bounded /tmp use
-      val tmp = s"${sys.props("java.io.tmpdir")}/graft-scratch/csv"
+      // per-process scratch (see ScratchDir): isolated + bounded
+      val tmp = graft.ScratchDir.path("csv")
       Tables.load(s, d, "lineitem")
         .select($"l_orderkey", $"l_returnflag", $"l_quantity")
         // single writer task (one parquet split in) measured FASTER
@@ -440,8 +452,8 @@ object Relational {
     "q24_orc_roundtrip" -> ((s, d) => {
       import s.implicits._
       // ORC connector coverage: full-fidelity binary roundtrip.
-      // fixed scratch path (see LogOps cjsrc note): bounded /tmp use
-      val tmp = s"${sys.props("java.io.tmpdir")}/graft-scratch/orc"
+      // per-process scratch (see ScratchDir): isolated + bounded
+      val tmp = graft.ScratchDir.path("orc")
       Tables.load(s, d, "orders")
         .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
         .write.mode("overwrite").orc(tmp)
@@ -673,19 +685,24 @@ object Relational {
              CAST(sum(c * k) AS BIGINT) AS svk
            FROM (SELECT event_type,
                    CAST(round(value * 100) AS BIGINT) AS c,
-                   CAST(CAST(json_extract_string(props, '$.k') AS DOUBLE)
-                        AS BIGINT) AS k
+                   CAST(floor(CAST(json_extract_string(props, '$.k')
+                        AS DOUBLE)) AS BIGINT) AS k
                  FROM events)
            GROUP BY event_type)
          SELECT event_type,
            round(CAST(s1 AS DOUBLE) / (n0 * 100.0), 2) AS mean_value,
-           round(sqrt(CAST(n0 * s2 - s1 * s1 AS DOUBLE) /
-             (n0 * (n0 - 1)) / 10000.0), 2) AS sd_value,
-           round(CAST(n0 * s2 - s1 * s1 AS DOUBLE) /
-             (n0 * (n0 - 1)) / 10000.0, 2) AS var_value,
-           round(CAST(n0 * svk - s1 * sk AS DOUBLE) /
-             (sqrt(CAST(n0 * s2 - s1 * s1 AS DOUBLE)) *
-              sqrt(CAST(n0 * skk - sk * sk AS DOUBLE))), 2) AS corr_vk,
+           CASE WHEN n0 > 1 THEN
+             round(sqrt(CAST(n0 * s2 - s1 * s1 AS DOUBLE) /
+               (n0 * (n0 - 1)) / 10000.0), 2) END AS sd_value,
+           CASE WHEN n0 > 1 THEN
+             round(CAST(n0 * s2 - s1 * s1 AS DOUBLE) /
+               (n0 * (n0 - 1)) / 10000.0, 2) END AS var_value,
+           CASE WHEN n0 > 1 AND n0 * s2 - s1 * s1 > 0
+                     AND n0 * skk - sk * sk > 0 THEN
+             round(CAST(n0 * svk - s1 * sk AS DOUBLE) /
+               (sqrt(CAST(n0 * s2 - s1 * s1 AS DOUBLE)) *
+                sqrt(CAST(n0 * skk - sk * sk AS DOUBLE))), 2)
+           END AS corr_vk,
            n0 AS n
          FROM m ORDER BY event_type""",
     "q23_csv_roundtrip" ->
