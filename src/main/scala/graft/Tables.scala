@@ -21,6 +21,20 @@ object Tables {
     else spark.read.parquet(s"$sfDir/$name.parquet")
   }
 
+  /** Spread a frame across the session's parallelism ONLY when its
+    * plan yields fewer partitions. Locally a small table is one parquet
+    * split, so any per-row-expensive downstream stage (shingling,
+    * simhash votes, multimodal kernels) would run on a single core —
+    * worth one exchange. At 100 TB the scan already has thousands of
+    * splits and an unconditional repartition would re-shuffle every
+    * byte for nothing, so it is skipped (asserted in SpreadSpec).
+    * `df.rdd` forces physical planning but launches no job.
+    */
+  def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sessionState.conf.numShufflePartitions
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** `events.ts` is nanosecond-precision parquet, which Spark 4 rejects
     * ([PARQUET_TYPE_ILLEGAL]). Read it as nanos-since-epoch long
     * (legacy conf) and truncate to microsecond TimestampType — the same

@@ -51,15 +51,12 @@ object Dedup {
     * shingles stay hash-exact.
     */
   private[dedup] def docsWithShingles(s: SparkSession, d: String)
-      : DataFrame = {
-    // The documents table is a single small parquet file locally → one
-    // input split → the (comparatively expensive) per-doc shingle
-    // stage would run on ONE core. Spread it across the cluster first;
-    // at 100 TB the scan has thousands of splits and this repartition
-    // collapses into the natural parallelism.
-    shingleBlocks(Tables.load(s, d, "documents")
-      .repartition(s.sessionState.conf.numShufflePartitions))
-  }
+      : DataFrame =
+    // conditional spread: locally the table is one parquet split and
+    // the per-doc shingle stage would run on ONE core; at 100 TB the
+    // scan already has thousands of splits and no exchange is inserted
+    // (Tables.spread skips it).
+    shingleBlocks(Tables.spread(Tables.load(s, d, "documents")))
 
   /** (doc_id, block, shh) from any documents-shaped frame — the
     * shared shingle+block projection (native one-pass shingle
@@ -246,9 +243,25 @@ object Dedup {
     * verified with bit_count(xor) Hamming distance. Rows-only driver
     * check; DedupSpec asserts on planted dups.
     */
-  def simhash(s: SparkSession, d: String, maxHamming: Int = 3): DataFrame =
-    simhashOver(Tables.load(s, d, "documents")
-      .repartition(s.sessionState.conf.numShufflePartitions), maxHamming)
+  def simhash(s: SparkSession, d: String, maxHamming: Int = 3): DataFrame = {
+    val docs = Tables.load(s, d, "documents")
+    // the banding tier is a corpus-size knob (see simhashTwoLevelFrom);
+    // count() on a parquet scan is row-group metadata only — at 100 TB
+    // the same number comes from table stats
+    val twoLevel = maxHamming < 4 && simhashTwoLevelFrom(docs.count())
+    simhashOver(Tables.spread(docs), maxHamming, twoLevel)
+  }
+
+  /** Corpus threshold above which two-level (16-probe, 2^28-key)
+    * banding pays for itself. Single-level 16-bit buckets hold ~n/2^16
+    * docs each, so within-bucket pair noise passes `targetBucket`
+    * occupancy at n ≈ 64·2^16 ≈ 4M docs; below that single-level
+    * 4-probe banding generates near-zero noise anyway and costs ~4×
+    * less banding/join/distinct work (the r3 bench regression). The
+    * corpus size is the knob, mirroring Similarity.planesFor.
+    */
+  private[dedup] def simhashTwoLevelFrom(n: Long, targetBucket: Int = 64)
+      : Boolean = n > (targetBucket.toLong << 16)
 
   /** Banding keys for a 64-bit simhash. Single-level: 4 probes, one
     * per 16-bit band — two docs within Hamming 3 must agree exactly on
@@ -288,12 +301,21 @@ object Dedup {
     * directly. Input: a (doc_id, simhash) frame.
     */
   private[dedup] def simhashCandidates(withSim: DataFrame, maxHamming: Int)
+      : DataFrame =
+    // 28-bit probes are exact only for the pigeonhole radius (≤
+    // bands-1 = 3); beyond it recall was already heuristic under
+    // single-level banding, so keep the wider 16-bit buckets there
+    simhashCandidates(withSim, twoLevel = maxHamming < 4)
+
+  /** Tier-explicit form: BOTH tiers are exact candidate supersets for
+    * Hamming ≤ 3 (each guarantees one clean probe key by pigeonhole),
+    * so the post-verification result is tier-independent — the tier
+    * only trades local probe cost against bucket occupancy at scale.
+    */
+  private[dedup] def simhashCandidates(withSim: DataFrame, twoLevel: Boolean)
       : DataFrame = {
-    // 28-bit probes are exact for the pigeonhole radius (≤ bands-1 =
-    // 3); beyond it recall was already heuristic under single-level
-    // banding, so keep the wider 16-bit buckets there
     val keys =
-      if (maxHamming < 4) twoLevelKeys(col("simhash"))
+      if (twoLevel) twoLevelKeys(col("simhash"))
       else singleLevelKeys(col("simhash"))
     val banded = withSim.select(col("doc_id"), col("simhash"),
       posexplode(array(keys: _*)).as(Seq("band", "band_bits")))
@@ -307,7 +329,11 @@ object Dedup {
       .distinct() // a pair can collide on several probes
   }
 
-  def simhashOver(docs: DataFrame, maxHamming: Int): DataFrame = {
+  def simhashOver(docs: DataFrame, maxHamming: Int): DataFrame =
+    simhashOver(docs, maxHamming, twoLevel = maxHamming < 4)
+
+  def simhashOver(docs: DataFrame, maxHamming: Int, twoLevel: Boolean)
+      : DataFrame = {
     val tokenRows = docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
       // whitespace-only docs split to [""] — no content, nothing to
@@ -325,7 +351,7 @@ object Dedup {
       // feeds both banded self-join sides; persist so the token
       // explode + aggregate runs once
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    simhashCandidates(withSim, maxHamming)
+    simhashCandidates(withSim, twoLevel)
       .withColumn("hamming",
         bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long"))
       .filter(col("hamming") <= maxHamming)
@@ -345,8 +371,68 @@ object Dedup {
   def cosine(a: Column, b: Column): Column =
     graft.functions.VectorFunctions.cosine_similarity(a, b)
 
+  /** Corpus-scale embedding near-dup: hyperplane-LSH-bucketed
+    * candidates (graft.sim machinery: corpus-sized plane count +
+    * 1-bit multiprobe) verified with the exact codegen cosine. The
+    * blocked twin of `embeddingCosine` — candidate generation is
+    * bucket-local, so pair cost tracks n·occupancy, not n²:
+    * `planesFor(n, targetBucket)` adds a plane every time the corpus
+    * doubles, holding occupancy (and per-vector candidate count) flat.
+    * targetBucket is small (4) vs search's 64 — a dedup pass pays for
+    * every within-bucket PAIR, not a per-query candidate scan.
+    *
+    * Multiprobe side-trick: only side A explodes its ≤probeBits probe
+    * masks while side B keeps its exact signature, so a pair joins iff
+    * their signatures are within probeBits Hamming — n·(planes+1) vs n
+    * join inputs instead of both sides exploding. Recall for near-dups
+    * at cosine ≥ 0.99 is ~0.9 at radius 1 (planted-pair spec); exact
+    * dups (Hamming 0) are always caught.
+    */
+  def embeddingLsh(s: SparkSession, d: String, threshold: Double = 0.35,
+      probeBits: Int = 1, targetBucket: Int = 4): DataFrame = {
+    val e = Tables.load(s, d, "embeddings")
+    // metadata-only count sizes the plane count (table stats at scale)
+    val nPlanes = graft.sim.Similarity.planesFor(e.count(), targetBucket)
+    embeddingLshOver(e, threshold, probeBits, nPlanes)
+      .orderBy(col("v1"), col("v2"))
+  }
+
+  /** Same pipeline over any (vec_id, embedding) frame — reused by the
+    * planted-pair and candidate-growth specs.
+    */
+  def embeddingLshOver(e: DataFrame, threshold: Double, probeBits: Int,
+      nPlanes: Int): DataFrame =
+    embeddingLshCandidates(e, probeBits, nPlanes)
+      .withColumn("cosine", cosine(col("emb_a"), col("emb_b")))
+      .filter(col("cosine") >= threshold)
+      .select(col("v1"), col("v2"), col("cosine"))
+
+  /** Bucketed candidate pairs (no cosine verification) — factored out
+    * so the growth spec measures the candidate stage directly.
+    */
+  private[graft] def embeddingLshCandidates(e: DataFrame, probeBits: Int,
+      nPlanes: Int): DataFrame = {
+    import graft.sim.Similarity.{lshSignature, probeBuckets}
+    // signature once per vector; feeds both join sides → persist (the
+    // local analogue of materializing the signature table)
+    val sigs = e.select(col("vec_id"), col("embedding"),
+      lshSignature(col("embedding"), nPlanes).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = sigs.select(col("vec_id").as("v1"), col("embedding").as("emb_a"),
+      explode(probeBuckets(col("sig"), probeBits, nPlanes)).as("bucket"))
+    val b = sigs.select(col("vec_id").as("v2"), col("embedding").as("emb_b"),
+      col("sig").as("bucket"))
+    a.join(b, Seq("bucket"))
+      .filter(col("v1") < col("v2"))
+      .select(col("v1"), col("v2"), col("emb_a"), col("emb_b"))
+      // a pair can collide on several probes; ids would suffice for
+      // distinct but the embeddings ride along to skip a re-join —
+      // bounded by candidate count, which planesFor keeps ~linear
+      .dropDuplicates("v1", "v2")
+  }
+
   /** Embedding near-dup: all pairs above a cosine threshold. Candidate
-    * blocking at 100 TB comes from the LSH variant (graft.sim); this is
+    * blocking at 100 TB comes from `embeddingLsh` above; this is
     * the exact verifier, bounded here by the small embeddings table.
     */
   def embeddingCosine(s: SparkSession, d: String, threshold: Double = 0.35)
@@ -393,19 +479,32 @@ object Dedup {
       .agg(min(col("dst")).as("m"))
       .select(col("doc_id"), least(col("doc_id"), col("m")).as("label"))
       .persist(lvl)
+    // one propagation round: every node takes the min label among
+    // itself and its neighbors; `old_label` rides along untouched so
+    // the fixed-point test reads off the same materialized frame
+    def propagate(cur: DataFrame): DataFrame = {
+      val nbrMin = edges
+        .join(cur.select(col("doc_id").as("src"), col("label")), Seq("src"))
+        .groupBy(col("dst").as("doc_id"))
+        .agg(min(col("label")).as("nbr_label"))
+      cur.join(nbrMin, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("old_label"),
+          least(col("label"), coalesce(col("nbr_label"), col("label")))
+            .as("label"))
+    }
     var changed = 1L
     while (changed > 0) {
       val prev = labels
-      val nbrMin = edges
-        .join(prev.withColumnRenamed("doc_id", "src"), Seq("src"))
-        .groupBy(col("dst").as("doc_id"))
-        .agg(min(col("label")).as("nbr_label"))
-      // carry the old label through so convergence is read off the
-      // same materialized frame — one join + one action per round
-      val next = prev.join(nbrMin, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("label").as("old_label"),
-          least(col("label"), coalesce(col("nbr_label"), col("label")))
-            .as("label"))
+      // TWO propagation rounds per driver sync: labels only ever
+      // decrease (monotone), so label != two-rounds-ago label iff
+      // anything changed in either round — the fixed-point test stays
+      // exact while driver-synchronized actions halve. With the free
+      // 1-hop seed above, diameter ≤ 3 clusters (the near-dup norm —
+      // see scaladoc) finish in ONE action; at 1000 executors the
+      // per-action scheduling latency is what this bounds.
+      val next = propagate(propagate(
+        prev.select(col("doc_id"), col("label"),
+          col("label").as("old_label"))))
         .persist(lvl)
       changed = next.filter(col("label") =!= col("old_label")).count()
       prev.unpersist()
@@ -454,6 +553,7 @@ object Dedup {
     "dedup_minhash_lsh" -> ((s, d) => minhashLsh(s, d)),
     "dedup_simhash" -> ((s, d) => simhash(s, d)),
     "dedup_embedding_cosine" -> ((s, d) => embeddingCosine(s, d)),
+    "dedup_embedding_lsh" -> ((s, d) => embeddingLsh(s, d)),
     "dedup_incremental" -> ((s, d) => incrementalExact(s, d)))
 
   /** DuckDB twins. minhash/simhash are seeded-hash pipelines — not

@@ -115,9 +115,9 @@ object Multimodal {
     "mm_decode" -> ((s, d) => {
       import s.implicits._
       // single-file local scan → one split → spread the kernel stage
-      // across cores (at 100 TB the scan has natural splits and AQE
-      // coalesces this shuffle away)
-      decode(pack(s, d).repartition(s.sessionState.conf.numShufflePartitions))
+      // across cores; Tables.spread skips the exchange entirely when
+      // the scan already has >= session-parallelism splits (100 TB)
+      decode(graft.Tables.spread(pack(s, d)))
         .orderBy($"doc_id")
     }),
     "mm_features" -> ((s, d) => {
@@ -143,7 +143,7 @@ object Multimodal {
     "mm_frame_sample" -> ((s, d) => {
       import s.implicits._
       // sample every 2nd frame of each decoded media item
-      decode(pack(s, d).repartition(s.sessionState.conf.numShufflePartitions))
+      decode(graft.Tables.spread(pack(s, d)))
         .select($"doc_id", $"n_frames",
           explode(sequence(lit(0L), $"n_frames" - 1L, lit(2L)))
             .as("frame_idx"))

@@ -81,9 +81,10 @@ object LogOps {
       Tables.load(s, d, "events").select($"props").coalesce(1)
         .write.mode("overwrite").text(tmp)
       s.read.format("concat-json").load(tmp)
-        // the source yields one partition per file (no sync marks in
-        // raw concatenated JSON); spread the parse across cores
-        .repartition(s.sessionState.conf.numShufflePartitions)
+        // the source splits large files on speculative value
+        // boundaries; spread only kicks in when the scan still has
+        // fewer splits than the session parallelism
+        .transform(Tables.spread)
         .select(get_json_object($"value", "$.k").cast("double").as("k"))
         .groupBy((floor($"k" / 10) * 10).cast("long").as("k_bucket"))
         .agg(count(lit(1)).as("n"), round(sum($"k"), 2).as("sum_k"))

@@ -98,7 +98,7 @@ object Similarity {
     * monotonically (asserted in SimilaritySpec) while cost stays
     * corpus-size-independent per probe.
     */
-  private def probeBuckets(sig: Column, probeBits: Int,
+  private[graft] def probeBuckets(sig: Column, probeBits: Int,
       nPlanes: Int = NumPlanes): Column = {
     val oneBit = (0 until nPlanes).map(1 << _)
     val twoBit = for {
@@ -298,6 +298,10 @@ object Similarity {
   def queries: Map[String, Q] = Map(
     "ann_bruteforce" -> ((s, d) => bruteForceTopK(s, d)),
     "ann_lsh" -> ((s, d) => lshTopK(s, d)),
+    // the corpus-sized variant IS the 100 TB path (planesFor keeps
+    // bucket occupancy flat as the corpus grows); registered so the
+    // driver exercises the tuning, not just the fixed-8-plane form
+    "ann_lsh_auto" -> ((s, d) => lshTopKAuto(s, d)),
     "ann_ivf" -> ((s, d) => ivfTopK(s, d)),
     "ann_ivf_kmeans" -> ((s, d) => ivfKmeansTopK(s, d)))
 

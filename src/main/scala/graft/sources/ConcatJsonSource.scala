@@ -9,6 +9,8 @@ import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
+import java.io.BufferedInputStream
+import java.nio.channels.{Channels, FileChannel}
 import java.nio.file.{Files, Path, Paths}
 import java.util.{Map => JMap}
 import scala.jdk.CollectionConverters._
@@ -23,10 +25,30 @@ import scala.jdk.CollectionConverters._
   *
   *   spark.read.format("concat-json").load("/logs/dir")
   *
-  * Scale shape: one input partition per file (a splittable offset
-  * scheme would need value-boundary sync marks, which raw concatenated
-  * JSON lacks — same constraint as multiline JSON); many files →
-  * natural parallelism.
+  * Scale shape: large files fan out across tasks via speculative
+  * offset splits that resync on newline boundaries (so one giant
+  * json-mode stream is NOT one task at 100 TB). Soundness contract:
+  * individual values must not contain RAW newline bytes — guaranteed
+  * for machine-emitted log streams, since RFC 8259 forbids unescaped
+  * control characters inside strings and compact marshalers (the
+  * reference's Go `json.Marshal`) never pretty-print — so every 0x0A
+  * in the stream sits BETWEEN top-level values and is a valid resync
+  * point (the same invariant Hadoop's text splits rely on). Readers
+  * use the text-split handshake: a reader owns the lines that start in
+  * (start, end] (start=0 additionally owns the first line), reading
+  * through a line that straddles its end and discarding the partial
+  * line before its first newline. Values inside a line may still be
+  * space-separated — JsonValueSplitter separates them.
+  *
+  * Pretty-printed (multi-line-value) inputs: pass `multiline=true` to
+  * fall back to one partition per file; a split reader that lands
+  * inside a nested value trips a loud corruption guard (unmatched
+  * closers / separators at top level) instead of emitting garbage.
+  * `splitSize` overrides the split size; by default it mirrors
+  * Spark's file-source sizing — totalBytes/defaultParallelism clamped
+  * to [1 MiB, spark.sql.files.maxPartitionBytes] — so a small local
+  * file still fans out across cores while 100 TB reads use
+  * maxPartitionBytes-sized splits.
   */
 class ConcatJsonSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "concat-json"
@@ -52,7 +74,9 @@ class ConcatJsonTable(path: String) extends Table with SupportsRead {
       TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : ScanBuilder = new ConcatJsonScanBuilder(path,
-    Option(options.get("maxFilesPerTrigger")).map(_.toInt))
+    Option(options.get("maxFilesPerTrigger")).map(_.toInt),
+    Option(options.get("splitSize")).map(_.toLong),
+    Option(options.get("multiline")).exists(_.toBoolean))
 }
 
 object ConcatJsonFiles {
@@ -77,8 +101,43 @@ object ConcatJsonFiles {
   }
 }
 
+object ConcatJsonSplits {
+  /** Default split size, mirroring FilePartition sizing: spread the
+    * total bytes over the cluster's parallelism, clamped so tiny
+    * inputs don't produce confetti splits and huge ones respect
+    * maxPartitionBytes.
+    */
+  def defaultSplitSize(totalBytes: Long): Long = {
+    val (maxPB, par) =
+      scala.util.Try {
+        val s = org.apache.spark.sql.SparkSession.active
+        (s.sessionState.conf.filesMaxPartitionBytes,
+          s.sparkContext.defaultParallelism.toLong)
+      }.getOrElse((128L << 20, 1L))
+    math.max(1L << 20, math.min(maxPB, totalBytes / math.max(par, 1L) + 1))
+  }
+
+  def plan(files: Seq[String], splitSize: Option[Long],
+      multiline: Boolean): Array[InputPartition] = {
+    val sized = files.map(f => (f, Files.size(Paths.get(f))))
+    val target =
+      splitSize.getOrElse(defaultSplitSize(sized.map(_._2).sum))
+    sized.flatMap { case (f, size) =>
+      if (multiline || size <= target)
+        Seq(ConcatJsonPartition(f, 0L, size, splitFile = false))
+      else {
+        val n = ((size + target - 1) / target).toInt
+        (0 until n).map(i => ConcatJsonPartition(f, i.toLong * target,
+          math.min((i + 1).toLong * target, size), splitFile = true))
+      }
+    }.map(p => p: InputPartition).toArray
+  }
+}
+
 class ConcatJsonScanBuilder(path: String,
-    maxFilesPerTrigger: Option[Int] = None) extends ScanBuilder with Scan
+    maxFilesPerTrigger: Option[Int] = None,
+    splitSize: Option[Long] = None,
+    multiline: Boolean = false) extends ScanBuilder with Scan
     with Batch {
   override def build(): Scan = this
   override def readSchema(): StructType = ConcatJsonSource.schema
@@ -86,11 +145,11 @@ class ConcatJsonScanBuilder(path: String,
 
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new ConcatJsonMicroBatchStream(path, maxFilesPerTrigger)
+    new ConcatJsonMicroBatchStream(path, maxFilesPerTrigger, splitSize,
+      multiline)
 
   override def planInputPartitions(): Array[InputPartition] =
-    ConcatJsonFiles.list(path)
-      .map(f => ConcatJsonPartition(f): InputPartition).toArray
+    ConcatJsonSplits.plan(ConcatJsonFiles.list(path), splitSize, multiline)
 
   override def createReaderFactory(): PartitionReaderFactory =
     new ConcatJsonReaderFactory()
@@ -99,11 +158,12 @@ class ConcatJsonScanBuilder(path: String,
 /** Streaming form of the source (MICRO_BATCH_READ): the offset is the
   * SET of files already ingested (serialized as a JSON array), so each
   * micro-batch reads exactly the files that appeared since the last —
-  * no ordering or naming assumptions on arrivals, the same
-  * one-partition-per-file shape as the batch scan, and replayable
-  * batches (start/end offsets pin the file set) for at-least-once
-  * recovery under checkpointing. Unbounded concatenated-JSON ingestion
-  * was the reference's whole json mode (jsonstreamer.go:40-46).
+  * no ordering or naming assumptions on arrivals, the same offset
+  * splitting as the batch scan within each admitted file, and
+  * replayable batches (start/end offsets pin the file set) for
+  * at-least-once recovery under checkpointing. Unbounded
+  * concatenated-JSON ingestion was the reference's whole json mode
+  * (jsonstreamer.go:40-46).
   *
   * Scope: suited to bounded backlogs and rotating directories — the
   * offset carries every file ever ingested, so a weeks-long tail of a
@@ -112,7 +172,9 @@ class ConcatJsonScanBuilder(path: String,
   * seen-files log instead; the CLI's follow mode uses that wrapper).
   */
 class ConcatJsonMicroBatchStream(path: String,
-    maxFilesPerTrigger: Option[Int] = None)
+    maxFilesPerTrigger: Option[Int] = None,
+    splitSize: Option[Long] = None,
+    multiline: Boolean = false)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming
       .SupportsAdmissionControl {
@@ -157,8 +219,7 @@ class ConcatJsonMicroBatchStream(path: String,
       : Array[InputPartition] = {
     val seen = start.asInstanceOf[FilesOffset].files
     val now = end.asInstanceOf[FilesOffset].files
-    (now -- seen).toArray.sorted
-      .map(f => ConcatJsonPartition(f): InputPartition)
+    ConcatJsonSplits.plan((now -- seen).toSeq.sorted, splitSize, multiline)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -168,23 +229,101 @@ class ConcatJsonMicroBatchStream(path: String,
   override def stop(): Unit = ()
 }
 
-case class ConcatJsonPartition(file: String) extends InputPartition
+case class ConcatJsonPartition(file: String, start: Long, end: Long,
+    splitFile: Boolean) extends InputPartition
 
 class ConcatJsonReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition)
-      : PartitionReader[InternalRow] = {
-    val file = partition.asInstanceOf[ConcatJsonPartition].file
-    new PartitionReader[InternalRow] {
-      private val values = JsonValueSplitter
-        .split(new String(Files.readAllBytes(Paths.get(file)), "UTF-8"))
+      : PartitionReader[InternalRow] =
+    new ConcatJsonPartitionReader(
+      partition.asInstanceOf[ConcatJsonPartition])
+}
+
+/** Reader for one (file, start, end) split. Streams bytes from `start`
+  * with the text-split handshake (see source scaladoc): discard to the
+  * first newline when start > 0, then consume whole lines while the
+  * line START offset is ≤ `end` — the final line may extend past `end`
+  * (its tail is discarded by the next split's resync, never read
+  * twice). Memory is bounded by one line, not the split.
+  *
+  * Whole-file partitions (`splitFile = false` — small or
+  * multiline=true files) bypass the line scanner and split values over
+  * the full content, so pretty-printed values spanning newlines stay
+  * intact there.
+  */
+class ConcatJsonPartitionReader(p: ConcatJsonPartition)
+    extends PartitionReader[InternalRow] {
+
+  private val channel = FileChannel.open(Paths.get(p.file))
+  private val in = new BufferedInputStream(
+    Channels.newInputStream(channel.position(p.start)), 1 << 16)
+  private var pos: Long = p.start
+  private var linesDone = false
+  private var current: String = _
+  private var pending: Iterator[String] =
+    if (p.splitFile) Iterator.empty
+    else {
+      linesDone = true
+      JsonValueSplitter
+        .split(new String(Files.readAllBytes(Paths.get(p.file)), "UTF-8"))
         .iterator
-      private var current: String = _
-      override def next(): Boolean = {
-        if (values.hasNext) { current = values.next(); true } else false
-      }
-      override def get(): InternalRow =
-        InternalRow(UTF8String.fromString(current))
-      override def close(): Unit = ()
     }
+
+  // resync: the partial line before the first newline belongs to the
+  // split that contains its start
+  if (p.start > 0) {
+    var b = in.read()
+    pos += (if (b >= 0) 1 else 0)
+    while (b >= 0 && b != '\n') {
+      b = in.read()
+      if (b >= 0) pos += 1
+    }
+    if (b < 0) linesDone = true
   }
+
+  /** Next line (without terminator), or None at split end / EOF. */
+  private def nextLine(): Option[String] = {
+    if (linesDone || pos > p.end) { linesDone = true; return None }
+    val buf = new java.io.ByteArrayOutputStream(256)
+    var b = in.read()
+    if (b < 0) { linesDone = true; return None }
+    while (b >= 0 && b != '\n') {
+      buf.write(b)
+      pos += 1
+      b = in.read()
+    }
+    if (b == '\n') pos += 1 else linesDone = true
+    Some(new String(buf.toByteArray, "UTF-8"))
+  }
+
+  /** Corruption guard for split files: a resync point inside a nested
+    * (pretty-printed) value surfaces as separators or unmatched
+    * closers at top level — fail loudly instead of emitting garbage.
+    */
+  private def guard(v: String): String = {
+    if (p.splitFile && v.nonEmpty &&
+        (v.head == '}' || v.head == ']' || v.head == ':' || v.head == ','))
+      throw new IllegalStateException(
+        s"concat-json: split resync landed inside a multi-line JSON " +
+          s"value (token '${v.take(20)}' in ${p.file}); values must " +
+          "not contain raw newlines — set option multiline=true to " +
+          "read pretty-printed files as one partition per file")
+    v
+  }
+
+  override def next(): Boolean = {
+    while (!pending.hasNext) {
+      nextLine() match {
+        case Some(line) => pending = JsonValueSplitter.split(line).iterator
+        case None => return false
+      }
+    }
+    current = guard(pending.next())
+    true
+  }
+
+  override def get(): InternalRow =
+    InternalRow(UTF8String.fromString(current))
+
+  override def close(): Unit = channel.close()
 }

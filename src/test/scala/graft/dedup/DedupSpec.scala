@@ -233,6 +233,39 @@ class DedupSpec extends SparkSpec {
     assert(survivors == Seq(4L))
   }
 
+  test("embedding LSH finds planted near-dups; candidates stay ~linear " +
+    "as the corpus grows (plane count adapts)") {
+    val rnd = new scala.util.Random(41)
+    def gauss() = Array.fill(64)(rnd.nextGaussian().toFloat)
+    def near(v: Array[Float]) = // tiny perturbation → cosine ≈ 0.999
+      v.map(x => x + 0.02f * rnd.nextGaussian().toFloat)
+    def corpus(n: Int) = {
+      val planted = (0 until 5).flatMap { p =>
+        val v = gauss()
+        Seq((p.toLong * 2, v), (p.toLong * 2 + 1, near(v)))
+      }
+      val noise = (0 until n).map(i => (1000L + i, gauss()))
+      (planted ++ noise).toDF("vec_id", "embedding")
+    }
+    val n = 2000
+    val p1 = graft.sim.Similarity.planesFor(n, targetBucket = 4)
+    val p2 = graft.sim.Similarity.planesFor(2 * n, targetBucket = 4)
+    assert(p2 > p1, "plane count must grow with the corpus")
+    val found = Dedup.embeddingLshOver(corpus(n), 0.9, 1, p1)
+      .select("v1", "v2").as[(Long, Long)].collect().toSet
+    val plantedPairs = (0 until 5).map(p => (p.toLong * 2, p.toLong * 2 + 1))
+    assert(plantedPairs.count(found.contains) >= 4,
+      s"planted near-dups missed: found only ${plantedPairs.filter(found.contains)}")
+    // candidate growth: doubling the corpus adds a plane, so bucket
+    // occupancy (and the candidate count per vector) stays flat —
+    // candidate totals grow ~linearly, not quadratically
+    val c1 = Dedup.embeddingLshCandidates(corpus(n), 1, p1).count()
+    val c2 = Dedup.embeddingLshCandidates(corpus(2 * n), 1, p2).count()
+    assert(c1 > 0)
+    assert(c2 < 3L * c1,
+      s"candidates must grow ~linearly with the corpus: $c1 -> $c2")
+  }
+
   test("embedding cosine: identical vectors similarity 1.0") {
     val e = Seq(
       (0L, Array(1.0f, 2.0f, 3.0f)),

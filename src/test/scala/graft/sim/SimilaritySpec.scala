@@ -31,6 +31,32 @@ class SimilaritySpec extends SparkSpec {
       .subsetOf((1L to 10L).toSet)))
   }
 
+  test("auto LSH recall holds at two corpus sizes with different plane counts") {
+    // the registered gate query (ann_lsh_auto): the plane count must
+    // actually change across scales AND recall vs brute force must
+    // stay useful at both — the property planesFor exists to preserve
+    def recallAt(d: String): (Int, Double) = {
+      val n = graft.Tables.load(spark, d, "embeddings").count()
+      val planes = Similarity.planesFor(n)
+      val bf = topSets(Similarity.bruteForceTopK(spark, d)
+        .select("q_id", "rank", "vec_id").as[(Long, Long, Long)].collect())
+      val auto = topSets(Similarity.lshTopKAuto(spark, d)
+        .select("q_id", "rank", "vec_id").as[(Long, Long, Long)].collect())
+      val recalls = bf.map { case (q, top) =>
+        auto.getOrElse(q, Set.empty).intersect(top).size.toDouble / top.size
+      }
+      (planes, recalls.sum / recalls.size)
+    }
+    // sf0.01 ships the same 500 embeddings as sf0.001; sf0.1 has 2000
+    // — the smallest pair of scales where planesFor actually moves
+    val (pSmall, rSmall) = recallAt("/root/testdata/sf0.001")
+    val (pBig, rBig) = recallAt("/root/testdata/sf0.1")
+    info(s"planes: $pSmall -> $pBig, recall@10: $rSmall -> $rBig")
+    assert(pSmall != pBig, "plane count must differ across corpus sizes")
+    assert(rSmall >= 0.3, s"small-corpus recall too low: $rSmall")
+    assert(rBig >= 0.3, s"large-corpus recall too low: $rBig")
+  }
+
   test("k-means convergence stop ends Lloyd iterations early on separable data") {
     // two tight, well-separated clusters: one iteration snaps the
     // centroids and the next moves ~0 — the tol stop must fire long

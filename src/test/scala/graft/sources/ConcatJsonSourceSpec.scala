@@ -21,6 +21,68 @@ class ConcatJsonSourceSpec extends SparkSpec {
     assert(df.rdd.getNumPartitions == 2)
   }
 
+  test("a large file fans out across offset splits with identical records") {
+    val dir = Files.createTempDirectory("graft-cjsplit")
+    val rnd = new scala.util.Random(5)
+    val sb = new StringBuilder
+    (0 until 20000).foreach { i =>
+      sb.append(s"""{"id": $i, "pad": "${"x" * rnd.nextInt(40)}"}""")
+      // mixed separators: several values per line + newline boundaries
+      sb.append(if (i % 3 == 0) " " else "\n")
+    }
+    Files.writeString(dir.resolve("big.json"), sb.toString)
+    val whole = spark.read.format("concat-json")
+      .option("multiline", "true").load(dir.toString)
+    val split = spark.read.format("concat-json")
+      .option("splitSize", "65536").load(dir.toString)
+    assert(whole.rdd.getNumPartitions == 1)
+    assert(split.rdd.getNumPartitions > 4,
+      s"expected >4 splits of the ~1MB file, got ${split.rdd.getNumPartitions}")
+    val a = whole.as[String].collect().sorted.toSeq
+    val b = split.as[String].collect().sorted.toSeq
+    assert(a == b, "split read must yield exactly the whole-file records")
+  }
+
+  test("split boundaries are consistent at any split size (fuzz)") {
+    val dir = Files.createTempDirectory("graft-cjfuzz")
+    val rnd = new scala.util.Random(17)
+    val sb = new StringBuilder
+    (0 until 2000).foreach { i =>
+      sb.append(s"""{"id": $i, "p": "${"y" * rnd.nextInt(25)}"}""")
+      sb.append(if (rnd.nextBoolean()) " " else "\n")
+    }
+    Files.writeString(dir.resolve("f.json"), sb.toString)
+    val expected = spark.read.format("concat-json")
+      .option("multiline", "true").load(dir.toString)
+      .as[String].collect().sorted.toSeq
+    // awkward sizes: splits landing mid-value, mid-line, on newlines
+    for (sz <- Seq(512L, 1001L, 4096L, 65536L)) {
+      val got = spark.read.format("concat-json")
+        .option("splitSize", sz.toString).load(dir.toString)
+        .as[String].collect().sorted.toSeq
+      assert(got == expected, s"splitSize=$sz lost or duplicated records")
+    }
+  }
+
+  test("pretty-printed values: multiline=true reads whole; split mode fails loudly") {
+    val dir = Files.createTempDirectory("graft-cjml")
+    val pretty = (0 until 2000).map(i =>
+      s"{\n  \"id\": $i,\n  \"v\": [\n    1,\n    2\n  ]\n}").mkString("\n")
+    Files.writeString(dir.resolve("p.json"), pretty)
+    val whole = spark.read.format("concat-json")
+      .option("multiline", "true").load(dir.toString)
+    assert(whole.count() == 2000)
+    // raw-newlines-inside-values violates the split contract: the
+    // resync guard must abort the task, not emit garbage rows
+    val bad = spark.read.format("concat-json")
+      .option("splitSize", "1024").load(dir.toString)
+    def msgs(t: Throwable): String =
+      if (t == null) "" else t.toString + "\n" + msgs(t.getCause)
+    val ex = intercept[Exception] { bad.count() }
+    assert(msgs(ex).contains("multiline=true"),
+      s"expected the multiline guard, got: ${msgs(ex).take(500)}")
+  }
+
   test("streams micro-batches of newly arrived files (MICRO_BATCH_READ)") {
     val dir = Files.createTempDirectory("graft-cjmb")
     Files.writeString(dir.resolve("first.json"), """{"k": 1} {"k": 2}""")
