@@ -379,51 +379,7 @@ object Relational {
         .orderBy($"event_id")
     }),
 
-    "q25_stats" -> ((s, d) => {
-      import s.implicits._
-      // statistical aggregates via EXACT integer moments: value is a
-      // 2dp double (→ cents) and k is integral, so every sum is an
-      // order-independent BIGINT — both engines then evaluate the
-      // identical float expression on identical inputs, and the final
-      // round(_, 2) has no cross-engine ulp noise to flip at a
-      // half-way boundary (streaming stddev/corr accumulate in
-      // fold-order-dependent doubles, the same latent flake the q1/q3
-      // revenue sums hit at sf0.1). Moment magnitudes stay < 2^62 up
-      // to sf≈1; beyond that, widen to decimal sums.
-      val c = round($"value" * 100).cast("long")
-      // floor BEFORE the long cast: Spark's ANSI double→long cast
-      // truncates while DuckDB's rounds — floor on both sides is the
-      // parity rule (k is integral in the fixtures, but the contract
-      // shouldn't depend on that)
-      val k = floor(get_json_object($"props", "$.k").cast("double"))
-        .cast("long")
-      val varNum = ($"n0" * $"s2" - $"s1" * $"s1").cast("double")
-      val kVarNum = ($"n0" * $"skk" - $"sk" * $"sk").cast("double")
-      Tables.load(s, d, "events")
-        .select($"event_type", c.as("c"), k.as("k"))
-        .groupBy($"event_type")
-        .agg(count(lit(1)).as("n0"),
-          sum($"c").as("s1"), sum($"c" * $"c").as("s2"),
-          sum($"k").as("sk"), sum($"k" * $"k").as("skk"),
-          sum($"c" * $"k").as("svk"))
-        .select($"event_type",
-          round($"s1" / ($"n0" * 100.0), 2).as("mean_value"),
-          // degenerate groups → NULL like the sample-stat functions
-          // would return (n0=1 zeroes the Bessel denominator; a
-          // constant-valued group zeroes a correlation factor)
-          when($"n0" > 1,
-            round(sqrt(varNum / ($"n0" * ($"n0" - 1)) / 10000.0), 2))
-            .as("sd_value"),
-          when($"n0" > 1,
-            round(varNum / ($"n0" * ($"n0" - 1)) / 10000.0, 2))
-            .as("var_value"),
-          when($"n0" > 1 && varNum > 0 && kVarNum > 0,
-            round(($"n0" * $"svk" - $"s1" * $"sk").cast("double") /
-              (sqrt(varNum) * sqrt(kVarNum)), 2))
-            .as("corr_vk"),
-          $"n0".as("n"))
-        .orderBy($"event_type")
-    }),
+    "q25_stats" -> ((s, d) => momentStats(Tables.load(s, d, "events"))),
 
     "q23_csv_roundtrip" -> ((s, d) => {
       import s.implicits._
@@ -512,6 +468,65 @@ object Relational {
           max($"l_quantity").as("qmax"))
         .orderBy($"l_returnflag")
     }))
+
+  /** q25's aggregation, factored out so the overflow spec can run it
+    * on synthetic magnitudes. Statistical aggregates via EXACT integer
+    * moments: value is a 2dp double (→ cents) and k is integral, so
+    * every sum is order-independent integer arithmetic — both engines
+    * then evaluate the identical float expression on identical inputs,
+    * and the final round(_, 2) has no cross-engine ulp noise to flip
+    * at a half-way boundary (streaming stddev/corr accumulate in
+    * fold-order-dependent doubles, the same latent flake the q1/q3
+    * revenue sums hit at sf0.1).
+    *
+    * Width guard: the moments accumulate as decimal(38,0) — BIGINT
+    * sums of c·c overflow past sf≈1 (n·c² ≈ 2e16 at sf0.1 and grows
+    * linearly; ANSI would throw), while 38 digits cover any driver
+    * scale. DuckDB's side needs no change: its sum(BIGINT) is already
+    * HUGEINT (128-bit), and both exact integer domains cast to the
+    * same double. MomentWidthSpec drives a magnitude where the long
+    * path provably overflows.
+    */
+  def momentStats(events: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val dec = "decimal(38,0)"
+    val c = round(col("value") * 100).cast("long").cast(dec)
+    // floor BEFORE the integer cast: Spark's ANSI double→long cast
+    // truncates while DuckDB's rounds — floor on both sides is the
+    // parity rule (k is integral in the fixtures, but the contract
+    // shouldn't depend on that)
+    val k = floor(get_json_object(col("props"), "$.k").cast("double"))
+      .cast("long").cast(dec)
+    val varNum = (col("n0") * col("s2") - col("s1") * col("s1"))
+      .cast("double")
+    val kVarNum = (col("n0") * col("skk") - col("sk") * col("sk"))
+      .cast("double")
+    events
+      .select(col("event_type"), c.as("c"), k.as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n0"),
+        sum(col("c")).as("s1"), sum(col("c") * col("c")).as("s2"),
+        sum(col("k")).as("sk"), sum(col("k") * col("k")).as("skk"),
+        sum(col("c") * col("k")).as("svk"))
+      .select(col("event_type"),
+        round(col("s1") / (col("n0") * 100.0), 2).as("mean_value"),
+        // degenerate groups → NULL like the sample-stat functions
+        // would return (n0=1 zeroes the Bessel denominator; a
+        // constant-valued group zeroes a correlation factor)
+        when(col("n0") > 1,
+          round(sqrt(varNum / (col("n0") * (col("n0") - 1)) / 10000.0), 2))
+          .as("sd_value"),
+        when(col("n0") > 1,
+          round(varNum / (col("n0") * (col("n0") - 1)) / 10000.0, 2))
+          .as("var_value"),
+        when(col("n0") > 1 && varNum > 0 && kVarNum > 0,
+          round((col("n0") * col("svk") - col("s1") * col("sk"))
+            .cast("double") /
+            (sqrt(varNum) * sqrt(kVarNum)), 2))
+          .as("corr_vk"),
+        col("n0").as("n"))
+      .orderBy(col("event_type"))
+  }
 
   def oracles: Map[String, String] = Map(
     "q1_agg" ->

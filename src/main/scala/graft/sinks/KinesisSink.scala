@@ -137,6 +137,51 @@ object KinesisSink {
         writeBatch(batch, streamName, client)
       }
       .start()
+
+  /** Transactional batch-marker store for exactly-once delivery: a
+    * transport that can atomically record "micro-batch N is fully
+    * delivered" upgrades the at-least-once retry policy to
+    * exactly-once under replay. Production analogues: a manifest/
+    * commit table next to the data, a conditional put, a Delta txn —
+    * raw Kinesis itself cannot store one, which is WHY the reference
+    * (and our default path) is not exactly-once; consumers there
+    * dedupe on a record key instead.
+    */
+  trait BatchMarkers {
+    def isBatchCommitted(streamName: String, batchId: Long): Boolean
+    def commitBatch(streamName: String, batchId: Long): Unit
+  }
+
+  /** One idempotent micro-batch delivery: skip if the marker says this
+    * batchId already committed (post-crash foreachBatch re-delivery),
+    * else write-then-mark. Factored out of the stream writer so specs
+    * can replay a batchId directly.
+    */
+  def deliverBatchIdempotent(batch: DataFrame, streamName: String,
+      client: RecordsClient with BatchMarkers, batchId: Long): Unit =
+    if (!client.isBatchCommitted(streamName, batchId)) {
+      writeBatch(batch, streamName, client)
+      client.commitBatch(streamName, batchId)
+    }
+
+  /** Exactly-once streaming write: Spark's foreachBatch re-delivers
+    * the last in-flight batchId after a failure; the batchId-keyed
+    * marker makes that replay a no-op instead of a duplicate append.
+    * (A crash BETWEEN writeBatch and commitBatch still re-appends on
+    * replay — closing that window needs the marker written in the same
+    * transaction as the data, which the in-memory registry's
+    * single-JVM lock provides and a real deployment gets from its
+    * commit table; documented seam, same as SdkRecordsClient.)
+    */
+  def writeStreamExactlyOnce(df: DataFrame, streamName: String,
+      client: RecordsClient with BatchMarkers, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        deliverBatchIdempotent(batch, streamName, client, batchId)
+      }
+      .start()
 }
 
 /** Test/local transport: collects records into a JVM-wide registry
@@ -144,7 +189,22 @@ object KinesisSink {
   * fails the first N calls per stream to exercise retry.
   */
 class InMemoryRecordsClient(registryId: String, failFirstN: Int = 0)
-    extends KinesisSink.RecordsClient {
+    extends KinesisSink.RecordsClient with KinesisSink.BatchMarkers {
+
+  def isBatchCommitted(streamName: String, batchId: Long): Boolean =
+    InMemoryRecordsClient.synchronized {
+      InMemoryRecordsClient.committedBatches
+        .getOrElse(s"$registryId/$streamName", Set.empty).contains(batchId)
+    }
+
+  def commitBatch(streamName: String, batchId: Long): Unit =
+    InMemoryRecordsClient.synchronized {
+      val k = s"$registryId/$streamName"
+      InMemoryRecordsClient.committedBatches(k) =
+        InMemoryRecordsClient.committedBatches
+          .getOrElse(k, Set.empty) + batchId
+    }
+
   def putRecords(streamName: String,
       records: Seq[KinesisSink.RecordEntry]): KinesisSink.PutResult = {
     val shouldFail = InMemoryRecordsClient.synchronized {
@@ -180,6 +240,7 @@ object InMemoryRecordsClient {
     mutable.Map[String, ArrayBuffer[KinesisSink.RecordEntry]]()
   private val calls = mutable.Map[String, Int]()
   private val failures = mutable.Map[String, Int]()
+  private val committedBatches = mutable.Map[String, Set[Long]]()
 
   def recordsFor(registryId: String, stream: String)
       : Seq[KinesisSink.RecordEntry] = synchronized {
@@ -190,5 +251,6 @@ object InMemoryRecordsClient {
   }
   def clear(): Unit = synchronized {
     records.clear(); calls.clear(); failures.clear()
+    committedBatches.clear()
   }
 }

@@ -138,9 +138,14 @@ class MainSpec extends SparkSpec {
         """"Status":200,"User":"-","UserAgent":"curl/8.0","UrlPath":"/index.html"}"""
     // second record pre-sets LogFile to assert --add-entry overwrite
     val rec2 = """{"LogFile":"stale","Status":404,"UrlPath":"/missing"}"""
+    // third record: per-field escaping hazards — embedded quotes,
+    // backslashes, non-ASCII — must survive parse→canonical-marshal
+    // byte-exactly (Go's Marshal keeps UTF-8 raw and escapes \" \\)
+    val rec3 = """{"RequestLine":"GET /a\"b\\c HTTP/1.1","Status":201,""" +
+      """"UrlPath":"/päth","UserAgent":"ua \"quoted\""}"""
     val dir = Files.createTempDirectory("graft-cli-access")
-    Files.write(dir.resolve("access.json"), (rec1 + "\n" + rec2 + "\n")
-      .getBytes("UTF-8"))
+    Files.write(dir.resolve("access.json"),
+      (rec1 + "\n" + rec2 + "\n" + rec3 + "\n").getBytes("UTF-8"))
     val cfg = Main.parse(Seq("--format", "json",
       "--add-entry", "LogFile=AccessLog",
       "--input-dir", dir.toString, "--once", "Apache")).toOption.get
@@ -164,6 +169,10 @@ class MainSpec extends SparkSpec {
     // overwrite-on-collision: add-entry's LogFile wins over the payload's
     assert(texts(1) ==
       """{"LogFile":"AccessLog","Status":404.0,"UrlPath":"/missing"}""")
+    // escaping hazards round-trip byte-exactly in canonical form
+    assert(texts(2) ==
+      """{"LogFile":"AccessLog","RequestLine":"GET /a\"b\\c HTTP/1.1",""" +
+        """"Status":201.0,"UrlPath":"/päth","UserAgent":"ua \"quoted\""}""")
     // per-key FIFO: one partition key (the host id) and arrival order
     // preserved within it — the reference's delivery guarantee (§1.4)
     assert(got.map(_.partitionKey).toSet == Set(graft.sinks.HostId.cached))

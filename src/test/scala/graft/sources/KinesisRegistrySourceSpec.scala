@@ -43,6 +43,45 @@ class KinesisRegistrySourceSpec extends SparkSpec {
     assert(after.map(_._1).toSet == Set(0L, 1L, 2L, 3L))
   }
 
+  test("exactly-once: re-delivered micro-batches do not duplicate records") {
+    InMemoryRecordsClient.clear()
+    val client = new InMemoryRecordsClient("eos")
+    val b0 = Seq(("r1", "k1"), ("r2", "k1")).toDF("data", "partition_key")
+
+    // a real stream through the exactly-once writer delivers batch 0
+    implicit val sqlCtx = spark.sqlContext
+    val src = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, String)]
+    src.addData(("r1", "k1"), ("r2", "k1"))
+    val q = KinesisSink.writeStreamExactlyOnce(
+      src.toDF().toDF("data", "partition_key"), "EOS", client,
+      Files.createTempDirectory("graft-eos-ck").toString)
+    q.processAllAvailable()
+    q.stop()
+    assert(InMemoryRecordsClient.recordsFor("eos", "EOS").size == 2)
+
+    // post-crash foreachBatch replay re-delivers the SAME batchId —
+    // the batch marker must turn it into a no-op, not an append
+    KinesisSink.deliverBatchIdempotent(b0, "EOS", client, batchId = 0L)
+    assert(InMemoryRecordsClient.recordsFor("eos", "EOS").size == 2,
+      "replayed batchId must not duplicate records")
+
+    // consumer-side count through the registry source stays 2
+    val cq = spark.readStream.format("kinesis-registry")
+      .option("registryId", "eos").option("stream", "EOS").load()
+      .writeStream.format("memory").queryName("eos_consumer")
+      .outputMode("append").start()
+    cq.processAllAvailable()
+    assert(spark.table("eos_consumer").count() == 2)
+
+    // a genuinely NEW batchId still appends (and reaches the consumer)
+    KinesisSink.deliverBatchIdempotent(b0, "EOS", client, batchId = 1L)
+    cq.processAllAvailable()
+    val n = spark.table("eos_consumer").count()
+    cq.stop()
+    assert(n == 4)
+  }
+
   test("full loop: CLI json mode → sink → consumer stream") {
     val dir = Files.createTempDirectory("graft-loop")
     Files.write(dir.resolve("in.json"),
