@@ -24,6 +24,25 @@ object Bench {
       Tables.load(spark, sfDir, "lineitem")
         .withColumn("r", row_number().over(w))
         .groupBy("l_returnflag").agg(sum("r")).collect()
+      // the dedup expression path (native shingle/minhash/simhash
+      // codegen + a tiny banded self-join) compiles here too —
+      // otherwise the alphabetically first dedup query absorbs its
+      // Janino+JIT cost while later dedup queries run it warm
+      val docs = Tables.load(spark, sfDir, "documents").limit(200)
+        .select(col("doc_id"),
+          graft.functions.ShingleFunctions.shingle_hashes(col("text"))
+            .as("shh"))
+        .filter(size(col("shh")) > 0)
+        .withColumn("sig", graft.functions.ShingleFunctions
+          .minhash_signature(col("shh"), 32))
+        .withColumn("b", xxhash64(element_at(col("sig"), 1)))
+      docs.as("a").join(docs.as("b"), "b").count()
+      Tables.load(spark, sfDir, "documents").limit(200)
+        .select(col("doc_id"), explode(split(lower(col("text")), "\\s+"))
+          .as("tok"))
+        .groupBy(col("doc_id"))
+        .agg(graft.functions.SimHashAgg.simhash_agg(xxhash64(col("tok"))))
+        .count()
     } catch { case _: Throwable => }
     // dev knob: SPARK_GRAFT_ONLY=ann_lsh,ann_bruteforce benches a
     // subset while iterating; the driver never sets it

@@ -463,12 +463,27 @@ object Dedup {
     * small-star contraction (Kiveris et al. 2014); the per-round
     * shuffle shape is the same.
     */
-  def connectedComponents(pairs0: DataFrame): DataFrame = {
+  def connectedComponents(pairs0: DataFrame): DataFrame =
+    connectedComponents(pairs0, localSolveMaxEdges = 1L << 20)
+
+  /** `localSolveMaxEdges` gates a driver-side union-find: the pair
+    * graph holds ONLY near-dup edges, so even a 100 TB corpus usually
+    * yields an edge list orders smaller than the data (123 edges at
+    * sf0.1). Below the bound (default 2^20 edges ≈ 16 MB — the same
+    * order as a broadcast side) the solve is one collect + union-find,
+    * replacing 2+ distributed rounds whose per-round scheduling
+    * overhead dominated the bench (6.7 s for those 123 edges). Above
+    * it, the monotone label-propagation loop runs fully distributed —
+    * both paths produce identical output (asserted in DedupSpec).
+    */
+  def connectedComponents(pairs0: DataFrame, localSolveMaxEdges: Long)
+      : DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // both union branches read the pair frame with different
     // projections — without persist the (expensive) pair generation
     // runs twice before edges even materialize
     val pairs = pairs0.persist(lvl)
+    if (pairs.count() <= localSolveMaxEdges) return localComponents(pairs)
     val edges = pairs
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
@@ -493,8 +508,8 @@ object Dedup {
             .as("label"))
     }
     var changed = 1L
+    var prevCache = labels
     while (changed > 0) {
-      val prev = labels
       // TWO propagation rounds per driver sync: labels only ever
       // decrease (monotone), so label != two-rounds-ago label iff
       // anything changed in either round — the fixed-point test stays
@@ -503,12 +518,20 @@ object Dedup {
       // see scaladoc) finish in ONE action; at 1000 executors the
       // per-action scheduling latency is what this bounds.
       val next = propagate(propagate(
-        prev.select(col("doc_id"), col("label"),
+        labels.select(col("doc_id"), col("label"),
           col("label").as("old_label"))))
         .persist(lvl)
       changed = next.filter(col("label") =!= col("old_label")).count()
-      prev.unpersist()
-      labels = next.select(col("doc_id"), col("label"))
+      prevCache.unpersist()
+      prevCache = next
+      // cut the logical lineage each round: `propagate` references its
+      // input twice, so plans would otherwise QUADRUPLE per iteration
+      // — exponential analysis/planning cost on long chains even
+      // though the data is cached (surfaced by the DedupSpec chain
+      // test as an analyzer OOM)
+      labels = next.sparkSession
+        .createDataFrame(next.rdd, next.schema)
+        .select(col("doc_id"), col("label"))
     }
     edges.unpersist()
     pairs.unpersist()
@@ -518,6 +541,39 @@ object Dedup {
     // one session should spark.catalog.clearCache() between them (the
     // Bench and Verify harnesses both do).
     labels.select(col("label").as("component"), col("doc_id"))
+      .orderBy(col("component"), col("doc_id"))
+  }
+
+  /** Driver union-find over a small collected edge list. Union-by-min
+    * root makes every root the minimum id of its component, so the
+    * label falls out of `find` directly; path compression keeps the
+    * forest flat despite the min-order unions.
+    */
+  private def localComponents(pairs: DataFrame): DataFrame = {
+    val s = pairs.sparkSession
+    import s.implicits._
+    val edges = pairs.select(col("doc_a"), col("doc_b"))
+      .as[(Long, Long)].collect()
+    pairs.unpersist()
+    val parent = scala.collection.mutable.LongMap[Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a)
+      parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra < rb) parent(rb) = ra
+      else if (rb < ra) parent(ra) = rb
+    }
+    val rows = parent.keys.toSeq.map(x => (find(x), x)).sorted
+    // explicit Spark sort: a local relation re-parallelizes, so the
+    // Scala-side sort alone would not survive to the output order
+    rows.toDF("component", "doc_id")
       .orderBy(col("component"), col("doc_id"))
   }
 

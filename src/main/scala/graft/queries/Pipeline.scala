@@ -42,7 +42,69 @@ object Pipeline {
     when(substring(md5(text), 1, 1) < lit("c"), lit("train"))
       .otherwise(lit("test"))
 
+  /** Distinct word-n-gram hashes from a token-hash array — the
+    * generalized form of Dedup.hashedShingles (n=3); decontamination
+    * uses wider grams.
+    */
+  private def gramHashes(th: Column, n: Int): Column =
+    when(size(th) >= n,
+      array_distinct(transform(
+        sequence(lit(1), size(th) - (n - 1)),
+        i => xxhash64((0 until n).map(j => element_at(th, i + j)): _*))))
+      .otherwise(array().cast("array<bigint>"))
+
   def queries: Map[String, Q] = Map(
+    // Training-sequence packing: documents stream into fixed
+    // token-budget sequences (greedy fill in doc_id order — the
+    // standard streaming pack). The running sum partitions by
+    // (lang, source) so state never crosses a shard: at 100 TB each
+    // (lang, source) shard packs independently — no global order, no
+    // driver coordination; within a shard it is one window pass.
+    // Budget 512 whitespace tokens here; real deployments use the
+    // model context minus specials.
+    "pipeline_pack" -> ((s, d) => {
+      import s.implicits._
+      val budget = 512
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"lang", $"source").orderBy($"doc_id")
+      Tables.load(s, d, "documents")
+        .withColumn("n_tokens",
+          size(split(lower($"text"), "\\s+")).cast("long"))
+        .withColumn("cum", sum($"n_tokens").over(w))
+        // a doc joins the sequence its cumulative START falls in;
+        // floor (not cast) — ANSI cast truncates, DuckDB's rounds
+        .withColumn("seq_id",
+          floor(($"cum" - $"n_tokens") / budget).cast("long"))
+        .groupBy($"lang", $"source", $"seq_id")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_tokens").as("sum_tokens"))
+        .orderBy($"lang", $"source", $"seq_id")
+    }),
+
+    // Benchmark decontamination: train-split docs sharing any word
+    // n-gram with the test split are flagged (the GPT-3-style n-gram
+    // overlap check). Hashed grams exploded from the train side join
+    // the distinct test-side grams — linear scan + one equi-join on
+    // the gram hash, never doc×doc. n=4 suits this tiny synthetic
+    // vocabulary; production text uses 8–13. The oracle replays the
+    // same join over string grams (same results short of a 64-bit
+    // hash collision, the dedup_ngram_jaccard precedent).
+    "pipeline_decontaminate" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.load(s, d, "documents")
+        .withColumn("split", splitCol($"text"))
+        .withColumn("g", gramHashes(
+          graft.dedup.Dedup.tokenHashes(split(lower($"text"), "\\s+")), 4))
+      val train = docs.filter($"split" === "train")
+        .select($"doc_id", explode($"g").as("gram"))
+      val testGrams = docs.filter($"split" === "test")
+        .select(explode($"g").as("gram")).distinct()
+      train.join(testGrams, Seq("gram"))
+        .groupBy($"doc_id")
+        .agg(count_distinct($"gram").as("n_shared_grams"))
+        .orderBy($"doc_id")
+    }),
+
     // Leakage-safe corpus split summary (see splitCol). Row-local,
     // scan-shaped.
     "pipeline_split" -> ((s, d) => {
@@ -99,6 +161,42 @@ object Pipeline {
   }
 
   def oracles: Map[String, String] = Map(
+    "pipeline_pack" ->
+      """WITH t AS (
+           SELECT lang, source, doc_id,
+             CAST(len(string_split_regex(lower(text), '\s+')) AS BIGINT)
+               AS n_tokens,
+             CAST(sum(len(string_split_regex(lower(text), '\s+')))
+               OVER (PARTITION BY lang, source ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum
+           FROM documents)
+         SELECT lang, source,
+           CAST(floor((cum - n_tokens) / 512) AS BIGINT) AS seq_id,
+           count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+         FROM t GROUP BY 1, 2, 3 ORDER BY lang, source, seq_id""",
+    "pipeline_decontaminate" ->
+      """WITH toks AS (
+           SELECT doc_id,
+             CASE WHEN substring(md5(text), 1, 1) < 'c'
+                  THEN 'train' ELSE 'test' END AS split,
+             string_split_regex(lower(text), '\s+') AS t
+           FROM documents),
+         grams AS (
+           SELECT doc_id, split,
+             list_distinct(list_transform(
+               range(1, greatest(len(t) - 3, 0) + 1),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))
+               AS g
+           FROM toks),
+         train AS (
+           SELECT doc_id, unnest(g) AS gram FROM grams WHERE split = 'train'),
+         testg AS (
+           SELECT DISTINCT unnest(g) AS gram FROM grams WHERE split = 'test')
+         SELECT t.doc_id,
+           CAST(count(DISTINCT t.gram) AS BIGINT) AS n_shared_grams
+         FROM train t JOIN testg USING (gram)
+         GROUP BY t.doc_id ORDER BY doc_id""",
     "pipeline_split" ->
       """SELECT lang,
            CASE WHEN substring(md5(text), 1, 1) < 'c'

@@ -217,6 +217,21 @@ class DedupSpec extends SparkSpec {
     assert(cc == Seq((1L, 1L), (1L, 2L), (1L, 5L), (7L, 7L), (7L, 9L)))
   }
 
+  test("local and distributed CC paths agree (incl. a long chain)") {
+    // a 12-node path graph needs several propagation rounds — the
+    // worst case for the two-rounds-per-sync loop — plus a separate
+    // 2-cluster; localSolveMaxEdges = 0 forces the distributed loop
+    val chain = (0 until 11).map(i => (i.toLong, i.toLong + 1))
+    val pairs = (chain ++ Seq((100L, 101L))).toDF("doc_a", "doc_b")
+    val local = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toSeq
+    val dist = Dedup.connectedComponents(pairs, localSolveMaxEdges = 0)
+      .as[(Long, Long)].collect().toSeq
+    assert(local == dist)
+    assert(local == ((0 to 11).map(i => (0L, i.toLong)) ++
+      Seq((100L, 100L), (100L, 101L))))
+  }
+
   test("incremental dedup drops new docs whose content exists in corpus") {
     import org.apache.spark.sql.functions.{col, md5}
     // corpus: ids 0-2; batch: ids 3-4 where doc 3 repeats doc 0's text

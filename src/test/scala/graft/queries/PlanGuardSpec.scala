@@ -97,6 +97,18 @@ class PlanGuardSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       "interval predicate must ride the bin equi-join, not a BNL scan")
   }
 
+  test("dedup_embedding_lsh candidates ride a bucket equi-join, never a cross join") {
+    val plan = executedPlan("dedup_embedding_lsh")
+    val bnl = collectWithSubqueries(plan) {
+      case b: BroadcastNestedLoopJoinExec => b
+    }
+    val cartesian = collectWithSubqueries(plan) {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+    }
+    assert(bnl.isEmpty && cartesian.isEmpty,
+      "the blocked embedding dedup must never degrade to all-pairs")
+  }
+
   test("ann_bruteforce broadcasts the query side and partial-limits the window") {
     val plan = executedPlan("ann_bruteforce")
     val bnl = collectWithSubqueries(plan) {
