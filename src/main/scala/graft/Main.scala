@@ -45,6 +45,7 @@ object Main {
       inputDir: Option[String] = None,
       checkpointDir: Option[String] = None,
       once: Boolean = false,
+      exactlyOnce: Boolean = false,
       help: Boolean = false)
 
   val usage: String =
@@ -63,6 +64,10 @@ object Main {
       |                                 so restarts resume; --once uses a
       |                                 fresh temp dir)
       |      --once                     drain available input, then exit
+      |      --exactly-once             idempotent replay: skip already-
+      |                                 committed micro-batches (needs a
+      |                                 transport with a batch-marker
+      |                                 store; extension flag)
       |  -h, --help                     show this message
       |""".stripMargin
 
@@ -93,7 +98,8 @@ object Main {
       flag match {
         // boolean flags take no value — `--once=false` silently meaning
         // TRUE would invert the user's intent, so reject it outright
-        case "-h" | "--help" | "--once" if inline.isDefined =>
+        case "-h" | "--help" | "--once" | "--exactly-once"
+            if inline.isDefined =>
           return Left((s"Option $flag does not take a value", 2))
         case "-h" | "--help" => cfg = cfg.copy(help = true)
         case "-f" | "--format" => v() match {
@@ -137,6 +143,7 @@ object Main {
           case Left(e) => return Left(e)
         }
         case "--once" => cfg = cfg.copy(once = true)
+        case "--exactly-once" => cfg = cfg.copy(exactlyOnce = true)
         case opt if opt.startsWith("-") && opt.length > 1 =>
           return Left((s"Unknown option: $opt", 2))
         case pos => positional :+= pos
@@ -205,8 +212,15 @@ object Main {
       // weeks-long tail)
       case JsonFormat => StreamOps.concatJsonStream(spark, dir)
     }
-    KinesisSink.writeStream(
-      pipeline(src, cfg, HostId.cached), cfg.stream, client, checkpointDir)
+    val out = pipeline(src, cfg, HostId.cached)
+    if (cfg.exactlyOnce) client match {
+      case m: KinesisSink.RecordsClient with KinesisSink.BatchMarkers =>
+        KinesisSink.writeStreamExactlyOnce(out, cfg.stream, m, checkpointDir)
+      case _ => throw new IllegalArgumentException(
+        "--exactly-once requires a transport with a batch-marker store " +
+          "(KinesisSink.BatchMarkers); raw Kinesis PutRecords has none")
+    } else
+      KinesisSink.writeStream(out, cfg.stream, client, checkpointDir)
   }
 
   def main(args: Array[String]): Unit = {

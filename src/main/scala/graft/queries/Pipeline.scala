@@ -91,10 +91,18 @@ object Pipeline {
     // hash collision, the dedup_ngram_jaccard precedent).
     "pipeline_decontaminate" -> ((s, d) => {
       import s.implicits._
-      val docs = Tables.load(s, d, "documents")
+      // token hashes MUST materialize as their own column before the
+      // gram lambda: the lambda references them n times, and a
+      // collapsed projection re-runs the whole (interpreted) token
+      // transform per reference — measured 50 s vs 1.5 s at sf0.1.
+      // The gram frame feeds both split branches → persist.
+      val docs = Tables.spread(Tables.load(s, d, "documents"))
         .withColumn("split", splitCol($"text"))
-        .withColumn("g", gramHashes(
-          graft.dedup.Dedup.tokenHashes(split(lower($"text"), "\\s+")), 4))
+        .withColumn("th",
+          graft.dedup.Dedup.tokenHashes(split(lower($"text"), "\\s+")))
+        .withColumn("g", gramHashes($"th", 4))
+        .select($"doc_id", $"split", $"g")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val train = docs.filter($"split" === "train")
         .select($"doc_id", explode($"g").as("gram"))
       val testGrams = docs.filter($"split" === "test")

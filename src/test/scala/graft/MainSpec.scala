@@ -180,6 +180,46 @@ class MainSpec extends SparkSpec {
       texts.indexWhere(_.contains("/missing")))
   }
 
+  // ------------------------------- end-to-end: exactly-once replay
+  test("--exactly-once: a re-delivered batch 0 does not duplicate records") {
+    val dir = Files.createTempDirectory("graft-cli-eos")
+    Files.write(dir.resolve("a.log"), "one\ntwo\n".getBytes("UTF-8"))
+    val cfg = Main.parse(Seq("--format", "line", "--exactly-once",
+      "--input-dir", dir.toString, "--once", "EosStream")).toOption.get
+    assert(cfg.exactlyOnce)
+    InMemoryRecordsClient.clear()
+    val client = new InMemoryRecordsClient("mainspec-eos")
+    val q1 = Main.run(spark, cfg, client,
+      Files.createTempDirectory("graft-cli-eck1").toString)
+    q1.processAllAvailable(); q1.stop()
+    assert(InMemoryRecordsClient.recordsFor("mainspec-eos", "EosStream")
+      .size == 2)
+    // a FRESH checkpoint restarts batch ids at 0 → the same files are
+    // genuinely re-delivered as batchId 0; the registry-side marker
+    // must make the replay a no-op
+    val q2 = Main.run(spark, cfg, client,
+      Files.createTempDirectory("graft-cli-eck2").toString)
+    q2.processAllAvailable(); q2.stop()
+    assert(InMemoryRecordsClient.recordsFor("mainspec-eos", "EosStream")
+      .size == 2, "replayed batch must not duplicate records")
+  }
+
+  test("--exactly-once without a batch-marker transport fails loudly") {
+    val dir = Files.createTempDirectory("graft-cli-eos2")
+    Files.write(dir.resolve("a.log"), "one\n".getBytes("UTF-8"))
+    val cfg = Main.parse(Seq("--format", "line", "--exactly-once",
+      "--input-dir", dir.toString, "--once", "S")).toOption.get
+    val bare = new graft.sinks.KinesisSink.RecordsClient {
+      def putRecords(sn: String,
+          rs: Seq[graft.sinks.KinesisSink.RecordEntry]) =
+        graft.sinks.KinesisSink.PutResult(Nil, Nil)
+    }
+    intercept[IllegalArgumentException] {
+      Main.run(spark, cfg, bare,
+        Files.createTempDirectory("graft-cli-eck3").toString)
+    }
+  }
+
   // ------------------------------------------------- SDK seam guard
   test("SdkRecordsClient fails fast without the AWS SDK on classpath") {
     val c = new graft.sinks.SdkRecordsClient(Some("us-east-1"), None)
