@@ -63,6 +63,32 @@ object ScaleProbe {
       spark.catalog.clearCache()
     }
 
+    // embedding corpus at k×: copy i applies a seeded SIGNED
+    // PERMUTATION of the dimensions — an orthogonal transform, so
+    // every within-copy pairwise cosine is preserved exactly (the
+    // copy's near-dup structure replicates) while cross-copy cosines
+    // decorrelate to ~0 — the embedding analogue of the injective
+    // token renaming above. (A shared additive offset would instead
+    // make all vectors near-parallel: all-pairs candidates.)
+    def embCorpus(mult: Int): DataFrame = {
+      val base = Tables.load(spark, sfDir, "embeddings")
+      (0 until mult).map { i =>
+        val rnd = new scala.util.Random(1000 + i)
+        val perm = rnd.shuffle((0 until 64).toVector)
+        val sign = Vector.fill(64)(if (rnd.nextBoolean()) 1.0 else -1.0)
+        val emb =
+          if (i == 0) transform(col("embedding"), e => e.cast("double"))
+          else array((0 until 64).map(j =>
+            element_at(col("embedding"), perm(j) + 1).cast("double") *
+              lit(sign(j))): _*)
+        base.select(
+          (col("vec_id") + lit(i.toLong * 10000000L)).as("vec_id"),
+          emb.as("embedding"))
+      }.reduce(_ unionByName _)
+        .repartition(spark.sessionState.conf.numShufflePartitions)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
     Seq(1, 2, 4).foreach { mult =>
       val docs = corpus(mult)
       val n = docs.count() // materialize input out of the timed region
@@ -78,9 +104,18 @@ object ScaleProbe {
       val (tNg, rNg) = time(
         graft.dedup.Dedup.ngramJaccardOver(shingled(docs3), 0.5).count())
       spark.catalog.clearCache()
+      // embedding LSH: planesFor re-sizes the plane count per corpus,
+      // so candidate counts (and time) should track ~k, not k²
+      val embs = embCorpus(mult)
+      val nVecs = embs.count()
+      val planes = graft.sim.Similarity.planesFor(nVecs, targetBucket = 4)
+      val (tEmb, rEmb) = time(
+        graft.dedup.Dedup.embeddingLshCandidates(embs, 1, planes).count())
+      spark.catalog.clearCache()
       println(f"[scale] mult=$mult docs=$n " +
         f"minhash=$tMin%.1fs($rMin) simhash=$tSim%.1fs($rSim) " +
-        f"ngram(0.5)=$tNg%.1fs($rNg)")
+        f"ngram(0.5)=$tNg%.1fs($rNg) " +
+        f"embLsh[p=$planes]=$tEmb%.1fs($rEmb)")
     }
     spark.stop()
   }
