@@ -222,13 +222,19 @@ object Similarity {
     var converged = false
     for (_ <- 1 to iters if !converged) {
       val prev = cents
-      val wc = Window.partitionBy(col("vec_id"))
-        .orderBy(desc("c_sim"), col("cell"))
+      // argmax assignment as max_by partial aggregation, NOT a
+      // row_number window: the window sorts every (vector × centroid)
+      // row through a full shuffle, while max_by combines map-side —
+      // per-partition state is one row per vector. Tie-break matches
+      // the window form exactly: highest c_sim, then lowest cell
+      // (max of (c_sim, -cell)).
       val assigned = e.crossJoin(broadcast(cents))
         .withColumn("c_sim", cosine(col("embedding"), col("centroid")))
-        .withColumn("r", row_number().over(wc))
-        .filter(col("r") === 1)
-        .select(col("cell"), col("embedding"))
+        .groupBy(col("vec_id"))
+        .agg(max_by(struct(col("cell"), col("embedding")),
+          struct(col("c_sim"), -col("cell"))).as("best"))
+        .select(col("best.cell").as("cell"),
+          col("best.embedding").as("embedding"))
       cents = assigned
         .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
         .groupBy(col("cell"), col("pos"))
@@ -265,14 +271,16 @@ object Similarity {
     val e = Tables.load(s, d, "embeddings")
     val cents = kmeansCentroids(e, nClusters, iters)
       .withColumnRenamed("cell", "km_cell")
-    // assign every corpus vector to its nearest trained centroid
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(desc("c_sim"), col("km_cell"))
+    // assign every corpus vector to its nearest trained centroid —
+    // max_by aggregation, same argmax + tie-break as a row_number
+    // window but with map-side partial combine (see kmeans assign)
     val cells = e.crossJoin(broadcast(cents))
       .withColumn("c_sim", cosine(col("embedding"), col("centroid")))
-      .withColumn("r", row_number().over(wAssign))
-      .filter(col("r") === 1)
-      .select(col("vec_id"), col("km_cell"), col("embedding"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(col("km_cell"), col("embedding")),
+        struct(col("c_sim"), -col("km_cell"))).as("best"))
+      .select(col("vec_id"), col("best.km_cell").as("km_cell"),
+        col("best.embedding").as("embedding"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val q = cells.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
