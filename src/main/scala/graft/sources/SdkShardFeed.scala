@@ -1,0 +1,183 @@
+package graft.sources
+
+import java.lang.reflect.Method
+
+/** Consumer-side twin of [[graft.sinks.SdkRecordsClient]]: a
+  * reflective AWS SDK v2 `ListShards` / `GetShardIterator` /
+  * `GetRecords` feed — the production data path a Kinesis consumer
+  * source needs (the registry-backed `kinesis-registry` source reads
+  * the in-JVM registry; a deployment against real Kinesis swaps this
+  * feed in behind the same position-offset model, sequence numbers
+  * playing the registry positions).
+  *
+  * Same offline contract as the sink seam: compiles here without the
+  * SDK, resolves every method on the PUBLIC interface/builder types
+  * (concrete impl classes are package-private — a Method from a
+  * non-public declaring class throws IllegalAccessException on
+  * invoke), and fails fast with a clear message when the SDK jar is
+  * absent. The equivalent direct SDK-v2 code:
+  *
+  * {{{
+  * val shards = client.listShards(ListShardsRequest.builder()
+  *   .streamName(stream).build()).shards().asScala.map(_.shardId())
+  * val it0 = client.getShardIterator(GetShardIteratorRequest.builder()
+  *   .streamName(stream).shardId(shardId)
+  *   .shardIteratorType(ShardIteratorType.TRIM_HORIZON)   // or
+  *   .shardIteratorType(ShardIteratorType.AFTER_SEQUENCE_NUMBER)
+  *   .startingSequenceNumber(seq)
+  *   .build()).shardIterator()
+  * val resp = client.getRecords(GetRecordsRequest.builder()
+  *   .shardIterator(it0).limit(limit).build())
+  * resp.records().asScala.map(r => FeedRecord(
+  *   r.sequenceNumber(), r.data().asByteArray(), r.partitionKey()))
+  * // + resp.nextShardIterator() for the next poll
+  * }}}
+  */
+class SdkShardFeed(region: Option[String] = None,
+    profile: Option[String] = None) extends Serializable {
+
+  case class FeedRecord(sequenceNumber: String, data: Array[Byte],
+      partitionKey: String)
+
+  private def loadSdk(name: String): Class[_] =
+    try Class.forName(name)
+    catch {
+      case _: ClassNotFoundException => throw new IllegalStateException(
+        s"AWS SDK v2 class $name is not on the classpath. Add " +
+          "software.amazon.awssdk:kinesis to use SdkShardFeed, or " +
+          "read from the in-process registry (kinesis-registry source).")
+    }
+
+  @transient private lazy val api = new {
+    val clientIface =
+      loadSdk("software.amazon.awssdk.services.kinesis.KinesisClient")
+    val builderIface = loadSdk(
+      "software.amazon.awssdk.services.kinesis.KinesisClientBuilder")
+    val regionCls = loadSdk("software.amazon.awssdk.regions.Region")
+    val credsIface = loadSdk(
+      "software.amazon.awssdk.auth.credentials.AwsCredentialsProvider")
+    val profProvCls = loadSdk(
+      "software.amazon.awssdk.auth.credentials.ProfileCredentialsProvider")
+    val listReqCls = loadSdk(
+      "software.amazon.awssdk.services.kinesis.model.ListShardsRequest")
+    val listReqBuilderIface = loadSdk(
+      "software.amazon.awssdk.services.kinesis.model.ListShardsRequest$Builder")
+    val listRespCls = loadSdk(
+      "software.amazon.awssdk.services.kinesis.model.ListShardsResponse")
+    val shardCls =
+      loadSdk("software.amazon.awssdk.services.kinesis.model.Shard")
+    val itReqCls = loadSdk(
+      "software.amazon.awssdk.services.kinesis.model.GetShardIteratorRequest")
+    val itReqBuilderIface = loadSdk(
+      "software.amazon.awssdk.services.kinesis.model.GetShardIteratorRequest$Builder")
+    val itRespCls = loadSdk(
+      "software.amazon.awssdk.services.kinesis.model.GetShardIteratorResponse")
+    val itTypeCls = loadSdk(
+      "software.amazon.awssdk.services.kinesis.model.ShardIteratorType")
+    val recReqCls = loadSdk(
+      "software.amazon.awssdk.services.kinesis.model.GetRecordsRequest")
+    val recReqBuilderIface = loadSdk(
+      "software.amazon.awssdk.services.kinesis.model.GetRecordsRequest$Builder")
+    val recRespCls = loadSdk(
+      "software.amazon.awssdk.services.kinesis.model.GetRecordsResponse")
+    val recordCls =
+      loadSdk("software.amazon.awssdk.services.kinesis.model.Record")
+    val sdkBytesCls = loadSdk("software.amazon.awssdk.core.SdkBytes")
+
+    val listShards: Method = clientIface.getMethod("listShards", listReqCls)
+    val shardsOf: Method = listRespCls.getMethod("shards")
+    val shardId: Method = shardCls.getMethod("shardId")
+    val getShardIterator: Method =
+      clientIface.getMethod("getShardIterator", itReqCls)
+    val shardIteratorOf: Method = itRespCls.getMethod("shardIterator")
+    val getRecords: Method = clientIface.getMethod("getRecords", recReqCls)
+    val recordsOf: Method = recRespCls.getMethod("records")
+    val nextShardIterator: Method =
+      recRespCls.getMethod("nextShardIterator")
+    val seqNo: Method = recordCls.getMethod("sequenceNumber")
+    val dataOf: Method = recordCls.getMethod("data")
+    val partitionKeyOf: Method = recordCls.getMethod("partitionKey")
+    val asByteArray: Method = sdkBytesCls.getMethod("asByteArray")
+  }
+
+  @transient private lazy val client: AnyRef = {
+    val b = api.clientIface.getMethod("builder").invoke(null)
+    region.foreach { r =>
+      val reg = api.regionCls.getMethod("of", classOf[String])
+        .invoke(null, r)
+      api.builderIface.getMethod("region", api.regionCls).invoke(b, reg)
+    }
+    profile.foreach { p =>
+      val prov = api.profProvCls.getMethod("create", classOf[String])
+        .invoke(null, p)
+      api.builderIface.getMethod("credentialsProvider", api.credsIface)
+        .invoke(b, prov)
+    }
+    api.builderIface.getMethod("build").invoke(b)
+  }
+
+  /** Shard ids of a stream. */
+  def listShards(stream: String): Seq[String] = {
+    val rb = api.listReqCls.getMethod("builder").invoke(null)
+    api.listReqBuilderIface.getMethod("streamName", classOf[String])
+      .invoke(rb, stream)
+    val resp = api.listShards.invoke(client,
+      api.listReqBuilderIface.getMethod("build").invoke(rb))
+    val shards = api.shardsOf.invoke(resp)
+      .asInstanceOf[java.util.List[AnyRef]]
+    (0 until shards.size())
+      .map(i => api.shardId.invoke(shards.get(i)).asInstanceOf[String])
+  }
+
+  /** Iterator at TRIM_HORIZON (afterSeq = None) or just after a
+    * committed sequence number — the resume point a checkpointed
+    * micro-batch source stores, exactly like the registry source's
+    * position offsets.
+    */
+  def iteratorFor(stream: String, shardId: String,
+      afterSeq: Option[String]): String = {
+    val rb = api.itReqCls.getMethod("builder").invoke(null)
+    api.itReqBuilderIface.getMethod("streamName", classOf[String])
+      .invoke(rb, stream)
+    api.itReqBuilderIface.getMethod("shardId", classOf[String])
+      .invoke(rb, shardId)
+    val itType = api.itTypeCls
+      .getMethod("valueOf", classOf[String])
+      .invoke(null,
+        if (afterSeq.isDefined) "AFTER_SEQUENCE_NUMBER" else "TRIM_HORIZON")
+    api.itReqBuilderIface.getMethod("shardIteratorType", api.itTypeCls)
+      .invoke(rb, itType)
+    afterSeq.foreach(seq =>
+      api.itReqBuilderIface
+        .getMethod("startingSequenceNumber", classOf[String])
+        .invoke(rb, seq))
+    val resp = api.getShardIterator.invoke(client,
+      api.itReqBuilderIface.getMethod("build").invoke(rb))
+    api.shardIteratorOf.invoke(resp).asInstanceOf[String]
+  }
+
+  /** One GetRecords poll: records + the iterator for the next poll
+    * (null next-iterator = shard closed).
+    */
+  def getRecords(shardIterator: String, limit: Int)
+      : (Seq[FeedRecord], Option[String]) = {
+    val rb = api.recReqCls.getMethod("builder").invoke(null)
+    api.recReqBuilderIface.getMethod("shardIterator", classOf[String])
+      .invoke(rb, shardIterator)
+    api.recReqBuilderIface.getMethod("limit", classOf[Integer])
+      .invoke(rb, Integer.valueOf(limit))
+    val resp = api.getRecords.invoke(client,
+      api.recReqBuilderIface.getMethod("build").invoke(rb))
+    val recs = api.recordsOf.invoke(resp)
+      .asInstanceOf[java.util.List[AnyRef]]
+    val out = (0 until recs.size()).map { i =>
+      val r = recs.get(i)
+      FeedRecord(
+        api.seqNo.invoke(r).asInstanceOf[String],
+        api.asByteArray.invoke(api.dataOf.invoke(r))
+          .asInstanceOf[Array[Byte]],
+        api.partitionKeyOf.invoke(r).asInstanceOf[String])
+    }
+    (out, Option(api.nextShardIterator.invoke(resp).asInstanceOf[String]))
+  }
+}

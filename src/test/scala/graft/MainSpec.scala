@@ -229,4 +229,14 @@ class MainSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("software.amazon.awssdk"))
   }
+
+  test("SdkShardFeed (consumer seam) fails fast without the AWS SDK") {
+    val f = new graft.sources.SdkShardFeed(Some("us-east-1"), None)
+    val e = intercept[IllegalStateException] { f.listShards("s") }
+    assert(e.getMessage.contains("software.amazon.awssdk"))
+    val e2 = intercept[IllegalStateException] {
+      f.iteratorFor("s", "shardId-000000000000", None)
+    }
+    assert(e2.getMessage.contains("software.amazon.awssdk"))
+  }
 }

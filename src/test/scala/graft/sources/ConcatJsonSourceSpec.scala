@@ -83,6 +83,21 @@ class ConcatJsonSourceSpec extends SparkSpec {
       s"expected the multiline guard, got: ${msgs(ex).take(500)}")
   }
 
+  test("micro-batch stream splits a large file and delivers each record once") {
+    val dir = Files.createTempDirectory("graft-cjmbsplit")
+    val body = (0 until 5000).map(i => s"""{"id": $i}""").mkString("\n")
+    Files.writeString(dir.resolve("big.json"), body)
+    val q = spark.readStream.format("concat-json")
+      .option("splitSize", "8192").load(dir.toString)
+      .writeStream.format("memory").queryName("cjmbsplit")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    val got = spark.table("cjmbsplit").as[String].collect()
+    q.stop()
+    assert(got.length == 5000, s"expected 5000 records once, got ${got.length}")
+    assert(got.toSet == (0 until 5000).map(i => s"""{"id": $i}""").toSet)
+  }
+
   test("streams micro-batches of newly arrived files (MICRO_BATCH_READ)") {
     val dir = Files.createTempDirectory("graft-cjmb")
     Files.writeString(dir.resolve("first.json"), """{"k": 1} {"k": 2}""")
