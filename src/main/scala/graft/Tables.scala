@@ -28,7 +28,13 @@ object Tables {
     * worth one exchange. At 100 TB the scan already has thousands of
     * splits and an unconditional repartition would re-shuffle every
     * byte for nothing, so it is skipped (asserted in SpreadSpec).
-    * `df.rdd` forces physical planning but launches no job.
+    *
+    * Apply to SCAN-shaped frames: `df.rdd` forces physical planning,
+    * which on a pure scan creates the RDD without running a job — but
+    * on a plan containing a BroadcastExchange it would eagerly
+    * materialize the broadcast during planning (and again at
+    * execution). Callers with joins upstream spread the scan side
+    * first (see Multimodal.pack).
     */
   def spread(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sessionState.conf.numShufflePartitions

@@ -52,8 +52,16 @@ object Multimodal {
     * key is doc_id=vec_id (1:1); embeddings is the smaller relation →
     * broadcast; text bytes become the opaque payload column.
     */
-  def pack(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.load(s, d, "documents")
+  def pack(s: SparkSession, d: String, spreadDocs: Boolean = false)
+      : DataFrame = {
+    // spread applies to the raw SCAN, not the joined frame: calling
+    // Tables.spread on a broadcast-join plan would materialize the
+    // broadcast during planning (df.rdd prepares the exchange) and
+    // again at execution; on a pure scan .rdd builds the RDD without
+    // running a job, and the broadcast join preserves the streamed
+    // side's partitioning so the downstream kernel still fans out
+    val docs0 = Tables.load(s, d, "documents")
+    val docs = if (spreadDocs) Tables.spread(docs0) else docs0
     val embs = Tables.load(s, d, "embeddings")
     docs.join(broadcast(embs), docs("doc_id") === embs("vec_id"))
       .select(docs("doc_id"),
@@ -117,7 +125,7 @@ object Multimodal {
       // single-file local scan → one split → spread the kernel stage
       // across cores; Tables.spread skips the exchange entirely when
       // the scan already has >= session-parallelism splits (100 TB)
-      decode(graft.Tables.spread(pack(s, d)))
+      decode(pack(s, d, spreadDocs = true))
         .orderBy($"doc_id")
     }),
     "mm_features" -> ((s, d) => {
@@ -143,7 +151,7 @@ object Multimodal {
     "mm_frame_sample" -> ((s, d) => {
       import s.implicits._
       // sample every 2nd frame of each decoded media item
-      decode(graft.Tables.spread(pack(s, d)))
+      decode(pack(s, d, spreadDocs = true))
         .select($"doc_id", $"n_frames",
           explode(sequence(lit(0L), $"n_frames" - 1L, lit(2L)))
             .as("frame_idx"))

@@ -692,12 +692,16 @@ object Relational {
          GROUP BY e.event_id ORDER BY e.event_id""",
     "q25_stats" ->
       """WITH m AS (
+           -- HUGEINT moments mirror the Spark side's decimal(38,0):
+           -- BIGINT c*c overflows at the same magnitudes the widening
+           -- exists for, and both 128-bit exact domains round to the
+           -- identical DOUBLE below
            SELECT event_type, count(*) AS n0,
-             CAST(sum(c) AS BIGINT) AS s1,
-             CAST(sum(c * c) AS BIGINT) AS s2,
-             CAST(sum(k) AS BIGINT) AS sk,
-             CAST(sum(k * k) AS BIGINT) AS skk,
-             CAST(sum(c * k) AS BIGINT) AS svk
+             sum(CAST(c AS HUGEINT)) AS s1,
+             sum(CAST(c AS HUGEINT) * c) AS s2,
+             sum(CAST(k AS HUGEINT)) AS sk,
+             sum(CAST(k AS HUGEINT) * k) AS skk,
+             sum(CAST(c AS HUGEINT) * k) AS svk
            FROM (SELECT event_type,
                    CAST(round(value * 100) AS BIGINT) AS c,
                    CAST(floor(CAST(json_extract_string(props, '$.k')

@@ -139,39 +139,50 @@ object KinesisSink {
       .start()
 
   /** Transactional batch-marker store for exactly-once delivery: a
-    * transport that can atomically record "micro-batch N is fully
-    * delivered" upgrades the at-least-once retry policy to
-    * exactly-once under replay. Production analogues: a manifest/
-    * commit table next to the data, a conditional put, a Delta txn —
-    * raw Kinesis itself cannot store one, which is WHY the reference
-    * (and our default path) is not exactly-once; consumers there
-    * dedupe on a record key instead.
+    * transport that can atomically record "micro-batch N of query
+    * `scope` is fully delivered" upgrades the at-least-once retry
+    * policy to exactly-once under replay. Production analogues: a
+    * manifest/commit table next to the data, a conditional put, a
+    * Delta txn — raw Kinesis itself cannot store one, which is WHY
+    * the reference (and our default path) is not exactly-once;
+    * consumers there dedupe on a record key instead.
+    *
+    * `scope` MUST identify the streaming query (its checkpoint
+    * location — Spark's own foreachBatch idempotence recipe): batchIds
+    * are unique per CHECKPOINT, not per stream, so a marker keyed by
+    * (stream, batchId) alone would make a different query's (or a
+    * checkpoint-reset rerun's) batch 0 silently skip NEW data.
     */
   trait BatchMarkers {
-    def isBatchCommitted(streamName: String, batchId: Long): Boolean
-    def commitBatch(streamName: String, batchId: Long): Unit
+    def isBatchCommitted(scope: String, streamName: String,
+        batchId: Long): Boolean
+    def commitBatch(scope: String, streamName: String,
+        batchId: Long): Unit
   }
 
   /** One idempotent micro-batch delivery: skip if the marker says this
-    * batchId already committed (post-crash foreachBatch re-delivery),
-    * else write-then-mark. Factored out of the stream writer so specs
-    * can replay a batchId directly.
+    * (scope, batchId) already committed (post-crash foreachBatch
+    * re-delivery), else write-then-mark. Factored out of the stream
+    * writer so specs can replay a batchId directly.
     */
   def deliverBatchIdempotent(batch: DataFrame, streamName: String,
-      client: RecordsClient with BatchMarkers, batchId: Long): Unit =
-    if (!client.isBatchCommitted(streamName, batchId)) {
+      client: RecordsClient with BatchMarkers, scope: String,
+      batchId: Long): Unit =
+    if (!client.isBatchCommitted(scope, streamName, batchId)) {
       writeBatch(batch, streamName, client)
-      client.commitBatch(streamName, batchId)
+      client.commitBatch(scope, streamName, batchId)
     }
 
   /** Exactly-once streaming write: Spark's foreachBatch re-delivers
-    * the last in-flight batchId after a failure; the batchId-keyed
-    * marker makes that replay a no-op instead of a duplicate append.
-    * (A crash BETWEEN writeBatch and commitBatch still re-appends on
-    * replay — closing that window needs the marker written in the same
-    * transaction as the data, which the in-memory registry's
-    * single-JVM lock provides and a real deployment gets from its
-    * commit table; documented seam, same as SdkRecordsClient.)
+    * the last in-flight batchId after a failure; the
+    * (checkpoint, batchId)-keyed marker makes that replay a no-op
+    * instead of a duplicate append. A FRESH checkpoint is a new query
+    * identity and correctly re-delivers. (A crash BETWEEN writeBatch
+    * and commitBatch still re-appends on replay — closing that window
+    * needs the marker written in the same transaction as the data,
+    * which the in-memory registry's single-JVM lock provides and a
+    * real deployment gets from its commit table; documented seam,
+    * same as SdkRecordsClient.)
     */
   def writeStreamExactlyOnce(df: DataFrame, streamName: String,
       client: RecordsClient with BatchMarkers, checkpointDir: String)
@@ -179,7 +190,8 @@ object KinesisSink {
     df.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        deliverBatchIdempotent(batch, streamName, client, batchId)
+        deliverBatchIdempotent(batch, streamName, client, checkpointDir,
+          batchId)
       }
       .start()
 }
@@ -191,15 +203,18 @@ object KinesisSink {
 class InMemoryRecordsClient(registryId: String, failFirstN: Int = 0)
     extends KinesisSink.RecordsClient with KinesisSink.BatchMarkers {
 
-  def isBatchCommitted(streamName: String, batchId: Long): Boolean =
+  def isBatchCommitted(scope: String, streamName: String,
+      batchId: Long): Boolean =
     InMemoryRecordsClient.synchronized {
       InMemoryRecordsClient.committedBatches
-        .getOrElse(s"$registryId/$streamName", Set.empty).contains(batchId)
+        .getOrElse(s"$registryId/$streamName/$scope", Set.empty)
+        .contains(batchId)
     }
 
-  def commitBatch(streamName: String, batchId: Long): Unit =
+  def commitBatch(scope: String, streamName: String,
+      batchId: Long): Unit =
     InMemoryRecordsClient.synchronized {
-      val k = s"$registryId/$streamName"
+      val k = s"$registryId/$streamName/$scope"
       InMemoryRecordsClient.committedBatches(k) =
         InMemoryRecordsClient.committedBatches
           .getOrElse(k, Set.empty) + batchId

@@ -46,26 +46,11 @@ import java.lang.reflect.Method
 class SdkRecordsClient(region: Option[String] = None,
     profile: Option[String] = None) extends RecordsClient {
 
-  private def loadSdk(name: String): Class[_] =
-    try Class.forName(name)
-    catch {
-      case _: ClassNotFoundException => throw new IllegalStateException(
-        s"AWS SDK v2 class $name is not on the classpath. Add " +
-          "software.amazon.awssdk:kinesis to use SdkRecordsClient, or " +
-          "wire a different RecordsClient (tests: InMemoryRecordsClient).")
-    }
+  import SdkKinesis.loadSdk
 
   // all lookups on PUBLIC types; impl classes are package-private
+  // (shared client bootstrap: SdkKinesis)
   @transient private lazy val api = new {
-    val clientIface =
-      loadSdk("software.amazon.awssdk.services.kinesis.KinesisClient")
-    val builderIface = loadSdk(
-      "software.amazon.awssdk.services.kinesis.KinesisClientBuilder")
-    val regionCls = loadSdk("software.amazon.awssdk.regions.Region")
-    val credsIface = loadSdk(
-      "software.amazon.awssdk.auth.credentials.AwsCredentialsProvider")
-    val profProvCls = loadSdk(
-      "software.amazon.awssdk.auth.credentials.ProfileCredentialsProvider")
     val sdkBytesCls = loadSdk("software.amazon.awssdk.core.SdkBytes")
     val entryCls = loadSdk(
       "software.amazon.awssdk.services.kinesis.model.PutRecordsRequestEntry")
@@ -80,6 +65,8 @@ class SdkRecordsClient(region: Option[String] = None,
     val resultEntryCls = loadSdk(
       "software.amazon.awssdk.services.kinesis.model.PutRecordsResultEntry")
 
+    val clientIface =
+      loadSdk("software.amazon.awssdk.services.kinesis.KinesisClient")
     val putRecords: Method = clientIface.getMethod("putRecords", reqCls)
     val respRecords: Method = respCls.getMethod("records")
     val errorCode: Method = resultEntryCls.getMethod("errorCode")
@@ -87,21 +74,8 @@ class SdkRecordsClient(region: Option[String] = None,
   }
 
   // resolved lazily per executor after deserialization
-  @transient private lazy val client: AnyRef = {
-    val b = api.clientIface.getMethod("builder").invoke(null)
-    region.foreach { r =>
-      val reg = api.regionCls.getMethod("of", classOf[String])
-        .invoke(null, r)
-      api.builderIface.getMethod("region", api.regionCls).invoke(b, reg)
-    }
-    profile.foreach { p =>
-      val prov = api.profProvCls.getMethod("create", classOf[String])
-        .invoke(null, p)
-      api.builderIface.getMethod("credentialsProvider", api.credsIface)
-        .invoke(b, prov)
-    }
-    api.builderIface.getMethod("build").invoke(b)
-  }
+  @transient private lazy val client: AnyRef =
+    SdkKinesis.buildClient(region, profile)
 
   override def putRecords(streamName: String,
       records: Seq[RecordEntry]): PutResult = {

@@ -254,9 +254,14 @@ class ConcatJsonReaderFactory extends PartitionReaderFactory {
 class ConcatJsonPartitionReader(p: ConcatJsonPartition)
     extends PartitionReader[InternalRow] {
 
-  private val channel = FileChannel.open(Paths.get(p.file))
-  private val in = new BufferedInputStream(
-    Channels.newInputStream(channel.position(p.start)), 1 << 16)
+  // the line scanner's channel exists only for split files; the
+  // whole-file path reads via readAllBytes below and would otherwise
+  // hold an fd it never touches
+  private val channel: Option[FileChannel] =
+    if (p.splitFile) Some(FileChannel.open(Paths.get(p.file))) else None
+  private val in: BufferedInputStream = channel.map(ch =>
+    new BufferedInputStream(
+      Channels.newInputStream(ch.position(p.start)), 1 << 16)).orNull
   private var pos: Long = p.start
   private var linesDone = false
   private var current: String = _
@@ -325,5 +330,5 @@ class ConcatJsonPartitionReader(p: ConcatJsonPartition)
   override def get(): InternalRow =
     InternalRow(UTF8String.fromString(current))
 
-  override def close(): Unit = channel.close()
+  override def close(): Unit = channel.foreach(_.close())
 }

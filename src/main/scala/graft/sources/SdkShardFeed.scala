@@ -39,25 +39,11 @@ class SdkShardFeed(region: Option[String] = None,
   case class FeedRecord(sequenceNumber: String, data: Array[Byte],
       partitionKey: String)
 
-  private def loadSdk(name: String): Class[_] =
-    try Class.forName(name)
-    catch {
-      case _: ClassNotFoundException => throw new IllegalStateException(
-        s"AWS SDK v2 class $name is not on the classpath. Add " +
-          "software.amazon.awssdk:kinesis to use SdkShardFeed, or " +
-          "read from the in-process registry (kinesis-registry source).")
-    }
+  import graft.sinks.SdkKinesis.loadSdk
 
   @transient private lazy val api = new {
     val clientIface =
       loadSdk("software.amazon.awssdk.services.kinesis.KinesisClient")
-    val builderIface = loadSdk(
-      "software.amazon.awssdk.services.kinesis.KinesisClientBuilder")
-    val regionCls = loadSdk("software.amazon.awssdk.regions.Region")
-    val credsIface = loadSdk(
-      "software.amazon.awssdk.auth.credentials.AwsCredentialsProvider")
-    val profProvCls = loadSdk(
-      "software.amazon.awssdk.auth.credentials.ProfileCredentialsProvider")
     val listReqCls = loadSdk(
       "software.amazon.awssdk.services.kinesis.model.ListShardsRequest")
     val listReqBuilderIface = loadSdk(
@@ -86,6 +72,7 @@ class SdkShardFeed(region: Option[String] = None,
 
     val listShards: Method = clientIface.getMethod("listShards", listReqCls)
     val shardsOf: Method = listRespCls.getMethod("shards")
+    val listNextToken: Method = listRespCls.getMethod("nextToken")
     val shardId: Method = shardCls.getMethod("shardId")
     val getShardIterator: Method =
       clientIface.getMethod("getShardIterator", itReqCls)
@@ -100,33 +87,36 @@ class SdkShardFeed(region: Option[String] = None,
     val asByteArray: Method = sdkBytesCls.getMethod("asByteArray")
   }
 
-  @transient private lazy val client: AnyRef = {
-    val b = api.clientIface.getMethod("builder").invoke(null)
-    region.foreach { r =>
-      val reg = api.regionCls.getMethod("of", classOf[String])
-        .invoke(null, r)
-      api.builderIface.getMethod("region", api.regionCls).invoke(b, reg)
-    }
-    profile.foreach { p =>
-      val prov = api.profProvCls.getMethod("create", classOf[String])
-        .invoke(null, p)
-      api.builderIface.getMethod("credentialsProvider", api.credsIface)
-        .invoke(b, prov)
-    }
-    api.builderIface.getMethod("build").invoke(b)
-  }
+  @transient private lazy val client: AnyRef =
+    graft.sinks.SdkKinesis.buildClient(region, profile)
 
-  /** Shard ids of a stream. */
+  /** Shard ids of a stream, following ListShards pagination — one
+    * page holds at most 1000 shards, and production streams exceed
+    * that. Per the API contract the streamName goes only on the FIRST
+    * request; follow-ups carry the nextToken alone.
+    */
   def listShards(stream: String): Seq[String] = {
-    val rb = api.listReqCls.getMethod("builder").invoke(null)
-    api.listReqBuilderIface.getMethod("streamName", classOf[String])
-      .invoke(rb, stream)
-    val resp = api.listShards.invoke(client,
-      api.listReqBuilderIface.getMethod("build").invoke(rb))
-    val shards = api.shardsOf.invoke(resp)
-      .asInstanceOf[java.util.List[AnyRef]]
-    (0 until shards.size())
-      .map(i => api.shardId.invoke(shards.get(i)).asInstanceOf[String])
+    val out = Seq.newBuilder[String]
+    var token: String = null
+    var first = true
+    while (first || token != null) {
+      val rb = api.listReqCls.getMethod("builder").invoke(null)
+      if (first)
+        api.listReqBuilderIface.getMethod("streamName", classOf[String])
+          .invoke(rb, stream)
+      else
+        api.listReqBuilderIface.getMethod("nextToken", classOf[String])
+          .invoke(rb, token)
+      val resp = api.listShards.invoke(client,
+        api.listReqBuilderIface.getMethod("build").invoke(rb))
+      val shards = api.shardsOf.invoke(resp)
+        .asInstanceOf[java.util.List[AnyRef]]
+      (0 until shards.size()).foreach(i =>
+        out += api.shardId.invoke(shards.get(i)).asInstanceOf[String])
+      token = api.listNextToken.invoke(resp).asInstanceOf[String]
+      first = false
+    }
+    out.result()
   }
 
   /** Iterator at TRIM_HORIZON (afterSeq = None) or just after a

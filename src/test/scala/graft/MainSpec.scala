@@ -189,19 +189,34 @@ class MainSpec extends SparkSpec {
     assert(cfg.exactlyOnce)
     InMemoryRecordsClient.clear()
     val client = new InMemoryRecordsClient("mainspec-eos")
-    val q1 = Main.run(spark, cfg, client,
-      Files.createTempDirectory("graft-cli-eck1").toString)
+    val ck = Files.createTempDirectory("graft-cli-eck1").toString
+    val q1 = Main.run(spark, cfg, client, ck)
     q1.processAllAvailable(); q1.stop()
     assert(InMemoryRecordsClient.recordsFor("mainspec-eos", "EosStream")
       .size == 2)
-    // a FRESH checkpoint restarts batch ids at 0 → the same files are
-    // genuinely re-delivered as batchId 0; the registry-side marker
-    // must make the replay a no-op
-    val q2 = Main.run(spark, cfg, client,
-      Files.createTempDirectory("graft-cli-eck2").toString)
+    // a replay of the committed batchId under the SAME query scope
+    // (its checkpoint) is the crash-redelivery case → must be a no-op
+    import org.apache.spark.sql.functions.{col, lit}
+    val b0 = spark.read.text(dir.toString)
+      .select(col("value").as("data"), lit("k").as("partition_key"))
+    graft.sinks.KinesisSink.deliverBatchIdempotent(
+      b0, "EosStream", client, ck, batchId = 0L)
+    assert(InMemoryRecordsClient.recordsFor("mainspec-eos", "EosStream")
+      .size == 2, "same-scope replayed batch must not duplicate records")
+    // restarting with the SAME checkpoint resumes committed offsets:
+    // nothing new to deliver
+    val q2 = Main.run(spark, cfg, client, ck)
     q2.processAllAvailable(); q2.stop()
     assert(InMemoryRecordsClient.recordsFor("mainspec-eos", "EosStream")
-      .size == 2, "replayed batch must not duplicate records")
+      .size == 2)
+    // a FRESH checkpoint is a NEW query identity: its batch 0 holds
+    // (what could be) different data, so it correctly delivers —
+    // batch markers scope to the query, they are not a content dedupe
+    val q3 = Main.run(spark, cfg, client,
+      Files.createTempDirectory("graft-cli-eck2").toString)
+    q3.processAllAvailable(); q3.stop()
+    assert(InMemoryRecordsClient.recordsFor("mainspec-eos", "EosStream")
+      .size == 4)
   }
 
   test("--exactly-once without a batch-marker transport fails loudly") {

@@ -53,16 +53,18 @@ class KinesisRegistrySourceSpec extends SparkSpec {
     val src = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[(String, String)]
     src.addData(("r1", "k1"), ("r2", "k1"))
+    val ck = Files.createTempDirectory("graft-eos-ck").toString
     val q = KinesisSink.writeStreamExactlyOnce(
-      src.toDF().toDF("data", "partition_key"), "EOS", client,
-      Files.createTempDirectory("graft-eos-ck").toString)
+      src.toDF().toDF("data", "partition_key"), "EOS", client, ck)
     q.processAllAvailable()
     q.stop()
     assert(InMemoryRecordsClient.recordsFor("eos", "EOS").size == 2)
 
-    // post-crash foreachBatch replay re-delivers the SAME batchId —
-    // the batch marker must turn it into a no-op, not an append
-    KinesisSink.deliverBatchIdempotent(b0, "EOS", client, batchId = 0L)
+    // post-crash foreachBatch replay re-delivers the SAME batchId
+    // under the SAME checkpoint scope — the batch marker must turn it
+    // into a no-op, not an append
+    KinesisSink.deliverBatchIdempotent(b0, "EOS", client, ck,
+      batchId = 0L)
     assert(InMemoryRecordsClient.recordsFor("eos", "EOS").size == 2,
       "replayed batchId must not duplicate records")
 
@@ -75,11 +77,20 @@ class KinesisRegistrySourceSpec extends SparkSpec {
     assert(spark.table("eos_consumer").count() == 2)
 
     // a genuinely NEW batchId still appends (and reaches the consumer)
-    KinesisSink.deliverBatchIdempotent(b0, "EOS", client, batchId = 1L)
+    KinesisSink.deliverBatchIdempotent(b0, "EOS", client, ck,
+      batchId = 1L)
     cq.processAllAvailable()
     val n = spark.table("eos_consumer").count()
     cq.stop()
     assert(n == 4)
+
+    // batchIds are scoped to the QUERY (checkpoint): a different
+    // query's batch 0 carries different data and MUST deliver —
+    // a (stream, batchId)-only marker would silently drop it
+    KinesisSink.deliverBatchIdempotent(b0, "EOS", client,
+      "other-checkpoint", batchId = 0L)
+    assert(InMemoryRecordsClient.recordsFor("eos", "EOS").size == 6,
+      "a new query scope must not be masked by another query's markers")
   }
 
   test("full loop: CLI json mode → sink → consumer stream") {
