@@ -204,12 +204,15 @@ object Main {
       throw new IllegalArgumentException("--input-dir is required"))
     val src = cfg.format match {
       case LineFormat => StreamOps.lineStream(spark, dir)
-      // wholetext wrapper, not the concat-json DSv2 stream: the CLI's
-      // follow mode is unbounded, and the built-in file source behind
-      // the wrapper keeps a COMPACTED seen-files log, where the DSv2
-      // source's file-set offsets grow with every file ever ingested
-      // (fine for the bounded backlogs it demos; wrong for a
-      // weeks-long tail)
+      // --once drains a BOUNDED backlog → the concat-json DSv2 source
+      // fits (file-set offsets stay small) and splits large files
+      // across tasks on value boundaries. Follow mode is unbounded →
+      // the wholetext wrapper, whose built-in file source keeps a
+      // COMPACTED seen-files log where the DSv2 source's offsets grow
+      // with every file ever ingested; its whole-file reads are the
+      // price of the bounded offset log.
+      case JsonFormat if cfg.once =>
+        spark.readStream.format("concat-json").load(dir)
       case JsonFormat => StreamOps.concatJsonStream(spark, dir)
     }
     val out = pipeline(src, cfg, HostId.cached)
