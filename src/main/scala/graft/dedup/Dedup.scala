@@ -602,6 +602,60 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  // ------------------------------------- incremental near-dup (MinHash)
+  /** The near-dup twin of [[incrementalExact]] — the 100 TB production
+    * shape: an incoming batch's band keys join the CORPUS's banded
+    * signature table (which a real deployment materializes once and
+    * appends to), so per-batch cost tracks the batch, never the
+    * corpus. Candidates = batch×corpus band collisions only; exact
+    * Jaccard verifies; batch docs with no corpus near-dup survive.
+    * Batch-internal duplicates are a separate batch-local pass
+    * (minhashLshOver on the batch), kept out so the result is
+    * insensitive to intra-batch ordering.
+    *
+    * Rows-only gate entry (seeded hashes); DedupSpec plants a
+    * cross-pivot near-dup and asserts it is dropped.
+    */
+  def minhashIncremental(s: SparkSession, d: String, pivot: Long = 250,
+      threshold: Double = 0.5): DataFrame =
+    minhashIncrementalOver(docsWithShingles(s, d), pivot, threshold)
+
+  def minhashIncrementalOver(docs: DataFrame, pivot: Long,
+      threshold: Double): DataFrame = {
+    val sigs = docs
+      .filter(size(col("shh")) > 0)
+      .select(col("doc_id"), col("shh"),
+        graft.functions.ShingleFunctions
+          .minhash_signature(col("shh"), NumPerms).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bandCols = (0 until NumPerms / BandRows).map { b =>
+      xxhash64((lit(b) +: (0 until BandRows).map(r =>
+        element_at(col("sig"), b * BandRows + r + 1))): _*)
+    }
+    def banded(df: DataFrame) = df.select(col("doc_id"), col("shh"),
+      posexplode(array(bandCols: _*)).as(Seq("band", "band_hash")))
+    val corpus = banded(sigs.filter(col("doc_id") < pivot))
+      .select(col("band"), col("band_hash"),
+        col("doc_id").as("corpus_id"), col("shh").as("sh_c"))
+    val batch = banded(sigs.filter(col("doc_id") >= pivot))
+      .select(col("band"), col("band_hash"),
+        col("doc_id").as("batch_id"), col("shh").as("sh_b"))
+    val dropped = batch.join(corpus, Seq("band", "band_hash"))
+      .select(col("batch_id"), col("corpus_id"), col("sh_b"), col("sh_c"))
+      // dedupe per PAIR (a pair can collide in several bands), then
+      // verify every candidate pair — deduping on batch_id alone
+      // would test one arbitrary corpus candidate and could miss the
+      // one that passes the threshold
+      .dropDuplicates("batch_id", "corpus_id")
+      .filter(jaccard(col("sh_b"), col("sh_c")) >= threshold)
+      .select(col("batch_id"))
+      .distinct()
+    sigs.filter(col("doc_id") >= pivot).select(col("doc_id"))
+      .join(dropped.withColumnRenamed("batch_id", "doc_id"),
+        Seq("doc_id"), "left_anti")
+      .orderBy(col("doc_id"))
+  }
+
   def queries: Map[String, Q] = Map(
     "dedup_clusters" -> ((s, d) => dupClusters(s, d)),
     "dedup_exact" -> ((s, d) => exact(s, d)),
@@ -610,7 +664,8 @@ object Dedup {
     "dedup_simhash" -> ((s, d) => simhash(s, d)),
     "dedup_embedding_cosine" -> ((s, d) => embeddingCosine(s, d)),
     "dedup_embedding_lsh" -> ((s, d) => embeddingLsh(s, d)),
-    "dedup_incremental" -> ((s, d) => incrementalExact(s, d)))
+    "dedup_incremental" -> ((s, d) => incrementalExact(s, d)),
+    "dedup_minhash_incremental" -> ((s, d) => minhashIncremental(s, d)))
 
   /** DuckDB twins. minhash/simhash are seeded-hash pipelines — not
     * SQL-expressible — and get the rows-only check.

@@ -232,6 +232,25 @@ class DedupSpec extends SparkSpec {
       Seq((100L, 100L), (100L, 101L))))
   }
 
+  test("incremental minhash drops batch docs near-duplicating the corpus") {
+    // corpus: ids 0-1; batch: ids 250-252 where 250 near-dups corpus
+    // doc 0 (1 of 60 tokens changed) and 251 exactly copies corpus
+    // doc 1; 252 is unrelated and must survive
+    val all = Seq(
+      (0L, base), (1L, unrelated1),
+      (250L, nearDup), (251L, unrelated1), (252L, unrelated2))
+      .toDF("doc_id", "text")
+      .withColumn("block", lit("en#0"))
+      .withColumn("shh",
+        graft.functions.ShingleFunctions.shingle_hashes(col("text")))
+      .select("doc_id", "block", "shh")
+    val survivors = Dedup.minhashIncrementalOver(all, pivot = 250L,
+      threshold = 0.5)
+      .as[Long].collect().toSeq
+    assert(survivors == Seq(252L),
+      s"expected only the unrelated batch doc to survive: $survivors")
+  }
+
   test("incremental dedup drops new docs whose content exists in corpus") {
     import org.apache.spark.sql.functions.{col, md5}
     // corpus: ids 0-2; batch: ids 3-4 where doc 3 repeats doc 0's text
