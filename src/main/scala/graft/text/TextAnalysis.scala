@@ -102,6 +102,28 @@ object TextAnalysis {
         .orderBy($"doc_id")
     }),
 
+    // Gopher-style repetition signal: the fraction of a document's
+    // word-3-grams that are repeats (1 - distinct/total). High ratios
+    // flag boilerplate/spam for the quality filter; row-local and
+    // scan-scaling like the other text ops. Token hashes materialize
+    // as their own column — the gram lambda references them three
+    // times and a collapsed projection would re-run the (interpreted)
+    // token transform per reference.
+    "text_repetition" -> ((s, d) => {
+      import s.implicits._
+      val total = greatest(size($"th") - 2, lit(0)).cast("long")
+      Tables.load(s, d, "documents")
+        .withColumn("th", graft.dedup.Dedup.tokenHashes(toks($"text")))
+        .withColumn("shh", graft.dedup.Dedup.hashedShingles($"th"))
+        .select($"doc_id", $"lang",
+          total.as("n_grams"),
+          size($"shh").cast("long").as("n_distinct_grams"),
+          when(total > 0,
+            lit(1.0) - size($"shh").cast("double") / total.cast("double"))
+            .as("dup_gram_ratio"))
+        .orderBy($"doc_id")
+    }),
+
     "text_fingerprint" -> ((s, d) => {
       import s.implicits._
       // Three fingerprint flavors: md5 over the sorted distinct token
@@ -167,6 +189,22 @@ object TextAnalysis {
            CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS bpe_tokens,
            CAST(ceil(CAST(length(text) AS DOUBLE) / 4.0) AS BIGINT) AS chars_div4_est
          FROM documents ORDER BY doc_id""",
+    "text_repetition" ->
+      """WITH g AS (
+           SELECT doc_id, lang,
+             CAST(greatest(len(t) - 2, 0) AS BIGINT) AS n_grams,
+             CAST(len(list_distinct(list_transform(
+               range(1, greatest(len(t) - 2, 0) + 1),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])))
+               AS BIGINT) AS n_distinct_grams
+           FROM (SELECT doc_id, lang,
+                   string_split_regex(lower(text), '\s+') AS t
+                 FROM documents))
+         SELECT doc_id, lang, n_grams, n_distinct_grams,
+           CASE WHEN n_grams > 0 THEN
+             1.0 - CAST(n_distinct_grams AS DOUBLE) /
+                   CAST(n_grams AS DOUBLE) END AS dup_gram_ratio
+         FROM g ORDER BY doc_id""",
     "text_fingerprint" ->
       """SELECT doc_id,
            md5(array_to_string(list_sort(list_distinct(
