@@ -204,15 +204,17 @@ object Main {
       throw new IllegalArgumentException("--input-dir is required"))
     val src = cfg.format match {
       case LineFormat => StreamOps.lineStream(spark, dir)
-      // --once drains a BOUNDED backlog → the concat-json DSv2 source
-      // fits (file-set offsets stay small) and splits large files
-      // across tasks on value boundaries. Follow mode is unbounded →
-      // the wholetext wrapper, whose built-in file source keeps a
-      // COMPACTED seen-files log where the DSv2 source's offsets grow
-      // with every file ever ingested; its whole-file reads are the
-      // price of the bounded offset log.
-      case JsonFormat if cfg.once =>
-        spark.readStream.format("concat-json").load(dir)
+      // wholetext wrapper, NOT the splittable concat-json DSv2 stream,
+      // for BOTH once and follow modes: (a) the CLI accepts arbitrary
+      // concatenated JSON incl. pretty-printed values (the reference's
+      // json.Decoder semantics), which offset splits reject above the
+      // split size; (b) splitting one file across concurrent tasks
+      // would interleave its records under the single host partition
+      // key, breaking the per-key FIFO delivery guarantee (§1.4);
+      // (c) in follow mode the built-in file source also keeps a
+      // COMPACTED seen-files log where the DSv2 offsets grow forever.
+      // Library/batch pipelines with compact machine-emitted streams
+      // use the DSv2 source directly and get the splitting.
       case JsonFormat => StreamOps.concatJsonStream(spark, dir)
     }
     val out = pipeline(src, cfg, HostId.cached)

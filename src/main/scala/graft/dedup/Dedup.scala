@@ -215,13 +215,20 @@ object Dedup {
     * hashes, so bucket occupancy tracks near-dup CLUSTER size, not
     * corpus size — the property the spec asserts.
     */
-  private[dedup] def minhashCandidates(sigs: DataFrame): DataFrame = {
-    val bandCols = (0 until NumPerms / BandRows).map { b =>
+  /** Seed-prefixed band keys over 4-row signature slices — shared by
+    * the batch LSH and the incremental form so the banding scheme can
+    * never drift between them.
+    */
+  private def bandKeys(sig: Column): Seq[Column] =
+    (0 until NumPerms / BandRows).map { b =>
       xxhash64((lit(b) +: (0 until BandRows).map(r =>
-        element_at(col("sig"), b * BandRows + r + 1))): _*)
+        element_at(sig, b * BandRows + r + 1))): _*)
     }
+
+  private[dedup] def minhashCandidates(sigs: DataFrame): DataFrame = {
     val banded = sigs.select(col("doc_id"),
-      posexplode(array(bandCols: _*)).as(Seq("band", "band_hash")))
+      posexplode(array(bandKeys(col("sig")): _*))
+        .as(Seq("band", "band_hash")))
     val a = banded.select(col("band"), col("band_hash"),
       col("doc_id").as("doc_a"))
     val b = banded.select(col("band"), col("band_hash"),
@@ -628,29 +635,34 @@ object Dedup {
         graft.functions.ShingleFunctions
           .minhash_signature(col("shh"), NumPerms).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bandCols = (0 until NumPerms / BandRows).map { b =>
-      xxhash64((lit(b) +: (0 until BandRows).map(r =>
-        element_at(col("sig"), b * BandRows + r + 1))): _*)
-    }
-    def banded(df: DataFrame) = df.select(col("doc_id"), col("shh"),
-      posexplode(array(bandCols: _*)).as(Seq("band", "band_hash")))
-    val corpus = banded(sigs.filter(col("doc_id") < pivot))
-      .select(col("band"), col("band_hash"),
-        col("doc_id").as("corpus_id"), col("shh").as("sh_c"))
-    val batch = banded(sigs.filter(col("doc_id") >= pivot))
-      .select(col("band"), col("band_hash"),
-        col("doc_id").as("batch_id"), col("shh").as("sh_b"))
-    val dropped = batch.join(corpus, Seq("band", "band_hash"))
-      .select(col("batch_id"), col("corpus_id"), col("sh_b"), col("sh_c"))
-      // dedupe per PAIR (a pair can collide in several bands), then
-      // verify every candidate pair — deduping on batch_id alone
-      // would test one arbitrary corpus candidate and could miss the
-      // one that passes the threshold
-      .dropDuplicates("batch_id", "corpus_id")
+    // band doc_ids ONLY — the shingle arrays would be replicated 8×
+    // by the posexplode and shipped through two shuffles; they join
+    // back from `sigs` per deduped candidate pair instead (the
+    // minhashLshOver pattern)
+    def banded(df: DataFrame, idAs: String) =
+      df.select(col("doc_id").as(idAs),
+        posexplode(array(bandKeys(col("sig")): _*))
+          .as(Seq("band", "band_hash")))
+    val candidates = banded(sigs.filter(col("doc_id") >= pivot), "batch_id")
+      .join(banded(sigs.filter(col("doc_id") < pivot), "corpus_id"),
+        Seq("band", "band_hash"))
+      .select(col("batch_id"), col("corpus_id"))
+      .distinct() // a pair can collide in several bands; verify each
+      // candidate pair once — collapsing to one arbitrary candidate
+      // per batch doc could discard the pair that passes the threshold
+    val shhById = sigs.select(col("doc_id"), col("shh"))
+    val dropped = candidates
+      .join(shhById.withColumnRenamed("doc_id", "batch_id")
+        .withColumnRenamed("shh", "sh_b"), Seq("batch_id"))
+      .join(shhById.withColumnRenamed("doc_id", "corpus_id")
+        .withColumnRenamed("shh", "sh_c"), Seq("corpus_id"))
       .filter(jaccard(col("sh_b"), col("sh_c")) >= threshold)
       .select(col("batch_id"))
       .distinct()
-    sigs.filter(col("doc_id") >= pivot).select(col("doc_id"))
+    // survivors come from the UNFILTERED batch: the empty-shingle
+    // filter above gates candidate generation only — a short doc with
+    // no corpus near-dup must survive, not silently vanish
+    docs.filter(col("doc_id") >= pivot).select(col("doc_id"))
       .join(dropped.withColumnRenamed("batch_id", "doc_id"),
         Seq("doc_id"), "left_anti")
       .orderBy(col("doc_id"))

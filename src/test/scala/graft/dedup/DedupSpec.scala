@@ -233,12 +233,15 @@ class DedupSpec extends SparkSpec {
   }
 
   test("incremental minhash drops batch docs near-duplicating the corpus") {
-    // corpus: ids 0-1; batch: ids 250-252 where 250 near-dups corpus
+    // corpus: ids 0-1; batch: ids 250-253 where 250 near-dups corpus
     // doc 0 (1 of 60 tokens changed) and 251 exactly copies corpus
-    // doc 1; 252 is unrelated and must survive
+    // doc 1; 252 is unrelated and must survive; 253 is a <3-token doc
+    // (no shingles) with no corpus match — it must ALSO survive, not
+    // silently vanish with the empty-shingle candidate filter
     val all = Seq(
       (0L, base), (1L, unrelated1),
-      (250L, nearDup), (251L, unrelated1), (252L, unrelated2))
+      (250L, nearDup), (251L, unrelated1), (252L, unrelated2),
+      (253L, "tiny doc"))
       .toDF("doc_id", "text")
       .withColumn("block", lit("en#0"))
       .withColumn("shh",
@@ -247,8 +250,9 @@ class DedupSpec extends SparkSpec {
     val survivors = Dedup.minhashIncrementalOver(all, pivot = 250L,
       threshold = 0.5)
       .as[Long].collect().toSeq
-    assert(survivors == Seq(252L),
-      s"expected only the unrelated batch doc to survive: $survivors")
+    assert(survivors == Seq(252L, 253L),
+      s"expected the unrelated and the shingle-less batch docs to " +
+        s"survive: $survivors")
   }
 
   test("incremental dedup drops new docs whose content exists in corpus") {
