@@ -29,14 +29,21 @@ object Tables {
     * splits and an unconditional repartition would re-shuffle every
     * byte for nothing, so it is skipped (asserted in SpreadSpec).
     *
-    * Apply to SCAN-shaped frames: `df.rdd` forces physical planning,
-    * which on a pure scan creates the RDD without running a job — but
-    * on a plan containing a BroadcastExchange it would eagerly
-    * materialize the broadcast during planning (and again at
-    * execution). Callers with joins upstream spread the scan side
-    * first (see Multimodal.pack).
+    * Scan-shaped frames ONLY, and the require enforces it (not caller
+    * discipline): `df.rdd` forces physical planning, which on a pure
+    * scan creates the RDD without running a job — but on a plan
+    * containing a Join it could eagerly materialize a
+    * BroadcastExchange during planning (and again at execution).
+    * Callers with joins upstream spread the scan side first (see
+    * Multimodal.pack). The per-call physical planning that remains is
+    * milliseconds for a scan and buys the real partition count.
     */
   def spread(df: DataFrame): DataFrame = {
+    require(!df.queryExecution.analyzed.exists(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Join]),
+      "Tables.spread takes scan-shaped frames: planning a join here can " +
+        "eagerly materialize broadcast sides — spread the scan input " +
+        "before joining instead")
     val target = df.sparkSession.sessionState.conf.numShufflePartitions
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }

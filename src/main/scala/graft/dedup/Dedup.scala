@@ -20,6 +20,19 @@ import org.apache.spark.sql.functions._
   *    native codegen expressions (graft.functions.ShingleHashes /
   *    MinHashSignature) — one pass over the text where the document
   *    already lives, no explode and no shuffle before banding.
+  *
+  * Cache lifecycle: several pipelines persist an intermediate frame
+  * (signature/shingle tables) that multiple branches of the RETURNED
+  * lazy plan re-read — unpersisting inside the builder would recompute
+  * the expensive stage per branch on the caller's first action, so the
+  * cache intentionally outlives the call. Callers running many queries
+  * in one session must release between them (`spark.catalog
+  * .clearCache()` — the Bench and Verify harnesses both do); a
+  * long-lived session that skips this degrades gracefully via LRU
+  * eviction of MEMORY_AND_DISK blocks, it does not OOM. Sites:
+  * ngramJaccardPairs, minhashLshOver, minhashIncrementalOver,
+  * simhashOver, embeddingLshCandidates, connectedComponents,
+  * Pipeline.trainingPrepV2, pipeline_decontaminate.
   */
 object Dedup {
 
@@ -421,7 +434,9 @@ object Dedup {
       nPlanes: Int): DataFrame = {
     import graft.sim.Similarity.{lshSignature, probeBuckets}
     // signature once per vector; feeds both join sides → persist (the
-    // local analogue of materializing the signature table)
+    // local analogue of materializing the signature table). Released
+    // by the caller's clearCache, not here — see object scaladoc
+    // (Cache lifecycle).
     val sigs = e.select(col("vec_id"), col("embedding"),
       lshSignature(col("embedding"), nPlanes).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -482,6 +497,12 @@ object Dedup {
     * overhead dominated the bench (6.7 s for those 123 edges). Above
     * it, the monotone label-propagation loop runs fully distributed —
     * both paths produce identical output (asserted in DedupSpec).
+    *
+    * The threshold counts EDGES, not bytes: each collected edge is two
+    * longs (~48 heap bytes as Rows), so the default bounds the collect
+    * at tens of MB regardless of id skew — ids are fixed-width here.
+    * Callers grafting wider keys onto this should pass an explicit
+    * lower bound via this overload.
     */
   def connectedComponents(pairs0: DataFrame, localSolveMaxEdges: Long)
       : DataFrame = {
@@ -629,6 +650,9 @@ object Dedup {
 
   def minhashIncrementalOver(docs: DataFrame, pivot: Long,
       threshold: Double): DataFrame = {
+    // sigs feeds both banded sides and both verify joins of the
+    // returned lazy plan; released by the caller's clearCache — see
+    // object scaladoc (Cache lifecycle)
     val sigs = docs
       .filter(size(col("shh")) > 0)
       .select(col("doc_id"), col("shh"),

@@ -95,7 +95,9 @@ object Pipeline {
       // gram lambda: the lambda references them n times, and a
       // collapsed projection re-runs the whole (interpreted) token
       // transform per reference — measured 50 s vs 1.5 s at sf0.1.
-      // The gram frame feeds both split branches → persist.
+      // The gram frame feeds both split branches → persist; released
+      // by the caller's clearCache, not here — the returned plan is
+      // lazy and re-reads it (see Dedup scaladoc, Cache lifecycle).
       val docs = Tables.spread(Tables.load(s, d, "documents"))
         .withColumn("split", splitCol($"text"))
         .withColumn("th",

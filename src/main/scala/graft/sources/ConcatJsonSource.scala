@@ -119,7 +119,23 @@ object ConcatJsonSplits {
 
   def plan(files: Seq[String], splitSize: Option[Long],
       multiline: Boolean): Array[InputPartition] = {
-    val sized = files.map(f => (f, Files.size(Paths.get(f))))
+    // Files.size at planning time: in the micro-batch stream a file
+    // can vanish (log rotation) between offset commit and a
+    // crash-recovery replay of that batch — name the scenario instead
+    // of surfacing a bare NoSuchFileException from deep in planning
+    val sized = files.map { f =>
+      try (f, Files.size(Paths.get(f)))
+      catch {
+        case e: java.nio.file.NoSuchFileException =>
+          val ex = new java.io.FileNotFoundException(
+            s"concat-json: '$f' vanished before its split was planned. " +
+              "If this is a streaming checkpoint recovery, a committed " +
+              "offset references a since-rotated/deleted file; restore " +
+              "the file or start from a fresh checkpoint.")
+          ex.initCause(e)
+          throw ex
+      }
+    }
     val target =
       splitSize.getOrElse(defaultSplitSize(sized.map(_._2).sum))
     sized.flatMap { case (f, size) =>
@@ -304,6 +320,18 @@ class ConcatJsonPartitionReader(p: ConcatJsonPartition)
   /** Corruption guard for split files: a resync point inside a nested
     * (pretty-printed) value surfaces as separators or unmatched
     * closers at top level — fail loudly instead of emitting garbage.
+    *
+    * Soundness is JOB-level, not row-level: rows a reader emitted
+    * before its guard fires are garbage fragments, and a short split
+    * landing inside a pretty-printed array can emit bare-element
+    * fragments without itself reaching a closer — failure relies on a
+    * sibling split of the same file landing on a closer/separator and
+    * tripping ITS guard, which aborts the job, so no fragment is ever
+    * committed to a sink or returned from an action (batch and
+    * foreachBatch sinks commit only on job success — the standard
+    * all-or-nothing contract of a failed Spark task). The guard is a
+    * misuse backstop, not the contract: pretty-printed inputs must
+    * pass multiline=true per the source scaladoc.
     */
   private def guard(v: String): String = {
     if (p.splitFile && v.nonEmpty &&

@@ -32,4 +32,12 @@ class SpreadSpec extends SparkSpec {
       spark.sessionState.conf.numShufflePartitions)
     assert(exchanges(out) == exchanges(one) + 1)
   }
+
+  test("spread rejects join-shaped frames (broadcast-materialization hazard)") {
+    val a = (1 to 10).toDF("x")
+    val b = (1 to 10).toDF("x")
+    val joined = a.join(org.apache.spark.sql.functions.broadcast(b), "x")
+    val e = intercept[IllegalArgumentException](Tables.spread(joined))
+    assert(e.getMessage.contains("scan-shaped"))
+  }
 }

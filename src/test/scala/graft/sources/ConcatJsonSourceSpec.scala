@@ -83,6 +83,16 @@ class ConcatJsonSourceSpec extends SparkSpec {
       s"expected the multiline guard, got: ${msgs(ex).take(500)}")
   }
 
+  test("a vanished file fails planning with the offset-replay scenario named") {
+    val ex = intercept[java.io.FileNotFoundException] {
+      graft.sources.ConcatJsonSplits.plan(
+        Seq("/nonexistent/graft-rotated-away.json"), None, multiline = false)
+    }
+    assert(ex.getMessage.contains("vanished") &&
+      ex.getMessage.contains("checkpoint"))
+    assert(ex.getCause.isInstanceOf[java.nio.file.NoSuchFileException])
+  }
+
   test("micro-batch stream splits a large file and delivers each record once") {
     val dir = Files.createTempDirectory("graft-cjmbsplit")
     val body = (0 until 5000).map(i => s"""{"id": $i}""").mkString("\n")
