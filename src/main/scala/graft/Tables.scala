@@ -39,11 +39,16 @@ object Tables {
     * milliseconds for a scan and buys the real partition count.
     */
   def spread(df: DataFrame): DataFrame = {
-    require(!df.queryExecution.analyzed.exists(
-        _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Join]),
-      "Tables.spread takes scan-shaped frames: planning a join here can " +
-        "eagerly materialize broadcast sides — spread the scan input " +
-        "before joining instead")
+    // Reject explicit Joins AND subquery expressions (EXISTS/IN/scalar
+    // subqueries) — the optimizer rewrites the latter into joins, so a
+    // Join-only check would let them slip through to eager planning.
+    require(!df.queryExecution.analyzed.exists(p =>
+        p.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Join] ||
+          p.expressions.exists(_.exists(
+            _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.SubqueryExpression]))),
+      "Tables.spread takes scan-shaped frames: planning a join (or a " +
+        "subquery the optimizer rewrites into one) here can eagerly " +
+        "materialize broadcast sides — spread the scan input before joining")
     val target = df.sparkSession.sessionState.conf.numShufflePartitions
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }

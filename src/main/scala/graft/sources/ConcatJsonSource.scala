@@ -122,16 +122,29 @@ object ConcatJsonSplits {
     // Files.size at planning time: in the micro-batch stream a file
     // can vanish (log rotation) between offset commit and a
     // crash-recovery replay of that batch — name the scenario instead
-    // of surfacing a bare NoSuchFileException from deep in planning
-    val sized = files.map { f =>
-      try (f, Files.size(Paths.get(f)))
+    // of surfacing a bare NoSuchFileException from deep in planning.
+    // spark.sql.files.ignoreMissingFiles is honored like the built-in
+    // file sources honor it for exactly this list-then-read race:
+    // when set, the vanished file is skipped with a warning and the
+    // loud failure stays the default.
+    val ignoreMissing = scala.util.Try(
+      org.apache.spark.sql.SparkSession.active.sessionState.conf
+        .ignoreMissingFiles).getOrElse(false)
+    val sized = files.flatMap { f =>
+      try Some((f, Files.size(Paths.get(f))))
       catch {
+        case e: java.nio.file.NoSuchFileException if ignoreMissing =>
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"concat-json: skipping vanished file '$f' " +
+              "(spark.sql.files.ignoreMissingFiles=true)")
+          None
         case e: java.nio.file.NoSuchFileException =>
           val ex = new java.io.FileNotFoundException(
             s"concat-json: '$f' vanished before its split was planned. " +
               "If this is a streaming checkpoint recovery, a committed " +
               "offset references a since-rotated/deleted file; restore " +
-              "the file or start from a fresh checkpoint.")
+              "the file, start from a fresh checkpoint, or set " +
+              "spark.sql.files.ignoreMissingFiles=true to skip it.")
           ex.initCause(e)
           throw ex
       }
@@ -327,11 +340,15 @@ class ConcatJsonPartitionReader(p: ConcatJsonPartition)
     * fragments without itself reaching a closer — failure relies on a
     * sibling split of the same file landing on a closer/separator and
     * tripping ITS guard, which aborts the job, so no fragment is ever
-    * committed to a sink or returned from an action (batch and
-    * foreachBatch sinks commit only on job success — the standard
-    * all-or-nothing contract of a failed Spark task). The guard is a
-    * misuse backstop, not the contract: pretty-printed inputs must
-    * pass multiline=true per the source scaladoc.
+    * returned from an action or committed by an ATOMIC sink (file/table
+    * sinks commit only on job success). foreachBatch is weaker: a user
+    * function writing to a non-atomic external sink can persist partial
+    * side effects from fragments before a sibling split's guard aborts
+    * the job — there, soundness additionally depends on the user
+    * function being idempotent/transactional (the same caveat Spark's
+    * own foreachBatch docs carry). The guard is a misuse backstop, not
+    * the contract: pretty-printed inputs must pass multiline=true per
+    * the source scaladoc.
     */
   private def guard(v: String): String = {
     if (p.splitFile && v.nonEmpty &&

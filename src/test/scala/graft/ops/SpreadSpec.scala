@@ -40,4 +40,14 @@ class SpreadSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException](Tables.spread(joined))
     assert(e.getMessage.contains("scan-shaped"))
   }
+
+  test("spread rejects frames with subquery expressions (optimizer rewrites them to joins)") {
+    (1 to 10).toDF("x").createOrReplaceTempView("spread_sub_a")
+    (1 to 5).toDF("x").createOrReplaceTempView("spread_sub_b")
+    val exists = spark.sql(
+      "SELECT x FROM spread_sub_a a WHERE EXISTS " +
+        "(SELECT 1 FROM spread_sub_b b WHERE b.x = a.x)")
+    val e = intercept[IllegalArgumentException](Tables.spread(exists))
+    assert(e.getMessage.contains("scan-shaped"))
+  }
 }

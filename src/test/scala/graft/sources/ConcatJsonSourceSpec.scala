@@ -93,6 +93,19 @@ class ConcatJsonSourceSpec extends SparkSpec {
     assert(ex.getCause.isInstanceOf[java.nio.file.NoSuchFileException])
   }
 
+  test("spark.sql.files.ignoreMissingFiles skips a vanished file at planning") {
+    val dir = Files.createTempDirectory("graft-cjignore")
+    Files.writeString(dir.resolve("a.json"), """{"id": 1}""")
+    val present = dir.resolve("a.json").toString
+    val gone = dir.resolve("rotated-away.json").toString
+    spark.conf.set("spark.sql.files.ignoreMissingFiles", "true")
+    try {
+      val parts = graft.sources.ConcatJsonSplits.plan(
+        Seq(present, gone), None, multiline = false)
+      assert(parts.length == 1, "only the present file should be planned")
+    } finally spark.conf.set("spark.sql.files.ignoreMissingFiles", "false")
+  }
+
   test("micro-batch stream splits a large file and delivers each record once") {
     val dir = Files.createTempDirectory("graft-cjmbsplit")
     val body = (0 until 5000).map(i => s"""{"id": $i}""").mkString("\n")
