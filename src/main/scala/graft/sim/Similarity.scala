@@ -204,20 +204,39 @@ object Similarity {
   /** As kmeansCentroids, with a convergence stop: iteration ends early
     * once no centroid moved more than `tol` in cosine distance —
     * training cost tracks the data instead of a guessed iteration
-    * budget. Returns (centroids, iterations actually run). The
-    * movement check is a k-row broadcast join — negligible next to the
-    * assign step it can save.
+    * budget. Returns (centroids, iterations actually run).
+    *
+    * Centroids live on the DRIVER between iterations (the one
+    * legitimate driver-side loop in this module, and the shape MLlib's
+    * own KMeans uses): k×d doubles is bytes, so each Lloyd round is
+    * exactly ONE distributed job — broadcast-assign + explode/mean
+    * reduce — collected to k rows. No per-iteration persist/unpersist,
+    * no lineage growth across rounds (every round's plan starts from
+    * the cached corpus and a LocalRelation), and the tol movement
+    * check is driver-local arithmetic instead of a k-row Spark job.
     */
   def kmeansCentroidsWithStats(e: DataFrame, k: Int, iters: Int,
       tol: Double): (DataFrame, Int) = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    // Iterative training re-reads `e` every Lloyd iteration (assign +
+    // reduce) — callers pass a persisted frame (see ivfKmeansTopK) so
+    // iterations hit cache instead of re-scanning/deserializing the
+    // embedding parquet each round; the init count below doubles as
+    // the cache-population action.
     val n = e.count()
     val stride = math.max(n / k, 1L)
+    def localDf(cs: Seq[(Long, Seq[Double])]): DataFrame =
+      cs.toDF("cell", "centroid")
     // orderBy before limit: the stride can match k+1 ids (e.g. 500/31
     // → 17 multiples), and an unordered limit would pick a
     // run-dependent subset — centroid init must be deterministic
-    var cents = e.filter(pmod(col("vec_id"), lit(stride)) === 0)
-      .orderBy(col("vec_id")).limit(k)
-      .select(col("vec_id").as("cell"), col("embedding").as("centroid"))
+    var cents: Seq[(Long, Seq[Double])] =
+      e.filter(pmod(col("vec_id"), lit(stride)) === 0)
+        .orderBy(col("vec_id")).limit(k)
+        .select(col("vec_id").as("cell"),
+          col("embedding").cast("array<double>").as("centroid"))
+        .as[(Long, Seq[Double])].collect().toSeq
     var itersRun = 0
     var converged = false
     for (_ <- 1 to iters if !converged) {
@@ -228,7 +247,7 @@ object Similarity {
       // per-partition state is one row per vector. Tie-break matches
       // the window form exactly: highest c_sim, then lowest cell
       // (max of (c_sim, -cell)).
-      val assigned = e.crossJoin(broadcast(cents))
+      val assigned = e.crossJoin(broadcast(localDf(prev)))
         .withColumn("c_sim", cosine(col("embedding"), col("centroid")))
         .groupBy(col("vec_id"))
         .agg(max_by(struct(col("cell"), col("embedding")),
@@ -243,32 +262,48 @@ object Similarity {
         .agg(transform(
           array_sort(collect_list(struct(col("pos"), col("mean_v")))),
           x => x.getField("mean_v")).as("centroid"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // materialize the new centroids BEFORE releasing the previous
-      // iteration's cache (the new frame's lineage reads it); then drop
-      // the old handle so Lloyd iterations hold one cached frame, not
-      // `iters` of them (no-op on the unpersisted init frame)
-      cents.count()
+        .as[(Long, Seq[Double])].collect().toSeq
       itersRun += 1
       if (tol > 0.0) {
-        val movedRow = prev
-          .withColumnRenamed("centroid", "c_prev")
-          .join(cents.withColumnRenamed("centroid", "c_next"), Seq("cell"))
-          .agg(max(lit(1.0) - cosine(col("c_prev"), col("c_next"))))
-          .head
-        // max over zero rows (empty input / all cells lost) is null —
-        // treat as converged rather than NPE on getDouble
-        converged = movedRow.isNullAt(0) || movedRow.getDouble(0) <= tol
+        val prevByCell = prev.toMap
+        // a cell absent from the previous round (shouldn't happen —
+        // cells only ever disappear) counts as moved; max over an
+        // empty survivor set means everything vanished → converged
+        val moved = cents.map { case (cell, c) =>
+          prevByCell.get(cell).map(p => 1.0 - localCosine(p, c))
+            .getOrElse(Double.MaxValue)
+        }
+        converged = moved.isEmpty || moved.max <= tol
       }
-      prev.unpersist()
     }
-    (cents, itersRun)
+    (localDf(cents), itersRun)
+  }
+
+  /** Driver-local twin of the Catalyst `cosine` for the k-row tol
+    * check; same left-fold order as the codegen expression.
+    */
+  private def localCosine(a: Seq[Double], b: Seq[Double]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    val len = math.min(a.length, b.length)
+    while (i < len) {
+      dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0
+    else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
   /** IVF top-k with a trained k-means codebook instead of labels. */
   def ivfKmeansTopK(s: SparkSession, d: String, k: Int = 10,
       nClusters: Int = 16, iters: Int = 2, nprobe: Int = 4): DataFrame = {
+    // One cached copy feeds init-count + every Lloyd iteration + the
+    // final cell assignment (4+ passes otherwise re-scanning parquet).
+    // Released by the caller's clearCache, not here — the returned
+    // plan is lazy (see Dedup scaladoc, Cache lifecycle). At 100 TB
+    // MEMORY_AND_DISK degrades to a disk-local copy, still cheaper
+    // than re-deserializing the source per pass.
     val e = Tables.load(s, d, "embeddings")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cents = kmeansCentroids(e, nClusters, iters)
       .withColumnRenamed("cell", "km_cell")
     // assign every corpus vector to its nearest trained centroid —
