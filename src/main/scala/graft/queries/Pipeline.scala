@@ -126,6 +126,72 @@ object Pipeline {
           sum($"n_chars").as("sum_chars"))
         .orderBy($"lang", $"split")
     }),
+    // Per-language quality gate: keep documents at or above their
+    // language's MEDIAN quality score. Two-pass scale shape — NOT a
+    // percent_rank window (partitionBy(lang) would funnel a 100 TB
+    // corpus into one task per language): (1) groupBy(lang) exact
+    // median over the INTEGER-milli score — the score has bounded
+    // cardinality (~thousands of distinct values), so the percentile
+    // aggregate's state is a small count-map with map-side partials,
+    // not a value buffer; (2) broadcast the 5-row threshold table and
+    // filter the scan. Integer domain on both engines: floor(qs*1000)
+    // is bit-identical (text_quality proves qs itself matches), and
+    // median interpolation on small integers at the dyadic 0.5 is
+    // exact in both (the q20 precedent).
+    "pipeline_quality_gate" -> ((s, d) => {
+      import s.implicits._
+      val scored = Tables.load(s, d, "documents")
+        .withColumn("t", split(lower($"text"), "\\s+"))
+        .withColumn("score_milli", floor(
+          (when(length($"text") >= 100, lit(1.0)).otherwise(lit(0.0)) +
+            size(array_distinct($"t")).cast("double") /
+              size($"t").cast("double") +
+            size(filter($"t", x => x.isInCollection(
+              Seq("the", "a", "of", "and", "is", "to", "in"))))
+              .cast("double") / size($"t").cast("double")) * 1000)
+          .cast("long"))
+      val thresholds = scored.groupBy($"lang")
+        .agg(expr("percentile(score_milli, 0.5)").as("med"))
+      scored.join(broadcast(thresholds), Seq("lang"))
+        .filter($"score_milli".cast("double") >= $"med")
+        .select($"doc_id", $"lang", $"score_milli")
+        .orderBy($"doc_id")
+    }),
+
+    // Stratified corpus sampling: per-language deterministic rates
+    // (downsample the dominant language to rebalance the mix) keyed on
+    // a salted content hash — pure function of the row, so re-runs and
+    // incremental batches agree without any coordination, and identical
+    // texts sample identically (the pipeline_split discipline). The
+    // lexicographic hex compare is numeric order; row-local,
+    // scan-shaped at any scale.
+    "pipeline_sample_stratified" -> ((s, d) => {
+      import s.implicits._
+      val bucket = substring(md5(concat(lit("sample:"), $"text")), 1, 2)
+      val keep = bucket < when($"lang" === "en", lit("40")) // 64/256
+        .otherwise(lit("80")) // 128/256
+      Tables.load(s, d, "documents")
+        .filter(keep)
+        .select($"doc_id", $"lang", $"source")
+        .orderBy($"doc_id")
+    }),
+
+    // Deterministic global training shuffle: every epoch-0 data loader
+    // wants the corpus in a reproducible pseudorandom order. The sort
+    // key is a seeded content-free hash of doc_id, so the ORDER BY is
+    // a range-partitioned distributed sort over uniformly distributed
+    // keys — no skew, no single-task window (a row_number() global
+    // window would serialize; the key itself IS the position). shard
+    // (first hex nibble, 0-15) is the downstream writer bucket.
+    "pipeline_shuffle" -> ((s, d) => {
+      import s.implicits._
+      val key = md5(concat(lit("shuffle42:"), $"doc_id".cast("string")))
+      Tables.load(s, d, "documents")
+        .select($"doc_id", $"lang", key.as("shuffle_key"),
+          conv(substring(key, 1, 1), 16, 10).cast("long").as("shard"))
+        .orderBy($"shuffle_key", $"doc_id")
+    }),
+
     "pipeline_training_prep_v2" -> ((s, d) => trainingPrepV2(s, d)),
     "pipeline_training_prep" -> ((s, d) => {
       import s.implicits._
@@ -214,6 +280,39 @@ object Pipeline {
            CAST(count(*) AS BIGINT) AS n_docs,
            CAST(sum(n_chars) AS BIGINT) AS sum_chars
          FROM documents GROUP BY 1, 2 ORDER BY lang, split""",
+    "pipeline_quality_gate" ->
+      """WITH scored AS (
+           SELECT doc_id, lang,
+             CAST(floor((
+               CASE WHEN length(text) >= 100 THEN 1.0 ELSE 0.0 END +
+               CAST(len(list_distinct(string_split_regex(lower(text), '\s+'))) AS DOUBLE) /
+                 CAST(len(string_split_regex(lower(text), '\s+')) AS DOUBLE) +
+               CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+                 x -> x IN ('the','a','of','and','is','to','in'))) AS DOUBLE) /
+                 CAST(len(string_split_regex(lower(text), '\s+')) AS DOUBLE)
+             ) * 1000) AS BIGINT) AS score_milli
+           FROM documents),
+         th AS (
+           SELECT lang,
+             percentile_cont(0.5) WITHIN GROUP (ORDER BY score_milli) AS med
+           FROM scored GROUP BY lang)
+         SELECT s.doc_id, s.lang, s.score_milli
+         FROM scored s JOIN th USING (lang)
+         WHERE CAST(s.score_milli AS DOUBLE) >= th.med
+         ORDER BY s.doc_id""",
+    "pipeline_sample_stratified" ->
+      """SELECT doc_id, lang, source FROM documents
+         WHERE substring(md5('sample:' || text), 1, 2) <
+           CASE WHEN lang = 'en' THEN '40' ELSE '80' END
+         ORDER BY doc_id""",
+    "pipeline_shuffle" ->
+      """SELECT doc_id, lang,
+           md5('shuffle42:' || CAST(doc_id AS VARCHAR)) AS shuffle_key,
+           CAST(strpos('0123456789abcdef',
+             substring(md5('shuffle42:' || CAST(doc_id AS VARCHAR)), 1, 1))
+             - 1 AS BIGINT) AS shard
+         FROM documents
+         ORDER BY shuffle_key, doc_id""",
     "pipeline_training_prep_v2" ->
       """WITH RECURSIVE scored AS (
            SELECT doc_id, lang, source, n_chars, text,

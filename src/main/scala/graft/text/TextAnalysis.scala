@@ -37,6 +37,13 @@ object TextAnalysis {
   // use before merges.
   private val BpePattern = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
 
+  // PII patterns, restricted to the Java∩RE2 subset (no lookarounds,
+  // no backrefs) so Spark and the DuckDB oracle compile the same
+  // automaton. Exposed for PiiRedactSpec.
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+  val PhoneRe = "\\b555-[0-9]{4}\\b"
+
   def queries: Map[String, Q] = Map(
     "text_stats" -> ((s, d) => {
       import s.implicits._
@@ -124,6 +131,41 @@ object TextAnalysis {
         .orderBy($"doc_id")
     }),
 
+    // PII redaction (email / IPv4 / phone → typed placeholders) — the
+    // scrubbing pass a training pipeline runs before anything else.
+    // The synthetic corpus contains no PII, so the query PLANTS a
+    // deterministic per-row contact line (pure function of doc_id,
+    // built identically in the oracle) and then proves the redaction
+    // itself is cross-engine exact: match counts per category plus an
+    // md5 over the redacted text. Patterns stay in the Java∩RE2 regex
+    // subset so both engines compile them identically; redaction is
+    // row-local regexp_replace — scan-shaped at 100 TB.
+    "text_pii_redact" -> ((s, d) => {
+      import s.implicits._
+      val aug = concat($"text",
+        lit(" Contact user"), $"doc_id".cast("string"),
+        lit("@example.com from 10.0."),
+        pmod($"doc_id", lit(200)).cast("string"),
+        lit(".7 tel 555-"),
+        lpad(pmod($"doc_id", lit(10000)).cast("string"), 4, "0"), lit("."))
+      // email first: its local/domain parts contain dots and digits
+      // that would otherwise feed the IP pattern
+      val r1 = regexp_replace(aug, EmailRe, "<EMAIL>")
+      val r2 = regexp_replace(r1, Ipv4Re, "<IP>")
+      val r3 = regexp_replace(r2, PhoneRe, "<PHONE>")
+      Tables.load(s, d, "documents")
+        .select(
+          $"doc_id",
+          size(regexp_extract_all(aug, lit(EmailRe), lit(0)))
+            .cast("long").as("n_emails"),
+          size(regexp_extract_all(aug, lit(Ipv4Re), lit(0)))
+            .cast("long").as("n_ips"),
+          size(regexp_extract_all(aug, lit(PhoneRe), lit(0)))
+            .cast("long").as("n_phones"),
+          md5(r3).as("redacted_fp"))
+        .orderBy($"doc_id")
+    }),
+
     "text_fingerprint" -> ((s, d) => {
       import s.implicits._
       // Three fingerprint flavors: md5 over the sorted distinct token
@@ -205,6 +247,27 @@ object TextAnalysis {
              1.0 - CAST(n_distinct_grams AS DOUBLE) /
                    CAST(n_grams AS DOUBLE) END AS dup_gram_ratio
          FROM g ORDER BY doc_id""",
+    "text_pii_redact" ->
+      """WITH aug AS (
+           SELECT doc_id,
+             text || ' Contact user' || CAST(doc_id AS VARCHAR) ||
+               '@example.com from 10.0.' || CAST(doc_id % 200 AS VARCHAR) ||
+               '.7 tel 555-' ||
+               lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || '.' AS a
+           FROM documents)
+         SELECT doc_id,
+           CAST(len(regexp_extract_all(a,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+             AS n_emails,
+           CAST(len(regexp_extract_all(a,
+             '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS BIGINT) AS n_ips,
+           CAST(len(regexp_extract_all(a,
+             '\b555-[0-9]{4}\b')) AS BIGINT) AS n_phones,
+           md5(regexp_replace(regexp_replace(regexp_replace(a,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'),
+             '\b555-[0-9]{4}\b', '<PHONE>', 'g')) AS redacted_fp
+         FROM aug ORDER BY doc_id""",
     "text_fingerprint" ->
       """SELECT doc_id,
            md5(array_to_string(list_sort(list_distinct(

@@ -1,0 +1,90 @@
+package graft.queries
+
+import graft.SparkSpec
+import graft.text.TextAnalysis
+import org.apache.spark.sql.functions._
+
+/** Behavioral guards for the round-6 pipeline operators. The driver's
+  * DuckDB gate proves cross-engine equality; these specs pin the
+  * SEMANTICS — redaction actually removes the PII shapes, sampling is
+  * deterministic and rate-correct, the quality gate keeps at least
+  * half of every language, the shuffle is a permutation with balanced
+  * shards.
+  */
+class PipelineOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("pii patterns redact planted email/ip/phone and leave clean text alone") {
+    val rows = Seq(
+      "reach me at alice.smith+spam@sub.example.co.uk today",
+      "server 192.168.001.42 answered",
+      "call 555-0123 now",
+      "no pii here at all",
+      "a@b.io and 10.0.0.1 and 555-9999 together").toDF("s")
+      .withColumn("r",
+        regexp_replace(regexp_replace(regexp_replace($"s",
+          TextAnalysis.EmailRe, "<EMAIL>"),
+          TextAnalysis.Ipv4Re, "<IP>"),
+          TextAnalysis.PhoneRe, "<PHONE>"))
+      .select($"r").as[String].collect()
+    assert(rows(0) == "reach me at <EMAIL> today")
+    assert(rows(1) == "server <IP> answered")
+    assert(rows(2) == "call <PHONE> now")
+    assert(rows(3) == "no pii here at all")
+    assert(rows(4) == "<EMAIL> and <IP> and <PHONE> together")
+  }
+
+  test("text_pii_redact finds exactly one of each planted category per doc") {
+    val out = graft.SparkEntry.queries("text_pii_redact")(spark, sf)
+    val bad = out.filter($"n_emails" =!= 1 || $"n_ips" =!= 1 ||
+      $"n_phones" =!= 1)
+    assert(bad.count() == 0, "every augmented doc plants exactly one email/ip/phone")
+  }
+
+  test("stratified sample is deterministic and near the per-lang target rates") {
+    val q = graft.SparkEntry.queries("pipeline_sample_stratified")
+    val a = q(spark, sf).collect().map(_.getLong(0))
+    val b = q(spark, sf).collect().map(_.getLong(0))
+    assert(a.sameElements(b), "content-hash sampling must be reproducible")
+    val total = graft.Tables.load(spark, sf, "documents")
+      .groupBy($"lang").count().as[(String, Long)].collect().toMap
+    val kept = q(spark, sf).groupBy($"lang").count()
+      .as[(String, Long)].collect().toMap
+    total.foreach { case (lang, n) =>
+      val rate = kept.getOrElse(lang, 0L).toDouble / n
+      val target = if (lang == "en") 0.25 else 0.5
+      // 3-sigma binomial tolerance at these tiny counts
+      val tol = 3 * math.sqrt(target * (1 - target) / n)
+      assert(math.abs(rate - target) <= tol,
+        s"$lang rate $rate vs target $target (n=$n, tol=$tol)")
+    }
+  }
+
+  test("quality gate keeps >= half of every language (median threshold)") {
+    val total = graft.Tables.load(spark, sf, "documents")
+      .groupBy($"lang").count().as[(String, Long)].collect().toMap
+    val kept = graft.SparkEntry.queries("pipeline_quality_gate")(spark, sf)
+      .groupBy($"lang").count().as[(String, Long)].collect().toMap
+    total.foreach { case (lang, n) =>
+      val k = kept.getOrElse(lang, 0L)
+      assert(k >= n / 2, s"$lang kept $k of $n — median gate must keep >= half")
+      assert(k < n, s"$lang kept everything — gate is not filtering")
+    }
+  }
+
+  test("shuffle is a deterministic permutation with all 16 shards in range") {
+    val out = graft.SparkEntry.queries("pipeline_shuffle")(spark, sf)
+    val n = graft.Tables.load(spark, sf, "documents").count()
+    val rows = out.collect()
+    assert(rows.length == n, "shuffle must be a permutation, not a sample")
+    assert(rows.map(_.getLong(0)).distinct.length == n)
+    val shards = rows.map(_.getLong(3))
+    assert(shards.forall(s => s >= 0 && s <= 15))
+    // md5 uniformity: no shard should be empty at 500 docs
+    assert(shards.distinct.length == 16, "all 16 shards populated")
+    // the order is the shuffle: doc_id order and output order differ
+    assert(!rows.map(_.getLong(0)).sameElements(rows.map(_.getLong(0)).sorted))
+  }
+}
