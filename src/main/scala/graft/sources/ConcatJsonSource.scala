@@ -40,10 +40,15 @@ import scala.jdk.CollectionConverters._
   * line before its first newline. Values inside a line may still be
   * space-separated — JsonValueSplitter separates them.
   *
-  * Pretty-printed (multi-line-value) inputs: pass `multiline=true` to
-  * fall back to one partition per file; a split reader that lands
-  * inside a nested value trips a loud corruption guard (unmatched
-  * closers / separators at top level) instead of emitting garbage.
+  * Pretty-printed (multi-line-value) inputs: pass `multiline=true` —
+  * oversized files then get a one-pass planning scan (the same
+  * string-aware depth machine, streamed) that records top-level
+  * value-start offsets, and readers receive EXACT value-aligned
+  * ranges, so pretty-printed files fan out across tasks too (small
+  * files stay one partition with no planning I/O). A resync reader
+  * that lands inside a nested value without the option trips a loud
+  * corruption guard (unmatched closers / separators at top level)
+  * instead of emitting garbage.
   * `splitSize` overrides the split size; by default it mirrors
   * Spark's file-source sizing — totalBytes/defaultParallelism clamped
   * to [1 MiB, spark.sql.files.maxPartitionBytes] — so a small local
@@ -152,9 +157,22 @@ object ConcatJsonSplits {
     val target =
       splitSize.getOrElse(defaultSplitSize(sized.map(_._2).sum))
     sized.flatMap { case (f, size) =>
-      if (multiline || size <= target)
+      if (size <= target)
         Seq(ConcatJsonPartition(f, 0L, size, splitFile = false))
-      else {
+      else if (multiline) {
+        // Pretty-printed values span newlines, so speculative resync
+        // can't apply — instead one sequential planning pass runs the
+        // string-aware depth machine over the file and records
+        // top-level value-start offsets ~target apart. Splits are then
+        // EXACT value-aligned ranges: every reader parses only whole
+        // values, no handshake, no corruption guard needed. The
+        // planning scan is I/O-bound and paid once per oversized file;
+        // the alternative is one task scanning AND parsing it all.
+        val bs = graft.ops.JsonValueSplitter.boundariesOfFile(f, target)
+        (bs :+ size).sliding(2).map { case Seq(b, e) =>
+          ConcatJsonPartition(f, b, e, splitFile = false, exact = true)
+        }.toSeq
+      } else {
         val n = ((size + target - 1) / target).toInt
         (0 until n).map(i => ConcatJsonPartition(f, i.toLong * target,
           math.min((i + 1).toLong * target, size), splitFile = true))
@@ -259,7 +277,7 @@ class ConcatJsonMicroBatchStream(path: String,
 }
 
 case class ConcatJsonPartition(file: String, start: Long, end: Long,
-    splitFile: Boolean) extends InputPartition
+    splitFile: Boolean, exact: Boolean = false) extends InputPartition
 
 class ConcatJsonReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition)
@@ -296,7 +314,23 @@ class ConcatJsonPartitionReader(p: ConcatJsonPartition)
   private var current: String = _
   private var pending: Iterator[String] =
     if (p.splitFile) Iterator.empty
-    else {
+    else if (p.exact) {
+      // exact value-aligned range from the multiline planning scan:
+      // read [start, end) and split whole values over it — memory is
+      // bounded by the split size, not the file
+      linesDone = true
+      require(p.end - p.start <= Int.MaxValue.toLong,
+        s"concat-json: exact split larger than 2 GiB in ${p.file}")
+      val ch = FileChannel.open(Paths.get(p.file))
+      try {
+        val buf = java.nio.ByteBuffer.allocate((p.end - p.start).toInt)
+        ch.position(p.start)
+        while (buf.hasRemaining && ch.read(buf) >= 0) {}
+        JsonValueSplitter
+          .split(new String(buf.array(), 0, buf.position(), "UTF-8"))
+          .iterator
+      } finally ch.close()
+    } else {
       linesDone = true
       JsonValueSplitter
         .split(new String(Files.readAllBytes(Paths.get(p.file)), "UTF-8"))
@@ -304,8 +338,9 @@ class ConcatJsonPartitionReader(p: ConcatJsonPartition)
     }
 
   // resync: the partial line before the first newline belongs to the
-  // split that contains its start
-  if (p.start > 0) {
+  // split that contains its start (line-split readers only — exact
+  // splits are value-aligned already)
+  if (p.splitFile && p.start > 0) {
     var b = in.read()
     pos += (if (b >= 0) 1 else 0)
     while (b >= 0 && b != '\n') {
@@ -357,7 +392,7 @@ class ConcatJsonPartitionReader(p: ConcatJsonPartition)
         s"concat-json: split resync landed inside a multi-line JSON " +
           s"value (token '${v.take(20)}' in ${p.file}); values must " +
           "not contain raw newlines — set option multiline=true to " +
-          "read pretty-printed files as one partition per file")
+          "split pretty-printed files on exact value boundaries instead")
     v
   }
 

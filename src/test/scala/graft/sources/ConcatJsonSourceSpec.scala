@@ -93,6 +93,60 @@ class ConcatJsonSourceSpec extends SparkSpec {
     assert(ex.getCause.isInstanceOf[java.nio.file.NoSuchFileException])
   }
 
+  test("multiline=true splits an oversized pretty-printed file on exact value boundaries") {
+    val dir = Files.createTempDirectory("graft-cjmlsplit")
+    val rnd = new scala.util.Random(23)
+    // pretty-printed values with raw newlines INSIDE values, plus
+    // hostile content: braces/brackets/escaped quotes inside strings
+    val pretty = (0 until 4000).map { i =>
+      val pad = "z" * rnd.nextInt(30)
+      s"""{\n  "id": $i,\n  "s": "br{ace ]x \\" $pad",\n  "v": [\n    1,\n    2\n  ]\n}"""
+    }.mkString("\n")
+    Files.writeString(dir.resolve("p.json"), pretty)
+    val single = spark.read.format("concat-json")
+      .option("multiline", "true")
+      .option("splitSize", (1L << 40).toString).load(dir.toString)
+    val split = spark.read.format("concat-json")
+      .option("multiline", "true")
+      .option("splitSize", "16384").load(dir.toString)
+    assert(single.rdd.getNumPartitions == 1)
+    assert(split.rdd.getNumPartitions > 4,
+      s"expected the pretty file to fan out, got ${split.rdd.getNumPartitions}")
+    val a = single.as[String].collect().sorted.toSeq
+    val b = split.as[String].collect().sorted.toSeq
+    assert(a.length == 4000)
+    assert(a == b, "exact-boundary splits must yield identical records")
+  }
+
+  test("boundary scanner offsets always land on top-level value starts (fuzz)") {
+    val rnd = new scala.util.Random(41)
+    val values = (0 until 800).map { i =>
+      rnd.nextInt(5) match {
+        case 0 => s"""{\n "a": $i,\n "s": "q\\"} ${"w" * rnd.nextInt(12)}"\n}"""
+        case 1 => s"""[1,\n  {"x": "]"},\n  $i]"""
+        case 2 => s""""top \\" level } string $i""""
+        case 3 => i.toString
+        case _ => "null"
+      }
+    }
+    val text = values.mkString(" ", "\n", "\n")
+    val bytes = text.getBytes("UTF-8")
+    for (target <- Seq(64L, 257L, 1024L)) {
+      val bs = graft.ops.JsonValueSplitter.boundaries(
+        new java.io.ByteArrayInputStream(bytes), target)
+      assert(bs.head == 0L)
+      assert(bs == bs.sorted && bs.distinct == bs)
+      // piecewise split over the boundary ranges == one-shot split
+      val piecewise = (bs :+ bytes.length.toLong).sliding(2).flatMap {
+        case Seq(b, e) =>
+          graft.ops.JsonValueSplitter.split(
+            new String(bytes, b.toInt, (e - b).toInt, "UTF-8"))
+      }.toSeq
+      assert(piecewise == graft.ops.JsonValueSplitter.split(text),
+        s"target=$target: piecewise split diverged")
+    }
+  }
+
   test("spark.sql.files.ignoreMissingFiles skips a vanished file at planning") {
     val dir = Files.createTempDirectory("graft-cjignore")
     Files.writeString(dir.resolve("a.json"), """{"id": 1}""")
