@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CanonicalizeJson, CosineSimilarity, DotProduct, MinHashSignature, RollingHash, ShingleHashes}
+import graft.functions.{CanonicalizeJson, CosineSimilarity, DotProduct, MinHashSignature, NfcNormalize, RollingHash, ShingleHashes}
 import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -60,7 +60,10 @@ object GraftFunctions {
         case _ => throw new IllegalArgumentException(
           "minhash_signature(shingles[, perms]) — perms must be an " +
             "integer literal")
-      }))
+      }),
+    (FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+      (args: Seq[Expression]) => NfcNormalize(args(0))))
 
   /** Imperative registration for an already-built session. */
   def register(spark: SparkSession): Unit =

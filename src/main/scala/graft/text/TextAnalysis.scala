@@ -131,6 +131,53 @@ object TextAnalysis {
         .orderBy($"doc_id")
     }),
 
+    // Unicode text normalization: NFC (native graft expression — see
+    // NfcNormalize) + control-char strip + whitespace collapse, the
+    // cleaning pass that must precede hashing/dedup/tokenization so
+    // byte-different-but-visually-identical text converges. The ASCII
+    // corpus is augmented with planted decomposed sequences (combining
+    // accents, a control char, run-on spaces — the oracle plants the
+    // same via chr(); Spark's chr is ASCII-only so this side embeds
+    // the literals) and the normalized md5 + codepoint delta are
+    // compared cross-engine. Row-local, scan-shaped.
+    "text_normalize" -> ((s, d) => {
+      import s.implicits._
+      // "e"+U+0301 → é, "A"+U+030A → Å under NFC; U+0007 is control
+      val aug = concat($"text",
+        lit(" café  x  Å end"))
+      val norm = graft.functions.NfcNormalize.nfc_normalize(aug)
+      val clean = trim(regexp_replace(
+        regexp_replace(norm, "[\\x00-\\x1f\\x7f]", ""), " {2,}", " "))
+      Tables.load(s, d, "documents")
+        .select(
+          $"doc_id",
+          md5(clean).as("norm_fp"),
+          length(clean).cast("long").as("n_codepoints"),
+          (length(aug) - length(norm)).cast("long").as("n_composed"))
+        .orderBy($"doc_id")
+    }),
+
+    // Per-language vocabulary: token frequencies, top 20 per language
+    // with a deterministic (count desc, token asc) tie-break — the
+    // vocab-building pass of a tokenizer-training pipeline. Scale
+    // shape: explode → groupBy(lang, token) rides map-side partial
+    // aggregation (token cardinality ≪ token instances), and the
+    // per-language top-k is a WindowGroupLimit partial top-k, never a
+    // full sort of the vocabulary.
+    "text_vocab" -> ((s, d) => {
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"lang").orderBy($"n".desc, $"token")
+      Tables.load(s, d, "documents")
+        .select($"lang", explode(toks($"text")).as("token"))
+        .groupBy($"lang", $"token")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter($"rank" <= 20)
+        .select($"lang", $"rank", $"token", $"n")
+        .orderBy($"lang", $"rank")
+    }),
+
     // PII redaction (email / IPv4 / phone → typed placeholders) — the
     // scrubbing pass a training pipeline runs before anything else.
     // The synthetic corpus contains no PII, so the query PLANTS a
@@ -247,6 +294,34 @@ object TextAnalysis {
              1.0 - CAST(n_distinct_grams AS DOUBLE) /
                    CAST(n_grams AS DOUBLE) END AS dup_gram_ratio
          FROM g ORDER BY doc_id""",
+    "text_normalize" ->
+      """WITH aug AS (
+           SELECT doc_id,
+             text || ' cafe' || chr(769) || '  x' || chr(7) ||
+               '  A' || chr(778) || ' end' AS a
+           FROM documents),
+         n AS (SELECT doc_id, a, nfc_normalize(a) AS nm FROM aug),
+         c AS (SELECT doc_id, a, nm,
+             trim(regexp_replace(regexp_replace(nm,
+               '[\x00-\x1f\x7f]', '', 'g'), ' {2,}', ' ', 'g')) AS cl
+           FROM n)
+         SELECT doc_id, md5(cl) AS norm_fp,
+           CAST(length(cl) AS BIGINT) AS n_codepoints,
+           CAST(length(a) - length(nm) AS BIGINT) AS n_composed
+         FROM c ORDER BY doc_id""",
+    "text_vocab" ->
+      """WITH t AS (
+           SELECT lang, unnest(string_split_regex(lower(text), '\s+')) AS token
+           FROM documents),
+         f AS (
+           SELECT lang, token, count(*) AS n FROM t GROUP BY 1, 2),
+         r AS (
+           SELECT lang, token, n,
+             CAST(row_number() OVER (PARTITION BY lang
+               ORDER BY n DESC, token) AS BIGINT) AS rank
+           FROM f)
+         SELECT lang, rank, token, n FROM r
+         WHERE rank <= 20 ORDER BY lang, rank""",
     "text_pii_redact" ->
       """WITH aug AS (
            SELECT doc_id,
