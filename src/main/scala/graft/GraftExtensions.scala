@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CanonicalizeJson, CosineSimilarity, DotProduct, MinHashSignature, NfcNormalize, RollingHash, ShingleHashes}
+import graft.functions.{CanonicalizeJson, CosineSimilarity, DotProduct, MinHashSignature, NfcNormalize, RollingHash, ShingleHashes, SpaceSavingAgg}
 import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -63,7 +63,15 @@ object GraftFunctions {
       }),
     (FunctionIdentifier("nfc_normalize"),
       new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
-      (args: Seq[Expression]) => NfcNormalize(args(0))))
+      (args: Seq[Expression]) => NfcNormalize(args(0))),
+    (FunctionIdentifier("space_saving"),
+      new ExpressionInfo(classOf[SpaceSavingAgg].getName, "space_saving"),
+      (args: Seq[Expression]) => (args match {
+        case Seq(item) => SpaceSavingAgg(item)
+        case Seq(item, Literal(m: Int, _)) => SpaceSavingAgg(item, m)
+        case _ => throw new IllegalArgumentException(
+          "space_saving(item[, m]) — m must be an integer literal")
+      }).toAggregateExpression()))
 
   /** Imperative registration for an already-built session. */
   def register(spark: SparkSession): Unit =

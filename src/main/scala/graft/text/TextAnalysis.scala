@@ -131,6 +131,27 @@ object TextAnalysis {
         .orderBy($"doc_id")
     }),
 
+    // Heavy hitters via the SpaceSaving sketch aggregate (bounded
+    // memory per group regardless of stream length — the 100 TB
+    // shape; see SpaceSavingAgg). Capacity 256 exceeds this corpus's
+    // per-language vocabulary, so the sketch is provably EXACT here
+    // and the oracle is a plain GROUP BY count top-10 — the eviction
+    // and merge paths are pinned by SpaceSavingSpec instead. The
+    // sketch array arrives sorted (est desc, item asc), so top-10 is
+    // a slice, no window.
+    "text_heavy_hitters" -> ((s, d) => {
+      import s.implicits._
+      Tables.load(s, d, "documents")
+        .select($"lang", explode(toks($"text")).as("token"))
+        .groupBy($"lang")
+        .agg(graft.functions.SpaceSavingAgg.space_saving($"token", 256)
+          .as("hh"))
+        .select($"lang", posexplode(slice($"hh", 1, 10)).as(Seq("p", "e")))
+        .select($"lang", ($"p" + 1).cast("long").as("rank"),
+          $"e.item".as("token"), $"e.est".as("n"))
+        .orderBy($"lang", $"rank")
+    }),
+
     // Unicode text normalization: NFC (native graft expression — see
     // NfcNormalize) + control-char strip + whitespace collapse, the
     // cleaning pass that must precede hashing/dedup/tokenization so
@@ -294,6 +315,18 @@ object TextAnalysis {
              1.0 - CAST(n_distinct_grams AS DOUBLE) /
                    CAST(n_grams AS DOUBLE) END AS dup_gram_ratio
          FROM g ORDER BY doc_id""",
+    "text_heavy_hitters" ->
+      """WITH t AS (
+           SELECT lang, unnest(string_split_regex(lower(text), '\s+')) AS token
+           FROM documents),
+         f AS (SELECT lang, token, count(*) AS n FROM t GROUP BY 1, 2),
+         r AS (
+           SELECT lang, token, n,
+             CAST(row_number() OVER (PARTITION BY lang
+               ORDER BY n DESC, token) AS BIGINT) AS rank
+           FROM f)
+         SELECT lang, rank, token, n FROM r
+         WHERE rank <= 10 ORDER BY lang, rank""",
     "text_normalize" ->
       """WITH aug AS (
            SELECT doc_id,
