@@ -205,16 +205,16 @@ object Main {
     val src = cfg.format match {
       case LineFormat => StreamOps.lineStream(spark, dir)
       // wholetext wrapper, NOT the splittable concat-json DSv2 stream,
-      // for BOTH once and follow modes: (a) the CLI accepts arbitrary
-      // concatenated JSON incl. pretty-printed values (the reference's
-      // json.Decoder semantics), which offset splits reject above the
-      // split size; (b) splitting one file across concurrent tasks
-      // would interleave its records under the single host partition
-      // key, breaking the per-key FIFO delivery guarantee (§1.4);
-      // (c) in follow mode the built-in file source also keeps a
-      // COMPACTED seen-files log where the DSv2 offsets grow forever.
-      // Library/batch pipelines with compact machine-emitted streams
-      // use the DSv2 source directly and get the splitting.
+      // for BOTH once and follow modes: (a) splitting one file across
+      // concurrent tasks would interleave its records under the single
+      // host partition key, breaking the per-key FIFO delivery
+      // guarantee (§1.4) — the DSv2 source CAN split pretty-printed
+      // values now (multiline=true exact-boundary planning scan), but
+      // ordered delivery forbids it here; (b) in follow mode the
+      // built-in file source also keeps a COMPACTED seen-files log
+      // where the DSv2 offsets grow forever. Library/batch pipelines
+      // without the FIFO constraint use the DSv2 source directly and
+      // get the splitting.
       case JsonFormat => StreamOps.concatJsonStream(spark, dir)
     }
     val out = pipeline(src, cfg, HostId.cached)

@@ -69,52 +69,15 @@ case class SpaceSavingAgg(
   override def update(buf: mutable.HashMap[String, (Long, Long)],
       input: InternalRow): mutable.HashMap[String, (Long, Long)] = {
     val v = child.eval(input)
-    if (v != null) {
-      val k = v.asInstanceOf[UTF8String].toString
-      buf.get(k) match {
-        case Some((c, e)) => buf(k) = (c + 1, e)
-        case None if buf.size < m => buf(k) = (1L, 0L)
-        case None =>
-          // evict the minimum counter (smallest count, then largest
-          // key — deterministic); newcomer inherits its count as error
-          var minK: String = null
-          var minC = Long.MaxValue
-          buf.foreach { case (k2, (c, _)) =>
-            if (c < minC || (c == minC && (minK == null || k2 > minK))) {
-              minC = c; minK = k2
-            }
-          }
-          buf -= minK
-          buf(k) = (minC + 1, minC)
-      }
-    }
+    if (v != null)
+      SpaceSaving.add(buf, v.asInstanceOf[UTF8String].toString, m)
     buf
   }
 
-  private def minCount(b: mutable.HashMap[String, (Long, Long)]): Long =
-    if (b.size < m) 0L else b.valuesIterator.map(_._1).min
-
   override def merge(a: mutable.HashMap[String, (Long, Long)],
       b: mutable.HashMap[String, (Long, Long)])
-      : mutable.HashMap[String, (Long, Long)] = {
-    val offA = minCount(a) // what an item evicted from a could hide
-    val offB = minCount(b)
-    val out = mutable.HashMap.empty[String, (Long, Long)]
-    a.foreach { case (k, (c, e)) =>
-      b.get(k) match {
-        case Some((c2, e2)) => out(k) = (c + c2, e + e2)
-        case None => out(k) = (c + offB, e + offB)
-      }
-    }
-    b.foreach { case (k, (c, e)) =>
-      if (!a.contains(k)) out(k) = (c + offA, e + offA)
-    }
-    if (out.size <= m) out
-    else {
-      val kept = out.toSeq.sortBy { case (k, (c, _)) => (-c, k) }.take(m)
-      mutable.HashMap(kept: _*)
-    }
-  }
+      : mutable.HashMap[String, (Long, Long)] =
+    SpaceSaving.merge(a, b, m)
 
   override def eval(buf: mutable.HashMap[String, (Long, Long)]): Any = {
     val sorted = buf.toSeq.sortBy { case (k, (c, _)) => (-c, k) }
@@ -158,6 +121,59 @@ case class SpaceSavingAgg(
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): SpaceSavingAgg =
     copy(child = newChildren.head)
+}
+
+/** Algorithm core, shared by the batch aggregate above and the
+  * streaming `StreamOps.heavyHittersStream` state (same counters,
+  * same invariants — one implementation to trust).
+  */
+object SpaceSaving {
+  /** One SpaceSaving update against a counter map of capacity m. */
+  def add(buf: mutable.HashMap[String, (Long, Long)], k: String,
+      m: Int): Unit =
+    buf.get(k) match {
+      case Some((c, e)) => buf(k) = (c + 1, e)
+      case None if buf.size < m => buf(k) = (1L, 0L)
+      case None =>
+        // evict the minimum counter (smallest count, then largest
+        // key — deterministic); newcomer inherits its count as error
+        var minK: String = null
+        var minC = Long.MaxValue
+        buf.foreach { case (k2, (c, _)) =>
+          if (c < minC || (c == minC && (minK == null || k2 > minK))) {
+            minC = c; minK = k2
+          }
+        }
+        buf -= minK
+        buf(k) = (minC + 1, minC)
+    }
+
+  private def minCount(b: mutable.HashMap[String, (Long, Long)],
+      m: Int): Long =
+    if (b.size < m) 0L else b.valuesIterator.map(_._1).min
+
+  /** Mergeable-summaries merge (see SpaceSavingAgg scaladoc). */
+  def merge(a: mutable.HashMap[String, (Long, Long)],
+      b: mutable.HashMap[String, (Long, Long)], m: Int)
+      : mutable.HashMap[String, (Long, Long)] = {
+    val offA = minCount(a, m) // what an item evicted from a could hide
+    val offB = minCount(b, m)
+    val out = mutable.HashMap.empty[String, (Long, Long)]
+    a.foreach { case (k, (c, e)) =>
+      b.get(k) match {
+        case Some((c2, e2)) => out(k) = (c + c2, e + e2)
+        case None => out(k) = (c + offB, e + offB)
+      }
+    }
+    b.foreach { case (k, (c, e)) =>
+      if (!a.contains(k)) out(k) = (c + offA, e + offA)
+    }
+    if (out.size <= m) out
+    else {
+      val kept = out.toSeq.sortBy { case (k, (c, _)) => (-c, k) }.take(m)
+      mutable.HashMap(kept: _*)
+    }
+  }
 }
 
 object SpaceSavingAgg {

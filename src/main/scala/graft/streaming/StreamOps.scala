@@ -203,4 +203,44 @@ object StreamOps {
           }
       }
   }
+
+  // ------------------------------------------- streaming heavy hitters
+  case class TokenEvent(key: String, item: String)
+  case class HHItem(item: String, est: Long, err: Long)
+  case class HeavyHitters(key: String, items: Seq[HHItem])
+
+  /** Streaming frequent-items over an unbounded keyed stream: the
+    * SpaceSaving counters (graft.functions.SpaceSaving — the same core
+    * as the batch aggregate) live in per-key group state, so memory is
+    * O(m) per key FOREVER regardless of stream length — the property
+    * that makes a sketch the only viable shape here (an exact
+    * streaming groupBy(token) count in update mode grows state with
+    * the vocabulary, unbounded for open-ended token streams). Each
+    * micro-batch emits the key's refreshed top-k snapshot (Update
+    * mode); estimates carry the sketch's overestimate + tracked-error
+    * invariants across batches because the state IS the sketch.
+    */
+  def heavyHittersStream(events: org.apache.spark.sql.Dataset[TokenEvent],
+      m: Int, topK: Int)
+      : org.apache.spark.sql.Dataset[HeavyHitters] = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[Seq[HHItem], HeavyHitters](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[TokenEvent],
+            state: org.apache.spark.sql.streaming.GroupState[Seq[HHItem]]) =>
+          val buf = scala.collection.mutable.HashMap(
+            state.getOption.getOrElse(Seq.empty)
+              .map(i => i.item -> (i.est, i.err)): _*)
+          rows.foreach(r =>
+            graft.functions.SpaceSaving.add(buf, r.item, m))
+          val sorted = buf.toSeq
+            .sortBy { case (k2, (c, _)) => (-c, k2) }
+            .map { case (k2, (c, e)) => HHItem(k2, c, e) }
+          state.update(sorted)
+          Iterator.single(HeavyHitters(key, sorted.take(topK)))
+      }
+  }
 }

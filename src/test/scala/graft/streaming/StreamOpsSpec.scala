@@ -156,6 +156,34 @@ class StreamOpsSpec extends SparkSpec {
     assert(out == Map(100L -> 10L, 101L -> 10L))
   }
 
+  test("streaming heavy hitters accumulate sketch state across micro-batches") {
+    import StreamOps.{HeavyHitters, TokenEvent}
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[TokenEvent]
+    val q = StreamOps.heavyHittersStream(in.toDS(), m = 8, topK = 3)
+      .writeStream.format("memory").queryName("hh")
+      .outputMode("update").start()
+    in.addData(
+      Seq.fill(5)(TokenEvent("en", "the")) ++
+        Seq.fill(2)(TokenEvent("en", "a")) ++
+        Seq(TokenEvent("de", "der")): _*)
+    q.processAllAvailable()
+    val batch1 = spark.table("hh").as[HeavyHitters].collect()
+      .map(h => h.key -> h.items).toMap
+    assert(batch1("en").head.item == "the" && batch1("en").head.est == 5L)
+    assert(batch1("de").head.item == "der" && batch1("de").head.est == 1L)
+    // batch 2: counts must ACCUMULATE onto batch 1's sketch state,
+    // and "a" (2+4=6) must overtake "the" (5+0=5)
+    in.addData(Seq.fill(4)(TokenEvent("en", "a")): _*)
+    q.processAllAvailable()
+    val en2 = spark.table("hh").as[HeavyHitters].collect()
+      .filter(_.key == "en").last.items
+    q.stop()
+    assert(en2.map(i => i.item -> i.est).take(2).toSeq ==
+      Seq("a" -> 6L, "the" -> 5L))
+    assert(en2.forall(_.err == 0L), "exact regime: capacity not exceeded")
+  }
+
   test("reference line pipeline runs unchanged on a streaming frame") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[String]
