@@ -26,21 +26,37 @@ object GraftFunctions {
   type Descriptor = (FunctionIdentifier, ExpressionInfo,
     Seq[Expression] => Expression)
 
+  // every builder pattern-matches arity: args(i) indexing would
+  // silently DROP extra arguments (plausible wrong results) and throw
+  // a bare IndexOutOfBounds on too few
+  private def arity2(name: String)(f: (Expression, Expression) => Expression)
+      : Seq[Expression] => Expression = {
+    case Seq(a, b) => f(a, b)
+    case _ => throw new IllegalArgumentException(
+      s"$name takes exactly two arguments")
+  }
+  private def arity1(name: String)(f: Expression => Expression)
+      : Seq[Expression] => Expression = {
+    case Seq(a) => f(a)
+    case _ => throw new IllegalArgumentException(
+      s"$name takes exactly one argument")
+  }
+
   val descriptors: Seq[Descriptor] = Seq(
     (FunctionIdentifier("cosine_similarity"),
       new ExpressionInfo(classOf[CosineSimilarity].getName,
         "cosine_similarity"),
-      (args: Seq[Expression]) => CosineSimilarity(args(0), args(1))),
+      arity2("cosine_similarity(a, b)")(CosineSimilarity(_, _))),
     (FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
-      (args: Seq[Expression]) => DotProduct(args(0), args(1))),
+      arity2("dot_product(a, b)")(DotProduct(_, _))),
     (FunctionIdentifier("rolling_hash"),
       new ExpressionInfo(classOf[RollingHash].getName, "rolling_hash"),
-      (args: Seq[Expression]) => RollingHash(args(0))),
+      arity1("rolling_hash(text)")(RollingHash(_))),
     (FunctionIdentifier("canonicalize_json"),
       new ExpressionInfo(classOf[CanonicalizeJson].getName,
         "canonicalize_json"),
-      (args: Seq[Expression]) => CanonicalizeJson(args(0))),
+      arity1("canonicalize_json(text)")(CanonicalizeJson(_))),
     // optional int arg = shingle width / permutation count; must be a
     // foldable literal, like Spark's own e.g. `round(x, 2)`
     (FunctionIdentifier("shingle_hashes"),
@@ -63,7 +79,7 @@ object GraftFunctions {
       }),
     (FunctionIdentifier("nfc_normalize"),
       new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
-      (args: Seq[Expression]) => NfcNormalize(args(0))),
+      arity1("nfc_normalize(text)")(NfcNormalize(_))),
     (FunctionIdentifier("space_saving"),
       new ExpressionInfo(classOf[SpaceSavingAgg].getName, "space_saving"),
       (args: Seq[Expression]) => (args match {

@@ -57,6 +57,16 @@ case class SpaceSavingAgg(
 
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"space_saving expects a string item column, got " +
+          child.dataType.catalogString)
+
   override def dataType: DataType = ArrayType(StructType(Seq(
     StructField("item", StringType, nullable = false),
     StructField("est", LongType, nullable = false),

@@ -94,7 +94,8 @@ object JsonValueSplitter {
     * time — bounded by I/O bandwidth, and strictly cheaper than the
     * single task that would otherwise scan AND parse the whole file.
     */
-  def boundaries(in: java.io.InputStream, targetBytes: Long): Seq[Long] = {
+  def boundaries(in: java.io.InputStream, targetBytes: Long,
+      limitBytes: Long = Long.MaxValue): Seq[Long] = {
     val out = ArrayBuffer[Long](0L)
     var last = 0L // offset of the most recent recorded boundary
     var pos = 0L
@@ -106,9 +107,9 @@ object JsonValueSplitter {
     var mode = 0
     val buf = new Array[Byte](1 << 16)
     var n = in.read(buf)
-    while (n > 0) {
+    while (n > 0 && pos < limitBytes) {
       var i = 0
-      while (i < n) {
+      while (i < n && pos < limitBytes) {
         val b = buf(i)
         val c = b.toChar
         val ws = c == ' ' || c == '\n' || c == '\r' || c == '\t'
@@ -155,10 +156,17 @@ object JsonValueSplitter {
     out.toSeq
   }
 
-  def boundariesOfFile(file: String, targetBytes: Long): Seq[Long] = {
+  /** File form of [[boundaries]]. `limitBytes` clamps the scan to the
+    * caller's size SNAPSHOT: a file appended between sizing and
+    * scanning must not yield boundaries past the snapshot (the
+    * planner's partition ends use the snapshot, so an unclamped scan
+    * would produce a boundary > end → negative-length partition).
+    */
+  def boundariesOfFile(file: String, targetBytes: Long,
+      limitBytes: Long = Long.MaxValue): Seq[Long] = {
     val in = new java.io.BufferedInputStream(
       java.nio.file.Files.newInputStream(java.nio.file.Paths.get(file)),
       1 << 16)
-    try boundaries(in, targetBytes) finally in.close()
+    try boundaries(in, targetBytes, limitBytes) finally in.close()
   }
 }

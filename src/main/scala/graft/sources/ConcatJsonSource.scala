@@ -156,22 +156,62 @@ object ConcatJsonSplits {
     }
     val target =
       splitSize.getOrElse(defaultSplitSize(sized.map(_._2).sum))
+    // Pretty-printed values span newlines, so speculative resync can't
+    // apply — instead a planning pass runs the string-aware depth
+    // machine over each oversized multiline file and records top-level
+    // value-start offsets ~target apart. Splits are then EXACT
+    // value-aligned ranges: every reader parses only whole values, no
+    // handshake, no corruption guard needed. Scans are clamped to the
+    // size SNAPSHOT taken above (a concurrent append must not move
+    // partition ends past it) and run CONCURRENTLY on the driver —
+    // still driver-side I/O paid before tasks launch (the honest cost
+    // of exact boundaries; a distributed first-pass job is the next
+    // step if directories of many oversized pretty files show up),
+    // but each file is strictly cheaper than the single task that
+    // would otherwise scan AND parse it alone.
+    val multilineBig = sized.filter { case (_, sz) =>
+      multiline && sz > target }
+    val boundariesByFile: Map[String, Option[Seq[Long]]] =
+      if (multilineBig.isEmpty) Map.empty
+      else {
+        import scala.concurrent.{Await, ExecutionContext, Future}
+        import scala.concurrent.duration.Duration
+        implicit val ec: ExecutionContext = ExecutionContext.global
+        Await.result(Future.traverse(multilineBig) { case (f, sz) =>
+          Future(f -> (
+            try Some(graft.ops.JsonValueSplitter
+              .boundariesOfFile(f, target, limitBytes = sz))
+            catch {
+              case e: java.nio.file.NoSuchFileException if ignoreMissing =>
+                org.slf4j.LoggerFactory.getLogger(getClass).warn(
+                  s"concat-json: skipping file '$f' that vanished " +
+                    "before its boundary scan " +
+                    "(spark.sql.files.ignoreMissingFiles=true)")
+                None
+              case e: java.nio.file.NoSuchFileException =>
+                val ex = new java.io.FileNotFoundException(
+                  s"concat-json: '$f' vanished between sizing and its " +
+                    "multiline boundary scan. If this is a streaming " +
+                    "checkpoint recovery, a committed offset references " +
+                    "a since-rotated/deleted file; restore the file, " +
+                    "start from a fresh checkpoint, or set " +
+                    "spark.sql.files.ignoreMissingFiles=true to skip it.")
+                ex.initCause(e)
+                throw ex
+            }))
+        }, Duration.Inf).toMap
+      }
     sized.flatMap { case (f, size) =>
       if (size <= target)
         Seq(ConcatJsonPartition(f, 0L, size, splitFile = false))
       else if (multiline) {
-        // Pretty-printed values span newlines, so speculative resync
-        // can't apply — instead one sequential planning pass runs the
-        // string-aware depth machine over the file and records
-        // top-level value-start offsets ~target apart. Splits are then
-        // EXACT value-aligned ranges: every reader parses only whole
-        // values, no handshake, no corruption guard needed. The
-        // planning scan is I/O-bound and paid once per oversized file;
-        // the alternative is one task scanning AND parsing it all.
-        val bs = graft.ops.JsonValueSplitter.boundariesOfFile(f, target)
-        (bs :+ size).sliding(2).map { case Seq(b, e) =>
-          ConcatJsonPartition(f, b, e, splitFile = false, exact = true)
-        }.toSeq
+        boundariesByFile(f) match {
+          case None => Seq.empty // vanished, ignoreMissingFiles=true
+          case Some(bs) =>
+            (bs :+ size).sliding(2).map { case Seq(b, e) =>
+              ConcatJsonPartition(f, b, e, splitFile = false, exact = true)
+            }.toSeq
+        }
       } else {
         val n = ((size + target - 1) / target).toInt
         (0 until n).map(i => ConcatJsonPartition(f, i.toLong * target,

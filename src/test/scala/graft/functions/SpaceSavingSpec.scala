@@ -69,6 +69,23 @@ class SpaceSavingSpec extends SparkSpec {
     assert(run(1) == run(8), "merge must not change exact-regime results")
   }
 
+  test("non-string item column is rejected at analysis, not at runtime") {
+    val ex = intercept[Exception] {
+      Seq(1L, 2L).toDF("x").agg(space_saving($"x", 8)).collect()
+    }
+    assert(ex.getMessage.contains("string"),
+      s"expected an analysis-time type error, got: ${ex.getMessage.take(200)}")
+  }
+
+  test("SQL builders reject wrong arity instead of dropping arguments") {
+    GraftFunctions.register(spark)
+    val ex = intercept[Exception] {
+      spark.sql("SELECT nfc_normalize('a', 'b')").collect()
+    }
+    assert(ex.getMessage.contains("exactly one"),
+      s"got: ${ex.getMessage.take(200)}")
+  }
+
   test("registered for the SQL surface with a capacity literal") {
     GraftFunctions.register(spark)
     Seq("a", "a", "b").toDF("x").createOrReplaceTempView("ss_in")

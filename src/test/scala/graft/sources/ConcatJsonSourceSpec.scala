@@ -147,6 +147,19 @@ class ConcatJsonSourceSpec extends SparkSpec {
     }
   }
 
+  test("boundary scan clamps to the size snapshot (concurrent-append safety)") {
+    val values = (0 until 500).map(i => s"""{\n "id": $i\n}""")
+    val bytes = values.mkString("\n").getBytes("UTF-8")
+    val snapshot = bytes.length / 2L
+    // simulate a file that grew after sizing: scan sees MORE bytes
+    // than the snapshot, but must not emit boundaries past it —
+    // otherwise the planner builds a negative-length partition
+    val bs = graft.ops.JsonValueSplitter.boundaries(
+      new java.io.ByteArrayInputStream(bytes), 256L, limitBytes = snapshot)
+    assert(bs.nonEmpty && bs.forall(_ < snapshot),
+      s"boundaries ${bs.filter(_ >= snapshot)} escaped the snapshot")
+  }
+
   test("spark.sql.files.ignoreMissingFiles skips a vanished file at planning") {
     val dir = Files.createTempDirectory("graft-cjignore")
     Files.writeString(dir.resolve("a.json"), """{"id": 1}""")
