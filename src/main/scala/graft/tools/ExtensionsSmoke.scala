@@ -34,6 +34,18 @@ object ExtensionsSmoke {
       s"ns=${row2.getInt(2)} np=${row2.getInt(3)}")
     assert(row2.getString(1) == """{"a":1.0,"b":2.0}""")
     assert(row2.getInt(2) == 2 && row2.getInt(3) == 16)
+    // Spark's chr/char is ASCII-only (mod 256), so the combining
+    // diaeresis is embedded as a literal, not built with char()
+    val row3 = spark.sql(
+      s"""SELECT nfc_normalize('cafë') AS n,
+                space_saving(x, 4) AS hh
+         FROM VALUES ('a'), ('a'), ('b') AS t(x)""")
+      .selectExpr("n", "hh[0].item AS top", "hh[0].est AS est")
+      .collect().head
+    println(s"[ext-smoke] nfc_len=${row3.getString(0).length} " +
+      s"top=${row3.getString(1)}:${row3.getLong(2)}")
+    assert(row3.getString(0) == "cafë") // e + combining diaeresis → ë
+    assert(row3.getString(1) == "a" && row3.getLong(2) == 2L)
     spark.stop()
   }
 }
