@@ -112,6 +112,30 @@ object Relational {
         .orderBy($"o_custkey", $"rn")
     }),
 
+    // RANGE-frame window: per-customer rolling 30-day revenue — the
+    // value-based frame (rangeBetween on a day offset) where q6's
+    // frames are row-based. Sum rides integer cents so both engines
+    // fold exactly (q1 precedent); the frame key is integer days since
+    // epoch, identical arithmetic cross-engine. Scale shape: one
+    // hash-shuffle on o_custkey, per-partition sort, single window
+    // pass — the same cost class as any partitioned window.
+    "q30_rolling_window" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey").orderBy($"day")
+        .rangeBetween(-29, Window.currentRow)
+      Tables.load(s, d, "orders")
+        .withColumn("day", datediff($"o_orderdate", lit("1970-01-01"))
+          .cast("long"))
+        .withColumn("cents", round($"o_totalprice" * 100).cast("long"))
+        .withColumn("roll_cents", sum($"cents").over(w))
+        .withColumn("n_in_window", count(lit(1)).over(w))
+        .select($"o_custkey", $"o_orderkey", $"day",
+          round($"roll_cents".cast("double") / 100, 2).as("rolling_30d"),
+          $"n_in_window")
+        .orderBy($"o_custkey", $"day", $"o_orderkey")
+    }),
+
     "q7_topk" -> ((s, d) => {
       import s.implicits._
       // orderBy+limit => TakeOrderedAndProject: per-partition top-k then
@@ -575,6 +599,20 @@ object Relational {
            WINDOW w AS (PARTITION BY o_custkey
                         ORDER BY o_totalprice DESC, o_orderkey))
          WHERE rn <= 3 ORDER BY o_custkey, rn""",
+    "q30_rolling_window" ->
+      """WITH t AS (
+           SELECT o_custkey, o_orderkey,
+             CAST(datediff('day', DATE '1970-01-01', o_orderdate) AS BIGINT)
+               AS day,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+           FROM orders)
+         SELECT o_custkey, o_orderkey, day,
+           round(CAST(sum(cents) OVER w AS DOUBLE) / 100, 2) AS rolling_30d,
+           CAST(count(*) OVER w AS BIGINT) AS n_in_window
+         FROM t
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY day
+                      RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)
+         ORDER BY o_custkey, day, o_orderkey""",
     "q7_topk" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
          ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""",
