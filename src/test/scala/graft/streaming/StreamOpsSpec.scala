@@ -184,6 +184,46 @@ class StreamOpsSpec extends SparkSpec {
     assert(en2.forall(_.err == 0L), "exact regime: capacity not exceeded")
   }
 
+  test("heavy-hitters sketch state survives a checkpointed restart") {
+    import StreamOps.{HeavyHitters, TokenEvent}
+    val dir = java.nio.file.Files.createTempDirectory("graft-hhckpt-in")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-hhckpt")
+    // memory sink can't recover from a checkpoint — foreachBatch can
+    // (and is the production sink shape for this op anyway)
+    val seen =
+      new java.util.concurrent.ConcurrentLinkedQueue[(String, Seq[StreamOps.HHItem])]()
+    def start() = StreamOps.heavyHittersStream(
+      spark.readStream.text(dir.toString).as[String]
+        .map { l => val p = l.split(" ", 2); TokenEvent(p(0), p(1)) },
+      m = 8, topK = 3)
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", ckpt.toString)
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[HeavyHitters],
+          _: Long) =>
+        df.collect().foreach(h => seen.add(h.key -> h.items))
+      }.start()
+    java.nio.file.Files.writeString(dir.resolve("b1.txt"),
+      Seq.fill(3)("en the").mkString("\n") + "\nen a")
+    val q1 = start()
+    q1.processAllAvailable()
+    q1.stop()
+    val first = seen.toArray.map(_.asInstanceOf[(String, Seq[StreamOps.HHItem])])
+      .filter(_._1 == "en").last._2
+    assert(first.head.item == "the" && first.head.est == 3L)
+    // restart against the same checkpoint: group state must be
+    // recovered, so new counts ACCUMULATE onto the pre-restart sketch
+    java.nio.file.Files.writeString(dir.resolve("b2.txt"),
+      Seq.fill(4)("en a").mkString("\n"))
+    val q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+    val after = seen.toArray.map(_.asInstanceOf[(String, Seq[StreamOps.HHItem])])
+      .filter(_._1 == "en").last._2
+    assert(after.map(i => i.item -> i.est).take(2).toSeq ==
+      Seq("a" -> 5L, "the" -> 3L),
+      s"state not recovered across restart: $after")
+  }
+
   test("reference line pipeline runs unchanged on a streaming frame") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[String]
