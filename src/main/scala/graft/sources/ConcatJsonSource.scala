@@ -171,34 +171,52 @@ object ConcatJsonSplits {
     // would otherwise scan AND parse it alone.
     val multilineBig = sized.filter { case (_, sz) =>
       multiline && sz > target }
+    // Scan one file's boundaries, clamped to its size snapshot. None
+    // = the file vanished mid-scan; the POLICY decision (skip vs fail)
+    // stays on the driver so it is uniform across both scan paths.
+    def scanOne(f: String, sz: Long): Option[Seq[Long]] =
+      try Some(graft.ops.JsonValueSplitter
+        .boundariesOfFile(f, target, limitBytes = sz))
+      catch { case _: java.nio.file.NoSuchFileException => None }
+    def applyMissingPolicy(f: String, bs: Option[Seq[Long]])
+        : Option[Seq[Long]] = bs match {
+      case Some(_) => bs
+      case None if ignoreMissing =>
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"concat-json: skipping file '$f' that vanished before its " +
+            "boundary scan (spark.sql.files.ignoreMissingFiles=true)")
+        None
+      case None =>
+        throw new java.io.FileNotFoundException(
+          s"concat-json: '$f' vanished between sizing and its " +
+            "multiline boundary scan. If this is a streaming " +
+            "checkpoint recovery, a committed offset references a " +
+            "since-rotated/deleted file; restore the file, start from " +
+            "a fresh checkpoint, or set " +
+            "spark.sql.files.ignoreMissingFiles=true to skip it.")
+    }
+    // Few oversized files: concurrent scans on the driver. MANY (the
+    // directory-of-large-pretty-files case): a first-pass Spark job —
+    // one task per file — so boundary I/O runs where the cluster's
+    // aggregate bandwidth is, and only the (tiny) offset lists come
+    // back to the driver. Threshold 4 keeps single-file reads free of
+    // job-scheduling latency.
     val boundariesByFile: Map[String, Option[Seq[Long]]] =
       if (multilineBig.isEmpty) Map.empty
-      else {
+      else if (multilineBig.size >= 4 &&
+          scala.util.Try(org.apache.spark.sql.SparkSession.active)
+            .isSuccess) {
+        val sc = org.apache.spark.sql.SparkSession.active.sparkContext
+        sc.parallelize(multilineBig, multilineBig.size)
+          .map { case (f, sz) => f -> scanOne(f, sz) }
+          .collect().toMap
+          .map { case (f, bs) => f -> applyMissingPolicy(f, bs) }
+      } else {
         import scala.concurrent.{Await, ExecutionContext, Future}
         import scala.concurrent.duration.Duration
         implicit val ec: ExecutionContext = ExecutionContext.global
         Await.result(Future.traverse(multilineBig) { case (f, sz) =>
-          Future(f -> (
-            try Some(graft.ops.JsonValueSplitter
-              .boundariesOfFile(f, target, limitBytes = sz))
-            catch {
-              case e: java.nio.file.NoSuchFileException if ignoreMissing =>
-                org.slf4j.LoggerFactory.getLogger(getClass).warn(
-                  s"concat-json: skipping file '$f' that vanished " +
-                    "before its boundary scan " +
-                    "(spark.sql.files.ignoreMissingFiles=true)")
-                None
-              case e: java.nio.file.NoSuchFileException =>
-                val ex = new java.io.FileNotFoundException(
-                  s"concat-json: '$f' vanished between sizing and its " +
-                    "multiline boundary scan. If this is a streaming " +
-                    "checkpoint recovery, a committed offset references " +
-                    "a since-rotated/deleted file; restore the file, " +
-                    "start from a fresh checkpoint, or set " +
-                    "spark.sql.files.ignoreMissingFiles=true to skip it.")
-                ex.initCause(e)
-                throw ex
-            }))
+          Future(f -> applyMissingPolicy(f, scanOne(f, sz)))
         }, Duration.Inf).toMap
       }
     sized.flatMap { case (f, size) =>

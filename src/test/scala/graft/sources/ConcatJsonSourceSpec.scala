@@ -147,6 +147,30 @@ class ConcatJsonSourceSpec extends SparkSpec {
     }
   }
 
+  test("many oversized multiline files take the distributed boundary-job path") {
+    val dir = Files.createTempDirectory("graft-cjmlmany")
+    val rnd = new scala.util.Random(31)
+    (0 until 5).foreach { fi =>
+      val pretty = (0 until 1500).map { i =>
+        s"""{\n  "f": $fi,\n  "id": $i,\n  "p": "${"q" * rnd.nextInt(20)}"\n}"""
+      }.mkString("\n")
+      Files.writeString(dir.resolve(s"p$fi.json"), pretty)
+    }
+    // 5 files > the job threshold (4) → boundaries come from the
+    // first-pass Spark job, one task per file
+    val split = spark.read.format("concat-json")
+      .option("multiline", "true")
+      .option("splitSize", "16384").load(dir.toString)
+    val single = spark.read.format("concat-json")
+      .option("multiline", "true")
+      .option("splitSize", (1L << 40).toString).load(dir.toString)
+    assert(split.rdd.getNumPartitions > 5,
+      s"each oversized file should fan out, got ${split.rdd.getNumPartitions}")
+    val a = single.as[String].collect().sorted.toSeq
+    val b = split.as[String].collect().sorted.toSeq
+    assert(a.length == 7500 && a == b)
+  }
+
   test("boundary scan clamps to the size snapshot (concurrent-append safety)") {
     val values = (0 until 500).map(i => s"""{\n "id": $i\n}""")
     val bytes = values.mkString("\n").getBytes("UTF-8")
