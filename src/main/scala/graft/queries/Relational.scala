@@ -491,6 +491,89 @@ object Relational {
           min($"l_quantity").as("qmin"),
           max($"l_quantity").as("qmax"))
         .orderBy($"l_returnflag")
+    }),
+
+    // Time-series resample with gap fill: hourly event counts per
+    // type, empty buckets materialized as zero rows. The grid is
+    // generated, not scanned: one scalar agg finds the global bounds,
+    // a broadcast cross with the distinct types seeds one row per
+    // type, and sequence()+explode expands each to its hour range —
+    // grid size is O(time_range × |types|), independent of the fact
+    // table's row count, so the shape survives any corpus scale. (For
+    // multi-year ranges the single sequence array per type would be
+    // one fat task; split day×hour into a two-level explode then.)
+    // The counts side is a plain pre-aggregated shuffle; AQE
+    // broadcasts whichever post-agg side is small.
+    "q31_resample" -> ((s, d) => {
+      import s.implicits._
+      val ev = Tables.load(s, d, "events")
+        .withColumn("hour", date_trunc("hour", $"ts"))
+      val bounds = ev.agg(min($"hour").as("h0"), max($"hour").as("h1"))
+      val grid = ev.select($"event_type").distinct()
+        .crossJoin(broadcast(bounds))
+        .select($"event_type",
+          explode(sequence($"h0", $"h1", expr("interval 1 hour")))
+            .as("hour"))
+      val counts = ev.groupBy($"event_type", $"hour")
+        .agg(count(lit(1)).as("cnt"),
+          round(sum($"value"), 2).as("sv"))
+      grid.join(counts, Seq("event_type", "hour"), "left")
+        .select($"event_type", $"hour",
+          coalesce($"cnt", lit(0L)).as("n"),
+          coalesce($"sv", lit(0.0)).as("sum_value"))
+        .orderBy($"event_type", $"hour")
+    }),
+
+    // Equi-width histogram on integer cents: bucket id is row-local
+    // integer arithmetic (identical in both engines — no float-grid
+    // boundary to flip), then one map-side-combinable count. The
+    // histogram of a 100 TB column is the same two-stage agg.
+    "q32_histogram" -> ((s, d) => {
+      import s.implicits._
+      val widthCents = 2500000L // $25k buckets over o_totalprice
+      val b = (round($"o_totalprice" * 100).cast("long") / widthCents)
+        .cast("long")
+      Tables.load(s, d, "orders")
+        .select(b.as("bucket"))
+        .groupBy($"bucket")
+        .agg(count(lit(1)).as("n"))
+        .select($"bucket",
+          round(($"bucket" * widthCents).cast("double") / 100, 2)
+            .as("lo"),
+          round((($"bucket" + 1) * widthCents).cast("double") / 100, 2)
+            .as("hi"),
+          $"n")
+        .orderBy($"bucket")
+    }),
+
+    // Outlier detection: events more than 3 sample standard
+    // deviations from their type's mean. The test is evaluated in
+    // EXACT integer arithmetic — z² > 9 cross-multiplied to
+    // (n·c − s1)²·(n−1) > 9·n·(n·s2 − s1²) — so there is no float
+    // threshold for cross-engine ulp noise to flip (q25 precedent).
+    // decimal(38,0): the right side reaches ~1e24 at sf0.1 (past
+    // long), and DuckDB's BIGINT sums are already HUGEINT. Shape:
+    // one tiny per-type stats agg, broadcast back onto the scan —
+    // the full pass stays row-local, no second shuffle.
+    "q33_log_anomaly" -> ((s, d) => {
+      import s.implicits._
+      val dec = "decimal(38,0)"
+      val ev = Tables.load(s, d, "events")
+        .select($"event_id", $"event_type", $"value",
+          round($"value" * 100).cast("long").cast(dec).as("c"))
+      val stats = ev.groupBy($"event_type")
+        .agg(count(lit(1)).cast(dec).as("n"),
+          sum($"c").as("s1"), sum($"c" * $"c").as("s2"))
+      val lhs = ($"n" * $"c" - $"s1") * ($"n" * $"c" - $"s1") *
+        ($"n" - 1)
+      val rhs = lit(9).cast(dec) * $"n" *
+        ($"n" * $"s2" - $"s1" * $"s1")
+      ev.join(broadcast(stats), "event_type")
+        .filter($"n" > 1 && lhs > rhs)
+        .select($"event_id", $"event_type", $"value",
+          when($"n" * $"c" > $"s1", lit("high")).otherwise(lit("low"))
+            .as("side"))
+        .orderBy($"event_id")
     }))
 
   /** q25's aggregation, factored out so the overflow spec can run it
@@ -797,5 +880,49 @@ object Relational {
          quantile_cont(l_quantity, 0.5) AS p50,
          quantile_cont(l_quantity, 0.75) AS p75,
          min(l_quantity) AS qmin, max(l_quantity) AS qmax
-         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q31_resample" ->
+      """WITH b AS (
+           SELECT CAST(date_trunc('hour', min(ts)) AS TIMESTAMP) AS h0,
+                  CAST(date_trunc('hour', max(ts)) AS TIMESTAMP) AS h1
+           FROM events),
+         grid AS (
+           SELECT t.event_type, g.h
+           FROM (SELECT DISTINCT event_type FROM events) t
+           CROSS JOIN (SELECT unnest(generate_series(h0, h1,
+                         INTERVAL 1 HOUR)) AS h FROM b) g),
+         c AS (
+           SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h,
+             count(*) AS cnt, round(sum(value), 2) AS sv
+           FROM events GROUP BY 1, 2)
+         SELECT grid.event_type, CAST(grid.h AS TIMESTAMP) AS hour,
+           coalesce(c.cnt, 0) AS n, coalesce(c.sv, 0.0) AS sum_value
+         FROM grid LEFT JOIN c
+           ON grid.event_type = c.event_type AND grid.h = c.h
+         ORDER BY grid.event_type, grid.h""",
+    "q32_histogram" ->
+      """WITH t AS (
+           SELECT CAST(round(o_totalprice * 100) AS BIGINT) // 2500000
+             AS bucket FROM orders)
+         SELECT bucket,
+           round(CAST(bucket * 2500000 AS DOUBLE) / 100, 2) AS lo,
+           round(CAST((bucket + 1) * 2500000 AS DOUBLE) / 100, 2) AS hi,
+           count(*) AS n
+         FROM t GROUP BY bucket ORDER BY bucket""",
+    "q33_log_anomaly" ->
+      """WITH e AS (
+           SELECT event_id, event_type, value,
+             CAST(round(value * 100) AS BIGINT) AS c
+           FROM events),
+         st AS (
+           SELECT event_type, count(*) AS n, sum(c) AS s1,
+             sum(c * c) AS s2
+           FROM e GROUP BY event_type)
+         SELECT e.event_id, e.event_type, e.value,
+           CASE WHEN st.n * e.c > st.s1 THEN 'high' ELSE 'low' END AS side
+         FROM e JOIN st ON e.event_type = st.event_type
+         WHERE st.n > 1
+           AND (st.n * e.c - st.s1) * (st.n * e.c - st.s1) * (st.n - 1)
+             > 9 * st.n * (st.n * st.s2 - st.s1 * st.s1)
+         ORDER BY e.event_id""")
 }
