@@ -203,6 +203,49 @@ object Pipeline {
         .select($"doc_id", $"lang", $"source", $"n_chars", $"ttr",
           $"label", size($"embedding").cast("long").as("emb_dim"))
         .orderBy($"doc_id")
+    }),
+
+    // CDC / MERGE-INTO apply: reconcile a snapshot with a changelog of
+    // upserts and deletes, latest-wins per key by sequence number —
+    // the incremental-corpus-refresh operator (a crawler re-visit
+    // updates or tombstones documents between training runs). The
+    // changelog here is derived deterministically from the snapshot
+    // (the fixtures ship no second table) — updates for doc_id%10==3,
+    // tombstones for %10==7, fresh inserts keyed past the snapshot
+    // range for %10==5, plus a second-generation update (%100==3) so
+    // multiple log entries per key exercise the latest-wins rule.
+    // Shape: ONE shuffle on the key for the per-key latest pick
+    // (row_number, WindowGroupLimit partial on each map side). At
+    // 100 TB the changelog is typically ≪ the snapshot, so the same
+    // plan holds with the log side's pre-aggregation folding first;
+    // nothing here is driver-side.
+    "pipeline_cdc_apply" -> ((s, d) => {
+      import s.implicits._
+      def src = Tables.load(s, d, "documents")
+      val snap = src.select($"doc_id", $"lang", $"source", $"text",
+        lit(0L).as("seq"), lit("I").as("op"))
+      val upd1 = src.filter($"doc_id" % 10 === 3)
+        .select($"doc_id", $"lang", $"source",
+          upper($"text").as("text"), lit(1L).as("seq"), lit("U").as("op"))
+      val dels = src.filter($"doc_id" % 10 === 7)
+        .select($"doc_id", $"lang", $"source", $"text",
+          lit(1L).as("seq"), lit("D").as("op"))
+      val ins = src.filter($"doc_id" % 10 === 5)
+        .select(($"doc_id" + 1000000L).as("doc_id"), $"lang", $"source",
+          reverse($"text").as("text"), lit(1L).as("seq"),
+          lit("I").as("op"))
+      val upd2 = src.filter($"doc_id" % 100 === 3)
+        .select($"doc_id", $"lang", $"source",
+          concat($"text", lit(" v3")).as("text"), lit(2L).as("seq"),
+          lit("U").as("op"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"doc_id").orderBy($"seq".desc)
+      snap.unionByName(upd1).unionByName(dels).unionByName(ins)
+        .unionByName(upd2)
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1 && $"op" =!= "D")
+        .select($"doc_id", $"lang", $"source", md5($"text").as("digest"))
+        .orderBy($"doc_id")
     }))
 
   /** The full modern prep flow in ONE optimized plan: quality filter →
@@ -377,5 +420,28 @@ object Pipeline {
            CAST(len(e.embedding) AS BIGINT) AS emb_dim
          FROM deduped d JOIN embeddings e ON d.doc_id = e.vec_id
          WHERE d.doc_id = d.keeper
-         ORDER BY d.doc_id""")
+         ORDER BY d.doc_id""",
+    "pipeline_cdc_apply" ->
+      """WITH log AS (
+           SELECT doc_id, lang, source, text, CAST(0 AS BIGINT) AS seq,
+             'I' AS op FROM documents
+           UNION ALL
+           SELECT doc_id, lang, source, upper(text), 1, 'U'
+           FROM documents WHERE doc_id % 10 = 3
+           UNION ALL
+           SELECT doc_id, lang, source, text, 1, 'D'
+           FROM documents WHERE doc_id % 10 = 7
+           UNION ALL
+           SELECT doc_id + 1000000, lang, source, reverse(text), 1, 'I'
+           FROM documents WHERE doc_id % 10 = 5
+           UNION ALL
+           SELECT doc_id, lang, source, text || ' v3', 2, 'U'
+           FROM documents WHERE doc_id % 100 = 3),
+         latest AS (
+           SELECT *, row_number() OVER (PARTITION BY doc_id
+             ORDER BY seq DESC) AS rn
+           FROM log)
+         SELECT doc_id, lang, source, md5(text) AS digest
+         FROM latest WHERE rn = 1 AND op <> 'D'
+         ORDER BY doc_id""")
 }

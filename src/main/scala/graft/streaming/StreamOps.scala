@@ -151,6 +151,36 @@ object StreamOps {
       }
   }
 
+  // -------------------------------------- stream-stream interval join
+  /** True two-stream join: attribute each purchase to every click by
+    * the same user in the preceding attribution window. Both sides are
+    * watermarked and the join condition bounds the event-time distance
+    * in BOTH directions, so Spark's symmetric hash join can expire
+    * buffered rows — state per side is O(rate × (watermark + window)),
+    * never unbounded. Complements asofEnrichStream: that one keeps
+    * O(1)-per-user state but only the LATEST click; this one buffers
+    * the window but emits every qualifying pair (ad attribution,
+    * funnel analysis). Inner join → Append output; late rows beyond
+    * the watermark are dropped, matching the batch twin only up to
+    * the allowed lateness (the standard stream-stream contract).
+    */
+  def intervalJoinStream(clicks: DataFrame, purchases: DataFrame,
+      window: String = "30 minutes"): DataFrame = {
+    val c = clicks.withWatermark("ts", "1 hour")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+    val p = purchases.withWatermark("ts", "1 hour")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+    c.join(p,
+      col("c_user") === col("p_user") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr(s"interval $window"))
+      .select(col("p_user").as("user_id"), col("purchase_id"),
+        col("purchase_ts"), col("click_id"), col("click_ts"),
+        col("value"))
+  }
+
   // ----------------------------------------------------- custom state
   case class UserEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
   case class UserState(count: Long, sum: Double, lastTs: Long)

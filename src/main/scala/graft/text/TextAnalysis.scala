@@ -249,6 +249,65 @@ object TextAnalysis {
           graft.functions.RollingHash.rolling_hash($"text")
             .as("rolling_fp"))
         .orderBy($"doc_id")
+    }),
+
+    // Per-document distinctive terms — the TF-IDF keyword pass in its
+    // cross-engine-exact form: rank by (tf DESC, df ASC, token) —
+    // "frequent here, rare elsewhere" — which is the same ordering a
+    // tf·log(N/df) score induces for fixed tf, but with no float
+    // logarithm for engines to disagree on at a rank boundary. Scale
+    // shape: explode → map-side-combined (doc, token) counts; df is a
+    // vocabulary-sized reaggregation of tf (never a second corpus
+    // scan — tf is persisted for its two consumers); per-doc top-5 is
+    // a WindowGroupLimit partial top-k. The tf⋈df join shuffles on
+    // token; at corpus scale df is vocab-sized and broadcastable.
+    "text_keywords" -> ((s, d) => {
+      import s.implicits._
+      val tf = Tables.load(s, d, "documents")
+        .select($"doc_id", explode(toks($"text")).as("token"))
+        .groupBy($"doc_id", $"token")
+        .agg(count(lit(1)).as("tf"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val df = tf.groupBy($"token").agg(count(lit(1)).as("df"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"doc_id").orderBy($"tf".desc, $"df".asc, $"token")
+      tf.join(df, "token")
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter($"rank" <= 5)
+        .select($"doc_id", $"rank", $"token", $"tf", $"df")
+        .orderBy($"doc_id", $"rank")
+    }),
+
+    // Inverted index: token → document frequency + the first 20
+    // postings, the retrieval-side structure a decontamination or
+    // search pass reads. The posting list is CAPPED BEFORE collection
+    // (row_number ≤ 20 under the token-partitioned window, a
+    // WindowGroupLimit partial on each map side), so per-token state
+    // is bounded even for stopwords that appear in every document of
+    // a 100 TB corpus; df is computed from the uncapped pair set by a
+    // map-side-combinable count, not by collecting it. Posting lists
+    // are numerically sorted, then stringified for a representation
+    // both engines hash identically.
+    "text_inverted_index" -> ((s, d) => {
+      import s.implicits._
+      val pairs = Tables.load(s, d, "documents")
+        .select($"doc_id", explode(toks($"text")).as("token"))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val dfreq = pairs.groupBy($"token").agg(count(lit(1)).as("df"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"token").orderBy($"doc_id")
+      val post = pairs
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 20)
+        .groupBy($"token")
+        .agg(array_join(
+          transform(array_sort(collect_list($"doc_id")),
+            _.cast("string")), ",").as("postings"))
+      dfreq.join(post, "token")
+        .filter($"df" >= 10)
+        .select($"token", $"df", $"postings")
+        .orderBy($"token")
     }))
 
   def oracles: Map[String, String] = Map(
@@ -386,5 +445,39 @@ object TextAnalysis {
                list_transform(range(1, length(text) + 1),
                  i -> CAST(ascii(text[i]) AS BIGINT))),
              (h, b) -> (h * 31 + b) % 1000000007) AS rolling_fp
-         FROM documents ORDER BY doc_id""")
+         FROM documents ORDER BY doc_id""",
+    "text_keywords" ->
+      """WITH tok AS (
+           SELECT doc_id, unnest(string_split_regex(lower(text), '\s+'))
+             AS token FROM documents),
+         tf AS (SELECT doc_id, token, count(*) AS tf
+                FROM tok GROUP BY 1, 2),
+         df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+         r AS (
+           SELECT tf.doc_id, tf.token, tf.tf, df.df,
+             CAST(row_number() OVER (PARTITION BY tf.doc_id
+               ORDER BY tf.tf DESC, df.df ASC, tf.token) AS BIGINT)
+               AS rank
+           FROM tf JOIN df ON tf.token = df.token)
+         SELECT doc_id, rank, token, tf, df FROM r
+         WHERE rank <= 5 ORDER BY doc_id, rank""",
+    "text_inverted_index" ->
+      """WITH tok AS (
+           SELECT doc_id, unnest(string_split_regex(lower(text), '\s+'))
+             AS token FROM documents),
+         pairs AS (SELECT DISTINCT doc_id, token FROM tok),
+         df AS (SELECT token, count(*) AS df FROM pairs GROUP BY 1),
+         ranked AS (
+           SELECT token, doc_id,
+             row_number() OVER (PARTITION BY token ORDER BY doc_id)
+               AS rn
+           FROM pairs),
+         post AS (
+           SELECT token,
+             array_to_string(list(doc_id ORDER BY doc_id), ',')
+               AS postings
+           FROM ranked WHERE rn <= 20 GROUP BY token)
+         SELECT df.token, df.df, post.postings
+         FROM df JOIN post ON df.token = post.token
+         WHERE df.df >= 10 ORDER BY df.token""")
 }

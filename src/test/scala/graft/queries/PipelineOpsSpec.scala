@@ -87,4 +87,36 @@ class PipelineOpsSpec extends SparkSpec {
     // the order is the shuffle: doc_id order and output order differ
     assert(!rows.map(_.getLong(0)).sameElements(rows.map(_.getLong(0)).sorted))
   }
+
+  test("cdc apply: tombstones gone, latest update wins, inserts present") {
+    val out = graft.SparkEntry.queries("pipeline_cdc_apply")(spark, sf)
+      .select($"doc_id", $"digest").as[(Long, String)].collect().toMap
+    val docs = graft.Tables.load(spark, sf, "documents")
+      .select($"doc_id", md5($"text").as("orig"),
+        md5(upper($"text")).as("up"),
+        md5(concat($"text", lit(" v3"))).as("v3"))
+      .as[(Long, String, String, String)].collect()
+    docs.foreach { case (id, orig, up, v3) =>
+      if (id % 10 == 7) {
+        assert(!out.contains(id), s"tombstoned doc $id survived")
+      } else if (id % 100 == 3) {
+        // two log entries for this key — seq 2 ('v3' suffix on the
+        // ORIGINAL text) must beat seq 1 (upper-case)
+        assert(out(id) == v3, s"doc $id: latest-wins violated")
+      } else if (id % 10 == 3) {
+        assert(out(id) == up, s"doc $id: update not applied")
+      } else {
+        assert(out(id) == orig, s"doc $id: untouched doc mutated")
+      }
+      if (id % 10 == 5)
+        assert(out.contains(id + 1000000L), s"insert for $id missing")
+    }
+    // no keys beyond snapshot ∪ inserts
+    val validIds = docs.map(_._1).toSet
+    out.keys.foreach { id =>
+      assert(validIds.contains(id) ||
+        (id > 1000000L && validIds.contains(id - 1000000L) &&
+          (id - 1000000L) % 10 == 5), s"unexpected key $id")
+    }
+  }
 }

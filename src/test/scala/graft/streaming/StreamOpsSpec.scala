@@ -156,6 +156,35 @@ class StreamOpsSpec extends SparkSpec {
     assert(out == Map(100L -> 10L, 101L -> 10L))
   }
 
+  test("stream-stream interval join pairs purchases with window clicks only") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Timestamp, Long)]
+    val purchases = MemoryStream[(Long, Timestamp, Long, Double)]
+    val q = StreamOps.intervalJoinStream(
+      clicks.toDF().toDF("user_id", "ts", "event_id"),
+      purchases.toDF().toDF("user_id", "ts", "event_id", "value"),
+      "30 minutes")
+      .writeStream.format("memory").queryName("ivj")
+      .outputMode("append").start()
+    // two clicks inside the window, one outside, one from another user
+    clicks.addData(
+      (1L, ts("2024-01-01 09:50:00"), 11L),
+      (1L, ts("2024-01-01 09:58:00"), 12L),
+      (1L, ts("2024-01-01 09:00:00"), 13L), // > 30 min before
+      (2L, ts("2024-01-01 09:55:00"), 21L)) // other user
+    purchases.addData((1L, ts("2024-01-01 10:10:00"), 100L, 9.99))
+    q.processAllAvailable()
+    // a click arriving AFTER the purchase's micro-batch still joins —
+    // the purchase is buffered in join state until the watermark
+    clicks.addData((1L, ts("2024-01-01 10:05:00"), 14L))
+    q.processAllAvailable()
+    val out = spark.table("ivj")
+      .select($"purchase_id", $"click_id")
+      .as[(Long, Long)].collect().toSet
+    q.stop()
+    assert(out == Set((100L, 11L), (100L, 12L), (100L, 14L)))
+  }
+
   test("streaming heavy hitters accumulate sketch state across micro-batches") {
     import StreamOps.{HeavyHitters, TokenEvent}
     implicit val sqlCtx = spark.sqlContext
