@@ -137,6 +137,41 @@ object Dedup {
     ngramJaccardPairs(docs0, threshold)
       .orderBy(col("doc_a"), col("doc_b"))
 
+  // ---------------------------------------- edit-distance fuzzy match
+  /** Near-identical pairs by bounded edit distance on a 60-char prefix
+    * within (lang, length-bucket) blocks — the "typo-level" tier below
+    * ngram Jaccard: catches small in-place edits (OCR noise, encoding
+    * jitter) with an exact, explainable distance where the set-based
+    * measures see only token churn. Cost is bounded twice over: the
+    * block cap bounds the pair count (never corpus-quadratic — same
+    * trade as ngramJaccard, PLANS.md) and the prefix cap bounds the
+    * per-pair DP at O(60²); the threshold form of levenshtein
+    * additionally early-exits the DP band once the budget is blown
+    * (returns −1, filtered like the oracle's dist ≤ max). Integer
+    * distance → oracle-exact.
+    */
+  def fuzzyEditPairs(s: SparkSession, d: String, maxDist: Int = 10)
+      : DataFrame = {
+    // both self-join sides read the same projection; persist so the
+    // scan+substring runs once (ngramJaccardPairs reasoning)
+    val docs = Tables.load(s, d, "documents")
+      .select(col("doc_id"),
+        concat_ws("#", col("lang"),
+          floor(col("n_chars") / 100).cast("long")).as("block"),
+        substring(col("text"), 1, 60).as("prefix"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = docs.select(col("doc_id").as("doc_a"), col("block"),
+      col("prefix").as("pa"))
+    val b = docs.select(col("doc_id").as("doc_b"), col("block"),
+      col("prefix").as("pb"))
+    a.join(b, Seq("block")).filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("pa"), col("pb"), maxDist).cast("long")
+          .as("dist"))
+      .filter(col("dist") >= 0 && col("dist") <= maxDist)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** Unsorted near-dup pairs — the composable form. */
   def ngramJaccardPairs(docs0: DataFrame, threshold: Double): DataFrame = {
     // <3-token docs have empty shingle sets; a pair of them would make
@@ -701,7 +736,8 @@ object Dedup {
     "dedup_embedding_cosine" -> ((s, d) => embeddingCosine(s, d)),
     "dedup_embedding_lsh" -> ((s, d) => embeddingLsh(s, d)),
     "dedup_incremental" -> ((s, d) => incrementalExact(s, d)),
-    "dedup_minhash_incremental" -> ((s, d) => minhashIncremental(s, d)))
+    "dedup_minhash_incremental" -> ((s, d) => minhashIncremental(s, d)),
+    "dedup_fuzzy_edit" -> ((s, d) => fuzzyEditPairs(s, d)))
 
   /** DuckDB twins. minhash/simhash are seeded-hash pipelines — not
     * SQL-expressible — and get the rows-only check.
@@ -784,5 +820,17 @@ object Dedup {
                (x, y) -> x + y))) AS cosine
            FROM pairs)
          SELECT v1, v2, cosine FROM sims WHERE cosine >= 0.35
-         ORDER BY v1, v2""")
+         ORDER BY v1, v2""",
+    "dedup_fuzzy_edit" ->
+      """WITH docs AS (
+           SELECT doc_id,
+             lang || '#' || CAST(CAST(floor(n_chars / 100) AS BIGINT) AS VARCHAR) AS block,
+             substring(text, 1, 60) AS prefix
+           FROM documents)
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(levenshtein(a.prefix, b.prefix) AS BIGINT) AS dist
+         FROM docs a JOIN docs b ON a.block = b.block
+           AND a.doc_id < b.doc_id
+         WHERE levenshtein(a.prefix, b.prefix) <= 10
+         ORDER BY doc_a, doc_b""")
 }

@@ -574,6 +574,75 @@ object Relational {
           when($"n" * $"c" > $"s1", lit("high")).otherwise(lit("low"))
             .as("side"))
         .orderBy($"event_id")
+    }),
+
+    // Ranking-function family over one partitioned window: dense_rank
+    // (gap-free), ntile (equi-depth quartiles), percent_rank and
+    // cume_dist (exact rationals (rank−1)/(n−1), rank/n — integer
+    // divisions both engines evaluate identically in double, so no
+    // rounding guard needed). One hash exchange + per-partition sort
+    // serves all four functions in a single Window pass.
+    "q34_rank_funcs" -> ((s, d) => {
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"o_orderpriority")
+        .orderBy(desc("o_totalprice"), $"o_orderkey")
+      Tables.load(s, d, "orders")
+        .select($"o_orderpriority", $"o_orderkey", $"o_totalprice",
+          dense_rank().over(w).cast("long").as("drank"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cdist"))
+        .orderBy($"o_orderpriority", desc("o_totalprice"), $"o_orderkey")
+    }),
+
+    // LATERAL correlated subquery — top-2 orders per customer via a
+    // per-row dependent subquery with ORDER BY + LIMIT. Catalyst
+    // decorrelates this (DecorrelateInnerQuery) into the same
+    // window-partial top-k a hand-written row_number query produces —
+    // declarative per-group logic with no per-row re-execution at any
+    // scale. The SQL-surface twin of q6's DataFrame windows.
+    "q35_lateral" -> ((s, d) => {
+      Tables.load(s, d, "customer").createOrReplaceTempView("customer_lat")
+      Tables.load(s, d, "orders").createOrReplaceTempView("orders_lat")
+      s.sql("""
+        SELECT c.c_custkey, c.c_name, t.o_orderkey, t.o_totalprice
+        FROM customer_lat c JOIN LATERAL (
+          SELECT o_orderkey, o_totalprice FROM orders_lat
+          WHERE o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""")
+    }),
+
+    // Funnel analysis: per-user view → click-after-view →
+    // purchase-after-click progression, the conversion query behind
+    // any event-log product dashboard. Three conditional window mins
+    // over ONE user partition — the later stages reference the
+    // earlier stage's timestamp, which Catalyst plans as consecutive
+    // Window passes over a single hash exchange (no self-joins, no
+    // re-scans). Timestamps compare at µs in both engines.
+    "q36_funnel" -> ((s, d) => {
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id")
+      Tables.load(s, d, "events")
+        .withColumn("v_ts",
+          min(when($"event_type" === "view", $"ts")).over(w))
+        .withColumn("c_ts",
+          min(when($"event_type" === "click" && $"ts" >= $"v_ts", $"ts"))
+            .over(w))
+        .withColumn("p_ts",
+          min(when($"event_type" === "purchase" && $"ts" >= $"c_ts",
+            $"ts")).over(w))
+        .groupBy($"user_id")
+        .agg(first($"v_ts").as("view_ts"), first($"c_ts").as("click_ts"),
+          first($"p_ts").as("purchase_ts"))
+        .select($"user_id", $"view_ts", $"click_ts", $"purchase_ts",
+          (when($"purchase_ts".isNotNull, 3)
+            .when($"click_ts".isNotNull, 2)
+            .when($"view_ts".isNotNull, 1)
+            .otherwise(0)).cast("long").as("stage"))
+        .orderBy($"user_id")
     }))
 
   /** q25's aggregation, factored out so the overflow spec can run it
@@ -924,5 +993,50 @@ object Relational {
          WHERE st.n > 1
            AND (st.n * e.c - st.s1) * (st.n * e.c - st.s1) * (st.n - 1)
              > 9 * st.n * (st.n * st.s2 - st.s1 * st.s1)
-         ORDER BY e.event_id""")
+         ORDER BY e.event_id""",
+    "q34_rank_funcs" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice,
+         CAST(dense_rank() OVER w AS BIGINT) AS drank,
+         CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+         percent_rank() OVER w AS pct_rank,
+         cume_dist() OVER w AS cdist
+         FROM orders
+         WINDOW w AS (PARTITION BY o_orderpriority
+                      ORDER BY o_totalprice DESC, o_orderkey)
+         ORDER BY o_orderpriority, o_totalprice DESC, o_orderkey""",
+    "q35_lateral" ->
+      """SELECT c.c_custkey, c.c_name, t.o_orderkey, t.o_totalprice
+         FROM customer c, LATERAL (
+           SELECT o_orderkey, o_totalprice FROM orders
+           WHERE o_custkey = c.c_custkey
+           ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+         ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""",
+    "q36_funnel" ->
+      """WITH v AS (
+           SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN ts END) AS v_ts
+           FROM events GROUP BY user_id),
+         c AS (
+           SELECT e.user_id, min(e.ts) AS c_ts
+           FROM events e JOIN v ON e.user_id = v.user_id
+           WHERE e.event_type = 'click' AND e.ts >= v.v_ts
+           GROUP BY e.user_id),
+         p AS (
+           SELECT e.user_id, min(e.ts) AS p_ts
+           FROM events e JOIN c ON e.user_id = c.user_id
+           WHERE e.event_type = 'purchase' AND e.ts >= c.c_ts
+           GROUP BY e.user_id),
+         u AS (SELECT DISTINCT user_id FROM events)
+         SELECT u.user_id,
+           CAST(v.v_ts AS TIMESTAMP) AS view_ts,
+           CAST(c.c_ts AS TIMESTAMP) AS click_ts,
+           CAST(p.p_ts AS TIMESTAMP) AS purchase_ts,
+           CAST(CASE WHEN p.p_ts IS NOT NULL THEN 3
+                     WHEN c.c_ts IS NOT NULL THEN 2
+                     WHEN v.v_ts IS NOT NULL THEN 1
+                     ELSE 0 END AS BIGINT) AS stage
+         FROM u LEFT JOIN v ON u.user_id = v.user_id
+         LEFT JOIN c ON u.user_id = c.user_id
+         LEFT JOIN p ON u.user_id = p.user_id
+         ORDER BY u.user_id""")
 }

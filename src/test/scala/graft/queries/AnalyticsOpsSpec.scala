@@ -90,6 +90,45 @@ class AnalyticsOpsSpec extends SparkSpec {
     }
   }
 
+  test("lateral top-2 equals the hand-written window formulation") {
+    import org.apache.spark.sql.expressions.Window
+    val lat = graft.SparkEntry.queries("q35_lateral")(spark, sf)
+      .select($"c_custkey", $"o_orderkey")
+      .as[(Long, Long)].collect().toSeq
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy(desc("o_totalprice"), $"o_orderkey")
+    val cust = graft.Tables.load(spark, sf, "customer")
+      .select($"c_custkey")
+    val win = graft.Tables.load(spark, sf, "orders")
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 2)
+      .join(cust, $"o_custkey" === $"c_custkey")
+      .select($"c_custkey", $"o_orderkey")
+      .as[(Long, Long)].collect().toSeq
+    assert(lat.toSet == win.toSet,
+      "LATERAL decorrelation changed the top-2 semantics")
+    assert(lat.nonEmpty)
+  }
+
+  test("funnel stages are monotone: stage k implies all earlier timestamps") {
+    val out = graft.SparkEntry.queries("q36_funnel")(spark, sf)
+      .collect()
+    assert(out.nonEmpty)
+    var converted = 0
+    out.foreach { r =>
+      val stage = r.getLong(4)
+      val v = Option(r.getTimestamp(1))
+      val c = Option(r.getTimestamp(2))
+      val p = Option(r.getTimestamp(3))
+      assert((stage >= 1) == v.isDefined)
+      assert((stage >= 2) == c.isDefined)
+      assert((stage >= 3) == p.isDefined)
+      if (stage >= 2) assert(!c.get.before(v.get), "click precedes view")
+      if (stage >= 3) { assert(!p.get.before(c.get)); converted += 1 }
+    }
+    assert(converted > 0, "fixture has full conversions; none found")
+  }
+
   test("inverted index: df floor holds, postings capped at 20 and sorted") {
     val out = graft.SparkEntry.queries("text_inverted_index")(spark, sf)
       .as[(String, Long, String)].collect()
