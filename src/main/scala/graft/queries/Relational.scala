@@ -643,6 +643,60 @@ object Relational {
             .when($"view_ts".isNotNull, 1)
             .otherwise(0)).cast("long").as("stage"))
         .orderBy($"user_id")
+    }),
+
+    // Attribution join — every (click, purchase) pair for the same
+    // user within a 30-minute window: the batch twin of
+    // StreamOps.intervalJoinStream, giving the streaming operator an
+    // oracle-checked reference semantics. The user_id equi-key makes
+    // this a plain shuffled hash/merge join with the time bound as a
+    // row-local post-filter — NOT an inequality join (no nested
+    // loop): per-user event counts are bounded, so the filter runs on
+    // co-partitioned, already-matched rows. Delta is exact integer
+    // microseconds.
+    "q37_attribution" -> ((s, d) => {
+      import s.implicits._
+      val ev = Tables.load(s, d, "events")
+      val clicks = ev.filter($"event_type" === "click")
+        .select($"user_id", $"event_id".as("click_id"),
+          $"ts".as("click_ts"))
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"user_id", $"event_id".as("purchase_id"),
+          $"ts".as("purchase_ts"), $"value")
+      clicks.join(purchases, "user_id")
+        .filter($"click_ts" <= $"purchase_ts" &&
+          $"click_ts" >= $"purchase_ts" - expr("interval 30 minutes"))
+        .select($"user_id", $"purchase_id", $"click_id",
+          (unix_micros($"purchase_ts") - unix_micros($"click_ts"))
+            .as("lag_us"), $"value")
+        .orderBy($"user_id", $"purchase_id", $"click_id")
+    }),
+
+    // Cohort retention: users bucketed by first-activity date, then
+    // distinct-user counts per (cohort, weeks-since-cohort) — the
+    // retention triangle. All time arithmetic is integer days/weeks
+    // (no calendar-week truncation, whose ISO/locale rules differ
+    // across engines). Shape: one groupBy for cohorts, a distinct on
+    // (user, day) that collapses same-day repeats BEFORE the join,
+    // then a shuffled join on user_id and a count-distinct agg — at
+    // 100 TB the firsts frame is user-cardinality, co-partitioned
+    // with activity on the same key (one exchange each side).
+    "q38_retention" -> ((s, d) => {
+      import s.implicits._
+      val ev = Tables.load(s, d, "events")
+      val firsts = ev.groupBy($"user_id")
+        .agg(min(to_date($"ts")).as("cohort"))
+      val activity = ev.select($"user_id", to_date($"ts").as("day"))
+        .distinct()
+      activity.join(firsts, "user_id")
+        .withColumn("week_off",
+          floor(datediff($"day", $"cohort") / 7).cast("long"))
+        // midnight-timestamp form: Spark DateType surfaces as python
+        // date objects where DuckDB DATE arrives as datetime64 — the
+        // driver's dtype compare needs both engines on timestamp
+        .groupBy($"cohort".cast("timestamp").as("cohort"), $"week_off")
+        .agg(countDistinct($"user_id").as("n_users"))
+        .orderBy($"cohort", $"week_off")
     }))
 
   /** q25's aggregation, factored out so the overflow spec can run it
@@ -1038,5 +1092,27 @@ object Relational {
          FROM u LEFT JOIN v ON u.user_id = v.user_id
          LEFT JOIN c ON u.user_id = c.user_id
          LEFT JOIN p ON u.user_id = p.user_id
-         ORDER BY u.user_id""")
+         ORDER BY u.user_id""",
+    "q37_attribution" ->
+      """SELECT c.user_id, p.event_id AS purchase_id,
+         c.event_id AS click_id,
+         epoch_us(p.ts) - epoch_us(c.ts) AS lag_us, p.value
+         FROM events c JOIN events p
+           ON c.user_id = p.user_id
+         WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+           AND c.ts <= p.ts
+           AND c.ts >= p.ts - INTERVAL 30 MINUTE
+         ORDER BY c.user_id, purchase_id, click_id""",
+    "q38_retention" ->
+      """WITH firsts AS (
+           SELECT user_id, min(CAST(ts AS DATE)) AS cohort
+           FROM events GROUP BY user_id),
+         activity AS (
+           SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events)
+         SELECT CAST(f.cohort AS TIMESTAMP) AS cohort,
+           CAST(datediff('day', f.cohort, a.day) // 7 AS BIGINT)
+             AS week_off,
+           count(DISTINCT a.user_id) AS n_users
+         FROM activity a JOIN firsts f ON a.user_id = f.user_id
+         GROUP BY 1, 2 ORDER BY cohort, week_off""")
 }
