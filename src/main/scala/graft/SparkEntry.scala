@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.dedup.Dedup
 import graft.multimodal.Multimodal
-import graft.queries.{LogOps, Pipeline, Relational}
+import graft.queries.{Analytics, LogOps, Pipeline, Relational}
 import graft.sim.Similarity
 import graft.text.TextAnalysis
 
@@ -21,12 +21,12 @@ object SparkEntry {
     queries("q3_join_agg")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, Q] =
-    Relational.queries ++ LogOps.queries ++ Dedup.queries ++
-      TextAnalysis.queries ++ Similarity.queries ++ Multimodal.queries ++
-      Pipeline.queries
+    Relational.queries ++ Analytics.queries ++ LogOps.queries ++
+      Dedup.queries ++ TextAnalysis.queries ++ Similarity.queries ++
+      Multimodal.queries ++ Pipeline.queries
 
   def oracleSql: Map[String, String] =
-    Relational.oracles ++ LogOps.oracles ++ Dedup.oracles ++
-      TextAnalysis.oracles ++ Similarity.oracles ++ Multimodal.oracles ++
-      Pipeline.oracles
+    Relational.oracles ++ Analytics.oracles ++ LogOps.oracles ++
+      Dedup.oracles ++ TextAnalysis.oracles ++ Similarity.oracles ++
+      Multimodal.oracles ++ Pipeline.oracles
 }

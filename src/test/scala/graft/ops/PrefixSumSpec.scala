@@ -1,0 +1,59 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The distributed prefix sum must (a) equal the single-task global
+  * window exactly, (b) be invariant to the partition count — the two
+  * claims that make it a safe replacement for `Window.orderBy` with
+  * no partitionBy at any scale.
+  */
+class PrefixSumSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mk(n: Int) =
+    (1 to n).map(i => ((i * 2654435761L) % 1000, i.toLong, (i % 97).toLong))
+      .toDF("k", "id", "v")
+
+  test("equals the partition-less window form") {
+    val df = mk(5000)
+    val got = PrefixSum.runningTotal(df, Seq($"k", $"id"), $"v", "run")
+      .select($"k", $"id", $"run").as[(Long, Long, Long)]
+      .collect().sortBy(r => (r._1, r._2))
+    val w = Window.orderBy($"k", $"id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val want = df.withColumn("run", sum($"v").over(w))
+      .select($"k", $"id", $"run").as[(Long, Long, Long)]
+      .collect().sortBy(r => (r._1, r._2))
+    assert(got.sameElements(want))
+    spark.catalog.clearCache()
+  }
+
+  test("result is invariant to the shuffle-partition count") {
+    val df = mk(3000)
+    def run(parts: String) = {
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", parts)
+      try PrefixSum.runningTotal(df, Seq($"k", $"id"), $"v", "run")
+        .select($"id", $"run").as[(Long, Long)]
+        .collect().sortBy(_._1).toSeq
+      finally {
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        spark.catalog.clearCache()
+      }
+    }
+    assert(run("1") == run("7") && run("7") == run("32"))
+  }
+
+  test("descending order keys work (the pareto shape)") {
+    val df = mk(500).withColumn("neg", -$"v")
+    val got = PrefixSum.runningTotal(df, Seq($"neg", $"id"), $"v", "run")
+      .orderBy($"run").select($"v", $"run").as[(Long, Long)].collect()
+    // running totals over v sorted descending: first row is the max v
+    assert(got.head._1 == got.head._2)
+    assert(got.head._1 == df.agg(max($"v")).as[Long].head())
+    assert(got.last._2 == df.agg(sum($"v")).as[Long].head())
+    spark.catalog.clearCache()
+  }
+}
