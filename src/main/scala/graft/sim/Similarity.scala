@@ -338,6 +338,176 @@ object Similarity {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  // ------------------------------------------- product quantization
+  /** Product-quantization ANN (Jégou/Douze/Schmid, TPAMI 2011 — the
+    * FAISS IndexPQ/IndexIVFPQ family; reference has no ANN surface,
+    * north-star extension): each embedding is cut into `m` subvectors,
+    * each quantized to one of `kSub` per-subspace centroids, so a
+    * 64-float (256-byte) vector becomes m small codes — 16-64×
+    * smaller. Search is asymmetric distance computation (ADC): the
+    * UNcompressed query builds an m×kSub inner-product table against
+    * the codebooks once, and a candidate's approximate score is m
+    * table lookups + adds — no float math against corpus vectors.
+    *
+    * Why this is the memory-bound scale path: at 100 TB of float
+    * embeddings the candidate scan is bytes-limited, so scanning
+    * 4-byte codes instead of 256-byte vectors is ~64× more candidates
+    * per second; the full vectors are touched only for the top
+    * `candK` exact-rerank rows per query. The coarse IVF quantizer
+    * (probe `nprobe` label cells, ADC-scan only their codes) bounds
+    * the scan the same way ivfTopK does — the IndexIVFPQ composition.
+    * Codes here quantize raw vectors, not cell residuals; residual
+    * encoding is the documented production refinement.
+    *
+    * Training is per-subspace k-means with all m subspaces in ONE
+    * distributed job per Lloyd round: the exploded (vec, subspace)
+    * frame joins the broadcast codebook on subspace id, the argmin is
+    * a max_by partial aggregation (map-side combine — the kmeans
+    * assign discipline), and new means reduce by (subspace, cell,
+    * pos). Codebooks are m×kSub×(dim/m) doubles — kilobytes — and
+    * live on the driver between rounds like kmeansCentroids. L2
+    * argmin uses the 2·<x,c> − <c,c> identity (<x,x> is constant
+    * under argmin) so assignment is one codegen dot product per cell.
+    */
+  private def codebookDf(s: SparkSession,
+      cb: Seq[(Int, Int, Seq[Double])]): DataFrame = {
+    import s.implicits._
+    cb.map { case (mi, cell, cent) =>
+      (mi, cell, cent, cent.map(x => x * x).sum)
+    }.toDF("m", "cell", "cent", "cc")
+  }
+
+  /** Deterministic per-subspace init: slices of the same stride
+    * vectors kmeansCentroids seeds from.
+    */
+  private[sim] def pqInit(e: DataFrame, m: Int, subLen: Int, kSub: Int)
+      : Seq[(Int, Int, Seq[Double])] = {
+    val s = e.sparkSession
+    import s.implicits._
+    val n = e.count()
+    val stride = math.max(n / kSub, 1L)
+    val seeds = e.filter(pmod(col("vec_id"), lit(stride)) === 0)
+      .orderBy(col("vec_id")).limit(kSub)
+      .select(col("embedding").cast("array<double>"))
+      .as[Seq[Double]].collect()
+    for {
+      mi <- 0 until m
+      (emb, cell) <- seeds.zipWithIndex
+    } yield (mi, cell, emb.slice(mi * subLen, (mi + 1) * subLen))
+  }
+
+  /** (m, cell) sorted nested codebook for the native encoder. */
+  private def nestedCb(cb: Seq[(Int, Int, Seq[Double])])
+      : Seq[Seq[Seq[Double]]] =
+    cb.groupBy(_._1).toSeq.sortBy(_._1)
+      .map(_._2.sortBy(_._2).map(_._3))
+
+  /** Exploded (vec_id, m, cell, sv) assignment of every vector — ONE
+    * scan, no join: all m codes come from a single native pq_encode
+    * call (row-local L2 argmin; the codebook rides in a codegen
+    * reference object so retrained centroids never recompile the
+    * plan — see PqEncode).
+    */
+  private def pqAssigned(e: DataFrame, cb: Seq[(Int, Int, Seq[Double])],
+      m: Int, subLen: Int): DataFrame =
+    e.select(col("vec_id"), col("embedding"),
+      posexplode(graft.functions.PqFunctions.pq_encode(
+        col("embedding"), nestedCb(cb))).as(Seq("m", "cell")))
+      .withColumn("sv",
+        slice(col("embedding"), col("m") * lit(subLen) + lit(1), lit(subLen))
+          .cast("array<double>"))
+      .drop("embedding")
+
+  /** Per-subspace Lloyd rounds, all m subspaces in ONE job per round:
+    * row-local argmin assignment (pqCodeCol) → means reduced by
+    * (subspace, cell, pos) with map-side combine → k·m rows collected.
+    * Codebooks live on the driver between rounds like kmeansCentroids.
+    */
+  def pqCodebooks(e: DataFrame, init: Seq[(Int, Int, Seq[Double])],
+      m: Int, subLen: Int, iters: Int): Seq[(Int, Int, Seq[Double])] = {
+    val s = e.sparkSession
+    import s.implicits._
+    var cb = init
+    for (_ <- 1 to iters) {
+      cb = pqAssigned(e, cb, m, subLen)
+        .select(col("m"), col("cell"),
+          posexplode(col("sv")).as(Seq("pos", "v")))
+        .groupBy(col("m"), col("cell"), col("pos"))
+        .agg(avg(col("v")).as("mv"))
+        .groupBy(col("m"), col("cell"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("mv")))),
+          x => x.getField("mv")).as("cent"))
+        .as[(Int, Int, Seq[Double])].collect().toSeq
+    }
+    cb
+  }
+
+  def pqTopK(s: SparkSession, d: String, k: Int = 10, m: Int = 4,
+      kSub: Int = 16, iters: Int = 2, nprobe: Int = 3, candK: Int = 50)
+      : DataFrame = {
+    val subLen = Dim / m
+    // corpus feeds training (iters passes), encoding, probing and the
+    // rerank — persist; released by the caller's clearCache (the
+    // returned plan is lazy — Dedup scaladoc, Cache lifecycle)
+    val e = Tables.load(s, d, "embeddings")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cb = pqCodebooks(e, pqInit(e, m, subLen, kSub), m, subLen, iters)
+    val cbDf = codebookDf(s, cb)
+    // the compressed corpus: m small codes per vector, row-local
+    // encode — label rides along in the SAME scan so the ADC join
+    // below never shuffles on vec_id to fetch it
+    val codes = e.select(col("vec_id"), col("label"),
+      posexplode(graft.functions.PqFunctions.pq_encode(
+        col("embedding"), nestedCb(cb))).as(Seq("m", "code")))
+    // coarse IVF probe on the label cells (ivfTopK's quantizer)
+    val cents = centroids(e)
+    val q = queryVecs(e)
+    val wc = Window.partitionBy(col("q_id"))
+      .orderBy(desc("c_sim"), col("label"))
+    val probed = q.crossJoin(broadcast(cents))
+      .withColumn("c_sim", cosine(col("q_emb"), col("centroid")))
+      .withColumn("c_rank", row_number().over(wc))
+      .filter(col("c_rank") <= nprobe)
+      .select(col("q_id"), col("label"))
+    // ADC table: queries × m × kSub inner products — q·m·kSub rows,
+    // always broadcastable (the table is the whole point of ADC)
+    val adc = q.crossJoin(broadcast(cbDf))
+      .withColumn("ip", graft.functions.VectorFunctions.dot_product(
+        slice(col("q_emb"), col("m") * lit(subLen) + lit(1), lit(subLen))
+          .cast("array<double>"),
+        col("cent")))
+      .select(col("q_id"), col("m"), col("cell").as("code"), col("ip"))
+    // ADC scan: probed cells' codes → m table lookups per candidate,
+    // summed with map-side combine; the corpus side never shuffles
+    // its floats
+    val cand = codes
+      .join(broadcast(probed), Seq("label"))
+      .join(broadcast(adc), Seq("q_id", "m", "code"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sum(col("ip")).as("approx_ip"))
+    val wCand = Window.partitionBy(col("q_id"))
+      .orderBy(desc("approx_ip"), col("vec_id"))
+    val topCand = cand
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("r", row_number().over(wCand))
+      .filter(col("r") <= candK)
+      .select(col("q_id"), col("vec_id"))
+    // exact rerank of the surviving candidates only
+    val wRank = Window.partitionBy(col("q_id"))
+      .orderBy(desc("cosine"), col("vec_id"))
+    // candidates are ≤ queries × candK rows — broadcast them against
+    // the corpus scan instead of shuffling the corpus on vec_id
+    broadcast(topCand)
+      .join(e.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .join(broadcast(q), Seq("q_id"))
+      .withColumn("cosine", cosine(col("q_emb"), col("embedding")))
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("vec_id"), col("cosine"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   def queries: Map[String, Q] = Map(
     "ann_bruteforce" -> ((s, d) => bruteForceTopK(s, d)),
     "ann_lsh" -> ((s, d) => lshTopK(s, d)),
@@ -346,7 +516,8 @@ object Similarity {
     // driver exercises the tuning, not just the fixed-8-plane form
     "ann_lsh_auto" -> ((s, d) => lshTopKAuto(s, d)),
     "ann_ivf" -> ((s, d) => ivfTopK(s, d)),
-    "ann_ivf_kmeans" -> ((s, d) => ivfKmeansTopK(s, d)))
+    "ann_ivf_kmeans" -> ((s, d) => ivfKmeansTopK(s, d)),
+    "ann_pq" -> ((s, d) => pqTopK(s, d)))
 
   /** Brute force is exactly SQL-expressible (list_reduce replays the
     * same left-fold double summation — see Dedup oracle note). LSH/IVF

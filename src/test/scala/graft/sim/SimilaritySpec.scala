@@ -129,6 +129,46 @@ class SimilaritySpec extends SparkSpec {
     assert(mean > 0.2, s"mean k-means IVF recall@10 too low: $mean")
   }
 
+  test("PQ: codes bounded by kSub, m codes per vector, deterministic codebooks") {
+    val e = graft.Tables.load(spark, sf, "embeddings")
+    def train() = Similarity.pqCodebooks(e,
+      Similarity.pqInit(e, 4, 16, 16), m = 4, subLen = 16, iters = 2)
+    val cb1 = train()
+    val cb2 = train()
+    // deterministic across runs: seeded init + Lloyd on the same data
+    assert(cb1.map(t => (t._1, t._2)).toSet ==
+      cb2.map(t => (t._1, t._2)).toSet)
+    assert(cb1.forall { case (m, cell, cent) =>
+      m >= 0 && m < 4 && cell >= 0 && cell < 16 && cent.length == 16
+    })
+  }
+
+  test("PQ ADC + exact rerank: recall vs brute force meets the IVF bound") {
+    // same coarse quantizer as ivfTopK (nprobe=3 of 10 label cells), so
+    // PQ recall is bounded by cell recall; the ADC ordering must be
+    // good enough that candK=50 reranked candidates preserve most of it
+    val bf = topSets(Similarity.bruteForceTopK(spark, sf)
+      .select("q_id", "rank", "vec_id").as[(Long, Long, Long)].collect())
+    val pq = topSets(Similarity.pqTopK(spark, sf)
+      .select("q_id", "rank", "vec_id").as[(Long, Long, Long)].collect())
+    assert(pq.nonEmpty)
+    val recalls = bf.keys.toSeq.map { q =>
+      (bf(q) & pq.getOrElse(q, Set.empty)).size.toDouble / bf(q).size
+    }
+    val mean = recalls.sum / recalls.size
+    info(s"PQ mean recall@10: $mean")
+    assert(mean > 0.15, s"mean PQ recall@10 too low: $mean")
+    // reranked hits carry exact cosines (the rerank discipline)
+    val bfCos = Similarity.bruteForceTopK(spark, sf, k = 50)
+      .select("q_id", "vec_id", "cosine").as[(Long, Long, Double)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    Similarity.pqTopK(spark, sf)
+      .select("q_id", "vec_id", "cosine").as[(Long, Long, Double)].collect()
+      .foreach { case (q, v, c) =>
+        bfCos.get((q, v)).foreach(expected => assert(c == expected))
+      }
+  }
+
   test("IVF top-k overlaps brute-force top-k (nprobe cells only)") {
     val bf = topSets(Similarity.bruteForceTopK(spark, sf)
       .select("q_id", "rank", "vec_id").as[(Long, Long, Long)].collect())
