@@ -115,6 +115,43 @@ object Pipeline {
         .orderBy($"doc_id")
     }),
 
+    // Decontamination, the 100 TB shape: the exact form above JOINS
+    // train grams against test grams — correct, but the train side
+    // (the 100 TB side) shuffles its gram explosion. Benchmark/test
+    // suites are small (millions of grams), so the scale form trains
+    // a Bloom filter over the TEST grams once (distributed
+    // tree-aggregate, MBs at fpp 1e-4) and probes it row-locally
+    // inside a higher-order filter on the train side: ZERO train-side
+    // shuffle, scan-shaped at any corpus size. False positives can
+    // only over-flag (never under-flag) — the safe direction for
+    // leakage removal; BloomDecontaminateSpec pins the superset
+    // property and bounds the FP excess. No oracle (FP-dependent) →
+    // rows-only gate entry.
+    "pipeline_decontaminate_bloom" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.spread(Tables.load(s, d, "documents"))
+        .withColumn("split", splitCol($"text"))
+        .withColumn("th",
+          graft.dedup.Dedup.tokenHashes(split(lower($"text"), "\\s+")))
+        .withColumn("g", gramHashes($"th", 4))
+        .select($"doc_id", $"split", $"g")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val testGrams = docs.filter($"split" === "test")
+        .select(explode($"g").as("gram"))
+      // sizing action on the small (test) side only; the Bloom build
+      // itself is one distributed aggregate over the same frame
+      val n = math.max(testGrams.count(), 1000L)
+      val bloom = testGrams.stat.bloomFilter("gram", n, 1e-4)
+      docs.filter($"split" === "train")
+        .withColumn("n_flagged",
+          size(filter($"g", gr =>
+            graft.functions.BloomFunctions.bloom_might_contain(gr, bloom)))
+            .cast("long"))
+        .filter($"n_flagged" > 0)
+        .select($"doc_id", $"n_flagged")
+        .orderBy($"doc_id")
+    }),
+
     // Leakage-safe corpus split summary (see splitCol). Row-local,
     // scan-shaped.
     "pipeline_split" -> ((s, d) => {

@@ -16,6 +16,27 @@ class PipelineOpsSpec extends SparkSpec {
 
   private val sf = "/root/testdata/sf0.001"
 
+  test("bloom decontamination over-flags only: superset of the exact join, bounded excess") {
+    // the exact form (gram equi-join) is ground truth; the Bloom form
+    // may add false positives (fpp 1e-4 per gram) but must never miss
+    // a contaminated doc, and the per-doc flagged count can only grow
+    val exact = graft.SparkEntry.queries("pipeline_decontaminate")(spark, sf)
+      .select($"doc_id", $"n_shared_grams").as[(Long, Long)].collect().toMap
+    val bloom = graft.SparkEntry.queries("pipeline_decontaminate_bloom")(spark, sf)
+      .select($"doc_id", $"n_flagged").as[(Long, Long)].collect().toMap
+    exact.foreach { case (doc, nShared) =>
+      assert(bloom.contains(doc), s"bloom missed contaminated doc $doc")
+      assert(bloom(doc) >= nShared,
+        s"doc $doc: bloom flagged ${bloom(doc)} < exact $nShared")
+    }
+    val trainDocs = graft.Tables.load(spark, sf, "documents")
+      .filter(substring(md5($"text"), 1, 1) < "c").count()
+    val extra = bloom.size - exact.size
+    assert(extra <= math.max(2L, trainDocs / 10),
+      s"bloom false-positive excess too high: $extra extra docs " +
+        s"over ${exact.size} exact on $trainDocs train docs")
+  }
+
   test("pii patterns redact planted email/ip/phone and leave clean text alone") {
     val rows = Seq(
       "reach me at alice.smith+spam@sub.example.co.uk today",
