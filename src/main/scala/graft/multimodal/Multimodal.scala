@@ -148,6 +148,31 @@ object Multimodal {
         .orderBy($"doc_id")
     }),
 
+    // Exact multimodal dedup across fetches: a re-crawl delivers
+    // byte-identical payloads under new fetch ids (derived here from
+    // the snapshot for doc_id%7==0 — the fixtures ship one crawl; the
+    // pipeline_cdc_apply precedent), and the dedup keeps the earliest
+    // (fetch, doc) per content digest. Payload bytes never shuffle:
+    // the digest is computed in the scan projection and ONLY the
+    // digest + ids ride the groupBy exchange — at 100 TB of media
+    // that is the difference between shuffling terabytes and
+    // megabytes. One key shuffle, map-side combinable aggregates.
+    "mm_dedup" -> ((s, d) => {
+      import s.implicits._
+      def m = pack(s, d).select($"doc_id", $"payload")
+      val crawl0 = m
+      val recrawl = m.filter($"doc_id" % 7 === 0)
+      // keeper = min(doc_id): every digest group contains its fetch-0
+      // row, so the general min-(fetch, doc) tuple collapses to the
+      // doc minimum (the tuple form is q48's min_by pattern)
+      crawl0.unionByName(recrawl)
+        .select($"doc_id", md5($"payload").as("digest"))
+        .groupBy($"digest")
+        .agg(count(lit(1)).as("n_copies"), min($"doc_id").as("doc_id"))
+        .select($"doc_id", $"digest", $"n_copies")
+        .orderBy($"doc_id")
+    }),
+
     "mm_frame_sample" -> ((s, d) => {
       import s.implicits._
       // sample every 2nd frame of each decoded media item
@@ -183,6 +208,19 @@ object Multimodal {
          CAST(len(regexp_extract_all(lower(text), '\s')) AS BIGINT) AS f_space,
          CAST(length(text) AS BIGINT) AS f_len
          FROM documents ORDER BY doc_id""",
+    "mm_dedup" ->
+      """WITH m AS (SELECT d.doc_id, d.text
+           FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+         crawls AS (
+           SELECT doc_id, text FROM m
+           UNION ALL
+           SELECT doc_id, text FROM m WHERE doc_id % 7 = 0),
+         g AS (
+           SELECT md5(text) AS digest, CAST(count(*) AS BIGINT) AS n_copies,
+             min(doc_id) AS doc_id
+           FROM crawls GROUP BY 1)
+         SELECT doc_id, digest, n_copies
+         FROM g ORDER BY doc_id""",
     "mm_frame_sample" ->
       """WITH m AS (SELECT d.doc_id,
            1 + CAST(length(d.text) AS BIGINT) % 8 AS n_frames
