@@ -727,8 +727,58 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  // --------------------------------------- repeated-substring detection
+  /** Cross-document repeated-substring detection — the scalable
+    * relative of suffix-array substring dedup (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better"):
+    * fixed-length character windows sampled at a stride, hashed, and
+    * grouped, so documents sharing ≥ `minShared` distinct window
+    * hashes are near-dup pairs at the SUBSTRING tier — long verbatim
+    * passages that token-level Jaccard dilutes away inside otherwise
+    * different documents.
+    *
+    * Scale shape: windows per doc = len/stride (fixed fraction of the
+    * corpus bytes); explode → the distinct (doc, hash) set →
+    * groupBy(hash) with map-side combine; ubiquitous windows
+    * (boilerplate/license headers) are CAPPED at `maxOcc` occurrences
+    * BEFORE pair expansion — the winnowing discipline that stops a
+    * stopword-like window from generating O(n²) pairs. The window
+    * hash is md5 of the raw characters, so the DuckDB oracle replays
+    * it exactly.
+    */
+  def substringPairs(s: SparkSession, d: String, winLen: Int = 64,
+      stride: Int = 16, minShared: Long = 2, maxOcc: Long = 50)
+      : DataFrame = {
+    val docs = Tables.spread(Tables.load(s, d, "documents"))
+    // distinct (doc, window-hash) pairs; floor-division window count
+    // (ints divide to double in Spark — floor() keeps both engines on
+    // the same integer grid)
+    val wh = docs
+      .filter(length(col("text")) >= winLen)
+      .select(col("doc_id"),
+        explode(array_distinct(transform(
+          sequence(lit(0),
+            floor((length(col("text")) - winLen) / lit(stride)).cast("int")),
+          k => md5(col("text").substr(k * stride + 1, lit(winLen))))))
+          .as("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val shared = wh.groupBy(col("h"))
+      .agg(count(lit(1)).as("occ"))
+      .filter(col("occ") >= 2 && col("occ") <= maxOcc)
+      .select(col("h"))
+    val f = wh.join(shared, Seq("h"))
+    f.select(col("h"), col("doc_id").as("doc_a"))
+      .join(f.select(col("h"), col("doc_id").as("doc_b")), Seq("h"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared_windows"))
+      .filter(col("n_shared_windows") >= minShared)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   def queries: Map[String, Q] = Map(
     "dedup_clusters" -> ((s, d) => dupClusters(s, d)),
+    "dedup_substring" -> ((s, d) => substringPairs(s, d)),
     "dedup_exact" -> ((s, d) => exact(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => ngramJaccard(s, d)),
     "dedup_minhash_lsh" -> ((s, d) => minhashLsh(s, d)),
@@ -743,6 +793,23 @@ object Dedup {
     * SQL-expressible — and get the rows-only check.
     */
   def oracles: Map[String, String] = Map(
+    "dedup_substring" ->
+      """WITH wins AS (
+           SELECT doc_id, unnest(list_distinct(list_transform(
+             range(0, (length(text) - 64) // 16 + 1),
+             k -> md5(substring(text, k * 16 + 1, 64))))) AS h
+           FROM documents WHERE length(text) >= 64),
+         shared AS (
+           SELECT h FROM (SELECT h, count(*) AS occ FROM wins GROUP BY 1)
+           WHERE occ BETWEEN 2 AND 50),
+         f AS (SELECT w.doc_id, w.h FROM wins w JOIN shared USING (h)),
+         pairs AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             count(*) AS n
+           FROM f a JOIN f b ON a.h = b.h AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+         SELECT doc_a, doc_b, CAST(n AS BIGINT) AS n_shared_windows
+         FROM pairs WHERE n >= 2 ORDER BY doc_a, doc_b""",
     // the ngram pair generation replayed, then components via a
     // recursive transitive closure (tiny graph: only docs that appear
     // in a near-dup pair) with component = min reachable id

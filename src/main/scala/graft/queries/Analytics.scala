@@ -55,6 +55,34 @@ object Analytics {
         .orderBy($"measure")
     }),
 
+    // Outer-join family closure: year-over-year revenue per customer
+    // as a FULL OUTER join of two aggregated years — customers who
+    // bought in only one year surface with a zero on the other side
+    // (coalesce semantics), the churn/new-customer report shape. Both
+    // inputs aggregate BEFORE the join (map-side combine on the fact
+    // scan, then a customer-key join of two small frames); revenue is
+    // exact integer cents. The same plan serves left/right outer as
+    // filters of this result — full outer is the general member, so
+    // it is the one registered.
+    "q49_outer_join" -> ((s, d) => {
+      import s.implicits._
+      def rev(y: Int) = Tables.load(s, d, "orders")
+        .filter(year($"o_orderdate") === y)
+        .groupBy($"o_custkey")
+        .agg(sum(round($"o_totalprice" * 100).cast("long")).as("cents"))
+      rev(1994).withColumnRenamed("cents", "c94")
+        .join(rev(1995).withColumnRenamed("cents", "c95"),
+          Seq("o_custkey"), "full_outer")
+        .select($"o_custkey",
+          round(coalesce($"c94", lit(0L)).cast("double") / 100, 2)
+            .as("rev_1994"),
+          round(coalesce($"c95", lit(0L)).cast("double") / 100, 2)
+            .as("rev_1995"),
+          round((coalesce($"c95", lit(0L)) - coalesce($"c94", lit(0L)))
+            .cast("double") / 100, 2).as("delta"))
+        .orderBy($"o_custkey")
+    }),
+
     // Markov transition matrix over per-user event sequences: for
     // every adjacent (event, next event) pair, how often does type A
     // lead to type B? One lead() window over a single user_id
@@ -370,6 +398,24 @@ object Analytics {
   }
 
   def oracles: Map[String, String] = Map(
+    "q49_outer_join" ->
+      """WITH r94 AS (
+           SELECT o_custkey,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+               AS BIGINT) AS c94
+           FROM orders WHERE year(o_orderdate) = 1994 GROUP BY 1),
+         r95 AS (
+           SELECT o_custkey,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+               AS BIGINT) AS c95
+           FROM orders WHERE year(o_orderdate) = 1995 GROUP BY 1)
+         SELECT coalesce(r94.o_custkey, r95.o_custkey) AS o_custkey,
+           round(CAST(coalesce(c94, 0) AS DOUBLE) / 100, 2) AS rev_1994,
+           round(CAST(coalesce(c95, 0) AS DOUBLE) / 100, 2) AS rev_1995,
+           round(CAST(coalesce(c95, 0) - coalesce(c94, 0) AS DOUBLE)
+             / 100, 2) AS delta
+         FROM r94 FULL OUTER JOIN r95 ON r94.o_custkey = r95.o_custkey
+         ORDER BY o_custkey""",
     "q39_unpivot" ->
       """WITH t AS (
            SELECT measure, val, CAST(round(val * 100) AS BIGINT) AS c

@@ -213,6 +213,27 @@ object Pipeline {
         .orderBy($"doc_id")
     }),
 
+    // Exact-k per-group sample: bottom-k by salted content hash — the
+    // deterministic reservoir. The hash order is content-random, so
+    // the pick is uniform; it is also re-run-stable and
+    // engine-agnostic (the pipeline_split discipline), unlike an
+    // actual reservoir whose result depends on encounter order. Scale
+    // shape: row_number under the (lang)-partitioned hash order is a
+    // WindowGroupLimit — each map task keeps only its local bottom-k
+    // before the shuffle, so per-group state is k rows, never the
+    // group.
+    "pipeline_sample_fixed_k" -> ((s, d) => {
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"lang").orderBy($"skey", $"doc_id")
+      Tables.load(s, d, "documents")
+        .withColumn("skey", md5(concat(lit("fixedk:"), $"text")))
+        .withColumn("pick", row_number().over(w).cast("long"))
+        .filter($"pick" <= 20)
+        .select($"lang", $"pick", $"doc_id", $"skey")
+        .orderBy($"lang", $"pick")
+    }),
+
     // Deterministic global training shuffle: every epoch-0 data loader
     // wants the corpus in a reproducible pseudorandom order. The sort
     // key is a seeded content-free hash of doc_id, so the ORDER BY is
@@ -385,6 +406,17 @@ object Pipeline {
          WHERE substring(md5('sample:' || text), 1, 2) <
            CASE WHEN lang = 'en' THEN '40' ELSE '80' END
          ORDER BY doc_id""",
+    "pipeline_sample_fixed_k" ->
+      """WITH keyed AS (
+           SELECT lang, doc_id, md5('fixedk:' || text) AS skey
+           FROM documents),
+         r AS (
+           SELECT lang, doc_id, skey,
+             CAST(row_number() OVER (PARTITION BY lang
+               ORDER BY skey, doc_id) AS BIGINT) AS pick
+           FROM keyed)
+         SELECT lang, pick, doc_id, skey FROM r
+         WHERE pick <= 20 ORDER BY lang, pick""",
     "pipeline_shuffle" ->
       """SELECT doc_id, lang,
            md5('shuffle42:' || CAST(doc_id AS VARCHAR)) AS shuffle_key,
