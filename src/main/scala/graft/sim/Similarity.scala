@@ -508,7 +508,33 @@ object Similarity {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  // -------------------------------------------------- outlier mining
+  /** Embedding-space outliers: each vector's cosine to its own
+    * label's centroid, worst-k per label — the curation pass that
+    * surfaces mislabeled / off-distribution rows before training.
+    * Scale shape: centroids are an ncells×dim reduce (map-side
+    * combinable) broadcast back over the scan; the worst-k pick is a
+    * WindowGroupLimit partial top-k per map side. Rows-only gate
+    * entry: the centroid mean is a distributed double sum whose fold
+    * order an oracle can't replay exactly; the planted-outlier spec
+    * pins the semantics instead.
+    */
+  def outliersOver(e: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("label"))
+      .orderBy(col("c_sim"), col("vec_id"))
+    e.join(broadcast(centroids(e)), Seq("label"))
+      .withColumn("c_sim", cosine(col("embedding"), col("centroid")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("label"), col("rank"), col("vec_id"), col("c_sim"))
+      .orderBy(col("label"), col("rank"))
+  }
+
+  def outliers(s: SparkSession, d: String, k: Int = 3): DataFrame =
+    outliersOver(Tables.load(s, d, "embeddings"), k)
+
   def queries: Map[String, Q] = Map(
+    "emb_outliers" -> ((s, d) => outliers(s, d)),
     "ann_bruteforce" -> ((s, d) => bruteForceTopK(s, d)),
     "ann_lsh" -> ((s, d) => lshTopK(s, d)),
     // the corpus-sized variant IS the 100 TB path (planesFor keeps

@@ -95,6 +95,35 @@ object StreamOps {
     events.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keys)
 
+  // ------------------------------------- streaming training-data prep
+  /** The LLM-pipeline composition in streaming form — the batch
+    * pipeline_training_prep stages applied to unbounded arrival:
+    * row-local quality filter (length + type-token ratio) → exact
+    * dedup on content digest within the watermark horizon →
+    * deterministic content-hash split stamp. State is only the digest
+    * set of the watermark window (dropDuplicatesWithinWatermark),
+    * never the corpus — the incremental-dedup discipline
+    * (Dedup.incrementalExact) for streams; re-deliveries inside the
+    * horizon dedupe exactly, older replays are the at-least-once
+    * residual a downstream digest-keyed sink absorbs.
+    */
+  def trainingPrepStream(docs: DataFrame, tsCol: String = "ts",
+      watermark: String = "1 hour"): DataFrame =
+    docs
+      .filter(length(col("text")) >= 200)
+      .withColumn("t", split(lower(col("text")), "\\s+"))
+      .withColumn("ttr",
+        size(array_distinct(col("t"))).cast("double") /
+          size(col("t")).cast("double"))
+      .filter(col("ttr") >= 0.3)
+      .withColumn("digest", md5(col("text")))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(Seq("digest"))
+      .withColumn("split",
+        when(substring(col("digest"), 1, 1) < "c", "train")
+          .otherwise("test"))
+      .select(col("doc_id"), col(tsCol), col("digest"), col("split"))
+
   // ----------------------------------------------- streaming as-of join
   case class TypedEvent(user_id: Long, ts: java.sql.Timestamp,
       event_type: String, event_id: Long, value: Double)

@@ -234,6 +234,31 @@ object TextAnalysis {
         .orderBy($"doc_id")
     }),
 
+    // Mean corpus-frequency of a document's tokens — the unigram-LM
+    // quality signal (KenLM-style perplexity filters rank docs by how
+    // "expected" their tokens are) in a cross-engine-EXACT form: mean
+    // token count instead of mean negative-log-probability, which
+    // induces the same ordering monotonically for a unigram model but
+    // has no float log for engines to disagree on (the text_keywords
+    // discipline). Scale shape: token counts are vocab-sized
+    // (broadcastable); the doc-side join is row-shaped after an
+    // explode with map-side-combined (doc, token) partials; one exact
+    // integer division at the end.
+    "text_rarity" -> ((s, d) => {
+      import s.implicits._
+      val toksDf = Tables.load(s, d, "documents")
+        .select($"doc_id", explode(toks($"text")).as("token"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val vocab = toksDf.groupBy($"token").agg(count(lit(1)).as("cnt"))
+      toksDf.join(vocab, Seq("token"))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_tokens"), sum($"cnt").as("sum_cnt"))
+        .select($"doc_id", $"n_tokens", $"sum_cnt",
+          ($"sum_cnt".cast("double") / $"n_tokens".cast("double"))
+            .as("mean_token_freq"))
+        .orderBy($"doc_id")
+    }),
+
     "text_fingerprint" -> ((s, d) => {
       import s.implicits._
       // Three fingerprint flavors: md5 over the sorted distinct token
@@ -435,6 +460,18 @@ object TextAnalysis {
              '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'),
              '\b555-[0-9]{4}\b', '<PHONE>', 'g')) AS redacted_fp
          FROM aug ORDER BY doc_id""",
+    "text_rarity" ->
+      """WITH tok AS (
+           SELECT doc_id, unnest(string_split_regex(lower(text), '\s+'))
+             AS token FROM documents),
+         vocab AS (SELECT token, count(*) AS cnt FROM tok GROUP BY 1)
+         SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(v.cnt) AS BIGINT) AS sum_cnt,
+           CAST(sum(v.cnt) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+             AS mean_token_freq
+         FROM tok t JOIN vocab v USING (token)
+         GROUP BY t.doc_id ORDER BY t.doc_id""",
     "text_fingerprint" ->
       """SELECT doc_id,
            md5(array_to_string(list_sort(list_distinct(

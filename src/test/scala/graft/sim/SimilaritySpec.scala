@@ -169,6 +169,26 @@ class SimilaritySpec extends SparkSpec {
       }
   }
 
+  test("emb_outliers surfaces a planted off-cluster vector at rank 1") {
+    // two tight clusters; one vector per label planted far off its
+    // cluster's direction must be that label's worst-cosine row
+    def tight(base: Array[Float], id: Long): (Long, Array[Float], Int) =
+      (id, base.zipWithIndex.map { case (v, i) =>
+        v + (if (i == (id % 4).toInt) 0.01f else 0f) }, if (base(0) > 0) 0 else 1)
+    val a = Array(1f, 0f, 0f, 0f)
+    val b = Array(-1f, 0f, 0f, 0f)
+    val planted = Seq(
+      (100L, Array(0f, 0f, 0f, 1f), 0), // far from cluster 0's axis
+      (101L, Array(0f, 0f, 1f, 0f), 1)) // far from cluster 1's axis
+    val vecs = ((0L until 20L).map(tight(a, _)) ++
+      (20L until 40L).map(tight(b, _)) ++ planted)
+      .toDF("vec_id", "embedding", "label")
+    val worst = Similarity.outliersOver(vecs, k = 1)
+      .select("label", "vec_id").as[(Int, Long)].collect().toMap
+    assert(worst(0) == 100L, s"label 0 worst was ${worst(0)}")
+    assert(worst(1) == 101L, s"label 1 worst was ${worst(1)}")
+  }
+
   test("IVF top-k overlaps brute-force top-k (nprobe cells only)") {
     val bf = topSets(Similarity.bruteForceTopK(spark, sf)
       .select("q_id", "rank", "vec_id").as[(Long, Long, Long)].collect())

@@ -88,6 +88,35 @@ class StreamOpsSpec extends SparkSpec {
     assert(n == 2)
   }
 
+  test("streaming training prep: quality filter + cross-batch dedup + split stamp") {
+    implicit val sqlCtx = spark.sqlContext
+    // diverse 200+ char text passes the quality gate
+    val good = (1 to 40).map(i => s"word$i").mkString(" ")
+    val good2 = (100 to 140).map(i => s"tok$i").mkString(" ")
+    val short = "too short"
+    val repetitive = ("dup " * 80).trim // long but ttr ~ 1/80
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val docs = in.toDF().toDF("doc_id", "ts", "text")
+    val q = StreamOps.trainingPrepStream(docs)
+      .writeStream.format("memory").queryName("prep")
+      .outputMode("append").start()
+    in.addData(
+      (1L, ts("2024-01-01 10:00:00"), good),
+      (2L, ts("2024-01-01 10:01:00"), short),
+      (3L, ts("2024-01-01 10:02:00"), repetitive))
+    q.processAllAvailable()
+    in.addData( // later micro-batch: exact dup of doc 1 under a new id
+      (4L, ts("2024-01-01 10:10:00"), good),
+      (5L, ts("2024-01-01 10:11:00"), good2))
+    q.processAllAvailable()
+    val out = spark.table("prep")
+      .select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    q.stop()
+    assert(out.keySet == Set(1L, 5L),
+      s"expected quality-filtered deduped {1, 5}, got ${out.keySet}")
+    assert(out.values.forall(s => s == "train" || s == "test"))
+  }
+
   test("lineStream maxFilesPerTrigger bounds each micro-batch (B1 backpressure)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-mft")
     (1 to 3).foreach(i => java.nio.file.Files.write(
