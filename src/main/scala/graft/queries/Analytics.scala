@@ -83,6 +83,29 @@ object Analytics {
         .orderBy($"o_custkey")
     }),
 
+    // Value-window family closure: first_value / nth_value /
+    // last_value over the full-partition frame — the customer-timeline
+    // report (first order, second order, latest order) in ONE window
+    // pass over one customer exchange; the rn=1 filter collapses to a
+    // single row per customer without a second aggregate.
+    "q50_value_window" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey")
+        .orderBy($"o_orderdate", $"o_orderkey")
+      val wf = w.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
+      Tables.load(s, d, "orders")
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n_orders", count(lit(1)).over(wf).cast("long"))
+        .withColumn("first_date", first($"o_orderdate").over(wf))
+        .withColumn("second_date", nth_value($"o_orderdate", 2).over(wf))
+        .withColumn("last_date", last($"o_orderdate").over(wf))
+        .filter($"rn" === 1)
+        .select($"o_custkey", $"n_orders", $"first_date",
+          $"second_date", $"last_date")
+        .orderBy($"o_custkey")
+    }),
+
     // Markov transition matrix over per-user event sequences: for
     // every adjacent (event, next event) pair, how often does type A
     // lead to type B? One lead() window over a single user_id
@@ -398,6 +421,24 @@ object Analytics {
   }
 
   def oracles: Map[String, String] = Map(
+    "q50_value_window" ->
+      """SELECT o_custkey, n_orders, first_date, second_date, last_date
+         FROM (
+           SELECT o_custkey,
+             row_number() OVER w AS rn,
+             CAST(count(*) OVER wf AS BIGINT) AS n_orders,
+             first_value(o_orderdate) OVER wf AS first_date,
+             nth_value(o_orderdate, 2) OVER wf AS second_date,
+             last_value(o_orderdate) OVER wf AS last_date
+           FROM orders
+           WINDOW
+             w AS (PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey),
+             wf AS (PARTITION BY o_custkey
+                    ORDER BY o_orderdate, o_orderkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND UNBOUNDED FOLLOWING))
+         WHERE rn = 1 ORDER BY o_custkey""",
     "q49_outer_join" ->
       """WITH r94 AS (
            SELECT o_custkey,

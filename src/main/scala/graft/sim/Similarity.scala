@@ -356,8 +356,11 @@ object Similarity {
     * `candK` exact-rerank rows per query. The coarse IVF quantizer
     * (probe `nprobe` label cells, ADC-scan only their codes) bounds
     * the scan the same way ivfTopK does — the IndexIVFPQ composition.
-    * Codes here quantize raw vectors, not cell residuals; residual
-    * encoding is the documented production refinement.
+    * Codes quantize RESIDUALS (x − coarse centroid) — the true
+    * IndexIVFPQ form: residual distributions are tighter than the raw
+    * vectors', so kSub cells spend their resolution where it matters,
+    * and the query builds one ADC table per probed cell from its own
+    * residual against that cell.
     *
     * Training is per-subspace k-means with all m subspaces in ONE
     * distributed job per Lloyd round: the exploded (vec, subspace)
@@ -452,16 +455,29 @@ object Similarity {
     // returned plan is lazy — Dedup scaladoc, Cache lifecycle)
     val e = Tables.load(s, d, "embeddings")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cb = pqCodebooks(e, pqInit(e, m, subLen, kSub), m, subLen, iters)
-    val cbDf = codebookDf(s, cb)
+    // RESIDUAL encoding (the true IndexIVFPQ): each vector is
+    // quantized as (x − its coarse cell's centroid) — residuals are
+    // tighter-distributed than raw vectors, so the same kSub cells
+    // spend their resolution where it matters. One broadcast of the
+    // kilobyte centroid table against the scan; the residual frame
+    // feeds training (iters passes) + encoding → persist.
+    val cents = centroids(e)
+    val eRes = e.join(broadcast(cents), Seq("label"))
+      .withColumn("embedding",
+        zip_with(col("embedding").cast("array<double>"), col("centroid"),
+          (a, b) => a - b))
+      .select(col("vec_id"), col("label"), col("embedding"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cb = pqCodebooks(eRes, pqInit(eRes, m, subLen, kSub), m, subLen,
+      iters)
     // the compressed corpus: m small codes per vector, row-local
     // encode — label rides along in the SAME scan so the ADC join
     // below never shuffles on vec_id to fetch it
-    val codes = e.select(col("vec_id"), col("label"),
+    val codes = eRes.select(col("vec_id"), col("label"),
       posexplode(graft.functions.PqFunctions.pq_encode(
         col("embedding"), nestedCb(cb))).as(Seq("m", "code")))
-    // coarse IVF probe on the label cells (ivfTopK's quantizer)
-    val cents = centroids(e)
+    // coarse IVF probe on the label cells (ivfTopK's quantizer);
+    // centroid rides along for the query-residual ADC table below
     val q = queryVecs(e)
     val wc = Window.partitionBy(col("q_id"))
       .orderBy(desc("c_sim"), col("label"))
@@ -469,21 +485,27 @@ object Similarity {
       .withColumn("c_sim", cosine(col("q_emb"), col("centroid")))
       .withColumn("c_rank", row_number().over(wc))
       .filter(col("c_rank") <= nprobe)
-      .select(col("q_id"), col("label"))
-    // ADC table: queries × m × kSub inner products — q·m·kSub rows,
-    // always broadcastable (the table is the whole point of ADC)
-    val adc = q.crossJoin(broadcast(cbDf))
+      .select(col("q_id"), col("q_emb"), col("label"), col("centroid"))
+    // ADC tables are PER PROBED CELL under residual encoding: the
+    // query's residual against cell c scores that cell's codes —
+    // q·nprobe·m·kSub rows, still always broadcastable
+    val adc = probed
+      .withColumn("q_res",
+        zip_with(col("q_emb").cast("array<double>"), col("centroid"),
+          (a, b) => a - b))
+      .crossJoin(broadcast(codebookDf(s, cb)))
       .withColumn("ip", graft.functions.VectorFunctions.dot_product(
-        slice(col("q_emb"), col("m") * lit(subLen) + lit(1), lit(subLen))
-          .cast("array<double>"),
+        slice(col("q_res"), col("m") * lit(subLen) + lit(1), lit(subLen)),
         col("cent")))
-      .select(col("q_id"), col("m"), col("cell").as("code"), col("ip"))
+      .select(col("q_id"), col("label"), col("m"),
+        col("cell").as("code"), col("ip"))
     // ADC scan: probed cells' codes → m table lookups per candidate,
     // summed with map-side combine; the corpus side never shuffles
     // its floats
     val cand = codes
-      .join(broadcast(probed), Seq("label"))
-      .join(broadcast(adc), Seq("q_id", "m", "code"))
+      .join(broadcast(probed.select(col("q_id"), col("label"))),
+        Seq("label"))
+      .join(broadcast(adc), Seq("q_id", "label", "m", "code"))
       .groupBy(col("q_id"), col("vec_id"))
       .agg(sum(col("ip")).as("approx_ip"))
     val wCand = Window.partitionBy(col("q_id"))
