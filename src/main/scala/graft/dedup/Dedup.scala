@@ -748,8 +748,13 @@ object Dedup {
     */
   def substringPairs(s: SparkSession, d: String, winLen: Int = 64,
       stride: Int = 16, minShared: Long = 2, maxOcc: Long = 50)
+      : DataFrame =
+    substringPairsOver(Tables.spread(Tables.load(s, d, "documents")),
+      winLen, stride, minShared, maxOcc)
+
+  def substringPairsOver(docs: DataFrame, winLen: Int = 64,
+      stride: Int = 16, minShared: Long = 2, maxOcc: Long = 50)
       : DataFrame = {
-    val docs = Tables.spread(Tables.load(s, d, "documents"))
     // distinct (doc, window-hash) pairs; floor-division window count
     // (ints divide to double in Spark — floor() keeps both engines on
     // the same integer grid)

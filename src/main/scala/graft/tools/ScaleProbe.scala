@@ -104,6 +104,14 @@ object ScaleProbe {
       val (tNg, rNg) = time(
         graft.dedup.Dedup.ngramJaccardOver(shingled(docs3), 0.5).count())
       spark.catalog.clearCache()
+      // substring windows: cross-copy 64-char windows are disjoint
+      // (every token carries the copy prefix) while within-copy
+      // repeated passages replicate — pair counts should scale ~k and
+      // wall ~k (the occurrence cap bounds any one window's fan-out)
+      val docs4 = corpus(mult); docs4.count()
+      val (tSub, rSub) = time(
+        graft.dedup.Dedup.substringPairsOver(docs4).count())
+      spark.catalog.clearCache()
       // embedding LSH: planesFor re-sizes the plane count per corpus,
       // so candidate counts (and time) should track ~k, not k²
       val embs = embCorpus(mult)
@@ -114,7 +122,7 @@ object ScaleProbe {
       spark.catalog.clearCache()
       println(f"[scale] mult=$mult docs=$n " +
         f"minhash=$tMin%.1fs($rMin) simhash=$tSim%.1fs($rSim) " +
-        f"ngram(0.5)=$tNg%.1fs($rNg) " +
+        f"ngram(0.5)=$tNg%.1fs($rNg) substr=$tSub%.1fs($rSub) " +
         f"embLsh[p=$planes]=$tEmb%.1fs($rEmb)")
     }
     spark.stop()
