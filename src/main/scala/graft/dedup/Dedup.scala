@@ -137,6 +137,54 @@ object Dedup {
     ngramJaccardPairs(docs0, threshold)
       .orderBy(col("doc_a"), col("doc_b"))
 
+  // ------------------------------------------ containment (doc-in-doc)
+  /** Asymmetric near-dup: shingle CONTAINMENT |A∩B|/|A| — the
+    * quote/subset detector Jaccard misses (a short doc fully embedded
+    * in a long one has high containment but low Jaccard, and
+    * ngramJaccard's length-bucket blocking would never even pair
+    * them). Blocking is by RARE SHINGLE — the inverted-index
+    * strategy: a candidate pair must share at least one shingle with
+    * corpus occurrence ≤ maxOcc. That cap bounds fan-out (one rare
+    * shingle yields ≤ maxOcc² pairs; posting lists of ubiquitous
+    * shingles never expand) and is semantically the right candidate
+    * set — a pair sharing ONLY ubiquitous shingles is boilerplate
+    * overlap, not containment. Exact containment then verifies on the
+    * full shingle sets, both directions per unordered pair.
+    */
+  def containmentPairs(s: SparkSession, d: String,
+      threshold: Double = 0.5, maxOcc: Long = 20): DataFrame = {
+    val docs = Tables.spread(Tables.load(s, d, "documents"))
+      .withColumn("th", tokenHashes(tokens(col("text"))))
+      .withColumn("shh", hashedShingles(col("th")))
+      .filter(size(col("shh")) > 0)
+      .select(col("doc_id"), col("shh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val posting = docs.select(col("doc_id"), explode(col("shh")).as("sh"))
+    val rare = posting.groupBy(col("sh")).agg(count(lit(1)).as("occ"))
+      .filter(col("occ") >= 2 && col("occ") <= maxOcc)
+      .select(col("sh"))
+    val rp = posting.join(rare, Seq("sh"))
+    val cand = rp.select(col("sh"), col("doc_id").as("doc_a"))
+      .join(rp.select(col("sh"), col("doc_id").as("doc_b")), Seq("sh"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+    val inter = size(array_intersect(col("sha"), col("shb")))
+    cand
+      .join(docs.select(col("doc_id").as("doc_a"), col("shh").as("sha")),
+        Seq("doc_a"))
+      .join(docs.select(col("doc_id").as("doc_b"), col("shh").as("shb")),
+        Seq("doc_b"))
+      .withColumn("cont_a_in_b",
+        inter.cast("double") / size(col("sha")).cast("double"))
+      .withColumn("cont_b_in_a",
+        inter.cast("double") / size(col("shb")).cast("double"))
+      .filter(greatest(col("cont_a_in_b"), col("cont_b_in_a")) >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("cont_a_in_b"),
+        col("cont_b_in_a"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   // ---------------------------------------- edit-distance fuzzy match
   /** Near-identical pairs by bounded edit distance on a 60-char prefix
     * within (lang, length-bucket) blocks — the "typo-level" tier below
@@ -784,6 +832,7 @@ object Dedup {
   def queries: Map[String, Q] = Map(
     "dedup_clusters" -> ((s, d) => dupClusters(s, d)),
     "dedup_substring" -> ((s, d) => substringPairs(s, d)),
+    "dedup_containment" -> ((s, d) => containmentPairs(s, d)),
     "dedup_exact" -> ((s, d) => exact(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => ngramJaccard(s, d)),
     "dedup_minhash_lsh" -> ((s, d) => minhashLsh(s, d)),
@@ -798,6 +847,36 @@ object Dedup {
     * SQL-expressible — and get the rows-only check.
     */
   def oracles: Map[String, String] = Map(
+    "dedup_containment" ->
+      """WITH sh AS (
+           SELECT doc_id, list_distinct(list_transform(
+             range(1, greatest(len(t) - 2, 0) + 1),
+             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+           FROM (SELECT doc_id,
+                   string_split_regex(lower(text), '\s+') AS t
+                 FROM documents)
+           WHERE len(t) >= 3),
+         posting AS (SELECT doc_id, unnest(s) AS g FROM sh),
+         rare AS (
+           SELECT g FROM (SELECT g, count(*) AS occ FROM posting
+                          GROUP BY 1)
+           WHERE occ BETWEEN 2 AND 20),
+         rp AS (SELECT p.doc_id, p.g FROM posting p JOIN rare USING (g)),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM rp a JOIN rp b ON a.g = b.g AND a.doc_id < b.doc_id),
+         pairs AS (
+           SELECT c.doc_a, c.doc_b,
+             CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) /
+               CAST(len(sa.s) AS DOUBLE) AS cont_a_in_b,
+             CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) /
+               CAST(len(sb.s) AS DOUBLE) AS cont_b_in_a
+           FROM cand c
+           JOIN sh sa ON sa.doc_id = c.doc_a
+           JOIN sh sb ON sb.doc_id = c.doc_b)
+         SELECT doc_a, doc_b, cont_a_in_b, cont_b_in_a FROM pairs
+         WHERE greatest(cont_a_in_b, cont_b_in_a) >= 0.5
+         ORDER BY doc_a, doc_b""",
     "dedup_substring" ->
       """WITH wins AS (
            SELECT doc_id, unnest(list_distinct(list_transform(
