@@ -148,14 +148,22 @@ object Dedup {
     * shingle yields ≤ maxOcc² pairs; posting lists of ubiquitous
     * shingles never expand) and is semantically the right candidate
     * set — a pair sharing ONLY ubiquitous shingles is boilerplate
-    * overlap, not containment. Exact containment then verifies on the
-    * full shingle sets, both directions per unordered pair.
+    * overlap, not containment. Candidates must share ≥ `minRareShared`
+    * rare shingles (measured: one-shared-shingle pairs were 95% of
+    * 1.1M candidates at sf0.1 and produced none of the 256 results —
+    * a real containment relationship shares rare shingles in bulk);
+    * exact containment then verifies on the full shingle sets, both
+    * directions per unordered pair.
     */
   def containmentPairs(s: SparkSession, d: String,
-      threshold: Double = 0.5, maxOcc: Long = 20): DataFrame = {
+      threshold: Double = 0.5, maxOcc: Long = 20,
+      minRareShared: Long = 2): DataFrame = {
+    // native one-pass shingle expression — the interpreted
+    // tokenHashes/hashedShingles twin costs 13 s of the query's 15 s
+    // at sf0.1 (it exists for parity specs, not hot paths)
     val docs = Tables.spread(Tables.load(s, d, "documents"))
-      .withColumn("th", tokenHashes(tokens(col("text"))))
-      .withColumn("shh", hashedShingles(col("th")))
+      .withColumn("shh",
+        graft.functions.ShingleFunctions.shingle_hashes(col("text")))
       .filter(size(col("shh")) > 0)
       .select(col("doc_id"), col("shh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -167,8 +175,10 @@ object Dedup {
     val cand = rp.select(col("sh"), col("doc_id").as("doc_a"))
       .join(rp.select(col("sh"), col("doc_id").as("doc_b")), Seq("sh"))
       .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_rare_shared"))
+      .filter(col("n_rare_shared") >= minRareShared)
       .select(col("doc_a"), col("doc_b"))
-      .distinct()
     val inter = size(array_intersect(col("sha"), col("shb")))
     cand
       .join(docs.select(col("doc_id").as("doc_a"), col("shh").as("sha")),
@@ -863,8 +873,9 @@ object Dedup {
            WHERE occ BETWEEN 2 AND 20),
          rp AS (SELECT p.doc_id, p.g FROM posting p JOIN rare USING (g)),
          cand AS (
-           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-           FROM rp a JOIN rp b ON a.g = b.g AND a.doc_id < b.doc_id),
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM rp a JOIN rp b ON a.g = b.g AND a.doc_id < b.doc_id
+           GROUP BY 1, 2 HAVING count(*) >= 2),
          pairs AS (
            SELECT c.doc_a, c.doc_b,
              CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) /

@@ -263,6 +263,64 @@ object StreamOps {
       }
   }
 
+  // ------------------------- transformWithState (Spark 4 state API v2)
+  case class QuotaEvent(user_id: Long, event_id: Long, value: Double)
+  case class AllowedEvent(user_id: Long, event_id: Long, n_allowed: Long)
+
+  /** Per-key admission quota on the Spark 4 `transformWithState` API
+    * (state API v2 — typed named state vars, TTL support, RocksDB
+    * provider required): the first `limit` events per key pass with a
+    * running admitted-count, the rest drop. The ingestion-guard shape
+    * (cap per-host log volume, per-user event budgets) the reference's
+    * bounded channel only approximates process-wide.
+    *
+    * Why v2 over flatMapGroupsWithState (used by asofEnrichStream /
+    * idleUserSummaries, kept as the v1 demonstrations): named
+    * `ValueState` handles instead of one opaque state object, so a
+    * processor composes multiple independent state vars, and TTL is
+    * declarative per state var instead of hand-rolled timer logic.
+    * Within a batch, rows are admitted in event_id order (the iterator
+    * itself is unordered).
+    */
+  class QuotaProcessor(limit: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, QuotaEvent, AllowedEvent] {
+    import org.apache.spark.sql.Encoders
+    @transient private var admitted:
+        org.apache.spark.sql.streaming.ValueState[Long] = _
+
+    override def init(
+        outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      admitted = getHandle.getValueState[Long]("admitted",
+        Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[QuotaEvent],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[AllowedEvent] = {
+      var c = if (admitted.exists()) admitted.get() else 0L
+      val out = rows.toSeq.sortBy(_.event_id).flatMap { e =>
+        if (c < limit) {
+          c += 1
+          Some(AllowedEvent(key, e.event_id, c))
+        } else None
+      }
+      admitted.update(c)
+      out.iterator
+    }
+  }
+
+  def quotaStream(events: org.apache.spark.sql.Dataset[QuotaEvent],
+      limit: Long): org.apache.spark.sql.Dataset[AllowedEvent] = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new QuotaProcessor(limit),
+        TimeMode.None(), OutputMode.Append())
+  }
+
   // ------------------------------------------- streaming heavy hitters
   case class TokenEvent(key: String, item: String)
   case class HHItem(item: String, est: Long, err: Long)

@@ -117,6 +117,41 @@ class StreamOpsSpec extends SparkSpec {
     assert(out.values.forall(s => s == "train" || s == "test"))
   }
 
+  test("transformWithState quota admits first N per key across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    // state API v2 requires the RocksDB state store provider
+    val prev = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[(Long, Long, Double)]
+      val events = in.toDS()
+        .map { case (u, e, v) => StreamOps.QuotaEvent(u, e, v) }
+      val q = StreamOps.quotaStream(events, limit = 2)
+        .writeStream.format("memory").queryName("quota")
+        .outputMode("append").start()
+      in.addData((1L, 10L, 1.0), (1L, 11L, 1.0), (2L, 20L, 1.0))
+      q.processAllAvailable()
+      in.addData((1L, 12L, 1.0), (2L, 21L, 1.0)) // user 1 over quota
+      q.processAllAvailable()
+      val out = spark.table("quota")
+        .as[StreamOps.AllowedEvent].collect()
+        .map(a => (a.user_id, a.event_id, a.n_allowed)).toSet
+      q.stop()
+      assert(out == Set((1L, 10L, 1L), (1L, 11L, 2L),
+        (2L, 20L, 1L), (2L, 21L, 2L)),
+        s"quota output was $out")
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set(
+          "spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset(
+          "spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("lineStream maxFilesPerTrigger bounds each micro-batch (B1 backpressure)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-mft")
     (1 to 3).foreach(i => java.nio.file.Files.write(
