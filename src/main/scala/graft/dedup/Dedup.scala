@@ -223,6 +223,10 @@ object Dedup {
     val b = docs.select(col("doc_id").as("doc_b"), col("block"),
       col("prefix").as("pb"))
     a.join(b, Seq("block")).filter(col("doc_a") < col("doc_b"))
+      // levenshtein ≥ |len(a) − len(b)|: the length gate prunes pairs
+      // BEFORE the O(60·maxDist) DP ever runs — pure pruning, the
+      // result set is unchanged (so the oracle needs no mirror)
+      .filter(abs(length(col("pa")) - length(col("pb"))) <= maxDist)
       .select(col("doc_a"), col("doc_b"),
         levenshtein(col("pa"), col("pb"), maxDist).cast("long")
           .as("dist"))
