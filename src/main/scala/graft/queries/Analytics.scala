@@ -106,6 +106,43 @@ object Analytics {
         .orderBy($"o_custkey")
     }),
 
+    // Table profiling — the ANALYZE/data-quality pass a warehouse
+    // runs before anything else: per-column null count, distinct
+    // count, min/max, in ONE scan (16 aggregates in a single
+    // HashAggregate; the multi-distinct rides Spark's Expand, still
+    // one pass over the data) melted into a per-column report from
+    // the 1-row result. Money bounds stay on the 2dp grid.
+    "q51_profile" -> ((s, d) => {
+      import s.implicits._
+      val one = Tables.load(s, d, "lineitem").agg(
+        count(lit(1)).as("n"),
+        sum(when($"l_quantity".isNull, 1L).otherwise(0L)).as("nn_q"),
+        count_distinct($"l_quantity").as("nd_q"),
+        round(min($"l_quantity"), 2).as("mn_q"),
+        round(max($"l_quantity"), 2).as("mx_q"),
+        sum(when($"l_extendedprice".isNull, 1L).otherwise(0L)).as("nn_p"),
+        count_distinct($"l_extendedprice").as("nd_p"),
+        round(min($"l_extendedprice"), 2).as("mn_p"),
+        round(max($"l_extendedprice"), 2).as("mx_p"),
+        sum(when($"l_discount".isNull, 1L).otherwise(0L)).as("nn_d"),
+        count_distinct($"l_discount").as("nd_d"),
+        round(min($"l_discount"), 2).as("mn_d"),
+        round(max($"l_discount"), 2).as("mx_d"),
+        sum(when($"l_tax".isNull, 1L).otherwise(0L)).as("nn_t"),
+        count_distinct($"l_tax").as("nd_t"),
+        round(min($"l_tax"), 2).as("mn_t"),
+        round(max($"l_tax"), 2).as("mx_t"))
+      def row(name: String, suffix: String) =
+        one.select(lit(name).as("column"), $"n".as("n_rows"),
+          col(s"nn_$suffix").as("n_null"), col(s"nd_$suffix").as("n_distinct"),
+          col(s"mn_$suffix").as("vmin"), col(s"mx_$suffix").as("vmax"))
+      row("l_discount", "d")
+        .unionAll(row("l_extendedprice", "p"))
+        .unionAll(row("l_quantity", "q"))
+        .unionAll(row("l_tax", "t"))
+        .orderBy($"column")
+    }),
+
     // Markov transition matrix over per-user event sequences: for
     // every adjacent (event, next event) pair, how often does type A
     // lead to type B? One lead() window over a single user_id
@@ -421,6 +458,31 @@ object Analytics {
   }
 
   def oracles: Map[String, String] = Map(
+    "q51_profile" ->
+      """WITH one AS (
+           SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_q,
+             CAST(count(DISTINCT l_quantity) AS BIGINT) AS nd_q,
+             round(min(l_quantity), 2) AS mn_q, round(max(l_quantity), 2) AS mx_q,
+             CAST(sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_p,
+             CAST(count(DISTINCT l_extendedprice) AS BIGINT) AS nd_p,
+             round(min(l_extendedprice), 2) AS mn_p, round(max(l_extendedprice), 2) AS mx_p,
+             CAST(sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_d,
+             CAST(count(DISTINCT l_discount) AS BIGINT) AS nd_d,
+             round(min(l_discount), 2) AS mn_d, round(max(l_discount), 2) AS mx_d,
+             CAST(sum(CASE WHEN l_tax IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_t,
+             CAST(count(DISTINCT l_tax) AS BIGINT) AS nd_t,
+             round(min(l_tax), 2) AS mn_t, round(max(l_tax), 2) AS mx_t
+           FROM lineitem)
+         SELECT 'l_discount' AS "column", n AS n_rows, nn_d AS n_null,
+           nd_d AS n_distinct, mn_d AS vmin, mx_d AS vmax FROM one
+         UNION ALL
+         SELECT 'l_extendedprice', n, nn_p, nd_p, mn_p, mx_p FROM one
+         UNION ALL
+         SELECT 'l_quantity', n, nn_q, nd_q, mn_q, mx_q FROM one
+         UNION ALL
+         SELECT 'l_tax', n, nn_t, nd_t, mn_t, mx_t FROM one
+         ORDER BY "column"""",
     "q50_value_window" ->
       """SELECT o_custkey, n_orders, first_date, second_date, last_date
          FROM (

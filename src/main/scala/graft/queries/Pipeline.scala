@@ -250,6 +250,31 @@ object Pipeline {
         .orderBy($"shuffle_key", $"doc_id")
     }),
 
+    // Deterministic domain-mixture interleaving — the data-mixing
+    // scheduler every multi-corpus training run needs (e.g. 4 parts
+    // English to 1 part each other language): weighted fair queuing's
+    // virtual-time rule. Item k of a weight-w stream is scheduled at
+    // vtime (2k−1)/w; with integer weights the comparison runs on the
+    // exact integer (2k−1)·(W/w) (W = max weight), so both engines
+    // order identically — no float virtual clock. Per-stream sequence
+    // numbers come from a lang-partitioned window here; at 100 TB
+    // per-stream numbering is a prefix-sum problem and rides
+    // ops.PrefixSum (the q47 two-pass form) instead of a 5-task
+    // window funnel. Emits the first 200 schedule slots.
+    "pipeline_interleave" -> ((s, d) => {
+      import s.implicits._
+      val wLang = org.apache.spark.sql.expressions.Window
+        .partitionBy($"lang").orderBy($"doc_id")
+      // mult = W/w as an exact integer: en (w=4) → 1, others (w=1) → 4
+      val mult = when($"lang" === "en", lit(1L)).otherwise(lit(4L))
+      Tables.load(s, d, "documents")
+        .withColumn("rn", row_number().over(wLang).cast("long"))
+        .withColumn("vtime", (lit(2L) * $"rn" - 1L) * mult)
+        .select($"vtime", $"lang", $"rn", $"doc_id")
+        .orderBy($"vtime", $"lang", $"doc_id")
+        .limit(200)
+    }),
+
     "pipeline_training_prep_v2" -> ((s, d) => trainingPrepV2(s, d)),
     "pipeline_training_prep" -> ((s, d) => {
       import s.implicits._
@@ -425,6 +450,19 @@ object Pipeline {
              - 1 AS BIGINT) AS shard
          FROM documents
          ORDER BY shuffle_key, doc_id""",
+    "pipeline_interleave" ->
+      """WITH r AS (
+           SELECT lang, doc_id,
+             CAST(row_number() OVER (PARTITION BY lang ORDER BY doc_id)
+               AS BIGINT) AS rn
+           FROM documents),
+         v AS (
+           SELECT (2 * rn - 1) *
+             (CASE WHEN lang = 'en' THEN 1 ELSE 4 END) AS vtime,
+             lang, rn, doc_id
+           FROM r)
+         SELECT CAST(vtime AS BIGINT) AS vtime, lang, rn, doc_id
+         FROM v ORDER BY vtime, lang, doc_id LIMIT 200""",
     "pipeline_training_prep_v2" ->
       """WITH RECURSIVE scored AS (
            SELECT doc_id, lang, source, n_chars, text,
