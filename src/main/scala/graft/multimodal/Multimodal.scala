@@ -109,7 +109,62 @@ object Multimodal {
       .toDF()
   }
 
+  /** Batched embedding-inference output: an exact integer count
+    * vector in the stub (letter histogram), so the pipeline is
+    * oracle-checkable; a real encoder returns floats through the same
+    * seam.
+    */
+  case class EmbeddedMedia(doc_id: Long, embedding: Array[Long])
+
+  /** An embedding-inference kernel: batched like DecodeKernel — the
+    * seam a GPU/ONNX encoder plugs into (batch in, vectors out,
+    * amortized over batchSize elements). Must be serializable.
+    */
+  type EmbedKernel = Seq[MediaPayload] => Seq[EmbeddedMedia]
+
+  /** STUB encoder: 26-dim lowercase-letter histogram of the payload
+    * bytes — deterministic and integer-exact (ASCII corpus).
+    */
+  val stubEmbedKernel: EmbedKernel = batch => batch.map { r =>
+    val counts = new Array[Long](26)
+    r.payload.foreach { b =>
+      val c = (b | 0x20).toChar
+      if (c >= 'a' && c <= 'z') counts(c - 'a') += 1
+    }
+    EmbeddedMedia(r.doc_id, counts)
+  }
+
+  /** Batched embedding inference over the packed frame — the encoder
+    * twin of [[decode]]: same typed mapPartitions/grouped-batch shape,
+    * same partitioning contract (callers spread single-split scans).
+    */
+  def embed(packed: DataFrame, batchSize: Int = 64,
+      kernel: EmbedKernel = stubEmbedKernel): DataFrame = {
+    val s = packed.sparkSession
+    import s.implicits._
+    packed.select("doc_id", "payload")
+      .as[MediaPayload]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap(batch => kernel(batch))
+      }
+      .toDF()
+  }
+
   def queries: Map[String, Q] = Map(
+    // the inference seam end-to-end: pack → batched encoder kernel →
+    // vector postprocessing (dim / L1 norm / content fingerprint of
+    // the vector itself), all row-local after the kernel
+    "mm_embed" -> ((s, d) => {
+      import s.implicits._
+      embed(pack(s, d, spreadDocs = true))
+        .select(
+          $"doc_id",
+          size($"embedding").cast("long").as("dim"),
+          aggregate($"embedding", lit(0L), (acc, x) => acc + x).as("l1"),
+          md5(concat_ws(",", transform($"embedding", _.cast("string"))))
+            .as("vec_fp"))
+        .orderBy($"doc_id")
+    }),
     "mm_pack" -> ((s, d) => {
       import s.implicits._
       pack(s, d).select(
@@ -186,7 +241,23 @@ object Multimodal {
   /** The stub decode is pure byte-length arithmetic, so DuckDB can
     * replay it from length(text) (ASCII corpus: chars == bytes).
     */
+  /** Letter-count list literal for the mm_embed oracle (generated —
+    * 26 hand-written regexp_extract_all calls would drift).
+    */
+  private val letterCounts: String = ('a' to 'z').map(c =>
+    s"CAST(len(regexp_extract_all(lower(text), '$c')) AS BIGINT)")
+    .mkString(", ")
+
   def oracles: Map[String, String] = Map(
+    "mm_embed" ->
+      s"""WITH m AS (
+           SELECT d.doc_id, d.text
+           FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+         c AS (SELECT doc_id, [$letterCounts] AS v FROM m)
+         SELECT doc_id, CAST(len(v) AS BIGINT) AS dim,
+           CAST(list_sum(v) AS BIGINT) AS l1,
+           md5(array_to_string(v, ',')) AS vec_fp
+         FROM c ORDER BY doc_id""",
     "mm_pack" ->
       """SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS payload_bytes,
          d.lang, d.source, e.label, CAST(len(e.embedding) AS BIGINT) AS emb_dim
