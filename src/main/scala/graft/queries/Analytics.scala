@@ -106,6 +106,26 @@ object Analytics {
         .orderBy($"o_custkey")
     }),
 
+    // NATIVE batch session windows — the session_window operator
+    // itself (SessionWindowing exec with session merging), not the
+    // manual lag/gap formulation of q15 (kept as its cross-check
+    // twin): per-user sessions close after a 30-minute idle gap, the
+    // session range is [first event, last event + gap). Emitted
+    // bounds ride exact epoch-µs integers. Oracle replays the merge
+    // rule (new session when the gap is ≥ the timeout — Spark's
+    // session end is exclusive) with a cumulative marker sum.
+    "q52_session_window" -> ((s, d) => {
+      import s.implicits._
+      Tables.load(s, d, "events")
+        .groupBy($"user_id", session_window($"ts", "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n_events"))
+        .select($"user_id",
+          unix_micros($"sw.start").as("s_start_us"),
+          unix_micros($"sw.end").as("s_end_us"),
+          $"n_events")
+        .orderBy($"user_id", $"s_start_us")
+    }),
+
     // Table profiling — the ANALYZE/data-quality pass a warehouse
     // runs before anything else: per-column null count, distinct
     // count, min/max, in ONE scan (16 aggregates in a single
@@ -458,6 +478,27 @@ object Analytics {
   }
 
   def oracles: Map[String, String] = Map(
+    "q52_session_window" ->
+      """WITH e AS (
+           SELECT user_id, event_id, epoch_us(ts) AS us,
+             lag(epoch_us(ts)) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS prev_us
+           FROM events),
+         m AS (
+           SELECT user_id, us,
+             CAST(sum(CASE WHEN prev_us IS NULL
+                           OR us - prev_us >= 1800000000
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY us, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS sess
+           FROM e)
+         SELECT user_id,
+           CAST(min(us) AS BIGINT) AS s_start_us,
+           CAST(max(us) + 1800000000 AS BIGINT) AS s_end_us,
+           count(*) AS n_events
+         FROM m GROUP BY user_id, sess
+         ORDER BY user_id, s_start_us""",
     "q51_profile" ->
       """WITH one AS (
            SELECT CAST(count(*) AS BIGINT) AS n,
