@@ -157,11 +157,16 @@ object Dedup {
     */
   def containmentPairs(s: SparkSession, d: String,
       threshold: Double = 0.5, maxOcc: Long = 20,
-      minRareShared: Long = 2): DataFrame = {
+      minRareShared: Long = 2): DataFrame =
+    containmentPairsOver(Tables.spread(Tables.load(s, d, "documents")),
+      threshold, maxOcc, minRareShared)
+
+  def containmentPairsOver(docs0: DataFrame, threshold: Double = 0.5,
+      maxOcc: Long = 20, minRareShared: Long = 2): DataFrame = {
     // native one-pass shingle expression — the interpreted
     // tokenHashes/hashedShingles twin costs 13 s of the query's 15 s
     // at sf0.1 (it exists for parity specs, not hot paths)
-    val docs = Tables.spread(Tables.load(s, d, "documents"))
+    val docs = docs0
       .withColumn("shh",
         graft.functions.ShingleFunctions.shingle_hashes(col("text")))
       .filter(size(col("shh")) > 0)

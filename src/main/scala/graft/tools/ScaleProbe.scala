@@ -112,6 +112,12 @@ object ScaleProbe {
       val (tSub, rSub) = time(
         graft.dedup.Dedup.substringPairsOver(docs4).count())
       spark.catalog.clearCache()
+      // containment: rare-shingle occupancy replicates per copy
+      // (cross-copy shingles disjoint), so pairs and wall track ~k
+      val docs5 = corpus(mult); docs5.count()
+      val (tCont, rCont) = time(
+        graft.dedup.Dedup.containmentPairsOver(docs5).count())
+      spark.catalog.clearCache()
       // embedding LSH: planesFor re-sizes the plane count per corpus,
       // so candidate counts (and time) should track ~k, not k²
       val embs = embCorpus(mult)
@@ -123,6 +129,7 @@ object ScaleProbe {
       println(f"[scale] mult=$mult docs=$n " +
         f"minhash=$tMin%.1fs($rMin) simhash=$tSim%.1fs($rSim) " +
         f"ngram(0.5)=$tNg%.1fs($rNg) substr=$tSub%.1fs($rSub) " +
+        f"contain=$tCont%.1fs($rCont) " +
         f"embLsh[p=$planes]=$tEmb%.1fs($rEmb)")
     }
     spark.stop()
