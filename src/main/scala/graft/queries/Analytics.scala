@@ -126,6 +126,32 @@ object Analytics {
         .orderBy($"user_id", $"s_start_us")
     }),
 
+    // MapType surface (SURVEY §1.2: dynamic-key JSON objects map to
+    // map<string,string>): from_json → map, then map_keys /
+    // map_concat (constant-column enrichment in map space — P2's
+    // typed cousin) / transform_values / element_at, emitted as
+    // deterministic sorted k=v strings both engines can hash. All
+    // row-local, scan-shaped.
+    "q53_map_funcs" -> ((s, d) => {
+      import org.apache.spark.sql.types.{MapType, StringType}
+      import s.implicits._
+      val m = from_json($"props", MapType(StringType, StringType))
+      val enriched = transform_values(
+        map_concat(m, map(lit("src"), $"event_type")),
+        (_, v) => upper(v))
+      Tables.load(s, d, "events")
+        .select(
+          $"event_id",
+          size(m).cast("long").as("n_entries"),
+          array_join(array_sort(map_keys(m)), ",").as("keys_sorted"),
+          element_at(m, "k").as("k_val"),
+          array_join(
+            transform(array_sort(map_keys(enriched)),
+              k => concat_ws("=", k, element_at(enriched, k))), "&")
+            .as("kv"))
+        .orderBy($"event_id")
+    }),
+
     // Table profiling — the ANALYZE/data-quality pass a warehouse
     // runs before anything else: per-column null count, distinct
     // count, min/max, in ONE scan (16 aggregates in a single
@@ -478,6 +504,18 @@ object Analytics {
   }
 
   def oracles: Map[String, String] = Map(
+    "q53_map_funcs" ->
+      """SELECT event_id,
+           CAST(len(json_keys(props)) AS BIGINT) AS n_entries,
+           array_to_string(list_sort(json_keys(props)), ',')
+             AS keys_sorted,
+           json_extract_string(props, '$.k') AS k_val,
+           array_to_string(list_transform(
+             list_sort(json_keys(props) || ['src']),
+             k -> k || '=' || upper(CASE WHEN k = 'src' THEN event_type
+               ELSE json_extract_string(props, '$.' || k) END)), '&')
+             AS kv
+         FROM events ORDER BY event_id""",
     "q52_session_window" ->
       """WITH e AS (
            SELECT user_id, event_id, epoch_us(ts) AS us,
