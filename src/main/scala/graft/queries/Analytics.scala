@@ -126,6 +126,36 @@ object Analytics {
         .orderBy($"user_id", $"s_start_us")
     }),
 
+    // VariantType surface — Spark 4's native semi-structured type
+    // (the open-format successor to string-JSON columns; SURVEY §1.2's
+    // dynamic-JSON row gets a typed binary encoding with pushdown-
+    // friendly typed extraction instead of per-access string
+    // parsing). parse_json → variant; typed variant_get paths; the
+    // schema_of_variant introspection; is_variant_null. Augmented
+    // with a deterministic per-row nested value (pure function of
+    // event_id, replayed by the oracle) so nested paths and type
+    // casts are exercised, not just the flat {"k": n} corpus shape.
+    "q54_variant" -> ((s, d) => {
+      import s.implicits._
+      val payload = concat(lit("{\"meta\":{\"gen\":"),
+        pmod($"event_id", lit(5)).cast("string"),
+        lit(",\"tags\":[\"t"), pmod($"event_id", lit(3)).cast("string"),
+        lit("\",\"x\"]},\"nul\":null,\"props\":"), $"props", lit("}"))
+      val v = parse_json(payload)
+      Tables.load(s, d, "events")
+        .select(
+          $"event_id",
+          variant_get(v, "$.meta.gen", "bigint").as("gen"),
+          variant_get(v, "$.meta.tags[0]", "string").as("tag0"),
+          variant_get(v, "$.props.k", "bigint").as("k_val"),
+          schema_of_variant(v).as("v_schema"),
+          is_variant_null(variant_get(v, "$.nul", "variant"))
+            .as("nul_is_vnull"),
+          try_variant_get(v, "$.missing", "bigint").isNull
+            .as("missing_is_null"))
+        .orderBy($"event_id")
+    }),
+
     // MapType surface (SURVEY §1.2: dynamic-key JSON objects map to
     // map<string,string>): from_json → map, then map_keys /
     // map_concat (constant-column enrichment in map space — P2's
@@ -504,6 +534,19 @@ object Analytics {
   }
 
   def oracles: Map[String, String] = Map(
+    // the schema literal replays Spark's schema_of_variant formatting
+    // for the (uniform) augmented shape — empirically pinned; a shape
+    // drift in the corpus would fail the hash gate loudly
+    "q54_variant" ->
+      """SELECT event_id,
+           CAST(event_id % 5 AS BIGINT) AS gen,
+           't' || CAST(event_id % 3 AS VARCHAR) AS tag0,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k_val,
+           'OBJECT<meta: OBJECT<gen: BIGINT, tags: ARRAY<STRING>>, ' ||
+             'nul: VOID, props: OBJECT<k: BIGINT>>' AS v_schema,
+           true AS nul_is_vnull,
+           true AS missing_is_null
+         FROM events ORDER BY event_id""",
     "q53_map_funcs" ->
       """SELECT event_id,
            CAST(len(json_keys(props)) AS BIGINT) AS n_entries,
