@@ -263,6 +263,20 @@ object StreamOps {
       }
   }
 
+  // ---------------------------------------------- stream-static join
+  /** Stream-static enrichment: an unbounded stream joined to a
+    * bounded dimension frame — the streaming analogue of
+    * q13_dim_join and the third join flavor next to the stateful
+    * stream-stream interval join (intervalJoinStream) and the as-of
+    * state machine (asofEnrichStream). No state store is involved:
+    * the static side is re-planned per micro-batch (picking up
+    * dimension-table refreshes between batches) and broadcast, so
+    * the stream side never shuffles.
+    */
+  def enrichStream(events: DataFrame, dim: DataFrame,
+      key: String): DataFrame =
+    events.join(broadcast(dim), Seq(key))
+
   // ------------------------- transformWithState (Spark 4 state API v2)
   case class QuotaEvent(user_id: Long, event_id: Long, value: Double)
   case class AllowedEvent(user_id: Long, event_id: Long, n_allowed: Long)

@@ -117,6 +117,22 @@ class StreamOpsSpec extends SparkSpec {
     assert(out.values.forall(s => s == "train" || s == "test"))
   }
 
+  test("stream-static join enriches events with the broadcast dimension") {
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val in = MemoryStream[(Long, Double)]
+    val events = in.toDF().toDF("user_id", "value")
+    val q = StreamOps.enrichStream(events, dim, "user_id")
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode("append").start()
+    in.addData((1L, 5.0), (2L, 7.0), (3L, 9.0)) // 3 has no dim row
+    q.processAllAvailable()
+    val out = spark.table("enriched")
+      .select($"user_id", $"tier").as[(Long, String)].collect().toSet
+    q.stop()
+    assert(out == Set((1L, "gold"), (2L, "basic")))
+  }
+
   test("transformWithState quota admits first N per key across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     // state API v2 requires the RocksDB state store provider
