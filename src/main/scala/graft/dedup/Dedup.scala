@@ -216,8 +216,11 @@ object Dedup {
   def fuzzyEditPairs(s: SparkSession, d: String, maxDist: Int = 10)
       : DataFrame = {
     // both self-join sides read the same projection; persist so the
-    // scan+substring runs once (ngramJaccardPairs reasoning)
-    val docs = Tables.load(s, d, "documents")
+    // scan+substring runs once (ngramJaccardPairs reasoning). spread:
+    // the broadcast self-join inherits the stream side's partitioning,
+    // so an un-spread single-split local scan would run every banded
+    // DP on ONE core (measured 4.4 s → sub-second at sf0.1)
+    val docs = Tables.spread(Tables.load(s, d, "documents"))
       .select(col("doc_id"),
         concat_ws("#", col("lang"),
           floor(col("n_chars") / 100).cast("long")).as("block"),
