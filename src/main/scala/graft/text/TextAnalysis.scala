@@ -47,7 +47,7 @@ object TextAnalysis {
   def queries: Map[String, Q] = Map(
     "text_stats" -> ((s, d) => {
       import s.implicits._
-      Tables.load(s, d, "documents")
+      Tables.spread(Tables.load(s, d, "documents"))
         .withColumn("t", toks($"text"))
         .select(
           $"doc_id", $"lang",
@@ -62,7 +62,7 @@ object TextAnalysis {
 
     "text_quality" -> ((s, d) => {
       import s.implicits._
-      val df = Tables.load(s, d, "documents").withColumn("t", toks($"text"))
+      val df = Tables.spread(Tables.load(s, d, "documents")).withColumn("t", toks($"text"))
       df.select(
         $"doc_id",
         length($"text").cast("long").as("n_chars_actual"),
@@ -80,7 +80,7 @@ object TextAnalysis {
 
     "text_langid" -> ((s, d) => {
       import s.implicits._
-      val df = Tables.load(s, d, "documents").withColumn("t", toks($"text"))
+      val df = Tables.spread(Tables.load(s, d, "documents")).withColumn("t", toks($"text"))
       val scored = stopwords.foldLeft(df) { case (acc, (lang, words)) =>
         acc.withColumn(s"s_$lang", stopCount(col("t"), words))
       }
@@ -99,7 +99,7 @@ object TextAnalysis {
 
     "text_tokens" -> ((s, d) => {
       import s.implicits._
-      Tables.load(s, d, "documents")
+      Tables.spread(Tables.load(s, d, "documents"))
         .select(
           $"doc_id",
           size(toks($"text")).cast("long").as("ws_tokens"),
@@ -119,7 +119,7 @@ object TextAnalysis {
     "text_repetition" -> ((s, d) => {
       import s.implicits._
       val total = greatest(size($"th") - 2, lit(0)).cast("long")
-      Tables.load(s, d, "documents")
+      Tables.spread(Tables.load(s, d, "documents"))
         .withColumn("th", graft.dedup.Dedup.tokenHashes(toks($"text")))
         .withColumn("shh", graft.dedup.Dedup.hashedShingles($"th"))
         .select($"doc_id", $"lang",
@@ -141,7 +141,7 @@ object TextAnalysis {
     // a slice, no window.
     "text_heavy_hitters" -> ((s, d) => {
       import s.implicits._
-      Tables.load(s, d, "documents")
+      Tables.spread(Tables.load(s, d, "documents"))
         .select($"lang", explode(toks($"text")).as("token"))
         .groupBy($"lang")
         .agg(graft.functions.SpaceSavingAgg.space_saving($"token", 256)
@@ -169,7 +169,7 @@ object TextAnalysis {
       val norm = graft.functions.NfcNormalize.nfc_normalize(aug)
       val clean = trim(regexp_replace(
         regexp_replace(norm, "[\\x00-\\x1f\\x7f]", ""), " {2,}", " "))
-      Tables.load(s, d, "documents")
+      Tables.spread(Tables.load(s, d, "documents"))
         .select(
           $"doc_id",
           md5(clean).as("norm_fp"),
@@ -189,7 +189,7 @@ object TextAnalysis {
       import s.implicits._
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy($"lang").orderBy($"n".desc, $"token")
-      Tables.load(s, d, "documents")
+      Tables.spread(Tables.load(s, d, "documents"))
         .select($"lang", explode(toks($"text")).as("token"))
         .groupBy($"lang", $"token")
         .agg(count(lit(1)).as("n"))
@@ -221,7 +221,7 @@ object TextAnalysis {
       val r1 = regexp_replace(aug, EmailRe, "<EMAIL>")
       val r2 = regexp_replace(r1, Ipv4Re, "<IP>")
       val r3 = regexp_replace(r2, PhoneRe, "<PHONE>")
-      Tables.load(s, d, "documents")
+      Tables.spread(Tables.load(s, d, "documents"))
         .select(
           $"doc_id",
           size(regexp_extract_all(aug, lit(EmailRe), lit(0)))
@@ -246,7 +246,7 @@ object TextAnalysis {
     // integer division at the end.
     "text_rarity" -> ((s, d) => {
       import s.implicits._
-      val toksDf = Tables.load(s, d, "documents")
+      val toksDf = Tables.spread(Tables.load(s, d, "documents"))
         .select($"doc_id", explode(toks($"text")).as("token"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val vocab = toksDf.groupBy($"token").agg(count(lit(1)).as("cnt"))
@@ -265,7 +265,7 @@ object TextAnalysis {
       // set (order-free, clustering-level), exact md5, and the
       // order-sensitive polynomial rolling hash (native codegen
       // expression graft.functions.RollingHash).
-      Tables.load(s, d, "documents")
+      Tables.spread(Tables.load(s, d, "documents"))
         .select(
           $"doc_id",
           md5(array_join(array_sort(array_distinct(toks($"text"))), " "))
@@ -288,7 +288,7 @@ object TextAnalysis {
     // token; at corpus scale df is vocab-sized and broadcastable.
     "text_keywords" -> ((s, d) => {
       import s.implicits._
-      val tf = Tables.load(s, d, "documents")
+      val tf = Tables.spread(Tables.load(s, d, "documents"))
         .select($"doc_id", explode(toks($"text")).as("token"))
         .groupBy($"doc_id", $"token")
         .agg(count(lit(1)).as("tf"))
@@ -315,7 +315,7 @@ object TextAnalysis {
     // both engines hash identically.
     "text_inverted_index" -> ((s, d) => {
       import s.implicits._
-      val pairs = Tables.load(s, d, "documents")
+      val pairs = Tables.spread(Tables.load(s, d, "documents"))
         .select($"doc_id", explode(toks($"text")).as("token"))
         .distinct()
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
