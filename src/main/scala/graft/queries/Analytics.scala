@@ -126,6 +126,33 @@ object Analytics {
         .orderBy($"user_id", $"s_start_us")
     }),
 
+    // ANSI error-handling surface: the try_* family. The engine runs
+    // ANSI mode (overflow/bad-cast/zero-division THROW — the
+    // correctness default), so the try_ forms are the per-expression
+    // escape hatch a dirty-data pipeline needs: NULL on failure
+    // instead of a dead job. Exercises try_divide (planted zero
+    // denominators), try_cast (planted non-numeric strings),
+    // try_add/try_multiply at long range boundaries (planted
+    // overflow), and try_to_number. Row-local, scan-shaped.
+    "q55_try_arith" -> ((s, d) => {
+      import s.implicits._
+      val denom = $"event_id" % 7 // 0 every 7th row
+      val numStr = when($"event_id" % 5 === 0, lit("n/a"))
+        .otherwise(($"event_id" * 3).cast("string"))
+      val big = when($"event_id" % 11 === 0,
+        lit(Long.MaxValue)).otherwise($"event_id")
+      Tables.load(s, d, "events")
+        .select(
+          $"event_id",
+          try_divide($"value", denom.cast("double")).as("safe_div"),
+          numStr.try_cast("bigint").as("safe_cast"),
+          try_add(big, lit(1L)).as("safe_add"),
+          try_multiply(big, lit(2L)).as("safe_mul"),
+          try_to_number(lpad(pmod($"event_id", lit(1000)).cast("string"),
+            3, "0"), lit("999")).cast("long").as("safe_num"))
+        .orderBy($"event_id")
+    }),
+
     // VariantType surface — Spark 4's native semi-structured type
     // (the open-format successor to string-JSON columns; SURVEY §1.2's
     // dynamic-JSON row gets a typed binary encoding with pushdown-
@@ -534,6 +561,21 @@ object Analytics {
   }
 
   def oracles: Map[String, String] = Map(
+    // try_* failures are replayed as explicit CASE NULLs over the
+    // same planted failure rows (the oracle has no job to save)
+    "q55_try_arith" ->
+      """SELECT event_id,
+           CASE WHEN event_id % 7 = 0 THEN NULL
+                ELSE value / CAST(event_id % 7 AS DOUBLE) END AS safe_div,
+           TRY_CAST(CASE WHEN event_id % 5 = 0 THEN 'n/a'
+                ELSE CAST(event_id * 3 AS VARCHAR) END AS BIGINT)
+             AS safe_cast,
+           CASE WHEN event_id % 11 = 0 THEN NULL
+                ELSE event_id + 1 END AS safe_add,
+           CASE WHEN event_id % 11 = 0 THEN NULL
+                ELSE event_id * 2 END AS safe_mul,
+           CAST(event_id % 1000 AS BIGINT) AS safe_num
+         FROM events ORDER BY event_id""",
     // the schema literal replays Spark's schema_of_variant formatting
     // for the (uniform) augmented shape — empirically pinned; a shape
     // drift in the corpus would fail the hash gate loudly
