@@ -126,6 +126,27 @@ object Analytics {
         .orderBy($"user_id", $"s_start_us")
     }),
 
+    // Null-safe equality (<=> / IS NOT DISTINCT FROM): the join
+    // semantics where NULL keys MATCH each other instead of silently
+    // dropping — what entity-resolution joins over incomplete keys
+    // need (a plain equi-join discards every NULL-keyed row of both
+    // sides). Planted NULL keys on both sides; the NULL group must
+    // survive with the product of both sides' counts. Plans as an
+    // EqualNullSafe hash join — still a hash-partitionable key, not
+    // a nested loop.
+    "q56_null_safe_join" -> ((s, d) => {
+      import s.implicits._
+      def keyed(m: Int) = Tables.load(s, d, "events")
+        .withColumn("k",
+          when($"event_id" % m === 0, lit(null).cast("long"))
+            .otherwise($"event_id" % 50))
+        .groupBy($"k").agg(count(lit(1)).as(s"n_$m"))
+      keyed(5).as("a")
+        .join(keyed(3).as("b"), $"a.k" <=> $"b.k")
+        .select($"a.k".as("k"), $"n_5", $"n_3")
+        .orderBy($"k")
+    }),
+
     // ANSI error-handling surface: the try_* family. The engine runs
     // ANSI mode (overflow/bad-cast/zero-division THROW — the
     // correctness default), so the try_ forms are the per-expression
@@ -561,6 +582,20 @@ object Analytics {
   }
 
   def oracles: Map[String, String] = Map(
+    "q56_null_safe_join" ->
+      """WITH a AS (
+           SELECT CASE WHEN event_id % 5 = 0 THEN NULL
+                       ELSE event_id % 50 END AS k,
+             count(*) AS n_5
+           FROM events GROUP BY 1),
+         b AS (
+           SELECT CASE WHEN event_id % 3 = 0 THEN NULL
+                       ELSE event_id % 50 END AS k,
+             count(*) AS n_3
+           FROM events GROUP BY 1)
+         SELECT a.k, a.n_5, b.n_3
+         FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+         ORDER BY a.k""",
     // try_* failures are replayed as explicit CASE NULLs over the
     // same planted failure rows (the oracle has no job to save)
     "q55_try_arith" ->
