@@ -335,6 +335,79 @@ object StreamOps {
         TimeMode.None(), OutputMode.Append())
   }
 
+  /** Idle-close on the v2 API with EVENT-TIME TIMERS — the
+    * [[idleUserSummaries]] twin on transformWithState: accumulate a
+    * per-user summary, (re-)arm a timer for lastTs + idle gap, and
+    * emit from `handleExpiredTimer` when the watermark passes it.
+    * Stale timers (superseded by later events — the v2 API
+    * accumulates timers rather than replacing them) are recognized by
+    * comparing the fired expiry against the state's current deadline
+    * and dropped, the standard guard. The timer is clamped past the
+    * current watermark like the v1 twin (a late event's raw deadline
+    * could otherwise be un-armable).
+    */
+  class IdleCloseProcessor(idleMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, UserEvent, UserSummary] {
+    import org.apache.spark.sql.Encoders
+    @transient private var agg:
+        org.apache.spark.sql.streaming.ValueState[UserState] = _
+
+    override def init(
+        outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      agg = getHandle.getValueState[UserState]("agg",
+        Encoders.product[UserState],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    private def deadline(s: UserState,
+        tv: org.apache.spark.sql.streaming.TimerValues): Long =
+      math.max(s.lastTs + idleMs, tv.getCurrentWatermarkInMs() + 1)
+
+    override def handleInputRows(key: Long, rows: Iterator[UserEvent],
+        tv: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[UserSummary] = {
+      val prev = if (agg.exists()) agg.get() else UserState(0L, 0.0, 0L)
+      val next = rows.foldLeft(prev) { (a, e) =>
+        UserState(a.count + 1, a.sum + e.value,
+          math.max(a.lastTs, e.ts.getTime))
+      }
+      agg.update(next)
+      getHandle.registerTimer(deadline(next, tv))
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(key: Long,
+        tv: org.apache.spark.sql.streaming.TimerValues,
+        expired: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+        : Iterator[UserSummary] = {
+      if (!agg.exists()) Iterator.empty
+      else {
+        val s = agg.get()
+        // only the CURRENT deadline closes the session; earlier
+        // armed-then-superseded timers fire and are ignored
+        if (expired.getExpiryTimeInMs() >= s.lastTs + idleMs) {
+          agg.clear()
+          Iterator.single(UserSummary(key, s.count, s.sum,
+            closed_by_timeout = true))
+        } else Iterator.empty
+      }
+    }
+  }
+
+  def idleUserSummariesV2(
+      events: org.apache.spark.sql.Dataset[UserEvent], idleMs: Long,
+      watermarkDelay: String = "0 seconds")
+      : org.apache.spark.sql.Dataset[UserSummary] = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .transformWithState(new IdleCloseProcessor(idleMs),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
   // ------------------------------------------- streaming heavy hitters
   case class TokenEvent(key: String, item: String)
   case class HHItem(item: String, est: Long, err: Long)

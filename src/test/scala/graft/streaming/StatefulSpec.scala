@@ -10,6 +10,46 @@ class StatefulSpec extends SparkSpec {
 
   private def ts(s: String): Timestamp = Timestamp.valueOf(s)
 
+  test("transformWithState v2: event-time TIMERS close idle sessions") {
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[UserEvent]
+      val q = StreamOps.idleUserSummariesV2(in.toDS(), idleMs = 60000L)
+        .writeStream.format("memory").queryName("idle_v2")
+        .outputMode("append").start()
+      in.addData(
+        UserEvent(1L, ts("2024-01-01 10:00:00"), 2.0),
+        UserEvent(1L, ts("2024-01-01 10:00:05"), 3.0),
+        UserEvent(2L, ts("2024-01-01 10:00:01"), 7.0))
+      q.processAllAvailable()
+      assert(spark.table("idle_v2").count() == 0) // users still live
+      // advance the watermark far past both users' idle deadlines;
+      // v2 timers fire within the batch whose watermark passes them
+      in.addData(UserEvent(3L, ts("2024-01-01 10:30:00"), 1.0))
+      q.processAllAvailable()
+      in.addData(UserEvent(3L, ts("2024-01-01 10:30:01"), 1.0))
+      q.processAllAvailable()
+      val out = spark.table("idle_v2").as[UserSummary]
+        .collect().map(s => s.user_id -> s).toMap
+      q.stop()
+      assert(out.keySet.contains(1L) && out.keySet.contains(2L))
+      assert(out(1L).n_events == 2 && out(1L).sum_value == 5.0)
+      assert(out(2L).n_events == 1 && out(2L).sum_value == 7.0)
+      assert(out(1L).closed_by_timeout && out(2L).closed_by_timeout)
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set(
+          "spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset(
+          "spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("flatMapGroupsWithState: event-time idle timeout emits summaries") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[UserEvent]
