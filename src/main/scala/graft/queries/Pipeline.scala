@@ -275,6 +275,24 @@ object Pipeline {
         .limit(200)
     }),
 
+    // Contiguous global sample numbering in the deterministic shuffle
+    // order — the "assign example ids" pass before sharded writes.
+    // A row_number() window with no partitionBy funnels the corpus
+    // through ONE task; this rides ops.PrefixSum's two-pass
+    // distributed scan (range shuffle → per-partition totals → driver
+    // exclusive scan → broadcast offsets), partition-count-invariant
+    // (PrefixSumSpec) and equal to the window form row-for-row — the
+    // oracle IS that window form.
+    "pipeline_global_index" -> ((s, d) => {
+      import s.implicits._
+      val key = md5(concat(lit("shuffle42:"), $"doc_id".cast("string")))
+      graft.ops.PrefixSum.runningTotal(
+        Tables.load(s, d, "documents").select($"doc_id", key.as("skey")),
+        Seq(col("skey"), col("doc_id")), lit(1L), "global_idx")
+        .select($"doc_id", $"skey", $"global_idx")
+        .orderBy($"global_idx")
+    }),
+
     "pipeline_training_prep_v2" -> ((s, d) => trainingPrepV2(s, d)),
     "pipeline_training_prep" -> ((s, d) => {
       import s.implicits._
@@ -450,6 +468,13 @@ object Pipeline {
              - 1 AS BIGINT) AS shard
          FROM documents
          ORDER BY shuffle_key, doc_id""",
+    "pipeline_global_index" ->
+      """SELECT doc_id,
+           md5('shuffle42:' || CAST(doc_id AS VARCHAR)) AS skey,
+           CAST(row_number() OVER (
+             ORDER BY md5('shuffle42:' || CAST(doc_id AS VARCHAR)),
+               doc_id) AS BIGINT) AS global_idx
+         FROM documents ORDER BY global_idx""",
     "pipeline_interleave" ->
       """WITH r AS (
            SELECT lang, doc_id,
