@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.dedup.Dedup
 import graft.multimodal.Multimodal
-import graft.queries.{Analytics, LogOps, Pipeline, Relational}
+import graft.queries.{Analytics, Corpus, LogOps, Pipeline, Relational}
 import graft.sim.Similarity
 import graft.text.TextAnalysis
 
@@ -23,10 +23,10 @@ object SparkEntry {
   def queries: Map[String, Q] =
     Relational.queries ++ Analytics.queries ++ LogOps.queries ++
       Dedup.queries ++ TextAnalysis.queries ++ Similarity.queries ++
-      Multimodal.queries ++ Pipeline.queries
+      Multimodal.queries ++ Pipeline.queries ++ Corpus.queries
 
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Analytics.oracles ++ LogOps.oracles ++
       Dedup.oracles ++ TextAnalysis.oracles ++ Similarity.oracles ++
-      Multimodal.oracles ++ Pipeline.oracles
+      Multimodal.oracles ++ Pipeline.oracles ++ Corpus.oracles
 }

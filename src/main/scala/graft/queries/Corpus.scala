@@ -1,0 +1,508 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{Q, Tables}
+import graft.dedup.Dedup
+
+/** Round-7 corpus/pipeline queries: Spark 4 native recursive CTEs, URL
+  * parsing, corpus-LM scoring, boilerplate detection, and the
+  * canonical-keeper policy step downstream of near-dup clustering.
+  *
+  * The reference (`/root/reference/`, a record-at-a-time log forwarder —
+  * SURVEY.md §2a) has none of this surface; these are §2b/§2c extension
+  * operators for the training-data-pipeline goal. Parity rules as
+  * everywhere in the repo: exact integer arithmetic where a float fold
+  * order could flip the driver's hash, round(…, 4) where a transcendental
+  * (ln) is inherent, aliases matching the DuckDB oracle column-for-column.
+  */
+object Corpus {
+
+  def queries: Map[String, Q] = Map(
+
+    // Spark 4 NATIVE recursive CTE (WITH RECURSIVE → UnionLoop), series
+    // form: build the month calendar spanning the orders table and
+    // LEFT JOIN monthly revenue so empty months survive as zeros — the
+    // gap-fill every time-series report needs. Scale shape: the
+    // recursion is a driver-iterated loop over one-row batches building
+    // an 80-row dimension — it never touches the fact table; revenue
+    // aggregates map-side partial on the scan and the tiny calendar
+    // broadcasts into the final join. Constants anchor the generator's
+    // range (TESTDATA.md); 80 levels sits under Spark's default
+    // 100-level recursion guard.
+    "q57_recursive_calendar" -> ((s, d) => {
+      Tables.load(s, d, "orders").createOrReplaceTempView("orders_v")
+      s.sql("""
+        WITH RECURSIVE cal(m) AS (
+          SELECT DATE '1995-01-01'
+          UNION ALL
+          SELECT add_months(m, 1) FROM cal WHERE m < DATE '2001-08-01'
+        ),
+        rev AS (
+          SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+                 count(*) AS n_orders,
+                 sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+          FROM orders_v GROUP BY 1
+        )
+        SELECT CAST(cal.m AS TIMESTAMP) AS month,
+               coalesce(rev.n_orders, 0) AS n_orders,
+               round(coalesce(rev.cents, 0) / CAST(100 AS DOUBLE), 2) AS revenue
+        FROM cal LEFT JOIN rev ON cal.m = rev.m
+        ORDER BY month""")
+    }),
+
+    // Spark 4 native recursive CTE, graph form: level-bounded
+    // transitive closure over the SAME blocked trigram-Jaccard near-dup
+    // edges as dedup_clusters. Spark's recursion only accepts UNION ALL
+    // (no fixpoint dedup), so on a cyclic edge set the closure must be
+    // bounded: 4 hops covers the diameter-2-3 clusters near-dup graphs
+    // produce, and the oracle runs the IDENTICAL bounded recursion so
+    // the comparison is exact regardless. Scale shape: path
+    // multiplicity under UNION ALL grows with cluster size ^ hops —
+    // fine for dup clusters (tiny components), wrong for big
+    // components; the loop-based dedup_clusters (min-label propagation
+    // with persist discipline) is the 100 TB path, this is the
+    // SQL-surface twin.
+    "q58_closure_cte" -> ((s, d) => {
+      Tables.load(s, d, "documents").createOrReplaceTempView("documents_v")
+      s.sql("""
+        WITH RECURSIVE docs AS (
+          SELECT doc_id,
+                 concat(lang, '#', CAST(CAST(floor(n_chars / 100) AS BIGINT) AS STRING)) AS block,
+                 CASE WHEN size(split(lower(text), '\\s+')) >= 3 THEN
+                   array_distinct(transform(
+                     sequence(1, size(split(lower(text), '\\s+')) - 2),
+                     i -> concat_ws(' ',
+                       element_at(split(lower(text), '\\s+'), i),
+                       element_at(split(lower(text), '\\s+'), i + 1),
+                       element_at(split(lower(text), '\\s+'), i + 2))))
+                 ELSE CAST(array() AS ARRAY<STRING>) END AS sh
+          FROM documents_v
+        ),
+        pairs AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM docs a JOIN docs b ON a.block = b.block AND a.doc_id < b.doc_id
+          WHERE CAST(size(array_intersect(a.sh, b.sh)) AS DOUBLE) /
+                CAST(size(array_distinct(concat(a.sh, b.sh))) AS DOUBLE) >= 0.05
+        ),
+        edges AS (
+          SELECT doc_a AS src, doc_b AS dst FROM pairs
+          UNION ALL SELECT doc_b, doc_a FROM pairs
+        ),
+        reach(src, dst, lvl) AS (
+          SELECT src, dst, 1 FROM edges
+          UNION ALL
+          SELECT r.src, e.dst, r.lvl + 1
+          FROM reach r JOIN edges e ON r.dst = e.src
+          WHERE r.lvl < 4
+        ),
+        members AS (SELECT DISTINCT src AS doc_id FROM edges)
+        SELECT least(m.doc_id, min(r.dst)) AS component, m.doc_id
+        FROM members m
+        JOIN (SELECT DISTINCT src, dst FROM reach) r ON r.src = m.doc_id
+        GROUP BY m.doc_id
+        ORDER BY component, doc_id""")
+    }),
+
+    // URL scalar-function surface: parse_url (HOST / PATH / keyed
+    // QUERY) — the per-document provenance columns every crawl
+    // pipeline materializes before domain-level aggregation. The URL
+    // is derived deterministically from the table so the oracle can
+    // derive the same string; parse_url is row-local codegen'd
+    // expression work, scan-shaped, nothing shuffles until the
+    // domain rollup at the end (map-side partial count).
+    "q59_url_funcs" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.load(s, d, "documents")
+        .withColumn("url",
+          concat(lit("https://"), $"source", lit(".example.com/d/"),
+            $"doc_id", lit("?lang="), $"lang", lit("&v=1")))
+      val parsed = docs.select(
+        $"doc_id",
+        parse_url($"url", lit("HOST")).as("host"),
+        parse_url($"url", lit("PATH")).as("path"),
+        parse_url($"url", lit("QUERY"), lit("lang")).as("q_lang"))
+      val byHost = parsed.groupBy($"host")
+        .agg(count(lit(1)).as("n_docs"))
+      parsed.join(broadcast(byHost), Seq("host"))
+        .select($"doc_id", $"host", $"path", $"q_lang", $"n_docs")
+        .orderBy($"doc_id")
+    }),
+
+    // Boilerplate detection (CCNet-style): within each source
+    // (domain), word bigrams present in ≥ max(4, 20% of the source's
+    // docs) distinct documents are template text, not content — the
+    // list a cleaning pass strips before dedup/training. Scale shape:
+    // per-doc DISTINCT shingles explode into a (source, ngram)
+    // partial-count aggregation (map-side combine keeps the shuffle at
+    // distinct-ngram granularity, not token granularity); the per-source
+    // doc-count dim is tiny and broadcasts; the threshold filter runs
+    // on the aggregated frame. No all-pairs anywhere.
+    "text_boilerplate" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.spread(Tables.load(s, d, "documents"))
+        .withColumn("t", split(lower($"text"), "\\s+"))
+      val grams = docs.select($"source", $"doc_id",
+        explode(when(size($"t") >= 2,
+          array_distinct(expr(
+            "transform(sequence(1, size(t) - 1), i -> " +
+              "concat_ws(' ', element_at(t, i), element_at(t, i + 1)))")))
+          .otherwise(array().cast("array<string>"))).as("ngram"))
+      val dfreq = grams.groupBy($"source", $"ngram")
+        .agg(count(lit(1)).as("doc_freq"))
+      val sizes = docs.groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"))
+      dfreq.join(broadcast(sizes), Seq("source"))
+        .filter($"doc_freq" >=
+          greatest(lit(4L), ceil($"n_docs" * 0.2).cast("long")))
+        .select($"source", $"ngram", $"doc_freq", $"n_docs")
+        .orderBy($"source", $"ngram")
+    }),
+
+    // Corpus-LM quality scoring: train a per-language word-bigram LM on
+    // the corpus itself (the classic CCNet/KenLM-style perplexity
+    // filter, word-bigram instead of 5-gram char KenLM), then score
+    // every document by average surprisal -ln(c/N_lang), plus exact
+    // integer companions (hapax-bigram count, mean corpus frequency of
+    // the doc's bigrams) that carry the same signal hash-stably. Scale
+    // shape: the bigram-count model aggregates map-side partial
+    // (vocab²-bounded result per language); scoring joins the exploded
+    // doc bigrams to the model — broadcast here because the model is
+    // vocab-bounded and tiny, hash-join on (lang, bigram) as the
+    // general path when the model outgrows the broadcast threshold.
+    // avg_surprisal rounds to 4 decimals: the ln-term sum is a float
+    // fold whose cross-engine reassociation error (~1e-12 on sums of
+    // hundreds) sits far below the rounding step.
+    "text_lm_score" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.spread(Tables.load(s, d, "documents"))
+        .withColumn("t", split(lower($"text"), "\\s+"))
+      val bg = docs.select($"doc_id", $"lang",
+        explode(when(size($"t") >= 2, expr(
+          "transform(sequence(1, size(t) - 1), i -> " +
+            "concat_ws(' ', element_at(t, i), element_at(t, i + 1)))"))
+          .otherwise(array().cast("array<string>"))).as("bg"))
+      val model = bg.groupBy($"lang", $"bg").agg(count(lit(1)).as("c"))
+      val totals = model.groupBy($"lang").agg(sum($"c").as("n_lang"))
+      bg.join(broadcast(model), Seq("lang", "bg"))
+        .join(broadcast(totals), Seq("lang"))
+        .groupBy($"doc_id")
+        .agg(
+          count(lit(1)).as("n_bigrams"),
+          sum(when($"c" === 1L, 1L).otherwise(0L)).as("n_hapax"),
+          (sum($"c").cast("double") / count(lit(1)).cast("double"))
+            .as("mean_bg_count"),
+          round(log(first($"n_lang")) -
+            sum(log($"c".cast("double"))) / count(lit(1)), 4)
+            .as("avg_surprisal"))
+        .orderBy($"doc_id")
+    }),
+
+    // Token-budget curriculum selection: per language, keep the
+    // highest-quality documents until 40% of that language's token
+    // mass is spent — the "data mixing under a token budget" step that
+    // decides what a training run actually sees. The running total
+    // rides the distributed two-pass prefix scan (graft.ops.PrefixSum)
+    // over the global (lang, quality DESC, doc_id) order — NOT a
+    // per-lang window, whose single task per language would serialize
+    // a 100 TB corpus through 5 tasks; per-language totals fall out of
+    // the global scan by subtracting each language's start offset
+    // (min exclusive-prefix per lang, a 5-row broadcast). Budgets are
+    // exact integer token counts; quality ordering is bit-exact
+    // cross-engine (exact-division floats), doc_id breaks ties.
+    "pipeline_budget_mix" -> ((s, d) => {
+      import s.implicits._
+      val stops = Seq("the", "a", "of", "and", "is", "to", "in")
+      val docs = Tables.spread(Tables.load(s, d, "documents"))
+        .withColumn("t", split(lower($"text"), "\\s+"))
+        .withColumn("n_tokens", size($"t").cast("long"))
+        .withColumn("quality",
+          when(length($"text") >= 100, lit(1.0)).otherwise(lit(0.0)) +
+            size(array_distinct($"t")).cast("double") /
+              size($"t").cast("double") +
+            size(filter($"t", x => x.isin(stops: _*))).cast("double") /
+              size($"t").cast("double"))
+        .select($"doc_id", $"lang", $"n_tokens", $"quality")
+      val withCum = graft.ops.PrefixSum.runningTotal(docs,
+        Seq($"lang", negate($"quality"), $"doc_id"), $"n_tokens", "gcum")
+      val langBase = withCum.groupBy($"lang")
+        .agg(min($"gcum" - $"n_tokens").as("lang_base"))
+      val budgets = docs.groupBy($"lang")
+        .agg(sum($"n_tokens").as("tot"))
+        .select($"lang", floor($"tot" * 0.4).cast("long").as("budget"))
+      withCum.join(broadcast(langBase), Seq("lang"))
+        .join(broadcast(budgets), Seq("lang"))
+        .withColumn("cum_tokens", $"gcum" - $"lang_base")
+        .filter($"cum_tokens" <= $"budget")
+        .select($"lang", $"doc_id", $"n_tokens", $"cum_tokens", $"budget")
+        .orderBy($"lang", $"cum_tokens")
+    }),
+
+    // Schema evolution: two parquet generations with disjoint measure
+    // columns (an old crawl wrote quantity, a new one writes price)
+    // land under one root; `mergeSchema` reconciles them into a single
+    // frame where each file's missing columns surface as NULLs, and
+    // directory names become the partition column — the append-only
+    // evolving-dataset layout every long-lived corpus store grows
+    // into. The aggregate proves which generation carries which
+    // column; sums ride exact integer cents. Scale shape: schema merge
+    // is footer-only work at planning time; the scan stays
+    // partition-pruned and columnar, and the per-generation aggregate
+    // is map-side partial.
+    "q60_schema_merge" -> ((s, d) => {
+      import s.implicits._
+      val tmp = graft.ScratchDir.path("mergeschema")
+      val li = Tables.load(s, d, "lineitem")
+      li.filter($"l_linenumber" === 1)
+        .select($"l_orderkey", $"l_quantity")
+        .write.mode("overwrite").parquet(s"$tmp/gen=a")
+      li.filter($"l_linenumber" === 2)
+        .select($"l_orderkey", $"l_extendedprice")
+        .write.mode("overwrite").parquet(s"$tmp/gen=b")
+      s.read.option("mergeSchema", "true").parquet(tmp)
+        .groupBy($"gen")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(when($"l_quantity".isNull, 1L).otherwise(0L))
+            .as("n_qty_nulls"),
+          sum(when($"l_extendedprice".isNull, 1L).otherwise(0L))
+            .as("n_price_nulls"),
+          sum(round(coalesce($"l_quantity", $"l_extendedprice") * 100)
+            .cast("long")).as("sum_cents"))
+        .select($"gen".cast("string").as("gen"), $"n_rows",
+          $"n_qty_nulls", $"n_price_nulls", $"sum_cents")
+        .orderBy($"gen")
+    }),
+
+    // Canonicalization policy downstream of near-dup clustering: every
+    // document maps to the KEPT representative of its dup cluster —
+    // highest composite quality wins (doc_id ascending tie-break),
+    // singletons keep themselves. This is the step that turns a pair
+    // list into the final training corpus, keeping the BEST copy
+    // rather than dedup_exact's min-id policy. Scale shape: the
+    // component table is tiny relative to the corpus (only docs in
+    // clusters appear) so it broadcasts back onto the scan; quality is
+    // row-local expression work; the per-component argmax windows over
+    // the small clustered subset only.
+    "pipeline_keep_best" -> ((s, d) => {
+      import s.implicits._
+      val stops = Seq("the", "a", "of", "and", "is", "to", "in")
+      val docs = Tables.load(s, d, "documents")
+        .withColumn("t", split(lower($"text"), "\\s+"))
+        .withColumn("quality",
+          when(length($"text") >= 100, lit(1.0)).otherwise(lit(0.0)) +
+            size(array_distinct($"t")).cast("double") /
+              size($"t").cast("double") +
+            size(filter($"t", x => x.isin(stops: _*))).cast("double") /
+              size($"t").cast("double"))
+        .select($"doc_id", $"quality")
+      val comp = Dedup.dupClusters(s, d)
+      val w = Window.partitionBy($"component")
+        .orderBy($"quality".desc, $"doc_id".asc)
+      val keepers = comp.join(docs, Seq("doc_id"))
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .select($"component", $"doc_id".as("keeper_doc_id"))
+      comp.join(broadcast(keepers), Seq("component"))
+        .select($"doc_id", $"keeper_doc_id")
+        .unionByName(
+          docs.join(comp, Seq("doc_id"), "left_anti")
+            .select($"doc_id", $"doc_id".as("keeper_doc_id")))
+        .withColumn("is_kept", ($"doc_id" === $"keeper_doc_id").cast("boolean"))
+        .orderBy($"doc_id")
+    }))
+
+  def oracles: Map[String, String] = Map(
+
+    "q57_recursive_calendar" ->
+      """WITH RECURSIVE cal(m) AS (
+           SELECT DATE '1995-01-01'
+           UNION ALL
+           SELECT m + INTERVAL 1 MONTH FROM cal WHERE m < DATE '2001-08-01'
+         ),
+         rev AS (
+           SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+                  count(*) AS n_orders,
+                  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+           FROM orders GROUP BY 1
+         )
+         SELECT CAST(cal.m AS TIMESTAMP) AS month,
+                CAST(coalesce(rev.n_orders, 0) AS BIGINT) AS n_orders,
+                round(coalesce(rev.cents, 0) / CAST(100 AS DOUBLE), 2) AS revenue
+         FROM cal LEFT JOIN rev ON cal.m = rev.m
+         ORDER BY month""",
+
+    "q58_closure_cte" ->
+      """WITH RECURSIVE docs AS (
+           SELECT doc_id,
+             lang || '#' || CAST(CAST(floor(n_chars / 100) AS BIGINT) AS VARCHAR) AS block,
+             list_distinct(list_transform(
+               range(1, greatest(len(string_split_regex(lower(text), '\s+')) - 2, 0) + 1),
+               i -> string_split_regex(lower(text), '\s+')[i] || ' ' ||
+                    string_split_regex(lower(text), '\s+')[i+1] || ' ' ||
+                    string_split_regex(lower(text), '\s+')[i+2])) AS sh
+           FROM documents),
+         pairs AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM docs a JOIN docs b ON a.block = b.block AND a.doc_id < b.doc_id
+           WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                 CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) >= 0.05),
+         edges AS (
+           SELECT doc_a AS src, doc_b AS dst FROM pairs
+           UNION ALL SELECT doc_b, doc_a FROM pairs),
+         reach(src, dst, lvl) AS (
+           SELECT src, dst, 1 FROM edges
+           UNION ALL
+           SELECT r.src, e.dst, r.lvl + 1
+           FROM reach r JOIN edges e ON r.dst = e.src
+           WHERE r.lvl < 4),
+         members AS (SELECT DISTINCT src AS doc_id FROM edges)
+         SELECT least(m.doc_id, min(r.dst)) AS component, m.doc_id
+         FROM members m
+         JOIN (SELECT DISTINCT src, dst FROM reach) r ON r.src = m.doc_id
+         GROUP BY m.doc_id
+         ORDER BY component, doc_id""",
+
+    "q59_url_funcs" ->
+      """WITH parsed AS (
+           SELECT doc_id,
+             source || '.example.com' AS host,
+             '/d/' || CAST(doc_id AS VARCHAR) AS path,
+             lang AS q_lang
+           FROM documents)
+         SELECT doc_id, host, path, q_lang,
+           count(*) OVER (PARTITION BY host) AS n_docs
+         FROM parsed ORDER BY doc_id""",
+
+    "text_boilerplate" ->
+      """WITH t AS (SELECT doc_id, source,
+             string_split_regex(lower(text), '\s+') AS tk FROM documents),
+         grams AS (
+           SELECT source, doc_id, unnest(list_distinct(list_transform(
+             range(1, greatest(len(tk) - 1, 0) + 1),
+             i -> tk[i] || ' ' || tk[i+1]))) AS ngram
+           FROM t),
+         dfreq AS (SELECT source, ngram, count(*) AS doc_freq
+                   FROM grams GROUP BY 1, 2),
+         sizes AS (SELECT source, count(*) AS n_docs FROM t GROUP BY 1)
+         SELECT d.source, d.ngram,
+                CAST(d.doc_freq AS BIGINT) AS doc_freq,
+                CAST(s.n_docs AS BIGINT) AS n_docs
+         FROM dfreq d JOIN sizes s ON d.source = s.source
+         WHERE d.doc_freq >= greatest(4, CAST(ceil(s.n_docs * 0.2) AS BIGINT))
+         ORDER BY d.source, d.ngram""",
+
+    "text_lm_score" ->
+      """WITH t AS (SELECT doc_id, lang,
+             string_split_regex(lower(text), '\s+') AS tk FROM documents),
+         bgs AS (
+           SELECT doc_id, lang, unnest(list_transform(
+             range(1, greatest(len(tk) - 1, 0) + 1),
+             i -> tk[i] || ' ' || tk[i+1])) AS bg
+           FROM t),
+         model AS (SELECT lang, bg, count(*) AS c FROM bgs GROUP BY 1, 2),
+         totals AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n_lang
+                    FROM model GROUP BY 1)
+         SELECT b.doc_id,
+           count(*) AS n_bigrams,
+           CAST(sum(CASE WHEN m.c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+           CAST(sum(m.c) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_bg_count,
+           round(ln(any_value(tt.n_lang)) -
+             sum(ln(CAST(m.c AS DOUBLE))) / count(*), 4) AS avg_surprisal
+         FROM bgs b
+         JOIN model m ON b.lang = m.lang AND b.bg = m.bg
+         JOIN totals tt ON b.lang = tt.lang
+         GROUP BY b.doc_id
+         ORDER BY doc_id""",
+
+    "pipeline_budget_mix" ->
+      """WITH t AS (
+           SELECT doc_id, lang,
+             CAST(len(string_split_regex(lower(text), '\s+')) AS BIGINT) AS n_tokens,
+             (CASE WHEN length(text) >= 100 THEN 1.0 ELSE 0.0 END +
+              CAST(len(list_distinct(string_split_regex(lower(text), '\s+'))) AS DOUBLE) /
+                CAST(len(string_split_regex(lower(text), '\s+')) AS DOUBLE) +
+              CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+                x -> x IN ('the','a','of','and','is','to','in'))) AS DOUBLE) /
+                CAST(len(string_split_regex(lower(text), '\s+')) AS DOUBLE)) AS quality
+           FROM documents),
+         w AS (
+           SELECT lang, doc_id, n_tokens,
+             CAST(sum(n_tokens) OVER (PARTITION BY lang
+               ORDER BY quality DESC, doc_id) AS BIGINT) AS cum_tokens,
+             CAST(floor(0.4 * sum(n_tokens) OVER (PARTITION BY lang)) AS BIGINT) AS budget
+           FROM t)
+         SELECT lang, doc_id, n_tokens, cum_tokens, budget
+         FROM w WHERE cum_tokens <= budget
+         ORDER BY lang, cum_tokens""",
+
+    "q60_schema_merge" ->
+      """SELECT 'a' AS gen, count(*) AS n_rows,
+              CAST(0 AS BIGINT) AS n_qty_nulls,
+              count(*) AS n_price_nulls,
+              CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+         FROM lineitem WHERE l_linenumber = 1
+         UNION ALL
+         SELECT 'b' AS gen, count(*) AS n_rows,
+              count(*) AS n_qty_nulls,
+              CAST(0 AS BIGINT) AS n_price_nulls,
+              CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+         FROM lineitem WHERE l_linenumber = 2
+         ORDER BY gen""",
+
+    "pipeline_keep_best" ->
+      """WITH RECURSIVE docs AS (
+           SELECT doc_id,
+             lang || '#' || CAST(CAST(floor(n_chars / 100) AS BIGINT) AS VARCHAR) AS block,
+             list_distinct(list_transform(
+               range(1, greatest(len(string_split_regex(lower(text), '\s+')) - 2, 0) + 1),
+               i -> string_split_regex(lower(text), '\s+')[i] || ' ' ||
+                    string_split_regex(lower(text), '\s+')[i+1] || ' ' ||
+                    string_split_regex(lower(text), '\s+')[i+2])) AS sh
+           FROM documents),
+         pairs AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM docs a JOIN docs b ON a.block = b.block AND a.doc_id < b.doc_id
+           WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                 CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) >= 0.05),
+         edges AS (
+           SELECT doc_a AS src, doc_b AS dst FROM pairs
+           UNION ALL SELECT doc_b, doc_a FROM pairs),
+         reach(src, dst) AS (
+           SELECT src, dst FROM edges
+           UNION
+           SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         members AS (SELECT DISTINCT src AS doc_id FROM edges),
+         comp AS (
+           SELECT least(m.doc_id, min(r.dst)) AS component, m.doc_id
+           FROM members m JOIN reach r ON r.src = m.doc_id
+           GROUP BY m.doc_id),
+         q AS (
+           SELECT doc_id,
+             (CASE WHEN length(text) >= 100 THEN 1.0 ELSE 0.0 END +
+              CAST(len(list_distinct(string_split_regex(lower(text), '\s+'))) AS DOUBLE) /
+                CAST(len(string_split_regex(lower(text), '\s+')) AS DOUBLE) +
+              CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+                x -> x IN ('the','a','of','and','is','to','in'))) AS DOUBLE) /
+                CAST(len(string_split_regex(lower(text), '\s+')) AS DOUBLE)) AS quality
+           FROM documents),
+         keepers AS (
+           SELECT component, doc_id AS keeper_doc_id FROM (
+             SELECT c.component, c.doc_id,
+               row_number() OVER (PARTITION BY c.component
+                 ORDER BY q.quality DESC, c.doc_id ASC) AS rn
+             FROM comp c JOIN q ON c.doc_id = q.doc_id)
+           WHERE rn = 1)
+         SELECT doc_id, keeper_doc_id,
+                doc_id = keeper_doc_id AS is_kept
+         FROM (
+           SELECT c.doc_id, k.keeper_doc_id
+           FROM comp c JOIN keepers k ON c.component = k.component
+           UNION ALL
+           SELECT d.doc_id, d.doc_id AS keeper_doc_id
+           FROM documents d
+           WHERE d.doc_id NOT IN (SELECT doc_id FROM comp))
+         ORDER BY doc_id""")
+}
