@@ -23,10 +23,12 @@ object SparkEntry {
   def queries: Map[String, Q] =
     Relational.queries ++ Analytics.queries ++ LogOps.queries ++
       Dedup.queries ++ TextAnalysis.queries ++ Similarity.queries ++
-      Multimodal.queries ++ Pipeline.queries ++ Corpus.queries
+      Multimodal.queries ++ Pipeline.queries ++ Corpus.queries ++
+      graft.ml.QualityModel.queries
 
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Analytics.oracles ++ LogOps.oracles ++
       Dedup.oracles ++ TextAnalysis.oracles ++ Similarity.oracles ++
-      Multimodal.oracles ++ Pipeline.oracles ++ Corpus.oracles
+      Multimodal.oracles ++ Pipeline.oracles ++ Corpus.oracles ++
+      graft.ml.QualityModel.oracles
 }

@@ -575,6 +575,69 @@ object Dedup {
       .orderBy(col("v1"), col("v2"))
   }
 
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv
+    * 2303.09540): k-means-cluster the embedding space, then verify
+    * cosine only WITHIN each cluster — the clustering is the blocking
+    * function, so pair cost is Σ cluster_size², not n². The third
+    * member of the embedding-dedup family: `embeddingCosine` is the
+    * exact all-pairs verifier (bounded inputs only), `embeddingLsh`
+    * blocks by hyperplane signature (randomized, per-pair recall
+    * bound), this blocks by learned partition (data-adaptive — near
+    * neighbors co-cluster unless they straddle a cell boundary, the
+    * paper's documented miss mode). Training reuses the Lloyd loop
+    * from graft.sim (driver-held k×d centroids, one broadcast-assign
+    * job per round); assignment is one more broadcast crossJoin +
+    * max_by partial — scan-shaped, no shuffle of the corpus. The
+    * within-cluster self-join shuffles on cell id; at 100 TB, k grows
+    * with the corpus (k ≈ n/target_cell) to hold cell occupancy — and
+    * therefore the quadratic-in-cell verify cost — flat per cell.
+    */
+  def semanticDedupOver(e0: DataFrame, k: Int, threshold: Double)
+      : DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val e = e0.persist(lvl) // Lloyd re-reads per round; released by
+                            // the harness clearCache (cache lifecycle)
+    // ROUGH clustering suffices: the within-cluster verify is exact
+    // cosine, so Lloyd quality only nudges recall at cell boundaries —
+    // 5 rounds with a loose tol instead of convergence-grade training
+    // (each round is a full broadcast-assign + mean-reduce job; the
+    // loop IS this operator's wall-clock)
+    val (cents, _) =
+      graft.sim.Similarity.kmeansCentroidsWithStats(e, k, 5, 1e-2)
+    val assigned = e.crossJoin(broadcast(cents))
+      .withColumn("c_sim", cosine(col("embedding"), col("centroid")))
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(col("cell"), col("embedding")),
+        struct(col("c_sim"), -col("cell"))).as("best"))
+      .select(col("vec_id"), col("best.cell").as("cell"),
+        col("best.embedding").as("embedding"))
+      // both sides of the within-cluster self-join read this frame —
+      // without persist the broadcast-assign pass runs twice
+      .persist(lvl)
+    val a = assigned.select(col("cell"), col("vec_id").as("v1"),
+      col("embedding").as("emb_a"))
+    val b = assigned.select(col("cell"), col("vec_id").as("v2"),
+      col("embedding").as("emb_b"))
+    a.join(b, Seq("cell"))
+      .filter(col("v1") < col("v2"))
+      .withColumn("cosine", cosine(col("emb_a"), col("emb_b")))
+      .filter(col("cosine") >= threshold)
+      .select(col("cell"), col("v1"), col("v2"), col("cosine"))
+      .orderBy(col("v1"), col("v2"))
+  }
+
+  /** k grows with the corpus (one cell per ~targetCell vectors, floor
+    * 10) so cell occupancy — and the quadratic-in-cell verify cost —
+    * stays flat as the data scales; the metadata count is the same
+    * table-stats probe `embeddingLsh` sizes its planes with.
+    */
+  def semanticDedup(s: SparkSession, d: String,
+      threshold: Double = 0.35, targetCell: Int = 500): DataFrame = {
+    val e = Tables.spread(Tables.load(s, d, "embeddings"))
+    val k = math.max(10L, e.count() / targetCell).toInt
+    semanticDedupOver(e, k, threshold)
+  }
+
   // --------------------------------------- duplicate-cluster formation
   /** Connected components over a near-dup pair graph — the stage a
     * production dedup pipeline runs AFTER pair generation: transitively
@@ -861,6 +924,7 @@ object Dedup {
     "dedup_simhash" -> ((s, d) => simhash(s, d)),
     "dedup_embedding_cosine" -> ((s, d) => embeddingCosine(s, d)),
     "dedup_embedding_lsh" -> ((s, d) => embeddingLsh(s, d)),
+    "dedup_semantic" -> ((s, d) => semanticDedup(s, d)),
     "dedup_incremental" -> ((s, d) => incrementalExact(s, d)),
     "dedup_minhash_incremental" -> ((s, d) => minhashIncremental(s, d)),
     "dedup_fuzzy_edit" -> ((s, d) => fuzzyEditPairs(s, d)))

@@ -66,30 +66,26 @@ object Corpus {
     // with persist discipline) is the 100 TB path, this is the
     // SQL-surface twin.
     "q58_closure_cte" -> ((s, d) => {
-      Tables.load(s, d, "documents").createOrReplaceTempView("documents_v")
+      // Edge generation (the blocked-Jaccard pair stage) is the
+      // expensive part, and Spark re-evaluates a CTE's subtree at
+      // EVERY UnionLoop iteration — inlining it made the recursion
+      // re-run the whole pair join per level (measured 205 s at
+      // sf0.1). Materialize the pair list once (persist + count +
+      // temp view; released by the harness clearCache) so the
+      // recursion joins only the tiny edge table. Reuses the
+      // hashed-shingle pair machinery shared with dedup_clusters —
+      // same edges, bit-for-bit.
+      val pairs = Dedup.ngramJaccardPairs(
+          Dedup.shingleBlocks(Tables.spread(Tables.load(s, d, "documents"))),
+          0.05)
+        .select(col("doc_a"), col("doc_b"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      pairs.count() // pin BEFORE the loop references it
+      pairs.createOrReplaceTempView("dup_pairs_v")
       s.sql("""
-        WITH RECURSIVE docs AS (
-          SELECT doc_id,
-                 concat(lang, '#', CAST(CAST(floor(n_chars / 100) AS BIGINT) AS STRING)) AS block,
-                 CASE WHEN size(split(lower(text), '\\s+')) >= 3 THEN
-                   array_distinct(transform(
-                     sequence(1, size(split(lower(text), '\\s+')) - 2),
-                     i -> concat_ws(' ',
-                       element_at(split(lower(text), '\\s+'), i),
-                       element_at(split(lower(text), '\\s+'), i + 1),
-                       element_at(split(lower(text), '\\s+'), i + 2))))
-                 ELSE CAST(array() AS ARRAY<STRING>) END AS sh
-          FROM documents_v
-        ),
-        pairs AS (
-          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-          FROM docs a JOIN docs b ON a.block = b.block AND a.doc_id < b.doc_id
-          WHERE CAST(size(array_intersect(a.sh, b.sh)) AS DOUBLE) /
-                CAST(size(array_distinct(concat(a.sh, b.sh))) AS DOUBLE) >= 0.05
-        ),
-        edges AS (
-          SELECT doc_a AS src, doc_b AS dst FROM pairs
-          UNION ALL SELECT doc_b, doc_a FROM pairs
+        WITH RECURSIVE edges AS (
+          SELECT doc_a AS src, doc_b AS dst FROM dup_pairs_v
+          UNION ALL SELECT doc_b, doc_a FROM dup_pairs_v
         ),
         reach(src, dst, lvl) AS (
           SELECT src, dst, 1 FROM edges

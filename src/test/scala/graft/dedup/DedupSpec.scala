@@ -304,6 +304,37 @@ class DedupSpec extends SparkSpec {
       s"candidates must grow ~linearly with the corpus: $c1 -> $c2")
   }
 
+  test("semantic dedup: planted near-dups co-cluster and are found; " +
+    "deterministic across runs") {
+    val rnd = new scala.util.Random(43)
+    def gauss() = Array.fill(64)(rnd.nextGaussian().toFloat)
+    def near(v: Array[Float]) = // cosine ≈ 0.999 — same semantic point
+      v.map(x => x + 0.02f * rnd.nextGaussian().toFloat)
+    val planted = (0 until 5).flatMap { p =>
+      val v = gauss()
+      Seq((p.toLong * 2, v), (p.toLong * 2 + 1, near(v)))
+    }
+    val noise = (0 until 500).map(i => (1000L + i, gauss()))
+    val e = (planted ++ noise).toDF("vec_id", "embedding")
+    def run() = Dedup.semanticDedupOver(e, k = 8, threshold = 0.9)
+      .select($"v1", $"v2").as[(Long, Long)].collect().toSet
+    val found = run()
+    spark.catalog.clearCache()
+    val plantedPairs = (0 until 5).map(p => (p.toLong * 2, p.toLong * 2 + 1))
+    // a near-identical pair lands in the same k-means cell unless it
+    // straddles a boundary (the SemDeDup miss mode) — ≥4/5 here
+    assert(plantedPairs.count(found.contains) >= 4,
+      s"planted semantic dups missed: ${plantedPairs.filter(found.contains)}")
+    // random gaussians in d=64 are near-orthogonal: nothing else
+    // clears cosine 0.9, so the planted pairs are ALL that's found
+    assert(found.forall(p => plantedPairs.contains(p)),
+      s"false positives above threshold: ${found -- plantedPairs}")
+    // stride init + fixed tol → the whole pipeline is deterministic
+    val again = run()
+    spark.catalog.clearCache()
+    assert(again == found, "semantic dedup must be run-deterministic")
+  }
+
   test("embedding cosine: identical vectors similarity 1.0") {
     val e = Seq(
       (0L, Array(1.0f, 2.0f, 3.0f)),
