@@ -90,8 +90,12 @@ object QualityModel {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // L-BFGS re-reads the assembled frame every iteration — persist,
     // released by the harness clearCache (cache lifecycle discipline)
+    // 20 iterations: the rule signals are linearly separable, so the
+    // ORDERING (what the AUC spec pins) is fixed within a few rounds —
+    // further L-BFGS rounds only grow the margin, at one treeAggregate
+    // job each
     val lr = new LogisticRegression()
-      .setMaxIter(50).setRegParam(0.01).setStandardization(true)
+      .setMaxIter(20).setRegParam(0.01).setStandardization(true)
     val model = lr.fit(assembled)
     model.transform(assembled)
       .select(col("doc_id"), col("label").cast("long").as("label"),

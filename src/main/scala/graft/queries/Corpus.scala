@@ -308,9 +308,152 @@ object Corpus {
             .select($"doc_id", $"doc_id".as("keeper_doc_id")))
         .withColumn("is_kept", ($"doc_id" === $"keeper_doc_id").cast("boolean"))
         .orderBy($"doc_id")
-    }))
+    }),
+
+    // Round-7 flagship composition — the corpus-prep chain a
+    // pretraining run would execute, built from this round's stages:
+    //   1. exact dedup (content digest, keep-first) — one digest
+    //      window, payloads never shuffle twice;
+    //   2. corpus-LM rarity gate in EXACT integer arithmetic: drop
+    //      docs whose trigram hapax rate exceeds 80% (gibberish tier)
+    //      — 5·hapax ≤ 4·n_grams, no float threshold to flip a hash;
+    //      the trigram model is a (lang, gram) partial count,
+    //      broadcastable, hash-joinable at scale;
+    //   3. per-language token-budget selection (60% of surviving
+    //      mass, greedy by quality) riding ops.PrefixSum's
+    //      distributed scan — never a per-lang single-task window.
+    // Every stage is SQL-expressible, so the WHOLE composition is
+    // oracle-hash-checked end-to-end (unlike v2's seeded stages).
+    "pipeline_training_prep_v3" -> ((s, d) => {
+      import s.implicits._
+      val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val w = Window.partitionBy($"digest").orderBy($"doc_id")
+      val kept = Tables.spread(Tables.load(s, d, "documents"))
+        .withColumn("digest", md5($"text"))
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .withColumn("t", split(lower($"text"), "\\s+"))
+        .persist(lvl) // feeds grams, quality, and the final join
+      val grams = kept.select($"doc_id", $"lang",
+        explode(when(size($"t") >= 3, expr(
+          "transform(sequence(1, size(t) - 2), i -> " +
+            "concat_ws(' ', element_at(t, i), element_at(t, i + 1), " +
+            "element_at(t, i + 2)))"))
+          .otherwise(array().cast("array<string>"))).as("tg"))
+      val model = grams.groupBy($"lang", $"tg").agg(count(lit(1)).as("c"))
+      val rarity = grams.join(broadcast(model), Seq("lang", "tg"))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when($"c" === 1L, 1L).otherwise(0L)).as("n_hapax"))
+      val stops = Seq("the", "a", "of", "and", "is", "to", "in")
+      val survivors = kept
+        .join(rarity, Seq("doc_id"))
+        .filter($"n_hapax" * 5 <= $"n_grams" * 4)
+        .withColumn("n_tokens", size($"t").cast("long"))
+        .withColumn("quality",
+          when(length($"text") >= 100, lit(1.0)).otherwise(lit(0.0)) +
+            size(array_distinct($"t")).cast("double") /
+              size($"t").cast("double") +
+            size(filter($"t", x => x.isin(stops: _*))).cast("double") /
+              size($"t").cast("double"))
+        .select($"doc_id", $"lang", $"n_tokens", $"quality")
+        .persist(lvl)
+      val withCum = graft.ops.PrefixSum.runningTotal(survivors,
+        Seq($"lang", negate($"quality"), $"doc_id"), $"n_tokens", "gcum")
+      val langBase = withCum.groupBy($"lang")
+        .agg(min($"gcum" - $"n_tokens").as("lang_base"))
+      val budgets = survivors.groupBy($"lang")
+        .agg(sum($"n_tokens").as("tot"))
+        .select($"lang", floor($"tot" * 0.6).cast("long").as("budget"))
+      withCum.join(broadcast(langBase), Seq("lang"))
+        .join(broadcast(budgets), Seq("lang"))
+        .withColumn("cum_tokens", $"gcum" - $"lang_base")
+        .filter($"cum_tokens" <= $"budget")
+        .select($"lang", $"doc_id", $"n_tokens", $"cum_tokens")
+        .orderBy($"lang", $"cum_tokens")
+    }),
+
+    // Single-pass pipeline observability: Spark's CollectMetrics
+    // operator (df.observe) piggybacks gate-input metrics on the SAME
+    // scan that computes the gate's output — the filter's before/after
+    // accounting costs ZERO extra passes (an ops requirement at 100 TB,
+    // where "count the input again" means re-reading the corpus). The
+    // observed row lands on the driver through the metrics channel
+    // (bytes, not data), and the output aggregate is map-side partial.
+    // Oracle recomputes both sides with conditional aggregates.
+    "q61_observe_metrics" -> ((s, d) => {
+      import s.implicits._
+      val obs = new org.apache.spark.sql.Observation()
+      val toks = split(lower($"text"), "\\s+")
+      val gated = Tables.load(s, d, "documents")
+        .observe(obs,
+          count(lit(1)).as("n_in"),
+          sum(length($"text")).as("chars_in"))
+        .filter(length($"text") >= 100)
+      val out = gated
+        .agg(count(lit(1)).as("n_kept"),
+          sum(length($"text")).as("chars_kept"),
+          sum(size(toks)).cast("long").as("tokens_kept"))
+        .collect()(0)
+      val m = obs.get
+      Seq((m("n_in").asInstanceOf[Long],
+        m("chars_in").asInstanceOf[Long],
+        out.getLong(0), out.getLong(1), out.getLong(2)))
+        .toDF("n_in", "chars_in", "n_kept", "chars_kept", "tokens_kept")
+    }),
+
+  )
 
   def oracles: Map[String, String] = Map(
+
+    "pipeline_training_prep_v3" ->
+      """WITH kept AS (
+           SELECT doc_id, lang, text,
+             string_split_regex(lower(text), '\s+') AS tk
+           FROM (
+             SELECT *, row_number() OVER (PARTITION BY md5(text)
+               ORDER BY doc_id) AS rn FROM documents)
+           WHERE rn = 1),
+         grams AS (
+           SELECT doc_id, lang, unnest(list_transform(
+             range(1, greatest(len(tk) - 2, 0) + 1),
+             i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS tg
+           FROM kept),
+         model AS (SELECT lang, tg, count(*) AS c FROM grams GROUP BY 1, 2),
+         rarity AS (
+           SELECT g.doc_id, count(*) AS n_grams,
+             CAST(sum(CASE WHEN m.c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+           FROM grams g JOIN model m ON g.lang = m.lang AND g.tg = m.tg
+           GROUP BY 1),
+         survivors AS (
+           SELECT k.doc_id, k.lang,
+             CAST(len(k.tk) AS BIGINT) AS n_tokens,
+             (CASE WHEN length(k.text) >= 100 THEN 1.0 ELSE 0.0 END +
+              CAST(len(list_distinct(k.tk)) AS DOUBLE) /
+                CAST(len(k.tk) AS DOUBLE) +
+              CAST(len(list_filter(k.tk,
+                x -> x IN ('the','a','of','and','is','to','in'))) AS DOUBLE) /
+                CAST(len(k.tk) AS DOUBLE)) AS quality
+           FROM kept k JOIN rarity r ON k.doc_id = r.doc_id
+           WHERE r.n_hapax * 5 <= r.n_grams * 4),
+         w AS (
+           SELECT lang, doc_id, n_tokens,
+             CAST(sum(n_tokens) OVER (PARTITION BY lang
+               ORDER BY quality DESC, doc_id) AS BIGINT) AS cum_tokens,
+             CAST(floor(0.6 * sum(n_tokens) OVER (PARTITION BY lang)) AS BIGINT) AS budget
+           FROM survivors)
+         SELECT lang, doc_id, n_tokens, cum_tokens
+         FROM w WHERE cum_tokens <= budget
+         ORDER BY lang, cum_tokens""",
+
+    "q61_observe_metrics" ->
+      """SELECT count(*) AS n_in,
+              CAST(sum(length(text)) AS BIGINT) AS chars_in,
+              CAST(sum(CASE WHEN length(text) >= 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+              CAST(sum(CASE WHEN length(text) >= 100 THEN length(text) ELSE 0 END) AS BIGINT) AS chars_kept,
+              CAST(sum(CASE WHEN length(text) >= 100
+                THEN len(string_split_regex(lower(text), '\s+')) ELSE 0 END) AS BIGINT) AS tokens_kept
+         FROM documents""",
 
     "q57_recursive_calendar" ->
       """WITH RECURSIVE cal(m) AS (

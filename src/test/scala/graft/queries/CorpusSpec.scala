@@ -141,6 +141,18 @@ class CorpusSpec extends SparkSpec {
     assert(qtyNullB == nB && priceNullB == 0)
   }
 
+  test("q61 observe: input metrics ride the output pass and bound it") {
+    val (nIn, charsIn, nKept, charsKept, tokensKept) =
+      q("q61_observe_metrics")
+        .as[(Long, Long, Long, Long, Long)].collect().head
+    val docs = graft.Tables.load(spark, sf, "documents")
+    assert(nIn == docs.count(), "observed input count must be pre-filter")
+    assert(nKept <= nIn && charsKept <= charsIn)
+    assert(nKept > 0 && tokensKept > 0)
+    // every kept doc has ≥ 100 chars, so the kept mass is bounded below
+    assert(charsKept >= 100L * nKept)
+  }
+
   test("q59 url functions: host/path/query round-trip the source columns") {
     val out = q("q59_url_funcs")
       .select($"doc_id", $"host", $"path", $"q_lang")
