@@ -501,6 +501,59 @@ object Analytics {
           (unix_micros($"p_ts") - unix_micros($"fc.click_ts"))
             .as("lag_us"), $"value")
         .orderBy($"user_id", $"purchase_id")
+    }),
+
+    // RANGE-interval window — 7-day rolling spend per customer. The
+    // frame is TIME-based (RANGE BETWEEN 6 PRECEDING AND CURRENT ROW
+    // over integer order-days), not row-count-based: gaps in a
+    // customer's order history shrink the frame, and same-day peers
+    // are all included — semantics a ROWS frame cannot express. Exact
+    // integer cents so the rolling sum is order-free. Scale shape: the
+    // window partitions on o_custkey (high cardinality — no single
+    // task owns more than one customer's history), one exchange total.
+    "q63_rolling_range" -> ((s, d) => {
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"o_custkey").orderBy($"day").rangeBetween(-6, 0)
+      Tables.load(s, d, "orders")
+        .select($"o_custkey", $"o_orderkey",
+          datediff(to_date($"o_orderdate"), lit("1992-01-01"))
+            .cast("long").as("day"),
+          round($"o_totalprice" * 100).cast("long").as("cents"))
+        .withColumn("cents_7d", sum($"cents").over(w))
+        .orderBy($"o_custkey", $"day", $"o_orderkey")
+    }),
+
+    // Incremental aggregate maintenance (IVM): the base corpus's
+    // per-customer partial aggregates are MERGED with a delta batch's
+    // partials — counts add, sums add, min/max fold — instead of
+    // rescanning the base. The oracle computes the direct one-pass
+    // aggregate over the full table, so the hash match IS the proof
+    // that merge(partial(base), partial(delta)) == recompute(full).
+    // At 100 TB this is the only affordable shape: yesterday's
+    // partials are table-sized-in-groups (not in rows), and each new
+    // batch touches only its own data. All-integer state; the derived
+    // mean is exact integer division on both engines.
+    "q64_incremental_agg" -> ((s, d) => {
+      import s.implicits._
+      val o = Tables.load(s, d, "orders")
+        .select($"o_custkey",
+          datediff(to_date($"o_orderdate"), lit("1992-01-01"))
+            .cast("long").as("od"),
+          round($"o_totalprice" * 100).cast("long").as("cents"))
+      def partial(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy($"o_custkey").agg(
+          count(lit(1)).as("n"), sum($"cents").as("c"),
+          min($"od").as("lo"), max($"od").as("hi"))
+      val cut = 1827L // days 1992-01-01 → 1997-01-01
+      val base  = partial(o.filter($"od" <  cut))
+      val delta = partial(o.filter($"od" >= cut))
+      base.unionAll(delta)
+        .groupBy($"o_custkey")
+        .agg(sum($"n").as("n_orders"), sum($"c").as("cents"),
+          min($"lo").as("first_day"), max($"hi").as("last_day"))
+        .withColumn("avg_cents", expr("cents div n_orders"))
+        .orderBy($"o_custkey")
     }))
 
   /** q44's oracle-shaped form: one lead() per event_type partition.
@@ -582,6 +635,33 @@ object Analytics {
   }
 
   def oracles: Map[String, String] = Map(
+    "q63_rolling_range" ->
+      """SELECT o_custkey, o_orderkey,
+           CAST(datediff('day', DATE '1992-01-01',
+             CAST(o_orderdate AS DATE)) AS BIGINT) AS day,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
+             PARTITION BY o_custkey
+             ORDER BY datediff('day', DATE '1992-01-01',
+               CAST(o_orderdate AS DATE))
+             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cents_7d
+         FROM orders
+         ORDER BY o_custkey, day, o_orderkey""",
+    "q64_incremental_agg" ->
+      """SELECT o_custkey,
+           count(*) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents,
+           CAST(min(datediff('day', DATE '1992-01-01',
+             CAST(o_orderdate AS DATE))) AS BIGINT) AS first_day,
+           CAST(max(datediff('day', DATE '1992-01-01',
+             CAST(o_orderdate AS DATE))) AS BIGINT) AS last_day,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) // count(*)
+             AS BIGINT) AS avg_cents
+         FROM orders
+         GROUP BY o_custkey
+         ORDER BY o_custkey""",
     "q56_null_safe_join" ->
       """WITH a AS (
            SELECT CASE WHEN event_id % 5 = 0 THEN NULL

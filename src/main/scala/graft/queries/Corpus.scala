@@ -402,9 +402,94 @@ object Corpus {
         .toDF("n_in", "chars_in", "n_kept", "chars_kept", "tokens_kept")
     }),
 
+    // Balanced stratified sampling — downsample every language to the
+    // smallest language's document count, picking documents by
+    // content-hash order (deterministic, engine-agnostic, content-pure
+    // like pipeline_split). Rides ops.PrefixSum's distributed scan
+    // over the global (lang, md5, doc_id) order — per-lang ranks come
+    // from the scan minus a 5-row broadcast of per-lang bases, so no
+    // per-language single-task window ever forms; the target k is one
+    // driver scalar. The oracle is the window form of the same rank.
+    "pipeline_sample_balance" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.load(s, d, "documents")
+        .select($"doc_id", $"lang",
+          md5(concat($"text", lit("#"), $"doc_id".cast("string")))
+            .as("h"))
+        .withColumn("one", lit(1L))
+      val k = docs.groupBy($"lang").agg(count(lit(1)).as("n"))
+        .agg(min($"n")).head.getLong(0) // driver scalar: min stratum
+      val withCum = graft.ops.PrefixSum.runningTotal(docs,
+        Seq($"lang", $"h", $"doc_id"), $"one", "gcum")
+      val langBase = withCum.groupBy($"lang")
+        .agg(min($"gcum" - $"one").as("base"))
+      withCum.join(broadcast(langBase), Seq("lang"))
+        .withColumn("pick_order", $"gcum" - $"base")
+        .filter($"pick_order" <= k)
+        .select($"doc_id", $"lang", $"pick_order")
+        .orderBy($"lang", $"pick_order")
+    }),
+
+    // Token-entropy quality signal — per-document Shannon entropy of
+    // the unigram distribution (the compression-proxy gibberish /
+    // template filter: low entropy = repeated tokens, high = diverse).
+    // The transcendental sum is made fold-order-DETERMINISTIC by
+    // collecting each doc's token counts into a SORTED array and
+    // folding row-locally in array order (both engines fold the same
+    // sequence: 0+t1 is exact, so Spark's init-seeded fold equals
+    // DuckDB's first-element-seeded reduce bit-for-bit), then rounded
+    // at 4 decimals for the ln ulp gap (text_lm_score precedent).
+    // Scale shape: one (doc_id, tok) partial-agg shuffle; the per-doc
+    // count array is vocabulary-of-one-doc sized, never corpus-sized.
+    "text_entropy" -> ((s, d) => {
+      import s.implicits._
+      val tok = Tables.spread(Tables.load(s, d, "documents"))
+        .select($"doc_id", explode(split(lower($"text"), "\\s+")).as("tok"))
+      tok.groupBy($"doc_id", $"tok").agg(count(lit(1)).as("c"))
+        .groupBy($"doc_id")
+        .agg(sum($"c").as("n_tokens"),
+          count(lit(1)).as("n_distinct"),
+          sort_array(collect_list($"c")).as("cs"))
+        .select($"doc_id", $"n_tokens", $"n_distinct",
+          round(log($"n_tokens".cast("double")) -
+            expr("aggregate(cs, CAST(0.0 AS DOUBLE), " +
+              "(a, x) -> a + x * ln(x))") /
+              $"n_tokens", 4).as("entropy"))
+        .orderBy($"doc_id")
+    }),
+
   )
 
   def oracles: Map[String, String] = Map(
+
+    "pipeline_sample_balance" ->
+      """WITH k AS (
+           SELECT min(cnt) AS k FROM (
+             SELECT lang, count(*) AS cnt FROM documents GROUP BY 1)),
+         r AS (
+           SELECT doc_id, lang,
+             CAST(row_number() OVER (PARTITION BY lang
+               ORDER BY md5(text || '#' || CAST(doc_id AS VARCHAR)),
+                 doc_id) AS BIGINT) AS pick_order
+           FROM documents)
+         SELECT doc_id, lang, pick_order
+         FROM r, k WHERE pick_order <= k.k
+         ORDER BY lang, pick_order""",
+
+    "text_entropy" ->
+      """WITH tok AS (
+           SELECT doc_id, unnest(string_split_regex(lower(text), '\s+'))
+             AS tok FROM documents),
+         c AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY 1, 2),
+         g AS (
+           SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+             count(*) AS n_distinct, list_sort(list(c)) AS cs
+           FROM c GROUP BY 1)
+         SELECT doc_id, n_tokens, n_distinct,
+           round(ln(CAST(n_tokens AS DOUBLE)) -
+             list_reduce(list_transform(cs, x -> x * ln(x)),
+               (a, b) -> a + b) / n_tokens, 4) AS entropy
+         FROM g ORDER BY doc_id""",
 
     "pipeline_training_prep_v3" ->
       """WITH kept AS (

@@ -16,6 +16,43 @@ class AnalyticsOpsSpec extends SparkSpec {
 
   private val sf = "/root/testdata/sf0.001"
 
+  test("rolling range frame: 7-day sum matches brute force, gaps shrink it") {
+    val out = graft.SparkEntry.queries("q63_rolling_range")(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    // brute force per row: sum of cents over the same customer's rows
+    // with day in [day-6, day] — RANGE semantics, includes same-day peers
+    val byCust = out.groupBy(_._1)
+    out.foreach { case (ck, ok, day, _, got) =>
+      val want = byCust(ck)
+        .filter(r => r._3 >= day - 6 && r._3 <= day).map(_._4).sum
+      assert(got == want, s"cust $ck order $ok day $day: $got != $want")
+    }
+    // the frame must genuinely vary (gaps + clusters in order history)
+    assert(out.map(r => r._5 - r._4).distinct.length > 1)
+  }
+
+  test("incremental agg merge == direct recompute, avg is exact div") {
+    val merged = graft.SparkEntry.queries("q64_incremental_agg")(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    val direct = graft.Tables.load(spark, sf, "orders")
+      .select($"o_custkey",
+        datediff(to_date($"o_orderdate"), lit("1992-01-01"))
+          .cast("long").as("od"),
+        round($"o_totalprice" * 100).cast("long").as("cents"))
+      .groupBy($"o_custkey")
+      .agg(count(lit(1)).as("n"), sum($"cents").as("c"),
+        min($"od").as("lo"), max($"od").as("hi"))
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(merged.length == direct.size)
+    merged.foreach { case (ck, n, c, lo, hi, avg) =>
+      val (_, dn, dc, dlo, dhi) = direct(ck)
+      assert(n == dn && c == dc && lo == dlo && hi == dhi,
+        s"cust $ck: merged partials diverge from recompute")
+      assert(avg == c / n)
+    }
+  }
+
   test("resample grid is dense per type and preserves total event count") {
     val out = graft.SparkEntry.queries("q31_resample")(spark, sf)
       .select($"event_type", $"hour".cast("long").as("h"), $"n")

@@ -153,6 +153,37 @@ class CorpusSpec extends SparkSpec {
     assert(charsKept >= 100L * nKept)
   }
 
+  test("sample_balance: every language downsampled to the min stratum") {
+    val out = q("pipeline_sample_balance")
+    val perLang = out.groupBy("lang").count().as[(String, Long)]
+      .collect().toMap
+    val minCount = graft.Tables.load(spark, sf, "documents")
+      .groupBy("lang").count().agg(min("count")).as[Long].head()
+    assert(perLang.nonEmpty)
+    assert(perLang.values.forall(_ == minCount),
+      s"every stratum must land exactly at $minCount: $perLang")
+    // pick_order is a contiguous 1..k rank within each language
+    val ranks = out.groupBy("lang")
+      .agg(min("pick_order").as("lo"), max("pick_order").as("hi"),
+        count(lit(1)).as("n"))
+      .as[(String, Long, Long, Long)].collect()
+    assert(ranks.forall { case (_, lo, hi, n) => lo == 1 && hi == n })
+  }
+
+  test("text_entropy: bounded by ln(distinct), repetition lowers it") {
+    val out = q("text_entropy")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (id, n, k, h) =>
+      assert(h >= -1e-4 && h <= math.log(k.toDouble) + 1e-4,
+        s"doc $id: entropy $h outside [0, ln($k)]")
+      assert(k <= n)
+    }
+    // a doc of one repeated token has entropy 0; max diversity hits ln(k)
+    val one = out.filter(_._3 == 1)
+    one.foreach { case (_, _, _, h) => assert(math.abs(h) <= 1e-4) }
+  }
+
   test("q59 url functions: host/path/query round-trip the source columns") {
     val out = q("q59_url_funcs")
       .select($"doc_id", $"host", $"path", $"q_lang")
