@@ -213,20 +213,27 @@ object Analytics {
     "q53_map_funcs" -> ((s, d) => {
       import org.apache.spark.sql.types.{MapType, StringType}
       import s.implicits._
-      val m = from_json($"props", MapType(StringType, StringType))
-      val enriched = transform_values(
-        map_concat(m, map(lit("src"), $"event_type")),
-        (_, v) => upper(v))
+      // Parse ONCE per row: `m`/`enriched` are materialized as columns
+      // (CollapseProject keeps non-cheap aliases used more than once,
+      // so JsonToStructs runs once, not once per consumer), and the
+      // k=v rendering walks map_entries instead of element_at-ing the
+      // map per key — the per-key lookup re-evaluated the WHOLE
+      // enriched-map expression under the lambda (O(keys²) JSON
+      // parses per row before this shape).
       Tables.load(s, d, "events")
+        .withColumn("m", from_json($"props", MapType(StringType, StringType)))
+        .withColumn("enriched", transform_values(
+          map_concat($"m", map(lit("src"), $"event_type")),
+          (_, v) => upper(v)))
         .select(
           $"event_id",
-          size(m).cast("long").as("n_entries"),
-          array_join(array_sort(map_keys(m)), ",").as("keys_sorted"),
-          element_at(m, "k").as("k_val"),
+          size($"m").cast("long").as("n_entries"),
+          array_join(array_sort(map_keys($"m")), ",").as("keys_sorted"),
+          element_at($"m", "k").as("k_val"),
           array_join(
-            transform(array_sort(map_keys(enriched)),
-              k => concat_ws("=", k, element_at(enriched, k))), "&")
-            .as("kv"))
+            transform(array_sort(map_entries($"enriched")),
+              e => concat_ws("=", e.getField("key"), e.getField("value"))),
+            "&").as("kv"))
         .orderBy($"event_id")
     }),
 

@@ -340,14 +340,24 @@ object Corpus {
             "concat_ws(' ', element_at(t, i), element_at(t, i + 1), " +
             "element_at(t, i + 2)))"))
           .otherwise(array().cast("array<string>"))).as("tg"))
-      val model = grams.groupBy($"lang", $"tg").agg(count(lit(1)).as("c"))
-      val rarity = grams.join(broadcast(model), Seq("lang", "tg"))
-        .groupBy($"doc_id")
-        .agg(count(lit(1)).as("n_grams"),
-          sum(when($"c" === 1L, 1L).otherwise(0L)).as("n_hapax"))
+      // Hapax attribution WITHOUT the grams⋈model join: a (lang, tg)
+      // with global count 1 has exactly one owning document, so
+      // min(doc_id) on the model row IS the attribution — the corpus-
+      // sized trigram frame is aggregated twice (both map-side
+      // partial) and never self-joined. The join-back happens at
+      // doc granularity (docs ≪ trigram instances).
+      val nGrams = grams.groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_grams"))
+      val hapax = grams.groupBy($"lang", $"tg")
+        .agg(count(lit(1)).as("c"), min($"doc_id").as("d0"))
+        .filter($"c" === 1L)
+        .groupBy($"d0").agg(count(lit(1)).as("n_hapax"))
+        .withColumnRenamed("d0", "doc_id")
       val stops = Seq("the", "a", "of", "and", "is", "to", "in")
       val survivors = kept
-        .join(rarity, Seq("doc_id"))
+        .join(nGrams, Seq("doc_id"))
+        .join(hapax, Seq("doc_id"), "left")
+        .withColumn("n_hapax", coalesce($"n_hapax", lit(0L)))
         .filter($"n_hapax" * 5 <= $"n_grams" * 4)
         .withColumn("n_tokens", size($"t").cast("long"))
         .withColumn("quality",
