@@ -2,7 +2,6 @@ package graft.ml
 
 import org.apache.spark.ml.classification.LogisticRegression
 import org.apache.spark.ml.feature.VectorAssembler
-import org.apache.spark.ml.functions.vector_to_array
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -28,8 +27,9 @@ import graft.{Q, Tables}
   * Scale shape: training is MLlib LogisticRegression — each L-BFGS
   * iteration is one treeAggregate of gradient partials (map-side
   * combine, driver holds only the coefficient vector); featurization
-  * is row-local expression work; scoring broadcasts the fitted
-  * coefficients inside the model transform. Nothing about the corpus
+  * is row-local expression work; scoring inlines the fitted
+  * coefficients as plan literals (codegen'd, no model object in any
+  * task closure). Nothing about the corpus
   * size reaches the driver except d+1 doubles per iteration, so the
   * same code trains on 100 TB. Registered rows-only (an L-BFGS fit is
   * not SQL-expressible); QualityModelSpec pins separation quality and
@@ -97,10 +97,20 @@ object QualityModel {
     val lr = new LogisticRegression()
       .setMaxIter(20).setRegParam(0.01).setStandardization(true)
     val model = lr.fit(assembled)
-    model.transform(assembled)
+    // Score with the fitted coefficients as PLAN LITERALS, not with
+    // model.transform: the model object carries its training summary,
+    // whose sparkSession reference is not task-serializable (Spark 4's
+    // ObservationManager), so capturing the model in a scoring closure
+    // can fail at execution depending on session state. d+1 literal
+    // doubles in a codegen'd expression are also the stronger scale
+    // shape — the "broadcast" is the plan itself.
+    val coef = model.coefficients.toArray
+    val z = featCols.zipWithIndex.foldLeft(lit(model.intercept)) {
+      case (acc, (c, i)) => acc + lit(coef(i)) * col(c)
+    }
+    feats
       .select(col("doc_id"), col("label").cast("long").as("label"),
-        round(element_at(vector_to_array(col("probability")), 2), 4)
-          .as("score"))
+        round(lit(1.0) / (lit(1.0) + exp(-z)), 4).as("score"))
       .withColumn("keep", (col("score") >= 0.5).cast("boolean"))
       .orderBy(col("doc_id"))
   }

@@ -54,6 +54,35 @@ object Pipeline {
       .otherwise(array().cast("array<bigint>"))
 
   def queries: Map[String, Q] = Map(
+
+    // Stride-overlapped document chunking — the context-window split
+    // every RAG index and long-doc training pipeline runs: 64-token
+    // chunks advancing 48 tokens, so consecutive chunks share a
+    // 16-token overlap and no token is orphaned (the tail chunk may
+    // be short; a doc shorter than one window is one chunk). Chunk
+    // count = 1 + ceil(max(0, n-64)/48) in pure integer arithmetic.
+    // Scale shape: entirely ROW-LOCAL — tokenize, count, explode the
+    // chunk-index sequence, slice — no shuffle at all until the
+    // display sort; the ~1.3× token duplication materializes in the
+    // output writer, never in an exchange.
+    "pipeline_chunk" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.spread(Tables.load(s, d, "documents"))
+        .withColumn("t", split(lower($"text"), "\\s+"))
+        .withColumn("n", size($"t"))
+        .withColumn("nchunks",
+          expr("1 + greatest(0, n - 64 + 47) div 48"))
+      docs.select($"doc_id",
+          explode(sequence(lit(0), $"nchunks" - 1)).as("chunk_id"),
+          $"t", $"n")
+        .select($"doc_id", $"chunk_id".cast("long").as("chunk_id"),
+          size(slice($"t", $"chunk_id" * 48 + 1, lit(64))).cast("long")
+            .as("n_tokens"),
+          concat_ws(" ", slice($"t", $"chunk_id" * 48 + 1, lit(64)))
+            .as("chunk_text"))
+        .orderBy($"doc_id", $"chunk_id")
+    }),
+
     // Training-sequence packing: documents stream into fixed
     // token-budget sequences (greedy fill in doc_id order — the
     // standard streaming pack). The running sum partitions by
@@ -381,6 +410,22 @@ object Pipeline {
   }
 
   def oracles: Map[String, String] = Map(
+
+    "pipeline_chunk" ->
+      """WITH t AS (
+           SELECT doc_id, string_split_regex(lower(text), '\s+') AS tk,
+             len(string_split_regex(lower(text), '\s+')) AS n
+           FROM documents),
+         c AS (
+           SELECT doc_id, tk, ci
+           FROM t, unnest(range(0,
+             1 + greatest(0, n - 64 + 47) // 48)) AS u(ci))
+         SELECT doc_id, CAST(ci AS BIGINT) AS chunk_id,
+           CAST(len(list_slice(tk, ci*48 + 1, ci*48 + 64)) AS BIGINT)
+             AS n_tokens,
+           array_to_string(list_slice(tk, ci*48 + 1, ci*48 + 64), ' ')
+             AS chunk_text
+         FROM c ORDER BY doc_id, chunk_id""",
     "pipeline_pack" ->
       """WITH t AS (
            SELECT lang, source, doc_id,

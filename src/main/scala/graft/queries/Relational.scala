@@ -16,6 +16,33 @@ import org.apache.spark.sql.functions._
 object Relational {
 
   def queries: Map[String, Q] = Map(
+
+    // Spark 4 SQL UDF (CREATE FUNCTION ... RETURN expr) — the
+    // user-extension surface that stays INSIDE Catalyst: the body is
+    // inlined into the plan at analysis, so it folds, pushes down,
+    // and codegens like any built-in (no JVM-closure black box, no
+    // serialization wall — the opposite of a Scala UDF). The margin
+    // formula runs on integer cents/percent so the UDF is exact and
+    // the oracle can inline the identical arithmetic.
+    "q65_sql_udf" -> ((s, d) => {
+      import s.implicits._
+      s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION graft_margin_e4(
+                 price DOUBLE, disc DOUBLE, tax DOUBLE) RETURNS BIGINT
+               RETURN CAST(round(price * 100) AS BIGINT)
+                 * (100 - CAST(round(disc * 100) AS BIGINT))
+                 * (100 + CAST(round(tax * 100) AS BIGINT))""")
+      Tables.load(s, d, "lineitem").createOrReplaceTempView("li_udf")
+      s.sql("""SELECT l_returnflag,
+                 count(*) AS n,
+                 sum(graft_margin_e4(l_extendedprice, l_discount, l_tax))
+                   AS margin_e4
+               FROM li_udf
+               WHERE graft_margin_e4(l_extendedprice, l_discount, l_tax)
+                 > 0
+               GROUP BY l_returnflag
+               ORDER BY l_returnflag""")
+    }),
+
     "q1_agg" -> ((s, d) => {
       import s.implicits._
       Tables.load(s, d, "lineitem")
@@ -759,6 +786,19 @@ object Relational {
   }
 
   def oracles: Map[String, String] = Map(
+
+    "q65_sql_udf" ->
+      """WITH m AS (
+           SELECT l_returnflag,
+             CAST(round(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l_discount * 100) AS BIGINT))
+               * (100 + CAST(round(l_tax * 100) AS BIGINT)) AS margin
+           FROM lineitem)
+         SELECT l_returnflag, count(*) AS n,
+           CAST(sum(margin) AS BIGINT) AS margin_e4
+         FROM m WHERE margin > 0
+         GROUP BY l_returnflag
+         ORDER BY l_returnflag""",
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
          round(sum(l_quantity), 2) AS sum_qty,

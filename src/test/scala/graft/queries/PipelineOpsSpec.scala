@@ -16,6 +16,30 @@ class PipelineOpsSpec extends SparkSpec {
 
   private val sf = "/root/testdata/sf0.001"
 
+  test("chunking tiles every token with 16-token overlap, tail short only at end") {
+    val chunks = graft.SparkEntry.queries("pipeline_chunk")(spark, sf)
+      .as[(Long, Long, Long, String)].collect()
+    val docs = graft.Tables.load(spark, sf, "documents")
+      .select($"doc_id", size(split(lower($"text"), "\\s+")).cast("long"))
+      .as[(Long, Long)].collect().toMap
+    assert(chunks.map(_._1).distinct.length == docs.size,
+      "every document must produce at least one chunk")
+    chunks.groupBy(_._1).foreach { case (id, cs) =>
+      val sorted = cs.sortBy(_._2)
+      val n = docs(id)
+      // chunk k starts at token 48k+1 and carries min(64, n-48k) tokens;
+      // the final token of the last chunk is token n — full coverage
+      sorted.foreach { case (_, k, len, text) =>
+        assert(len == math.min(64L, n - 48 * k), s"doc $id chunk $k")
+        assert(text.split(" ").length == len)
+      }
+      val last = sorted.last
+      assert(48 * last._2 + last._3 == n, s"doc $id: tail not at token $n")
+      // all chunks except possibly the last are full windows
+      assert(sorted.init.forall(_._3 == 64L))
+    }
+  }
+
   test("bloom decontamination over-flags only: superset of the exact join, bounded excess") {
     // the exact form (gram equi-join) is ground truth; the Bloom form
     // may add false positives (fpp 1e-4 per gram) but must never miss
