@@ -83,6 +83,33 @@ object Pipeline {
         .orderBy($"doc_id", $"chunk_id")
     }),
 
+    // Weighted systematic resampling — the with-replacement mixing
+    // pass that up-weights heavy/high-value documents: 1000 sample
+    // slots are spread evenly over the cumulative token mass, and a
+    // document is emitted once per slot boundary its weight interval
+    // crosses: n_copies = floor(cum·k/W) − floor((cum−w)·k/W). Pure
+    // integer arithmetic (slot positions never materialize as floats)
+    // so both engines agree exactly; deterministic doc_id order. The
+    // prefix sum rides ops.PrefixSum's distributed scan (range
+    // exchange + two per-partition jobs + |partitions| driver longs),
+    // never a partition-less window; W and k are scalars. At 100 TB
+    // cum·k outgrows a long — move the product to decimal(38,0) on
+    // both engines (same truncating div); the plan is unchanged.
+    "pipeline_resample" -> ((s, d) => {
+      import s.implicits._
+      val k = 1000L
+      val docs = Tables.load(s, d, "documents")
+        .select($"doc_id", $"lang",
+          size(split(lower($"text"), "\\s+")).cast("long").as("w"))
+      val total = docs.agg(sum($"w")).head.getLong(0) // driver scalar W
+      graft.ops.PrefixSum.runningTotal(docs, Seq($"doc_id"), $"w", "cum")
+        .withColumn("n_copies",
+          expr(s"(cum * $k) div $total - ((cum - w) * $k) div $total"))
+        .filter($"n_copies" >= 1L)
+        .select($"doc_id", $"lang", $"w".as("n_tokens"), $"n_copies")
+        .orderBy($"doc_id")
+    }),
+
     // Training-sequence packing: documents stream into fixed
     // token-budget sequences (greedy fill in doc_id order — the
     // standard streaming pack). The running sum partitions by
@@ -410,6 +437,27 @@ object Pipeline {
   }
 
   def oracles: Map[String, String] = Map(
+
+    "pipeline_resample" ->
+      """WITH w AS (
+           SELECT doc_id, lang,
+             CAST(len(string_split_regex(lower(text), '\s+')) AS BIGINT)
+               AS w
+           FROM documents),
+         t AS (SELECT CAST(sum(w) AS BIGINT) AS total FROM w),
+         c AS (
+           SELECT doc_id, lang, w,
+             CAST(sum(w) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum
+           FROM w)
+         SELECT doc_id, lang, w AS n_tokens,
+           CAST((cum * 1000) // t.total
+              - ((cum - w) * 1000) // t.total AS BIGINT) AS n_copies
+         FROM c, t
+         WHERE (cum * 1000) // t.total
+             - ((cum - w) * 1000) // t.total >= 1
+         ORDER BY doc_id""",
 
     "pipeline_chunk" ->
       """WITH t AS (

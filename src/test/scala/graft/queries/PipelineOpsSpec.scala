@@ -16,6 +16,24 @@ class PipelineOpsSpec extends SparkSpec {
 
   private val sf = "/root/testdata/sf0.001"
 
+  test("systematic resample: exactly k copies total, heavy docs guaranteed in") {
+    val out = graft.SparkEntry.queries("pipeline_resample")(spark, sf)
+      .as[(Long, String, Long, Long)].collect()
+    // floor telescoping: Σ n_copies = floor(W·k/W) − floor(0) = k
+    assert(out.map(_._4).sum == 1000L,
+      "slot boundaries must partition the mass into exactly k picks")
+    val w = graft.Tables.load(spark, sf, "documents")
+      .select($"doc_id",
+        size(split(lower($"text"), "\\s+")).cast("long"))
+      .as[(Long, Long)].collect()
+    val total = w.map(_._2).sum
+    val picked = out.map(_._1).toSet
+    // a doc spanning ≥ one full stride (w ≥ W/k) must cross a boundary
+    w.filter(_._2 * 1000 >= total).foreach { case (id, _) =>
+      assert(picked.contains(id), s"heavy doc $id missed") }
+    assert(out.forall(_._4 >= 1))
+  }
+
   test("chunking tiles every token with 16-token overlap, tail short only at end") {
     val chunks = graft.SparkEntry.queries("pipeline_chunk")(spark, sf)
       .as[(Long, Long, Long, String)].collect()
