@@ -83,6 +83,37 @@ object Pipeline {
         .orderBy($"doc_id", $"chunk_id")
     }),
 
+    // Vocabulary encoding — the tokenizer-encode step of training
+    // prep: build the top-1000 vocabulary by corpus frequency
+    // (count DESC, token — deterministic), assign contiguous ids, and
+    // re-emit every document as its id sequence with OOV → -1 (UNK).
+    // Scale shape: one (token) partial-count shuffle builds the
+    // vocab; the vocab is top-k-BOUNDED so it broadcasts by
+    // construction (the id-assignment window runs over ≤1000 rows —
+    // the one place a single-task window is correct); encoding is a
+    // broadcast left join + per-doc re-assembly ordered by position.
+    "pipeline_vocab_encode" -> ((s, d) => {
+      import s.implicits._
+      val tok = Tables.spread(Tables.load(s, d, "documents"))
+        .select($"doc_id",
+          posexplode(split(lower($"text"), "\\s+")).as(Seq("pos", "tok")))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy($"c".desc, $"tok")
+      val vocab = tok.groupBy($"tok").agg(count(lit(1)).as("c"))
+        .orderBy($"c".desc, $"tok").limit(1000)
+        .withColumn("id", row_number().over(w).cast("long") - 1L)
+        .select($"tok", $"id")
+      tok.join(broadcast(vocab), Seq("tok"), "left")
+        .withColumn("id", coalesce($"id", lit(-1L)))
+        .groupBy($"doc_id")
+        .agg(transform(
+          array_sort(collect_list(struct($"pos", $"id"))),
+          x => x.getField("id")).as("ids"))
+        .select($"doc_id", size($"ids").cast("long").as("n_tokens"),
+          $"ids")
+        .orderBy($"doc_id")
+    }),
+
     // Weighted systematic resampling — the with-replacement mixing
     // pass that up-weights heavy/high-value documents: 1000 sample
     // slots are spread evenly over the cumulative token mass, and a
@@ -437,6 +468,26 @@ object Pipeline {
   }
 
   def oracles: Map[String, String] = Map(
+
+    "pipeline_vocab_encode" ->
+      """WITH t AS (
+           SELECT doc_id, string_split_regex(lower(text), '\s+') AS tk
+           FROM documents),
+         tok AS (
+           SELECT doc_id, unnest(tk) AS tok,
+             unnest(range(0, len(tk))) AS pos
+           FROM t),
+         counts AS (SELECT tok, count(*) AS c FROM tok GROUP BY 1),
+         vocab AS (
+           SELECT tok, CAST(row_number() OVER (ORDER BY c DESC, tok)
+             AS BIGINT) - 1 AS id
+           FROM counts ORDER BY c DESC, tok LIMIT 1000),
+         enc AS (
+           SELECT t2.doc_id, t2.pos, coalesce(v.id, -1) AS id
+           FROM tok t2 LEFT JOIN vocab v USING (tok))
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           list(id ORDER BY pos) AS ids
+         FROM enc GROUP BY doc_id ORDER BY doc_id""",
 
     "pipeline_resample" ->
       """WITH w AS (

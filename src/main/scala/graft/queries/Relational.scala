@@ -43,6 +43,31 @@ object Relational {
                ORDER BY l_returnflag""")
     }),
 
+    // Join-strategy hint surface — the optimizer-control escape hatch
+    // for when the planner's default is wrong at cluster scale (a
+    // "small" dim that isn't, a sort order worth reusing). Both dims
+    // here are broadcast-sized, so the hints VISIBLY override the
+    // default choice: supplier is forced through a shuffled hash join,
+    // part through a sort-merge join (PlanGuardSpec asserts both exec
+    // nodes; results are strategy-invariant, which the oracle proves).
+    "q66_join_hints" -> ((s, d) => {
+      import s.implicits._
+      val li = Tables.load(s, d, "lineitem")
+      val a = li
+        .join(Tables.load(s, d, "supplier").hint("shuffle_hash"),
+          $"l_suppkey" === $"s_suppkey")
+        .groupBy($"s_nationkey".cast("long").as("k"))
+        .agg(count(lit(1)).as("n"))
+        .select(lit("supplier_nation").as("dim"), $"k", $"n")
+      val b = li
+        .join(Tables.load(s, d, "part").hint("merge"),
+          $"l_partkey" === $"p_partkey")
+        .groupBy($"p_size".cast("long").as("k"))
+        .agg(count(lit(1)).as("n"))
+        .select(lit("part_size").as("dim"), $"k", $"n")
+      a.unionAll(b).orderBy($"dim", $"k")
+    }),
+
     "q1_agg" -> ((s, d) => {
       import s.implicits._
       Tables.load(s, d, "lineitem")
@@ -786,6 +811,18 @@ object Relational {
   }
 
   def oracles: Map[String, String] = Map(
+
+    "q66_join_hints" ->
+      """SELECT 'supplier_nation' AS dim,
+           CAST(s.s_nationkey AS BIGINT) AS k, count(*) AS n
+         FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         GROUP BY 2
+         UNION ALL
+         SELECT 'part_size' AS dim,
+           CAST(p.p_size AS BIGINT) AS k, count(*) AS n
+         FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+         GROUP BY 2
+         ORDER BY dim, k""",
 
     "q65_sql_udf" ->
       """WITH m AS (

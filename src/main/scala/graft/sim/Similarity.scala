@@ -565,7 +565,52 @@ object Similarity {
     "ann_lsh_auto" -> ((s, d) => lshTopKAuto(s, d)),
     "ann_ivf" -> ((s, d) => ivfTopK(s, d)),
     "ann_ivf_kmeans" -> ((s, d) => ivfKmeansTopK(s, d)),
-    "ann_pq" -> ((s, d) => pqTopK(s, d)))
+    "ann_pq" -> ((s, d) => pqTopK(s, d)),
+    "emb_normalize" -> ((s, d) => normalizeEmbeddings(s, d)))
+
+  /** Embedding preprocessing — mean-center + L2-normalize, the
+    * whitening-lite step run before ANN indexing / SemDeDup so cosine
+    * geometry isn't dominated by the corpus centroid direction.
+    *
+    * Cross-engine determinism: the per-dimension mean is computed in
+    * QUANTIZED INTEGER space — each float is scaled by 2^20 and
+    * rounded to a long (floats are dyadic, so the scaled value is
+    * exact in double and a .5 rounds away-from-zero identically on
+    * both engines), summed order-free, integer-divided by n. The
+    * per-row centering/norm then folds the array IN INDEX ORDER on
+    * both engines (Spark `aggregate` HOF vs DuckDB list_reduce —
+    * 0+x exactness makes the folds bit-identical), rounded at 6.
+    *
+    * Scale shape: the mean pass is one posexplode partial-aggregate
+    * (d rows out); the means come back as d PLAN LITERALS (the
+    * "broadcast" is the plan); normalization is row-local codegen.
+    */
+  def normalizeEmbeddings(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val q = 1048576.0 // 2^20 quantization grid for the exact mean
+    val e = Tables.spread(Tables.load(s, d, "embeddings"))
+      .select(col("vec_id"), col("embedding"))
+    val means = e
+      .select(posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("pos"))
+      .agg(sum(round(col("v").cast("double") * q).cast("long")).as("sq"),
+        count(lit(1)).as("n"))
+      .select(col("pos"), expr("sq div n").as("mq"))
+      .orderBy(col("pos"))
+      .as[(Int, Long)].collect() // driver holds d longs
+    val mArr = array(means.map { case (_, mq) => lit(mq / q) }: _*)
+    e.select(col("vec_id"),
+        zip_with(col("embedding").cast("array<double>"), mArr,
+          (v, m) => v - m).as("c"))
+      .select(col("vec_id"),
+        expr("sqrt(aggregate(c, CAST(0.0 AS DOUBLE), " +
+          "(a, x) -> a + x * x))").as("nrm"), col("c"))
+      .select(col("vec_id"),
+        round(col("nrm"), 6).as("norm"),
+        transform(col("c"), x => round(x / col("nrm"), 6))
+          .as("unit"))
+      .orderBy(col("vec_id"))
+  }
 
   /** Brute force is exactly SQL-expressible (list_reduce replays the
     * same left-fold double summation — see Dedup oracle note). LSH/IVF
@@ -573,6 +618,31 @@ object Similarity {
     * plus recall assertions in SimilaritySpec.
     */
   def oracles: Map[String, String] = Map(
+    "emb_normalize" ->
+      """WITH x AS (SELECT vec_id, embedding FROM embeddings),
+         pe AS (
+           SELECT unnest(embedding) AS v,
+             unnest(range(0, len(embedding))) AS pos
+           FROM x),
+         m AS (
+           SELECT pos,
+             CAST(sum(CAST(round(CAST(v AS DOUBLE) * 1048576.0)
+               AS BIGINT)) // count(*) AS BIGINT) AS mq
+           FROM pe GROUP BY 1),
+         md AS (SELECT list(mq / 1048576.0 ORDER BY pos) AS md FROM m),
+         c AS (
+           SELECT vec_id,
+             list_transform(range(1, len(embedding) + 1),
+               i -> CAST(embedding[i] AS DOUBLE) - md.md[i]) AS c
+           FROM x, md),
+         n AS (
+           SELECT vec_id, c,
+             sqrt(list_reduce(list_transform(c, x -> x * x),
+               (a, b) -> a + b)) AS nrm
+           FROM c)
+         SELECT vec_id, round(nrm, 6) AS norm,
+           list_transform(c, x -> round(x / nrm, 6)) AS unit
+         FROM n ORDER BY vec_id""",
     "ann_bruteforce" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
                     FROM embeddings WHERE vec_id % 100 = 0),

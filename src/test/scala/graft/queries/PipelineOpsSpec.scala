@@ -16,6 +16,22 @@ class PipelineOpsSpec extends SparkSpec {
 
   private val sf = "/root/testdata/sf0.001"
 
+  test("vocab encode: ids dense in [-1, 1000), OOV only for off-vocab tokens") {
+    val out = graft.SparkEntry.queries("pipeline_vocab_encode")(spark, sf)
+      .as[(Long, Long, Seq[Long])].collect()
+    val docs = graft.Tables.load(spark, sf, "documents")
+    assert(out.length == docs.count())
+    out.foreach { case (id, n, ids) =>
+      assert(ids.length == n, s"doc $id: length mismatch")
+      assert(ids.forall(i => i == -1L || (i >= 0L && i < 1000L)))
+    }
+    // the fixture vocabulary is tiny, so every token should be in the
+    // top-1000 vocab — OOV must NOT occur here; and id 0 (the most
+    // frequent token) must appear somewhere
+    assert(out.forall(!_._3.contains(-1L)), "unexpected OOV in fixture")
+    assert(out.exists(_._3.contains(0L)))
+  }
+
   test("systematic resample: exactly k copies total, heavy docs guaranteed in") {
     val out = graft.SparkEntry.queries("pipeline_resample")(spark, sf)
       .as[(Long, String, Long, Long)].collect()

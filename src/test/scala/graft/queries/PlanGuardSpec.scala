@@ -21,6 +21,20 @@ class PlanGuardSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     df.queryExecution.executedPlan
   }
 
+  test("q66 hints override the planner: shuffled-hash AND sort-merge appear") {
+    val plan = executedPlan("q66_join_hints")
+    val shj = collectWithSubqueries(plan) {
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+    }
+    val smj = collectWithSubqueries(plan) {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+    }
+    // both dims are broadcast-sized, so these nodes exist ONLY if the
+    // hints actually took precedence over the size-based default
+    assert(shj.nonEmpty, "shuffle_hash hint must force ShuffledHashJoin")
+    assert(smj.nonEmpty, "merge hint must force SortMergeJoin")
+  }
+
   test("q3_join_agg broadcasts the customer dimension") {
     val plan = executedPlan("q3_join_agg")
     val broadcasts = collectWithSubqueries(plan) {
