@@ -360,6 +360,25 @@ object Relational {
         .orderBy($"op")
     }),
 
+    // Count-Min Sketch point estimates — the third sketch family next
+    // to q29's HLL++/quantile sketches: frequency estimation in fixed
+    // memory (eps·confidence-sized counter grid, merge-associative so
+    // executors build partials and the driver merges — the 100 TB
+    // shape for "how often does X occur" without a per-key shuffle).
+    // Estimates are implementation-defined (seeded hashes) → rows-only
+    // gate; ApproxAggSpec pins the CMS guarantee (never undercounts,
+    // overcount bounded by eps·total) against the exact counts.
+    "q67_cms_freq" -> ((s, d) => {
+      import s.implicits._
+      val ev = Tables.load(s, d, "events")
+      val cms = ev.stat.countMinSketch(
+        $"event_type", eps = 0.001, confidence = 0.99, seed = 42)
+      val types = ev.select($"event_type").distinct()
+        .orderBy($"event_type").as[String].collect()
+      types.toSeq.map(t => (t, cms.estimateCount(t)))
+        .toDF("event_type", "est_count")
+    }),
+
     "q29_approx_agg" -> ((s, d) => {
       import s.implicits._
       // Sketch aggregates — the only viable shapes for distincts and

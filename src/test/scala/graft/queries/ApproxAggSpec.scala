@@ -12,6 +12,21 @@ class ApproxAggSpec extends SparkSpec {
 
   private val sf = "/root/testdata/sf0.01"
 
+  test("CMS never undercounts; overcount bounded by eps * stream size") {
+    val est = SparkEntry.queries("q67_cms_freq")(spark, sf)
+      .as[(String, Long)].collect().toMap
+    val ev = graft.Tables.load(spark, sf, "events")
+    val exact = ev.groupBy($"event_type").count()
+      .as[(String, Long)].collect().toMap
+    val total = exact.values.sum
+    assert(est.keySet == exact.keySet)
+    exact.foreach { case (t, n) =>
+      assert(est(t) >= n, s"CMS must never undercount ($t)")
+      assert(est(t) <= n + (0.001 * total).ceil.toLong,
+        s"CMS overcount above eps*N for $t: ${est(t)} vs $n")
+    }
+  }
+
   test("HLL distinct counts are within the configured relative error") {
     val approx = SparkEntry.queries("q29_approx_agg")(spark, sf)
       .select($"event_type", $"approx_users", $"approx_users_1pct")
