@@ -510,27 +510,6 @@ object Analytics {
         .orderBy($"user_id", $"purchase_id")
     }),
 
-    // RANGE-interval window — 7-day rolling spend per customer. The
-    // frame is TIME-based (RANGE BETWEEN 6 PRECEDING AND CURRENT ROW
-    // over integer order-days), not row-count-based: gaps in a
-    // customer's order history shrink the frame, and same-day peers
-    // are all included — semantics a ROWS frame cannot express. Exact
-    // integer cents so the rolling sum is order-free. Scale shape: the
-    // window partitions on o_custkey (high cardinality — no single
-    // task owns more than one customer's history), one exchange total.
-    "q63_rolling_range" -> ((s, d) => {
-      import s.implicits._
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy($"o_custkey").orderBy($"day").rangeBetween(-6, 0)
-      Tables.load(s, d, "orders")
-        .select($"o_custkey", $"o_orderkey",
-          datediff(to_date($"o_orderdate"), lit("1992-01-01"))
-            .cast("long").as("day"),
-          round($"o_totalprice" * 100).cast("long").as("cents"))
-        .withColumn("cents_7d", sum($"cents").over(w))
-        .orderBy($"o_custkey", $"day", $"o_orderkey")
-    }),
-
     // Incremental aggregate maintenance (IVM): the base corpus's
     // per-customer partial aggregates are MERGED with a delta batch's
     // partials — counts add, sums add, min/max fold — instead of
@@ -642,19 +621,6 @@ object Analytics {
   }
 
   def oracles: Map[String, String] = Map(
-    "q63_rolling_range" ->
-      """SELECT o_custkey, o_orderkey,
-           CAST(datediff('day', DATE '1992-01-01',
-             CAST(o_orderdate AS DATE)) AS BIGINT) AS day,
-           CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
-           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
-             PARTITION BY o_custkey
-             ORDER BY datediff('day', DATE '1992-01-01',
-               CAST(o_orderdate AS DATE))
-             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
-             AS cents_7d
-         FROM orders
-         ORDER BY o_custkey, day, o_orderkey""",
     "q64_incremental_agg" ->
       """SELECT o_custkey,
            count(*) AS n_orders,
