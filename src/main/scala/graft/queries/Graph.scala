@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -20,15 +21,16 @@ import graft.{Q, Tables}
   * both engines, order-free integer sums — so five iterations stay
   * hash-identical to DuckDB with no float fold order to flip a bit.
   *
-  * 100 TB shape: the edge list is the only corpus-sized frame. It is
-  * shuffled ONCE (repartition by src, persisted); each Lloyd-style
-  * round joins it against a node-sized rank table that travels as a
-  * broadcast (nodes ≪ edges — hosts vs links), then one groupBy(dst)
-  * integer-sum shuffle of (dst, long) pairs — payloads never move. If
-  * the node table outgrows the broadcast threshold the same plan
-  * degrades to a shuffled hash join on src, co-partitioned with the
-  * persisted edge layout. Driver holds two scalars (node count, base
-  * term), never a vertex vector.
+  * 100 TB shape: the edge list is the only corpus-sized frame — built
+  * scan-shaped and persisted, never re-shuffled. Each round joins it
+  * against a node-sized rank table that travels as a broadcast
+  * (nodes ≪ edges — hosts vs links), so an iteration's only exchange
+  * is the groupBy(dst) integer-sum shuffle of (dst, long) pairs,
+  * collapsed map-side to ≤|nodes| rows per task — payloads never
+  * move. If the node table outgrows the broadcast threshold, add
+  * repartition(src) on the persisted edges once and the same plan
+  * degrades to a co-partitioned shuffled hash join. Driver holds two
+  * scalars (node count, base term), never a vertex vector.
   */
 object Graph {
 
@@ -48,32 +50,59 @@ object Graph {
         .select($"l_orderkey", $"l_suppkey")
       val ord = Tables.load(s, d, "orders")
         .select($"o_orderkey", $"o_custkey")
-      val pairs = li.join(ord, $"l_orderkey" === $"o_orderkey")
-        .select(
-          concat(lit("c"), $"o_custkey".cast("string")).as("src"),
-          concat(lit("s"), $"l_suppkey".cast("string")).as("dst"))
-        .distinct()
-      val edges = pairs
-        .union(pairs.select($"dst".as("src"), $"src".as("dst")))
-        .repartition($"src")
+      // nodes are LONGS on the hot path (even = customer 2k, odd =
+      // supplier 2k+1): five rounds of hash-shuffles on a long key
+      // beat string keys; the display string materializes only in the
+      // final 100-row projection. MULTI-edges are kept (one edge per
+      // lineitem): rank flow is trade-volume-weighted, and skipping
+      // the dedup saves a full shuffle of the edge list. Symmetrize
+      // with ONE explode pass — a union with the swapped projection
+      // would re-execute the build subtree. No repartition: the
+      // per-round join is broadcast (node table ≪ edges), so the only
+      // shuffle an iteration needs is the groupBy(dst) partial-agg
+      // exchange; should ranks outgrow the broadcast threshold, add
+      // repartition(src) back and let the rounds reuse it.
+      val edges = li.join(ord, $"l_orderkey" === $"o_orderkey")
+        .select(($"o_custkey" * 2).as("src"),
+          ($"l_suppkey" * 2 + 1).as("dst"))
+        .select(explode(array(
+          struct($"src", $"dst"),
+          struct($"dst".as("src"), $"src".as("dst")))).as("e"))
+        .select($"e.src".as("src"), $"e.dst".as("dst"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       val deg = edges.groupBy($"src").agg(count(lit(1)).as("d"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       val n = deg.count() // driver scalar: node count
       val base = (15L * Scale) / (100L * n) // (1-d)/N teleport term
       var ranks = deg.select($"src".as("node"), lit(Scale / n).as("r"))
+      var prev: Option[DataFrame] = None
       for (_ <- 1 to 5) {
         // give = r div outdeg, attached node-locally; the edge join is
         // map-side (broadcast), only (dst, give) longs shuffle
         val give = ranks.join(deg, ranks("node") === deg("src"))
           .select($"node", expr("r div d").as("give"))
-        ranks = edges.join(broadcast(give), $"src" === $"node")
+        val next = edges.join(broadcast(give), $"src" === $"node")
           .groupBy($"dst").agg(sum($"give").as("got"))
           .select($"dst".as("node"),
             (lit(base) + expr("85 * got div 100")).as("r"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        // materialize NOW so iteration k+1's broadcast reads a cached
+        // node-sized table instead of re-deriving the whole nested
+        // lineage (5 rounds of lazy plans re-execute triangularly —
+        // measured 8.7 s vs 3.5 s at sf0.1); then drop round k-1
+        next.count()
+        prev.foreach(_.unpersist(false))
+        prev = Some(next)
+        ranks = next
       }
-      ranks.orderBy($"r".desc, $"node").limit(100)
-        .select($"node", $"r".as("rank_scaled"))
+      ranks
+        .select(when($"node" % 2 === 0,
+            concat(lit("c"), expr("node div 2").cast("string")))
+          .otherwise(
+            concat(lit("s"), expr("(node - 1) div 2").cast("string")))
+          .as("node"),
+          $"r".as("rank_scaled"))
+        .orderBy($"rank_scaled".desc, $"node").limit(100)
     }),
 
   )
@@ -94,8 +123,8 @@ object Graph {
            JOIN deg dg ON e.src = dg.src
            GROUP BY e.dst)"""
       s"""WITH pairs AS (
-           SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS src,
-                           's' || CAST(l.l_suppkey AS VARCHAR) AS dst
+           SELECT o.o_custkey * 2 AS src,
+                  l.l_suppkey * 2 + 1 AS dst
            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
          edges AS (
            SELECT src, dst FROM pairs
@@ -113,8 +142,12 @@ object Graph {
          ${round("it2", "it3")},
          ${round("it3", "it4")},
          ${round("it4", "it5")}
-         SELECT node, r AS rank_scaled FROM it5
-         ORDER BY r DESC, node LIMIT 100"""
+         SELECT CASE WHEN node % 2 = 0
+                  THEN 'c' || CAST(node // 2 AS VARCHAR)
+                  ELSE 's' || CAST((node - 1) // 2 AS VARCHAR) END AS node,
+           r AS rank_scaled
+         FROM it5
+         ORDER BY rank_scaled DESC, node LIMIT 100"""
     },
 
   )
