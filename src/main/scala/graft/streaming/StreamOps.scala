@@ -447,4 +447,39 @@ object StreamOps {
           Iterator.single(HeavyHitters(key, sorted.take(topK)))
       }
   }
+
+  // ------------------------------- streaming incremental aggregation
+  /** Streaming twin of q64_incremental_agg: a foreachBatch sink that
+    * maintains a per-key serving aggregate (n, sum, min, max) by
+    * MERGING each micro-batch's partials into the stored table —
+    * counts/sums add, min/max fold — instead of re-aggregating
+    * history. State lives in parquet at `stateDir`, group-sized (one
+    * row per key), never row-sized; each batch's work is
+    * O(batch + |keys|). The read-modify-overwrite is made safe by
+    * materializing the merged frame in cache BEFORE the overwrite
+    * (the lazy read would otherwise consume the files it is
+    * replacing). At-least-once replays of a batch re-merge its rows —
+    * exactly-once needs idempotent keys or the BatchMarkers
+    * discipline (KinesisSink.writeStreamExactlyOnce); the spec pins
+    * merge == direct recompute over clean delivery.
+    */
+  def incrementalAggBatch(stateDir: String)(
+      batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val partial = batch.groupBy(col("k")).agg(
+      count(lit(1)).as("n"), sum(col("v")).as("s"),
+      min(col("v")).as("lo"), max(col("v")).as("hi"))
+    val prior =
+      if (new java.io.File(stateDir).exists())
+        Some(spark.read.parquet(stateDir))
+      else None
+    val merged = prior.map(_.unionByName(partial)).getOrElse(partial)
+      .groupBy(col("k")).agg(
+        sum(col("n")).as("n"), sum(col("s")).as("s"),
+        min(col("lo")).as("lo"), max(col("hi")).as("hi"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    merged.count() // materialize before overwriting the files read above
+    merged.write.mode("overwrite").parquet(stateDir)
+    merged.unpersist(false)
+  }
 }

@@ -10,6 +10,38 @@ class StatefulSpec extends SparkSpec {
 
   private def ts(s: String): Timestamp = Timestamp.valueOf(s)
 
+  test("streaming IVM sink: merged serving table == direct recompute") {
+    implicit val sqlCtx = spark.sqlContext
+    val stateDir = java.nio.file.Files
+      .createTempDirectory("graft_ivm").toString + "/state"
+    val in = MemoryStream[(Long, Long)]
+    val q = in.toDF().toDF("k", "v").writeStream
+      .foreachBatch(StreamOps.incrementalAggBatch(stateDir) _)
+      .outputMode("append").start()
+    in.addData((1L, 10L), (1L, 2L), (2L, 5L))
+    q.processAllAvailable()
+    in.addData((1L, 7L), (3L, 1L))
+    q.processAllAvailable()
+    in.addData((2L, 20L), (2L, 3L), (3L, 4L))
+    q.processAllAvailable()
+    q.stop()
+    val served = spark.read.parquet(stateDir)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    val all = Seq((1L, 10L), (1L, 2L), (2L, 5L), (1L, 7L), (3L, 1L),
+      (2L, 20L), (2L, 3L), (3L, 4L))
+    val direct = all.groupBy(_._1).map { case (k, rows) =>
+      val vs = rows.map(_._2)
+      k -> (k, vs.length.toLong, vs.sum, vs.min, vs.max)
+    }
+    assert(served.keySet == direct.keySet)
+    direct.foreach { case (k, (_, n, sum, lo, hi)) =>
+      val (_, sn, ss, slo, shi) = served(k)
+      assert(sn == n && ss == sum && slo == lo && shi == hi,
+        s"key $k: merged state diverges from direct recompute")
+    }
+  }
+
   test("transformWithState v2: event-time TIMERS close idle sessions") {
     implicit val sqlCtx = spark.sqlContext
     val prev = spark.conf.getOption(
