@@ -29,11 +29,13 @@ object GraphProbe {
       .select($"l_orderkey", $"l_suppkey")
     val ord = Tables.load(spark, sfDir, "orders")
       .select($"o_orderkey", $"o_custkey")
-    val pairs = li.join(ord, $"l_orderkey" === $"o_orderkey")
+    val edges = li.join(ord, $"l_orderkey" === $"o_orderkey")
       .select(($"o_custkey" * 2).as("src"), ($"l_suppkey" * 2 + 1).as("dst"))
-      .distinct()
-    val edges = pairs.union(pairs.select($"dst".as("src"), $"src".as("dst")))
-      .repartition($"src").persist(StorageLevel.MEMORY_AND_DISK)
+      .select(explode(array(
+        struct($"src", $"dst"),
+        struct($"dst".as("src"), $"src".as("dst")))).as("e"))
+      .select($"e.src".as("src"), $"e.dst".as("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     t("edge build+persist") { println(s"  edges=${edges.count()}") }
     val deg = edges.groupBy($"src").agg(count(lit(1)).as("d"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -55,6 +57,31 @@ object GraphProbe {
       }
     }
     t("top-100") { ranks.orderBy($"r".desc, $"node").limit(100).collect() }
+
+    // 1×/2×/4× scaling: duplicate the trade graph with shifted node
+    // ids (disjoint copies — rank mass per copy unchanged) and time
+    // one damped round per scale. Linear growth here is the evidence
+    // the per-round plan (broadcast join + map-side-collapsed agg)
+    // carries to corpus scale; superlinear would flag a shape bug.
+    for (mult <- Seq(1, 2, 4)) {
+      val shift = 1000000L
+      val multi = (0 until mult).map(m =>
+        edges.select(($"src" + m * shift).as("src"),
+          ($"dst" + m * shift).as("dst"))).reduce(_ unionAll _)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val ne = multi.count()
+      val dg = multi.groupBy($"src").agg(count(lit(1)).as("d"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val nn = dg.count()
+      val r0 = dg.select($"src".as("node"), lit(1000000000000L / nn).as("r"))
+      t(s"scaled round (${mult}x, $ne edges)") {
+        val give = r0.join(dg, r0("node") === dg("src"))
+          .select($"node", expr("r div d").as("give"))
+        multi.join(broadcast(give), $"src" === $"node")
+          .groupBy($"dst").agg(sum($"give").as("got")).count()
+      }
+      multi.unpersist(false); dg.unpersist(false)
+    }
     spark.stop()
   }
 }
