@@ -11,6 +11,30 @@ class StreamOpsSpec extends SparkSpec {
 
   private def ts(s: String): Timestamp = Timestamp.valueOf(s)
 
+  test("AvailableNow backfill: drains the existing backlog in batches, then stops") {
+    // the catch-up trigger every reprocessing run uses: consume ALL
+    // files present at start — in maxFilesPerTrigger-sized micro-
+    // batches, unlike Trigger.Once — and terminate on its own
+    val dir = java.nio.file.Files.createTempDirectory("graft_an")
+    (1 to 5).foreach { i =>
+      java.nio.file.Files.writeString(dir.resolve(s"f$i.txt"),
+        s"line-$i-a\nline-$i-b\n")
+    }
+    val q = StreamOps.lineStream(spark, dir.toString,
+        maxFilesPerTrigger = 2)
+      .writeStream.format("memory").queryName("an_backfill")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .outputMode("append").start()
+    q.awaitTermination(60000)
+    assert(!q.isActive, "AvailableNow must self-terminate after the backlog")
+    val got = spark.table("an_backfill").as[String].collect().toSet
+    assert(got == (1 to 5).flatMap(i =>
+      Seq(s"line-$i-a", s"line-$i-b")).toSet)
+    // admission control held: 5 files / 2 per trigger -> >= 3 batches
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 3,
+      "backlog should drain across multiple admission-capped batches")
+  }
+
   test("tumbling window aggregates by event time with watermark") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Timestamp, String, Double)]
