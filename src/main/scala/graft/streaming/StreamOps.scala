@@ -469,9 +469,13 @@ object StreamOps {
     val partial = batch.groupBy(col("k")).agg(
       count(lit(1)).as("n"), sum(col("v")).as("s"),
       min(col("v")).as("lo"), max(col("v")).as("hi"))
+    // existence via the Hadoop FS API — stateDir is an object-store /
+    // HDFS path in production, not a local file
+    val statePath = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = statePath.getFileSystem(
+      spark.sessionState.newHadoopConf())
     val prior =
-      if (new java.io.File(stateDir).exists())
-        Some(spark.read.parquet(stateDir))
+      if (fs.exists(statePath)) Some(spark.read.parquet(stateDir))
       else None
     val merged = prior.map(_.unionByName(partial)).getOrElse(partial)
       .groupBy(col("k")).agg(
