@@ -510,6 +510,35 @@ object Analytics {
         .orderBy($"user_id", $"purchase_id")
     }),
 
+    // Bitwise aggregation — per-user event-type presence encoded as a
+    // bitmask via bit_or(1 << bit): the compact-set trick funnel and
+    // audience queries pre-filter with (a 64-type universe folds to
+    // one long; "did view AND purchase" is one AND against a literal
+    // instead of two semi-joins). The type→bit dictionary derives
+    // from sorted distinct types — enum-sized, the one place a
+    // single-task window is fine — and broadcasts back. Map-side
+    // bit_or partials collapse each task to ≤|users| longs; the mask
+    // histogram is a second tiny aggregate. All-integer → oracle-exact.
+    "q68_bitmask_agg" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.orderBy($"event_type")
+      val bits = Tables.load(s, d, "events")
+        .select($"event_type").distinct()
+        .withColumn("bit", row_number().over(w).cast("long") - 1L)
+      // deterministic 1/29 thinning so the mask histogram is non-trivial on
+      // the dense fixture (otherwise every user saturates every bit)
+      val masks = Tables.load(s, d, "events")
+        .filter(($"event_id" + $"user_id") % 29 === 0)
+        .join(broadcast(bits), Seq("event_type"))
+        .groupBy($"user_id")
+        .agg(bit_or(expr("shiftleft(1L, cast(bit as int))")).as("mask"))
+      masks.groupBy($"mask")
+        .agg(count(lit(1)).as("n_users"))
+        .withColumn("n_types", bit_count($"mask").cast("long"))
+        .select($"mask", $"n_types", $"n_users")
+        .orderBy($"mask")
+    }),
+
     // Incremental aggregate maintenance (IVM): the base corpus's
     // per-customer partial aggregates are MERGED with a delta batch's
     // partials — counts add, sums add, min/max fold — instead of
@@ -621,6 +650,21 @@ object Analytics {
   }
 
   def oracles: Map[String, String] = Map(
+    "q68_bitmask_agg" ->
+      """WITH bits AS (
+           SELECT event_type,
+             CAST(row_number() OVER (ORDER BY event_type) AS BIGINT) - 1
+               AS bit
+           FROM (SELECT DISTINCT event_type FROM events)),
+         masks AS (
+           SELECT e.user_id,
+             CAST(bit_or(1 << b.bit) AS BIGINT) AS mask
+           FROM events e JOIN bits b ON e.event_type = b.event_type
+           WHERE (e.event_id + e.user_id) % 29 = 0
+           GROUP BY 1)
+         SELECT mask, CAST(bit_count(mask) AS BIGINT) AS n_types,
+           count(*) AS n_users
+         FROM masks GROUP BY 1 ORDER BY mask""",
     "q64_incremental_agg" ->
       """SELECT o_custkey,
            count(*) AS n_orders,

@@ -412,6 +412,40 @@ object Corpus {
         .toDF("n_in", "chars_in", "n_kept", "chars_kept", "tokens_kept")
     }),
 
+    // Domain-shift detection — KL divergence of each source's unigram
+    // distribution from the corpus distribution (the drift monitor a
+    // multi-source ingest runs: a source whose token mix diverges is
+    // templated, gibberish, or off-domain). Terms are p·ln(p/q) per
+    // (source, token); the per-source float sum crosses ~vocab-sized
+    // term counts, so it follows the text_lm_score discipline —
+    // round(4) sits orders above the fold-order noise — plus exact
+    // integer companions (token count, vocab size). Scale shape: both
+    // frequency tables are (key, token) map-side partial counts,
+    // vocab-bounded; the join is on token (broadcastable while the
+    // vocab is; hash join past that); one aggregate per source.
+    "text_divergence" -> ((s, d) => {
+      import s.implicits._
+      val tok = Tables.spread(Tables.load(s, d, "documents"))
+        .select($"source", explode(split(lower($"text"), "\\s+")).as("tok"))
+      val bySrc = tok.groupBy($"source", $"tok").agg(count(lit(1)).as("c"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val srcTot = bySrc.groupBy($"source").agg(sum($"c").as("n_src"))
+      val global = bySrc.groupBy($"tok").agg(sum($"c").as("g"))
+      val gTot = global.agg(sum($"g")).head.getLong(0) // corpus tokens
+      bySrc
+        .join(broadcast(global), Seq("tok"))
+        .join(broadcast(srcTot), Seq("source"))
+        .groupBy($"source")
+        .agg(
+          first($"n_src").as("n_tokens"),
+          count(lit(1)).as("vocab"),
+          round(sum(($"c" / $"n_src") *
+            (log($"c" / $"n_src") - log($"g" / lit(gTot.toDouble)))), 4)
+            .as("kl_vs_corpus"))
+        .select($"source", $"n_tokens", $"vocab", $"kl_vs_corpus")
+        .orderBy($"source")
+    }),
+
     // Balanced stratified sampling — downsample every language to the
     // smallest language's document count, picking documents by
     // content-hash order (deterministic, engine-agnostic, content-pure
@@ -471,6 +505,25 @@ object Corpus {
   )
 
   def oracles: Map[String, String] = Map(
+
+    "text_divergence" ->
+      """WITH tok AS (
+           SELECT source, unnest(string_split_regex(lower(text), '\s+'))
+             AS tok FROM documents),
+         bs AS (SELECT source, tok, count(*) AS c FROM tok GROUP BY 1, 2),
+         st AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_src
+                FROM bs GROUP BY 1),
+         g AS (SELECT tok, CAST(sum(c) AS BIGINT) AS g FROM bs GROUP BY 1),
+         gt AS (SELECT CAST(sum(c) AS DOUBLE) AS t FROM bs)
+         SELECT b.source, any_value(st.n_src) AS n_tokens,
+           count(*) AS vocab,
+           round(sum((b.c / st.n_src) *
+             (ln(b.c / st.n_src) - ln(g.g / (SELECT t FROM gt)))), 4)
+             AS kl_vs_corpus
+         FROM bs b
+         JOIN g ON b.tok = g.tok
+         JOIN st ON b.source = st.source
+         GROUP BY 1 ORDER BY 1""",
 
     "pipeline_sample_balance" ->
       """WITH k AS (
