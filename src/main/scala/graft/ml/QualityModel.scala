@@ -79,17 +79,22 @@ object QualityModel {
     * Returns (doc_id, label, score, keep) sorted by doc_id.
     */
   def trainScore(docs: DataFrame): DataFrame = {
+    // featurize feeds BOTH the training assembly and the scoring
+    // projection — persist the (narrow) feature columns once instead
+    // of running the 7 per-token HOF passes twice over the corpus;
+    // released by the harness clearCache (cache lifecycle discipline)
     val feats = featurize(docs)
       .withColumn("label",
         when(col("len_ok") + col("distinct_ratio") + col("stop_ratio")
           >= 1.5, 1.0).otherwise(0.0))
+      .select((Seq("doc_id", "label") ++ featCols).map(col): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // no second persist for the assembled frame: each L-BFGS pass
+    // reads the cached narrow features and assembles row-locally
     val assembled = new VectorAssembler()
       .setInputCols(featCols).setOutputCol("features")
       .transform(feats)
       .select(col("doc_id"), col("label"), col("features"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // L-BFGS re-reads the assembled frame every iteration — persist,
-    // released by the harness clearCache (cache lifecycle discipline)
     // 20 iterations: the rule signals are linearly separable, so the
     // ORDERING (what the AUC spec pins) is fixed within a few rounds —
     // further L-BFGS rounds only grow the margin, at one treeAggregate
