@@ -539,6 +539,63 @@ object Analytics {
         .orderBy($"mask")
     }),
 
+    // Point-in-time dimension lookup — the composition the SCD2 build
+    // (q41) exists for: attach to each fact (purchase) the dimension
+    // state valid AT ITS TIMESTAMP (the user's tier, tracked from
+    // signup events). The naive plan is facts ⋈ intervals on
+    // `valid_from <= ts < valid_to` — an inequality join that
+    // degenerates to a per-fact interval scan. This is the
+    // single-shuffle formulation instead (q27's union+window trick
+    // pointed at an SCD2 dim): collapse the tracked attribute to its
+    // CHANGE rows (lag filter — the q41 machinery), union them with
+    // the facts, and one ordered window per user carries the current
+    // state forward onto every fact. ONE hash exchange on user_id, no
+    // inequality join anywhere, and the window partitions by the
+    // high-cardinality key. LEFT semantics: facts before any dim row
+    // keep a NULL tier (the oracle's LEFT JOIN finds no interval).
+    "q69_pit_lookup" -> ((s, d) => {
+      import s.implicits._
+      val ev = Tables.load(s, d, "events")
+      // dim source: signup events define the user's tier. Dedupe of
+      // simultaneous signups (max event_id wins, like the oracle's
+      // row_number DESC) and the SCD2 change-collapse share ONE
+      // user_id exchange+sort: ordering by (ts, event_id DESC) puts
+      // the winner first in each ts group, so "prev row has a
+      // different ts" IS the dedupe — no separate (user_id, ts)
+      // window pass over the dim side.
+      val chgW = Window.partitionBy($"user_id")
+        .orderBy($"ts", $"event_id".desc)
+      val signups = ev.filter($"event_type" === "signup")
+        .withColumn("tier", floor($"value" / 100).cast("long"))
+        .withColumn("prev_ts", lag($"ts", 1).over(chgW))
+        .filter($"prev_ts".isNull || $"prev_ts" =!= $"ts")
+      // SCD2 collapse: a dim row survives only when the tier CHANGES
+      // (same window spec → Catalyst reuses the exchange and sort)
+      val dim = signups
+        .withColumn("prev_tier", lag($"tier", 1).over(chgW))
+        .filter($"prev_tier".isNull || $"prev_tier" =!= $"tier")
+        .select($"user_id", $"ts", $"tier".as("mark_tier"),
+          $"ts".as("mark_from"), lit(1).as("is_mark"),
+          lit(null).cast("long").as("event_id"))
+      val facts = ev.filter($"event_type" === "purchase")
+        .select($"user_id", $"ts", lit(null).cast("long").as("mark_tier"),
+          lit(null).cast("timestamp").as("mark_from"), lit(0).as("is_mark"),
+          $"event_id")
+      // marks sort before facts at equal ts (is_mark desc): a tier
+      // change at exactly the purchase instant applies (>= semantics,
+      // same boundary as the oracle's valid_from <= ts)
+      val pitW = Window.partitionBy($"user_id")
+        .orderBy($"ts", $"is_mark".desc)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      dim.unionByName(facts)
+        .withColumn("tier", last($"mark_tier", ignoreNulls = true).over(pitW))
+        .withColumn("valid_from",
+          last($"mark_from", ignoreNulls = true).over(pitW))
+        .filter($"is_mark" === 0)
+        .select($"event_id", $"user_id", $"ts", $"tier", $"valid_from")
+        .orderBy($"event_id")
+    }),
+
     // Incremental aggregate maintenance (IVM): the base corpus's
     // per-customer partial aggregates are MERGED with a delta batch's
     // partials — counts add, sums add, min/max fold — instead of
@@ -650,6 +707,32 @@ object Analytics {
   }
 
   def oracles: Map[String, String] = Map(
+    "q69_pit_lookup" ->
+      """WITH s0 AS (
+           SELECT user_id, ts, event_id,
+             CAST(floor(value / 100) AS BIGINT) AS tier,
+             row_number() OVER (PARTITION BY user_id, ts
+                                ORDER BY event_id DESC) AS rn
+           FROM events WHERE event_type = 'signup'),
+         s1 AS (SELECT user_id, ts, tier FROM s0 WHERE rn = 1),
+         chg AS (
+           SELECT user_id, ts, tier,
+             lag(tier) OVER (PARTITION BY user_id ORDER BY ts)
+               AS prev_tier
+           FROM s1),
+         dim AS (
+           SELECT user_id, ts AS valid_from, tier,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts)
+               AS valid_to
+           FROM chg WHERE prev_tier IS NULL OR prev_tier <> tier),
+         f AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'purchase')
+         SELECT f.event_id, f.user_id, f.ts, d.tier,
+                CAST(d.valid_from AS TIMESTAMP) AS valid_from
+         FROM f LEFT JOIN dim d
+           ON f.user_id = d.user_id AND f.ts >= d.valid_from
+              AND (d.valid_to IS NULL OR f.ts < d.valid_to)
+         ORDER BY f.event_id""",
     "q68_bitmask_agg" ->
       """WITH bits AS (
            SELECT event_type,

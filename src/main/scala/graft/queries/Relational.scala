@@ -442,6 +442,77 @@ object Relational {
         .orderBy($"event_id")
     }),
 
+    // Forward as-of join — the symmetric twin of q27: attach to each
+    // click the user's EARLIEST purchase at-or-after it (the
+    // "time-to-conversion" lookup). Same single-shuffle union+window
+    // formulation, mirrored: the window looks FORWARD
+    // (rowsBetween(0, unboundedFollowing), first non-null mark), the
+    // per-(user, ts) mark dedupe keeps MIN event_id, and probes sort
+    // before marks at equal ts so a simultaneous purchase is visible
+    // (>= boundary). ONE shuffle on user_id, no inequality join;
+    // DuckDB's native forward ASOF (c.ts <= p.ts) replays it exactly.
+    "q70_asof_forward" -> ((s, d) => {
+      import s.implicits._
+      val ev = Tables.load(s, d, "events")
+      // per-(user, ts) dedupe (min event_id) folded into a user_id
+      // window ordered (ts, event_id ASC): the winner is the first
+      // row of its ts group, detected by lag(ts) — one exchange for
+      // the mark side instead of a separate (user_id, ts) pass
+      val markW = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id").orderBy($"ts", $"event_id".asc)
+      val purchases = ev.filter($"event_type" === "purchase")
+        .withColumn("prev_ts", lag($"ts", 1).over(markW))
+        .filter($"prev_ts".isNull || $"prev_ts" =!= $"ts")
+        .select($"user_id", $"ts", $"event_id".as("mark_id"),
+          $"value".as("mark_value"), lit(1).as("is_mark"),
+          lit(null).cast("long").as("event_id"))
+      val clicks = ev.filter($"event_type" === "click")
+        .select($"user_id", $"ts", lit(null).cast("long").as("mark_id"),
+          lit(null).cast("double").as("mark_value"), lit(0).as("is_mark"),
+          $"event_id")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id").orderBy($"ts", $"is_mark".asc)
+        .rowsBetween(0, org.apache.spark.sql.expressions.Window
+          .unboundedFollowing)
+      purchases.unionByName(clicks)
+        .withColumn("purchase_event_id",
+          first($"mark_id", ignoreNulls = true).over(w))
+        .withColumn("purchase_value",
+          first($"mark_value", ignoreNulls = true).over(w))
+        .filter($"is_mark" === 0 && $"purchase_event_id".isNotNull)
+        .select($"event_id", $"user_id", $"ts",
+          $"purchase_event_id", $"purchase_value")
+        .orderBy($"event_id")
+    }),
+
+    // Interpolated percentiles (percentile_cont parity) — q20 pins the
+    // DISCRETE percentile (percentile_disc: a value from the data);
+    // this row pins the INTERPOLATED form, where both engines compute
+    // lower + (upper-lower)·frac at rank (n-1)·p. Cross-engine float
+    // discipline: the input domain is integer cents and p ∈
+    // {.25, .5, .75}, so every interpolation lands on an exact binary
+    // fraction of integers — both engines feed identical doubles into
+    // the final /100, which is the same IEEE op on both sides. Exact
+    // percentiles need the full per-group sort (fine at any group
+    // count — the sort is within the hash exchange); the 100 TB
+    // unsorted-stream shape is q29's quantile sketch.
+    "q71_percentile_cont" -> ((s, d) => {
+      import s.implicits._
+      Tables.load(s, d, "lineitem")
+        .select($"l_returnflag",
+          round($"l_extendedprice" * 100).cast("long").as("cents"))
+        .groupBy($"l_returnflag")
+        .agg(
+          (expr("percentile_cont(0.25) WITHIN GROUP (ORDER BY cents)")
+            / 100).as("p25"),
+          (expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY cents)")
+            / 100).as("p50"),
+          (expr("percentile_cont(0.75) WITHIN GROUP (ORDER BY cents)")
+            / 100).as("p75"),
+          count(lit(1)).as("n"))
+        .orderBy($"l_returnflag")
+    }),
+
     "q28_range_join" -> ((s, d) => {
       import s.implicits._
       // Range join, binned: events within 10 minutes after each error.
@@ -1022,6 +1093,32 @@ object Relational {
          FROM p ASOF JOIN c
            ON p.user_id = c.user_id AND p.ts >= c.ts
          ORDER BY p.event_id""",
+    "q70_asof_forward" ->
+      """WITH p0 AS (
+           SELECT user_id, ts, event_id, value,
+             row_number() OVER (PARTITION BY user_id, ts
+                                ORDER BY event_id ASC) AS rn
+           FROM events WHERE event_type = 'purchase'),
+         p AS (SELECT user_id, ts, event_id AS purchase_event_id,
+                      value AS purchase_value
+               FROM p0 WHERE rn = 1),
+         c AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'click')
+         SELECT c.event_id, c.user_id, c.ts, p.purchase_event_id,
+                p.purchase_value
+         FROM c ASOF JOIN p
+           ON c.user_id = p.user_id AND c.ts <= p.ts
+         ORDER BY c.event_id""",
+    "q71_percentile_cont" ->
+      """SELECT l_returnflag,
+           quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT),
+             0.25) / 100 AS p25,
+           quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT),
+             0.5) / 100 AS p50,
+           quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT),
+             0.75) / 100 AS p75,
+           count(*) AS n
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q28_range_join" ->
       """SELECT e.event_id,
            CAST(count(x.event_id) AS BIGINT) AS n_following
