@@ -24,11 +24,13 @@ object SparkEntry {
     Relational.queries ++ Analytics.queries ++ LogOps.queries ++
       Dedup.queries ++ TextAnalysis.queries ++ Similarity.queries ++
       Multimodal.queries ++ Pipeline.queries ++ Corpus.queries ++
-      Graph.queries ++ graft.ml.QualityModel.queries
+      Graph.queries ++ graft.ml.QualityModel.queries ++
+      graft.text.Bpe.queries
 
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Analytics.oracles ++ LogOps.oracles ++
       Dedup.oracles ++ TextAnalysis.oracles ++ Similarity.oracles ++
       Multimodal.oracles ++ Pipeline.oracles ++ Corpus.oracles ++
-      Graph.oracles ++ graft.ml.QualityModel.oracles
+      Graph.oracles ++ graft.ml.QualityModel.oracles ++
+      graft.text.Bpe.oracles
 }

@@ -1,0 +1,132 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.{Q, Tables}
+
+/** Byte-pair-encoding merge learning — the missing half of the
+  * tokenizer story next to `pipeline_vocab_encode` (which assumes a
+  * finished vocabulary): learn the merge table itself from the corpus,
+  * the way subword tokenizers are actually trained (Sennrich et al.
+  * 2016; the reference engine at `/root/reference/` is a log forwarder
+  * with no tokenizer surface — this is a training-data-pipeline
+  * extension).
+  *
+  * Scale shape — the part that matters at 100 TB:
+  *  - The corpus is touched EXACTLY ONCE, by the word-frequency
+  *    aggregate (map-side-combined groupBy on the word). Everything
+  *    after runs on the distinct-word table, whose size is bounded by
+  *    the vocabulary (~1e6 rows at web scale), not the corpus.
+  *  - Each merge round is one small aggregate over that table
+  *    (explode adjacent symbol pairs, sum word frequencies) plus one
+  *    narrow per-row fold applying the chosen merge — no shuffle in
+  *    the apply step, and only the (pair → weight) aggregate shuffles
+  *    vocab-bounded data.
+  *  - The only driver state is the argmax pair per round (2 strings +
+  *    a long), mirroring the L-BFGS "d doubles per iteration"
+  *    discipline. Rounds are persisted and the predecessor released so
+  *    lineage stays O(1) instead of re-running every prior merge.
+  *
+  * Determinism: integer weights; argmax tie-break (weight DESC, left
+  * ASC, right ASC). The merge APPLY is the standard greedy
+  * left-to-right non-overlapping scan, expressed as a codegen'd
+  * `aggregate` fold (no UDF): the accumulator's last symbol merges
+  * with the incoming one iff they equal (left, right).
+  *
+  * An iterative argmax is not SQL-expressible for the driver's oracle
+  * (each round's input depends on the previous round's winner) —
+  * registered rows-only; BpeSpec replays the exact algorithm with an
+  * independent single-node implementation and asserts the full merge
+  * table matches.
+  */
+object Bpe {
+
+  /** (word, freq) → initial symbol table: characters plus the
+    * Sennrich end-of-word marker, so learned merges distinguish
+    * "in the middle of a word" from "word-final".
+    */
+  private val EndOfWord = "</w>"
+
+  /** One greedy non-overlapping merge pass over a symbol array:
+    * fold that joins acc's last element with x when they equal
+    * (l, r). Codegen'd HOF — runs row-local on executors.
+    */
+  private def applyMerge(symbols: org.apache.spark.sql.Column,
+      l: String, r: String): org.apache.spark.sql.Column =
+    aggregate(symbols,
+      array().cast("array<string>"),
+      (acc, x) =>
+        when(size(acc) > 0 &&
+            element_at(acc, -1) === lit(l) && x === lit(r),
+          concat(slice(acc, lit(1), size(acc) - 1),
+            array(concat(element_at(acc, -1), x))))
+          .otherwise(concat(acc, array(x))))
+
+  /** Learn `nMerges` BPE merges from `docs(text)`. Returns the merge
+    * table: (rank, left, right, merged, weight) in learned order.
+    */
+  def learn(docs: DataFrame, nMerges: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+
+    // The single corpus-scale pass: word frequencies. Alphabetic
+    // lowercase words only — keeps the symbol alphabet closed and the
+    // fixture deterministic across engines/locales.
+    val wordFreq = docs
+      .select(explode(split(lower($"text"), "\\s+")).as("word"))
+      .filter($"word".rlike("^[a-z]+$"))
+      .groupBy($"word").agg(count(lit(1)).as("freq"))
+
+    var symbols = wordFreq
+      .select(
+        concat(split($"word", ""), array(lit(EndOfWord))).as("syms"),
+        $"freq")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    val merges = Seq.newBuilder[(Long, String, String, String, Long)]
+    var rank = 1L
+    var done = false
+    while (rank <= nMerges && !done) {
+      // adjacent-pair weights over the vocab-bounded symbol table
+      val best = symbols
+        .select(explode(arrays_zip(
+          slice($"syms", lit(1), size($"syms") - 1),
+          slice($"syms", lit(2), size($"syms") - 1)).cast(
+          "array<struct<l:string,r:string>>")).as("p"), $"freq")
+        .groupBy($"p.l".as("l"), $"p.r".as("r"))
+        .agg(sum($"freq").as("w"))
+        .orderBy($"w".desc, $"l", $"r")
+        .limit(1)
+        .collect()
+      if (best.isEmpty) done = true
+      else {
+        val row = best.head
+        val (l, r, w) = (row.getString(0), row.getString(1), row.getLong(2))
+        merges += ((rank, l, r, l + r, w))
+        val next = symbols
+          .select(applyMerge($"syms", l, r).as("syms"), $"freq")
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        next.count() // materialize before releasing the predecessor
+        symbols.unpersist()
+        symbols = next
+        rank += 1
+      }
+    }
+    symbols.unpersist()
+    merges.result()
+      .toDF("rank", "left", "right", "merged", "weight")
+      .orderBy($"rank")
+  }
+
+  def queries: Map[String, Q] = Map(
+    "pipeline_bpe_learn" -> ((s, d) =>
+      learn(Tables.spread(Tables.load(s, d, "documents")), 16)))
+
+  /** Iterative data-dependent argmax — not expressible as one SQL
+    * statement; BpeSpec pins the merge table against an independent
+    * reference implementation.
+    */
+  def oracles: Map[String, String] = Map.empty
+}
