@@ -53,6 +53,30 @@ object Pipeline {
         i => xxhash64((0 until n).map(j => element_at(th, i + j)): _*))))
       .otherwise(array().cast("array<bigint>"))
 
+  /** Vocabulary encoding, raw form — per-doc id sequence as an array
+    * (see the `pipeline_vocab_encode` registration for the
+    * gate-compatible fingerprint wrapper).
+    */
+  def vocabEncode(s: org.apache.spark.sql.SparkSession, d: String)
+      : DataFrame = {
+    import s.implicits._
+    val tok = Tables.spread(Tables.load(s, d, "documents"))
+      .select($"doc_id",
+        posexplode(split(lower($"text"), "\\s+")).as(Seq("pos", "tok")))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy($"c".desc, $"tok")
+    val vocab = tok.groupBy($"tok").agg(count(lit(1)).as("c"))
+      .orderBy($"c".desc, $"tok").limit(1000)
+      .withColumn("id", row_number().over(w).cast("long") - 1L)
+      .select($"tok", $"id")
+    tok.join(broadcast(vocab), Seq("tok"), "left")
+      .withColumn("id", coalesce($"id", lit(-1L)))
+      .groupBy($"doc_id")
+      .agg(transform(
+        array_sort(collect_list(struct($"pos", $"id"))),
+        x => x.getField("id")).as("ids"))
+  }
+
   def queries: Map[String, Q] = Map(
 
     // Stride-overlapped document chunking — the context-window split
@@ -92,25 +116,17 @@ object Pipeline {
     // construction (the id-assignment window runs over ≤1000 rows —
     // the one place a single-task window is correct); encoding is a
     // broadcast left join + per-doc re-assembly ordered by position.
+    // the id sequence is an array — the driver's pandas harness
+    // can't hash array cells (CORRECTNESS_r07 err), so the gate
+    // compares the md5 of the comma-joined sequence (mm_embed
+    // pattern); longs stringify identically on both engines. The raw
+    // array form (vocabEncode) stays covered by PipelineOpsSpec.
     "pipeline_vocab_encode" -> ((s, d) => {
       import s.implicits._
-      val tok = Tables.spread(Tables.load(s, d, "documents"))
-        .select($"doc_id",
-          posexplode(split(lower($"text"), "\\s+")).as(Seq("pos", "tok")))
-      val w = org.apache.spark.sql.expressions.Window
-        .orderBy($"c".desc, $"tok")
-      val vocab = tok.groupBy($"tok").agg(count(lit(1)).as("c"))
-        .orderBy($"c".desc, $"tok").limit(1000)
-        .withColumn("id", row_number().over(w).cast("long") - 1L)
-        .select($"tok", $"id")
-      tok.join(broadcast(vocab), Seq("tok"), "left")
-        .withColumn("id", coalesce($"id", lit(-1L)))
-        .groupBy($"doc_id")
-        .agg(transform(
-          array_sort(collect_list(struct($"pos", $"id"))),
-          x => x.getField("id")).as("ids"))
+      vocabEncode(s, d)
         .select($"doc_id", size($"ids").cast("long").as("n_tokens"),
-          $"ids")
+          md5(concat_ws(",", transform($"ids", _.cast("string"))))
+            .as("ids_fp"))
         .orderBy($"doc_id")
     }),
 
@@ -486,7 +502,8 @@ object Pipeline {
            SELECT t2.doc_id, t2.pos, coalesce(v.id, -1) AS id
            FROM tok t2 LEFT JOIN vocab v USING (tok))
          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-           list(id ORDER BY pos) AS ids
+           md5(array_to_string(list(CAST(id AS VARCHAR) ORDER BY pos),
+             ',')) AS ids_fp
          FROM enc GROUP BY doc_id ORDER BY doc_id""",
 
     "pipeline_resample" ->

@@ -607,8 +607,19 @@ object Similarity {
           "(a, x) -> a + x * x))").as("nrm"), col("c"))
       .select(col("vec_id"),
         round(col("nrm"), 6).as("norm"),
-        transform(col("c"), x => round(x / col("nrm"), 6))
-          .as("unit"))
+        size(col("c")).cast("long").as("dim"),
+        // The unit vector itself is an array — the driver's pandas
+        // harness can't sort/hash array cells (CORRECTNESS_r07 err),
+        // so the gate compares a content FINGERPRINT instead (the
+        // mm_embed pattern, Multimodal.scala:164): each component is
+        // scaled to the 1e-6 grid and rounded to a LONG (longs
+        // stringify identically on both engines; rounded doubles
+        // don't), comma-joined in index order, md5'd. The raw array
+        // form stays covered by SimilaritySpec.
+        md5(concat_ws(",",
+          transform(col("c"),
+            x => round(x / col("nrm") * 1000000.0).cast("long")
+              .cast("string")))).as("unit_fp"))
       .orderBy(col("vec_id"))
   }
 
@@ -641,7 +652,10 @@ object Similarity {
                (a, b) -> a + b)) AS nrm
            FROM c)
          SELECT vec_id, round(nrm, 6) AS norm,
-           list_transform(c, x -> round(x / nrm, 6)) AS unit
+           CAST(len(c) AS BIGINT) AS dim,
+           md5(array_to_string(list_transform(c,
+             x -> CAST(CAST(round(x / nrm * 1000000.0) AS BIGINT)
+               AS VARCHAR)), ',')) AS unit_fp
          FROM n ORDER BY vec_id""",
     "ann_bruteforce" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb

@@ -17,7 +17,10 @@ class PipelineOpsSpec extends SparkSpec {
   private val sf = "/root/testdata/sf0.001"
 
   test("vocab encode: ids dense in [-1, 1000), OOV only for off-vocab tokens") {
-    val out = graft.SparkEntry.queries("pipeline_vocab_encode")(spark, sf)
+    // raw array form (the registered query fingerprints `ids` for the
+    // driver's hash gate, which can't compare array cells)
+    val out = Pipeline.vocabEncode(spark, sf)
+      .select($"doc_id", size($"ids").cast("long"), $"ids")
       .as[(Long, Long, Seq[Long])].collect()
     val docs = graft.Tables.load(spark, sf, "documents")
     assert(out.length == docs.count())

@@ -67,9 +67,14 @@ class BpeSpec extends SparkSpec {
 
   test("overlapping runs merge greedily left-to-right") {
     import spark.implicits._
-    // "aaaa" with merge (a,a): greedy non-overlapping → [aa, aa, </w>]
-    // so round 2's top pair must be (aa, aa), never (a, a) again
-    val got = Bpe.learn(Seq("aaaa aaaa aaaa").toDF("text"), 2)
+    // "aaaaaaaa" with merge (a,a): greedy non-overlapping →
+    // [aa, aa, aa, aa, </w>], so round 2's top pair is (aa, aa)
+    // STRICTLY (weight 9 vs 3 for (aa, </w>)) and (a, a) can never
+    // recur. (The previous "aaaa" fixture tied (aa,aa) with (aa,</w>)
+    // at weight 3, where the declared tie-break — weight DESC, left
+    // ASC, right ASC — correctly picks (aa,</w>) since "</w>" < "aa";
+    // the fixture was ambiguous, not the implementation.)
+    val got = Bpe.learn(Seq("aaaaaaaa aaaaaaaa aaaaaaaa").toDF("text"), 2)
       .as[(Long, String, String, String, Long)].collect().toSeq
     assert(got.map(m => (m._2, m._3)) == Seq(("a", "a"), ("aa", "aa")))
   }

@@ -21,25 +21,37 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 
 
+def array_columns(df: pd.DataFrame):
+    return [c for c in df.columns
+            if df[c].dtype == object and len(df)
+            and isinstance(df[c].iloc[0], (list, np.ndarray))]
+
+
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     for c in df.columns:
         # timestamps: compare at microsecond precision, tz-naive
         if str(df[c].dtype).startswith("datetime64"):
             df[c] = df[c].astype("datetime64[us]")
-        # list/array columns (numpy arrays are unhashable/unsortable):
-        # compare as tuples
-        elif df[c].dtype == object and len(df) and \
-                isinstance(df[c].iloc[0], (list, np.ndarray)):
-            df[c] = df[c].map(lambda v: tuple(v) if v is not None else None)
     if len(df):
         df = df.sort_values(by=list(df.columns), ignore_index=True)
     return df
 
 
 def compare(name: str, spark_df: pd.DataFrame, oracle_df: pd.DataFrame):
-    a, b = normalize(spark_df), normalize(oracle_df)
     problems = []
+    # DRIVER PARITY (round-7 lesson): the driver's pandas harness
+    # crashes sorting/hashing array cells (TypeError: unhashable type
+    # numpy.ndarray) and records the query as an ERROR. The old local
+    # gate tuple-ized arrays and reported green, diverging from the
+    # driver. An array output column is therefore a hard FAIL here:
+    # fingerprint it (md5 of the comma-joined elements) on both
+    # engines instead — see mm_embed / emb_normalize / vocab_encode.
+    arr = sorted(set(array_columns(spark_df)) | set(array_columns(oracle_df)))
+    if arr:
+        return [f"ARRAY[{c}]: raw array output crashes the driver's "
+                f"harness — fingerprint it on both engines" for c in arr]
+    a, b = normalize(spark_df), normalize(oracle_df)
     if list(a.columns) != list(b.columns):
         problems.append(f"columns: spark={list(a.columns)} oracle={list(b.columns)}")
         return problems
