@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{Q, Tables}
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /** Relational operator coverage (SURVEY.md §2b): filter/project with
@@ -520,28 +521,33 @@ object Relational {
       // binning both sides to 10-minute buckets turns it into an
       // equi-hash-join on the bin id (each error probes its bin and
       // the next — a window of length L needs ceil(L/bin)+1 probes),
-      // with the exact interval re-checked after the join. Shuffle is
+      // with the exact interval re-checked inside the join. Shuffle is
       // on the bin key; per-bin fan-out is bounded by bin occupancy,
-      // not table size.
+      // not table size. Round-8 (VERDICT r7 #5): the binned frame is
+      // projected narrow and persisted so the error side and the
+      // probe side share ONE scan, and the join is LEFT OUTER with
+      // the interval predicate in the ON clause — zero-match errors
+      // arrive as null probes and count 0 directly, removing the
+      // former third scan + join-back entirely.
       val binUs = 600L * 1000 * 1000 // 10 min in microseconds
       val ev = Tables.load(s, d, "events")
-        .withColumn("bin", floor(unix_micros($"ts") / binUs))
+        .select($"event_id", $"ts", $"event_type",
+          floor(unix_micros($"ts") / binUs).as("bin"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val errors = ev.filter($"event_type" === "error")
         .select($"event_id", $"ts", $"bin")
         .withColumn("probe_bin", explode(array($"bin", $"bin" + 1)))
-      val matched = errors.join(
-          ev.select($"event_id".as("x_id"), $"ts".as("x_ts"),
-            $"bin".as("probe_bin")),
-          Seq("probe_bin"))
-        .filter($"x_ts" >= $"ts" &&
-          $"x_ts" < $"ts" + expr("INTERVAL 10 MINUTES") &&
-          $"x_id" =!= $"event_id")
-        .groupBy($"event_id").agg(count(lit(1)).as("n_following"))
-      // left join back: errors with an empty window count 0
-      ev.filter($"event_type" === "error").select($"event_id")
-        .join(matched, Seq("event_id"), "left")
-        .select($"event_id",
-          coalesce($"n_following", lit(0L)).as("n_following"))
+      val probe = ev.select($"event_id".as("x_id"), $"ts".as("x_ts"),
+        $"bin".as("x_bin"))
+      // each x lives in exactly one bin and the two probe bins are
+      // distinct, so a matching (error, x) pair joins exactly once
+      errors.join(probe,
+          $"probe_bin" === $"x_bin" && $"x_ts" >= $"ts" &&
+            $"x_ts" < $"ts" + expr("INTERVAL 10 MINUTES") &&
+            $"x_id" =!= $"event_id", "left_outer")
+        .groupBy($"event_id")
+        .agg(sum(when($"x_id".isNotNull, 1L).otherwise(0L))
+          .as("n_following"))
         .orderBy($"event_id")
     }),
 
@@ -689,31 +695,83 @@ object Relational {
     }),
 
     // Outlier detection: events more than 3 sample standard
-    // deviations from their type's mean. The test is evaluated in
-    // EXACT integer arithmetic — z² > 9 cross-multiplied to
+    // deviations from their type's mean. The test stays EXACT
+    // integer arithmetic — z² > 9 cross-multiplied to
     // (n·c − s1)²·(n−1) > 9·n·(n·s2 − s1²) — so there is no float
     // threshold for cross-engine ulp noise to flip (q25 precedent).
-    // decimal(38,0): the right side reaches ~1e24 at sf0.1 (past
-    // long), and DuckDB's BIGINT sums are already HUGEINT. Shape:
-    // one tiny per-type stats agg, broadcast back onto the scan —
-    // the full pass stays row-local, no second shuffle.
+    // Round-8 shape change (VERDICT r7 #5): the quadratic is solved
+    // ONCE per event_type into an integer cutoff interval — the
+    // smallest cent value that is a high anomaly and the largest
+    // that is a low one — on the driver with BigInt (the stats frame
+    // is group-dimension-bounded, ≤ one row per type). The per-row
+    // test is then two plain LONG comparisons against the broadcast
+    // cutoffs instead of three per-row decimal(38,0) multiplies
+    // (6.4 s → long-codegen). The stats partials themselves ride the
+    // q25 try_sum long path with the same detected-overflow decimal
+    // retry; the cutoff solve is BigInt-exact in either regime.
     "q33_log_anomaly" -> ((s, d) => {
       import s.implicits._
-      val dec = "decimal(38,0)"
       val ev = Tables.load(s, d, "events")
         .select($"event_id", $"event_type", $"value",
-          round($"value" * 100).cast("long").cast(dec).as("c"))
-      val stats = ev.groupBy($"event_type")
-        .agg(count(lit(1)).cast(dec).as("n"),
-          sum($"c").as("s1"), sum($"c" * $"c").as("s2"))
-      val lhs = ($"n" * $"c" - $"s1") * ($"n" * $"c" - $"s1") *
-        ($"n" - 1)
-      val rhs = lit(9).cast(dec) * $"n" *
-        ($"n" * $"s2" - $"s1" * $"s1")
-      ev.join(broadcast(stats), "event_type")
-        .filter($"n" > 1 && lhs > rhs)
+          round($"value" * 100).cast("long").as("c"))
+      val longStats = ev.groupBy($"event_type")
+        .agg(count(lit(1)).as("n"),
+          try_sum($"c").as("s1"),
+          try_sum(try_multiply($"c", $"c")).as("s2"),
+          count($"c").as("nc"),
+          sum(when($"c".isNotNull && try_multiply($"c", $"c").isNull,
+            1L).otherwise(0L)).as("bad")).collect()
+      val overflow = longStats.exists { r =>
+        r.getAs[Long]("bad") > 0 || (r.getAs[Long]("nc") > 0 &&
+          (r.isNullAt(r.fieldIndex("s1")) || r.isNullAt(r.fieldIndex("s2"))))
+      }
+      val stats: Seq[(String, BigInt, BigInt, BigInt)] =
+        if (!overflow)
+          longStats.toSeq.filter(r => r.getAs[Long]("nc") > 0).map(r =>
+            (r.getString(0), BigInt(r.getAs[Long]("n")),
+              BigInt(r.getAs[Long]("s1")), BigInt(r.getAs[Long]("s2"))))
+        else {
+          val dec = "decimal(38,0)"
+          val cD = $"c".cast(dec)
+          ev.groupBy($"event_type")
+            .agg(count(lit(1)).cast(dec).as("n"),
+              sum(cD).as("s1"), sum(cD * cD).as("s2"))
+            .collect().toSeq
+            .filter(r => !r.isNullAt(2) && !r.isNullAt(3)).map(r =>
+              (r.getString(0), BigInt(r.getDecimal(1).toBigInteger),
+                BigInt(r.getDecimal(2).toBigInteger),
+                BigInt(r.getDecimal(3).toBigInteger)))
+        }
+      // exact integer cutoffs: smallest d = n·c − s1 > 0 with
+      // d²·(n−1) > R, R = 9·n·(n·s2 − s1²); isqrt floor + local
+      // ascent keeps the boundary bit-exact (no float sqrt)
+      def isqrt(v: BigInt): BigInt =
+        if (v < 2) v
+        else {
+          var x = BigInt(1) << ((v.bitLength + 1) / 2)
+          var y = (x + v / x) >> 1
+          while (y < x) { x = y; y = (x + v / x) >> 1 }
+          x
+        }
+      val cutoffs = stats.filter(_._2 > 1).map { case (t, n, s1, s2) =>
+        val r9 = 9 * n * (n * s2 - s1 * s1)
+        var dMin = (isqrt(r9 / (n - 1)) - 1).max(1)
+        while (dMin * dMin * (n - 1) <= r9) dMin += 1
+        // high ⇔ n·c ≥ s1 + dMin ⇔ c ≥ ceil(...); low symmetric
+        val hi = (s1 + dMin + n - 1) / n // ceil for positive n
+        val lo0 = s1 - dMin
+        val lo = if (lo0 >= 0) lo0 / n
+          else -((-lo0 + n - 1) / n) // floor for negative numerators
+        (t,
+          if (hi.isValidLong) Some(hi.toLong) else None,
+          if (lo.isValidLong) Some(lo.toLong) else None)
+      }
+      val cut = cutoffs.toDF("event_type", "hi_min", "lo_max")
+      ev.join(broadcast(cut), "event_type")
+        .filter(($"hi_min".isNotNull && $"c" >= $"hi_min") ||
+          ($"lo_max".isNotNull && $"c" <= $"lo_max"))
         .select($"event_id", $"event_type", $"value",
-          when($"n" * $"c" > $"s1", lit("high")).otherwise(lit("low"))
+          when($"c" >= $"hi_min", lit("high")).otherwise(lit("low"))
             .as("side"))
         .orderBy($"event_id")
     }),
@@ -851,35 +909,121 @@ object Relational {
     * fold-order-dependent doubles, the same latent flake the q1/q3
     * revenue sums hit at sf0.1).
     *
-    * Width guard: the moments accumulate as decimal(38,0) — BIGINT
-    * sums of c·c overflow past sf≈1 (n·c² ≈ 2e16 at sf0.1 and grows
-    * linearly; ANSI would throw), while 38 digits cover any driver
-    * scale. DuckDB's side needs no change: its sum(BIGINT) is already
-    * HUGEINT (128-bit), and both exact integer domains cast to the
-    * same double. MomentWidthSpec drives a magnitude where the long
-    * path provably overflows.
+    * Width guard: the moments accumulate as LONGS with try_* overflow
+    * detection, retrying the whole pass in decimal(38,0) only when a
+    * product or sum actually overflowed (n·c² ≈ 2e16 at sf0.1 — the
+    * long domain holds until ~sf100). DuckDB's side needs no change:
+    * its sum(BIGINT) is already HUGEINT (128-bit), and both exact
+    * integer domains cast to the same double. MomentWidthSpec drives
+    * a magnitude where the long path provably overflows and asserts
+    * the decimal retry still answers exactly.
     */
   def momentStats(events: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-    val dec = "decimal(38,0)"
-    val c = round(col("value") * 100).cast("long").cast(dec)
+    val s = events.sparkSession
+    val cL = round(col("value") * 100).cast("long")
     // floor BEFORE the integer cast: Spark's ANSI double→long cast
     // truncates while DuckDB's rounds — floor on both sides is the
     // parity rule (k is integral in the fixtures, but the contract
     // shouldn't depend on that)
+    val kL = floor(get_json_object(col("props"), "$.k").cast("double"))
+      .cast("long")
+    // Moment partials accumulate as LONGS (whole-stage-codegen
+    // primitive arithmetic), not decimal(38,0): the round-7 bench
+    // showed per-row overflow-checked BigDecimal products cost 15×
+    // (19.6 s for a single-pass aggregate — VERDICT r7 #4). Width
+    // safety comes from DETECTION, not pre-widening: every product
+    // and sum runs through try_multiply/try_sum, and per-sum
+    // overflow counters distinguish "null because overflow" from
+    // "null because the group's inputs were all null". cents² × rows
+    // keeps the partials inside a long until ~sf100; past that the
+    // one retry below pays the decimal cost — the fallback round-3
+    // advice #7 intended, now actually the fallback.
+    val tm = (a: Column, b: Column) => try_multiply(a, b)
+    val overflowed = (p: Column, in: Column) =>
+      sum(when(in.isNotNull && p.isNull, 1L).otherwise(0L))
+    val partials = events
+      .select(col("event_type"), cL.as("c"), kL.as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n0"),
+        try_sum(col("c")).as("s1"),
+        try_sum(tm(col("c"), col("c"))).as("s2"),
+        try_sum(col("k")).as("sk"),
+        try_sum(tm(col("k"), col("k"))).as("skk"),
+        try_sum(tm(col("c"), col("k"))).as("svk"),
+        count(col("c")).as("nc"), count(col("k")).as("nk"),
+        sum(when(col("c").isNotNull && col("k").isNotNull, 1L)
+          .otherwise(0L)).as("nck"),
+        overflowed(tm(col("c"), col("c")), col("c")).as("bad_cc"),
+        overflowed(tm(col("k"), col("k")), col("k")).as("bad_kk"),
+        sum(when(col("c").isNotNull && col("k").isNotNull &&
+          tm(col("c"), col("k")).isNull, 1L).otherwise(0L)).as("bad_ck"))
+      // driver holds one row per event_type — the GROUP dimension,
+      // bounded by construction exactly like the query's own output
+      .collect()
+    def nullSum(r: org.apache.spark.sql.Row, sumCol: String,
+        nonNullCnt: String): Boolean =
+      r.isNullAt(r.fieldIndex(sumCol)) && r.getAs[Long](nonNullCnt) > 0
+    val overflow = partials.exists { r =>
+      r.getAs[Long]("bad_cc") > 0 || r.getAs[Long]("bad_kk") > 0 ||
+        r.getAs[Long]("bad_ck") > 0 ||
+        nullSum(r, "s1", "nc") || nullSum(r, "s2", "nc") ||
+        nullSum(r, "sk", "nk") || nullSum(r, "skk", "nk") ||
+        nullSum(r, "svk", "nck")
+    }
+    if (overflow) momentStatsDecimal(events)
+    else {
+      // finalize on a tiny re-created frame (one row per group) with
+      // the SAME Spark expressions as the decimal path — identical
+      // round()/sqrt() semantics, no hand-rolled driver rounding
+      import s.implicits._
+      momentFinalize(partials.toSeq.map { r =>
+        (r.getString(0), r.getAs[Long]("n0"),
+          Option(r.getAs[java.lang.Long]("s1")).map(_.longValue),
+          Option(r.getAs[java.lang.Long]("s2")).map(_.longValue),
+          Option(r.getAs[java.lang.Long]("sk")).map(_.longValue),
+          Option(r.getAs[java.lang.Long]("skk")).map(_.longValue),
+          Option(r.getAs[java.lang.Long]("svk")).map(_.longValue))
+      }.toDF("event_type", "n0", "s1", "s2", "sk", "skk", "svk")
+        .select(col("event_type"), col("n0").cast(MomentDec),
+          col("s1").cast(MomentDec), col("s2").cast(MomentDec),
+          col("sk").cast(MomentDec), col("skk").cast(MomentDec),
+          col("svk").cast(MomentDec)))
+    }
+  }
+
+  private val MomentDec = "decimal(38,0)"
+
+  /** The pre-round-8 all-decimal moment pass — now the overflow
+    * fallback only (sf≳100 magnitudes, MomentWidthSpec's regime).
+    */
+  private[queries] def momentStatsDecimal(
+      events: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val c = round(col("value") * 100).cast("long").cast(MomentDec)
     val k = floor(get_json_object(col("props"), "$.k").cast("double"))
-      .cast("long").cast(dec)
+      .cast("long").cast(MomentDec)
+    momentFinalize(events
+      .select(col("event_type"), c.as("c"), k.as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).cast(MomentDec).as("n0"),
+        sum(col("c")).as("s1"), sum(col("c") * col("c")).as("s2"),
+        sum(col("k")).as("sk"), sum(col("k") * col("k")).as("skk"),
+        sum(col("c") * col("k")).as("svk")))
+  }
+
+  /** Shared final projection: exact decimal partials → rounded
+    * doubles. Both the long fast path (via the tiny re-created
+    * frame) and the decimal fallback flow through here, so the
+    * engine-visible rounding semantics cannot diverge between them.
+    */
+  private def momentFinalize(partials: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
     val varNum = (col("n0") * col("s2") - col("s1") * col("s1"))
       .cast("double")
     val kVarNum = (col("n0") * col("skk") - col("sk") * col("sk"))
       .cast("double")
-    events
-      .select(col("event_type"), c.as("c"), k.as("k"))
-      .groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n0"),
-        sum(col("c")).as("s1"), sum(col("c") * col("c")).as("s2"),
-        sum(col("k")).as("sk"), sum(col("k") * col("k")).as("skk"),
-        sum(col("c") * col("k")).as("svk"))
+    partials
       .select(col("event_type"),
         round(col("s1") / (col("n0") * 100.0), 2).as("mean_value"),
         // degenerate groups → NULL like the sample-stat functions
@@ -892,11 +1036,11 @@ object Relational {
           round(varNum / (col("n0") * (col("n0") - 1)) / 10000.0, 2))
           .as("var_value"),
         when(col("n0") > 1 && varNum > 0 && kVarNum > 0,
-          round((col("n0") * col("svk") - col("s1") * col("sk"))
+          round((col("n0") * col("svk") - col("sk") * col("s1"))
             .cast("double") /
             (sqrt(varNum) * sqrt(kVarNum)), 2))
           .as("corr_vk"),
-        col("n0").as("n"))
+        col("n0").cast("long").as("n"))
       .orderBy(col("event_type"))
   }
 
