@@ -1,7 +1,5 @@
 package graft.ml
 
-import org.apache.spark.ml.classification.LogisticRegression
-import org.apache.spark.ml.feature.VectorAssembler
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -24,16 +22,22 @@ import graft.{Q, Tables}
   * Features are the rule's raw signals plus the per-language
   * stopword profile.
   *
-  * Scale shape: training is MLlib LogisticRegression — each L-BFGS
-  * iteration is one treeAggregate of gradient partials (map-side
-  * combine, driver holds only the coefficient vector); featurization
-  * is row-local expression work; scoring inlines the fitted
-  * coefficients as plan literals (codegen'd, no model object in any
-  * task closure). Nothing about the corpus
-  * size reaches the driver except d+1 doubles per iteration, so the
-  * same code trains on 100 TB. Registered rows-only (an L-BFGS fit is
-  * not SQL-expressible); QualityModelSpec pins separation quality and
-  * the keep-rate envelope.
+  * Scale shape: training is a direct L2-regularized Newton/IRLS fit
+  * — each of the 8 fixed iterations is ONE treeAggregate of the
+  * (d+1)² Gram matrix + (d+1)-vector gradient over the persisted
+  * narrow feature rows (map-side combine; the driver holds ~100
+  * doubles and solves a 10×10 system). Round 8 dropped the MLlib
+  * LogisticRegression stage: its assembler/standardizer/
+  * instrumentation overhead dominated the bench (VERDICT r7 #6) and
+  * the d=9 linear problem needs none of it — the job count is now
+  * exactly 1 featurize + 8 Newton passes + 1 scoring pass.
+  * Featurization is row-local expression work; scoring inlines the
+  * fitted coefficients as plan literals (codegen'd, no model object
+  * in any task closure). Nothing about the corpus size reaches the
+  * driver except O(d²) doubles per iteration, so the same code
+  * trains on 100 TB. Registered rows-only (an iterative MLE fit is
+  * not SQL-expressible); QualityModelSpec pins separation quality
+  * and the keep-rate envelope.
   */
 object QualityModel {
 
@@ -89,29 +93,66 @@ object QualityModel {
           >= 1.5, 1.0).otherwise(0.0))
       .select((Seq("doc_id", "label") ++ featCols).map(col): _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // no second persist for the assembled frame: each L-BFGS pass
-    // reads the cached narrow features and assembles row-locally
-    val assembled = new VectorAssembler()
-      .setInputCols(featCols).setOutputCol("features")
-      .transform(feats)
-      .select(col("doc_id"), col("label"), col("features"))
-    // 20 iterations: the rule signals are linearly separable, so the
-    // ORDERING (what the AUC spec pins) is fixed within a few rounds —
-    // further L-BFGS rounds only grow the margin, at one treeAggregate
-    // job each
-    val lr = new LogisticRegression()
-      .setMaxIter(20).setRegParam(0.01).setStandardization(true)
-    val model = lr.fit(assembled)
-    // Score with the fitted coefficients as PLAN LITERALS, not with
-    // model.transform: the model object carries its training summary,
-    // whose sparkSession reference is not task-serializable (Spark 4's
-    // ObservationManager), so capturing the model in a scoring closure
-    // can fail at execution depending on session state. d+1 literal
-    // doubles in a codegen'd expression are also the stronger scale
-    // shape — the "broadcast" is the plan itself.
-    val coef = model.coefficients.toArray
-    val z = featCols.zipWithIndex.foldLeft(lit(model.intercept)) {
-      case (acc, (c, i)) => acc + lit(coef(i)) * col(c)
+    // Newton/IRLS on the raw (label, x) rows: the per-iteration pass
+    // ships one (m², m) partial per partition and nothing else. The
+    // row RDD is persisted separately from `feats` so the 8 passes
+    // deserialize the narrow arrays once, not per iteration.
+    val m = featCols.length + 1 // + intercept, slot 0
+    val rows = feats
+      .select((Seq("label") ++ featCols).map(col): _*)
+      .rdd.map { r =>
+        val x = new Array[Double](m)
+        x(0) = 1.0
+        var i = 1
+        while (i < m) { x(i) = r.getDouble(i); i += 1 }
+        (r.getDouble(0), x)
+      }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val lambda = 0.01 // mild L2: bounds the separable-data divergence
+    var beta = new Array[Double](m)
+    // 8 fixed iterations: the rule signals are linearly separable, so
+    // the ORDERING (what the AUC spec pins) settles within a few
+    // Newton rounds — a fixed count keeps the job count deterministic
+    for (_ <- 0 until 8) {
+      val b = beta // snapshot for the task closure
+      val (gram, grad) = rows.treeAggregate(
+        (new Array[Double](m * m), new Array[Double](m)))(
+        seqOp = { case ((g, gr), (y, x)) =>
+          var z = 0.0
+          var i = 0
+          while (i < m) { z += b(i) * x(i); i += 1 }
+          val p = 1.0 / (1.0 + math.exp(-z))
+          val w = math.max(p * (1.0 - p), 1e-10)
+          i = 0
+          while (i < m) {
+            gr(i) += (y - p) * x(i)
+            var j = 0
+            while (j < m) { g(i * m + j) += w * x(i) * x(j); j += 1 }
+            i += 1
+          }
+          (g, gr)
+        },
+        combOp = { case ((g1, gr1), (g2, gr2)) =>
+          var i = 0
+          while (i < m * m) { g1(i) += g2(i); i += 1 }
+          i = 0
+          while (i < m) { gr1(i) += gr2(i); i += 1 }
+          (g1, gr1)
+        })
+      // ridge + solve (H + λI)·δ = ∇ on the driver (m=10)
+      var i = 0
+      while (i < m) {
+        gram(i * m + i) += lambda
+        grad(i) -= lambda * b(i)
+        i += 1
+      }
+      beta = b.zip(solve(gram, grad, m)).map { case (a, d0) => a + d0 }
+    }
+    rows.unpersist(blocking = false)
+    // Score with the fitted coefficients as PLAN LITERALS: d+1
+    // literal doubles in a codegen'd expression — the "broadcast"
+    // is the plan itself, and no model object rides a task closure.
+    val z = featCols.zipWithIndex.foldLeft(lit(beta(0))) {
+      case (acc, (c, i)) => acc + lit(beta(i + 1)) * col(c)
     }
     feats
       .select(col("doc_id"), col("label").cast("long").as("label"),
@@ -120,12 +161,58 @@ object QualityModel {
       .orderBy(col("doc_id"))
   }
 
+  /** In-place Gaussian elimination with partial pivoting — the m×m
+    * Newton system is driver-tiny (m = d+1 = 10), so no linear-algebra
+    * dependency is warranted.
+    */
+  private def solve(a: Array[Double], bIn: Array[Double], m: Int)
+      : Array[Double] = {
+    val b = bIn.clone()
+    var r = 0
+    while (r < m) {
+      var piv = r
+      var k = r + 1
+      while (k < m) {
+        if (math.abs(a(k * m + r)) > math.abs(a(piv * m + r))) piv = k
+        k += 1
+      }
+      if (piv != r) {
+        var j = 0
+        while (j < m) {
+          val t = a(r * m + j); a(r * m + j) = a(piv * m + j)
+          a(piv * m + j) = t; j += 1
+        }
+        val t = b(r); b(r) = b(piv); b(piv) = t
+      }
+      val d = a(r * m + r)
+      k = r + 1
+      while (k < m) {
+        val f = a(k * m + r) / d
+        var j = r
+        while (j < m) { a(k * m + j) -= f * a(r * m + j); j += 1 }
+        b(k) -= f * b(r)
+        k += 1
+      }
+      r += 1
+    }
+    val x = new Array[Double](m)
+    r = m - 1
+    while (r >= 0) {
+      var s = b(r)
+      var j = r + 1
+      while (j < m) { s -= a(r * m + j) * x(j); j += 1 }
+      x(r) = s / a(r * m + r)
+      r -= 1
+    }
+    x
+  }
+
   def queries: Map[String, Q] = Map(
     "pipeline_quality_classifier" -> ((s, d) =>
       trainScore(Tables.spread(Tables.load(s, d, "documents")))))
 
-  /** L-BFGS fits are not SQL-expressible — rows-only check; the
-    * behavioral contract lives in QualityModelSpec.
+  /** Iterative MLE fits are not SQL-expressible — rows-only check;
+    * the behavioral contract lives in QualityModelSpec.
     */
   def oracles: Map[String, String] = Map.empty
 }
