@@ -43,6 +43,7 @@ object Main {
       region: Option[String] = None,
       profile: Option[String] = None,
       inputDir: Option[String] = None,
+      stdin: Boolean = false,
       checkpointDir: Option[String] = None,
       once: Boolean = false,
       exactlyOnce: Boolean = false,
@@ -58,7 +59,14 @@ object Main {
       |  -I, --add-entry K=V            add entry to each JSON output (repeatable)
       |  -r, --region REGION            AWS region (SDK transport only)
       |  -p, --profile PROFILE          AWS credentials profile (SDK transport only)
-      |      --input-dir DIR            directory to tail (required to run)
+      |      --input-dir DIR            directory to tail
+      |      --stdin                    read stdin like the reference
+      |                                 binary (spooled to a temp dir
+      |                                 behind the scenes); drains and
+      |                                 exits at stdin EOF — the pipe
+      |                                 lifecycle of `|program` in
+      |                                 httpd.conf. Mutually exclusive
+      |                                 with --input-dir
       |      --checkpoint-dir DIR       streaming checkpoint location
       |                                 (default: stable per input-dir+stream,
       |                                 so restarts resume; --once uses a
@@ -98,7 +106,7 @@ object Main {
       flag match {
         // boolean flags take no value — `--once=false` silently meaning
         // TRUE would invert the user's intent, so reject it outright
-        case "-h" | "--help" | "--once" | "--exactly-once"
+        case "-h" | "--help" | "--once" | "--exactly-once" | "--stdin"
             if inline.isDefined =>
           return Left((s"Option $flag does not take a value", 2))
         case "-h" | "--help" => cfg = cfg.copy(help = true)
@@ -142,6 +150,7 @@ object Main {
           case Right(d) => cfg = cfg.copy(checkpointDir = Some(d))
           case Left(e) => return Left(e)
         }
+        case "--stdin" => cfg = cfg.copy(stdin = true)
         case "--once" => cfg = cfg.copy(once = true)
         case "--exactly-once" => cfg = cfg.copy(exactlyOnce = true)
         case opt if opt.startsWith("-") && opt.length > 1 =>
@@ -151,6 +160,8 @@ object Main {
       i += 1
     }
     if (cfg.help) return Right(cfg)
+    if (cfg.stdin && cfg.inputDir.isDefined)
+      return Left(("--stdin and --input-dir are mutually exclusive", 2))
     Transforms.parseAddEntries(rawEntries) match {
       case Left(msg) => return Left((msg, 2))
       case Right(es) => cfg = cfg.copy(entries = es)
@@ -228,6 +239,25 @@ object Main {
       KinesisSink.writeStream(out, cfg.stream, client, checkpointDir)
   }
 
+  /** The `--stdin` lifecycle (reference main.go:164): spool stdin to
+    * a temp directory, tail it with the ordinary pipeline, and when
+    * the pipe closes (EOF) drain what was spooled and stop. Returns
+    * the number of delivered records. Testable seam: the spec feeds
+    * an in-memory stream and client.
+    */
+  def runStdin(spark: SparkSession, cfg: Config, in: java.io.InputStream,
+      client: KinesisSink.RecordsClient, checkpointDir: String): Long = {
+    val spool = java.nio.file.Files
+      .createTempDirectory("graft-stdin-spool")
+    val spooler = graft.sources.StdinSpooler.start(in, spool)
+    val q = run(spark, cfg.copy(inputDir = Some(spool.toString)),
+      client, checkpointDir)
+    spooler.join() // pipe closed — everything is spooled
+    q.processAllAvailable() // drain the tail
+    q.stop()
+    q.recentProgress.map(_.numInputRows).sum
+  }
+
   def main(args: Array[String]): Unit = {
     parse(args.toIndexedSeq) match {
       case Left((msg, code)) =>
@@ -237,9 +267,9 @@ object Main {
       case Right(cfg) if cfg.help =>
         println(usage)
       case Right(cfg) =>
-        if (cfg.inputDir.isEmpty) {
-          System.err.println("--input-dir is required (the Spark " +
-            "equivalent of the reference's stdin).")
+        if (cfg.inputDir.isEmpty && !cfg.stdin) {
+          System.err.println("either --input-dir or --stdin is " +
+            "required (--stdin is the reference's pipe mode).")
           System.err.println(usage)
           sys.exit(2)
         }
@@ -261,7 +291,9 @@ object Main {
         // from (input-dir, stream) so the same invocation finds its
         // own offsets; --once drains are one-shot and get a temp dir.
         val ck = cfg.checkpointDir.getOrElse {
-          if (cfg.once)
+          if (cfg.once || cfg.stdin)
+            // one-shot lifecycles (drain-and-exit) get a fresh
+            // checkpoint; a stdin pipe has no replayable past
             java.nio.file.Files.createTempDirectory("graft-cli-ck")
               .toString
           else {
@@ -271,15 +303,22 @@ object Main {
             s"${sys.props("java.io.tmpdir")}/graft-ck-$id"
           }
         }
-        val q = run(spark, cfg, client, ck)
-        if (cfg.once) {
-          q.processAllAvailable()
-          q.stop()
+        if (cfg.stdin) {
+          runStdin(spark, cfg, System.in, client, ck)
           val got = InMemoryRecordsClient.recordsFor("cli", cfg.stream)
           println(s"delivered ${got.size} records to '${cfg.stream}'")
           spark.stop()
         } else {
-          q.awaitTermination()
+          val q = run(spark, cfg, client, ck)
+          if (cfg.once) {
+            q.processAllAvailable()
+            q.stop()
+            val got = InMemoryRecordsClient.recordsFor("cli", cfg.stream)
+            println(s"delivered ${got.size} records to '${cfg.stream}'")
+            spark.stop()
+          } else {
+            q.awaitTermination()
+          }
         }
     }
   }

@@ -3,6 +3,7 @@ package graft
 import graft.ops.Transforms.{JsonFormat, JsonOutput, LineFormat, StringOutput}
 import graft.sinks.InMemoryRecordsClient
 import java.nio.file.Files
+import scala.jdk.CollectionConverters._
 
 /** CLI surface (C1): flag-validation parity with the reference
   * (main.go:79-140) and the wired source→transforms→sink path, driven
@@ -83,6 +84,57 @@ class MainSpec extends SparkSpec {
     val keys = InMemoryRecordsClient.recordsFor("mainspec-line", "ErrLines")
       .map(_.partitionKey).toSet
     assert(keys == Set(graft.sinks.HostId.cached))
+  }
+
+  // ------------------------------------------- end-to-end: stdin mode
+  test("--stdin e2e: piped bytes → line pipeline with no pre-existing directory") {
+    // the reference's only real input is a pipe from Apache
+    // (main.go:164, httpd.conf:202-204) — this drives that lifecycle:
+    // bytes arrive on stdin, the pipe closes (EOF), the CLI drains
+    // and reports. No --input-dir anywhere; the unterminated final
+    // line is still a record (T1 divergence, kept deliberately).
+    val cfg = Main.parse(Seq("--format", "line", "--output-format", "json",
+      "--add-entry", "LogFile=ErrorLog", "--stdin", "PipeLines"))
+      .toOption.get
+    assert(cfg.stdin && cfg.inputDir.isEmpty)
+    val in = new java.io.ByteArrayInputStream(
+      ("[Wed Aug 12 05:00:01 2026] [warn] worker exiting\n" +
+        "\n" + // F1 drops the empty line
+        "[Wed Aug 12 05:00:02 2026] [error] disk full").getBytes("UTF-8"))
+    InMemoryRecordsClient.clear()
+    val client = new InMemoryRecordsClient("mainspec-stdin")
+    val ck = Files.createTempDirectory("graft-cli-ck-stdin").toString
+    Main.runStdin(spark, cfg, in, client, ck)
+    val got = InMemoryRecordsClient.recordsFor("mainspec-stdin", "PipeLines")
+      .map(r => new String(r.data, "UTF-8")).sorted
+    assert(got == Seq(
+      """{"LogEntry":"[Wed Aug 12 05:00:01 2026] [warn] worker exiting","LogFile":"ErrorLog"}""",
+      """{"LogEntry":"[Wed Aug 12 05:00:02 2026] [error] disk full","LogFile":"ErrorLog"}""").sorted)
+  }
+
+  test("stdin spooler rolls only at newline boundaries and keeps the EOF tail") {
+    val dir = Files.createTempDirectory("graft-spool-spec")
+    // 1-byte roll threshold forces a roll attempt after every read;
+    // lines must still come out whole because rolls cut at '\n'
+    val in = new java.io.ByteArrayInputStream(
+      "alpha\nbeta\ngamma".getBytes("UTF-8"))
+    graft.sources.StdinSpooler.spool(in, dir, rollBytes = 1)
+    val files = Files.list(dir).iterator().asScala.toSeq
+      .sortBy(_.getFileName.toString)
+    assert(files.nonEmpty)
+    assert(files.forall(_.getFileName.toString.startsWith("part-")),
+      "no temp files may remain visible after EOF")
+    val lines = files.flatMap(f =>
+      new String(Files.readAllBytes(f), "UTF-8").split("\n", -1))
+      .filter(_.nonEmpty)
+    assert(lines == Seq("alpha", "beta", "gamma"))
+  }
+
+  test("parse: --stdin excludes --input-dir and takes no value") {
+    assert(Main.parse(Seq("--stdin", "--input-dir", "/tmp/x", "S"))
+      .left.toOption.get._2 == 2)
+    assert(Main.parse(Seq("--stdin=true", "S")).left.toOption.get._2 == 2)
+    assert(Main.parse(Seq("--stdin", "S")).toOption.get.stdin)
   }
 
   // ------------------------------------------- end-to-end: json mode
