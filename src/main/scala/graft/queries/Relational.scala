@@ -366,9 +366,15 @@ object Relational {
     // memory (eps·confidence-sized counter grid, merge-associative so
     // executors build partials and the driver merges — the 100 TB
     // shape for "how often does X occur" without a per-key shuffle).
-    // Estimates are implementation-defined (seeded hashes) → rows-only
-    // gate; ApproxAggSpec pins the CMS guarantee (never undercounts,
-    // overcount bounded by eps·total) against the exact counts.
+    // Oracle (round 8, VERDICT r7 #7): in this regime the sketch is
+    // EXACT, not approximate — eps 0.001 gives a 2719-wide grid at
+    // depth 5, the key vocabulary is the handful of event types, and
+    // the estimate is min-over-depth, so any key with one
+    // collision-free row reports its true count. That makes the
+    // plain GROUP BY count a hash-comparable oracle (the
+    // text_heavy_hitters trick); ApproxAggSpec still pins the
+    // general CMS guarantee (never undercounts, overcount ≤
+    // eps·total) where collisions do occur.
     "q67_cms_freq" -> ((s, d) => {
       import s.implicits._
       val ev = Tables.load(s, d, "events")
@@ -378,6 +384,7 @@ object Relational {
         .orderBy($"event_type").as[String].collect()
       types.toSeq.map(t => (t, cms.estimateCount(t)))
         .toDF("event_type", "est_count")
+        .orderBy($"event_type")
     }),
 
     "q29_approx_agg" -> ((s, d) => {
@@ -1045,6 +1052,13 @@ object Relational {
   }
 
   def oracles: Map[String, String] = Map(
+
+    // exact-regime CMS: the counter grid dwarfs the event-type
+    // vocabulary, so the sketch estimates ARE the exact counts (see
+    // the query registration) and a plain GROUP BY hash-verifies them
+    "q67_cms_freq" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS est_count
+         FROM events GROUP BY 1 ORDER BY 1""",
 
     "q66_join_hints" ->
       """SELECT 'supplier_nation' AS dim,
