@@ -46,6 +46,26 @@ object Graph {
     // unrolled chain makes the per-round parity explicit.
     "q62_pagerank" -> ((s, d) => {
       import s.implicits._
+      pagerankFull(s, d)
+        .select(when($"node" % 2 === 0,
+            concat(lit("c"), expr("node div 2").cast("string")))
+          .otherwise(
+            concat(lit("s"), expr("(node - 1) div 2").cast("string")))
+          .as("node"),
+          $"r".as("rank_scaled"))
+        .orderBy($"rank_scaled".desc, $"node").limit(100)
+    }),
+
+  )
+
+  /** Full 5-round rank table (long node ids, scaled-long ranks) —
+    * the registered query is its top-100 display cut; GraphSpec sums
+    * THIS frame for the untruncated mass-conservation check.
+    */
+  def pagerankFull(s: org.apache.spark.sql.SparkSession, d: String)
+      : DataFrame = {
+    {
+      import s.implicits._
       val li = Tables.load(s, d, "lineitem")
         .select($"l_orderkey", $"l_suppkey")
       val ord = Tables.load(s, d, "orders")
@@ -96,16 +116,8 @@ object Graph {
         ranks = next
       }
       ranks
-        .select(when($"node" % 2 === 0,
-            concat(lit("c"), expr("node div 2").cast("string")))
-          .otherwise(
-            concat(lit("s"), expr("(node - 1) div 2").cast("string")))
-          .as("node"),
-          $"r".as("rank_scaled"))
-        .orderBy($"rank_scaled".desc, $"node").limit(100)
-    }),
-
-  )
+    }
+  }
 
   def oracles: Map[String, String] = Map(
 

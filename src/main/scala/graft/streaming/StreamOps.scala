@@ -455,11 +455,16 @@ object StreamOps {
     * counts/sums add, min/max fold — instead of re-aggregating
     * history. State lives in parquet at `stateDir`, group-sized (one
     * row per key), never row-sized; each batch's work is
-    * O(batch + |keys|). The read-modify-overwrite is made safe by
-    * materializing the merged frame in cache BEFORE the overwrite
-    * (the lazy read would otherwise consume the files it is
-    * replacing). At-least-once replays of a batch re-merge its rows —
-    * exactly-once needs idempotent keys or the BatchMarkers
+    * O(batch + |keys|). The merged frame is written to a TEMP
+    * directory and swapped into place with renames — never an
+    * in-place overwrite of the directory the merge just read: a
+    * cache-evicted partition during an in-place overwrite would
+    * recompute lineage against the half-deleted input (round-7
+    * advice). The swap (state→old, tmp→state, drop old) leaves every
+    * crash window recoverable: the worst case is a missing `state`
+    * with an intact `-old` beside it, never a torn mix of both
+    * generations. At-least-once replays of a batch re-merge its
+    * rows — exactly-once needs idempotent keys or the BatchMarkers
     * discipline (KinesisSink.writeStreamExactlyOnce); the spec pins
     * merge == direct recompute over clean delivery.
     */
@@ -481,9 +486,13 @@ object StreamOps {
       .groupBy(col("k")).agg(
         sum(col("n")).as("n"), sum(col("s")).as("s"),
         min(col("lo")).as("lo"), max(col("hi")).as("hi"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    merged.count() // materialize before overwriting the files read above
-    merged.write.mode("overwrite").parquet(stateDir)
-    merged.unpersist(false)
+    val tmpPath = new org.apache.hadoop.fs.Path(
+      s"$stateDir-tmp-$batchId")
+    val oldPath = new org.apache.hadoop.fs.Path(s"$stateDir-old")
+    merged.write.mode("overwrite").parquet(tmpPath.toString)
+    fs.delete(oldPath, true)
+    if (fs.exists(statePath)) fs.rename(statePath, oldPath)
+    fs.rename(tmpPath, statePath)
+    fs.delete(oldPath, true)
   }
 }

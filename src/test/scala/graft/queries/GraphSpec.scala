@@ -14,11 +14,6 @@ class GraphSpec extends SparkSpec {
   private val sf = "/root/testdata/sf0.001"
 
   test("pagerank: mass conserved within truncation loss, ranks positive") {
-    // run the full rank table (not the top-100 cut) by replaying the
-    // query body at a larger limit via the registered query itself:
-    // the top-100 slice is enough for positivity + mixed node kinds,
-    // mass conservation needs the untruncated sum — recompute it from
-    // the same registered query with the limit removed via a fresh run
     val top = graft.SparkEntry.queries("q62_pagerank")(spark, sf)
       .as[(String, Long)].collect()
     assert(top.nonEmpty && top.length <= 100)
@@ -29,12 +24,21 @@ class GraphSpec extends SparkSpec {
     assert(top.exists(_._1.startsWith("c")) &&
       top.exists(_._1.startsWith("s")),
       "trade graph is bipartite: both node kinds should rank")
-    // each damped round keeps ≥ (teleport + 0.85·mass) minus integer
-    // truncation (≤ 1 unit per edge per round and ≤ 1 per node per
-    // round); with Scale = 1e12 the top-100 alone must already carry
-    // a visible share of the mass on the tiny graph
+    // UNTRUNCATED mass conservation over the full rank table (the
+    // registered query's top-100 is just the display cut). Every
+    // integer division only SHRINKS mass, so Σr ≤ Scale exactly; the
+    // loss per round is < 1 unit per `div` site — ≤ 2 units per node
+    // (teleport + got) plus ≤ 1 per edge (give) — so five rounds on
+    // this graph lose well under 10·(2n + E) units of 1e12.
+    val full = Graph.pagerankFull(spark, sf)
+      .agg(sum($"r"), count($"node")).as[(Long, Long)].collect().head
+    val (total, n) = full
+    val edges = spark.read
+      .parquet(s"$sf/lineitem.parquet").count() * 2 // symmetrized
     val scale = 1000000000000L
-    assert(ranks.sum > scale / 100,
-      s"top-100 carries ${ranks.sum} of $scale — rank mass collapsed?")
+    assert(total <= scale,
+      s"integer truncation can only shrink mass: $total > $scale")
+    assert(total >= scale - 10L * (2 * n + edges),
+      s"mass $total fell past the truncation bound below $scale")
   }
 }
