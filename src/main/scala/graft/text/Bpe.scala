@@ -120,13 +120,110 @@ object Bpe {
       .orderBy($"rank")
   }
 
+  /** Greedy BPE ENCODE of one word under a learned merge-rank map —
+    * the standard inference-side segmentation (apply the
+    * lowest-ranked merge present, greedy left-to-right
+    * non-overlapping, repeat until no learned pair remains). Plain
+    * Scala on purpose: this loop runs ONLY on the distinct-word
+    * table (vocabulary-bounded), never per corpus row.
+    */
+  private[text] def encodeWord(word: String,
+      ranks: Map[(String, String), Int]): Vector[String] = {
+    var syms = word.map(_.toString).toVector :+ EndOfWord
+    var continue = syms.size > 1
+    while (continue) {
+      var bestRank = Int.MaxValue
+      var bl: String = null
+      var br: String = null
+      var i = 0
+      while (i < syms.size - 1) {
+        ranks.get((syms(i), syms(i + 1))).foreach { rk =>
+          if (rk < bestRank) { bestRank = rk; bl = syms(i); br = syms(i + 1) }
+        }
+        i += 1
+      }
+      if (bl == null) continue = false
+      else {
+        val b = Vector.newBuilder[String]
+        var j = 0
+        while (j < syms.size) {
+          if (j < syms.size - 1 && syms(j) == bl && syms(j + 1) == br) {
+            b += (bl + br); j += 2
+          } else { b += syms(j); j += 1 }
+        }
+        syms = b.result()
+      }
+    }
+    syms
+  }
+
+  /** Encode every document with a learned merge table. The tokenizer
+    * inference pass every training pipeline runs after `learn`:
+    *
+    * Scale shape: the imperative merge loop runs on the DISTINCT
+    * alphabetic word table (vocabulary-bounded — the one place
+    * `mapPartitions` is the right tool, because the work is bounded
+    * by the vocabulary, not the corpus), the merge-rank map rides
+    * the closure (≤ nMerges entries), and the corpus-scale pass is a
+    * single broadcast join of the word→tokens table back onto the
+    * per-doc word stream. Non-alphabetic words pass through as one
+    * opaque token each (the learn side never saw them, so they have
+    * no merges by construction).
+    *
+    * Output is gate-safe scalars only: word/token counts and the md5
+    * fingerprint of the comma-joined token sequence in document
+    * order (array outputs crash the driver's harness — round-7
+    * lesson).
+    */
+  def encode(docs: DataFrame, merges: Seq[(Long, String, String)])
+      : DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ranks = merges.map { case (rk, l, r) => ((l, r), rk.toInt) }.toMap
+    val tokStream = docs
+      .select($"doc_id",
+        posexplode(split(lower($"text"), "\\s+")).as(Seq("pos", "word")))
+      .filter(length($"word") > 0)
+    val words = tokStream.select($"word").distinct()
+    val encoded = words.as[String].mapPartitions { it =>
+      it.map { w =>
+        if (w.forall(c => c >= 'a' && c <= 'z'))
+          (w, encodeWord(w, ranks))
+        else (w, Vector(w)) // opaque: no learned merges apply
+      }
+    }.toDF("word", "toks")
+    tokStream.join(broadcast(encoded), "word")
+      .groupBy($"doc_id")
+      .agg(
+        count(lit(1)).as("n_words"),
+        flatten(transform(
+          array_sort(collect_list(struct($"pos", $"toks"))),
+          x => x.getField("toks"))).as("flat"))
+      .select($"doc_id", $"n_words",
+        size($"flat").cast("long").as("n_bpe_tokens"),
+        md5(concat_ws(",", $"flat")).as("toks_fp"))
+      .orderBy($"doc_id")
+  }
+
   def queries: Map[String, Q] = Map(
     "pipeline_bpe_learn" -> ((s, d) =>
-      learn(Tables.spread(Tables.load(s, d, "documents")), 16)))
+      learn(Tables.spread(Tables.load(s, d, "documents")), 16)),
+    // learn + encode end-to-end: the merge table is driver-bounded
+    // (16 rows), so chaining the two stages costs one extra learn —
+    // a production pipeline would persist the merge table instead
+    "pipeline_bpe_encode" -> ((s, d) => {
+      val docs = Tables.spread(Tables.load(s, d, "documents"))
+      val spark = docs.sparkSession
+      import spark.implicits._
+      val merges = learn(docs, 16)
+        .select($"rank", $"left", $"right")
+        .as[(Long, String, String)].collect().toSeq
+      encode(docs, merges)
+    }))
 
   /** Iterative data-dependent argmax — not expressible as one SQL
-    * statement; BpeSpec pins the merge table against an independent
-    * reference implementation.
+    * statement; BpeSpec pins the merge table (and the encode's
+    * segmentation) against an independent reference implementation.
     */
   def oracles: Map[String, String] = Map.empty
 }

@@ -79,6 +79,74 @@ class BpeSpec extends SparkSpec {
     assert(got.map(m => (m._2, m._3)) == Seq(("a", "a"), ("aa", "aa")))
   }
 
+  /** Independent scalar BPE encoder (lowest-rank-first, greedy
+    * non-overlapping apply) — deliberately re-implemented here rather
+    * than calling Bpe.encodeWord, so the spec is a cross-check.
+    */
+  private def referenceEncode(word: String,
+      merges: Seq[(String, String)]): Seq[String] = {
+    val rank = merges.zipWithIndex.toMap
+    var syms = word.map(_.toString).toList :+ "</w>"
+    var go = true
+    while (go) {
+      val present = syms.zip(syms.tail)
+        .filter(rank.contains).sortBy(rank)
+      present.headOption match {
+        case None => go = false
+        case Some((l, r)) =>
+          val out = scala.collection.mutable.ListBuffer[String]()
+          var rest = syms
+          while (rest.nonEmpty) rest match {
+            case a :: b :: t if a == l && b == r =>
+              out += (l + r); rest = t
+            case a :: t => out += a; rest = t
+            case Nil =>
+          }
+          syms = out.toList
+      }
+    }
+    syms
+  }
+
+  test("encode segments with the learned merges, losslessly and rank-greedily") {
+    import spark.implicits._
+    val texts = Seq(
+      "low low low lower lower lowest",
+      "new new newer newest newest newest",
+      "the quick brown fox 123 x9") // non-alpha words pass through
+    val docs = texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val merges = Bpe.learn(docs.select($"text"), 8)
+      .as[(Long, String, String, String, Long)].collect().toSeq
+    val out = Bpe.encode(docs, merges.map(m => (m._1, m._2, m._3)))
+      .as[(Long, Long, Long, String)].collect()
+    assert(out.length == texts.length)
+    // expected per-doc token stream via the independent encoder
+    val pairTable = merges.map(m => (m._2, m._3))
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val ws = t.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      val toks = ws.flatMap { w =>
+        if (w.forall(c => c >= 'a' && c <= 'z'))
+          referenceEncode(w, pairTable)
+        else Seq(w)
+      }
+      val (_, nWords, nToks, fp) = out(i)
+      assert(nWords == ws.length, s"doc $i word count")
+      assert(nToks == toks.length,
+        s"doc $i: got $nToks tokens, reference says ${toks.length}")
+      val want = java.security.MessageDigest.getInstance("MD5")
+        .digest(toks.mkString(",").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      assert(fp == want, s"doc $i: token sequence fingerprint differs")
+      // losslessness: each word's segmentation concatenates back to
+      // the word once the end-of-word markers are stripped
+      ws.filter(_.forall(c => c >= 'a' && c <= 'z')).foreach { w =>
+        assert(referenceEncode(w, pairTable).mkString
+          .replace("</w>", "") == w, s"lossy segmentation of '$w'")
+      }
+    }
+  }
+
   test("stops early when no pairs remain") {
     import spark.implicits._
     val got = Bpe.learn(Seq("a b c").toDF("text"), 50)
