@@ -335,6 +335,62 @@ object StreamOps {
         TimeMode.None(), OutputMode.Append())
   }
 
+  case class SeenEvent(user_id: Long, event_id: Long)
+
+  /** Declarative state-TTL on the v2 API — the round-7 forward-note
+    * gap: every other processor here uses `TTLConfig.NONE`, so the
+    * TTL half of the v2 surface was untested. This is the
+    * recently-seen admission guard (suppress repeats of a key while
+    * its mark is live): the "seen" mark is a `ValueState` with a
+    * real `TTLConfig` duration, and EVICTION IS THE SEMANTICS — once
+    * the store expires the mark, the key is admitted again. That is
+    * the streaming-dedup memory model at 100 TB: per-key state can't
+    * grow forever, so the guard window IS the TTL, enforced by the
+    * store (RocksDB cleans expired rows in the background) instead
+    * of by hand-rolled timers scanning every key.
+    *
+    * TTL is processing-time by contract (TimeMode.ProcessingTime
+    * required); the spec drives expiry with a real clock.
+    */
+  class TtlSeenGuardProcessor(ttlMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, SeenEvent, SeenEvent] {
+    import org.apache.spark.sql.Encoders
+    @transient private var seen:
+        org.apache.spark.sql.streaming.ValueState[Long] = _
+
+    override def init(
+        outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      seen = getHandle.getValueState[Long]("seen",
+        Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig(
+          java.time.Duration.ofMillis(ttlMs)))
+
+    override def handleInputRows(key: Long, rows: Iterator[SeenEvent],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[SeenEvent] = {
+      // expired mark reads as absent — the admission decision and the
+      // eviction policy are the same declarative TTL
+      if (seen.exists()) { rows.foreach(_ => ()); Iterator.empty }
+      else {
+        val first = rows.toSeq.minBy(_.event_id)
+        seen.update(first.event_id)
+        Iterator.single(first)
+      }
+    }
+  }
+
+  def ttlSeenGuardStream(events: org.apache.spark.sql.Dataset[SeenEvent],
+      ttlMs: Long): org.apache.spark.sql.Dataset[SeenEvent] = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new TtlSeenGuardProcessor(ttlMs),
+        TimeMode.ProcessingTime(), OutputMode.Append())
+  }
+
   /** Idle-close on the v2 API with EVENT-TIME TIMERS — the
     * [[idleUserSummaries]] twin on transformWithState: accumulate a
     * per-user summary, (re-)arm a timer for lastTs + idle gap, and

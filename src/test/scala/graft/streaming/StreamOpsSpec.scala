@@ -192,6 +192,67 @@ class StreamOpsSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState v2 TTL: expired seen-marks re-admit the key") {
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[(Long, Long)]
+      val events = in.toDS()
+        .map { case (u, e) => StreamOps.SeenEvent(u, e) }
+      // ProcessingTime time-mode schedules a batch EVERY trigger (the
+      // engine must advance the TTL clock even with no data), so
+      // processAllAvailable never sees a quiescent stream and hangs —
+      // poll the sink for sentinel rows instead, under a real trigger
+      // interval so the empty batches don't hot-spin.
+      def sinkRows(): Set[(Long, Long)] = spark.table("ttlguard")
+        .as[StreamOps.SeenEvent].collect()
+        .map(e => (e.user_id, e.event_id)).toSet
+      def waitFor(what: String)(cond: => Boolean): Unit = {
+        val deadline = System.currentTimeMillis + 60000
+        while (!cond && System.currentTimeMillis < deadline)
+          Thread.sleep(100)
+        assert(cond, s"timed out waiting for $what; sink=${sinkRows()}")
+      }
+      // generous TTL vs batch-latency margin: cold batches run
+      // 300-400 ms and the sink poll adds up to ~500 ms more, so the
+      // mark must outlive several seconds of suppressed-phase
+      // processing, and the expiry sleep must decisively clear it
+      val q = StreamOps.ttlSeenGuardStream(events, ttlMs = 8000)
+        .writeStream.format("memory").queryName("ttlguard")
+        .trigger(org.apache.spark.sql.streaming.Trigger
+          .ProcessingTime("200 milliseconds"))
+        .outputMode("append").start()
+      in.addData((1L, 10L), (1L, 11L), (2L, 20L))
+      waitFor("first admissions")(
+        sinkRows() == Set((1L, 10L), (2L, 20L)))
+      // mark still live → (1,12) suppressed; the fresh key 4 rides the
+      // same batch as a sentinel proving the batch was fully processed
+      in.addData((1L, 12L), (4L, 40L))
+      waitFor("sentinel key 4")(sinkRows().contains((4L, 40L)))
+      assert(!sinkRows().contains((1L, 12L)),
+        s"live mark failed to suppress: ${sinkRows()}")
+      Thread.sleep(12000) // let the TTL decisively lapse
+      in.addData((1L, 13L), (3L, 30L)) // 1 re-admitted, 3 fresh
+      waitFor("re-admission after TTL lapse")(
+        sinkRows().contains((1L, 13L)) && sinkRows().contains((3L, 30L)))
+      val out = sinkRows()
+      q.stop()
+      assert(out == Set((1L, 10L), (2L, 20L), (4L, 40L),
+          (1L, 13L), (3L, 30L)),
+        s"ttl guard output was $out")
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set(
+          "spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset(
+          "spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("lineStream maxFilesPerTrigger bounds each micro-batch (B1 backpressure)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-mft")
     (1 to 3).foreach(i => java.nio.file.Files.write(
