@@ -77,6 +77,53 @@ object Pipeline {
         x => x.getField("id")).as("ids"))
   }
 
+  /** Bloom prefilter plumbing shared by the registered
+    * decontaminate_bloom query and the superset spec: candidate
+    * (doc_id, gram) pairs whose gram passes the test-gram Bloom
+    * filter, plus the test-gram frame for the exact confirm. The
+    * non-candidate train mass (the overwhelming majority at 100 TB)
+    * is eliminated row-locally — zero shuffle — by the broadcast
+    * bloom probe inside a higher-order filter.
+    */
+  private def bloomCandidates(s: org.apache.spark.sql.SparkSession,
+      d: String): (DataFrame, DataFrame) = {
+    import s.implicits._
+    val docs = Tables.spread(Tables.load(s, d, "documents"))
+      .withColumn("split", splitCol($"text"))
+      .withColumn("th",
+        graft.dedup.Dedup.tokenHashes(split(lower($"text"), "\\s+")))
+      .withColumn("g", gramHashes($"th", 4))
+      .select($"doc_id", $"split", $"g")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val testGrams = docs.filter($"split" === "test")
+      .select(explode($"g").as("gram"))
+    // sizing action on the small (test) side only; the Bloom build
+    // itself is one distributed aggregate over the same frame
+    val n = math.max(testGrams.count(), 1000L)
+    val bloom = testGrams.stat.bloomFilter("gram", n, 1e-4)
+    val candidates = docs.filter($"split" === "train")
+      .withColumn("flagged",
+        filter($"g", gr =>
+          graft.functions.BloomFunctions.bloom_might_contain(gr, bloom)))
+      .filter(size($"flagged") > 0)
+      .select($"doc_id", explode($"flagged").as("gram"))
+    (candidates, testGrams)
+  }
+
+  /** Raw FP-accepting prefilter view (doc_id, n_flagged) — the
+    * zero-confirm shape whose superset-of-exact property
+    * PipelineOpsSpec pins (the registered query adds the exact
+    * confirm on top and so matches pipeline_decontaminate exactly).
+    */
+  def bloomPrefilter(s: org.apache.spark.sql.SparkSession, d: String)
+      : DataFrame = {
+    import s.implicits._
+    val (candidates, _) = bloomCandidates(s, d)
+    candidates.groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_flagged"))
+      .orderBy($"doc_id")
+  }
+
   def queries: Map[String, Q] = Map(
 
     // Stride-overlapped document chunking — the context-window split
@@ -220,38 +267,30 @@ object Pipeline {
 
     // Decontamination, the 100 TB shape: the exact form above JOINS
     // train grams against test grams — correct, but the train side
-    // (the 100 TB side) shuffles its gram explosion. Benchmark/test
-    // suites are small (millions of grams), so the scale form trains
-    // a Bloom filter over the TEST grams once (distributed
+    // (the 100 TB side) shuffles its gram explosion. The scale form
+    // trains a Bloom filter over the TEST grams once (distributed
     // tree-aggregate, MBs at fpp 1e-4) and probes it row-locally
-    // inside a higher-order filter on the train side: ZERO train-side
-    // shuffle, scan-shaped at any corpus size. False positives can
-    // only over-flag (never under-flag) — the safe direction for
-    // leakage removal; BloomDecontaminateSpec pins the superset
-    // property and bounds the FP excess. No oracle (FP-dependent) →
-    // rows-only gate entry.
+    // inside a higher-order filter on the train side: ZERO
+    // train-side shuffle for the non-candidate mass, scan-shaped at
+    // any corpus size. False positives can only over-flag (never
+    // under-flag) — BloomDecontaminateSpec pins the superset
+    // property — so an exact-confirm join over the SURVIVORS only
+    // (the bloom-flagged sliver, ~test-suite-sized, not
+    // corpus-sized) removes the FPs and makes the output
+    // deterministic: identical to pipeline_decontaminate, which is
+    // exactly what lets this scale path share the exact oracle
+    // (round-8; previously rows-only because the raw prefilter
+    // output was FP-dependent).
     "pipeline_decontaminate_bloom" -> ((s, d) => {
       import s.implicits._
-      val docs = Tables.spread(Tables.load(s, d, "documents"))
-        .withColumn("split", splitCol($"text"))
-        .withColumn("th",
-          graft.dedup.Dedup.tokenHashes(split(lower($"text"), "\\s+")))
-        .withColumn("g", gramHashes($"th", 4))
-        .select($"doc_id", $"split", $"g")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val testGrams = docs.filter($"split" === "test")
-        .select(explode($"g").as("gram"))
-      // sizing action on the small (test) side only; the Bloom build
-      // itself is one distributed aggregate over the same frame
-      val n = math.max(testGrams.count(), 1000L)
-      val bloom = testGrams.stat.bloomFilter("gram", n, 1e-4)
-      docs.filter($"split" === "train")
-        .withColumn("n_flagged",
-          size(filter($"g", gr =>
-            graft.functions.BloomFunctions.bloom_might_contain(gr, bloom)))
-            .cast("long"))
-        .filter($"n_flagged" > 0)
-        .select($"doc_id", $"n_flagged")
+      val (candidates, testGrams) = bloomCandidates(s, d)
+      // exact confirm: only candidate grams shuffle (bounded by the
+      // bloom hit volume ≈ true hits + fpp·train-grams, not by the
+      // corpus); distinct test grams broadcast-able at any sane
+      // test-suite size
+      candidates.join(testGrams.distinct(), Seq("gram"))
+        .groupBy($"doc_id")
+        .agg(count_distinct($"gram").as("n_shared_grams"))
         .orderBy($"doc_id")
     }),
 
@@ -556,7 +595,15 @@ object Pipeline {
            CAST(floor((cum - n_tokens) / 512) AS BIGINT) AS seq_id,
            count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
          FROM t GROUP BY 1, 2, 3 ORDER BY lang, source, seq_id""",
-    "pipeline_decontaminate" ->
+    // the bloom variant's exact-confirm join makes its output
+    // identical to the exact form by construction, so the two share
+    // one oracle (the bloom filter is a shuffle-avoidance prefilter,
+    // not a semantics change)
+    "pipeline_decontaminate_bloom" -> decontaminateOracle,
+    "pipeline_decontaminate" -> decontaminateOracle,
+  ) ++ oraclesRest
+
+  private val decontaminateOracle: String =
       """WITH toks AS (
            SELECT doc_id,
              CASE WHEN substring(md5(text), 1, 1) < 'c'
@@ -577,7 +624,9 @@ object Pipeline {
          SELECT t.doc_id,
            CAST(count(DISTINCT t.gram) AS BIGINT) AS n_shared_grams
          FROM train t JOIN testg USING (gram)
-         GROUP BY t.doc_id ORDER BY doc_id""",
+         GROUP BY t.doc_id ORDER BY doc_id"""
+
+  private val oraclesRest: Map[String, String] = Map(
     "pipeline_split" ->
       """SELECT lang,
            CASE WHEN substring(md5(text), 1, 1) < 'c'

@@ -531,20 +531,45 @@ object Similarity {
   }
 
   // -------------------------------------------------- outlier mining
+  /** Label centroids on a deterministic integer grid: each element is
+    * floor(v·10⁶) as a long, summed ORDER-FREE (integer addition
+    * commutes — no fold-order hazard), floor-divided by the label
+    * count, and mapped back to the 1e-6 double grid. Differs from the
+    * true float mean by < 1e-6 per dimension — irrelevant for outlier
+    * geometry — but bit-reproducible on any engine, which is what
+    * upgraded emb_outliers from rows-only to oracle-green (round 8).
+    * Same d-row reduce + broadcast shape as [[centroids]].
+    */
+  def centroidsQuantized(e: DataFrame): DataFrame =
+    e.select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .withColumn("q",
+        floor(col("v").cast("double") * 1000000.0).cast("long"))
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(col("q")).as("sq"), count(lit(1)).as("n"))
+      // floor over the exact double quotient: identical on both
+      // engines for every sign (sums fit 2^53 comfortably)
+      .withColumn("m",
+        floor(col("sq").cast("double") / col("n")) / 1000000.0)
+      .groupBy(col("label"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("m")))),
+        x => x.getField("m")).as("centroid"))
+
   /** Embedding-space outliers: each vector's cosine to its own
     * label's centroid, worst-k per label — the curation pass that
     * surfaces mislabeled / off-distribution rows before training.
     * Scale shape: centroids are an ncells×dim reduce (map-side
     * combinable) broadcast back over the scan; the worst-k pick is a
-    * WindowGroupLimit partial top-k per map side. Rows-only gate
-    * entry: the centroid mean is a distributed double sum whose fold
-    * order an oracle can't replay exactly; the planted-outlier spec
-    * pins the semantics instead.
+    * WindowGroupLimit partial top-k per map side. The centroid rides
+    * the quantized-integer grid ([[centroidsQuantized]]) so the
+    * cosine — a left-fold in index order on both engines — is
+    * bit-identical to the DuckDB oracle's replay; the
+    * planted-outlier spec additionally pins the semantics.
     */
   def outliersOver(e: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("label"))
       .orderBy(col("c_sim"), col("vec_id"))
-    e.join(broadcast(centroids(e)), Seq("label"))
+    e.join(broadcast(centroidsQuantized(e)), Seq("label"))
       .withColumn("c_sim", cosine(col("embedding"), col("centroid")))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
@@ -595,7 +620,13 @@ object Similarity {
       .groupBy(col("pos"))
       .agg(sum(round(col("v").cast("double") * q).cast("long")).as("sq"),
         count(lit(1)).as("n"))
-      .select(col("pos"), expr("sq div n").as("mq"))
+      // FLOOR division, not `div`: Spark's `div` truncates toward
+      // zero but DuckDB's `//` floors, and per-dimension sums CAN be
+      // negative — the two disagree by one grid step exactly there.
+      // floor over the (exact ≤2^53) double quotient is identical on
+      // both engines for every sign.
+      .select(col("pos"),
+        floor(col("sq").cast("double") / col("n")).cast("long").as("mq"))
       .orderBy(col("pos"))
       .as[(Int, Long)].collect() // driver holds d longs
     val mArr = array(means.map { case (_, mq) => lit(mq / q) }: _*)
@@ -629,6 +660,45 @@ object Similarity {
     * plus recall assertions in SimilaritySpec.
     */
   def oracles: Map[String, String] = Map(
+    "emb_outliers" ->
+      """WITH pe AS (
+           SELECT label, vec_id,
+             unnest(list_transform(embedding,
+               v -> CAST(floor(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT)))
+               AS q,
+             unnest(range(1, len(embedding) + 1)) AS pos
+           FROM embeddings),
+         cent AS (
+           SELECT label, pos,
+             floor(CAST(CAST(sum(q) AS BIGINT) AS DOUBLE) / count(*))
+               / 1000000.0 AS m
+           FROM pe GROUP BY label, pos),
+         cvec AS (
+           SELECT label, list(m ORDER BY pos) AS centroid
+           FROM cent GROUP BY label),
+         sim AS (
+           SELECT e.label, e.vec_id,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(range(1, len(e.embedding) + 1),
+                 i -> CAST(e.embedding[i] AS DOUBLE) * c.centroid[i])),
+               (x, y) -> x + y) /
+             (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(range(1, len(e.embedding) + 1),
+                 i -> CAST(e.embedding[i] AS DOUBLE)
+                   * CAST(e.embedding[i] AS DOUBLE))),
+               (x, y) -> x + y)) *
+              sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(range(1, len(c.centroid) + 1),
+                 i -> c.centroid[i] * c.centroid[i])),
+               (x, y) -> x + y))) AS c_sim
+           FROM embeddings e JOIN cvec c USING (label)),
+         ranked AS (
+           SELECT label, vec_id, c_sim,
+             row_number() OVER (PARTITION BY label
+               ORDER BY c_sim, vec_id) AS rank
+           FROM sim)
+         SELECT label, CAST(rank AS BIGINT) AS rank, vec_id, c_sim
+         FROM ranked WHERE rank <= 3 ORDER BY label, rank""",
     "emb_normalize" ->
       """WITH x AS (SELECT vec_id, embedding FROM embeddings),
          pe AS (
@@ -637,8 +707,8 @@ object Similarity {
            FROM x),
          m AS (
            SELECT pos,
-             CAST(sum(CAST(round(CAST(v AS DOUBLE) * 1048576.0)
-               AS BIGINT)) // count(*) AS BIGINT) AS mq
+             CAST(floor(CAST(sum(CAST(round(CAST(v AS DOUBLE) * 1048576.0)
+               AS BIGINT)) AS DOUBLE) / count(*)) AS BIGINT) AS mq
            FROM pe GROUP BY 1),
          md AS (SELECT list(mq / 1048576.0 ORDER BY pos) AS md FROM m),
          c AS (

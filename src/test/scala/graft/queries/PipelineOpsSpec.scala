@@ -78,12 +78,13 @@ class PipelineOpsSpec extends SparkSpec {
   }
 
   test("bloom decontamination over-flags only: superset of the exact join, bounded excess") {
-    // the exact form (gram equi-join) is ground truth; the Bloom form
-    // may add false positives (fpp 1e-4 per gram) but must never miss
-    // a contaminated doc, and the per-doc flagged count can only grow
+    // the exact form (gram equi-join) is ground truth; the raw Bloom
+    // PREFILTER may add false positives (fpp 1e-4 per gram) but must
+    // never miss a contaminated doc, and the per-doc flagged count
+    // can only grow
     val exact = graft.SparkEntry.queries("pipeline_decontaminate")(spark, sf)
       .select($"doc_id", $"n_shared_grams").as[(Long, Long)].collect().toMap
-    val bloom = graft.SparkEntry.queries("pipeline_decontaminate_bloom")(spark, sf)
+    val bloom = graft.queries.Pipeline.bloomPrefilter(spark, sf)
       .select($"doc_id", $"n_flagged").as[(Long, Long)].collect().toMap
     exact.foreach { case (doc, nShared) =>
       assert(bloom.contains(doc), s"bloom missed contaminated doc $doc")
@@ -96,6 +97,15 @@ class PipelineOpsSpec extends SparkSpec {
     assert(extra <= math.max(2L, trainDocs / 10),
       s"bloom false-positive excess too high: $extra extra docs " +
         s"over ${exact.size} exact on $trainDocs train docs")
+    // and the REGISTERED bloom query (prefilter + exact confirm)
+    // matches the exact join outright — that equality is what lets
+    // it share pipeline_decontaminate's oracle in the gate
+    val confirmed = graft.SparkEntry
+      .queries("pipeline_decontaminate_bloom")(spark, sf)
+      .select($"doc_id", $"n_shared_grams")
+      .as[(Long, Long)].collect().toMap
+    assert(confirmed == exact,
+      s"confirmed bloom output diverges from exact join")
   }
 
   test("pii patterns redact planted email/ip/phone and leave clean text alone") {
