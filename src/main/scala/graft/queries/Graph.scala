@@ -56,6 +56,65 @@ object Graph {
         .orderBy($"rank_scaled".desc, $"node").limit(100)
     }),
 
+    // Triangle counting over the part co-occurrence graph (two parts
+    // are adjacent when they ship in the same order) — the
+    // clustering/community primitive a curation pipeline runs to find
+    // tightly-coupled source groups. All-integer → hash-exact oracle.
+    //
+    // 100 TB shape: the classic degree-oriented wedge algorithm.
+    // Every undirected edge is ORIENTED from its lower-(degree, id)
+    // endpoint to the higher one, wedges are enumerated only at each
+    // edge's smaller endpoint, and a wedge closes by probing the
+    // oriented edge set. Orientation is the load-bearing trick: a
+    // degree-d hub generates O(d²) wedges unoriented but only
+    // O(α·d) oriented (its out-degree is bounded by the arboricity —
+    // Chiba–Nishizeki), so the wedge join survives power-law skew
+    // that would detonate an id-oriented variant. Per-order pair
+    // expansion is bounded by order width (TPC-H ≤7 items), never
+    // corpus-sized; the edge and wedge frames shuffle on long keys
+    // only. Each triangle is found exactly once (its unique
+    // min-(deg,id) vertex is the only one with out-edges to both
+    // others), then exploded to per-node counts.
+    "q72_triangle_count" -> ((s, d) => {
+      import s.implicits._
+      val li = Tables.load(s, d, "lineitem")
+        .select($"l_orderkey".as("ok"), $"l_partkey".as("pk")).distinct()
+      val e = li.as("x").join(li.as("y"),
+          col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+        .select(col("x.pk").as("a"), col("y.pk").as("b"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val deg = e.select($"a".as("n")).unionAll(e.select($"b".as("n")))
+        .groupBy($"n").agg(count(lit(1)).as("deg"))
+      // orient by (degree, id): lower endpoint points to higher
+      val o = e
+        .join(deg.select($"n".as("a"), $"deg".as("da")), Seq("a"))
+        .join(deg.select($"n".as("b"), $"deg".as("db")), Seq("b"))
+        .select(
+          when($"da" < $"db" || ($"da" === $"db" && $"a" < $"b"),
+            struct($"a".as("u"), $"b".as("v")))
+            .otherwise(struct($"b".as("u"), $"a".as("v"))).as("e"))
+        .select($"e.u".as("u"), $"e.v".as("v"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val wedges = o.as("w1").join(o.as("w2"),
+          col("w1.u") === col("w2.u") && col("w1.v") < col("w2.v"))
+        .select(col("w1.u").as("x"), col("w1.v").as("y"),
+          col("w2.v").as("z"))
+      // close the wedge: the (y,z) edge may be oriented either way in
+      // o, so probe an id-canonicalized copy — an equi-HASH join on
+      // (min,max), never an OR-of-equalities nested loop
+      val oc = o.select(least($"u", $"v").as("p"),
+        greatest($"u", $"v").as("q"))
+      val tri = wedges.join(oc,
+          least($"y", $"z") === $"p" && greatest($"y", $"z") === $"q")
+        .select($"x", $"y", $"z")
+      tri.select(explode(array($"x", $"y", $"z")).as("p_partkey"))
+        .groupBy($"p_partkey")
+        .agg(count(lit(1)).as("n_triangles"))
+        .orderBy($"n_triangles".desc, $"p_partkey")
+        .limit(100)
+    }),
+
   )
 
   /** Full 5-round rank table (long node ids, scaled-long ranks) —
@@ -120,6 +179,41 @@ object Graph {
   }
 
   def oracles: Map[String, String] = Map(
+
+    "q72_triangle_count" ->
+      """WITH li AS (
+           SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+           FROM lineitem),
+         e AS (
+           SELECT DISTINCT x.pk AS a, y.pk AS b
+           FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk),
+         deg AS (
+           SELECT n, count(*) AS deg FROM (
+             SELECT a AS n FROM e UNION ALL SELECT b AS n FROM e)
+           GROUP BY n),
+         o AS (
+           SELECT CASE WHEN da.deg < db.deg
+                         OR (da.deg = db.deg AND e.a < e.b)
+                  THEN e.a ELSE e.b END AS u,
+                  CASE WHEN da.deg < db.deg
+                         OR (da.deg = db.deg AND e.a < e.b)
+                  THEN e.b ELSE e.a END AS v
+           FROM e JOIN deg da ON da.n = e.a JOIN deg db ON db.n = e.b),
+         wedges AS (
+           SELECT w1.u AS x, w1.v AS y, w2.v AS z
+           FROM o w1 JOIN o w2 ON w1.u = w2.u AND w1.v < w2.v),
+         tri AS (
+           SELECT x, y, z
+           FROM wedges w JOIN o c
+             ON least(w.y, w.z) = least(c.u, c.v)
+            AND greatest(w.y, w.z) = greatest(c.u, c.v))
+         SELECT p_partkey, CAST(count(*) AS BIGINT) AS n_triangles
+         FROM (
+           SELECT x AS p_partkey FROM tri
+           UNION ALL SELECT y FROM tri
+           UNION ALL SELECT z FROM tri)
+         GROUP BY p_partkey
+         ORDER BY n_triangles DESC, p_partkey LIMIT 100""",
 
     "q62_pagerank" -> {
       // Five unrolled integer iterations; itK reads it(K-1). Each round

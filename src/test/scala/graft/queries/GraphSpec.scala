@@ -41,4 +41,33 @@ class GraphSpec extends SparkSpec {
     assert(total >= scale - 10L * (2 * n + edges),
       s"mass $total fell past the truncation bound below $scale")
   }
+
+  test("triangle counts match an independent brute-force count") {
+    val top = graft.SparkEntry.queries("q72_triangle_count")(spark, sf)
+      .as[(Long, Long)].collect()
+    assert(top.nonEmpty && top.forall(_._2 > 0))
+    // independent count: adjacency sets + neighbor intersection —
+    // deliberately NOT the wedge-orientation algorithm under test
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select($"l_orderkey".cast("long"), $"l_partkey".cast("long"))
+      .distinct().as[(Long, Long)].collect()
+    val byOrder = li.groupBy(_._1).values
+    val edges = byOrder.flatMap { items =>
+      val ps = items.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length)
+        yield (ps(i), ps(j))
+    }.toSet
+    val adj = edges.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val triPerNode = scala.collection.mutable.Map[Long, Long]()
+      .withDefaultValue(0L)
+    for ((a, b) <- edges; c <- adj(a) intersect adj(b); if c > b)
+      Seq(a, b, c).foreach(n => triPerNode(n) += 1)
+    // (a,b,c with a<b<c counted once at edge (a,b) via c>b)
+    val expected = triPerNode.toSeq
+      .sortBy { case (n, t) => (-t, n) }.take(top.length)
+    assert(top.toSeq.map(_._2) == expected.map(_._2),
+      s"per-node triangle counts diverge from brute force")
+    assert(top.toSeq == expected, "tie-broken ordering diverges")
+  }
 }
