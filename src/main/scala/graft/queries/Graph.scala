@@ -84,19 +84,29 @@ object Graph {
         .select(col("x.pk").as("a"), col("y.pk").as("b"))
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
+      // the degree table is node-sized (≪ edges) → broadcast, and the
+      // edge set itself is two longs per row (~16 B·E) → broadcast
+      // both wedge sides and the closing probe while it fits (1.2 M
+      // edges ≈ 20 MB at sf0.1; the wedge stream — the frame that
+      // actually explodes — never shuffles at all). Past the
+      // broadcast threshold the same plan degrades to shuffled hash
+      // joins on u / (p,q): drop the hints and Spark picks SHJ — the
+      // algorithm, not the join strategy, is what bounds the work.
       val deg = e.select($"a".as("n")).unionAll(e.select($"b".as("n")))
         .groupBy($"n").agg(count(lit(1)).as("deg"))
       // orient by (degree, id): lower endpoint points to higher
       val o = e
-        .join(deg.select($"n".as("a"), $"deg".as("da")), Seq("a"))
-        .join(deg.select($"n".as("b"), $"deg".as("db")), Seq("b"))
+        .join(broadcast(deg.select($"n".as("a"), $"deg".as("da"))),
+          Seq("a"))
+        .join(broadcast(deg.select($"n".as("b"), $"deg".as("db"))),
+          Seq("b"))
         .select(
           when($"da" < $"db" || ($"da" === $"db" && $"a" < $"b"),
             struct($"a".as("u"), $"b".as("v")))
             .otherwise(struct($"b".as("u"), $"a".as("v"))).as("e"))
         .select($"e.u".as("u"), $"e.v".as("v"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      val wedges = o.as("w1").join(o.as("w2"),
+      val wedges = o.as("w1").join(broadcast(o.as("w2")),
           col("w1.u") === col("w2.u") && col("w1.v") < col("w2.v"))
         .select(col("w1.u").as("x"), col("w1.v").as("y"),
           col("w2.v").as("z"))
@@ -105,7 +115,7 @@ object Graph {
       // (min,max), never an OR-of-equalities nested loop
       val oc = o.select(least($"u", $"v").as("p"),
         greatest($"u", $"v").as("q"))
-      val tri = wedges.join(oc,
+      val tri = wedges.join(broadcast(oc),
           least($"y", $"z") === $"p" && greatest($"y", $"z") === $"q")
         .select($"x", $"y", $"z")
       tri.select(explode(array($"x", $"y", $"z")).as("p_partkey"))

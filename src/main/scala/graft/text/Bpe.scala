@@ -49,23 +49,40 @@ object Bpe {
     */
   private val EndOfWord = "</w>"
 
-  /** One greedy non-overlapping merge pass over a symbol array:
-    * fold that joins acc's last element with x when they equal
-    * (l, r). Codegen'd HOF — runs row-local on executors.
+  /** One greedy non-overlapping merge pass over a symbol vector —
+    * scan left to right, join (l, r) wherever adjacent, skip past the
+    * joined pair. The driver-local twin of the fold the round-7
+    * version ran as a Spark HOF; semantics are identical (BpeSpec's
+    * independent reference implementation pins them).
     */
-  private def applyMerge(symbols: org.apache.spark.sql.Column,
-      l: String, r: String): org.apache.spark.sql.Column =
-    aggregate(symbols,
-      array().cast("array<string>"),
-      (acc, x) =>
-        when(size(acc) > 0 &&
-            element_at(acc, -1) === lit(l) && x === lit(r),
-          concat(slice(acc, lit(1), size(acc) - 1),
-            array(concat(element_at(acc, -1), x))))
-          .otherwise(concat(acc, array(x))))
+  private def applyMergeLocal(syms: Vector[String],
+      l: String, r: String): Vector[String] = {
+    val b = Vector.newBuilder[String]
+    var j = 0
+    while (j < syms.size) {
+      if (j < syms.size - 1 && syms(j) == l && syms(j + 1) == r) {
+        b += (l + r); j += 2
+      } else { b += syms(j); j += 1 }
+    }
+    b.result()
+  }
 
   /** Learn `nMerges` BPE merges from `docs(text)`. Returns the merge
     * table: (rank, left, right, merged, weight) in learned order.
+    *
+    * Scale split (round 8): the corpus-scale pass — word frequencies,
+    * map-side-combined groupBy — is the ONLY distributed step; the
+    * merge rounds then run DRIVER-LOCAL on the collected (word, freq)
+    * table. That table is vocabulary-bounded (~1e6 rows / tens of MB
+    * at web scale — the same boundedness argument as the k-means
+    * codebook collects), and this is exactly how production BPE
+    * trainers split the work: one corpus pass for counts, an
+    * in-memory merge loop over the count table. The round-7 form ran
+    * each round as Spark jobs over a cached vocab frame and spent
+    * ~58 s at sf0.1 on pure job/codegen overhead for the same
+    * answer in milliseconds here — the merge loop's work is bounded
+    * by the vocabulary, so distributing it buys nothing at ANY
+    * corpus size.
     */
   def learn(docs: DataFrame, nMerges: Int): DataFrame = {
     val spark = docs.sparkSession
@@ -74,47 +91,44 @@ object Bpe {
     // The single corpus-scale pass: word frequencies. Alphabetic
     // lowercase words only — keeps the symbol alphabet closed and the
     // fixture deterministic across engines/locales.
-    val wordFreq = docs
+    val wordFreq: Array[(String, Long)] = docs
       .select(explode(split(lower($"text"), "\\s+")).as("word"))
       .filter($"word".rlike("^[a-z]+$"))
       .groupBy($"word").agg(count(lit(1)).as("freq"))
+      .as[(String, Long)].collect() // vocab-bounded by construction
 
-    var symbols = wordFreq
-      .select(
-        concat(split($"word", ""), array(lit(EndOfWord))).as("syms"),
-        $"freq")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    var table: Array[(Vector[String], Long)] = wordFreq.map {
+      case (w, f) => (w.map(_.toString).toVector :+ EndOfWord, f)
+    }
 
     val merges = Seq.newBuilder[(Long, String, String, String, Long)]
     var rank = 1L
     var done = false
     while (rank <= nMerges && !done) {
       // adjacent-pair weights over the vocab-bounded symbol table
-      val best = symbols
-        .select(explode(arrays_zip(
-          slice($"syms", lit(1), size($"syms") - 1),
-          slice($"syms", lit(2), size($"syms") - 1)).cast(
-          "array<struct<l:string,r:string>>")).as("p"), $"freq")
-        .groupBy($"p.l".as("l"), $"p.r".as("r"))
-        .agg(sum($"freq").as("w"))
-        .orderBy($"w".desc, $"l", $"r")
-        .limit(1)
-        .collect()
-      if (best.isEmpty) done = true
+      val weights = scala.collection.mutable.Map[(String, String), Long]()
+        .withDefaultValue(0L)
+      table.foreach { case (syms, f) =>
+        var i = 0
+        while (i < syms.size - 1) {
+          weights((syms(i), syms(i + 1))) += f
+          i += 1
+        }
+      }
+      if (weights.isEmpty) done = true
       else {
-        val row = best.head
-        val (l, r, w) = (row.getString(0), row.getString(1), row.getLong(2))
+        // argmax, tie-break (weight DESC, left ASC, right ASC) —
+        // unchanged from the declared round-7 contract
+        val ((l, r), w) = weights.minBy { case ((pl, pr), pw) =>
+          (-pw, pl, pr)
+        }
         merges += ((rank, l, r, l + r, w))
-        val next = symbols
-          .select(applyMerge($"syms", l, r).as("syms"), $"freq")
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        next.count() // materialize before releasing the predecessor
-        symbols.unpersist()
-        symbols = next
+        table = table.map { case (syms, f) =>
+          (applyMergeLocal(syms, l, r), f)
+        }
         rank += 1
       }
     }
-    symbols.unpersist()
     merges.result()
       .toDF("rank", "left", "right", "merged", "weight")
       .orderBy($"rank")
