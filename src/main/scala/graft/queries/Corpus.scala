@@ -171,6 +171,46 @@ object Corpus {
     // avg_surprisal rounds to 4 decimals: the ln-term sum is a float
     // fold whose cross-engine reassociation error (~1e-12 on sums of
     // hundreds) sits far below the rounding step.
+    // Collocation mining: top bigrams by pointwise mutual information
+    // (min count 5) — the phrase-extraction pass that feeds tokenizer
+    // vocabularies and stopword-ish boilerplate lists. All counts are
+    // exact longs; the PMI itself is three ln() terms on exact-long
+    // ratios computed in identical op order on both engines, rounded
+    // at 4 decimals (the text_lm_score ulp discipline). Scale shape:
+    // the unigram table is vocab-bounded and broadcast twice; the
+    // bigram count shuffles on the pair key (bigram-vocab-bounded,
+    // with map-side partials); the two corpus totals are driver
+    // scalars; top-50 is a TakeOrdered, never a full sort spill.
+    "text_pmi_bigrams" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.spread(Tables.load(s, d, "documents"))
+        .withColumn("t", split(lower($"text"), "\\s+"))
+      val uni = docs.select(explode($"t").as("w"))
+        .groupBy($"w").agg(count(lit(1)).as("cw"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nTot = uni.agg(sum($"cw")).head.getLong(0) // corpus tokens
+      val pairs = docs.filter(size($"t") >= 2)
+        .select(explode(arrays_zip(
+          slice($"t", lit(1), size($"t") - 1),
+          slice($"t", lit(2), size($"t") - 1))).as("p"))
+        .select(col("p").getField("0").as("w1"),
+          col("p").getField("1").as("w2"))
+        .groupBy($"w1", $"w2").agg(count(lit(1)).as("n_pair"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val bTot = pairs.agg(sum($"n_pair")).head.getLong(0)
+      pairs.filter($"n_pair" >= 5)
+        .join(broadcast(uni.select($"w".as("w1"), $"cw".as("c1"))),
+          Seq("w1"))
+        .join(broadcast(uni.select($"w".as("w2"), $"cw".as("c2"))),
+          Seq("w2"))
+        .select($"w1", $"w2", $"n_pair",
+          round(log($"n_pair".cast("double") / lit(bTot.toDouble)) -
+            log($"c1".cast("double") / lit(nTot.toDouble)) -
+            log($"c2".cast("double") / lit(nTot.toDouble)), 4)
+            .as("pmi"))
+        .orderBy($"pmi".desc, $"w1", $"w2").limit(50)
+    }),
+
     "text_lm_score" -> ((s, d) => {
       import s.implicits._
       val docs = Tables.spread(Tables.load(s, d, "documents"))
@@ -680,6 +720,32 @@ object Corpus {
          FROM dfreq d JOIN sizes s ON d.source = s.source
          WHERE d.doc_freq >= greatest(4, CAST(ceil(s.n_docs * 0.2) AS BIGINT))
          ORDER BY d.source, d.ngram""",
+
+    "text_pmi_bigrams" ->
+      """WITH t AS (
+           SELECT string_split_regex(lower(text), '\s+') AS t
+           FROM documents),
+         uc AS (
+           SELECT w, CAST(count(*) AS BIGINT) AS cw
+           FROM (SELECT unnest(t) AS w FROM t) GROUP BY w),
+         n AS (SELECT CAST(sum(cw) AS BIGINT) AS n FROM uc),
+         bp AS (
+           SELECT unnest(list_slice(t, 1, len(t) - 1)) AS w1,
+                  unnest(list_slice(t, 2, len(t))) AS w2
+           FROM t WHERE len(t) >= 2),
+         pc AS (
+           SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_pair
+           FROM bp GROUP BY w1, w2),
+         b AS (SELECT CAST(sum(n_pair) AS BIGINT) AS b FROM pc)
+         SELECT pc.w1, pc.w2, pc.n_pair,
+           round(ln(CAST(pc.n_pair AS DOUBLE) / (SELECT b FROM b)) -
+                 ln(CAST(u1.cw AS DOUBLE) / (SELECT n FROM n)) -
+                 ln(CAST(u2.cw AS DOUBLE) / (SELECT n FROM n)), 4)
+             AS pmi
+         FROM pc JOIN uc u1 ON u1.w = pc.w1
+                 JOIN uc u2 ON u2.w = pc.w2
+         WHERE pc.n_pair >= 5
+         ORDER BY pmi DESC, pc.w1, pc.w2 LIMIT 50""",
 
     "text_lm_score" ->
       """WITH t AS (SELECT doc_id, lang,

@@ -521,6 +521,58 @@ object Relational {
         .orderBy($"l_returnflag")
     }),
 
+    // Equi-DEPTH binning (feature bucketization for training
+    // pipelines: every bucket holds the same row count, boundaries
+    // follow the data). ntile over a UNIQUE sort key
+    // (cents, custkey) — ties broken by key make the tile assignment
+    // a pure row_number function, deterministic on both engines.
+    // Scale note: a single un-partitioned ntile funnels the table
+    // through one task; the 100 TB form replaces it with the q20
+    // percentile machinery (approx boundaries + broadcast) or the
+    // PrefixSum two-pass global numbering — this registered form is
+    // the exact-semantics contract those approximations target, and
+    // the customer table is the dimension side (≪ facts) where the
+    // single-sort cost is acceptable even at scale.
+    "q73_equidepth" -> ((s, d) => {
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy($"cents", $"c_custkey")
+      Tables.load(s, d, "customer")
+        .select($"c_custkey",
+          round($"c_acctbal" * 100).cast("long").as("cents"))
+        .withColumn("bucket", ntile(8).over(w).cast("long"))
+        .groupBy($"bucket")
+        .agg(count(lit(1)).as("n"),
+          min($"cents").as("lo_cents"),
+          max($"cents").as("hi_cents"),
+          sum($"cents").as("sum_cents"))
+        .orderBy($"bucket")
+    }),
+
+    // Mode (most frequent value) per group with deterministic
+    // tie-break — count per (segment, priority), keep the
+    // row_number-1 row ordered by (count DESC, value). Two
+    // map-side-combinable aggregates + a 25-row window; the scale
+    // cost is the (segment, priority) count shuffle, bounded by the
+    // key-domain product, never by rows.
+    "q74_mode_by_segment" -> ((s, d) => {
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"c_mktsegment")
+        .orderBy($"n_orders".desc, $"o_orderpriority")
+      Tables.load(s, d, "orders").select($"o_custkey", $"o_orderpriority")
+        .join(Tables.load(s, d, "customer")
+          .select($"c_custkey", $"c_mktsegment"),
+          $"o_custkey" === $"c_custkey")
+        .groupBy($"c_mktsegment", $"o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"))
+        .withColumn("rk", row_number().over(w))
+        .filter($"rk" === 1)
+        .select($"c_mktsegment", $"o_orderpriority".as("modal_priority"),
+          $"n_orders")
+        .orderBy($"c_mktsegment")
+    }),
+
     "q28_range_join" -> ((s, d) => {
       import s.implicits._
       // Range join, binned: events within 10 minutes after each error.
@@ -1277,6 +1329,33 @@ object Relational {
              0.75) / 100 AS p75,
            count(*) AS n
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q73_equidepth" ->
+      """WITH t AS (
+           SELECT c_custkey,
+             CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+           FROM customer),
+         b AS (
+           SELECT cents,
+             CAST(ntile(8) OVER (ORDER BY cents, c_custkey) AS BIGINT)
+               AS bucket
+           FROM t)
+         SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+           min(cents) AS lo_cents, max(cents) AS hi_cents,
+           CAST(sum(cents) AS BIGINT) AS sum_cents
+         FROM b GROUP BY bucket ORDER BY bucket""",
+    "q74_mode_by_segment" ->
+      """WITH c AS (
+           SELECT c.c_mktsegment, o.o_orderpriority,
+             CAST(count(*) AS BIGINT) AS n_orders
+           FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+           GROUP BY 1, 2),
+         r AS (
+           SELECT *, row_number() OVER (PARTITION BY c_mktsegment
+             ORDER BY n_orders DESC, o_orderpriority) AS rk
+           FROM c)
+         SELECT c_mktsegment, o_orderpriority AS modal_priority,
+           n_orders
+         FROM r WHERE rk = 1 ORDER BY c_mktsegment""",
     "q28_range_join" ->
       """SELECT e.event_id,
            CAST(count(x.event_id) AS BIGINT) AS n_following
