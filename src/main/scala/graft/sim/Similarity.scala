@@ -168,7 +168,12 @@ object Similarity {
   def ivfTopK(s: SparkSession, d: String, k: Int = 10, nprobe: Int = 3)
       : DataFrame = {
     val e = Tables.load(s, d, "embeddings")
-    val cents = centroids(e)
+    // quantized-grid centroids (round 8): same geometry to <1e-6 per
+    // dimension, but bit-reproducible — which turns the whole IVF
+    // probe (centroid ranking + in-cell exact cosine, both
+    // index-order folds) into a DuckDB-replayable computation and
+    // upgrades ann_ivf from rows-only to a hash oracle
+    val cents = centroidsQuantized(e)
     val q = queryVecs(e)
     // rank cells per query by centroid cosine, keep nprobe
     val wc = Window.partitionBy(col("q_id"))
@@ -654,12 +659,72 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
-  /** Brute force is exactly SQL-expressible (list_reduce replays the
-    * same left-fold double summation — see Dedup oracle note). LSH/IVF
-    * depend on seeded hyperplanes / learned centroids: rows-only check
-    * plus recall assertions in SimilaritySpec.
+  /** Brute force and label-IVF are exactly SQL-expressible
+    * (list_reduce replays the same left-fold double summation — see
+    * Dedup oracle note; IVF's centroids ride the quantized-integer
+    * grid so the probe ranking replays too). LSH and the TRAINED
+    * variants (k-means IVF, PQ) depend on seeded hyperplanes /
+    * float-iterated codebooks: rows-only check plus recall assertions
+    * in SimilaritySpec.
     */
   def oracles: Map[String, String] = Map(
+    "ann_ivf" -> {
+      // index-order left-fold cosine (the ann_bruteforce pattern),
+      // parameterized over the two element expressions
+      def cos(a: String, b: String, la: String, lb: String): String =
+        s"""(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(range(1, $la + 1), i -> $a * $b)),
+             (x, y) -> x + y) /
+           (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(range(1, $la + 1), i -> $a * $a)),
+             (x, y) -> x + y)) *
+            sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(range(1, $lb + 1), i -> $b * $b)),
+             (x, y) -> x + y))))"""
+      s"""WITH pe AS (
+           SELECT label, vec_id,
+             unnest(list_transform(embedding,
+               v -> CAST(floor(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT)))
+               AS q,
+             unnest(range(1, len(embedding) + 1)) AS pos
+           FROM embeddings),
+         cent AS (
+           SELECT label, pos,
+             floor(CAST(CAST(sum(q) AS BIGINT) AS DOUBLE) / count(*))
+               / 1000000.0 AS m
+           FROM pe GROUP BY label, pos),
+         cvec AS (
+           SELECT label, list(m ORDER BY pos) AS centroid
+           FROM cent GROUP BY label),
+         qv AS (
+           SELECT vec_id AS q_id, embedding AS q_emb
+           FROM embeddings WHERE vec_id % 100 = 0),
+         probe AS (
+           SELECT q_id, label,
+             row_number() OVER (PARTITION BY q_id
+               ORDER BY c_sim DESC, label) AS c_rank
+           FROM (
+             SELECT qv.q_id, c.label,
+               ${cos("CAST(qv.q_emb[i] AS DOUBLE)", "c.centroid[i]",
+                 "len(qv.q_emb)", "len(c.centroid)")} AS c_sim
+             FROM qv CROSS JOIN cvec c)),
+         cand AS (
+           SELECT p.q_id, e.vec_id,
+             ${cos("CAST(qv.q_emb[i] AS DOUBLE)",
+                 "CAST(e.embedding[i] AS DOUBLE)",
+                 "len(qv.q_emb)", "len(e.embedding)")} AS cosine
+           FROM probe p
+           JOIN embeddings e ON e.label = p.label
+           JOIN qv ON qv.q_id = p.q_id
+           WHERE p.c_rank <= 3 AND e.vec_id <> p.q_id),
+         ranked AS (
+           SELECT q_id, vec_id, cosine,
+             row_number() OVER (PARTITION BY q_id
+               ORDER BY cosine DESC, vec_id) AS rank
+           FROM cand)
+         SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id, cosine
+         FROM ranked WHERE rank <= 10 ORDER BY q_id, rank"""
+    },
     "emb_outliers" ->
       """WITH pe AS (
            SELECT label, vec_id,
