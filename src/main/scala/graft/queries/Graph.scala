@@ -61,37 +61,50 @@ object Graph {
     // clustering/community primitive a curation pipeline runs to find
     // tightly-coupled source groups. All-integer → hash-exact oracle.
     //
-    // 100 TB shape: the classic degree-oriented wedge algorithm.
-    // Every undirected edge is ORIENTED from its lower-(degree, id)
-    // endpoint to the higher one, wedges are enumerated only at each
-    // edge's smaller endpoint, and a wedge closes by probing the
-    // oriented edge set. Orientation is the load-bearing trick: a
+    // 100 TB shape: degree-oriented adjacency intersection. Every
+    // undirected edge is ORIENTED from its lower-(degree, id)
+    // endpoint to the higher one; a triangle {x,y,z} then closes at
+    // exactly one edge (u,v) as the non-empty intersection
+    // N⁺(u) ∩ N⁺(v). Orientation is the load-bearing trick: a
     // degree-d hub generates O(d²) wedges unoriented but only
     // O(α·d) oriented (its out-degree is bounded by the arboricity —
-    // Chiba–Nishizeki), so the wedge join survives power-law skew
-    // that would detonate an id-oriented variant. Per-order pair
-    // expansion is bounded by order width (TPC-H ≤7 items), never
-    // corpus-sized; the edge and wedge frames shuffle on long keys
-    // only. Each triangle is found exactly once (its unique
-    // min-(deg,id) vertex is the only one with out-edges to both
-    // others), then exploded to per-node counts.
+    // Chiba–Nishizeki), so out-neighbor lists stay array-sized under
+    // power-law skew. Intersecting per-edge sorted arrays beats the
+    // naive wedge self-join by the wedge/triangle ratio (at sf0.1:
+    // 41M wedges vs 1.9M triangles — the join materialized every
+    // wedge as a row through two hash probes; the intersection
+    // touches them as array elements inside one codegen stage and
+    // only triangles become rows). Per-order pair expansion is
+    // bounded by order width (TPC-H ≤7 items), never corpus-sized.
+    // Each triangle is found exactly once (its unique min-(deg,id)
+    // vertex is the only one with out-edges to both others), then
+    // exploded to per-node counts.
     "q72_triangle_count" -> ((s, d) => {
       import s.implicits._
+      // per-order pair expansion via one groupBy + HOF comprehension:
+      // the naive li⋈li self-join shuffles the token stream twice and
+      // hash-probes every pair into existence; collect_set + the
+      // nested transform generates the same a<b pairs inside a single
+      // codegen stage off ONE narrow shuffle of (order, part) longs.
+      // Order width is bounded (TPC-H ≤7 items), so the per-group
+      // array and its k(k-1)/2 expansion are constant-sized.
       val li = Tables.load(s, d, "lineitem")
-        .select($"l_orderkey".as("ok"), $"l_partkey".as("pk")).distinct()
-      val e = li.as("x").join(li.as("y"),
-          col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
-        .select(col("x.pk").as("a"), col("y.pk").as("b"))
+        .select($"l_orderkey".as("ok"), $"l_partkey".as("pk"))
+      val e = li.groupBy($"ok")
+        .agg(sort_array(collect_set($"pk")).as("ps"))
+        .select(explode(expr(
+          """flatten(transform(ps, (x, i) ->
+             transform(slice(ps, i + 2, size(ps)),
+               y -> struct(x AS a, y AS b))))""")).as("e"))
+        .select($"e.a".as("a"), $"e.b".as("b"))
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
       // the degree table is node-sized (≪ edges) → broadcast, and the
-      // edge set itself is two longs per row (~16 B·E) → broadcast
-      // both wedge sides and the closing probe while it fits (1.2 M
-      // edges ≈ 20 MB at sf0.1; the wedge stream — the frame that
-      // actually explodes — never shuffles at all). Past the
-      // broadcast threshold the same plan degrades to shuffled hash
-      // joins on u / (p,q): drop the hints and Spark picks SHJ — the
-      // algorithm, not the join strategy, is what bounds the work.
+      // adjacency table is edge-sized in aggregate (ΣA = E, ~20 MB at
+      // sf0.1) → broadcast while it fits. Past the broadcast
+      // threshold the same plan degrades to shuffled hash joins on
+      // u / v: drop the hints and Spark picks SHJ — the algorithm,
+      // not the join strategy, is what bounds the work.
       val deg = e.select($"a".as("n")).unionAll(e.select($"b".as("n")))
         .groupBy($"n").agg(count(lit(1)).as("deg"))
       // orient by (degree, id): lower endpoint points to higher
@@ -106,19 +119,27 @@ object Graph {
             .otherwise(struct($"b".as("u"), $"a".as("v"))).as("e"))
         .select($"e.u".as("u"), $"e.v".as("v"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      val wedges = o.as("w1").join(broadcast(o.as("w2")),
-          col("w1.u") === col("w2.u") && col("w1.v") < col("w2.v"))
-        .select(col("w1.u").as("x"), col("w1.v").as("y"),
-          col("w2.v").as("z"))
-      // close the wedge: the (y,z) edge may be oriented either way in
-      // o, so probe an id-canonicalized copy — an equi-HASH join on
-      // (min,max), never an OR-of-equalities nested loop
-      val oc = o.select(least($"u", $"v").as("p"),
-        greatest($"u", $"v").as("q"))
-      val tri = wedges.join(broadcast(oc),
-          least($"y", $"z") === $"p" && greatest($"y", $"z") === $"q")
-        .select($"x", $"y", $"z")
-      tri.select(explode(array($"x", $"y", $"z")).as("p_partkey"))
+      // out-adjacency arrays: node-keyed, edge-sized in total (ΣA =
+      // E), broadcast to both endpoints of every oriented edge. Past
+      // the broadcast threshold the same plan shuffles on u then v —
+      // the orientation bound, not the join strategy, keeps the
+      // arrays small.
+      val adj = o.groupBy($"u")
+        .agg(sort_array(collect_list($"v")).as("nbr"))
+      // each w ∈ N⁺(u) ∩ N⁺(v) closes triangle (u,v,w); u and v are
+      // each credited once per closing w, so one explode of
+      // [u×|ws|, v×|ws|, ws] yields exactly the 3·T per-node
+      // attributions without a triangle-row intermediate
+      val tri = o
+        .join(broadcast(adj.select($"u", $"nbr".as("nu"))), Seq("u"))
+        .join(broadcast(adj.select($"u".as("v"), $"nbr".as("nv"))),
+          Seq("v"))
+        .select($"u", $"v", array_intersect($"nu", $"nv").as("ws"))
+        .filter(size($"ws") > 0)
+      tri.select(explode(concat(
+          array_repeat($"u", size($"ws")),
+          array_repeat($"v", size($"ws")),
+          $"ws")).as("p_partkey"))
         .groupBy($"p_partkey")
         .agg(count(lit(1)).as("n_triangles"))
         .orderBy($"n_triangles".desc, $"p_partkey")
