@@ -933,6 +933,33 @@ object Dedup {
     * SQL-expressible — and get the rows-only check.
     */
   def oracles: Map[String, String] = Map(
+    // The deterministic-hyperplane upgrade (Similarity.mix32, round
+    // 8) makes the bucketed candidate stage SQL-replayable: planes
+    // are a pure integer function of (plane, dim), signatures are
+    // index-order dot folds, and the pair set is "signatures within
+    // 1-bit Hamming" — so the whole blocked near-dup pipeline gets a
+    // hash oracle instead of the planted-pair-spec-only check.
+    "dedup_embedding_lsh" ->
+      s"""WITH ${graft.sim.Similarity.lshSigCtes(
+        """SELECT LEAST(24, GREATEST(4,
+             CAST(ceil(ln(count(*) / 4.0) / ln(2.0)) AS INT))) AS np
+           FROM embeddings""")},
+         pr AS (SELECT vec_id, unnest(list_prepend(sig,
+                  list_transform(range(0, np),
+                    b -> xor(sig, CAST(1 AS BIGINT) << CAST(b AS INT)))))
+                  AS bucket
+                FROM sg, np),
+         cand AS (SELECT DISTINCT a.vec_id AS v1, s.vec_id AS v2
+                  FROM pr a JOIN sg s ON s.sig = a.bucket
+                  WHERE a.vec_id < s.vec_id),
+         scored AS (SELECT c.v1, c.v2,
+                      ${graft.sim.Similarity.cosSql(
+                        "ea.embedding", "eb.embedding")} AS cosine
+                    FROM cand c
+                    JOIN embeddings ea ON ea.vec_id = c.v1
+                    JOIN embeddings eb ON eb.vec_id = c.v2)
+         SELECT v1, v2, cosine FROM scored
+         WHERE cosine >= 0.35 ORDER BY v1, v2""",
     "dedup_containment" ->
       """WITH sh AS (
            SELECT doc_id, list_distinct(list_transform(

@@ -54,14 +54,45 @@ object Similarity {
     */
   private val NumPlanes = 8
   private val Dim = 64
-  /** Seeded hyperplanes for a given plane count — deterministic across
-    * driver re-runs, and a prefix-stable sequence (plane i is the same
-    * regardless of how many planes follow it).
+
+  /** 32-bit integer mix (multiplicative scramble + two xor-shift
+    * folds, everything mod 2^32): every intermediate fits a Long with
+    * no wraparound, and the identical arithmetic is expressible in
+    * DuckDB SQL (`%`, `//`, `xor`) — which is the point. Plane p,
+    * dim i is a PURE FUNCTION of (p, i) both engines evaluate
+    * bit-identically, turning the LSH bucket assignment (and so the
+    * whole ann_lsh / dedup_embedding_lsh pipelines) into a
+    * hash-oracle-checkable computation instead of a seeded-JVM-PRNG
+    * artifact (round 8; scala.util.Random's gaussians are not
+    * replayable outside the JVM).
     */
-  private def planesOf(n: Int): Seq[Seq[Double]] = {
-    val rnd = new scala.util.Random(7)
-    Seq.fill(n)(Seq.fill(Dim)(rnd.nextGaussian()))
+  private[graft] def mix32(x: Long): Long = {
+    val M = 4294967296L
+    var v = (x * 2654435761L) % M
+    v = v ^ (v >> 16)
+    v = (v * 40503L) % M
+    v ^ (v >> 16)
   }
+
+  /** Gaussian-ish plane weight in [-2, 2): Irwin–Hall sum of four
+    * uniform grid points minus the mean. Each term is k/2^32 with
+    * k < 2^32, so the sum has ≤34 significant bits — an EXACT double,
+    * making cross-engine equality exact rather than ulp-close. True
+    * gaussian directions are only needed for angle isotropy; the
+    * 4-fold Irwin–Hall bell is isotropic enough that the recall
+    * specs' planted-pair and monotonicity assertions hold unchanged.
+    */
+  private[graft] def planeWeight(j: Long): Double =
+    (mix32(4 * j) + mix32(4 * j + 1) + mix32(4 * j + 2) +
+      mix32(4 * j + 3)).toDouble / 4294967296.0 - 2.0
+
+  /** Deterministic hyperplanes for a given plane count — identical
+    * across driver re-runs AND engines (see [[mix32]]), prefix-stable
+    * (plane i is the same regardless of how many planes follow it).
+    */
+  private def planesOf(n: Int): Seq[Seq[Double]] =
+    (0 until n).map(p =>
+      (0 until Dim).map(i => planeWeight(p.toLong * Dim + i)))
   private val planes: Seq[Seq[Double]] = planesOf(NumPlanes)
 
   /** Plane count sized to the corpus: each added plane halves expected
@@ -659,15 +690,102 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
-  /** Brute force and label-IVF are exactly SQL-expressible
-    * (list_reduce replays the same left-fold double summation — see
-    * Dedup oracle note; IVF's centroids ride the quantized-integer
-    * grid so the probe ranking replays too). LSH and the TRAINED
-    * variants (k-means IVF, PQ) depend on seeded hyperplanes /
-    * float-iterated codebooks: rows-only check plus recall assertions
-    * in SimilaritySpec.
+  /** Index-order left-fold cosine between two float-array columns —
+    * the exact double sequence CosineSimilarity's fused loop computes
+    * (see ann_bruteforce, hash-green since round 6). Shared with the
+    * Dedup LSH oracle.
+    */
+  private[graft] def cosSql(a: String, b: String): String =
+    s"""(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         list_transform(range(1, len($a) + 1),
+           i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))),
+         (x, y) -> x + y) /
+       (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         list_transform(range(1, len($a) + 1),
+           i -> CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE))),
+         (x, y) -> x + y)) *
+        sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         list_transform(range(1, len($b) + 1),
+           i -> CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))),
+         (x, y) -> x + y))))"""
+
+  /** Shared oracle fragment: CTEs `np` (plane count, from `npSql`),
+    * `pl` (the [[planeWeight]] hyperplanes — the h1..h4 chain is
+    * [[mix32]] unrolled stage-by-stage), and `sg` (per-vector sign
+    * signature, replaying [[lshSignature]]'s index-order dot folds).
+    * Callers append their own search/pair CTEs.
+    */
+  private[graft] def lshSigCtes(npSql: String): String =
+    s"""np AS ($npSql),
+       idx AS (SELECT x FROM range(0, 6144) t(x), np
+               WHERE x < np * 64 * 4),
+       h1 AS (SELECT x, (x * 2654435761) % 4294967296 AS v FROM idx),
+       h2 AS (SELECT x, xor(v, v // 65536) AS v FROM h1),
+       h3 AS (SELECT x, (v * 40503) % 4294967296 AS v FROM h2),
+       h4 AS (SELECT x, xor(v, v // 65536) AS v FROM h3),
+       pw AS (SELECT x // 4 AS j,
+                CAST(sum(v) AS DOUBLE) / 4294967296.0 - 2.0 AS w
+              FROM h4 GROUP BY 1),
+       pl AS (SELECT j // 64 AS p, list(w ORDER BY j % 64) AS plane
+              FROM pw GROUP BY 1),
+       sg AS (SELECT e.vec_id,
+                CAST(sum(CASE WHEN
+                    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                      list_transform(range(1, len(e.embedding) + 1),
+                        i -> CAST(e.embedding[i] AS DOUBLE) * pl.plane[i])),
+                      (x, y) -> x + y) > 0
+                  THEN CAST(1 AS BIGINT) << CAST(pl.p AS INT)
+                  ELSE 0 END) AS BIGINT) AS sig
+              FROM embeddings e CROSS JOIN pl
+              GROUP BY e.vec_id)"""
+
+  /** Query-side search tail over the [[lshSigCtes]] CTEs: 1-bit
+    * multiprobe bucket expansion, candidate dedup, exact rerank —
+    * the SQL replay of `lshTopKWith(probeBits = 1, k = 10)`.
+    */
+  private def lshSearchTail: String =
+    s"""q AS (SELECT s.vec_id AS q_id, e.embedding AS q_emb, s.sig
+             FROM sg s JOIN embeddings e ON e.vec_id = s.vec_id
+             WHERE s.vec_id % 100 = 0),
+       pr AS (SELECT q_id, unnest(list_prepend(sig,
+                list_transform(range(0, np),
+                  b -> xor(sig, CAST(1 AS BIGINT) << CAST(b AS INT)))))
+                AS bucket
+              FROM q, np),
+       cand AS (SELECT DISTINCT pr.q_id, s.vec_id
+                FROM pr JOIN sg s ON s.sig = pr.bucket
+                WHERE s.vec_id <> pr.q_id),
+       scored AS (SELECT c.q_id, c.vec_id,
+                    ${cosSql("q.q_emb", "e.embedding")} AS cosine
+                  FROM cand c
+                  JOIN embeddings e ON e.vec_id = c.vec_id
+                  JOIN q ON q.q_id = c.q_id),
+       ranked AS (SELECT q_id, vec_id, cosine,
+                    row_number() OVER (PARTITION BY q_id
+                      ORDER BY cosine DESC, vec_id) AS rank
+                  FROM scored)
+       SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id, cosine
+       FROM ranked WHERE rank <= 10 ORDER BY q_id, rank"""
+
+  /** Brute force, label-IVF, and (round 8) the LSH family are exactly
+    * SQL-expressible: list_reduce replays the same left-fold double
+    * summation (see Dedup oracle note), IVF's centroids ride the
+    * quantized-integer grid, and the LSH hyperplanes are a pure
+    * integer function of (plane, dim) both engines evaluate
+    * bit-identically ([[mix32]]). The remaining TRAINED variants
+    * (k-means IVF, PQ) depend on float-iterated codebooks: rows-only
+    * check plus recall assertions in SimilaritySpec.
     */
   def oracles: Map[String, String] = Map(
+    "ann_lsh" ->
+      s"""WITH ${lshSigCtes("SELECT 8 AS np")},
+         $lshSearchTail""",
+    "ann_lsh_auto" ->
+      s"""WITH ${lshSigCtes(
+        """SELECT LEAST(24, GREATEST(4,
+             CAST(ceil(ln(count(*) / 64.0) / ln(2.0)) AS INT))) AS np
+           FROM embeddings""")},
+         $lshSearchTail""",
     "ann_ivf" -> {
       // index-order left-fold cosine (the ann_bruteforce pattern),
       // parameterized over the two element expressions
