@@ -56,12 +56,15 @@ object Dedup {
     * language + length bucket. At 100 TB, blocking bounds candidate
     * pairs to within-block quadratic instead of corpus quadratic.
     *
-    * `shh` is the xxhash64 of each distinct shingle: set intersections
-    * per candidate pair then compare longs instead of re-hashing ~25
-    * -char strings — measured ~2× on the pair stage. Cardinalities
-    * (and therefore Jaccard values) are unchanged short of a 64-bit
-    * collision (~1e-14/pair), so DuckDB oracles over the string
-    * shingles stay hash-exact.
+    * `shh` is the 60-bit packed polynomial hash of each distinct
+    * shingle (graft.functions.PolyHash): set intersections per
+    * candidate pair then compare longs instead of re-hashing ~25-char
+    * strings — measured ~2× on the pair stage. Cardinalities (and
+    * therefore Jaccard values) are unchanged short of a 60-bit
+    * collision (~1e-13/pair), so DuckDB oracles over the string
+    * shingles stay hash-exact — and since round 8 the hash itself
+    * replays in SQL, so the banded MinHash pipelines are
+    * hash-verified too.
     */
   private[dedup] def docsWithShingles(s: SparkSession, d: String)
       : DataFrame =
@@ -85,25 +88,42 @@ object Dedup {
         floor(col("n_chars") / 100).cast("long")))
       .select(col("doc_id"), col("block"), col("shh"))
 
-  /** Per-token xxhash64. Materialize this as its own column BEFORE
-    * building shingles: the shingle lambda references it three times,
-    * and an inlined (collapsed) projection would re-run the whole
-    * token-hash transform per reference.
+  /** Per-token 60-bit packed polynomial hash (PolyHash.tokenHash64 as
+    * a Column: two RollingHash folds packed `h31 << 31 | h37`).
+    * Materialize this as its own column BEFORE building shingles: the
+    * shingle lambda references it three times, and an inlined
+    * (collapsed) projection would re-run the whole token-hash
+    * transform per reference.
     */
-  def tokenHashes(toks: Column): Column = transform(toks, t => xxhash64(t))
+  def tokenHashes(toks: Column): Column = {
+    import graft.functions.RollingHash.rolling_hash
+    transform(toks, t =>
+      rolling_hash(t, 31L) * lit(2147483648L) + rolling_hash(t, 37L))
+  }
 
   /** Distinct word-3-gram shingle hashes, combined directly from the
-    * materialized token hashes — no shingle *strings* are ever built
-    * (the interpreted concat-per-shingle was ~6× the cost of the whole
-    * rest of the MinHash pipeline at sf0.1).
+    * materialized token hashes (PolyHash.shingleHash in Column
+    * arithmetic: two seeded folds mod M packed `s1·M + s2`) — no
+    * shingle *strings* are ever built (the interpreted
+    * concat-per-shingle was ~6× the cost of the whole rest of the
+    * MinHash pipeline at sf0.1).
     */
-  def hashedShingles(th: Column): Column =
+  def hashedShingles(th: Column): Column = {
+    val M = lit(graft.functions.PolyHash.M)
+    def fold(b: Long, h1: Column, h2: Column, h3: Column): Column = {
+      val bl = lit(b)
+      (((lit(7L) * bl + h1) % M * bl + h2) % M * bl + h3) % M
+    }
+    def shingle(h1: Column, h2: Column, h3: Column): Column =
+      fold(graft.functions.PolyHash.B1, h1, h2, h3) * M +
+        fold(graft.functions.PolyHash.B2, h1, h2, h3)
     when(size(th) >= 3,
       array_distinct(transform(
         sequence(lit(1), size(th) - 2),
-        i => xxhash64(element_at(th, i), element_at(th, i + 1),
+        i => shingle(element_at(th, i), element_at(th, i + 1),
           element_at(th, i + 2)))))
       .otherwise(array().cast("array<bigint>"))
+  }
 
   // ------------------------------------------------------------ exact
   /** Exact dedup: hash-groupBy on content digest. One shuffle, partial
@@ -266,11 +286,12 @@ object Dedup {
   }
 
   // ---------------------------------------------------- MinHash + LSH
-  /** 32 "permutations" realized as seed-prefixed xxhash64 — equivalent
-    * independence for LSH purposes, and avoids 128-bit modular
-    * arithmetic (which would overflow-throw under Spark 4's default
-    * ANSI mode). Deterministic across processes, which the driver's
-    * re-runs require.
+  /** 32 "permutations" realized as the universal-hash family
+    * `(a_p·(x mod M) + b_p) mod M` (PolyHash coefficients) —
+    * equivalent independence for LSH purposes with every intermediate
+    * inside a Long (no overflow under Spark 4's default ANSI mode).
+    * Deterministic across processes AND engines: the driver's re-runs
+    * and the DuckDB oracle replay the identical signatures.
     */
   private val NumPerms = 32
   private val BandRows = 4 // => 8 bands; s-curve threshold ~ (1/8)^(1/4) ≈ 0.59
@@ -281,8 +302,10 @@ object Dedup {
     * explode bands → self-join on the band bucket (the shuffle key) →
     * candidate pairs → verify with exact Jaccard.
     *
-    * Rows-only driver check (the hash seeds aren't SQL-expressible);
-    * correctness is asserted in DedupSpec against planted dups.
+    * Hash-verified oracle (round 8): the polynomial hash basis
+    * replays in DuckDB, so signatures, band keys, the candidate set,
+    * and the Jaccard verification all hash-compare exactly; DedupSpec
+    * additionally asserts planted-dup recall.
     */
   def minhashLsh(s: SparkSession, d: String, threshold: Double = 0.5)
       : DataFrame = minhashLshOver(docsWithShingles(s, d), threshold)
@@ -333,15 +356,24 @@ object Dedup {
     * hashes, so bucket occupancy tracks near-dup CLUSTER size, not
     * corpus size — the property the spec asserts.
     */
-  /** Seed-prefixed band keys over 4-row signature slices — shared by
-    * the batch LSH and the incremental form so the banding scheme can
-    * never drift between them.
+  /** Band keys over 4-row signature slices: two seeded polynomial
+    * folds over [band, v0..v3] packed `k1·M + k2` (~60-bit keyspace,
+    * so bucket occupancy keeps tracking cluster size, not corpus
+    * size). Shared by the batch LSH and the incremental form so the
+    * banding scheme can never drift between them; the same folds
+    * replay in the DuckDB oracles.
     */
-  private def bandKeys(sig: Column): Seq[Column] =
+  private def bandKeys(sig: Column): Seq[Column] = {
+    val M = lit(graft.functions.PolyHash.M)
+    def fold(mult: Long, vs: Seq[Column]): Column =
+      vs.foldLeft(lit(7L): Column)((h, v) => (h * lit(mult) + v) % M)
     (0 until NumPerms / BandRows).map { b =>
-      xxhash64((lit(b) +: (0 until BandRows).map(r =>
-        element_at(sig, b * BandRows + r + 1))): _*)
+      val vs = lit(b.toLong) +: (0 until BandRows).map(r =>
+        element_at(sig, b * BandRows + r + 1))
+      fold(graft.functions.PolyHash.B1, vs) * M +
+        fold(graft.functions.PolyHash.B2, vs)
     }
+  }
 
   private[dedup] def minhashCandidates(sigs: DataFrame): DataFrame = {
     val banded = sigs.select(col("doc_id"),
@@ -359,14 +391,20 @@ object Dedup {
 
   // ----------------------------------------------------------- SimHash
   /** 64-bit SimHash over tokens (Charikar): per bit, sign of the sum of
-    * ±1 votes from each token's xxhash64 bit. Computed *relationally*:
+    * ±1 votes from each token's packed-polynomial-hash bit (60
+    * effective bits — see the token-hash note below). Computed
+    * *relationally*:
     * explode tokens → hash each token ONCE → 64 codegen'd conditional
     * sums in a single hash aggregate. (A per-row HOF formulation
     * re-hashed every token 64× through interpreted lambdas — >2 min at
     * sf0.1; this shape runs in seconds and scales out on the doc_id
     * shuffle key.) Near-dup candidates via 4×16-bit band blocking,
-    * verified with bit_count(xor) Hamming distance. Rows-only driver
-    * check; DedupSpec asserts on planted dups.
+    * verified with bit_count(xor) Hamming distance. Hash-verified
+    * oracle (round 8): both banding tiers are exact candidate
+    * supersets for Hamming ≤ 3, so the oracle brute-forces all pairs
+    * at Hamming ≤ maxHamming over the replayed simhash values —
+    * banding never changes the result, only the cost. DedupSpec
+    * additionally asserts on planted dups.
     */
   def simhash(s: SparkSession, d: String, maxHamming: Int = 3): DataFrame = {
     val docs = Tables.load(s, d, "documents")
@@ -405,6 +443,18 @@ object Dedup {
     */
   private def sr(c: Column, n: Int): Column =
     call_function("shiftright", c, lit(n))
+
+  /** Column replay of [[graft.functions.PolyHash.mix32]] — built-in
+    * arithmetic only (codegen'd, and stage-replayable in DuckDB).
+    * Input must stay < ~3.4e9 so the first multiply fits a Long.
+    */
+  private def mixCol(x: Column): Column = {
+    val Mod = lit(4294967296L)
+    val s1 = (x * lit(2654435761L)) % Mod
+    val s2 = s1.bitwiseXOR(sr(s1, 16))
+    val s3 = (s2 * lit(40503L)) % Mod
+    s3.bitwiseXOR(sr(s3, 16))
+  }
   private def sl(c: Column, n: Int): Column =
     call_function("shiftleft", c, lit(n))
 
@@ -467,7 +517,20 @@ object Dedup {
       // ScaleProbe surfaced this). Same guard as minhash's
       // size(shh) > 0.
       .filter(length(col("tok")) > 0)
-      .withColumn("h", xxhash64(col("tok")))
+      // 60-bit packed token hash with mix32 avalanche on each fold:
+      // the raw rolling folds are NOT bit-uniform (short tokens leave
+      // high bits zero, so stopword-heavy corpora push many simhash
+      // bits to the same all-negative vote — measured 17 → 615
+      // hamming≤3 pairs at sf0.01 before the scramble). MinHash is
+      // immune (its universal-hash perms scramble any input), but
+      // simhash votes on the BITS themselves, so each 30-bit half
+      // rides PolyHash.mix32 first. Bits 60..63 are structurally
+      // zero — all-negative votes, harmless.
+      .withColumn("h",
+        mixCol(graft.functions.RollingHash.rolling_hash(col("tok"), 31L))
+          % lit(1073741824L) * lit(1073741824L) +
+          mixCol(graft.functions.RollingHash.rolling_hash(col("tok"), 37L)
+            + lit(2147483648L)) % lit(1073741824L))
     // custom TypedImperativeAggregate: one tight 64-bit-vote loop per
     // token. The declarative 64-sum-column formulation generated so
     // much code that Janino+JIT compilation alone cost ~11 s/session.
@@ -932,7 +995,156 @@ object Dedup {
   /** DuckDB twins. minhash/simhash are seeded-hash pipelines — not
     * SQL-expressible — and get the rows-only check.
     */
+  /** 60-bit packed polynomial token hash of a token-valued SQL
+    * expression — the DuckDB replay of [[graft.functions.PolyHash
+    * .tokenHash64]] (two ascii-code folds; corpus is ASCII so code
+    * points == bytes, the RollingHash caveat).
+    */
+  private def tokSqlHalf(t: String, mult: Long): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+         list_transform(range(1, length($t) + 1),
+           i -> CAST(ascii($t[i]) AS BIGINT))),
+         (h, b) -> (h * $mult + b) % 1000000007)"""
+
+  private def tokSql(t: String): String =
+    s"(${tokSqlHalf(t, 31L)} * 2147483648 + ${tokSqlHalf(t, 37L)})"
+
+  /** CTEs `tokl` → `sh` (doc_id, shh): the [[shingleBlocks]] replay —
+    * packed token hashes, packed 3-gram combines, distinct.
+    */
+  private def shingleSqlCtes: String = {
+    def fold(mult: Long): String =
+      s"""((((((7 * $mult + th[i]) % 1000000007)
+            * $mult + th[i + 1]) % 1000000007)
+            * $mult + th[i + 2]) % 1000000007)"""
+    s"""tokl AS (
+         SELECT doc_id,
+           list_transform(string_split_regex(lower(text), '\\s+'),
+             t -> ${tokSql("t")}) AS th
+         FROM documents),
+       sh AS (
+         SELECT doc_id,
+           CASE WHEN len(th) >= 3 THEN
+             list_distinct(list_transform(range(1, len(th) - 1),
+               i -> ${fold(1000003L)} * 1000000007 + ${fold(999983L)}))
+           ELSE CAST([] AS BIGINT[]) END AS shh
+         FROM tokl)"""
+  }
+
+  /** CTEs `pc` (mix32-seeded permutation coefficients) → `sigl`
+    * (doc_id, 32-min signature) → `bk` (doc_id, band, packed band
+    * key): the MinHashSignature + bandKeys replay.
+    */
+  private def minhashSigCtes: String = {
+    def bandFold(mult: Long): String =
+      s"""list_reduce(list_prepend(CAST(7 AS BIGINT),
+           [CAST(b AS BIGINT), sig[4*b + 1], sig[4*b + 2],
+            sig[4*b + 3], sig[4*b + 4]]),
+           (h, v) -> (h * $mult + v) % 1000000007)"""
+    s"""px AS (SELECT x FROM range(1000, 1064) t(x)),
+       n1 AS (SELECT x, (x * 2654435761) % 4294967296 AS v FROM px),
+       n2 AS (SELECT x, xor(v, v // 65536) AS v FROM n1),
+       n3 AS (SELECT x, (v * 40503) % 4294967296 AS v FROM n2),
+       n4 AS (SELECT x, xor(v, v // 65536) AS v FROM n3),
+       pc AS (SELECT (x - 1000) // 2 AS p,
+                max(CASE WHEN x % 2 = 0 THEN v % 1000000006 + 1 END) AS a,
+                max(CASE WHEN x % 2 = 1 THEN v % 1000000007 END) AS b
+              FROM n4 GROUP BY 1),
+       se AS (SELECT doc_id, unnest(shh) AS s FROM sh WHERE len(shh) > 0),
+       sigv AS (SELECT doc_id, p,
+                  min((a * (s % 1000000007) + b) % 1000000007) AS v
+                FROM se, pc GROUP BY doc_id, p),
+       sigl AS (SELECT doc_id, list(v ORDER BY p) AS sig
+                FROM sigv GROUP BY doc_id),
+       bk AS (SELECT doc_id, b,
+                ${bandFold(1000003L)} * 1000000007 +
+                ${bandFold(999983L)} AS key
+              FROM sigl, range(0, 8) t(b))"""
+  }
+
+  /** Exact-Jaccard verification expression over two `sh`-joined
+    * shingle sets — the inclusion-exclusion identity, matching the
+    * Spark [[jaccard]] double division bit-for-bit.
+    */
+  private def jaccardSql(a: String, b: String): String =
+    s"""(CAST(len(list_intersect($a, $b)) AS DOUBLE) /
+        CAST(len($a) + len($b) - len(list_intersect($a, $b)) AS DOUBLE))"""
+
   def oracles: Map[String, String] = Map(
+    // Round-8 polynomial-hash upgrade: signatures, band keys,
+    // candidate sets, and verification all replay in SQL — the three
+    // MinHash/SimHash queries below are hash-verified end-to-end.
+    "dedup_minhash_lsh" ->
+      s"""WITH $shingleSqlCtes,
+         $minhashSigCtes,
+         cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+                  FROM bk x JOIN bk y
+                    ON x.b = y.b AND x.key = y.key
+                   AND x.doc_id < y.doc_id),
+         ver AS (SELECT c.doc_a, c.doc_b,
+                   ${jaccardSql("sa.shh", "sb.shh")} AS jaccard
+                 FROM cand c
+                 JOIN sh sa ON sa.doc_id = c.doc_a
+                 JOIN sh sb ON sb.doc_id = c.doc_b)
+         SELECT doc_a, doc_b, jaccard FROM ver
+         WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""",
+    "dedup_minhash_incremental" ->
+      s"""WITH $shingleSqlCtes,
+         $minhashSigCtes,
+         cand AS (SELECT DISTINCT x.doc_id AS batch_id,
+                    y.doc_id AS corpus_id
+                  FROM bk x JOIN bk y
+                    ON x.b = y.b AND x.key = y.key
+                  WHERE x.doc_id >= 250 AND y.doc_id < 250),
+         drp AS (SELECT DISTINCT c.batch_id
+                 FROM cand c
+                 JOIN sh sa ON sa.doc_id = c.batch_id
+                 JOIN sh sb ON sb.doc_id = c.corpus_id
+                 WHERE ${jaccardSql("sa.shh", "sb.shh")} >= 0.5)
+         SELECT d.doc_id FROM documents d
+         WHERE d.doc_id >= 250
+           AND d.doc_id NOT IN (SELECT batch_id FROM drp)
+         ORDER BY d.doc_id""",
+    // Both banding tiers are exact candidate supersets for
+    // Hamming <= 3 (pigeonhole over 4 disjoint 16-bit bands), so the
+    // oracle brute-forces all pairs over the replayed simhash — the
+    // banding only prunes cost, never results. The m1..m4 stages are
+    // PolyHash.mix32 unrolled over both fold halves (the avalanche
+    // that makes token bits vote-uniform); bits 60..63 of the packed
+    // hash are structurally zero, so vote bits stop at 59 (Spark's
+    // all-negative votes leave them 0 identically).
+    "dedup_simhash" ->
+      s"""WITH tk AS (
+           SELECT doc_id,
+             unnest(string_split_regex(lower(text), '\\s+')) AS t
+           FROM documents),
+         t0 AS (SELECT doc_id, ${tokSqlHalf("t", 31L)} AS a,
+                  ${tokSqlHalf("t", 37L)} + 2147483648 AS b
+                FROM tk WHERE length(t) > 0),
+         m1 AS (SELECT doc_id, (a * 2654435761) % 4294967296 AS a,
+                  (b * 2654435761) % 4294967296 AS b FROM t0),
+         m2 AS (SELECT doc_id, xor(a, a // 65536) AS a,
+                  xor(b, b // 65536) AS b FROM m1),
+         m3 AS (SELECT doc_id, (a * 40503) % 4294967296 AS a,
+                  (b * 40503) % 4294967296 AS b FROM m2),
+         m4 AS (SELECT doc_id,
+                  xor(a, a // 65536) % 1073741824 * 1073741824 +
+                  xor(b, b // 65536) % 1073741824 AS h FROM m3),
+         votes AS (SELECT doc_id, k,
+                     sum(CASE WHEN (h >> CAST(k AS INT)) & 1 = 1
+                         THEN 1 ELSE -1 END) AS v
+                   FROM m4, range(0, 60) r(k) GROUP BY doc_id, k),
+         sim AS (SELECT doc_id,
+                   CAST(sum(CASE WHEN v > 0
+                     THEN CAST(1 AS BIGINT) << CAST(k AS INT)
+                     ELSE 0 END) AS BIGINT) AS simhash
+                 FROM votes GROUP BY doc_id),
+         pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT)
+                       AS hamming
+                   FROM sim a JOIN sim b ON a.doc_id < b.doc_id)
+         SELECT doc_a, doc_b, hamming FROM pairs
+         WHERE hamming <= 3 ORDER BY doc_a, doc_b""",
     // The deterministic-hyperplane upgrade (Similarity.mix32, round
     // 8) makes the bucketed candidate stage SQL-replayable: planes
     // are a pure integer function of (plane, dim), signatures are

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.graftshim.GraftShim
@@ -10,14 +10,14 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 import java.nio.ByteBuffer
 
 /** MinHash signature aggregate over hashed shingles: for each of
-  * `numPerms` seeded xxhash64 "permutations", keep the minimum hash
-  * seen — one tight JVM loop per input row instead of `numPerms`
-  * interpreted `array_min(transform(...))` HOF evaluations per
-  * document (the same compile-weight/interpretation argument as
+  * `numPerms` universal-hash "permutations"
+  * (`(a_p·(x mod M) + b_p) mod M`, PolyHash coefficients), keep the
+  * minimum seen — one tight JVM loop per input row instead of
+  * `numPerms` interpreted `array_min(transform(...))` HOF evaluations
+  * per document (the same compile-weight/interpretation argument as
   * SimHashAgg; signature build was the dominant term of the MinHash
-  * pipeline). Uses Spark's own XXH64 with the permutation index as
-  * the seed — deterministic across processes, as driver re-runs
-  * require.
+  * pipeline). Deterministic across processes AND engines — the same
+  * arithmetic replays in the DuckDB oracles.
   *
   * Superseded in the LSH pipeline by the scalar twin
   * [[MinHashSignature]] (identical signatures with no explode/shuffle);
@@ -41,10 +41,10 @@ case class MinHashAgg(
   override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
     val v = child.eval(input)
     if (v != null) {
-      val h = v.asInstanceOf[Long]
+      val x = v.asInstanceOf[Long] % PolyHash.M
       var i = 0
       while (i < numPerms) {
-        val p = XXH64.hashLong(h, i)
+        val p = (PolyHash.PermA(i) * x + PolyHash.PermB(i)) % PolyHash.M
         if (p < buf(i)) buf(i) = p
         i += 1
       }

@@ -19,7 +19,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * ASCII; for multi-byte UTF-8, DuckDB's ascii() sees code points
   * while this sees bytes — keep oracle inputs ASCII).
   */
-case class RollingHash(child: Expression) extends UnaryExpression {
+case class RollingHash(child: Expression, mult: Long = 31L)
+    extends UnaryExpression {
 
   override def dataType: DataType = LongType
   override def nullable: Boolean = child.nullable
@@ -31,7 +32,7 @@ case class RollingHash(child: Expression) extends UnaryExpression {
     var h = 0L
     var i = 0
     while (i < bytes.length) {
-      h = (h * 31L + (bytes(i) & 0xFFL)) % Mod
+      h = (h * mult + (bytes(i) & 0xFFL)) % Mod
       i += 1
     }
     java.lang.Long.valueOf(h)
@@ -47,17 +48,23 @@ case class RollingHash(child: Expression) extends UnaryExpression {
          |byte[] $bytes = $s.getBytes();
          |long $h = 0L;
          |for (int $i = 0; $i < $bytes.length; $i++) {
-         |  $h = ($h * 31L + ($bytes[$i] & 0xFFL)) % ${Mod}L;
+         |  $h = ($h * ${mult}L + ($bytes[$i] & 0xFFL)) % ${Mod}L;
          |}
          |${ev.value} = $h;
        """.stripMargin
     })
 
   override protected def withNewChildInternal(newChild: Expression)
-      : RollingHash = copy(newChild)
+      : RollingHash = copy(child = newChild)
 }
 
 object RollingHash {
   def rolling_hash(c: Column): Column =
     GraftShim.toColumn(RollingHash(GraftShim.toExpression(c)))
+
+  /** Secondary-multiplier variant — the other half of PolyHash's
+    * 60-bit packed token hash.
+    */
+  def rolling_hash(c: Column, mult: Long): Column =
+    GraftShim.toColumn(RollingHash(GraftShim.toExpression(c), mult))
 }

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftshim.GraftShim
@@ -9,16 +9,20 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Distinct hashed word-n-gram shingles of a text column, in ONE
-  * native per-row pass: lowercase → whitespace-split → xxhash64 per
-  * token → chained xxhash64 per n-gram → first-occurrence distinct.
+  * native per-row pass: lowercase → whitespace-split → 60-bit packed
+  * polynomial token hash → two-fold packed combine per n-gram →
+  * first-occurrence distinct. All arithmetic is [[PolyHash]] — the
+  * hashes replay in DuckDB SQL, which is what moves the MinHash
+  * queries from rows-only to hash-verified oracles (round 8; the
+  * previous xxhash64 basis needed 64-bit wraparound multiplies no
+  * SQL engine exposes).
   *
   * Replaces the declarative chain
-  * `array_distinct(transform(sequence(...), i => xxhash64(element_at×3)))`
-  * over `transform(split(lower(text)), xxhash64)` — four higher-order
+  * `array_distinct(transform(sequence(...), i => combine(element_at×3)))`
+  * over `transform(split(lower(text)), tokenHash)` — four higher-order
   * functions whose lambdas evaluate interpreted, which made the
   * shingle stage the dominant cost of every dedup query. Produces
-  * bit-identical hashes to that chain (same Spark XXH64, seed 42,
-  * same multi-arg chaining as the `xxhash64(a,b,c)` expression), so
+  * bit-identical hashes to that chain (same folds, same packing), so
   * swapping it in changes no query output — asserted by the parity
   * case in DedupSpec.
   */
@@ -54,11 +58,10 @@ object ShingleHashes {
   // same pattern string the declarative twin passes to split()
   private val Whitespace = UTF8String.fromString("\\s+")
 
-  /** One pass over the text: token hashes (xxhash64, seed 42 — the
-    * single-arg `xxhash64(tok)` value), then each n-gram combined by
-    * re-seeding xxhash64 with the running hash (the multi-arg
-    * `xxhash64(h1,h2,h3)` fold), deduplicated keeping first-occurrence
-    * order exactly like `array_distinct`.
+  /** One pass over the text: 60-bit packed token hashes
+    * ([[PolyHash.tokenHash64]]), each n-gram combined by the packed
+    * two-fold ([[PolyHash.shingleHash]]), deduplicated keeping
+    * first-occurrence order exactly like `array_distinct`.
     */
   def compute(s: UTF8String, n: Int): ArrayData = {
     val toks = s.toLowerCase.split(Whitespace, -1)
@@ -67,9 +70,7 @@ object ShingleHashes {
     val th = new Array[Long](m)
     var i = 0
     while (i < m) {
-      val t = toks(i)
-      th(i) = XXH64.hashUnsafeBytes(
-        t.getBaseObject, t.getBaseOffset, t.numBytes, 42L)
+      th(i) = PolyHash.tokenHash64(toks(i).getBytes)
       i += 1
     }
     val out = new Array[Long](m - n + 1)
@@ -77,9 +78,7 @@ object ShingleHashes {
     var k = 0
     i = 0
     while (i <= m - n) {
-      var h = 42L
-      var j = 0
-      while (j < n) { h = XXH64.hashLong(th(i + j), h); j += 1 }
+      val h = PolyHash.shingleHash(th, i, n)
       if (seen.add(h)) { out(k) = h; k += 1 }
       i += 1
     }
@@ -88,10 +87,11 @@ object ShingleHashes {
 }
 
 /** Row-local MinHash signature over a hashed-shingle array: for each
-  * of `numPerms` seeded xxhash64 "permutations", the minimum hash.
+  * of `numPerms` universal-hash "permutations"
+  * (`(a_p·(x mod M) + b_p) mod M`, [[PolyHash.perm]]), the minimum.
   *
-  * The scalar twin of MinHashAgg (same XXH64, permutation index as
-  * seed — identical signatures). The aggregate formulation needs the
+  * The scalar twin of MinHashAgg (same coefficients — identical
+  * signatures). The aggregate formulation needs the
   * shingles EXPLODED and shuffled to a groupBy — at 100 TB that is a
   * shuffle of every shingle of every document. This computes the
   * signature where the document already is: no explode, no shuffle,
@@ -132,10 +132,10 @@ object MinHashSignature {
     val n = arr.numElements()
     var i = 0
     while (i < n) {
-      val h = arr.getLong(i)
+      val x = arr.getLong(i) % PolyHash.M
       var p = 0
       while (p < numPerms) {
-        val v = XXH64.hashLong(h, p)
+        val v = (PolyHash.PermA(p) * x + PolyHash.PermB(p)) % PolyHash.M
         if (v < sig(p)) sig(p) = v
         p += 1
       }

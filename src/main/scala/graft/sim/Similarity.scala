@@ -290,10 +290,21 @@ object Similarity {
           struct(col("c_sim"), -col("cell"))).as("best"))
         .select(col("best.cell").as("cell"),
           col("best.embedding").as("embedding"))
+      // quantized-grid means (the centroidsQuantized convention,
+      // round 8): floor(v·10⁶) longs summed ORDER-FREE, floor-divided
+      // by the cell count, mapped back to the 1e-6 grid. <1e-6 per
+      // dimension from the float mean — irrelevant for Lloyd
+      // geometry — but bit-reproducible on any engine, which is what
+      // lets the DuckDB oracle unroll the fixed-iteration training
+      // (ann_ivf_kmeans) instead of recording it rows-only.
       cents = assigned
         .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .withColumn("q",
+          floor(col("v").cast("double") * 1000000.0).cast("long"))
         .groupBy(col("cell"), col("pos"))
-        .agg(avg(col("v")).as("mean_v"))
+        .agg(sum(col("q")).as("sq"), count(lit(1)).as("cnt"))
+        .withColumn("mean_v",
+          floor(col("sq").cast("double") / col("cnt")) / 1000000.0)
         .groupBy(col("cell"))
         .agg(transform(
           array_sort(collect_list(struct(col("pos"), col("mean_v")))),
@@ -767,16 +778,87 @@ object Similarity {
        SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id, cosine
        FROM ranked WHERE rank <= 10 ORDER BY q_id, rank"""
 
-  /** Brute force, label-IVF, and (round 8) the LSH family are exactly
-    * SQL-expressible: list_reduce replays the same left-fold double
-    * summation (see Dedup oracle note), IVF's centroids ride the
-    * quantized-integer grid, and the LSH hyperplanes are a pure
-    * integer function of (plane, dim) both engines evaluate
-    * bit-identically ([[mix32]]). The remaining TRAINED variants
-    * (k-means IVF, PQ) depend on float-iterated codebooks: rows-only
-    * check plus recall assertions in SimilaritySpec.
+  /** Brute force, label-IVF, and (round 8) the LSH family and the
+    * k-means IVF are exactly SQL-expressible: list_reduce replays the
+    * same left-fold double summation (see Dedup oracle note), IVF and
+    * Lloyd means ride the quantized-integer grid, and the LSH
+    * hyperplanes are a pure integer function of (plane, dim) both
+    * engines evaluate bit-identically ([[mix32]]). The remaining
+    * trained variants (PQ's per-subspace codebooks, SemDeDup's
+    * tol-early-stopped Lloyd loop) have data-dependent iteration
+    * shapes a static SQL can't unroll: rows-only check plus recall
+    * assertions in SimilaritySpec / DedupSpec.
     */
   def oracles: Map[String, String] = Map(
+    "ann_ivf_kmeans" -> {
+      // one Lloyd round: nearest-centroid assignment (row_number
+      // argmax — same (c_sim DESC, cell ASC) order the max_by struct
+      // tie-break induces) + the quantized-grid mean reduce
+      def assign(prev: String, out: String): String =
+        s"""$out AS (
+             SELECT vec_id, cell, embedding FROM (
+               SELECT s.vec_id, s.cell, s.embedding,
+                 row_number() OVER (PARTITION BY s.vec_id
+                   ORDER BY s.c_sim DESC, s.cell) AS rn
+               FROM (
+                 SELECT e.vec_id, c.cell, e.embedding,
+                   ${cosSql("e.embedding", "c.centroid")} AS c_sim
+                 FROM embeddings e CROSS JOIN $prev c) s) r
+             WHERE rn = 1)"""
+      def means(asgn: String, out: String): String =
+        s"""$out AS (
+             SELECT cell, list(m ORDER BY pos) AS centroid FROM (
+               SELECT cell, pos,
+                 floor(CAST(CAST(sum(q) AS BIGINT) AS DOUBLE) / count(*))
+                   / 1000000.0 AS m
+               FROM (
+                 SELECT a.cell,
+                   unnest(list_transform(a.embedding,
+                     v -> CAST(floor(CAST(v AS DOUBLE) * 1000000.0)
+                       AS BIGINT))) AS q,
+                   unnest(range(1, len(a.embedding) + 1)) AS pos
+                 FROM $asgn a) qq
+               GROUP BY cell, pos) mm
+             GROUP BY cell)"""
+      s"""WITH nn AS (SELECT count(*) AS n FROM embeddings),
+         c0 AS (SELECT vec_id AS cell,
+                  list_transform(embedding, v -> CAST(v AS DOUBLE))
+                    AS centroid
+                FROM embeddings, nn
+                WHERE vec_id % greatest(n // 16, 1) = 0
+                ORDER BY vec_id LIMIT 16),
+         ${assign("c0", "a1")},
+         ${means("a1", "c1")},
+         ${assign("c1", "a2")},
+         ${means("a2", "c2")},
+         ${assign("c2", "cells")},
+         qv AS (SELECT vec_id AS q_id, embedding AS q_emb
+                FROM cells WHERE vec_id % 100 = 0),
+         probe AS (
+           SELECT q_id, cell FROM (
+             SELECT p.q_id, p.cell,
+               row_number() OVER (PARTITION BY p.q_id
+                 ORDER BY p.c_sim DESC, p.cell) AS r
+             FROM (
+               SELECT qv.q_id, c.cell,
+                 ${cosSql("qv.q_emb", "c.centroid")} AS c_sim
+               FROM qv CROSS JOIN c2 c) p) pr
+           WHERE r <= 4),
+         cand AS (
+           SELECT p.q_id, s.vec_id,
+             ${cosSql("qv.q_emb", "s.embedding")} AS cosine
+           FROM probe p
+           JOIN cells s ON s.cell = p.cell
+           JOIN qv ON qv.q_id = p.q_id
+           WHERE s.vec_id <> p.q_id),
+         ranked AS (
+           SELECT q_id, vec_id, cosine,
+             row_number() OVER (PARTITION BY q_id
+               ORDER BY cosine DESC, vec_id) AS rank
+           FROM cand)
+         SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id, cosine
+         FROM ranked WHERE rank <= 10 ORDER BY q_id, rank"""
+    },
     "ann_lsh" ->
       s"""WITH ${lshSigCtes("SELECT 8 AS np")},
          $lshSearchTail""",
