@@ -262,6 +262,150 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  // ------------------------------------ sorted-neighborhood blocking
+  /** Sorted-neighborhood near-dup detection (Hernández & Stolfo 1995,
+    * the merge/purge method): sort the corpus on a normalized sort
+    * key — the first 24 chars of whitespace-collapsed lowercased
+    * text — slide a fixed window over the sorted order, and verify
+    * only pairs within `window` positions of each other. This is the
+    * blocking tier the (lang, length-bucket) blocks can miss: an edit
+    * that moves a doc across a length-bucket boundary hides it from
+    * ngramJaccard's blocks, but prefix-similar docs still sort
+    * adjacent here.
+    *
+    * Scale shape: the global rank is ops.PrefixSum's two-pass
+    * distributed scan (range shuffle + per-partition offsets — never
+    * a single-task window); pair generation explodes each row into
+    * its next `window-1` rank slots and equi-joins back on rank, so
+    * the candidate count is exactly |corpus|·(window−1) — LINEAR in
+    * the corpus no matter how skewed the key distribution is (the
+    * property block-based methods lose when a block goes hot). The
+    * trade, documented since the original paper: recall depends on
+    * the sort key, so production runs multi-pass with rotated keys;
+    * this single-pass form is one such pass.
+    */
+  def sortedNeighborhood(s: SparkSession, d: String, window: Int = 5,
+      threshold: Double = 0.05): DataFrame =
+    sortedNeighborhoodOver(Tables.spread(Tables.load(s, d, "documents")),
+      window, threshold)
+
+  /** Same pipeline over any documents-shaped frame — spec fixtures. */
+  def sortedNeighborhoodOver(docs0: DataFrame, window: Int = 5,
+      threshold: Double = 0.05): DataFrame = {
+    val sh = shingleBlocks(docs0).select(col("doc_id"), col("shh"))
+    val keyed = docs0
+      .select(col("doc_id"),
+        substring(regexp_replace(lower(col("text")), "\\s+", " "), 1, 24)
+          .as("snkey"))
+    // rank + shingles ride one persisted frame: both the probe side
+    // and the build side of the rank equi-join read it, and PrefixSum
+    // already persisted the range-sorted input underneath
+    val ranked = graft.ops.PrefixSum
+      .runningTotal(keyed, Seq(col("snkey"), col("doc_id")), lit(1L), "rn")
+      .join(sh, Seq("doc_id"))
+      .select(col("rn"), col("doc_id"), col("shh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val probes = ranked
+      .select(explode(sequence(col("rn") + 1, col("rn") + (window - 1)))
+          .as("rn_b"),
+        col("doc_id").as("id_a"), col("shh").as("sh_a"))
+    probes
+      .join(ranked.select(col("rn").as("rn_b"), col("doc_id").as("id_b"),
+        col("shh").as("sh_b")), Seq("rn_b"))
+      // empty-shingle docs occupy window slots (they push neighbors
+      // apart — part of SNM's semantics) but cannot near-dup; filter
+      // at verification, where jaccard would 0/0-throw under ANSI
+      .filter(size(col("sh_a")) > 0 && size(col("sh_b")) > 0)
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(least(col("id_a"), col("id_b")).as("doc_a"),
+        greatest(col("id_a"), col("id_b")).as("doc_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  // --------------------------------------------- TF-IDF cosine pairs
+  /** Weighted lexical near-dup by TF-IDF cosine over word-3-gram
+    * terms — the bag-of-shingles tier between token-set Jaccard
+    * (which ignores term counts and rarity) and embedding cosine
+    * (which needs a model). Rare shared shingles count for more than
+    * common ones, so boilerplate overlap scores lower than genuinely
+    * shared content at the same intersection size.
+    *
+    * Engine-exact by integer quantization (the emb_* discipline):
+    * idf_q = least(floor(N·10/df), 100000) — an integer-ratio idf,
+    * monotone in the textbook ln(N/df) and chosen over it so both
+    * engines evaluate the identical grid (the floor rides a ≤2^53-
+    * exact double quotient, the q62 lesson); w_q = min(tf,255)·idf_q.
+    * Dots and norms are then order-free exact long sums; cosine
+    * touches doubles exactly three times (two correctly-rounded
+    * sqrts, one divide) — hash-identical across engines. The idf cap
+    * also bounds w_q so norm sums stay inside a long at any corpus
+    * size (≾6.5e18 worst-case; ANSI sum would throw, not wrap, if a
+    * pathological doc ever crossed it).
+    *
+    * Scale shape: document-at-a-time posting self-join. Terms with
+    * df > maxDf are dropped from the VOCABULARY (classic df pruning —
+    * weights and norms change identically on both engines), which
+    * simultaneously caps each posting list's join fan-out at maxDf² —
+    * the same occurrence-capping discipline as substringPairs /
+    * containmentPairs: a stopword-tier shingle never generates pairs.
+    */
+  def tfidfCosinePairs(s: SparkSession, d: String, maxDf: Long = 50,
+      threshold: Double = 0.2): DataFrame =
+    tfidfCosinePairsOver(Tables.spread(Tables.load(s, d, "documents")),
+      maxDf, threshold)
+
+  /** Same pipeline over any documents-shaped frame — spec fixtures. */
+  def tfidfCosinePairsOver(docs: DataFrame, maxDf: Long = 50,
+      threshold: Double = 0.2): DataFrame = {
+    // raw-string 3-gram terms WITH multiplicity (tf needs the
+    // multiset — shingleBlocks' distinct hashed sets don't fit);
+    // <3-token docs have no terms and drop out on both engines
+    val t = tokens(col("text"))
+    val posting = docs
+      .filter(size(t) >= 3)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(t) - 2),
+          i => concat_ws(" ", element_at(t, i), element_at(t, i + 1),
+            element_at(t, i + 2)))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val nDocs = docs.select(count(lit(1)).as("n_docs"))
+    val vocab = posting.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+      .crossJoin(broadcast(nDocs))
+      .select(col("term"),
+        least(floor(col("n_docs") * lit(10L) / col("df")),
+          lit(100000L)).as("idfq"))
+    // both the norm pass and the two self-join sides read the
+    // weighted postings — persist so tokenize+shingle+join runs once
+    val weighted = posting.join(vocab, Seq("term"))
+      .select(col("doc_id"), col("term"),
+        (least(col("tf"), lit(255L)) * col("idfq")).as("wq"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val norms = weighted.groupBy(col("doc_id"))
+      .agg(sum(col("wq") * col("wq")).as("norm2"))
+    val dots = weighted
+      .select(col("term"), col("doc_id").as("doc_a"), col("wq").as("wa"))
+      .join(weighted.select(col("term"), col("doc_id").as("doc_b"),
+        col("wq").as("wb")), Seq("term"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(sum(col("wa") * col("wb")).as("dot"))
+    val cosine = col("dot").cast("double") /
+      (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double")))
+    dots
+      .join(norms.select(col("doc_id").as("doc_a"), col("norm2").as("na")),
+        Seq("doc_a"))
+      .join(norms.select(col("doc_id").as("doc_b"), col("norm2").as("nb")),
+        Seq("doc_b"))
+      .withColumn("cosine", cosine)
+      .filter(col("cosine") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("cosine"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** Unsorted near-dup pairs — the composable form. */
   def ngramJaccardPairs(docs0: DataFrame, threshold: Double): DataFrame = {
     // <3-token docs have empty shingle sets; a pair of them would make
@@ -990,7 +1134,9 @@ object Dedup {
     "dedup_semantic" -> ((s, d) => semanticDedup(s, d)),
     "dedup_incremental" -> ((s, d) => incrementalExact(s, d)),
     "dedup_minhash_incremental" -> ((s, d) => minhashIncremental(s, d)),
-    "dedup_fuzzy_edit" -> ((s, d) => fuzzyEditPairs(s, d)))
+    "dedup_fuzzy_edit" -> ((s, d) => fuzzyEditPairs(s, d)),
+    "dedup_sorted_neighborhood" -> ((s, d) => sortedNeighborhood(s, d)),
+    "dedup_tfidf_cosine" -> ((s, d) => tfidfCosinePairs(s, d)))
 
   /** DuckDB twins. minhash/simhash are seeded-hash pipelines — not
     * SQL-expressible — and get the rows-only check.
@@ -1309,5 +1455,82 @@ object Dedup {
          FROM docs a JOIN docs b ON a.block = b.block
            AND a.doc_id < b.doc_id
          WHERE levenshtein(a.prefix, b.prefix) <= 10
+         ORDER BY doc_a, doc_b""",
+    // row_number twin of the PrefixSum rank (the global_index
+    // equivalence); raw-string shingle Jaccard like dedup_clusters
+    "dedup_sorted_neighborhood" ->
+      """WITH keyed AS (
+           SELECT doc_id,
+             substring(regexp_replace(lower(text), '\s+', ' ', 'g'),
+               1, 24) AS snkey
+           FROM documents),
+         ranked AS (
+           SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY snkey, doc_id) AS BIGINT)
+               AS rn
+           FROM keyed),
+         sh AS (
+           SELECT doc_id, list_distinct(list_transform(
+             range(1, greatest(len(string_split_regex(lower(text), '\s+')) - 2, 0) + 1),
+             i -> string_split_regex(lower(text), '\s+')[i] || ' ' ||
+                  string_split_regex(lower(text), '\s+')[i+1] || ' ' ||
+                  string_split_regex(lower(text), '\s+')[i+2])) AS sh
+           FROM documents),
+         pairs AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM ranked a JOIN ranked b
+             ON b.rn > a.rn AND b.rn <= a.rn + 4),
+         ver AS (
+           SELECT least(id_a, id_b) AS doc_a,
+             greatest(id_a, id_b) AS doc_b,
+             CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+             CAST(len(sa.sh) + len(sb.sh) -
+                  len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) AS jaccard
+           FROM pairs
+           JOIN sh sa ON sa.doc_id = id_a
+           JOIN sh sb ON sb.doc_id = id_b
+           WHERE len(sa.sh) > 0 AND len(sb.sh) > 0)
+         SELECT doc_a, doc_b, jaccard FROM ver WHERE jaccard >= 0.05
+         ORDER BY doc_a, doc_b""",
+    // integer-quantized weights make the dot/norm sums order-free
+    // exact on both engines; DuckDB's HUGEINT sum and Spark's long
+    // sum cast to the identical double
+    "dedup_tfidf_cosine" ->
+      """WITH tok AS (
+           SELECT doc_id, string_split_regex(lower(text), '\s+') AS t
+           FROM documents),
+         posting AS (
+           SELECT doc_id, term, count(*) AS tf FROM (
+             SELECT doc_id, unnest(list_transform(
+               range(1, greatest(len(t) - 2, 0) + 1),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS term
+             FROM tok) GROUP BY 1, 2),
+         nd AS (SELECT count(*) AS n_docs FROM documents),
+         vocab AS (
+           SELECT term,
+             least(CAST(floor(n_docs * 10 / df) AS BIGINT), 100000)
+               AS idfq
+           FROM (SELECT term, count(*) AS df FROM posting GROUP BY 1), nd
+           WHERE df <= 50),
+         weighted AS (
+           SELECT p.doc_id, p.term, least(p.tf, 255) * v.idfq AS wq
+           FROM posting p JOIN vocab v USING (term)),
+         norms AS (
+           SELECT doc_id, sum(wq * wq) AS norm2 FROM weighted GROUP BY 1),
+         dots AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             sum(a.wq * b.wq) AS dot
+           FROM weighted a JOIN weighted b USING (term)
+           WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+         SELECT doc_a, doc_b,
+           CAST(dot AS DOUBLE) /
+             (sqrt(CAST(na.norm2 AS DOUBLE)) *
+              sqrt(CAST(nb.norm2 AS DOUBLE))) AS cosine
+         FROM dots
+         JOIN norms na ON na.doc_id = doc_a
+         JOIN norms nb ON nb.doc_id = doc_b
+         WHERE CAST(dot AS DOUBLE) /
+             (sqrt(CAST(na.norm2 AS DOUBLE)) *
+              sqrt(CAST(nb.norm2 AS DOUBLE))) >= 0.2
          ORDER BY doc_a, doc_b""")
 }

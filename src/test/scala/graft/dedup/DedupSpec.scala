@@ -335,6 +335,47 @@ class DedupSpec extends SparkSpec {
     assert(again == found, "semantic dedup must be run-deterministic")
   }
 
+  test("sorted neighborhood: prefix-identical near-dups pair, " +
+    "unrelated neighbors verify away") {
+    // all five docs sort into one 5-wide window (24-char keys:
+    // base/nearDup/copy share "tok1 tok2 ...", u*/v* differ), so every
+    // pair is a candidate — verification must keep exactly the
+    // planted near-dup triangle
+    val pairs = Dedup.sortedNeighborhoodOver(docs, window = 5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    spark.catalog.clearCache()
+    assert(pairs == Set((0L, 1L), (0L, 2L), (1L, 2L)),
+      s"expected the planted triangle only: $pairs")
+  }
+
+  test("sorted neighborhood: window bounds candidates — adjacent ranks " +
+    "only at window 2") {
+    // window=2 pairs each doc with its immediate successor only; the
+    // sort key is the 24-char normalized prefix, so the exact copy
+    // (doc 2) ranks adjacent to doc 0 (tie broken by doc_id: 0,1,2 all
+    // share one key — ranks are doc_id order). Adjacent near-dup pairs
+    // (0,1) and (1,2) survive; (0,2) is 2 apart and must NOT appear.
+    val pairs = Dedup.sortedNeighborhoodOver(docs, window = 2)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    spark.catalog.clearCache()
+    assert(pairs == Set((0L, 1L), (1L, 2L)),
+      s"window 2 must pair adjacent ranks only: $pairs")
+  }
+
+  test("tfidf cosine: exact copy at 1.0, near-dup high, unrelated absent") {
+    val out = Dedup.tfidfCosinePairsOver(docs)
+      .select("doc_a", "doc_b", "cosine")
+      .as[(Long, Long, Double)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    spark.catalog.clearCache()
+    // identical 3-gram multisets => proportional weight vectors
+    assert(out((0L, 2L)) == 1.0, s"exact copy must score 1.0: $out")
+    assert(out((0L, 1L)) > 0.5, s"near-dup should score high: $out")
+    // u*/v* docs share no 3-gram with anything => never candidates
+    assert(!out.keySet.exists(p => p._1 >= 3L || p._2 >= 3L),
+      s"unrelated docs must not pair: $out")
+  }
+
   test("embedding cosine: identical vectors similarity 1.0") {
     val e = Seq(
       (0L, Array(1.0f, 2.0f, 3.0f)),
