@@ -81,24 +81,7 @@ object Graph {
     // exploded to per-node counts.
     "q72_triangle_count" -> ((s, d) => {
       import s.implicits._
-      // per-order pair expansion via one groupBy + HOF comprehension:
-      // the naive li⋈li self-join shuffles the token stream twice and
-      // hash-probes every pair into existence; collect_set + the
-      // nested transform generates the same a<b pairs inside a single
-      // codegen stage off ONE narrow shuffle of (order, part) longs.
-      // Order width is bounded (TPC-H ≤7 items), so the per-group
-      // array and its k(k-1)/2 expansion are constant-sized.
-      val li = Tables.load(s, d, "lineitem")
-        .select($"l_orderkey".as("ok"), $"l_partkey".as("pk"))
-      val e = li.groupBy($"ok")
-        .agg(sort_array(collect_set($"pk")).as("ps"))
-        .select(explode(expr(
-          """flatten(transform(ps, (x, i) ->
-             transform(slice(ps, i + 2, size(ps)),
-               y -> struct(x AS a, y AS b))))""")).as("e"))
-        .select($"e.a".as("a"), $"e.b".as("b"))
-        .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
+      val e = coOccurrenceEdges(s, d)
       // the degree table is node-sized (≪ edges) → broadcast, and the
       // adjacency table is edge-sized in aggregate (ΣA = E, ~20 MB at
       // sf0.1) → broadcast while it fits. Past the broadcast
@@ -146,7 +129,114 @@ object Graph {
         .limit(100)
     }),
 
+    // k-core decomposition (k = 80) of the part co-occurrence graph —
+    // the density tier above triangle counting: the maximal subgraph
+    // where every node keeps ≥ k neighbors INSIDE the subgraph, the
+    // standard "dense interaction core vs loosely attached periphery"
+    // cut (Seidman 1983). Iterative peeling: drop nodes under k,
+    // recount, repeat — each removal can cascade (measured: 6 rounds
+    // to fixpoint at both sf0.01 and sf0.1; k=80 sits inside the
+    // degree distribution, so the peel genuinely cascades rather than
+    // terminating trivially).
+    //
+    // Determinism contract with the oracle: Spark peels to FIXPOINT
+    // (driver checks the survivor count each round — one scalar, like
+    // pagerankFull's node count); the oracle unrolls 10 rounds, and
+    // since peeling is monotone (alive sets only shrink) any unroll
+    // depth ≥ the fixpoint round replays the fixpoint exactly — extra
+    // rounds are no-ops. If the data ever changed enough to push the
+    // fixpoint past 10 rounds, the driver's hash compare itself goes
+    // red — the gate is the margin check. GraphSpec independently
+    // brute-forces the peel (k=65 at sf0.001, where the cascade is
+    // nontrivial) and compares exactly.
+    //
+    // 100 TB shape: the edge list is built once, persisted, and never
+    // re-shuffled; `alive` is node-sized (≪ edges) and travels as a
+    // broadcast semi-join to both endpoints; a round's only exchange
+    // is the groupBy(src) count — (long, long) partials, map-side
+    // combined. Rounds are job-count-bound like pagerank's — the
+    // per-round cost is one broadcast + one narrow shuffle, and the
+    // round count is a graph property (the peel depth), not a data
+    // size: it was 6 at both test scales.
+    "q75_kcore" -> ((s, d) => kcoreAt(s, d, 80)),
+
   )
+
+  /** The k-core peel at a caller-chosen k — the registered query is
+    * k=80 (cascades at sf0.01/sf0.1); GraphSpec brute-force-compares
+    * k=65 on sf0.001, where 80 peels the whole graph away.
+    */
+  def kcoreAt(s: org.apache.spark.sql.SparkSession, d: String, k: Int)
+      : DataFrame = {
+    {
+      import s.implicits._
+      val e = coOccurrenceEdges(s, d)
+      // symmetric directed view: degree of n = out-edges of n
+      val ed = e.select(explode(array(
+          struct($"a".as("src"), $"b".as("dst")),
+          struct($"b".as("src"), $"a".as("dst")))).as("e"))
+        .select($"e.src".as("src"), $"e.dst".as("dst"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      var alive = ed.select($"src".as("node")).distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      var n = alive.count()
+      var deg: DataFrame = null
+      var prev: Option[DataFrame] = None
+      var stable = false
+      var rounds = 0
+      while (!stable && rounds < 30) {
+        val dn = ed
+          .join(broadcast(alive), $"src" === $"node").drop("node")
+          .join(broadcast(alive.withColumnRenamed("node", "nd")),
+            $"dst" === $"nd").drop("nd")
+          .groupBy($"src").agg(count(lit(1)).as("core_deg"))
+          .filter($"core_deg" >= k)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val m = dn.count() // driver scalar; materializes dn so its
+        // input (last round's cached frame) can be released NOW —
+        // pagerankFull's round discipline
+        prev.foreach(_.unpersist(false))
+        if (rounds == 0) alive.unpersist(false)
+        prev = Some(dn)
+        deg = dn
+        if (m == n) stable = true
+        else { alive = dn.select($"src".as("node")); n = m }
+        rounds += 1
+      }
+      // at fixpoint `deg` IS the answer: survivors with their
+      // within-core degrees (all ≥ k by the filter)
+      deg.select($"src".as("p_partkey"), $"core_deg")
+        .orderBy($"p_partkey")
+    }
+  }
+
+  /** Distinct undirected co-occurrence edges (a < b) of the part
+    * graph — two parts are adjacent when they ship in the same order.
+    * Shared by q72 (triangles) and q75 (k-core).
+    *
+    * Per-order pair expansion via one groupBy + HOF comprehension:
+    * the naive li⋈li self-join shuffles the token stream twice and
+    * hash-probes every pair into existence; collect_set + the nested
+    * transform generates the same a<b pairs inside a single codegen
+    * stage off ONE narrow shuffle of (order, part) longs. Order width
+    * is bounded (TPC-H ≤7 items), so the per-group array and its
+    * k(k-1)/2 expansion are constant-sized.
+    */
+  private def coOccurrenceEdges(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame = {
+    import s.implicits._
+    Tables.load(s, d, "lineitem")
+      .select($"l_orderkey".as("ok"), $"l_partkey".as("pk"))
+      .groupBy($"ok")
+      .agg(sort_array(collect_set($"pk")).as("ps"))
+      .select(explode(expr(
+        """flatten(transform(ps, (x, i) ->
+           transform(slice(ps, i + 2, size(ps)),
+             y -> struct(x AS a, y AS b))))""")).as("e"))
+      .select($"e.a".as("a"), $"e.b".as("b"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+  }
 
   /** Full 5-round rank table (long node ids, scaled-long ranks) —
     * the registered query is its top-100 display cut; GraphSpec sums
@@ -210,6 +300,44 @@ object Graph {
   }
 
   def oracles: Map[String, String] = Map(
+
+    // 10 unrolled peel rounds ≥ the 6-round fixpoint at both test
+    // scales (GraphSpec pins the margin); extra rounds are no-ops
+    // because the alive set is already stable. Every CTE is
+    // MATERIALIZED: DuckDB inlines CTEs by default, and each round
+    // references its predecessor TWICE (the two IN subqueries), so
+    // inlining makes the 10-round chain expand 2^10 copies of the
+    // whole edge build — the un-hinted form ran >12 min at sf0.01;
+    // materialized it's sub-second.
+    "q75_kcore" -> {
+      def peel(prev: String, cur: String): String =
+        s"""$cur AS MATERIALIZED (
+           SELECT src AS node FROM ed
+           WHERE src IN (SELECT node FROM $prev)
+             AND dst IN (SELECT node FROM $prev)
+           GROUP BY 1 HAVING count(*) >= 80)"""
+      s"""WITH li AS MATERIALIZED (
+           SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+           FROM lineitem),
+         e AS MATERIALIZED (
+           SELECT DISTINCT x.pk AS a, y.pk AS b
+           FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk),
+         ed AS MATERIALIZED (
+           SELECT a AS src, b AS dst FROM e
+           UNION ALL SELECT b, a FROM e),
+         a0 AS MATERIALIZED (SELECT DISTINCT src AS node FROM ed),
+         ${peel("a0", "a1")}, ${peel("a1", "a2")},
+         ${peel("a2", "a3")}, ${peel("a3", "a4")},
+         ${peel("a4", "a5")}, ${peel("a5", "a6")},
+         ${peel("a6", "a7")}, ${peel("a7", "a8")},
+         ${peel("a8", "a9")}, ${peel("a9", "a10")}
+         SELECT src AS p_partkey, CAST(count(*) AS BIGINT) AS core_deg
+         FROM ed
+         WHERE src IN (SELECT node FROM a10)
+           AND dst IN (SELECT node FROM a10)
+         GROUP BY 1
+         ORDER BY p_partkey"""
+    },
 
     "q72_triangle_count" ->
       """WITH li AS (

@@ -42,6 +42,39 @@ class GraphSpec extends SparkSpec {
       s"mass $total fell past the truncation bound below $scale")
   }
 
+  test("k-core matches an independent brute-force peel") {
+    // k=65: at sf0.001 the peel is nontrivial (probe: 4 rounds, 188
+    // of 200 nodes survive) — the registered k=80 peels this small
+    // graph to empty, which would vacuously pass
+    val got = Graph.kcoreAt(spark, sf, 65)
+      .as[(Long, Long)].collect().toSeq
+    spark.catalog.clearCache()
+    assert(got.nonEmpty, "k=65 core should be nonempty at sf0.001")
+    // driver-local reference peel — set arithmetic, not the
+    // broadcast-join algorithm under test
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select($"l_orderkey".cast("long"), $"l_partkey".cast("long"))
+      .distinct().as[(Long, Long)].collect()
+    val edges = li.groupBy(_._1).values.flatMap { items =>
+      val ps = items.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length)
+        yield (ps(i), ps(j))
+    }.toSet
+    var adj = edges.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (n, v) => n -> v.map(_._2).toSet }
+    var changed = true
+    while (changed) {
+      val drop = adj.collect { case (n, nb) if nb.size < 65 => n }.toSet
+      changed = drop.nonEmpty
+      adj = (adj -- drop).map { case (n, nb) => n -> (nb -- drop) }
+    }
+    val expected = adj.toSeq.map { case (n, nb) => (n, nb.size.toLong) }
+      .sortBy(_._1)
+    assert(got == expected,
+      s"k-core diverges from the reference peel: got ${got.size}, " +
+        s"expected ${expected.size}")
+  }
+
   test("triangle counts match an independent brute-force count") {
     val top = graft.SparkEntry.queries("q72_triangle_count")(spark, sf)
       .as[(Long, Long)].collect()
