@@ -18,8 +18,29 @@ object Tables {
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     if (name == "events") loadEvents(spark, sfDir)
-    else spark.read.parquet(s"$sfDir/$name.parquet")
+    else ntzToUtc(spark.read.parquet(s"$sfDir/$name.parquet"))
   }
+
+  /** Normalize TIMESTAMP_NTZ columns to session-zone TIMESTAMP.
+    *
+    * The driver's generator writes parquet `timestamp[us]` WITHOUT a
+    * timezone annotation (isAdjustedToUTC=false), which Spark 4 infers
+    * as TIMESTAMP_NTZ (`spark.sql.parquet.inferTimestampNTZ.enabled`
+    * defaults true) — but functions on the query surface (unix_micros,
+    * casts to long, INTERVAL arithmetic twins of the DuckDB oracles)
+    * take TIMESTAMP. Every graft session pins
+    * `spark.sql.session.timeZone=UTC`, so this cast is a pure type
+    * relabel — the underlying micros are unchanged, exactly the value
+    * DuckDB's naive-timestamp read of the same file produces. Done in
+    * the loader (not per-query, not per-session conf) so fixtures and
+    * driver parquet behave identically everywhere.
+    */
+  private def ntzToUtc(df: DataFrame): DataFrame =
+    df.schema.fields.foldLeft(df) { (d, f) =>
+      if (f.dataType == org.apache.spark.sql.types.TimestampNTZType)
+        d.withColumn(f.name, col(f.name).cast("timestamp"))
+      else d
+    }
 
   /** Spread a frame across the session's parallelism ONLY when its
     * plan yields fewer partitions. Locally a small table is one parquet
@@ -65,6 +86,6 @@ object Tables {
     val raw = spark.read.parquet(s"$sfDir/events.parquet")
     if (raw.schema("ts").dataType == LongType)
       raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    else ntzToUtc(raw)
   }
 }
