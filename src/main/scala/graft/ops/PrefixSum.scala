@@ -81,4 +81,54 @@ object PrefixSum {
     spark.createDataFrame(resultRdd, outSchema)
       .drop("__psv")
   }
+
+  /** Append `outCol` = maximum of `value` over all STRICTLY EARLIER
+    * rows under `order` (exclusive prefix max; Long.MinValue when no
+    * earlier row exists). Same two-pass scan as `runningTotal` with
+    * max as the combine — max is associative, so per-partition maxima
+    * exclusive-scanned on the driver give each partition's carry-in,
+    * and the local pass emits the carry BEFORE folding its own row
+    * (that one-line ordering is what makes the prefix exclusive; an
+    * inclusive max is useless for dominance tests, where a row must
+    * not compare against itself). Driver state: one long per
+    * partition, constant at any scale. Exclusivity is with respect to
+    * ROW POSITION in the total order — callers whose predicate needs
+    * "strictly earlier in a partial order" (e.g. skyline dominance)
+    * must encode the strictness into the order columns themselves,
+    * the way Mining.q76 orders (price asc, size desc) over DISTINCT
+    * pairs. PrefixSumSpec proves equality with the single-task
+    * `max().over(rowsBetween(unboundedPreceding, -1))` window and
+    * invariance to the partition count.
+    */
+  def runningMaxExclusive(df: DataFrame, order: Seq[Column],
+      value: Column, outCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val n = spark.sessionState.conf.numShufflePartitions
+    val withV = df.withColumn("__psv", value.cast(LongType))
+    val sorted = withV.repartitionByRange(n, order: _*)
+      .sortWithinPartitions(order: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val vIdx = sorted.schema.fieldIndex("__psv")
+    val rowRdd = sorted.rdd
+    val totals = rowRdd
+      .mapPartitionsWithIndex { (pid, it) =>
+        var m = Long.MinValue
+        it.foreach(r => m = math.max(m, r.getLong(vIdx)))
+        Iterator((pid, m))
+      }.collect().sortBy(_._1).map(_._2)
+    val offsets = totals.scanLeft(Long.MinValue)(math.max)
+    val bc = spark.sparkContext.broadcast(offsets)
+    val outSchema = StructType(sorted.schema.fields)
+      .add(outCol, LongType, nullable = false)
+    val resultRdd = rowRdd.mapPartitionsWithIndex { (pid, it) =>
+      var acc = bc.value(pid)
+      it.map { r =>
+        val prev = acc
+        acc = math.max(acc, r.getLong(vIdx))
+        Row.fromSeq(r.toSeq :+ prev)
+      }
+    }
+    spark.createDataFrame(resultRdd, outSchema)
+      .drop("__psv")
+  }
 }

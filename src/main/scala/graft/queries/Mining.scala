@@ -1,0 +1,333 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.{Q, Tables}
+
+/** Exploratory data-mining operators (round 8): Pareto skyline,
+  * winsorization on exact order statistics, market-basket lift
+  * recommendations, and per-group Gini concentration.
+  *
+  * The reference (`/root/reference/`, a record-at-a-time log forwarder —
+  * SURVEY.md §2a) has no multi-record state; these are §2b/§2c
+  * extension rows from the analyst surface a curation pipeline leans
+  * on: "which candidate configurations are undominated", "clip the
+  * price tails before training a value model", "what co-occurs with
+  * what", "how concentrated is each stratum".
+  *
+  * The shared scale discipline: every one of these is classically
+  * written with a GLOBAL window (prefix max for dominance, global
+  * row_number for order statistics and ranks) — the one window shape
+  * that plans as a single task holding the whole sorted input. All
+  * four instead ride `graft.ops.PrefixSum`'s two-pass distributed
+  * scan (range shuffle → per-partition partials → driver exclusive
+  * scan of |partitions| longs → broadcast carry-ins), the same
+  * machinery as pipeline_budget_mix / q47_pareto, so the plans are
+  * partition-parallel at any scale. Per-group offsets fall out of the
+  * global scan as group-sized broadcasts (never a per-group window).
+  * All comparisons are exact integer cents; the only floats are
+  * final-display ratios of exact longs (single IEEE divide, round(4|6)
+  * — the established cross-engine float discipline).
+  */
+object Mining {
+
+  def queries: Map[String, Q] = Map(
+
+    // 2-D Pareto skyline: the undominated (price, size) frontier of
+    // the parts catalogue — part p is dominated when some q is no
+    // worse on both axes (cheaper-or-equal AND at-least-as-large) and
+    // strictly better on one. The naive formulation is the quadratic
+    // NOT EXISTS self-join (the oracle runs exactly that, which is
+    // what makes it an independent check); the scalable one is the
+    // classic sort-scan: over DISTINCT (price, size) pairs ordered by
+    // (price asc, size desc), the rows preceding p are EXACTLY p's
+    // potential strict dominators — strictly cheaper, or equal-priced
+    // with strictly larger size (distinctness turns the within-price
+    // size tie into strict order) — so p is on the frontier iff the
+    // EXCLUSIVE prefix max of size over that order stays below p's
+    // size. The prefix max rides PrefixSum.runningMaxExclusive (two-
+    // pass distributed scan, driver holds one long per partition) —
+    // no single-task window. The frontier is then a tiny table by
+    // construction (≤ one pair per distinct size; TPC-H sizes are
+    // 1..50), so rejoining part ids is a broadcast of the frontier
+    // back onto the dimension scan.
+    "q76_skyline" -> ((s, d) => {
+      import s.implicits._
+      val p = Tables.load(s, d, "part")
+        .select($"p_partkey",
+          round($"p_retailprice" * 100).cast("long").as("price_cents"),
+          $"p_size".cast("long").as("p_size"))
+      val pairs = p.select($"price_cents", $"p_size").distinct()
+      val frontier = graft.ops.PrefixSum.runningMaxExclusive(pairs,
+          Seq($"price_cents", negate($"p_size")), $"p_size", "pmax")
+        .filter($"pmax" < $"p_size")
+        .select($"price_cents", $"p_size")
+      p.join(broadcast(frontier), Seq("price_cents", "p_size"))
+        .select($"p_partkey", $"price_cents", $"p_size")
+        .orderBy($"p_partkey")
+    }),
+
+    // Winsorization: clamp each order's price into its priority
+    // class's exact discrete [p05, p95] — the outlier-clipping pass
+    // run before any moment-based stat (means, z-scores, q25-style
+    // variances) is trusted. Exact order statistics WITHOUT a global
+    // sort: the (priority, cents) VALUE-COUNT table (one map-side-
+    // combined shuffle, bounded by the value domain, not the row
+    // count) carries a distributed running count via
+    // PrefixSum.runningTotal over the global (prio, cents) order;
+    // per-priority cumulative counts fall out by subtracting each
+    // priority's start offset (a 5-row broadcast). The p-th discrete
+    // quantile (the value at 0-indexed rank floor(p·(n−1)) of the
+    // sorted multiset — a deterministic VALUE even when row_number
+    // ties are not) is then the least value whose cumulative count
+    // reaches that rank, a plain per-priority min-when aggregate.
+    // Thresholds (5 rows) broadcast back onto the fact scan; the
+    // report is one more map-side-combined aggregate of exact cents.
+    "q77_winsorize" -> ((s, d) => {
+      import s.implicits._
+      val o = Tables.load(s, d, "orders")
+        .select($"o_orderpriority".as("prio"),
+          round($"o_totalprice" * 100).cast("long").as("cents"))
+      val vc = o.groupBy($"prio", $"cents").agg(count(lit(1)).as("cnt"))
+      val cum = graft.ops.PrefixSum.runningTotal(vc,
+        Seq($"prio", $"cents"), $"cnt", "gcum")
+      val base = cum.groupBy($"prio")
+        .agg(min($"gcum" - $"cnt").as("pbase"), sum($"cnt").as("n"))
+      val thr = cum.join(broadcast(base), Seq("prio"))
+        .withColumn("cum_in", $"gcum" - $"pbase")
+        .withColumn("k_lo", floor(lit(0.05) * ($"n" - 1)) + 1)
+        .withColumn("k_hi", floor(lit(0.95) * ($"n" - 1)) + 1)
+        .groupBy($"prio")
+        .agg(min(when($"cum_in" >= $"k_lo", $"cents")).as("lo_cents"),
+          min(when($"cum_in" >= $"k_hi", $"cents")).as("hi_cents"))
+      o.join(broadcast(thr), Seq("prio"))
+        .groupBy($"prio")
+        .agg(count(lit(1)).as("n"),
+          sum(greatest($"lo_cents", least($"hi_cents", $"cents")))
+            .as("sum_clamped"),
+          sum(when($"cents" < $"lo_cents", 1L).otherwise(0L)).as("n_lo"),
+          sum(when($"cents" > $"hi_cents", 1L).otherwise(0L)).as("n_hi"),
+          min($"lo_cents").as("lo_cents"),
+          min($"hi_cents").as("hi_cents"))
+        .orderBy($"prio")
+    }),
+
+    // Market-basket lift: for every part, the top-5 co-purchased
+    // partners ranked by lift = P(a,b) / (P(a)·P(b)) — the
+    // association-mining score that separates "bought together
+    // because both are popular" from genuine affinity. Pair counts
+    // reuse the q72/q75 co-occurrence shape: ONE narrow shuffle of
+    // (order, part) longs, collect_set per order (order width is
+    // bounded — TPC-H ≤7 items), and the a<b pair comprehension
+    // inside a single codegen stage — never a lineitem self-join.
+    // Support pruning (n_ab ≥ 3) happens ON the pair aggregate,
+    // before any join. Per-part basket counts are a dimension-sized
+    // table → broadcast onto the pair list; the order total rides a
+    // 1-row broadcast cross join (the q31 scalar-bounds pattern).
+    // Lift ordering is a single IEEE divide of exact long products —
+    // bit-identical cross-engine — with the partner id as tie-break;
+    // top-5 per part is a WindowGroupLimit partial pick on the
+    // high-cardinality part key (rank pushes into the shuffle, never
+    // a full sort).
+    "q78_lift_recs" -> ((s, d) => {
+      import s.implicits._
+      val op = Tables.load(s, d, "lineitem")
+        .select($"l_orderkey".as("ok"), $"l_partkey".as("pk"))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nTot = op.agg(countDistinct($"ok").as("n_orders"))
+      val na = op.groupBy($"pk").agg(count(lit(1)).as("n_p"))
+      val pairs = op.groupBy($"ok")
+        .agg(sort_array(collect_set($"pk")).as("ps"))
+        .select(explode(expr(
+          """flatten(transform(ps, (x, i) ->
+             transform(slice(ps, i + 2, size(ps)),
+               y -> struct(x AS a, y AS b))))""")).as("e"))
+        .groupBy($"e.a".as("a"), $"e.b".as("b"))
+        .agg(count(lit(1)).as("n_ab"))
+        .filter($"n_ab" >= 3)
+      val sym = pairs.select(explode(array(
+          struct($"a".as("src"), $"b".as("rec"), $"n_ab"),
+          struct($"b".as("src"), $"a".as("rec"), $"n_ab"))).as("e"))
+        .select($"e.src", $"e.rec", $"e.n_ab")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"src")
+        .orderBy($"lift_raw".desc, $"rec")
+      sym
+        .join(broadcast(na.withColumnRenamed("pk", "src")
+          .withColumnRenamed("n_p", "n_src")), Seq("src"))
+        .join(broadcast(na.withColumnRenamed("pk", "rec")
+          .withColumnRenamed("n_p", "n_rec")), Seq("rec"))
+        .crossJoin(broadcast(nTot))
+        .withColumn("lift_raw",
+          ($"n_ab" * $"n_orders").cast("double") /
+            ($"n_src" * $"n_rec").cast("double"))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter($"rnk" <= 5)
+        .select($"src", $"rec", $"n_ab", round($"lift_raw", 4).as("lift"),
+          $"rnk")
+        .orderBy($"src", $"rnk")
+    }),
+
+    // Gini concentration: per nation, how unequal is the customer
+    // revenue distribution — the stratum-imbalance diagnostic that
+    // decides whether a source needs rebalancing before it dominates
+    // a mixture (the corpus twin of pipeline_sample_balance's
+    // question). Uses the rank formula
+    //   G = (2·Σ rank·x − (n+1)·Σx) / (n·Σx),   x asc within group,
+    // whose only nontrivial input is the within-nation rank — which
+    // rides PrefixSum.runningTotal(1) over the global
+    // (nation, revenue, custkey) order minus each nation's start
+    // offset (a 25-row broadcast), never a per-nation window. The
+    // rank·revenue products stay in exact longs (rank ≤ group size,
+    // cents ≤ 2^33 — the product is exact far past the test scales;
+    // past ~10^9-customer strata the Σ would need the q25 decimal-
+    // retry discipline) and the final ratio is IEEE double arithmetic
+    // over exact integer sums, identical operation order on both
+    // engines, round(6).
+    "q79_gini" -> ((s, d) => {
+      import s.implicits._
+      val rev = Tables.load(s, d, "orders")
+        .select($"o_custkey",
+          round($"o_totalprice" * 100).cast("long").as("cents"))
+        .groupBy($"o_custkey").agg(sum($"cents").as("x"))
+      val cust = Tables.load(s, d, "customer")
+        .select($"c_custkey", $"c_nationkey")
+      val nat = Tables.load(s, d, "nation")
+        .select($"n_nationkey", $"n_name")
+      val j = rev.join(cust, $"o_custkey" === $"c_custkey")
+        .join(broadcast(nat), $"c_nationkey" === $"n_nationkey")
+        .select($"n_name", $"o_custkey", $"x")
+      val ranked = graft.ops.PrefixSum.runningTotal(j,
+        Seq($"n_name", $"x", $"o_custkey"), lit(1L), "grank")
+      val nbase = ranked.groupBy($"n_name")
+        .agg(min($"grank" - 1).as("nbase"))
+      ranked.join(broadcast(nbase), Seq("n_name"))
+        .withColumn("rnk", $"grank" - $"nbase")
+        .groupBy($"n_name")
+        .agg(count(lit(1)).as("n_customers"),
+          sum($"x").as("revenue_cents"),
+          sum($"rnk" * $"x").as("wsum"))
+        .select($"n_name", $"n_customers", $"revenue_cents",
+          round((lit(2.0) * $"wsum" -
+              (($"n_customers" + 1) * $"revenue_cents").cast("double")) /
+              ($"n_customers" * $"revenue_cents").cast("double"), 6)
+            .as("gini"))
+        .orderBy($"n_name")
+    }),
+
+  )
+
+  def oracles: Map[String, String] = Map(
+
+    // Independent formulation: the quadratic NOT EXISTS dominance
+    // test over distinct pairs — no prefix scan anywhere.
+    "q76_skyline" ->
+      """WITH p AS (
+           SELECT p_partkey,
+             CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents,
+             CAST(p_size AS BIGINT) AS p_size
+           FROM part)
+         SELECT x.p_partkey, x.price_cents, x.p_size
+         FROM p x
+         WHERE NOT EXISTS (
+           SELECT 1 FROM (SELECT DISTINCT price_cents, p_size FROM p) y
+           WHERE y.price_cents <= x.price_cents AND y.p_size >= x.p_size
+             AND (y.price_cents < x.price_cents OR y.p_size > x.p_size))
+         ORDER BY x.p_partkey""",
+
+    // Independent formulation: ROW-level row_number ranks (the
+    // single-sort shape PrefixSum replaces) pick the discrete
+    // quantile values directly.
+    "q77_winsorize" ->
+      """WITH o AS (
+           SELECT o_orderpriority AS prio,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+           FROM orders),
+         r AS (
+           SELECT prio, cents,
+             row_number() OVER (PARTITION BY prio ORDER BY cents) AS rn,
+             count(*) OVER (PARTITION BY prio) AS n
+           FROM o),
+         t AS (
+           SELECT prio,
+             min(CASE WHEN rn = CAST(floor(0.05 * (n - 1)) AS BIGINT) + 1
+                      THEN cents END) AS lo_cents,
+             min(CASE WHEN rn = CAST(floor(0.95 * (n - 1)) AS BIGINT) + 1
+                      THEN cents END) AS hi_cents
+           FROM r GROUP BY prio)
+         SELECT o.prio, count(*) AS n,
+           CAST(sum(greatest(t.lo_cents, least(t.hi_cents, o.cents)))
+             AS BIGINT) AS sum_clamped,
+           CAST(sum(CASE WHEN o.cents < t.lo_cents THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_lo,
+           CAST(sum(CASE WHEN o.cents > t.hi_cents THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_hi,
+           min(t.lo_cents) AS lo_cents,
+           min(t.hi_cents) AS hi_cents
+         FROM o JOIN t ON o.prio = t.prio
+         GROUP BY o.prio ORDER BY o.prio""",
+
+    // Independent formulation: the order-part incidence SELF-JOIN
+    // builds the pair counts (the shape the Spark side's HOF
+    // comprehension exists to avoid).
+    "q78_lift_recs" ->
+      """WITH op AS (
+           SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+           FROM lineitem),
+         tot AS (SELECT count(DISTINCT ok) AS n_orders FROM op),
+         na AS (SELECT pk, count(*) AS n_p FROM op GROUP BY pk),
+         pr AS (
+           SELECT a.pk AS a, b.pk AS b, count(*) AS n_ab
+           FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+           GROUP BY a.pk, b.pk
+           HAVING count(*) >= 3),
+         sym AS (
+           SELECT a AS src, b AS rec, n_ab FROM pr
+           UNION ALL
+           SELECT b AS src, a AS rec, n_ab FROM pr),
+         sc AS (
+           SELECT s.src, s.rec, s.n_ab,
+             CAST(s.n_ab * t.n_orders AS DOUBLE) /
+               CAST(ns.n_p * nr.n_p AS DOUBLE) AS lift_raw
+           FROM sym s
+           JOIN na ns ON s.src = ns.pk
+           JOIN na nr ON s.rec = nr.pk
+           CROSS JOIN tot t),
+         rk AS (
+           SELECT src, rec, n_ab, lift_raw,
+             row_number() OVER (PARTITION BY src
+                                ORDER BY lift_raw DESC, rec) AS rnk
+           FROM sc)
+         SELECT src, rec, n_ab, round(lift_raw, 4) AS lift, rnk
+         FROM rk WHERE rnk <= 5
+         ORDER BY src, rnk""",
+
+    // Independent formulation: per-nation window row_number (the
+    // single-sort shape PrefixSum replaces) feeds the same rank
+    // formula; DuckDB folds the rank·x products in HUGEINT, Spark in
+    // long — both exact, so the doubles agree bit-for-bit.
+    "q79_gini" ->
+      """WITH rev AS (
+           SELECT o_custkey,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS x
+           FROM orders GROUP BY o_custkey),
+         j AS (
+           SELECT n.n_name, r.o_custkey, r.x
+           FROM rev r
+           JOIN customer c ON r.o_custkey = c.c_custkey
+           JOIN nation n ON c.c_nationkey = n.n_nationkey),
+         rk AS (
+           SELECT n_name, x,
+             row_number() OVER (PARTITION BY n_name
+                                ORDER BY x, o_custkey) AS rnk
+           FROM j)
+         SELECT n_name, count(*) AS n_customers,
+           CAST(sum(x) AS BIGINT) AS revenue_cents,
+           round((2.0 * sum(rnk * x) -
+               CAST((count(*) + 1) * sum(x) AS DOUBLE)) /
+               CAST(count(*) * sum(x) AS DOUBLE), 6) AS gini
+         FROM rk GROUP BY n_name ORDER BY n_name""",
+
+  )
+}

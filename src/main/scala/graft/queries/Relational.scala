@@ -523,24 +523,33 @@ object Relational {
 
     // Equi-DEPTH binning (feature bucketization for training
     // pipelines: every bucket holds the same row count, boundaries
-    // follow the data). ntile over a UNIQUE sort key
-    // (cents, custkey) — ties broken by key make the tile assignment
-    // a pure row_number function, deterministic on both engines.
-    // Scale note: a single un-partitioned ntile funnels the table
-    // through one task; the 100 TB form replaces it with the q20
-    // percentile machinery (approx boundaries + broadcast) or the
-    // PrefixSum two-pass global numbering — this registered form is
-    // the exact-semantics contract those approximations target, and
-    // the customer table is the dimension side (≪ facts) where the
-    // single-sort cost is acceptable even at scale.
+    // follow the data). The tile over a UNIQUE sort key
+    // (cents, custkey) is a pure row_number function — deterministic
+    // on both engines — but an un-partitioned ntile() funnels the
+    // table through ONE task, so the rank rides ops.PrefixSum's
+    // two-pass distributed scan instead and the ntile arithmetic is
+    // replayed row-locally from (rank, n): with q = n div k and
+    // rem = n mod k, the first `rem` tiles hold q+1 rows — exactly
+    // SQL ntile's fill rule, so the DuckDB ntile(8) oracle
+    // hash-matches the window-free plan. n is one scalar row
+    // cross-joined as a broadcast (the q31 bounds pattern).
     "q73_equidepth" -> ((s, d) => {
       import s.implicits._
-      val w = org.apache.spark.sql.expressions.Window
-        .orderBy($"cents", $"c_custkey")
-      Tables.load(s, d, "customer")
+      val c = Tables.load(s, d, "customer")
         .select($"c_custkey",
           round($"c_acctbal" * 100).cast("long").as("cents"))
-        .withColumn("bucket", ntile(8).over(w).cast("long"))
+      val ranked = graft.ops.PrefixSum.runningTotal(c,
+        Seq($"cents", $"c_custkey"), lit(1L), "rn")
+      val nRow = c.agg(count(lit(1)).as("n_rows"))
+      ranked.crossJoin(broadcast(nRow))
+        .withColumn("q", expr("n_rows div 8"))
+        .withColumn("rem", $"n_rows" % 8)
+        .withColumn("bucket",
+          when($"rn" <= $"rem" * ($"q" + 1),
+            expr("(rn - 1) div (q + 1)") + 1)
+          .otherwise($"rem" +
+            expr("(rn - rem * (q + 1) - 1) div q") + 1)
+          .cast("long"))
         .groupBy($"bucket")
         .agg(count(lit(1)).as("n"),
           min($"cents").as("lo_cents"),

@@ -46,6 +46,38 @@ class PrefixSumSpec extends SparkSpec {
     assert(run("1") == run("7") && run("7") == run("32"))
   }
 
+  test("exclusive prefix max equals the rowsBetween(-1) window form") {
+    val df = mk(5000)
+    val got = PrefixSum.runningMaxExclusive(df, Seq($"k", $"id"), $"v",
+        "pm")
+      .select($"k", $"id", $"pm").as[(Long, Long, Long)]
+      .collect().sortBy(r => (r._1, r._2))
+    val w = Window.orderBy($"k", $"id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val want = df.withColumn("pm",
+        coalesce(max($"v").over(w), lit(Long.MinValue)))
+      .select($"k", $"id", $"pm").as[(Long, Long, Long)]
+      .collect().sortBy(r => (r._1, r._2))
+    assert(got.sameElements(want))
+    spark.catalog.clearCache()
+  }
+
+  test("exclusive prefix max is invariant to the partition count") {
+    val df = mk(3000)
+    def run(parts: String) = {
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", parts)
+      try PrefixSum.runningMaxExclusive(df, Seq($"k", $"id"), $"v", "pm")
+        .select($"id", $"pm").as[(Long, Long)]
+        .collect().sortBy(_._1).toSeq
+      finally {
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        spark.catalog.clearCache()
+      }
+    }
+    assert(run("1") == run("7") && run("7") == run("32"))
+  }
+
   test("descending order keys work (the pareto shape)") {
     val df = mk(500).withColumn("neg", -$"v")
     val got = PrefixSum.runningTotal(df, Seq($"neg", $"id"), $"v", "run")

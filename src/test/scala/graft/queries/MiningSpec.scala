@@ -1,0 +1,101 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** Independent brute-force checks of the Mining queries at sf0.001 —
+  * each re-derives the answer with the quadratic / single-sort shape
+  * the distributed formulation exists to avoid, the same
+  * cross-formulation discipline as GraphSpec's brute-force peel.
+  */
+class MiningSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("skyline rows are exactly the undominated (price, size) pairs") {
+    val got = Mining.queries("q76_skyline")(spark, sf)
+      .as[(Long, Long, Long)].collect()
+    val all = graft.Tables.load(spark, sf, "part")
+      .selectExpr("p_partkey",
+        "cast(round(p_retailprice * 100) as long) as c",
+        "cast(p_size as long) as sz")
+      .as[(Long, Long, Long)].collect()
+    val want = all.filter { case (_, c, sz) =>
+      !all.exists { case (_, c2, sz2) =>
+        c2 <= c && sz2 >= sz && (c2 < c || sz2 > sz) }
+    }.map(_._1).sorted
+    assert(got.map(_._1).sorted.sameElements(want))
+    assert(got.nonEmpty)
+    spark.catalog.clearCache()
+  }
+
+  test("winsorize thresholds are the sorted-multiset order statistics") {
+    val got = Mining.queries("q77_winsorize")(spark, sf)
+      .selectExpr("prio", "lo_cents", "hi_cents", "n")
+      .as[(String, Long, Long, Long)].collect()
+    val rows = graft.Tables.load(spark, sf, "orders")
+      .selectExpr("o_orderpriority as prio",
+        "cast(round(o_totalprice * 100) as long) as c")
+      .as[(String, Long)].collect()
+    got.foreach { case (prio, lo, hi, n) =>
+      val xs = rows.filter(_._1 == prio).map(_._2).sorted
+      assert(xs.length == n)
+      assert(lo == xs(math.floor(0.05 * (xs.length - 1)).toInt))
+      assert(hi == xs(math.floor(0.95 * (xs.length - 1)).toInt))
+      // clamping bounds must bracket the bulk: at least 90% inside
+      val inside = xs.count(x => x >= lo && x <= hi)
+      assert(inside >= (0.9 * xs.length).toInt)
+    }
+    spark.catalog.clearCache()
+  }
+
+  test("lift recommendations are symmetric and support-pruned") {
+    val got = Mining.queries("q78_lift_recs")(spark, sf)
+      .selectExpr("src", "rec", "n_ab", "lift", "rnk")
+      .as[(Long, Long, Long, Double, Long)].collect()
+    assert(got.nonEmpty)
+    // support floor holds, ranks are 1..5 and contiguous per src
+    assert(got.forall(_._3 >= 3))
+    got.groupBy(_._1).foreach { case (_, rs) =>
+      assert(rs.map(_._5).sorted.sameElements(1L to rs.length))
+      assert(rs.length <= 5)
+    }
+    // lift is order-symmetric: (a,b) and (b,a) carry the same score
+    val score = got.map(r => ((r._1, r._2), r._4)).toMap
+    score.foreach { case ((a, b), l) =>
+      score.get((b, a)).foreach(l2 => assert(l2 == l))
+    }
+    spark.catalog.clearCache()
+  }
+
+  test("gini matches the textbook sorted-rank formula per nation") {
+    val got = Mining.queries("q79_gini")(spark, sf)
+      .selectExpr("n_name", "n_customers", "revenue_cents", "gini")
+      .as[(String, Long, Long, Double)].collect()
+    assert(got.nonEmpty)
+    val rev = graft.Tables.load(spark, sf, "orders")
+      .selectExpr("o_custkey",
+        "cast(round(o_totalprice * 100) as long) as c")
+      .groupBy("o_custkey").agg(org.apache.spark.sql.functions
+        .sum($"c").as("x"))
+    val cn = graft.Tables.load(spark, sf, "customer")
+      .join(graft.Tables.load(spark, sf, "nation"),
+        $"c_nationkey" === $"n_nationkey")
+      .select($"c_custkey", $"n_name")
+    val byNation = rev.join(cn, $"o_custkey" === $"c_custkey")
+      .select($"n_name", $"o_custkey", $"x")
+      .as[(String, Long, Long)].collect()
+      .groupBy(_._1)
+    got.foreach { case (name, n, tot, gini) =>
+      val xs = byNation(name).sortBy(r => (r._3, r._2)).map(_._3)
+      assert(xs.length == n && xs.sum == tot)
+      val wsum = xs.zipWithIndex.map { case (x, i) => (i + 1) * x }.sum
+      val want = BigDecimal(
+        (2.0 * wsum - (n + 1.0) * tot) / (n.toDouble * tot))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(gini - want) < 1e-9, s"$name: $gini vs $want")
+      assert(gini >= 0.0 && gini < 1.0)
+    }
+    spark.catalog.clearCache()
+  }
+}
