@@ -88,18 +88,8 @@ object Mining {
       val o = Tables.load(s, d, "orders")
         .select($"o_orderpriority".as("prio"),
           round($"o_totalprice" * 100).cast("long").as("cents"))
-      val vc = o.groupBy($"prio", $"cents").agg(count(lit(1)).as("cnt"))
-      val cum = graft.ops.PrefixSum.runningTotal(vc,
-        Seq($"prio", $"cents"), $"cnt", "gcum")
-      val base = cum.groupBy($"prio")
-        .agg(min($"gcum" - $"cnt").as("pbase"), sum($"cnt").as("n"))
-      val thr = cum.join(broadcast(base), Seq("prio"))
-        .withColumn("cum_in", $"gcum" - $"pbase")
-        .withColumn("k_lo", floor(lit(0.05) * ($"n" - 1)) + 1)
-        .withColumn("k_hi", floor(lit(0.95) * ($"n" - 1)) + 1)
-        .groupBy($"prio")
-        .agg(min(when($"cum_in" >= $"k_lo", $"cents")).as("lo_cents"),
-          min(when($"cum_in" >= $"k_hi", $"cents")).as("hi_cents"))
+      val thr = graft.ops.Quantiles.exactByGroup(o, "prio", $"cents",
+        Seq("lo_cents" -> 0.05, "hi_cents" -> 0.95)).drop("n")
       o.join(broadcast(thr), Seq("prio"))
         .groupBy($"prio")
         .agg(count(lit(1)).as("n"),
@@ -216,6 +206,122 @@ object Mining {
         .orderBy($"n_name")
     }),
 
+    // Median absolute deviation: the robust dispersion statistic
+    // (median of |x − median|) per market segment — the outlier-
+    // resistant companion to q25's moment-based spread, and the
+    // composition proof of the exact-quantile machinery: the SAME
+    // ops.Quantiles pass runs twice, once on balances and once on the
+    // absolute deviations from each segment's median. Both medians
+    // are exact discrete order statistics on integer cents (no float
+    // midpoint to diverge cross-engine); the per-segment median table
+    // is group-sized → broadcast back onto the scan for the deviation
+    // column. Scale: two value-count shuffles + two distributed
+    // prefix scans — never a row-level sort.
+    "q80_mad" -> ((s, d) => {
+      import s.implicits._
+      val c = Tables.load(s, d, "customer")
+        .select($"c_mktsegment".as("seg"), $"c_custkey",
+          round($"c_acctbal" * 100).cast("long").as("cents"))
+      val med = graft.ops.Quantiles.exactByGroup(c, "seg", $"cents",
+        Seq("med_cents" -> 0.5))
+      val dev = c.join(broadcast(med.drop("n")), Seq("seg"))
+        .withColumn("adev", abs($"cents" - $"med_cents"))
+      val mad = graft.ops.Quantiles.exactByGroup(dev, "seg", $"adev",
+        Seq("mad_cents" -> 0.5)).drop("n")
+      med.join(mad, Seq("seg"))
+        .select($"seg", $"n", $"med_cents", $"mad_cents")
+        .orderBy($"seg")
+    }),
+
+    // Data-quality audit: the expectation-check pass every ingest
+    // runs before a corpus is trusted — referential integrity,
+    // key uniqueness, domain and null rules — emitted as ONE
+    // violations report. Predicate checks are a single
+    // map-side-combined aggregate over their table's scan (count +
+    // conditional sum share one pass); FK checks are LEFT ANTI joins
+    // counting orphans — the dimension side broadcasts, so the fact
+    // scan never shuffles (at 100 TB the lineitem→orders check is the
+    // one genuine join; a bloom pre-filter on the fact side is the
+    // documented escalation, pipeline_decontaminate_bloom's shape).
+    // All counts are exact longs; the report is a fixed-height union.
+    "q81_dq_audit" -> ((s, d) => {
+      import s.implicits._
+      def pred(table: String, check: String, bad: org.apache.spark.sql
+          .Column) =
+        Tables.load(s, d, table).agg(
+          count(lit(1)).as("n_rows"),
+          sum(when(bad, 1L).otherwise(0L)).as("n_bad"))
+          .select(lit(check).as("check_name"), $"n_rows", $"n_bad")
+      def fk(factTable: String, factKey: String, dimTable: String,
+          dimKey: String, check: String) = {
+        val fact = Tables.load(s, d, factTable)
+        val orphans = fact.join(
+            broadcast(Tables.load(s, d, dimTable).select(col(dimKey))),
+            col(factKey) === col(dimKey), "left_anti")
+          .agg(count(lit(1)).as("n_bad"))
+        fact.agg(count(lit(1)).as("n_rows")).crossJoin(orphans)
+          .select(lit(check).as("check_name"), $"n_rows", $"n_bad")
+      }
+      val uniq = Tables.load(s, d, "customer").agg(
+          count(lit(1)).as("n_rows"),
+          (count(lit(1)) - countDistinct($"c_custkey")).as("n_bad"))
+        .select(lit("pk_customer_unique").as("check_name"), $"n_rows",
+          $"n_bad")
+      pred("orders", "domain_order_total_positive",
+          $"o_totalprice" <= 0)
+        .unionByName(pred("part", "domain_part_size_1_50",
+          !$"p_size".between(1, 50)))
+        .unionByName(pred("documents", "nonempty_document_text",
+          length(trim($"text")) === 0))
+        .unionByName(pred("events", "nonnull_event_type",
+          $"event_type".isNull))
+        .unionByName(fk("orders", "o_custkey", "customer", "c_custkey",
+          "fk_orders_customer"))
+        .unionByName(fk("lineitem", "l_orderkey", "orders", "o_orderkey",
+          "fk_lineitem_orders"))
+        .unionByName(uniq)
+        .orderBy($"check_name")
+    }),
+
+    // RFM segmentation: the classic marketing cut — each customer's
+    // Recency (last order day), Frequency (order count), Monetary
+    // (revenue cents) quintiled independently, customers grouped by
+    // the 3-digit code. Three ntile(5) assignments over three
+    // different orders — classically three global windows — each ride
+    // PrefixSum's distributed rank with SQL ntile's fill rule
+    // replayed row-locally from (rank, n) (the q73 arithmetic; n is
+    // one broadcast scalar shared by all three). Quintiles are 1..5
+    // ascending in the measure, custkey breaks ties — fully
+    // deterministic, so the 125-cell report hash-matches DuckDB's
+    // native ntile windows.
+    "q83_rfm" -> ((s, d) => {
+      import s.implicits._
+      val base = Tables.load(s, d, "orders")
+        .select($"o_custkey",
+          datediff(to_date($"o_orderdate"), lit("1992-01-01"))
+            .cast("long").as("od"),
+          round($"o_totalprice" * 100).cast("long").as("cents"))
+        .groupBy($"o_custkey")
+        .agg(max($"od").as("r_days"), count(lit(1)).as("freq"),
+          sum($"cents").as("mon"))
+      val n = base.agg(count(lit(1)).as("n_rows"))
+      def quintile(measure: String, out: String)(df:
+          org.apache.spark.sql.DataFrame) =
+        graft.ops.PrefixSum.runningTotal(df,
+            Seq(col(measure), $"o_custkey"), lit(1L), "__rn")
+          .crossJoin(broadcast(n))
+          .withColumn(out,
+            graft.ops.Quantiles.ntileFromRank("__rn", "n_rows", 5))
+          .drop("__rn", "n_rows")
+      val scored = quintile("r_days", "r")(
+        quintile("freq", "f")(quintile("mon", "m")(base)))
+      scored
+        .groupBy(($"r" * 100 + $"f" * 10 + $"m").as("rfm_code"))
+        .agg(count(lit(1)).as("n_customers"),
+          sum($"mon").as("sum_monetary_cents"))
+        .orderBy($"rfm_code")
+    }),
+
   )
 
   def oracles: Map[String, String] = Map(
@@ -302,6 +408,105 @@ object Mining {
          SELECT src, rec, n_ab, round(lift_raw, 4) AS lift, rnk
          FROM rk WHERE rnk <= 5
          ORDER BY src, rnk""",
+
+    // Independent formulation: per-group row_number ranks pick both
+    // medians directly (the row-level shape the value-count +
+    // prefix-scan plan replaces).
+    "q80_mad" ->
+      """WITH c AS (
+           SELECT c_mktsegment AS seg, c_custkey,
+             CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+           FROM customer),
+         r1 AS (
+           SELECT seg, cents,
+             row_number() OVER (PARTITION BY seg ORDER BY cents) AS rn,
+             count(*) OVER (PARTITION BY seg) AS n
+           FROM c),
+         med AS (
+           SELECT seg, max(n) AS n,
+             min(CASE WHEN rn = CAST(floor(0.5 * (n - 1)) AS BIGINT) + 1
+                      THEN cents END) AS med_cents
+           FROM r1 GROUP BY seg),
+         dev AS (
+           SELECT c.seg, abs(c.cents - m.med_cents) AS adev
+           FROM c JOIN med m ON c.seg = m.seg),
+         r2 AS (
+           SELECT seg, adev,
+             row_number() OVER (PARTITION BY seg ORDER BY adev) AS rn,
+             count(*) OVER (PARTITION BY seg) AS n
+           FROM dev),
+         mad AS (
+           SELECT seg,
+             min(CASE WHEN rn = CAST(floor(0.5 * (n - 1)) AS BIGINT) + 1
+                      THEN adev END) AS mad_cents
+           FROM r2 GROUP BY seg)
+         SELECT m.seg, m.n, m.med_cents, d.mad_cents
+         FROM med m JOIN mad d ON m.seg = d.seg
+         ORDER BY m.seg""",
+
+    // Independent formulation: plain per-check scalar subqueries.
+    "q81_dq_audit" ->
+      """SELECT * FROM (
+           SELECT 'domain_order_total_positive' AS check_name,
+             (SELECT count(*) FROM orders) AS n_rows,
+             (SELECT count(*) FROM orders WHERE o_totalprice <= 0)
+               AS n_bad
+           UNION ALL
+           SELECT 'domain_part_size_1_50',
+             (SELECT count(*) FROM part),
+             (SELECT count(*) FROM part
+              WHERE p_size NOT BETWEEN 1 AND 50)
+           UNION ALL
+           SELECT 'nonempty_document_text',
+             (SELECT count(*) FROM documents),
+             (SELECT count(*) FROM documents
+              WHERE length(trim(text)) = 0)
+           UNION ALL
+           SELECT 'nonnull_event_type',
+             (SELECT count(*) FROM events),
+             (SELECT count(*) FROM events WHERE event_type IS NULL)
+           UNION ALL
+           SELECT 'fk_orders_customer',
+             (SELECT count(*) FROM orders),
+             (SELECT count(*) FROM orders o
+              WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                WHERE c.c_custkey = o.o_custkey))
+           UNION ALL
+           SELECT 'fk_lineitem_orders',
+             (SELECT count(*) FROM lineitem),
+             (SELECT count(*) FROM lineitem l
+              WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                WHERE o.o_orderkey = l.l_orderkey))
+           UNION ALL
+           SELECT 'pk_customer_unique',
+             (SELECT count(*) FROM customer),
+             (SELECT count(*) - count(DISTINCT c_custkey)
+              FROM customer))
+         ORDER BY check_name""",
+
+    // Independent formulation: DuckDB's NATIVE ntile(5) windows —
+    // the exact operator whose fill rule ntileFromRank replays.
+    "q83_rfm" ->
+      """WITH base AS (
+           SELECT o_custkey,
+             max(datediff('day', DATE '1992-01-01',
+                 CAST(o_orderdate AS DATE))) AS r_days,
+             count(*) AS freq,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS mon
+           FROM orders GROUP BY o_custkey),
+         q AS (
+           SELECT o_custkey, mon,
+             CAST(ntile(5) OVER (ORDER BY r_days, o_custkey) AS BIGINT)
+               AS r,
+             CAST(ntile(5) OVER (ORDER BY freq, o_custkey) AS BIGINT)
+               AS f,
+             CAST(ntile(5) OVER (ORDER BY mon, o_custkey) AS BIGINT)
+               AS m
+           FROM base)
+         SELECT r * 100 + f * 10 + m AS rfm_code,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(mon) AS BIGINT) AS sum_monetary_cents
+         FROM q GROUP BY 1 ORDER BY rfm_code""",
 
     // Independent formulation: per-nation window row_number (the
     // single-sort shape PrefixSum replaces) feeds the same rank

@@ -542,14 +542,8 @@ object Relational {
         Seq($"cents", $"c_custkey"), lit(1L), "rn")
       val nRow = c.agg(count(lit(1)).as("n_rows"))
       ranked.crossJoin(broadcast(nRow))
-        .withColumn("q", expr("n_rows div 8"))
-        .withColumn("rem", $"n_rows" % 8)
         .withColumn("bucket",
-          when($"rn" <= $"rem" * ($"q" + 1),
-            expr("(rn - 1) div (q + 1)") + 1)
-          .otherwise($"rem" +
-            expr("(rn - rem * (q + 1) - 1) div q") + 1)
-          .cast("long"))
+          graft.ops.Quantiles.ntileFromRank("rn", "n_rows", 8))
         .groupBy($"bucket")
         .agg(count(lit(1)).as("n"),
           min($"cents").as("lo_cents"),

@@ -68,6 +68,57 @@ class MiningSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("mad matches the sorted-array double-median definition") {
+    val got = Mining.queries("q80_mad")(spark, sf)
+      .selectExpr("seg", "n", "med_cents", "mad_cents")
+      .as[(String, Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    val rows = graft.Tables.load(spark, sf, "customer")
+      .selectExpr("c_mktsegment as seg",
+        "cast(round(c_acctbal * 100) as long) as c")
+      .as[(String, Long)].collect().groupBy(_._1)
+    got.foreach { case (seg, n, med, mad) =>
+      val xs = rows(seg).map(_._2).sorted
+      assert(n == xs.length)
+      def medOf(a: Array[Long]) =
+        a.sorted.apply(math.floor(0.5 * (a.length - 1)).toInt)
+      assert(med == medOf(xs))
+      assert(mad == medOf(xs.map(x => math.abs(x - med))))
+    }
+    spark.catalog.clearCache()
+  }
+
+  test("dq audit counts match direct recomputation; clean data is clean") {
+    val got = Mining.queries("q81_dq_audit")(spark, sf)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3))
+      .toMap
+    assert(got.size == 7)
+    val orders = graft.Tables.load(spark, sf, "orders")
+    assert(got("domain_order_total_positive")._1 == orders.count())
+    // synthetic data satisfies FK integrity — the audit must agree
+    assert(got("fk_orders_customer")._2 == 0)
+    assert(got("fk_lineitem_orders")._2 == 0)
+    assert(got("pk_customer_unique")._2 == 0)
+    spark.catalog.clearCache()
+  }
+
+  test("rfm quintiles are balanced and codes well-formed") {
+    val got = Mining.queries("q83_rfm")(spark, sf)
+      .as[(Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (code, n, _) =>
+      val (r, f, m) = (code / 100, (code / 10) % 10, code % 10)
+      assert(r >= 1 && r <= 5 && f >= 1 && f <= 5 && m >= 1 && m <= 5)
+      assert(n > 0)
+    }
+    // each R quintile holds n/5 customers (±1 by ntile's fill rule)
+    val total = got.map(_._2).sum
+    val byR = got.groupBy(_._1 / 100).view.mapValues(_.map(_._2).sum)
+    byR.values.foreach(c =>
+      assert(math.abs(c - total / 5.0) <= 1.0, s"$byR"))
+    spark.catalog.clearCache()
+  }
+
   test("gini matches the textbook sorted-rank formula per nation") {
     val got = Mining.queries("q79_gini")(spark, sf)
       .selectExpr("n_name", "n_customers", "revenue_cents", "gini")
