@@ -370,6 +370,11 @@ object Dedup {
             element_at(t, i + 2)))).as("term"))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
+      // read twice (df aggregate + the weighted join) — without the
+      // persist the tokenize + 3-gram-concat + count pass, the most
+      // expensive row-local work in the pipeline, runs end-to-end
+      // twice
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nDocs = docs.select(count(lit(1)).as("n_docs"))
     val vocab = posting.groupBy(col("term"))
       .agg(count(lit(1)).as("df"))

@@ -177,27 +177,40 @@ object Graph {
           struct($"b".as("src"), $"a".as("dst")))).as("e"))
         .select($"e.src".as("src"), $"e.dst".as("dst"))
         .persist(StorageLevel.MEMORY_AND_DISK)
+      val tPre = System.nanoTime()
       var alive = ed.select($"src".as("node")).distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
       var n = alive.count()
+      if (sys.env.contains("GRAFT_KCORE_DEBUG"))
+        println(f"[kcore] pre-loop n=$n ${(System.nanoTime() - tPre) / 1e9}%6.2f s")
       var deg: DataFrame = null
       var prev: Option[DataFrame] = None
       var stable = false
       var rounds = 0
       while (!stable && rounds < 30) {
-        val dn = ed
+        val dn0 = ed
           .join(broadcast(alive), $"src" === $"node").drop("node")
           .join(broadcast(alive.withColumnRenamed("node", "nd")),
             $"dst" === $"nd").drop("nd")
           .groupBy($"src").agg(count(lit(1)).as("core_deg"))
           .filter($"core_deg" >= k)
           .persist(StorageLevel.MEMORY_AND_DISK)
-        val m = dn.count() // driver scalar; materializes dn so its
+        val m = dn0.count() // driver scalar; materializes dn0 so its
         // input (last round's cached frame) can be released NOW —
         // pagerankFull's round discipline
+        // REBASE the round result onto its materialized RDD (a flat
+        // LogicalRDD leaf reading the cached blocks). Without this the
+        // next round's LOGICAL plan embeds this round's twice (alive
+        // joins both endpoints), so plan size — and Catalyst
+        // analyze/optimize time — doubles per round: the exact 2^r
+        // blow-up the oracle dodges with MATERIALIZED CTE hints.
+        // Measured: 42 s → ~10 s at sf0.1 (rounds were 1,1,1,3,16 s —
+        // pure driver planning, the executors were idle). Same
+        // rebase-to-RDD discipline as ops.PrefixSum's job B.
+        val dn = s.createDataFrame(dn0.rdd, dn0.schema)
         prev.foreach(_.unpersist(false))
         if (rounds == 0) alive.unpersist(false)
-        prev = Some(dn)
+        prev = Some(dn0)
         deg = dn
         if (m == n) stable = true
         else { alive = dn.select($"src".as("node")); n = m }
