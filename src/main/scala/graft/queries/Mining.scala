@@ -322,6 +322,76 @@ object Mining {
         .orderBy($"rfm_code")
     }),
 
+    // CUSUM changepoint detection: per event type, the cumulative-sum
+    // drift statistic over the DAILY value series — the standard
+    // mean-shift monitor (Page 1954) a pipeline points at ingest
+    // volume to catch a source going quiet or hot. The recursion
+    // S_t = max(0, S_{t−1} + dev_t) is not a window aggregate, but
+    // telescopes to S_t = cum_t − min(0, min_{j≤t} cum_j) — prefix
+    // sum and prefix min over the day order. Exact integers
+    // throughout: dev_t is scaled to n·x_t − Σx (cross-multiplied
+    // mean, no division), so both engines fold identical longs.
+    // Scale: the windows partition over the (type, day) AGGREGATE,
+    // whose size is the key-domain × time-domain product (q74's
+    // bound) — at 100 TB the daily series per type is still
+    // thousands of rows, never fact-sized; the fact scan contributes
+    // one map-side-combined shuffle.
+    "q84_cusum" -> ((s, d) => {
+      import s.implicits._
+      val W = org.apache.spark.sql.expressions.Window
+      val daily = Tables.load(s, d, "events")
+        .select($"event_type",
+          datediff(to_date($"ts"), lit("2024-01-01")).cast("long")
+            .as("day"),
+          round($"value" * 100).cast("long").as("cents"))
+        .groupBy($"event_type", $"day")
+        .agg(sum($"cents").as("x"))
+      val wt = W.partitionBy($"event_type")
+      val wc = wt.orderBy($"day")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+      daily
+        .withColumn("n_days", count(lit(1)).over(wt))
+        .withColumn("tot", sum($"x").over(wt))
+        .withColumn("cum", sum($"n_days" * $"x" - $"tot").over(wc))
+        .withColumn("cusum",
+          $"cum" - least(min($"cum").over(wc), lit(0L)))
+        .groupBy($"event_type")
+        .agg(max($"n_days").as("n_days"),
+          max($"cusum").as("peak_cusum"),
+          max_by($"day", struct($"cusum", -$"day")).as("peak_day"))
+        .orderBy($"event_type")
+    }),
+
+    // Interval-union coverage: per user, the total ACTIVE time when
+    // each event opens a 10-minute activity window — overlapping
+    // windows must count once (the dedup that makes "time on site"
+    // honest). The classic sweep: order intervals by start, carry the
+    // running max end; each interval contributes
+    // max(0, end − max(start, carried_end)). The carry is a per-user
+    // window — the HIGH-cardinality partition case where windows DO
+    // scale (one exchange on user_id, q15's sessionize shape; the
+    // single-task trap is only the partition-LESS window). Micros
+    // stay exact longs end-to-end.
+    "q85_interval_coverage" -> ((s, d) => {
+      import s.implicits._
+      val W = org.apache.spark.sql.expressions.Window
+      val winUs = 600L * 1000000L
+      val w = W.partitionBy($"user_id").orderBy($"s_us", $"event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+      Tables.load(s, d, "events")
+        .select($"user_id", $"event_id",
+          unix_micros($"ts").as("s_us"),
+          (unix_micros($"ts") + winUs).as("e_us"))
+        .withColumn("carry", max($"e_us").over(w))
+        .withColumn("covered",
+          greatest($"e_us" - greatest($"s_us", coalesce($"carry",
+            $"s_us")), lit(0L)))
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n_events"),
+          sum($"covered").as("covered_us"))
+        .orderBy($"user_id")
+    }),
+
   )
 
   def oracles: Map[String, String] = Map(
@@ -507,6 +577,60 @@ object Mining {
            CAST(count(*) AS BIGINT) AS n_customers,
            CAST(sum(mon) AS BIGINT) AS sum_monetary_cents
          FROM q GROUP BY 1 ORDER BY rfm_code""",
+
+    // Same telescoped recursion replayed in SQL windows; peak day via
+    // row_number (= max_by's (cusum DESC, day ASC) tie-break).
+    "q84_cusum" ->
+      """WITH daily AS (
+           SELECT event_type,
+             CAST(datediff('day', DATE '2024-01-01',
+                 CAST(ts AS DATE)) AS BIGINT) AS day,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS x
+           FROM events GROUP BY 1, 2),
+         stats AS (
+           SELECT event_type, day, x,
+             count(*) OVER (PARTITION BY event_type) AS n_days,
+             sum(x) OVER (PARTITION BY event_type) AS tot
+           FROM daily),
+         c AS (
+           SELECT event_type, day, n_days,
+             sum(n_days * x - tot)
+               OVER (PARTITION BY event_type ORDER BY day
+                     ROWS UNBOUNDED PRECEDING) AS cum
+           FROM stats),
+         s AS (
+           SELECT event_type, day, n_days,
+             cum - least(min(cum) OVER (PARTITION BY event_type
+               ORDER BY day ROWS UNBOUNDED PRECEDING), 0) AS cusum
+           FROM c),
+         r AS (
+           SELECT event_type, day, n_days, cusum,
+             row_number() OVER (PARTITION BY event_type
+               ORDER BY cusum DESC, day) AS rn
+           FROM s)
+         SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+           CAST(cusum AS BIGINT) AS peak_cusum, day AS peak_day
+         FROM r WHERE rn = 1 ORDER BY event_type""",
+
+    // Same sweep in SQL windows over epoch micros.
+    "q85_interval_coverage" ->
+      """WITH iv AS (
+           SELECT user_id, event_id,
+             epoch_us(ts) AS s_us,
+             epoch_us(ts) + 600 * 1000000 AS e_us
+           FROM events),
+         c AS (
+           SELECT user_id, s_us, e_us,
+             max(e_us) OVER (PARTITION BY user_id
+               ORDER BY s_us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS carry
+           FROM iv)
+         SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(greatest(e_us - greatest(s_us,
+               coalesce(carry, s_us)), 0)) AS BIGINT) AS covered_us
+         FROM c GROUP BY user_id ORDER BY user_id""",
 
     // Independent formulation: per-nation window row_number (the
     // single-sort shape PrefixSum replaces) feeds the same rank

@@ -119,6 +119,58 @@ class MiningSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("cusum peak equals the direct max(0, S+dev) recursion") {
+    val got = Mining.queries("q84_cusum")(spark, sf)
+      .as[(String, Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    val daily = graft.Tables.load(spark, sf, "events")
+      .selectExpr("event_type",
+        "cast(datediff(to_date(ts), '2024-01-01') as long) as day",
+        "cast(round(value * 100) as long) as c")
+      .groupBy("event_type", "day")
+      .agg(org.apache.spark.sql.functions.sum($"c").as("x"))
+      .as[(String, Long, Long)].collect().groupBy(_._1)
+    got.foreach { case (et, nDays, peak, peakDay) =>
+      val xs = daily(et).sortBy(_._2)
+      assert(nDays == xs.length)
+      val n = xs.length
+      val tot = xs.map(_._3).sum
+      var s = 0L
+      var best = 0L
+      var bestDay = Long.MaxValue
+      xs.foreach { case (_, day, x) =>
+        s = math.max(0L, s + (n * x - tot))
+        if (s > best) { best = s; bestDay = day }
+      }
+      assert(peak == best, s"$et: $peak vs $best")
+      assert(peakDay == bestDay)
+    }
+    spark.catalog.clearCache()
+  }
+
+  test("interval coverage equals the brute-force minute-set union") {
+    val got = Mining.queries("q85_interval_coverage")(spark, sf)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    val ev = graft.Tables.load(spark, sf, "events")
+      .selectExpr("user_id", "unix_micros(ts) as us")
+      .as[(Long, Long)].collect().groupBy(_._1)
+    val win = 600L * 1000000L
+    ev.foreach { case (u, rows) =>
+      // merge-by-hand on the sorted starts
+      val starts = rows.map(_._2).sorted
+      var covered = 0L
+      var curS = starts.head
+      var curE = starts.head + win
+      starts.tail.foreach { t =>
+        if (t <= curE) curE = math.max(curE, t + win)
+        else { covered += curE - curS; curS = t; curE = t + win }
+      }
+      covered += curE - curS
+      assert(got(u) == covered, s"user $u: ${got(u)} vs $covered")
+    }
+    spark.catalog.clearCache()
+  }
+
   test("gini matches the textbook sorted-rank formula per nation") {
     val got = Mining.queries("q79_gini")(spark, sf)
       .selectExpr("n_name", "n_customers", "revenue_cents", "gini")
