@@ -305,6 +305,34 @@ object Pipeline {
           sum($"n_chars").as("sum_chars"))
         .orderBy($"lang", $"split")
     }),
+    // Split-leakage audit: near-dup pairs that CROSS the train/test
+    // boundary — the eval-contamination check a content-hash split
+    // does not give you for free (hash splitting prevents EXACT-dup
+    // leakage by construction; near-dups of each other still land on
+    // opposite sides and inflate eval scores). Composes the two
+    // already-verified primitives: dedup_ngram_jaccard's blocked pair
+    // list and pipeline_split's content-hash assignment, joined on
+    // both endpoints and filtered to split_a ≠ split_b. Scale shape:
+    // the (doc_id, split) table is corpus-sized, so both lookups are
+    // doc-keyed hash joins (two shuffles of id+split pairs — splits
+    // never broadcast at 100 TB); the pair list is the bounded output
+    // of the blocked near-dup pass. The fix-side policy op is
+    // pipeline_keep_best (collapse each cluster to one side);
+    // this query is the detector that says you need it.
+    "pipeline_split_leakage" -> ((s, d) => {
+      import s.implicits._
+      val pairs = graft.dedup.Dedup.ngramJaccard(s, d)
+      val splits = Tables.load(s, d, "documents")
+        .select($"doc_id", splitCol($"text").as("split"))
+      pairs
+        .join(splits.select($"doc_id".as("doc_a"),
+          $"split".as("split_a")), Seq("doc_a"))
+        .join(splits.select($"doc_id".as("doc_b"),
+          $"split".as("split_b")), Seq("doc_b"))
+        .filter($"split_a" =!= $"split_b")
+        .select($"doc_a", $"doc_b", $"jaccard", $"split_a", $"split_b")
+        .orderBy($"doc_a", $"doc_b")
+    }),
     // Per-language quality gate: keep documents at or above their
     // language's MEDIAN quality score. Two-pass scale shape — NOT a
     // percent_rank window (partitionBy(lang) would funnel a 100 TB
@@ -634,6 +662,38 @@ object Pipeline {
            CAST(count(*) AS BIGINT) AS n_docs,
            CAST(sum(n_chars) AS BIGINT) AS sum_chars
          FROM documents GROUP BY 1, 2 ORDER BY lang, split""",
+    // composes dedup_ngram_jaccard's pair CTE with pipeline_split's
+    // assignment rule — the same float-exact jaccard expression, so
+    // the doubles hash-match
+    "pipeline_split_leakage" ->
+      """WITH docs AS (
+           SELECT doc_id,
+             lang || '#' || CAST(CAST(floor(n_chars / 100) AS BIGINT) AS VARCHAR) AS block,
+             list_distinct(list_transform(
+               range(1, greatest(len(string_split_regex(lower(text), '\s+')) - 2, 0) + 1),
+               i -> string_split_regex(lower(text), '\s+')[i] || ' ' ||
+                    string_split_regex(lower(text), '\s+')[i+1] || ' ' ||
+                    string_split_regex(lower(text), '\s+')[i+2])) AS sh
+           FROM documents),
+         pr AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+             CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) AS jaccard
+           FROM docs a JOIN docs b ON a.block = b.block AND a.doc_id < b.doc_id
+           WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                 CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) >= 0.05),
+         sp AS (
+           SELECT doc_id,
+             CASE WHEN substring(md5(text), 1, 1) < 'c'
+                  THEN 'train' ELSE 'test' END AS split
+           FROM documents)
+         SELECT p.doc_a, p.doc_b, p.jaccard,
+           sa.split AS split_a, sb.split AS split_b
+         FROM pr p
+         JOIN sp sa ON p.doc_a = sa.doc_id
+         JOIN sp sb ON p.doc_b = sb.doc_id
+         WHERE sa.split <> sb.split
+         ORDER BY p.doc_a, p.doc_b""",
     "pipeline_quality_gate" ->
       """WITH scored AS (
            SELECT doc_id, lang,

@@ -171,6 +171,29 @@ class MiningSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("split leakage = jaccard pairs x md5 split, recomposed by hand") {
+    val got = Pipeline.queries("pipeline_split_leakage")(spark, sf)
+      .selectExpr("doc_a", "doc_b", "split_a", "split_b")
+      .as[(Long, Long, String, String)].collect()
+    def side(text: String): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(text.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      if (hex.charAt(0) < 'c') "train" else "test"
+    }
+    val txt = graft.Tables.load(spark, sf, "documents")
+      .selectExpr("doc_id", "text").as[(Long, String)].collect().toMap
+    val allPairs = graft.dedup.Dedup.ngramJaccard(spark, sf)
+      .selectExpr("doc_a", "doc_b").as[(Long, Long)].collect()
+    val want = allPairs.filter { case (a, b) =>
+      side(txt(a)) != side(txt(b)) }.toSet
+    assert(got.map(r => (r._1, r._2)).toSet == want)
+    got.foreach { case (a, b, sa, sb) =>
+      assert(sa != sb && side(txt(a)) == sa && side(txt(b)) == sb)
+    }
+    spark.catalog.clearCache()
+  }
+
   test("gini matches the textbook sorted-rank formula per nation") {
     val got = Mining.queries("q79_gini")(spark, sf)
       .selectExpr("n_name", "n_customers", "revenue_cents", "gini")
