@@ -392,6 +392,51 @@ object Mining {
         .orderBy($"user_id")
     }),
 
+    // Multi-model attribution: first-touch, last-touch and LINEAR
+    // credit for every purchase's qualifying clicks (30-min lookback,
+    // q37's join), reported per click channel — the comparison table
+    // marketing actually wants (q48 alone answers only first-touch).
+    // Linear credit is the float trap: value/n summed per channel is
+    // a fold-order-dependent double; credits are instead integer
+    // MICRO-cents (cents·10⁶ div n — deterministic truncation per
+    // click, order-free long sums). Join is the q37 shape (user_id
+    // equi-join + row-local time filter, never an inequality join);
+    // per-purchase ranks ride the HIGH-cardinality purchase window
+    // (the scaling window shape); channel aggregate is map-side
+    // combined.
+    "q86_attribution_models" -> ((s, d) => {
+      import s.implicits._
+      val W = org.apache.spark.sql.expressions.Window
+      val ev = Tables.load(s, d, "events")
+      val clicks = ev.filter($"event_type" === "click")
+        .select($"user_id", $"event_id".as("click_id"),
+          $"ts".as("click_ts"),
+          (get_json_object($"props", "$.k").cast("long") % 5)
+            .as("channel"))
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"user_id", $"event_id".as("purchase_id"),
+          $"ts".as("purchase_ts"),
+          round($"value" * 100).cast("long").as("cents"))
+      val joined = clicks.join(purchases, Seq("user_id"))
+        .filter($"click_ts" <= $"purchase_ts" &&
+          $"click_ts" >= $"purchase_ts" - expr("INTERVAL 30 MINUTES"))
+      val wp = W.partitionBy($"purchase_id")
+      val asc = wp.orderBy($"click_ts", $"click_id")
+      val desc = wp.orderBy($"click_ts".desc, $"click_id".desc)
+      joined
+        .withColumn("n", count(lit(1)).over(wp))
+        .withColumn("rn_first", row_number().over(asc))
+        .withColumn("rn_last", row_number().over(desc))
+        .groupBy($"channel")
+        .agg(count(lit(1)).as("n_touches"),
+          sum(when($"rn_first" === 1, $"cents").otherwise(0L))
+            .as("first_cents"),
+          sum(when($"rn_last" === 1, $"cents").otherwise(0L))
+            .as("last_cents"),
+          sum(expr("cents * 1000000 div n")).as("linear_microcents"))
+        .orderBy($"channel")
+    }),
+
   )
 
   def oracles: Map[String, String] = Map(
@@ -577,6 +622,41 @@ object Mining {
            CAST(count(*) AS BIGINT) AS n_customers,
            CAST(sum(mon) AS BIGINT) AS sum_monetary_cents
          FROM q GROUP BY 1 ORDER BY rfm_code""",
+
+    // Same join + window ranks in SQL; DuckDB's // is integer div on
+    // BIGINT, matching Spark's `div`.
+    "q86_attribution_models" ->
+      """WITH c AS (
+           SELECT user_id, event_id AS click_id, ts AS click_ts,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) % 5
+               AS channel
+           FROM events WHERE event_type = 'click'),
+         p AS (
+           SELECT user_id, event_id AS purchase_id, ts AS purchase_ts,
+             CAST(round(value * 100) AS BIGINT) AS cents
+           FROM events WHERE event_type = 'purchase'),
+         j AS (
+           SELECT c.channel, c.click_ts, c.click_id,
+             p.purchase_id, p.cents
+           FROM c JOIN p ON c.user_id = p.user_id
+           WHERE c.click_ts <= p.purchase_ts
+             AND c.click_ts >= p.purchase_ts - INTERVAL 30 MINUTE),
+         r AS (
+           SELECT channel, cents,
+             count(*) OVER (PARTITION BY purchase_id) AS n,
+             row_number() OVER (PARTITION BY purchase_id
+               ORDER BY click_ts, click_id) AS rn_first,
+             row_number() OVER (PARTITION BY purchase_id
+               ORDER BY click_ts DESC, click_id DESC) AS rn_last
+           FROM j)
+         SELECT channel, CAST(count(*) AS BIGINT) AS n_touches,
+           CAST(sum(CASE WHEN rn_first = 1 THEN cents ELSE 0 END)
+             AS BIGINT) AS first_cents,
+           CAST(sum(CASE WHEN rn_last = 1 THEN cents ELSE 0 END)
+             AS BIGINT) AS last_cents,
+           CAST(sum((cents * 1000000) // n) AS BIGINT)
+             AS linear_microcents
+         FROM r GROUP BY channel ORDER BY channel""",
 
     // Same telescoped recursion replayed in SQL windows; peak day via
     // row_number (= max_by's (cusum DESC, day ASC) tie-break).

@@ -194,6 +194,22 @@ class MiningSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("attribution models conserve purchase value across channels") {
+    val got = Mining.queries("q86_attribution_models")(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    // every model distributes each attributed purchase's value once:
+    // channel totals agree across first/last, and linear differs only
+    // by the per-click div truncation (< n micro-units per purchase)
+    val first = got.map(_._3).sum
+    val last = got.map(_._4).sum
+    val linear = got.map(_._5).sum
+    assert(first == last)
+    assert(linear <= first * 1000000L)
+    assert(first * 1000000L - linear < got.map(_._2).sum * 1000000L)
+    spark.catalog.clearCache()
+  }
+
   test("gini matches the textbook sorted-rank formula per nation") {
     val got = Mining.queries("q79_gini")(spark, sf)
       .selectExpr("n_name", "n_customers", "revenue_cents", "gini")
