@@ -109,6 +109,10 @@ object Graph {
       // arrays small.
       val adj = o.groupBy($"u")
         .agg(sort_array(collect_list($"v")).as("nbr"))
+        // both broadcast sides project adj DIFFERENTLY (u vs renamed
+        // v), so exchange reuse can't kick in — without the persist
+        // the collect_list aggregation runs twice
+        .persist(StorageLevel.MEMORY_AND_DISK)
       // each w ∈ N⁺(u) ∩ N⁺(v) closes triangle (u,v,w); u and v are
       // each credited once per closing w, so one explode of
       // [u×|ws|, v×|ws|, ws] yields exactly the 3·T per-node
