@@ -338,28 +338,13 @@ object Mining {
     // one map-side-combined shuffle.
     "q84_cusum" -> ((s, d) => {
       import s.implicits._
-      val W = org.apache.spark.sql.expressions.Window
-      val daily = Tables.load(s, d, "events")
+      cusumOverDaily(Tables.load(s, d, "events")
         .select($"event_type",
           datediff(to_date($"ts"), lit("2024-01-01")).cast("long")
             .as("day"),
           round($"value" * 100).cast("long").as("cents"))
         .groupBy($"event_type", $"day")
-        .agg(sum($"cents").as("x"))
-      val wt = W.partitionBy($"event_type")
-      val wc = wt.orderBy($"day")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-      daily
-        .withColumn("n_days", count(lit(1)).over(wt))
-        .withColumn("tot", sum($"x").over(wt))
-        .withColumn("cum", sum($"n_days" * $"x" - $"tot").over(wc))
-        .withColumn("cusum",
-          $"cum" - least(min($"cum").over(wc), lit(0L)))
-        .groupBy($"event_type")
-        .agg(max($"n_days").as("n_days"),
-          max($"cusum").as("peak_cusum"),
-          max_by($"day", struct($"cusum", -$"day")).as("peak_day"))
-        .orderBy($"event_type")
+        .agg(sum($"cents").as("x")))
     }),
 
     // Interval-union coverage: per user, the total ACTIVE time when
@@ -438,6 +423,33 @@ object Mining {
     }),
 
   )
+
+  /** The CUSUM statistic over a (event_type, day, x) daily-aggregate
+    * frame — q84's core, shared with the streaming drift monitor
+    * (StreamOps.cusumDriftSnapshot serves it over the IVM-merged
+    * daily state, so batch and stream produce identical reports from
+    * identical daily totals).
+    */
+  def cusumOverDaily(daily: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val wt = W.partitionBy(col("event_type"))
+    val wc = wt.orderBy(col("day"))
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    daily
+      .withColumn("n_days", count(lit(1)).over(wt))
+      .withColumn("tot", sum(col("x")).over(wt))
+      .withColumn("cum",
+        sum(col("n_days") * col("x") - col("tot")).over(wc))
+      .withColumn("cusum",
+        col("cum") - least(min(col("cum")).over(wc), lit(0L)))
+      .groupBy(col("event_type"))
+      .agg(max(col("n_days")).as("n_days"),
+        max(col("cusum")).as("peak_cusum"),
+        max_by(col("day"), struct(col("cusum"), negate(col("day"))))
+          .as("peak_day"))
+      .orderBy(col("event_type"))
+  }
 
   def oracles: Map[String, String] = Map(
 

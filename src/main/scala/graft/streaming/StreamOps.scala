@@ -551,4 +551,47 @@ object StreamOps {
     fs.rename(tmpPath, statePath)
     fs.delete(oldPath, true)
   }
+
+  /** Streaming CUSUM drift monitor — q84's statistic maintained over
+    * an unbounded event stream via the IVM pattern: each micro-batch
+    * reduces to per-(event_type, day) integer partials (daily sums
+    * are associative, so merge == recompute by construction), merged
+    * into a domain-bounded parquet state table with the same
+    * swap-rename discipline as incrementalAggBatch. The statistic
+    * itself is NOT incremental (a new day shifts every deviation
+    * through the global mean), and does not need to be: it recomputes
+    * on the COMPACT state (types × days rows, never event-sized) at
+    * read time via [[graft.queries.Mining.cusumOverDaily]] — the
+    * fact stream is touched once per batch, the state thousands of
+    * rows. Batch shape: (event_type string, day long, cents long).
+    */
+  def cusumDriftBatch(stateDir: String)(
+      batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val partial = batch.groupBy(col("event_type"), col("day"))
+      .agg(sum(col("cents")).as("x"))
+    val statePath = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = statePath.getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val prior =
+      if (fs.exists(statePath)) Some(spark.read.parquet(stateDir))
+      else None
+    val merged = prior.map(_.unionByName(partial)).getOrElse(partial)
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(col("x")).as("x"))
+    val tmpPath = new org.apache.hadoop.fs.Path(
+      s"$stateDir-tmp-$batchId")
+    val oldPath = new org.apache.hadoop.fs.Path(s"$stateDir-old")
+    merged.write.mode("overwrite").parquet(tmpPath.toString)
+    fs.delete(oldPath, true)
+    if (fs.exists(statePath)) fs.rename(statePath, oldPath)
+    fs.rename(tmpPath, statePath)
+    fs.delete(oldPath, true)
+  }
+
+  /** The served drift report: q84's CUSUM over the current merged
+    * daily state. */
+  def cusumDriftSnapshot(spark: SparkSession, stateDir: String)
+      : DataFrame =
+    graft.queries.Mining.cusumOverDaily(spark.read.parquet(stateDir))
 }

@@ -42,6 +42,39 @@ class StatefulSpec extends SparkSpec {
     }
   }
 
+  test("streaming CUSUM drift: snapshot == q84 statistic on all data") {
+    implicit val sqlCtx = spark.sqlContext
+    val stateDir = java.nio.file.Files
+      .createTempDirectory("graft_cusum").toString + "/state"
+    val in = MemoryStream[(String, Long, Long)]
+    val q = in.toDF().toDF("event_type", "day", "cents").writeStream
+      .foreachBatch(StreamOps.cusumDriftBatch(stateDir) _)
+      .outputMode("append").start()
+    // a planted mean shift in type "a" arriving across three batches
+    in.addData(("a", 1L, 100L), ("a", 2L, 110L), ("b", 1L, 50L))
+    q.processAllAvailable()
+    in.addData(("a", 3L, 90L), ("a", 3L, 15L), ("b", 2L, 55L))
+    q.processAllAvailable()
+    in.addData(("a", 4L, 500L), ("a", 5L, 520L), ("b", 3L, 45L))
+    q.processAllAvailable()
+    q.stop()
+    val got = StreamOps.cusumDriftSnapshot(spark, stateDir)
+      .as[(String, Long, Long, Long)].collect().sortBy(_._1)
+    val all = Seq(("a", 1L, 100L), ("a", 2L, 110L), ("b", 1L, 50L),
+      ("a", 3L, 90L), ("a", 3L, 15L), ("b", 2L, 55L),
+      ("a", 4L, 500L), ("a", 5L, 520L), ("b", 3L, 45L))
+    val direct = graft.queries.Mining.cusumOverDaily(
+        all.toDF("event_type", "day", "cents")
+          .groupBy($"event_type", $"day")
+          .agg(org.apache.spark.sql.functions.sum($"cents").as("x")))
+      .as[(String, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.sameElements(direct),
+      s"${got.toSeq} vs ${direct.toSeq}")
+    // the planted shift in "a" must register a positive peak after
+    // the step-up days arrive
+    assert(got.find(_._1 == "a").get._3 > 0)
+  }
+
   test("transformWithState v2: event-time TIMERS close idle sessions") {
     implicit val sqlCtx = spark.sqlContext
     val prev = spark.conf.getOption(
