@@ -164,6 +164,66 @@ object Graph {
     // size: it was 6 at both test scales.
     "q75_kcore" -> ((s, d) => kcoreAt(s, d, 80)),
 
+    // Single-source weighted shortest paths (4 relaxation rounds) —
+    // the DISTANCE primitive completing the graph family (PageRank =
+    // centrality, CC = membership, triangles/k-core = density). Edge
+    // weight is affinity-derived in exact integers: frequently
+    // co-shipped part pairs are "closer" (w = 1 + 1000 div n_ab —
+    // monotone, integer div on both engines). Bellman-Ford in the
+    // min-plus semiring: each round relaxes every edge once —
+    // dist' = min(dist, min_incoming(dist_u + w)) — so round r holds
+    // exact shortest distances over paths of ≤ r edges: a FIXED round
+    // count is a well-defined semantics (not an approximation
+    // artifact), which is what lets the oracle unroll the identical
+    // four rounds. 100 TB shape follows pagerankFull: the weighted
+    // edge list is built once and persisted; the distance table is
+    // node-sized and travels as a broadcast; a round's only exchange
+    // is the groupBy(dst) min-combine — (long, long) pairs, map-side
+    // collapsed. Rounds rebase onto their materialized RDD (q75's
+    // lineage lesson) and unpersist round k−1 after materializing k.
+    "q87_shortest_path" -> ((s, d) => {
+      import s.implicits._
+      val counts = Tables.load(s, d, "lineitem")
+        .select($"l_orderkey".as("ok"), $"l_partkey".as("pk"))
+        .distinct()
+        .groupBy($"ok")
+        .agg(sort_array(collect_set($"pk")).as("ps"))
+        .select(explode(expr(
+          """flatten(transform(ps, (x, i) ->
+             transform(slice(ps, i + 2, size(ps)),
+               y -> struct(x AS a, y AS b))))""")).as("e"))
+        .groupBy($"e.a".as("a"), $"e.b".as("b"))
+        .agg(count(lit(1)).as("n_ab"))
+      val wEdges = counts
+        .withColumn("w", lit(1L) + expr("1000 div n_ab"))
+        .select(explode(array(
+          struct($"a".as("src"), $"b".as("dst"), $"w"),
+          struct($"b".as("src"), $"a".as("dst"), $"w"))).as("e"))
+        .select($"e.src", $"e.dst", $"e.w")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      // source = the lowest part id in the graph (a < b in every
+      // pair, so min(a) suffices); one driver scalar, the q31 pattern
+      val source = wEdges.agg(min($"src")).head.getLong(0)
+      var dist = wEdges.sparkSession.range(1)
+        .select(lit(source).as("node"), lit(0L).as("dist"))
+      var prev: Option[DataFrame] = None
+      for (_ <- 1 to 4) {
+        val relaxed = wEdges
+          .join(broadcast(dist), $"src" === $"node")
+          .select($"dst".as("node"), ($"dist" + $"w").as("cand"))
+          .unionByName(dist.select($"node", $"dist".as("cand")))
+          .groupBy($"node").agg(min($"cand").as("dist"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        relaxed.count()
+        val flat = s.createDataFrame(relaxed.rdd, relaxed.schema)
+        prev.foreach(_.unpersist(false))
+        prev = Some(relaxed)
+        dist = flat
+      }
+      dist.select($"node".as("p_partkey"), $"dist")
+        .orderBy($"dist", $"p_partkey").limit(100)
+    }),
+
   )
 
   /** The k-core peel at a caller-chosen k — the registered query is
@@ -326,6 +386,37 @@ object Graph {
     // inlining makes the 10-round chain expand 2^10 copies of the
     // whole edge build — the un-hinted form ran >12 min at sf0.01;
     // materialized it's sub-second.
+    // 4 unrolled Bellman-Ford relaxations over the affinity-weighted
+    // symmetric edges — MATERIALIZED like q75 (each round references
+    // its predecessor twice: relax + keep).
+    "q87_shortest_path" -> {
+      def relax(prev: String, cur: String): String =
+        s"""$cur AS MATERIALIZED (
+           SELECT node, min(cand) AS dist FROM (
+             SELECT ed.dst AS node, p.dist + ed.w AS cand
+             FROM ed JOIN $prev p ON ed.src = p.node
+             UNION ALL
+             SELECT node, dist AS cand FROM $prev) u
+           GROUP BY node)"""
+      s"""WITH li AS MATERIALIZED (
+           SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+           FROM lineitem),
+         pc AS MATERIALIZED (
+           SELECT x.pk AS a, y.pk AS b, count(*) AS n_ab
+           FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk
+           GROUP BY 1, 2),
+         ed AS MATERIALIZED (
+           SELECT a AS src, b AS dst, 1 + 1000 // n_ab AS w FROM pc
+           UNION ALL
+           SELECT b, a, 1 + 1000 // n_ab FROM pc),
+         d0 AS MATERIALIZED (
+           SELECT min(src) AS node, CAST(0 AS BIGINT) AS dist FROM ed),
+         ${relax("d0", "d1")}, ${relax("d1", "d2")},
+         ${relax("d2", "d3")}, ${relax("d3", "d4")}
+         SELECT node AS p_partkey, CAST(dist AS BIGINT) AS dist
+         FROM d4 ORDER BY dist, p_partkey LIMIT 100"""
+    },
+
     "q75_kcore" -> {
       def peel(prev: String, cur: String): String =
         s"""$cur AS MATERIALIZED (

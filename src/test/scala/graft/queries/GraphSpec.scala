@@ -13,6 +13,37 @@ class GraphSpec extends SparkSpec {
 
   private val sf = "/root/testdata/sf0.001"
 
+  test("shortest paths match a brute-force 4-round Bellman-Ford") {
+    val got = graft.SparkEntry.queries("q87_shortest_path")(spark, sf)
+      .as[(Long, Long)].collect()
+    assert(got.nonEmpty)
+    // rebuild the weighted graph by hand
+    val li = graft.Tables.load(spark, sf, "lineitem")
+      .selectExpr("l_orderkey as ok", "l_partkey as pk")
+      .distinct().as[(Long, Long)].collect()
+    val pairs = li.groupBy(_._1).values.flatMap { rows =>
+      val ps = rows.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length)
+        yield (ps(i), ps(j))
+    }.toSeq.groupBy(identity).map { case ((a, b), o) =>
+      (a, b, 1L + 1000L / o.length) }
+    val adj = pairs.flatMap { case (a, b, w) =>
+      Seq((a, b, w), (b, a, w)) }.toSeq
+    val source = adj.map(_._1).min
+    var dist = Map(source -> 0L)
+    for (_ <- 1 to 4) {
+      val relaxed = adj.flatMap { case (u, v, w) =>
+        dist.get(u).map(du => v -> (du + w)) }
+      dist = (dist.toSeq ++ relaxed).groupBy(_._1).map {
+        case (n, ds) => n -> ds.map(_._2).min }
+    }
+    val want = dist.toSeq.map { case (n, dd) => (n, dd) }
+      .sortBy(r => (r._2, r._1)).take(100)
+    assert(got.toSeq == want, s"first diff: ${
+      got.toSeq.zip(want).find { case (a, b) => a != b }}")
+    spark.catalog.clearCache()
+  }
+
   test("pagerank: mass conserved within truncation loss, ranks positive") {
     val top = graft.SparkEntry.queries("q62_pagerank")(spark, sf)
       .as[(String, Long)].collect()
