@@ -31,7 +31,7 @@ import graft.{Q, Tables}
   */
 object Mining {
 
-  def queries: Map[String, Q] = Map(
+  def queries: Map[String, Q] = Map[String, Q](
 
     // 2-D Pareto skyline: the undominated (price, size) frontier of
     // the parts catalogue — part p is dominated when some q is no
@@ -422,6 +422,41 @@ object Mining {
         .orderBy($"channel")
     }),
 
+  ) ++ miningQueries2
+
+  private val miningQueries2: Map[String, Q] = Map(
+    // Tukey-fence (IQR) outlier report: the third member of the
+    // outlier-detection family — q33's z-score assumes normality,
+    // q80's MAD is the robust scale, IQR fences are the boxplot
+    // standard. Fences stay in EXACT integers by clearing the 1.5
+    // factor: x is an outlier iff 2·x < 2·q1 − 3·IQR or
+    // 2·x > 2·q3 + 3·IQR (everything doubled — no .5 to round).
+    // Quartiles ride ops.Quantiles' distributed pass; the 25-row
+    // fence table broadcasts back onto the scan; the report is one
+    // map-side-combined aggregate.
+    "q88_iqr_outliers" -> ((s, d) => {
+      import s.implicits._
+      val c = Tables.load(s, d, "customer")
+        .join(broadcast(Tables.load(s, d, "nation")
+          .select($"n_nationkey", $"n_name")),
+          $"c_nationkey" === $"n_nationkey")
+        .select($"n_name", $"c_custkey",
+          round($"c_acctbal" * 100).cast("long").as("cents"))
+      val q = graft.ops.Quantiles.exactByGroup(c, "n_name", $"cents",
+        Seq("q1" -> 0.25, "q3" -> 0.75))
+      c.join(broadcast(q), Seq("n_name"))
+        .withColumn("iqr", $"q3" - $"q1")
+        .withColumn("is_out",
+          lit(2L) * $"cents" < lit(2L) * $"q1" - lit(3L) * $"iqr" ||
+            lit(2L) * $"cents" > lit(2L) * $"q3" + lit(3L) * $"iqr")
+        .groupBy($"n_name")
+        .agg(max($"n").as("n"),
+          min($"q1").as("q1_cents"), min($"q3").as("q3_cents"),
+          sum(when($"is_out", 1L).otherwise(0L)).as("n_outliers"),
+          min(when($"is_out", $"cents")).as("worst_low"),
+          max(when($"is_out", $"cents")).as("worst_high"))
+        .orderBy($"n_name")
+    }),
   )
 
   /** The CUSUM statistic over a (event_type, day, x) daily-aggregate
@@ -634,6 +669,41 @@ object Mining {
            CAST(count(*) AS BIGINT) AS n_customers,
            CAST(sum(mon) AS BIGINT) AS sum_monetary_cents
          FROM q GROUP BY 1 ORDER BY rfm_code""",
+
+    // Independent formulation: row_number quartiles + the same
+    // doubled-integer fences.
+    "q88_iqr_outliers" ->
+      """WITH c AS (
+           SELECT n.n_name, c.c_custkey,
+             CAST(round(c.c_acctbal * 100) AS BIGINT) AS cents
+           FROM customer c JOIN nation n
+             ON c.c_nationkey = n.n_nationkey),
+         r AS (
+           SELECT n_name, cents,
+             row_number() OVER (PARTITION BY n_name ORDER BY cents)
+               AS rn,
+             count(*) OVER (PARTITION BY n_name) AS n
+           FROM c),
+         q AS (
+           SELECT n_name, max(n) AS n,
+             min(CASE WHEN rn = CAST(floor(0.25 * (n - 1)) AS BIGINT)
+                   + 1 THEN cents END) AS q1,
+             min(CASE WHEN rn = CAST(floor(0.75 * (n - 1)) AS BIGINT)
+                   + 1 THEN cents END) AS q3
+           FROM r GROUP BY n_name)
+         SELECT c.n_name, CAST(max(q.n) AS BIGINT) AS n,
+           min(q.q1) AS q1_cents, min(q.q3) AS q3_cents,
+           CAST(sum(CASE WHEN 2 * c.cents < 2 * q.q1 - 3 * (q.q3 - q.q1)
+                  OR 2 * c.cents > 2 * q.q3 + 3 * (q.q3 - q.q1)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           min(CASE WHEN 2 * c.cents < 2 * q.q1 - 3 * (q.q3 - q.q1)
+                 OR 2 * c.cents > 2 * q.q3 + 3 * (q.q3 - q.q1)
+               THEN c.cents END) AS worst_low,
+           max(CASE WHEN 2 * c.cents < 2 * q.q1 - 3 * (q.q3 - q.q1)
+                 OR 2 * c.cents > 2 * q.q3 + 3 * (q.q3 - q.q1)
+               THEN c.cents END) AS worst_high
+         FROM c JOIN q ON c.n_name = q.n_name
+         GROUP BY c.n_name ORDER BY c.n_name""",
 
     // Same join + window ranks in SQL; DuckDB's // is integer div on
     // BIGINT, matching Spark's `div`.

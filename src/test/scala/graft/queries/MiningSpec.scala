@@ -210,6 +210,29 @@ class MiningSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("iqr outliers match the brute-force Tukey fences") {
+    val got = Mining.queries("q88_iqr_outliers")(spark, sf)
+      .selectExpr("n_name", "n", "q1_cents", "q3_cents", "n_outliers")
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    val rows = graft.Tables.load(spark, sf, "customer")
+      .join(graft.Tables.load(spark, sf, "nation"),
+        $"c_nationkey" === $"n_nationkey")
+      .selectExpr("n_name", "cast(round(c_acctbal * 100) as long) as c")
+      .as[(String, Long)].collect().groupBy(_._1)
+    got.foreach { case (nm, n, q1, q3, nOut) =>
+      val xs = rows(nm).map(_._2).sorted
+      assert(n == xs.length)
+      assert(q1 == xs(math.floor(0.25 * (xs.length - 1)).toInt))
+      assert(q3 == xs(math.floor(0.75 * (xs.length - 1)).toInt))
+      val iqr = q3 - q1
+      val want = xs.count(x =>
+        2 * x < 2 * q1 - 3 * iqr || 2 * x > 2 * q3 + 3 * iqr)
+      assert(nOut == want, s"$nm: $nOut vs $want")
+    }
+    spark.catalog.clearCache()
+  }
+
   test("gini matches the textbook sorted-rank formula per nation") {
     val got = Mining.queries("q79_gini")(spark, sf)
       .selectExpr("n_name", "n_customers", "revenue_cents", "gini")
