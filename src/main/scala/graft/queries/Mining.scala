@@ -425,6 +425,43 @@ object Mining {
   ) ++ miningQueries2
 
   private val miningQueries2: Map[String, Q] = Map(
+    // Dataset card: the per-(lang, source) datasheet table a corpus
+    // release ships with — volume (docs, tokens, chars), exact-dup
+    // rate, and the token-count median. One fact scan feeds
+    // everything: the md5 digest rides the scan projection (mm_dedup's
+    // discipline), dup flags come from a digest-count aggregate joined
+    // back by digest, and the median rides ops.Quantiles over a
+    // composite group key (stratum count is domain-bounded, so the
+    // quantile table broadcasts). The "are my strata balanced / is one
+    // source poisoning the mix" first-look every curation round runs.
+    "pipeline_dataset_card" -> ((s, d) => {
+      import s.implicits._
+      val sep = "\u0001"
+      val base = Tables.load(s, d, "documents")
+        .select($"lang", $"source", $"n_chars".cast("long").as("n_chars"),
+          size(split(lower($"text"), "\\s+")).cast("long")
+            .as("n_tokens"),
+          md5($"text").as("digest"))
+        .withColumn("key", concat_ws(sep, $"lang", $"source"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val dupCounts = base.groupBy($"digest")
+        .agg(count(lit(1)).as("n_copies"))
+      val med = graft.ops.Quantiles.exactByGroup(base, "key",
+        $"n_tokens", Seq("med_tokens" -> 0.5)).drop("n")
+      base.join(dupCounts, Seq("digest"))
+        .groupBy($"key")
+        .agg(first($"lang").as("lang"), first($"source").as("source"),
+          count(lit(1)).as("n_docs"),
+          sum($"n_tokens").as("n_tokens"),
+          sum($"n_chars").as("n_chars"),
+          sum(when($"n_copies" > 1, 1L).otherwise(0L))
+            .as("n_exact_dup_docs"))
+        .join(broadcast(med), Seq("key"))
+        .select($"lang", $"source", $"n_docs", $"n_tokens", $"n_chars",
+          $"n_exact_dup_docs", $"med_tokens")
+        .orderBy($"lang", $"source")
+    }),
+
     // Tukey-fence (IQR) outlier report: the third member of the
     // outlier-detection family — q33's z-score assumes normality,
     // q80's MAD is the robust scale, IQR fences are the boxplot
@@ -669,6 +706,41 @@ object Mining {
            CAST(count(*) AS BIGINT) AS n_customers,
            CAST(sum(mon) AS BIGINT) AS sum_monetary_cents
          FROM q GROUP BY 1 ORDER BY rfm_code""",
+
+    // Independent formulation: window row_number median, digest
+    // counts via GROUP BY + join — no composite key anywhere.
+    "pipeline_dataset_card" ->
+      """WITH base AS (
+           SELECT lang, source, CAST(n_chars AS BIGINT) AS n_chars,
+             CAST(len(string_split_regex(lower(text), '\s+'))
+               AS BIGINT) AS n_tokens,
+             md5(text) AS digest
+           FROM documents),
+         dc AS (
+           SELECT digest, count(*) AS n_copies FROM base
+           GROUP BY digest),
+         r AS (
+           SELECT lang, source, n_tokens,
+             row_number() OVER (PARTITION BY lang, source
+               ORDER BY n_tokens) AS rn,
+             count(*) OVER (PARTITION BY lang, source) AS n
+           FROM base),
+         med AS (
+           SELECT lang, source,
+             min(CASE WHEN rn = CAST(floor(0.5 * (n - 1)) AS BIGINT)
+                   + 1 THEN n_tokens END) AS med_tokens
+           FROM r GROUP BY lang, source)
+         SELECT b.lang, b.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(b.n_tokens) AS BIGINT) AS n_tokens,
+           CAST(sum(b.n_chars) AS BIGINT) AS n_chars,
+           CAST(sum(CASE WHEN d.n_copies > 1 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_exact_dup_docs,
+           min(m.med_tokens) AS med_tokens
+         FROM base b
+         JOIN dc d ON b.digest = d.digest
+         JOIN med m ON b.lang = m.lang AND b.source = m.source
+         GROUP BY b.lang, b.source ORDER BY b.lang, b.source""",
 
     // Independent formulation: row_number quartiles + the same
     // doubled-integer fences.

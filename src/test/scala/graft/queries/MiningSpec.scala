@@ -233,6 +233,28 @@ class MiningSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("dataset card totals reconcile with the raw corpus") {
+    val got = Mining.queries("pipeline_dataset_card")(spark, sf)
+      .selectExpr("lang", "source", "n_docs", "n_tokens",
+        "n_exact_dup_docs", "med_tokens")
+      .as[(String, String, Long, Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    val docs = graft.Tables.load(spark, sf, "documents")
+      .selectExpr("lang", "source", "text",
+        "cast(size(split(lower(text), '\\\\s+')) as long) as t")
+      .as[(String, String, String, Long)].collect()
+    assert(got.map(_._3).sum == docs.length)
+    val digests = docs.groupBy(_._3).view.mapValues(_.length)
+    got.foreach { case (lang, src, nDocs, nTok, nDup, med) =>
+      val mine = docs.filter(r => r._1 == lang && r._2 == src)
+      assert(nDocs == mine.length && nTok == mine.map(_._4).sum)
+      assert(nDup == mine.count(r => digests(r._3) > 1))
+      val xs = mine.map(_._4).sorted
+      assert(med == xs(math.floor(0.5 * (xs.length - 1)).toInt))
+    }
+    spark.catalog.clearCache()
+  }
+
   test("gini matches the textbook sorted-rank formula per nation") {
     val got = Mining.queries("q79_gini")(spark, sf)
       .selectExpr("n_name", "n_customers", "revenue_cents", "gini")
