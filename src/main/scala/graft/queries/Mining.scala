@@ -425,6 +425,41 @@ object Mining {
   ) ++ miningQueries2
 
   private val miningQueries2: Map[String, Q] = Map(
+    // Conversion-lag distribution: how long between the FIRST
+    // qualifying click and the purchase, as exact p50/p90 per click
+    // channel — the latency-shaped question (q48 finds the first
+    // touch; this reports the distribution of its delay). First-click
+    // pick is q48's min_by partial aggregate (never a window over the
+    // join); the micro-second lags then ride ops.Quantiles' exact
+    // discrete pass per channel. All longs end-to-end.
+    "q89_conversion_lag" -> ((s, d) => {
+      import s.implicits._
+      val ev = Tables.load(s, d, "events")
+      val clicks = ev.filter($"event_type" === "click")
+        .select($"user_id", $"event_id".as("click_id"),
+          $"ts".as("click_ts"),
+          (get_json_object($"props", "$.k").cast("long") % 5)
+            .as("channel"))
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"user_id", $"event_id".as("purchase_id"),
+          $"ts".as("purchase_ts"))
+      val lags = clicks.join(purchases, Seq("user_id"))
+        .filter($"click_ts" <= $"purchase_ts" &&
+          $"click_ts" >= $"purchase_ts" - expr("interval 30 minutes"))
+        .groupBy($"purchase_id")
+        .agg(min_by(struct($"click_ts", $"click_id", $"channel"),
+          struct($"click_ts", $"click_id")).as("fc"),
+          first($"purchase_ts").as("p_ts"))
+        .select($"fc.channel".as("channel"),
+          (unix_micros($"p_ts") - unix_micros($"fc.click_ts"))
+            .as("lag_us"))
+      graft.ops.Quantiles.exactByGroup(lags, "channel", $"lag_us",
+          Seq("p50_lag_us" -> 0.5, "p90_lag_us" -> 0.9))
+        .select(col("channel"), col("n").as("n_conversions"),
+          col("p50_lag_us"), col("p90_lag_us"))
+        .orderBy(col("channel"))
+    }),
+
     // Dataset card: the per-(lang, source) datasheet table a corpus
     // release ships with — volume (docs, tokens, chars), exact-dup
     // rate, and the token-count median. One fact scan feeds
@@ -706,6 +741,40 @@ object Mining {
            CAST(count(*) AS BIGINT) AS n_customers,
            CAST(sum(mon) AS BIGINT) AS sum_monetary_cents
          FROM q GROUP BY 1 ORDER BY rfm_code""",
+
+    // Independent formulation: row_number first-click pick +
+    // row_number lag quantiles.
+    "q89_conversion_lag" ->
+      """WITH c AS (
+           SELECT user_id, event_id AS click_id, ts AS click_ts,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) % 5
+               AS channel
+           FROM events WHERE event_type = 'click'),
+         p AS (
+           SELECT user_id, event_id AS purchase_id, ts AS purchase_ts
+           FROM events WHERE event_type = 'purchase'),
+         j AS (
+           SELECT p.purchase_id, c.channel,
+             epoch_us(p.purchase_ts) - epoch_us(c.click_ts) AS lag_us,
+             row_number() OVER (PARTITION BY p.purchase_id
+               ORDER BY c.click_ts, c.click_id) AS rn
+           FROM c JOIN p ON c.user_id = p.user_id
+           WHERE c.click_ts <= p.purchase_ts
+             AND c.click_ts >= p.purchase_ts - INTERVAL 30 MINUTE),
+         lags AS (
+           SELECT channel, lag_us FROM j WHERE rn = 1),
+         r AS (
+           SELECT channel, lag_us,
+             row_number() OVER (PARTITION BY channel ORDER BY lag_us)
+               AS rn,
+             count(*) OVER (PARTITION BY channel) AS n
+           FROM lags)
+         SELECT channel, CAST(max(n) AS BIGINT) AS n_conversions,
+           min(CASE WHEN rn = CAST(floor(0.5 * (n - 1)) AS BIGINT) + 1
+                 THEN lag_us END) AS p50_lag_us,
+           min(CASE WHEN rn = CAST(floor(0.9 * (n - 1)) AS BIGINT) + 1
+                 THEN lag_us END) AS p90_lag_us
+         FROM r GROUP BY channel ORDER BY channel""",
 
     // Independent formulation: window row_number median, digest
     // counts via GROUP BY + join — no composite key anywhere.

@@ -255,6 +255,34 @@ class MiningSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("conversion lags are the sorted order statistics of first-click delays") {
+    val got = Mining.queries("q89_conversion_lag")(spark, sf)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    val ev = graft.Tables.load(spark, sf, "events")
+      .selectExpr("user_id", "event_id", "unix_micros(ts) as us",
+        "event_type",
+        "cast(get_json_object(props, '$.k') as long) % 5 as ch")
+      .as[(Long, Long, Long, String, Long)].collect()
+    val clicks = ev.filter(_._4 == "click")
+    val lags = ev.filter(_._4 == "purchase").flatMap { p =>
+      val qual = clicks.filter(c => c._1 == p._1 &&
+        c._3 <= p._3 && c._3 >= p._3 - 1800L * 1000000L)
+      if (qual.isEmpty) None
+      else {
+        val first = qual.minBy(c => (c._3, c._2))
+        Some(first._5 -> (p._3 - first._3))
+      }
+    }.groupBy(_._1)
+    got.foreach { case (ch, n, p50, p90) =>
+      val xs = lags(ch).map(_._2).sorted
+      assert(n == xs.length)
+      assert(p50 == xs(math.floor(0.5 * (xs.length - 1)).toInt))
+      assert(p90 == xs(math.floor(0.9 * (xs.length - 1)).toInt))
+    }
+    spark.catalog.clearCache()
+  }
+
   test("gini matches the textbook sorted-rank formula per nation") {
     val got = Mining.queries("q79_gini")(spark, sf)
       .selectExpr("n_name", "n_customers", "revenue_cents", "gini")
