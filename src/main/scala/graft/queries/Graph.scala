@@ -164,6 +164,30 @@ object Graph {
     // size: it was 6 at both test scales.
     "q75_kcore" -> ((s, d) => kcoreAt(s, d, 80)),
 
+    // Degree-distribution profile of the co-occurrence graph —
+    // log2-bucketed degree histogram plus per-bucket degree bounds,
+    // the diagnostic read before choosing graph-algorithm parameters
+    // (q75's k, broadcast thresholds, skew salting): a heavy power-law
+    // tail means the orientation/broadcast design decisions actually
+    // bind. Two map-side-combined aggregates over the persisted edge
+    // list (degree count, then bucket rollup) — no joins, no windows;
+    // log2 via integer bit-length arithmetic (floor(log2(d)) =
+    // bit_length(d) − 1, exact on both engines).
+    "q90_graph_profile" -> ((s, d) => {
+      import s.implicits._
+      val e = coOccurrenceEdges(s, d)
+      val deg = e.select($"a".as("n")).unionAll(e.select($"b".as("n")))
+        .groupBy($"n").agg(count(lit(1)).as("deg"))
+      deg
+        .withColumn("bucket",
+          (length(bin($"deg")) - 1).cast("long"))
+        .groupBy($"bucket")
+        .agg(count(lit(1)).as("n_nodes"),
+          min($"deg").as("min_deg"), max($"deg").as("max_deg"),
+          sum($"deg").as("sum_deg"))
+        .orderBy($"bucket")
+    }),
+
     // Single-source weighted shortest paths (4 relaxation rounds) —
     // the DISTANCE primitive completing the graph family (PageRank =
     // centrality, CC = membership, triangles/k-core = density). Edge
@@ -386,6 +410,25 @@ object Graph {
     // inlining makes the 10-round chain expand 2^10 copies of the
     // whole edge build — the un-hinted form ran >12 min at sf0.01;
     // materialized it's sub-second.
+    // floor(log2(deg)) as length(bin(deg))−1 — integer on both
+    // engines (DuckDB bin() is the same binary-string primitive).
+    "q90_graph_profile" ->
+      """WITH li AS MATERIALIZED (
+           SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+           FROM lineitem),
+         e AS MATERIALIZED (
+           SELECT DISTINCT x.pk AS a, y.pk AS b
+           FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk),
+         deg AS (
+           SELECT n, count(*) AS deg FROM (
+             SELECT a AS n FROM e UNION ALL SELECT b FROM e) u
+           GROUP BY n)
+         SELECT CAST(length(bin(deg)) - 1 AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_nodes,
+           min(deg) AS min_deg, max(deg) AS max_deg,
+           CAST(sum(deg) AS BIGINT) AS sum_deg
+         FROM deg GROUP BY 1 ORDER BY bucket""",
+
     // 4 unrolled Bellman-Ford relaxations over the affinity-weighted
     // symmetric edges — MATERIALIZED like q75 (each round references
     // its predecessor twice: relax + keep).

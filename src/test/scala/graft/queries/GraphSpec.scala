@@ -44,6 +44,30 @@ class GraphSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("graph profile buckets tile the degree range and conserve mass") {
+    val got = graft.SparkEntry.queries("q90_graph_profile")(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (b, n, lo, hi, sum) =>
+      // bucket b holds degrees in [2^b, 2^(b+1))
+      assert(lo >= (1L << b) && hi < (1L << (b + 1)))
+      assert(n > 0 && sum >= n * lo && sum <= n * hi)
+    }
+    // Σ per-bucket node counts = |nodes|; Σ degrees = 2·|edges|
+    val li = graft.Tables.load(spark, sf, "lineitem")
+      .selectExpr("l_orderkey as ok", "l_partkey as pk")
+      .distinct().as[(Long, Long)].collect()
+    val edges = li.groupBy(_._1).values.flatMap { rows =>
+      val ps = rows.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length)
+        yield (ps(i), ps(j))
+    }.toSet
+    assert(got.map(_._2).sum ==
+      edges.flatMap(e => Seq(e._1, e._2)).size)
+    assert(got.map(_._5).sum == 2L * edges.size)
+    spark.catalog.clearCache()
+  }
+
   test("pagerank: mass conserved within truncation loss, ranks positive") {
     val top = graft.SparkEntry.queries("q62_pagerank")(spark, sf)
       .as[(String, Long)].collect()
