@@ -594,4 +594,36 @@ object StreamOps {
   def cusumDriftSnapshot(spark: SparkSession, stateDir: String)
       : DataFrame =
     graft.queries.Mining.cusumOverDaily(spark.read.parquet(stateDir))
+
+  /** Streaming decontamination guard — eval-set protection AT INGEST:
+    * each arriving micro-batch of documents is checked for near-dups
+    * of the (static) test corpus, and hits are quarantined to a
+    * parquet audit log instead of flowing on to training. This is
+    * pipeline_split_leakage's detector turned preventive, and it
+    * reuses the verified batch machinery WHOLESALE: the test corpus
+    * rides in with negative ids and
+    * [[graft.dedup.Dedup.minhashIncrementalOver]] (pivot 0) returns
+    * the batch's survivors — flagged = batch ∖ survivors. Per-batch
+    * cost re-shingles the test corpus; a production deployment
+    * persists the corpus signature table across batches (the sigs
+    * frame inside the reused machinery is exactly that table — the
+    * documented lift when batch rate matters). Batch shape:
+    * (doc_id ≥ 0 long, text string).
+    */
+  def decontaminationGuard(testCorpus: DataFrame, quarantineDir: String,
+      threshold: Double = 0.5)(batch: DataFrame, batchId: Long)
+      : Unit = {
+    val corpus = testCorpus
+      .select((-col("doc_id") - 1).as("doc_id"), col("text"))
+    val all = corpus.unionByName(batch.select(col("doc_id"), col("text")))
+      .withColumn("shh", graft.functions.ShingleFunctions
+        .shingle_hashes(col("text")))
+    val survivors = graft.dedup.Dedup
+      .minhashIncrementalOver(all, pivot = 0L, threshold)
+    val flagged = batch.select(col("doc_id"))
+      .join(survivors, Seq("doc_id"), "left_anti")
+      .withColumn("batch_id", lit(batchId))
+    flagged.write.mode("append").parquet(quarantineDir)
+    batch.sparkSession.catalog.clearCache()
+  }
 }

@@ -75,6 +75,35 @@ class StatefulSpec extends SparkSpec {
     assert(got.find(_._1 == "a").get._3 > 0)
   }
 
+  test("decontamination guard quarantines test-set near-dups at ingest") {
+    implicit val sqlCtx = spark.sqlContext
+    val qDir = java.nio.file.Files
+      .createTempDirectory("graft_decon").toString + "/quarantine"
+    val testDoc = "the quick brown fox jumps over the lazy dog " +
+      "again and again in the golden evening light"
+    val testCorpus = Seq((1L, testDoc)).toDF("doc_id", "text")
+    val in = MemoryStream[(Long, String)]
+    val q = in.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch(StreamOps.decontaminationGuard(testCorpus, qDir) _)
+      .outputMode("append").start()
+    // batch 1: clean documents — nothing quarantined
+    in.addData((10L, "completely unrelated text about spark plans " +
+      "and shuffle exchanges in a distributed engine runtime"),
+      (11L, "short"))
+    q.processAllAvailable()
+    // batch 2: a near-dup of the test doc (one word changed) + clean
+    in.addData((20L, testDoc.replace("golden", "silver")),
+      (21L, "another unrelated document mentioning parquet footers " +
+        "and columnar pruning for wide analytical scans"))
+    q.processAllAvailable()
+    q.stop()
+    val flagged = spark.read.parquet(qDir)
+      .as[(Long, Long)].collect().sortBy(_._1)
+    assert(flagged.map(_._1).toSeq == Seq(20L),
+      s"expected only doc 20 quarantined, got ${flagged.toSeq}")
+    assert(flagged.head._2 == 1L, "flagged in the second micro-batch")
+  }
+
   test("transformWithState v2: event-time TIMERS close idle sessions") {
     implicit val sqlCtx = spark.sqlContext
     val prev = spark.conf.getOption(
