@@ -151,6 +151,50 @@ object Multimodal {
   }
 
   def queries: Map[String, Q] = Map(
+    // Perceptual-hash near-dup — the media twin of dedup_simhash: a
+    // 52-bit two-plane sign hash over the encoder's feature vector (bit i set
+    // iff dim i sits above the vector mean, bit 26+i iff above twice
+    // it — cross-multiplied 26·vᵢ > Σv / 13·vᵢ > Σv, no division),
+    // banded 18/17/17 so any pair within
+    // Hamming ≤ 2 shares at least one exact band (pigeonhole: 3
+    // bands, ≤ 2 differing bits), then exact bit_count verification
+    // on candidates only. Blocking is by band equality → one
+    // (band, bval) shuffle, candidate fan-out bounded by bucket
+    // occupancy; never all-pairs. Runs on the stub letter-histogram
+    // kernel (deterministic, SQL-replayable → fully oracle-checked);
+    // a real image encoder flows through the identical seam and
+    // bit-arithmetic.
+    "mm_phash_dedup" -> ((s, d) => {
+      import s.implicits._
+      val h = embed(pack(s, d, spreadDocs = true))
+        .withColumn("tot",
+          aggregate($"embedding", lit(0L), (a, x) => a + x))
+        .withColumn("ph", expr(
+          """aggregate(sequence(0, 25), 0L, (acc, i) ->
+             acc + IF(26 * element_at(embedding, i + 1) > tot,
+               shiftleft(1L, i), 0L)
+                 + IF(13 * element_at(embedding, i + 1) > tot,
+               shiftleft(1L, i + 26), 0L))"""))
+        .select($"doc_id", $"ph")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val bands = h.select($"doc_id", $"ph",
+        posexplode(array(expr("ph & 262143"),
+          expr("shiftright(ph, 18) & 131071"),
+          expr("shiftright(ph, 35)")))
+          .as(Seq("band", "bval")))
+      bands.select($"band", $"bval", $"doc_id".as("doc_a"),
+          $"ph".as("ha"))
+        .join(bands.select($"band", $"bval", $"doc_id".as("doc_b"),
+          $"ph".as("hb")), Seq("band", "bval"))
+        .filter($"doc_a" < $"doc_b")
+        .select($"doc_a", $"doc_b", $"ha", $"hb").distinct()
+        .withColumn("hamming",
+          expr("cast(bit_count(ha ^ hb) as bigint)"))
+        .filter($"hamming" <= 2)
+        .select($"doc_a", $"doc_b", $"hamming")
+        .orderBy($"doc_a", $"doc_b")
+    }),
+
     // the inference seam end-to-end: pack → batched encoder kernel →
     // vector postprocessing (dim / L1 norm / content fingerprint of
     // the vector itself), all row-local after the kernel
@@ -249,6 +293,38 @@ object Multimodal {
     .mkString(", ")
 
   def oracles: Map[String, String] = Map(
+    // same 26-dim histogram → same sign bits → same bands; DuckDB
+    // bit-ops (xor, bit_count, >>, &) mirror Spark's
+    "mm_phash_dedup" ->
+      s"""WITH m AS (
+           SELECT d.doc_id, d.text
+           FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+         c AS (SELECT doc_id, [$letterCounts] AS v FROM m),
+         h AS (
+           SELECT doc_id,
+             list_sum(list_transform(range(0, 26),
+               i -> (CASE WHEN 26 * v[i + 1] > list_sum(v)
+                     THEN 1::BIGINT << i ELSE 0::BIGINT END)
+                  + (CASE WHEN 13 * v[i + 1] > list_sum(v)
+                     THEN 1::BIGINT << (i + 26) ELSE 0::BIGINT END)))
+               AS ph
+           FROM c),
+         b AS (
+           SELECT doc_id, ph, unnest([0, 1, 2]) AS band,
+             unnest([ph & 262143, (ph >> 18) & 131071, ph >> 35])
+               AS bval
+           FROM h),
+         cand AS (
+           SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+             x.ph AS ha, y.ph AS hb
+           FROM b x JOIN b y
+             ON x.band = y.band AND x.bval = y.bval
+              AND x.doc_id < y.doc_id)
+         SELECT doc_a, doc_b,
+           CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+         FROM cand
+         WHERE bit_count(xor(ha, hb)) <= 2
+         ORDER BY doc_a, doc_b""",
     "mm_embed" ->
       s"""WITH m AS (
            SELECT d.doc_id, d.text

@@ -28,6 +28,38 @@ class MultimodalSpec extends SparkSpec {
     assert(sizes.size <= 8, s"too many kernel invocations: ${sizes.size}")
   }
 
+  test("phash pairs are exactly the Hamming<=2 pairs (brute force)") {
+    val got = Multimodal.queries("mm_phash_dedup")(spark,
+        "/root/testdata/sf0.001")
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2)).toSet
+    // recompute hashes by hand from the stub kernel definition
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001",
+        "documents")
+      .join(graft.Tables.load(spark, "/root/testdata/sf0.001",
+        "embeddings"), $"doc_id" === $"vec_id")
+      .selectExpr("doc_id", "text").as[(Long, String)].collect()
+    def phash(text: String): Long = {
+      val counts = new Array[Long](26)
+      text.getBytes("UTF-8").foreach { b =>
+        val c = (b | 0x20).toChar
+        if (c >= 'a' && c <= 'z') counts(c - 'a') += 1
+      }
+      val tot = counts.sum
+      (0 until 26).map { i =>
+        (if (26 * counts(i) > tot) 1L << i else 0L) +
+          (if (13 * counts(i) > tot) 1L << (i + 26) else 0L)
+      }.sum
+    }
+    val hs = docs.map { case (id, t) => id -> phash(t) }
+    val want = (for {
+      (a, ha) <- hs; (b, hb) <- hs if a < b
+      if java.lang.Long.bitCount(ha ^ hb) <= 2
+    } yield (a, b)).toSet
+    assert(got == want,
+      s"banding must be a lossless Hamming<=2 blocker: " +
+        s"missing ${(want -- got).take(3)}, extra ${(got -- want).take(3)}")
+  }
+
   test("stub decode is deterministic over payload bytes") {
     val a = Multimodal.fakeDecode(1L, Array[Byte](1, 2, 3))
     val b = Multimodal.fakeDecode(1L, Array[Byte](9, 9, 9))
