@@ -425,6 +425,47 @@ object Mining {
   ) ++ miningQueries2
 
   private val miningQueries2: Map[String, Q] = Map(
+    // Cross-source vocabulary overlap matrix — Jaccard and overlap
+    // coefficient between every source pair's token SETS, the
+    // corpus-comparison read next to text_divergence's KL (KL asks
+    // "do the shared tokens have the same distribution"; this asks
+    // "how much vocabulary is even shared" — template detection,
+    // domain-gap sizing). The pair expansion rides the q72 HOF shape:
+    // ONE (token, source) distinct aggregate (vocab × sources
+    // bounded, never token-instance-sized), collect_set per token
+    // (≤ |sources| elements), a<b pairs inside one codegen stage —
+    // never a vocabulary self-join. Set sizes are a |sources|-row
+    // broadcast; ratios are single IEEE divides of exact longs,
+    // round(4).
+    "q91_source_overlap" -> ((s, d) => {
+      import s.implicits._
+      val st = Tables.spread(Tables.load(s, d, "documents"))
+        .select($"source", explode(split(lower($"text"), "\\s+"))
+          .as("token"))
+        .distinct()
+      val sizes = st.groupBy($"source").agg(count(lit(1)).as("n_vocab"))
+      val inter = st.groupBy($"token")
+        .agg(sort_array(collect_set($"source")).as("ss"))
+        .select(explode(expr(
+          """flatten(transform(ss, (x, i) ->
+             transform(slice(ss, i + 2, size(ss)),
+               y -> struct(x AS a, y AS b))))""")).as("e"))
+        .groupBy($"e.a".as("source_a"), $"e.b".as("source_b"))
+        .agg(count(lit(1)).as("n_common"))
+      inter
+        .join(broadcast(sizes.select($"source".as("source_a"),
+          $"n_vocab".as("na"))), Seq("source_a"))
+        .join(broadcast(sizes.select($"source".as("source_b"),
+          $"n_vocab".as("nb"))), Seq("source_b"))
+        .select($"source_a", $"source_b", $"n_common", $"na", $"nb",
+          round($"n_common".cast("double") /
+            ($"na" + $"nb" - $"n_common").cast("double"), 4)
+            .as("jaccard"),
+          round($"n_common".cast("double") /
+            least($"na", $"nb").cast("double"), 4).as("overlap"))
+        .orderBy($"source_a", $"source_b")
+    }),
+
     // Conversion-lag distribution: how long between the FIRST
     // qualifying click and the purchase, as exact p50/p90 per click
     // channel — the latency-shaped question (q48 finds the first
@@ -775,6 +816,36 @@ object Mining {
            min(CASE WHEN rn = CAST(floor(0.9 * (n - 1)) AS BIGINT) + 1
                  THEN lag_us END) AS p90_lag_us
          FROM r GROUP BY channel ORDER BY channel""",
+
+    // Independent formulation: a plain distinct-table self-join on
+    // token (the shape the HOF comprehension avoids).
+    "q91_source_overlap" ->
+      """WITH st AS (
+           SELECT DISTINCT source, unnest(
+             string_split_regex(lower(text), '\s+')) AS token
+           FROM documents),
+         sz AS (SELECT source, count(*) AS n_vocab FROM st
+                GROUP BY source),
+         iv AS (
+           SELECT x.source AS source_a, y.source AS source_b,
+             count(*) AS n_common
+           FROM st x JOIN st y
+             ON x.token = y.token AND x.source < y.source
+           GROUP BY 1, 2)
+         SELECT i.source_a, i.source_b,
+           CAST(i.n_common AS BIGINT) AS n_common,
+           CAST(a.n_vocab AS BIGINT) AS na,
+           CAST(b.n_vocab AS BIGINT) AS nb,
+           round(CAST(i.n_common AS DOUBLE) /
+             CAST(a.n_vocab + b.n_vocab - i.n_common AS DOUBLE), 4)
+             AS jaccard,
+           round(CAST(i.n_common AS DOUBLE) /
+             CAST(least(a.n_vocab, b.n_vocab) AS DOUBLE), 4)
+             AS overlap
+         FROM iv i
+         JOIN sz a ON i.source_a = a.source
+         JOIN sz b ON i.source_b = b.source
+         ORDER BY i.source_a, i.source_b""",
 
     // Independent formulation: window row_number median, digest
     // counts via GROUP BY + join — no composite key anywhere.

@@ -283,6 +283,30 @@ class MiningSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("source overlap equals brute-force token-set intersections") {
+    val got = Mining.queries("q91_source_overlap")(spark, sf)
+      .selectExpr("source_a", "source_b", "n_common", "na", "nb")
+      .as[(String, String, Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    val vocab = graft.Tables.load(spark, sf, "documents")
+      .selectExpr("source", "explode(split(lower(text), '\\\\s+')) as t")
+      .distinct().as[(String, String)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    got.foreach { case (a, b, nc, na, nb) =>
+      assert(a < b)
+      assert(na == vocab(a).size && nb == vocab(b).size)
+      assert(nc == (vocab(a) & vocab(b)).size, s"$a x $b")
+    }
+    // every unordered source pair with any overlap appears once
+    val keys = vocab.keys.toSeq.sorted
+    val wantPairs = (for {
+      i <- keys.indices; j <- i + 1 until keys.length
+      if (vocab(keys(i)) & vocab(keys(j))).nonEmpty
+    } yield (keys(i), keys(j))).toSet
+    assert(got.map(r => (r._1, r._2)).toSet == wantPairs)
+    spark.catalog.clearCache()
+  }
+
   test("gini matches the textbook sorted-rank formula per nation") {
     val got = Mining.queries("q79_gini")(spark, sf)
       .selectExpr("n_name", "n_customers", "revenue_cents", "gini")
