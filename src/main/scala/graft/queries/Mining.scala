@@ -425,6 +425,47 @@ object Mining {
   ) ++ miningQueries2
 
   private val miningQueries2: Map[String, Q] = Map(
+    // Chi-square independence test: is event type independent of
+    // day-of-week — the categorical-association read (seasonality /
+    // scheduling-artifact detector) next to q43's numeric
+    // correlations. All inputs exact: cell/row/col counts are longs,
+    // each cell's deviation N·obs − row·col is an exact long
+    // (cross-multiplied expectation, no division), and the per-cell
+    // χ² term diff²/(N·row·col) is a fixed IEEE sequence from those
+    // longs. The cell SUM is the float-fold trap (q25's lesson) —
+    // handled with text_entropy's discipline: the ≤ |dow|×|types|
+    // cell terms are collected into ONE sorted array and folded in
+    // array order, bit-identical on both engines. Scale: the fact
+    // scan reduces to the domain-bounded cell table in one map-side
+    // combine; everything after is constant-sized.
+    "q92_chi_square" -> ((s, d) => {
+      import s.implicits._
+      val cells = Tables.load(s, d, "events")
+        .select($"event_type", dayofweek(to_date($"ts")).cast("long")
+          .as("dow"))
+        .groupBy($"event_type", $"dow").agg(count(lit(1)).as("obs"))
+      val wr = org.apache.spark.sql.expressions.Window
+        .partitionBy($"event_type")
+      val wc = org.apache.spark.sql.expressions.Window
+        .partitionBy($"dow")
+      cells
+        .withColumn("row_n", sum($"obs").over(wr))
+        .withColumn("col_n", sum($"obs").over(wc))
+        .groupBy()
+        .agg(sum($"obs").as("n"),
+          countDistinct($"event_type").as("n_types"),
+          countDistinct($"dow").as("n_dows"),
+          sort_array(collect_list(struct($"event_type", $"dow",
+            $"obs", $"row_n", $"col_n"))).as("cs"))
+        .select($"n", (($"n_types" - 1) * ($"n_dows" - 1)).as("dof"),
+          round(expr(
+            """aggregate(cs, cast(0.0 as double), (acc, c) ->
+               acc + cast(n * c.obs - c.row_n * c.col_n as double)
+                   * cast(n * c.obs - c.row_n * c.col_n as double)
+                   / (cast(n as double) * c.row_n * c.col_n))"""), 4)
+            .as("chi2"))
+    }),
+
     // Cross-source vocabulary overlap matrix — Jaccard and overlap
     // coefficient between every source pair's token SETS, the
     // corpus-comparison read next to text_divergence's KL (KL asks
@@ -816,6 +857,39 @@ object Mining {
            min(CASE WHEN rn = CAST(floor(0.9 * (n - 1)) AS BIGINT) + 1
                  THEN lag_us END) AS p90_lag_us
          FROM r GROUP BY channel ORDER BY channel""",
+
+    // Same exact-integer terms; the fold replays Spark's
+    // sort_array order via list(... ORDER BY) + list_reduce, and
+    // DuckDB's 0-based dayofweek is shifted to Spark's 1-based.
+    "q92_chi_square" ->
+      """WITH cells AS (
+           SELECT event_type,
+             CAST(dayofweek(CAST(ts AS DATE)) + 1 AS BIGINT) AS dow,
+             CAST(count(*) AS BIGINT) AS obs
+           FROM events GROUP BY 1, 2),
+         rowc AS (SELECT event_type, CAST(sum(obs) AS BIGINT) AS row_n
+                  FROM cells GROUP BY 1),
+         colc AS (SELECT dow, CAST(sum(obs) AS BIGINT) AS col_n
+                  FROM cells GROUP BY 1),
+         tot AS (SELECT CAST(sum(obs) AS BIGINT) AS n,
+                   CAST(count(DISTINCT event_type) AS BIGINT)
+                     AS n_types,
+                   CAST(count(DISTINCT dow) AS BIGINT) AS n_dows
+                 FROM cells),
+         j AS (
+           SELECT c.event_type, c.dow,
+             CAST(t.n * c.obs - r.row_n * l.col_n AS DOUBLE)
+               * CAST(t.n * c.obs - r.row_n * l.col_n AS DOUBLE)
+               / (CAST(t.n AS DOUBLE) * r.row_n * l.col_n) AS term
+           FROM cells c
+           JOIN rowc r ON c.event_type = r.event_type
+           JOIN colc l ON c.dow = l.dow
+           CROSS JOIN tot t)
+         SELECT t.n, (t.n_types - 1) * (t.n_dows - 1) AS dof,
+           round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             (SELECT list(term ORDER BY event_type, dow) FROM j)),
+             (a, b) -> a + b), 4) AS chi2
+         FROM tot t""",
 
     // Independent formulation: a plain distinct-table self-join on
     // token (the shape the HOF comprehension avoids).

@@ -307,6 +307,33 @@ class MiningSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("chi-square matches a direct contingency-table recomputation") {
+    val Array((n, dof, chi2)) =
+      Mining.queries("q92_chi_square")(spark, sf)
+        .as[(Long, Long, Double)].collect()
+    val cells = graft.Tables.load(spark, sf, "events")
+      .selectExpr("event_type",
+        "cast(dayofweek(to_date(ts)) as long) as dow")
+      .groupBy("event_type", "dow")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("obs"))
+      .as[(String, Long, Long)].collect()
+    assert(n == cells.map(_._3).sum)
+    val types = cells.map(_._1).distinct.length
+    val dows = cells.map(_._2).distinct.length
+    assert(dof == (types - 1L) * (dows - 1L))
+    val rowN = cells.groupBy(_._1).view.mapValues(_.map(_._3).sum)
+    val colN = cells.groupBy(_._2).view.mapValues(_.map(_._3).sum)
+    val want = cells.sortBy(c => (c._1, c._2)).map { case (t, d, o) =>
+      val diff = (n * o - rowN(t) * colN(d)).toDouble
+      diff * diff / (n.toDouble * rowN(t) * colN(d))
+    }.foldLeft(0.0)(_ + _)
+    assert(math.abs(chi2 - BigDecimal(want).setScale(4,
+      BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-12)
+    assert(chi2 >= 0.0)
+    spark.catalog.clearCache()
+  }
+
   test("gini matches the textbook sorted-rank formula per nation") {
     val got = Mining.queries("q79_gini")(spark, sf)
       .selectExpr("n_name", "n_customers", "revenue_cents", "gini")
