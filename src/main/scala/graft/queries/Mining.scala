@@ -425,6 +425,41 @@ object Mining {
   ) ++ miningQueries2
 
   private val miningQueries2: Map[String, Q] = Map(
+    // Cohort lifetime-value curves: cumulative revenue per
+    // first-purchase-month cohort over months-since-acquisition —
+    // q38_retention's money twin (retention counts WHO came back;
+    // LTV sums WHAT they spent). Integer month indexes (no calendar
+    // truncation divergence), exact cents; the fact scan reduces to
+    // the (cohort, offset) aggregate — months² domain-bounded, never
+    // fact-sized — and the cumulative ride is a window over THAT
+    // table (q74's bound). Per-cohort customer counts come from the
+    // same scan's min-month aggregate.
+    "q93_cohort_ltv" -> ((s, d) => {
+      import s.implicits._
+      val o = Tables.load(s, d, "orders")
+        .select($"o_custkey",
+          ((year(to_date($"o_orderdate")) - 1992) * 12 +
+            month(to_date($"o_orderdate")) - 1).cast("long").as("m"),
+          round($"o_totalprice" * 100).cast("long").as("cents"))
+      val cohorts = o.groupBy($"o_custkey")
+        .agg(min($"m").as("cohort"))
+      val sizes = cohorts.groupBy($"cohort")
+        .agg(count(lit(1)).as("n_customers"))
+      val cells = o.join(cohorts, Seq("o_custkey"))
+        .groupBy($"cohort", ($"m" - $"cohort").as("m_offset"))
+        .agg(sum($"cents").as("rev_cents"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"cohort").orderBy($"m_offset")
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, 0)
+      cells
+        .withColumn("cum_rev_cents", sum($"rev_cents").over(w))
+        .join(broadcast(sizes), Seq("cohort"))
+        .select($"cohort", $"m_offset", $"n_customers", $"rev_cents",
+          $"cum_rev_cents")
+        .orderBy($"cohort", $"m_offset")
+    }),
+
     // Chi-square independence test: is event type independent of
     // day-of-week — the categorical-association read (seasonality /
     // scheduling-artifact detector) next to q43's numeric
@@ -857,6 +892,34 @@ object Mining {
            min(CASE WHEN rn = CAST(floor(0.9 * (n - 1)) AS BIGINT) + 1
                  THEN lag_us END) AS p90_lag_us
          FROM r GROUP BY channel ORDER BY channel""",
+
+    // Same integer month indexes and window cumulative in SQL.
+    "q93_cohort_ltv" ->
+      """WITH o AS (
+           SELECT o_custkey,
+             CAST((year(CAST(o_orderdate AS DATE)) - 1992) * 12 +
+               month(CAST(o_orderdate AS DATE)) - 1 AS BIGINT) AS m,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+           FROM orders),
+         ch AS (SELECT o_custkey, min(m) AS cohort FROM o
+                GROUP BY o_custkey),
+         sz AS (SELECT cohort, CAST(count(*) AS BIGINT) AS n_customers
+                FROM ch GROUP BY cohort),
+         cells AS (
+           SELECT c.cohort, o.m - c.cohort AS m_offset,
+             CAST(sum(o.cents) AS BIGINT) AS rev_cents
+           FROM o JOIN ch c ON o.o_custkey = c.o_custkey
+           GROUP BY 1, 2),
+         cum AS (
+           SELECT cohort, m_offset, rev_cents,
+             CAST(sum(rev_cents) OVER (PARTITION BY cohort
+               ORDER BY m_offset ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS cum_rev_cents
+           FROM cells)
+         SELECT c.cohort, c.m_offset, s.n_customers, c.rev_cents,
+           c.cum_rev_cents
+         FROM cum c JOIN sz s ON c.cohort = s.cohort
+         ORDER BY c.cohort, c.m_offset""",
 
     // Same exact-integer terms; the fold replays Spark's
     // sort_array order via list(... ORDER BY) + list_reduce, and

@@ -334,6 +334,30 @@ class MiningSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("cohort ltv curves are monotone and conserve total revenue") {
+    val got = Mining.queries("q93_cohort_ltv")(spark, sf)
+      .selectExpr("cohort", "m_offset", "n_customers", "rev_cents",
+        "cum_rev_cents")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    // per cohort: cum is the running sum of rev and is monotone
+    got.groupBy(_._1).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._2)
+      var run = 0L
+      sorted.foreach { r => run += r._4; assert(r._5 == run) }
+    }
+    // Σ rev over all cells == Σ order cents
+    val total = graft.Tables.load(spark, sf, "orders")
+      .selectExpr("cast(round(o_totalprice * 100) as long) as c")
+      .as[Long].collect().sum
+    assert(got.map(_._4).sum == total)
+    // cohort sizes partition the customer base
+    assert(got.groupBy(_._1).map(_._2.head._3).sum ==
+      graft.Tables.load(spark, sf, "orders")
+        .selectExpr("o_custkey").distinct().count())
+    spark.catalog.clearCache()
+  }
+
   test("gini matches the textbook sorted-rank formula per nation") {
     val got = Mining.queries("q79_gini")(spark, sf)
       .selectExpr("n_name", "n_customers", "revenue_cents", "gini")
