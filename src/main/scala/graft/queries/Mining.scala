@@ -425,6 +425,40 @@ object Mining {
   ) ++ miningQueries2
 
   private val miningQueries2: Map[String, Q] = Map(
+    // Seasonal-naive forecast backtest: score the "same day last
+    // week" predictor of daily revenue per event type — the baseline
+    // every real forecasting model must beat, and the
+    // forecast-evaluation primitive (backtest join + error
+    // aggregation) in engine form. Absolute errors stay exact longs
+    // (|actual − lag7|); only the final MAE is a single IEEE divide,
+    // round(4). The lag rides the (type, day) aggregate — the q74
+    // domain bound — so the fact scan contributes one map-side
+    // combine and the backtest itself is constant-sized.
+    "q94_seasonal_naive" -> ((s, d) => {
+      import s.implicits._
+      val daily = Tables.load(s, d, "events")
+        .select($"event_type",
+          datediff(to_date($"ts"), lit("2024-01-01")).cast("long")
+            .as("day"),
+          round($"value" * 100).cast("long").as("cents"))
+        .groupBy($"event_type", $"day")
+        .agg(sum($"cents").as("x"))
+        // actual side + 7-shifted predictor side both read it
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val pred = daily.select($"event_type",
+        ($"day" + 7).as("day"), $"x".as("x_pred"))
+      daily.join(pred, Seq("event_type", "day"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n_scored"),
+          sum(abs($"x" - $"x_pred")).as("sum_abs_err"),
+          sum($"x").as("sum_actual"))
+        .select($"event_type", $"n_scored",
+          $"sum_abs_err", $"sum_actual",
+          round($"sum_abs_err".cast("double") /
+            $"n_scored".cast("double"), 4).as("mae_cents"))
+        .orderBy($"event_type")
+    }),
+
     // Cohort lifetime-value curves: cumulative revenue per
     // first-purchase-month cohort over months-since-acquisition —
     // q38_retention's money twin (retention counts WHO came back;
@@ -892,6 +926,24 @@ object Mining {
            min(CASE WHEN rn = CAST(floor(0.9 * (n - 1)) AS BIGINT) + 1
                  THEN lag_us END) AS p90_lag_us
          FROM r GROUP BY channel ORDER BY channel""",
+
+    // Same shifted self-join backtest in SQL.
+    "q94_seasonal_naive" ->
+      """WITH daily AS (
+           SELECT event_type,
+             CAST(datediff('day', DATE '2024-01-01',
+                 CAST(ts AS DATE)) AS BIGINT) AS day,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS x
+           FROM events GROUP BY 1, 2)
+         SELECT a.event_type, CAST(count(*) AS BIGINT) AS n_scored,
+           CAST(sum(abs(a.x - p.x)) AS BIGINT) AS sum_abs_err,
+           CAST(sum(a.x) AS BIGINT) AS sum_actual,
+           round(CAST(sum(abs(a.x - p.x)) AS DOUBLE) /
+             CAST(count(*) AS DOUBLE), 4) AS mae_cents
+         FROM daily a JOIN daily p
+           ON a.event_type = p.event_type AND a.day = p.day + 7
+         GROUP BY a.event_type ORDER BY a.event_type""",
 
     // Same integer month indexes and window cumulative in SQL.
     "q93_cohort_ltv" ->

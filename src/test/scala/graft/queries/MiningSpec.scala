@@ -358,6 +358,29 @@ class MiningSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("seasonal-naive backtest matches a direct lag-7 recomputation") {
+    val got = Mining.queries("q94_seasonal_naive")(spark, sf)
+      .selectExpr("event_type", "n_scored", "sum_abs_err")
+      .as[(String, Long, Long)].collect()
+    assert(got.nonEmpty)
+    val daily = graft.Tables.load(spark, sf, "events")
+      .selectExpr("event_type",
+        "cast(datediff(to_date(ts), '2024-01-01') as long) as day",
+        "cast(round(value * 100) as long) as c")
+      .groupBy("event_type", "day")
+      .agg(org.apache.spark.sql.functions.sum($"c").as("x"))
+      .as[(String, Long, Long)].collect()
+      .groupBy(_._1).view
+      .mapValues(_.map(r => r._2 -> r._3).toMap).toMap
+    got.foreach { case (et, n, sae) =>
+      val m = daily(et)
+      val scored = m.keys.filter(d => m.contains(d - 7)).toSeq
+      assert(n == scored.length)
+      assert(sae == scored.map(d => math.abs(m(d) - m(d - 7))).sum)
+    }
+    spark.catalog.clearCache()
+  }
+
   test("gini matches the textbook sorted-rank formula per nation") {
     val got = Mining.queries("q79_gini")(spark, sf)
       .selectExpr("n_name", "n_customers", "revenue_cents", "gini")
