@@ -425,6 +425,33 @@ object Mining {
   ) ++ miningQueries2
 
   private val miningQueries2: Map[String, Q] = Map(
+    // New-vs-returning daily actives — growth accounting's
+    // first-difference read (every DAU move decomposes into
+    // acquisition vs retention; q38's cohort matrix aggregates the
+    // same fact at week granularity, this is the daily operational
+    // view). The (user, day) DISTINCT activity table is the only
+    // corpus-sized frame; each user's first-seen day is a min
+    // aggregate JOINED BACK BY USER KEY (user-sized — never a
+    // broadcast at 100 TB; the comment is the contract), and the
+    // daily rollup is map-side combined into a days-bounded report.
+    "q95_new_returning" -> ((s, d) => {
+      import s.implicits._
+      val ud = Tables.load(s, d, "events")
+        .select($"user_id",
+          datediff(to_date($"ts"), lit("2024-01-01")).cast("long")
+            .as("day"))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val first = ud.groupBy($"user_id").agg(min($"day").as("d0"))
+      ud.join(first, Seq("user_id"))
+        .groupBy($"day")
+        .agg(count(lit(1)).as("n_active"),
+          sum(when($"day" === $"d0", 1L).otherwise(0L)).as("n_new"),
+          sum(when($"day" =!= $"d0", 1L).otherwise(0L))
+            .as("n_returning"))
+        .orderBy($"day")
+    }),
+
     // Seasonal-naive forecast backtest: score the "same day last
     // week" predictor of daily revenue per event type — the baseline
     // every real forecasting model must beat, and the
@@ -926,6 +953,23 @@ object Mining {
            min(CASE WHEN rn = CAST(floor(0.9 * (n - 1)) AS BIGINT) + 1
                  THEN lag_us END) AS p90_lag_us
          FROM r GROUP BY channel ORDER BY channel""",
+
+    // Same distinct-activity + first-seen join in SQL.
+    "q95_new_returning" ->
+      """WITH ud AS (
+           SELECT DISTINCT user_id,
+             CAST(datediff('day', DATE '2024-01-01',
+                 CAST(ts AS DATE)) AS BIGINT) AS day
+           FROM events),
+         f AS (SELECT user_id, min(day) AS d0 FROM ud
+               GROUP BY user_id)
+         SELECT u.day, CAST(count(*) AS BIGINT) AS n_active,
+           CAST(sum(CASE WHEN u.day = f.d0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_new,
+           CAST(sum(CASE WHEN u.day <> f.d0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_returning
+         FROM ud u JOIN f ON u.user_id = f.user_id
+         GROUP BY u.day ORDER BY u.day""",
 
     // Same shifted self-join backtest in SQL.
     "q94_seasonal_naive" ->

@@ -381,6 +381,25 @@ class MiningSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("new-vs-returning decomposition conserves users and actives") {
+    val got = Mining.queries("q95_new_returning")(spark, sf)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    // per day: active = new + returning
+    got.foreach { case (_, a, n, r) => assert(a == n + r) }
+    // Σ new over all days = distinct users (each is new exactly once)
+    val users = graft.Tables.load(spark, sf, "events")
+      .selectExpr("user_id").distinct().count()
+    assert(got.map(_._3).sum == users)
+    // Σ active = |(user, day)| distinct pairs
+    val pairs = graft.Tables.load(spark, sf, "events")
+      .selectExpr("user_id",
+        "cast(datediff(to_date(ts), '2024-01-01') as long) as day")
+      .distinct().count()
+    assert(got.map(_._2).sum == pairs)
+    spark.catalog.clearCache()
+  }
+
   test("gini matches the textbook sorted-rank formula per nation") {
     val got = Mining.queries("q79_gini")(spark, sf)
       .selectExpr("n_name", "n_customers", "revenue_cents", "gini")
