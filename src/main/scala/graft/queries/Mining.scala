@@ -425,6 +425,64 @@ object Mining {
   ) ++ miningQueries2
 
   private val miningQueries2: Map[String, Q] = Map(
+    // DAU/MAU stickiness: per month, total daily-active slots over
+    // (days-in-month × monthly actives) — the canonical engagement
+    // ratio (how much of the month does a monthly user actually
+    // show up). Both numerator and denominator are exact longs from
+    // the SAME distinct-activity table q95 uses (one corpus-sized
+    // distinct, reused by construction); the ratio is one IEEE
+    // divide, round(4). Month domain bounds everything after the
+    // distinct.
+    "q96_stickiness" -> ((s, d) => {
+      import s.implicits._
+      val ud = Tables.load(s, d, "events")
+        .select($"user_id",
+          ((year(to_date($"ts")) - 2024) * 12 +
+            month(to_date($"ts")) - 1).cast("long").as("mon"),
+          datediff(to_date($"ts"), lit("2024-01-01")).cast("long")
+            .as("day"))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val slots = ud.groupBy($"mon")
+        .agg(count(lit(1)).as("n_user_days"),
+          countDistinct($"user_id").as("mau"),
+          countDistinct($"day").as("n_days"))
+      slots.select($"mon", $"n_user_days", $"mau", $"n_days",
+          round($"n_user_days".cast("double") /
+            ($"n_days" * $"mau").cast("double"), 4).as("stickiness"))
+        .orderBy($"mon")
+    }),
+
+    // Repurchase-cycle distribution: exact p50/p90 days between
+    // consecutive orders per market segment — the cadence read
+    // (churn windows, reorder reminders) next to q89's
+    // click→purchase latency. Per-customer gaps ride the
+    // HIGH-cardinality customer window (the scaling shape), then
+    // ops.Quantiles' discrete pass per segment; day arithmetic is
+    // all integer.
+    "q97_repurchase_cycle" -> ((s, d) => {
+      import s.implicits._
+      val W = org.apache.spark.sql.expressions.Window
+      val w = W.partitionBy($"o_custkey")
+        .orderBy($"od", $"o_orderkey")
+      val gaps = Tables.load(s, d, "orders")
+        .select($"o_custkey", $"o_orderkey",
+          datediff(to_date($"o_orderdate"), lit("1992-01-01"))
+            .cast("long").as("od"))
+        .withColumn("prev", lag($"od", 1).over(w))
+        .filter($"prev".isNotNull)
+        .withColumn("gap_days", $"od" - $"prev")
+        .join(Tables.load(s, d, "customer")
+          .select($"c_custkey", $"c_mktsegment"),
+          $"o_custkey" === $"c_custkey")
+        .select($"c_mktsegment".as("seg"), $"gap_days")
+      graft.ops.Quantiles.exactByGroup(gaps, "seg", $"gap_days",
+          Seq("p50_gap_days" -> 0.5, "p90_gap_days" -> 0.9))
+        .select(col("seg"), col("n").as("n_gaps"),
+          col("p50_gap_days"), col("p90_gap_days"))
+        .orderBy(col("seg"))
+    }),
+
     // New-vs-returning daily actives — growth accounting's
     // first-difference read (every DAU move decomposes into
     // acquisition vs retention; q38's cohort matrix aggregates the
@@ -953,6 +1011,52 @@ object Mining {
            min(CASE WHEN rn = CAST(floor(0.9 * (n - 1)) AS BIGINT) + 1
                  THEN lag_us END) AS p90_lag_us
          FROM r GROUP BY channel ORDER BY channel""",
+
+    // Same distinct-activity rollup in SQL.
+    "q96_stickiness" ->
+      """WITH ud AS (
+           SELECT DISTINCT user_id,
+             CAST((year(CAST(ts AS DATE)) - 2024) * 12 +
+               month(CAST(ts AS DATE)) - 1 AS BIGINT) AS mon,
+             CAST(datediff('day', DATE '2024-01-01',
+                 CAST(ts AS DATE)) AS BIGINT) AS day
+           FROM events)
+         SELECT mon, CAST(count(*) AS BIGINT) AS n_user_days,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS mau,
+           CAST(count(DISTINCT day) AS BIGINT) AS n_days,
+           round(CAST(count(*) AS DOUBLE) /
+             CAST(count(DISTINCT day) * count(DISTINCT user_id)
+               AS DOUBLE), 4) AS stickiness
+         FROM ud GROUP BY mon ORDER BY mon""",
+
+    // Same lag window + row_number quantiles in SQL.
+    "q97_repurchase_cycle" ->
+      """WITH o AS (
+           SELECT o_custkey, o_orderkey,
+             CAST(datediff('day', DATE '1992-01-01',
+                 CAST(o_orderdate AS DATE)) AS BIGINT) AS od
+           FROM orders),
+         g AS (
+           SELECT o.o_custkey,
+             o.od - lag(o.od) OVER (PARTITION BY o.o_custkey
+               ORDER BY o.od, o.o_orderkey) AS gap_days
+           FROM o),
+         sg AS (
+           SELECT c.c_mktsegment AS seg, g.gap_days
+           FROM g JOIN customer c ON g.o_custkey = c.c_custkey
+           WHERE g.gap_days IS NOT NULL),
+         r AS (
+           SELECT seg, gap_days,
+             row_number() OVER (PARTITION BY seg ORDER BY gap_days)
+               AS rn,
+             count(*) OVER (PARTITION BY seg) AS n
+           FROM sg)
+         SELECT seg, CAST(max(n) AS BIGINT) AS n_gaps,
+           min(CASE WHEN rn = CAST(floor(0.5 * (n - 1)) AS BIGINT) + 1
+                 THEN gap_days END) AS p50_gap_days,
+           min(CASE WHEN rn = CAST(floor(0.9 * (n - 1)) AS BIGINT) + 1
+                 THEN gap_days END) AS p90_gap_days
+         FROM r GROUP BY seg ORDER BY seg""",
 
     // Same distinct-activity + first-seen join in SQL.
     "q95_new_returning" ->

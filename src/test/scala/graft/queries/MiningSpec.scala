@@ -400,6 +400,46 @@ class MiningSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("stickiness bounds hold and slots reconcile with q95 actives") {
+    val got = Mining.queries("q96_stickiness")(spark, sf)
+      .as[(Long, Long, Long, Long, Double)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (_, slots, mau, nDays, st) =>
+      // each monthly user contributes 1..n_days active days
+      assert(slots >= mau && slots <= mau * nDays)
+      assert(st > 0.0 && st <= 1.0)
+    }
+    val daily = Mining.queries("q95_new_returning")(spark, sf)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got.map(_._2).sum == daily.map(_._2).sum,
+      "monthly user-day slots must equal the sum of daily actives")
+    spark.catalog.clearCache()
+  }
+
+  test("repurchase gaps match a brute-force per-customer diff") {
+    val got = Mining.queries("q97_repurchase_cycle")(spark, sf)
+      .as[(String, Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    val orders = graft.Tables.load(spark, sf, "orders")
+      .selectExpr("o_custkey",
+        "cast(datediff(to_date(o_orderdate), '1992-01-01') as long) as od")
+      .as[(Long, Long)].collect()
+    val seg = graft.Tables.load(spark, sf, "customer")
+      .selectExpr("c_custkey", "c_mktsegment")
+      .as[(Long, String)].collect().toMap
+    val gaps = orders.groupBy(_._1).toSeq.flatMap { case (cust, os) =>
+      val ds = os.map(_._2).sorted
+      ds.zip(ds.tail).map { case (a, b) => seg(cust) -> (b - a) }
+    }.groupBy(_._1)
+    got.foreach { case (sg, n, p50, p90) =>
+      val xs = gaps(sg).map(_._2).sorted
+      assert(n == xs.length)
+      assert(p50 == xs(math.floor(0.5 * (xs.length - 1)).toInt))
+      assert(p90 == xs(math.floor(0.9 * (xs.length - 1)).toInt))
+    }
+    spark.catalog.clearCache()
+  }
+
   test("gini matches the textbook sorted-rank formula per nation") {
     val got = Mining.queries("q79_gini")(spark, sf)
       .selectExpr("n_name", "n_customers", "revenue_cents", "gini")
