@@ -425,6 +425,38 @@ object Mining {
   ) ++ miningQueries2
 
   private val miningQueries2: Map[String, Q] = Map(
+    // ABC classification: parts split into A (first 80% of revenue in
+    // descending-revenue order), B (next 15%), C (tail 5%) with
+    // per-class rollups — q47_pareto's cutoff turned into the full
+    // three-band inventory policy table. The cumulative ride is
+    // ops.PrefixSum over the (revenue DESC, partkey) order (never a
+    // single-task window); class edges compare 100·cum against
+    // 80·total / 95·total in exact cross-multiplied longs (no
+    // percentage floats). Classes are assigned by the cumulative
+    // INCLUDING the part itself, so the part that crosses 80% is the
+    // first B — a deterministic boundary both engines replay.
+    "q98_abc_classification" -> ((s, d) => {
+      import s.implicits._
+      val rev = Tables.load(s, d, "lineitem")
+        .select($"l_partkey",
+          round($"l_extendedprice" * 100).cast("long").as("cents"))
+        .groupBy($"l_partkey").agg(sum($"cents").as("rev"))
+      val cum = graft.ops.PrefixSum.runningTotal(rev,
+        Seq(negate($"rev"), $"l_partkey"), $"rev", "cum_rev")
+      val tot = rev.agg(sum($"rev").as("total"))
+      cum.crossJoin(broadcast(tot))
+        .withColumn("abc_class",
+          when($"cum_rev" * 100 <= $"total" * 80, "A")
+            .when($"cum_rev" * 100 <= $"total" * 95, "B")
+            .otherwise("C"))
+        .groupBy($"abc_class")
+        .agg(count(lit(1)).as("n_parts"),
+          sum($"rev").as("class_rev_cents"),
+          min($"rev").as("min_part_rev"),
+          max($"rev").as("max_part_rev"))
+        .orderBy($"abc_class")
+    }),
+
     // DAU/MAU stickiness: per month, total daily-active slots over
     // (days-in-month × monthly actives) — the canonical engagement
     // ratio (how much of the month does a monthly user actually
@@ -1011,6 +1043,31 @@ object Mining {
            min(CASE WHEN rn = CAST(floor(0.9 * (n - 1)) AS BIGINT) + 1
                  THEN lag_us END) AS p90_lag_us
          FROM r GROUP BY channel ORDER BY channel""",
+
+    // Independent formulation: the window cumulative (the single-sort
+    // shape PrefixSum replaces) + identical cross-multiplied edges.
+    "q98_abc_classification" ->
+      """WITH rev AS (
+           SELECT l_partkey,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+               AS BIGINT) AS rev
+           FROM lineitem GROUP BY l_partkey),
+         c AS (
+           SELECT l_partkey, rev,
+             CAST(sum(rev) OVER (ORDER BY rev DESC, l_partkey
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_rev,
+             CAST(sum(rev) OVER () AS BIGINT) AS total
+           FROM rev),
+         k AS (
+           SELECT rev,
+             CASE WHEN cum_rev * 100 <= total * 80 THEN 'A'
+                  WHEN cum_rev * 100 <= total * 95 THEN 'B'
+                  ELSE 'C' END AS abc_class
+           FROM c)
+         SELECT abc_class, CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(sum(rev) AS BIGINT) AS class_rev_cents,
+           min(rev) AS min_part_rev, max(rev) AS max_part_rev
+         FROM k GROUP BY abc_class ORDER BY abc_class""",
 
     // Same distinct-activity rollup in SQL.
     "q96_stickiness" ->

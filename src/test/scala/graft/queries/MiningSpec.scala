@@ -440,6 +440,35 @@ class MiningSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("abc classes tile revenue at the 80/95 boundaries") {
+    val got = Mining.queries("q98_abc_classification")(spark, sf)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got.keySet.subsetOf(Set("A", "B", "C")) && got.contains("A"))
+    val rev = graft.Tables.load(spark, sf, "lineitem")
+      .selectExpr("l_partkey",
+        "cast(round(l_extendedprice * 100) as long) as c")
+      .groupBy("l_partkey")
+      .agg(org.apache.spark.sql.functions.sum($"c").as("r"))
+      .as[(Long, Long)].collect()
+    val total = rev.map(_._2).sum
+    // brute-force classes over the (rev desc, key) order
+    var cum = 0L
+    val classes = rev.sortBy(r => (-r._2, r._1)).map { r =>
+      cum += r._2
+      if (cum * 100 <= total * 80) ("A", r._2)
+      else if (cum * 100 <= total * 95) ("B", r._2)
+      else ("C", r._2)
+    }.groupBy(_._1)
+    got.foreach { case (k, (_, n, cr, lo, hi)) =>
+      val xs = classes(k).map(_._2)
+      assert(n == xs.length && cr == xs.sum)
+      assert(lo == xs.min && hi == xs.max)
+    }
+    assert(got.values.map(_._3).sum == total)
+    spark.catalog.clearCache()
+  }
+
   test("gini matches the textbook sorted-rank formula per nation") {
     val got = Mining.queries("q79_gini")(spark, sf)
       .selectExpr("n_name", "n_customers", "revenue_cents", "gini")
