@@ -45,6 +45,33 @@ object TextAnalysis {
   val PhoneRe = "\\b555-[0-9]{4}\\b"
 
   def queries: Map[String, Q] = Map(
+    // Sentence-level readability rollup: sentences per doc and mean
+    // sentence length per language — the Flesch-family signal's
+    // integer core (tokens per sentence) without its float syllable
+    // heuristic. Sentences are [.!?]+ splits with blank segments
+    // dropped (trim-nonempty on both engines); a doc with no
+    // terminal punctuation is one sentence, so every non-blank doc
+    // counts ≥ 1 and the per-lang ratio is well-defined. Row-local
+    // splits → one map-side-combined rollup; the only float is the
+    // final ratio of two exact longs, round(4).
+    "text_sentences" -> ((s, d) => {
+      import s.implicits._
+      Tables.spread(Tables.load(s, d, "documents"))
+        .select($"lang",
+          size(filter(split($"text", "[.!?]+"),
+            x => length(trim(x)) > 0)).cast("long").as("n_sentences"),
+          size(toks($"text")).cast("long").as("n_tokens"))
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_sentences").as("n_sentences"),
+          sum($"n_tokens").as("n_tokens"))
+        .select($"lang", $"n_docs", $"n_sentences", $"n_tokens",
+          round($"n_tokens".cast("double") /
+            $"n_sentences".cast("double"), 4)
+            .as("avg_sentence_tokens"))
+        .orderBy($"lang")
+    }),
+
     "text_stats" -> ((s, d) => {
       import s.implicits._
       Tables.spread(Tables.load(s, d, "documents"))
@@ -336,6 +363,22 @@ object TextAnalysis {
     }))
 
   def oracles: Map[String, String] = Map(
+    "text_sentences" ->
+      """WITH t AS (
+           SELECT lang,
+             CAST(len(list_filter(
+               string_split_regex(text, '[.!?]+'),
+               x -> length(trim(x)) > 0)) AS BIGINT) AS n_sentences,
+             CAST(len(string_split_regex(lower(text), '\s+'))
+               AS BIGINT) AS n_tokens
+           FROM documents)
+         SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_sentences) AS BIGINT) AS n_sentences,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+           round(CAST(sum(n_tokens) AS DOUBLE) /
+             CAST(sum(n_sentences) AS DOUBLE), 4)
+             AS avg_sentence_tokens
+         FROM t GROUP BY lang ORDER BY lang""",
     "text_stats" ->
       """WITH t AS (SELECT doc_id, lang,
            string_split_regex(lower(text), '\s+') AS tk FROM documents)

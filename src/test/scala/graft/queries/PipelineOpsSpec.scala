@@ -16,6 +16,27 @@ class PipelineOpsSpec extends SparkSpec {
 
   private val sf = "/root/testdata/sf0.001"
 
+  test("sentence stats match a brute-force split per language") {
+    val got = TextAnalysis.queries("text_sentences")(spark,
+        "/root/testdata/sf0.001")
+      .selectExpr("lang", "n_docs", "n_sentences", "n_tokens")
+      .as[(String, Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001",
+        "documents")
+      .selectExpr("lang", "text").as[(String, String)].collect()
+      .groupBy(_._1)
+    got.foreach { case (lang, nd, ns, nt) =>
+      val mine = docs(lang).map(_._2)
+      assert(nd == mine.length)
+      assert(ns == mine.map(_.split("[.!?]+")
+        .count(_.trim.nonEmpty).toLong).sum)
+      assert(nt == mine.map(
+        _.toLowerCase.split("\\s+").length.toLong).sum)
+    }
+    spark.catalog.clearCache()
+  }
+
   test("vocab encode: ids dense in [-1, 1000), OOV only for off-vocab tokens") {
     // raw array form (the registered query fingerprints `ids` for the
     // driver's hash gate, which can't compare array cells)
