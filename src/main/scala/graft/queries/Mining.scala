@@ -425,6 +425,25 @@ object Mining {
   ) ++ miningQueries2
 
   private val miningQueries2: Map[String, Q] = Map(
+    // Exact-dup cluster-size histogram: how many digests occur once,
+    // twice, k times — the dedup-planning read (mass in big clusters
+    // ⇒ dedup pays; a flat histogram ⇒ it won't) and the health
+    // metric behind pipeline_dataset_card's per-stratum dup rate.
+    // Two map-side-combined aggregates (digest counts → size
+    // histogram); the digest rides the scan projection so text never
+    // shuffles (mm_dedup's discipline). Histogram height is bounded
+    // by the largest cluster, never by the corpus.
+    "q99_dup_histogram" -> ((s, d) => {
+      import s.implicits._
+      Tables.load(s, d, "documents")
+        .select(md5($"text").as("digest"))
+        .groupBy($"digest").agg(count(lit(1)).as("csize"))
+        .groupBy($"csize")
+        .agg(count(lit(1)).as("n_clusters"),
+          ($"csize" * count(lit(1))).as("n_docs"))
+        .orderBy($"csize")
+    }),
+
     // ABC classification: parts split into A (first 80% of revenue in
     // descending-revenue order), B (next 15%), C (tail 5%) with
     // per-class rollups — q47_pareto's cutoff turned into the full
@@ -1043,6 +1062,16 @@ object Mining {
            min(CASE WHEN rn = CAST(floor(0.9 * (n - 1)) AS BIGINT) + 1
                  THEN lag_us END) AS p90_lag_us
          FROM r GROUP BY channel ORDER BY channel""",
+
+    // Same two-level aggregate in SQL.
+    "q99_dup_histogram" ->
+      """WITH g AS (
+           SELECT md5(text) AS digest, CAST(count(*) AS BIGINT)
+             AS csize
+           FROM documents GROUP BY md5(text))
+         SELECT csize, CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(csize * count(*) AS BIGINT) AS n_docs
+         FROM g GROUP BY csize ORDER BY csize""",
 
     // Independent formulation: the window cumulative (the single-sort
     // shape PrefixSum replaces) + identical cross-multiplied edges.

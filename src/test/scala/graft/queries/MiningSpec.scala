@@ -469,6 +469,22 @@ class MiningSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("dup histogram tiles the corpus by digest multiplicity") {
+    val got = Mining.queries("q99_dup_histogram")(spark, sf)
+      .as[(Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (cs, nc, nd) =>
+      assert(cs >= 1 && nd == cs * nc)
+    }
+    val docs = graft.Tables.load(spark, sf, "documents")
+      .selectExpr("md5(text) as dg").as[String].collect()
+    assert(got.map(_._3).sum == docs.length)
+    val want = docs.groupBy(identity).values.map(_.length.toLong)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(got.map(r => r._1 -> r._2).toMap == want)
+    spark.catalog.clearCache()
+  }
+
   test("gini matches the textbook sorted-rank formula per nation") {
     val got = Mining.queries("q79_gini")(spark, sf)
       .selectExpr("n_name", "n_customers", "revenue_cents", "gini")
