@@ -638,7 +638,36 @@ object Similarity {
     "ann_ivf" -> ((s, d) => ivfTopK(s, d)),
     "ann_ivf_kmeans" -> ((s, d) => ivfKmeansTopK(s, d)),
     "ann_pq" -> ((s, d) => pqTopK(s, d)),
-    "emb_normalize" -> ((s, d) => normalizeEmbeddings(s, d)))
+    "emb_normalize" -> ((s, d) => normalizeEmbeddings(s, d)),
+
+    // int8 vector quantization — the compression pass ANN serving
+    // runs before PQ/scan (4× smaller vectors, SIMD-friendly codes):
+    // per-vector symmetric max-abs scale, code_i = floor(127·vᵢ/max).
+    // Determinism: floor (never round — a .5 tie at an int boundary
+    // is engine-roulette; floor of the same IEEE quotient is not),
+    // max-abs via an index-ordered fold, and the code array leaves as
+    // the md5 fingerprint + exact integer companions (the emb_norm
+    // lesson — the driver's gate can't sort raw arrays). Row-local
+    // codegen over the scan; zero shuffles before the display sort.
+    "emb_quantize" -> ((s, d) => {
+      import s.implicits._
+      Tables.spread(Tables.load(s, d, "embeddings"))
+        .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+        .withColumn("mx", expr(
+          "aggregate(v, cast(0.0 as double), (a, x) -> " +
+            "greatest(a, abs(x)))"))
+        .filter($"mx" > 0)
+        .withColumn("codes", expr(
+          "transform(v, x -> cast(floor(x * 127.0 / mx) as bigint))"))
+        .select($"vec_id",
+          size($"codes").cast("long").as("dim"),
+          round($"mx", 6).as("scale"),
+          expr("aggregate(codes, 0L, (a, c) -> a + abs(c))")
+            .as("l1_code"),
+          md5(concat_ws(",", expr("transform(codes, c -> " +
+            "cast(c as string))"))).as("code_fp"))
+        .orderBy($"vec_id")
+    }))
 
   /** Embedding preprocessing — mean-center + L2-normalize, the
     * whitening-lite step run before ANN indexing / SemDeDup so cosine
@@ -964,6 +993,30 @@ object Similarity {
            FROM sim)
          SELECT label, CAST(rank AS BIGINT) AS rank, vec_id, c_sim
          FROM ranked WHERE rank <= 3 ORDER BY label, rank""",
+    // same index-ordered max-abs fold, same floor codes, same
+    // fingerprint string
+    "emb_quantize" ->
+      """WITH x AS (
+           SELECT vec_id,
+             list_transform(embedding, e -> CAST(e AS DOUBLE)) AS v
+           FROM embeddings),
+         m AS (
+           SELECT vec_id, v,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(v, e -> abs(e))),
+               (a, b) -> greatest(a, b)) AS mx
+           FROM x),
+         c AS (
+           SELECT vec_id, v, mx,
+             list_transform(v,
+               e -> CAST(floor(e * 127.0 / mx) AS BIGINT)) AS codes
+           FROM m WHERE mx > 0)
+         SELECT vec_id, CAST(len(codes) AS BIGINT) AS dim,
+           round(mx, 6) AS scale,
+           CAST(list_sum(list_transform(codes, k -> abs(k)))
+             AS BIGINT) AS l1_code,
+           md5(array_to_string(codes, ',')) AS code_fp
+         FROM c ORDER BY vec_id""",
     "emb_normalize" ->
       """WITH x AS (SELECT vec_id, embedding FROM embeddings),
          pe AS (

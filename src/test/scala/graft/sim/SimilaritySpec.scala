@@ -10,6 +10,31 @@ class SimilaritySpec extends SparkSpec {
   private def topSets(rows: Array[(Long, Long, Long)]): Map[Long, Set[Long]] =
     rows.groupBy(_._1).map { case (q, rs) => q -> rs.map(_._3).toSet }
 
+  test("quantization codes bound reconstruction error by one step") {
+    val got = graft.sim.Similarity.queries("emb_quantize")(spark,
+        "/root/testdata/sf0.001")
+      .selectExpr("vec_id", "dim", "l1_code")
+      .as[(Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    val raw = graft.Tables.load(spark, "/root/testdata/sf0.001",
+        "embeddings")
+      .selectExpr("vec_id", "cast(embedding as array<double>) as v")
+      .as[(Long, Seq[Double])].collect().toMap
+    got.foreach { case (id, dim, l1) =>
+      val v = raw(id)
+      assert(dim == v.length)
+      val mx = v.map(math.abs).foldLeft(0.0)(math.max)
+      val codes = v.map(x => math.floor(x * 127.0 / mx).toLong)
+      assert(l1 == codes.map(math.abs).sum)
+      // every code is in [-127, 127] and reconstructs within one step
+      codes.zip(v).foreach { case (c, x) =>
+        assert(c >= -127 && c <= 127)
+        assert(math.abs(c * mx / 127.0 - x) <= mx / 127.0 + 1e-12)
+      }
+    }
+    spark.catalog.clearCache()
+  }
+
   test("auto plane count keeps bucket occupancy flat as corpus grows") {
     // each added plane halves expected occupancy: n / 2^planes stays
     // within a constant factor of the target across 6 orders of corpus
