@@ -188,6 +188,44 @@ object Graph {
         .orderBy($"bucket")
     }),
 
+    // Degree assortativity: Pearson correlation of endpoint degrees
+    // over every (symmetric) edge — do hubs link to hubs (r > 0,
+    // social-network shape) or to leaves (r < 0, internet/biology
+    // shape)? The single number that says which skew regime the
+    // graph's joins will face. q43's float discipline: all six
+    // moments (n, Σx, Σy, Σxy, Σx², Σy²) are EXACT longs (degree ≤
+    // nodes, products fit far past the test scales), and only the
+    // final r assembles them in one fixed IEEE expression, round(4).
+    // Degrees broadcast onto both endpoints of the persisted edge
+    // list; the moment reduce is one map-side-combined 1-row
+    // aggregate.
+    "q100_assortativity" -> ((s, d) => {
+      import s.implicits._
+      val e = coOccurrenceEdges(s, d)
+      val ed = e.select(explode(array(
+          struct($"a".as("u"), $"b".as("v")),
+          struct($"b".as("u"), $"a".as("v")))).as("e"))
+        .select($"e.u", $"e.v")
+      val deg = ed.groupBy($"u").agg(count(lit(1)).as("deg"))
+      ed
+        .join(broadcast(deg.select($"u", $"deg".as("dx"))), Seq("u"))
+        .join(broadcast(deg.select($"u".as("v"), $"deg".as("dy"))),
+          Seq("v"))
+        .agg(count(lit(1)).as("n"),
+          sum($"dx").as("sx"), sum($"dy").as("sy"),
+          sum($"dx" * $"dy").as("sxy"),
+          sum($"dx" * $"dx").as("sxx"),
+          sum($"dy" * $"dy").as("syy"))
+        .select($"n",
+          round((($"n".cast("double") * $"sxy" -
+              $"sx".cast("double") * $"sy") /
+            sqrt(($"n".cast("double") * $"sxx" -
+              $"sx".cast("double") * $"sx") *
+              ($"n".cast("double") * $"syy" -
+                $"sy".cast("double") * $"sy"))), 4)
+            .as("assortativity"))
+    }),
+
     // Single-source weighted shortest paths (4 relaxation rounds) —
     // the DISTANCE primitive completing the graph family (PageRank =
     // centrality, CC = membership, triangles/k-core = density). Edge
@@ -410,6 +448,42 @@ object Graph {
     // inlining makes the 10-round chain expand 2^10 copies of the
     // whole edge build — the un-hinted form ran >12 min at sf0.01;
     // materialized it's sub-second.
+    // same exact long moments; the final r spells out the identical
+    // IEEE expression (double casts before the big products — the
+    // n·Σxy-class values overflow BIGINT, and both engines must
+    // overflow-dodge the SAME way)
+    "q100_assortativity" ->
+      """WITH li AS MATERIALIZED (
+           SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+           FROM lineitem),
+         e AS MATERIALIZED (
+           SELECT DISTINCT x.pk AS a, y.pk AS b
+           FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk),
+         ed AS (
+           SELECT a AS u, b AS v FROM e
+           UNION ALL SELECT b, a FROM e),
+         deg AS (
+           SELECT u, CAST(count(*) AS BIGINT) AS deg FROM ed
+           GROUP BY u),
+         m AS (
+           SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(dx.deg) AS BIGINT) AS sx,
+             CAST(sum(dy.deg) AS BIGINT) AS sy,
+             CAST(sum(dx.deg * dy.deg) AS BIGINT) AS sxy,
+             CAST(sum(dx.deg * dx.deg) AS BIGINT) AS sxx,
+             CAST(sum(dy.deg * dy.deg) AS BIGINT) AS syy
+           FROM ed
+           JOIN deg dx ON ed.u = dx.u
+           JOIN deg dy ON ed.v = dy.u)
+         SELECT n,
+           round((CAST(n AS DOUBLE) * sxy -
+               CAST(sx AS DOUBLE) * sy) /
+             sqrt((CAST(n AS DOUBLE) * sxx -
+               CAST(sx AS DOUBLE) * sx) *
+               (CAST(n AS DOUBLE) * syy -
+                 CAST(sy AS DOUBLE) * sy)), 4) AS assortativity
+         FROM m""",
+
     // floor(log2(deg)) as length(bin(deg))−1 — integer on both
     // engines (DuckDB bin() is the same binary-string primitive).
     "q90_graph_profile" ->

@@ -68,6 +68,35 @@ class GraphSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("assortativity is in [-1, 1] and matches a direct recompute") {
+    val Array((n, r)) =
+      graft.SparkEntry.queries("q100_assortativity")(spark, sf)
+        .as[(Long, Double)].collect()
+    assert(r >= -1.0 && r <= 1.0)
+    val li = graft.Tables.load(spark, sf, "lineitem")
+      .selectExpr("l_orderkey as ok", "l_partkey as pk")
+      .distinct().as[(Long, Long)].collect()
+    val edges = li.groupBy(_._1).values.flatMap { rows =>
+      val ps = rows.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length)
+        yield (ps(i), ps(j))
+    }.toSet
+    val sym = edges.toSeq.flatMap(e => Seq(e, e.swap))
+    val deg = sym.groupBy(_._1).view.mapValues(_.size.toLong)
+    assert(n == sym.size)
+    val xs = sym.map(e => (deg(e._1), deg(e._2)))
+    val (sx, sy) = (xs.map(_._1).sum, xs.map(_._2).sum)
+    val sxy = xs.map(p => p._1 * p._2).sum
+    val sxx = xs.map(p => p._1 * p._1).sum
+    val syy = xs.map(p => p._2 * p._2).sum
+    val want = (n.toDouble * sxy - sx.toDouble * sy) /
+      math.sqrt((n.toDouble * sxx - sx.toDouble * sx) *
+        (n.toDouble * syy - sy.toDouble * sy))
+    assert(math.abs(r - BigDecimal(want).setScale(4,
+      BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-12)
+    spark.catalog.clearCache()
+  }
+
   test("pagerank: mass conserved within truncation loss, ranks positive") {
     val top = graft.SparkEntry.queries("q62_pagerank")(spark, sf)
       .as[(String, Long)].collect()
