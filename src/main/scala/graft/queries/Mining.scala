@@ -127,14 +127,11 @@ object Mining {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val nTot = op.agg(countDistinct($"ok").as("n_orders"))
       val na = op.groupBy($"pk").agg(count(lit(1)).as("n_p"))
-      val pairs = op.groupBy($"ok")
-        .agg(sort_array(collect_set($"pk")).as("ps"))
-        .select(explode(expr(
-          """flatten(transform(ps, (x, i) ->
-             transform(slice(ps, i + 2, size(ps)),
-               y -> struct(x AS a, y AS b))))""")).as("e"))
-        .groupBy($"e.a".as("a"), $"e.b".as("b"))
-        .agg(count(lit(1)).as("n_ab"))
+      // support pruning ON the session-shared pair-count frame
+      // (Graph.coOccurrencePairCounts — built once, reused by the
+      // whole graph family); per-part counts still need `op` above
+      // since single-part orders appear in no pair
+      val pairs = graft.queries.Graph.coOccurrencePairCounts(s, d)
         .filter($"n_ab" >= 3)
       val sym = pairs.select(explode(array(
           struct($"a".as("src"), $"b".as("rec"), $"n_ab"),
@@ -252,11 +249,17 @@ object Mining {
           count(lit(1)).as("n_rows"),
           sum(when(bad, 1L).otherwise(0L)).as("n_bad"))
           .select(lit(check).as("check_name"), $"n_rows", $"n_bad")
+      // broadcastDim: hint ONLY true dimension tables. The
+      // lineitem→orders check keys on another FACT table — a forced
+      // broadcast there is a fact-scale driver OOM at 100 TB, so that
+      // check leaves the planner free to pick the shuffle join
+      // (round-9 advice).
       def fk(factTable: String, factKey: String, dimTable: String,
-          dimKey: String, check: String) = {
+          dimKey: String, check: String, broadcastDim: Boolean = true) = {
         val fact = Tables.load(s, d, factTable)
+        val dim = Tables.load(s, d, dimTable).select(col(dimKey))
         val orphans = fact.join(
-            broadcast(Tables.load(s, d, dimTable).select(col(dimKey))),
+            if (broadcastDim) broadcast(dim) else dim,
             col(factKey) === col(dimKey), "left_anti")
           .agg(count(lit(1)).as("n_bad"))
         fact.agg(count(lit(1)).as("n_rows")).crossJoin(orphans)
@@ -278,7 +281,7 @@ object Mining {
         .unionByName(fk("orders", "o_custkey", "customer", "c_custkey",
           "fk_orders_customer"))
         .unionByName(fk("lineitem", "l_orderkey", "orders", "o_orderkey",
-          "fk_lineitem_orders"))
+          "fk_lineitem_orders", broadcastDim = false))
         .unionByName(uniq)
         .orderBy($"check_name")
     }),
@@ -479,11 +482,10 @@ object Mining {
     // DAU/MAU stickiness: per month, total daily-active slots over
     // (days-in-month × monthly actives) — the canonical engagement
     // ratio (how much of the month does a monthly user actually
-    // show up). Both numerator and denominator are exact longs from
-    // the SAME distinct-activity table q95 uses (one corpus-sized
-    // distinct, reused by construction); the ratio is one IEEE
-    // divide, round(4). Month domain bounds everything after the
-    // distinct.
+    // show up). Both numerator and denominator are exact longs off
+    // ONE corpus-sized distinct of (user, month, day) slots; the
+    // ratio is one IEEE divide, round(4). Month domain bounds
+    // everything after the distinct.
     "q96_stickiness" -> ((s, d) => {
       import s.implicits._
       val ud = Tables.load(s, d, "events")
@@ -493,7 +495,9 @@ object Mining {
           datediff(to_date($"ts"), lit("2024-01-01")).cast("long")
             .as("day"))
         .distinct()
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // no persist: the distinct-activity frame feeds exactly ONE
+      // aggregation below (q95 builds its own day-grained variant) —
+      // caching it would be a pure extra pass (round-9 advice)
       val slots = ud.groupBy($"mon")
         .agg(count(lit(1)).as("n_user_days"),
           countDistinct($"user_id").as("mau"),
@@ -663,10 +667,20 @@ object Mining {
           sort_array(collect_list(struct($"event_type", $"dow",
             $"obs", $"row_n", $"col_n"))).as("cs"))
         .select($"n", (($"n_types" - 1) * ($"n_dows" - 1)).as("dof"),
+          // the deviation N·obs − row·col reaches N² — long overflow
+          // (ANSI throw) once total event count nears ~3e9, i.e. well
+          // inside the 100 TB shape. Computed in decimal(38,0) (the
+          // q25 discipline; oracle twin uses HUGEINT): exact to
+          // N ≈ 1e19, and both engines cast the identical exact
+          // integer to double afterwards (round-9 advice)
           round(expr(
             """aggregate(cs, cast(0.0 as double), (acc, c) ->
-               acc + cast(n * c.obs - c.row_n * c.col_n as double)
-                   * cast(n * c.obs - c.row_n * c.col_n as double)
+               acc + cast(cast(n as decimal(38,0)) * c.obs
+                          - cast(c.row_n as decimal(38,0)) * c.col_n
+                          as double)
+                   * cast(cast(n as decimal(38,0)) * c.obs
+                          - cast(c.row_n as decimal(38,0)) * c.col_n
+                          as double)
                    / (cast(n as double) * c.row_n * c.col_n))"""), 4)
             .as("chi2"))
     }),
@@ -1227,8 +1241,10 @@ object Mining {
                  FROM cells),
          j AS (
            SELECT c.event_type, c.dow,
-             CAST(t.n * c.obs - r.row_n * l.col_n AS DOUBLE)
-               * CAST(t.n * c.obs - r.row_n * l.col_n AS DOUBLE)
+             CAST(CAST(t.n AS HUGEINT) * c.obs
+                  - CAST(r.row_n AS HUGEINT) * l.col_n AS DOUBLE)
+               * CAST(CAST(t.n AS HUGEINT) * c.obs
+                  - CAST(r.row_n AS HUGEINT) * l.col_n AS DOUBLE)
                / (CAST(t.n AS DOUBLE) * r.row_n * l.col_n) AS term
            FROM cells c
            JOIN rowc r ON c.event_type = r.event_type

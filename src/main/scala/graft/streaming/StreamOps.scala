@@ -524,6 +524,20 @@ object StreamOps {
     * discipline (KinesisSink.writeStreamExactlyOnce); the spec pins
     * merge == direct recompute over clean delivery.
     */
+  /** Crash recovery for the swap-rename discipline: a failure BETWEEN
+    * rename(state→old) and rename(tmp→state) leaves no `state` dir
+    * but an intact `-old` holding the last complete generation. Every
+    * batch starts by restoring that generation if it finds the torn
+    * shape — without this the next batch silently reinitializes from
+    * empty and its own preamble deletes `-old`, losing all
+    * accumulated history (round-9 advice).
+    */
+  private def restoreTornState(fs: org.apache.hadoop.fs.FileSystem,
+      statePath: org.apache.hadoop.fs.Path,
+      oldPath: org.apache.hadoop.fs.Path): Unit =
+    if (!fs.exists(statePath) && fs.exists(oldPath))
+      fs.rename(oldPath, statePath)
+
   def incrementalAggBatch(stateDir: String)(
       batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
@@ -535,6 +549,8 @@ object StreamOps {
     val statePath = new org.apache.hadoop.fs.Path(stateDir)
     val fs = statePath.getFileSystem(
       spark.sessionState.newHadoopConf())
+    restoreTornState(fs, statePath,
+      new org.apache.hadoop.fs.Path(s"$stateDir-old"))
     val prior =
       if (fs.exists(statePath)) Some(spark.read.parquet(stateDir))
       else None
@@ -573,6 +589,8 @@ object StreamOps {
     val statePath = new org.apache.hadoop.fs.Path(stateDir)
     val fs = statePath.getFileSystem(
       spark.sessionState.newHadoopConf())
+    restoreTornState(fs, statePath,
+      new org.apache.hadoop.fs.Path(s"$stateDir-old"))
     val prior =
       if (fs.exists(statePath)) Some(spark.read.parquet(stateDir))
       else None
