@@ -183,18 +183,8 @@ object Similarity {
   }
 
   // -------------------------------------------------------------- IVF
-  /** Element-wise mean embedding per cell (label = coarse codebook).
-    * posexplode → (cell, pos) mean → re-assemble sorted array. Two
-    * small shuffles over ncells×dim rows — negligible at any scale.
-    */
-  def centroids(e: DataFrame): DataFrame =
-    e.select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
-      .groupBy(col("label"), col("pos"))
-      .agg(avg(col("v")).as("mean_v"))
-      .groupBy(col("label"))
-      .agg(transform(
-        array_sort(collect_list(struct(col("pos"), col("mean_v")))),
-        x => x.getField("mean_v")).as("centroid"))
+  // (the float-avg centroids() helper is gone — every coarse-quantizer
+  // consumer rides centroidsQuantized's order-free grid means now)
 
   def ivfTopK(s: SparkSession, d: String, k: Int = 10, nprobe: Int = 3)
       : DataFrame = {
@@ -479,11 +469,24 @@ object Similarity {
     import s.implicits._
     var cb = init
     for (_ <- 1 to iters) {
+      // quantized-grid means (the centroidsQuantized convention):
+      // floor(v·10⁶) longs summed ORDER-FREE, floor-divided by the
+      // cell count, mapped back to the 1e-6 grid — <1e-6/dim from the
+      // float mean (irrelevant for Lloyd geometry) but
+      // bit-reproducible on any engine, which is what lets the DuckDB
+      // oracle unroll the training round instead of recording ann_pq
+      // rows-only (round 9; the ann_ivf_kmeans discipline)
       cb = pqAssigned(e, cb, m, subLen)
         .select(col("m"), col("cell"),
           posexplode(col("sv")).as(Seq("pos", "v")))
+        .withColumn("q",
+          floor(col("v").cast("double") * 1000000.0).cast("long"))
         .groupBy(col("m"), col("cell"), col("pos"))
-        .agg(avg(col("v")).as("mv"))
+        .agg(sum(col("q")).as("sq"), count(lit(1)).as("cnt"))
+        // floor over the exact ≤2^53 double quotient — identical on
+        // both engines for every sign (the emb_normalize lesson)
+        .withColumn("mv",
+          floor(col("sq").cast("double") / col("cnt")) / 1000000.0)
         .groupBy(col("m"), col("cell"))
         .agg(transform(
           array_sort(collect_list(struct(col("pos"), col("mv")))),
@@ -493,8 +496,15 @@ object Similarity {
     cb
   }
 
+  /** Registered form runs ONE Lloyd round: with the deterministic
+    * stride init and quantized-grid means, a fixed small round count
+    * is a defined training semantics the oracle replays exactly (the
+    * q67 exact-regime discipline) — and one round is where the
+    * recall/SQL-replay trade lands (each unrolled round doubles the
+    * oracle's assign+means CTE chain).
+    */
   def pqTopK(s: SparkSession, d: String, k: Int = 10, m: Int = 4,
-      kSub: Int = 16, iters: Int = 2, nprobe: Int = 3, candK: Int = 50)
+      kSub: Int = 16, iters: Int = 1, nprobe: Int = 3, candK: Int = 50)
       : DataFrame = {
     val subLen = Dim / m
     // corpus feeds training (iters passes), encoding, probing and the
@@ -507,16 +517,29 @@ object Similarity {
     // tighter-distributed than raw vectors, so the same kSub cells
     // spend their resolution where it matters. One broadcast of the
     // kilobyte centroid table against the scan; the residual frame
-    // feeds training (iters passes) + encoding → persist.
-    val cents = centroids(e)
+    // feeds training (iters passes) + encoding → persist. QUANTIZED
+    // coarse centroids (round 9): same geometry to <1e-6/dim, but
+    // order-free exact — the first link in the chain that makes the
+    // whole pipeline DuckDB-replayable (see oracle).
+    val cents = centroidsQuantized(e)
     val eRes = e.join(broadcast(cents), Seq("label"))
       .withColumn("embedding",
         zip_with(col("embedding").cast("array<double>"), col("centroid"),
           (a, b) => a - b))
       .select(col("vec_id"), col("label"), col("embedding"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cb = pqCodebooks(eRes, pqInit(eRes, m, subLen, kSub), m, subLen,
+    val cb0 = pqCodebooks(eRes, pqInit(eRes, m, subLen, kSub), m, subLen,
       iters)
+    // DENSE cell re-number: pq_encode returns a code as the POSITION
+    // of the winning centroid in the (m, cell)-sorted nested codebook,
+    // while the ADC table keys on the stored cell ids — if a Lloyd
+    // round empties a cell, every later position shifts one off its
+    // id and the ADC join silently scores the wrong centroids.
+    // Re-indexing cells to their sorted positions makes the two
+    // keyings agree by construction (and is what the oracle replays
+    // as a row_number over (m, cell)).
+    val cb = nestedCb(cb0).zipWithIndex.flatMap { case (sub, mi) =>
+      sub.zipWithIndex.map { case (cent, cell) => (mi, cell, cent) } }
     // the compressed corpus: m small codes per vector, row-local
     // encode — label rides along in the SAME scan so the ADC join
     // below never shuffles on vec_id to fetch it
@@ -541,11 +564,19 @@ object Similarity {
         zip_with(col("q_emb").cast("array<double>"), col("centroid"),
           (a, b) => a - b))
       .crossJoin(broadcast(codebookDf(s, cb)))
-      .withColumn("ip", graft.functions.VectorFunctions.dot_product(
-        slice(col("q_res"), col("m") * lit(subLen) + lit(1), lit(subLen)),
-        col("cent")))
+      // table entries land on the 1e-6 integer grid: the candidate
+      // score below is then a SUM OF LONGS — order-free — instead of
+      // a float sum whose value depends on which of the m partials
+      // combines first (the last non-replayable float in the
+      // pipeline; approximate ordering only feeds the candidate pick,
+      // the output cosines stay exact-reranked)
+      .withColumn("ipq",
+        floor(graft.functions.VectorFunctions.dot_product(
+          slice(col("q_res"), col("m") * lit(subLen) + lit(1),
+            lit(subLen)),
+          col("cent")).cast("double") * 1000000.0).cast("long"))
       .select(col("q_id"), col("label"), col("m"),
-        col("cell").as("code"), col("ip"))
+        col("cell").as("code"), col("ipq"))
     // ADC scan: probed cells' codes → m table lookups per candidate,
     // summed with map-side combine; the corpus side never shuffles
     // its floats
@@ -554,7 +585,7 @@ object Similarity {
         Seq("label"))
       .join(broadcast(adc), Seq("q_id", "label", "m", "code"))
       .groupBy(col("q_id"), col("vec_id"))
-      .agg(sum(col("ip")).as("approx_ip"))
+      .agg(sum(col("ipq")).as("approx_ip"))
     val wCand = Window.partitionBy(col("q_id"))
       .orderBy(desc("approx_ip"), col("vec_id"))
     val topCand = cand
@@ -819,6 +850,139 @@ object Similarity {
     * assertions in SimilaritySpec / DedupSpec.
     */
   def oracles: Map[String, String] = Map(
+    "ann_pq" -> {
+      // residual IVFPQ replay (round 9, upgraded from rows-only): one
+      // Lloyd round over the deterministic stride init, quantized-grid
+      // means, ADC on the 1e-6 integer grid. Every float step is an
+      // index-order left fold (dot, <c,c>) or a floor onto an integer
+      // grid, so the chain — coarse centroids → residuals → training
+      // assignment → codebook → codes → ADC scores → candidate pick —
+      // is bit-replayable; the output cosines are the exact-rerank
+      // ones (ann_bruteforce parity).
+      //
+      // dot: ascending-index left fold from 0.0 — PqEncode's loop
+      def dt(a: String, b: String): String =
+        s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(range(1, len($a) + 1), j -> $a[j] * $b[j])),
+             (x, y) -> x + y)"""
+      // <c,c>: Scala Seq.sum — the same ascending fold from 0.0
+      def cc(c: String): String =
+        s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform($c, x -> x * x)), (x, y) -> x + y)"""
+      // argmax(2·<sv,c> − <c,c>), ties to the lowest cell — PqEncode's
+      // strict `>` keeps the first (lowest) cell on equal score
+      def assign(cbCte: String, out: String): String =
+        s"""$out AS (
+             SELECT vec_id, mi, cell, sv FROM (
+               SELECT s.vec_id, s.mi, c.cell, s.sv,
+                 row_number() OVER (PARTITION BY s.vec_id, s.mi
+                   ORDER BY 2 * ${dt("s.sv", "c.cent")} - ${cc("c.cent")}
+                     DESC, c.cell) AS rn
+               FROM sub s JOIN $cbCte c ON c.mi = s.mi) x
+             WHERE rn = 1)"""
+      s"""WITH pe AS (
+           SELECT label,
+             unnest(list_transform(embedding,
+               v -> CAST(floor(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT)))
+               AS q,
+             unnest(range(1, len(embedding) + 1)) AS pos
+           FROM embeddings),
+         cent AS (
+           SELECT label, pos,
+             floor(CAST(CAST(sum(q) AS BIGINT) AS DOUBLE) / count(*))
+               / 1000000.0 AS m
+           FROM pe GROUP BY label, pos),
+         cvec AS (
+           SELECT label, list(m ORDER BY pos) AS centroid
+           FROM cent GROUP BY label),
+         res AS (
+           SELECT e.vec_id, e.label,
+             list_transform(range(1, len(e.embedding) + 1),
+               i -> CAST(e.embedding[i] AS DOUBLE) - c.centroid[i]) AS emb
+           FROM embeddings e JOIN cvec c USING (label)),
+         nn AS (SELECT count(*) AS n FROM res),
+         seeds AS (
+           SELECT vec_id, emb,
+             CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell
+           FROM res, nn WHERE vec_id % greatest(n // 16, 1) = 0),
+         mis AS (SELECT CAST(unnest(range(0, 4)) AS INT) AS mi),
+         cb0 AS (
+           SELECT mis.mi, s.cell,
+             list_slice(s.emb, mis.mi * 16 + 1, mis.mi * 16 + 16) AS cent
+           FROM seeds s CROSS JOIN mis WHERE s.cell < 16),
+         sub AS (
+           SELECT r.vec_id, mis.mi,
+             list_slice(r.emb, mis.mi * 16 + 1, mis.mi * 16 + 16) AS sv
+           FROM res r CROSS JOIN mis),
+         ${assign("cb0", "a1")},
+         cb1 AS (
+           SELECT mi, cell, list(mv ORDER BY pos) AS cent FROM (
+             SELECT mi, cell, pos,
+               floor(CAST(CAST(sum(q) AS BIGINT) AS DOUBLE) / count(*))
+                 / 1000000.0 AS mv
+             FROM (
+               SELECT mi, cell,
+                 unnest(list_transform(sv,
+                   v -> CAST(floor(v * 1000000.0) AS BIGINT))) AS q,
+                 unnest(range(1, len(sv) + 1)) AS pos
+               FROM a1) qq
+             GROUP BY mi, cell, pos) mm
+           GROUP BY mi, cell),
+         cbn AS (
+           SELECT mi,
+             CAST(row_number() OVER (PARTITION BY mi ORDER BY cell) - 1
+               AS INT) AS cell,
+             cent
+           FROM cb1),
+         ${assign("cbn", "enc")},
+         qv AS (
+           SELECT vec_id AS q_id, embedding AS q_emb
+           FROM embeddings WHERE vec_id % 100 = 0),
+         probe AS (
+           SELECT q_id, q_emb, label, centroid FROM (
+             SELECT qv.q_id, qv.q_emb, c.label, c.centroid,
+               row_number() OVER (PARTITION BY qv.q_id
+                 ORDER BY ${cosSql("qv.q_emb", "c.centroid")} DESC,
+                   c.label) AS r
+             FROM qv CROSS JOIN cvec c) p
+           WHERE r <= 3),
+         qres AS (
+           SELECT q_id, label,
+             list_transform(range(1, len(q_emb) + 1),
+               i -> CAST(q_emb[i] AS DOUBLE) - centroid[i]) AS qr
+           FROM probe),
+         adc AS (
+           SELECT q.q_id, q.label, c.mi, c.cell AS code,
+             CAST(floor(${dt(
+               "list_slice(q.qr, c.mi * 16 + 1, c.mi * 16 + 16)",
+               "c.cent")} * 1000000.0) AS BIGINT) AS ipq
+           FROM qres q CROSS JOIN cbn c),
+         cand AS (
+           SELECT a.q_id, n.vec_id, sum(a.ipq) AS approx
+           FROM enc n
+           JOIN res r ON r.vec_id = n.vec_id
+           JOIN adc a ON a.label = r.label AND a.mi = n.mi
+             AND a.code = n.cell
+           GROUP BY a.q_id, n.vec_id),
+         topc AS (
+           SELECT q_id, vec_id FROM (
+             SELECT q_id, vec_id,
+               row_number() OVER (PARTITION BY q_id
+                 ORDER BY approx DESC, vec_id) AS r
+             FROM cand WHERE vec_id <> q_id) t
+           WHERE r <= 50),
+         ranked AS (
+           SELECT t.q_id, t.vec_id,
+             ${cosSql("qv.q_emb", "e.embedding")} AS cosine,
+             row_number() OVER (PARTITION BY t.q_id
+               ORDER BY ${cosSql("qv.q_emb", "e.embedding")} DESC,
+                 t.vec_id) AS rank
+           FROM topc t
+           JOIN embeddings e ON e.vec_id = t.vec_id
+           JOIN qv ON qv.q_id = t.q_id)
+         SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id, cosine
+         FROM ranked WHERE rank <= 10 ORDER BY q_id, rank"""
+    },
     "ann_ivf_kmeans" -> {
       // one Lloyd round: nearest-centroid assignment (row_number
       // argmax — same (c_sim DESC, cell ASC) order the max_by struct

@@ -235,9 +235,74 @@ object Bpe {
       encode(docs, merges)
     }))
 
-  /** Iterative data-dependent argmax — not expressible as one SQL
-    * statement; BpeSpec pins the merge table (and the encode's
-    * segmentation) against an independent reference implementation.
+  /** pipeline_bpe_learn upgraded from rows-only (round 9): the
+    * iterative argmax unrolls as 16 chained MATERIALIZED CTE rounds
+    * (the q75/q62 discipline — each round reads its predecessor
+    * twice, so an inlined chain would expand 2^16 copies of the word
+    * build). Ties need no special fixture: the argmax order
+    * (weight DESC, left, right) is a total order replayed identically
+    * by both engines. The greedy non-overlapping merge APPLY is a
+    * left fold whose accumulator merges its last symbol with the
+    * incoming one iff they equal (l, r) — equivalent to the scan
+    * because a just-merged symbol l||r can never itself equal l (r is
+    * nonempty), so no double-merge can occur; DuckDB's list_reduce
+    * replays it with a list accumulator.
+    *
+    * pipeline_bpe_encode stays rows-only by design: its
+    * lowest-rank-first segmentation loop is data-dependent PER WORD
+    * (each application changes which ranked pairs exist), with no
+    * bounded unroll; BpeSpec pins both against an independent
+    * reference implementation.
     */
-  def oracles: Map[String, String] = Map.empty
+  def oracles: Map[String, String] = Map(
+    "pipeline_bpe_learn" -> {
+      // one merge round: adjacent-pair weights over the current
+      // symbol table → argmax winner → fold the merge through every
+      // word. Round N's pairs/winner read t(N-1); the last round
+      // skips the apply (its table is never consumed).
+      def pairs(prev: String, i: Int): String =
+        s"""p$i AS MATERIALIZED (
+             SELECT l, r, CAST(sum(w) AS BIGINT) AS w FROM (
+               SELECT syms[j] AS l, syms[j + 1] AS r, freq AS w
+               FROM (SELECT freq, syms,
+                       unnest(range(1, len(syms))) AS j
+                     FROM $prev) x) y
+             GROUP BY l, r),
+           m$i AS MATERIALIZED (
+             SELECT l, r, l || r AS merged, w FROM p$i
+             ORDER BY w DESC, l, r LIMIT 1)"""
+      def apply(prev: String, i: Int): String =
+        s"""t$i AS MATERIALIZED (
+             SELECT t.freq,
+               list_reduce(list_transform(t.syms, x -> [x]),
+                 (acc, x) -> CASE
+                   WHEN acc[-1] = m.l AND x[1] = m.r
+                   THEN list_append(
+                     list_slice(acc, 1, len(acc) - 1), m.merged)
+                   ELSE list_append(acc, x[1]) END) AS syms
+             FROM $prev t CROSS JOIN m$i m)"""
+      val rounds = (1 to 16).map { i =>
+        val prev = s"t${i - 1}"
+        if (i < 16) s"${pairs(prev, i)},\n           ${apply(prev, i)}"
+        else pairs(prev, i)
+      }.mkString(",\n           ")
+      val out = (1 to 16).map(i =>
+        s"""SELECT CAST($i AS BIGINT) AS rank, l AS "left",
+            r AS "right", merged, w AS weight FROM m$i""")
+        .mkString("\n           UNION ALL ")
+      s"""WITH wf AS MATERIALIZED (
+           SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
+             SELECT unnest(string_split_regex(lower(text), '\\s+'))
+               AS word
+             FROM documents) w
+           WHERE regexp_matches(word, '^[a-z]+$$')
+           GROUP BY word),
+         t0 AS MATERIALIZED (
+           SELECT freq,
+             list_append(list_transform(range(1, len(word) + 1),
+               i -> word[i]), '</w>') AS syms
+           FROM wf),
+         $rounds
+         SELECT * FROM ($out) ORDER BY rank"""
+    })
 }
