@@ -1,0 +1,181 @@
+package graft.tools
+
+import graft.{SparkEntry, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One-decade scale evidence (round-9 verdict item #4): synthesize a
+  * 10× corpus ("sf1") from the driver's sf0.1 parquet and time the
+  * heaviest queries at both scales, reporting the growth exponent
+  * e = log10(t_sf1 / t_sf0.1) — a corpus-linear operator shows e ≈ 1,
+  * a quadratic candidate stage shows e ≈ 2. The ×1/×2/×4 probes
+  * (ScaleProbe/GraphProbe) established short-range linearity; this
+  * adds a full decade, the strongest local evidence available for the
+  * 100 TB claims.
+  *
+  * Scaling discipline — the 10 copies are DISJOINT by construction,
+  * exactly how TPC-H scales (row counts of part/supplier/customer/
+  * orders all grow with SF):
+  *   - every key column (order/part/supp/cust/user/event/doc/vec) is
+  *     offset per copy by a power of ten above its max, so joins stay
+  *     valid and the co-occurrence graph scales as 10 disjoint
+  *     components instead of densifying artificially;
+  *   - document text is injectively token-renamed per copy (`c{i}_`
+  *     prefix): Jaccard/containment structure inside each copy is
+  *     preserved (shingle sets transform injectively) while cross-copy
+  *     shingles are disjoint — no artificial 10-way duplicate
+  *     clusters that a real 10× corpus would not have;
+  *   - embeddings get a per-copy deterministic coordinate sign-flip
+  *     (an orthogonal transform: all intra-copy cosines/norms are
+  *     EXACTLY preserved, cross-copy vectors decorrelate);
+  *   - event timestamps are kept: 10× users in the same wall-clock
+  *     window is how real traffic grows (session windows stay
+  *     per-user-sized, there are just 10× more of them).
+  *
+  *   sbt "runMain graft.tools.Sf1Probe"            # generate + probe
+  *   sbt "runMain graft.tools.Sf1Probe regen"      # force regeneration
+  */
+object Sf1Probe {
+
+  val srcDir = "/root/testdata/sf0.1"
+  val dstDir = "/tmp/graft-sf1"
+  val copies = 10
+
+  /** The heavy tier from the round-8 clean re-runs, plus the shared
+    * edge build as its own row (the graph family reads it back).
+    */
+  val heavy: Seq[String] = Seq(
+    "q62_pagerank", "q72_triangle_count", "q75_kcore",
+    "q87_shortest_path", "q90_graph_profile", "q100_assortativity",
+    "dedup_tfidf_cosine", "dedup_containment",
+    "q52_session_window", "q10_distinct")
+
+  private def pow10Above(maxKey: Long): Long = {
+    var p = 1L
+    while (p <= maxKey) p *= 10
+    p
+  }
+
+  /** Union `copies` key-offset (and where needed content-renamed)
+    * copies of every table into `dstDir`.
+    */
+  def generate(spark: SparkSession): Unit = {
+    import spark.implicits._
+
+    def maxOf(t: String, c: String): Long =
+      Tables.load(spark, srcDir, t).agg(max(col(c))).as[Long].first()
+
+    val kOrder = pow10Above(maxOf("orders", "o_orderkey"))
+    val kCust = pow10Above(maxOf("customer", "c_custkey"))
+    val kPart = pow10Above(maxOf("part", "p_partkey"))
+    val kSupp = pow10Above(maxOf("supplier", "s_suppkey"))
+    val kEvent = pow10Above(maxOf("events", "event_id"))
+    val kUser = pow10Above(maxOf("events", "user_id"))
+    val kDoc = pow10Above(maxOf("documents", "doc_id"))
+    val kVec = pow10Above(maxOf("embeddings", "vec_id"))
+
+    // per-table: which long columns shift by which stride; plus an
+    // optional per-copy content transform
+    def scaled(table: String, shifts: Map[String, Long],
+        perCopy: (DataFrame, Int) => DataFrame = (d, _) => d)
+        : DataFrame = {
+      val base = Tables.load(spark, srcDir, table)
+      (0 until copies).map { i =>
+        val shifted = shifts.foldLeft(base) { case (d, (c, k)) =>
+          d.withColumn(c, col(c) + lit(i.toLong * k))
+        }
+        perCopy(shifted, i)
+      }.reduce(_ unionByName _)
+    }
+
+    val out: Map[String, DataFrame] = Map(
+      "region" -> Tables.load(spark, srcDir, "region"),
+      "nation" -> Tables.load(spark, srcDir, "nation"),
+      "customer" -> scaled("customer", Map("c_custkey" -> kCust)),
+      "supplier" -> scaled("supplier", Map("s_suppkey" -> kSupp)),
+      "part" -> scaled("part", Map("p_partkey" -> kPart)),
+      "orders" -> scaled("orders",
+        Map("o_orderkey" -> kOrder, "o_custkey" -> kCust)),
+      "lineitem" -> scaled("lineitem",
+        Map("l_orderkey" -> kOrder, "l_partkey" -> kPart,
+          "l_suppkey" -> kSupp)),
+      "events" -> scaled("events",
+        Map("event_id" -> kEvent, "user_id" -> kUser)),
+      "documents" -> scaled("documents", Map("doc_id" -> kDoc),
+        (d, i) =>
+          if (i == 0) d
+          else d
+            .withColumn("text",
+              regexp_replace(col("text"), "(\\S+)", s"c${i}_$$1"))
+            .withColumn("n_chars", length(col("text")).cast("long"))),
+      "embeddings" -> scaled("embeddings", Map("vec_id" -> kVec),
+        (d, i) =>
+          if (i == 0) d
+          else d.withColumn("embedding",
+            expr(s"transform(embedding, (x, j) -> " +
+              s"CASE WHEN pmod(hash($i, j), 2) = 0 THEN x ELSE -x END)"))))
+
+    out.foreach { case (name, df) =>
+      df.write.mode("overwrite").parquet(s"$dstDir/$name.parquet")
+      println(s"[sf1] wrote $name")
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val marker = new java.io.File(s"$dstDir/.graft-complete")
+    if (args.contains("regen") || !marker.exists()) {
+      generate(spark)
+      marker.createNewFile()
+    }
+
+    val osBean = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+
+    // same pruning-proof sink as Bench: force the full projection
+    def time(df: => DataFrame): (Double, Double) = {
+      val c0 = osBean.getProcessCpuTime
+      val t0 = System.nanoTime()
+      df.agg(bit_xor(xxhash64(struct(col("*"))))).collect()
+      val wall = (System.nanoTime() - t0) / 1e9
+      val cpu = (osBean.getProcessCpuTime - c0) / 1e9
+      spark.catalog.clearCache()
+      (wall, cpu)
+    }
+
+    // warm-up both directories: footers, file indexes, codegen
+    Seq(srcDir, dstDir).foreach { d =>
+      Tables.names.foreach(n => Tables.load(spark, d, n).count())
+    }
+    // warm the kernels once so sf0.1's first query is not a JIT probe
+    time(SparkEntry.queries("dedup_containment")(spark, srcDir))
+
+    println("| query | sf0.1 wall | sf1 wall | growth exp | sf0.1 cpu | sf1 cpu |")
+    println("|---|---|---|---|---|---|")
+
+    // shared edge build first at each scale — its own row; the graph
+    // family then measures post-edge cost exactly as a session would
+    val rows = ("graph_edge_build",
+      (s: SparkSession, d: String) =>
+        graft.queries.Graph.coOccurrencePairCounts(s, d)) +:
+      heavy.map(n => (n, SparkEntry.queries(n)))
+
+    rows.foreach { case (name, fn) =>
+      val (w0, c0) = time(fn(spark, srcDir))
+      val (w1, c1) = time(fn(spark, dstDir))
+      val e = math.log10(w1 / w0)
+      println(f"| $name | $w0%.2f s | $w1%.2f s | $e%.2f | $c0%.1f | $c1%.1f |")
+    }
+    spark.stop()
+  }
+}

@@ -98,4 +98,82 @@ class KinesisSinkSpec extends SparkSpec {
     assert(InMemoryRecordsClient.recordsFor("st", "stream-sink")
       .map(r => new String(r.data)).toSet == Set("a", "b", "c"))
   }
+
+  /** Kill-and-restart: the query CRASHES mid-batch — after the data
+    * write and the batch marker commit, but before Spark's own commit
+    * log records the batch. On restart from the same checkpoint Spark
+    * re-runs that in-flight batchId (its at-least-once contract); the
+    * (checkpoint, batchId) marker must turn the replay into a no-op
+    * while genuinely new data afterwards still delivers. This is the
+    * window the reference's fire-and-forget path simply drops or
+    * duplicates (basestreamer.go:73-83); here it is exactly-once.
+    */
+  test("exactly-once survives a crash + checkpoint restart mid-batch") {
+    InMemoryRecordsClient.clear()
+    implicit val sqlCtx = spark.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[String]
+    val df = in.toDF().select($"value".as("data"),
+      lit("host-eos").as("partition_key"))
+    val ck = java.nio.file.Files
+      .createTempDirectory("graft-eos-restart-ck").toString
+
+    // client whose marker commit SUCCEEDS then throws once for the
+    // chosen batch: data persisted + marker durable, foreachBatch
+    // fails, Spark's commit log never sees the batch -> guaranteed
+    // re-delivery of the same batchId on restart
+    CrashAfterMarkerClient.fired.clear()
+    val client = new CrashAfterMarkerClient("eosr", crashAtBatch = 1L)
+
+    // batch 0 delivers cleanly; batch 1 crashes mid-batch
+    val q1 = KinesisSink.writeStreamExactlyOnce(df, "EOSR", client, ck)
+    in.addData("a", "b")
+    q1.processAllAvailable()
+    in.addData("c", "d")
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q1.processAllAvailable()
+      q1.awaitTermination()
+    }
+    assert(!q1.isActive, "query must have died mid-batch")
+    // crash window: batch 1's records + marker ARE durable
+    assert(InMemoryRecordsClient.recordsFor("eosr", "EOSR")
+      .map(r => new String(r.data)).sorted == Seq("a", "b", "c", "d"))
+
+    // restart from the SAME checkpoint: Spark replays batch 1 (not in
+    // its commit log) -> marker makes it a no-op; then new data flows
+    val q2 = KinesisSink.writeStreamExactlyOnce(df, "EOSR", client, ck)
+    q2.processAllAvailable()
+    assert(InMemoryRecordsClient.recordsFor("eosr", "EOSR").size == 4,
+      "replayed in-flight batch must not duplicate after restart")
+    in.addData("e")
+    q2.processAllAvailable()
+    q2.stop()
+    val got = InMemoryRecordsClient.recordsFor("eosr", "EOSR")
+      .map(r => new String(r.data)).sorted
+    assert(got == Seq("a", "b", "c", "d", "e"),
+      s"exactly-once across the restart: $got")
+  }
+}
+
+/** Marker commit that succeeds DURABLY then throws once for the chosen
+  * batchId — models a process death inside foreachBatch after the
+  * transactional commit but before Spark writes its own commit log.
+  * Named (not anonymous) so the executor-side task serialization of
+  * the client never drags a ScalaTest spec into the closure.
+  */
+class CrashAfterMarkerClient(registryId: String, crashAtBatch: Long)
+    extends InMemoryRecordsClient(registryId) {
+  override def commitBatch(scope: String, streamName: String,
+      batchId: Long): Unit = {
+    super.commitBatch(scope, streamName, batchId)
+    if (batchId == crashAtBatch &&
+        CrashAfterMarkerClient.fired.add(s"$registryId/$batchId"))
+      throw new RuntimeException(
+        s"simulated crash after marker commit of batch $batchId")
+  }
+}
+
+object CrashAfterMarkerClient {
+  val fired: java.util.Set[String] =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 }
