@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.dedup.Dedup
 import graft.multimodal.Multimodal
-import graft.queries.{Analytics, Corpus, Graph, LogOps, Mining, Pipeline, Relational}
+import graft.queries.{Analytics, Corpus, Graph, Insights, LogOps, Mining, Pipeline, Relational}
 import graft.sim.Similarity
 import graft.text.TextAnalysis
 
@@ -24,13 +24,13 @@ object SparkEntry {
     Relational.queries ++ Analytics.queries ++ LogOps.queries ++
       Dedup.queries ++ TextAnalysis.queries ++ Similarity.queries ++
       Multimodal.queries ++ Pipeline.queries ++ Corpus.queries ++
-      Graph.queries ++ Mining.queries ++ graft.ml.QualityModel.queries ++
+      Graph.queries ++ Mining.queries ++ Insights.queries ++ graft.ml.QualityModel.queries ++
       graft.text.Bpe.queries
 
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Analytics.oracles ++ LogOps.oracles ++
       Dedup.oracles ++ TextAnalysis.oracles ++ Similarity.oracles ++
       Multimodal.oracles ++ Pipeline.oracles ++ Corpus.oracles ++
-      Graph.oracles ++ Mining.oracles ++ graft.ml.QualityModel.oracles ++
+      Graph.oracles ++ Mining.oracles ++ Insights.oracles ++ graft.ml.QualityModel.oracles ++
       graft.text.Bpe.oracles
 }

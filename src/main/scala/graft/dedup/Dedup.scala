@@ -564,6 +564,44 @@ object Dedup {
       .distinct() // a pair can collide in several bands
   }
 
+  /** LSH quality evaluation — the harness every production near-dup
+    * pipeline runs before trusting its banding parameters: candidate
+    * PRECISION (what fraction of banded candidate pairs are true
+    * near-dups — the verification work that isn't wasted) and RECALL
+    * vs the blocked exact truth (what fraction of true pairs the
+    * bands surface at all; the s-curve's miss rate made measurable).
+    * Truth = the blocked exact-Jaccard pairs at `threshold` (the
+    * dedup_ngram_jaccard regime); candidates = the banded MinHash
+    * pair set, PRE-verification. Both stages already exist and are
+    * blocked/banded, so the eval adds only two counts and one
+    * pair-key join — no new quadratic surface. "recall_vs_blocked"
+    * is exact recall within the blocking regime; candidates crossing
+    * blocks count against precision (they would verify false anyway).
+    */
+  def lshEval(s: SparkSession, d: String, threshold: Double = 0.5)
+      : DataFrame = {
+    val docs = docsWithShingles(s, d).filter(size(col("shh")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val truth = ngramJaccardPairs(docs, threshold)
+      .select(col("doc_a"), col("doc_b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sigs = docs.select(col("doc_id"),
+      graft.functions.ShingleFunctions
+        .minhash_signature(col("shh"), NumPerms).as("sig"))
+    val cand = minhashCandidates(sigs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hits = cand.join(truth, Seq("doc_a", "doc_b"))
+      .agg(count(lit(1)).as("n_hits"))
+    val nT = truth.agg(count(lit(1)).as("n_truth"))
+    val nC = cand.agg(count(lit(1)).as("n_cand"))
+    hits.crossJoin(nT).crossJoin(nC) // three one-row frames
+      .select(col("n_truth"), col("n_cand"), col("n_hits"),
+        round(col("n_hits").cast("double") /
+          col("n_cand").cast("double"), 4).as("precision_cand"),
+        round(col("n_hits").cast("double") /
+          col("n_truth").cast("double"), 4).as("recall_vs_blocked"))
+  }
+
   // ----------------------------------------------------------- SimHash
   /** 64-bit SimHash over tokens (Charikar): per bit, sign of the sum of
     * ±1 votes from each token's packed-polynomial-hash bit (60
@@ -1167,7 +1205,8 @@ object Dedup {
     "dedup_minhash_incremental" -> ((s, d) => minhashIncremental(s, d)),
     "dedup_fuzzy_edit" -> ((s, d) => fuzzyEditPairs(s, d)),
     "dedup_sorted_neighborhood" -> ((s, d) => sortedNeighborhood(s, d)),
-    "dedup_tfidf_cosine" -> ((s, d) => tfidfCosinePairs(s, d)))
+    "dedup_tfidf_cosine" -> ((s, d) => tfidfCosinePairs(s, d)),
+    "dedup_lsh_eval" -> ((s, d) => lshEval(s, d)))
 
   /** DuckDB twins. minhash/simhash are seeded-hash pipelines — not
     * SQL-expressible — and get the rows-only check.
@@ -1265,6 +1304,43 @@ object Dedup {
                  JOIN sh sb ON sb.doc_id = c.doc_b)
          SELECT doc_a, doc_b, jaccard FROM ver
          WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""",
+    // Composition of the two replays above: blocked exact truth vs
+    // the banded candidate set, scalar precision/recall.
+    "dedup_lsh_eval" ->
+      s"""WITH $shingleSqlCtes,
+         $minhashSigCtes,
+         blk AS (
+           SELECT doc_id, lang || '#' ||
+             CAST(CAST(floor(n_chars / 100) AS BIGINT) AS VARCHAR)
+             AS block
+           FROM documents),
+         d2 AS (
+           SELECT s.doc_id, s.shh, b.block
+           FROM sh s JOIN blk b USING (doc_id)
+           WHERE len(s.shh) > 0),
+         truth AS (
+           SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+           FROM d2 x JOIN d2 y
+             ON x.block = y.block AND x.doc_id < y.doc_id
+           WHERE ${jaccardSql("x.shh", "y.shh")} >= 0.5),
+         cand AS (
+           SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+           FROM bk x JOIN bk y
+             ON x.b = y.b AND x.key = y.key AND x.doc_id < y.doc_id),
+         hits AS (
+           SELECT count(*) AS n_hits
+           FROM cand c JOIN truth t
+             ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b)
+         SELECT
+           (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_truth,
+           (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_cand,
+           (SELECT CAST(n_hits AS BIGINT) FROM hits) AS n_hits,
+           round(CAST((SELECT n_hits FROM hits) AS DOUBLE) /
+             CAST((SELECT count(*) FROM cand) AS DOUBLE), 4)
+             AS precision_cand,
+           round(CAST((SELECT n_hits FROM hits) AS DOUBLE) /
+             CAST((SELECT count(*) FROM truth) AS DOUBLE), 4)
+             AS recall_vs_blocked""",
     "dedup_minhash_incremental" ->
       s"""WITH $shingleSqlCtes,
          $minhashSigCtes,

@@ -278,6 +278,47 @@ object Graph {
         .orderBy($"dist", $"p_partkey").limit(100)
     }),
 
+    // Label-propagation communities (real LPA, not min-label CC —
+    // that's dedup_clusters' machinery): 4 SYNCHRONOUS rounds where
+    // each node adopts the most frequent label among its neighbors,
+    // ties broken by smallest label — a total order, so the rounds
+    // replay identically in the oracle's unrolled CTE chain. Per
+    // round: one edge⋈labels broadcast join (labels are node-sized),
+    // a (dst, label) count agg, and the argmax as max(struct(count,
+    // -label)) — a map-side-collapsible agg, NO per-node window.
+    // Rounds rebase onto their materialized RDD (the q75/q87 lineage
+    // discipline) and ride the session-shared edge frame.
+    "q101_label_propagation" -> ((s, d) => {
+      import s.implicits._
+      val sym = coOccurrencePairCounts(s, d)
+        .select(explode(array(
+          struct($"a".as("src"), $"b".as("dst")),
+          struct($"b".as("src"), $"a".as("dst")))).as("e"))
+        .select($"e.src", $"e.dst")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      var labels = sym.select($"src".as("node")).distinct()
+        .select($"node", $"node".as("lab"))
+      var prev: Option[DataFrame] = None
+      for (_ <- 1 to 4) {
+        val updated = sym
+          .join(broadcast(labels), $"src" === $"node")
+          .groupBy($"dst", $"lab").agg(count(lit(1)).as("c"))
+          .groupBy($"dst")
+          .agg(max(struct($"c", (-$"lab").as("nl"))).as("m"))
+          .select($"dst".as("node"), (-$"m.nl").as("lab"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        updated.count()
+        val flat = s.createDataFrame(updated.rdd, updated.schema)
+        prev.foreach(_.unpersist(false))
+        prev = Some(updated)
+        labels = flat
+      }
+      labels.groupBy($"lab".as("community"))
+        .agg(count(lit(1)).as("n_members"),
+          min($"node").as("min_node"), max($"node").as("max_node"))
+        .orderBy($"community")
+    }),
+
   )
 
   /** The k-core peel at a caller-chosen k — the registered query is
@@ -673,6 +714,38 @@ object Graph {
            r AS rank_scaled
          FROM it5
          ORDER BY rank_scaled DESC, node LIMIT 100"""
+    },
+
+    // Independent formulation: the 4 synchronous LPA rounds unrolled
+    // as a CTE chain; the argmax is a per-node row_number window over
+    // the (count desc, label asc) order — the single-sort shape the
+    // Spark side's struct-max agg replaces.
+    "q101_label_propagation" -> {
+      def lpaRound(prev: String, out: String): String =
+        s"""$out AS (
+             SELECT node, lab FROM (
+               SELECT s.dst AS node, l.lab, count(*) AS c,
+                 row_number() OVER (PARTITION BY s.dst
+                   ORDER BY count(*) DESC, l.lab) AS rn
+               FROM sym s JOIN $prev l ON s.src = l.node
+               GROUP BY s.dst, l.lab)
+             WHERE rn = 1)"""
+      s"""WITH li AS (
+           SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+           FROM lineitem),
+         e AS (
+           SELECT DISTINCT x.pk AS a, y.pk AS b
+           FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk),
+         sym AS (SELECT a AS src, b AS dst FROM e
+                 UNION ALL SELECT b, a FROM e),
+         l0 AS (SELECT DISTINCT src AS node, src AS lab FROM sym),
+         ${lpaRound("l0", "l1")},
+         ${lpaRound("l1", "l2")},
+         ${lpaRound("l2", "l3")},
+         ${lpaRound("l3", "l4")}
+         SELECT lab AS community, CAST(count(*) AS BIGINT) AS n_members,
+           min(node) AS min_node, max(node) AS max_node
+         FROM l4 GROUP BY 1 ORDER BY 1"""
     },
 
   )

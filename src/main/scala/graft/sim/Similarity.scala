@@ -698,6 +698,50 @@ object Similarity {
           md5(concat_ws(",", expr("transform(codes, c -> " +
             "cast(c as string))"))).as("code_fp"))
         .orderBy($"vec_id")
+    }),
+
+    // Range search (radius query): every corpus vector within a
+    // cosine THRESHOLD of each query — the other half of the ANN API
+    // surface (top-k answers "nearest n", range answers "all within
+    // r": dedup radius sweeps, recall audits). Same plan skeleton as
+    // the brute-force baseline — broadcast the small query side,
+    // codegen cosine over the corpus scan — but with NO window at
+    // all: the filter replaces the rank, so the plan is a pure
+    // scan+broadcast-join+filter, one stage end to end.
+    "ann_range_search" -> ((s, d) => {
+      val e = Tables.load(s, d, "embeddings")
+      val q = queryVecs(e)
+      e.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("cosine",
+          graft.dedup.Dedup.cosine(col("q_emb"), col("embedding")))
+        .filter(col("cosine") >= 0.35)
+        .select(col("q_id"), col("vec_id"), col("cosine"))
+        .orderBy(col("q_id"), col("vec_id"))
+    }),
+
+    // Per-dimension embedding health profile: n/min/max plus an
+    // order-free exact sum on the 1e-6 integer grid (the ann_pq
+    // discipline — long sums commute, so the aggregate is partition-
+    // order-independent where a double sum would not be) and the mean
+    // as a single display divide of exact integers. The collapsed-
+    // dimension / outlier-scale report every embedding pipeline runs
+    // before indexing. One posexplode partial-agg shuffle, d rows out.
+    "emb_dim_stats" -> ((s, d) => {
+      Tables.spread(Tables.load(s, d, "embeddings"))
+        .select(posexplode(col("embedding")).as(Seq("dim", "v0")))
+        .select(col("dim").cast("long").as("dim"),
+          col("v0").cast("double").as("v"))
+        .groupBy(col("dim"))
+        .agg(count(lit(1)).as("n"),
+          min(col("v")).as("min_v"), max(col("v")).as("max_v"),
+          sum(floor(col("v") * 1000000.0).cast("long"))
+            .as("sum_micros"))
+        .select(col("dim"), col("n"), col("min_v"), col("max_v"),
+          col("sum_micros"),
+          round(col("sum_micros").cast("double") / 1000000.0 /
+            col("n").cast("double"), 4).as("mean_v"))
+        .orderBy(col("dim"))
     }))
 
   /** Embedding preprocessing — mean-center + L2-normalize, the
@@ -1232,5 +1276,44 @@ object Similarity {
              row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank
            FROM pairs)
          SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id, cosine
-         FROM ranked WHERE rank <= 10 ORDER BY q_id, rank""")
+         FROM ranked WHERE rank <= 10 ORDER BY q_id, rank""",
+
+    // Same index-order cosine folds as ann_bruteforce, no rank — the
+    // threshold filter is the whole query.
+    "ann_range_search" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
+                    FROM embeddings WHERE vec_id % 100 = 0),
+         pairs AS (
+           SELECT q.q_id, e.vec_id,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(range(1, len(q.q_emb) + 1),
+                 i -> CAST(q.q_emb[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))),
+               (x, y) -> x + y) /
+             (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(range(1, len(q.q_emb) + 1),
+                 i -> CAST(q.q_emb[i] AS DOUBLE) * CAST(q.q_emb[i] AS DOUBLE))),
+               (x, y) -> x + y)) *
+              sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(range(1, len(e.embedding) + 1),
+                 i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))),
+               (x, y) -> x + y))) AS cosine
+           FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.q_id)
+         SELECT q_id, vec_id, cosine FROM pairs
+         WHERE cosine >= 0.35 ORDER BY q_id, vec_id""",
+
+    "emb_dim_stats" ->
+      """WITH x AS (
+           SELECT unnest(list_transform(range(1, len(embedding) + 1),
+             i -> {'dim': i - 1,
+                   'v': CAST(embedding[i] AS DOUBLE)})) AS s
+           FROM embeddings)
+         SELECT CAST(s.dim AS BIGINT) AS dim,
+           CAST(count(*) AS BIGINT) AS n,
+           min(s.v) AS min_v, max(s.v) AS max_v,
+           CAST(sum(CAST(floor(s.v * 1000000.0) AS BIGINT)) AS BIGINT)
+             AS sum_micros,
+           round(CAST(sum(CAST(floor(s.v * 1000000.0) AS BIGINT))
+               AS DOUBLE) / 1000000.0 / CAST(count(*) AS DOUBLE), 4)
+             AS mean_v
+         FROM x GROUP BY s.dim ORDER BY dim""")
 }

@@ -390,4 +390,20 @@ class DedupSpec extends SparkSpec {
     assert(math.abs(sims((0L, 1L)) - 1.0) < 1e-12)
     assert(math.abs(sims((0L, 2L))) < 0.3)
   }
+
+  test("lshEval counts are consistent and its ratios are true divisions") {
+    val sf = "/root/testdata/sf0.01"
+    val row = Dedup.lshEval(spark, sf).collect().head
+    val (nT, nC, nH) = (row.getLong(0), row.getLong(1), row.getLong(2))
+    val (prec, rec) = (row.getDouble(3), row.getDouble(4))
+    assert(nT > 0 && nC > 0)
+    assert(nH <= math.min(nT, nC))
+    assert(math.abs(prec - nH.toDouble / nC) < 5e-5)
+    assert(math.abs(rec - nH.toDouble / nT) < 5e-5)
+    assert(prec >= 0.0 && prec <= 1.0 && rec >= 0.0 && rec <= 1.0)
+    // the banded candidate set must surface most blocked true pairs
+    // (8 bands of 4 at j>=0.5 sit above the s-curve threshold)
+    assert(rec >= 0.8, s"LSH recall collapsed: $rec")
+    spark.catalog.clearCache()
+  }
 }

@@ -187,4 +187,33 @@ class GraphSpec extends SparkSpec {
       s"per-node triangle counts diverge from brute force")
     assert(top.toSeq == expected, "tie-broken ordering diverges")
   }
+
+  test("label propagation matches a brute-force 4-round synchronous LPA") {
+    val got = graft.SparkEntry.queries("q101_label_propagation")(spark, sf)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(got.nonEmpty)
+    val li = graft.Tables.load(spark, sf, "lineitem")
+      .selectExpr("l_orderkey as ok", "l_partkey as pk")
+      .distinct().as[(Long, Long)].collect()
+    val edges = li.groupBy(_._1).values.flatMap { items =>
+      val ps = items.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length)
+        yield (ps(i), ps(j))
+    }.toSet
+    val neigh = edges.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    var lab: Map[Long, Long] = neigh.keys.map(n => n -> n).toMap
+    for (_ <- 1 to 4) {
+      lab = neigh.map { case (n, ns) =>
+        val counts = ns.groupBy(lab).map { case (l, xs) => (l, xs.size) }
+        // most frequent label, smallest label on ties
+        n -> counts.toSeq.sortBy { case (l, c) => (-c, l) }.head._1
+      }
+    }
+    val want = lab.groupBy(_._2).map { case (c, m) =>
+      c -> (m.size.toLong, m.keys.min, m.keys.max) }
+    assert(got == want, "community summary diverges from brute force")
+    spark.catalog.clearCache()
+  }
 }

@@ -228,4 +228,43 @@ class SimilaritySpec extends SparkSpec {
     val mean = recalls.sum / recalls.size
     assert(mean > 0.15, s"mean IVF recall@10 too low: $mean")
   }
+
+  test("range search equals the brute-force threshold filter") {
+    val got = graft.SparkEntry.queries("ann_range_search")(spark, sf)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    // driver brute force over the raw arrays
+    val vecs = graft.Tables.load(spark, sf, "embeddings")
+      .select("vec_id", "embedding").as[(Long, Array[Float])].collect()
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val want = (for {
+      (q, qe) <- vecs if q % 100 == 0
+      (v, ve) <- vecs if v != q
+      if cos(qe, ve) >= 0.35
+    } yield (q, v)).toSet
+    assert(got == want, "range-search pair set diverges from brute force")
+    assert(got.nonEmpty)
+  }
+
+  test("per-dimension stats cover every vector and bound the values") {
+    val n = graft.Tables.load(spark, sf, "embeddings").count()
+    val rows = graft.SparkEntry.queries("emb_dim_stats")(spark, sf)
+      .select("dim", "n", "min_v", "max_v", "mean_v")
+      .as[(Long, Long, Double, Double, Double)].collect()
+    assert(rows.length == 64)
+    rows.foreach { case (dim, cnt, lo, hi, mean) =>
+      assert(cnt == n, s"dim $dim count")
+      assert(lo <= hi)
+      // floor-grid mean sits within one grid step of the true range
+      assert(mean >= lo - 1e-6 && mean <= hi + 1e-6, s"dim $dim mean")
+    }
+  }
 }
