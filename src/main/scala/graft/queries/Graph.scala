@@ -319,6 +319,44 @@ object Graph {
         .orderBy($"community")
     }),
 
+    // Common-neighbor link prediction: top-50 NON-adjacent part pairs
+    // by neighborhood Jaccard |N(a)∩N(b)| / |N(a)∪N(b)| — "what
+    // co-occurrence edge will appear next". Candidate pairs come ONLY
+    // from wedges (two nodes sharing a neighbor), never from a node
+    // cross-join; wedge centers are capped at degree ≤ 64 (the
+    // stop-word discipline: a hub center contributes Σdeg² wedge
+    // pairs and near-zero signal — a documented SEMANTIC cap the
+    // oracle replicates, not a sampling shortcut). Scoring degrees
+    // are the FULL degrees; the anti-join removes existing edges on
+    // the pair key. All shuffles are edge- or wedge-sized.
+    "q108_link_prediction" -> ((s, d) => {
+      import s.implicits._
+      val e = coOccurrencePairCounts(s, d).select($"a", $"b")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val sym = e.select(explode(array(
+          struct($"a".as("src"), $"b".as("dst")),
+          struct($"b".as("src"), $"a".as("dst")))).as("x"))
+        .select($"x.src", $"x.dst")
+      val deg = sym.groupBy($"src".as("node"))
+        .agg(count(lit(1)).as("deg"))
+      val cn = sym.groupBy($"src")
+        .agg(sort_array(collect_set($"dst")).as("ns"))
+        .filter(size($"ns") <= 64)
+        .select(explode(expr(
+          """flatten(transform(ns, (x, i) ->
+             transform(slice(ns, i + 2, size(ns)),
+               y -> struct(x AS a, y AS b))))""")).as("w"))
+        .groupBy($"w.a".as("a"), $"w.b".as("b"))
+        .agg(count(lit(1)).as("cn"))
+      cn.join(e, Seq("a", "b"), "left_anti")
+        .join(deg.select($"node".as("a"), $"deg".as("da")), Seq("a"))
+        .join(deg.select($"node".as("b"), $"deg".as("db")), Seq("b"))
+        .select($"a", $"b", $"cn", $"da", $"db",
+          round($"cn".cast("double") /
+            ($"da" + $"db" - $"cn").cast("double"), 4).as("score"))
+        .orderBy(desc("score"), $"a", $"b").limit(50)
+    }),
+
   )
 
   /** The k-core peel at a caller-chosen k — the registered query is
@@ -747,6 +785,41 @@ object Graph {
            min(node) AS min_node, max(node) AS max_node
          FROM l4 GROUP BY 1 ORDER BY 1"""
     },
+
+    // Independent formulation: the wedge SELF-JOIN builds the
+    // common-neighbor counts (the shape the Spark side's HOF
+    // comprehension replaces).
+    "q108_link_prediction" ->
+      """WITH li AS (
+           SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+           FROM lineitem),
+         e AS (
+           SELECT DISTINCT x.pk AS a, y.pk AS b
+           FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk),
+         sym AS (SELECT a AS src, b AS dst FROM e
+                 UNION ALL SELECT b, a FROM e),
+         deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+                 FROM sym GROUP BY 1),
+         ctr AS (SELECT src FROM sym GROUP BY src
+                 HAVING count(*) <= 64),
+         cn AS (
+           SELECT s1.dst AS a, s2.dst AS b,
+             CAST(count(*) AS BIGINT) AS cn
+           FROM sym s1
+           JOIN sym s2 ON s1.src = s2.src AND s1.dst < s2.dst
+           JOIN ctr c ON c.src = s1.src
+           GROUP BY 1, 2),
+         ne AS (
+           SELECT cn.a, cn.b, cn.cn
+           FROM cn LEFT JOIN e ON e.a = cn.a AND e.b = cn.b
+           WHERE e.a IS NULL)
+         SELECT ne.a, ne.b, ne.cn, da.deg AS da, db.deg AS db,
+           round(CAST(ne.cn AS DOUBLE) /
+             CAST(da.deg + db.deg - ne.cn AS DOUBLE), 4) AS score
+         FROM ne
+         JOIN deg da ON da.node = ne.a
+         JOIN deg db ON db.node = ne.b
+         ORDER BY score DESC, ne.a, ne.b LIMIT 50""",
 
   )
 }

@@ -163,6 +163,33 @@ object Insights {
         .orderBy($"prio")
     }),
 
+    // Exponential moving average of each customer's order totals
+    // (alpha = 0.2), seeded at the first order — the smoothing pass a
+    // spend-trend feature needs. Per-customer order counts are
+    // TPC-H-bounded (tens), so the per-group sorted array is small by
+    // construction; the fold runs in array order on both engines
+    // (first-element seed, then s·0.8 + 0.2·x — DuckDB's list_reduce
+    // seeding semantics replicated exactly), rounded at 4 for the
+    // display. One groupBy shuffle, no windows.
+    "q107_ema" -> ((s, d) => {
+      import s.implicits._
+      Tables.load(s, d, "orders")
+        .select($"o_custkey",
+          struct($"o_orderdate", $"o_orderkey",
+            round($"o_totalprice" * 100).cast("long").as("cents"))
+            .as("r"))
+        .groupBy($"o_custkey")
+        .agg(count(lit(1)).as("n_orders"),
+          sort_array(collect_list($"r")).as("rs"))
+        .select($"o_custkey", $"n_orders",
+          round(expr(
+            """aggregate(slice(rs, 2, size(rs) - 1),
+               CAST(element_at(rs, 1).cents AS DOUBLE),
+               (s, x) -> s * 0.8 + 0.2 * CAST(x.cents AS DOUBLE))"""),
+            4).as("ema_cents"))
+        .orderBy($"o_custkey")
+    }),
+
   )
 
   def oracles: Map[String, String] = Map(
@@ -266,6 +293,25 @@ object Insights {
                  (ln(1.0 + 1.0 / x.digit) / ln(10.0)))),
              (a, b) -> a + b) * n, 4) AS chi2
          FROM g ORDER BY prio""",
+
+    // DuckDB's list_reduce seeds with the FIRST element natively —
+    // the Spark side replicates that seeding with an explicit
+    // element_at init over the tail slice.
+    "q107_ema" ->
+      """WITH o AS (
+           SELECT o_custkey,
+             {'d': o_orderdate, 'k': o_orderkey,
+              'cents': CAST(round(o_totalprice * 100) AS BIGINT)} AS r
+           FROM orders),
+         g AS (
+           SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+             list_sort(list(r)) AS rs
+           FROM o GROUP BY 1)
+         SELECT o_custkey, n_orders,
+           round(list_reduce(
+             list_transform(rs, x -> CAST(x.cents AS DOUBLE)),
+             (s, x) -> s * 0.8 + 0.2 * x), 4) AS ema_cents
+         FROM g ORDER BY o_custkey""",
 
   )
 }

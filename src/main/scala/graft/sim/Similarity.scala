@@ -742,6 +742,29 @@ object Similarity {
           round(col("sum_micros").cast("double") / 1000000.0 /
             col("n").cast("double"), 4).as("mean_v"))
         .orderBy(col("dim"))
+    }),
+
+    // ANN index certification — per-query recall@10 of the LSH index
+    // against the exact brute-force top-10 (the dedup_lsh_eval twin
+    // for the similarity side): the number a 100 TB serving stack
+    // reads before trusting a plane count. Composes the two existing
+    // verified pipelines; adds only a pair-key join and two counts.
+    "ann_recall_eval" -> ((s, d) => {
+      val bf = bruteForceTopK(s, d).select(col("q_id"), col("vec_id"))
+      val lsh = lshTopK(s, d).select(col("q_id"), col("vec_id"))
+      val hits = bf
+        .join(lsh.withColumn("hit", lit(1L)), Seq("q_id", "vec_id"),
+          "left")
+        .groupBy(col("q_id"))
+        .agg(count(lit(1)).as("n_bf"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      val nl = lsh.groupBy(col("q_id")).agg(count(lit(1)).as("n_lsh"))
+      hits.join(nl, Seq("q_id"), "left")
+        .select(col("q_id"), col("n_bf"),
+          coalesce(col("n_lsh"), lit(0L)).as("n_lsh"), col("n_hit"),
+          round(col("n_hit").cast("double") /
+            col("n_bf").cast("double"), 4).as("recall"))
+        .orderBy(col("q_id"))
     }))
 
   /** Embedding preprocessing — mean-center + L2-normalize, the
@@ -854,11 +877,13 @@ object Similarity {
               FROM embeddings e CROSS JOIN pl
               GROUP BY e.vec_id)"""
 
-  /** Query-side search tail over the [[lshSigCtes]] CTEs: 1-bit
+  /** CTEs `q` → `ranked` over the [[lshSigCtes]] CTEs: 1-bit
     * multiprobe bucket expansion, candidate dedup, exact rerank —
     * the SQL replay of `lshTopKWith(probeBits = 1, k = 10)`.
+    * Factored so `ann_recall_eval` can compose the ranked frame with
+    * a brute-force twin instead of re-stating the replay.
     */
-  private def lshSearchTail: String =
+  private def lshRankedCtes: String =
     s"""q AS (SELECT s.vec_id AS q_id, e.embedding AS q_emb, s.sig
              FROM sg s JOIN embeddings e ON e.vec_id = s.vec_id
              WHERE s.vec_id % 100 = 0),
@@ -878,7 +903,10 @@ object Similarity {
        ranked AS (SELECT q_id, vec_id, cosine,
                     row_number() OVER (PARTITION BY q_id
                       ORDER BY cosine DESC, vec_id) AS rank
-                  FROM scored)
+                  FROM scored)"""
+
+  private def lshSearchTail: String =
+    s"""$lshRankedCtes
        SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id, cosine
        FROM ranked WHERE rank <= 10 ORDER BY q_id, rank"""
 
@@ -1315,5 +1343,37 @@ object Similarity {
            round(CAST(sum(CAST(floor(s.v * 1000000.0) AS BIGINT))
                AS DOUBLE) / 1000000.0 / CAST(count(*) AS DOUBLE), 4)
              AS mean_v
-         FROM x GROUP BY s.dim ORDER BY dim""")
+         FROM x GROUP BY s.dim ORDER BY dim""",
+
+    // Composition of the LSH replay's ranked frame with its
+    // brute-force twin — the `q` CTE (query side) is shared.
+    "ann_recall_eval" ->
+      s"""WITH ${lshSigCtes("SELECT 8 AS np")},
+         $lshRankedCtes,
+         lsh10 AS (SELECT q_id, vec_id FROM ranked WHERE rank <= 10),
+         bfp AS (
+           SELECT q.q_id, e.vec_id,
+             ${cosSql("q.q_emb", "e.embedding")} AS cosine
+           FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.q_id),
+         bfr AS (
+           SELECT q_id, vec_id,
+             row_number() OVER (PARTITION BY q_id
+               ORDER BY cosine DESC, vec_id) AS rank
+           FROM bfp),
+         bf10 AS (SELECT q_id, vec_id FROM bfr WHERE rank <= 10),
+         j AS (
+           SELECT b.q_id, CAST(count(*) AS BIGINT) AS n_bf,
+             CAST(sum(CASE WHEN l.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_hit
+           FROM bf10 b LEFT JOIN lsh10 l
+             ON l.q_id = b.q_id AND l.vec_id = b.vec_id
+           GROUP BY b.q_id),
+         c AS (SELECT q_id, CAST(count(*) AS BIGINT) AS n_lsh
+               FROM lsh10 GROUP BY 1)
+         SELECT j.q_id, j.n_bf, coalesce(c.n_lsh, 0) AS n_lsh,
+           j.n_hit,
+           round(CAST(j.n_hit AS DOUBLE) / CAST(j.n_bf AS DOUBLE), 4)
+             AS recall
+         FROM j LEFT JOIN c ON c.q_id = j.q_id
+         ORDER BY j.q_id""")
 }

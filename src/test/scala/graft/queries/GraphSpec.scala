@@ -216,4 +216,43 @@ class GraphSpec extends SparkSpec {
     assert(got == want, "community summary diverges from brute force")
     spark.catalog.clearCache()
   }
+
+  test("link prediction matches brute-force capped-wedge Jaccard") {
+    val got = graft.SparkEntry.queries("q108_link_prediction")(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+    assert(got.nonEmpty)
+    val li = graft.Tables.load(spark, sf, "lineitem")
+      .selectExpr("l_orderkey as ok", "l_partkey as pk")
+      .distinct().as[(Long, Long)].collect()
+    val edges = li.groupBy(_._1).values.flatMap { items =>
+      val ps = items.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length)
+        yield (ps(i), ps(j))
+    }.toSet
+    val neigh = edges.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val cn = scala.collection.mutable.Map[(Long, Long), Long]()
+      .withDefaultValue(0L)
+    neigh.foreach { case (_, ns) =>
+      if (ns.size <= 64) {
+        val s = ns.toSeq.sorted
+        for (i <- s.indices; j <- (i + 1) until s.length)
+          cn((s(i), s(j))) += 1
+      }
+    }
+    val want = cn.toSeq
+      .filter { case (p, _) => !edges.contains(p) }
+      .map { case ((a, b), c) =>
+        val score = c.toDouble / (neigh(a).size + neigh(b).size - c)
+        (a, b, c, score)
+      }
+      .sortBy { case (a, b, _, score) => (-score, a, b) }
+      .take(got.length)
+    got.zip(want).foreach { case ((a, b, c, da, db, sc), (wa, wb, wc, wsc)) =>
+      assert((a, b, c) == (wa, wb, wc), s"pair ($a,$b)")
+      assert(da == neigh(a).size && db == neigh(b).size)
+      assert(math.abs(sc - wsc) < 6e-5, s"score ($a,$b)")
+    }
+    spark.catalog.clearCache()
+  }
 }

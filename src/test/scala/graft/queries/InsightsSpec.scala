@@ -85,6 +85,27 @@ class InsightsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("EMA matches the driver-side first-seeded recursion") {
+    val got = Insights.queries("q107_ema")(spark, sf)
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    val orders = graft.Tables.load(spark, sf, "orders")
+      .selectExpr("o_custkey", "o_orderkey",
+        "cast(o_orderdate as string) as dt",
+        "cast(round(o_totalprice * 100) as long) as cents")
+      .as[(Long, Long, String, Long)].collect()
+    assert(got.nonEmpty)
+    orders.groupBy(_._1).foreach { case (ck, os) =>
+      val cs = os.sortBy(o => (o._3, o._2)).map(_._4.toDouble)
+      val ema = cs.tail.foldLeft(cs.head)((s, x) => s * 0.8 + 0.2 * x)
+      val (n, gotEma) = got(ck)
+      assert(n == os.length, s"customer $ck order count")
+      // round-4 display vs raw recursion: within half a grid step
+      assert(math.abs(gotEma - ema) < 6e-5, s"customer $ck EMA")
+    }
+    spark.catalog.clearCache()
+  }
+
   test("hour entropy is within [0, ln(buckets)] per event type") {
     val rows = Insights.queries("q103_hour_entropy")(spark, sf)
       .as[(String, Long, Long, Double)].collect()

@@ -254,6 +254,25 @@ class SimilaritySpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("recall eval reconciles with the two top-k frames it composes") {
+    val rows = graft.SparkEntry.queries("ann_recall_eval")(spark, sf)
+      .select("q_id", "n_bf", "n_lsh", "n_hit", "recall")
+      .as[(Long, Long, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    val bf = topSets(Similarity.bruteForceTopK(spark, sf)
+      .select("q_id", "rank", "vec_id").as[(Long, Long, Long)].collect())
+    val lsh = topSets(Similarity.lshTopK(spark, sf)
+      .select("q_id", "rank", "vec_id").as[(Long, Long, Long)].collect())
+    assert(rows.map(_._1).toSet == bf.keySet)
+    rows.foreach { case (q, nBf, nLsh, nHit, recall) =>
+      assert(nBf == bf(q).size)
+      assert(nLsh == lsh.getOrElse(q, Set.empty).size)
+      assert(nHit == (bf(q) & lsh.getOrElse(q, Set.empty)).size)
+      assert(math.abs(recall - nHit.toDouble / nBf) < 6e-5)
+    }
+    spark.catalog.clearCache()
+  }
+
   test("per-dimension stats cover every vector and bound the values") {
     val n = graft.Tables.load(spark, sf, "embeddings").count()
     val rows = graft.SparkEntry.queries("emb_dim_stats")(spark, sf)
