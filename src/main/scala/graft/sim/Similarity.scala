@@ -744,6 +744,44 @@ object Similarity {
         .orderBy(col("dim"))
     }),
 
+    // Label-centroid separation matrix: per-label mean vector on the
+    // ann_ivf quantized-integer grid (floor(v·1e6) long sums → floor-
+    // divided means — exactly the IVF coarse-quantizer replay), then
+    // pairwise centroid cosines. The class-separation health check an
+    // embedding pipeline reads before trusting labels as an IVF
+    // partitioner or a classifier target: two labels whose centroids
+    // sit at cosine ≈ 1 give IVF no pruning and a linear probe no
+    // margin. The pair matrix is |labels|² — enum-sized — so the
+    // cross join is a broadcast of a tiny frame, and the whole query
+    // is one posexplode partial-agg shuffle plus label-sized work.
+    "emb_label_centroids" -> ((s, d) => {
+      val pe = Tables.spread(Tables.load(s, d, "embeddings"))
+        .select(col("label"), posexplode(col("embedding"))
+          .as(Seq("pos", "v")))
+        .groupBy(col("label"), col("pos"))
+        .agg(sum(floor(col("v").cast("double") * 1000000.0)
+          .cast("long")).as("sq"), count(lit(1)).as("n"))
+        .select(col("label"), col("pos"), col("n"),
+          floor(col("sq").cast("double") / col("n")).as("mq"))
+      val cent = pe.groupBy(col("label"))
+        .agg(max(col("n")).as("n_vecs"),
+          expr("transform(sort_array(collect_list(struct(pos, mq)))," +
+            " x -> CAST(x.mq AS DOUBLE) / CAST(1000000.0 AS DOUBLE))")
+            .as("c"))
+      val a = cent.select(col("label").as("label_a"),
+        col("n_vecs").as("n_a"), col("c").as("ca"))
+      val b = cent.select(col("label").as("label_b"),
+        col("n_vecs").as("n_b"), col("c").as("cb"))
+      a.crossJoin(broadcast(b))
+        .filter(col("label_a") < col("label_b"))
+        .select(col("label_a"), col("label_b"),
+          col("n_a").cast("long").as("n_a"),
+          col("n_b").cast("long").as("n_b"),
+          round(graft.dedup.Dedup.cosine(col("ca"), col("cb")), 6)
+            .as("centroid_cosine"))
+        .orderBy(col("label_a"), col("label_b"))
+    }),
+
     // ANN index certification — per-query recall@10 of the LSH index
     // against the exact brute-force top-10 (the dedup_lsh_eval twin
     // for the similarity side): the number a 100 TB serving stack
@@ -1344,6 +1382,34 @@ object Similarity {
                AS DOUBLE) / 1000000.0 / CAST(count(*) AS DOUBLE), 4)
              AS mean_v
          FROM x GROUP BY s.dim ORDER BY dim""",
+
+    // The ann_ivf coarse-quantizer replay (pe/cent/cvec CTEs) plus a
+    // label-pair cosine over the centroid lists.
+    "emb_label_centroids" ->
+      s"""WITH pe AS (
+           SELECT label, vec_id,
+             unnest(list_transform(embedding,
+               v -> CAST(floor(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT)))
+               AS q,
+             unnest(range(1, len(embedding) + 1)) AS pos
+           FROM embeddings),
+         cnt AS (SELECT label, CAST(count(*) AS BIGINT) AS n_vecs
+                 FROM embeddings GROUP BY 1),
+         cent AS (
+           SELECT label, pos,
+             floor(CAST(CAST(sum(q) AS BIGINT) AS DOUBLE) / count(*))
+               / 1000000.0 AS m
+           FROM pe GROUP BY label, pos),
+         cvec AS (
+           SELECT label, list(m ORDER BY pos) AS c
+           FROM cent GROUP BY label)
+         SELECT a.label AS label_a, b.label AS label_b,
+           ca.n_vecs AS n_a, cb.n_vecs AS n_b,
+           round(${cosSql("a.c", "b.c")}, 6) AS centroid_cosine
+         FROM cvec a JOIN cvec b ON a.label < b.label
+         JOIN cnt ca ON ca.label = a.label
+         JOIN cnt cb ON cb.label = b.label
+         ORDER BY label_a, label_b""",
 
     // Composition of the LSH replay's ranked frame with its
     // brute-force twin — the `q` CTE (query side) is shared.

@@ -226,6 +226,47 @@ object TextAnalysis {
         .orderBy($"lang", $"rank")
     }),
 
+    // Zipf rank-frequency fit per language: OLS slope of ln(count) on
+    // ln(rank) over the top-100 tokens — natural language sits near
+    // slope ≈ −1, so a corpus that drifts far from it is template
+    // spam, OCR noise, or synthetic filler (the "is this even
+    // language" gate before tokenizer training). The four OLS sums
+    // fold over the rank-SORTED 100-element array with an explicit
+    // 0.0 seed (matching DuckDB's list_prepend+list_reduce term by
+    // term), so the transcendental accumulation is engine-identical;
+    // round(4) absorbs the ln ulp gap. Same top-k machinery as
+    // text_vocab (WindowGroupLimit, never a vocabulary sort).
+    "text_zipf_fit" -> ((s, d) => {
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"lang").orderBy($"n".desc, $"token")
+      def fold(term: String): String =
+        s"aggregate(rc, CAST(0.0 AS DOUBLE), (a, p) -> a + $term)"
+      Tables.spread(Tables.load(s, d, "documents"))
+        .select($"lang", explode(toks($"text")).as("token"))
+        .groupBy($"lang", $"token")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter($"rank" <= 100)
+        .groupBy($"lang")
+        .agg(sort_array(collect_list(struct($"rank", $"n"))).as("rc"))
+        .withColumn("k", size($"rc").cast("double"))
+        .withColumn("sx", expr(fold("ln(CAST(p.rank AS DOUBLE))")))
+        .withColumn("sy", expr(fold("ln(CAST(p.n AS DOUBLE))")))
+        .withColumn("sxy", expr(fold(
+          "ln(CAST(p.rank AS DOUBLE)) * ln(CAST(p.n AS DOUBLE))")))
+        .withColumn("sxx", expr(fold(
+          "ln(CAST(p.rank AS DOUBLE)) * ln(CAST(p.rank AS DOUBLE))")))
+        .withColumn("slope_raw",
+          ($"k" * $"sxy" - $"sx" * $"sy") /
+            ($"k" * $"sxx" - $"sx" * $"sx"))
+        .select($"lang", size($"rc").cast("long").as("n_top"),
+          round($"slope_raw", 4).as("slope"),
+          round(($"sy" - $"slope_raw" * $"sx") / $"k", 4)
+            .as("intercept"))
+        .orderBy($"lang")
+    }),
+
     // PII redaction (email / IPv4 / phone → typed placeholders) — the
     // scrubbing pass a training pipeline runs before anything else.
     // The synthetic corpus contains no PII, so the query PLANTS a
@@ -482,6 +523,44 @@ object TextAnalysis {
            FROM f)
          SELECT lang, rank, token, n FROM r
          WHERE rank <= 20 ORDER BY lang, rank""",
+    "text_zipf_fit" ->
+      """WITH t AS (
+           SELECT lang, unnest(string_split_regex(lower(text), '\s+'))
+             AS token
+           FROM documents),
+         f AS (SELECT lang, token, count(*) AS n FROM t GROUP BY 1, 2),
+         r AS (
+           SELECT lang, n,
+             CAST(row_number() OVER (PARTITION BY lang
+               ORDER BY n DESC, token) AS BIGINT) AS rank
+           FROM f),
+         g AS (
+           SELECT lang, list_sort(list({'rank': rank, 'n': n})) AS rc
+           FROM r WHERE rank <= 100 GROUP BY 1),
+         s AS (
+           SELECT lang, CAST(len(rc) AS DOUBLE) AS k,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(rc, p -> ln(CAST(p.rank AS DOUBLE)))),
+               (x, y) -> x + y) AS sx,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(rc, p -> ln(CAST(p.n AS DOUBLE)))),
+               (x, y) -> x + y) AS sy,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(rc, p -> ln(CAST(p.rank AS DOUBLE)) *
+                 ln(CAST(p.n AS DOUBLE)))),
+               (x, y) -> x + y) AS sxy,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(rc, p -> ln(CAST(p.rank AS DOUBLE)) *
+                 ln(CAST(p.rank AS DOUBLE)))),
+               (x, y) -> x + y) AS sxx,
+             CAST(len(rc) AS BIGINT) AS n_top
+           FROM g)
+         SELECT lang, n_top,
+           round((k * sxy - sx * sy) / (k * sxx - sx * sx), 4)
+             AS slope,
+           round((sy - ((k * sxy - sx * sy) / (k * sxx - sx * sx))
+             * sx) / k, 4) AS intercept
+         FROM s ORDER BY lang""",
     "text_pii_redact" ->
       """WITH aug AS (
            SELECT doc_id,

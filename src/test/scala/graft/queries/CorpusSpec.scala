@@ -199,4 +199,32 @@ class CorpusSpec extends SparkSpec {
       assert(qlang == src(id)._2)
     }
   }
+
+  test("Zipf fit matches a driver-side OLS over the top-100 tokens") {
+    val got = graft.SparkEntry.queries("text_zipf_fit")(spark, sf)
+      .as[(String, Long, Double, Double)].collect()
+    assert(got.nonEmpty)
+    val counts = graft.Tables.load(spark, sf, "documents")
+      .selectExpr("lang",
+        "explode(split(lower(text), '\\\\s+')) as token")
+      .groupBy("lang", "token").count()
+      .as[(String, String, Long)].collect()
+    got.foreach { case (lang, nTop, slope, _) =>
+      val top = counts.filter(_._1 == lang)
+        .sortBy { case (_, t, n) => (-n, t) }.take(100)
+      assert(nTop == top.length)
+      val xs = top.indices.map(i => math.log(i + 1.0))
+      val ys = top.map(t => math.log(t._3.toDouble))
+      val k = top.length.toDouble
+      val (sx, sy) = (xs.sum, ys.sum)
+      val sxy = xs.zip(ys).map { case (x, y) => x * y }.sum
+      val sxx = xs.map(x => x * x).sum
+      val want = (k * sxy - sx * sy) / (k * sxx - sx * sx)
+      assert(math.abs(slope - want) < 1e-3, s"$lang slope $slope vs $want")
+      // frequency decreases with rank: slope strictly negative (the
+      // tiny sf0.001 vocab is flat, so no magnitude bound here)
+      assert(slope < 0.0 && slope > -3.0, s"$lang slope $slope")
+    }
+    spark.catalog.clearCache()
+  }
 }

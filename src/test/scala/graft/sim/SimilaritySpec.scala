@@ -254,6 +254,35 @@ class SimilaritySpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("label centroids: full pair matrix, driver-recomputed cosines") {
+    val got = graft.SparkEntry.queries("emb_label_centroids")(spark, sf)
+      .as[(Int, Int, Long, Long, Double)].collect()
+    val vecs = graft.Tables.load(spark, sf, "embeddings")
+      .select("label", "embedding").as[(Int, Array[Float])].collect()
+    val labels = vecs.map(_._1).distinct.sorted
+    assert(got.length == labels.length * (labels.length - 1) / 2)
+    // driver centroid on the same floor-grid
+    val cents = vecs.groupBy(_._1).map { case (l, vs) =>
+      val d = vs.head._2.length
+      val c = (0 until d).map { i =>
+        val sq = vs.map(v => math.floor(v._2(i).toDouble * 1e6).toLong).sum
+        math.floor(sq.toDouble / vs.length) / 1e6
+      }.toArray
+      l -> (vs.length.toLong, c)
+    }
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    got.foreach { case (la, lb, na, nb, cc) =>
+      assert(na == cents(la)._1 && nb == cents(lb)._1)
+      assert(math.abs(cc - cos(cents(la)._2, cents(lb)._2)) < 1e-5,
+        s"pair ($la,$lb)")
+    }
+    spark.catalog.clearCache()
+  }
+
   test("recall eval reconciles with the two top-k frames it composes") {
     val rows = graft.SparkEntry.queries("ann_recall_eval")(spark, sf)
       .select("q_id", "n_bf", "n_lsh", "n_hit", "recall")
