@@ -81,55 +81,32 @@ object Graph {
     // exploded to per-node counts.
     "q72_triangle_count" -> ((s, d) => {
       import s.implicits._
-      val e = coOccurrenceEdges(s, d)
-      // the degree table is node-sized (≪ edges) → broadcast, and the
-      // adjacency table is edge-sized in aggregate (ΣA = E, ~20 MB at
-      // sf0.1) → broadcast while it fits. Past the broadcast
-      // threshold the same plan degrades to shuffled hash joins on
-      // u / v: drop the hints and Spark picks SHJ — the algorithm,
-      // not the join strategy, is what bounds the work.
-      val deg = e.select($"a".as("n")).unionAll(e.select($"b".as("n")))
-        .groupBy($"n").agg(count(lit(1)).as("deg"))
-      // orient by (degree, id): lower endpoint points to higher
-      val o = e
-        .join(broadcast(deg.select($"n".as("a"), $"deg".as("da"))),
-          Seq("a"))
-        .join(broadcast(deg.select($"n".as("b"), $"deg".as("db"))),
-          Seq("b"))
-        .select(
-          when($"da" < $"db" || ($"da" === $"db" && $"a" < $"b"),
-            struct($"a".as("u"), $"b".as("v")))
-            .otherwise(struct($"b".as("u"), $"a".as("v"))).as("e"))
-        .select($"e.u".as("u"), $"e.v".as("v"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      // out-adjacency arrays: node-keyed, edge-sized in total (ΣA =
-      // E), broadcast to both endpoints of every oriented edge. Past
-      // the broadcast threshold the same plan shuffles on u then v —
-      // the orientation bound, not the join strategy, keeps the
-      // arrays small.
-      val adj = o.groupBy($"u")
-        .agg(sort_array(collect_list($"v")).as("nbr"))
-        // both broadcast sides project adj DIFFERENTLY (u vs renamed
-        // v), so exchange reuse can't kick in — without the persist
-        // the collect_list aggregation runs twice
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      // each w ∈ N⁺(u) ∩ N⁺(v) closes triangle (u,v,w); u and v are
-      // each credited once per closing w, so one explode of
-      // [u×|ws|, v×|ws|, ws] yields exactly the 3·T per-node
-      // attributions without a triangle-row intermediate
-      val tri = o
-        .join(broadcast(adj.select($"u", $"nbr".as("nu"))), Seq("u"))
-        .join(broadcast(adj.select($"u".as("v"), $"nbr".as("nv"))),
-          Seq("v"))
-        .select($"u", $"v", array_intersect($"nu", $"nv").as("ws"))
-        .filter(size($"ws") > 0)
-      tri.select(explode(concat(
-          array_repeat($"u", size($"ws")),
-          array_repeat($"v", size($"ws")),
-          $"ws")).as("p_partkey"))
-        .groupBy($"p_partkey")
-        .agg(count(lit(1)).as("n_triangles"))
+      triangleCountsWithDeg(s, d)
+        .filter($"n_triangles" > 0)
+        .select($"p_partkey", $"n_triangles")
         .orderBy($"n_triangles".desc, $"p_partkey")
+        .limit(100)
+    }),
+
+    // Local clustering coefficient per node: tri(v) / C(deg(v), 2) —
+    // "how close is each part's neighborhood to a clique", the
+    // community-density read on top of q72's raw triangle counts
+    // (Watts–Strogatz). Shares the degree-oriented intersection
+    // machinery with q72 ([[triangleCountsWithDeg]]): the per-node
+    // triangle attribution is the same explode, and the coefficient
+    // is ONE IEEE divide of exact longs (2·tri / deg·(deg−1)) — no
+    // float fold, so the cross-engine ordering is deterministic.
+    // Nodes below deg 2 have no defined coefficient (C(deg,2)=0) and
+    // are excluded as a semantics, not a display choice.
+    "q109_clustering_coeff" -> ((s, d) => {
+      import s.implicits._
+      triangleCountsWithDeg(s, d)
+        .filter($"deg" >= 2)
+        .withColumn("coeff",
+          ($"n_triangles" * 2).cast("double") /
+            ($"deg" * ($"deg" - 1)).cast("double"))
+        .select($"p_partkey", $"deg", $"n_triangles", $"coeff")
+        .orderBy($"coeff".desc, $"p_partkey")
         .limit(100)
     }),
 
@@ -491,6 +468,68 @@ object Graph {
     coOccurrencePairCounts(s, d).select($"a", $"b")
   }
 
+  /** Per-node degree + triangle count over the co-occurrence graph —
+    * the degree-oriented adjacency-intersection kernel shared by q72
+    * (raw counts) and q109 (clustering coefficient). Returns one row
+    * per node (zero-triangle nodes included via the left join).
+    *
+    * 100 TB shape (q72's original design, unchanged by the refactor):
+    * every undirected edge is ORIENTED from its lower-(degree, id)
+    * endpoint, so a degree-d hub keeps O(α·d) oriented wedges instead
+    * of O(d²) (arboricity bound, Chiba–Nishizeki); out-adjacency
+    * arrays are edge-sized in aggregate (ΣA = E) and broadcast while
+    * they fit — past the threshold the same plan degrades to shuffled
+    * hash joins on u / v, and the orientation bound (not the join
+    * strategy) is what keeps the arrays small. Each triangle closes
+    * at exactly one oriented edge as N⁺(u) ∩ N⁺(v), so one explode of
+    * [u×|ws|, v×|ws|, ws] yields the 3·T per-node attributions with
+    * no triangle-row intermediate.
+    */
+  private def triangleCountsWithDeg(
+      s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = coOccurrenceEdges(s, d)
+    val deg = e.select($"a".as("n")).unionAll(e.select($"b".as("n")))
+      .groupBy($"n").agg(count(lit(1)).as("deg"))
+      // feeds three consumers (both orientation sides + the final
+      // left join); node-sized, so the persist is cheap
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // orient by (degree, id): lower endpoint points to higher
+    val o = e
+      .join(broadcast(deg.select($"n".as("a"), $"deg".as("da"))),
+        Seq("a"))
+      .join(broadcast(deg.select($"n".as("b"), $"deg".as("db"))),
+        Seq("b"))
+      .select(
+        when($"da" < $"db" || ($"da" === $"db" && $"a" < $"b"),
+          struct($"a".as("u"), $"b".as("v")))
+          .otherwise(struct($"b".as("u"), $"a".as("v"))).as("e"))
+      .select($"e.u".as("u"), $"e.v".as("v"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val adj = o.groupBy($"u")
+      .agg(sort_array(collect_list($"v")).as("nbr"))
+      // both broadcast sides project adj DIFFERENTLY (u vs renamed
+      // v), so exchange reuse can't kick in — without the persist
+      // the collect_list aggregation runs twice
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val tri = o
+      .join(broadcast(adj.select($"u", $"nbr".as("nu"))), Seq("u"))
+      .join(broadcast(adj.select($"u".as("v"), $"nbr".as("nv"))),
+        Seq("v"))
+      .select($"u", $"v", array_intersect($"nu", $"nv").as("ws"))
+      .filter(size($"ws") > 0)
+    val counts = tri.select(explode(concat(
+        array_repeat($"u", size($"ws")),
+        array_repeat($"v", size($"ws")),
+        $"ws")).as("p_partkey"))
+      .groupBy($"p_partkey")
+      .agg(count(lit(1)).as("n_triangles"))
+    deg.select($"n".as("p_partkey"), $"deg")
+      .join(counts, Seq("p_partkey"), "left")
+      .select($"p_partkey", $"deg",
+        coalesce($"n_triangles", lit(0L)).as("n_triangles"))
+  }
+
   /** Full 5-round rank table (long node ids, scaled-long ranks) —
     * the registered query is its top-100 display cut; GraphSpec sums
     * THIS frame for the untruncated mass-conservation check.
@@ -712,6 +751,50 @@ object Graph {
            UNION ALL SELECT z FROM tri)
          GROUP BY p_partkey
          ORDER BY n_triangles DESC, p_partkey LIMIT 100""",
+
+    // q72's brute-force wedge formulation extended with the degree
+    // left join and the single-divide coefficient.
+    "q109_clustering_coeff" ->
+      """WITH li AS (
+           SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+           FROM lineitem),
+         e AS (
+           SELECT DISTINCT x.pk AS a, y.pk AS b
+           FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk),
+         deg AS (
+           SELECT n, count(*) AS deg FROM (
+             SELECT a AS n FROM e UNION ALL SELECT b AS n FROM e)
+           GROUP BY n),
+         o AS (
+           SELECT CASE WHEN da.deg < db.deg
+                         OR (da.deg = db.deg AND e.a < e.b)
+                  THEN e.a ELSE e.b END AS u,
+                  CASE WHEN da.deg < db.deg
+                         OR (da.deg = db.deg AND e.a < e.b)
+                  THEN e.b ELSE e.a END AS v
+           FROM e JOIN deg da ON da.n = e.a JOIN deg db ON db.n = e.b),
+         wedges AS (
+           SELECT w1.u AS x, w1.v AS y, w2.v AS z
+           FROM o w1 JOIN o w2 ON w1.u = w2.u AND w1.v < w2.v),
+         tri AS (
+           SELECT x, y, z
+           FROM wedges w JOIN o c
+             ON least(w.y, w.z) = least(c.u, c.v)
+            AND greatest(w.y, w.z) = greatest(c.u, c.v)),
+         cnt AS (
+           SELECT p_partkey, CAST(count(*) AS BIGINT) AS n_triangles
+           FROM (
+             SELECT x AS p_partkey FROM tri
+             UNION ALL SELECT y FROM tri
+             UNION ALL SELECT z FROM tri)
+           GROUP BY p_partkey)
+         SELECT deg.n AS p_partkey, CAST(deg.deg AS BIGINT) AS deg,
+           CAST(coalesce(cnt.n_triangles, 0) AS BIGINT) AS n_triangles,
+           CAST(2 * coalesce(cnt.n_triangles, 0) AS DOUBLE) /
+             CAST(deg.deg * (deg.deg - 1) AS DOUBLE) AS coeff
+         FROM deg LEFT JOIN cnt ON cnt.p_partkey = deg.n
+         WHERE deg.deg >= 2
+         ORDER BY coeff DESC, p_partkey LIMIT 100""",
 
     "q62_pagerank" -> {
       // Five unrolled integer iterations; itK reads it(K-1). Each round

@@ -190,9 +190,249 @@ object Insights {
         .orderBy($"o_custkey")
     }),
 
+    // Mann–Kendall trend test per event type: S = Σ_{i<j} sign(x_j −
+    // x_i) over the daily value series, τ = S / C(n,2) — the
+    // distribution-free "is this metric drifting" monitor that needs
+    // no normality assumption (the complement of q84's CUSUM, which
+    // assumes a known reference mean). The pair expansion runs on the
+    // (type, day) DAILY aggregate — a domain-bounded table (|types| ×
+    // span days), so the self-join is days²-bounded per type, never
+    // event-sized. Signs are exact integer comparisons on summed
+    // cents; τ is one IEEE divide, round(4) for display.
+    "q110_trend_mk" -> ((s, d) => {
+      import s.implicits._
+      val daily = Tables.load(s, d, "events")
+        .select($"event_type", to_date($"ts").as("day"),
+          round($"value" * 100).cast("long").as("cents"))
+        .groupBy($"event_type", $"day").agg(sum($"cents").as("v"))
+      val n = daily.groupBy($"event_type")
+        .agg(count(lit(1)).as("n_days"))
+      val a = daily.select($"event_type", $"day".as("d1"),
+        $"v".as("v1"))
+      val b = daily.select($"event_type", $"day".as("d2"),
+        $"v".as("v2"))
+      a.join(b, Seq("event_type")).filter($"d1" < $"d2")
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when($"v2" > $"v1", 1L).when($"v2" < $"v1", -1L)
+            .otherwise(0L)).as("s_stat"))
+        .join(broadcast(n), Seq("event_type"))
+        .select($"event_type", $"n_days", $"n_pairs", $"s_stat",
+          round($"s_stat".cast("double") / $"n_pairs".cast("double"),
+            4).as("tau"))
+        .orderBy($"event_type")
+    }),
+
+    // Trailing-7-day rolling distinct users per calendar day (the
+    // WAU-shaped engagement curve next to q96's monthly stickiness).
+    // Exact rolling COUNT DISTINCT is the classic scale trap — a
+    // range self-join explodes, and distinct doesn't decompose over
+    // windows. The linear shape: each distinct (user, day) activity
+    // row COVERS the 7 report days it contributes to (one sequence
+    // explode — activity is user·day-sized, ≪ events), distinct
+    // (user, report_day) collapses multi-active users, and the count
+    // is a map-side-combinable groupBy. The calendar spine rides
+    // q104's one-row-aggregate sequence; zero-activity days surface
+    // as 0 (partial windows at the span head are kept — standard
+    // trailing-window semantics).
+    "q111_rolling_dau" -> ((s, d) => {
+      import s.implicits._
+      val act = Tables.load(s, d, "events")
+        .select($"user_id", to_date($"ts").as("day")).distinct()
+        // feeds three consumers: bounds, same-day counts, coverage
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val spine = act.agg(min($"day").as("d0"), max($"day").as("d1"))
+        .select(explode(sequence($"d0", $"d1")).as("day"))
+      val dau1 = act.groupBy($"day").agg(count(lit(1)).as("dau"))
+      val dau7 = act
+        .select($"user_id",
+          explode(sequence($"day", date_add($"day", 6))).as("day"))
+        .distinct()
+        .groupBy($"day").agg(count(lit(1)).as("dau7"))
+      spine.join(dau1, Seq("day"), "left")
+        .join(dau7, Seq("day"), "left")
+        .select($"day".cast("timestamp").as("day"),
+          coalesce($"dau", lit(0L)).as("dau"),
+          coalesce($"dau7", lit(0L)).as("dau7"))
+        .orderBy($"day")
+    }),
+
+    // Join-key skew profile: per candidate shuffle key, the frequency
+    // distribution stats that decide salting / broadcast / AQE-skew
+    // choices BEFORE a 100 TB run — n_keys, median and p99 and max
+    // key frequency, top-key share. The load-bearing trick: the
+    // stats come from the COUNT-OF-COUNTS table (frequency → #keys),
+    // which is bounded by the number of DISTINCT multiplicities —
+    // tiny at any corpus scale — so the only global window runs over
+    // that bounded frame (the q105 "10-row table" stance), never
+    // over keys. Median = ⌈n/2⌉-th smallest frequency, p99 = the
+    // frequency where the cumulative key count first reaches 99%
+    // (exact integer cross-multiplication, no percentile float);
+    // shares/ratios are single IEEE divides.
+    "q112_skew_profile" -> ((s, d) => {
+      import s.implicits._
+      def prof(df: org.apache.spark.sql.DataFrame, key: String,
+          label: String): org.apache.spark.sql.DataFrame = {
+        val cc = df.groupBy(col(key).as("k"))
+          .agg(count(lit(1)).as("f"))
+          .groupBy($"f").agg(count(lit(1)).as("nk"))
+        val w = org.apache.spark.sql.expressions.Window.orderBy($"f")
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, 0)
+        cc.withColumn("cumk", sum($"nk").over(w))
+          .withColumn("n_rows", sum($"f" * $"nk").over())
+          .withColumn("n_keys", sum($"nk").over())
+          .withColumn("max_f", max($"f").over())
+          .agg(
+            max($"n_rows").as("n_rows"), max($"n_keys").as("n_keys"),
+            min(when($"cumk" * 2 >= $"n_keys", $"f")).as("med_freq"),
+            min(when($"cumk" * 100 >= $"n_keys" * 99, $"f"))
+              .as("p99_freq"),
+            max($"max_f").as("max_freq"))
+          .select(lit(label).as("key_name"), $"n_rows", $"n_keys",
+            $"med_freq", $"p99_freq", $"max_freq",
+            round($"max_freq".cast("double") /
+              $"n_rows".cast("double"), 6).as("top_share"),
+            round($"max_freq".cast("double") /
+              $"med_freq".cast("double"), 4).as("skew_ratio"))
+      }
+      val li = Tables.load(s, d, "lineitem")
+      val ev = Tables.load(s, d, "events")
+      prof(li, "l_partkey", "lineitem.l_partkey")
+        .unionAll(prof(li, "l_suppkey", "lineitem.l_suppkey"))
+        .unionAll(prof(Tables.load(s, d, "orders"), "o_custkey",
+          "orders.o_custkey"))
+        .unionAll(prof(ev, "user_id", "events.user_id"))
+        .unionAll(prof(ev, "event_type", "events.event_type"))
+        .orderBy($"key_name")
+    }),
+
+    // Consecutive-day activity streaks per user — the classic
+    // gaps-and-islands pattern (day_index − row_number is constant
+    // within a run), the habit-formation read next to q95/q96. All
+    // windows are per-user (high cardinality — they scale); day
+    // indexes are exact epoch-day integers on both engines.
+    "q113_streaks" -> ((s, d) => {
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id").orderBy($"di")
+      Tables.load(s, d, "events")
+        .select($"user_id",
+          datediff(to_date($"ts"), lit("1970-01-01").cast("date"))
+            .cast("long").as("di"))
+        .distinct()
+        .withColumn("grp", $"di" - row_number().over(w))
+        .groupBy($"user_id", $"grp").agg(count(lit(1)).as("len"))
+        .groupBy($"user_id")
+        .agg(sum($"len").as("n_active_days"),
+          count(lit(1)).as("n_streaks"),
+          max($"len").as("max_streak"))
+        .orderBy($"user_id")
+    }),
+
   )
 
+  /** One UNION ALL arm of the q112 oracle — the count-of-counts
+    * cumulative formulation replayed per key column.
+    */
+  private def skewProfSql(table: String, col: String,
+      label: String): String =
+    s"""SELECT '$label' AS key_name, n_rows, n_keys, med_freq,
+           p99_freq, max_freq,
+           round(CAST(max_freq AS DOUBLE) / CAST(n_rows AS DOUBLE), 6)
+             AS top_share,
+           round(CAST(max_freq AS DOUBLE) / CAST(med_freq AS DOUBLE), 4)
+             AS skew_ratio
+         FROM (
+           SELECT CAST(max(n_rows) AS BIGINT) AS n_rows,
+             CAST(max(n_keys) AS BIGINT) AS n_keys,
+             CAST(min(CASE WHEN cumk * 2 >= n_keys THEN f END)
+               AS BIGINT) AS med_freq,
+             CAST(min(CASE WHEN cumk * 100 >= n_keys * 99 THEN f END)
+               AS BIGINT) AS p99_freq,
+             CAST(max(max_f) AS BIGINT) AS max_freq
+           FROM (
+             SELECT f, sum(nk) OVER (ORDER BY f) AS cumk,
+               sum(f * nk) OVER () AS n_rows,
+               sum(nk) OVER () AS n_keys,
+               max(f) OVER () AS max_f
+             FROM (
+               SELECT f, count(*) AS nk FROM (
+                 SELECT $col, count(*) AS f FROM $table GROUP BY 1)
+               GROUP BY 1)))"""
+
   def oracles: Map[String, String] = Map(
+
+    "q110_trend_mk" ->
+      """WITH daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS v
+           FROM events GROUP BY 1, 2),
+         n AS (
+           SELECT event_type, CAST(count(*) AS BIGINT) AS n_days
+           FROM daily GROUP BY 1),
+         p AS (
+           SELECT a.event_type,
+             CASE WHEN b.v > a.v THEN 1
+                  WHEN b.v < a.v THEN -1 ELSE 0 END AS sg
+           FROM daily a JOIN daily b
+             ON a.event_type = b.event_type AND a.day < b.day)
+         SELECT n.event_type, n.n_days,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(sg) AS BIGINT) AS s_stat,
+           round(CAST(sum(sg) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4)
+             AS tau
+         FROM p JOIN n ON n.event_type = p.event_type
+         GROUP BY n.event_type, n.n_days ORDER BY n.event_type""",
+
+    // Independent formulation: the range join DuckDB can afford at
+    // oracle scale (the Spark side uses the linear explode-cover).
+    "q111_rolling_dau" ->
+      """WITH act AS (
+           SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+           FROM events),
+         span AS (SELECT min(day) AS d0, max(day) AS d1 FROM act),
+         days AS (
+           SELECT CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+             CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+           FROM span),
+         d1c AS (SELECT day, count(*) AS c FROM act GROUP BY 1)
+         SELECT CAST(dd.day AS TIMESTAMP) AS day,
+           CAST(coalesce(max(d1c.c), 0) AS BIGINT) AS dau,
+           CAST(count(DISTINCT a.user_id) AS BIGINT) AS dau7
+         FROM days dd
+         LEFT JOIN act a
+           ON a.day BETWEEN dd.day - 6 AND dd.day
+         LEFT JOIN d1c ON d1c.day = dd.day
+         GROUP BY dd.day ORDER BY day""",
+
+    "q112_skew_profile" -> Seq(
+      skewProfSql("lineitem", "l_partkey", "lineitem.l_partkey"),
+      skewProfSql("lineitem", "l_suppkey", "lineitem.l_suppkey"),
+      skewProfSql("orders", "o_custkey", "orders.o_custkey"),
+      skewProfSql("events", "user_id", "events.user_id"),
+      skewProfSql("events", "event_type", "events.event_type"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY key_name"),
+
+    "q113_streaks" ->
+      """WITH act AS (
+           SELECT DISTINCT user_id,
+             CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)
+               AS di
+           FROM events),
+         g AS (
+           SELECT user_id, di,
+             di - row_number() OVER (PARTITION BY user_id
+                                     ORDER BY di) AS grp
+           FROM act),
+         runs AS (
+           SELECT user_id, grp, CAST(count(*) AS BIGINT) AS len
+           FROM g GROUP BY 1, 2)
+         SELECT user_id, CAST(sum(len) AS BIGINT) AS n_active_days,
+           CAST(count(*) AS BIGINT) AS n_streaks,
+           CAST(max(len) AS BIGINT) AS max_streak
+         FROM runs GROUP BY user_id ORDER BY user_id""",
 
     // Independent formulation: DuckDB's list() window aggregate over
     // the same 5-row frame.

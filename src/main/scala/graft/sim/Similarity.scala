@@ -744,6 +744,66 @@ object Similarity {
         .orderBy(col("dim"))
     }),
 
+    // Pairwise dimension-correlation matrix (upper triangle) — the
+    // redundancy health check next to emb_dim_stats: a |corr| ≈ 1
+    // dimension pair means the embedding wastes capacity (and PQ
+    // subspace splits should not separate them). Exact long moments
+    // on the floor(v·1e6) integer grid (ann_ivf discipline): per-dim
+    // Σx/Σx² from one posexplode partial-agg, per-pair Σxy from a
+    // row-LOCAL d²/2 comprehension (d = 64 → 2016 terms per row,
+    // map-side combined — the d²-bounded shuffle carries only
+    // (i, j, partial) rows). Assembly follows q43/q100: cast the
+    // exact moments to DOUBLE BEFORE the n·Σxy products (which would
+    // overflow BIGINT at corpus scale), one fixed IEEE expression on
+    // both engines, round(4). At 100 TB the long Σxy itself needs the
+    // decimal escalation (q25 discipline) past ~1e6·corpus-rows·1e12.
+    "emb_dim_corr" -> ((s, d) => {
+      val q = Tables.spread(Tables.load(s, d, "embeddings"))
+        .select(expr("transform(embedding, v -> " +
+          "CAST(floor(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT))")
+          .as("q"))
+        // feeds the per-dim moments AND the pair products
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val dims = q.select(posexplode(col("q")).as(Seq("i", "x")))
+        .groupBy(col("i"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("x") * col("x")).as("sxx"))
+      // pair products ride a FLAT long array + posexplode — the
+      // (pos → i,j) decode joins back on the 2016-row index table
+      // AFTER aggregation, so the 100M-element explode ships one int
+      // key + one long instead of a 3-field struct (measured 9.3 s →
+      // 3.2 s at sf0.1). d is a one-row driver scalar (the pagerank
+      // node-count discipline).
+      val dDim = q.select(size(col("q"))).limit(1).head.getInt(0)
+      val pairs = q.select(posexplode(expr(
+          """flatten(transform(sequence(0, size(q) - 2), i ->
+             transform(sequence(i + 1, size(q) - 1), j ->
+               element_at(q, i + 1) * element_at(q, j + 1))))"""))
+          .as(Seq("pos", "xy")))
+        .groupBy(col("pos")).agg(sum(col("xy")).as("sxy"))
+      val idx = s.range(1).select(posexplode(expr(
+          s"""flatten(transform(sequence(0, $dDim - 2), i ->
+              transform(sequence(i + 1, $dDim - 1), j ->
+                struct(i AS i, j AS j))))""")).as(Seq("pos", "ij")))
+        .select(col("pos"), col("ij.i").as("i"), col("ij.j").as("j"))
+      pairs
+        .join(broadcast(idx), Seq("pos"))
+        .join(broadcast(dims), Seq("i"))
+        .join(broadcast(dims.select(col("i").as("j"),
+          col("sx").as("sy"), col("sxx").as("syy"))), Seq("j"))
+        .select(col("i").cast("long").as("i"),
+          col("j").cast("long").as("j"),
+          round(
+            (col("n").cast("double") * col("sxy").cast("double")
+              - col("sx").cast("double") * col("sy").cast("double")) /
+            (sqrt(col("n").cast("double") * col("sxx").cast("double")
+                - col("sx").cast("double") * col("sx").cast("double")) *
+             sqrt(col("n").cast("double") * col("syy").cast("double")
+                - col("sy").cast("double") * col("sy").cast("double"))),
+            4).as("corr"))
+        .orderBy(col("i"), col("j"))
+    }),
+
     // Label-centroid separation matrix: per-label mean vector on the
     // ann_ivf quantized-integer grid (floor(v·1e6) long sums → floor-
     // divided means — exactly the IVF coarse-quantizer replay), then
@@ -1388,6 +1448,41 @@ object Similarity {
                AS DOUBLE) / 1000000.0 / CAST(count(*) AS DOUBLE), 4)
              AS mean_v
          FROM x GROUP BY s.dim ORDER BY dim""",
+
+    // Identical exact moments + the q43-style fixed IEEE assembly.
+    "emb_dim_corr" ->
+      """WITH q AS (
+           SELECT list_transform(embedding, v ->
+             CAST(floor(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT)) AS q
+           FROM embeddings),
+         dims AS (
+           SELECT pos - 1 AS i, count(*) AS n,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(x * x) AS BIGINT) AS sxx
+           FROM (SELECT unnest(q) AS x,
+                   unnest(range(1, len(q) + 1)) AS pos FROM q)
+           GROUP BY 1),
+         p AS (
+           SELECT unnest(flatten(list_transform(range(0, len(q) - 1),
+             i -> list_transform(range(i + 1, len(q)), j ->
+               {'i': i, 'j': j, 'xy': q[i + 1] * q[j + 1]})))) AS s
+           FROM q),
+         prs AS (
+           SELECT s.i AS i, s.j AS j, CAST(sum(s.xy) AS BIGINT) AS sxy
+           FROM p GROUP BY 1, 2)
+         SELECT CAST(prs.i AS BIGINT) AS i, CAST(prs.j AS BIGINT) AS j,
+           round(
+             (CAST(di.n AS DOUBLE) * CAST(prs.sxy AS DOUBLE)
+               - CAST(di.sx AS DOUBLE) * CAST(dj.sx AS DOUBLE)) /
+             (sqrt(CAST(di.n AS DOUBLE) * CAST(di.sxx AS DOUBLE)
+                 - CAST(di.sx AS DOUBLE) * CAST(di.sx AS DOUBLE)) *
+              sqrt(CAST(dj.n AS DOUBLE) * CAST(dj.sxx AS DOUBLE)
+                 - CAST(dj.sx AS DOUBLE) * CAST(dj.sx AS DOUBLE))),
+             4) AS corr
+         FROM prs
+         JOIN dims di ON di.i = prs.i
+         JOIN dims dj ON dj.i = prs.j
+         ORDER BY i, j""",
 
     // The ann_ivf coarse-quantizer replay (pe/cent/cvec CTEs) plus a
     // label-pair cosine over the centroid lists.

@@ -406,4 +406,28 @@ class DedupSpec extends SparkSpec {
     assert(rec >= 0.8, s"LSH recall collapsed: $rec")
     spark.catalog.clearCache()
   }
+
+  test("prefix filtering is lossless vs brute-force threshold Jaccard") {
+    val sf = "/root/testdata/sf0.001"
+    val got = Dedup.prefixFilterPairs(spark, sf)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    // brute force: distinct 3-gram shingle sets, ALL pairs, J >= 1/2
+    val docs = graft.Tables.load(spark, sf, "documents")
+      .selectExpr("doc_id", "text").as[(Long, String)].collect()
+      .map { case (id, text) =>
+        val t = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+        id -> t.sliding(3).filter(_.length == 3)
+          .map(_.mkString(" ")).toSet
+      }.filter(_._2.nonEmpty)
+    val want = (for {
+      (a, sa) <- docs; (b, sb) <- docs if a < b
+      inter = (sa intersect sb).size.toLong
+      union = sa.size + sb.size - inter
+      if inter * 2 >= union
+    } yield (a, b) -> (inter, union)).toMap
+    assert(got == want, "prefix-filter pair set diverges from brute force")
+    assert(want.nonEmpty, "fixture has no qualifying pairs")
+    spark.catalog.clearCache()
+  }
 }

@@ -255,4 +255,36 @@ class GraphSpec extends SparkSpec {
     }
     spark.catalog.clearCache()
   }
+
+  test("clustering coefficients match a brute-force per-node recompute") {
+    val got = graft.SparkEntry.queries("q109_clustering_coeff")(spark, sf)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(got.nonEmpty)
+    // independent recompute: adjacency sets, tri(v) = closed wedges
+    // at v / 1 (each unordered neighbor pair checked directly)
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select($"l_orderkey".cast("long"), $"l_partkey".cast("long"))
+      .distinct().as[(Long, Long)].collect()
+    val edges = li.groupBy(_._1).values.flatMap { items =>
+      val ps = items.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length)
+        yield (ps(i), ps(j))
+    }.toSet
+    val adj = edges.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val want = adj.toSeq.collect {
+      case (v, ns) if ns.size >= 2 =>
+        val nsSeq = ns.toSeq.sorted
+        var tri = 0L
+        for (i <- nsSeq.indices; j <- (i + 1) until nsSeq.length)
+          if (edges.contains((nsSeq(i), nsSeq(j)))) tri += 1
+        (v, ns.size.toLong, tri,
+          2.0 * tri / (ns.size.toLong * (ns.size - 1)))
+    }.sortBy { case (v, _, _, c) => (-c, v) }.take(got.length)
+    got.zip(want).foreach { case ((n, dg, t, c), (wn, wdg, wt, wc)) =>
+      assert(n == wn && dg == wdg && t == wt, s"node $n")
+      assert(math.abs(c - wc) < 1e-12, s"coeff $n")
+    }
+    spark.catalog.clearCache()
+  }
 }

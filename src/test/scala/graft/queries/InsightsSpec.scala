@@ -117,4 +117,121 @@ class InsightsSpec extends SparkSpec {
     }
     spark.catalog.clearCache()
   }
+
+  test("Mann-Kendall S matches a brute-force pair walk per type") {
+    val rows = Insights.queries("q110_trend_mk")(spark, sf)
+      .as[(String, Long, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    val daily = graft.Tables.load(spark, sf, "events")
+      .selectExpr("event_type", "cast(ts as date) as day",
+        "cast(round(value * 100) as long) as cents")
+      .groupBy($"event_type", $"day")
+      .agg(org.apache.spark.sql.functions.sum($"cents").as("v"))
+      .selectExpr("event_type", "cast(day as string)", "v")
+      .as[(String, String, Long)].collect()
+    val byType = daily.groupBy(_._1)
+    rows.foreach { case (et, nDays, nPairs, s0, tau) =>
+      val vs = byType(et).sortBy(_._2).map(_._3)
+      assert(nDays == vs.length)
+      var s = 0L; var p = 0L
+      for (i <- vs.indices; j <- (i + 1) until vs.length) {
+        p += 1
+        s += java.lang.Long.signum(vs(j) - vs(i))
+      }
+      assert(nPairs == p && s0 == s, s"type $et")
+      assert(math.abs(tau - s.toDouble / p) < 6e-5, s"tau $et")
+    }
+    spark.catalog.clearCache()
+  }
+
+  test("rolling 7-day DAU matches brute-force window counts") {
+    val rows = Insights.queries("q111_rolling_dau")(spark, sf)
+      .selectExpr("cast(day as date) as day", "dau", "dau7")
+      .as[(java.sql.Date, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    val act = graft.Tables.load(spark, sf, "events")
+      .selectExpr("user_id", "cast(ts as date) as day").distinct()
+      .as[(Long, java.sql.Date)].collect()
+      .map { case (u, dt) => (u, dt.toLocalDate.toEpochDay) }
+    val actSet = act.toSet
+    val days = rows.map(_._1.toLocalDate.toEpochDay).sorted
+    // dense calendar spine
+    days.sliding(2).foreach {
+      case Array(a, b) => assert(b - a == 1, "spine gap")
+      case _ =>
+    }
+    rows.foreach { case (dt, dau, dau7) =>
+      val d = dt.toLocalDate.toEpochDay
+      val users = act.collect {
+        case (u, ad) if ad <= d && ad >= d - 6 => u }.toSet
+      assert(dau7 == users.size, s"day $dt dau7")
+      assert(dau == act.count { case (u, ad) => ad == d }, s"day $dt dau")
+      assert(actSet.size >= dau)
+    }
+    spark.catalog.clearCache()
+  }
+
+  test("streaks: islands decomposition conserves active days") {
+    val rows = Insights.queries("q113_streaks")(spark, sf)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    val act = graft.Tables.load(spark, sf, "events")
+      .selectExpr("user_id", "cast(ts as date) as day").distinct()
+      .as[(Long, java.sql.Date)].collect()
+      .groupBy(_._1)
+      .map { case (u, ds) =>
+        u -> ds.map(_._2.toLocalDate.toEpochDay).sorted }
+    rows.foreach { case (u, nDays, nStreaks, maxStreak) =>
+      val ds = act(u)
+      // brute-force runs of consecutive days
+      val runs = ds.foldLeft(List.empty[List[Long]]) {
+        case (acc @ (run @ (h :: _)) :: rest, d) if d == h + 1 =>
+          (d :: run) :: rest
+        case (acc, d) => List(d) :: acc
+      }.map(_.length.toLong)
+      assert(nDays == ds.length, s"user $u days")
+      assert(nStreaks == runs.length, s"user $u streaks")
+      assert(maxStreak == runs.max, s"user $u max")
+      assert(runs.sum == nDays, s"user $u conservation")
+    }
+    spark.catalog.clearCache()
+  }
+
+  test("skew profile stats match a direct per-column recompute") {
+    val rows = Insights.queries("q112_skew_profile")(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long, Double, Double)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(rows.size == 5)
+    def check(label: String, keys: Seq[Any]): Unit = {
+      val freq = keys.groupBy(identity).map(_._2.size.toLong).toSeq
+        .sorted
+      val n = freq.sum
+      val k = freq.length.toLong
+      def cumFirst(p: Long => Boolean): Long = {
+        var cum = 0L
+        freq.find { f => cum += 1; p(cum) }.get
+      }
+      val (_, nRows, nKeys, med, p99, maxF, share, ratio) = rows(label)
+      assert(nRows == n && nKeys == k, label)
+      assert(maxF == freq.max, label)
+      assert(med == cumFirst(c => 2 * c >= k), s"$label median")
+      assert(p99 == cumFirst(c => 100 * c >= 99 * k), s"$label p99")
+      assert(math.abs(share - maxF.toDouble / n) < 1e-5, label)
+      assert(math.abs(ratio - maxF.toDouble / med) < 1e-3, label)
+    }
+    import org.apache.spark.sql.functions.col
+    val li = graft.Tables.load(spark, sf, "lineitem")
+    check("lineitem.l_partkey",
+      li.select(col("l_partkey")).as[Long].collect().toSeq)
+    check("lineitem.l_suppkey",
+      li.select(col("l_suppkey")).as[Long].collect().toSeq)
+    check("orders.o_custkey", graft.Tables.load(spark, sf, "orders")
+      .select(col("o_custkey")).as[Long].collect().toSeq)
+    val ev = graft.Tables.load(spark, sf, "events")
+    check("events.user_id",
+      ev.select(col("user_id")).as[Long].collect().toSeq)
+    check("events.event_type",
+      ev.select(col("event_type")).as[String].collect().toSeq)
+    spark.catalog.clearCache()
+  }
 }

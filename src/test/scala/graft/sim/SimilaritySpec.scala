@@ -315,4 +315,31 @@ class SimilaritySpec extends SparkSpec {
       assert(mean >= lo - 1e-6 && mean <= hi + 1e-6, s"dim $dim mean")
     }
   }
+
+  test("dimension correlations match a driver-side Pearson recompute") {
+    val rows = graft.SparkEntry.queries("emb_dim_corr")(spark, sf)
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(rows.size == 64 * 63 / 2)
+    val vecs = graft.Tables.load(spark, sf, "embeddings")
+      .select("embedding").as[Array[Float]].collect()
+      .map(_.map(v => math.floor(v.toDouble * 1e6))) // the same grid
+    val n = vecs.length.toDouble
+    def corr(i: Int, j: Int): Double = {
+      val (xs, ys) = (vecs.map(_(i)), vecs.map(_(j)))
+      val (sx, sy) = (xs.sum, ys.sum)
+      val sxx = xs.map(x => x * x).sum
+      val syy = ys.map(y => y * y).sum
+      val sxy = xs.zip(ys).map { case (x, y) => x * y }.sum
+      (n * sxy - sx * sy) /
+        (math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy))
+    }
+    for (i <- 0 until 64; j <- (i + 1) until 64 if (i + j) % 13 == 0) {
+      val want = corr(i, j)
+      assert(math.abs(rows((i.toLong, j.toLong)) - want) < 6e-5,
+        s"corr($i,$j)")
+      assert(rows((i.toLong, j.toLong)).abs <= 1.0 + 1e-9)
+    }
+    spark.catalog.clearCache()
+  }
 }
