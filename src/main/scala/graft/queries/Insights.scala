@@ -330,6 +330,77 @@ object Insights {
         .orderBy($"user_id")
     }),
 
+    // Holt double exponential smoothing (α=0.2, β=0.3) of daily
+    // revenue per event type — the trend-aware upgrade of q107's EMA
+    // and the forecaster q94's seasonal-naive baseline competes
+    // against. Two-state recursion (level, trend) telescopes through
+    // NOTHING — it must fold — so it rides the q107 discipline
+    // extended to a STRUCT accumulator: the (type, day) daily table
+    // is domain-bounded, each type's series collects into one sorted
+    // array, and both engines fold the identical IEEE sequence
+    // (Spark `aggregate` with a named_struct state ≡ DuckDB
+    // list_reduce over prepended struct state; the new-level
+    // expression is repeated verbatim inside the trend update on
+    // both sides, so even its rounding is shared). Seed l₀=x₀, t₀=0.
+    "q114_holt_forecast" -> ((s, d) => {
+      import s.implicits._
+      Tables.load(s, d, "events")
+        .select($"event_type", to_date($"ts").as("day"),
+          round($"value" * 100).cast("long").as("cents"))
+        .groupBy($"event_type", $"day").agg(sum($"cents").as("v"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n_days"),
+          expr("transform(sort_array(collect_list(struct(day, v))), " +
+            "x -> CAST(x.v AS DOUBLE))").as("vs"))
+        .select($"event_type", $"n_days",
+          expr(
+            """aggregate(slice(vs, 2, size(vs) - 1),
+               named_struct('l', element_at(vs, 1),
+                            't', CAST(0.0 AS DOUBLE)),
+               (a, x) -> named_struct(
+                 'l', 0.2 * x + 0.8 * (a.l + a.t),
+                 't', 0.3 * ((0.2 * x + 0.8 * (a.l + a.t)) - a.l)
+                      + 0.7 * a.t))""").as("st"))
+        .select($"event_type", $"n_days",
+          round($"st.l", 4).as("level"),
+          round($"st.t", 4).as("trend"),
+          round($"st.l" + $"st.t", 4).as("forecast_next"))
+        .orderBy($"event_type")
+    }),
+
+    // Functional-dependency audit over a fixed candidate set — the
+    // data-profiling read (does A determine B) that decides which
+    // "dimension" columns are safe denormalization targets and which
+    // FK chains are real. Per candidate (A → B): #distinct A,
+    // #distinct (A,B), #violating A values (those with >1 distinct
+    // B), holds = zero violations. Each pair is one
+    // groupBy(A).agg(countDistinct(B)) — two map-side-combinable
+    // exchanges over the scan, never a join; the CANDIDATES are
+    // enumerated (8 pairs), not mined — full lattice discovery is
+    // exponential and out of scope (documented, TANE-family territory).
+    "q115_fd_discovery" -> ((s, d) => {
+      import s.implicits._
+      def fd(table: String, a: String, b: String): org.apache.spark.sql
+          .DataFrame =
+        Tables.load(s, d, table)
+          .groupBy(col(a).as("k"))
+          .agg(countDistinct(col(b)).as("nb"))
+          .agg(count(lit(1)).as("n_det"), sum($"nb").as("n_pairs"),
+            sum(when($"nb" > 1, 1L).otherwise(0L)).as("n_violating"))
+          .select(lit(s"$table.$a -> $table.$b").as("fd"),
+            $"n_det", $"n_pairs", $"n_violating",
+            ($"n_violating" === 0L).as("holds"))
+      fd("orders", "o_orderkey", "o_custkey")
+        .unionAll(fd("orders", "o_orderkey", "o_orderstatus"))
+        .unionAll(fd("orders", "o_custkey", "o_orderpriority"))
+        .unionAll(fd("lineitem", "l_orderkey", "l_suppkey"))
+        .unionAll(fd("lineitem", "l_partkey", "l_suppkey"))
+        .unionAll(fd("customer", "c_custkey", "c_mktsegment"))
+        .unionAll(fd("customer", "c_nationkey", "c_mktsegment"))
+        .unionAll(fd("nation", "n_nationkey", "n_regionkey"))
+        .orderBy($"fd")
+    }),
+
   )
 
   /** One UNION ALL arm of the q112 oracle — the count-of-counts
@@ -433,6 +504,69 @@ object Insights {
            CAST(count(*) AS BIGINT) AS n_streaks,
            CAST(max(len) AS BIGINT) AS max_streak
          FROM runs GROUP BY user_id ORDER BY user_id""",
+
+    // The recursion replayed as a RECURSIVE CTE stepping through the
+    // day-indexed series (bounded: |types| x span days). NOT a
+    // list_reduce struct fold: DuckDB v1.0.0's list_reduce MUTATES a
+    // struct accumulator field-by-field -- from the second merge on,
+    // the 't' expression sees the already-updated 'l' (verified with
+    // a direct single-merge comparison) -- so a two-state fold cannot
+    // be replayed with it. The CTE's per-step arithmetic is the
+    // verbatim Spark lambda, same IEEE sequence.
+    "q114_holt_forecast" ->
+      """WITH RECURSIVE daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS v
+           FROM events GROUP BY 1, 2),
+         r AS (
+           SELECT event_type, CAST(v AS DOUBLE) AS v,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY day) AS rn
+           FROM daily),
+         n AS (
+           SELECT event_type, CAST(count(*) AS BIGINT) AS n_days
+           FROM daily GROUP BY 1),
+         h AS (
+           SELECT event_type, 1 AS step, v AS l,
+             CAST(0.0 AS DOUBLE) AS t
+           FROM r WHERE rn = 1
+           UNION ALL
+           SELECT h.event_type, h.step + 1,
+             CAST(0.2 AS DOUBLE) * r.v
+               + CAST(0.8 AS DOUBLE) * (h.l + h.t),
+             CAST(0.3 AS DOUBLE) *
+               ((CAST(0.2 AS DOUBLE) * r.v
+                 + CAST(0.8 AS DOUBLE) * (h.l + h.t)) - h.l)
+               + CAST(0.7 AS DOUBLE) * h.t
+           FROM h JOIN r ON r.event_type = h.event_type
+                        AND r.rn = h.step + 1)
+         SELECT n.event_type, n.n_days,
+           round(h.l, 4) AS level, round(h.t, 4) AS trend,
+           round(h.l + h.t, 4) AS forecast_next
+         FROM h JOIN n ON n.event_type = h.event_type
+         WHERE h.step = n.n_days
+         ORDER BY n.event_type""",
+
+    "q115_fd_discovery" -> Seq(
+      ("orders", "o_orderkey", "o_custkey"),
+      ("orders", "o_orderkey", "o_orderstatus"),
+      ("orders", "o_custkey", "o_orderpriority"),
+      ("lineitem", "l_orderkey", "l_suppkey"),
+      ("lineitem", "l_partkey", "l_suppkey"),
+      ("customer", "c_custkey", "c_mktsegment"),
+      ("customer", "c_nationkey", "c_mktsegment"),
+      ("nation", "n_nationkey", "n_regionkey"))
+      .map { case (t, a, b) =>
+        s"""SELECT '$t.$a -> $t.$b' AS fd,
+              CAST(count(*) AS BIGINT) AS n_det,
+              CAST(sum(nb) AS BIGINT) AS n_pairs,
+              CAST(sum(CASE WHEN nb > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_violating,
+              sum(CASE WHEN nb > 1 THEN 1 ELSE 0 END) = 0 AS holds
+            FROM (SELECT $a, count(DISTINCT $b) AS nb
+                  FROM $t GROUP BY 1)"""
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY fd"),
 
     // Independent formulation: DuckDB's list() window aggregate over
     // the same 5-row frame.

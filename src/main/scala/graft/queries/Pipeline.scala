@@ -463,6 +463,28 @@ object Pipeline {
         .orderBy($"global_idx")
     }),
 
+    // Curriculum schedule: global training order (easy → hard, short
+    // docs first — the classic length-based curriculum heuristic)
+    // with a content-pure deterministic shuffle WITHIN each
+    // difficulty level (md5, pipeline_global_index's key — no RNG, so
+    // re-runs and engines agree). The contiguous index rides
+    // PrefixSum's two-pass distributed scan over the (n_tokens, md5)
+    // order — never a single-task window; swapping the heuristic for
+    // a model-scored difficulty column changes one expression.
+    "pipeline_curriculum" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.load(s, d, "documents")
+        .select($"doc_id",
+          size(split($"text", "\\s+")).cast("long").as("n_tokens"),
+          md5(concat(lit("curr42:"), $"doc_id".cast("string")))
+            .as("skey"))
+      graft.ops.PrefixSum.runningTotal(docs,
+        Seq(col("n_tokens"), col("skey"), col("doc_id")), lit(1L),
+        "curriculum_idx")
+        .select($"doc_id", $"n_tokens", $"skey", $"curriculum_idx")
+        .orderBy($"curriculum_idx")
+    }),
+
     "pipeline_training_prep_v2" -> ((s, d) => trainingPrepV2(s, d)),
     "pipeline_training_prep" -> ((s, d) => {
       import s.implicits._
@@ -745,6 +767,19 @@ object Pipeline {
              ORDER BY md5('shuffle42:' || CAST(doc_id AS VARCHAR)),
                doc_id) AS BIGINT) AS global_idx
          FROM documents ORDER BY global_idx""",
+    // Independent formulation: the single-sort row_number window the
+    // PrefixSum scan replaces.
+    "pipeline_curriculum" ->
+      """WITH t AS (
+           SELECT doc_id,
+             CAST(len(string_split_regex(text, '\s+')) AS BIGINT)
+               AS n_tokens,
+             md5('curr42:' || CAST(doc_id AS VARCHAR)) AS skey
+           FROM documents)
+         SELECT doc_id, n_tokens, skey,
+           CAST(row_number() OVER (ORDER BY n_tokens, skey, doc_id)
+             AS BIGINT) AS curriculum_idx
+         FROM t ORDER BY curriculum_idx""",
     "pipeline_interleave" ->
       """WITH r AS (
            SELECT lang, doc_id,

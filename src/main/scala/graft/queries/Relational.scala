@@ -18,6 +18,41 @@ object Relational {
 
   def queries: Map[String, Q] = Map(
 
+    // NOT IN vs NOT EXISTS under NULLs — the three-valued-logic
+    // corner every migration hits: a single NULL in the subquery
+    // makes `k NOT IN (...)` return ZERO rows (k <> NULL is UNKNOWN,
+    // so no row can pass), while NOT EXISTS / the IS NOT NULL-guarded
+    // NOT IN ignore it. Spark plans the unguarded form as a
+    // NULL-AWARE ANTI JOIN (BroadcastHashJoin LeftAnti with
+    // isNullAwareAntiJoin=true — broadcast-ONLY, no shuffled
+    // fallback), so at 100 TB the guarded rewrite is not a style
+    // choice but the only scalable plan; this query pins both
+    // semantics side by side. The subquery scopes to supplier 1's
+    // parts with a deterministically planted NULL (partkey % 97).
+    "q116_null_aware_antijoin" -> ((s, d) => {
+      Tables.load(s, d, "part").createOrReplaceTempView("part_naaj")
+      Tables.load(s, d, "lineitem")
+        .createOrReplaceTempView("lineitem_naaj")
+      s.sql("""
+        WITH sub AS (
+          SELECT CASE WHEN l_partkey % 97 = 0 THEN NULL
+                      ELSE l_partkey END AS pk
+          FROM lineitem_naaj
+          WHERE l_suppkey = 1 OR l_partkey % 97 = 0)
+        SELECT
+          (SELECT count(*) FROM part_naaj) AS n_parts,
+          (SELECT count(*) FROM part_naaj
+            WHERE p_partkey NOT IN (SELECT pk FROM sub)) AS n_not_in,
+          (SELECT count(*) FROM part_naaj p
+            WHERE NOT EXISTS (SELECT 1 FROM sub
+                              WHERE sub.pk = p.p_partkey))
+            AS n_not_exists,
+          (SELECT count(*) FROM part_naaj
+            WHERE p_partkey NOT IN (SELECT pk FROM sub
+                                    WHERE pk IS NOT NULL))
+            AS n_guarded""")
+    }),
+
     // Spark 4 SQL UDF (CREATE FUNCTION ... RETURN expr) — the
     // user-extension surface that stays INSIDE Catalyst: the body is
     // inlined into the plan at analysis, so it folds, pushes down,
@@ -1107,6 +1142,27 @@ object Relational {
   }
 
   def oracles: Map[String, String] = Map(
+
+    // ANSI three-valued logic is engine-independent — the oracle runs
+    // the identical four scalar subqueries.
+    "q116_null_aware_antijoin" ->
+      """WITH sub AS (
+           SELECT CASE WHEN l_partkey % 97 = 0 THEN NULL
+                       ELSE l_partkey END AS pk
+           FROM lineitem
+           WHERE l_suppkey = 1 OR l_partkey % 97 = 0)
+         SELECT
+           (SELECT count(*) FROM part) AS n_parts,
+           (SELECT count(*) FROM part
+             WHERE p_partkey NOT IN (SELECT pk FROM sub)) AS n_not_in,
+           (SELECT count(*) FROM part p
+             WHERE NOT EXISTS (SELECT 1 FROM sub
+                               WHERE sub.pk = p.p_partkey))
+             AS n_not_exists,
+           (SELECT count(*) FROM part
+             WHERE p_partkey NOT IN (SELECT pk FROM sub
+                                     WHERE pk IS NOT NULL))
+             AS n_guarded""",
 
     // exact-regime CMS: the counter grid dwarfs the event-type
     // vocabulary, so the sketch estimates ARE the exact counts (see

@@ -234,4 +234,86 @@ class InsightsSpec extends SparkSpec {
       ev.select(col("event_type")).as[String].collect().toSeq)
     spark.catalog.clearCache()
   }
+
+  test("Holt smoothing matches the driver-side two-state recursion") {
+    val rows = Insights.queries("q114_holt_forecast")(spark, sf)
+      .as[(String, Long, Double, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    val daily = graft.Tables.load(spark, sf, "events")
+      .selectExpr("event_type", "cast(ts as date) as day",
+        "cast(round(value * 100) as long) as cents")
+      .groupBy($"event_type", $"day")
+      .agg(org.apache.spark.sql.functions.sum($"cents").as("v"))
+      .selectExpr("event_type", "cast(day as string)", "v")
+      .as[(String, String, Long)].collect()
+      .groupBy(_._1)
+      .map { case (et, ds) => et -> ds.sortBy(_._2).map(_._3.toDouble) }
+    rows.foreach { case (et, nDays, level, trend, fc) =>
+      val vs = daily(et)
+      assert(nDays == vs.length)
+      var l = vs.head; var t = 0.0
+      vs.tail.foreach { x =>
+        val nl = 0.2 * x + 0.8 * (l + t)
+        t = 0.3 * (nl - l) + 0.7 * t
+        l = nl
+      }
+      assert(math.abs(level - l) < 1e-3, s"$et level")
+      assert(math.abs(trend - t) < 1e-3, s"$et trend")
+      assert(math.abs(fc - (l + t)) < 2e-3, s"$et forecast")
+    }
+    spark.catalog.clearCache()
+  }
+
+  test("FD discovery: PK dependencies hold, violation counts reconcile") {
+    val rows = Insights.queries("q115_fd_discovery")(spark, sf)
+      .as[(String, Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(rows.size == 8)
+    // key-determined FDs must hold by construction
+    Seq("orders.o_orderkey -> orders.o_custkey",
+      "orders.o_orderkey -> orders.o_orderstatus",
+      "customer.c_custkey -> customer.c_mktsegment",
+      "nation.n_nationkey -> nation.n_regionkey").foreach { fd =>
+      val (_, nDet, nPairs, nViol, holds) = rows(fd)
+      assert(holds && nViol == 0 && nPairs == nDet, fd)
+    }
+    // brute-force one non-trivial pair
+    val li = graft.Tables.load(spark, sf, "lineitem")
+      .selectExpr("l_partkey", "l_suppkey").as[(Long, Long)].collect()
+    val byPart = li.groupBy(_._1).map { case (k, v) =>
+      k -> v.map(_._2).distinct.length }
+    val (_, nDet, nPairs, nViol, holds) =
+      rows("lineitem.l_partkey -> lineitem.l_suppkey")
+    assert(nDet == byPart.size)
+    assert(nPairs == byPart.values.map(_.toLong).sum)
+    assert(nViol == byPart.values.count(_ > 1))
+    assert(holds == (nViol == 0))
+    spark.catalog.clearCache()
+  }
+
+  test("null-aware anti join: NOT IN is empty, guarded == NOT EXISTS") {
+    val row = graft.SparkEntry.queries("q116_null_aware_antijoin")(
+      spark, sf).as[(Long, Long, Long, Long)].collect().head
+    val (nParts, notIn, notExists, guarded) = row
+    assert(nParts > 0)
+    assert(notIn == 0L, "NULL in subquery must empty NOT IN")
+    assert(notExists == guarded, "guarded NOT IN must equal NOT EXISTS")
+    assert(notExists > 0L, "scoped subquery must leave non-matches")
+    assert(notExists < nParts)
+    spark.catalog.clearCache()
+  }
+
+  test("curriculum index is contiguous and difficulty-monotone") {
+    val rows = graft.SparkEntry.queries("pipeline_curriculum")(spark, sf)
+      .selectExpr("curriculum_idx", "n_tokens")
+      .as[(Long, Long)].collect().sortBy(_._1)
+    assert(rows.nonEmpty)
+    assert(rows.map(_._1).toSeq == (1L to rows.length).toSeq)
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a._2 <= b._2, s"difficulty inversion at ${a._1}")
+      case _ =>
+    }
+    spark.catalog.clearCache()
+  }
 }
