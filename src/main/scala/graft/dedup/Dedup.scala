@@ -446,9 +446,28 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** Same pipeline over any documents-shaped frame — spec fixtures. */
-  def tfidfCosinePairsOver(docs: DataFrame, maxDf: Long = 50,
-      threshold: Double = 0.2): DataFrame = {
+  /** TF-IDF term-weight table (term → [(doc_id, wq)]) shared by the
+    * near-dup cosine join AND the hybrid-retrieval lexical ranker
+    * (graft.sim.Similarity ann_hybrid_rrf).
+    *
+    * Bounded array build WITHOUT a vocabulary join: rank posting
+    * rows per term and keep maxDf+1 — WindowGroupLimit evaluates the
+    * rank cap map-side BEFORE the exchange, so a head term ships at
+    * most (maxDf+1)·tasks rows instead of its corpus-scale posting
+    * list, and the collected arrays are ≤ maxDf+1 entries by
+    * construction (the unbounded-skew trap of a naive
+    * group-then-filter). An array that arrives FULL (maxDf+1) means
+    * df > maxDf → dropped, exactly the df-pruning semantics; an
+    * array under the cap has size = exact df, which feeds idfq. The
+    * groupBy(term) after the window rides the SAME term partitioning
+    * — one posting-sized exchange total, and posting has a single
+    * consumer so nothing needs a persist. (Profiled against the
+    * posting⋈vocab formulation: the join re-shuffles posting and
+    * forces a second materialization — 6.7 s vs ~4 s at sf0.1.)
+    * Returned PERSISTED (multiple consumers in every caller).
+    */
+  private[graft] def tfidfTermWeights(docs: DataFrame,
+      maxDf: Long = 50): DataFrame = {
     // raw-string 3-gram terms WITH multiplicity (tf needs the
     // multiset — shingleBlocks' distinct hashed sets don't fit);
     // <3-token docs have no terms and drop out on both engines
@@ -465,23 +484,9 @@ object Dedup {
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
     val nDocs = docs.select(count(lit(1)).as("n_docs"))
-    // Bounded array build WITHOUT a vocabulary join: rank posting
-    // rows per term and keep maxDf+1 — WindowGroupLimit evaluates the
-    // rank cap map-side BEFORE the exchange, so a head term ships at
-    // most (maxDf+1)·tasks rows instead of its corpus-scale posting
-    // list, and the collected arrays are ≤ maxDf+1 entries by
-    // construction (the unbounded-skew trap of a naive
-    // group-then-filter). An array that arrives FULL (maxDf+1) means
-    // df > maxDf → dropped, exactly the df-pruning semantics; an
-    // array under the cap has size = exact df, which feeds idfq. The
-    // groupBy(term) after the window rides the SAME term partitioning
-    // — one posting-sized exchange total, and posting has a single
-    // consumer so nothing needs a persist. (Profiled against the
-    // posting⋈vocab formulation: the join re-shuffles posting and
-    // forces a second materialization — 6.7 s vs ~4 s at sf0.1.)
     val wTerm = org.apache.spark.sql.expressions.Window
       .partitionBy(col("term")).orderBy(col("doc_id"))
-    val byTerm = posting
+    posting
       .withColumn("rn", row_number().over(wTerm))
       .filter(col("rn") <= maxDf + 1)
       .groupBy(col("term"))
@@ -496,6 +501,12 @@ object Dedup {
         """transform(ps, p -> struct(p.doc_id AS doc_id,
            least(p.tf, 255L) * idfq AS wq))""").as("ws"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** Same pipeline over any documents-shaped frame — spec fixtures. */
+  def tfidfCosinePairsOver(docs: DataFrame, maxDf: Long = 50,
+      threshold: Double = 0.2): DataFrame = {
+    val byTerm = tfidfTermWeights(docs, maxDf)
     val norms = byTerm.select(explode(col("ws")).as("w"))
       .groupBy(col("w.doc_id").as("doc_id"))
       .agg(sum(expr("w.wq * w.wq")).as("norm2"))

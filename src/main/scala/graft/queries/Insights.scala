@@ -401,6 +401,58 @@ object Insights {
         .orderBy($"fd")
     }),
 
+    // Wald–Wolfowitz runs test per event type — "is daily revenue a
+    // random sequence or does it trend/cluster": the sign sequence
+    // (above/below the type's exact median, ties dropped — the
+    // standard treatment) should alternate like coin flips; too few
+    // runs means clustering, too many means oscillation. Completes
+    // the statistical-audit family (q92 chi-square, q106 Benford,
+    // q110 Mann–Kendall). Everything lives on the day-ordered
+    // domain-bounded array: median is the lower median of the
+    // value-sorted copy (exact longs), runs/pos/neg are integer array
+    // folds, and z is one fixed IEEE assembly of the exact counts
+    // (q100 discipline), round(4).
+    "q117_runs_test" -> ((s, d) => {
+      import s.implicits._
+      Tables.load(s, d, "events")
+        .select($"event_type", to_date($"ts").as("day"),
+          round($"value" * 100).cast("long").as("cents"))
+        .groupBy($"event_type", $"day").agg(sum($"cents").as("v"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n_days"),
+          expr("transform(sort_array(collect_list(struct(day, v))), " +
+            "x -> x.v)").as("vs"),
+          expr("sort_array(collect_list(v))").as("sorted"))
+        .select($"event_type", $"n_days",
+          expr("element_at(sorted, CAST((size(sorted) + 1) div 2 " +
+            "AS INT))").as("med"), $"vs")
+        .select($"event_type", $"n_days", $"med",
+          expr("filter(transform(vs, v -> CASE WHEN v > med THEN 1 " +
+            "WHEN v < med THEN -1 ELSE 0 END), s -> s != 0)")
+            .as("signs"))
+        .select($"event_type", $"n_days", $"med",
+          size($"signs").cast("long").as("n"),
+          expr("CAST(size(filter(signs, s -> s = 1)) AS BIGINT)")
+            .as("n_pos"),
+          expr("CAST(size(filter(signs, s -> s = -1)) AS BIGINT)")
+            .as("n_neg"),
+          expr("CAST(size(filter(sequence(2, size(signs)), i -> " +
+            "element_at(signs, i) != element_at(signs, i - 1))) " +
+            "+ 1 AS BIGINT)").as("n_runs"))
+        .select($"event_type", $"n_days", $"med", $"n_pos", $"n_neg",
+          $"n_runs",
+          round(
+            ($"n_runs".cast("double") -
+              (lit(1.0) + lit(2.0) * ($"n_pos" * $"n_neg")
+                .cast("double") / $"n".cast("double"))) /
+            sqrt(lit(2.0) * ($"n_pos" * $"n_neg").cast("double") *
+              (lit(2.0) * ($"n_pos" * $"n_neg").cast("double") -
+                $"n".cast("double")) /
+              ($"n".cast("double") * $"n".cast("double") *
+                ($"n".cast("double") - lit(1.0)))), 4).as("z_stat"))
+        .orderBy($"event_type")
+    }),
+
   )
 
   /** One UNION ALL arm of the q112 oracle — the count-of-counts
@@ -547,6 +599,55 @@ object Insights {
          FROM h JOIN n ON n.event_type = h.event_type
          WHERE h.step = n.n_days
          ORDER BY n.event_type""",
+
+    // The identical array pipeline: list() ordered aggregates, sign
+    // filter, run-boundary count over indices, the same fixed IEEE
+    // z assembly.
+    "q117_runs_test" ->
+      """WITH daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS v
+           FROM events GROUP BY 1, 2),
+         g AS (
+           SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+             list(v ORDER BY day) AS vs,
+             list(v ORDER BY v) AS sorted
+           FROM daily GROUP BY 1),
+         m AS (
+           SELECT event_type, n_days, vs,
+             sorted[(len(sorted) + 1) // 2] AS med
+           FROM g),
+         sg AS (
+           SELECT event_type, n_days, med,
+             list_filter(list_transform(vs, v ->
+               CASE WHEN v > med THEN 1
+                    WHEN v < med THEN -1 ELSE 0 END),
+               s -> s != 0) AS signs
+           FROM m),
+         c AS (
+           SELECT event_type, n_days, med,
+             CAST(len(signs) AS BIGINT) AS n,
+             CAST(len(list_filter(signs, s -> s = 1)) AS BIGINT)
+               AS n_pos,
+             CAST(len(list_filter(signs, s -> s = -1)) AS BIGINT)
+               AS n_neg,
+             CAST(len(list_filter(range(2, len(signs) + 1),
+               i -> signs[i] != signs[i - 1])) + 1 AS BIGINT)
+               AS n_runs
+           FROM sg)
+         SELECT event_type, n_days, med, n_pos, n_neg, n_runs,
+           round(
+             (CAST(n_runs AS DOUBLE) -
+               (CAST(1.0 AS DOUBLE) + CAST(2.0 AS DOUBLE) *
+                 CAST(n_pos * n_neg AS DOUBLE) / CAST(n AS DOUBLE))) /
+             sqrt(CAST(2.0 AS DOUBLE) * CAST(n_pos * n_neg AS DOUBLE) *
+               (CAST(2.0 AS DOUBLE) * CAST(n_pos * n_neg AS DOUBLE) -
+                 CAST(n AS DOUBLE)) /
+               (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) *
+                 (CAST(n AS DOUBLE) - CAST(1.0 AS DOUBLE)))), 4)
+             AS z_stat
+         FROM c ORDER BY event_type""",
 
     "q115_fd_discovery" -> Seq(
       ("orders", "o_orderkey", "o_custkey"),

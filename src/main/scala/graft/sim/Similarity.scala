@@ -869,7 +869,81 @@ object Similarity {
           round(col("n_hit").cast("double") /
             col("n_bf").cast("double"), 4).as("recall"))
         .orderBy(col("q_id"))
+    }),
+
+    // Hybrid retrieval with Reciprocal Rank Fusion (Cormack et al.
+    // 2009): per query, the exact-cosine vector top-10 and the
+    // TF-IDF lexical top-10 fused by Σ 1/(60 + rank) — the standard
+    // "dense + sparse" serving-stack combiner (a lexical-only miss
+    // with strong semantic affinity and vice versa both surface).
+    // The lexical ranker reuses dedup_tfidf_cosine's term-weight
+    // table (Dedup.tfidfTermWeights — the 100 TB posting discipline:
+    // df-capped, WindowGroupLimit-bounded arrays) with the QUERY side
+    // of the term join broadcast (queries ≪ corpus); the vector side
+    // is the verified brute-force top-k. Fusion is a full-outer join
+    // of two rank lists (≤ 2k rows per query) + one deterministic
+    // IEEE sum of two exact divides — rank fusion needs no score
+    // calibration, which is exactly why serving stacks use it.
+    "ann_hybrid_rrf" -> ((s, d) => {
+      val k = 10
+      val vec = bruteForceTopK(s, d, k)
+        .select(col("q_id"), col("vec_id").as("doc_id"),
+          col("rank").as("r_vec"))
+      val lex = lexicalTopK(s, d, k)
+        .select(col("q_id"), col("doc_id"), col("rank").as("r_lex"))
+      val wR = Window.partitionBy(col("q_id"))
+        .orderBy(desc("rrf"), col("doc_id"))
+      vec.join(lex, Seq("q_id", "doc_id"), "full_outer")
+        .withColumn("rrf",
+          coalesce(lit(1.0) / (col("r_vec") + lit(60L)).cast("double"),
+            lit(0.0)) +
+          coalesce(lit(1.0) / (col("r_lex") + lit(60L)).cast("double"),
+            lit(0.0)))
+        .withColumn("rank", row_number().over(wR).cast("long"))
+        .filter(col("rank") <= k)
+        .select(col("q_id"), col("rank"), col("doc_id"),
+          round(col("rrf"), 6).as("rrf"))
+        .orderBy(col("q_id"), col("rank"))
     }))
+
+  /** TF-IDF lexical top-k per query doc (doc_id % 100, the same query
+    * convention as [[bruteForceTopK]]) — the sparse half of
+    * ann_hybrid_rrf, exposed for the spec's exact fusion recompute.
+    * Reuses [[graft.dedup.Dedup.tfidfTermWeights]]; the query side of
+    * the term join is broadcast (queries ≪ corpus).
+    */
+  def lexicalTopK(s: SparkSession, d: String, k: Int): DataFrame = {
+    val byTerm = graft.dedup.Dedup.tfidfTermWeights(
+      graft.Tables.spread(Tables.load(s, d, "documents")))
+    // posting-shaped weights feed THREE consumers (norms + both
+    // sides of the term join) — persist
+    val weighted = byTerm
+      .select(col("term"), explode(col("ws")).as("w"))
+      .select(col("term"), col("w.doc_id").as("doc_id"),
+        col("w.wq").as("wq"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val norms = weighted.groupBy(col("doc_id"))
+      .agg(sum(expr("wq * wq")).as("norm2"))
+    val qw = weighted.filter(col("doc_id") % 100 === 0)
+      .select(col("term"), col("doc_id").as("q_id"),
+        col("wq").as("wq_q"))
+    val dots = weighted.join(broadcast(qw), Seq("term"))
+      .filter(col("doc_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("doc_id"))
+      .agg(sum(col("wq_q") * col("wq")).as("dot"))
+    val wL = Window.partitionBy(col("q_id"))
+      .orderBy(desc("cos_lex"), col("doc_id"))
+    dots
+      .join(norms.select(col("doc_id").as("q_id"),
+        col("norm2").as("nq")), Seq("q_id"))
+      .join(norms, Seq("doc_id"))
+      .withColumn("cos_lex", col("dot").cast("double") /
+        (sqrt(col("nq").cast("double")) *
+          sqrt(col("norm2").cast("double"))))
+      .withColumn("rank", row_number().over(wL).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("doc_id"), col("rank"), col("cos_lex"))
+  }
 
   /** Embedding preprocessing — mean-center + L2-normalize, the
     * whitening-lite step run before ANN indexing / SemDeDup so cosine
@@ -1408,6 +1482,92 @@ object Similarity {
              row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank
            FROM pairs)
          SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id, cosine
+         FROM ranked WHERE rank <= 10 ORDER BY q_id, rank""",
+
+    // Composes the ann_bruteforce replay (vector ranks) with the
+    // dedup_tfidf_cosine replay scoped to the query docs (lexical
+    // ranks), then the identical RRF arithmetic.
+    "ann_hybrid_rrf" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
+                    FROM embeddings WHERE vec_id % 100 = 0),
+         vpairs AS (
+           SELECT q.q_id, e.vec_id,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(range(1, len(q.q_emb) + 1),
+                 i -> CAST(q.q_emb[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))),
+               (x, y) -> x + y) /
+             (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(range(1, len(q.q_emb) + 1),
+                 i -> CAST(q.q_emb[i] AS DOUBLE) * CAST(q.q_emb[i] AS DOUBLE))),
+               (x, y) -> x + y)) *
+              sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(range(1, len(e.embedding) + 1),
+                 i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))),
+               (x, y) -> x + y))) AS cosine
+           FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.q_id),
+         vecr AS (
+           SELECT q_id, vec_id AS doc_id,
+             CAST(row_number() OVER (PARTITION BY q_id
+               ORDER BY cosine DESC, vec_id) AS BIGINT) AS r_vec
+           FROM vpairs),
+         vecc AS (SELECT q_id, doc_id, r_vec FROM vecr
+                  WHERE r_vec <= 10),
+         tok AS (
+           SELECT doc_id, string_split_regex(lower(text), '\s+') AS t
+           FROM documents),
+         posting AS (
+           SELECT doc_id, term, count(*) AS tf FROM (
+             SELECT doc_id, unnest(list_transform(
+               range(1, greatest(len(t) - 2, 0) + 1),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS term
+             FROM tok) GROUP BY 1, 2),
+         nd AS (SELECT count(*) AS n_docs FROM documents),
+         vocab AS (
+           SELECT term,
+             least(CAST(floor(n_docs * 10 / df) AS BIGINT), 100000)
+               AS idfq
+           FROM (SELECT term, count(*) AS df FROM posting GROUP BY 1), nd
+           WHERE df <= 50),
+         weighted AS (
+           SELECT p.doc_id, p.term, least(p.tf, 255) * v.idfq AS wq
+           FROM posting p JOIN vocab v USING (term)),
+         norms AS (
+           SELECT doc_id, sum(wq * wq) AS norm2 FROM weighted GROUP BY 1),
+         qw AS (
+           SELECT term, doc_id AS q_id, wq AS wq_q FROM weighted
+           WHERE doc_id % 100 = 0),
+         dots AS (
+           SELECT qw.q_id, w.doc_id, sum(qw.wq_q * w.wq) AS dot
+           FROM weighted w JOIN qw ON qw.term = w.term
+           WHERE w.doc_id <> qw.q_id GROUP BY 1, 2),
+         lexr AS (
+           SELECT dots.q_id, dots.doc_id,
+             CAST(row_number() OVER (PARTITION BY dots.q_id
+               ORDER BY CAST(dot AS DOUBLE) /
+                 (sqrt(CAST(nq.norm2 AS DOUBLE)) *
+                  sqrt(CAST(nd2.norm2 AS DOUBLE))) DESC, dots.doc_id)
+               AS BIGINT) AS r_lex
+           FROM dots
+           JOIN norms nq ON nq.doc_id = dots.q_id
+           JOIN norms nd2 ON nd2.doc_id = dots.doc_id),
+         lexc AS (SELECT q_id, doc_id, r_lex FROM lexr
+                  WHERE r_lex <= 10),
+         fused AS (
+           SELECT coalesce(v.q_id, l.q_id) AS q_id,
+             coalesce(v.doc_id, l.doc_id) AS doc_id,
+             coalesce(CAST(1.0 AS DOUBLE) /
+               CAST(v.r_vec + 60 AS DOUBLE), CAST(0.0 AS DOUBLE)) +
+             coalesce(CAST(1.0 AS DOUBLE) /
+               CAST(l.r_lex + 60 AS DOUBLE), CAST(0.0 AS DOUBLE))
+               AS rrf
+           FROM vecc v FULL OUTER JOIN lexc l
+             ON l.q_id = v.q_id AND l.doc_id = v.doc_id),
+         ranked AS (
+           SELECT q_id, doc_id, rrf,
+             CAST(row_number() OVER (PARTITION BY q_id
+               ORDER BY rrf DESC, doc_id) AS BIGINT) AS rank
+           FROM fused)
+         SELECT q_id, rank, doc_id, round(rrf, 6) AS rrf
          FROM ranked WHERE rank <= 10 ORDER BY q_id, rank""",
 
     // Same index-order cosine folds as ann_bruteforce, no rank — the

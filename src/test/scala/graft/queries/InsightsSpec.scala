@@ -303,6 +303,39 @@ class InsightsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("runs test matches a driver-side runs count and z assembly") {
+    val rows = Insights.queries("q117_runs_test")(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    val daily = graft.Tables.load(spark, sf, "events")
+      .selectExpr("event_type", "cast(ts as date) as day",
+        "cast(round(value * 100) as long) as cents")
+      .groupBy($"event_type", $"day")
+      .agg(org.apache.spark.sql.functions.sum($"cents").as("v"))
+      .selectExpr("event_type", "cast(day as string)", "v")
+      .as[(String, String, Long)].collect().groupBy(_._1)
+    rows.foreach { case (et, nDays, med, nPos, nNeg, nRuns, z) =>
+      val vs = daily(et).sortBy(_._2).map(_._3)
+      assert(nDays == vs.length)
+      val sortedV = vs.sorted
+      assert(med == sortedV((vs.length + 1) / 2 - 1), s"$et median")
+      val signs = vs.map(v => java.lang.Long.signum(v - med))
+        .filter(_ != 0)
+      assert(nPos == signs.count(_ == 1) && nNeg == signs.count(_ == -1))
+      val runs = 1 + signs.sliding(2).count {
+        case Array(a, b) => a != b
+        case _ => false
+      }
+      assert(nRuns == runs, s"$et runs")
+      val n = signs.length.toDouble
+      val p = (nPos * nNeg).toDouble
+      val mu = 1.0 + 2.0 * p / n
+      val s2 = 2.0 * p * (2.0 * p - n) / (n * n * (n - 1.0))
+      assert(math.abs(z - (runs - mu) / math.sqrt(s2)) < 1e-3, s"$et z")
+    }
+    spark.catalog.clearCache()
+  }
+
   test("curriculum index is contiguous and difficulty-monotone") {
     val rows = graft.SparkEntry.queries("pipeline_curriculum")(spark, sf)
       .selectExpr("curriculum_idx", "n_tokens")

@@ -342,4 +342,34 @@ class SimilaritySpec extends SparkSpec {
     }
     spark.catalog.clearCache()
   }
+
+  test("hybrid RRF reconciles exactly with its two component rankings") {
+    val fused = graft.SparkEntry.queries("ann_hybrid_rrf")(spark, sf)
+      .as[(Long, Long, Long, Double)].collect()
+    val vec = Similarity.bruteForceTopK(spark, sf, 10)
+      .selectExpr("q_id", "vec_id", "rank").as[(Long, Long, Long)]
+      .collect().map { case (q, v, r) => (q, v) -> r }.toMap
+    val lex = Similarity.lexicalTopK(spark, sf, 10)
+      .selectExpr("q_id", "doc_id", "rank").as[(Long, Long, Long)]
+      .collect().map { case (q, v, r) => (q, v) -> r }.toMap
+    assert(fused.nonEmpty)
+    assert(fused.map(_._1).distinct.length * 10 == fused.length,
+      "every query must fill its top-10")
+    // exact driver-side fusion over the union of both lists
+    val byQ = fused.groupBy(_._1)
+    byQ.foreach { case (q, rows) =>
+      val cand = (vec.keySet ++ lex.keySet).filter(_._1 == q)
+      val want = cand.toSeq.map { case (_, doc) =>
+        val s = vec.get((q, doc)).map(r => 1.0 / (60 + r)).getOrElse(0.0) +
+          lex.get((q, doc)).map(r => 1.0 / (60 + r)).getOrElse(0.0)
+        (doc, s)
+      }.sortBy { case (doc, s) => (-s, doc) }.take(10)
+      val got = rows.sortBy(_._2).map(r => (r._3, r._4))
+      got.zip(want).foreach { case ((gd, gs), (wd, ws)) =>
+        assert(gd == wd, s"query $q doc order")
+        assert(math.abs(gs - ws) < 1e-6, s"query $q rrf")
+      }
+    }
+    spark.catalog.clearCache()
+  }
 }
