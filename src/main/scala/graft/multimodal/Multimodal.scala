@@ -280,7 +280,76 @@ object Multimodal {
           explode(sequence(lit(0L), $"n_frames" - 1L, lit(2L)))
             .as("frame_idx"))
         .orderBy($"doc_id", $"frame_idx")
+    }),
+
+    // Energy-threshold voice-activity detection over the audio seam:
+    // 160-byte frames (10 ms at 16 kHz/8-bit — the standard VAD hop),
+    // per-item adaptive threshold (integer mean frame energy), voiced
+    // segments as runs of above-threshold frames. The segmentation
+    // every speech pipeline runs before transcription — silence is
+    // most of raw audio, and shipping it to an ASR model is the
+    // multimodal analogue of training on boilerplate. Runs through
+    // the SAME batched kernel seam as decode/embed (a real
+    // energy/spectral VAD swaps in); the stub energy is the byte sum
+    // per frame — pure integer arithmetic DuckDB replays from ascii()
+    // (ASCII corpus: chars == bytes), so the whole op is
+    // oracle-checked end to end. Entirely row-local — the only
+    // shuffle is the display sort.
+    "mm_audio_vad" -> ((s, d) => {
+      import s.implicits._
+      vad(pack(s, d, spreadDocs = true)
+        .filter(length($"payload") > 0))
+        .orderBy($"doc_id")
     }))
+
+  /** Per-item VAD output: frame count, voiced-frame count, voiced
+    * segments (runs), longest segment — all exact integers.
+    */
+  case class VadResult(
+      doc_id: Long, n_frames: Long, n_voiced: Long, n_segments: Long,
+      max_segment: Long)
+
+  /** A VAD kernel: batched like DecodeKernel — the seam a real
+    * energy/spectral VAD (webrtcvad, silero) plugs into. The stub
+    * frames the payload at 160 bytes, takes byte-sum energies, and
+    * thresholds at the integer mean.
+    */
+  type VadKernel = Seq[MediaPayload] => Seq[VadResult]
+
+  val stubVadKernel: VadKernel = batch => batch.map { r =>
+    val energies = r.payload.grouped(160)
+      .map(_.map(b => (b & 0xff).toLong).sum).toArray
+    val n = energies.length.toLong
+    if (n == 0L) VadResult(r.doc_id, 0L, 0L, 0L, 0L)
+    else {
+      val thresh = energies.sum / n // integer floor mean
+      var nVoiced = 0L; var nSeg = 0L; var cur = 0L; var maxSeg = 0L
+      energies.foreach { e =>
+        if (e > thresh) {
+          nVoiced += 1; cur += 1
+          if (cur == 1L) nSeg += 1
+          if (cur > maxSeg) maxSeg = cur
+        } else cur = 0L
+      }
+      VadResult(r.doc_id, n, nVoiced, nSeg, maxSeg)
+    }
+  }
+
+  /** Batched VAD over the packed frame — the third consumer of the
+    * kernel seam (decode, embed, vad): same typed
+    * mapPartitions/grouped-batch shape, same partitioning contract.
+    */
+  def vad(packed: DataFrame, batchSize: Int = 64,
+      kernel: VadKernel = stubVadKernel): DataFrame = {
+    val s = packed.sparkSession
+    import s.implicits._
+    packed.select("doc_id", "payload")
+      .as[MediaPayload]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap(batch => kernel(batch))
+      }
+      .toDF()
+  }
 
   /** The stub decode is pure byte-length arithmetic, so DuckDB can
     * replay it from length(text) (ASCII corpus: chars == bytes).
@@ -293,6 +362,62 @@ object Multimodal {
     .mkString(", ")
 
   def oracles: Map[String, String] = Map(
+
+    // Frame energies from ascii() byte sums (chars == bytes on the
+    // ASCII corpus), integer-mean threshold, then the q113
+    // gaps-and-islands decomposition over the unnested voiced flags.
+    "mm_audio_vad" ->
+      """WITH m AS (
+           SELECT d.doc_id, d.text
+           FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+         f AS (
+           SELECT doc_id,
+             list_transform(range(0, (len(text) + 159) // 160), fr ->
+               list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(
+                   range(fr * 160 + 1,
+                     least((fr + 1) * 160, len(text)) + 1),
+                   i -> CAST(ascii(text[i]) AS BIGINT))),
+                 (a, b) -> a + b)) AS fe
+           FROM m WHERE len(text) > 0),
+         t AS (
+           SELECT doc_id, fe, CAST(len(fe) AS BIGINT) AS n_frames,
+             list_reduce(list_prepend(CAST(0 AS BIGINT), fe),
+               (a, b) -> a + b) // len(fe) AS th
+           FROM f),
+         vl AS (
+           -- voiced flags stay a LIST here; unnesting in the same
+           -- projection as the th-capturing lambda binds as a LATERAL
+           -- join, which DuckDB rejects under the later window
+           SELECT doc_id, n_frames,
+             list_transform(fe, e ->
+               CASE WHEN e > th THEN 1 ELSE 0 END) AS vos
+           FROM t),
+         v AS MATERIALIZED (
+           SELECT doc_id, n_frames, unnest(vos) AS vo,
+             unnest(range(1, n_frames + 1)) AS idx
+           FROM vl),
+         nf AS MATERIALIZED (
+           -- slim doc-level frame for the final join: joining the
+           -- lambda-bearing t against the windowed runs re-triggers
+           -- the LATERAL binder error
+           SELECT DISTINCT doc_id, n_frames FROM v),
+         g AS MATERIALIZED (
+           SELECT doc_id,
+             idx - row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY idx) AS grp
+           FROM v WHERE vo = 1),
+         runs AS (
+           SELECT doc_id, grp, CAST(count(*) AS BIGINT) AS seg_len
+           FROM g GROUP BY doc_id, grp)
+         SELECT nf.doc_id, nf.n_frames,
+           CAST(coalesce(sum(r.seg_len), 0) AS BIGINT) AS n_voiced,
+           CAST(count(r.grp) AS BIGINT) AS n_segments,
+           CAST(coalesce(max(r.seg_len), 0) AS BIGINT) AS max_segment
+         FROM nf LEFT JOIN runs r ON r.doc_id = nf.doc_id
+         GROUP BY nf.doc_id, nf.n_frames
+         ORDER BY nf.doc_id""",
+
     // same 26-dim histogram → same sign bits → same bands; DuckDB
     // bit-ops (xor, bit_count, >>, &) mirror Spark's
     "mm_phash_dedup" ->

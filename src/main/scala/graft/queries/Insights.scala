@@ -453,6 +453,44 @@ object Insights {
         .orderBy($"event_type")
     }),
 
+    // Herfindahl–Hirschman supplier-concentration index per nation —
+    // the antitrust-style "is this market one supplier in a trench
+    // coat" read, completing the concentration family (q79 Gini,
+    // q47 Pareto, q98 ABC). The float trap is Σ share² (a fold of
+    // squared divides); instead HHI = Σ cᵢ² / (Σ cᵢ)² — squares
+    // summed EXACTLY in decimal(38,0) (cents² overflows BIGINT at
+    // corpus scale, the q92 discipline), one fixed IEEE
+    // divide-of-casts at display. Supplier dim broadcasts onto the
+    // lineitem scan; everything after the (nation, supplier) rollup
+    // is nation-sized.
+    "q118_hhi_concentration" -> ((s, d) => {
+      import s.implicits._
+      val li = Tables.load(s, d, "lineitem")
+        .select($"l_suppkey",
+          round($"l_extendedprice" * 100).cast("long").as("cents"))
+      val sup = Tables.load(s, d, "supplier")
+        .select($"s_suppkey", $"s_nationkey")
+      val bySupp = li.join(broadcast(sup), $"l_suppkey" === $"s_suppkey")
+        .groupBy($"s_nationkey", $"l_suppkey")
+        .agg(sum($"cents").as("c"))
+      val byNation = bySupp.groupBy($"s_nationkey")
+        .agg(count(lit(1)).as("n_suppliers"), sum($"c").as("tot"),
+          sum($"c".cast("decimal(38,0)") * $"c".cast("decimal(38,0)"))
+            .as("sumsq"),
+          max($"c").as("top_c"))
+      byNation
+        .join(broadcast(Tables.load(s, d, "nation")
+          .select($"n_nationkey", $"n_name")),
+          $"s_nationkey" === $"n_nationkey")
+        .select($"n_name".as("nation"), $"n_suppliers", $"tot",
+          round($"sumsq".cast("double") /
+            ($"tot".cast("double") * $"tot".cast("double")), 6)
+            .as("hhi"),
+          round($"top_c".cast("double") / $"tot".cast("double"), 6)
+            .as("top_share"))
+        .orderBy($"nation")
+    }),
+
   )
 
   /** One UNION ALL arm of the q112 oracle — the count-of-counts
@@ -599,6 +637,30 @@ object Insights {
          FROM h JOIN n ON n.event_type = h.event_type
          WHERE h.step = n.n_days
          ORDER BY n.event_type""",
+
+    "q118_hhi_concentration" ->
+      """WITH bysupp AS (
+           SELECT s.s_nationkey, l.l_suppkey,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+               AS BIGINT) AS c
+           FROM lineitem l JOIN supplier s
+             ON s.s_suppkey = l.l_suppkey
+           GROUP BY 1, 2),
+         bynat AS (
+           SELECT s_nationkey, CAST(count(*) AS BIGINT) AS n_suppliers,
+             CAST(sum(c) AS BIGINT) AS tot,
+             sum(CAST(c AS DECIMAL(38,0)) * CAST(c AS DECIMAL(38,0)))
+               AS sumsq,
+             CAST(max(c) AS BIGINT) AS top_c
+           FROM bysupp GROUP BY 1)
+         SELECT n.n_name AS nation, b.n_suppliers, b.tot,
+           round(CAST(b.sumsq AS DOUBLE) /
+             (CAST(b.tot AS DOUBLE) * CAST(b.tot AS DOUBLE)), 6)
+             AS hhi,
+           round(CAST(b.top_c AS DOUBLE) / CAST(b.tot AS DOUBLE), 6)
+             AS top_share
+         FROM bynat b JOIN nation n ON n.n_nationkey = b.s_nationkey
+         ORDER BY nation""",
 
     // The identical array pipeline: list() ordered aggregates, sign
     // filter, run-boundary count over indices, the same fixed IEEE

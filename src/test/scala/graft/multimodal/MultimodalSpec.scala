@@ -66,6 +66,36 @@ class MultimodalSpec extends SparkSpec {
     assert(a == b) // depends only on length + id
     assert(a.byte_len == 3 && a.n_frames == 1L + 3 % 8)
   }
+
+  test("VAD matches a driver-side frame-energy recompute") {
+    val sf = "/root/testdata/sf0.001"
+    val got = graft.SparkEntry.queries("mm_audio_vad")(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got.nonEmpty)
+    val docs = Multimodal.pack(spark, sf)
+      .selectExpr("doc_id", "cast(payload as string) as text")
+      .as[(Long, String)].collect()
+    assert(got.size == docs.count(_._2.nonEmpty))
+    docs.filter(_._2.nonEmpty).foreach { case (id, text) =>
+      val energies = text.getBytes("UTF-8").grouped(160)
+        .map(_.map(b => (b & 0xff).toLong).sum).toArray
+      val th = energies.sum / energies.length
+      val voiced = energies.map(_ > th)
+      val runLens = voiced.foldLeft(List.empty[Long]) {
+        case (h :: t, true) if h > 0 => (h + 1) :: t
+        case (acc, true) => 1L :: acc
+        case (acc, false) => 0L :: acc
+      }.filter(_ > 0)
+      val (_, nF, nV, nS, maxS) = got(id)
+      assert(nF == energies.length, s"doc $id frames")
+      assert(nV == voiced.count(identity), s"doc $id voiced")
+      assert(nS == runLens.length, s"doc $id segments")
+      assert(maxS == (if (runLens.isEmpty) 0L else runLens.max),
+        s"doc $id max segment")
+    }
+    spark.catalog.clearCache()
+  }
 }
 
 object MultimodalSpec {

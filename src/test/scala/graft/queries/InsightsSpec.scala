@@ -336,6 +336,34 @@ class InsightsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("HHI matches a direct recompute and sits in [1/n, 1]") {
+    val rows = Insights.queries("q118_hhi_concentration")(spark, sf)
+      .as[(String, Long, Long, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    val bySupp = graft.Tables.load(spark, sf, "lineitem")
+      .join(graft.Tables.load(spark, sf, "supplier"),
+        $"l_suppkey" === $"s_suppkey")
+      .selectExpr("s_nationkey",
+        "l_suppkey", "cast(round(l_extendedprice * 100) as long) as c")
+      .groupBy($"s_nationkey", $"l_suppkey")
+      .agg(org.apache.spark.sql.functions.sum($"c").as("c"))
+      .as[(Int, Long, Long)].collect().groupBy(_._1)
+    val nations = graft.Tables.load(spark, sf, "nation")
+      .selectExpr("n_nationkey", "n_name").as[(Int, String)]
+      .collect().toMap
+    rows.foreach { case (nation, nSupp, tot, hhi, topShare) =>
+      val key = nations.find(_._2 == nation).get._1
+      val cs = bySupp(key).map(_._3)
+      assert(nSupp == cs.length && tot == cs.sum, nation)
+      val want = cs.map(c => BigInt(c) * BigInt(c)).sum.toDouble /
+        (tot.toDouble * tot.toDouble)
+      assert(math.abs(hhi - want) < 1e-5, s"$nation hhi")
+      assert(hhi >= 1.0 / nSupp - 1e-9 && hhi <= 1.0 + 1e-9, nation)
+      assert(math.abs(topShare - cs.max.toDouble / tot) < 1e-5, nation)
+    }
+    spark.catalog.clearCache()
+  }
+
   test("curriculum index is contiguous and difficulty-monotone") {
     val rows = graft.SparkEntry.queries("pipeline_curriculum")(spark, sf)
       .selectExpr("curriculum_idx", "n_tokens")
