@@ -491,6 +491,102 @@ object Insights {
         .orderBy($"nation")
     }),
 
+    // Mutual information between event type and day-of-week — the
+    // information-theoretic companion of q92's chi-square (chi² asks
+    // "is there association"; MI asks "how many nats does knowing
+    // the weekday buy"), plus both marginal entropies and the
+    // uncertainty coefficient MI/min(H). Every transcendental fold
+    // runs over a deterministically SORTED enum-sized array
+    // (5 types × 7 days → 35 cells; text_entropy discipline), so both
+    // engines accumulate the identical IEEE sequence; counts are
+    // exact longs off one map-side-combined cell aggregate.
+    "q119_mutual_information" -> ((s, d) => {
+      import s.implicits._
+      val cells = Tables.load(s, d, "events")
+        .select($"event_type".as("e"),
+          dayofweek(to_date($"ts")).cast("long").as("w"))
+        .groupBy($"e", $"w").agg(count(lit(1)).as("n_ew"))
+      val me = cells.groupBy($"e").agg(sum($"n_ew").as("n_e"))
+      val mw = cells.groupBy($"w").agg(sum($"n_ew").as("n_w"))
+      val miRow = cells
+        .join(broadcast(me), Seq("e")).join(broadcast(mw), Seq("w"))
+        .agg(sum($"n_ew").as("n_events"), count(lit(1)).as("n_cells"),
+          sort_array(collect_list(struct($"e", $"w", $"n_ew", $"n_e",
+            $"n_w"))).as("cs"))
+        .select($"n_events", $"n_cells", expr(
+          """aggregate(cs, CAST(0.0 AS DOUBLE), (a, x) ->
+             a + (CAST(x.n_ew AS DOUBLE) / CAST(n_events AS DOUBLE)) *
+                 ln(CAST(x.n_ew AS DOUBLE) * CAST(n_events AS DOUBLE) /
+                    (CAST(x.n_e AS DOUBLE) * CAST(x.n_w AS DOUBLE))))""")
+          .as("mi"))
+      def hRow(m: org.apache.spark.sql.DataFrame, key: String,
+          cnt: String, out: String) =
+        m.agg(sum(col(cnt)).as("tot"),
+          sort_array(collect_list(struct(col(key), col(cnt))))
+            .as("ms"))
+          .select(expr(
+            s"""-aggregate(ms, CAST(0.0 AS DOUBLE), (a, x) ->
+               a + (CAST(x.$cnt AS DOUBLE) / CAST(tot AS DOUBLE)) *
+                   ln(CAST(x.$cnt AS DOUBLE) / CAST(tot AS DOUBLE)))""")
+            .as(out))
+      miRow.crossJoin(hRow(me, "e", "n_e", "h_type"))
+        .crossJoin(hRow(mw, "w", "n_w", "h_dow"))
+        .select($"n_events", $"n_cells", round($"mi", 4).as("mi_nats"),
+          round($"h_type", 4).as("h_type"),
+          round($"h_dow", 4).as("h_dow"),
+          round($"mi" / least($"h_type", $"h_dow"), 4)
+            .as("uncertainty"))
+    }),
+
+    // Kaplan–Meier churn survival curve: S(t) = Π_{s ≤ t} (1 − dₛ/nₛ)
+    // over months since first order, censoring customers still active
+    // near the dataset horizon (last order within 90 days of max
+    // date) — the time-to-churn read behind retention planning, and
+    // the survival-analysis family's entry next to q38's cohort
+    // retention. The risk table is MONTHS-bounded (tiny at any corpus
+    // scale): at-risk counts are a reverse cumulative sum over it,
+    // and the survival product is a per-row fold over the
+    // month-sorted factor array slice (NOT exp(Σln) — the fold's IEEE
+    // multiply sequence is identical on both engines, q107
+    // discipline). Customer-level reduction is one groupBy.
+    "q120_survival_km" -> ((s, d) => {
+      import s.implicits._
+      val maxd = Tables.load(s, d, "orders")
+        .agg(max(to_date($"o_orderdate")).as("maxd"))
+      val cust = Tables.load(s, d, "orders")
+        .select($"o_custkey", to_date($"o_orderdate").as("day"))
+        .groupBy($"o_custkey")
+        .agg(min($"day").as("first"), max($"day").as("last"))
+        .crossJoin(broadcast(maxd))
+        .select(
+          (datediff($"maxd", $"last") > 90).as("churned"),
+          expr("""CAST(CASE WHEN datediff(maxd, last) > 90
+                  THEN datediff(last, first) div 30
+                  ELSE datediff(maxd, first) div 30 END AS BIGINT)""")
+            .as("t"))
+      val byMonth = cust.groupBy($"t")
+        .agg(sum(when($"churned", 1L).otherwise(0L)).as("d"),
+          sum(when($"churned", 0L).otherwise(1L)).as("c"))
+      // months-bounded frame: the whole-frame window below runs over
+      // ≤ span/30 rows (the q105 bounded-table stance)
+      val risk = byMonth
+        .withColumn("n_at_risk",
+          sum($"d" + $"c").over(Window.orderBy($"t").rowsBetween(
+            Window.currentRow, Window.unboundedFollowing)))
+        .withColumn("factor",
+          lit(1.0) - $"d".cast("double") / $"n_at_risk".cast("double"))
+      risk
+        .agg(sort_array(collect_list(struct($"t", $"d", $"c",
+          $"n_at_risk", $"factor"))).as("arr"))
+        .select($"arr", posexplode($"arr").as(Seq("pos", "r")))
+        .select($"r.t".as("t"), $"r.n_at_risk".as("n_at_risk"),
+          $"r.d".as("n_churned"), $"r.c".as("n_censored"),
+          round(expr(
+            """aggregate(slice(arr, 1, pos + 1), CAST(1.0 AS DOUBLE),
+               (a, x) -> a * x.factor)"""), 6).as("survival"))
+        .orderBy($"t")
+    }),
+
   )
 
   /** One UNION ALL arm of the q112 oracle — the count-of-counts
@@ -637,6 +733,98 @@ object Insights {
          FROM h JOIN n ON n.event_type = h.event_type
          WHERE h.step = n.n_days
          ORDER BY n.event_type""",
+
+    // Same sorted-array folds; DuckDB's 0-based dayofweek shifted to
+    // Spark's 1-based (q92 precedent).
+    "q119_mutual_information" ->
+      """WITH cells AS (
+           SELECT event_type AS e,
+             CAST(dayofweek(CAST(ts AS DATE)) + 1 AS BIGINT) AS w,
+             CAST(count(*) AS BIGINT) AS n_ew
+           FROM events GROUP BY 1, 2),
+         me AS (SELECT e, CAST(sum(n_ew) AS BIGINT) AS n_e
+                FROM cells GROUP BY 1),
+         mw AS (SELECT w, CAST(sum(n_ew) AS BIGINT) AS n_w
+                FROM cells GROUP BY 1),
+         mi AS (
+           SELECT CAST(sum(n_ew) AS BIGINT) AS n_events,
+             CAST(count(*) AS BIGINT) AS n_cells,
+             list({'e': c.e, 'w': c.w, 'n_ew': c.n_ew,
+                   'n_e': me.n_e, 'n_w': mw.n_w}
+               ORDER BY c.e, c.w) AS cs
+           FROM cells c
+           JOIN me ON me.e = c.e JOIN mw ON mw.w = c.w),
+         mires AS (
+           SELECT n_events, n_cells,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(cs, x ->
+                 (CAST(x.n_ew AS DOUBLE) / CAST(n_events AS DOUBLE)) *
+                 ln(CAST(x.n_ew AS DOUBLE) * CAST(n_events AS DOUBLE) /
+                    (CAST(x.n_e AS DOUBLE) * CAST(x.n_w AS DOUBLE))))),
+               (a, b) -> a + b) AS mi
+           FROM mi),
+         he AS (
+           SELECT -list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(list({'k': e, 'n': n_e} ORDER BY e), x ->
+                 (CAST(x.n AS DOUBLE) / CAST(tot AS DOUBLE)) *
+                 ln(CAST(x.n AS DOUBLE) / CAST(tot AS DOUBLE)))),
+               (a, b) -> a + b) AS h_type
+           FROM me, (SELECT CAST(sum(n_e) AS BIGINT) AS tot FROM me)
+           GROUP BY tot),
+         hw AS (
+           SELECT -list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(list({'k': w, 'n': n_w} ORDER BY w), x ->
+                 (CAST(x.n AS DOUBLE) / CAST(tot AS DOUBLE)) *
+                 ln(CAST(x.n AS DOUBLE) / CAST(tot AS DOUBLE)))),
+               (a, b) -> a + b) AS h_dow
+           FROM mw, (SELECT CAST(sum(n_w) AS BIGINT) AS tot FROM mw)
+           GROUP BY tot)
+         SELECT n_events, n_cells, round(mi, 4) AS mi_nats,
+           round(h_type, 4) AS h_type, round(h_dow, 4) AS h_dow,
+           round(mi / least(h_type, h_dow), 4) AS uncertainty
+         FROM mires, he, hw""",
+
+    // Identical risk table; the survival product is the same
+    // month-sorted slice fold (scalar accumulator — safe in DuckDB's
+    // list_reduce, unlike the struct state q114 documents).
+    "q120_survival_km" ->
+      """WITH maxd AS (
+           SELECT max(CAST(o_orderdate AS DATE)) AS maxd FROM orders),
+         cust AS (
+           SELECT o_custkey, min(CAST(o_orderdate AS DATE)) AS first,
+             max(CAST(o_orderdate AS DATE)) AS last
+           FROM orders GROUP BY 1),
+         ev AS (
+           SELECT (maxd - last) > 90 AS churned,
+             CAST(CASE WHEN (maxd - last) > 90
+                  THEN (last - first) // 30
+                  ELSE (maxd - first) // 30 END AS BIGINT) AS t
+           FROM cust, maxd),
+         bymonth AS (
+           SELECT t,
+             CAST(sum(CASE WHEN churned THEN 1 ELSE 0 END) AS BIGINT)
+               AS d,
+             CAST(sum(CASE WHEN churned THEN 0 ELSE 1 END) AS BIGINT)
+               AS c
+           FROM ev GROUP BY 1),
+         risk AS (
+           SELECT t, d, c,
+             CAST(sum(d + c) OVER (ORDER BY t DESC) AS BIGINT)
+               AS n_at_risk
+           FROM bymonth),
+         one AS (
+           SELECT list({'t': t, 'd': d, 'c': c, 'n': n_at_risk,
+             'factor': CAST(1.0 AS DOUBLE) -
+               CAST(d AS DOUBLE) / CAST(n_at_risk AS DOUBLE)}
+             ORDER BY t) AS arr
+           FROM risk)
+         SELECT arr[i].t AS t, arr[i].n AS n_at_risk,
+           arr[i].d AS n_churned, arr[i].c AS n_censored,
+           round(list_reduce(list_prepend(CAST(1.0 AS DOUBLE),
+             list_transform(arr[1:i], x -> x.factor)),
+             (a, b) -> a * b), 6) AS survival
+         FROM one, unnest(range(1, len(arr) + 1)) AS u(i)
+         ORDER BY t""",
 
     "q118_hhi_concentration" ->
       """WITH bysupp AS (

@@ -364,6 +364,56 @@ class InsightsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("mutual information matches a driver recompute, 0 <= MI <= min(H)") {
+    val (nEvents, nCells, mi, hT, hD, unc) =
+      Insights.queries("q119_mutual_information")(spark, sf)
+        .as[(Long, Long, Double, Double, Double, Double)]
+        .collect().head
+    val cells = graft.Tables.load(spark, sf, "events")
+      .selectExpr("event_type", "cast(dayofweek(cast(ts as date)) as long) as w")
+      .groupBy($"event_type", $"w").count()
+      .as[(String, Long, Long)].collect()
+    val n = cells.map(_._3).sum.toDouble
+    assert(nEvents == n.toLong && nCells == cells.length)
+    val pe = cells.groupBy(_._1).view.mapValues(_.map(_._3).sum / n)
+    val pw = cells.groupBy(_._2).view.mapValues(_.map(_._3).sum / n)
+    val wantMi = cells.map { case (e, w, c) =>
+      (c / n) * math.log((c / n) / (pe(e) * pw(w)))
+    }.sum
+    def h(ps: Iterable[Double]) = -ps.map(p => p * math.log(p)).sum
+    assert(math.abs(mi - wantMi) < 1e-3, "mi")
+    assert(math.abs(hT - h(pe.values)) < 1e-3, "h_type")
+    assert(math.abs(hD - h(pw.values)) < 1e-3, "h_dow")
+    assert(mi >= -1e-9 && mi <= math.min(hT, hD) + 1e-6)
+    assert(math.abs(unc - mi / math.min(hT, hD)) < 1e-3)
+    spark.catalog.clearCache()
+  }
+
+  test("KM survival is non-increasing and conserves the cohort") {
+    val rows = Insights.queries("q120_survival_km")(spark, sf)
+      .as[(Long, Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(rows.nonEmpty)
+    val nCust = graft.Tables.load(spark, sf, "orders")
+      .select($"o_custkey").distinct().count()
+    // events + censored tile the cohort exactly once
+    assert(rows.map(r => r._3 + r._4).sum == nCust)
+    // at-risk at the earliest month is the whole cohort
+    assert(rows.head._2 == nCust)
+    // survival starts <= 1 and never increases
+    rows.map(_._5).sliding(2).foreach {
+      case Array(a, b) => assert(b <= a + 1e-9, "survival increased")
+      case _ =>
+    }
+    assert(rows.forall(r => r._5 >= -1e-9 && r._5 <= 1.0 + 1e-9))
+    // direct recompute of the KM product
+    var surv = 1.0
+    rows.foreach { case (_, nRisk, d, _, got) =>
+      surv *= 1.0 - d.toDouble / nRisk
+      assert(math.abs(got - surv) < 1e-4)
+    }
+    spark.catalog.clearCache()
+  }
+
   test("curriculum index is contiguous and difficulty-monotone") {
     val rows = graft.SparkEntry.queries("pipeline_curriculum")(spark, sf)
       .selectExpr("curriculum_idx", "n_tokens")
