@@ -587,6 +587,65 @@ object Insights {
         .orderBy($"t")
     }),
 
+    // Sequential-pattern support (PrefixSpan's first level): for every
+    // ordered event-type pair (a → b), how many users exhibit SOME
+    // a-occurrence before SOME b-occurrence — the "what follows what"
+    // read behind next-action models, one level deeper than q40's
+    // ADJACENT transitions. The trick that keeps it linear: "∃ a
+    // before b" ⟺ min_ts(a) < max_ts(b), so the whole corpus reduces
+    // to the (user, type, min_ts, max_ts) frame (users × |types|,
+    // domain-bounded) and the pair expansion is a user-keyed
+    // self-join of that frame — never a raw-event join.
+    "q121_seq_support" -> ((s, d) => {
+      import s.implicits._
+      val spans = Tables.load(s, d, "events")
+        .groupBy($"user_id", $"event_type")
+        .agg(min($"ts").as("mn"), max($"ts").as("mx"))
+        // feeds both sides of the user-keyed pair join
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nUsers = spans.select($"user_id").distinct()
+        .agg(count(lit(1)).as("n_users"))
+      spans.select($"user_id", $"event_type".as("a"), $"mn")
+        .join(spans.select($"user_id", $"event_type".as("b"), $"mx"),
+          Seq("user_id"))
+        .filter($"a" =!= $"b" && $"mn" < $"mx")
+        .groupBy($"a", $"b").agg(count(lit(1)).as("n_support"))
+        .crossJoin(broadcast(nUsers))
+        .select($"a", $"b", $"n_support",
+          round($"n_support".cast("double") /
+            $"n_users".cast("double"), 4).as("support"))
+        .orderBy($"a", $"b")
+    }),
+
+    // Growth accounting with resurrection: each active (user, day) is
+    // NEW (first day), RETURNING (previous activity ≤ 7 days back) or
+    // RESURRECTED (gap > 7 days) — the decomposition growth teams
+    // read daily (q95's new/returning plus the churn-recovery class).
+    // One per-user lag window over the distinct-activity table
+    // (user·day-sized, ≪ events; high-cardinality partitions — they
+    // scale), then a days-bounded rollup.
+    "q122_resurrected" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"day")
+      Tables.load(s, d, "events")
+        .select($"user_id", to_date($"ts").as("day")).distinct()
+        .withColumn("prev", lag($"day", 1).over(w))
+        .select($"day",
+          when($"prev".isNull, lit("new"))
+            .when(datediff($"day", $"prev") <= 7, lit("returning"))
+            .otherwise(lit("resurrected")).as("cls"))
+        .groupBy($"day")
+        .agg(count(lit(1)).as("n_active"),
+          sum(when($"cls" === "new", 1L).otherwise(0L)).as("n_new"),
+          sum(when($"cls" === "returning", 1L).otherwise(0L))
+            .as("n_returning"),
+          sum(when($"cls" === "resurrected", 1L).otherwise(0L))
+            .as("n_resurrected"))
+        .select($"day".cast("timestamp").as("day"), $"n_active",
+          $"n_new", $"n_returning", $"n_resurrected")
+        .orderBy($"day")
+    }),
+
   )
 
   /** One UNION ALL arm of the q112 oracle — the count-of-counts
@@ -733,6 +792,51 @@ object Insights {
          FROM h JOIN n ON n.event_type = h.event_type
          WHERE h.step = n.n_days
          ORDER BY n.event_type""",
+
+    "q121_seq_support" ->
+      """WITH spans AS (
+           -- CAST to µs TIMESTAMP: Spark reads the ns parquet at µs
+           -- (Tables.load), so the mn < mx comparison must not run at
+           -- ns on this side
+           SELECT user_id, event_type,
+             min(CAST(ts AS TIMESTAMP)) AS mn,
+             max(CAST(ts AS TIMESTAMP)) AS mx
+           FROM events GROUP BY 1, 2),
+         nu AS (
+           SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+           FROM spans)
+         SELECT a.event_type AS a, b.event_type AS b,
+           CAST(count(*) AS BIGINT) AS n_support,
+           round(CAST(count(*) AS DOUBLE) / CAST(max(n_users) AS DOUBLE),
+             4) AS support
+         FROM spans a
+         JOIN spans b ON a.user_id = b.user_id
+                     AND a.event_type <> b.event_type
+                     AND a.mn < b.mx, nu
+         GROUP BY 1, 2 ORDER BY a, b""",
+
+    "q122_resurrected" ->
+      """WITH act AS (
+           SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+           FROM events),
+         cls AS (
+           SELECT day,
+             CASE WHEN prev IS NULL THEN 'new'
+                  WHEN day - prev <= 7 THEN 'returning'
+                  ELSE 'resurrected' END AS cls
+           FROM (SELECT user_id, day,
+                   lag(day) OVER (PARTITION BY user_id ORDER BY day)
+                     AS prev
+                 FROM act))
+         SELECT CAST(day AS TIMESTAMP) AS day,
+           CAST(count(*) AS BIGINT) AS n_active,
+           CAST(sum(CASE WHEN cls = 'new' THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_new,
+           CAST(sum(CASE WHEN cls = 'returning' THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_returning,
+           CAST(sum(CASE WHEN cls = 'resurrected' THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_resurrected
+         FROM cls GROUP BY day ORDER BY day""",
 
     // Same sorted-array folds; DuckDB's 0-based dayofweek shifted to
     // Spark's 1-based (q92 precedent).

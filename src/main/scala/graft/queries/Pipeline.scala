@@ -463,6 +463,42 @@ object Pipeline {
         .orderBy($"global_idx")
     }),
 
+    // Tiered dedup sweep report: the policy table a curation run
+    // reads before committing to a dedup configuration — how many
+    // documents each tier removes, applied in escalating cost order
+    // (exact digests first, ngram-Jaccard near-dup clusters among the
+    // exact survivors second). Composes three verified pieces
+    // (digest keep-first, blocked Jaccard pairs, connected
+    // components); each tier's counts are aggregates cross-joined
+    // into a two-row report — no driver-side counting. The near tier
+    // only ever sees exact survivors, mirroring how a production
+    // sweep avoids paying shingle cost on verbatim copies.
+    "pipeline_dedup_sweep" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.spread(Tables.load(s, d, "documents"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val keep1 = docs
+        .select($"doc_id", md5($"text").as("digest"))
+        .groupBy($"digest").agg(min($"doc_id").as("doc_id"))
+        .select($"doc_id")
+      val survivors = docs.join(keep1, Seq("doc_id"))
+      val cc = graft.dedup.Dedup.connectedComponents(
+        graft.dedup.Dedup.ngramJaccardPairs(
+          graft.dedup.Dedup.shingleBlocks(survivors), 0.05))
+      val nDocs = docs.agg(count(lit(1)).as("n_in"))
+      val nKeep1 = keep1.agg(count(lit(1)).as("n_out"))
+      val nNearRemoved = cc.filter($"doc_id" =!= $"component")
+        .agg(count(lit(1)).as("n_removed"))
+      val t1 = nDocs.crossJoin(nKeep1)
+        .select(lit("1_exact").as("tier"), $"n_in",
+          ($"n_in" - $"n_out").as("n_removed"), $"n_out")
+      val t2 = nKeep1.select($"n_out".as("n_in"))
+        .crossJoin(nNearRemoved)
+        .select(lit("2_near_jaccard").as("tier"), $"n_in",
+          $"n_removed", ($"n_in" - $"n_removed").as("n_out"))
+      t1.unionAll(t2).orderBy($"tier")
+    }),
+
     // Curriculum schedule: global training order (easy → hard, short
     // docs first — the classic length-based curriculum heuristic)
     // with a content-pure deterministic shuffle WITHIN each
@@ -767,6 +803,55 @@ object Pipeline {
              ORDER BY md5('shuffle42:' || CAST(doc_id AS VARCHAR)),
                doc_id) AS BIGINT) AS global_idx
          FROM documents ORDER BY global_idx""",
+    // The dedup_clusters recursive-CC replay restricted to exact-dup
+    // survivors, plus the two-row report arithmetic.
+    "pipeline_dedup_sweep" ->
+      """WITH RECURSIVE keep1 AS (
+           SELECT min(doc_id) AS doc_id
+           FROM documents GROUP BY md5(text)),
+         docs AS (
+           SELECT d.doc_id,
+             lang || '#' || CAST(CAST(floor(n_chars / 100) AS BIGINT)
+               AS VARCHAR) AS block,
+             list_distinct(list_transform(
+               range(1, greatest(len(string_split_regex(lower(text),
+                 '\s+')) - 2, 0) + 1),
+               i -> string_split_regex(lower(text), '\s+')[i] || ' ' ||
+                    string_split_regex(lower(text), '\s+')[i+1] || ' ' ||
+                    string_split_regex(lower(text), '\s+')[i+2])) AS sh
+           FROM documents d JOIN keep1 k ON k.doc_id = d.doc_id),
+         pairs AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM docs a JOIN docs b
+             ON a.block = b.block AND a.doc_id < b.doc_id
+           WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                 CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE)
+                   >= 0.05),
+         edges AS (
+           SELECT doc_a AS src, doc_b AS dst FROM pairs
+           UNION ALL SELECT doc_b, doc_a FROM pairs),
+         reach(src, dst) AS (
+           SELECT src, dst FROM edges
+           UNION
+           SELECT r.src, e.dst FROM reach r JOIN edges e
+             ON r.dst = e.src),
+         members AS (SELECT DISTINCT src AS doc_id FROM edges),
+         cc AS (
+           SELECT least(m.doc_id, min(r.dst)) AS component, m.doc_id
+           FROM members m JOIN reach r ON r.src = m.doc_id
+           GROUP BY m.doc_id),
+         counts AS (
+           SELECT
+             (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n0,
+             (SELECT CAST(count(*) AS BIGINT) FROM keep1) AS k1,
+             (SELECT CAST(count(*) AS BIGINT) FROM cc
+               WHERE doc_id <> component) AS r2)
+         SELECT '1_exact' AS tier, n0 AS n_in, n0 - k1 AS n_removed,
+           k1 AS n_out FROM counts
+         UNION ALL
+         SELECT '2_near_jaccard', k1, r2, k1 - r2 FROM counts
+         ORDER BY tier""",
+
     // Independent formulation: the single-sort row_number window the
     // PrefixSum scan replaces.
     "pipeline_curriculum" ->

@@ -804,6 +804,74 @@ object Similarity {
         .orderBy(col("i"), col("j"))
     }),
 
+    // Effective dimensionality / participation ratio of the embedding
+    // space: PR = (tr C)² / ‖C‖²_F = (Σλ)²/Σλ² — how many dimensions
+    // the covariance actually uses, WITHOUT an eigendecomposition
+    // (trace and Frobenius norm are basis-free, so the spectrum never
+    // has to be computed — the anisotropy health check before PQ
+    // subspace splits or dimension-truncation). Same exact-moment
+    // machinery as emb_dim_corr; covariances assemble in fixed IEEE
+    // order and BOTH reductions (trace, Σcov²) fold a single
+    // (i,j)-sorted array row-locally — no float-sum shuffle anywhere.
+    "emb_effective_dim" -> ((s, d) => {
+      val q = Tables.spread(Tables.load(s, d, "embeddings"))
+        .select(expr("transform(embedding, v -> " +
+          "CAST(floor(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT))")
+          .as("q"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val dims = q.select(posexplode(col("q")).as(Seq("i", "x")))
+        .groupBy(col("i"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("x") * col("x")).as("sxx"))
+      val dDim = q.select(size(col("q"))).limit(1).head.getInt(0)
+      val pairs = q.select(posexplode(expr(
+          """flatten(transform(sequence(0, size(q) - 2), i ->
+             transform(sequence(i + 1, size(q) - 1), j ->
+               element_at(q, i + 1) * element_at(q, j + 1))))"""))
+          .as(Seq("pos", "xy")))
+        .groupBy(col("pos")).agg(sum(col("xy")).as("sxy"))
+      val idx = q.sparkSession.range(1).select(posexplode(expr(
+          s"""flatten(transform(sequence(0, $dDim - 2), i ->
+              transform(sequence(i + 1, $dDim - 1), j ->
+                struct(i AS i, j AS j))))""")).as(Seq("pos", "ij")))
+        .select(col("pos"), col("ij.i").as("i"), col("ij.j").as("j"))
+      val off = pairs
+        .join(broadcast(idx), Seq("pos"))
+        .join(broadcast(dims), Seq("i"))
+        .join(broadcast(dims.select(col("i").as("j"),
+          col("sx").as("sy"))), Seq("j"))
+        .select(col("i").cast("long").as("i"),
+          col("j").cast("long").as("j"), lit(2L).as("wt"),
+          ((col("n").cast("double") * col("sxy").cast("double")
+            - col("sx").cast("double") * col("sy").cast("double")) /
+           (col("n").cast("double") * col("n").cast("double")))
+            .as("cov"))
+      val diag = dims.select(col("i").cast("long").as("i"),
+        col("i").cast("long").as("j"), lit(1L).as("wt"),
+        ((col("n").cast("double") * col("sxx").cast("double")
+          - col("sx").cast("double") * col("sx").cast("double")) /
+         (col("n").cast("double") * col("n").cast("double")))
+          .as("cov"))
+      off.unionAll(diag)
+        .agg(sort_array(collect_list(struct(col("i"), col("j"),
+          col("wt"), col("cov")))).as("cs"))
+        .select(
+          expr("CAST(size(filter(cs, x -> x.wt = 1)) AS BIGINT)")
+            .as("n_dims"),
+          expr("""aggregate(cs, CAST(0.0 AS DOUBLE), (a, x) ->
+            a + CASE WHEN x.wt = 1 THEN x.cov ELSE 0.0 END)""")
+            .as("trace"),
+          expr("""aggregate(cs, CAST(0.0 AS DOUBLE), (a, x) ->
+            a + x.wt * x.cov * x.cov)""").as("frob2"))
+        // trace/frob2 ship UNROUNDED: the folds are IEEE-identical by
+        // construction, and round() at 1e22 magnitude is where the
+        // engines diverge (DuckDB's scale-multiply loses the ulp the
+        // identity rounding should keep)
+        .select(col("n_dims"), col("trace"), col("frob2"),
+          round(col("trace") * col("trace") / col("frob2"), 4)
+            .as("participation_ratio"))
+    }),
+
     // Label-centroid separation matrix: per-label mean vector on the
     // ann_ivf quantized-integer grid (floor(v·1e6) long sums → floor-
     // divided means — exactly the IVF coarse-quantizer replay), then
@@ -1643,6 +1711,71 @@ object Similarity {
          JOIN dims di ON di.i = prs.i
          JOIN dims dj ON dj.i = prs.j
          ORDER BY i, j""",
+
+    // emb_dim_corr's moment CTEs, covariances instead of
+    // correlations, one (i,j)-sorted list fold for each reduction.
+    "emb_effective_dim" ->
+      """WITH q AS (
+           SELECT list_transform(embedding, v ->
+             CAST(floor(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT)) AS q
+           FROM embeddings),
+         dims AS (
+           SELECT pos - 1 AS i, count(*) AS n,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(x * x) AS BIGINT) AS sxx
+           FROM (SELECT unnest(q) AS x,
+                   unnest(range(1, len(q) + 1)) AS pos FROM q)
+           GROUP BY 1),
+         p AS (
+           SELECT unnest(flatten(list_transform(range(0, len(q) - 1),
+             i -> list_transform(range(i + 1, len(q)), j ->
+               {'i': i, 'j': j, 'xy': q[i + 1] * q[j + 1]})))) AS s
+           FROM q),
+         prs AS (
+           SELECT s.i AS i, s.j AS j, CAST(sum(s.xy) AS BIGINT) AS sxy
+           FROM p GROUP BY 1, 2),
+         covs AS (
+           SELECT CAST(prs.i AS BIGINT) AS i, CAST(prs.j AS BIGINT) AS j,
+             CAST(2 AS BIGINT) AS wt,
+             (CAST(di.n AS DOUBLE) * CAST(prs.sxy AS DOUBLE)
+               - CAST(di.sx AS DOUBLE) * CAST(dj.sx AS DOUBLE)) /
+             (CAST(di.n AS DOUBLE) * CAST(di.n AS DOUBLE)) AS cov
+           FROM prs
+           JOIN dims di ON di.i = prs.i
+           JOIN dims dj ON dj.i = prs.j
+           UNION ALL
+           SELECT CAST(i AS BIGINT), CAST(i AS BIGINT),
+             CAST(1 AS BIGINT),
+             (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) /
+             (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+           FROM dims),
+         one AS (
+           SELECT list({'i': i, 'j': j, 'wt': wt, 'cov': cov}
+             ORDER BY i, j, wt, cov) AS cs
+           FROM covs)
+         SELECT
+           CAST(len(list_filter(cs, x -> x.wt = 1)) AS BIGINT)
+             AS n_dims,
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(cs, x ->
+               CASE WHEN x.wt = 1 THEN x.cov ELSE CAST(0.0 AS DOUBLE)
+               END)), (a, b) -> a + b) AS trace,
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(cs, x -> x.wt * x.cov * x.cov)),
+             (a, b) -> a + b) AS frob2,
+           round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(cs, x ->
+                 CASE WHEN x.wt = 1 THEN x.cov
+                 ELSE CAST(0.0 AS DOUBLE) END)), (a, b) -> a + b) *
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(cs, x ->
+                 CASE WHEN x.wt = 1 THEN x.cov
+                 ELSE CAST(0.0 AS DOUBLE) END)), (a, b) -> a + b) /
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(cs, x -> x.wt * x.cov * x.cov)),
+               (a, b) -> a + b), 4) AS participation_ratio
+         FROM one""",
 
     // The ann_ivf coarse-quantizer replay (pe/cent/cvec CTEs) plus a
     // label-pair cosine over the centroid lists.

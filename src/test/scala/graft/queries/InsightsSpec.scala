@@ -414,6 +414,43 @@ class InsightsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("sequence support matches a brute-force exists-before check") {
+    val rows = Insights.queries("q121_seq_support")(spark, sf)
+      .as[(String, String, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    val ev = graft.Tables.load(spark, sf, "events")
+      .selectExpr("user_id", "event_type", "cast(ts as long) as t")
+      .as[(Long, String, Long)].collect()
+    val byUser = ev.groupBy(_._1)
+    val users = byUser.keySet
+    rows.foreach { case (a, b, n, support) =>
+      val want = users.count { u =>
+        val es = byUser(u)
+        val as = es.filter(_._2 == a).map(_._3)
+        val bs = es.filter(_._2 == b).map(_._3)
+        as.nonEmpty && bs.nonEmpty && as.min < bs.max
+      }
+      assert(n == want, s"($a,$b)")
+      assert(math.abs(support - n.toDouble / users.size) < 1e-4)
+    }
+    spark.catalog.clearCache()
+  }
+
+  test("resurrection decomposition conserves actives and users") {
+    val rows = Insights.queries("q122_resurrected")(spark, sf)
+      .selectExpr("cast(day as date)", "n_active", "n_new",
+        "n_returning", "n_resurrected")
+      .as[(java.sql.Date, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (d, act, nw, ret, res) =>
+      assert(act == nw + ret + res, s"day $d")
+    }
+    val nUsers = graft.Tables.load(spark, sf, "events")
+      .select($"user_id").distinct().count()
+    assert(rows.map(_._3).sum == nUsers, "every user is new exactly once")
+    spark.catalog.clearCache()
+  }
+
   test("curriculum index is contiguous and difficulty-monotone") {
     val rows = graft.SparkEntry.queries("pipeline_curriculum")(spark, sf)
       .selectExpr("curriculum_idx", "n_tokens")

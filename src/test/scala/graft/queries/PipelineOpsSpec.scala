@@ -232,4 +232,34 @@ class PipelineOpsSpec extends SparkSpec {
           (id - 1000000L) % 10 == 5), s"unexpected key $id")
     }
   }
+
+  test("dedup sweep tiers chain and reconcile with their components") {
+    val rows = graft.SparkEntry.queries("pipeline_dedup_sweep")(
+      spark, sf).as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(rows.size == 2)
+    val (_, n0, rm1, k1) = rows("1_exact")
+    val (_, in2, rm2, out2) = rows("2_near_jaccard")
+    val docs = graft.Tables.load(spark, sf, "documents")
+    assert(n0 == docs.count())
+    // tier-1 reconciles with the digest count
+    val distinctDigests = docs
+      .selectExpr("md5(text) as g").distinct().count()
+    assert(k1 == distinctDigests && rm1 == n0 - k1)
+    // chaining: tier 2 consumes exactly tier 1's survivors
+    assert(in2 == k1 && out2 == in2 - rm2)
+    assert(rm1 >= 0 && rm2 >= 0 && out2 > 0)
+    // tier-2 removals reconcile with the CC non-canonical count over
+    // the survivor set
+    val keep1 = docs.selectExpr("doc_id", "md5(text) as g")
+      .groupBy("g")
+      .agg(org.apache.spark.sql.functions.min($"doc_id").as("doc_id"))
+      .select("doc_id")
+    val cc = graft.dedup.Dedup.connectedComponents(
+      graft.dedup.Dedup.ngramJaccardPairs(
+        graft.dedup.Dedup.shingleBlocks(docs.join(keep1, Seq("doc_id"))),
+        0.05))
+    assert(rm2 == cc.filter($"doc_id" =!= $"component").count())
+    spark.catalog.clearCache()
+  }
 }

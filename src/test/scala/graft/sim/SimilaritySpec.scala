@@ -343,6 +343,31 @@ class SimilaritySpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("participation ratio matches driver covariance and sits in [1, d]") {
+    val (nDims, trace, frob2, pr) =
+      graft.SparkEntry.queries("emb_effective_dim")(spark, sf)
+        .as[(Long, Double, Double, Double)].collect().head
+    assert(nDims == 64)
+    val vecs = graft.Tables.load(spark, sf, "embeddings")
+      .select("embedding").as[Array[Float]].collect()
+      .map(_.map(v => math.floor(v.toDouble * 1e6)))
+    val n = vecs.length.toDouble
+    def cov(i: Int, j: Int): Double = {
+      val (xs, ys) = (vecs.map(_(i)), vecs.map(_(j)))
+      (n * xs.zip(ys).map { case (x, y) => x * y }.sum
+        - xs.sum * ys.sum) / (n * n)
+    }
+    val wantTrace = (0 until 64).map(i => cov(i, i)).sum
+    var wantFrob = 0.0
+    for (i <- 0 until 64; j <- i until 64)
+      wantFrob += (if (i == j) 1 else 2) * cov(i, j) * cov(i, j)
+    assert(math.abs(trace / wantTrace - 1) < 1e-9, "trace")
+    assert(math.abs(frob2 / wantFrob - 1) < 1e-9, "frob2")
+    assert(math.abs(pr - trace * trace / frob2) < 1e-3)
+    assert(pr >= 1.0 - 1e-9 && pr <= 64.0 + 1e-9)
+    spark.catalog.clearCache()
+  }
+
   test("hybrid RRF reconciles exactly with its two component rankings") {
     val fused = graft.SparkEntry.queries("ann_hybrid_rrf")(spark, sf)
       .as[(Long, Long, Long, Double)].collect()
