@@ -646,6 +646,80 @@ object Insights {
         .orderBy($"day")
     }),
 
+    // Two-proportion z-test — the A/B-test readout (the most-run
+    // statistical test in industry): does the treatment group convert
+    // differently. Groups are planted deterministically (user_id
+    // parity), conversion = user emitted ≥1 purchase event; the z
+    // statistic assembles the four exact counts in one fixed IEEE
+    // expression (q100 discipline), round(4). Everything reduces to
+    // a user-level boolean in one map-side combine.
+    "q123_ab_ztest" -> ((s, d) => {
+      import s.implicits._
+      // "conversion" = a heavy purchaser (≥ 15 purchase events): the
+      // all-users-purchase degenerate pool (p̂ = 1 → zero variance →
+      // ANSI divide-by-zero) is exactly why the guard below exists —
+      // a real A/B readout must survive degenerate groups
+      val users = Tables.load(s, d, "events")
+        .groupBy($"user_id")
+        .agg(sum(when($"event_type" === "purchase", 1L).otherwise(0L))
+          .as("n_purch"))
+        .select(($"user_id" % 2 === 0).as("grp_a"),
+          when($"n_purch" >= 15, 1L).otherwise(0L).as("conv"))
+      users.agg(
+          sum(when($"grp_a", 1L).otherwise(0L)).as("n_a"),
+          sum(when($"grp_a", $"conv").otherwise(0L)).as("conv_a"),
+          sum(when(!$"grp_a", 1L).otherwise(0L)).as("n_b"),
+          sum(when(!$"grp_a", $"conv").otherwise(0L)).as("conv_b"))
+        .select($"n_a", $"conv_a", $"n_b", $"conv_b",
+          round($"conv_a".cast("double") / $"n_a".cast("double"), 6)
+            .as("p_a"),
+          round($"conv_b".cast("double") / $"n_b".cast("double"), 6)
+            .as("p_b"),
+          when($"conv_a" + $"conv_b" > 0 &&
+               $"conv_a" + $"conv_b" < $"n_a" + $"n_b",
+            round(
+              ($"conv_a".cast("double") / $"n_a".cast("double") -
+               $"conv_b".cast("double") / $"n_b".cast("double")) /
+              sqrt(
+                (($"conv_a" + $"conv_b").cast("double") /
+                  ($"n_a" + $"n_b").cast("double")) *
+                (lit(1.0) - ($"conv_a" + $"conv_b").cast("double") /
+                  ($"n_a" + $"n_b").cast("double")) *
+                (lit(1.0) / $"n_a".cast("double") +
+                 lit(1.0) / $"n_b".cast("double"))), 4))
+            .as("z_stat"))
+    }),
+
+    // Out-of-order-arrival audit: how late do events arrive relative
+    // to their arrival order (event_id as the arrival proxy) — THE
+    // number that sizes `withWatermark` before a streaming job ships:
+    // the watermark delay must cover the observed lateness tail or
+    // the state store drops data. Per-user running event-time max
+    // over arrival order (high-cardinality partitions — they scale),
+    // lateness = running_max − ts in exact µs, then one global
+    // rollup: late share, max and mean lateness.
+    "q124_out_of_order_audit" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.load(s, d, "events")
+        .select($"user_id", $"event_id",
+          unix_micros($"ts").as("us"))
+        .withColumn("hwm", max($"us").over(w))
+        .select(
+          when($"hwm".isNotNull && $"us" < $"hwm", $"hwm" - $"us")
+            .otherwise(lit(0L)).as("late_us"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(when($"late_us" > 0, 1L).otherwise(0L)).as("n_late"),
+          max($"late_us").as("max_late_us"),
+          sum($"late_us").as("sum_late_us"))
+        .select($"n_events", $"n_late", $"max_late_us",
+          expr("sum_late_us div greatest(n_late, 1)")
+            .as("mean_late_us"),
+          round($"n_late".cast("double") / $"n_events".cast("double"),
+            6).as("late_share"))
+    }),
+
   )
 
   /** One UNION ALL arm of the q112 oracle — the count-of-counts
@@ -792,6 +866,69 @@ object Insights {
          FROM h JOIN n ON n.event_type = h.event_type
          WHERE h.step = n.n_days
          ORDER BY n.event_type""",
+
+    "q123_ab_ztest" ->
+      """WITH u AS (
+           SELECT user_id,
+             CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1
+                      ELSE 0 END) >= 15 THEN 1 ELSE 0 END AS conv
+           FROM events GROUP BY 1),
+         g AS (
+           SELECT CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_a,
+             CAST(sum(CASE WHEN user_id % 2 = 0 THEN conv ELSE 0 END)
+               AS BIGINT) AS conv_a,
+             CAST(sum(CASE WHEN user_id % 2 <> 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_b,
+             CAST(sum(CASE WHEN user_id % 2 <> 0 THEN conv ELSE 0 END)
+               AS BIGINT) AS conv_b
+           FROM u)
+         SELECT n_a, conv_a, n_b, conv_b,
+           round(CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE), 6)
+             AS p_a,
+           round(CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE), 6)
+             AS p_b,
+           CASE WHEN conv_a + conv_b > 0
+                  AND conv_a + conv_b < n_a + n_b THEN
+             round(
+               (CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) -
+                CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE)) /
+               sqrt(
+                 (CAST(conv_a + conv_b AS DOUBLE) /
+                   CAST(n_a + n_b AS DOUBLE)) *
+                 (CAST(1.0 AS DOUBLE) -
+                   CAST(conv_a + conv_b AS DOUBLE) /
+                   CAST(n_a + n_b AS DOUBLE)) *
+                 (CAST(1.0 AS DOUBLE) / CAST(n_a AS DOUBLE) +
+                  CAST(1.0 AS DOUBLE) / CAST(n_b AS DOUBLE))), 4)
+           END AS z_stat
+         FROM g""",
+
+    "q124_out_of_order_audit" ->
+      """WITH e AS (
+           SELECT user_id, event_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS us
+           FROM events),
+         h AS (
+           SELECT us,
+             max(us) OVER (PARTITION BY user_id ORDER BY event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS hwm
+           FROM e),
+         l AS (
+           SELECT CASE WHEN hwm IS NOT NULL AND us < hwm
+                  THEN hwm - us ELSE 0 END AS late_us
+           FROM h)
+         SELECT CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_late,
+           CAST(max(late_us) AS BIGINT) AS max_late_us,
+           CAST(sum(late_us) //
+             greatest(sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END), 1)
+             AS BIGINT) AS mean_late_us,
+           round(CAST(sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END)
+               AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS late_share
+         FROM l""",
 
     "q121_seq_support" ->
       """WITH spans AS (

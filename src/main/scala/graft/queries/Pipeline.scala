@@ -463,6 +463,41 @@ object Pipeline {
         .orderBy($"global_idx")
     }),
 
+    // Temperature-sampled language mixture (α = 0.3): the
+    // multilingual rebalancing schedule (mBERT/XLM-R exponent
+    // smoothing) — sampling weights ∝ p^α lift low-resource languages
+    // without drowning the head. Per-language token masses are exact
+    // longs; p^α and the weight normalization are the only floats,
+    // and the Σp^α normalizer folds a LANG-SORTED enum-sized array
+    // (both engines accumulate the identical IEEE sequence; pow
+    // itself is libm — round(6) absorbs its ulp).
+    "pipeline_temperature_mix" -> ((s, d) => {
+      import s.implicits._
+      val langs = Tables.spread(Tables.load(s, d, "documents"))
+        .select($"lang",
+          size(split($"text", "\\s+")).cast("long").as("n_tok"))
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("n_tokens"))
+      val tot = langs.agg(sum($"n_tokens").as("tot"))
+      val withP = langs.crossJoin(broadcast(tot))
+        .select($"lang", $"n_docs", $"n_tokens",
+          ($"n_tokens".cast("double") / $"tot".cast("double"))
+            .as("p"))
+        .withColumn("pa", pow($"p", lit(0.3)))
+      withP
+        .agg(sort_array(collect_list(struct($"lang", $"n_docs",
+          $"n_tokens", $"p", $"pa"))).as("arr"))
+        .select(explode($"arr").as("r"),
+          expr("""aggregate(arr, CAST(0.0 AS DOUBLE),
+            (a, x) -> a + x.pa)""").as("sum_pa"))
+        .select($"r.lang".as("lang"), $"r.n_docs".as("n_docs"),
+          $"r.n_tokens".as("n_tokens"),
+          round($"r.p", 6).as("p"),
+          round($"r.pa" / $"sum_pa", 6).as("w"),
+          round($"r.pa" / $"sum_pa" / $"r.p", 4).as("boost"))
+        .orderBy($"lang")
+    }),
+
     // Tiered dedup sweep report: the policy table a curation run
     // reads before committing to a dedup configuration — how many
     // documents each tier removes, applied in escalating cost order
@@ -803,6 +838,38 @@ object Pipeline {
              ORDER BY md5('shuffle42:' || CAST(doc_id AS VARCHAR)),
                doc_id) AS BIGINT) AS global_idx
          FROM documents ORDER BY global_idx""",
+    "pipeline_temperature_mix" ->
+      """WITH langs AS (
+           SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len(string_split_regex(text, '\s+')))
+               AS BIGINT) AS n_tokens
+           FROM documents GROUP BY 1),
+         tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot
+                 FROM langs),
+         withp AS (
+           SELECT lang, n_docs, n_tokens,
+             CAST(n_tokens AS DOUBLE) / CAST(tot AS DOUBLE) AS p,
+             pow(CAST(n_tokens AS DOUBLE) / CAST(tot AS DOUBLE),
+               CAST(0.3 AS DOUBLE)) AS pa
+           FROM langs, tot),
+         one AS (
+           SELECT list({'lang': lang, 'n_docs': n_docs,
+             'n_tokens': n_tokens, 'p': p, 'pa': pa}
+             ORDER BY lang) AS arr
+           FROM withp),
+         x AS (
+           SELECT unnest(arr) AS r,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(arr, x -> x.pa)), (a, b) -> a + b)
+               AS sum_pa
+           FROM one)
+         SELECT r.lang AS lang, r.n_docs AS n_docs,
+           r.n_tokens AS n_tokens,
+           round(r.p, 6) AS p,
+           round(r.pa / sum_pa, 6) AS w,
+           round(r.pa / sum_pa / r.p, 4) AS boost
+         FROM x ORDER BY lang""",
+
     // The dedup_clusters recursive-CC replay restricted to exact-dup
     // survivors, plus the two-row report arithmetic.
     "pipeline_dedup_sweep" ->

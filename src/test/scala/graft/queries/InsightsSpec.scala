@@ -451,6 +451,56 @@ class InsightsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("A/B z-test matches a driver recompute on the planted split") {
+    val (nA, cA, nB, cB, pA, pB, z) =
+      Insights.queries("q123_ab_ztest")(spark, sf)
+        .as[(Long, Long, Long, Long, Double, Double, Option[Double])]
+        .collect().head
+    val purch = graft.Tables.load(spark, sf, "events")
+      .filter($"event_type" === "purchase")
+      .groupBy($"user_id").count()
+      .as[(Long, Long)].collect().toMap
+    val allUsers = graft.Tables.load(spark, sf, "events")
+      .select($"user_id").distinct().as[Long].collect()
+    val (a, b) = allUsers.partition(_ % 2 == 0)
+    def conv(us: Array[Long]) =
+      us.count(u => purch.getOrElse(u, 0L) >= 15).toLong
+    assert(nA == a.length && nB == b.length)
+    assert(cA == conv(a) && cB == conv(b))
+    assert(math.abs(pA - cA.toDouble / nA) < 1e-5)
+    if (cA + cB > 0 && cA + cB < nA + nB) {
+      val p = (cA + cB).toDouble / (nA + nB)
+      val want = (cA.toDouble / nA - cB.toDouble / nB) /
+        math.sqrt(p * (1 - p) * (1.0 / nA + 1.0 / nB))
+      assert(math.abs(z.get - want) < 1e-3)
+    } else assert(z.isEmpty, "degenerate pool must yield NULL z")
+    spark.catalog.clearCache()
+  }
+
+  test("out-of-order audit matches a brute-force lateness walk") {
+    val (nEv, nLate, maxLate, meanLate, share) =
+      Insights.queries("q124_out_of_order_audit")(spark, sf)
+        .as[(Long, Long, Long, Long, Double)].collect().head
+    val ev = graft.Tables.load(spark, sf, "events")
+      .selectExpr("user_id", "event_id", "unix_micros(ts) as us")
+      .as[(Long, Long, Long)].collect()
+    assert(nEv == ev.length)
+    var late = List.empty[Long]
+    ev.groupBy(_._1).values.foreach { es =>
+      var hwm = Long.MinValue
+      es.sortBy(_._2).foreach { case (_, _, t) =>
+        if (hwm != Long.MinValue && t < hwm) late ::= (hwm - t)
+        hwm = math.max(hwm, t)
+      }
+    }
+    assert(nLate == late.length)
+    assert(maxLate == (if (late.isEmpty) 0L else late.max))
+    assert(meanLate == (if (late.isEmpty) 0L
+      else late.sum / late.length))
+    assert(math.abs(share - nLate.toDouble / nEv) < 1e-5)
+    spark.catalog.clearCache()
+  }
+
   test("curriculum index is contiguous and difficulty-monotone") {
     val rows = graft.SparkEntry.queries("pipeline_curriculum")(spark, sf)
       .selectExpr("curriculum_idx", "n_tokens")

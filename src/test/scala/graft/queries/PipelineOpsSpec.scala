@@ -262,4 +262,27 @@ class PipelineOpsSpec extends SparkSpec {
     assert(rm2 == cc.filter($"doc_id" =!= $"component").count())
     spark.catalog.clearCache()
   }
+
+  test("temperature mix: weights normalize and lift low-resource langs") {
+    val rows = graft.SparkEntry.queries("pipeline_temperature_mix")(
+      spark, sf).as[(String, Long, Long, Double, Double, Double)]
+      .collect()
+    assert(rows.nonEmpty)
+    assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-4, "p sums to 1")
+    assert(math.abs(rows.map(_._5).sum - 1.0) < 1e-4, "w sums to 1")
+    // driver recompute of the alpha-smoothed weights
+    val tot = rows.map(_._3).sum.toDouble
+    val pas = rows.map(r => math.pow(r._3 / tot, 0.3))
+    rows.zip(pas).foreach { case ((lang, _, _, p, w, boost), pa) =>
+      assert(math.abs(w - pa / pas.sum) < 1e-4, lang)
+      assert(math.abs(boost - w / p) < 1e-2, lang)
+    }
+    // smoothing lifts below-average languages, dampens the head
+    val avgP = 1.0 / rows.length
+    rows.foreach { case (lang, _, _, p, _, boost) =>
+      if (p < avgP * 0.8) assert(boost > 1.0, s"$lang should be lifted")
+      if (p > avgP * 1.25) assert(boost < 1.0, s"$lang should be damped")
+    }
+    spark.catalog.clearCache()
+  }
 }
