@@ -720,6 +720,91 @@ object Insights {
             6).as("late_share"))
     }),
 
+    // Two-sample Kolmogorov–Smirnov: D = sup |F₁ − F₂| between
+    // urgent- and low-priority order-value distributions — the
+    // distribution-level A/B test q123's proportion z can't see
+    // (same conversion rate, different shape). Step CDFs change only
+    // at support points, so the sup is attained on the distinct-value
+    // table: cumulative counts ride PrefixSum's distributed scan
+    // (value-domain table, never a row sort), and the maximization
+    // runs on |c₁·n₂ − c₂·n₁| — EXACT LONGS, so the argmax (with
+    // min-value tie-break) never touches a float; D itself is one
+    // IEEE divide at display.
+    "q125_two_sample_ks" -> ((s, d) => {
+      import s.implicits._
+      val o = Tables.load(s, d, "orders")
+        .filter($"o_orderpriority".isin("1-URGENT", "5-LOW"))
+        .select(round($"o_totalprice" * 100).cast("long").as("cents"),
+          ($"o_orderpriority" === "1-URGENT").as("isa"))
+      val ns = o.agg(sum(when($"isa", 1L).otherwise(0L)).as("n1"),
+        sum(when(!$"isa", 1L).otherwise(0L)).as("n2"))
+      // the statistic TELESCOPES: c₁·n₂ − c₂·n₁ at value v is the
+      // running sum of per-value k₁·n₂ − k₂·n₁ — so ONE PrefixSum
+      // pass carries the whole thing (the two-cumulative first cut
+      // paid the range shuffle twice: 5.4 → 2.9 s)
+      val byVal = o.groupBy($"cents")
+        .agg(sum(when($"isa", 1L).otherwise(0L)).as("k1"),
+          sum(when(!$"isa", 1L).otherwise(0L)).as("k2"))
+        .crossJoin(broadcast(ns))
+        .select($"cents", ($"k1" * $"n2" - $"k2" * $"n1").as("v"),
+          $"n1", $"n2")
+      val diffs = graft.ops.PrefixSum.runningTotal(byVal,
+          Seq($"cents"), $"v", "cumv")
+        .select($"cents", abs($"cumv").as("dnum"), $"n1", $"n2")
+        // feeds the max AND the argmax join
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val mx = diffs.agg(max($"dnum").as("d_num"))
+      diffs.join(broadcast(mx), $"dnum" === $"d_num")
+        .groupBy($"d_num")
+        .agg(max($"n1").as("n1"), max($"n2").as("n2"),
+          min($"cents").as("at_cents"))
+        .select($"n1", $"n2", $"d_num", $"at_cents",
+          round($"d_num".cast("double") /
+            ($"n1".cast("double") * $"n2".cast("double")), 6)
+            .as("ks_d"))
+    }),
+
+    // Spearman rank correlation between customer spend and order
+    // count — the monotone-association companion of q43's Pearson
+    // (outlier-robust, the curve need not be linear). Average ranks
+    // under ties carried as EXACT ×2-scaled integers
+    // (avg2 = 2·cum − cnt + 1 off the distinct-value cumulative —
+    // PrefixSum's distributed scan, never a global row_number), then
+    // q43's fixed IEEE moment assembly on the scaled ranks (the ×2
+    // cancels in ρ). At corpus scale the rank³-order moments take the
+    // q25 decimal escalation — documented.
+    "q126_spearman" -> ((s, d) => {
+      import s.implicits._
+      val cust = Tables.load(s, d, "orders")
+        .groupBy($"o_custkey")
+        .agg(sum(round($"o_totalprice" * 100).cast("long")).as("x"),
+          count(lit(1)).as("y"))
+        // feeds both rank joins
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      def ranks2(c: String, out: String) = {
+        val byVal = cust.groupBy(col(c).as("v"))
+          .agg(count(lit(1)).as("cnt"))
+        graft.ops.PrefixSum.runningTotal(byVal, Seq(col("v")),
+          col("cnt"), "cum")
+          .select(col("v").as(c),
+            (lit(2L) * col("cum") - col("cnt") + 1L).as(out))
+      }
+      cust.join(ranks2("x", "rx"), Seq("x"))
+        .join(ranks2("y", "ry"), Seq("y"))
+        .agg(count(lit(1)).as("n"), sum($"rx").as("sx"),
+          sum($"ry").as("sy"), sum($"rx" * $"rx").as("sxx"),
+          sum($"ry" * $"ry").as("syy"), sum($"rx" * $"ry").as("sxy"))
+        .select($"n".as("n_cust"),
+          round(
+            ($"n".cast("double") * $"sxy".cast("double") -
+             $"sx".cast("double") * $"sy".cast("double")) /
+            (sqrt($"n".cast("double") * $"sxx".cast("double") -
+               $"sx".cast("double") * $"sx".cast("double")) *
+             sqrt($"n".cast("double") * $"syy".cast("double") -
+               $"sy".cast("double") * $"sy".cast("double"))), 4)
+            .as("spearman_rho"))
+    }),
+
   )
 
   /** One UNION ALL arm of the q112 oracle — the count-of-counts
@@ -866,6 +951,86 @@ object Insights {
          FROM h JOIN n ON n.event_type = h.event_type
          WHERE h.step = n.n_days
          ORDER BY n.event_type""",
+
+    "q125_two_sample_ks" ->
+      """WITH o AS (
+           SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             o_orderpriority = '1-URGENT' AS isa
+           FROM orders
+           WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+         bv AS (
+           SELECT cents,
+             CAST(sum(CASE WHEN isa THEN 1 ELSE 0 END) AS BIGINT)
+               AS k1,
+             CAST(sum(CASE WHEN NOT isa THEN 1 ELSE 0 END) AS BIGINT)
+               AS k2
+           FROM o GROUP BY 1),
+         cum AS (
+           SELECT cents,
+             CAST(sum(k1) OVER (ORDER BY cents) AS BIGINT) AS c1,
+             CAST(sum(k2) OVER (ORDER BY cents) AS BIGINT) AS c2
+           FROM bv),
+         ns AS (
+           SELECT CAST(sum(CASE WHEN isa THEN 1 ELSE 0 END) AS BIGINT)
+               AS n1,
+             CAST(sum(CASE WHEN NOT isa THEN 1 ELSE 0 END) AS BIGINT)
+               AS n2
+           FROM o),
+         diffs AS (
+           SELECT cents, abs(c1 * n2 - c2 * n1) AS dnum, n1, n2
+           FROM cum, ns),
+         mx AS (SELECT max(dnum) AS d_num FROM diffs)
+         SELECT CAST(max(n1) AS BIGINT) AS n1,
+           CAST(max(n2) AS BIGINT) AS n2,
+           CAST(d_num AS BIGINT) AS d_num,
+           CAST(min(cents) AS BIGINT) AS at_cents,
+           round(CAST(d_num AS DOUBLE) /
+             (CAST(max(n1) AS DOUBLE) * CAST(max(n2) AS DOUBLE)), 6)
+             AS ks_d
+         FROM diffs JOIN mx ON dnum = d_num GROUP BY d_num""",
+
+    "q126_spearman" ->
+      """WITH cust AS (
+           SELECT o_custkey,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+               AS BIGINT) AS x,
+             CAST(count(*) AS BIGINT) AS y
+           FROM orders GROUP BY 1),
+         rx AS (
+           SELECT v, 2 * cum - cnt + 1 AS r FROM (
+             SELECT v, cnt,
+               CAST(sum(cnt) OVER (ORDER BY v) AS BIGINT) AS cum
+             FROM (SELECT x AS v, CAST(count(*) AS BIGINT) AS cnt
+                   FROM cust GROUP BY 1))),
+         ry AS (
+           SELECT v, 2 * cum - cnt + 1 AS r FROM (
+             SELECT v, cnt,
+               CAST(sum(cnt) OVER (ORDER BY v) AS BIGINT) AS cum
+             FROM (SELECT y AS v, CAST(count(*) AS BIGINT) AS cnt
+                   FROM cust GROUP BY 1))),
+         j AS (
+           SELECT CAST(rx.r AS BIGINT) AS a, CAST(ry.r AS BIGINT) AS b
+           FROM cust
+           JOIN rx ON rx.v = cust.x
+           JOIN ry ON ry.v = cust.y),
+         m AS (
+           SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(a) AS BIGINT) AS sx,
+             CAST(sum(b) AS BIGINT) AS sy,
+             CAST(sum(a * a) AS BIGINT) AS sxx,
+             CAST(sum(b * b) AS BIGINT) AS syy,
+             CAST(sum(a * b) AS BIGINT) AS sxy
+           FROM j)
+         SELECT n AS n_cust,
+           round(
+             (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+              CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+             (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+                CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+              sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) -
+                CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 4)
+             AS spearman_rho
+         FROM m""",
 
     "q123_ab_ztest" ->
       """WITH u AS (

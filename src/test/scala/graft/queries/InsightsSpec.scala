@@ -501,6 +501,66 @@ class InsightsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("KS statistic matches a brute-force CDF sweep") {
+    val (n1, n2, dNum, atCents, ksD) =
+      Insights.queries("q125_two_sample_ks")(spark, sf)
+        .as[(Long, Long, Long, Long, Double)].collect().head
+    val vals = graft.Tables.load(spark, sf, "orders")
+      .filter($"o_orderpriority".isin("1-URGENT", "5-LOW"))
+      .selectExpr("cast(round(o_totalprice * 100) as long) as c",
+        "o_orderpriority = '1-URGENT' as isa")
+      .as[(Long, Boolean)].collect()
+    val (a, b) = vals.partition(_._2)
+    assert(n1 == a.length && n2 == b.length)
+    val support = vals.map(_._1).distinct.sorted
+    val sweeps = support.map { v =>
+      val c1 = a.count(_._1 <= v).toLong
+      val c2 = b.count(_._1 <= v).toLong
+      (v, math.abs(c1 * n2 - c2 * n1))
+    }
+    val wantD = sweeps.map(_._2).max
+    assert(dNum == wantD)
+    assert(atCents == sweeps.filter(_._2 == wantD).map(_._1).min)
+    assert(math.abs(ksD - wantD.toDouble / (n1.toDouble * n2)) < 1e-5)
+    assert(ksD >= 0 && ksD <= 1.0)
+    spark.catalog.clearCache()
+  }
+
+  test("Spearman rho matches a driver-side tied-rank recompute") {
+    val (nCust, rho) = Insights.queries("q126_spearman")(spark, sf)
+      .as[(Long, Double)].collect().head
+    val cust = graft.Tables.load(spark, sf, "orders")
+      .groupBy($"o_custkey")
+      .agg(org.apache.spark.sql.functions
+        .sum(org.apache.spark.sql.functions
+          .round($"o_totalprice" * 100).cast("long")).as("x"),
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("y"))
+      .as[(Long, Long, Long)].collect()
+    assert(nCust == cust.length)
+    def avgRanks(vs: Array[Long]): Map[Long, Double] = {
+      val sorted = vs.sorted
+      vs.distinct.map { v =>
+        val lo = sorted.indexWhere(_ == v) + 1
+        val hi = sorted.lastIndexWhere(_ == v) + 1
+        v -> (lo + hi) / 2.0
+      }.toMap
+    }
+    val rx = avgRanks(cust.map(_._2))
+    val ry = avgRanks(cust.map(_._3))
+    val pts = cust.map(c => (rx(c._2), ry(c._3)))
+    val n = pts.length.toDouble
+    val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val syy = pts.map(p => p._2 * p._2).sum
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val want = (n * sxy - sx * sy) /
+      (math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy))
+    assert(math.abs(rho - want) < 1e-3, s"rho $rho vs $want")
+    assert(rho.abs <= 1.0 + 1e-9)
+    spark.catalog.clearCache()
+  }
+
   test("curriculum index is contiguous and difficulty-monotone") {
     val rows = graft.SparkEntry.queries("pipeline_curriculum")(spark, sf)
       .selectExpr("curriculum_idx", "n_tokens")
