@@ -613,6 +613,99 @@ object StreamOps {
       : DataFrame =
     graft.queries.Mining.cusumOverDaily(spark.read.parquet(stateDir))
 
+  /** Streaming lateness monitor — q124's out-of-order audit
+    * maintained INCREMENTALLY over an unbounded stream (the IVM
+    * family next to incrementalAggBatch/cusumDriftBatch): per-user
+    * event-time high watermarks plus lateness counters live in a
+    * swap-renamed parquet state, each micro-batch merges its deltas,
+    * and the snapshot serves the same (n_events, n_late, max, mean,
+    * share) row q124 computes in batch — the number that decides
+    * whether a deployed `withWatermark` delay still covers the
+    * arrival tail AS THE STREAM DRIFTS, without rescanning history.
+    *
+    * Per-batch semantics are exact: events are processed in
+    * event_id (arrival) order against greatest(prior hwm,
+    * within-batch running hwm) — so a cross-batch regression (an
+    * event older than a PREVIOUS batch's max) is charged correctly.
+    * Batch shape: (user_id long, event_id long, us long).
+    */
+  def latenessMonitorBatch(stateDir: String)(
+      batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val statePath = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = statePath.getFileSystem(
+      spark.sessionState.newHadoopConf())
+    restoreTornState(fs, statePath,
+      new org.apache.hadoop.fs.Path(s"$stateDir-old"))
+    val prior =
+      if (fs.exists(statePath)) Some(spark.read.parquet(stateDir))
+      else None
+    val wb = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("event_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, -1)
+    val withPrior = prior match {
+      case Some(p) => batch.join(
+        p.select(col("user_id"), col("hwm_us").as("p_hwm")),
+        Seq("user_id"), "left")
+      case None => batch.withColumn("p_hwm", lit(null).cast("long"))
+    }
+    // greatest() skips NULLs: eff is null only for a user's very
+    // first event ever (no prior state, no preceding batch row)
+    val deltas = withPrior
+      .withColumn("bhwm", max(col("us")).over(wb))
+      .withColumn("eff", greatest(col("bhwm"), col("p_hwm")))
+      .withColumn("late",
+        when(col("eff").isNotNull && col("us") < col("eff"),
+          col("eff") - col("us")).otherwise(lit(0L)))
+      .groupBy(col("user_id"))
+      .agg(max(col("us")).as("d_hwm"), count(lit(1)).as("d_n"),
+        sum(when(col("late") > 0, 1L).otherwise(0L)).as("d_late"),
+        max(col("late")).as("d_maxlate"),
+        sum(col("late")).as("d_sumlate"))
+    val merged = prior match {
+      case Some(p) => p
+        .join(deltas, Seq("user_id"), "full_outer")
+        .select(col("user_id"),
+          greatest(col("hwm_us"), col("d_hwm")).as("hwm_us"),
+          (coalesce(col("n_events"), lit(0L)) +
+            coalesce(col("d_n"), lit(0L))).as("n_events"),
+          (coalesce(col("n_late"), lit(0L)) +
+            coalesce(col("d_late"), lit(0L))).as("n_late"),
+          greatest(coalesce(col("max_late_us"), lit(0L)),
+            coalesce(col("d_maxlate"), lit(0L))).as("max_late_us"),
+          (coalesce(col("sum_late_us"), lit(0L)) +
+            coalesce(col("d_sumlate"), lit(0L))).as("sum_late_us"))
+      case None => deltas.select(col("user_id"),
+        col("d_hwm").as("hwm_us"), col("d_n").as("n_events"),
+        col("d_late").as("n_late"), col("d_maxlate").as("max_late_us"),
+        col("d_sumlate").as("sum_late_us"))
+    }
+    val tmpPath = new org.apache.hadoop.fs.Path(
+      s"$stateDir-tmp-$batchId")
+    val oldPath = new org.apache.hadoop.fs.Path(s"$stateDir-old")
+    merged.write.mode("overwrite").parquet(tmpPath.toString)
+    fs.delete(oldPath, true)
+    if (fs.exists(statePath)) fs.rename(statePath, oldPath)
+    fs.rename(tmpPath, statePath)
+    fs.delete(oldPath, true)
+  }
+
+  /** The served lateness report: q124's output shape off the compact
+    * per-user state. */
+  def latenessSnapshot(spark: SparkSession, stateDir: String)
+      : DataFrame =
+    spark.read.parquet(stateDir)
+      .agg(sum(col("n_events")).as("n_events"),
+        sum(col("n_late")).as("n_late"),
+        max(col("max_late_us")).as("max_late_us"),
+        sum(col("sum_late_us")).as("sum_late_us"))
+      .select(col("n_events"), col("n_late"), col("max_late_us"),
+        expr("sum_late_us div greatest(n_late, 1)")
+          .as("mean_late_us"),
+        round(col("n_late").cast("double") /
+          col("n_events").cast("double"), 6).as("late_share"))
+
   /** Streaming decontamination guard — eval-set protection AT INGEST:
     * each arriving micro-batch of documents is checked for near-dups
     * of the (static) test corpus, and hits are quarantined to a

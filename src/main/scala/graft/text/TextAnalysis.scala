@@ -267,6 +267,64 @@ object TextAnalysis {
         .orderBy($"lang")
     }),
 
+    // Heaps'-law vocabulary growth: V(N) ≈ c·N^β over corpus ingest
+    // order (doc_id as the arrival proxy) — natural language grows
+    // vocabulary at β ≈ 0.4–0.6; β near 0 means a closed template
+    // vocabulary, β near 1 means id-like noise. The "is the corpus
+    // still teaching the tokenizer new words" read, zipf_fit's
+    // growth-side twin. Ten corpus-order checkpoints (integer bucket
+    // arithmetic off a one-row bounds aggregate); per-bucket token
+    // mass and first-seen vocabulary reduce map-side; cumulatives
+    // ride a 10-ROW window (q105 stance); the OLS folds run over the
+    // bucket-sorted array (zipf's transcendental discipline).
+    "text_heaps_fit" -> ((s, d) => {
+      import s.implicits._
+      def fold(term: String): String =
+        s"aggregate(arr, CAST(0.0 AS DOUBLE), (a, p) -> a + $term)"
+      val bounds = Tables.load(s, d, "documents")
+        .agg(min($"doc_id").as("lo"), max($"doc_id").as("hi"))
+      val tok = Tables.spread(Tables.load(s, d, "documents"))
+        .crossJoin(broadcast(bounds))
+        .select(expr("""CAST(((doc_id - lo + 1) * 10
+            + (hi - lo + 1) - 1) div (hi - lo + 1) AS BIGINT)""")
+          .as("b"), explode(toks($"text")).as("token"))
+        // feeds the token-mass AND first-seen branches
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val perB = tok.groupBy($"b").agg(count(lit(1)).as("nt"))
+      val fdB = tok.groupBy($"token").agg(min($"b").as("b"))
+        .groupBy($"b").agg(count(lit(1)).as("nv"))
+      val w10 = org.apache.spark.sql.expressions.Window.orderBy($"b")
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, 0)
+      val curve = perB.join(fdB, Seq("b"), "full_outer")
+        .select($"b", coalesce($"nt", lit(0L)).as("nt"),
+          coalesce($"nv", lit(0L)).as("nv"))
+        // 10 rows — the global window is constant-sized
+        .withColumn("tokens_cum", sum($"nt").over(w10))
+        .withColumn("vocab_cum", sum($"nv").over(w10))
+      curve
+        .agg(sort_array(collect_list(struct($"b", $"tokens_cum",
+          $"vocab_cum"))).as("arr"))
+        .withColumn("k", size($"arr").cast("double"))
+        .withColumn("sx", expr(fold("ln(CAST(p.tokens_cum AS DOUBLE))")))
+        .withColumn("sy", expr(fold("ln(CAST(p.vocab_cum AS DOUBLE))")))
+        .withColumn("sxy", expr(fold(
+          "ln(CAST(p.tokens_cum AS DOUBLE)) * " +
+            "ln(CAST(p.vocab_cum AS DOUBLE))")))
+        .withColumn("sxx", expr(fold(
+          "ln(CAST(p.tokens_cum AS DOUBLE)) * " +
+            "ln(CAST(p.tokens_cum AS DOUBLE))")))
+        .withColumn("beta",
+          ($"k" * $"sxy" - $"sx" * $"sy") /
+            ($"k" * $"sxx" - $"sx" * $"sx"))
+        .select(explode($"arr").as("r"),
+          round($"beta", 4).as("heaps_beta"))
+        .select($"r.b".as("bucket"),
+          $"r.tokens_cum".as("tokens_cum"),
+          $"r.vocab_cum".as("vocab_cum"), $"heaps_beta")
+        .orderBy($"bucket")
+    }),
+
     // PII redaction (email / IPv4 / phone → typed placeholders) — the
     // scrubbing pass a training pipeline runs before anything else.
     // The synthetic corpus contains no PII, so the query PLANTS a
@@ -523,6 +581,63 @@ object TextAnalysis {
            FROM f)
          SELECT lang, rank, token, n FROM r
          WHERE rank <= 20 ORDER BY lang, rank""",
+    "text_heaps_fit" ->
+      """WITH bounds AS (
+           SELECT min(doc_id) AS lo, max(doc_id) AS hi
+           FROM documents),
+         tok AS (
+           SELECT CAST(((doc_id - lo + 1) * 10 + (hi - lo + 1) - 1)
+               // (hi - lo + 1) AS BIGINT) AS b,
+             unnest(string_split_regex(lower(text), '\s+')) AS token
+           FROM documents, bounds),
+         perb AS (
+           SELECT b, CAST(count(*) AS BIGINT) AS nt
+           FROM tok GROUP BY 1),
+         fdb AS (
+           SELECT b, CAST(count(*) AS BIGINT) AS nv FROM (
+             SELECT token, min(b) AS b FROM tok GROUP BY 1)
+           GROUP BY 1),
+         curve AS (
+           SELECT coalesce(p.b, f.b) AS b,
+             CAST(sum(coalesce(p.nt, 0))
+               OVER (ORDER BY coalesce(p.b, f.b)) AS BIGINT)
+               AS tokens_cum,
+             CAST(sum(coalesce(f.nv, 0))
+               OVER (ORDER BY coalesce(p.b, f.b)) AS BIGINT)
+               AS vocab_cum
+           FROM perb p FULL OUTER JOIN fdb f ON f.b = p.b),
+         one AS (
+           SELECT list({'b': b, 'tokens_cum': tokens_cum,
+             'vocab_cum': vocab_cum} ORDER BY b) AS arr
+           FROM curve),
+         fitted AS (
+           SELECT arr, CAST(len(arr) AS DOUBLE) AS k,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(arr, p ->
+                 ln(CAST(p.tokens_cum AS DOUBLE)))),
+               (a, b) -> a + b) AS sx,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(arr, p ->
+                 ln(CAST(p.vocab_cum AS DOUBLE)))),
+               (a, b) -> a + b) AS sy,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(arr, p ->
+                 ln(CAST(p.tokens_cum AS DOUBLE)) *
+                 ln(CAST(p.vocab_cum AS DOUBLE)))),
+               (a, b) -> a + b) AS sxy,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(arr, p ->
+                 ln(CAST(p.tokens_cum AS DOUBLE)) *
+                 ln(CAST(p.tokens_cum AS DOUBLE)))),
+               (a, b) -> a + b) AS sxx
+           FROM one)
+         SELECT r.b AS bucket, r.tokens_cum AS tokens_cum,
+           r.vocab_cum AS vocab_cum,
+           round((k * sxy - sx * sy) / (k * sxx - sx * sx), 4)
+             AS heaps_beta
+         FROM fitted, unnest(arr) AS u(r)
+         ORDER BY bucket""",
+
     "text_zipf_fit" ->
       """WITH t AS (
            SELECT lang, unnest(string_split_regex(lower(text), '\s+'))

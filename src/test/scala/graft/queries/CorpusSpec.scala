@@ -227,4 +227,35 @@ class CorpusSpec extends SparkSpec {
     }
     spark.catalog.clearCache()
   }
+
+  test("Heaps fit: growth curve is monotone and beta matches driver OLS") {
+    val rows = graft.SparkEntry.queries("text_heaps_fit")(spark, sf)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(rows.length == 10)
+    // cumulative curves are strictly positive and non-decreasing
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b._2 >= a._2 && b._3 >= a._3, "curve decreased")
+      case _ =>
+    }
+    // vocabulary never exceeds token mass
+    rows.foreach { case (_, nt, nv, _) =>
+      assert(nv <= nt && nv > 0)
+    }
+    // beta is the same on every row and matches a driver OLS
+    assert(rows.map(_._4).distinct.length == 1)
+    val xs = rows.map(r => math.log(r._2.toDouble))
+    val ys = rows.map(r => math.log(r._3.toDouble))
+    val k = rows.length.toDouble
+    val (sx, sy) = (xs.sum, ys.sum)
+    val sxy = xs.zip(ys).map { case (x, y) => x * y }.sum
+    val sxx = xs.map(x => x * x).sum
+    val want = (k * sxy - sx * sy) / (k * sxx - sx * sx)
+    assert(math.abs(rows.head._4 - want) < 1e-3)
+    // sublinear growth: beta < 1 always; the tiny sf0.001 corpus has
+    // a CLOSED synthetic vocabulary, so beta ~ 0 here is the
+    // diagnostic reading correctly ("template corpus"), not a bug
+    assert(rows.head._4 >= 0.0 && rows.head._4 < 1.0)
+    spark.catalog.clearCache()
+  }
 }

@@ -75,6 +75,45 @@ class StatefulSpec extends SparkSpec {
     assert(got.find(_._1 == "a").get._3 > 0)
   }
 
+  test("lateness monitor: snapshot == q124 audit over all batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val stateDir = java.nio.file.Files
+      .createTempDirectory("graft_late").toString + "/state"
+    val in = MemoryStream[(Long, Long, Long)]
+    val q = in.toDF().toDF("user_id", "event_id", "us").writeStream
+      .foreachBatch(StreamOps.latenessMonitorBatch(stateDir) _)
+      .outputMode("append").start()
+    // batch 1: user 1 in order; user 2 with an in-batch regression
+    in.addData((1L, 1L, 1000L), (1L, 2L, 2000L),
+      (2L, 3L, 5000L), (2L, 4L, 4100L))
+    q.processAllAvailable()
+    // batch 2: user 1 regresses ACROSS batches (us 1500 < batch-1 max
+    // 2000); user 3 appears fresh
+    in.addData((1L, 5L, 1500L), (1L, 6L, 3000L), (3L, 7L, 9000L))
+    q.processAllAvailable()
+    q.stop()
+    val (n, nLate, maxLate, meanLate, share) =
+      StreamOps.latenessSnapshot(spark, stateDir)
+        .as[(Long, Long, Long, Long, Double)].collect().head
+    // brute force over the concatenated stream in event_id order
+    val all = Seq((1L, 1L, 1000L), (1L, 2L, 2000L), (2L, 3L, 5000L),
+      (2L, 4L, 4100L), (1L, 5L, 1500L), (1L, 6L, 3000L),
+      (3L, 7L, 9000L))
+    var lates = List.empty[Long]
+    all.groupBy(_._1).values.foreach { es =>
+      var hwm = Long.MinValue
+      es.sortBy(_._2).foreach { case (_, _, t) =>
+        if (hwm != Long.MinValue && t < hwm) lates ::= (hwm - t)
+        hwm = math.max(hwm, t)
+      }
+    }
+    assert(n == all.length)
+    assert(nLate == lates.length && nLate == 2L) // 900 + 500
+    assert(maxLate == lates.max)
+    assert(meanLate == lates.sum / lates.length)
+    assert(math.abs(share - nLate.toDouble / n) < 1e-6)
+  }
+
   test("decontamination guard quarantines test-set near-dups at ingest") {
     implicit val sqlCtx = spark.sqlContext
     val qDir = java.nio.file.Files
