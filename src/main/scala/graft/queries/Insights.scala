@@ -805,6 +805,47 @@ object Insights {
             .as("spearman_rho"))
     }),
 
+    // Additive seasonal decomposition (STL-lite) of daily event value
+    // per type: value = trend (7-day centered moving average) +
+    // weekday seasonal (day-of-week mean deviation from the grand
+    // mean) + residual — the decomposition behind q94's baseline and
+    // q33's anomaly gate, made explicit so the residual IS the
+    // deseasonalized anomaly signal. Everything stays in exact
+    // integers: every "mean" is a floor div of exact long sums
+    // (documented semantics), the MA window is a ±3-ROW frame on the
+    // domain-bounded (type, day) table, and the dow means broadcast
+    // back as an enum-sized join.
+    "q127_seasonal_decompose" -> ((s, d) => {
+      import s.implicits._
+      val daily = Tables.load(s, d, "events")
+        .select($"event_type", to_date($"ts").as("day"),
+          round($"value" * 100).cast("long").as("cents"))
+        .groupBy($"event_type", $"day").agg(sum($"cents").as("v"))
+        // feeds the grand mean, dow means, and the MA window
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val grand = daily.groupBy($"event_type")
+        .agg(expr("sum(v) div count(1)").as("gmean"))
+      val dow = daily
+        .select($"event_type", dayofweek($"day").cast("long").as("w"),
+          $"v")
+        .groupBy($"event_type", $"w")
+        .agg(expr("sum(v) div count(1)").as("wmean"))
+      daily
+        .withColumn("trend",
+          expr("sum(v) OVER (PARTITION BY event_type ORDER BY day " +
+            "ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) div " +
+            "count(1) OVER (PARTITION BY event_type ORDER BY day " +
+            "ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)"))
+        .withColumn("w", dayofweek($"day").cast("long"))
+        .join(broadcast(dow), Seq("event_type", "w"))
+        .join(broadcast(grand), Seq("event_type"))
+        .select($"event_type", $"day".cast("timestamp").as("day"),
+          $"v".as("cents"), $"trend",
+          ($"wmean" - $"gmean").as("seasonal"),
+          ($"v" - $"trend" - ($"wmean" - $"gmean")).as("residual"))
+        .orderBy($"event_type", $"day")
+    }),
+
   )
 
   /** One UNION ALL arm of the q112 oracle — the count-of-counts
@@ -951,6 +992,40 @@ object Insights {
          FROM h JOIN n ON n.event_type = h.event_type
          WHERE h.step = n.n_days
          ORDER BY n.event_type""",
+
+    "q127_seasonal_decompose" ->
+      """WITH daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS v
+           FROM events GROUP BY 1, 2),
+         grand AS (
+           SELECT event_type,
+             CAST(sum(v) // count(*) AS BIGINT) AS gmean
+           FROM daily GROUP BY 1),
+         dw AS (
+           SELECT event_type,
+             CAST(dayofweek(day) + 1 AS BIGINT) AS w,
+             CAST(sum(v) // count(*) AS BIGINT) AS wmean
+           FROM daily GROUP BY 1, 2),
+         tr AS (
+           SELECT event_type, day, v,
+             CAST(sum(v) OVER (PARTITION BY event_type ORDER BY day
+                 ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) //
+               count(*) OVER (PARTITION BY event_type ORDER BY day
+                 ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+               AS BIGINT) AS trend
+           FROM daily)
+         SELECT tr.event_type, CAST(tr.day AS TIMESTAMP) AS day,
+           tr.v AS cents, tr.trend,
+           CAST(dw.wmean - g.gmean AS BIGINT) AS seasonal,
+           CAST(tr.v - tr.trend - (dw.wmean - g.gmean) AS BIGINT)
+             AS residual
+         FROM tr
+         JOIN dw ON dw.event_type = tr.event_type
+                AND dw.w = dayofweek(tr.day) + 1
+         JOIN grand g ON g.event_type = tr.event_type
+         ORDER BY tr.event_type, tr.day""",
 
     "q125_two_sample_ks" ->
       """WITH o AS (

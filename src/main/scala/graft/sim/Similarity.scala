@@ -939,6 +939,34 @@ object Similarity {
         .orderBy(col("q_id"))
     }),
 
+    // Attribute-filtered vector search: top-5 cosine neighbors
+    // RESTRICTED to the query's own label — the filtered-ANN serving
+    // shape (metadata predicate + vector similarity) every production
+    // vector store exposes. This is the PRE-FILTER strategy: the
+    // predicate applies before ranking, so recall within the filtered
+    // set is exact by construction (post-filtering an unfiltered
+    // top-k loses results when the filter is selective — the
+    // documented trade-off; an IVF-backed variant would carry the
+    // filter into the cells). Same broadcast-query + codegen-cosine
+    // scan as ann_bruteforce, one extra row-local equality.
+    "ann_filtered" -> ((s, d) => {
+      val e = Tables.load(s, d, "embeddings")
+      val q = e.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+          col("embedding").as("q_emb"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(desc("cosine"), col("vec_id"))
+      e.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("q_id") &&
+          col("label") === col("q_label"))
+        .withColumn("cosine", cosine(col("q_emb"), col("embedding")))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 5)
+        .select(col("q_id"), col("rank"), col("vec_id"),
+          col("label").cast("long").as("label"), col("cosine"))
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
     // Hybrid retrieval with Reciprocal Rank Fusion (Cormack et al.
     // 2009): per query, the exact-cosine vector top-10 and the
     // TF-IDF lexical top-10 fused by Σ 1/(60 + rank) — the standard
@@ -1551,6 +1579,36 @@ object Similarity {
            FROM pairs)
          SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id, cosine
          FROM ranked WHERE rank <= 10 ORDER BY q_id, rank""",
+
+    // ann_bruteforce's cosine folds plus the label equality.
+    "ann_filtered" ->
+      """WITH q AS (SELECT vec_id AS q_id, label AS q_label,
+                      embedding AS q_emb
+                    FROM embeddings WHERE vec_id % 100 = 0),
+         pairs AS (
+           SELECT q.q_id, e.vec_id, e.label,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(range(1, len(q.q_emb) + 1),
+                 i -> CAST(q.q_emb[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))),
+               (x, y) -> x + y) /
+             (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(range(1, len(q.q_emb) + 1),
+                 i -> CAST(q.q_emb[i] AS DOUBLE) * CAST(q.q_emb[i] AS DOUBLE))),
+               (x, y) -> x + y)) *
+              sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(range(1, len(e.embedding) + 1),
+                 i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))),
+               (x, y) -> x + y))) AS cosine
+           FROM embeddings e CROSS JOIN q
+           WHERE e.vec_id <> q.q_id AND e.label = q.q_label),
+         ranked AS (
+           SELECT q_id, vec_id, label, cosine,
+             row_number() OVER (PARTITION BY q_id
+               ORDER BY cosine DESC, vec_id) AS rank
+           FROM pairs)
+         SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id,
+           CAST(label AS BIGINT) AS label, cosine
+         FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""",
 
     // Composes the ann_bruteforce replay (vector ranks) with the
     // dedup_tfidf_cosine replay scoped to the query docs (lexical

@@ -561,6 +561,36 @@ class InsightsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("seasonal decomposition: identity holds, trend matches brute MA") {
+    val rows = Insights.queries("q127_seasonal_decompose")(spark, sf)
+      .selectExpr("event_type", "cast(day as date) as day", "cents",
+        "trend", "seasonal", "residual")
+      .as[(String, java.sql.Date, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    // additive identity is exact by construction
+    rows.foreach { case (et, d, v, t, sn, r) =>
+      assert(v == t + sn + r, s"$et $d identity")
+    }
+    // brute-force the centered MA per type
+    rows.groupBy(_._1).values.foreach { series =>
+      val byDay = series.sortBy(_._2.toLocalDate.toEpochDay)
+      byDay.zipWithIndex.foreach { case ((et, d, _, t, _, _), i) =>
+        val win = byDay.slice(math.max(0, i - 3),
+          math.min(byDay.length, i + 4))
+        assert(t == win.map(_._3).sum / win.length, s"$et $d trend")
+      }
+    }
+    // seasonal components sum to ~0 over the dow means (floor-div
+    // slack of at most 7 per type)
+    rows.groupBy(_._1).values.foreach { series =>
+      val dows = series.map(r =>
+        (r._2.toLocalDate.getDayOfWeek.getValue, r._5)).distinct
+      assert(math.abs(dows.map(_._2).sum) <=
+        series.map(_._3).max, "seasonal mass implausible")
+    }
+    spark.catalog.clearCache()
+  }
+
   test("curriculum index is contiguous and difficulty-monotone") {
     val rows = graft.SparkEntry.queries("pipeline_curriculum")(spark, sf)
       .selectExpr("curriculum_idx", "n_tokens")

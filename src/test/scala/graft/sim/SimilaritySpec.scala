@@ -343,6 +343,39 @@ class SimilaritySpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("filtered search: label predicate exact, ranks match brute force") {
+    val got = graft.SparkEntry.queries("ann_filtered")(spark, sf)
+      .as[(Long, Long, Long, Long, Double)].collect()
+    assert(got.nonEmpty)
+    val e = graft.Tables.load(spark, sf, "embeddings")
+      .selectExpr("vec_id", "label", "embedding")
+      .as[(Long, Int, Array[Float])].collect()
+    val labels = e.map(r => r._1 -> r._2).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i)
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val byQ = got.groupBy(_._1)
+    byQ.foreach { case (q, rows) =>
+      val qRow = e.find(_._1 == q).get
+      // every result carries the query's label
+      rows.foreach { case (_, _, v, lab, _) =>
+        assert(lab == labels(q).toLong, s"query $q hit $v label")
+      }
+      // ranks agree with a brute force restricted to the label
+      val want = e.filter(r => r._1 != q && r._2 == qRow._2)
+        .map(r => (r._1, cos(qRow._3, r._3)))
+        .sortBy { case (v, c) => (-c, v) }.take(5)
+      assert(rows.sortBy(_._2).map(_._3).toSeq == want.map(_._1).toSeq,
+        s"query $q ordering")
+    }
+    spark.catalog.clearCache()
+  }
+
   test("participation ratio matches driver covariance and sits in [1, d]") {
     val (nDims, trace, frob2, pr) =
       graft.SparkEntry.queries("emb_effective_dim")(spark, sf)
