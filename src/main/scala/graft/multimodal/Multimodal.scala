@@ -300,6 +300,22 @@ object Multimodal {
       vad(pack(s, d, spreadDocs = true)
         .filter(length($"payload") > 0))
         .orderBy($"doc_id")
+    }),
+
+    // Scene-cut detection — the VISUAL segmentation twin of
+    // mm_audio_vad: consecutive-frame signature differences above an
+    // adaptive (integer-mean) threshold mark shot boundaries, the
+    // pass a video pipeline runs before per-shot frame sampling
+    // (mm_frame_sample's uniform stride wastes decode budget inside
+    // static shots). Same batched kernel seam; the stub frame
+    // signature is the 160-byte-frame byte sum, so the whole op
+    // replays in DuckDB and is oracle-exact; a real histogram/SSIM
+    // detector swaps into the seam.
+    "mm_scene_cut" -> ((s, d) => {
+      import s.implicits._
+      sceneCuts(pack(s, d, spreadDocs = true)
+        .filter(length($"payload") > 0))
+        .orderBy($"doc_id")
     }))
 
   /** Per-item VAD output: frame count, voiced-frame count, voiced
@@ -351,6 +367,49 @@ object Multimodal {
       .toDF()
   }
 
+  /** Per-item scene-cut output: frame count, boundary count, floor
+    * mean shot length — all exact integers.
+    */
+  case class SceneCuts(
+      doc_id: Long, n_frames: Long, n_cuts: Long, mean_shot_len: Long)
+
+  /** A scene-cut kernel (histogram/SSIM detectors plug in): the stub
+    * takes 160-byte-frame byte-sum signatures and thresholds the
+    * consecutive-frame absolute difference at its integer mean.
+    */
+  type SceneKernel = Seq[MediaPayload] => Seq[SceneCuts]
+
+  val stubSceneKernel: SceneKernel = batch => batch.map { r =>
+    val e = r.payload.grouped(160)
+      .map(_.map(b => (b & 0xff).toLong).sum).toArray
+    val n = e.length.toLong
+    if (n <= 1L) SceneCuts(r.doc_id, n, 0L, n)
+    else {
+      val diffs = e.sliding(2).map {
+        case Array(a, b) => math.abs(b - a)
+        case _ => 0L
+      }.toArray
+      val th = diffs.sum / diffs.length
+      val cuts = diffs.count(_ > th).toLong
+      SceneCuts(r.doc_id, n, cuts, n / (cuts + 1L))
+    }
+  }
+
+  /** Batched scene-cut detection — fourth consumer of the kernel
+    * seam; same shape and partitioning contract as decode/embed/vad.
+    */
+  def sceneCuts(packed: DataFrame, batchSize: Int = 64,
+      kernel: SceneKernel = stubSceneKernel): DataFrame = {
+    val s = packed.sparkSession
+    import s.implicits._
+    packed.select("doc_id", "payload")
+      .as[MediaPayload]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap(batch => kernel(batch))
+      }
+      .toDF()
+  }
+
   /** The stub decode is pure byte-length arithmetic, so DuckDB can
     * replay it from length(text) (ASCII corpus: chars == bytes).
     */
@@ -362,6 +421,39 @@ object Multimodal {
     .mkString(", ")
 
   def oracles: Map[String, String] = Map(
+
+    // The VAD frame CTE with consecutive-diff lists instead of the
+    // threshold flags; all integer.
+    "mm_scene_cut" ->
+      """WITH m AS (
+           SELECT d.doc_id, d.text
+           FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+         f AS (
+           SELECT doc_id,
+             list_transform(range(0, (len(text) + 159) // 160), fr ->
+               list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(
+                   range(fr * 160 + 1,
+                     least((fr + 1) * 160, len(text)) + 1),
+                   i -> CAST(ascii(text[i]) AS BIGINT))),
+                 (a, b) -> a + b)) AS fe
+           FROM m WHERE len(text) > 0),
+         dl AS (
+           SELECT doc_id, CAST(len(fe) AS BIGINT) AS n_frames,
+             list_transform(range(2, len(fe) + 1),
+               i -> abs(fe[i] - fe[i - 1])) AS diffs
+           FROM f),
+         c AS (
+           SELECT doc_id, n_frames,
+             CASE WHEN n_frames <= 1 THEN 0
+               ELSE len(list_filter(diffs, x ->
+                 x > list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   diffs), (a, b) -> a + b) // len(diffs)))
+             END AS n_cuts
+           FROM dl)
+         SELECT doc_id, n_frames, CAST(n_cuts AS BIGINT) AS n_cuts,
+           CAST(n_frames // (n_cuts + 1) AS BIGINT) AS mean_shot_len
+         FROM c ORDER BY doc_id""",
 
     // Frame energies from ascii() byte sums (chars == bytes on the
     // ASCII corpus), integer-mean threshold, then the q113

@@ -846,6 +846,40 @@ object Insights {
         .orderBy($"event_type", $"day")
     }),
 
+    // Bounce-rate by landing action: of the 30-minute gap sessions
+    // (q15's sessionization made session-grained), how many end after
+    // a single event, split by the session's FIRST event type — the
+    // engagement read behind every landing-page report. Session ids
+    // are (user, running new-session count) off one per-user window
+    // pass (high-cardinality partitions); the rest is two
+    // enum-bounded aggregates. Exact counts, one display divide.
+    "q128_bounce_rate" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val sess = Tables.load(s, d, "events")
+        .withColumn("prev_us", lag(unix_micros($"ts"), 1).over(w))
+        .withColumn("new_sess",
+          when($"prev_us".isNull ||
+            unix_micros($"ts") - $"prev_us" > 1800L * 1000000L, 1L)
+            .otherwise(0L))
+        .withColumn("sess_id", sum($"new_sess").over(
+          Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+            .rowsBetween(Window.unboundedPreceding, 0)))
+      sess.groupBy($"user_id", $"sess_id")
+        .agg(count(lit(1)).as("n_events"),
+          min(struct($"ts", $"event_id", $"event_type")).as("first"))
+        .select($"first.event_type".as("landing"), $"n_events")
+        .groupBy($"landing")
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(when($"n_events" === 1L, 1L).otherwise(0L))
+            .as("n_bounce"),
+          sum($"n_events").as("n_events"))
+        .select($"landing", $"n_sessions", $"n_bounce", $"n_events",
+          round($"n_bounce".cast("double") /
+            $"n_sessions".cast("double"), 6).as("bounce_rate"))
+        .orderBy($"landing")
+    }),
+
   )
 
   /** One UNION ALL arm of the q112 oracle — the count-of-counts
@@ -992,6 +1026,42 @@ object Insights {
          FROM h JOIN n ON n.event_type = h.event_type
          WHERE h.step = n.n_days
          ORDER BY n.event_type""",
+
+    "q128_bounce_rate" ->
+      """WITH e AS (
+           SELECT user_id, event_id, event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+             CAST(ts AS TIMESTAMP) AS tsu
+           FROM events),
+         marked AS (
+           SELECT user_id, event_id, event_type, us, tsu,
+             CASE WHEN lag(us) OVER (PARTITION BY user_id
+                    ORDER BY tsu, event_id) IS NULL
+                    OR us - lag(us) OVER (PARTITION BY user_id
+                         ORDER BY tsu, event_id) > 1800 * 1000000
+                  THEN 1 ELSE 0 END AS new_sess
+           FROM e),
+         sess AS (
+           SELECT user_id, event_id, event_type, tsu,
+             CAST(sum(new_sess) OVER (PARTITION BY user_id
+               ORDER BY tsu, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS sess_id
+           FROM marked),
+         g AS (
+           SELECT user_id, sess_id,
+             CAST(count(*) AS BIGINT) AS n_events,
+             min({'ts': tsu, 'event_id': event_id,
+                  'event_type': event_type}).event_type AS landing
+           FROM sess GROUP BY 1, 2)
+         SELECT landing, CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_bounce,
+           CAST(sum(n_events) AS BIGINT) AS n_events,
+           round(CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+               AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+             AS bounce_rate
+         FROM g GROUP BY landing ORDER BY landing""",
 
     "q127_seasonal_decompose" ->
       """WITH daily AS (

@@ -96,6 +96,34 @@ class MultimodalSpec extends SparkSpec {
     }
     spark.catalog.clearCache()
   }
+
+  test("scene cuts match a driver-side frame-difference recompute") {
+    val sf = "/root/testdata/sf0.001"
+    val got = graft.SparkEntry.queries("mm_scene_cut")(spark, sf)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got.nonEmpty)
+    val docs = Multimodal.pack(spark, sf)
+      .selectExpr("doc_id", "cast(payload as string) as text")
+      .as[(Long, String)].collect().filter(_._2.nonEmpty)
+    docs.foreach { case (id, text) =>
+      val e = text.getBytes("UTF-8").grouped(160)
+        .map(_.map(b => (b & 0xff).toLong).sum).toArray
+      val (wantCuts, wantMean) =
+        if (e.length <= 1) (0L, e.length.toLong)
+        else {
+          val diffs = e.sliding(2).map(w => math.abs(w(1) - w(0))).toArray
+          val th = diffs.sum / diffs.length
+          val cuts = diffs.count(_ > th).toLong
+          (cuts, e.length / (cuts + 1L))
+        }
+      val (_, nF, nC, mean) = got(id)
+      assert(nF == e.length, s"doc $id frames")
+      assert(nC == wantCuts, s"doc $id cuts")
+      assert(mean == wantMean, s"doc $id mean shot")
+    }
+    spark.catalog.clearCache()
+  }
 }
 
 object MultimodalSpec {

@@ -591,6 +591,48 @@ class InsightsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("bounce rate matches a driver-side sessionization walk") {
+    val rows = Insights.queries("q128_bounce_rate")(spark, sf)
+      .as[(String, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(rows.nonEmpty)
+    val ev = graft.Tables.load(spark, sf, "events")
+      .selectExpr("user_id", "event_id", "event_type",
+        "unix_micros(ts) as us")
+      .as[(Long, Long, String, Long)].collect()
+    // driver sessionization: 30-min gaps in (ts, event_id) order
+    val sessions = ev.groupBy(_._1).values.flatMap { es =>
+      val sorted = es.sortBy(e => (e._4, e._2))
+      val out = scala.collection.mutable.ListBuffer
+        .empty[List[(Long, Long, String, Long)]]
+      var cur = List.empty[(Long, Long, String, Long)]
+      var prev = Long.MinValue
+      sorted.foreach { e =>
+        if (prev != Long.MinValue && e._4 - prev <= 1800L * 1000000L)
+          cur = e :: cur
+        else {
+          if (cur.nonEmpty) out += cur
+          cur = List(e)
+        }
+        prev = e._4
+      }
+      if (cur.nonEmpty) out += cur
+      out
+    }.toSeq
+    val byLanding = sessions.groupBy(s =>
+      s.minBy(e => (e._4, e._2))._3)
+    rows.foreach { case (landing, (_, nS, nB, nE, rate)) =>
+      val ss = byLanding(landing)
+      assert(nS == ss.length, s"$landing sessions")
+      assert(nB == ss.count(_.length == 1), s"$landing bounces")
+      assert(nE == ss.map(_.length.toLong).sum, s"$landing events")
+      assert(math.abs(rate - nB.toDouble / nS) < 1e-5)
+    }
+    assert(rows.values.map(_._4).sum == ev.length,
+      "sessions tile the event stream")
+    spark.catalog.clearCache()
+  }
+
   test("curriculum index is contiguous and difficulty-monotone") {
     val rows = graft.SparkEntry.queries("pipeline_curriculum")(spark, sf)
       .selectExpr("curriculum_idx", "n_tokens")
