@@ -880,6 +880,51 @@ object Insights {
         .orderBy($"landing")
     }),
 
+    // Contingency effect sizes: q92's chi-square carried through to
+    // the numbers that are actually comparable across tables —
+    // Cramér's V (chi²/(n·(min(r,c)−1)), the standardized [0,1]
+    // association strength), φ, and Pearson's contingency
+    // coefficient. "Significant" at 100 TB is meaningless (any
+    // association is significant at n = 10¹¹); the EFFECT SIZE is
+    // the decision number, which is why this is its own operator.
+    // chi² replays q92's decimal-exact sorted fold; the effect sizes
+    // are fixed IEEE expressions of (raw chi², n), round(4).
+    "q130_effect_sizes" -> ((s, d) => {
+      import s.implicits._
+      val cells = Tables.load(s, d, "events")
+        .select($"event_type", dayofweek(to_date($"ts")).cast("long")
+          .as("dow"))
+        .groupBy($"event_type", $"dow").agg(count(lit(1)).as("obs"))
+      val wr = Window.partitionBy($"event_type")
+      val wc = Window.partitionBy($"dow")
+      cells
+        .withColumn("row_n", sum($"obs").over(wr))
+        .withColumn("col_n", sum($"obs").over(wc))
+        .groupBy()
+        .agg(sum($"obs").as("n"),
+          countDistinct($"event_type").as("n_types"),
+          countDistinct($"dow").as("n_dows"),
+          sort_array(collect_list(struct($"event_type", $"dow",
+            $"obs", $"row_n", $"col_n"))).as("cs"))
+        .withColumn("chi2_raw", expr(
+          """aggregate(cs, cast(0.0 as double), (acc, c) ->
+             acc + cast(cast(n as decimal(38,0)) * c.obs
+                        - cast(c.row_n as decimal(38,0)) * c.col_n
+                        as double)
+                 * cast(cast(n as decimal(38,0)) * c.obs
+                        - cast(c.row_n as decimal(38,0)) * c.col_n
+                        as double)
+                 / (cast(n as double) * c.row_n * c.col_n))"""))
+        .select($"n", $"n_types", $"n_dows",
+          round($"chi2_raw", 4).as("chi2"),
+          round(sqrt($"chi2_raw" / ($"n".cast("double") *
+            (least($"n_types", $"n_dows") - 1).cast("double"))), 4)
+            .as("cramers_v"),
+          round(sqrt($"chi2_raw" / $"n".cast("double")), 4).as("phi"),
+          round(sqrt($"chi2_raw" / ($"chi2_raw" +
+            $"n".cast("double"))), 4).as("contingency_c"))
+    }),
+
   )
 
   /** One UNION ALL arm of the q112 oracle — the count-of-counts
@@ -1026,6 +1071,47 @@ object Insights {
          FROM h JOIN n ON n.event_type = h.event_type
          WHERE h.step = n.n_days
          ORDER BY n.event_type""",
+
+    "q130_effect_sizes" ->
+      """WITH cells AS (
+           SELECT event_type,
+             CAST(dayofweek(CAST(ts AS DATE)) + 1 AS BIGINT) AS dow,
+             CAST(count(*) AS BIGINT) AS obs
+           FROM events GROUP BY 1, 2),
+         rowc AS (SELECT event_type, CAST(sum(obs) AS BIGINT) AS row_n
+                  FROM cells GROUP BY 1),
+         colc AS (SELECT dow, CAST(sum(obs) AS BIGINT) AS col_n
+                  FROM cells GROUP BY 1),
+         tot AS (SELECT CAST(sum(obs) AS BIGINT) AS n,
+                   CAST(count(DISTINCT event_type) AS BIGINT)
+                     AS n_types,
+                   CAST(count(DISTINCT dow) AS BIGINT) AS n_dows
+                 FROM cells),
+         j AS (
+           SELECT c.event_type, c.dow,
+             CAST(CAST(t.n AS HUGEINT) * c.obs
+                  - CAST(r.row_n AS HUGEINT) * l.col_n AS DOUBLE)
+               * CAST(CAST(t.n AS HUGEINT) * c.obs
+                  - CAST(r.row_n AS HUGEINT) * l.col_n AS DOUBLE)
+               / (CAST(t.n AS DOUBLE) * r.row_n * l.col_n) AS term
+           FROM cells c
+           JOIN rowc r ON c.event_type = r.event_type
+           JOIN colc l ON c.dow = l.dow
+           CROSS JOIN tot t),
+         x AS (
+           SELECT t.n, t.n_types, t.n_dows,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               (SELECT list(term ORDER BY event_type, dow) FROM j)),
+               (a, b) -> a + b) AS chi2_raw
+           FROM tot t)
+         SELECT n, n_types, n_dows, round(chi2_raw, 4) AS chi2,
+           round(sqrt(chi2_raw / (CAST(n AS DOUBLE) *
+             CAST(least(n_types, n_dows) - 1 AS DOUBLE))), 4)
+             AS cramers_v,
+           round(sqrt(chi2_raw / CAST(n AS DOUBLE)), 4) AS phi,
+           round(sqrt(chi2_raw / (chi2_raw + CAST(n AS DOUBLE))), 4)
+             AS contingency_c
+         FROM x""",
 
     "q128_bounce_rate" ->
       """WITH e AS (

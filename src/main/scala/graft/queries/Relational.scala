@@ -650,6 +650,29 @@ object Relational {
 
     "q25_stats" -> ((s, d) => momentStats(Tables.load(s, d, "events"))),
 
+    // JSON-lines WRITER coverage (the read side is exercised by the
+    // reference-surface sources): parquet → NDJSON → schema'd
+    // read-back → aggregate; integral-valued doubles + strings keep
+    // text serialization lossless, and the oracle aggregates the
+    // parquet source directly — completing the format matrix next to
+    // q23 (CSV) and q24 (ORC).
+    "q129_json_roundtrip" -> ((s, d) => {
+      import s.implicits._
+      val tmp = graft.ScratchDir.path("jsonrt")
+      Tables.load(s, d, "customer")
+        .select($"c_custkey", $"c_mktsegment", $"c_nationkey")
+        .write.mode("overwrite").json(tmp)
+      s.read
+        .schema("c_custkey bigint, c_mktsegment string, " +
+          "c_nationkey int")
+        .json(tmp)
+        .groupBy($"c_mktsegment")
+        .agg(count(lit(1)).as("n"),
+          countDistinct($"c_nationkey").as("n_nations"),
+          sum($"c_custkey").as("key_sum"))
+        .orderBy($"c_mktsegment")
+    }),
+
     "q23_csv_roundtrip" -> ((s, d) => {
       import s.implicits._
       // CSV connector coverage: parquet → csv (header + explicit
@@ -1457,6 +1480,12 @@ object Relational {
            END AS corr_vk,
            n0 AS n
          FROM m ORDER BY event_type""",
+    "q129_json_roundtrip" ->
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT c_nationkey) AS BIGINT) AS n_nations,
+           CAST(sum(c_custkey) AS BIGINT) AS key_sum
+         FROM customer GROUP BY 1 ORDER BY 1""",
+
     "q23_csv_roundtrip" ->
       """SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS sum_qty,
          count(DISTINCT l_orderkey) AS n_orders

@@ -633,6 +633,40 @@ class InsightsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("effect sizes reconcile with q92's chi2 and their identities") {
+    val (n, nT, nD, chi2, v, phi, c) =
+      Insights.queries("q130_effect_sizes")(spark, sf)
+        .as[(Long, Long, Long, Double, Double, Double, Double)]
+        .collect().head
+    // the chi2 replays q92's verified computation exactly
+    val q92 = graft.SparkEntry.queries("q92_chi_square")(spark, sf)
+      .as[(Long, Long, Double)].collect().head
+    assert(q92._1 == n && math.abs(q92._3 - chi2) < 2e-4)
+    // identities (on the rounded values, so loose tolerance)
+    assert(math.abs(phi - math.sqrt(chi2 / n)) < 1e-3)
+    assert(math.abs(v - math.sqrt(chi2 /
+      (n * (math.min(nT, nD) - 1)))) < 1e-3)
+    assert(math.abs(c - math.sqrt(chi2 / (chi2 + n))) < 1e-3)
+    assert(v >= 0 && v <= 1 && c >= 0 && c < 1)
+    spark.catalog.clearCache()
+  }
+
+  test("json roundtrip aggregate equals the direct parquet aggregate") {
+    val got = graft.SparkEntry.queries("q129_json_roundtrip")(spark, sf)
+      .as[(String, Long, Long, Long)].collect().sortBy(_._1)
+    val want = graft.Tables.load(spark, sf, "customer")
+      .groupBy($"c_mktsegment")
+      .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.countDistinct($"c_nationkey")
+          .as("nn"),
+        org.apache.spark.sql.functions.sum($"c_custkey").as("ks"))
+      .as[(String, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == want.toSeq,
+      "JSON writer/reader roundtrip lost rows or values")
+    spark.catalog.clearCache()
+  }
+
   test("curriculum index is contiguous and difficulty-monotone") {
     val rows = graft.SparkEntry.queries("pipeline_curriculum")(spark, sf)
       .selectExpr("curriculum_idx", "n_tokens")
