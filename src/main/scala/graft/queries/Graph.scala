@@ -165,6 +165,37 @@ object Graph {
         .orderBy($"bucket")
     }),
 
+    // Average neighbor degree by degree bucket — k_nn(k), the CURVE
+    // behind q100's scalar assortativity (a rising curve = hubs
+    // prefer hubs; falling = hub-and-spoke): the read that says which
+    // end of the degree distribution a skew-mitigation (salting,
+    // broadcast thresholds) must actually target. One symmetric edge
+    // expansion, two node-sized broadcast degree joins, then a
+    // log2-bucket rollup (q90's bin-length trick) — neighbor-degree
+    // mass and endpoint counts stay EXACT longs, the average is one
+    // IEEE divide per bucket row.
+    "q131_avg_neighbor_degree" -> ((s, d) => {
+      import s.implicits._
+      val e = coOccurrenceEdges(s, d)
+      val sym = e.select($"a".as("src"), $"b".as("dst"))
+        .unionAll(e.select($"b".as("src"), $"a".as("dst")))
+      val deg = sym.groupBy($"src").agg(count(lit(1)).as("deg"))
+      sym
+        .join(broadcast(deg), Seq("src"))
+        .join(broadcast(deg.select($"src".as("dst"),
+          $"deg".as("nbr_deg"))), Seq("dst"))
+        .withColumn("bucket", (length(bin($"deg")) - 1).cast("long"))
+        .groupBy($"bucket")
+        .agg(countDistinct($"src").as("n_nodes"),
+          count(lit(1)).as("n_endpoints"),
+          sum($"nbr_deg").as("nbr_deg_mass"))
+        .select($"bucket", $"n_nodes", $"n_endpoints",
+          $"nbr_deg_mass",
+          round($"nbr_deg_mass".cast("double") /
+            $"n_endpoints".cast("double"), 4).as("avg_nbr_deg"))
+        .orderBy($"bucket")
+    }),
+
     // Degree assortativity: Pearson correlation of endpoint degrees
     // over every (symmetric) edge — do hubs link to hubs (r > 0,
     // social-network shape) or to leaves (r < 0, internet/biology
@@ -751,6 +782,32 @@ object Graph {
            UNION ALL SELECT z FROM tri)
          GROUP BY p_partkey
          ORDER BY n_triangles DESC, p_partkey LIMIT 100""",
+
+    "q131_avg_neighbor_degree" ->
+      """WITH li AS (
+           SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+           FROM lineitem),
+         e AS (
+           SELECT DISTINCT x.pk AS a, y.pk AS b
+           FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk),
+         sym AS (
+           SELECT a AS src, b AS dst FROM e
+           UNION ALL SELECT b, a FROM e),
+         deg AS (
+           SELECT src, CAST(count(*) AS BIGINT) AS deg
+           FROM sym GROUP BY 1),
+         j AS (
+           SELECT s.src, d1.deg, d2.deg AS nbr_deg,
+             CAST(length(bin(d1.deg)) - 1 AS BIGINT) AS bucket
+           FROM sym s
+           JOIN deg d1 ON d1.src = s.src
+           JOIN deg d2 ON d2.src = s.dst)
+         SELECT bucket, CAST(count(DISTINCT src) AS BIGINT) AS n_nodes,
+           CAST(count(*) AS BIGINT) AS n_endpoints,
+           CAST(sum(nbr_deg) AS BIGINT) AS nbr_deg_mass,
+           round(CAST(sum(nbr_deg) AS DOUBLE) /
+             CAST(count(*) AS DOUBLE), 4) AS avg_nbr_deg
+         FROM j GROUP BY bucket ORDER BY bucket""",
 
     // q72's brute-force wedge formulation extended with the degree
     // left join and the single-divide coefficient.

@@ -267,6 +267,39 @@ object TextAnalysis {
         .orderBy($"lang")
     }),
 
+    // Token burstiness (Church–Gale): variance-to-mean ratio of
+    // per-document counts for the top-50 corpus tokens — VMR ≈ 1 is
+    // Poisson scatter (function words), VMR ≫ 1 is bursty topical
+    // concentration (content words). The signal separates "frequent
+    // because everywhere" from "frequent because a few documents are
+    // about it" — the stopword-vs-keyword cut frequency alone can't
+    // make. Zero-count documents enter the moments implicitly
+    // (Σx / Σx² over occurrences, n = corpus doc count), so nothing
+    // materializes a dense doc×token grid; top-50 selection is a
+    // vocab-bounded count + TakeOrdered; VMR = (n·Σx² − (Σx)²)/(n·Σx)
+    // with doubles cast before the BIGINT-overflowing products (q43
+    // discipline), round(4).
+    "text_burstiness" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.spread(Tables.load(s, d, "documents"))
+      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+      val perDoc = docs
+        .select($"doc_id", explode(toks($"text")).as("token"))
+        .groupBy($"token", $"doc_id").agg(count(lit(1)).as("c"))
+      val top = perDoc.groupBy($"token")
+        .agg(sum($"c").as("total_cnt"), count(lit(1)).as("df"),
+          sum($"c" * $"c").as("sxx"))
+        .orderBy($"total_cnt".desc, $"token").limit(50)
+      top.crossJoin(broadcast(nDocs))
+        .select($"token", $"total_cnt", $"df",
+          round(
+            ($"n_docs".cast("double") * $"sxx".cast("double") -
+             $"total_cnt".cast("double") * $"total_cnt".cast("double"))
+            / ($"n_docs".cast("double") * $"total_cnt".cast("double")),
+            4).as("vmr"))
+        .orderBy($"total_cnt".desc, $"token")
+    }),
+
     // Heaps'-law vocabulary growth: V(N) ≈ c·N^β over corpus ingest
     // order (doc_id as the arrival proxy) — natural language grows
     // vocabulary at β ≈ 0.4–0.6; β near 0 means a closed template
@@ -581,6 +614,29 @@ object TextAnalysis {
            FROM f)
          SELECT lang, rank, token, n FROM r
          WHERE rank <= 20 ORDER BY lang, rank""",
+    "text_burstiness" ->
+      """WITH perdoc AS (
+           SELECT token, doc_id, CAST(count(*) AS BIGINT) AS c FROM (
+             SELECT doc_id,
+               unnest(string_split_regex(lower(text), '\s+')) AS token
+             FROM documents)
+           GROUP BY 1, 2),
+         nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs
+                FROM documents),
+         top AS (
+           SELECT token, CAST(sum(c) AS BIGINT) AS total_cnt,
+             CAST(count(*) AS BIGINT) AS df,
+             CAST(sum(c * c) AS BIGINT) AS sxx
+           FROM perdoc GROUP BY 1
+           ORDER BY total_cnt DESC, token LIMIT 50)
+         SELECT token, total_cnt, df,
+           round(
+             (CAST(n_docs AS DOUBLE) * CAST(sxx AS DOUBLE) -
+              CAST(total_cnt AS DOUBLE) * CAST(total_cnt AS DOUBLE))
+             / (CAST(n_docs AS DOUBLE) * CAST(total_cnt AS DOUBLE)),
+             4) AS vmr
+         FROM top, nd ORDER BY total_cnt DESC, token""",
+
     "text_heaps_fit" ->
       """WITH bounds AS (
            SELECT min(doc_id) AS lo, max(doc_id) AS hi

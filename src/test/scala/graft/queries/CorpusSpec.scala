@@ -258,4 +258,25 @@ class CorpusSpec extends SparkSpec {
     assert(rows.head._4 >= 0.0 && rows.head._4 < 1.0)
     spark.catalog.clearCache()
   }
+
+  test("burstiness VMR matches a driver recompute with zero docs counted") {
+    val got = graft.SparkEntry.queries("text_burstiness")(spark, sf)
+      .as[(String, Long, Long, Double)].collect()
+    assert(got.nonEmpty)
+    val docs = graft.Tables.load(spark, sf, "documents")
+      .selectExpr("doc_id", "split(lower(text), '\\\\s+') as t")
+      .as[(Long, Array[String])].collect()
+    val nDocs = docs.length.toDouble
+    got.foreach { case (token, total, df, vmr) =>
+      val perDoc = docs.map(_._2.count(_ == token).toLong)
+      assert(total == perDoc.sum, token)
+      assert(df == perDoc.count(_ > 0), token)
+      // moments INCLUDING zero-count docs
+      val mean = perDoc.sum / nDocs
+      val varr = perDoc.map(c => c * c).sum / nDocs - mean * mean
+      assert(math.abs(vmr - varr / mean) < 1e-3, token)
+      assert(vmr > 0.0, token)
+    }
+    spark.catalog.clearCache()
+  }
 }

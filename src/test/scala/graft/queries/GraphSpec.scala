@@ -287,4 +287,33 @@ class GraphSpec extends SparkSpec {
     }
     spark.catalog.clearCache()
   }
+
+  test("avg neighbor degree matches a brute-force recompute per bucket") {
+    val got = graft.SparkEntry.queries("q131_avg_neighbor_degree")(
+      spark, sf).as[(Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got.nonEmpty)
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select($"l_orderkey".cast("long"), $"l_partkey".cast("long"))
+      .distinct().as[(Long, Long)].collect()
+    val edges = li.groupBy(_._1).values.flatMap { items =>
+      val ps = items.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length)
+        yield (ps(i), ps(j))
+    }.toSet
+    val adj = edges.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    val deg = adj.map { case (k, v) => k -> v.length.toLong }
+    def bucket(d: Long) = 63 - java.lang.Long.numberOfLeadingZeros(d)
+    val byBucket = adj.toSeq.groupBy { case (n, _) => bucket(deg(n)) }
+    assert(got.keySet == byBucket.keySet.map(_.toLong))
+    byBucket.foreach { case (b, nodes) =>
+      val endpoints = nodes.map(_._2.length.toLong).sum
+      val mass = nodes.flatMap(_._2).map(deg).sum
+      val (_, nN, nE, m, avg) = got(b.toLong)
+      assert(nN == nodes.length && nE == endpoints && m == mass, s"b$b")
+      assert(math.abs(avg - mass.toDouble / endpoints) < 1e-3)
+    }
+    spark.catalog.clearCache()
+  }
 }
