@@ -925,6 +925,89 @@ object Insights {
             $"n".cast("double"))), 4).as("contingency_c"))
     }),
 
+    // Lagged autocorrelation (ACF, lags 1–7) of daily value per event
+    // type — "how much does today predict tomorrow / next week": the
+    // memory-length read that picks q94's seasonal lag and sizes
+    // q127's MA window. Defined as the lagged-pair Pearson (both
+    // endpoints must exist — no imputation), computed per (type, lag)
+    // from exact long moments with the q43 fixed-IEEE assembly. The
+    // lag join runs on the domain-bounded daily table (|types| ×
+    // span), never on events.
+    "q132_acf" -> ((s, d) => {
+      import s.implicits._
+      val daily = Tables.load(s, d, "events")
+        .select($"event_type", to_date($"ts").as("day"),
+          round($"value" * 100).cast("long").as("cents"))
+        .groupBy($"event_type", $"day").agg(sum($"cents").as("v"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val lags = daily.select($"event_type", $"day", $"v".as("v1"),
+          explode(sequence(lit(1), lit(7))).as("lag"))
+        .withColumn("day2", date_add($"day", $"lag"))
+      lags.join(daily.select($"event_type", $"day".as("day2"),
+          $"v".as("v2")), Seq("event_type", "day2"))
+        .groupBy($"event_type", $"lag".cast("long").as("lag"))
+        .agg(count(lit(1)).as("n"), sum($"v1").as("sx"),
+          sum($"v2").as("sy"), sum($"v1" * $"v1").as("sxx"),
+          sum($"v2" * $"v2").as("syy"), sum($"v1" * $"v2").as("sxy"))
+        .select($"event_type", $"lag", $"n",
+          round(
+            ($"n".cast("double") * $"sxy".cast("double") -
+             $"sx".cast("double") * $"sy".cast("double")) /
+            (sqrt($"n".cast("double") * $"sxx".cast("double") -
+               $"sx".cast("double") * $"sx".cast("double")) *
+             sqrt($"n".cast("double") * $"syy".cast("double") -
+               $"sy".cast("double") * $"sy".cast("double"))), 4)
+            .as("acf"))
+        .orderBy($"event_type", $"lag")
+    }),
+
+    // Spend-segment migration matrix: customers terciled by spend in
+    // each half of the date span, transitions counted (with segment 0
+    // = inactive that period) — q83's RFM made LONGITUDINAL: "are
+    // high-value customers churning or are low-value ones upgrading"
+    // is a question about the OFF-DIAGONAL mass, invisible to any
+    // single-period segmentation. Per-period ranks ride PrefixSum's
+    // global (period, spend) scan minus a 2-row period-offset
+    // broadcast (q79's discipline — a window partitioned by period
+    // would put half the corpus in one task); terciles are exact
+    // integer arithmetic; the matrix is ≤ 4×4.
+    "q133_rfm_migration" -> ((s, d) => {
+      import s.implicits._
+      val o = Tables.load(s, d, "orders")
+        .select($"o_custkey", to_date($"o_orderdate").as("day"),
+          round($"o_totalprice" * 100).cast("long").as("cents"))
+      val bounds = o.agg(min($"day").as("d0"), max($"day").as("d1"))
+      val per = o.crossJoin(broadcast(bounds))
+        .select($"o_custkey",
+          when(datediff($"day", $"d0") * 2 < datediff($"d1", $"d0"),
+            1L).otherwise(2L).as("period"), $"cents")
+        .groupBy($"period", $"o_custkey")
+        .agg(sum($"cents").as("spend"))
+        // feeds the rank scan AND the per-period counts
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val ranked = graft.ops.PrefixSum.runningTotal(
+        per.withColumn("one", lit(1L)),
+        Seq($"period", $"spend".desc, $"o_custkey"), $"one", "grn")
+      val w2 = Window.orderBy($"period")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offs = per.groupBy($"period").agg(count(lit(1)).as("n_p"))
+        // 2 rows — the global window is constant-sized
+        .withColumn("off", coalesce(sum($"n_p").over(w2), lit(0L)))
+      val seg = ranked.join(broadcast(offs), Seq("period"))
+        .select($"period", $"o_custkey",
+          expr("(grn - off - 1) * 3 div n_p + 1").as("seg"))
+      seg.filter($"period" === 1)
+        .select($"o_custkey", $"seg".as("s1"))
+        .join(seg.filter($"period" === 2)
+          .select($"o_custkey", $"seg".as("s2")),
+          Seq("o_custkey"), "full_outer")
+        .select(coalesce($"s1", lit(0L)).as("seg_p1"),
+          coalesce($"s2", lit(0L)).as("seg_p2"))
+        .groupBy($"seg_p1", $"seg_p2")
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy($"seg_p1", $"seg_p2")
+    }),
+
   )
 
   /** One UNION ALL arm of the q112 oracle — the count-of-counts
@@ -1071,6 +1154,69 @@ object Insights {
          FROM h JOIN n ON n.event_type = h.event_type
          WHERE h.step = n.n_days
          ORDER BY n.event_type""",
+
+    "q133_rfm_migration" ->
+      """WITH o AS (
+           SELECT o_custkey, CAST(o_orderdate AS DATE) AS day,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+           FROM orders),
+         bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM o),
+         per AS (
+           SELECT CASE WHEN (day - d0) * 2 < (d1 - d0) THEN 1 ELSE 2
+             END AS period, o_custkey,
+             CAST(sum(cents) AS BIGINT) AS spend
+           FROM o, bounds GROUP BY 1, 2),
+         r AS (
+           SELECT period, o_custkey,
+             CAST(row_number() OVER (PARTITION BY period
+               ORDER BY spend DESC, o_custkey) AS BIGINT) AS rn,
+             CAST(count(*) OVER (PARTITION BY period) AS BIGINT)
+               AS n_p
+           FROM per),
+         seg AS (
+           SELECT period, o_custkey, (rn - 1) * 3 // n_p + 1 AS seg
+           FROM r),
+         j AS (
+           SELECT coalesce(a.seg, 0) AS seg_p1,
+             coalesce(b.seg, 0) AS seg_p2
+           FROM (SELECT * FROM seg WHERE period = 1) a
+           FULL OUTER JOIN (SELECT * FROM seg WHERE period = 2) b
+             ON b.o_custkey = a.o_custkey)
+         SELECT CAST(seg_p1 AS BIGINT) AS seg_p1,
+           CAST(seg_p2 AS BIGINT) AS seg_p2,
+           CAST(count(*) AS BIGINT) AS n_customers
+         FROM j GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q132_acf" ->
+      """WITH daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS v
+           FROM events GROUP BY 1, 2),
+         lagged AS (
+           SELECT a.event_type, l.lag, a.v AS v1, b.v AS v2
+           FROM daily a
+           CROSS JOIN (SELECT unnest(range(1, 8)) AS lag) l
+           JOIN daily b ON b.event_type = a.event_type
+                       AND b.day = a.day + CAST(l.lag AS INTEGER)),
+         m AS (
+           SELECT event_type, CAST(lag AS BIGINT) AS lag,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(v1) AS BIGINT) AS sx,
+             CAST(sum(v2) AS BIGINT) AS sy,
+             CAST(sum(v1 * v1) AS BIGINT) AS sxx,
+             CAST(sum(v2 * v2) AS BIGINT) AS syy,
+             CAST(sum(v1 * v2) AS BIGINT) AS sxy
+           FROM lagged GROUP BY 1, 2)
+         SELECT event_type, lag, n,
+           round(
+             (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+              CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+             (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+                CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+              sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) -
+                CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 4) AS acf
+         FROM m ORDER BY event_type, lag""",
 
     "q130_effect_sizes" ->
       """WITH cells AS (

@@ -939,6 +939,57 @@ object Similarity {
         .orderBy(col("q_id"))
     }),
 
+    // Embedding centroid drift: first corpus half vs second (vec_id
+    // order as the ingest proxy) — did the encoder, the upstream
+    // corpus mix, or a preprocessing change move the embedding
+    // distribution between ingest epochs. The emb twin of
+    // text_divergence's KL monitor: per-half per-dim means on the
+    // exact floor(v·1e6) grid (emb_label_centroids' quantizer with a
+    // computed half label), then ONE cosine + exact integer micro
+    // shifts between two d-length vectors. A drifting centroid
+    // invalidates IVF codebooks and ANN recall certifications — this
+    // is the number that says "retrain the index". Caveat (spec-
+    // pinned): for near-zero-mean embeddings the centroids are small
+    // noise vectors and the ANGLE is arbitrary — read the micro-shift
+    // MAGNITUDE columns in that regime, the cosine only when the
+    // centroid norm is itself large.
+    "emb_drift" -> ((s, d) => {
+      val e = Tables.spread(Tables.load(s, d, "embeddings"))
+      val bounds = e.agg(min(col("vec_id")).as("lo"),
+        max(col("vec_id")).as("hi"))
+      val pe = e.crossJoin(broadcast(bounds))
+        .select(when(col("vec_id") * 2 < col("lo") + col("hi"),
+          lit("a")).otherwise(lit("b")).as("half"),
+          posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("half"), col("pos"))
+        .agg(sum(floor(col("v").cast("double") * 1000000.0)
+          .cast("long")).as("sq"), count(lit(1)).as("n"))
+        .select(col("half"), col("pos"), col("n"),
+          floor(col("sq").cast("double") / col("n")).cast("long")
+            .as("mq"))
+      val cent = pe.groupBy(col("half"))
+        .agg(max(col("n")).as("n_vecs"),
+          expr("transform(sort_array(collect_list(struct(pos, mq)))," +
+            " x -> x.mq)").as("c"))
+      val a = cent.filter(col("half") === "a")
+        .select(col("n_vecs").as("n_a"), col("c").as("ca"))
+      val b = cent.filter(col("half") === "b")
+        .select(col("n_vecs").as("n_b"), col("c").as("cb"))
+      a.crossJoin(b) // two one-row frames
+        .select(col("n_a").cast("long").as("n_a"),
+          col("n_b").cast("long").as("n_b"),
+          round(graft.dedup.Dedup.cosine(
+            expr("transform(ca, x -> CAST(x AS DOUBLE))"),
+            expr("transform(cb, x -> CAST(x AS DOUBLE))")), 6)
+            .as("centroid_cosine"),
+          expr("""aggregate(zip_with(ca, cb, (x, y) -> abs(x - y)),
+              CAST(0 AS BIGINT), (acc, v) -> acc + v)
+              div CAST(size(ca) AS BIGINT)""")
+            .as("mean_abs_shift_micros"),
+          expr("array_max(zip_with(ca, cb, (x, y) -> abs(x - y)))")
+            .as("max_abs_shift_micros"))
+    }),
+
     // Attribute-filtered vector search: top-5 cosine neighbors
     // RESTRICTED to the query's own label — the filtered-ANN serving
     // shape (metadata predicate + vector similarity) every production
@@ -1579,6 +1630,45 @@ object Similarity {
            FROM pairs)
          SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id, cosine
          FROM ranked WHERE rank <= 10 ORDER BY q_id, rank""",
+
+    // The centroids replay with a computed half label, micro-long
+    // centroid lists, and the index-order cosine fold.
+    "emb_drift" ->
+      s"""WITH bounds AS (
+           SELECT min(vec_id) AS lo, max(vec_id) AS hi
+           FROM embeddings),
+         pe AS (
+           SELECT CASE WHEN vec_id * 2 < lo + hi THEN 'a' ELSE 'b'
+             END AS half,
+             unnest(list_transform(embedding,
+               v -> CAST(floor(CAST(v AS DOUBLE) * 1000000.0)
+                 AS BIGINT))) AS q,
+             unnest(range(1, len(embedding) + 1)) AS pos
+           FROM embeddings, bounds),
+         cent AS (
+           SELECT half, pos, CAST(count(*) AS BIGINT) AS n,
+             CAST(floor(CAST(CAST(sum(q) AS BIGINT) AS DOUBLE)
+               / count(*)) AS BIGINT) AS mq
+           FROM pe GROUP BY 1, 2),
+         cvec AS (
+           SELECT half, max(n) AS n_vecs,
+             list(mq ORDER BY pos) AS c
+           FROM cent GROUP BY half),
+         ab AS (
+           SELECT a.n_vecs AS n_a, a.c AS ca, b.n_vecs AS n_b,
+             b.c AS cb
+           FROM cvec a, cvec b
+           WHERE a.half = 'a' AND b.half = 'b')
+         SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           round(${cosSql("ca", "cb")}, 6) AS centroid_cosine,
+           CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(range(1, len(ca) + 1),
+                 i -> abs(ca[i] - cb[i]))), (a, b) -> a + b)
+             // len(ca) AS BIGINT) AS mean_abs_shift_micros,
+           CAST(list_max(list_transform(range(1, len(ca) + 1),
+             i -> abs(ca[i] - cb[i]))) AS BIGINT)
+             AS max_abs_shift_micros
+         FROM ab""",
 
     // ann_bruteforce's cosine folds plus the label equality.
     "ann_filtered" ->

@@ -667,6 +667,58 @@ class InsightsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("ACF matches a driver-side lagged-Pearson recompute") {
+    val rows = Insights.queries("q132_acf")(spark, sf)
+      .as[(String, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r._4.abs <= 1.0 + 1e-9))
+    val daily = graft.Tables.load(spark, sf, "events")
+      .selectExpr("event_type", "cast(ts as date) as day",
+        "cast(round(value * 100) as long) as cents")
+      .groupBy($"event_type", $"day")
+      .agg(org.apache.spark.sql.functions.sum($"cents").as("v"))
+      .selectExpr("event_type", "cast(day as string)", "v")
+      .as[(String, String, Long)].collect()
+      .map(r => (r._1, java.time.LocalDate.parse(r._2).toEpochDay)
+        -> r._3).toMap
+    rows.foreach { case (et, lag, n, acf) =>
+      val pairs = daily.collect {
+        case ((e, d), v1) if e == et && daily.contains((e, d + lag)) =>
+          (v1.toDouble, daily((e, d + lag)).toDouble)
+      }.toSeq
+      assert(n == pairs.length, s"$et lag $lag n")
+      val k = pairs.length.toDouble
+      val (sx, sy) = (pairs.map(_._1).sum, pairs.map(_._2).sum)
+      val sxy = pairs.map(p => p._1 * p._2).sum
+      val sxx = pairs.map(p => p._1 * p._1).sum
+      val syy = pairs.map(p => p._2 * p._2).sum
+      val want = (k * sxy - sx * sy) /
+        (math.sqrt(k * sxx - sx * sx) * math.sqrt(k * syy - sy * sy))
+      assert(math.abs(acf - want) < 1e-3, s"$et lag $lag")
+    }
+    spark.catalog.clearCache()
+  }
+
+  test("RFM migration matrix conserves customers and balances terciles") {
+    val rows = Insights.queries("q133_rfm_migration")(spark, sf)
+      .as[(Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    val nCust = graft.Tables.load(spark, sf, "orders")
+      .select($"o_custkey").distinct().count()
+    assert(rows.map(_._3).sum == nCust, "matrix covers every customer")
+    // no (0,0) cell: a customer inactive in both periods has no orders
+    assert(!rows.exists(r => r._1 == 0 && r._2 == 0))
+    // terciles balance within integer slack per active period
+    Seq(1, 2).foreach { p =>
+      val bySeg = (1L to 3L).map { s =>
+        rows.filter(r => (if (p == 1) r._1 else r._2) == s)
+          .map(_._3).sum
+      }
+      assert(bySeg.max - bySeg.min <= 1, s"period $p terciles $bySeg")
+    }
+    spark.catalog.clearCache()
+  }
+
   test("curriculum index is contiguous and difficulty-monotone") {
     val rows = graft.SparkEntry.queries("pipeline_curriculum")(spark, sf)
       .selectExpr("curriculum_idx", "n_tokens")
