@@ -316,6 +316,30 @@ object Multimodal {
       sceneCuts(pack(s, d, spreadDocs = true)
         .filter(length($"payload") > 0))
         .orderBy($"doc_id")
+    }),
+
+    // Modality-coverage audit: per (lang, source), how many documents
+    // actually HAVE an embedding — the completeness read before any
+    // multimodal training run (pack() inner-joins, silently dropping
+    // uncovered docs; at sf0.1 only 40% of documents carry vectors,
+    // which is exactly the kind of gap this surfaces). One broadcast
+    // existence join + an enum-bounded rollup; coverage is a single
+    // display divide.
+    "mm_coverage" -> ((s, d) => {
+      import s.implicits._
+      val emb = Tables.load(s, d, "embeddings")
+        .select($"vec_id".as("doc_id")).withColumn("has_emb", lit(1L))
+      Tables.spread(Tables.load(s, d, "documents"))
+        .join(broadcast(emb), Seq("doc_id"), "left")
+        .groupBy($"lang", $"source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(coalesce($"has_emb", lit(0L))).as("n_with_embedding"),
+          sum($"n_chars").as("n_chars"))
+        .select($"lang", $"source", $"n_docs", $"n_with_embedding",
+          $"n_chars",
+          round($"n_with_embedding".cast("double") /
+            $"n_docs".cast("double"), 6).as("coverage"))
+        .orderBy($"lang", $"source")
     }))
 
   /** Per-item VAD output: frame count, voiced-frame count, voiced
@@ -421,6 +445,18 @@ object Multimodal {
     .mkString(", ")
 
   def oracles: Map[String, String] = Map(
+
+    "mm_coverage" ->
+      """SELECT d.lang, d.source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_with_embedding,
+           CAST(sum(d.n_chars) AS BIGINT) AS n_chars,
+           round(CAST(sum(CASE WHEN e.vec_id IS NOT NULL THEN 1
+               ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+             AS coverage
+         FROM documents d
+         LEFT JOIN embeddings e ON e.vec_id = d.doc_id
+         GROUP BY 1, 2 ORDER BY 1, 2""",
 
     // The VAD frame CTE with consecutive-diff lists instead of the
     // threshold flags; all integer.

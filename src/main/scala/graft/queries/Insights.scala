@@ -1008,6 +1008,38 @@ object Insights {
         .orderBy($"seg_p1", $"seg_p2")
     }),
 
+    // Wilson score interval (95%) for the repeat-buyer share per
+    // market segment — the CORRECT small-n proportion CI (the naive
+    // Wald interval collapses to zero width at p̂∈{0,1} and escapes
+    // [0,1]; Wilson does neither), the error bar that belongs on
+    // every q123-style rate before anyone acts on it. Exact (n, k)
+    // counts per segment; the interval is one fixed IEEE assembly of
+    // those two longs with z = 1.96 (shared literal), round(6).
+    "q134_wilson_ci" -> ((s, d) => {
+      import s.implicits._
+      val z = lit(1.96)
+      val counts = Tables.load(s, d, "orders")
+        .groupBy($"o_custkey").agg(count(lit(1)).as("n_orders"))
+        .join(Tables.load(s, d, "customer")
+          .select($"c_custkey", $"c_mktsegment"),
+          $"o_custkey" === $"c_custkey")
+        .groupBy($"c_mktsegment")
+        .agg(count(lit(1)).as("n"),
+          sum(when($"n_orders" >= 15, 1L).otherwise(0L)).as("k"))
+      val nD = $"n".cast("double")
+      val p = $"k".cast("double") / nD
+      val z2 = z * z
+      val denom = lit(1.0) + z2 / nD
+      val center = (p + z2 / (lit(2.0) * nD)) / denom
+      val half = z * sqrt(p * (lit(1.0) - p) / nD +
+        z2 / (lit(4.0) * nD * nD)) / denom
+      counts.select($"c_mktsegment", $"n", $"k",
+        round(p, 6).as("p_hat"),
+        round(center - half, 6).as("ci_lo"),
+        round(center + half, 6).as("ci_hi"))
+        .orderBy($"c_mktsegment")
+    }),
+
   )
 
   /** One UNION ALL arm of the q112 oracle — the count-of-counts
@@ -1154,6 +1186,36 @@ object Insights {
          FROM h JOIN n ON n.event_type = h.event_type
          WHERE h.step = n.n_days
          ORDER BY n.event_type""",
+
+    "q134_wilson_ci" ->
+      """WITH cnts AS (
+           SELECT c.c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN o.n_orders >= 15 THEN 1 ELSE 0 END)
+               AS BIGINT) AS k
+           FROM (SELECT o_custkey, count(*) AS n_orders
+                 FROM orders GROUP BY 1) o
+           JOIN customer c ON c.c_custkey = o.o_custkey
+           GROUP BY 1),
+         w AS (
+           SELECT c_mktsegment, n, k,
+             CAST(k AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+             CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE) AS z2,
+             CAST(n AS DOUBLE) AS nd
+           FROM cnts)
+         SELECT c_mktsegment, n, k, round(p, 6) AS p_hat,
+           round((p + z2 / (CAST(2.0 AS DOUBLE) * nd)) /
+               (CAST(1.0 AS DOUBLE) + z2 / nd)
+             - CAST(1.96 AS DOUBLE) *
+               sqrt(p * (CAST(1.0 AS DOUBLE) - p) / nd +
+                 z2 / (CAST(4.0 AS DOUBLE) * nd * nd)) /
+               (CAST(1.0 AS DOUBLE) + z2 / nd), 6) AS ci_lo,
+           round((p + z2 / (CAST(2.0 AS DOUBLE) * nd)) /
+               (CAST(1.0 AS DOUBLE) + z2 / nd)
+             + CAST(1.96 AS DOUBLE) *
+               sqrt(p * (CAST(1.0 AS DOUBLE) - p) / nd +
+                 z2 / (CAST(4.0 AS DOUBLE) * nd * nd)) /
+               (CAST(1.0 AS DOUBLE) + z2 / nd), 6) AS ci_hi
+         FROM w ORDER BY c_mktsegment""",
 
     "q133_rfm_migration" ->
       """WITH o AS (

@@ -463,6 +463,34 @@ object Pipeline {
         .orderBy($"global_idx")
     }),
 
+    // Training-shard planner: assign documents to contiguous
+    // fixed-token-budget shards in deterministic global order — the
+    // webdataset/tar-shard build step between curation and the
+    // dataloader. shard_id = exclusive-cumulative-tokens div budget
+    // off PrefixSum's distributed running total (a doc starts a new
+    // shard when the budget would overflow mid-doc under this
+    // greedy-contiguous rule); the report is the per-shard rollup
+    // (shard-count-bounded). Order is pipeline_global_index's
+    // content-pure md5 — re-runs produce identical shards.
+    "pipeline_shard_plan" -> ((s, d) => {
+      import s.implicits._
+      val budget = 20000L // tokens per shard
+      val docs = Tables.spread(Tables.load(s, d, "documents"))
+        .select($"doc_id",
+          size(split($"text", "\\s+")).cast("long").as("n_tok"),
+          md5(concat(lit("shard42:"), $"doc_id".cast("string")))
+            .as("skey"))
+      val cum = graft.ops.PrefixSum.runningTotal(docs,
+        Seq(col("skey"), col("doc_id")), $"n_tok", "cum_tok")
+      cum
+        .withColumn("shard_id",
+          expr("(cum_tok - n_tok) div " + budget))
+        .groupBy($"shard_id")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("n_tokens"),
+          min($"skey").as("first_key"))
+        .orderBy($"shard_id")
+    }),
+
     // Temperature-sampled language mixture (α = 0.3): the
     // multilingual rebalancing schedule (mBERT/XLM-R exponent
     // smoothing) — sampling weights ∝ p^α lift low-resource languages
@@ -838,6 +866,24 @@ object Pipeline {
              ORDER BY md5('shuffle42:' || CAST(doc_id AS VARCHAR)),
                doc_id) AS BIGINT) AS global_idx
          FROM documents ORDER BY global_idx""",
+    "pipeline_shard_plan" ->
+      """WITH docs AS (
+           SELECT doc_id,
+             CAST(len(string_split_regex(text, '\s+')) AS BIGINT)
+               AS n_tok,
+             md5('shard42:' || CAST(doc_id AS VARCHAR)) AS skey
+           FROM documents),
+         cum AS (
+           SELECT doc_id, n_tok, skey,
+             CAST(sum(n_tok) OVER (ORDER BY skey, doc_id) AS BIGINT)
+               AS cum_tok
+           FROM docs)
+         SELECT (cum_tok - n_tok) // 20000 AS shard_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+           min(skey) AS first_key
+         FROM cum GROUP BY 1 ORDER BY shard_id""",
+
     "pipeline_temperature_mix" ->
       """WITH langs AS (
            SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,

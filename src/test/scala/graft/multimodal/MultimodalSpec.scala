@@ -97,6 +97,22 @@ class MultimodalSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("coverage audit reconciles totals and bounds the ratio") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = graft.SparkEntry.queries("mm_coverage")(spark, sf)
+      .as[(String, String, Long, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    val nDocs = graft.Tables.load(spark, sf, "documents").count()
+    val nEmb = graft.Tables.load(spark, sf, "embeddings").count()
+    assert(rows.map(_._3).sum == nDocs)
+    assert(rows.map(_._4).sum <= nEmb)
+    rows.foreach { case (l, s0, n, w, _, cov) =>
+      assert(w <= n, s"$l/$s0")
+      assert(math.abs(cov - w.toDouble / n) < 1e-5, s"$l/$s0")
+    }
+    spark.catalog.clearCache()
+  }
+
   test("scene cuts match a driver-side frame-difference recompute") {
     val sf = "/root/testdata/sf0.001"
     val got = graft.SparkEntry.queries("mm_scene_cut")(spark, sf)

@@ -719,6 +719,27 @@ class InsightsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("Wilson intervals bracket p-hat inside [0,1] and match driver math") {
+    val rows = Insights.queries("q134_wilson_ci")(spark, sf)
+      .as[(String, Long, Long, Double, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (seg, n, k, p, lo, hi) =>
+      assert(lo >= 0.0 - 1e-9 && hi <= 1.0 + 1e-9, seg)
+      assert(lo <= p + 1e-9 && p <= hi + 1e-9, s"$seg CI excludes p")
+      val (nd, z) = (n.toDouble, 1.96)
+      val ph = k.toDouble / n
+      val denom = 1.0 + z * z / nd
+      val center = (ph + z * z / (2 * nd)) / denom
+      val half = z * math.sqrt(ph * (1 - ph) / nd +
+        z * z / (4 * nd * nd)) / denom
+      assert(math.abs(lo - (center - half)) < 1e-4, seg)
+      assert(math.abs(hi - (center + half)) < 1e-4, seg)
+      // Wilson never collapses: positive width even at p in {0,1}
+      assert(hi - lo > 0.0, seg)
+    }
+    spark.catalog.clearCache()
+  }
+
   test("curriculum index is contiguous and difficulty-monotone") {
     val rows = graft.SparkEntry.queries("pipeline_curriculum")(spark, sf)
       .selectExpr("curriculum_idx", "n_tokens")

@@ -263,6 +263,39 @@ class PipelineOpsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("shard plan: shards are contiguous, budget-bounded, and conserve") {
+    val rows = graft.SparkEntry.queries("pipeline_shard_plan")(
+      spark, sf).as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    assert(rows.nonEmpty)
+    val docs = graft.Tables.load(spark, sf, "documents")
+      .selectExpr("doc_id", "size(split(text, '\\\\s+')) as n",
+        "md5(concat('shard42:', cast(doc_id as string))) as k")
+      .as[(Long, Int, String)].collect().sortBy(r => (r._3, r._1))
+    // driver replay of the greedy-contiguous rule
+    var cum = 0L
+    val assign = docs.map { case (_, n, k) =>
+      val sid = cum / 20000L
+      cum += n
+      (sid, n.toLong, k)
+    }
+    val byShard = assign.groupBy(_._1)
+    assert(rows.map(_._1).toSet == byShard.keySet)
+    rows.foreach { case (sid, nDocs, nTok, firstKey) =>
+      val ds = byShard(sid)
+      assert(nDocs == ds.length && nTok == ds.map(_._2).sum, s"s$sid")
+      assert(firstKey == ds.map(_._3).min, s"s$sid first key")
+    }
+    assert(rows.map(_._3).sum == docs.map(_._2.toLong).sum,
+      "token conservation")
+    // every shard but the last carries at least the budget's worth of
+    // starts (a doc can overflow, so tokens >= budget - max_doc)
+    val maxDoc = docs.map(_._2.toLong).max
+    rows.init.foreach { case (sid, _, nTok, _) =>
+      assert(nTok >= 20000L - maxDoc, s"shard $sid undersized")
+    }
+    spark.catalog.clearCache()
+  }
+
   test("temperature mix: weights normalize and lift low-resource langs") {
     val rows = graft.SparkEntry.queries("pipeline_temperature_mix")(
       spark, sf).as[(String, Long, Long, Double, Double, Double)]
