@@ -361,6 +361,47 @@ object Dedup {
     tfidfCosinePairsOver(Tables.spread(Tables.load(s, d, "documents")),
       maxDf, threshold)
 
+  /** Blocking-efficiency report: for each candidate-generation
+    * strategy, how many pairs would actually be compared vs the n²/2
+    * all-pairs baseline — the capacity-planning read BEFORE a 100 TB
+    * dedup run (dedup_lsh_eval certifies recall; this certifies
+    * COST). Unit sizes come from one aggregate per strategy
+    * (lang·length blocks; rare-shingle posting lists at the
+    * containment generator's 2..20 occupancy window); candidate
+    * counts are exact Σ b·(b−1)/2 longs, the reduction ratio a single
+    * display divide. A strategy whose max unit approaches the corpus
+    * is a broken blocker — visible here as reduction → 1.
+    */
+  def blockingReport(s: SparkSession, d: String): DataFrame = {
+    val docs = docsWithShingles(s, d)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nRow = docs.agg(count(lit(1)).as("n_docs"))
+    def finish(df: DataFrame, name: String): DataFrame =
+      df.crossJoin(broadcast(nRow))
+        .select(lit(name).as("strategy"), col("n_units"),
+          col("max_unit"), col("candidate_pairs"),
+          round(col("candidate_pairs").cast("double") /
+            expr("CAST(n_docs * (n_docs - 1) div 2 AS DOUBLE)"), 8)
+            .as("reduction"))
+    val allPairs = finish(nRow.select(lit(1L).as("n_units"),
+      col("n_docs").as("max_unit"),
+      expr("n_docs * (n_docs - 1) div 2").as("candidate_pairs")),
+      "0_all_pairs")
+    val blocks = finish(docs.groupBy(col("block"))
+      .agg(count(lit(1)).as("b"))
+      .agg(count(lit(1)).as("n_units"), max(col("b")).as("max_unit"),
+        sum(expr("b * (b - 1) div 2")).as("candidate_pairs")),
+      "1_lang_length_block")
+    val rare = finish(docs
+      .select(col("doc_id"), explode(col("shh")).as("sh"))
+      .groupBy(col("sh")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2 && col("c") <= 20)
+      .agg(count(lit(1)).as("n_units"), max(col("c")).as("max_unit"),
+        sum(expr("c * (c - 1) div 2")).as("candidate_pairs")),
+      "2_rare_shingle")
+    allPairs.unionAll(blocks).unionAll(rare).orderBy(col("strategy"))
+  }
+
   // --------------------------------- prefix-filtering (AllPairs/PPJoin)
   /** Set-similarity self-join by PREFIX FILTERING (Bayardo et al.
     * 2007 "Scaling Up All Pairs", Xiao et al. 2008 PPJoin) — the
@@ -1303,7 +1344,8 @@ object Dedup {
     "dedup_sorted_neighborhood" -> ((s, d) => sortedNeighborhood(s, d)),
     "dedup_tfidf_cosine" -> ((s, d) => tfidfCosinePairs(s, d)),
     "dedup_lsh_eval" -> ((s, d) => lshEval(s, d)),
-    "dedup_prefix_filter" -> ((s, d) => prefixFilterPairs(s, d)))
+    "dedup_prefix_filter" -> ((s, d) => prefixFilterPairs(s, d)),
+    "dedup_blocking_report" -> ((s, d) => blockingReport(s, d)))
 
   /** DuckDB twins. minhash/simhash are seeded-hash pipelines — not
     * SQL-expressible — and get the rows-only check.
@@ -1737,6 +1779,43 @@ object Dedup {
              (sqrt(CAST(na.norm2 AS DOUBLE)) *
               sqrt(CAST(nb.norm2 AS DOUBLE))) >= 0.2
          ORDER BY doc_a, doc_b""",
+
+    // Unit sizes replayed off the shingle CTEs; n-row arithmetic
+    // shared by the three arms.
+    "dedup_blocking_report" ->
+      s"""WITH $shingleSqlCtes,
+         nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+         bsz AS (
+           SELECT lang || '#' ||
+               CAST(CAST(floor(n_chars / 100) AS BIGINT) AS VARCHAR)
+               AS block,
+             CAST(count(*) AS BIGINT) AS b
+           FROM documents GROUP BY 1),
+         posting AS (SELECT doc_id, unnest(shh) AS s FROM sh),
+         rsz AS (
+           SELECT s, CAST(count(*) AS BIGINT) AS c FROM posting
+           GROUP BY 1 HAVING count(*) BETWEEN 2 AND 20)
+         SELECT '0_all_pairs' AS strategy,
+           CAST(1 AS BIGINT) AS n_units, n AS max_unit,
+           CAST(n * (n - 1) // 2 AS BIGINT) AS candidate_pairs,
+           round(CAST(n * (n - 1) // 2 AS DOUBLE) /
+             CAST(n * (n - 1) // 2 AS DOUBLE), 8) AS reduction
+         FROM nn
+         UNION ALL
+         SELECT '1_lang_length_block',
+           CAST(count(*) AS BIGINT), CAST(max(b) AS BIGINT),
+           CAST(sum(b * (b - 1) // 2) AS BIGINT),
+           round(CAST(sum(b * (b - 1) // 2) AS DOUBLE) /
+             CAST(n * (n - 1) // 2 AS DOUBLE), 8)
+         FROM bsz, nn GROUP BY n
+         UNION ALL
+         SELECT '2_rare_shingle',
+           CAST(count(*) AS BIGINT), CAST(max(c) AS BIGINT),
+           CAST(sum(c * (c - 1) // 2) AS BIGINT),
+           round(CAST(sum(c * (c - 1) // 2) AS DOUBLE) /
+             CAST(n * (n - 1) // 2 AS DOUBLE), 8)
+         FROM rsz, nn GROUP BY n
+         ORDER BY strategy""",
 
     // The same prefix-filtering pipeline replayed literally: df
     // ranks, canonical (df, shingle) order via the ordered list()

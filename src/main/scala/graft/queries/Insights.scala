@@ -1040,6 +1040,45 @@ object Insights {
         .orderBy($"c_mktsegment")
     }),
 
+    // Difference-in-differences: the causal-inference workhorse —
+    // (treat_post − treat_pre) − (control_post − control_pre) strips
+    // both the group baseline and the common time trend from an
+    // effect estimate, which is why it, not the raw post-period gap,
+    // is the number experiments without randomized assignment report.
+    // Cells: planted treatment (user parity) × date halves; per-cell
+    // exact (Σcents, n) in one map-side combine; the four means and
+    // the DiD are one fixed IEEE assembly, round(4).
+    "q135_diff_in_diff" -> ((s, d) => {
+      import s.implicits._
+      val e = Tables.load(s, d, "events")
+        .select($"user_id", to_date($"ts").as("day"),
+          round($"value" * 100).cast("long").as("cents"))
+      val bounds = e.agg(min($"day").as("d0"), max($"day").as("d1"))
+      val cells = e.crossJoin(broadcast(bounds))
+        .select(($"user_id" % 2 === 0).as("treat"),
+          (datediff($"day", $"d0") * 2 >= datediff($"d1", $"d0"))
+            .as("post"), $"cents")
+        .groupBy($"treat", $"post")
+        .agg(count(lit(1)).as("n"), sum($"cents").as("s"))
+      def cell(t: Boolean, p: Boolean, c: String) =
+        max(when($"treat" === t && $"post" === p, col(c))).as(s"${c}_${
+          if (t) "t" else "c"}${if (p) "2" else "1"}")
+      val one = cells.agg(
+        cell(true, false, "n"), cell(true, false, "s"),
+        cell(true, true, "n"), cell(true, true, "s"),
+        cell(false, false, "n"), cell(false, false, "s"),
+        cell(false, true, "n"), cell(false, true, "s"))
+      def m(s0: String, n0: String) =
+        col(s0).cast("double") / col(n0).cast("double")
+      one.select($"n_t1", $"n_t2", $"n_c1", $"n_c2",
+        round(m("s_t1", "n_t1"), 4).as("mean_treat_pre"),
+        round(m("s_t2", "n_t2"), 4).as("mean_treat_post"),
+        round(m("s_c1", "n_c1"), 4).as("mean_ctrl_pre"),
+        round(m("s_c2", "n_c2"), 4).as("mean_ctrl_post"),
+        round((m("s_t2", "n_t2") - m("s_t1", "n_t1")) -
+          (m("s_c2", "n_c2") - m("s_c1", "n_c1")), 4).as("did_cents"))
+    }),
+
   )
 
   /** One UNION ALL arm of the q112 oracle — the count-of-counts
@@ -1186,6 +1225,45 @@ object Insights {
          FROM h JOIN n ON n.event_type = h.event_type
          WHERE h.step = n.n_days
          ORDER BY n.event_type""",
+
+    "q135_diff_in_diff" ->
+      """WITH e AS (
+           SELECT user_id % 2 = 0 AS treat, CAST(ts AS DATE) AS day,
+             CAST(round(value * 100) AS BIGINT) AS cents
+           FROM events),
+         bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM e),
+         cells AS (
+           SELECT treat,
+             (day - d0) * 2 >= (d1 - d0) AS post,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cents) AS BIGINT) AS s
+           FROM e, bounds GROUP BY 1, 2),
+         one AS (
+           SELECT
+             max(CASE WHEN treat AND NOT post THEN n END) AS n_t1,
+             max(CASE WHEN treat AND NOT post THEN s END) AS s_t1,
+             max(CASE WHEN treat AND post THEN n END) AS n_t2,
+             max(CASE WHEN treat AND post THEN s END) AS s_t2,
+             max(CASE WHEN NOT treat AND NOT post THEN n END) AS n_c1,
+             max(CASE WHEN NOT treat AND NOT post THEN s END) AS s_c1,
+             max(CASE WHEN NOT treat AND post THEN n END) AS n_c2,
+             max(CASE WHEN NOT treat AND post THEN s END) AS s_c2
+           FROM cells)
+         SELECT n_t1, n_t2, n_c1, n_c2,
+           round(CAST(s_t1 AS DOUBLE) / CAST(n_t1 AS DOUBLE), 4)
+             AS mean_treat_pre,
+           round(CAST(s_t2 AS DOUBLE) / CAST(n_t2 AS DOUBLE), 4)
+             AS mean_treat_post,
+           round(CAST(s_c1 AS DOUBLE) / CAST(n_c1 AS DOUBLE), 4)
+             AS mean_ctrl_pre,
+           round(CAST(s_c2 AS DOUBLE) / CAST(n_c2 AS DOUBLE), 4)
+             AS mean_ctrl_post,
+           round((CAST(s_t2 AS DOUBLE) / CAST(n_t2 AS DOUBLE) -
+                  CAST(s_t1 AS DOUBLE) / CAST(n_t1 AS DOUBLE)) -
+                 (CAST(s_c2 AS DOUBLE) / CAST(n_c2 AS DOUBLE) -
+                  CAST(s_c1 AS DOUBLE) / CAST(n_c1 AS DOUBLE)), 4)
+             AS did_cents
+         FROM one""",
 
     "q134_wilson_ci" ->
       """WITH cnts AS (

@@ -407,6 +407,26 @@ class DedupSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("blocking report: baseline exact, strategies reduce, counts check") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = Dedup.blockingReport(spark, sf)
+      .as[(String, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(rows.size == 3)
+    val n = graft.Tables.load(spark, sf, "documents").count()
+    val (_, u0, m0, p0, r0) = rows("0_all_pairs")
+    assert(u0 == 1 && m0 == n && p0 == n * (n - 1) / 2 &&
+      math.abs(r0 - 1.0) < 1e-9)
+    // both strategies reduce the pair count strictly
+    Seq("1_lang_length_block", "2_rare_shingle").foreach { s0 =>
+      val (_, units, maxU, pairs, red) = rows(s0)
+      assert(units > 1 && maxU < n, s0)
+      assert(pairs < p0 && red < 1.0 && red > 0.0, s0)
+      assert(math.abs(red - pairs.toDouble / p0) < 1e-6, s0)
+    }
+    spark.catalog.clearCache()
+  }
+
   test("prefix filtering is lossless vs brute-force threshold Jaccard") {
     val sf = "/root/testdata/sf0.001"
     val got = Dedup.prefixFilterPairs(spark, sf)

@@ -740,6 +740,39 @@ class InsightsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("DiD matches a driver recompute and strips the common trend") {
+    val row = Insights.queries("q135_diff_in_diff")(spark, sf)
+      .as[(Long, Long, Long, Long, Double, Double, Double, Double,
+        Double)].collect().head
+    val (nT1, nT2, nC1, nC2, mT1, mT2, mC1, mC2, did) = row
+    val ev = graft.Tables.load(spark, sf, "events")
+      .selectExpr("user_id % 2 = 0 as treat", "cast(ts as date) as day",
+        "cast(round(value * 100) as long) as cents")
+      .selectExpr("treat", "cast(day as string) as day", "cents")
+      .as[(Boolean, String, Long)].collect()
+    val days = ev.map(_._2).distinct.sorted
+    val (d0, d1) = (java.time.LocalDate.parse(days.head).toEpochDay,
+      java.time.LocalDate.parse(days.last).toEpochDay)
+    def cell(t: Boolean, post: Boolean) = ev.filter { e =>
+      val d = java.time.LocalDate.parse(e._2).toEpochDay
+      e._1 == t && (((d - d0) * 2 >= (d1 - d0)) == post)
+    }
+    val (t1, t2, c1, c2) = (cell(true, false), cell(true, true),
+      cell(false, false), cell(false, true))
+    assert(nT1 == t1.length && nT2 == t2.length &&
+      nC1 == c1.length && nC2 == c2.length)
+    def mean(xs: Array[(Boolean, String, Long)]) =
+      xs.map(_._3).sum.toDouble / xs.length
+    assert(math.abs(mT1 - mean(t1)) < 1e-2)
+    assert(math.abs(did - ((mean(t2) - mean(t1)) -
+      (mean(c2) - mean(c1)))) < 1e-2)
+    // parity groups share the distribution: DiD must be near zero
+    // relative to the mean level (no planted effect exists)
+    assert(math.abs(did) < mean(t1) * 0.2,
+      s"spurious DiD $did at level ${mean(t1)}")
+    spark.catalog.clearCache()
+  }
+
   test("curriculum index is contiguous and difficulty-monotone") {
     val rows = graft.SparkEntry.queries("pipeline_curriculum")(spark, sf)
       .selectExpr("curriculum_idx", "n_tokens")
