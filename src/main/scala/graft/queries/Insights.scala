@@ -1079,6 +1079,113 @@ object Insights {
           (m("s_c2", "n_c2") - m("s_c1", "n_c1")), 4).as("did_cents"))
     }),
 
+    // Retention half-life: pooled weekly retention (active users at
+    // offset w / users OBSERVABLE at offset w — right-censoring
+    // handled like q120) fit to exp decay, half-life = −ln2/slope —
+    // q38's retention triangle compressed to the single number a
+    // growth model consumes. At-risk counts are a cumulative over
+    // the weeks-bounded cohort table; the OLS runs over the
+    // offset-sorted rate array (zipf/heaps fold discipline); offset 0
+    // (rate ≡ 1 by construction) is excluded from the fit.
+    "q136_retention_halflife" -> ((s, d) => {
+      import s.implicits._
+      val act0 = Tables.load(s, d, "events")
+        .select($"user_id", to_date($"ts").as("day"))
+      val d0row = act0.agg(min($"day").as("d0"))
+      val act = act0.crossJoin(broadcast(d0row))
+        .select($"user_id",
+          expr("CAST(datediff(day, d0) div 7 AS BIGINT)").as("week"))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val fw = act.groupBy($"user_id").agg(min($"week").as("fw"))
+      val maxW = act.agg(max($"week").as("maxw"))
+      val active = act.join(fw, Seq("user_id"))
+        .select(($"week" - $"fw").as("offset"), $"user_id").distinct()
+        .groupBy($"offset").agg(count(lit(1)).as("n_active"))
+      val cohorts = fw.groupBy($"fw").agg(count(lit(1)).as("c"))
+      // at-risk at offset w = users with fw <= maxw - w, for EVERY
+      // offset 0..maxw: offset spine × cohort table, both
+      // weeks-bounded (a cumulative keyed only on existing cohort
+      // weeks misses offsets between them — the first cut's bug when
+      // every user lands in cohort week 0)
+      val spine = maxW
+        .select(explode(sequence(lit(0L), $"maxw")).as("offset"),
+          $"maxw")
+      val cum = spine.crossJoin(broadcast(cohorts))
+        .filter($"fw" <= $"maxw" - $"offset")
+        .groupBy($"offset").agg(sum($"c").as("n_at_risk"))
+      val curve = active.join(cum, Seq("offset"))
+        .select($"offset", $"n_at_risk", $"n_active",
+          ($"n_active".cast("double") / $"n_at_risk".cast("double"))
+            .as("rate"))
+      def fold(term: String): String =
+        s"aggregate(filter(arr, p -> p.offset >= 1), " +
+          s"CAST(0.0 AS DOUBLE), (a, p) -> a + $term)"
+      curve
+        .agg(sort_array(collect_list(struct($"offset", $"n_at_risk",
+          $"n_active", $"rate"))).as("arr"))
+        .withColumn("k", expr(
+          "CAST(size(filter(arr, p -> p.offset >= 1)) AS DOUBLE)"))
+        .withColumn("sx", expr(fold("CAST(p.offset AS DOUBLE)")))
+        .withColumn("sy", expr(fold("ln(p.rate)")))
+        .withColumn("sxy", expr(fold(
+          "CAST(p.offset AS DOUBLE) * ln(p.rate)")))
+        .withColumn("sxx", expr(fold(
+          "CAST(p.offset AS DOUBLE) * CAST(p.offset AS DOUBLE)")))
+        .withColumn("slope",
+          ($"k" * $"sxy" - $"sx" * $"sy") /
+            ($"k" * $"sxx" - $"sx" * $"sx"))
+        .select(explode($"arr").as("r"),
+          round($"slope", 4).as("decay_slope"),
+          round(when($"slope" < 0, -log(lit(2.0)) / $"slope"), 4)
+            .as("halflife_weeks"))
+        .select($"r.offset".as("offset"),
+          $"r.n_at_risk".as("n_at_risk"),
+          $"r.n_active".as("n_active"), round($"r.rate", 6).as("rate"),
+          $"decay_slope", $"halflife_weeks")
+        .orderBy($"offset")
+    }),
+
+    // Inter-purchase burstiness (Goh–Barabási B = (σ−μ)/(σ+μ)) of
+    // order gaps per market segment: B → −1 is clockwork repurchase,
+    // 0 is Poisson, → 1 is bursty binge-and-lapse — the temporal
+    // texture behind q97's median cycle. Gaps from one per-customer
+    // lag window (high-cardinality — scales); per-segment exact
+    // moments; σ and B are one fixed IEEE assembly, round(4).
+    "q137_interval_burstiness" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey")
+        .orderBy($"day", $"o_orderkey")
+      val gaps = Tables.load(s, d, "orders")
+        .select($"o_custkey", $"o_orderkey",
+          to_date($"o_orderdate").as("day"))
+        .withColumn("prev", lag($"day", 1).over(w))
+        .filter($"prev".isNotNull)
+        .select($"o_custkey",
+          datediff($"day", $"prev").cast("long").as("g"))
+      gaps
+        .join(Tables.load(s, d, "customer")
+          .select($"c_custkey", $"c_mktsegment"),
+          $"o_custkey" === $"c_custkey")
+        .groupBy($"c_mktsegment")
+        .agg(count(lit(1)).as("n"), sum($"g").as("sg"),
+          sum($"g" * $"g").as("sgg"))
+        .select($"c_mktsegment", $"n",
+          round($"sg".cast("double") / $"n".cast("double"), 4)
+            .as("mean_gap_days"),
+          round(
+            (sqrt(($"n".cast("double") * $"sgg".cast("double") -
+               $"sg".cast("double") * $"sg".cast("double")) /
+              ($"n".cast("double") * $"n".cast("double"))) -
+             $"sg".cast("double") / $"n".cast("double")) /
+            (sqrt(($"n".cast("double") * $"sgg".cast("double") -
+               $"sg".cast("double") * $"sg".cast("double")) /
+              ($"n".cast("double") * $"n".cast("double"))) +
+             $"sg".cast("double") / $"n".cast("double")), 4)
+            .as("burstiness"))
+        .orderBy($"c_mktsegment")
+    }),
+
   )
 
   /** One UNION ALL arm of the q112 oracle — the count-of-counts
@@ -1225,6 +1332,103 @@ object Insights {
          FROM h JOIN n ON n.event_type = h.event_type
          WHERE h.step = n.n_days
          ORDER BY n.event_type""",
+
+    "q136_retention_halflife" ->
+      """WITH act0 AS (
+           SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+         d0r AS (SELECT min(day) AS d0 FROM act0),
+         act AS (
+           SELECT DISTINCT user_id,
+             CAST((day - d0) // 7 AS BIGINT) AS week
+           FROM act0, d0r),
+         fw AS (SELECT user_id, min(week) AS fw FROM act GROUP BY 1),
+         mw AS (SELECT max(week) AS maxw FROM act),
+         active AS (
+           SELECT a.week - f.fw AS w_off,
+             CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_active
+           FROM act a JOIN fw f ON f.user_id = a.user_id
+           GROUP BY 1),
+         cohorts AS (SELECT fw, CAST(count(*) AS BIGINT) AS c
+                     FROM fw GROUP BY 1),
+         spine AS (
+           SELECT unnest(range(0, maxw + 1)) AS w_off, maxw FROM mw),
+         cum AS (
+           SELECT s.w_off, CAST(sum(c.c) AS BIGINT) AS n_at_risk
+           FROM spine s JOIN cohorts c ON c.fw <= s.maxw - s.w_off
+           GROUP BY 1),
+         curve AS (
+           SELECT a.w_off, c.n_at_risk, a.n_active,
+             CAST(a.n_active AS DOUBLE) / CAST(c.n_at_risk AS DOUBLE)
+               AS rate
+           FROM active a JOIN cum c ON c.w_off = a.w_off),
+         one AS (
+           SELECT list({'offset': w_off, 'n_at_risk': n_at_risk,
+             'n_active': n_active, 'rate': rate} ORDER BY w_off)
+             AS arr
+           FROM curve),
+         fitted AS (
+           SELECT arr,
+             CAST(len(list_filter(arr, p -> p.offset >= 1)) AS DOUBLE)
+               AS k,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(list_filter(arr, p -> p.offset >= 1),
+                 p -> CAST(p.offset AS DOUBLE))), (a, b) -> a + b)
+               AS sx,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(list_filter(arr, p -> p.offset >= 1),
+                 p -> ln(p.rate))), (a, b) -> a + b) AS sy,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(list_filter(arr, p -> p.offset >= 1),
+                 p -> CAST(p.offset AS DOUBLE) * ln(p.rate))),
+               (a, b) -> a + b) AS sxy,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(list_filter(arr, p -> p.offset >= 1),
+                 p -> CAST(p.offset AS DOUBLE) *
+                      CAST(p.offset AS DOUBLE))), (a, b) -> a + b)
+               AS sxx
+           FROM one),
+         sl AS (
+           SELECT arr,
+             (k * sxy - sx * sy) / (k * sxx - sx * sx) AS slope
+           FROM fitted)
+         SELECT r."offset" AS "offset", r.n_at_risk AS n_at_risk,
+           r.n_active AS n_active, round(r.rate, 6) AS rate,
+           round(slope, 4) AS decay_slope,
+           round(CASE WHEN slope < 0 THEN -ln(CAST(2.0 AS DOUBLE))
+             / slope END, 4) AS halflife_weeks
+         FROM sl, unnest(arr) AS u(r)
+         ORDER BY r."offset"""",
+
+    "q137_interval_burstiness" ->
+      """WITH gaps AS (
+           SELECT o_custkey, day - prev AS g FROM (
+             SELECT o_custkey, CAST(o_orderdate AS DATE) AS day,
+               lag(CAST(o_orderdate AS DATE)) OVER (
+                 PARTITION BY o_custkey
+                 ORDER BY CAST(o_orderdate AS DATE), o_orderkey)
+                 AS prev
+             FROM orders)
+           WHERE prev IS NOT NULL),
+         m AS (
+           SELECT c.c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(g) AS BIGINT) AS sg,
+             CAST(sum(g * g) AS BIGINT) AS sgg
+           FROM gaps JOIN customer c ON c.c_custkey = gaps.o_custkey
+           GROUP BY 1)
+         SELECT c_mktsegment, n,
+           round(CAST(sg AS DOUBLE) / CAST(n AS DOUBLE), 4)
+             AS mean_gap_days,
+           round(
+             (sqrt((CAST(n AS DOUBLE) * CAST(sgg AS DOUBLE) -
+                CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)) /
+               (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) -
+              CAST(sg AS DOUBLE) / CAST(n AS DOUBLE)) /
+             (sqrt((CAST(n AS DOUBLE) * CAST(sgg AS DOUBLE) -
+                CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)) /
+               (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) +
+              CAST(sg AS DOUBLE) / CAST(n AS DOUBLE)), 4)
+             AS burstiness
+         FROM m ORDER BY c_mktsegment""",
 
     "q135_diff_in_diff" ->
       """WITH e AS (

@@ -773,6 +773,73 @@ class InsightsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("retention curve is censoring-correct; halflife matches OLS") {
+    val rows = Insights.queries("q136_retention_halflife")(spark, sf)
+      .as[(Long, Long, Long, Double, Double, Option[Double])]
+      .collect().sortBy(_._1)
+    assert(rows.nonEmpty)
+    val act = graft.Tables.load(spark, sf, "events")
+      .selectExpr("user_id", "cast(ts as date) as day")
+      .selectExpr("user_id", "cast(day as string) as day")
+      .as[(Long, String)].collect()
+      .map { case (u, d) => (u, java.time.LocalDate.parse(d).toEpochDay) }
+    val d0 = act.map(_._2).min
+    val weeks = act.map { case (u, d) => (u, (d - d0) / 7) }.distinct
+    val fw = weeks.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val maxW = weeks.map(_._2).max
+    rows.foreach { case (off, atRisk, active, rate, _, _) =>
+      val wantActive = weeks.count { case (u, w) => w - fw(u) == off }
+      val wantRisk = fw.values.count(_ <= maxW - off)
+      assert(active == wantActive, s"offset $off active")
+      assert(atRisk == wantRisk, s"offset $off at-risk")
+      assert(math.abs(rate - wantActive.toDouble / wantRisk) < 1e-5)
+    }
+    // offset 0 rate is 1 by construction (cohort week counts itself)
+    assert(math.abs(rows.head._4 - 1.0) < 1e-9)
+    // OLS on offsets >= 1 reproduces the reported slope
+    val fit = rows.filter(_._1 >= 1)
+      .map(r => (r._1.toDouble, math.log(r._4)))
+    val k = fit.length.toDouble
+    val (sx, sy) = (fit.map(_._1).sum, fit.map(_._2).sum)
+    val sxy = fit.map(p => p._1 * p._2).sum
+    val sxx = fit.map(p => p._1 * p._1).sum
+    val slope = (k * sxy - sx * sy) / (k * sxx - sx * sx)
+    assert(math.abs(rows.head._5 - slope) < 1e-3)
+    rows.head._6.foreach { hl =>
+      assert(math.abs(hl - (-math.log(2.0) / slope)) < 1e-2)
+    }
+    spark.catalog.clearCache()
+  }
+
+  test("burstiness matches driver moments and sits in (-1, 1)") {
+    val rows = Insights.queries("q137_interval_burstiness")(spark, sf)
+      .as[(String, Long, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    val orders = graft.Tables.load(spark, sf, "orders")
+      .join(graft.Tables.load(spark, sf, "customer"),
+        $"o_custkey" === $"c_custkey")
+      .selectExpr("c_mktsegment", "o_custkey", "o_orderkey",
+        "cast(cast(o_orderdate as date) as string) as day")
+      .as[(String, Long, Long, String)].collect()
+    rows.foreach { case (seg, n, meanGap, b) =>
+      val gaps = orders.filter(_._1 == seg).groupBy(_._2).values
+        .flatMap { os =>
+          val ds = os.sortBy(o => (o._4, o._3))
+            .map(o => java.time.LocalDate.parse(o._4).toEpochDay)
+          ds.sliding(2).collect { case Array(a, bb) =>
+            (bb - a).toDouble }
+        }.toSeq
+      assert(n == gaps.length, seg)
+      val mu = gaps.sum / gaps.length
+      val sd = math.sqrt(gaps.map(g => g * g).sum / gaps.length -
+        mu * mu)
+      assert(math.abs(meanGap - mu) < 1e-2, seg)
+      assert(math.abs(b - (sd - mu) / (sd + mu)) < 1e-3, seg)
+      assert(b > -1.0 && b < 1.0, seg)
+    }
+    spark.catalog.clearCache()
+  }
+
   test("curriculum index is contiguous and difficulty-monotone") {
     val rows = graft.SparkEntry.queries("pipeline_curriculum")(spark, sf)
       .selectExpr("curriculum_idx", "n_tokens")
