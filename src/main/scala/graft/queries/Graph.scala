@@ -88,6 +88,73 @@ object Graph {
         .limit(100)
     }),
 
+    // HITS hub/authority scores (Kleinberg) on the bipartite
+    // customer→supplier trade graph — 3 synchronous rounds, top-20
+    // each side: the mutually-recursive centrality ("good buyers buy
+    // from good suppliers") PageRank's single score can't express on
+    // a bipartite graph. Cross-engine determinism rides q62's
+    // scaled-long discipline PLUS an overflow-safe re-normalization:
+    // score·S div Σ would overflow BIGINT, so each round divides the
+    // NORMALIZER down first (q = Σ div S, then score div q) — every
+    // intermediate stays ≤ maxdeg·S, and the integer truncation
+    // sequence replays identically in the unrolled-CTE oracle. Init
+    // is L1-normalized (h = S div n_hubs), so round-1 masses obey
+    // the same bound. Per round: one broadcast(node-sized scores)
+    // join + one map-side-collapsed groupBy exchange per direction,
+    // materialized per round (the q62 lineage discipline).
+    "q138_hits" -> ((s, d) => {
+      import s.implicits._
+      val li = Tables.load(s, d, "lineitem")
+        .select($"l_orderkey", $"l_suppkey")
+      val ord = Tables.load(s, d, "orders")
+        .select($"o_orderkey", $"o_custkey")
+      // multi-edges kept: trade-volume weighting, q62's stance
+      val edges = li.join(ord, $"l_orderkey" === $"o_orderkey")
+        .select($"o_custkey".as("c"), $"l_suppkey".as("p"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val nHubs = edges.select($"c").distinct().count() // driver scalar
+      var hubs = edges.select($"c").distinct()
+        .select($"c", lit(Scale / nHubs).as("h"))
+      var auths: DataFrame = null
+      // the raw aggregate feeds BOTH the normalizer and the next
+      // join — persist the node-sized frame; the normalizer comes
+      // back as a DRIVER SCALAR (pagerank's node-count discipline)
+      // so each round's rescale is a plan literal. The per-round
+      // driver aggs ARE the materialization points — no extra
+      // count() jobs (first cut ran 4 blocking jobs per round; the
+      // crossJoin(broadcast(one-row-agg)) cut before it stacked six
+      // broadcast-nested-loop stages and OOMed the bench JVM —
+      // 21.6 s / OOM → ~11 s). Node-sized caches stay resident for
+      // the loop's duration (3 rounds × two ≤|nodes| frames).
+      for (_ <- 1 to 3) {
+        val rawA = edges.join(broadcast(hubs), Seq("c"))
+          .groupBy($"p").agg(sum($"h").as("ra"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val qa = rawA.agg(sum($"ra")).head.getLong(0) / Scale
+        val a = rawA.select($"p", expr(s"ra div ${qa}L").as("a"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val rawH = edges.join(broadcast(a), Seq("p"))
+          .groupBy($"c").agg(sum($"a").as("rh"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val qh = rawH.agg(sum($"rh")).head.getLong(0) / Scale
+        val h = rawH.select($"c", expr(s"rh div ${qh}L").as("h"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        hubs = h; auths = a
+      }
+      val top = auths.select(lit("auth").as("side"),
+          concat(lit("s"), $"p".cast("string")).as("node"),
+          $"a".as("score"))
+        .unionAll(hubs.select(lit("hub").as("side"),
+          concat(lit("c"), $"c".cast("string")).as("node"),
+          $"h".as("score")))
+      val wS = org.apache.spark.sql.expressions.Window
+        .partitionBy($"side").orderBy($"score".desc, $"node")
+      top.withColumn("rank", row_number().over(wS).cast("long"))
+        .filter($"rank" <= 20)
+        .select($"side", $"rank", $"node", $"score")
+        .orderBy($"side", $"rank")
+    }),
+
     // Local clustering coefficient per node: tri(v) / C(deg(v), 2) —
     // "how close is each part's neighborhood to a clique", the
     // community-density read on top of q72's raw triangle counts
@@ -852,6 +919,52 @@ object Graph {
          FROM deg LEFT JOIN cnt ON cnt.p_partkey = deg.n
          WHERE deg.deg >= 2
          ORDER BY coeff DESC, p_partkey LIMIT 100""",
+
+    // Three unrolled rounds, each = authority aggregate + normalizer
+    // + hub aggregate + normalizer — the identical integer-division
+    // sequence the Spark loop runs.
+    "q138_hits" -> {
+      def hitsRound(prevH: String, k: Int): String =
+        s"""ra$k AS (
+             SELECT e.p, CAST(sum(h.h) AS BIGINT) AS ra
+             FROM edges e JOIN $prevH h ON h.c = e.c GROUP BY e.p),
+           sa$k AS (SELECT CAST(sum(ra) AS BIGINT) AS sa FROM ra$k),
+           a$k AS (
+             SELECT p, CAST(ra // (sa // 1000000000000) AS BIGINT) AS a
+             FROM ra$k, sa$k),
+           rh$k AS (
+             SELECT e.c, CAST(sum(a.a) AS BIGINT) AS rh
+             FROM edges e JOIN a$k a ON a.p = e.p GROUP BY e.c),
+           sh$k AS (SELECT CAST(sum(rh) AS BIGINT) AS sh FROM rh$k),
+           h$k AS (
+             SELECT c, CAST(rh // (sh // 1000000000000) AS BIGINT) AS h
+             FROM rh$k, sh$k)"""
+      s"""WITH edges AS (
+           SELECT o.o_custkey AS c, l.l_suppkey AS p
+           FROM lineitem l JOIN orders o
+             ON l.l_orderkey = o.o_orderkey),
+         nh AS (SELECT CAST(count(DISTINCT c) AS BIGINT) AS n
+                FROM edges),
+         h0 AS (
+           SELECT DISTINCT c,
+             CAST(1000000000000 // (SELECT n FROM nh) AS BIGINT) AS h
+           FROM edges),
+         ${hitsRound("h0", 1)},
+         ${hitsRound("h1", 2)},
+         ${hitsRound("h2", 3)},
+         top AS (
+           SELECT 'auth' AS side, 's' || CAST(p AS VARCHAR) AS node,
+             a AS score FROM a3
+           UNION ALL
+           SELECT 'hub', 'c' || CAST(c AS VARCHAR), h FROM h3),
+         ranked AS (
+           SELECT side, node, score,
+             CAST(row_number() OVER (PARTITION BY side
+               ORDER BY score DESC, node) AS BIGINT) AS rank
+           FROM top)
+         SELECT side, rank, node, score FROM ranked
+         WHERE rank <= 20 ORDER BY side, rank"""
+    },
 
     "q62_pagerank" -> {
       // Five unrolled integer iterations; itK reads it(K-1). Each round

@@ -288,6 +288,44 @@ class GraphSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("HITS matches a driver-side 3-round integer recompute") {
+    val got = graft.SparkEntry.queries("q138_hits")(spark, sf)
+      .as[(String, Long, String, Long)].collect()
+    // sf0.001 has only 10 suppliers: each side yields min(20, |side|)
+    assert(got.nonEmpty)
+    val edges = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select($"l_orderkey".cast("long"), $"l_suppkey".cast("long"))
+      .join(spark.read.parquet(s"$sf/orders.parquet")
+        .select($"o_orderkey".cast("long"), $"o_custkey".cast("long")),
+        $"l_orderkey" === $"o_orderkey")
+      .select($"o_custkey", $"l_suppkey").as[(Long, Long)].collect()
+    val s0 = 1000000000000L
+    val hubsSet = edges.map(_._1).distinct
+    var h = hubsSet.map(_ -> s0 / hubsSet.length).toMap
+    var a = Map.empty[Long, Long]
+    for (_ <- 1 to 3) {
+      val ra = edges.groupBy(_._2).map { case (p, es) =>
+        p -> es.map(e => h(e._1)).sum }
+      val qa = ra.values.sum / s0
+      a = ra.map { case (p, v) => p -> v / qa }
+      val rh = edges.groupBy(_._1).map { case (c, es) =>
+        c -> es.map(e => a(e._2)).sum }
+      val qh = rh.values.sum / s0
+      h = rh.map { case (c, v) => c -> v / qh }
+    }
+    def top(m: Map[Long, Long], pre: String) = m.toSeq
+      .map { case (n, sc) => (pre + n, sc) }
+      .sortBy { case (n, sc) => (-sc, n) }.take(20)
+    val wantA = top(a, "s"); val wantH = top(h, "c")
+    val gotA = got.filter(_._1 == "auth").sortBy(_._2)
+      .map(r => (r._3, r._4)).toSeq
+    val gotH = got.filter(_._1 == "hub").sortBy(_._2)
+      .map(r => (r._3, r._4)).toSeq
+    assert(gotA == wantA, "authority ranking diverges")
+    assert(gotH == wantH, "hub ranking diverges")
+    spark.catalog.clearCache()
+  }
+
   test("avg neighbor degree matches a brute-force recompute per bucket") {
     val got = graft.SparkEntry.queries("q131_avg_neighbor_degree")(
       spark, sf).as[(Long, Long, Long, Long, Double)].collect()
