@@ -1186,6 +1186,44 @@ object Insights {
         .orderBy($"c_mktsegment")
     }),
 
+    // Attribution-window sweep: click→purchase conversion coverage as
+    // a function of the window length (1h, 6h, 1d, 3d, 7d) — the
+    // POLICY read behind q37/q48's fixed-window attribution: where
+    // the coverage curve flattens is where the window should end
+    // (longer buys noise, not signal). One per-user carry-forward
+    // running max (last click time) over the event stream, then each
+    // purchase's click-lag explodes against the ENUM of window
+    // lengths — never a time-range join. Exact micros; rates are
+    // single display divides.
+    "q139_attribution_window_sweep" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id")
+        .orderBy($"us", $"event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val lags = Tables.load(s, d, "events")
+        .select($"user_id", $"event_id", $"event_type",
+          unix_micros($"ts").as("us"))
+        .withColumn("last_click",
+          max(when($"event_type" === "click", $"us")).over(w))
+        .filter($"event_type" === "purchase")
+        .select(($"us" - $"last_click").as("lag_us"))
+      val windows = Seq(("1h", 3600L), ("2_6h", 21600L),
+        ("3_1d", 86400L), ("4_3d", 259200L), ("5_7d", 604800L))
+      val wEnum = windows.map { case (n0, secs) =>
+        struct(lit(n0).as("win"), lit(secs * 1000000L).as("w_us"))
+      }
+      lags.select($"lag_us",
+          explode(array(wEnum: _*)).as("w"))
+        .groupBy($"w.win".as("window"))
+        .agg(count(lit(1)).as("n_purchases"),
+          sum(when($"lag_us".isNotNull && $"lag_us" <= $"w.w_us", 1L)
+            .otherwise(0L)).as("n_attributed"))
+        .select($"window", $"n_purchases", $"n_attributed",
+          round($"n_attributed".cast("double") /
+            $"n_purchases".cast("double"), 6).as("coverage"))
+        .orderBy($"window")
+    }),
+
   )
 
   /** One UNION ALL arm of the q112 oracle — the count-of-counts
@@ -1398,6 +1436,36 @@ object Insights {
              / slope END, 4) AS halflife_weeks
          FROM sl, unnest(arr) AS u(r)
          ORDER BY r."offset"""",
+
+    "q139_attribution_window_sweep" ->
+      """WITH e AS (
+           SELECT user_id, event_id, event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS us
+           FROM events),
+         lagc AS (
+           SELECT us - max(CASE WHEN event_type = 'click' THEN us END)
+               OVER (PARTITION BY user_id ORDER BY us, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS lag_us,
+             event_type
+           FROM e),
+         p AS (SELECT lag_us FROM lagc
+               WHERE event_type = 'purchase'),
+         wins AS (
+           SELECT * FROM (VALUES ('1h', 3600), ('2_6h', 21600),
+             ('3_1d', 86400), ('4_3d', 259200), ('5_7d', 604800))
+             AS t(win, secs))
+         SELECT w.win AS window,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           CAST(sum(CASE WHEN p.lag_us IS NOT NULL
+               AND p.lag_us <= CAST(w.secs AS BIGINT) * 1000000
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_attributed,
+           round(CAST(sum(CASE WHEN p.lag_us IS NOT NULL
+               AND p.lag_us <= CAST(w.secs AS BIGINT) * 1000000
+             THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE),
+             6) AS coverage
+         FROM p CROSS JOIN wins w
+         GROUP BY w.win ORDER BY w.win""",
 
     "q137_interval_burstiness" ->
       """WITH gaps AS (

@@ -840,6 +840,40 @@ class InsightsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("attribution sweep is monotone and matches a driver lag walk") {
+    val rows = Insights.queries("q139_attribution_window_sweep")(
+      spark, sf).as[(String, Long, Long, Double)].collect()
+      .sortBy(_._1)
+    assert(rows.length == 5)
+    // coverage is monotone non-decreasing in the window length
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b._3 >= a._3 && b._4 >= a._4 - 1e-9, "not monotone")
+      case _ =>
+    }
+    // all windows see the same purchase population
+    assert(rows.map(_._2).distinct.length == 1)
+    // driver recompute for the 1h window
+    val ev = graft.Tables.load(spark, sf, "events")
+      .selectExpr("user_id", "event_id", "event_type",
+        "unix_micros(ts) as us")
+      .as[(Long, Long, String, Long)].collect()
+    var nP = 0L; var nAttr1h = 0L
+    ev.groupBy(_._1).values.foreach { es =>
+      var lastClick = Long.MinValue
+      es.sortBy(e => (e._4, e._2)).foreach { e =>
+        if (e._3 == "purchase") {
+          nP += 1
+          if (lastClick != Long.MinValue &&
+            e._4 - lastClick <= 3600L * 1000000L) nAttr1h += 1
+        }
+        if (e._3 == "click") lastClick = math.max(lastClick, e._4)
+      }
+    }
+    assert(rows.head._2 == nP && rows.head._3 == nAttr1h)
+    spark.catalog.clearCache()
+  }
+
   test("curriculum index is contiguous and difficulty-monotone") {
     val rows = graft.SparkEntry.queries("pipeline_curriculum")(spark, sf)
       .selectExpr("curriculum_idx", "n_tokens")
