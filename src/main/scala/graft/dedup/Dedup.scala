@@ -1345,7 +1345,28 @@ object Dedup {
     "dedup_tfidf_cosine" -> ((s, d) => tfidfCosinePairs(s, d)),
     "dedup_lsh_eval" -> ((s, d) => lshEval(s, d)),
     "dedup_prefix_filter" -> ((s, d) => prefixFilterPairs(s, d)),
-    "dedup_blocking_report" -> ((s, d) => blockingReport(s, d)))
+    "dedup_blocking_report" -> ((s, d) => blockingReport(s, d)),
+    // Entity resolution at the typo tier: fuzzy-edit pairs (the
+    // OCR-noise/encoding-jitter near-identical detector) clustered
+    // into entities by connected components, one row per
+    // multi-member entity (id = min member, the CC label). The
+    // record-linkage composition next to dedup_clusters' semantic
+    // one — both reuse the verified CC machinery wholesale.
+    "dedup_entity_resolution" -> ((s, d) => {
+      // the banded-DP pair stage feeds the CC solve's collect AND the
+      // label frame it returns — persist or it runs per consumer
+      // (measured 8.8 s vs 2.8 s)
+      val pairs = fuzzyEditPairs(s, d)
+        .select(col("doc_a"), col("doc_b"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val cc = connectedComponents(pairs)
+      cc.groupBy(col("component"))
+        .agg(count(lit(1)).as("n_members"),
+          max(col("doc_id")).as("max_doc"))
+        .select(col("component").as("entity_id"), col("n_members"),
+          col("max_doc"))
+        .orderBy(col("entity_id"))
+    }))
 
   /** DuckDB twins. minhash/simhash are seeded-hash pipelines — not
     * SQL-expressible — and get the rows-only check.
@@ -1690,6 +1711,38 @@ object Dedup {
            FROM pairs)
          SELECT v1, v2, cosine FROM sims WHERE cosine >= 0.35
          ORDER BY v1, v2""",
+    // The fuzzy pair CTE + dedup_clusters' recursive-closure replay,
+    // rolled up per component.
+    "dedup_entity_resolution" ->
+      """WITH RECURSIVE docs AS (
+           SELECT doc_id,
+             lang || '#' || CAST(CAST(floor(n_chars / 100) AS BIGINT)
+               AS VARCHAR) AS block,
+             substring(text, 1, 60) AS prefix
+           FROM documents),
+         pairs AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM docs a JOIN docs b ON a.block = b.block
+             AND a.doc_id < b.doc_id
+           WHERE levenshtein(a.prefix, b.prefix) <= 10),
+         edges AS (
+           SELECT doc_a AS src, doc_b AS dst FROM pairs
+           UNION ALL SELECT doc_b, doc_a FROM pairs),
+         reach(src, dst) AS (
+           SELECT src, dst FROM edges
+           UNION
+           SELECT r.src, e.dst FROM reach r JOIN edges e
+             ON r.dst = e.src),
+         members AS (SELECT DISTINCT src AS doc_id FROM edges),
+         cc AS (
+           SELECT least(m.doc_id, min(r.dst)) AS component, m.doc_id
+           FROM members m JOIN reach r ON r.src = m.doc_id
+           GROUP BY m.doc_id)
+         SELECT component AS entity_id,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(max(doc_id) AS BIGINT) AS max_doc
+         FROM cc GROUP BY 1 ORDER BY entity_id""",
+
     "dedup_fuzzy_edit" ->
       """WITH docs AS (
            SELECT doc_id,

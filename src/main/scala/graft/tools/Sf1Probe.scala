@@ -48,7 +48,10 @@ object Sf1Probe {
     "q62_pagerank", "q72_triangle_count", "q75_kcore",
     "q87_shortest_path", "q90_graph_profile", "q100_assortativity",
     "dedup_tfidf_cosine", "dedup_containment",
-    "q52_session_window", "q10_distinct")
+    "q52_session_window", "q10_distinct",
+    // round-9 session-2 heavy tier
+    "q138_hits", "ann_hybrid_rrf", "dedup_prefix_filter",
+    "emb_dim_corr", "q101_label_propagation", "pipeline_dedup_sweep")
 
   private def pow10Above(maxKey: Long): Long = {
     var p = 1L

@@ -427,6 +427,30 @@ class DedupSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("entity resolution reconciles with fuzzy pairs + driver union-find") {
+    val sf = "/root/testdata/sf0.001"
+    val got = graft.SparkEntry.queries("dedup_entity_resolution")(
+      spark, sf).as[(Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    val pairs = Dedup.fuzzyEditPairs(spark, sf)
+      .selectExpr("doc_a", "doc_b").as[(Long, Long)].collect()
+    // driver union-find
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) => parent(find(a)) = find(b) }
+    val comps = parent.keys.toSeq.groupBy(find)
+    val want = comps.map { case (_, ms) =>
+      (ms.min, ms.length.toLong, ms.max)
+    }.toSeq.sortBy(_._1)
+    assert(got.toSeq.sortBy(_._1) == want,
+      "entity table diverges from union-find")
+    assert(got.forall(_._2 >= 2), "singletons must not appear")
+    spark.catalog.clearCache()
+  }
+
   test("prefix filtering is lossless vs brute-force threshold Jaccard") {
     val sf = "/root/testdata/sf0.001"
     val got = Dedup.prefixFilterPairs(spark, sf)
