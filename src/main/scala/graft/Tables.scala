@@ -74,6 +74,21 @@ object Tables {
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }
 
+  /** Canonicalize IEEE signed zero in a double-valued column.
+    *
+    * `-0.0 + 0.0 == +0.0` (IEEE 754 round-to-nearest), and every other
+    * value is unchanged — so appending `+ 0.0` after a `round(...)`
+    * guarantees a rounded-to-zero negative never serializes as the
+    * `-0.0` bit pattern. The driver's oracle compare hashes parquet
+    * BYTES, so Spark emitting `0.0` while DuckDB emits `-0.0` (or vice
+    * versa) is a hash red even though the values compare equal —
+    * exactly the round-9 `emb_dim_corr` failure (one cell, row 308).
+    * Use this on every float-emitting projection, paired with the
+    * ` + 0.0` idiom in the DuckDB oracle SQL.
+    */
+  def nz(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    c + lit(0.0)
+
   /** `events.ts` is nanosecond-precision parquet, which Spark 4 rejects
     * ([PARQUET_TYPE_ILLEGAL]). Read it as nanos-since-epoch long
     * (legacy conf) and truncate to microsecond TimestampType — the same

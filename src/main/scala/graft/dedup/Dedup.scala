@@ -1388,7 +1388,12 @@ object Dedup {
   /** CTEs `tokl` → `sh` (doc_id, shh): the [[shingleBlocks]] replay —
     * packed token hashes, packed 3-gram combines, distinct.
     */
-  private def shingleSqlCtes: String = {
+  private def shingleSqlCtes: String = shingleSqlCtesFrom("documents")
+
+  /** Same CTE chain over any (doc_id, text) relation — the sweep
+    * shingles exact-dup SURVIVORS, not the full table.
+    */
+  private def shingleSqlCtesFrom(from: String): String = {
     def fold(mult: Long): String =
       s"""((((((7 * $mult + th[i]) % 1000000007)
             * $mult + th[i + 1]) % 1000000007)
@@ -1397,7 +1402,7 @@ object Dedup {
          SELECT doc_id,
            list_transform(string_split_regex(lower(text), '\\s+'),
              t -> ${tokSql("t")}) AS th
-         FROM documents),
+         FROM $from),
        sh AS (
          SELECT doc_id,
            CASE WHEN len(th) >= 3 THEN
@@ -1878,18 +1883,30 @@ object Dedup {
     // pipeline.
     "dedup_prefix_filter" ->
       s"""WITH $shingleSqlCtes,
-         posting AS (
+         $prefixFilterSqlCtes
+         SELECT doc_a, doc_b, n_inter, n_union FROM v
+         WHERE n_inter * 2 >= n_union
+         ORDER BY doc_a, doc_b""")
+
+  /** CTE chain `posting → dft → docsx → pre → cand → v` replaying
+    * [[prefixFilterPairsOver]] over an existing `sh` (doc_id, shh)
+    * CTE. Pairs with verified J ≥ 1/2 are
+    * `SELECT ... FROM v WHERE n_inter * 2 >= n_union`. Shared by the
+    * dedup_prefix_filter oracle and pipeline_dedup_sweep's near tier.
+    */
+  private[graft] def prefixFilterSqlCtes: String =
+    """posting AS (
            SELECT doc_id, unnest(shh) AS tok FROM sh
            WHERE len(shh) > 0),
          dft AS (SELECT tok, count(*) AS df FROM posting GROUP BY 1),
-         docs AS (
+         docsx AS (
            SELECT p.doc_id, list(p.tok ORDER BY d.df, p.tok) AS toks
            FROM posting p JOIN dft d ON d.tok = p.tok GROUP BY 1),
          pre AS (
            SELECT doc_id, CAST(len(toks) AS BIGINT) AS l,
              unnest(list_slice(toks, 1,
                len(toks) - ((len(toks) + 1) // 2) + 1)) AS tok
-           FROM docs),
+           FROM docsx),
          cand AS (
            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
            FROM pre a JOIN pre b ON a.tok = b.tok
@@ -1903,9 +1920,12 @@ object Dedup {
                - len(list_intersect(da.toks, db.toks)) AS BIGINT)
                AS n_union
            FROM cand
-           JOIN docs da ON da.doc_id = cand.doc_a
-           JOIN docs db ON db.doc_id = cand.doc_b)
-         SELECT doc_a, doc_b, n_inter, n_union FROM v
-         WHERE n_inter * 2 >= n_union
-         ORDER BY doc_a, doc_b""")
+           JOIN docsx da ON da.doc_id = cand.doc_a
+           JOIN docsx db ON db.doc_id = cand.doc_b)"""
+
+  /** [[shingleSqlCtesFrom]] exposed for cross-file oracle composition
+    * (pipeline_dedup_sweep shingles exact-dup survivors).
+    */
+  private[graft] def shingleCtesOver(from: String): String =
+    shingleSqlCtesFrom(from)
 }

@@ -366,8 +366,8 @@ object Analytics {
       def pair(name: String, num: org.apache.spark.sql.Column,
           d1: org.apache.spark.sql.Column, d2: org.apache.spark.sql.Column) =
         m.select(lit(name).as("pair"),
-          round(num.cast("double") /
-            sqrt(d1.cast("double") * d2.cast("double")), 4).as("corr"))
+          Tables.nz(round(num.cast("double") /
+            sqrt(d1.cast("double") * d2.cast("double")), 4)).as("corr"))
       val vq = $"n" * $"sqq" - $"sq" * $"sq"
       val vp = $"n" * $"spp" - $"sp" * $"sp"
       val vd = $"n" * $"sdd" - $"sd" * $"sd"
@@ -958,7 +958,7 @@ object Analytics {
              sum(q*q) AS sqq, sum(p*p) AS spp, sum(d*d) AS sdd,
              sum(q*p) AS sqp, sum(q*d) AS sqd, sum(p*d) AS spd
            FROM t)
-         SELECT pair, round(num / sqrt(den1 * den2), 4) AS corr FROM (
+         SELECT pair, round(num / sqrt(den1 * den2), 4) + 0.0 AS corr FROM (
            SELECT 'quantity_price' AS pair,
              CAST(n*sqp - sq*sp AS DOUBLE) AS num,
              CAST(n*sqq - sq*sq AS DOUBLE) AS den1,

@@ -130,13 +130,18 @@ object Graph {
         val rawA = edges.join(broadcast(hubs), Seq("c"))
           .groupBy($"p").agg(sum($"h").as("ra"))
           .persist(StorageLevel.MEMORY_AND_DISK)
-        val qa = rawA.agg(sum($"ra")).head.getLong(0) / Scale
+        // clamp ≥1 (r9 advice): h0 = Scale div nHubs truncates, so a
+        // degenerate graph (every hub degree 1, nHubs near Scale)
+        // could push the round's aggregate mass below Scale and floor
+        // the normalizer to 0 — `div 0` then throws instead of
+        // degrading. Oracle applies the same greatest(..., 1).
+        val qa = math.max(rawA.agg(sum($"ra")).head.getLong(0) / Scale, 1L)
         val a = rawA.select($"p", expr(s"ra div ${qa}L").as("a"))
           .persist(StorageLevel.MEMORY_AND_DISK)
         val rawH = edges.join(broadcast(a), Seq("p"))
           .groupBy($"c").agg(sum($"a").as("rh"))
           .persist(StorageLevel.MEMORY_AND_DISK)
-        val qh = rawH.agg(sum($"rh")).head.getLong(0) / Scale
+        val qh = math.max(rawH.agg(sum($"rh")).head.getLong(0) / Scale, 1L)
         val h = rawH.select($"c", expr(s"rh div ${qh}L").as("h"))
           .persist(StorageLevel.MEMORY_AND_DISK)
         hubs = h; auths = a
@@ -292,12 +297,12 @@ object Graph {
           sum($"dx" * $"dx").as("sxx"),
           sum($"dy" * $"dy").as("syy"))
         .select($"n",
-          round((($"n".cast("double") * $"sxy" -
+          Tables.nz(round((($"n".cast("double") * $"sxy" -
               $"sx".cast("double") * $"sy") /
             sqrt(($"n".cast("double") * $"sxx" -
               $"sx".cast("double") * $"sx") *
               ($"n".cast("double") * $"syy" -
-                $"sy".cast("double") * $"sy"))), 4)
+                $"sy".cast("double") * $"sy"))), 4))
             .as("assortativity"))
     }),
 
@@ -732,7 +737,7 @@ object Graph {
              sqrt((CAST(n AS DOUBLE) * sxx -
                CAST(sx AS DOUBLE) * sx) *
                (CAST(n AS DOUBLE) * syy -
-                 CAST(sy AS DOUBLE) * sy)), 4) AS assortativity
+                 CAST(sy AS DOUBLE) * sy)), 4) + 0.0 AS assortativity
          FROM m""",
 
     // floor(log2(deg)) as length(bin(deg))−1 — integer on both
@@ -930,14 +935,16 @@ object Graph {
              FROM edges e JOIN $prevH h ON h.c = e.c GROUP BY e.p),
            sa$k AS (SELECT CAST(sum(ra) AS BIGINT) AS sa FROM ra$k),
            a$k AS (
-             SELECT p, CAST(ra // (sa // 1000000000000) AS BIGINT) AS a
+             SELECT p, CAST(ra // greatest(sa // 1000000000000, 1)
+               AS BIGINT) AS a
              FROM ra$k, sa$k),
            rh$k AS (
              SELECT e.c, CAST(sum(a.a) AS BIGINT) AS rh
              FROM edges e JOIN a$k a ON a.p = e.p GROUP BY e.c),
            sh$k AS (SELECT CAST(sum(rh) AS BIGINT) AS sh FROM rh$k),
            h$k AS (
-             SELECT c, CAST(rh // (sh // 1000000000000) AS BIGINT) AS h
+             SELECT c, CAST(rh // greatest(sh // 1000000000000, 1)
+               AS BIGINT) AS h
              FROM rh$k, sh$k)"""
       s"""WITH edges AS (
            SELECT o.o_custkey AS c, l.l_suppkey AS p

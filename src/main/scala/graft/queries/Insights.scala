@@ -218,8 +218,8 @@ object Insights {
             .otherwise(0L)).as("s_stat"))
         .join(broadcast(n), Seq("event_type"))
         .select($"event_type", $"n_days", $"n_pairs", $"s_stat",
-          round($"s_stat".cast("double") / $"n_pairs".cast("double"),
-            4).as("tau"))
+          Tables.nz(round($"s_stat".cast("double") /
+            $"n_pairs".cast("double"), 4)).as("tau"))
         .orderBy($"event_type")
     }),
 
@@ -436,9 +436,16 @@ object Insights {
             .as("n_pos"),
           expr("CAST(size(filter(signs, s -> s = -1)) AS BIGINT)")
             .as("n_neg"),
-          expr("CAST(size(filter(sequence(2, size(signs)), i -> " +
+          // degenerate guard (r9 advice): with <2 signs (a type with
+          // ≤2 days or all values tied at the median) sequence(2, n)
+          // counts DOWN — [2,1,0] — and element_at(signs, 0) throws
+          // INVALID_INDEX_OF_ZERO, where the oracle's range(2, n+1)
+          // is simply empty (n_runs = 1). Mirror the oracle's
+          // empty-range semantics explicitly.
+          expr("CASE WHEN size(signs) < 2 THEN CAST(1 AS BIGINT) " +
+            "ELSE CAST(size(filter(sequence(2, size(signs)), i -> " +
             "element_at(signs, i) != element_at(signs, i - 1))) " +
-            "+ 1 AS BIGINT)").as("n_runs"))
+            "+ 1 AS BIGINT) END").as("n_runs"))
         .select($"event_type", $"n_days", $"med", $"n_pos", $"n_neg",
           $"n_runs",
           round(
@@ -789,19 +796,29 @@ object Insights {
           .select(col("v").as(c),
             (lit(2L) * col("cum") - col("cnt") + 1L).as(out))
       }
+      // moments in decimal(38,0) (q25/q118 discipline, applied per
+      // the r9 advice instead of just documented): Σrank² ≈ 4n³
+      // overflows BIGINT past n ≈ 1.3e6 customers — corpus scale,
+      // not edge case. Products form in long (safe to n ~ 1.5e9, the
+      // decimal bound documented at q92), sums accumulate exactly in
+      // decimal; the final assembly already casts to double.
+      val dec = "decimal(38,0)"
       cust.join(ranks2("x", "rx"), Seq("x"))
         .join(ranks2("y", "ry"), Seq("y"))
-        .agg(count(lit(1)).as("n"), sum($"rx").as("sx"),
-          sum($"ry").as("sy"), sum($"rx" * $"rx").as("sxx"),
-          sum($"ry" * $"ry").as("syy"), sum($"rx" * $"ry").as("sxy"))
+        .agg(count(lit(1)).as("n"),
+          sum($"rx".cast(dec)).as("sx"),
+          sum($"ry".cast(dec)).as("sy"),
+          sum(($"rx" * $"rx").cast(dec)).as("sxx"),
+          sum(($"ry" * $"ry").cast(dec)).as("syy"),
+          sum(($"rx" * $"ry").cast(dec)).as("sxy"))
         .select($"n".as("n_cust"),
-          round(
+          Tables.nz(round(
             ($"n".cast("double") * $"sxy".cast("double") -
              $"sx".cast("double") * $"sy".cast("double")) /
             (sqrt($"n".cast("double") * $"sxx".cast("double") -
                $"sx".cast("double") * $"sx".cast("double")) *
              sqrt($"n".cast("double") * $"syy".cast("double") -
-               $"sy".cast("double") * $"sy".cast("double"))), 4)
+               $"sy".cast("double") * $"sy".cast("double"))), 4))
             .as("spearman_rho"))
     }),
 
@@ -950,13 +967,13 @@ object Insights {
           sum($"v2").as("sy"), sum($"v1" * $"v1").as("sxx"),
           sum($"v2" * $"v2").as("syy"), sum($"v1" * $"v2").as("sxy"))
         .select($"event_type", $"lag", $"n",
-          round(
+          Tables.nz(round(
             ($"n".cast("double") * $"sxy".cast("double") -
              $"sx".cast("double") * $"sy".cast("double")) /
             (sqrt($"n".cast("double") * $"sxx".cast("double") -
                $"sx".cast("double") * $"sx".cast("double")) *
              sqrt($"n".cast("double") * $"syy".cast("double") -
-               $"sy".cast("double") * $"sy".cast("double"))), 4)
+               $"sy".cast("double") * $"sy".cast("double"))), 4))
             .as("acf"))
         .orderBy($"event_type", $"lag")
     }),
@@ -1276,7 +1293,7 @@ object Insights {
            CAST(count(*) AS BIGINT) AS n_pairs,
            CAST(sum(sg) AS BIGINT) AS s_stat,
            round(CAST(sum(sg) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4)
-             AS tau
+             + 0.0 AS tau
          FROM p JOIN n ON n.event_type = p.event_type
          GROUP BY n.event_type, n.n_days ORDER BY n.event_type""",
 
@@ -1627,7 +1644,8 @@ object Insights {
              (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
                 CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
               sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) -
-                CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 4) AS acf
+                CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 4) + 0.0
+             AS acf
          FROM m ORDER BY event_type, lag""",
 
     "q130_effect_sizes" ->
@@ -1804,11 +1822,14 @@ object Insights {
            JOIN ry ON ry.v = cust.y),
          m AS (
            SELECT CAST(count(*) AS BIGINT) AS n,
-             CAST(sum(a) AS BIGINT) AS sx,
-             CAST(sum(b) AS BIGINT) AS sy,
-             CAST(sum(a * a) AS BIGINT) AS sxx,
-             CAST(sum(b * b) AS BIGINT) AS syy,
-             CAST(sum(a * b) AS BIGINT) AS sxy
+             CAST(sum(CAST(a AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
+             CAST(sum(CAST(b AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sy,
+             CAST(sum(CAST(a * a AS DECIMAL(38,0))) AS DECIMAL(38,0))
+               AS sxx,
+             CAST(sum(CAST(b * b AS DECIMAL(38,0))) AS DECIMAL(38,0))
+               AS syy,
+             CAST(sum(CAST(a * b AS DECIMAL(38,0))) AS DECIMAL(38,0))
+               AS sxy
            FROM j)
          SELECT n AS n_cust,
            round(
@@ -1817,7 +1838,7 @@ object Insights {
              (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
                 CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
               sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) -
-                CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 4)
+                CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 4) + 0.0
              AS spearman_rho
          FROM m""",
 

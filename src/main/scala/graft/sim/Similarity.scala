@@ -793,14 +793,14 @@ object Similarity {
           col("sx").as("sy"), col("sxx").as("syy"))), Seq("j"))
         .select(col("i").cast("long").as("i"),
           col("j").cast("long").as("j"),
-          round(
+          Tables.nz(round(
             (col("n").cast("double") * col("sxy").cast("double")
               - col("sx").cast("double") * col("sy").cast("double")) /
             (sqrt(col("n").cast("double") * col("sxx").cast("double")
                 - col("sx").cast("double") * col("sx").cast("double")) *
              sqrt(col("n").cast("double") * col("syy").cast("double")
                 - col("sy").cast("double") * col("sy").cast("double"))),
-            4).as("corr"))
+            4)).as("corr"))
         .orderBy(col("i"), col("j"))
     }),
 
@@ -905,8 +905,8 @@ object Similarity {
         .select(col("label_a"), col("label_b"),
           col("n_a").cast("long").as("n_a"),
           col("n_b").cast("long").as("n_b"),
-          round(graft.dedup.Dedup.cosine(col("ca"), col("cb")), 6)
-            .as("centroid_cosine"))
+          Tables.nz(round(graft.dedup.Dedup.cosine(col("ca"), col("cb")),
+            6)).as("centroid_cosine"))
         .orderBy(col("label_a"), col("label_b"))
     }),
 
@@ -1854,7 +1854,7 @@ object Similarity {
                  - CAST(di.sx AS DOUBLE) * CAST(di.sx AS DOUBLE)) *
               sqrt(CAST(dj.n AS DOUBLE) * CAST(dj.sxx AS DOUBLE)
                  - CAST(dj.sx AS DOUBLE) * CAST(dj.sx AS DOUBLE))),
-             4) AS corr
+             4) + 0.0 AS corr
          FROM prs
          JOIN dims di ON di.i = prs.i
          JOIN dims dj ON dj.i = prs.j
@@ -1947,7 +1947,7 @@ object Similarity {
            FROM cent GROUP BY label)
          SELECT a.label AS label_a, b.label AS label_b,
            ca.n_vecs AS n_a, cb.n_vecs AS n_b,
-           round(${cosSql("a.c", "b.c")}, 6) AS centroid_cosine
+           round(${cosSql("a.c", "b.c")}, 6) + 0.0 AS centroid_cosine
          FROM cvec a JOIN cvec b ON a.label < b.label
          JOIN cnt ca ON ca.label = a.label
          JOIN cnt cb ON cb.label = b.label

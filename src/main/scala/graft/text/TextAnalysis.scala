@@ -261,8 +261,8 @@ object TextAnalysis {
           ($"k" * $"sxy" - $"sx" * $"sy") /
             ($"k" * $"sxx" - $"sx" * $"sx"))
         .select($"lang", size($"rc").cast("long").as("n_top"),
-          round($"slope_raw", 4).as("slope"),
-          round(($"sy" - $"slope_raw" * $"sx") / $"k", 4)
+          Tables.nz(round($"slope_raw", 4)).as("slope"),
+          Tables.nz(round(($"sy" - $"slope_raw" * $"sx") / $"k", 4))
             .as("intercept"))
         .orderBy($"lang")
     }),
@@ -727,10 +727,10 @@ object TextAnalysis {
              CAST(len(rc) AS BIGINT) AS n_top
            FROM g)
          SELECT lang, n_top,
-           round((k * sxy - sx * sy) / (k * sxx - sx * sx), 4)
+           round((k * sxy - sx * sy) / (k * sxx - sx * sx), 4) + 0.0
              AS slope,
            round((sy - ((k * sxy - sx * sy) / (k * sxx - sx * sx))
-             * sx) / k, 4) AS intercept
+             * sx) / k, 4) + 0.0 AS intercept
          FROM s ORDER BY lang""",
     "text_pii_redact" ->
       """WITH aug AS (

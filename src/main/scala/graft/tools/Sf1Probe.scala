@@ -168,10 +168,17 @@ object Sf1Probe {
 
     // shared edge build first at each scale — its own row; the graph
     // family then measures post-edge cost exactly as a session would
-    val rows = ("graph_edge_build",
+    // dev knob: `sbt "runMain graft.tools.Sf1Probe only=a,b"` probes a
+    // subset while iterating on one operator's growth exponent
+    val only = args.collectFirst {
+      case a if a.startsWith("only=") =>
+        a.stripPrefix("only=").split(",").map(_.trim).toSet
+    }
+    val rows = (("graph_edge_build",
       (s: SparkSession, d: String) =>
         graft.queries.Graph.coOccurrencePairCounts(s, d)) +:
-      heavy.map(n => (n, SparkEntry.queries(n)))
+      heavy.map(n => (n, SparkEntry.queries(n))))
+      .filter { case (n, _) => only.forall(_.contains(n)) }
 
     rows.foreach { case (name, fn) =>
       val (w0, c0) = time(fn(spark, srcDir))

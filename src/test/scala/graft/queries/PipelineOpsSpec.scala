@@ -250,16 +250,30 @@ class PipelineOpsSpec extends SparkSpec {
     assert(in2 == k1 && out2 == in2 - rm2)
     assert(rm1 >= 0 && rm2 >= 0 && out2 > 0)
     // tier-2 removals reconcile with the CC non-canonical count over
-    // the survivor set
+    // the survivor set (round 10: the near tier runs the lossless
+    // prefix-filter generator at J >= 1/2 — see Pipeline.scala)
     val keep1 = docs.selectExpr("doc_id", "md5(text) as g")
       .groupBy("g")
       .agg(org.apache.spark.sql.functions.min($"doc_id").as("doc_id"))
       .select("doc_id")
     val cc = graft.dedup.Dedup.connectedComponents(
+      graft.dedup.Dedup.prefixFilterPairsOver(
+        graft.dedup.Dedup.shingleBlocks(docs.join(keep1, Seq("doc_id")))))
+    assert(rm2 == cc.filter($"doc_id" =!= $"component").count())
+    // losslessness, observable at the tier level: the BLOCKED exact
+    // generator at the same J >= 1/2 finds only within-block pairs, a
+    // subset of the global prefix-filter pair set — and CC removals
+    // are monotone in the edge set, so blocked-0.5 removals can never
+    // exceed the sweep's. (The old 0.05 near tier is NOT comparable:
+    // different threshold AND different blocking scope — at this
+    // fixture the global 0.5 generator actually removes MORE than the
+    // blocked 0.05 one because near-dups straddle length blocks.)
+    val rmBlocked05 = graft.dedup.Dedup.connectedComponents(
       graft.dedup.Dedup.ngramJaccardPairs(
         graft.dedup.Dedup.shingleBlocks(docs.join(keep1, Seq("doc_id"))),
-        0.05))
-    assert(rm2 == cc.filter($"doc_id" =!= $"component").count())
+        0.5))
+      .filter($"doc_id" =!= $"component").count()
+    assert(rmBlocked05 <= rm2)
     spark.catalog.clearCache()
   }
 
