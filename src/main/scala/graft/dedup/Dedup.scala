@@ -1011,12 +1011,17 @@ object Dedup {
     val e = e0.persist(lvl) // Lloyd re-reads per round; released by
                             // the harness clearCache (cache lifecycle)
     // ROUGH clustering suffices: the within-cluster verify is exact
-    // cosine, so Lloyd quality only nudges recall at cell boundaries —
-    // 5 rounds with a loose tol instead of convergence-grade training
-    // (each round is a full broadcast-assign + mean-reduce job; the
-    // loop IS this operator's wall-clock)
+    // cosine, so Lloyd quality only nudges recall at cell boundaries.
+    // FIXED 3 rounds, no tol early-stop (round 10): a data-dependent
+    // stopping round made the training un-replayable in SQL and kept
+    // this op rows-only; with the deterministic stride init and the
+    // quantized-grid means, a fixed unroll is exactly the
+    // ann_ivf_kmeans oracle discipline — and each round is a full
+    // broadcast-assign + mean-reduce job, so fewer fixed rounds is
+    // also the cheaper loop (the old 5-round/tol path usually ran all
+    // 5 anyway at this tolerance).
     val (cents, _) =
-      graft.sim.Similarity.kmeansCentroidsWithStats(e, k, 5, 1e-2)
+      graft.sim.Similarity.kmeansCentroidsWithStats(e, k, 3, 0.0)
     val assigned = e.crossJoin(broadcast(cents))
       .withColumn("c_sim", cosine(col("embedding"), col("centroid")))
       .groupBy(col("vec_id"))
@@ -1716,6 +1721,74 @@ object Dedup {
            FROM pairs)
          SELECT v1, v2, cosine FROM sims WHERE cosine >= 0.35
          ORDER BY v1, v2""",
+
+    // dedup_semantic upgraded from rows-only (round 10, r9 verdict
+    // item #5): the ann_ivf_kmeans unroll discipline — deterministic
+    // stride init, 3 fixed Lloyd rounds (assignment = row_number
+    // argmax replaying the max_by (c_sim DESC, cell ASC) tie-break;
+    // means on the quantized 1e-6 grid), then the final assignment
+    // and the exact within-cell cosine verify, all on the shared
+    // index-order left-fold cosine. k and the init stride replay the
+    // Spark side's count-derived values (k = max(10, n/500),
+    // stride = max(n/k, 1)).
+    "dedup_semantic" -> {
+      def assign(prev: String, out: String): String =
+        s"""$out AS (
+             SELECT vec_id, cell, embedding FROM (
+               SELECT s.vec_id, s.cell, s.embedding,
+                 row_number() OVER (PARTITION BY s.vec_id
+                   ORDER BY s.c_sim DESC, s.cell) AS rn
+               FROM (
+                 SELECT e.vec_id, c.cell, e.embedding,
+                   ${graft.sim.Similarity.cosSql(
+                     "e.embedding", "c.centroid")} AS c_sim
+                 FROM embeddings e CROSS JOIN $prev c) s) r
+             WHERE rn = 1)"""
+      def means(asgn: String, out: String): String =
+        s"""$out AS (
+             SELECT cell, list(m ORDER BY pos) AS centroid FROM (
+               SELECT cell, pos,
+                 floor(CAST(CAST(sum(q) AS BIGINT) AS DOUBLE) / count(*))
+                   / 1000000.0 AS m
+               FROM (
+                 SELECT a.cell,
+                   unnest(list_transform(a.embedding,
+                     v -> CAST(floor(CAST(v AS DOUBLE) * 1000000.0)
+                       AS BIGINT))) AS q,
+                   unnest(range(1, len(a.embedding) + 1)) AS pos
+                 FROM $asgn a) qq
+               GROUP BY cell, pos) mm
+             GROUP BY cell)"""
+      s"""WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n
+                      FROM embeddings),
+         kk AS (SELECT greatest(10, n // 500) AS k,
+                  greatest(n // greatest(10, n // 500), 1) AS stride
+                FROM nn),
+         c0 AS (
+           SELECT cell, centroid FROM (
+             SELECT vec_id AS cell,
+               list_transform(embedding, v -> CAST(v AS DOUBLE))
+                 AS centroid,
+               row_number() OVER (ORDER BY vec_id) AS rn
+             FROM embeddings, kk WHERE vec_id % stride = 0)
+           WHERE rn <= (SELECT k FROM kk)),
+         ${assign("c0", "a1")},
+         ${means("a1", "c1")},
+         ${assign("c1", "a2")},
+         ${means("a2", "c2")},
+         ${assign("c2", "a3")},
+         ${means("a3", "c3")},
+         ${assign("c3", "cells")},
+         sims AS (
+           SELECT a.cell, a.vec_id AS v1, b.vec_id AS v2,
+             ${graft.sim.Similarity.cosSql(
+               "a.embedding", "b.embedding")} AS cosine
+           FROM cells a JOIN cells b
+             ON a.cell = b.cell AND a.vec_id < b.vec_id)
+         SELECT cell, v1, v2, cosine FROM sims WHERE cosine >= 0.35
+         ORDER BY v1, v2"""
+    },
+
     // The fuzzy pair CTE + dedup_clusters' recursive-closure replay,
     // rolled up per component.
     "dedup_entity_resolution" ->
