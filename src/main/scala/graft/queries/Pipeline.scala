@@ -316,12 +316,28 @@ object Pipeline {
     // the (doc_id, split) table is corpus-sized, so both lookups are
     // doc-keyed hash joins (two shuffles of id+split pairs — splits
     // never broadcast at 100 TB); the pair list is the bounded output
-    // of the blocked near-dup pass. The fix-side policy op is
+    // of the near-dup pass. The fix-side policy op is
     // pipeline_keep_best (collapse each cluster to one side);
     // this query is the detector that says you need it.
+    //
+    // ROUND-10 GENERATOR SWAP (same remedy, same reasoning as
+    // pipeline_dedup_sweep — this was the other consumer of the
+    // lang×length-blocked J >= 0.05 generator, and the round-10
+    // decade probe caught it: wall exp 0.89 with CPU growing
+    // super-linearly, 22 s → 302 s across sf0.1→sf1). The detector
+    // now runs the LOSSLESS prefix-filter generator at J >= 1/2:
+    // cross-split near-duplicate leakage is exactly the
+    // near-dup-crossing-the-fence case, and losslessness means NO
+    // leaked pair at the operating point is missed — the blocked
+    // generator silently missed cross-length-block leaks. Semantics
+    // change stated: threshold 0.05 → 0.5; jaccard is now the exact
+    // n_inter/n_union of the hashed shingle sets.
     "pipeline_split_leakage" -> ((s, d) => {
       import s.implicits._
-      val pairs = graft.dedup.Dedup.ngramJaccard(s, d)
+      val pairs = graft.dedup.Dedup.prefixFilterPairs(s, d)
+        .select($"doc_a", $"doc_b",
+          ($"n_inter".cast("double") / $"n_union".cast("double"))
+            .as("jaccard"))
       val splits = Tables.load(s, d, "documents")
         .select($"doc_id", splitCol($"text").as("split"))
       pairs
@@ -805,23 +821,17 @@ object Pipeline {
     // composes dedup_ngram_jaccard's pair CTE with pipeline_split's
     // assignment rule — the same float-exact jaccard expression, so
     // the doubles hash-match
+    // round-10 re-derivation: the shared shingle + prefix-filter CTEs
+    // (J >= 1/2, lossless) replace the blocked 0.05 pair CTE — see
+    // the Spark side's comment.
     "pipeline_split_leakage" ->
-      """WITH docs AS (
-           SELECT doc_id,
-             lang || '#' || CAST(CAST(floor(n_chars / 100) AS BIGINT) AS VARCHAR) AS block,
-             list_distinct(list_transform(
-               range(1, greatest(len(string_split_regex(lower(text), '\s+')) - 2, 0) + 1),
-               i -> string_split_regex(lower(text), '\s+')[i] || ' ' ||
-                    string_split_regex(lower(text), '\s+')[i+1] || ' ' ||
-                    string_split_regex(lower(text), '\s+')[i+2])) AS sh
-           FROM documents),
+      s"""WITH ${graft.dedup.Dedup.shingleCtesOver("documents")},
+         ${graft.dedup.Dedup.prefixFilterSqlCtes},
          pr AS (
-           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-             CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-             CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) AS jaccard
-           FROM docs a JOIN docs b ON a.block = b.block AND a.doc_id < b.doc_id
-           WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-                 CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) >= 0.05),
+           SELECT doc_a, doc_b,
+             CAST(n_inter AS DOUBLE) / CAST(n_union AS DOUBLE)
+               AS jaccard
+           FROM v WHERE n_inter * 2 >= n_union),
          sp AS (
            SELECT doc_id,
              CASE WHEN substring(md5(text), 1, 1) < 'c'

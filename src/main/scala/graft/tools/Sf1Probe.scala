@@ -51,7 +51,11 @@ object Sf1Probe {
     "q52_session_window", "q10_distinct",
     // round-9 session-2 heavy tier
     "q138_hits", "ann_hybrid_rrf", "dedup_prefix_filter",
-    "emb_dim_corr", "q101_label_propagation", "pipeline_dedup_sweep")
+    "emb_dim_corr", "q101_label_propagation", "pipeline_dedup_sweep",
+    // round-10: every remaining op with a join or explode in its hot
+    // path gets a measured growth exponent (r9 verdict item #7)
+    "q35_lateral", "text_lm_score", "q92_chi_square",
+    "pipeline_split_leakage")
 
   private def pow10Above(maxKey: Long): Long = {
     var p = 1L

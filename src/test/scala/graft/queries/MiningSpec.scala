@@ -183,7 +183,9 @@ class MiningSpec extends SparkSpec {
     }
     val txt = graft.Tables.load(spark, sf, "documents")
       .selectExpr("doc_id", "text").as[(Long, String)].collect().toMap
-    val allPairs = graft.dedup.Dedup.ngramJaccard(spark, sf)
+    // round 10: the detector runs the lossless prefix-filter generator
+    // at J >= 1/2 (see Pipeline.scala) — recompose from the same
+    val allPairs = graft.dedup.Dedup.prefixFilterPairs(spark, sf)
       .selectExpr("doc_a", "doc_b").as[(Long, Long)].collect()
     val want = allPairs.filter { case (a, b) =>
       side(txt(a)) != side(txt(b)) }.toSet

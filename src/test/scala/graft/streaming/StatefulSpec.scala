@@ -42,6 +42,94 @@ class StatefulSpec extends SparkSpec {
     }
   }
 
+  test("IVM sink: kill between the two swap renames, restart, no loss") {
+    // The r9-advice crash window made concrete (round-10 verdict item
+    // #6): incrementalAggBatch swaps generations with
+    // rename(state→old); rename(tmp→state); delete(old). A process
+    // death BETWEEN the renames leaves NO `state` dir and an intact
+    // `-old` — the shape restoreTornState must recover, or the next
+    // batch silently reinitializes from empty and deletes the only
+    // surviving generation. This test produces that exact torn shape
+    // (the deterministic equivalent of killing the JVM at that line),
+    // replays the in-flight batch the way foreachBatch re-delivers
+    // after a crash, and asserts the final state equals a direct
+    // recompute over every batch — no loss, no double-merge.
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_ivm_torn").toString
+    val stateDir = base + "/state"
+    val b0 = Seq((1L, 10L), (2L, 5L)).toDF("k", "v")
+    val b1 = Seq((1L, 7L), (3L, 1L)).toDF("k", "v")
+    val b2 = Seq((2L, 20L), (3L, 4L)).toDF("k", "v")
+    StreamOps.incrementalAggBatch(stateDir)(b0, 0L)
+    StreamOps.incrementalAggBatch(stateDir)(b1, 1L)
+
+    // crash in the middle of batch 2's swap: the merged tmp was
+    // written, state has been renamed to -old, tmp→state never ran,
+    // and the process died (tmp-2 left behind, as a real kill would)
+    val fs = new org.apache.hadoop.fs.Path(stateDir).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val statePath = new org.apache.hadoop.fs.Path(stateDir)
+    val oldPath = new org.apache.hadoop.fs.Path(s"$stateDir-old")
+    val merged2 = spark.read.parquet(stateDir).unionByName(
+        b2.groupBy($"k").agg(
+          org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("n"),
+          org.apache.spark.sql.functions.sum($"v").as("s"),
+          org.apache.spark.sql.functions.min($"v").as("lo"),
+          org.apache.spark.sql.functions.max($"v").as("hi")))
+      .groupBy($"k").agg(
+        org.apache.spark.sql.functions.sum($"n").as("n"),
+        org.apache.spark.sql.functions.sum($"s").as("s"),
+        org.apache.spark.sql.functions.min($"lo").as("lo"),
+        org.apache.spark.sql.functions.max($"hi").as("hi"))
+    merged2.write.mode("overwrite").parquet(s"$stateDir-tmp-2")
+    assert(fs.rename(statePath, oldPath), "torn-shape setup rename")
+    assert(!fs.exists(statePath) && fs.exists(oldPath),
+      "pre-restart shape: state missing, -old intact")
+
+    // restart: foreachBatch re-delivers batch 2 (its marker never
+    // landed in Spark's commit log). restoreTornState must first put
+    // generation 1 back, then the merge proceeds normally.
+    StreamOps.incrementalAggBatch(stateDir)(b2, 2L)
+    val served = spark.read.parquet(stateDir)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    val all = Seq((1L, 10L), (2L, 5L), (1L, 7L), (3L, 1L),
+      (2L, 20L), (3L, 4L))
+    val direct = all.groupBy(_._1).map { case (k, rows) =>
+      val vs = rows.map(_._2)
+      k -> (k, vs.length.toLong, vs.sum, vs.min, vs.max)
+    }
+    assert(served.keySet == direct.keySet,
+      s"keys after torn restart: ${served.keySet} vs ${direct.keySet}")
+    direct.foreach { case (k, (_, n, sum, lo, hi)) =>
+      val (_, sn, ss, slo, shi) = served(k)
+      assert(sn == n && ss == sum && slo == lo && shi == hi,
+        s"key $k after torn restart: loss or double-merge")
+    }
+    assert(!fs.exists(oldPath), "post-batch cleanup drops -old")
+  }
+
+  test("CUSUM sink: torn swap restores the surviving generation") {
+    // same crash window as above, on the second IVM batch sink
+    val stateDir = java.nio.file.Files
+      .createTempDirectory("graft_cusum_torn").toString + "/state"
+    StreamOps.cusumDriftBatch(stateDir)(
+      Seq(("a", 1L, 100L), ("b", 1L, 50L))
+        .toDF("event_type", "day", "cents"), 0L)
+    val fs = new org.apache.hadoop.fs.Path(stateDir).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    assert(fs.rename(new org.apache.hadoop.fs.Path(stateDir),
+      new org.apache.hadoop.fs.Path(s"$stateDir-old")))
+    StreamOps.cusumDriftBatch(stateDir)(
+      Seq(("a", 2L, 110L)).toDF("event_type", "day", "cents"), 1L)
+    val got = spark.read.parquet(stateDir)
+      .as[(String, Long, Long)].collect().toSet
+    assert(got == Set(("a", 1L, 100L), ("a", 2L, 110L),
+      ("b", 1L, 50L)),
+      s"cusum state after torn restart: $got")
+  }
+
   test("streaming CUSUM drift: snapshot == q84 statistic on all data") {
     implicit val sqlCtx = spark.sqlContext
     val stateDir = java.nio.file.Files
