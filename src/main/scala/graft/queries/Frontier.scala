@@ -1,0 +1,536 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.{Q, Tables}
+
+/** Round-10 operator additions — the frontier batch on top of the
+  * r1–r9 board (time-series changepoints, robust regression, the
+  * Poisson bootstrap, as-of-nearest joins, cohort triangles, code
+  * detection, mixture grids, embedding isotropy).
+  *
+  * Reference note: the reference engine (`/root/reference/`, a
+  * Go log forwarder — see SURVEY.md §1) has no analytics surface;
+  * these are training-data-pipeline / analytics extensions in the
+  * same spirit as the Insights/Pipeline families. Every op keeps the
+  * house disciplines: exact integer domains until one final IEEE
+  * assembly, Tables.nz on signable float outputs, domain-bounded
+  * windows only, and a DuckDB oracle that replays the identical
+  * arithmetic.
+  */
+object Frontier {
+
+  def queries: Map[String, Q] = Map(
+
+    // Offline changepoint detection (CUSUM argmax, one split) on the
+    // daily value series per event type — "which day did the metric
+    // regime change": the batch twin of the streaming cusumDrift
+    // monitor, and the first diagnostic run on a metric before a
+    // diff-in-diff (q135) picks its treatment window. EXACT integer
+    // statistic: with cum_t = Σ_{i≤t} v_i and tot = Σ v_i, the
+    // centered CUSUM n·cum_t − t·tot equals n²·(classic deviation
+    // sum) — same argmax, zero floats. Split candidates t ∈ [1, n−1]
+    // (a split after the last day is no split), tie → earliest day.
+    // Scale: the corpus-sized pass is the daily rollup (map-side
+    // combined); everything after runs on type×day rows (domain-
+    // bounded), and the per-type window is ≤ span-days wide.
+    "q140_changepoint" -> ((s, d) => {
+      import s.implicits._
+      val daily = Tables.load(s, d, "events")
+        .select($"event_type", to_date($"ts").as("day"),
+          round($"value" * 100).cast("long").as("cents"))
+        .groupBy($"event_type", $"day").agg(sum($"cents").as("v"))
+      val w = Window.partitionBy($"event_type").orderBy($"day")
+      val wAll = Window.partitionBy($"event_type")
+      val scored = daily
+        .withColumn("t", row_number().over(w).cast("long"))
+        .withColumn("cum", sum($"v").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .withColumn("tot", sum($"v").over(wAll))
+        .filter($"t" < $"n")
+        .withColumn("s_abs", abs($"n" * $"cum" - $"t" * $"tot"))
+      scored
+        .groupBy($"event_type")
+        .agg(max($"n").as("n_days"),
+          max_by(struct($"day", $"t", $"cum", $"s_abs"),
+            struct($"s_abs", $"t" * -1)).as("best"),
+          max($"tot").as("tot"))
+        .select($"event_type", $"n_days",
+          date_format($"best.day", "yyyy-MM-dd").as("cp_day"),
+          $"best.s_abs".as("s_abs"),
+          expr("best.cum div best.t").as("pre_mean_cents"),
+          expr("(tot - best.cum) div (n_days - best.t)")
+            .as("post_mean_cents"))
+        .orderBy($"event_type")
+    }),
+
+    // Theil–Sen slope per event type — the ROBUST trend estimate next
+    // to q110's Mann–Kendall direction test (median of all pairwise
+    // slopes; a single outlier day cannot drag it the way it drags the
+    // q114/q107 least-squares-ish fits). Pair enumeration is
+    // span-days² per type — DOMAIN-bounded (days, not rows), the same
+    // budget q110 already spends; slopes are one exact-int difference
+    // divide; the median is lower-median element selection from the
+    // per-type sorted slope list (q117's med discipline — the list is
+    // pair-of-days-sized, never corpus-sized).
+    "q141_theil_sen" -> ((s, d) => {
+      import s.implicits._
+      val daily = Tables.load(s, d, "events")
+        .select($"event_type", to_date($"ts").as("day"),
+          round($"value" * 100).cast("long").as("cents"))
+        .groupBy($"event_type", $"day").agg(sum($"cents").as("v"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val a = daily.select($"event_type", $"day".as("d1"), $"v".as("v1"))
+      val b = daily.select($"event_type", $"day".as("d2"), $"v".as("v2"))
+      a.join(b, Seq("event_type")).filter($"d1" < $"d2")
+        .select($"event_type",
+          (($"v2" - $"v1").cast("double") /
+            datediff($"d2", $"d1").cast("double")).as("slope"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n_pairs"),
+          sort_array(collect_list($"slope")).as("sl"))
+        .select($"event_type", $"n_pairs",
+          Tables.nz(round(expr(
+            "element_at(sl, CAST((size(sl) + 1) div 2 AS INT))"), 4))
+            .as("sen_slope"))
+        .orderBy($"event_type")
+    }),
+
+    // Poisson bootstrap CI for mean customer spend — THE bootstrap
+    // that works at 100 TB: classic resampling needs n draws per
+    // replicate (a shuffle of B·n rows); the Poisson(1) approximation
+    // gives every row an independent per-replicate weight, so all B
+    // replicates ride ONE pass over the data as a B-way explode +
+    // map-side-combined rollup (Chamandy et al., "Estimating
+    // Uncertainty for Massive Data Streams", Google 2012). Weights
+    // are DETERMINISTIC — md5(custkey:rep) first 8 hex digits
+    // compared lexicographically against the Poisson(1) CDF
+    // thresholds (lowercase fixed-width hex compare == numeric
+    // compare; md5 is the house cross-engine RNG) — so both engines
+    // replay identical draws. Replicate means are exact-int sums with
+    // ONE final divide; the 95% CI is order-statistic selection (rank
+    // 3 / rank 98 of 100 sorted replicate means).
+    "q142_bootstrap_ci" -> ((s, d) => {
+      import s.implicits._
+      val cust = Tables.load(s, d, "orders")
+        .groupBy($"o_custkey")
+        .agg(sum(round($"o_totalprice" * 100).cast("long")).as("cents"))
+      val reps = cust
+        .select($"o_custkey", $"cents",
+          explode(sequence(lit(1), lit(100))).as("rep"))
+        .withColumn("h", substring(
+          md5(concat($"o_custkey".cast("string"), lit(":"),
+            $"rep".cast("string"))), 1, 8))
+        .withColumn("w",
+          when($"h" < "5e2d58d8", 0L)
+            .when($"h" < "bc5ab1b1", 1L)
+            .when($"h" < "eb715e1d", 2L)
+            .when($"h" < "fb239797", 3L)
+            .when($"h" < "ff1025f5", 4L)
+            .otherwise(5L))
+        .groupBy($"rep")
+        .agg(sum($"w").as("n_eff"), sum($"w" * $"cents").as("sum_eff"))
+        .select(($"sum_eff".cast("double") / $"n_eff".cast("double"))
+          .as("mean_r"))
+      val point = cust.agg(count(lit(1)).as("n"),
+        sum($"cents").as("tot"))
+      reps.agg(sort_array(collect_list($"mean_r")).as("ms"))
+        .crossJoin(broadcast(point))
+        .select(lit(100L).as("n_reps"), $"n",
+          Tables.nz(round($"tot".cast("double") / $"n".cast("double"),
+            4)).as("mean_cents"),
+          Tables.nz(round(expr("element_at(ms, 3)"), 4)).as("ci_lo"),
+          Tables.nz(round(expr("element_at(ms, 98)"), 4)).as("ci_hi"))
+    }),
+
+    // As-of NEAREST join: each purchase matched to its nearest view
+    // by the same user in EITHER time direction (tie → the earlier
+    // view) — completing the as-of family (q69 backward, q70
+    // forward). One per-user exchange+sort serves both directions:
+    // last(view ts, ignoreNulls) over the preceding frame and
+    // first(...) over the following frame on the SAME window spec, so
+    // Spark plans a single sort. Micros stay integer end to end.
+    "q145_asof_nearest" -> ((s, d) => {
+      import s.implicits._
+      val ev = Tables.load(s, d, "events")
+        .filter($"event_type".isin("purchase", "view"))
+        .select($"event_id", $"user_id", $"event_type",
+          unix_micros($"ts").as("t"))
+      val w = Window.partitionBy($"user_id").orderBy($"t", $"event_id")
+      val vt = when($"event_type" === "view", $"t")
+      val marked = ev
+        .withColumn("prev_v", last(vt, ignoreNulls = true).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("next_v", first(vt, ignoreNulls = true).over(
+          w.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+      marked.filter($"event_type" === "purchase" &&
+          ($"prev_v".isNotNull || $"next_v".isNotNull))
+        .withColumn("nearest",
+          when($"prev_v".isNull, $"next_v")
+            .when($"next_v".isNull, $"prev_v")
+            .when($"t" - $"prev_v" <= $"next_v" - $"t", $"prev_v")
+            .otherwise($"next_v"))
+        .select($"event_id", $"user_id", $"t".as("purchase_us"),
+          $"nearest".as("view_us"),
+          ($"nearest" - $"t").as("diff_us"),
+          when($"nearest" <= $"t", "before").otherwise("after")
+            .as("side"))
+        .orderBy($"event_id")
+    }),
+
+    // Cohort retention triangle: customers cohorted by first-order
+    // month, activity tracked by month offset 0..12 — the classic
+    // layout every retention dashboard draws, and the longitudinal
+    // base under q133's two-period migration matrix. Month math is
+    // exact integers ((Δyear)·12 + Δmonth on date_trunc'd months);
+    // rates are integer milli against the offset-0 cohort size (which
+    // equals the cohort's distinct-customer count by construction).
+    // Scale: one (custkey → first month) aggregate, one distinct
+    // (custkey, month) rollup, one broadcast-sized cohort-size join.
+    "q146_retention_triangle" -> ((s, d) => {
+      import s.implicits._
+      val o = Tables.load(s, d, "orders")
+        .select($"o_custkey",
+          date_trunc("month", $"o_orderdate").as("m"))
+      val first = o.groupBy($"o_custkey").agg(min($"m").as("cm"))
+      val activity = o.distinct()
+        .join(first, Seq("o_custkey"))
+        .withColumn("offset",
+          ((year($"m") - year($"cm")) * 12 +
+            (month($"m") - month($"cm"))).cast("long"))
+        .filter($"offset" <= 12)
+      val counts = activity.groupBy($"cm", $"offset")
+        .agg(countDistinct($"o_custkey").as("n_active"))
+      val size0 = counts.filter($"offset" === 0)
+        .select($"cm", $"n_active".as("cohort_n"))
+      counts.join(broadcast(size0), Seq("cm"))
+        .select(date_format($"cm", "yyyy-MM").as("cohort_month"),
+          $"offset", $"n_active", $"cohort_n",
+          expr("n_active * 1000 div cohort_n").as("retention_milli"))
+        .orderBy($"cohort_month", $"offset")
+    }),
+
+    // Code-likeness detector over the document corpus — the
+    // text-quality gate LLM pipelines run to ROUTE code into its own
+    // mixture bucket (or out of a prose-only corpus). Features are
+    // pure character frequencies (brace/semicolon/equals density per
+    // 1000 chars) computed with the length-of-replace trick — exact
+    // integers, no regex engine in the loop, identical on any engine;
+    // the threshold is a declared constant. Rides the scan projection
+    // (one pass, no shuffle before the per-doc row).
+    "text_code_detect" -> ((s, d) => {
+      import s.implicits._
+      def cnt(ch: String): Column =
+        (length($"text") - length(regexp_replace($"text",
+          java.util.regex.Pattern.quote(ch), ""))).cast("long")
+      Tables.load(s, d, "documents")
+        .select($"doc_id", $"n_chars",
+          (cnt("{") + cnt("}")).as("n_braces"),
+          cnt(";").as("n_semis"),
+          cnt("=").as("n_eqs"))
+        .withColumn("score_milli", expr(
+          "(n_braces + n_semis + n_eqs) * 1000 div n_chars"))
+        .withColumn("is_code",
+          when($"score_milli" >= 15, 1L).otherwise(0L))
+        .orderBy($"doc_id")
+    }),
+
+    // Temperature-mixture GRID: pipeline_temperature_mix swept over
+    // τ ∈ {0, 0.3, 0.5, 0.7, 1.0} — the table a mixture tuning run
+    // actually reads (τ=1 is proportional sampling, τ=0 uniform; the
+    // elbow between them is a data-dependent choice someone has to
+    // SEE). Per-τ normalization reuses the sorted-fold discipline
+    // (both engines accumulate the identical IEEE sequence over the
+    // lang-sorted list); the grid is taus × langs — constant-sized,
+    // broadcast-joined onto the one corpus-scale token count.
+    "pipeline_mixture_grid" -> ((s, d) => {
+      import s.implicits._
+      val langs = Tables.spread(Tables.load(s, d, "documents"))
+        .select($"lang",
+          size(split($"text", "\\s+")).cast("long").as("n_tok"))
+        .groupBy($"lang").agg(sum($"n_tok").as("n_tokens"))
+      val tot = langs.agg(sum($"n_tokens").as("tot"))
+      val taus = Seq(0L, 300L, 500L, 700L, 1000L)
+      val withP = langs.crossJoin(broadcast(tot))
+        .crossJoin(broadcast(
+          s.range(1).select(explode(
+            array(taus.map(lit): _*)).as("tau_milli"))))
+        .select($"tau_milli", $"lang", $"n_tokens",
+          ($"n_tokens".cast("double") / $"tot".cast("double")).as("p"))
+        .withColumn("pa",
+          pow($"p", $"tau_milli".cast("double") / lit(1000.0)))
+      withP
+        .groupBy($"tau_milli")
+        .agg(sort_array(collect_list(struct($"lang", $"n_tokens",
+          $"p", $"pa"))).as("arr"))
+        .select($"tau_milli", explode($"arr").as("r"),
+          expr("""aggregate(arr, CAST(0.0 AS DOUBLE),
+            (a, x) -> a + x.pa)""").as("sum_pa"))
+        .select($"tau_milli", $"r.lang".as("lang"),
+          $"r.n_tokens".as("n_tokens"),
+          Tables.nz(round($"r.p", 6)).as("p"),
+          Tables.nz(round($"r.pa" / $"sum_pa", 6)).as("w"))
+        .orderBy($"tau_milli", $"lang")
+    }),
+
+    // Embedding isotropy probe: mean (signed and absolute) cosine
+    // over the deterministic consecutive-id pair chain — a collapsed
+    // (anisotropic) embedding space shows mean |cos| ≫ 0 while a
+    // healthy one sits near 0 (Ethayarajh 2019's observation, reduced
+    // to a one-pass health number next to emb_effective_dim). The
+    // pair chain is a SELF-JOIN on vec_id+1 (co-partitioned hash
+    // join — never a global-sort window); per-pair cosines quantize
+    // to the 1e-9 grid and sum EXACTLY as longs (map-side combined),
+    // so the mean is one final divide — no float-sum shuffle.
+    "emb_isotropy" -> ((s, d) => {
+      import s.implicits._
+      val e = Tables.spread(Tables.load(s, d, "embeddings"))
+        .select($"vec_id", $"embedding")
+      val nxt = e.select(($"vec_id" - 1).as("vec_id"),
+        $"embedding".as("emb_b"))
+      e.join(nxt, Seq("vec_id"))
+        .select(floor(graft.dedup.Dedup.cosine($"embedding", $"emb_b")
+          * 1e9).cast("long").as("q"))
+        .agg(count(lit(1)).as("n_pairs"), sum($"q").as("sq"),
+          sum(abs($"q")).as("saq"), max(abs($"q")).as("mx"))
+        .select($"n_pairs",
+          Tables.nz(round($"sq".cast("double") / 1e9 /
+            $"n_pairs".cast("double"), 6)).as("mean_cos"),
+          Tables.nz(round($"saq".cast("double") / 1e9 /
+            $"n_pairs".cast("double"), 6)).as("mean_abs_cos"),
+          Tables.nz(round($"mx".cast("double") / 1e9, 6))
+            .as("max_abs_cos"))
+    }))
+
+  def oracles: Map[String, String] = Map(
+
+    "q140_changepoint" ->
+      """WITH daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS v
+           FROM events GROUP BY 1, 2),
+         scored AS (
+           SELECT event_type, day,
+             CAST(row_number() OVER w AS BIGINT) AS t,
+             CAST(sum(v) OVER (PARTITION BY event_type ORDER BY day
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+             CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT)
+               AS n,
+             CAST(sum(v) OVER (PARTITION BY event_type) AS BIGINT)
+               AS tot
+           FROM daily
+           WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+         cand AS (
+           SELECT *, abs(n * cum - t * tot) AS s_abs FROM scored
+           WHERE t < n),
+         best AS (
+           SELECT event_type, n AS n_days, day, t, cum, tot, s_abs,
+             row_number() OVER (PARTITION BY event_type
+               ORDER BY s_abs DESC, t) AS rn
+           FROM cand)
+         SELECT event_type, n_days,
+           strftime(day, '%Y-%m-%d') AS cp_day,
+           CAST(s_abs AS BIGINT) AS s_abs,
+           CAST(cum // t AS BIGINT) AS pre_mean_cents,
+           CAST((tot - cum) // (n_days - t) AS BIGINT)
+             AS post_mean_cents
+         FROM best WHERE rn = 1 ORDER BY event_type""",
+
+    "q141_theil_sen" ->
+      """WITH daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS v
+           FROM events GROUP BY 1, 2),
+         p AS (
+           SELECT a.event_type,
+             CAST(b.v - a.v AS DOUBLE) /
+               CAST(date_diff('day', a.day, b.day) AS DOUBLE) AS slope
+           FROM daily a JOIN daily b
+             ON a.event_type = b.event_type AND a.day < b.day),
+         g AS (
+           SELECT event_type, CAST(count(*) AS BIGINT) AS n_pairs,
+             list_sort(list(slope)) AS sl
+           FROM p GROUP BY 1)
+         SELECT event_type, n_pairs,
+           round(sl[CAST((len(sl) + 1) // 2 AS INT)], 4) + 0.0
+             AS sen_slope
+         FROM g ORDER BY event_type""",
+
+    "q142_bootstrap_ci" ->
+      """WITH cust AS (
+           SELECT o_custkey,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+               AS BIGINT) AS cents
+           FROM orders GROUP BY 1),
+         reps AS (
+           SELECT c.o_custkey, c.cents, r.rep,
+             substring(md5(CAST(c.o_custkey AS VARCHAR) || ':' ||
+               CAST(r.rep AS VARCHAR)), 1, 8) AS h
+           FROM cust c
+           CROSS JOIN (SELECT unnest(range(1, 101)) AS rep) r),
+         wts AS (
+           SELECT rep, cents,
+             CASE WHEN h < '5e2d58d8' THEN 0
+                  WHEN h < 'bc5ab1b1' THEN 1
+                  WHEN h < 'eb715e1d' THEN 2
+                  WHEN h < 'fb239797' THEN 3
+                  WHEN h < 'ff1025f5' THEN 4
+                  ELSE 5 END AS w
+           FROM reps),
+         mr AS (
+           SELECT rep,
+             CAST(CAST(sum(w * cents) AS BIGINT) AS DOUBLE) /
+             CAST(CAST(sum(w) AS BIGINT) AS DOUBLE) AS mean_r
+           FROM wts GROUP BY rep),
+         ms AS (SELECT list_sort(list(mean_r)) AS ms FROM mr),
+         pt AS (
+           SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cents) AS BIGINT) AS tot
+           FROM cust)
+         SELECT CAST(100 AS BIGINT) AS n_reps, n,
+           round(CAST(tot AS DOUBLE) / CAST(n AS DOUBLE), 4) + 0.0
+             AS mean_cents,
+           round(ms[3], 4) + 0.0 AS ci_lo,
+           round(ms[98], 4) + 0.0 AS ci_hi
+         FROM ms, pt""",
+
+    "q145_asof_nearest" ->
+      """WITH ev AS (
+           SELECT event_id, user_id, event_type, epoch_us(ts) AS t
+           FROM events WHERE event_type IN ('purchase', 'view')),
+         marked AS (
+           SELECT event_id, user_id, event_type, t,
+             last_value(CASE WHEN event_type = 'view' THEN t END
+               IGNORE NULLS) OVER (PARTITION BY user_id
+                 ORDER BY t, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS prev_v,
+             first_value(CASE WHEN event_type = 'view' THEN t END
+               IGNORE NULLS) OVER (PARTITION BY user_id
+                 ORDER BY t, event_id
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+               AS next_v
+           FROM ev)
+         SELECT event_id, user_id, t AS purchase_us,
+           CASE WHEN prev_v IS NULL THEN next_v
+                WHEN next_v IS NULL THEN prev_v
+                WHEN t - prev_v <= next_v - t THEN prev_v
+                ELSE next_v END AS view_us,
+           CASE WHEN prev_v IS NULL THEN next_v
+                WHEN next_v IS NULL THEN prev_v
+                WHEN t - prev_v <= next_v - t THEN prev_v
+                ELSE next_v END - t AS diff_us,
+           CASE WHEN (CASE WHEN prev_v IS NULL THEN next_v
+                WHEN next_v IS NULL THEN prev_v
+                WHEN t - prev_v <= next_v - t THEN prev_v
+                ELSE next_v END) <= t
+             THEN 'before' ELSE 'after' END AS side
+         FROM marked
+         WHERE event_type = 'purchase'
+           AND (prev_v IS NOT NULL OR next_v IS NOT NULL)
+         ORDER BY event_id""",
+
+    "q146_retention_triangle" ->
+      """WITH o AS (
+           SELECT o_custkey, date_trunc('month', o_orderdate) AS m
+           FROM orders),
+         fst AS (SELECT o_custkey, min(m) AS cm FROM o GROUP BY 1),
+         act AS (
+           SELECT DISTINCT o.o_custkey, f.cm,
+             CAST((year(o.m) - year(f.cm)) * 12 +
+               (month(o.m) - month(f.cm)) AS BIGINT) AS "offset"
+           FROM o JOIN fst f ON f.o_custkey = o.o_custkey
+           WHERE (year(o.m) - year(f.cm)) * 12 +
+             (month(o.m) - month(f.cm)) <= 12),
+         counts AS (
+           SELECT cm, "offset",
+             CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_active
+           FROM act GROUP BY 1, 2),
+         s0 AS (
+           SELECT cm, n_active AS cohort_n FROM counts
+           WHERE "offset" = 0)
+         SELECT strftime(c.cm, '%Y-%m') AS cohort_month,
+           c."offset" AS "offset", c.n_active, s0.cohort_n,
+           CAST(c.n_active * 1000 // s0.cohort_n AS BIGINT)
+             AS retention_milli
+         FROM counts c JOIN s0 ON s0.cm = c.cm
+         ORDER BY cohort_month, "offset"""",
+
+    "text_code_detect" ->
+      """WITH f AS (
+           SELECT doc_id, n_chars,
+             CAST(length(text) - length(replace(text, '{', ''))
+               + length(text) - length(replace(text, '}', ''))
+               AS BIGINT) AS n_braces,
+             CAST(length(text) - length(replace(text, ';', ''))
+               AS BIGINT) AS n_semis,
+             CAST(length(text) - length(replace(text, '=', ''))
+               AS BIGINT) AS n_eqs
+           FROM documents)
+         SELECT doc_id, n_chars, n_braces, n_semis, n_eqs,
+           CAST((n_braces + n_semis + n_eqs) * 1000 // n_chars
+             AS BIGINT) AS score_milli,
+           CAST(CASE WHEN (n_braces + n_semis + n_eqs) * 1000
+             // n_chars >= 15 THEN 1 ELSE 0 END AS BIGINT) AS is_code
+         FROM f ORDER BY doc_id""",
+
+    "pipeline_mixture_grid" ->
+      """WITH langs AS (
+           SELECT lang,
+             CAST(sum(len(string_split_regex(text, '\s+'))) AS BIGINT)
+               AS n_tokens
+           FROM documents GROUP BY 1),
+         tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot
+                 FROM langs),
+         taus AS (SELECT unnest([0, 300, 500, 700, 1000]) AS tau_milli),
+         withp AS (
+           SELECT CAST(t.tau_milli AS BIGINT) AS tau_milli, l.lang,
+             l.n_tokens,
+             CAST(l.n_tokens AS DOUBLE) / CAST(tot.tot AS DOUBLE) AS p,
+             pow(CAST(l.n_tokens AS DOUBLE) / CAST(tot.tot AS DOUBLE),
+               CAST(t.tau_milli AS DOUBLE) / 1000.0) AS pa
+           FROM langs l, tot, taus t),
+         one AS (
+           SELECT tau_milli,
+             list({'lang': lang, 'n_tokens': n_tokens, 'p': p,
+               'pa': pa} ORDER BY lang) AS arr
+           FROM withp GROUP BY 1),
+         x AS (
+           SELECT tau_milli, unnest(arr) AS r,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(arr, x -> x.pa)), (a, b) -> a + b)
+               AS sum_pa
+           FROM one)
+         SELECT tau_milli, r.lang AS lang, r.n_tokens AS n_tokens,
+           round(r.p, 6) + 0.0 AS p,
+           round(r.pa / sum_pa, 6) + 0.0 AS w
+         FROM x ORDER BY tau_milli, lang""",
+
+    "emb_isotropy" -> {
+      val cos = graft.sim.Similarity.cosSql("a.embedding", "b.embedding")
+      s"""WITH q AS (
+           SELECT CAST(floor($cos * 1000000000.0) AS BIGINT) AS q
+           FROM embeddings a JOIN embeddings b
+             ON b.vec_id = a.vec_id + 1),
+         m AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(sum(q) AS BIGINT) AS sq,
+             CAST(sum(abs(q)) AS BIGINT) AS saq,
+             CAST(max(abs(q)) AS BIGINT) AS mx
+           FROM q)
+         SELECT n_pairs,
+           round(CAST(sq AS DOUBLE) / 1000000000.0 /
+             CAST(n_pairs AS DOUBLE), 6) + 0.0 AS mean_cos,
+           round(CAST(saq AS DOUBLE) / 1000000000.0 /
+             CAST(n_pairs AS DOUBLE), 6) + 0.0 AS mean_abs_cos,
+           round(CAST(mx AS DOUBLE) / 1000000000.0, 6) + 0.0
+             AS max_abs_cos
+         FROM m"""
+    })
+}
