@@ -1387,7 +1387,9 @@ object Dedup {
            i -> CAST(ascii($t[i]) AS BIGINT))),
          (h, b) -> (h * $mult + b) % 1000000007)"""
 
-  private def tokSql(t: String): String =
+  // private[graft]: pipeline_contamination_ngram's 13-gram oracle
+  // builds on the same per-token hash so the bases can never drift
+  private[graft] def tokSql(t: String): String =
     s"(${tokSqlHalf(t, 31L)} * 2147483648 + ${tokSqlHalf(t, 37L)})"
 
   /** CTEs `tokl` → `sh` (doc_id, shh): the [[shingleBlocks]] replay —

@@ -277,6 +277,110 @@ object Frontier {
         .orderBy($"tau_milli", $"lang")
     }),
 
+    // 2-hop reach per node (friend-of-friend audience size) on the
+    // part co-occurrence graph — the influence-radius read the
+    // centrality family (q62/q138) ranks but never SIZES. Exact
+    // distinct |N≤2(v)|, with the house wedge-cap discipline
+    // (q108/q72): paths THROUGH a hub of degree > 64 are excluded
+    // and the cap is part of the declared semantics — at 100 TB an
+    // uncapped Σdeg² wedge enumeration is the canonical graph
+    // scale-killer, and hub-mediated reach saturates to "everyone"
+    // anyway (it carries no ranking information). 1-hop edges are
+    // never capped. Shuffles: the wedge join on the center key, one
+    // distinct, one count — all (long, long) rows.
+    "q143_2hop_reach" -> ((s, d) => {
+      import s.implicits._
+      val e = Graph.coOccurrencePairCounts(s, d).select($"a", $"b")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val sym = e.select(explode(array(
+          struct($"a".as("src"), $"b".as("dst")),
+          struct($"b".as("src"), $"a".as("dst")))).as("x"))
+        .select($"x.src", $"x.dst")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val ctr = sym.groupBy($"src").agg(count(lit(1)).as("dc"))
+        .filter($"dc" <= 64).select($"src")
+      val twoHop = sym.join(ctr, Seq("src"))
+        .select($"src".as("mid"), $"dst".as("v"))
+        .join(sym.select($"src".as("mid"), $"dst".as("w")), Seq("mid"))
+        .filter($"v" =!= $"w")
+        .select($"v", $"w")
+      val reach = sym.select($"src".as("v"), $"dst".as("w"))
+        .unionAll(twoHop)
+        .distinct()
+        .groupBy($"v").agg(count(lit(1)).as("reach"))
+      val w = Window.orderBy($"reach".desc, $"v")
+      reach.withColumn("rank", row_number().over(w).cast("long"))
+        .filter($"rank" <= 100)
+        .select($"rank", $"v".as("node"), $"reach")
+        .orderBy($"rank")
+    }),
+
+    // Adamic–Adar link prediction — q108's common-neighbor ranking
+    // with the weight every practitioner actually uses (rare shared
+    // neighbors count more: Σ_z 1/ln(deg z)). The per-center weight
+    // quantizes to floor(1e6/ln(deg)) BEFORE the wedge explode, so
+    // the score is an EXACT integer sum (no float-sum shuffle — the
+    // emb_isotropy discipline); same wedge cap and non-edge anti-join
+    // as q108.
+    "q144_adamic_adar" -> ((s, d) => {
+      import s.implicits._
+      val e = Graph.coOccurrencePairCounts(s, d).select($"a", $"b")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val sym = e.select(explode(array(
+          struct($"a".as("src"), $"b".as("dst")),
+          struct($"b".as("src"), $"a".as("dst")))).as("x"))
+        .select($"x.src", $"x.dst")
+      val wedges = sym.groupBy($"src")
+        .agg(sort_array(collect_set($"dst")).as("ns"))
+        .filter(size($"ns") >= 2 && size($"ns") <= 64)
+        .withColumn("wq",
+          floor(lit(1000000.0) / log(size($"ns").cast("double")))
+            .cast("long"))
+        .select(explode(expr(
+          """flatten(transform(ns, (x, i) ->
+             transform(slice(ns, i + 2, size(ns)),
+               y -> struct(x AS a, y AS b))))""")).as("w"), $"wq")
+        .groupBy($"w.a".as("a"), $"w.b".as("b"))
+        .agg(count(lit(1)).as("cn"), sum($"wq").as("aa_micro"))
+      wedges.join(e, Seq("a", "b"), "left_anti")
+        .select($"a", $"b", $"cn", $"aa_micro",
+          Tables.nz(round($"aa_micro".cast("double") / 1e6, 4))
+            .as("aa_score"))
+        .orderBy(desc("aa_score"), $"a", $"b").limit(50)
+    }),
+
+    // 13-gram decontamination audit — the GPT-3-style n-gram overlap
+    // check between the training corpus and a held-out eval set
+    // (Brown et al. 2020 appendix C): a training document sharing ANY
+    // 13-gram with an eval document is flagged, with the hit count as
+    // severity. The eval set here is the deterministic doc_id % 50
+    // slice (the fixtures ship no second corpus — same derivation
+    // discipline as pipeline_cdc_apply's changelog). 13-gram HASHES
+    // ride the dedup family's PolyHash token basis (two seeded 13-term
+    // folds, packed) — no 13-gram strings exist anywhere; the eval
+    // gram set is distinct-small by construction (eval sets are tiny
+    // at any corpus scale) and broadcasts onto the train-side explode.
+    "pipeline_contamination_ngram" -> ((s, d) => {
+      import s.implicits._
+      val grams = Tables.spread(Tables.load(s, d, "documents"))
+        .select($"doc_id",
+          graft.dedup.Dedup.tokenHashes(
+            split(lower($"text"), "\\s+")).as("th"))
+        .select($"doc_id", explode(gram13(col("th"))).as("g"))
+      val evalGrams = grams.filter($"doc_id" % 50 === 0)
+        .select($"g").distinct()
+      val train = grams.filter($"doc_id" % 50 =!= 0)
+      train
+        .join(broadcast(evalGrams.withColumn("hit", lit(1L))),
+          Seq("g"), "left")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(coalesce($"hit", lit(0L))).as("n_hits"))
+        .filter($"n_hits" > 0)
+        .select($"doc_id", $"n_grams", $"n_hits")
+        .orderBy($"doc_id")
+    }),
+
     // Embedding isotropy probe: mean (signed and absolute) cosine
     // over the deterministic consecutive-id pair chain — a collapsed
     // (anisotropic) embedding space shows mean |cos| ≫ 0 while a
@@ -306,7 +410,126 @@ object Frontier {
             .as("max_abs_cos"))
     }))
 
+  /** Distinct 13-gram hashes from a materialized token-hash array —
+    * the [[graft.dedup.Dedup.hashedShingles]] combine widened to 13
+    * terms (two seeded polynomial folds mod M, packed s1·M + s2).
+    * Docs under 13 tokens have no 13-grams.
+    */
+  private def gram13(th: Column): Column = {
+    val M = graft.functions.PolyHash.M
+    def fold(b: Long): String =
+      (0 until 13).foldLeft("7") { (acc, k) =>
+        s"(($acc * $b + element_at(th, CAST(i + $k AS INT))) % $M)"
+      }
+    when(size(th) >= 13,
+      array_distinct(expr(
+        s"""transform(sequence(1, size(th) - 12),
+            i -> ${fold(graft.functions.PolyHash.B1)} * $M +
+                 ${fold(graft.functions.PolyHash.B2)})""")))
+      .otherwise(array().cast("array<bigint>"))
+  }
+
+  /** SQL twin of [[gram13]] over a `tokl(doc_id, th)` CTE. */
+  private def gram13Sql: String = {
+    val M = graft.functions.PolyHash.M
+    def fold(b: Long): String =
+      (0 until 13).foldLeft("CAST(7 AS BIGINT)") { (acc, k) =>
+        s"(($acc * $b + th[i + $k]) % $M)"
+      }
+    s"""CASE WHEN len(th) >= 13 THEN
+         list_distinct(list_transform(range(1, len(th) - 11),
+           i -> ${fold(graft.functions.PolyHash.B1)} * $M +
+                ${fold(graft.functions.PolyHash.B2)}))
+       ELSE CAST([] AS BIGINT[]) END"""
+  }
+
   def oracles: Map[String, String] = Map(
+
+    "q143_2hop_reach" ->
+      """WITH li AS (
+           SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+           FROM lineitem),
+         e AS MATERIALIZED (
+           SELECT DISTINCT x.pk AS a, y.pk AS b
+           FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk),
+         sym AS MATERIALIZED (
+           SELECT a AS src, b AS dst FROM e
+           UNION ALL SELECT b, a FROM e),
+         ctr AS (SELECT src FROM sym GROUP BY src
+                 HAVING count(*) <= 64),
+         two AS (
+           SELECT s1.dst AS v, s2.dst AS w
+           FROM sym s1
+           JOIN ctr c ON c.src = s1.src
+           JOIN sym s2 ON s2.src = s1.src
+           WHERE s1.dst <> s2.dst),
+         reach AS (
+           SELECT v, CAST(count(*) AS BIGINT) AS reach FROM (
+             SELECT DISTINCT v, w FROM (
+               SELECT src AS v, dst AS w FROM sym
+               UNION ALL SELECT v, w FROM two))
+           GROUP BY v),
+         ranked AS (
+           SELECT CAST(row_number() OVER (ORDER BY reach DESC, v)
+             AS BIGINT) AS rank, v AS node, reach
+           FROM reach)
+         SELECT rank, node, reach FROM ranked
+         WHERE rank <= 100 ORDER BY rank""",
+
+    "q144_adamic_adar" ->
+      """WITH li AS (
+           SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+           FROM lineitem),
+         e AS MATERIALIZED (
+           SELECT DISTINCT x.pk AS a, y.pk AS b
+           FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk),
+         sym AS (SELECT a AS src, b AS dst FROM e
+                 UNION ALL SELECT b, a FROM e),
+         ctr AS (
+           SELECT src, CAST(count(*) AS BIGINT) AS deg FROM sym
+           GROUP BY src HAVING count(*) BETWEEN 2 AND 64),
+         wq AS (
+           SELECT src,
+             CAST(floor(1000000.0 / ln(CAST(deg AS DOUBLE)))
+               AS BIGINT) AS wq
+           FROM ctr),
+         cn AS (
+           SELECT s1.dst AS a, s2.dst AS b,
+             CAST(count(*) AS BIGINT) AS cn,
+             CAST(sum(w.wq) AS BIGINT) AS aa_micro
+           FROM sym s1
+           JOIN sym s2 ON s1.src = s2.src AND s1.dst < s2.dst
+           JOIN wq w ON w.src = s1.src
+           GROUP BY 1, 2),
+         ne AS (
+           SELECT cn.a, cn.b, cn.cn, cn.aa_micro
+           FROM cn LEFT JOIN e ON e.a = cn.a AND e.b = cn.b
+           WHERE e.a IS NULL)
+         SELECT a, b, cn, aa_micro,
+           round(CAST(aa_micro AS DOUBLE) / 1000000.0, 4) + 0.0
+             AS aa_score
+         FROM ne ORDER BY aa_score DESC, a, b LIMIT 50""",
+
+    "pipeline_contamination_ngram" -> {
+      s"""WITH tokl AS (
+           SELECT doc_id,
+             list_transform(string_split_regex(lower(text), '\\s+'),
+               t -> ${graft.dedup.Dedup.tokSql("t")}) AS th
+           FROM documents),
+         grams AS (
+           SELECT doc_id, unnest($gram13Sql) AS g FROM tokl),
+         ev AS (SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0),
+         tr AS (SELECT doc_id, g FROM grams WHERE doc_id % 50 <> 0),
+         agg AS (
+           SELECT tr.doc_id,
+             CAST(count(*) AS BIGINT) AS n_grams,
+             CAST(sum(CASE WHEN ev.g IS NOT NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_hits
+           FROM tr LEFT JOIN ev ON ev.g = tr.g
+           GROUP BY tr.doc_id)
+         SELECT doc_id, n_grams, n_hits FROM agg
+         WHERE n_hits > 0 ORDER BY doc_id"""
+    },
 
     "q140_changepoint" ->
       """WITH daily AS (

@@ -939,6 +939,108 @@ object Similarity {
         .orderBy(col("q_id"))
     }),
 
+    // Recall CURVE (round 10): recall@k for k ∈ {1,5,10,20} of the
+    // LSH index against brute-force truth — ann_recall_eval gives one
+    // operating point; the curve is what actually picks k for a
+    // serving stack (is the index missing TOP results or only tail
+    // ones?). Entirely integer arithmetic: a (q, vec) pair in both
+    // top-20 lists carries its two ranks; recall@k sums pairs with
+    // both ranks ≤ k, normalized in exact milli against n_queries·k.
+    // Both top-20 frames are query-count-sized; the k grid is a
+    // 4-row broadcast.
+    "ann_recall_curve" -> ((s, d) => {
+      val bf = bruteForceTopK(s, d, k = 20)
+        .select(col("q_id"), col("rank").as("bf_rank"), col("vec_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val lsh = lshTopK(s, d, k = 20)
+        .select(col("q_id"), col("rank").as("lsh_rank"), col("vec_id"))
+      val nq = bf.select(col("q_id")).distinct().count() // driver scalar
+      val matched = bf.join(lsh, Seq("q_id", "vec_id"))
+      val ks = s.range(1).select(explode(array(
+        lit(1L), lit(5L), lit(10L), lit(20L))).as("k"))
+      val counts = matched.crossJoin(broadcast(ks))
+        .filter(col("bf_rank") <= col("k") &&
+          col("lsh_rank") <= col("k"))
+        .groupBy(col("k")).agg(count(lit(1)).as("total_hits"))
+      ks.join(counts, Seq("k"), "left")
+        .select(col("k"),
+          lit(nq).as("n_queries"),
+          coalesce(col("total_hits"), lit(0L)).as("total_hits"),
+          expr(s"coalesce(total_hits, 0L) * 1000 div (${nq}L * k)")
+            .as("recall_milli"))
+        .orderBy(col("k"))
+    }),
+
+    // Top principal component WITHOUT an eigendecomposition (round
+    // 10): 3 power-iteration rounds on the d×d covariance — the
+    // direction a PQ subspace split or a dimension-truncation should
+    // respect, next to emb_effective_dim's basis-free spectrum mass.
+    // Scale split (the Bpe.learn discipline): the ONLY corpus-scale
+    // pass is the exact integer moment aggregate (full d×d product
+    // matrix from one row-local comprehension, d²-bounded shuffle);
+    // the iteration then runs DRIVER-LOCAL on the collected 64×64
+    // matrix — distributing a 4096-cell matmul buys nothing at any
+    // corpus size. Determinism: covariance cells assemble in the
+    // fixed q43 IEEE order; each matvec folds j-ascending; iterates
+    // renormalize onto the 1e-6 grid (floor(u/m·1e6)/1e6) so both
+    // engines carry bit-identical vectors; the Rayleigh quotient
+    // folds i-ascending. The oracle unrolls the same 3 rounds.
+    "emb_power_iteration" -> ((s, d) => {
+      import s.implicits._
+      val q = Tables.spread(Tables.load(s, d, "embeddings"))
+        .select(expr("transform(embedding, v -> " +
+          "CAST(floor(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT))")
+          .as("q"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val dims = q.select(posexplode(col("q")).as(Seq("i", "x")))
+        .groupBy(col("i"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"))
+        .as[(Int, Long, Long)].collect().sortBy(_._1)
+      val n = dims.head._2
+      val sx = dims.map(_._3)
+      val d64 = sx.length
+      // full upper-triangle-with-diagonal Σxy in ONE row-local
+      // comprehension (the emb_dim_corr flat-array discipline)
+      val sxy = q.select(posexplode(expr(
+          """flatten(transform(sequence(0, size(q) - 1), i ->
+             transform(sequence(i, size(q) - 1), j ->
+               element_at(q, i + 1) * element_at(q, j + 1))))"""))
+          .as(Seq("pos", "xy")))
+        .groupBy(col("pos")).agg(sum(col("xy")).as("sxy"))
+        .as[(Int, Long)].collect().sortBy(_._1).map(_._2)
+      // driver-local: symmetric C from the packed triangle
+      val c = Array.ofDim[Double](d64, d64)
+      var p = 0
+      for (i <- 0 until d64; j <- i until d64) {
+        val v = n.toDouble * sxy(p).toDouble -
+          sx(i).toDouble * sx(j).toDouble
+        c(i)(j) = v; c(j)(i) = v; p += 1
+      }
+      def matvec(v: Array[Double]): Array[Double] =
+        Array.tabulate(d64) { i =>
+          var acc = 0.0
+          var j = 0
+          while (j < d64) { acc += c(i)(j) * v(j); j += 1 }
+          acc
+        }
+      var v = Array.fill(d64)(1.0)
+      for (_ <- 1 to 3) {
+        val u = matvec(v)
+        var m = 0.0
+        u.foreach(x => if (math.abs(x) > m) m = math.abs(x))
+        v = u.map(x => math.floor(x / m * 1000000.0) / 1000000.0)
+      }
+      val u = matvec(v)
+      var num = 0.0; var den = 0.0
+      for (i <- 0 until d64) { num += v(i) * u(i); den += v(i) * v(i) }
+      val eig = num / den
+      v.zipWithIndex.map { case (x, i) => (i.toLong, x, eig) }
+        .toSeq.toDF("pos", "l", "e")
+        .select($"pos", Tables.nz(round($"l", 6)).as("loading"),
+          Tables.nz(round($"e" / lit(1.0e12), 4)).as("eigval_scaled"))
+        .orderBy($"pos")
+    }),
+
     // Embedding centroid drift: first corpus half vs second (vec_id
     // order as the ingest proxy) — did the encoder, the upstream
     // corpus mix, or a preprocessing change move the embedding
@@ -1983,5 +2085,109 @@ object Similarity {
            round(CAST(j.n_hit AS DOUBLE) / CAST(j.n_bf AS DOUBLE), 4)
              AS recall
          FROM j LEFT JOIN c ON c.q_id = j.q_id
-         ORDER BY j.q_id""")
+         ORDER BY j.q_id""",
+
+    // recall_eval's CTEs widened to rank <= 20 with ranks KEPT, then
+    // the integer recall@k grid.
+    "ann_recall_curve" ->
+      s"""WITH ${lshSigCtes("SELECT 8 AS np")},
+         $lshRankedCtes,
+         lsh20 AS (SELECT q_id, vec_id, rank AS lsh_rank
+                   FROM ranked WHERE rank <= 20),
+         bfp AS (
+           SELECT q.q_id, e.vec_id,
+             ${cosSql("q.q_emb", "e.embedding")} AS cosine
+           FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.q_id),
+         bfr AS (
+           SELECT q_id, vec_id,
+             row_number() OVER (PARTITION BY q_id
+               ORDER BY cosine DESC, vec_id) AS rank
+           FROM bfp),
+         bf20 AS (SELECT q_id, vec_id, rank AS bf_rank
+                  FROM bfr WHERE rank <= 20),
+         nq AS (SELECT CAST(count(*) AS BIGINT) AS nq FROM q),
+         matched AS (
+           SELECT b.q_id, b.bf_rank, l.lsh_rank
+           FROM bf20 b JOIN lsh20 l
+             ON l.q_id = b.q_id AND l.vec_id = b.vec_id),
+         ks AS (SELECT CAST(unnest([1, 5, 10, 20]) AS BIGINT) AS k),
+         counts AS (
+           SELECT k.k, CAST(count(m.q_id) AS BIGINT) AS total_hits
+           FROM ks k LEFT JOIN matched m
+             ON m.bf_rank <= k.k AND m.lsh_rank <= k.k
+           GROUP BY k.k)
+         SELECT c.k, nq.nq AS n_queries, c.total_hits,
+           CAST(c.total_hits * 1000 // (nq.nq * c.k) AS BIGINT)
+             AS recall_milli
+         FROM counts c, nq ORDER BY c.k""",
+
+    // The emb_dim_corr moment CTEs (full triangle incl diagonal) +
+    // three unrolled matvec/renormalize rounds; every fold is
+    // j-ascending (list(... ORDER BY j) left-fold), matching the
+    // driver-local loop bit for bit.
+    "emb_power_iteration" -> {
+      def matvec(vprev: String, out: String): String =
+        s"""$out AS (
+             SELECT cm.i,
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                 list(cm.c * v.val ORDER BY cm.j)), (a, b) -> a + b)
+                 AS u
+             FROM cm JOIN $vprev v ON v.j = cm.j
+             GROUP BY cm.i)"""
+      def renorm(uprev: String, out: String): String =
+        s"""$out AS (
+             SELECT i AS j,
+               floor(u / (SELECT max(abs(u)) FROM $uprev)
+                 * 1000000.0) / 1000000.0 AS val
+             FROM $uprev)"""
+      s"""WITH q AS (
+           SELECT list_transform(embedding, v ->
+             CAST(floor(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT)) AS q
+           FROM embeddings),
+         dims AS (
+           SELECT pos - 1 AS i, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx
+           FROM (SELECT unnest(q) AS x,
+                   unnest(range(1, len(q) + 1)) AS pos FROM q)
+           GROUP BY 1),
+         p AS (
+           SELECT unnest(flatten(list_transform(range(0, len(q)),
+             i -> list_transform(range(i, len(q)), j ->
+               {'i': i, 'j': j, 'xy': q[i + 1] * q[j + 1]})))) AS s
+           FROM q),
+         prs AS (
+           SELECT s.i AS i, s.j AS j, CAST(sum(s.xy) AS BIGINT) AS sxy
+           FROM p GROUP BY 1, 2),
+         tri AS (
+           SELECT prs.i, prs.j,
+             CAST(di.n AS DOUBLE) * CAST(prs.sxy AS DOUBLE)
+               - CAST(di.sx AS DOUBLE) * CAST(dj.sx AS DOUBLE) AS c
+           FROM prs
+           JOIN dims di ON di.i = prs.i
+           JOIN dims dj ON dj.i = prs.j),
+         cm AS (
+           SELECT i, j, c FROM tri
+           UNION ALL
+           SELECT j, i, c FROM tri WHERE i <> j),
+         v0 AS (SELECT i AS j, CAST(1.0 AS DOUBLE) AS val FROM dims),
+         ${matvec("v0", "u1")},
+         ${renorm("u1", "v1")},
+         ${matvec("v1", "u2")},
+         ${renorm("u2", "v2")},
+         ${matvec("v2", "u3")},
+         ${renorm("u3", "v3")},
+         ${matvec("v3", "uf")},
+         ray AS (
+           SELECT
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(v.val * u.u ORDER BY v.j)), (a, b) -> a + b) /
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(v.val * v.val ORDER BY v.j)), (a, b) -> a + b)
+               AS eig
+           FROM v3 v JOIN uf u ON u.i = v.j)
+         SELECT CAST(v.j AS BIGINT) AS pos,
+           round(v.val, 6) + 0.0 AS loading,
+           round(ray.eig / 1000000000000.0, 4) + 0.0 AS eigval_scaled
+         FROM v3 v, ray ORDER BY pos"""
+    })
 }
