@@ -1,0 +1,285 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Behavioral specs for the round-10 frontier operators — each
+  * re-derives the operator's defining property with an independent
+  * driver-side computation at sf0.001 (the house InsightsSpec
+  * pattern), on top of the DuckDB hash gate the driver runs.
+  */
+class FrontierSpec extends SparkSpec {
+  import spark.implicits._
+  private val sf = "/root/testdata/sf0.001"
+
+  test("changepoint maximizes the exact CUSUM statistic, tie-earliest") {
+    val got = Frontier.queries("q140_changepoint")(spark, sf)
+      .select($"event_type", $"cp_day", $"s_abs")
+      .as[(String, String, Long)].collect().map(r => r._1 -> r).toMap
+    val daily = graft.Tables.load(spark, sf, "events")
+      .select($"event_type", to_date($"ts").as("day"),
+        round($"value" * 100).cast("long").as("c"))
+      .groupBy($"event_type", $"day").agg(sum($"c").as("v"))
+      .as[(String, java.sql.Date, Long)].collect()
+      .groupBy(_._1)
+    daily.foreach { case (et, rows) =>
+      val vs = rows.sortBy(_._2.toString).map(_._3)
+      val n = vs.length
+      if (n >= 2) {
+        val tot = vs.sum
+        var cum = 0L
+        val cands = (1 until n).map { t =>
+          cum += vs(t - 1)
+          (t, math.abs(n * cum - t * tot))
+        }
+        val best = cands.maxBy { case (t, s) => (s, -t) }
+        val (_, gotDay, gotS) = got(et)
+        assert(gotS == best._2, s"$et: s_abs ${gotS} vs ${best._2}")
+        assert(gotDay == rows.sortBy(_._2.toString)
+          .map(_._2.toString).apply(best._1 - 1),
+          s"$et: cp day")
+      }
+    }
+    spark.catalog.clearCache()
+  }
+
+  test("theil-sen slope is the lower median of all pairwise slopes") {
+    val got = Frontier.queries("q141_theil_sen")(spark, sf)
+      .as[(String, Long, Double)].collect().map(r => r._1 -> r).toMap
+    val daily = graft.Tables.load(spark, sf, "events")
+      .select($"event_type", to_date($"ts").as("day"),
+        round($"value" * 100).cast("long").as("c"))
+      .groupBy($"event_type", $"day").agg(sum($"c").as("v"))
+      .as[(String, java.sql.Date, Long)].collect()
+      .groupBy(_._1)
+    daily.foreach { case (et, rows) =>
+      val sorted = rows.sortBy(_._2.toString)
+      val slopes = (for {
+        i <- sorted.indices; j <- (i + 1) until sorted.size
+      } yield {
+        val days = java.time.temporal.ChronoUnit.DAYS.between(
+          sorted(i)._2.toLocalDate, sorted(j)._2.toLocalDate)
+        (sorted(j)._3 - sorted(i)._3).toDouble / days.toDouble
+      }).sorted
+      if (slopes.nonEmpty) {
+        val med = slopes((slopes.size + 1) / 2 - 1)
+        val (_, np, slope) = got(et)
+        assert(np == slopes.size)
+        assert(math.abs(slope - med) < 5e-5,
+          s"$et: $slope vs $med")
+      }
+    }
+    spark.catalog.clearCache()
+  }
+
+  test("bootstrap CI brackets the point estimate and is deterministic") {
+    val q = Frontier.queries("q142_bootstrap_ci")
+    val r1 = q(spark, sf).as[(Long, Long, Double, Double, Double)]
+      .collect().head
+    val r2 = q(spark, sf).as[(Long, Long, Double, Double, Double)]
+      .collect().head
+    assert(r1 == r2, "deterministic md5 draws must replay exactly")
+    val (nReps, _, mean, lo, hi) = r1
+    assert(nReps == 100L)
+    assert(lo <= hi, s"ci order: $lo > $hi")
+    // Poisson bootstrap means concentrate around the point estimate;
+    // the CI must bracket it at this fixture
+    assert(lo <= mean && mean <= hi, s"$lo <= $mean <= $hi")
+    spark.catalog.clearCache()
+  }
+
+  test("asof nearest picks the closer view, earlier on exact ties") {
+    val got = Frontier.queries("q145_asof_nearest")(spark, sf)
+      .as[(Long, Long, Long, Long, Long, String)].collect()
+    assert(got.nonEmpty)
+    val ev = graft.Tables.load(spark, sf, "events")
+      .filter($"event_type".isin("purchase", "view"))
+      .select($"event_id", $"user_id", $"event_type",
+        unix_micros($"ts").as("t"))
+      .as[(Long, Long, String, Long)].collect()
+    val viewsByUser = ev.filter(_._3 == "view").groupBy(_._2)
+    got.foreach { case (eid, uid, pt, vt, diff, side) =>
+      val views = viewsByUser(uid).map(_._4)
+      val best = views.minBy(v => (math.abs(v - pt), v))
+      assert(vt == best, s"purchase $eid: $vt vs $best")
+      assert(diff == vt - pt)
+      assert(side == (if (vt <= pt) "before" else "after"))
+    }
+    spark.catalog.clearCache()
+  }
+
+  test("retention triangle: offset-0 is the full cohort, rates <= 1000") {
+    val rows = Frontier.queries("q146_retention_triangle")(spark, sf)
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.filter(_._2 == 0L).foreach { case (_, _, na, cn, rm) =>
+      assert(na == cn && rm == 1000L, "offset 0 must be 100%")
+    }
+    rows.foreach { case (cm, off, na, cn, rm) =>
+      assert(na <= cn, s"$cm+$off: active beyond cohort")
+      assert(rm == na * 1000 / cn)
+    }
+    // customers conserve: sum of offset-0 cohort sizes == n customers
+    val nCust = graft.Tables.load(spark, sf, "orders")
+      .select($"o_custkey").distinct().count()
+    assert(rows.filter(_._2 == 0L).map(_._4).sum == nCust)
+    spark.catalog.clearCache()
+  }
+
+  test("2-hop reach is at least the node's capped 1-hop degree") {
+    val got = Frontier.queries("q143_2hop_reach")(spark, sf)
+      .as[(Long, Long, Long)].collect()
+    assert(got.nonEmpty && got.map(_._1).toSeq == (1L to got.length))
+    val deg = Graph.coOccurrencePairCounts(spark, sf)
+      .select($"a", $"b").as[(Long, Long)].collect()
+      .flatMap(p => Seq(p._1 -> p._2, p._2 -> p._1))
+      .groupBy(_._1).map { case (v, xs) => v -> xs.map(_._2).toSet }
+    got.foreach { case (_, node, reach) =>
+      assert(reach >= deg(node).size,
+        s"node $node: 2-hop reach below 1-hop degree")
+    }
+    spark.catalog.clearCache()
+  }
+
+  test("adamic-adar pairs are non-edges with exact rare-neighbor weights") {
+    val got = Frontier.queries("q144_adamic_adar")(spark, sf)
+      .as[(Long, Long, Long, Long, Double)].collect()
+    assert(got.nonEmpty)
+    val edges = Graph.coOccurrencePairCounts(spark, sf)
+      .select($"a", $"b").as[(Long, Long)].collect().toSet
+    val nbrs = edges.toSeq
+      .flatMap(p => Seq(p._1 -> p._2, p._2 -> p._1))
+      .groupBy(_._1).map { case (v, xs) => v -> xs.map(_._2).toSet }
+    got.foreach { case (a, b, cn, aaMicro, score) =>
+      assert(!edges.contains((a, b)), s"($a,$b) is an existing edge")
+      val common = (nbrs(a) & nbrs(b)).filter { z =>
+        val dz = nbrs(z).size; dz >= 2 && dz <= 64
+      }
+      assert(cn == common.size, s"($a,$b): cn")
+      val want = common.toSeq.map(z =>
+        math.floor(1000000.0 / math.log(nbrs(z).size.toDouble)).toLong)
+        .sum
+      assert(aaMicro == want, s"($a,$b): $aaMicro vs $want")
+      assert(math.abs(score - aaMicro / 1e6) < 1e-3)
+    }
+    spark.catalog.clearCache()
+  }
+
+  test("recall curve is consistent and hits are bounded by n_queries*k") {
+    val got = graft.sim.Similarity.queries("ann_recall_curve")(spark, sf)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.map(_._1).toSeq == Seq(1L, 5L, 10L, 20L))
+    got.foreach { case (k, nq, hits, milli) =>
+      assert(hits <= nq * k)
+      assert(milli == hits * 1000 / (nq * k))
+    }
+    spark.catalog.clearCache()
+  }
+
+  test("power iteration: Rayleigh quotient dominates every axis direction") {
+    val rows = graft.sim.Similarity.queries("emb_power_iteration")(
+      spark, sf).as[(Long, Double, Double)].collect().sortBy(_._1)
+    assert(rows.length == 64)
+    val eig = rows.head._3
+    assert(rows.forall(_._3 == eig), "eigval column must be constant")
+    // the dominant eigenvalue bounds every diagonal entry of C:
+    // λ₁ ≥ max_i C_ii / (scale) — recompute the diagonal exactly
+    val q = graft.Tables.load(spark, sf, "embeddings")
+      .select(expr("transform(embedding, v -> " +
+        "CAST(floor(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT))").as("q"))
+    val dims = q.select(posexplode($"q").as(Seq("i", "x")))
+      .groupBy($"i")
+      .agg(count(lit(1)).as("n"), sum($"x").as("sx"),
+        sum($"x" * $"x").as("sxx"))
+      .as[(Int, Long, Long, Long)].collect()
+    val maxDiag = dims.map { case (_, n, sx, sxx) =>
+      n.toDouble * sxx.toDouble - sx.toDouble * sx.toDouble
+    }.max / 1.0e12
+    assert(eig >= maxDiag - 1e-2,
+      s"rayleigh $eig below max diagonal $maxDiag")
+    spark.catalog.clearCache()
+  }
+
+  test("contamination: flagged docs share a 13-gram with the eval slice") {
+    val got = Frontier.queries("pipeline_contamination_ngram")(
+      spark, "/root/testdata/sf0.01")
+      .as[(Long, Long, Long)].collect()
+    // every flagged doc is a TRAIN doc with positive hits <= grams
+    got.foreach { case (id, ng, nh) =>
+      assert(id % 50 != 0 && nh > 0 && nh <= ng)
+    }
+    // brute-force witness: re-derive 13-gram string sets for flagged
+    // docs and at least one eval doc must share one
+    if (got.nonEmpty) {
+      val texts = graft.Tables.load(spark, "/root/testdata/sf0.01",
+        "documents").select($"doc_id", lower($"text"))
+        .as[(Long, String)].collect().toMap
+      def grams(t: String): Set[Seq[String]] = {
+        val toks = t.split("\\s+").toSeq
+        if (toks.size < 13) Set.empty
+        else toks.sliding(13).map(_.toSeq).toSet
+      }
+      val evalGrams = texts.filter(_._1 % 50 == 0).values
+        .flatMap(grams).toSet
+      got.foreach { case (id, _, _) =>
+        assert(grams(texts(id)).exists(evalGrams.contains),
+          s"doc $id flagged but shares no literal 13-gram")
+      }
+    }
+    spark.catalog.clearCache()
+  }
+
+  test("isotropy probe bounds: |mean| <= mean_abs <= max_abs <= 1") {
+    val r = Frontier.queries("emb_isotropy")(spark, sf)
+      .as[(Long, Double, Double, Double)].collect().head
+    val (n, mean, meanAbs, maxAbs) = r
+    assert(n > 0)
+    assert(math.abs(mean) <= meanAbs + 1e-9)
+    assert(meanAbs <= maxAbs + 1e-9)
+    assert(maxAbs <= 1.0 + 1e-9)
+    spark.catalog.clearCache()
+  }
+
+  test("mixture grid: tau=0 is uniform, tau=1 proportional, rows normalize") {
+    val rows = Frontier.queries("pipeline_mixture_grid")(spark, sf)
+      .as[(Long, String, Long, Double, Double)].collect()
+    val byTau = rows.groupBy(_._1)
+    assert(byTau.keySet == Set(0L, 300L, 500L, 700L, 1000L))
+    byTau.foreach { case (tau, rs) =>
+      val wsum = rs.map(_._5).sum
+      assert(math.abs(wsum - 1.0) < 1e-4, s"tau $tau: sum $wsum")
+      if (tau == 0L) {
+        val u = 1.0 / rs.size
+        rs.foreach(r => assert(math.abs(r._5 - u) < 1e-4))
+      }
+      if (tau == 1000L)
+        rs.foreach(r => assert(math.abs(r._5 - r._4) < 1e-4,
+          "tau=1 must reproduce the raw proportions"))
+    }
+    spark.catalog.clearCache()
+  }
+
+  test("code detect: planted code-like text crosses the threshold") {
+    // the registered query is corpus-driven; the feature extractor's
+    // discrimination is pinned on planted rows via the same exprs
+    val df = Seq(
+      (1L, "int main() { int x = 0; for (;;) { x = x + 1; } return x; }"),
+      (2L, "the quiet afternoon passed without any incident at all"))
+      .toDF("doc_id", "text")
+      .withColumn("n_chars", length($"text").cast("long"))
+    df.createOrReplaceTempView("frontier_code_probe")
+    val scored = df
+      .select($"doc_id",
+        ((length($"text") - length(regexp_replace($"text", "\\{", ""))) +
+         (length($"text") - length(regexp_replace($"text", "\\}", ""))) +
+         (length($"text") - length(regexp_replace($"text", ";", ""))) +
+         (length($"text") - length(regexp_replace($"text", "=", ""))))
+          .cast("long").as("special"), $"n_chars")
+      .select($"doc_id",
+        expr("special * 1000 div n_chars").as("score_milli"))
+      .as[(Long, Long)].collect().toMap
+    assert(scored(1L) >= 15, s"code row scored ${scored(1L)}")
+    assert(scored(2L) < 15, s"prose row scored ${scored(2L)}")
+    spark.catalog.clearCache()
+  }
+}
