@@ -55,7 +55,11 @@ object Sf1Probe {
     // round-10: every remaining op with a join or explode in its hot
     // path gets a measured growth exponent (r9 verdict item #7)
     "q35_lateral", "text_lm_score", "q92_chi_square",
-    "pipeline_split_leakage")
+    "pipeline_split_leakage",
+    // round-10 frontier heavy tier
+    "q143_2hop_reach", "q144_adamic_adar", "ann_recall_curve",
+    "q142_bootstrap_ci", "pipeline_contamination_ngram",
+    "emb_power_iteration")
 
   private def pow10Above(maxKey: Long): Long = {
     var p = 1L
