@@ -277,6 +277,190 @@ object Frontier {
         .orderBy($"tau_milli", $"lang")
     }),
 
+    // Running top-k leaderboard: the top-3 parts by CUMULATIVE
+    // revenue as of each month — "who was winning when", the
+    // longitudinal twin of q7's static top-k. A part with no sales in
+    // a month must still hold its cumulative rank, so the part×month
+    // grid densifies against the month spine (q104's gap-fill
+    // pattern) BEFORE the running sum; both windows ride the
+    // dimension-scale rollup (parts × ~span-months), never the fact
+    // table, and the corpus-sized pass is one map-side-combined
+    // (part, month) rollup.
+    "q147_running_topk" -> ((s, d) => {
+      import s.implicits._
+      // discounted revenue in exact 1e-4-dollar units (the q1/q3
+      // integer idiom: cents × (100 − disc%) — no double product
+      // near a rounding boundary)
+      val rev = Tables.load(s, d, "lineitem")
+        .select($"l_partkey".as("pk"),
+          date_trunc("month", $"l_shipdate").as("m"),
+          (round($"l_extendedprice" * 100).cast("long") *
+            (lit(100L) - round($"l_discount" * 100).cast("long")))
+            .as("e4"))
+        .groupBy($"pk", $"m").agg(sum($"e4").as("rev"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val months = rev.select($"m").distinct()
+      val parts = rev.select($"pk").distinct()
+      val grid = parts.crossJoin(months)
+        .join(rev, Seq("pk", "m"), "left")
+        .select($"pk", $"m", coalesce($"rev", lit(0L)).as("rev"))
+      val wc = Window.partitionBy($"pk").orderBy($"m")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wr = Window.partitionBy($"m")
+        .orderBy($"cum".desc, $"pk")
+      grid.withColumn("cum", sum($"rev").over(wc))
+        .withColumn("rank", row_number().over(wr).cast("long"))
+        .filter($"rank" <= 3 && $"cum" > 0)
+        .select(date_format($"m", "yyyy-MM").as("month"), $"rank",
+          $"pk".as("partkey"), $"cum".as("cum_revenue_e4"))
+        .orderBy($"month", $"rank")
+    }),
+
+    // Schema/feed drift monitor: total-variation distance between the
+    // categorical value distributions of the first and second half of
+    // the order stream (split at the span midpoint) — "did the feed
+    // change shape between ingest epochs", the relational twin of
+    // emb_drift/text_divergence. TVD stays EXACT integer end to end:
+    // with per-half counts c1, c2 and totals n1, n2,
+    // TVD_milli = Σ|c1·n2 − c2·n1|·1000 / (2·n1·n2) — one common
+    // denominator, no float sums. Per-column rollups are category-
+    // bounded; the union of three audited columns is a constant-width
+    // report.
+    "q148_schema_drift" -> ((s, d) => {
+      import s.implicits._
+      val o = Tables.load(s, d, "orders")
+      val mid = o.agg(((min(unix_micros($"o_orderdate")) +
+          max(unix_micros($"o_orderdate"))) / 2).as("mid"))
+      val halved = o.crossJoin(broadcast(mid))
+        .withColumn("half",
+          when(unix_micros($"o_orderdate") < $"mid", 1L).otherwise(2L))
+        .select($"half",
+          $"o_orderstatus".as("c_status"),
+          $"o_orderpriority".as("c_priority"),
+          floor($"o_totalprice" / 1000).cast("long").cast("string")
+            .as("c_price_bucket"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      def tvd(colName: String, out: String) = {
+        val cnt = halved.groupBy(col(colName).as("cat"), $"half")
+          .agg(count(lit(1)).as("c"))
+          .groupBy($"cat")
+          .agg(sum(when($"half" === 1, $"c").otherwise(0L)).as("c1"),
+            sum(when($"half" === 2, $"c").otherwise(0L)).as("c2"))
+        val tot = cnt.agg(sum($"c1").as("n1"), sum($"c2").as("n2"),
+          count(lit(1)).as("n_cats"))
+        cnt.crossJoin(broadcast(tot))
+          .agg(max($"n1").as("n1"), max($"n2").as("n2"),
+            max($"n_cats").as("n_cats"),
+            sum(abs($"c1" * $"n2" - $"c2" * $"n1")).as("num"))
+          .select(lit(out).as("col_name"), $"n1", $"n2", $"n_cats",
+            expr("num * 1000 div (2 * n1 * n2)").as("tvd_milli"))
+      }
+      tvd("c_status", "o_orderstatus")
+        .unionAll(tvd("c_priority", "o_orderpriority"))
+        .unionAll(tvd("c_price_bucket", "price_bucket_1k"))
+        .orderBy($"col_name")
+    }),
+
+    // Flesch reading-ease per language (corpus means of the per-doc
+    // score) — the readability gate a curation pipeline runs next to
+    // text_quality. Sentence and "syllable" counts are engine-exact:
+    // sentences = terminal-punctuation occurrences via the
+    // length-of-replace trick (floor 1), syllables ≈ vowel GROUPS
+    // (collapse [aeiou]+ to one marker, count markers) — the standard
+    // proxy, and a pure regexp both engines evaluate identically.
+    // Per-doc scores quantize to exact milli and aggregate as longs
+    // (no float-sum shuffle); one final divide per language.
+    "text_readability" -> ((s, d) => {
+      import s.implicits._
+      def occurrences(c: Column, ch: String): Column =
+        (length(c) - length(regexp_replace(c,
+          java.util.regex.Pattern.quote(ch), ""))).cast("long")
+      val t = lower($"text")
+      val scored = Tables.spread(Tables.load(s, d, "documents"))
+        .select($"doc_id", $"lang",
+          size(split(t, "\\s+")).cast("long").as("w"),
+          greatest(occurrences($"text", ".") +
+            occurrences($"text", "!") +
+            occurrences($"text", "?"), lit(1L)).as("sent"),
+          occurrences(
+            regexp_replace(t, "[aeiou]+", "V"), "V").as("syl"))
+        .withColumn("flesch_milli",
+          floor((lit(206.835) -
+            lit(1.015) * ($"w".cast("double") / $"sent".cast("double")) -
+            lit(84.6) * ($"syl".cast("double") / $"w".cast("double")))
+            * 1000).cast("long"))
+      scored.groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"), sum($"w").as("n_words"),
+          sum($"sent").as("n_sentences"), sum($"syl").as("n_syllables"),
+          sum($"flesch_milli").as("sum_flesch"))
+        .select($"lang", $"n_docs", $"n_words", $"n_sentences",
+          $"n_syllables",
+          expr("sum_flesch div n_docs").as("mean_flesch_milli"))
+        .orderBy($"lang")
+    }),
+
+    // Weighted sampling WITHOUT replacement (Efraimidis–Spirakis
+    // A-Res): key = u^(1/w) with u deterministic per doc (md5 — the
+    // house cross-engine RNG, parsed to a 32-bit uniform via an
+    // exact hex fold), keep the top-k keys — the distributed-standard
+    // way to draw a length-weighted sample in ONE pass with a
+    // top-k reduce (no global sort, no rejection loop). Selection
+    // compares raw doubles computed identically on both engines;
+    // the reported key is display-rounded only.
+    "pipeline_weighted_sample" -> ((s, d) => {
+      import s.implicits._
+      val u = expr(
+        """(aggregate(sequence(1, 8), CAST(0 AS BIGINT),
+             (acc, i) -> acc * 16 +
+               (instr('0123456789abcdef',
+                  substring(md5(concat('ws42:', CAST(doc_id AS STRING))),
+                    i, 1)) - 1)) + 1)""")
+        .cast("double") / lit(4294967297.0)
+      val keyed = Tables.load(s, d, "documents")
+        .select($"doc_id", $"n_chars",
+          pow(u, lit(1.0) / $"n_chars".cast("double")).as("key"))
+      val w = Window.orderBy($"key".desc, $"doc_id")
+      keyed.withColumn("rank", row_number().over(w).cast("long"))
+        .filter($"rank" <= 50)
+        .select($"rank", $"doc_id", $"n_chars",
+          Tables.nz(round($"key", 6)).as("sample_key"))
+        .orderBy($"rank")
+    }),
+
+    // Dataset version diff: the snapshot vs its CDC-applied successor
+    // (pipeline_cdc_apply's output), reconciled per language — the
+    // release-notes table a corpus refresh publishes (how many docs
+    // appeared / vanished / changed content between training-set
+    // versions). A FULL OUTER join on doc_id classifies every key;
+    // "changed" compares content digests, so the diff never ships
+    // text through the shuffle — ids, langs, and two md5s only.
+    "pipeline_dataset_diff" -> ((s, d) => {
+      import s.implicits._
+      val before = Tables.load(s, d, "documents")
+        .select($"doc_id", $"lang".as("lang_b"),
+          md5($"text").as("dig_b"))
+      val after = Pipeline.queries("pipeline_cdc_apply")(s, d)
+        .select($"doc_id", $"lang".as("lang_a"),
+          $"digest".as("dig_a"))
+      before.join(after, Seq("doc_id"), "full_outer")
+        .select(coalesce($"lang_b", $"lang_a").as("lang"),
+          when($"dig_b".isNull, "added")
+            .when($"dig_a".isNull, "removed")
+            .when($"dig_a" =!= $"dig_b", "changed")
+            .otherwise("same").as("status"))
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_keys"),
+          sum(when($"status" === "added", 1L).otherwise(0L))
+            .as("n_added"),
+          sum(when($"status" === "removed", 1L).otherwise(0L))
+            .as("n_removed"),
+          sum(when($"status" === "changed", 1L).otherwise(0L))
+            .as("n_changed"),
+          sum(when($"status" === "same", 1L).otherwise(0L))
+            .as("n_same"))
+        .orderBy($"lang")
+    }),
+
     // 2-hop reach per node (friend-of-friend audience size) on the
     // part co-occurrence graph — the influence-radius read the
     // centrality family (q62/q138) ranks but never SIZES. Exact
@@ -444,6 +628,151 @@ object Frontier {
   }
 
   def oracles: Map[String, String] = Map(
+
+    "q147_running_topk" ->
+      """WITH rev AS (
+           SELECT l_partkey AS pk,
+             date_trunc('month', l_shipdate) AS m,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+               (100 - CAST(round(l_discount * 100) AS BIGINT)))
+               AS BIGINT) AS rev
+           FROM lineitem GROUP BY 1, 2),
+         months AS (SELECT DISTINCT m FROM rev),
+         parts AS (SELECT DISTINCT pk FROM rev),
+         grid AS (
+           SELECT p.pk, mo.m, coalesce(r.rev, 0) AS rev
+           FROM parts p CROSS JOIN months mo
+           LEFT JOIN rev r ON r.pk = p.pk AND r.m = mo.m),
+         cum AS (
+           SELECT pk, m,
+             CAST(sum(rev) OVER (PARTITION BY pk ORDER BY m
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+           FROM grid),
+         rk AS (
+           SELECT m, pk, cum,
+             CAST(row_number() OVER (PARTITION BY m
+               ORDER BY cum DESC, pk) AS BIGINT) AS rank
+           FROM cum)
+         SELECT strftime(m, '%Y-%m') AS month, rank, pk AS partkey,
+           cum AS cum_revenue_e4
+         FROM rk WHERE rank <= 3 AND cum > 0
+         ORDER BY month, rank""",
+
+    "q148_schema_drift" -> {
+      def tvd(sel: String, out: String): String =
+        s"""(WITH cnt AS (
+             SELECT $sel AS cat,
+               CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS c1,
+               CAST(sum(CASE WHEN half = 2 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS c2
+             FROM halved GROUP BY 1),
+           tot AS (
+             SELECT CAST(sum(c1) AS BIGINT) AS n1,
+               CAST(sum(c2) AS BIGINT) AS n2,
+               CAST(count(*) AS BIGINT) AS n_cats
+             FROM cnt)
+           SELECT '$out' AS col_name, tot.n1, tot.n2, tot.n_cats,
+             CAST(CAST(sum(abs(c1 * tot.n2 - c2 * tot.n1)) AS BIGINT)
+               * 1000 // (2 * tot.n1 * tot.n2) AS BIGINT) AS tvd_milli
+           FROM cnt, tot GROUP BY tot.n1, tot.n2, tot.n_cats)"""
+      s"""WITH mid AS (
+           SELECT (min(epoch_us(o_orderdate)) +
+             max(epoch_us(o_orderdate))) // 2 AS mid
+           FROM orders),
+         halved AS (
+           SELECT CASE WHEN epoch_us(o_orderdate) < mid THEN 1
+                       ELSE 2 END AS half,
+             o_orderstatus AS c_status,
+             o_orderpriority AS c_priority,
+             CAST(CAST(floor(o_totalprice / 1000) AS BIGINT)
+               AS VARCHAR) AS c_price_bucket
+           FROM orders, mid)
+         SELECT * FROM (
+           ${tvd("c_status", "o_orderstatus")}
+           UNION ALL ${tvd("c_priority", "o_orderpriority")}
+           UNION ALL ${tvd("c_price_bucket", "price_bucket_1k")})
+         ORDER BY col_name"""
+    },
+
+    "text_readability" ->
+      """WITH f AS (
+           SELECT doc_id, lang,
+             CAST(len(string_split_regex(lower(text), '\s+'))
+               AS BIGINT) AS w,
+             greatest(
+               CAST(length(text) - length(replace(text, '.', ''))
+                 + length(text) - length(replace(text, '!', ''))
+                 + length(text) - length(replace(text, '?', ''))
+                 AS BIGINT), 1) AS sent,
+             CAST(length(regexp_replace(lower(text), '[aeiou]+', 'V',
+                 'g')) -
+               length(replace(regexp_replace(lower(text), '[aeiou]+',
+                 'V', 'g'), 'V', '')) AS BIGINT) AS syl
+           FROM documents),
+         scored AS (
+           SELECT lang, w, sent, syl,
+             CAST(floor((206.835 -
+               1.015 * (CAST(w AS DOUBLE) / CAST(sent AS DOUBLE)) -
+               84.6 * (CAST(syl AS DOUBLE) / CAST(w AS DOUBLE)))
+               * 1000) AS BIGINT) AS fm
+           FROM f)
+         SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(w) AS BIGINT) AS n_words,
+           CAST(sum(sent) AS BIGINT) AS n_sentences,
+           CAST(sum(syl) AS BIGINT) AS n_syllables,
+           CAST(CAST(sum(fm) AS BIGINT) // count(*) AS BIGINT)
+             AS mean_flesch_milli
+         FROM scored GROUP BY lang ORDER BY lang""",
+
+    "pipeline_weighted_sample" ->
+      """WITH keyed AS (
+           SELECT doc_id, n_chars,
+             pow(
+               CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(range(1, 9), i ->
+                   CAST(strpos('0123456789abcdef',
+                     substring(md5('ws42:' || CAST(doc_id AS VARCHAR)),
+                       CAST(i AS INT), 1)) - 1 AS BIGINT))),
+                 (acc, x) -> acc * 16 + x) + 1 AS DOUBLE)
+               / 4294967297.0,
+               1.0 / CAST(n_chars AS DOUBLE)) AS key
+           FROM documents),
+         rk AS (
+           SELECT CAST(row_number() OVER (ORDER BY key DESC, doc_id)
+             AS BIGINT) AS rank, doc_id, n_chars, key
+           FROM keyed)
+         SELECT rank, doc_id, n_chars,
+           round(key, 6) + 0.0 AS sample_key
+         FROM rk WHERE rank <= 50 ORDER BY rank""",
+
+    "pipeline_dataset_diff" -> {
+      s"""WITH applied AS (
+           SELECT * FROM (
+             ${Pipeline.oracles("pipeline_cdc_apply")}
+           ) cdc),
+         bef AS (
+           SELECT doc_id, lang AS lang_b, md5(text) AS dig_b
+           FROM documents),
+         j AS (
+           SELECT coalesce(b.lang_b, a.lang) AS lang,
+             CASE WHEN b.doc_id IS NULL THEN 'added'
+                  WHEN a.doc_id IS NULL THEN 'removed'
+                  WHEN a.digest <> b.dig_b THEN 'changed'
+                  ELSE 'same' END AS status
+           FROM bef b FULL OUTER JOIN applied a
+             ON a.doc_id = b.doc_id)
+         SELECT lang, CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(CASE WHEN status = 'added' THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_added,
+           CAST(sum(CASE WHEN status = 'removed' THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_removed,
+           CAST(sum(CASE WHEN status = 'changed' THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_changed,
+           CAST(sum(CASE WHEN status = 'same' THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_same
+         FROM j GROUP BY lang ORDER BY lang"""
+    },
 
     "q143_2hop_reach" ->
       """WITH li AS (

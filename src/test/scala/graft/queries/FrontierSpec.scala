@@ -259,6 +259,115 @@ class FrontierSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("running topk: leaderboard is cumulative and rank-consistent") {
+    val rows = Frontier.queries("q147_running_topk")(spark, sf)
+      .as[(String, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    val byMonth = rows.groupBy(_._1)
+    byMonth.foreach { case (m, rs) =>
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1L to sorted.size),
+        s"$m: ranks not dense")
+      // rank order matches cumulative revenue order (ties by partkey)
+      val pairs = sorted.map(r => (-r._4, r._3))
+      assert(pairs.toSeq == pairs.sorted.toSeq, s"$m: rank order")
+    }
+    // a part's cumulative value never decreases across months it leads
+    rows.groupBy(_._3).foreach { case (pk, rs) =>
+      val ordered = rs.sortBy(_._1).map(_._4)
+      assert(ordered.toSeq == ordered.sorted.toSeq,
+        s"part $pk: cumulative revenue decreased")
+    }
+    spark.catalog.clearCache()
+  }
+
+  test("schema drift: TVD bounds and exact recomputation for one column") {
+    val rows = Frontier.queries("q148_schema_drift")(spark, sf)
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(rows.length == 3)
+    rows.foreach { case (c, n1, n2, nc, tvd) =>
+      assert(n1 > 0 && n2 > 0 && nc > 0)
+      assert(tvd >= 0 && tvd <= 1000, s"$c: tvd $tvd out of [0,1000]")
+    }
+    // recompute o_orderstatus TVD by hand
+    val o = graft.Tables.load(spark, sf, "orders")
+      .select(unix_micros($"o_orderdate").as("t"), $"o_orderstatus")
+      .as[(Long, String)].collect()
+    val mid = (o.map(_._1).min + o.map(_._1).max) / 2
+    val h1 = o.filter(_._1 < mid).groupBy(_._2).view
+      .mapValues(_.length.toLong).toMap
+    val h2 = o.filter(_._1 >= mid).groupBy(_._2).view
+      .mapValues(_.length.toLong).toMap
+    val n1 = h1.values.sum; val n2 = h2.values.sum
+    val cats = h1.keySet ++ h2.keySet
+    val num = cats.toSeq.map(c =>
+      math.abs(h1.getOrElse(c, 0L) * n2 - h2.getOrElse(c, 0L) * n1))
+      .sum
+    val want = num * 1000 / (2 * n1 * n2)
+    val got = rows.find(_._1 == "o_orderstatus").get
+    assert(got._5 == want, s"tvd ${got._5} vs $want")
+    spark.catalog.clearCache()
+  }
+
+  test("readability: planted simple vs complex text orders correctly") {
+    // pin the extractor's milli formula on planted rows
+    def flesch(text: String): Long = {
+      val w = text.toLowerCase.split("\\s+").count(_.nonEmpty)
+      val sent = math.max(text.count(c => ".!?".contains(c)), 1)
+      val syl = "[aeiou]+".r.findAllIn(text.toLowerCase).length
+      math.floor((206.835 - 1.015 * (w.toDouble / sent) -
+        84.6 * (syl.toDouble / w)) * 1000).toLong
+    }
+    val simple = "The cat sat. The dog ran. It was fun."
+    val complex = "Notwithstanding administrative irregularities, " +
+      "comprehensive organizational restructuring necessitates " +
+      "extraordinary interdepartmental cooperation."
+    assert(flesch(simple) > flesch(complex),
+      "simple prose must score higher than bureaucratic prose")
+    // and the registered query emits one sane row per language
+    val rows = Frontier.queries("text_readability")(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, nd, w, s2, syl, _) =>
+      assert(nd > 0 && w > 0 && s2 > 0 && syl > 0)
+    }
+    spark.catalog.clearCache()
+  }
+
+  test("weighted sample: deterministic, 50 rows, keys sorted, length bias") {
+    val q = Frontier.queries("pipeline_weighted_sample")
+    val r1 = q(spark, sf).as[(Long, Long, Long, Double)].collect()
+    val r2 = q(spark, sf).as[(Long, Long, Long, Double)].collect()
+    assert(r1.toSeq == r2.toSeq, "A-Res keys must replay exactly")
+    assert(r1.length == 50)
+    assert(r1.map(_._4).toSeq == r1.map(_._4).sorted.reverse.toSeq)
+    // length bias: sampled docs skew longer than the corpus mean
+    val corpusMean = graft.Tables.load(spark, sf, "documents")
+      .agg(avg($"n_chars")).head.getDouble(0)
+    val sampleMean = r1.map(_._3).sum.toDouble / r1.length
+    assert(sampleMean > corpusMean * 0.9,
+      s"weighted sample mean $sampleMean vs corpus $corpusMean")
+    spark.catalog.clearCache()
+  }
+
+  test("dataset diff reconciles with the cdc derivation rules") {
+    val rows = Frontier.queries("pipeline_dataset_diff")(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    val ids = graft.Tables.load(spark, sf, "documents")
+      .select($"doc_id").as[Long].collect()
+    // derivation rules: %10==7 removed; %10==5 inserts a new key;
+    // changed = (%10==3 upd) ∪ (%100==3 second-gen) minus removed
+    val wantRemoved = ids.count(_ % 10 == 7)
+    val wantAdded = ids.count(_ % 10 == 5)
+    val wantChanged = ids.count(i => i % 10 == 3)
+    assert(rows.map(_._3).sum == wantAdded)
+    assert(rows.map(_._4).sum == wantRemoved)
+    assert(rows.map(_._5).sum == wantChanged)
+    // every key accounted for exactly once
+    assert(rows.map(_._2).sum == ids.length + wantAdded)
+    spark.catalog.clearCache()
+  }
+
   test("code detect: planted code-like text crosses the threshold") {
     // the registered query is corpus-driven; the feature extractor's
     // discrimination is pinned on planted rows via the same exprs
