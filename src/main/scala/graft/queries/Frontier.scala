@@ -203,8 +203,13 @@ object Frontier {
           ((year($"m") - year($"cm")) * 12 +
             (month($"m") - month($"cm"))).cast("long"))
         .filter($"offset" <= 12)
+      // counts feeds BOTH the report and the offset-0 size lookup —
+      // without the persist the whole orders scan + first-month agg
+      // runs twice (plan audit, round 10). The frame is
+      // cohort×offset-sized: a safe cache at any corpus scale.
       val counts = activity.groupBy($"cm", $"offset")
         .agg(countDistinct($"o_custkey").as("n_active"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
       val size0 = counts.filter($"offset" === 0)
         .select($"cm", $"n_active".as("cohort_n"))
       counts.join(broadcast(size0), Seq("cm"))
@@ -416,12 +421,16 @@ object Frontier {
                   substring(md5(concat('ws42:', CAST(doc_id AS STRING))),
                     i, 1)) - 1)) + 1)""")
         .cast("double") / lit(4294967297.0)
+      // orderBy+limit FIRST (TakeOrderedAndProject — per-partition
+      // top-k, no global sort); the rank window then runs on the
+      // 50-row result, not the corpus (plan audit, round 10)
       val keyed = Tables.load(s, d, "documents")
         .select($"doc_id", $"n_chars",
           pow(u, lit(1.0) / $"n_chars".cast("double")).as("key"))
+        .orderBy($"key".desc, $"doc_id")
+        .limit(50)
       val w = Window.orderBy($"key".desc, $"doc_id")
       keyed.withColumn("rank", row_number().over(w).cast("long"))
-        .filter($"rank" <= 50)
         .select($"rank", $"doc_id", $"n_chars",
           Tables.nz(round($"key", 6)).as("sample_key"))
         .orderBy($"rank")
@@ -488,13 +497,17 @@ object Frontier {
         .join(sym.select($"src".as("mid"), $"dst".as("w")), Seq("mid"))
         .filter($"v" =!= $"w")
         .select($"v", $"w")
+      // orderBy+limit first (TakeOrderedAndProject), rank window on
+      // the 100-row result only — the reach table is node-sized and
+      // a global-rank window over it would single-task the sort
       val reach = sym.select($"src".as("v"), $"dst".as("w"))
         .unionAll(twoHop)
         .distinct()
         .groupBy($"v").agg(count(lit(1)).as("reach"))
+        .orderBy($"reach".desc, $"v")
+        .limit(100)
       val w = Window.orderBy($"reach".desc, $"v")
       reach.withColumn("rank", row_number().over(w).cast("long"))
-        .filter($"rank" <= 100)
         .select($"rank", $"v".as("node"), $"reach")
         .orderBy($"rank")
     }),
