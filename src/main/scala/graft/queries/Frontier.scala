@@ -470,6 +470,94 @@ object Frontier {
         .orderBy($"lang")
     }),
 
+    // Tokenizer fertility per language — BPE tokens per word, THE
+    // number that decides whether a tokenizer taxes a language
+    // (fertility ≫ 1 for a lang means its documents cost
+    // proportionally more context budget; the mixture weights in
+    // pipeline_temperature_mix/mixture_grid are wrong if computed in
+    // words when training bills in tokens). Pure composition: the
+    // oracle-exact bpe_encode per-doc counts joined back to the
+    // language column, exact-integer milli ratio per language.
+    "pipeline_tokenizer_fertility" -> ((s, d) => {
+      import s.implicits._
+      val enc = graft.text.Bpe.queries("pipeline_bpe_encode")(s, d)
+        .select($"doc_id", $"n_words", $"n_bpe_tokens")
+      val langs = Tables.load(s, d, "documents")
+        .select($"doc_id", $"lang")
+      enc.join(langs, Seq("doc_id"))
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_words").as("n_words"),
+          sum($"n_bpe_tokens").as("n_bpe_tokens"))
+        .select($"lang", $"n_docs", $"n_words", $"n_bpe_tokens",
+          expr("n_bpe_tokens * 1000 div n_words")
+            .as("fertility_milli"))
+        .orderBy($"lang")
+    }),
+
+    // Price elasticity per part segment: the OLS slope of quantity on
+    // discount (does a deeper discount move more units) — cov/var on
+    // the exact integer grids (qty in units·100, discount in %), the
+    // q43 moment discipline with a regression assembly instead of a
+    // correlation one. Segments are the part-key mod-8 buckets (the
+    // fixture has no category column); one map-side-combined rollup,
+    // one 8-row assembly.
+    "q149_price_elasticity" -> ((s, d) => {
+      import s.implicits._
+      val t = Tables.load(s, d, "lineitem")
+        .select(($"l_partkey" % 8).as("segment"),
+          round($"l_discount" * 100).cast("long").as("x"),
+          round($"l_quantity" * 100).cast("long").as("y"))
+      t.groupBy($"segment")
+        .agg(count(lit(1)).as("n"), sum($"x").as("sx"),
+          sum($"y").as("sy"), sum($"x" * $"x").as("sxx"),
+          sum($"x" * $"y").as("sxy"))
+        .select($"segment", $"n",
+          Tables.nz(round(
+            ($"n".cast("double") * $"sxy".cast("double") -
+              $"sx".cast("double") * $"sy".cast("double")) /
+            ($"n".cast("double") * $"sxx".cast("double") -
+              $"sx".cast("double") * $"sx".cast("double")), 6))
+            .as("slope_centi_units_per_pct"))
+        .orderBy($"segment")
+    }),
+
+    // Duplicate-invoice detector: order pairs by the SAME customer
+    // with the IDENTICAL total landing within 2 days — the classic
+    // double-billing / replayed-feed DQ probe on top of q81's
+    // row-level audits (which can never see a CROSS-row anomaly).
+    // The self-join keys on (custkey, exact cents) — equality keys,
+    // so the pair space is bounded by per-(cust, amount) multiplicity
+    // (overwhelmingly 1), never a date-range blowup; the ±2-day
+    // filter is a residual predicate on the tiny matched set. The
+    // audited feed is orders plus a DETERMINISTIC replayed slice
+    // (orderkey % 97 == 0 re-submitted next-day under a shifted key)
+    // — the fixtures ship a clean feed, so the double-billing event
+    // is derived, the pipeline_cdc_apply changelog discipline; the
+    // detector must recover exactly that slice.
+    "q150_duplicate_invoice" -> ((s, d) => {
+      import s.implicits._
+      val base = Tables.load(s, d, "orders")
+        .select($"o_orderkey", $"o_custkey",
+          round($"o_totalprice" * 100).cast("long").as("cents"),
+          to_date($"o_orderdate").as("day"))
+      val replayed = base.filter($"o_orderkey" % 97 === 0)
+        .select(($"o_orderkey" + 1000000000L).as("o_orderkey"),
+          $"o_custkey", $"cents", date_add($"day", 1).as("day"))
+      val o = base.unionByName(replayed)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val a = o.select($"o_custkey", $"cents",
+        $"o_orderkey".as("k1"), $"day".as("d1"))
+      val b = o.select($"o_custkey", $"cents",
+        $"o_orderkey".as("k2"), $"day".as("d2"))
+      a.join(b, Seq("o_custkey", "cents"))
+        .filter($"k1" < $"k2" &&
+          abs(datediff($"d2", $"d1")) <= 2)
+        .select($"o_custkey", $"cents", $"k1", $"k2",
+          datediff($"d2", $"d1").cast("long").as("gap_days"))
+        .orderBy($"o_custkey", $"k1", $"k2")
+    }),
+
     // 2-hop reach per node (friend-of-friend audience size) on the
     // part co-occurrence graph — the influence-radius read the
     // centrality family (q62/q138) ranks but never SIZES. Exact
@@ -786,6 +874,65 @@ object Frontier {
              AS BIGINT) AS n_same
          FROM j GROUP BY lang ORDER BY lang"""
     },
+
+    "pipeline_tokenizer_fertility" -> {
+      s"""WITH enc AS (
+           SELECT * FROM (
+             ${graft.text.Bpe.oracles("pipeline_bpe_encode")}
+           ) e),
+         lg AS (SELECT doc_id, lang FROM documents)
+         SELECT lg.lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(enc.n_words) AS BIGINT) AS n_words,
+           CAST(sum(enc.n_bpe_tokens) AS BIGINT) AS n_bpe_tokens,
+           CAST(CAST(sum(enc.n_bpe_tokens) AS BIGINT) * 1000 //
+             CAST(sum(enc.n_words) AS BIGINT) AS BIGINT)
+             AS fertility_milli
+         FROM enc JOIN lg ON lg.doc_id = enc.doc_id
+         GROUP BY lg.lang ORDER BY lg.lang"""
+    },
+
+    "q149_price_elasticity" ->
+      """WITH t AS (
+           SELECT l_partkey % 8 AS segment,
+             CAST(round(l_discount * 100) AS BIGINT) AS x,
+             CAST(round(l_quantity * 100) AS BIGINT) AS y
+           FROM lineitem),
+         m AS (
+           SELECT segment, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(x * y) AS BIGINT) AS sxy
+           FROM t GROUP BY 1)
+         SELECT segment, n,
+           round(
+             (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+               CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+             (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+               CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) + 0.0
+             AS slope_centi_units_per_pct
+         FROM m ORDER BY segment""",
+
+    "q150_duplicate_invoice" ->
+      """WITH base AS (
+           SELECT o_orderkey, o_custkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             CAST(o_orderdate AS DATE) AS day
+           FROM orders),
+         o AS (
+           SELECT * FROM base
+           UNION ALL
+           SELECT o_orderkey + 1000000000, o_custkey, cents,
+             day + 1
+           FROM base WHERE o_orderkey % 97 = 0)
+         SELECT a.o_custkey, a.cents, a.o_orderkey AS k1,
+           b.o_orderkey AS k2,
+           CAST(date_diff('day', a.day, b.day) AS BIGINT) AS gap_days
+         FROM o a JOIN o b
+           ON a.o_custkey = b.o_custkey AND a.cents = b.cents
+             AND a.o_orderkey < b.o_orderkey
+         WHERE abs(date_diff('day', a.day, b.day)) <= 2
+         ORDER BY a.o_custkey, k1, k2""",
 
     "q143_2hop_reach" ->
       """WITH li AS (

@@ -368,6 +368,61 @@ class FrontierSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("tokenizer fertility: at least one BPE token per word, exact ratio") {
+    val rows = Frontier.queries("pipeline_tokenizer_fertility")(
+      spark, sf).as[(String, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (lang, nd, w, t, fert) =>
+      assert(nd > 0 && w > 0)
+      assert(t >= w, s"$lang: fewer BPE tokens than words")
+      assert(fert == t * 1000 / w)
+      assert(fert >= 1000, s"$lang: fertility below 1.0")
+    }
+    spark.catalog.clearCache()
+  }
+
+  test("price elasticity: slope matches a driver-side OLS per segment") {
+    val got = Frontier.queries("q149_price_elasticity")(spark, sf)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    val t = graft.Tables.load(spark, sf, "lineitem")
+      .select(($"l_partkey" % 8).as("s"),
+        round($"l_discount" * 100).cast("long").as("x"),
+        round($"l_quantity" * 100).cast("long").as("y"))
+      .as[(Long, Long, Long)].collect().groupBy(_._1)
+    t.foreach { case (seg, rows) =>
+      val n = rows.length.toDouble
+      val sx = rows.map(_._2).sum.toDouble
+      val sy = rows.map(_._3).sum.toDouble
+      val sxx = rows.map(r => r._2 * r._2).sum.toDouble
+      val sxy = rows.map(r => r._2 * r._3).sum.toDouble
+      val want = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+      assert(math.abs(got(seg)._3 - want) < 1e-4,
+        s"segment $seg: ${got(seg)._3} vs $want")
+    }
+    spark.catalog.clearCache()
+  }
+
+  test("duplicate invoice: recovers exactly the planted replay slice") {
+    val got = Frontier.queries("q150_duplicate_invoice")(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    val planted = graft.Tables.load(spark, sf, "orders")
+      .filter($"o_orderkey" % 97 === 0)
+      .select($"o_orderkey").as[Long].collect().toSet
+    // every planted replay is found as (original, original + 1e9, +1d)
+    planted.foreach { k =>
+      assert(got.exists(r => r._3 == k && r._4 == k + 1000000000L &&
+        r._5 == 1L), s"planted replay of order $k not detected")
+    }
+    // and nothing else fires on this fixture beyond the planted set
+    got.foreach { r =>
+      assert(planted.contains(r._3) || planted.contains(r._4) ||
+        planted.contains(r._3 - 1000000000L) ||
+        planted.contains(r._4 - 1000000000L),
+        s"unexpected pair $r on a clean feed")
+    }
+    spark.catalog.clearCache()
+  }
+
   test("code detect: planted code-like text crosses the threshold") {
     // the registered query is corpus-driven; the feature extractor's
     // discrimination is pinned on planted rows via the same exprs
