@@ -470,6 +470,107 @@ object Frontier {
         .orderBy($"lang")
     }),
 
+    // Seasonal/trend STRENGTH (Hyndman's F_s/F_t) per event type —
+    // one number each for "how seasonal / how trended is this
+    // metric", computed from q127's exact-integer decomposition
+    // components: F_s = max(0, 1 − Var(resid)/Var(v − trend)),
+    // F_t = max(0, 1 − Var(resid)/Var(v − seasonal)). Variances stay
+    // in the exact n·Σx² − (Σx)² integer form (one IEEE divide per
+    // strength at display); the input is the type×day component
+    // table, so everything after q127's rollup is domain-bounded.
+    "q151_seasonality_strength" -> ((s, d) => {
+      import s.implicits._
+      val comp = Insights.queries("q127_seasonal_decompose")(s, d)
+        .select($"event_type",
+          $"residual".as("r"),
+          ($"cents" - $"trend").as("dt"),
+          ($"cents" - $"seasonal").as("ds"))
+      comp.groupBy($"event_type")
+        .agg(count(lit(1)).as("n"),
+          sum($"r").as("sr"), sum($"r" * $"r").as("srr"),
+          sum($"dt").as("st"), sum($"dt" * $"dt").as("stt"),
+          sum($"ds").as("ss"), sum($"ds" * $"ds").as("sss"))
+        .select($"event_type", $"n",
+          Tables.nz(round(greatest(lit(0.0),
+            lit(1.0) -
+              ($"n".cast("double") * $"srr".cast("double") -
+                $"sr".cast("double") * $"sr".cast("double")) /
+              ($"n".cast("double") * $"stt".cast("double") -
+                $"st".cast("double") * $"st".cast("double"))), 4))
+            .as("f_seasonal"),
+          Tables.nz(round(greatest(lit(0.0),
+            lit(1.0) -
+              ($"n".cast("double") * $"srr".cast("double") -
+                $"sr".cast("double") * $"sr".cast("double")) /
+              ($"n".cast("double") * $"sss".cast("double") -
+                $"ss".cast("double") * $"ss".cast("double"))), 4))
+            .as("f_trend"))
+        .orderBy($"event_type")
+    }),
+
+    // 13-gram novelty curve: per document (in doc_id ingest order),
+    // the fraction of its 13-grams never seen in any EARLIER
+    // document — the marginal-novelty signal a continual-crawl
+    // curation run reads to decide when a source is exhausted
+    // (novelty → 0 means new documents are recombinations). First
+    // occurrence is a gram-keyed min(doc_id) — one shuffle of
+    // (gram, id) longs on the shared PolyHash basis; novelty is an
+    // exact milli ratio.
+    "text_ngram_novelty" -> ((s, d) => {
+      import s.implicits._
+      val grams = Tables.spread(Tables.load(s, d, "documents"))
+        .select($"doc_id",
+          graft.dedup.Dedup.tokenHashes(
+            split(lower($"text"), "\\s+")).as("th"))
+        .select($"doc_id", explode(gram13(col("th"))).as("g"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val firstSeen = grams.groupBy($"g").agg(min($"doc_id").as("fd"))
+      grams.join(firstSeen, Seq("g"))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when($"fd" === $"doc_id", 1L).otherwise(0L))
+            .as("n_novel"))
+        .select($"doc_id", $"n_grams", $"n_novel",
+          expr("n_novel * 1000 div n_grams").as("novelty_milli"))
+        .orderBy($"doc_id")
+    }),
+
+    // Lorenz curve deciles of customer spend — the table behind
+    // q79's Gini scalar (which 10% of customers carry which share of
+    // revenue). Global spend ranks ride PrefixSum's two-pass
+    // distributed scan (never a global row_number window); the
+    // decile rollup is 10 rows, and cumulative shares are exact
+    // integer milli off a 10-row sorted fold.
+    "q152_lorenz_deciles" -> ((s, d) => {
+      import s.implicits._
+      val cust = Tables.load(s, d, "orders")
+        .groupBy($"o_custkey")
+        .agg(sum(round($"o_totalprice" * 100).cast("long")).as("cents"))
+      val n = cust.count() // driver scalar (pagerank discipline)
+      val ranked = graft.ops.PrefixSum.runningTotal(
+        cust.withColumn("one", lit(1L)),
+        Seq($"cents", $"o_custkey"), $"one", "rk")
+      val dec = ranked
+        .withColumn("decile", expr(s"(rk - 1) * 10 div ${n}L + 1"))
+        .groupBy($"decile")
+        .agg(count(lit(1)).as("n_cust"), sum($"cents").as("spend"))
+      dec.agg(sort_array(collect_list(struct($"decile", $"n_cust",
+          $"spend"))).as("arr"))
+        .select(explode(expr(
+          """transform(arr, (x, i) -> struct(
+               x.decile AS decile, x.n_cust AS n_cust,
+               x.spend AS spend,
+               aggregate(slice(arr, 1, i + 1), CAST(0 AS BIGINT),
+                 (a, y) -> a + y.spend) AS cum_spend,
+               aggregate(arr, CAST(0 AS BIGINT),
+                 (a, y) -> a + y.spend) AS total))""")).as("r"))
+        .select($"r.decile".as("decile"), $"r.n_cust".as("n_cust"),
+          $"r.spend".as("spend_cents"),
+          $"r.cum_spend".as("cum_spend_cents"),
+          expr("r.cum_spend * 1000 div r.total").as("cum_share_milli"))
+        .orderBy($"decile")
+    }),
+
     // Tokenizer fertility per language — BPE tokens per word, THE
     // number that decides whether a tokenizer taxes a language
     // (fertility ≫ 1 for a lang means its documents cost
@@ -874,6 +975,87 @@ object Frontier {
              AS BIGINT) AS n_same
          FROM j GROUP BY lang ORDER BY lang"""
     },
+
+    "q151_seasonality_strength" -> {
+      s"""WITH comp AS (
+           SELECT event_type, residual AS r,
+             cents - trend AS dt, cents - seasonal AS ds
+           FROM (
+             ${Insights.oracles("q127_seasonal_decompose")}
+           ) q127),
+         m AS (
+           SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(r) AS BIGINT) AS sr,
+             CAST(sum(r * r) AS BIGINT) AS srr,
+             CAST(sum(dt) AS BIGINT) AS st,
+             CAST(sum(dt * dt) AS BIGINT) AS stt,
+             CAST(sum(ds) AS BIGINT) AS ss,
+             CAST(sum(ds * ds) AS BIGINT) AS sss
+           FROM comp GROUP BY 1)
+         SELECT event_type, n,
+           round(greatest(CAST(0.0 AS DOUBLE),
+             1.0 - (CAST(n AS DOUBLE) * CAST(srr AS DOUBLE) -
+                 CAST(sr AS DOUBLE) * CAST(sr AS DOUBLE)) /
+               (CAST(n AS DOUBLE) * CAST(stt AS DOUBLE) -
+                 CAST(st AS DOUBLE) * CAST(st AS DOUBLE))), 4) + 0.0
+             AS f_seasonal,
+           round(greatest(CAST(0.0 AS DOUBLE),
+             1.0 - (CAST(n AS DOUBLE) * CAST(srr AS DOUBLE) -
+                 CAST(sr AS DOUBLE) * CAST(sr AS DOUBLE)) /
+               (CAST(n AS DOUBLE) * CAST(sss AS DOUBLE) -
+                 CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE))), 4) + 0.0
+             AS f_trend
+         FROM m ORDER BY event_type"""
+    },
+
+    "text_ngram_novelty" -> {
+      s"""WITH tokl AS (
+           SELECT doc_id,
+             list_transform(string_split_regex(lower(text), '\\s+'),
+               t -> ${graft.dedup.Dedup.tokSql("t")}) AS th
+           FROM documents),
+         grams AS (
+           SELECT doc_id, unnest($gram13Sql) AS g FROM tokl),
+         fs AS (SELECT g, min(doc_id) AS fd FROM grams GROUP BY 1)
+         SELECT gr.doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN fs.fd = gr.doc_id THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_novel,
+           CAST(CAST(sum(CASE WHEN fs.fd = gr.doc_id THEN 1 ELSE 0
+             END) AS BIGINT) * 1000 // count(*) AS BIGINT)
+             AS novelty_milli
+         FROM grams gr JOIN fs ON fs.g = gr.g
+         GROUP BY gr.doc_id ORDER BY gr.doc_id"""
+    },
+
+    "q152_lorenz_deciles" ->
+      """WITH cust AS (
+           SELECT o_custkey,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+               AS BIGINT) AS cents
+           FROM orders GROUP BY 1),
+         rk AS (
+           SELECT cents,
+             CAST(row_number() OVER (ORDER BY cents, o_custkey)
+               AS BIGINT) AS rk,
+             (SELECT CAST(count(*) AS BIGINT) FROM cust) AS n
+           FROM cust),
+         dec AS (
+           SELECT (rk - 1) * 10 // n + 1 AS decile,
+             CAST(count(*) AS BIGINT) AS n_cust,
+             CAST(sum(cents) AS BIGINT) AS spend
+           FROM rk GROUP BY 1),
+         cum AS (
+           SELECT decile, n_cust, spend,
+             CAST(sum(spend) OVER (ORDER BY decile
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_spend,
+             CAST(sum(spend) OVER () AS BIGINT) AS total
+           FROM dec)
+         SELECT decile, n_cust, spend AS spend_cents,
+           cum_spend AS cum_spend_cents,
+           CAST(cum_spend * 1000 // total AS BIGINT)
+             AS cum_share_milli
+         FROM cum ORDER BY decile""",
 
     "pipeline_tokenizer_fertility" -> {
       s"""WITH enc AS (

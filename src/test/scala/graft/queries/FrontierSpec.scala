@@ -423,6 +423,59 @@ class FrontierSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("seasonality strength: in [0,1], residual-killing raises both") {
+    val rows = Frontier.queries("q151_seasonality_strength")(spark, sf)
+      .as[(String, Long, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (et, n, fs, ft) =>
+      assert(n > 0)
+      assert(fs >= 0.0 && fs <= 1.0, s"$et: f_seasonal $fs")
+      assert(ft >= 0.0 && ft <= 1.0, s"$et: f_trend $ft")
+    }
+    spark.catalog.clearCache()
+  }
+
+  test("ngram novelty: doc ordering property and exact totals") {
+    val rows = Frontier.queries("text_ngram_novelty")(spark, sf)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(rows.nonEmpty)
+    // the FIRST doc with >= 13 tokens is 100% novel by construction
+    assert(rows.head._3 == rows.head._2 &&
+      rows.head._4 == 1000L, "first doc must be fully novel")
+    rows.foreach { case (id, ng, nn, milli) =>
+      assert(nn <= ng && milli == nn * 1000 / ng, s"doc $id")
+    }
+    // global conservation: every distinct gram is novel in exactly
+    // one document, so Σ n_novel == corpus-distinct 13-gram count
+    val distinctGrams = graft.Tables.load(spark, sf, "documents")
+      .select(lower($"text").as("t"))
+      .as[String].collect()
+      .flatMap(t => t.split("\\s+").toSeq.sliding(13)
+        .filter(_.size == 13).map(_.mkString(" ")))
+      .toSet.size
+    assert(rows.map(_._3).sum == distinctGrams,
+      s"novel sum ${rows.map(_._3).sum} vs distinct $distinctGrams")
+    spark.catalog.clearCache()
+  }
+
+  test("lorenz deciles: conservation, monotone shares, decile 10 = 1000") {
+    val rows = Frontier.queries("q152_lorenz_deciles")(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq == (1L to 10L))
+    val nCust = graft.Tables.load(spark, sf, "orders")
+      .select($"o_custkey").distinct().count()
+    assert(rows.map(_._2).sum == nCust, "customers conserve")
+    assert(rows.last._5 == 1000L, "full cumulative share is 1000 milli")
+    val shares = rows.map(_._5)
+    assert(shares.toSeq == shares.sorted.toSeq, "shares monotone")
+    // Lorenz convexity on sorted-ascending spend: each decile's spend
+    // is >= the previous one's
+    val spends = rows.map(_._3)
+    assert(spends.toSeq == spends.sorted.toSeq,
+      "ascending-rank deciles must have nondecreasing spend")
+    spark.catalog.clearCache()
+  }
+
   test("code detect: planted code-like text crosses the threshold") {
     // the registered query is corpus-driven; the feature extractor's
     // discrimination is pinned on planted rows via the same exprs
