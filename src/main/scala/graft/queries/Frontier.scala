@@ -470,6 +470,77 @@ object Frontier {
         .orderBy($"lang")
     }),
 
+    // Packing-efficiency policy table: for each candidate context
+    // length, how many chunks the corpus tiles into and how much of
+    // the chunk budget is PADDING — the table that picks the context
+    // length / packing strategy before a pipeline_pack run commits
+    // (padding is pure wasted compute at training time). Exact
+    // integers end to end: ceil-div chunk counts, chunk·ctx − tokens
+    // padding, milli waste against the chunk budget; the 4-row ctx
+    // grid broadcasts over one token-count scan.
+    "pipeline_pack_efficiency" -> ((s, d) => {
+      import s.implicits._
+      val toks = Tables.spread(Tables.load(s, d, "documents"))
+        .select(size(split($"text", "\\s+")).cast("long").as("tok"))
+      val ctxs = s.range(1).select(explode(array(
+        lit(256L), lit(512L), lit(1024L), lit(2048L))).as("ctx"))
+      toks.crossJoin(broadcast(ctxs))
+        .select($"ctx", $"tok",
+          expr("(tok + ctx - 1) div ctx").as("chunks"))
+        .groupBy($"ctx")
+        .agg(count(lit(1)).as("n_docs"), sum($"tok").as("n_tokens"),
+          sum($"chunks").as("n_chunks"),
+          sum($"chunks" * $"ctx" - $"tok").as("n_padding"))
+        .select($"ctx", $"n_docs", $"n_tokens", $"n_chunks",
+          $"n_padding",
+          expr("n_padding * 1000 div (n_chunks * ctx)")
+            .as("waste_milli"))
+        .orderBy($"ctx")
+    }),
+
+    // Shipping-SLA attainment per order priority: the fraction of
+    // line items shipped within 30/60/90 days of the order date —
+    // the operational twin of q44's billing views (is URGENT actually
+    // faster). Fact-to-fact equi-join on orderkey (never broadcast —
+    // the q81 discipline), exact day diffs, three conditional counts,
+    // milli rates; output is priority-bounded.
+    "q153_shipping_sla" -> ((s, d) => {
+      import s.implicits._
+      val li = Tables.load(s, d, "lineitem")
+        .select($"l_orderkey", to_date($"l_shipdate").as("sd"))
+      val o = Tables.load(s, d, "orders")
+        .select($"o_orderkey", $"o_orderpriority",
+          to_date($"o_orderdate").as("od"))
+      li.join(o, $"l_orderkey" === $"o_orderkey")
+        .select($"o_orderpriority", datediff($"sd", $"od").as("lag"))
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("n_items"),
+          sum(when($"lag" <= 30, 1L).otherwise(0L)).as("w30"),
+          sum(when($"lag" <= 60, 1L).otherwise(0L)).as("w60"),
+          sum(when($"lag" <= 90, 1L).otherwise(0L)).as("w90"))
+        .select($"o_orderpriority", $"n_items",
+          expr("w30 * 1000 div n_items").as("within_30d_milli"),
+          expr("w60 * 1000 div n_items").as("within_60d_milli"),
+          expr("w90 * 1000 div n_items").as("within_90d_milli"))
+        .orderBy($"o_orderpriority")
+    }),
+
+    // Per-shot frame-sampling budget: what switching mm_frame_sample
+    // from uniform stride-8 to 4-frames-per-shot (over mm_scene_cut's
+    // boundaries) costs or saves in decode budget per asset — the
+    // table that justifies running the scene detector at all. Pure
+    // composition of the oracle-exact scene-cut output; all integer.
+    "mm_shot_budget" -> ((s, d) => {
+      import s.implicits._
+      graft.multimodal.Multimodal.queries("mm_scene_cut")(s, d)
+        .select($"doc_id", $"n_frames",
+          expr("n_frames div 8").as("uniform_frames"),
+          least(($"n_cuts" + 1L) * 4L, $"n_frames").as("shot_frames"))
+        .withColumn("delta_frames",
+          $"shot_frames" - $"uniform_frames")
+        .orderBy($"doc_id")
+    }),
+
     // Seasonal/trend STRENGTH (Hyndman's F_s/F_t) per event type —
     // one number each for "how seasonal / how trended is this
     // metric", computed from q127's exact-integer decomposition
@@ -974,6 +1045,60 @@ object Frontier {
            CAST(sum(CASE WHEN status = 'same' THEN 1 ELSE 0 END)
              AS BIGINT) AS n_same
          FROM j GROUP BY lang ORDER BY lang"""
+    },
+
+    "pipeline_pack_efficiency" ->
+      """WITH toks AS (
+           SELECT CAST(len(string_split_regex(text, '\s+')) AS BIGINT)
+             AS tok
+           FROM documents),
+         ctxs AS (SELECT CAST(unnest([256, 512, 1024, 2048]) AS BIGINT)
+                  AS ctx),
+         x AS (
+           SELECT c.ctx, t.tok, (t.tok + c.ctx - 1) // c.ctx AS chunks
+           FROM toks t CROSS JOIN ctxs c),
+         g AS (
+           SELECT ctx, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(tok) AS BIGINT) AS n_tokens,
+             CAST(sum(chunks) AS BIGINT) AS n_chunks,
+             CAST(sum(chunks * ctx - tok) AS BIGINT) AS n_padding
+           FROM x GROUP BY 1)
+         SELECT ctx, n_docs, n_tokens, n_chunks, n_padding,
+           CAST(n_padding * 1000 // (n_chunks * ctx) AS BIGINT)
+             AS waste_milli
+         FROM g ORDER BY ctx""",
+
+    "q153_shipping_sla" ->
+      """WITH j AS (
+           SELECT o.o_orderpriority,
+             date_diff('day', CAST(o.o_orderdate AS DATE),
+               CAST(l.l_shipdate AS DATE)) AS lag
+           FROM lineitem l JOIN orders o
+             ON l.l_orderkey = o.o_orderkey)
+         SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
+           CAST(CAST(sum(CASE WHEN lag <= 30 THEN 1 ELSE 0 END)
+             AS BIGINT) * 1000 // count(*) AS BIGINT)
+             AS within_30d_milli,
+           CAST(CAST(sum(CASE WHEN lag <= 60 THEN 1 ELSE 0 END)
+             AS BIGINT) * 1000 // count(*) AS BIGINT)
+             AS within_60d_milli,
+           CAST(CAST(sum(CASE WHEN lag <= 90 THEN 1 ELSE 0 END)
+             AS BIGINT) * 1000 // count(*) AS BIGINT)
+             AS within_90d_milli
+         FROM j GROUP BY 1 ORDER BY 1""",
+
+    "mm_shot_budget" -> {
+      s"""WITH sc AS (
+           SELECT * FROM (
+             ${graft.multimodal.Multimodal.oracles("mm_scene_cut")}
+           ) x)
+         SELECT doc_id, n_frames,
+           CAST(n_frames // 8 AS BIGINT) AS uniform_frames,
+           CAST(least((n_cuts + 1) * 4, n_frames) AS BIGINT)
+             AS shot_frames,
+           CAST(least((n_cuts + 1) * 4, n_frames) - n_frames // 8
+             AS BIGINT) AS delta_frames
+         FROM sc ORDER BY doc_id"""
     },
 
     "q151_seasonality_strength" -> {

@@ -476,6 +476,44 @@ class FrontierSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("pack efficiency: waste shrinks as ctx shrinks, exact identities") {
+    val rows = Frontier.queries("pipeline_pack_efficiency")(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(256L, 512L, 1024L, 2048L))
+    rows.foreach { case (ctx, nd, nt, nc, np, wm) =>
+      assert(nc * ctx == nt + np, s"ctx $ctx: chunk budget identity")
+      assert(wm == np * 1000 / (nc * ctx))
+    }
+    // more padding at larger contexts on short-doc corpora
+    assert(rows.head._6 <= rows.last._6,
+      "waste must not decrease with context length on this corpus")
+    spark.catalog.clearCache()
+  }
+
+  test("shipping SLA: rates monotone in window and bounded") {
+    val rows = Frontier.queries("q153_shipping_sla")(spark, sf)
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (p, n, w30, w60, w90) =>
+      assert(n > 0)
+      assert(w30 <= w60 && w60 <= w90, s"$p: SLA not monotone")
+      assert(w90 <= 1000L)
+    }
+    spark.catalog.clearCache()
+  }
+
+  test("shot budget: composes scene cuts with exact arithmetic") {
+    val rows = Frontier.queries("mm_shot_budget")(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, nf, uf, sf2, delta) =>
+      assert(uf == nf / 8, s"doc $id uniform")
+      assert(sf2 <= nf, s"doc $id: shot frames exceed frame count")
+      assert(delta == sf2 - uf)
+    }
+    spark.catalog.clearCache()
+  }
+
   test("code detect: planted code-like text crosses the threshold") {
     // the registered query is corpus-driven; the feature extractor's
     // discrimination is pinned on planted rows via the same exprs
