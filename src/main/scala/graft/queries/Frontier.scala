@@ -470,6 +470,53 @@ object Frontier {
         .orderBy($"lang")
     }),
 
+    // Seasonally-adjusted anomaly days: |residual| > 3σ over q127's
+    // decomposition — q33's z-test moved PAST trend and weekday
+    // seasonality, so a busy-Monday spike no longer pages anyone but
+    // a genuinely off-pattern day does. The comparison is the q33
+    // cross-multiplied EXACT integer form ((n·r − Σr)² > 4·(n·Σr² −
+    // (Σr)²), 2σ — the decomposition already absorbs trend and
+    // weekday structure, so the residual band is tight and 2σ is the
+    // operating point that actually fires on well-behaved series) — no float threshold to flip cross-engine; per-type
+    // moments broadcast back onto the domain-bounded component table.
+    "q154_seasonal_anomaly_days" -> ((s, d) => {
+      import s.implicits._
+      val comp = Insights.queries("q127_seasonal_decompose")(s, d)
+        .select($"event_type", $"day", $"cents", $"residual".as("r"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val m = comp.groupBy($"event_type")
+        .agg(count(lit(1)).as("n"), sum($"r").as("sr"),
+          sum($"r" * $"r").as("srr"))
+      comp.join(broadcast(m), Seq("event_type"))
+        .filter(($"n" * $"r" - $"sr") * ($"n" * $"r" - $"sr") >
+          lit(4L) * ($"n" * $"srr" - $"sr" * $"sr"))
+        .select($"event_type",
+          date_format($"day", "yyyy-MM-dd").as("day"),
+          $"cents", $"r".as("residual"),
+          when($"n" * $"r" - $"sr" > 0, 1L).otherwise(-1L).as("side"))
+        .orderBy($"event_type", $"day")
+    }),
+
+    // Language-ID confusion matrix + per-label recall — the accuracy
+    // certification for text_langid's stopword classifier against the
+    // corpus labels (an eval table, the text twin of ann_recall_eval:
+    // never ship a classifier whose confusion you haven't looked at).
+    // Pure composition of the oracle-exact langid output; label-pair-
+    // bounded rollup, exact milli recall against the label total.
+    "text_lang_confusion" -> ((s, d) => {
+      import s.implicits._
+      val pred = graft.text.TextAnalysis.queries("text_langid")(s, d)
+        .select($"labeled_lang", $"predicted_lang")
+      val cells = pred.groupBy($"labeled_lang", $"predicted_lang")
+        .agg(count(lit(1)).as("n"))
+      val totals = cells.groupBy($"labeled_lang")
+        .agg(sum($"n").as("n_label"))
+      cells.join(broadcast(totals), Seq("labeled_lang"))
+        .select($"labeled_lang", $"predicted_lang", $"n", $"n_label",
+          expr("n * 1000 div n_label").as("share_milli"))
+        .orderBy($"labeled_lang", $"predicted_lang")
+    }),
+
     // Packing-efficiency policy table: for each candidate context
     // length, how many chunks the corpus tiles into and how much of
     // the chunk budget is PADDING — the table that picks the context
@@ -1045,6 +1092,46 @@ object Frontier {
            CAST(sum(CASE WHEN status = 'same' THEN 1 ELSE 0 END)
              AS BIGINT) AS n_same
          FROM j GROUP BY lang ORDER BY lang"""
+    },
+
+    "q154_seasonal_anomaly_days" -> {
+      s"""WITH comp AS (
+           SELECT event_type, day, cents, residual AS r
+           FROM (
+             ${Insights.oracles("q127_seasonal_decompose")}
+           ) q127),
+         m AS (
+           SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(r) AS BIGINT) AS sr,
+             CAST(sum(r * r) AS BIGINT) AS srr
+           FROM comp GROUP BY 1)
+         SELECT c.event_type, strftime(c.day, '%Y-%m-%d') AS day,
+           c.cents, c.r AS residual,
+           CAST(CASE WHEN m.n * c.r - m.sr > 0 THEN 1 ELSE -1 END
+             AS BIGINT) AS side
+         FROM comp c JOIN m ON m.event_type = c.event_type
+         WHERE (m.n * c.r - m.sr) * (m.n * c.r - m.sr) >
+           4 * (m.n * m.srr - m.sr * m.sr)
+         ORDER BY c.event_type, day"""
+    },
+
+    "text_lang_confusion" -> {
+      s"""WITH pred AS (
+           SELECT labeled_lang, predicted_lang FROM (
+             ${graft.text.TextAnalysis.oracles("text_langid")}
+           ) li),
+         cells AS (
+           SELECT labeled_lang, predicted_lang,
+             CAST(count(*) AS BIGINT) AS n
+           FROM pred GROUP BY 1, 2),
+         totals AS (
+           SELECT labeled_lang, CAST(sum(n) AS BIGINT) AS n_label
+           FROM cells GROUP BY 1)
+         SELECT c.labeled_lang, c.predicted_lang, c.n, t.n_label,
+           CAST(c.n * 1000 // t.n_label AS BIGINT) AS share_milli
+         FROM cells c JOIN totals t
+           ON t.labeled_lang = c.labeled_lang
+         ORDER BY c.labeled_lang, c.predicted_lang"""
     },
 
     "pipeline_pack_efficiency" ->

@@ -514,6 +514,53 @@ class FrontierSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("seasonal anomalies: every flagged day violates 2-sigma exactly") {
+    val got = Frontier.queries("q154_seasonal_anomaly_days")(spark, sf)
+      .as[(String, String, Long, Long, Long)].collect()
+    val comp = Insights.queries("q127_seasonal_decompose")(spark, sf)
+      .select($"event_type", $"residual")
+      .as[(String, Long)].collect().groupBy(_._1)
+    got.foreach { case (et, _, _, r, side) =>
+      val rs = comp(et).map(_._2)
+      val n = rs.length.toLong
+      val sr = rs.sum
+      val srr = rs.map(x => x * x).sum
+      assert((n * r - sr) * (n * r - sr) > 4L * (n * srr - sr * sr),
+        s"$et day flagged but inside the band")
+      assert(side == (if (n * r - sr > 0) 1L else -1L))
+    }
+    // and none missed: count matches a driver-side sweep
+    val want = comp.toSeq.map { case (_, rows) =>
+      val rs = rows.map(_._2)
+      val n = rs.length.toLong; val sr = rs.sum
+      val srr = rs.map(x => x * x).sum
+      rs.count(r => (n * r - sr) * (n * r - sr) > 4L * (n * srr - sr * sr))
+    }.sum
+    assert(got.length == want)
+    spark.catalog.clearCache()
+  }
+
+  test("lang confusion: matrix == a driver recount of langid's output") {
+    // NOTE the op's whole point: it REVEALS accuracy rather than
+    // assuming it (at sf0.001 the synthetic 'fr' docs carry no French
+    // stopwords and the matrix correctly shows a zero diagonal for
+    // them) — so the spec asserts exact structure, not accuracy.
+    val rows = Frontier.queries("text_lang_confusion")(spark, sf)
+      .as[(String, String, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    val pred = graft.text.TextAnalysis.queries("text_langid")(spark, sf)
+      .select($"labeled_lang", $"predicted_lang")
+      .as[(String, String)].collect()
+    val want = pred.groupBy(identity).view.mapValues(_.length.toLong)
+    rows.foreach { case (l, p, n, nl, milli) =>
+      assert(n == want((l, p)), s"cell ($l,$p)")
+      assert(nl == pred.count(_._1 == l))
+      assert(milli == n * 1000 / nl)
+    }
+    assert(rows.map(_._3).sum == pred.length, "cells cover every doc")
+    spark.catalog.clearCache()
+  }
+
   test("code detect: planted code-like text crosses the threshold") {
     // the registered query is corpus-driven; the feature extractor's
     // discrimination is pinned on planted rows via the same exprs
