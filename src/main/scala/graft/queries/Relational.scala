@@ -1155,10 +1155,10 @@ object Relational {
         when(col("n0") > 1,
           round(varNum / (col("n0") * (col("n0") - 1)) / 10000.0, 2))
           .as("var_value"),
-        when(col("n0") > 1 && varNum > 0 && kVarNum > 0,
+        graft.Tables.nz(when(col("n0") > 1 && varNum > 0 && kVarNum > 0,
           round((col("n0") * col("svk") - col("sk") * col("s1"))
             .cast("double") /
-            (sqrt(varNum) * sqrt(kVarNum)), 2))
+            (sqrt(varNum) * sqrt(kVarNum)), 2)))
           .as("corr_vk"),
         col("n0").cast("long").as("n"))
       .orderBy(col("event_type"))
@@ -1477,7 +1477,7 @@ object Relational {
              round(CAST(n0 * svk - s1 * sk AS DOUBLE) /
                (sqrt(CAST(n0 * s2 - s1 * s1 AS DOUBLE)) *
                 sqrt(CAST(n0 * skk - sk * sk AS DOUBLE))), 2)
-           END AS corr_vk,
+           END + 0.0 AS corr_vk,
            n0 AS n
          FROM m ORDER BY event_type""",
     "q129_json_roundtrip" ->

@@ -739,8 +739,8 @@ object Similarity {
             .as("sum_micros"))
         .select(col("dim"), col("n"), col("min_v"), col("max_v"),
           col("sum_micros"),
-          round(col("sum_micros").cast("double") / 1000000.0 /
-            col("n").cast("double"), 4).as("mean_v"))
+          Tables.nz(round(col("sum_micros").cast("double") / 1000000.0 /
+            col("n").cast("double"), 4)).as("mean_v"))
         .orderBy(col("dim"))
     }),
 
@@ -1924,7 +1924,7 @@ object Similarity {
              AS sum_micros,
            round(CAST(sum(CAST(floor(s.v * 1000000.0) AS BIGINT))
                AS DOUBLE) / 1000000.0 / CAST(count(*) AS DOUBLE), 4)
-             AS mean_v
+             + 0.0 AS mean_v
          FROM x GROUP BY s.dim ORDER BY dim""",
 
     // Identical exact moments + the q43-style fixed IEEE assembly.
