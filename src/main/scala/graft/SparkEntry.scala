@@ -25,12 +25,14 @@ object SparkEntry {
       Dedup.queries ++ TextAnalysis.queries ++ Similarity.queries ++
       Multimodal.queries ++ Pipeline.queries ++ Corpus.queries ++
       Graph.queries ++ Mining.queries ++ Insights.queries ++ graft.ml.QualityModel.queries ++
-      graft.text.Bpe.queries ++ graft.queries.Frontier.queries
+      graft.text.Bpe.queries ++ graft.queries.Frontier.queries ++
+      graft.queries.Frontier2.queries
 
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Analytics.oracles ++ LogOps.oracles ++
       Dedup.oracles ++ TextAnalysis.oracles ++ Similarity.oracles ++
       Multimodal.oracles ++ Pipeline.oracles ++ Corpus.oracles ++
       Graph.oracles ++ Mining.oracles ++ Insights.oracles ++ graft.ml.QualityModel.oracles ++
-      graft.text.Bpe.oracles ++ graft.queries.Frontier.oracles
+      graft.text.Bpe.oracles ++ graft.queries.Frontier.oracles ++
+      graft.queries.Frontier2.oracles
 }
