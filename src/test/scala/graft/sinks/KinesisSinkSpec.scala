@@ -153,6 +153,70 @@ class KinesisSinkSpec extends SparkSpec {
     assert(got == Seq("a", "b", "c", "d", "e"),
       s"exactly-once across the restart: $got")
   }
+
+  /** The OTHER crash window (r10 verdict item #7): process death after
+    * the data write but BEFORE the marker commit. The scaladoc on
+    * writeStreamExactlyOnce documents this window as at-least-once
+    * (replay re-appends; a real deployment closes it by committing
+    * marker+data in one transaction). This spec PINS that degrade
+    * path: the replayed batch re-delivers (duplicates, never loss),
+    * the marker then commits, and a subsequent restart replays
+    * nothing — the degrade is one duplicate delivery wide, not
+    * unbounded.
+    */
+  test("crash between data write and marker commit degrades to one duplicate, never loss") {
+    InMemoryRecordsClient.clear()
+    implicit val sqlCtx = spark.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[String]
+    val df = in.toDF().select($"value".as("data"),
+      lit("host-eos2").as("partition_key"))
+    val ck = java.nio.file.Files
+      .createTempDirectory("graft-eos-midcommit-ck").toString
+    CrashBeforeMarkerClient.fired.clear()
+    val client = new CrashBeforeMarkerClient("eosm", crashAtBatch = 1L)
+
+    // batch 0 delivers cleanly; batch 1 dies BEFORE its marker lands
+    val q1 = KinesisSink.writeStreamExactlyOnce(df, "EOSM", client, ck)
+    in.addData("a", "b")
+    q1.processAllAvailable()
+    in.addData("c", "d")
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q1.processAllAvailable()
+      q1.awaitTermination()
+    }
+    assert(!q1.isActive, "query must have died mid-commit")
+    // crash window: batch 1's records ARE durable, its marker is NOT
+    assert(InMemoryRecordsClient.recordsFor("eosm", "EOSM")
+      .map(r => new String(r.data)).sorted == Seq("a", "b", "c", "d"))
+    assert(!client.isBatchCommitted(ck, "EOSM", 1L),
+      "marker must not exist in this crash window")
+
+    // restart: Spark replays batch 1; no marker -> the batch
+    // re-delivers (documented at-least-once degrade, no loss) and the
+    // marker now commits
+    val q2 = KinesisSink.writeStreamExactlyOnce(df, "EOSM", client, ck)
+    q2.processAllAvailable()
+    val afterReplay = InMemoryRecordsClient.recordsFor("eosm", "EOSM")
+      .map(r => new String(r.data)).sorted
+    assert(afterReplay == Seq("a", "b", "c", "c", "d", "d"),
+      s"replay must re-append exactly the un-marked batch: $afterReplay")
+    assert(client.isBatchCommitted(ck, "EOSM", 1L),
+      "replay must land the marker")
+    in.addData("e")
+    q2.processAllAvailable()
+    q2.stop()
+
+    // third incarnation: nothing in flight -> nothing replays; the
+    // duplicate window was exactly one delivery wide
+    val q3 = KinesisSink.writeStreamExactlyOnce(df, "EOSM", client, ck)
+    q3.processAllAvailable()
+    q3.stop()
+    val got = InMemoryRecordsClient.recordsFor("eosm", "EOSM")
+      .map(r => new String(r.data)).sorted
+    assert(got == Seq("a", "b", "c", "c", "d", "d", "e"),
+      s"no further duplication across restarts: $got")
+  }
 }
 
 /** Marker commit that succeeds DURABLY then throws once for the chosen
@@ -174,6 +238,29 @@ class CrashAfterMarkerClient(registryId: String, crashAtBatch: Long)
 }
 
 object CrashAfterMarkerClient {
+  val fired: java.util.Set[String] =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+}
+
+/** Marker commit that throws once for the chosen batchId BEFORE
+  * writing the marker — models a process death inside foreachBatch
+  * after the data write but before the transactional commit (the
+  * documented at-least-once window of writeStreamExactlyOnce). Named
+  * for the same serialization reason as CrashAfterMarkerClient.
+  */
+class CrashBeforeMarkerClient(registryId: String, crashAtBatch: Long)
+    extends InMemoryRecordsClient(registryId) {
+  override def commitBatch(scope: String, streamName: String,
+      batchId: Long): Unit = {
+    if (batchId == crashAtBatch &&
+        CrashBeforeMarkerClient.fired.add(s"$registryId/$batchId"))
+      throw new RuntimeException(
+        s"simulated crash before marker commit of batch $batchId")
+    super.commitBatch(scope, streamName, batchId)
+  }
+}
+
+object CrashBeforeMarkerClient {
   val fired: java.util.Set[String] =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 }
