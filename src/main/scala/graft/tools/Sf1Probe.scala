@@ -59,7 +59,12 @@ object Sf1Probe {
     // round-10 frontier heavy tier
     "q143_2hop_reach", "q144_adamic_adar", "ann_recall_curve",
     "q142_bootstrap_ci", "pipeline_contamination_ngram",
-    "emb_power_iteration")
+    "emb_power_iteration",
+    // round-11: the batch-8 ops (shipped unprobed in r10 — verdict
+    // item #4), including the three r11 scale fixes
+    "q155_funnel_latency", "q156_hill_tail", "q157_rolling_corr",
+    "q158_modularity", "pipeline_epoch_order", "emb_pc2",
+    "text_zipf_rank_score", "mm_aspect_buckets")
 
   private def pow10Above(maxKey: Long): Long = {
     var p = 1L
