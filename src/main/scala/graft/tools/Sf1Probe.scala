@@ -64,7 +64,9 @@ object Sf1Probe {
     // item #4), including the three r11 scale fixes
     "q155_funnel_latency", "q156_hill_tail", "q157_rolling_corr",
     "q158_modularity", "pipeline_epoch_order", "emb_pc2",
-    "text_zipf_rank_score", "mm_aspect_buckets")
+    "text_zipf_rank_score", "mm_aspect_buckets",
+    // round-11 batch 9 (probed in the same batch that adds them)
+    "q159_markov_steady", "q160_entropy_rate", "pipeline_filter_sweep")
 
   private def pow10Above(maxKey: Long): Long = {
     var p = 1L
