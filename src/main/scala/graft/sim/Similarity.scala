@@ -1041,6 +1041,148 @@ object Similarity {
         .orderBy($"pos")
     }),
 
+    // All-but-the-top post-processing audit (Mu & Viswanath 2018):
+    // embedding sets are anisotropic — a common mean vector plus a
+    // few dominant directions carry most of the variance, and
+    // removing them measurably improves similarity tasks. This op is
+    // the AUDIT for that correction: center on the corpus mean,
+    // project on the top principal direction (the same 3 quantized
+    // power rounds as emb_power_iteration, corpus pass = one
+    // d²-bounded moment rollup), and report the 20 vectors the
+    // correction moves most (|scalar projection| desc) with their
+    // original vs residual norms. Row-local arithmetic: the centered
+    // array builds per row from the broadcast (mean, v) literals
+    // (driver k=d doubles — bytes), folds ascend over dimensions
+    // (house IEEE discipline), selection is orderBy+limit →
+    // TakeOrdered (no global sort); the DuckDB oracle re-derives
+    // mean and v through the identical matvec/renorm rounds.
+    "emb_abtt" -> ((s, d) => {
+      import s.implicits._
+      val q = Tables.spread(Tables.load(s, d, "embeddings"))
+        .select($"vec_id", expr("transform(embedding, v -> " +
+          "CAST(floor(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT))")
+          .as("q"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val dims = q.select(posexplode(col("q")).as(Seq("i", "x")))
+        .groupBy(col("i"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"))
+        .as[(Int, Long, Long)].collect().sortBy(_._1)
+      val n = dims.head._2
+      val sx = dims.map(_._3)
+      val d64 = sx.length
+      val sxy = q.select(posexplode(expr(
+          """flatten(transform(sequence(0, size(q) - 1), i ->
+             transform(sequence(i, size(q) - 1), j ->
+               element_at(q, i + 1) * element_at(q, j + 1))))"""))
+          .as(Seq("pos", "xy")))
+        .groupBy(col("pos")).agg(sum(col("xy")).as("sxy"))
+        .as[(Int, Long)].collect().sortBy(_._1).map(_._2)
+      val c = Array.ofDim[Double](d64, d64)
+      var p = 0
+      for (i <- 0 until d64; j <- i until d64) {
+        val vv0 = n.toDouble * sxy(p).toDouble -
+          sx(i).toDouble * sx(j).toDouble
+        c(i)(j) = vv0; c(j)(i) = vv0; p += 1
+      }
+      def matvec(v: Array[Double]): Array[Double] =
+        Array.tabulate(d64) { i =>
+          var acc = 0.0
+          var j = 0
+          while (j < d64) { acc += c(i)(j) * v(j); j += 1 }
+          acc
+        }
+      var v = Array.fill(d64)(1.0)
+      for (_ <- 1 to 3) {
+        val u = matvec(v)
+        var m = 0.0
+        u.foreach(x => if (math.abs(x) > m) m = math.abs(x))
+        v = u.map(x => math.floor(x / m * 1000000.0) / 1000000.0)
+      }
+      var vv = 0.0
+      v.foreach(x => vv += x * x)
+      val mu = sx.map(_.toDouble / n.toDouble)
+      q.withColumn("mu", array(mu.toSeq.map(lit): _*))
+        .withColumn("v1", array(v.toSeq.map(lit): _*))
+        .withColumn("cv", expr(
+          """transform(q, (x, i) ->
+             (CAST(x AS DOUBLE) - element_at(mu, i + 1)) / 1000000.0)"""))
+        .withColumn("p", expr(
+          """aggregate(sequence(1, size(cv)), CAST(0.0 AS DOUBLE),
+             (a, i) -> a + element_at(cv, i) * element_at(v1, i))"""))
+        .withColumn("cc", expr(
+          """aggregate(sequence(1, size(cv)), CAST(0.0 AS DOUBLE),
+             (a, i) -> a + element_at(cv, i) * element_at(cv, i))"""))
+        .orderBy(abs($"p").desc, $"vec_id").limit(20)
+        .select($"vec_id",
+          Tables.nz(round($"p" / lit(math.sqrt(vv)), 6)).as("proj"),
+          Tables.nz(round(sqrt($"cc"), 6)).as("orig_norm"),
+          Tables.nz(round(sqrt(greatest(
+            $"cc" - $"p" * $"p" / lit(vv), lit(0.0))), 6))
+            .as("resid_norm"),
+          Tables.nz(round(
+            when($"cc" === 0.0, lit(0.0)).otherwise(sqrt(greatest(
+              $"cc" - $"p" * $"p" / lit(vv), lit(0.0))) / sqrt($"cc")),
+            4)).as("resid_ratio"))
+        .orderBy($"vec_id")
+    }),
+
+    // Davies–Bouldin cluster-quality audit over the SAME trained
+    // k-means cells ann_ivf_kmeans serves from — "are these clusters
+    // worth probing" is the question an IVF deployment must answer
+    // before trusting its recall numbers, and DB is the standard
+    // centroid-based index (no O(n²) silhouette pass). Per-cluster
+    // scatter S_i = mean member cosine-distance to centroid,
+    // accumulated as floor-quantized 1e-6 longs (order-free exact
+    // sum, one integer divide); pairwise centroid separations M_ij
+    // and the max-ratio reduction run DRIVER-LOCAL on the k-bounded
+    // tables (k=16 — bytes); DB_i = max_j (S_i+S_j)/M_ij skipping
+    // degenerate M=0 pairs, DB = ascending-cell mean fold. The
+    // oracle replays the identical Lloyd rounds via the shared
+    // kmAssignCte/kmMeansCte builders.
+    "emb_cluster_quality" -> ((s, d) => {
+      import s.implicits._
+      val e = Tables.load(s, d, "embeddings")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val cents = kmeansCentroids(e, 16, 2)
+      val assigned = e.crossJoin(broadcast(
+          cents.withColumnRenamed("cell", "km_cell")))
+        .withColumn("c_sim", cosine(col("embedding"), col("centroid")))
+        .groupBy($"vec_id")
+        .agg(max_by(struct($"km_cell", $"c_sim"),
+          struct($"c_sim", -$"km_cell")).as("best"))
+        .select($"best.km_cell".as("cell"), $"best.c_sim".as("c_sim"))
+      val scat = assigned
+        .withColumn("dq",
+          floor((lit(1.0) - $"c_sim") * 1000000.0).cast("long"))
+        .groupBy($"cell")
+        .agg(count(lit(1)).as("n_members"), sum($"dq").as("sd"))
+        .select($"cell", $"n_members",
+          expr("sd div n_members").as("scatter_micro"))
+        .as[(Long, Long, Long)].collect().sortBy(_._1) // k-bounded
+      val cmap = cents.as[(Long, Seq[Double])].collect().toMap
+      val present = scat.map(_._1)
+      val smap = scat.map(t => t._1 -> t._3).toMap
+      val dbi = present.map { a =>
+        val rs = present.filter(_ != a).flatMap { b =>
+          val m = math.floor(
+            (1.0 - localCosine(cmap(a), cmap(b))) * 1000000.0).toLong
+          if (m > 0L)
+            Some((smap(a) + smap(b)).toDouble / m.toDouble)
+          else None
+        }
+        a -> (if (rs.isEmpty) 0.0 else rs.max)
+      }.toMap
+      var acc = 0.0
+      present.foreach(aId => acc += dbi(aId)) // ascending cell fold
+      val db = if (present.nonEmpty) acc / present.length else 0.0
+      scat.toSeq.map { case (cl, nm, sm) => (cl, nm, sm, dbi(cl), db) }
+        .toDF("cell", "n_members", "scatter_micro", "dbr", "dbg")
+        .select($"cell", $"n_members", $"scatter_micro",
+          Tables.nz(round($"dbr", 4)).as("db_i"),
+          Tables.nz(round($"dbg", 4)).as("db_index"))
+        .orderBy($"cell")
+    }),
+
     // Embedding centroid drift: first corpus half vs second (vec_id
     // order as the ingest proxy) — did the encoder, the upstream
     // corpus mix, or a preprocessing change move the embedding
@@ -1260,6 +1402,39 @@ object Similarity {
     * (see ann_bruteforce, hash-green since round 6). Shared with the
     * Dedup LSH oracle.
     */
+  /** One DuckDB Lloyd-round CTE pair, shared by the ann_ivf_kmeans
+    * and emb_cluster_quality oracles: nearest-centroid assignment
+    * (row_number argmax, the max_by tie-break order) and the
+    * quantized-grid mean reduce.
+    */
+  private def kmAssignCte(prev: String, out: String): String =
+    s"""$out AS (
+         SELECT vec_id, cell, embedding FROM (
+           SELECT s.vec_id, s.cell, s.embedding,
+             row_number() OVER (PARTITION BY s.vec_id
+               ORDER BY s.c_sim DESC, s.cell) AS rn
+           FROM (
+             SELECT e.vec_id, c.cell, e.embedding,
+               ${cosSql("e.embedding", "c.centroid")} AS c_sim
+             FROM embeddings e CROSS JOIN $prev c) s) r
+         WHERE rn = 1)"""
+
+  private def kmMeansCte(asgn: String, out: String): String =
+    s"""$out AS (
+         SELECT cell, list(m ORDER BY pos) AS centroid FROM (
+           SELECT cell, pos,
+             floor(CAST(CAST(sum(q) AS BIGINT) AS DOUBLE) / count(*))
+               / 1000000.0 AS m
+           FROM (
+             SELECT a.cell,
+               unnest(list_transform(a.embedding,
+                 v -> CAST(floor(CAST(v AS DOUBLE) * 1000000.0)
+                   AS BIGINT))) AS q,
+               unnest(range(1, len(a.embedding) + 1)) AS pos
+             FROM $asgn a) qq
+           GROUP BY cell, pos) mm
+         GROUP BY cell)"""
+
   private[graft] def cosSql(a: String, b: String): String =
     s"""(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
          list_transform(range(1, len($a) + 1),
@@ -1485,33 +1660,11 @@ object Similarity {
     "ann_ivf_kmeans" -> {
       // one Lloyd round: nearest-centroid assignment (row_number
       // argmax — same (c_sim DESC, cell ASC) order the max_by struct
-      // tie-break induces) + the quantized-grid mean reduce
-      def assign(prev: String, out: String): String =
-        s"""$out AS (
-             SELECT vec_id, cell, embedding FROM (
-               SELECT s.vec_id, s.cell, s.embedding,
-                 row_number() OVER (PARTITION BY s.vec_id
-                   ORDER BY s.c_sim DESC, s.cell) AS rn
-               FROM (
-                 SELECT e.vec_id, c.cell, e.embedding,
-                   ${cosSql("e.embedding", "c.centroid")} AS c_sim
-                 FROM embeddings e CROSS JOIN $prev c) s) r
-             WHERE rn = 1)"""
-      def means(asgn: String, out: String): String =
-        s"""$out AS (
-             SELECT cell, list(m ORDER BY pos) AS centroid FROM (
-               SELECT cell, pos,
-                 floor(CAST(CAST(sum(q) AS BIGINT) AS DOUBLE) / count(*))
-                   / 1000000.0 AS m
-               FROM (
-                 SELECT a.cell,
-                   unnest(list_transform(a.embedding,
-                     v -> CAST(floor(CAST(v AS DOUBLE) * 1000000.0)
-                       AS BIGINT))) AS q,
-                   unnest(range(1, len(a.embedding) + 1)) AS pos
-                 FROM $asgn a) qq
-               GROUP BY cell, pos) mm
-             GROUP BY cell)"""
+      // tie-break induces) + the quantized-grid mean reduce; the CTE
+      // builders are shared with emb_cluster_quality (kmAssignCte /
+      // kmMeansCte) so both oracles replay the IDENTICAL training
+      val assign = kmAssignCte _
+      val means = kmMeansCte _
       s"""WITH nn AS (SELECT count(*) AS n FROM embeddings),
          c0 AS (SELECT vec_id AS cell,
                   list_transform(embedding, v -> CAST(v AS DOUBLE))
@@ -2189,5 +2342,150 @@ object Similarity {
            round(v.val, 6) + 0.0 AS loading,
            round(ray.eig / 1000000000000.0, 4) + 0.0 AS eigval_scaled
          FROM v3 v, ray ORDER BY pos"""
+    },
+
+    "emb_abtt" -> {
+      def matvec(vprev: String, out: String): String =
+        s"""$out AS MATERIALIZED (
+             SELECT cm.i,
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                 list(cm.c * v.val ORDER BY cm.j)), (a, b) -> a + b)
+                 AS u
+             FROM cm JOIN $vprev v ON v.j = cm.j
+             GROUP BY cm.i)"""
+      def renorm(uprev: String, out: String): String =
+        s"""$out AS MATERIALIZED (
+             SELECT i AS j,
+               floor(u / (SELECT max(abs(u)) FROM $uprev)
+                 * 1000000.0) / 1000000.0 AS val
+             FROM $uprev)"""
+      s"""WITH qv AS MATERIALIZED (
+           SELECT vec_id, list_transform(embedding, v ->
+             CAST(floor(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT)) AS q
+           FROM embeddings),
+         dims AS MATERIALIZED (
+           SELECT pos - 1 AS i, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx
+           FROM (SELECT unnest(q) AS x,
+                   unnest(range(1, len(q) + 1)) AS pos FROM qv)
+           GROUP BY 1),
+         p AS (
+           SELECT unnest(flatten(list_transform(range(0, len(q)),
+             i -> list_transform(range(i, len(q)), j ->
+               {'i': i, 'j': j, 'xy': q[i + 1] * q[j + 1]})))) AS s
+           FROM qv),
+         prs AS MATERIALIZED (
+           SELECT s.i AS i, s.j AS j, CAST(sum(s.xy) AS BIGINT) AS sxy
+           FROM p GROUP BY 1, 2),
+         tri AS MATERIALIZED (
+           SELECT prs.i, prs.j,
+             CAST(di.n AS DOUBLE) * CAST(prs.sxy AS DOUBLE)
+               - CAST(di.sx AS DOUBLE) * CAST(dj.sx AS DOUBLE) AS c
+           FROM prs
+           JOIN dims di ON di.i = prs.i
+           JOIN dims dj ON dj.i = prs.j),
+         cm AS MATERIALIZED (
+           SELECT i, j, c FROM tri
+           UNION ALL
+           SELECT j, i, c FROM tri WHERE i <> j),
+         v0 AS (SELECT i AS j, CAST(1.0 AS DOUBLE) AS val FROM dims),
+         ${matvec("v0", "u1")},
+         ${renorm("u1", "v1")},
+         ${matvec("v1", "u2")},
+         ${renorm("u2", "v2")},
+         ${matvec("v2", "u3")},
+         ${renorm("u3", "v3")},
+         vv AS MATERIALIZED (
+           SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list(val * val ORDER BY j)), (a, b) -> a + b) AS vv
+           FROM v3),
+         cv AS MATERIALIZED (
+           SELECT w.vec_id,
+             list((CAST(w.q[d.i + 1] AS DOUBLE)
+               - CAST(d.sx AS DOUBLE) / CAST(d.n AS DOUBLE))
+               / 1000000.0 ORDER BY d.i) AS c
+           FROM qv w, dims d GROUP BY w.vec_id),
+         pc AS MATERIALIZED (
+           SELECT c2.vec_id,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(c2.c[v.j + 1] * v.val ORDER BY v.j)),
+               (a, b) -> a + b) AS p,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(c2.c[v.j + 1] * c2.c[v.j + 1] ORDER BY v.j)),
+               (a, b) -> a + b) AS cc
+           FROM cv c2, v3 v GROUP BY c2.vec_id),
+         top AS (
+           SELECT * FROM pc, vv
+           ORDER BY abs(p) DESC, vec_id LIMIT 20)
+         SELECT vec_id,
+           round(p / sqrt(vv), 6) + 0.0 AS proj,
+           round(sqrt(cc), 6) + 0.0 AS orig_norm,
+           round(sqrt(greatest(cc - p * p / vv, 0.0)), 6) + 0.0
+             AS resid_norm,
+           round(CASE WHEN cc = 0 THEN 0.0
+             ELSE sqrt(greatest(cc - p * p / vv, 0.0)) / sqrt(cc)
+             END, 4) + 0.0 AS resid_ratio
+         FROM top ORDER BY vec_id"""
+    },
+
+    "emb_cluster_quality" -> {
+      val assign = kmAssignCte _
+      val means = kmMeansCte _
+      s"""WITH nn AS (SELECT count(*) AS n FROM embeddings),
+         c0 AS (SELECT vec_id AS cell,
+                  list_transform(embedding, v -> CAST(v AS DOUBLE))
+                    AS centroid
+                FROM embeddings, nn
+                WHERE vec_id % greatest(n // 16, 1) = 0
+                ORDER BY vec_id LIMIT 16),
+         ${assign("c0", "a1")},
+         ${means("a1", "c1")},
+         ${assign("c1", "a2")},
+         ${means("a2", "c2")},
+         fa AS (
+           SELECT vec_id, cell, c_sim FROM (
+             SELECT s.vec_id, s.cell, s.c_sim,
+               row_number() OVER (PARTITION BY s.vec_id
+                 ORDER BY s.c_sim DESC, s.cell) AS rn
+             FROM (
+               SELECT e.vec_id, c.cell,
+                 ${cosSql("e.embedding", "c.centroid")} AS c_sim
+               FROM embeddings e CROSS JOIN c2 c) s) r
+           WHERE rn = 1),
+         scat AS (
+           SELECT cell, CAST(count(*) AS BIGINT) AS n_members,
+             CAST(sum(CAST(floor((1.0 - c_sim) * 1000000.0) AS BIGINT))
+               AS BIGINT) AS sd
+           FROM fa GROUP BY 1),
+         sc AS (
+           SELECT cell, n_members,
+             CAST(sd // n_members AS BIGINT) AS scatter_micro
+           FROM scat),
+         mq AS (
+           SELECT a.cell AS ca, b.cell AS cb,
+             CAST(floor((1.0 - ${cosSql("a.centroid", "b.centroid")})
+               * 1000000.0) AS BIGINT) AS m
+           FROM c2 a JOIN c2 b ON a.cell <> b.cell
+           JOIN sc sa ON sa.cell = a.cell
+           JOIN sc sb ON sb.cell = b.cell),
+         dbi AS (
+           SELECT m.ca AS cell,
+             coalesce(max(CASE WHEN m.m > 0 THEN
+               CAST(sa.scatter_micro + sb.scatter_micro AS DOUBLE)
+                 / CAST(m.m AS DOUBLE) END), 0.0) AS dbr
+           FROM mq m
+           JOIN sc sa ON sa.cell = m.ca
+           JOIN sc sb ON sb.cell = m.cb
+           GROUP BY 1),
+         dbg AS (
+           SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(coalesce(d.dbr, 0.0) ORDER BY s.cell)),
+               (a, b) -> a + b) / count(*) AS db
+           FROM sc s LEFT JOIN dbi d ON d.cell = s.cell)
+         SELECT s.cell, s.n_members, s.scatter_micro,
+           round(coalesce(d.dbr, 0.0), 4) + 0.0 AS db_i,
+           round(g.db, 4) + 0.0 AS db_index
+         FROM sc s LEFT JOIN dbi d ON d.cell = s.cell, dbg g
+         ORDER BY s.cell"""
     })
 }

@@ -66,7 +66,9 @@ object Sf1Probe {
     "q158_modularity", "pipeline_epoch_order", "emb_pc2",
     "text_zipf_rank_score", "mm_aspect_buckets",
     // round-11 batch 9 (probed in the same batch that adds them)
-    "q159_markov_steady", "q160_entropy_rate", "pipeline_filter_sweep")
+    "q159_markov_steady", "q160_entropy_rate", "pipeline_filter_sweep",
+    // round-11 batch 10
+    "emb_abtt", "emb_cluster_quality")
 
   private def pow10Above(maxKey: Long): Long = {
     var p = 1L

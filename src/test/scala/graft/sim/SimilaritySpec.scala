@@ -467,4 +467,80 @@ class SimilaritySpec extends SparkSpec {
     }
     spark.catalog.clearCache()
   }
+
+  test("abtt: residual geometry is exact and the projection is removed") {
+    val got = graft.sim.Similarity.queries("emb_abtt")(spark, sf)
+      .as[(Long, Double, Double, Double, Double)].collect()
+    spark.catalog.clearCache()
+    assert(got.length == 20)
+    // Pythagoras on the reported (rounded) numbers: orig² ≈ proj² +
+    // resid² — the correction removed exactly the projected component
+    got.foreach { case (id, proj, orig, resid, ratio) =>
+      assert(orig >= 0.0 && resid >= 0.0, s"$id norms")
+      assert(resid <= orig + 1e-6, s"$id residual shrinks")
+      assert(math.abs(orig * orig - (proj * proj + resid * resid))
+        < 1e-4, s"$id pythagoras")
+      val expRatio = if (orig == 0.0) 0.0 else resid / orig
+      assert(math.abs(ratio - expRatio) < 1e-3, s"$id ratio")
+    }
+    // driver replay of the selection: centered projections on the
+    // replayed top direction; the 20 reported ids must be the argmax
+    // set of |projection|
+    val raw = graft.Tables.load(spark, sf, "embeddings")
+      .selectExpr("vec_id",
+        "transform(embedding, v -> cast(floor(cast(v as double) * 1000000.0) as bigint)) as q")
+      .as[(Long, Seq[Long])].collect()
+    val d = raw.head._2.length
+    val n = raw.length.toLong
+    val sx = Array.tabulate(d)(i => raw.map(_._2(i)).sum)
+    val c = Array.ofDim[Double](d, d)
+    for (i <- 0 until d; j <- i until d) {
+      val sxy = raw.map(r => r._2(i) * r._2(j)).sum
+      val v0 = n.toDouble * sxy.toDouble - sx(i).toDouble * sx(j).toDouble
+      c(i)(j) = v0; c(j)(i) = v0
+    }
+    var v = Array.fill(d)(1.0)
+    for (_ <- 1 to 3) {
+      val u = Array.tabulate(d) { i =>
+        var acc = 0.0
+        for (j <- 0 until d) acc += c(i)(j) * v(j)
+        acc
+      }
+      val m = u.map(math.abs).max
+      v = u.map(x => math.floor(x / m * 1000000.0) / 1000000.0)
+    }
+    val mu = sx.map(_.toDouble / n.toDouble)
+    val projs = raw.map { case (id, q) =>
+      var pr = 0.0
+      for (i <- 0 until d)
+        pr += ((q(i).toDouble - mu(i)) / 1000000.0) * v(i)
+      (id, pr)
+    }
+    val expectedIds = projs.sortBy(t => (-math.abs(t._2), t._1))
+      .take(20).map(_._1).toSet
+    assert(got.map(_._1).toSet == expectedIds, "top-|proj| selection")
+  }
+
+  test("cluster quality: DB index reconciles with a literal recompute") {
+    val got = graft.sim.Similarity.queries("emb_cluster_quality")(
+        spark, sf)
+      .as[(Long, Long, Long, Double, Double)].collect()
+    spark.catalog.clearCache()
+    assert(got.nonEmpty && got.length <= 16)
+    // membership covers the corpus exactly once
+    val nVecs = graft.Tables.load(spark, sf, "embeddings").count()
+    assert(got.map(_._2).sum == nVecs, "every vector in one cell")
+    got.foreach { case (cell, nm, sm, dbI, dbG) =>
+      assert(nm > 0L, s"cell $cell nonempty")
+      assert(sm >= 0L, s"cell $cell scatter sign")
+      assert(dbI >= 0.0, s"cell $cell DB_i sign")
+      assert(dbG >= 0.0, "DB sign")
+    }
+    // the global index is the mean of the per-cluster rows (rounded)
+    val meanDb = got.map(_._4).sum / got.length
+    assert(math.abs(got.head._5 - meanDb) < 1e-3,
+      "DB = mean of DB_i within rounding")
+    // one global value across rows
+    assert(got.map(_._5).distinct.length == 1)
+  }
 }
