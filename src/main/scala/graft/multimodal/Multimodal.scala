@@ -227,6 +227,39 @@ object Multimodal {
       decode(pack(s, d, spreadDocs = true))
         .orderBy($"doc_id")
     }),
+
+    // ABR resolution-ladder budget — the transcode plan every video
+    // corpus commits to before a training ingest: for each ladder
+    // rung at or below the asset's native short edge, the output dims
+    // (aspect preserved, integer truncation) and the pixel budget.
+    // Builds on the REAL decode seam (dims come through the batched
+    // kernel, never recomputed inline); rung choice and output dims
+    // are ROW-LOCAL integer arithmetic, the rollup is ladder-bounded
+    // (5 rows), and reach_milli divides on the broadcast asset total.
+    // Headline: total_pixels per rung IS the transcode cost curve.
+    "mm_resolution_ladder" -> ((s, d) => {
+      import s.implicits._
+      val dims = decode(pack(s, d, spreadDocs = true))
+        .select($"doc_id",
+          least($"width", $"height").as("short"),
+          greatest($"width", $"height").as("long"))
+      val tot = dims.agg(count(lit(1)).as("n_assets_total"))
+      dims
+        .select($"doc_id", $"short", $"long", explode(array(
+          lit(96L), lit(144L), lit(240L), lit(360L), lit(480L)))
+          .as("rung"))
+        .filter($"rung" <= $"short")
+        .select($"rung",
+          expr("long * rung div short").as("out_long"))
+        .groupBy($"rung")
+        .agg(count(lit(1)).as("n_assets"),
+          sum($"rung" * $"out_long").as("total_pixels"))
+        .crossJoin(broadcast(tot))
+        .select($"rung", $"n_assets", $"total_pixels",
+          expr("total_pixels div n_assets").as("mean_pixels"),
+          expr("n_assets * 1000 div n_assets_total").as("reach_milli"))
+        .orderBy($"rung")
+    }),
     "mm_features" -> ((s, d) => {
       import s.implicits._
       // feature-extract stage: a deterministic character-class
@@ -601,6 +634,34 @@ object Multimodal {
            (64 + n % 512) * 224 // greatest(64 + n % 512, 64 + (n * 7) % 512) AS out_w,
            (64 + (n * 7) % 512) * 224 // greatest(64 + n % 512, 64 + (n * 7) % 512) AS out_h
          FROM m ORDER BY doc_id""",
+    "mm_resolution_ladder" ->
+      // strlen = BYTE length (the decode kernel measures UTF-8
+      // payload bytes; char count diverges on non-ASCII corpora)
+      """WITH m AS (SELECT d.doc_id, CAST(strlen(d.text) AS BIGINT) AS n
+           FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+         dims AS (
+           SELECT doc_id,
+             least(64 + n % 512, 64 + (n * 7) % 512) AS s,
+             greatest(64 + n % 512, 64 + (n * 7) % 512) AS l
+           FROM m),
+         tot AS (SELECT CAST(count(*) AS BIGINT) AS n_assets_total
+                 FROM dims),
+         r AS (
+           SELECT d.doc_id, d.s, d.l, rung.rung
+           FROM dims d, (SELECT unnest([96, 144, 240, 360, 480])
+             AS rung) rung
+           WHERE rung.rung <= d.s),
+         agg AS (
+           SELECT CAST(rung AS BIGINT) AS rung,
+             CAST(count(*) AS BIGINT) AS n_assets,
+             CAST(sum(rung * (l * rung // s)) AS BIGINT)
+               AS total_pixels
+           FROM r GROUP BY 1)
+         SELECT rung, n_assets, total_pixels,
+           CAST(total_pixels // n_assets AS BIGINT) AS mean_pixels,
+           CAST(n_assets * 1000 // n_assets_total AS BIGINT)
+             AS reach_milli
+         FROM agg, tot ORDER BY rung""",
     "mm_features" ->
       """SELECT doc_id,
          CAST(len(regexp_extract_all(lower(text), '[a-z]')) AS BIGINT) AS f_alpha,

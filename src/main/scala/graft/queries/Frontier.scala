@@ -653,6 +653,34 @@ object Frontier {
         .orderBy($"doc_id")
     }),
 
+    // Duplicated-13-gram share — the C4/RefinedWeb quality signal
+    // text_ngram_novelty does NOT measure: novelty is first-seen in
+    // INGEST ORDER (source exhaustion), while this is order-free
+    // document frequency — what fraction of a doc's distinct 13-grams
+    // appear in ≥2 documents (boilerplate / template / near-dup
+    // contamination a doc-level dedup misses). Same shared PolyHash
+    // gram basis (no n-gram strings exist), one (gram → df) rollup
+    // joined back, exact integer milli. Scale: identical shape to
+    // novelty (probed −0.20 family); the df table is gram-keyed and
+    // map-side combined.
+    "text_dup_ngram_share" -> ((s, d) => {
+      import s.implicits._
+      val grams = Tables.spread(Tables.load(s, d, "documents"))
+        .select($"doc_id",
+          graft.dedup.Dedup.tokenHashes(
+            split(lower($"text"), "\\s+")).as("th"))
+        .select($"doc_id", explode(gram13(col("th"))).as("g"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val df = grams.groupBy($"g").agg(count(lit(1)).as("df"))
+      grams.join(df, Seq("g"))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when($"df" >= 2L, 1L).otherwise(0L)).as("n_dup"))
+        .select($"doc_id", $"n_grams", $"n_dup",
+          expr("n_dup * 1000 div n_grams").as("dup_milli"))
+        .orderBy($"doc_id")
+    }),
+
     // Lorenz curve deciles of customer spend — the table behind
     // q79's Gini scalar (which 10% of customers carry which share of
     // revenue). Global spend ranks ride PrefixSum's two-pass
@@ -1237,6 +1265,27 @@ object Frontier {
              END) AS BIGINT) * 1000 // count(*) AS BIGINT)
              AS novelty_milli
          FROM grams gr JOIN fs ON fs.g = gr.g
+         GROUP BY gr.doc_id ORDER BY gr.doc_id"""
+    },
+
+    "text_dup_ngram_share" -> {
+      s"""WITH tokl AS (
+           SELECT doc_id,
+             list_transform(string_split_regex(lower(text), '\\s+'),
+               t -> ${graft.dedup.Dedup.tokSql("t")}) AS th
+           FROM documents),
+         grams AS (
+           SELECT doc_id, unnest($gram13Sql) AS g FROM tokl),
+         df AS (SELECT g, CAST(count(*) AS BIGINT) AS df
+                FROM grams GROUP BY 1)
+         SELECT gr.doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_dup,
+           CAST(CAST(sum(CASE WHEN df.df >= 2 THEN 1 ELSE 0
+             END) AS BIGINT) * 1000 // count(*) AS BIGINT)
+             AS dup_milli
+         FROM grams gr JOIN df ON df.g = gr.g
          GROUP BY gr.doc_id ORDER BY gr.doc_id"""
     },
 

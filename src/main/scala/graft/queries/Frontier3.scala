@@ -126,6 +126,40 @@ object Frontier3 {
         .orderBy($"state")
     }),
 
+    // Supplier lead-time reliability — per supplier: order-to-ship
+    // lag (l_shipdate − o_orderdate), the ≤30-day fill rate, and
+    // exact p50/p90 lag via ops.Quantiles' count-table pass (the lag
+    // value domain is DAYS — tiny — so per-group state is
+    // domain-sized, never row-sized). The supply-chain twin of
+    // q153's priority-level SLA: q153 rates the ORDER pipeline, this
+    // rates each SUPPLIER — the table a procurement re-negotiation
+    // reads. One fact-fact orderkey shuffle join (q153/q81's
+    // no-broadcast discipline) + the Quantiles scan; exact integer
+    // days and milli rates throughout.
+    "q161_supplier_leadtime" -> ((s, d) => {
+      import s.implicits._
+      val li = Tables.load(s, d, "lineitem")
+        .select($"l_orderkey", $"l_suppkey", $"l_shipdate")
+        .join(Tables.load(s, d, "orders")
+          .select($"o_orderkey", $"o_orderdate"),
+          $"l_orderkey" === $"o_orderkey")
+        .select($"l_suppkey",
+          datediff($"l_shipdate", $"o_orderdate").cast("long")
+            .as("lag_days"))
+      val base = li.groupBy($"l_suppkey")
+        .agg(count(lit(1)).as("n_items"),
+          sum(when($"lag_days" <= 30L, 1L).otherwise(0L))
+            .as("n_fast"))
+      val qs = graft.ops.Quantiles.exactByGroup(li, "l_suppkey",
+        $"lag_days", Seq("p50_lag_days" -> 0.5,
+          "p90_lag_days" -> 0.9)).drop("n")
+      base.join(qs, Seq("l_suppkey"))
+        .select($"l_suppkey", $"n_items",
+          expr("n_fast * 1000 div n_items").as("within30_milli"),
+          $"p50_lag_days", $"p90_lag_days")
+        .orderBy($"l_suppkey")
+    }),
+
     // Length-filter policy sweep — the retention table a curation
     // round reads BEFORE committing a token-count filter (the
     // pipeline_pack_efficiency stance applied to the quality gate):
@@ -263,6 +297,38 @@ object Frontier3 {
              ELSE 1.0 - g.h_rate_raw / g.h0_raw END, 4) + 0.0
              AS predictability_gain
          FROM per p, gl g ORDER BY p.state""",
+
+    "q161_supplier_leadtime" ->
+      """WITH li AS (
+           SELECT l.l_suppkey,
+             CAST(date_diff('day', o.o_orderdate, l.l_shipdate)
+               AS BIGINT) AS lag_days
+           FROM lineitem l JOIN orders o
+             ON l.l_orderkey = o.o_orderkey),
+         base AS (
+           SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n_items,
+             CAST(sum(CASE WHEN lag_days <= 30 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_fast
+           FROM li GROUP BY 1),
+         r AS (
+           SELECT l_suppkey, lag_days,
+             row_number() OVER (PARTITION BY l_suppkey
+               ORDER BY lag_days) AS rn,
+             count(*) OVER (PARTITION BY l_suppkey) AS n
+           FROM li),
+         q AS (
+           SELECT l_suppkey,
+             min(CASE WHEN rn = CAST(floor(0.5 * (n - 1)) AS BIGINT)
+               + 1 THEN lag_days END) AS p50_lag_days,
+             min(CASE WHEN rn = CAST(floor(0.9 * (n - 1)) AS BIGINT)
+               + 1 THEN lag_days END) AS p90_lag_days
+           FROM r GROUP BY 1)
+         SELECT b.l_suppkey, b.n_items,
+           CAST(b.n_fast * 1000 // b.n_items AS BIGINT)
+             AS within30_milli,
+           q.p50_lag_days, q.p90_lag_days
+         FROM base b JOIN q ON q.l_suppkey = b.l_suppkey
+         ORDER BY b.l_suppkey""",
 
     "pipeline_filter_sweep" ->
       """WITH hist AS (

@@ -68,7 +68,10 @@ object Sf1Probe {
     // round-11 batch 9 (probed in the same batch that adds them)
     "q159_markov_steady", "q160_entropy_rate", "pipeline_filter_sweep",
     // round-11 batch 10
-    "emb_abtt", "emb_cluster_quality")
+    "emb_abtt", "emb_cluster_quality",
+    // round-11 batch 11
+    "text_dup_ngram_share", "mm_resolution_ladder",
+    "q161_supplier_leadtime")
 
   private def pow10Above(maxKey: Long): Long = {
     var p = 1L

@@ -150,3 +150,42 @@ object MultimodalSpec {
     Multimodal.stubKernel(batch)
   }
 }
+
+class ResolutionLadderSpec extends graft.SparkSpec {
+  import spark.implicits._
+  private val sf = "/root/testdata/sf0.001"
+
+  test("ladder budget matches a driver recompute through the kernel dims") {
+    val got = Multimodal.queries("mm_resolution_ladder")(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    val dims = Multimodal.decode(Multimodal.pack(spark, sf,
+        spreadDocs = true))
+      .select($"doc_id", $"width", $"height")
+      .as[(Long, Long, Long)].collect()
+    val rungs = Seq(96L, 144L, 240L, 360L, 480L)
+    val total = dims.length.toLong
+    val expected = rungs.flatMap { r =>
+      val hit = dims.filter { case (_, w, h) => r <= math.min(w, h) }
+      if (hit.isEmpty) None
+      else {
+        val px = hit.map { case (_, w, h) =>
+          val s = math.min(w, h); val l = math.max(w, h)
+          r * (l * r / s)
+        }.sum
+        Some(r -> (hit.length.toLong, px))
+      }
+    }.toMap
+    assert(got.map(_._1).toSet == expected.keySet)
+    got.foreach { case (r, n, px, mean, reach) =>
+      val (en, epx) = expected(r)
+      assert(n == en, s"rung $r count")
+      assert(px == epx, s"rung $r pixels")
+      assert(mean == px / n, s"rung $r mean")
+      assert(reach == n * 1000L / total, s"rung $r reach")
+    }
+    // the cost curve is monotone: higher rungs reach fewer assets
+    val byRung = got.sortBy(_._1)
+    byRung.zip(byRung.drop(1)).foreach { case (a, b) =>
+      assert(a._2 >= b._2, "reach shrinks as the rung rises") }
+  }
+}

@@ -122,4 +122,31 @@ class Frontier3Spec extends SparkSpec {
         assert(a._3 <= b._3, "docs monotone in max_tokens") }
     }
   }
+
+  test("supplier lead-time: exact order statistics per supplier") {
+    val got = Frontier3.queries("q161_supplier_leadtime")(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    spark.catalog.clearCache() // PrefixSum persists inside Quantiles
+    val li = graft.Tables.load(spark, sf, "lineitem")
+      .select($"l_orderkey", $"l_suppkey", $"l_shipdate")
+      .join(graft.Tables.load(spark, sf, "orders")
+        .select($"o_orderkey", $"o_orderdate"),
+        $"l_orderkey" === $"o_orderkey")
+      .select($"l_suppkey",
+        datediff($"l_shipdate", $"o_orderdate").cast("long"))
+      .as[(Long, Long)].collect()
+    val bySupp = li.groupBy(_._1)
+    assert(got.keySet == bySupp.keySet)
+    bySupp.foreach { case (sk, rows) =>
+      val lags = rows.map(_._2).sorted
+      val n = lags.length
+      val (_, gn, w30, p50, p90) = got(sk)
+      assert(gn == n.toLong, s"supplier $sk n")
+      assert(w30 == lags.count(_ <= 30L) * 1000L / n, s"$sk fill")
+      assert(p50 == lags(math.floor(0.5 * (n - 1)).toInt), s"$sk p50")
+      assert(p90 == lags(math.floor(0.9 * (n - 1)).toInt), s"$sk p90")
+      assert(p50 <= p90, s"$sk order statistics ordered")
+    }
+  }
 }

@@ -458,6 +458,33 @@ class FrontierSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("dup-ngram share matches a literal string-13-gram df recompute") {
+    val rows = Frontier.queries("text_dup_ngram_share")(spark, sf)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    spark.catalog.clearCache()
+    assert(rows.nonEmpty)
+    // literal recompute on gram STRINGS (the PolyHash basis is
+    // injective on this corpus — collisions would fail these counts)
+    val docs = graft.Tables.load(spark, sf, "documents")
+      .select($"doc_id", lower($"text").as("t"))
+      .as[(Long, String)].collect()
+    val docGrams = docs.map { case (id, t) =>
+      id -> t.split("\\s+").toSeq.sliding(13)
+        .filter(_.size == 13).map(_.mkString("\u0001")).toSet
+    }.toMap
+    val df = docGrams.values.flatten
+      .groupBy(identity).map { case (g, xs) => g -> xs.size }
+    rows.foreach { case (id, ng, nd, milli) =>
+      val gs = docGrams(id)
+      assert(ng == gs.size.toLong, s"doc $id gram count")
+      assert(nd == gs.count(df(_) >= 2).toLong, s"doc $id dup count")
+      assert(milli == nd * 1000 / ng, s"doc $id milli")
+    }
+    // docs under 13 tokens have no grams and must be absent
+    val short = docs.filter(_._2.split("\\s+").length < 13).map(_._1)
+    assert(short.forall(id => !rows.exists(_._1 == id)))
+  }
+
   test("lorenz deciles: conservation, monotone shares, decile 10 = 1000") {
     val rows = Frontier.queries("q152_lorenz_deciles")(spark, sf)
       .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
