@@ -160,6 +160,137 @@ object Frontier3 {
         .orderBy($"l_suppkey")
     }),
 
+    // Forecast model-selection backtest — holds out the LAST 7 days
+    // of each event type's daily revenue series and scores three
+    // forecasters on them: naive (last train value), seasonal-naive
+    // (value 7 days earlier — q94's predictor), and the truncating
+    // train mean. The winner table is what picks the production
+    // forecaster; q94/q114 score ONE method in-sample, this compares
+    // methods out-of-sample. Series are gap-filled on the q157 spine
+    // (span×|enum| grid — data-size-independent) so every predictor
+    // is defined; errors are exact |cents| longs, MAE an exact
+    // truncating div, and the winner an array_min over (mae, name)
+    // structs (the mm_aspect argmin idiom — deterministic tie-break).
+    "q162_forecast_backtest" -> ((s, d) => {
+      import s.implicits._
+      val daily = Tables.load(s, d, "events")
+        .select($"event_type", to_date($"ts").as("day"),
+          round($"value" * 100).cast("long").as("cents"))
+        .groupBy($"event_type", $"day").agg(sum($"cents").as("v"))
+      val span = daily.agg(min($"day").as("d0"), max($"day").as("d1"))
+        .select($"d0", $"d1",
+          datediff($"d1", $"d0").cast("long").as("dmax"))
+      val types = daily.select($"event_type").distinct()
+      val grid = span
+        .select(explode(sequence($"d0", $"d1")).as("day"), $"d0",
+          $"dmax")
+        .crossJoin(broadcast(types))
+        .join(daily, Seq("event_type", "day"), "left")
+        .select($"event_type",
+          datediff($"day", $"d0").cast("long").as("di"), $"dmax",
+          coalesce($"v", lit(0L)).as("v"))
+      val train = grid.filter($"di" <= $"dmax" - 7L)
+      val trainAgg = train.groupBy($"event_type")
+        .agg(max_by($"v", $"di").as("last_v"),
+          expr("sum(v) div count(1)").as("mean_v"))
+      val lag7 = grid.select($"event_type", ($"di" + 7L).as("di"),
+        $"v".as("v7"))
+      grid.filter($"di" > $"dmax" - 7L)
+        .join(lag7, Seq("event_type", "di"))
+        .join(broadcast(trainAgg), Seq("event_type"))
+        .groupBy($"event_type")
+        .agg(expr("sum(abs(v - last_v)) div 7").as("mae_naive"),
+          expr("sum(abs(v - v7)) div 7").as("mae_snaive"),
+          expr("sum(abs(v - mean_v)) div 7").as("mae_mean"))
+        .select($"event_type", $"mae_naive", $"mae_snaive",
+          $"mae_mean",
+          expr("""array_min(array(
+               struct(mae_naive AS m, 'naive' AS f),
+               struct(mae_snaive AS m, 'snaive' AS f),
+               struct(mae_mean AS m, 'mean' AS f))).f""")
+            .as("best_method"))
+        .orderBy($"event_type")
+    }),
+
+    // Mixture-realization audit — pipeline_interleave publishes the
+    // deterministic per-language interleaving ORDER; this audits what
+    // a consumer actually SEES: at each corpus decile of that order,
+    // the realized per-language share vs the plan's target weights
+    // (en 4:1), and the deviation. The number that catches "the mix
+    // is right overall but epoch-front-loaded" — target drift as
+    // languages exhaust IS the signal. Global positions ride
+    // ops.PrefixSum (never a global row_number window); decile
+    // boundary sizes derive from the driver row-count scalar by the
+    // same integer formula both engines replay; per-language
+    // cumulatives are a 10-row-per-language window (bounded).
+    "pipeline_mix_realized" -> ((s, d) => {
+      import s.implicits._
+      val wLang = Window.partitionBy($"lang").orderBy($"doc_id")
+      val mult = when($"lang" === "en", lit(1L)).otherwise(lit(4L))
+      val docs = Tables.load(s, d, "documents")
+        .select($"doc_id", $"lang")
+        .withColumn("rn", row_number().over(wLang).cast("long"))
+        .withColumn("vtime", (lit(2L) * $"rn" - 1L) * mult)
+      val pos = graft.ops.PrefixSum.runningTotal(docs,
+        Seq($"vtime", $"lang", $"doc_id"), lit(1L), "pos")
+      val n = Tables.load(s, d, "documents").count() // driver scalar
+      // closed form, not a loop over n: pos ≤ cum_n(k) ⇔ its decile
+      // ≤ k, with cum_n(k) = ceil(k·n/10) — O(1) at any corpus size
+      val cumN = (1 to 10).map(k => (k.toLong, (k * n + 9) / 10))
+      val counts = pos
+        .withColumn("ck", expr(s"(pos - 1) * 10 div ${n}L + 1"))
+        .groupBy($"ck", $"lang").agg(count(lit(1)).as("c"))
+      val wCum = Window.partitionBy($"lang").orderBy($"ck")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val langs = docs.select($"lang").distinct()
+        .as[String].collect().sorted // enum-bounded
+      val sumW = langs.map(l => if (l == "en") 4L else 1L).sum
+      val ckDf = cumN.toDF("ck", "cum_n")
+      // dense decile×lang grid: a language with no docs in bucket k
+      // must still report its cumulative there (sparse cells would
+      // silently drop exhausted languages from later deciles)
+      val dense = ckDf.crossJoin(broadcast(langs.toSeq.toDF("lang")))
+        .join(counts, Seq("ck", "lang"), "left")
+        .withColumn("c", coalesce($"c", lit(0L)))
+      dense
+        .withColumn("cum_docs", sum($"c").over(wCum))
+        .select($"ck".as("decile"), $"lang", $"cum_docs",
+          expr("cum_docs * 1000 div cum_n").as("realized_milli"),
+          expr(s"""(CASE WHEN lang = 'en' THEN 4L ELSE 1L END)
+               * 1000 div ${sumW}L""").as("target_milli"))
+        .withColumn("dev_milli",
+          abs($"realized_milli" - $"target_milli"))
+        .orderBy($"decile", $"lang")
+    }),
+
+    // Source purity — per ingest source: language count, dominant
+    // language and its share, and the language-mix entropy (nats,
+    // sorted-struct fold — q106 discipline). The stratum-balance
+    // read pipeline_dataset_card's volume table doesn't give: a
+    // "clean" source is low-entropy, a scraped mixed-language one
+    // flags for split-by-langid treatment before training. One
+    // (source, lang) rollup — both dimensions enum-bounded.
+    "text_source_purity" -> ((s, d) => {
+      import s.implicits._
+      Tables.load(s, d, "documents")
+        .groupBy($"source", $"lang").agg(count(lit(1)).as("c"))
+        .groupBy($"source")
+        .agg(sum($"c").as("n_docs"),
+          count(lit(1)).as("n_langs"),
+          min_by($"lang", struct((-$"c").as("nc"), $"lang"))
+            .as("top_lang"),
+          max($"c").as("top_c"),
+          sort_array(collect_list(struct($"lang", $"c"))).as("arr"))
+        .select($"source", $"n_docs", $"n_langs", $"top_lang",
+          expr("top_c * 1000 div n_docs").as("top_lang_milli"),
+          Tables.nz(round(expr(
+            """aggregate(arr, CAST(0.0 AS DOUBLE), (a, x) ->
+               a - (CAST(x.c AS DOUBLE) / CAST(n_docs AS DOUBLE)) *
+                 ln(CAST(x.c AS DOUBLE) / CAST(n_docs AS DOUBLE)))"""),
+            4)).as("lang_entropy"))
+        .orderBy($"source")
+    }),
+
     // Length-filter policy sweep — the retention table a curation
     // round reads BEFORE committing a token-count filter (the
     // pipeline_pack_efficiency stance applied to the quality gate):
@@ -329,6 +460,129 @@ object Frontier3 {
            q.p50_lag_days, q.p90_lag_days
          FROM base b JOIN q ON q.l_suppkey = b.l_suppkey
          ORDER BY b.l_suppkey""",
+
+    "q162_forecast_backtest" ->
+      """WITH daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS v
+           FROM events GROUP BY 1, 2),
+         span AS (
+           SELECT min(day) AS d0, max(day) AS d1,
+             CAST(date_diff('day', min(day), max(day)) AS BIGINT)
+               AS dmax
+           FROM daily),
+         days AS (
+           SELECT unnest(generate_series(d0, d1,
+             INTERVAL 1 DAY))::DATE AS day, d0, dmax
+           FROM span),
+         types AS (SELECT DISTINCT event_type FROM daily),
+         grid AS (
+           SELECT t.event_type,
+             CAST(date_diff('day', dy.d0, dy.day) AS BIGINT) AS di,
+             dy.dmax, coalesce(d.v, 0) AS v
+           FROM days dy CROSS JOIN types t
+           LEFT JOIN daily d
+             ON d.event_type = t.event_type AND d.day = dy.day),
+         ta AS (
+           SELECT event_type,
+             max_by(v, di) AS last_v,
+             CAST(CAST(sum(v) AS BIGINT) // count(*) AS BIGINT)
+               AS mean_v
+           FROM grid WHERE di <= dmax - 7 GROUP BY 1),
+         lag7 AS (
+           SELECT event_type, di + 7 AS di, v AS v7 FROM grid),
+         e AS (
+           SELECT g.event_type,
+             CAST(sum(abs(g.v - t.last_v)) // 7 AS BIGINT)
+               AS mae_naive,
+             CAST(sum(abs(g.v - l.v7)) // 7 AS BIGINT) AS mae_snaive,
+             CAST(sum(abs(g.v - t.mean_v)) // 7 AS BIGINT)
+               AS mae_mean
+           FROM grid g
+           JOIN lag7 l ON l.event_type = g.event_type AND l.di = g.di
+           JOIN ta t ON t.event_type = g.event_type
+           WHERE g.di > g.dmax - 7
+           GROUP BY 1)
+         SELECT event_type, mae_naive, mae_snaive, mae_mean,
+           list_min([
+             {'m': mae_naive, 'f': 'naive'},
+             {'m': mae_snaive, 'f': 'snaive'},
+             {'m': mae_mean, 'f': 'mean'}]).f AS best_method
+         FROM e ORDER BY event_type""",
+
+    "pipeline_mix_realized" ->
+      """WITH docs AS (
+           SELECT doc_id, lang,
+             CAST(row_number() OVER (PARTITION BY lang
+               ORDER BY doc_id) AS BIGINT) AS rn,
+             CASE WHEN lang = 'en' THEN 1 ELSE 4 END AS mult
+           FROM documents),
+         pos AS (
+           SELECT lang,
+             CAST(row_number() OVER (ORDER BY (2 * rn - 1) * mult,
+               lang, doc_id) AS BIGINT) AS pos
+           FROM docs),
+         nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+         counts AS (
+           SELECT (pos - 1) * 10 // n + 1 AS ck, lang,
+             CAST(count(*) AS BIGINT) AS c
+           FROM pos, nn GROUP BY 1, 2),
+         dense AS (
+           SELECT g.ck, l.lang, coalesce(c.c, 0) AS c
+           FROM (SELECT unnest(range(1, 11)) AS ck) g
+           CROSS JOIN (SELECT DISTINCT lang FROM documents) l
+           LEFT JOIN counts c ON c.ck = g.ck AND c.lang = l.lang),
+         cum AS (
+           SELECT ck, lang,
+             CAST(sum(c) OVER (PARTITION BY lang ORDER BY ck
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_docs
+           FROM dense),
+         sw AS (
+           SELECT CAST(sum(CASE WHEN lang = 'en' THEN 4 ELSE 1 END)
+             AS BIGINT) AS sumw
+           FROM (SELECT DISTINCT lang FROM documents)),
+         o AS (
+           SELECT cum.ck AS decile, cum.lang, cum.cum_docs,
+             CAST(cum.cum_docs * 1000 // ((cum.ck * nn.n + 9) // 10)
+               AS BIGINT) AS realized_milli,
+             CAST((CASE WHEN cum.lang = 'en' THEN 4 ELSE 1 END)
+               * 1000 // sw.sumw AS BIGINT) AS target_milli
+           FROM cum, nn, sw)
+         SELECT decile, lang, cum_docs, realized_milli, target_milli,
+           abs(realized_milli - target_milli) AS dev_milli
+         FROM o ORDER BY decile, lang""",
+
+    "text_source_purity" ->
+      """WITH sl AS (
+           SELECT source, lang, CAST(count(*) AS BIGINT) AS c
+           FROM documents GROUP BY 1, 2),
+         st AS (
+           SELECT source, CAST(sum(c) AS BIGINT) AS n_docs
+           FROM sl GROUP BY 1),
+         tp AS (
+           SELECT source, lang AS top_lang FROM (
+             SELECT source, lang,
+               row_number() OVER (PARTITION BY source
+                 ORDER BY c DESC, lang) AS rn
+             FROM sl) r WHERE rn = 1),
+         agg AS (
+           SELECT s.source, CAST(max(t.n_docs) AS BIGINT) AS n_docs,
+             CAST(count(*) AS BIGINT) AS n_langs,
+             min(p.top_lang) AS top_lang,
+             CAST(max(s.c) AS BIGINT) AS top_c,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(-(CAST(s.c AS DOUBLE) / CAST(t.n_docs AS DOUBLE)) *
+                 ln(CAST(s.c AS DOUBLE) / CAST(t.n_docs AS DOUBLE))
+                 ORDER BY s.lang)), (a, b) -> a + b) AS h
+           FROM sl s
+           JOIN st t ON t.source = s.source
+           JOIN tp p ON p.source = s.source
+           GROUP BY s.source)
+         SELECT source, n_docs, n_langs, top_lang,
+           CAST(top_c * 1000 // n_docs AS BIGINT) AS top_lang_milli,
+           round(h, 4) + 0.0 AS lang_entropy
+         FROM agg ORDER BY source""",
 
     "pipeline_filter_sweep" ->
       """WITH hist AS (

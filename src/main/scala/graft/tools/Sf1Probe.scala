@@ -71,7 +71,10 @@ object Sf1Probe {
     "emb_abtt", "emb_cluster_quality",
     // round-11 batch 11
     "text_dup_ngram_share", "mm_resolution_ladder",
-    "q161_supplier_leadtime")
+    "q161_supplier_leadtime",
+    // round-11 batch 12
+    "q162_forecast_backtest", "pipeline_mix_realized",
+    "text_source_purity")
 
   private def pow10Above(maxKey: Long): Long = {
     var p = 1L

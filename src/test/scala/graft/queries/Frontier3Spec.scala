@@ -123,6 +123,96 @@ class Frontier3Spec extends SparkSpec {
     }
   }
 
+  test("forecast backtest: exact MAEs and argmin winner") {
+    val got = Frontier3.queries("q162_forecast_backtest")(spark, sf)
+      .as[(String, Long, Long, Long, String)].collect()
+    assert(got.nonEmpty)
+    val daily = graft.Tables.load(spark, sf, "events")
+      .select($"event_type", to_date($"ts").cast("string").as("day"),
+        round($"value" * 100).cast("long").as("c"))
+      .groupBy($"event_type", $"day").agg(sum($"c").as("v"))
+      .as[(String, String, Long)].collect()
+    val d0 = java.time.LocalDate.parse(daily.map(_._2).min)
+    val d1 = java.time.LocalDate.parse(daily.map(_._2).max)
+    val dmax = java.time.temporal.ChronoUnit.DAYS.between(d0, d1)
+    val vmap = daily.map(r => (r._1, r._2) -> r._3).toMap
+    got.foreach { case (et, mn, ms, mm, best) =>
+      def v(di: Long): Long =
+        vmap.getOrElse((et, d0.plusDays(di).toString), 0L)
+      val trainDis = 0L to (dmax - 7)
+      val lastV = v(dmax - 7)
+      val meanV = trainDis.map(v).sum / trainDis.length
+      val testDis = (dmax - 6) to dmax
+      assert(mn == testDis.map(di => math.abs(v(di) - lastV)).sum / 7,
+        s"$et naive")
+      assert(ms == testDis.map(di => math.abs(v(di) - v(di - 7))).sum
+        / 7, s"$et snaive")
+      assert(mm == testDis.map(di => math.abs(v(di) - meanV)).sum / 7,
+        s"$et mean")
+      val expBest = Seq((mn, "naive"), (ms, "snaive"), (mm, "mean"))
+        .minBy(identity)._2
+      assert(best == expBest, s"$et winner")
+    }
+  }
+
+  test("mix realized: deciles conserve, final decile is the corpus mix") {
+    val got = Frontier3.queries("pipeline_mix_realized")(spark, sf)
+      .as[(Long, String, Long, Long, Long, Long)].collect()
+    spark.catalog.clearCache() // PrefixSum persists
+    val docs = graft.Tables.load(spark, sf, "documents")
+      .select($"doc_id", $"lang").as[(Long, String)].collect()
+    val n = docs.length.toLong
+    // literal replay of the interleave order
+    val order = docs.groupBy(_._2).toSeq.flatMap { case (lang, ds) =>
+      val mult = if (lang == "en") 1L else 4L
+      ds.map(_._1).sorted.zipWithIndex.map { case (id, i) =>
+        ((2L * (i + 1) - 1L) * mult, lang, id)
+      }
+    }.sortBy(t => (t._1, t._2, t._3))
+    val langOf = order.map(_._2)
+    got.groupBy(_._1).foreach { case (ck, rows) =>
+      val cumn = (ck * n + 9) / 10
+      val pfx = langOf.take(cumn.toInt)
+      rows.foreach { case (_, lang, cd, rm, tm, dev) =>
+        assert(cd == pfx.count(_ == lang).toLong, s"d$ck $lang count")
+        assert(rm == cd * 1000L / cumn, s"d$ck $lang realized")
+        assert(dev == math.abs(rm - tm), s"d$ck $lang dev")
+      }
+      // conservation: decile prefix counts sum to the boundary
+      assert(rows.map(_._3).sum == cumn, s"d$ck conserves")
+    }
+    // target shares sum to ~1000 across languages (integer floor)
+    val t10 = got.filter(_._1 == 10L)
+    assert(t10.map(_._5).sum <= 1000L &&
+      t10.map(_._5).sum >= 1000L - t10.length)
+  }
+
+  test("source purity: entropy and dominance from a literal recompute") {
+    val got = Frontier3.queries("text_source_purity")(spark, sf)
+      .as[(String, Long, Long, String, Long, Double)].collect()
+    val docs = graft.Tables.load(spark, sf, "documents")
+      .select($"source", $"lang").as[(String, String)].collect()
+    val bySrc = docs.groupBy(_._1)
+    assert(got.map(_._1).toSet == bySrc.keySet)
+    def r4(x: Double) = BigDecimal(x)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    got.foreach { case (src, nd, nl, top, tm, h) =>
+      val langs = bySrc(src).groupBy(_._2)
+        .map { case (l, xs) => l -> xs.length.toLong }
+      assert(nd == langs.values.sum, s"$src docs")
+      assert(nl == langs.size.toLong, s"$src langs")
+      val expTop = langs.toSeq.minBy { case (l, c) => (-c, l) }
+      assert(top == expTop._1 && tm == expTop._2 * 1000L / nd, s"$src top")
+      var acc = 0.0
+      langs.toSeq.sortBy(_._1).foreach { case (_, c) =>
+        val p = c.toDouble / nd.toDouble
+        acc = acc - p * math.log(p)
+      }
+      assert(math.abs(h - r4(acc)) < 1e-9, s"$src entropy")
+      assert(h >= 0.0 && h <= math.log(nl.toDouble) + 1e-9)
+    }
+  }
+
   test("supplier lead-time: exact order statistics per supplier") {
     val got = Frontier3.queries("q161_supplier_leadtime")(spark, sf)
       .as[(Long, Long, Long, Long, Long)].collect()
