@@ -464,6 +464,84 @@ object StreamOps {
         TimeMode.EventTime(), OutputMode.Append())
   }
 
+  // ------------------------------------- per-window top-k leaderboard
+  case class WinEvent(event_type: String, ts: java.sql.Timestamp)
+  case class WindowTopK(window_start: Long, rank: Long,
+      event_type: String, n: Long)
+
+  /** Exact per-window top-k leaderboard emitted ONCE, when the
+    * watermark closes the window — the streaming form of q7's top-k
+    * (heavyHittersStream covers the UNBOUNDED-key case with a sketch;
+    * this is the exact enum-keyed case: per-window state is one
+    * count per distinct item, bounded by the item enum, and the
+    * emission is a single sorted snapshot instead of per-batch
+    * updates). Grouping key = window start (event-time floor), counts
+    * in MapState, one event-time timer per window armed at
+    * window-end + 1 (clamped past the current watermark so a late
+    * event's window can still close); ranks break ties by item name
+    * — fully deterministic output for a given input set.
+    */
+  class WindowTopKProcessor(windowMs: Long, k: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, WinEvent, WindowTopK] {
+    import org.apache.spark.sql.Encoders
+    @transient private var counts:
+        org.apache.spark.sql.streaming.MapState[String, Long] = _
+
+    override def init(
+        outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      counts = getHandle.getMapState[String, Long]("counts",
+        Encoders.STRING, Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(winStart: Long,
+        rows: Iterator[WinEvent],
+        tv: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[WindowTopK] = {
+      rows.foreach { e =>
+        val prev =
+          if (counts.containsKey(e.event_type))
+            counts.getValue(e.event_type)
+          else 0L
+        counts.updateValue(e.event_type, prev + 1L)
+      }
+      getHandle.registerTimer(math.max(winStart + windowMs,
+        tv.getCurrentWatermarkInMs() + 1))
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(winStart: Long,
+        tv: org.apache.spark.sql.streaming.TimerValues,
+        expired: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+        : Iterator[WindowTopK] = {
+      if (!counts.exists()) Iterator.empty
+      else {
+        val snap = counts.iterator().toSeq
+        counts.clear()
+        snap.sortBy { case (item, n) => (-n, item) }
+          .take(k).zipWithIndex.iterator
+          .map { case ((item, n), i) =>
+            WindowTopK(winStart, i + 1L, item, n) }
+      }
+    }
+  }
+
+  def windowTopKStream(events: org.apache.spark.sql.Dataset[WinEvent],
+      windowMs: Long, watermarkDelay: String, k: Int)
+      : org.apache.spark.sql.Dataset[WindowTopK] = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(e => {
+        val ms = e.ts.getTime
+        ms - math.floorMod(ms, windowMs)
+      })
+      .transformWithState(new WindowTopKProcessor(windowMs, k),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
   // ------------------------------------------- streaming heavy hitters
   case class TokenEvent(key: String, item: String)
   case class HHItem(item: String, est: Long, err: Long)

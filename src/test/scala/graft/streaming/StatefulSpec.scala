@@ -303,4 +303,66 @@ class StatefulSpec extends SparkSpec {
     assert(out(2L).n_events == 1 && out(2L).sum_value == 7.0)
     assert(out(1L).closed_by_timeout && out(2L).closed_by_timeout)
   }
+
+  test("windowTopKStream: exact leaderboards emitted once at window close") {
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[StreamOps.WinEvent]
+      // 10-minute windows, zero watermark delay
+      val q = StreamOps.windowTopKStream(in.toDS(),
+          windowMs = 600000L, watermarkDelay = "0 seconds", k = 2)
+        .writeStream.format("memory").queryName("win_topk")
+        .outputMode("append").start()
+      in.addData(
+        StreamOps.WinEvent("view", ts("2024-01-01 10:01:00")),
+        StreamOps.WinEvent("view", ts("2024-01-01 10:02:00")),
+        StreamOps.WinEvent("click", ts("2024-01-01 10:03:00")),
+        StreamOps.WinEvent("view", ts("2024-01-01 10:04:00")),
+        StreamOps.WinEvent("purchase", ts("2024-01-01 10:05:00")),
+        StreamOps.WinEvent("click", ts("2024-01-01 10:06:00")))
+      q.processAllAvailable()
+      assert(spark.table("win_topk").count() == 0, "window still open")
+      // advance the watermark past the window end; timer fires on the
+      // batch whose watermark passes it
+      in.addData(StreamOps.WinEvent("view", ts("2024-01-01 10:21:00")))
+      q.processAllAvailable()
+      in.addData(StreamOps.WinEvent("view", ts("2024-01-01 10:22:00")))
+      q.processAllAvailable()
+      val out = spark.table("win_topk").as[StreamOps.WindowTopK]
+        .collect().sortBy(_.rank)
+      // exactly the closed 10:00 window, top-2 of 3 items, exact
+      // counts, deterministic (count desc, name) order
+      val w0 = ts("2024-01-01 10:00:00").getTime
+      assert(out.map(_.window_start).distinct.toSeq == Seq(w0))
+      assert(out.length == 2)
+      assert(out(0) == StreamOps.WindowTopK(w0, 1L, "view", 3L))
+      assert(out(1) == StreamOps.WindowTopK(w0, 2L, "click", 2L))
+      // late-window close: drain the 10:20 window too and re-check
+      // no duplicate emission for the first window
+      in.addData(StreamOps.WinEvent("drain", ts("2024-01-01 11:00:00")))
+      q.processAllAvailable()
+      in.addData(StreamOps.WinEvent("drain", ts("2024-01-01 11:00:01")))
+      q.processAllAvailable()
+      val again = spark.table("win_topk").as[StreamOps.WindowTopK]
+        .collect()
+      assert(again.count(_.window_start == w0) == 2,
+        "closed window must not re-emit")
+      val w20 = ts("2024-01-01 10:20:00").getTime
+      assert(again.count(_.window_start == w20) == 1 &&
+        again.find(_.window_start == w20).get.n == 2L,
+        "second window closes with its exact count")
+      q.stop()
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set(
+          "spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset(
+          "spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
