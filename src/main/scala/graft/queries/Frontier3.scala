@@ -160,6 +160,54 @@ object Frontier3 {
         .orderBy($"l_suppkey")
     }),
 
+    // Growth accounting — decomposes per-segment revenue change
+    // between the two halves of the date span (q133's split rule)
+    // into the three levers every growth review argues about:
+    // customers × orders-per-customer × order value. Sequential
+    // substitution on TRUNCATED per-unit rates (per-customer revenue,
+    // per-order value, order frequency in milli) keeps every product
+    // inside long range at any corpus scale — and the `resid_cents`
+    // column carries the exact remainder ΔR − Σ contributions, so the
+    // decomposition is verifiable instead of approximately-summing.
+    // All exact integer cents; one orders⋈customer broadcast join +
+    // a (segment, half) rollup.
+    "q163_growth_accounting" -> ((s, d) => {
+      import s.implicits._
+      val o = Tables.load(s, d, "orders")
+        .join(broadcast(Tables.load(s, d, "customer")
+          .select($"c_custkey", $"c_mktsegment")),
+          $"o_custkey" === $"c_custkey")
+        .select($"c_mktsegment".as("segment"), $"o_custkey",
+          to_date($"o_orderdate").as("day"),
+          round($"o_totalprice" * 100).cast("long").as("cents"))
+      val bounds = o.agg(min($"day").as("d0"), max($"day").as("d1"))
+      val per = o.crossJoin(broadcast(bounds))
+        .select($"segment", $"o_custkey",
+          when(datediff($"day", $"d0") * 2 < datediff($"d1", $"d0"),
+            1L).otherwise(2L).as("half"), $"cents")
+      val agg = per.groupBy($"segment", $"half")
+        .agg(countDistinct($"o_custkey").as("c"),
+          count(lit(1)).as("o"), sum($"cents").as("r"))
+      agg.groupBy($"segment")
+        .agg(max(when($"half" === 1L, $"c")).as("c1"),
+          max(when($"half" === 2L, $"c")).as("c2"),
+          max(when($"half" === 1L, $"o")).as("o1"),
+          max(when($"half" === 2L, $"o")).as("o2"),
+          max(when($"half" === 1L, $"r")).as("r1"),
+          max(when($"half" === 2L, $"r")).as("r2"))
+        .filter($"c1".isNotNull && $"c2".isNotNull)
+        .select($"segment", $"r1", $"r2",
+          ($"r2" - $"r1").as("delta_cents"),
+          expr("(c2 - c1) * (r1 div c1)").as("cust_contrib_cents"),
+          expr("""c2 * (o2 * 1000 div c2 - o1 * 1000 div c1)
+               * (r1 div o1) div 1000""").as("freq_contrib_cents"),
+          expr("o2 * (r2 div o2 - r1 div o1)").as("value_contrib_cents"))
+        .withColumn("resid_cents",
+          $"delta_cents" - $"cust_contrib_cents" -
+            $"freq_contrib_cents" - $"value_contrib_cents")
+        .orderBy($"segment")
+    }),
+
     // Forecast model-selection backtest — holds out the LAST 7 days
     // of each event type's daily revenue series and scores three
     // forecasters on them: naive (last train value), seasonal-naive
@@ -460,6 +508,51 @@ object Frontier3 {
            q.p50_lag_days, q.p90_lag_days
          FROM base b JOIN q ON q.l_suppkey = b.l_suppkey
          ORDER BY b.l_suppkey""",
+
+    "q163_growth_accounting" ->
+      """WITH o AS (
+           SELECT c.c_mktsegment AS segment, o.o_custkey,
+             o.o_orderdate AS day,
+             CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+           FROM orders o JOIN customer c
+             ON o.o_custkey = c.c_custkey),
+         b AS (SELECT min(day) AS d0, max(day) AS d1 FROM o),
+         per AS (
+           SELECT segment, o_custkey,
+             CASE WHEN date_diff('day', b.d0, o.day) * 2
+               < date_diff('day', b.d0, b.d1) THEN 1 ELSE 2 END
+               AS half,
+             cents
+           FROM o, b),
+         agg AS (
+           SELECT segment, half,
+             CAST(count(DISTINCT o_custkey) AS BIGINT) AS c,
+             CAST(count(*) AS BIGINT) AS o,
+             CAST(sum(cents) AS BIGINT) AS r
+           FROM per GROUP BY 1, 2),
+         w AS (
+           SELECT segment,
+             max(CASE WHEN half = 1 THEN c END) AS c1,
+             max(CASE WHEN half = 2 THEN c END) AS c2,
+             max(CASE WHEN half = 1 THEN o END) AS o1,
+             max(CASE WHEN half = 2 THEN o END) AS o2,
+             max(CASE WHEN half = 1 THEN r END) AS r1,
+             max(CASE WHEN half = 2 THEN r END) AS r2
+           FROM agg GROUP BY 1),
+         k AS (
+           SELECT segment, r1, r2, r2 - r1 AS delta_cents,
+             (c2 - c1) * (r1 // c1) AS cust_contrib_cents,
+             c2 * (o2 * 1000 // c2 - o1 * 1000 // c1)
+               * (r1 // o1) // 1000 AS freq_contrib_cents,
+             o2 * (r2 // o2 - r1 // o1) AS value_contrib_cents
+           FROM w WHERE c1 IS NOT NULL AND c2 IS NOT NULL)
+         SELECT segment, r1, r2, delta_cents,
+           CAST(cust_contrib_cents AS BIGINT) AS cust_contrib_cents,
+           CAST(freq_contrib_cents AS BIGINT) AS freq_contrib_cents,
+           CAST(value_contrib_cents AS BIGINT) AS value_contrib_cents,
+           CAST(delta_cents - cust_contrib_cents - freq_contrib_cents
+             - value_contrib_cents AS BIGINT) AS resid_cents
+         FROM k ORDER BY segment""",
 
     "q162_forecast_backtest" ->
       """WITH daily AS (

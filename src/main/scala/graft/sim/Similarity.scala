@@ -1126,6 +1126,50 @@ object Similarity {
         .orderBy($"vec_id")
     }),
 
+    // PQ codebook distortion audit — the reconstruction-error table a
+    // PQ deployment monitors per subspace: quantization error decides
+    // whether the ADC scores (ann_pq) can be trusted before the exact
+    // rerank, and a subspace with outsized distortion wants its own
+    // kSub. Replays the EXACT residual-IVFPQ training ann_pq serves
+    // from (same coarse centroids, same stride init, same single
+    // Lloyd round); per (vector, subspace) the squared error folds as
+    // ‖sv‖² − 2⟨sv,c⟩ + ‖c‖² through the native codegen dot product
+    // (the identical ascending fold the oracle replays), clamped ≥ 0
+    // against cancellation dust and floor-quantized to exact nano
+    // longs — sums are order-free. Long sums hold to ~10⁹ vectors;
+    // past that the documented q25 decimal(38,0) escalation applies.
+    "emb_pq_distortion" -> ((s, d) => {
+      import s.implicits._
+      val m = 4; val kSub = 16; val subLen = Dim / m
+      val e = Tables.load(s, d, "embeddings")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val cents = centroidsQuantized(e)
+      val eRes = e.join(broadcast(cents), Seq("label"))
+        .withColumn("embedding",
+          zip_with(col("embedding").cast("array<double>"),
+            col("centroid"), (a, b) => a - b))
+        .select(col("vec_id"), col("label"), col("embedding"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val cb = pqCodebooks(eRes, pqInit(eRes, m, subLen, kSub), m,
+        subLen, 1)
+      val assigned = pqAssigned(eRes, cb, m, subLen)
+      val dp = graft.functions.VectorFunctions.dot_product _
+      assigned.join(broadcast(codebookDf(s, cb)), Seq("m", "cell"))
+        .withColumn("d2", greatest(
+          dp(col("sv"), col("sv")) -
+            lit(2.0) * dp(col("sv"), col("cent")) + col("cc"),
+          lit(0.0)))
+        .withColumn("e9", floor($"d2" * 1.0e9).cast("long"))
+        .groupBy($"m")
+        .agg(count(lit(1)).as("n_vectors"),
+          countDistinct($"cell").as("n_cells_used"),
+          sum($"e9").as("sum_err_nano"))
+        .select($"m".cast("long").as("m"), $"n_vectors",
+          $"n_cells_used", $"sum_err_nano",
+          expr("sum_err_nano div n_vectors").as("mean_err_nano"))
+        .orderBy($"m")
+    }),
+
     // Davies–Bouldin cluster-quality audit over the SAME trained
     // k-means cells ann_ivf_kmeans serves from — "are these clusters
     // worth probing" is the question an IVF deployment must answer
@@ -1402,6 +1446,94 @@ object Similarity {
     * (see ann_bruteforce, hash-green since round 6). Shared with the
     * Dedup LSH oracle.
     */
+  /** DuckDB fragments of the residual-IVFPQ replay, shared by the
+    * ann_pq and emb_pq_distortion oracles so both replay the
+    * IDENTICAL training chain. dot: ascending-index left fold from
+    * 0.0 (PqEncode's loop); <c,c>: Scala Seq.sum's fold.
+    */
+  private def pqDtSql(a: String, b: String): String =
+    s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         list_transform(range(1, len($a) + 1), j -> $a[j] * $b[j])),
+         (x, y) -> x + y)"""
+
+  private def pqCcSql(c: String): String =
+    s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         list_transform($c, x -> x * x)), (x, y) -> x + y)"""
+
+  /** argmax(2·<sv,c> − <c,c>), ties to the lowest cell — PqEncode's
+    * strict `>` keeps the first (lowest) cell on equal score.
+    */
+  private def pqAssignSqlCte(cbCte: String, out: String): String =
+    s"""$out AS (
+         SELECT vec_id, mi, cell, sv FROM (
+           SELECT s.vec_id, s.mi, c.cell, s.sv,
+             row_number() OVER (PARTITION BY s.vec_id, s.mi
+               ORDER BY 2 * ${pqDtSql("s.sv", "c.cent")}
+                 - ${pqCcSql("c.cent")} DESC, c.cell) AS rn
+           FROM sub s JOIN $cbCte c ON c.mi = s.mi) x
+         WHERE rn = 1)"""
+
+  /** The full PQ chain prefix: coarse centroids → residuals →
+    * stride init → one Lloyd round → trained codebook `cbn` → final
+    * assignment `enc`; also leaves `sub`/`res`/`cvec` in scope.
+    */
+  private def pqChainSql: String =
+    s"""pe AS (
+           SELECT label,
+             unnest(list_transform(embedding,
+               v -> CAST(floor(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT)))
+               AS q,
+             unnest(range(1, len(embedding) + 1)) AS pos
+           FROM embeddings),
+         cent AS (
+           SELECT label, pos,
+             floor(CAST(CAST(sum(q) AS BIGINT) AS DOUBLE) / count(*))
+               / 1000000.0 AS m
+           FROM pe GROUP BY label, pos),
+         cvec AS (
+           SELECT label, list(m ORDER BY pos) AS centroid
+           FROM cent GROUP BY label),
+         res AS (
+           SELECT e.vec_id, e.label,
+             list_transform(range(1, len(e.embedding) + 1),
+               i -> CAST(e.embedding[i] AS DOUBLE) - c.centroid[i]) AS emb
+           FROM embeddings e JOIN cvec c USING (label)),
+         nn AS (SELECT count(*) AS n FROM res),
+         seeds AS (
+           SELECT vec_id, emb,
+             CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell
+           FROM res, nn WHERE vec_id % greatest(n // 16, 1) = 0),
+         mis AS (SELECT CAST(unnest(range(0, 4)) AS INT) AS mi),
+         cb0 AS (
+           SELECT mis.mi, s.cell,
+             list_slice(s.emb, mis.mi * 16 + 1, mis.mi * 16 + 16) AS cent
+           FROM seeds s CROSS JOIN mis WHERE s.cell < 16),
+         sub AS (
+           SELECT r.vec_id, mis.mi,
+             list_slice(r.emb, mis.mi * 16 + 1, mis.mi * 16 + 16) AS sv
+           FROM res r CROSS JOIN mis),
+         ${pqAssignSqlCte("cb0", "a1")},
+         cb1 AS (
+           SELECT mi, cell, list(mv ORDER BY pos) AS cent FROM (
+             SELECT mi, cell, pos,
+               floor(CAST(CAST(sum(q) AS BIGINT) AS DOUBLE) / count(*))
+                 / 1000000.0 AS mv
+             FROM (
+               SELECT mi, cell,
+                 unnest(list_transform(sv,
+                   v -> CAST(floor(v * 1000000.0) AS BIGINT))) AS q,
+                 unnest(range(1, len(sv) + 1)) AS pos
+               FROM a1) qq
+             GROUP BY mi, cell, pos) mm
+           GROUP BY mi, cell),
+         cbn AS (
+           SELECT mi,
+             CAST(row_number() OVER (PARTITION BY mi ORDER BY cell) - 1
+               AS INT) AS cell,
+             cent
+           FROM cb1),
+         ${pqAssignSqlCte("cbn", "enc")}"""
+
   /** One DuckDB Lloyd-round CTE pair, shared by the ann_ivf_kmeans
     * and emb_cluster_quality oracles: nearest-centroid assignment
     * (row_number argmax, the max_by tie-break order) and the
@@ -1532,83 +1664,10 @@ object Similarity {
       // grid, so the chain — coarse centroids → residuals → training
       // assignment → codebook → codes → ADC scores → candidate pick —
       // is bit-replayable; the output cosines are the exact-rerank
-      // ones (ann_bruteforce parity).
-      //
-      // dot: ascending-index left fold from 0.0 — PqEncode's loop
-      def dt(a: String, b: String): String =
-        s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-             list_transform(range(1, len($a) + 1), j -> $a[j] * $b[j])),
-             (x, y) -> x + y)"""
-      // <c,c>: Scala Seq.sum — the same ascending fold from 0.0
-      def cc(c: String): String =
-        s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-             list_transform($c, x -> x * x)), (x, y) -> x + y)"""
-      // argmax(2·<sv,c> − <c,c>), ties to the lowest cell — PqEncode's
-      // strict `>` keeps the first (lowest) cell on equal score
-      def assign(cbCte: String, out: String): String =
-        s"""$out AS (
-             SELECT vec_id, mi, cell, sv FROM (
-               SELECT s.vec_id, s.mi, c.cell, s.sv,
-                 row_number() OVER (PARTITION BY s.vec_id, s.mi
-                   ORDER BY 2 * ${dt("s.sv", "c.cent")} - ${cc("c.cent")}
-                     DESC, c.cell) AS rn
-               FROM sub s JOIN $cbCte c ON c.mi = s.mi) x
-             WHERE rn = 1)"""
-      s"""WITH pe AS (
-           SELECT label,
-             unnest(list_transform(embedding,
-               v -> CAST(floor(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT)))
-               AS q,
-             unnest(range(1, len(embedding) + 1)) AS pos
-           FROM embeddings),
-         cent AS (
-           SELECT label, pos,
-             floor(CAST(CAST(sum(q) AS BIGINT) AS DOUBLE) / count(*))
-               / 1000000.0 AS m
-           FROM pe GROUP BY label, pos),
-         cvec AS (
-           SELECT label, list(m ORDER BY pos) AS centroid
-           FROM cent GROUP BY label),
-         res AS (
-           SELECT e.vec_id, e.label,
-             list_transform(range(1, len(e.embedding) + 1),
-               i -> CAST(e.embedding[i] AS DOUBLE) - c.centroid[i]) AS emb
-           FROM embeddings e JOIN cvec c USING (label)),
-         nn AS (SELECT count(*) AS n FROM res),
-         seeds AS (
-           SELECT vec_id, emb,
-             CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell
-           FROM res, nn WHERE vec_id % greatest(n // 16, 1) = 0),
-         mis AS (SELECT CAST(unnest(range(0, 4)) AS INT) AS mi),
-         cb0 AS (
-           SELECT mis.mi, s.cell,
-             list_slice(s.emb, mis.mi * 16 + 1, mis.mi * 16 + 16) AS cent
-           FROM seeds s CROSS JOIN mis WHERE s.cell < 16),
-         sub AS (
-           SELECT r.vec_id, mis.mi,
-             list_slice(r.emb, mis.mi * 16 + 1, mis.mi * 16 + 16) AS sv
-           FROM res r CROSS JOIN mis),
-         ${assign("cb0", "a1")},
-         cb1 AS (
-           SELECT mi, cell, list(mv ORDER BY pos) AS cent FROM (
-             SELECT mi, cell, pos,
-               floor(CAST(CAST(sum(q) AS BIGINT) AS DOUBLE) / count(*))
-                 / 1000000.0 AS mv
-             FROM (
-               SELECT mi, cell,
-                 unnest(list_transform(sv,
-                   v -> CAST(floor(v * 1000000.0) AS BIGINT))) AS q,
-                 unnest(range(1, len(sv) + 1)) AS pos
-               FROM a1) qq
-             GROUP BY mi, cell, pos) mm
-           GROUP BY mi, cell),
-         cbn AS (
-           SELECT mi,
-             CAST(row_number() OVER (PARTITION BY mi ORDER BY cell) - 1
-               AS INT) AS cell,
-             cent
-           FROM cb1),
-         ${assign("cbn", "enc")},
+      // ones (ann_bruteforce parity). The chain prefix lives in
+      // pqChainSql, shared with emb_pq_distortion.
+      def dt(a: String, b: String): String = pqDtSql(a, b)
+      s"""WITH $pqChainSql,
          qv AS (
            SELECT vec_id AS q_id, embedding AS q_emb
            FROM embeddings WHERE vec_id % 100 = 0),
@@ -2426,6 +2485,31 @@ object Similarity {
              ELSE sqrt(greatest(cc - p * p / vv, 0.0)) / sqrt(cc)
              END, 4) + 0.0 AS resid_ratio
          FROM top ORDER BY vec_id"""
+    },
+
+    "emb_pq_distortion" -> {
+      s"""WITH $pqChainSql,
+         d AS (
+           SELECT s.mi, s.vec_id, e2.cell, c.cent, s.sv
+           FROM sub s
+           JOIN enc e2 ON e2.vec_id = s.vec_id AND e2.mi = s.mi
+           JOIN cbn c ON c.mi = s.mi AND c.cell = e2.cell),
+         err AS (
+           SELECT mi, vec_id, cell,
+             CAST(floor(greatest(
+               ${pqCcSql("sv")} - 2 * ${pqDtSql("sv", "cent")}
+                 + ${pqCcSql("cent")}, 0.0)
+               * 1000000000.0) AS BIGINT) AS e9
+           FROM d),
+         agg AS (
+           SELECT CAST(mi AS BIGINT) AS m,
+             CAST(count(*) AS BIGINT) AS n_vectors,
+             CAST(count(DISTINCT cell) AS BIGINT) AS n_cells_used,
+             CAST(sum(e9) AS BIGINT) AS sum_err_nano
+           FROM err GROUP BY 1)
+         SELECT m, n_vectors, n_cells_used, sum_err_nano,
+           CAST(sum_err_nano // n_vectors AS BIGINT) AS mean_err_nano
+         FROM agg ORDER BY m"""
     },
 
     "emb_cluster_quality" -> {

@@ -74,7 +74,9 @@ object Sf1Probe {
     "q161_supplier_leadtime",
     // round-11 batch 12
     "q162_forecast_backtest", "pipeline_mix_realized",
-    "text_source_purity")
+    "text_source_purity",
+    // round-11 batch 13
+    "emb_pq_distortion", "q163_growth_accounting")
 
   private def pow10Above(maxKey: Long): Long = {
     var p = 1L

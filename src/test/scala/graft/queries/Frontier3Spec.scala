@@ -123,6 +123,50 @@ class Frontier3Spec extends SparkSpec {
     }
   }
 
+  test("growth accounting: decomposition reconciles exactly via resid") {
+    val got = Frontier3.queries("q163_growth_accounting")(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)]
+      .collect()
+    assert(got.nonEmpty)
+    val o = graft.Tables.load(spark, sf, "orders")
+      .join(graft.Tables.load(spark, sf, "customer")
+        .select($"c_custkey", $"c_mktsegment"),
+        $"o_custkey" === $"c_custkey")
+      .select($"c_mktsegment", $"o_custkey",
+        to_date($"o_orderdate").cast("string"),
+        round($"o_totalprice" * 100).cast("long"))
+      .as[(String, Long, String, Long)].collect()
+    val d0 = java.time.LocalDate.parse(o.map(_._3).min)
+    val d1 = java.time.LocalDate.parse(o.map(_._3).max)
+    val span = java.time.temporal.ChronoUnit.DAYS.between(d0, d1)
+    got.foreach { case (seg, r1, r2, dlt, cC, cF, cV, res) =>
+      val rows = o.filter(_._1 == seg)
+      val h1 = rows.filter(r => java.time.temporal.ChronoUnit.DAYS
+        .between(d0, java.time.LocalDate.parse(r._3)) * 2 < span)
+      val h2 = rows.filterNot(r => java.time.temporal.ChronoUnit.DAYS
+        .between(d0, java.time.LocalDate.parse(r._3)) * 2 < span)
+      val (c1, o1, rr1) =
+        (h1.map(_._2).distinct.length.toLong, h1.length.toLong,
+          h1.map(_._4).sum)
+      val (c2, o2, rr2) =
+        (h2.map(_._2).distinct.length.toLong, h2.length.toLong,
+          h2.map(_._4).sum)
+      assert(r1 == rr1 && r2 == rr2, s"$seg revenue")
+      assert(dlt == rr2 - rr1, s"$seg delta")
+      assert(cC == (c2 - c1) * (rr1 / c1), s"$seg customers lever")
+      assert(cF == c2 * (o2 * 1000 / c2 - o1 * 1000 / c1) *
+        (rr1 / o1) / 1000, s"$seg frequency lever")
+      assert(cV == o2 * (rr2 / o2 - rr1 / o1), s"$seg value lever")
+      // the decomposition RECONCILES: resid carries the exact dust
+      assert(res == dlt - cC - cF - cV, s"$seg resid")
+      // and the dust is small relative to revenue: the milli-
+      // truncated frequency rate carries ≤ ~0.1% relative error, so
+      // resid is orders below the revenue scale it decomposes
+      assert(math.abs(res) <= math.max(rr1, rr2) / 100L,
+        s"$seg resid magnitude |$res| vs revenue $rr1/$rr2")
+    }
+  }
+
   test("forecast backtest: exact MAEs and argmin winner") {
     val got = Frontier3.queries("q162_forecast_backtest")(spark, sf)
       .as[(String, Long, Long, Long, String)].collect()

@@ -521,6 +521,24 @@ class SimilaritySpec extends SparkSpec {
     assert(got.map(_._1).toSet == expectedIds, "top-|proj| selection")
   }
 
+  test("pq distortion: bounds, coverage, and codebook-improvement sanity") {
+    val got = graft.sim.Similarity.queries("emb_pq_distortion")(
+        spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    spark.catalog.clearCache()
+    val nVecs = graft.Tables.load(spark, sf, "embeddings").count()
+    assert(got.map(_._1).toSeq == Seq(0L, 1L, 2L, 3L), "4 subspaces")
+    got.foreach { case (m, n, cells, sum9, mean9) =>
+      assert(n == nVecs, s"subspace $m covers every vector")
+      assert(cells >= 1L && cells <= 16L, s"subspace $m cell count")
+      assert(sum9 >= 0L && mean9 >= 0L, s"subspace $m error sign")
+      assert(mean9 == sum9 / n, s"subspace $m mean")
+      // residual subvectors are small: per-vector squared error must
+      // stay below the residual-norm ballpark (sanity ceiling)
+      assert(mean9 < 1000000000L, s"subspace $m error magnitude")
+    }
+  }
+
   test("cluster quality: DB index reconciles with a literal recompute") {
     val got = graft.sim.Similarity.queries("emb_cluster_quality")(
         spark, sf)
