@@ -160,6 +160,83 @@ object Frontier3 {
         .orderBy($"l_suppkey")
     }),
 
+    // Laspeyres / Paasche price index per brand — "did prices move,
+    // holding the basket fixed": H1→H2 unit-price relatives weighted
+    // by H1 (Laspeyres) and H2 (Paasche) quantities, the two classic
+    // index-number bounds. Unit prices are truncated exact cents
+    // (Σ extprice div Σ qty per part-half); indexes are exact milli
+    // off integer Σ p·q cross-products — parts present in BOTH
+    // halves only (matched-model rule). Long Σ p·q holds to ~10¹⁴
+    // part-halves; past that the q25 decimal(38,0) escalation
+    // applies. One lineitem⋈part join + a (brand, part, half)
+    // rollup; brand table is enum-bounded.
+    "q164_price_index" -> ((s, d) => {
+      import s.implicits._
+      val li = Tables.load(s, d, "lineitem")
+        .select($"l_partkey", $"l_shipdate", $"l_quantity",
+          round($"l_extendedprice" * 100).cast("long").as("cents"))
+      val bounds = li.agg(min($"l_shipdate").as("d0"),
+        max($"l_shipdate").as("d1"))
+      val ph = li.crossJoin(broadcast(bounds))
+        .select($"l_partkey",
+          when(datediff($"l_shipdate", $"d0") * 2 <
+            datediff($"d1", $"d0"), 1L).otherwise(2L).as("half"),
+          $"l_quantity".cast("long").as("qty"), $"cents")
+        .groupBy($"l_partkey", $"half")
+        .agg(sum($"qty").as("sq"), sum($"cents").as("sc"))
+        .filter($"sq" > 0L)
+        .select($"l_partkey", $"half", $"sq",
+          expr("sc div sq").as("p"))
+      val wide = ph.groupBy($"l_partkey")
+        .agg(max(when($"half" === 1L, $"p")).as("p1"),
+          max(when($"half" === 2L, $"p")).as("p2"),
+          max(when($"half" === 1L, $"sq")).as("q1"),
+          max(when($"half" === 2L, $"sq")).as("q2"))
+        .filter($"p1".isNotNull && $"p2".isNotNull)
+      wide
+        .join(Tables.load(s, d, "part")
+          .select($"p_partkey", $"p_brand"), $"l_partkey" === $"p_partkey")
+        .groupBy($"p_brand")
+        .agg(count(lit(1)).as("n_parts"),
+          sum($"p2" * $"q1").as("l_num"), sum($"p1" * $"q1").as("l_den"),
+          sum($"p2" * $"q2").as("p_num"), sum($"p1" * $"q2").as("p_den"))
+        .select($"p_brand", $"n_parts",
+          expr("l_num * 1000 div l_den").as("laspeyres_milli"),
+          expr("p_num * 1000 div p_den").as("paasche_milli"))
+        .orderBy($"p_brand")
+    }),
+
+    // Dedup survivorship bias — does exact dedup SKEW the corpus
+    // mixture? Removing non-first copies is only mix-neutral if
+    // duplication is uniform across strata; scraped corpora duplicate
+    // some languages far more. Reports per language: docs before vs
+    // after digest dedup (keep-min-doc_id, the pipeline_split
+    // discipline) and the milli share shift — the number that decides
+    // whether the post-dedup mixture needs re-weighting
+    // (pipeline_budget_mix's input). One digest rollup + a lang
+    // rollup; shares divide on broadcast one-row totals.
+    "pipeline_dedup_bias" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.load(s, d, "documents")
+        .select($"doc_id", $"lang", md5($"text").as("digest"))
+      val keep = docs.groupBy($"digest")
+        .agg(min($"doc_id").as("keep_id"))
+      val flagged = docs.join(keep, Seq("digest"))
+        .select($"lang", ($"doc_id" === $"keep_id").as("kept"))
+      val perLang = flagged.groupBy($"lang")
+        .agg(count(lit(1)).as("n_before"),
+          sum(when($"kept", 1L).otherwise(0L)).as("n_after"))
+      val tot = perLang.agg(sum($"n_before").as("tb"),
+        sum($"n_after").as("ta"))
+      perLang.crossJoin(broadcast(tot))
+        .select($"lang", $"n_before", $"n_after",
+          expr("n_before * 1000 div tb").as("share_before_milli"),
+          expr("n_after * 1000 div ta").as("share_after_milli"))
+        .withColumn("shift_milli",
+          $"share_after_milli" - $"share_before_milli")
+        .orderBy($"lang")
+    }),
+
     // Growth accounting — decomposes per-segment revenue change
     // between the two halves of the date span (q133's split rule)
     // into the three levers every growth review argues about:
@@ -508,6 +585,70 @@ object Frontier3 {
            q.p50_lag_days, q.p90_lag_days
          FROM base b JOIN q ON q.l_suppkey = b.l_suppkey
          ORDER BY b.l_suppkey""",
+
+    "q164_price_index" ->
+      """WITH li AS (
+           SELECT l_partkey, l_shipdate,
+             CAST(l_quantity AS BIGINT) AS qty,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+           FROM lineitem),
+         b AS (SELECT min(l_shipdate) AS d0, max(l_shipdate) AS d1
+               FROM li),
+         ph AS (
+           SELECT l_partkey,
+             CASE WHEN date_diff('day', b.d0, li.l_shipdate) * 2
+               < date_diff('day', b.d0, b.d1) THEN 1 ELSE 2 END
+               AS half,
+             qty, cents
+           FROM li, b),
+         pp AS (
+           SELECT l_partkey, half, CAST(sum(qty) AS BIGINT) AS sq,
+             CAST(CAST(sum(cents) AS BIGINT) // sum(qty) AS BIGINT)
+               AS p
+           FROM ph GROUP BY 1, 2 HAVING sum(qty) > 0),
+         wide AS (
+           SELECT l_partkey,
+             max(CASE WHEN half = 1 THEN p END) AS p1,
+             max(CASE WHEN half = 2 THEN p END) AS p2,
+             max(CASE WHEN half = 1 THEN sq END) AS q1,
+             max(CASE WHEN half = 2 THEN sq END) AS q2
+           FROM pp GROUP BY 1),
+         agg AS (
+           SELECT pt.p_brand, CAST(count(*) AS BIGINT) AS n_parts,
+             CAST(sum(w.p2 * w.q1) AS BIGINT) AS l_num,
+             CAST(sum(w.p1 * w.q1) AS BIGINT) AS l_den,
+             CAST(sum(w.p2 * w.q2) AS BIGINT) AS p_num,
+             CAST(sum(w.p1 * w.q2) AS BIGINT) AS p_den
+           FROM wide w JOIN part pt ON pt.p_partkey = w.l_partkey
+           WHERE w.p1 IS NOT NULL AND w.p2 IS NOT NULL
+           GROUP BY 1)
+         SELECT p_brand, n_parts,
+           CAST(l_num * 1000 // l_den AS BIGINT) AS laspeyres_milli,
+           CAST(p_num * 1000 // p_den AS BIGINT) AS paasche_milli
+         FROM agg ORDER BY p_brand""",
+
+    "pipeline_dedup_bias" ->
+      """WITH docs AS (
+           SELECT doc_id, lang, md5(text) AS digest FROM documents),
+         keep AS (
+           SELECT digest, min(doc_id) AS keep_id
+           FROM docs GROUP BY 1),
+         fl AS (
+           SELECT d.lang, d.doc_id = k.keep_id AS kept
+           FROM docs d JOIN keep k ON k.digest = d.digest),
+         pl AS (
+           SELECT lang, CAST(count(*) AS BIGINT) AS n_before,
+             CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_after
+           FROM fl GROUP BY 1),
+         t AS (SELECT CAST(sum(n_before) AS BIGINT) AS tb,
+                 CAST(sum(n_after) AS BIGINT) AS ta FROM pl)
+         SELECT lang, n_before, n_after,
+           CAST(n_before * 1000 // tb AS BIGINT) AS share_before_milli,
+           CAST(n_after * 1000 // ta AS BIGINT) AS share_after_milli,
+           CAST(n_after * 1000 // ta - n_before * 1000 // tb
+             AS BIGINT) AS shift_milli
+         FROM pl, t ORDER BY lang""",
 
     "q163_growth_accounting" ->
       """WITH o AS (

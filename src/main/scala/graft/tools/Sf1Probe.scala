@@ -76,7 +76,9 @@ object Sf1Probe {
     "q162_forecast_backtest", "pipeline_mix_realized",
     "text_source_purity",
     // round-11 batch 13
-    "emb_pq_distortion", "q163_growth_accounting")
+    "emb_pq_distortion", "q163_growth_accounting",
+    // round-11 batch 14
+    "q164_price_index", "pipeline_dedup_bias")
 
   private def pow10Above(maxKey: Long): Long = {
     var p = 1L

@@ -123,6 +123,81 @@ class Frontier3Spec extends SparkSpec {
     }
   }
 
+  test("price index: exact matched-model Laspeyres/Paasche recompute") {
+    val got = Frontier3.queries("q164_price_index")(spark, sf)
+      .as[(String, Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    val li = graft.Tables.load(spark, sf, "lineitem")
+      .join(graft.Tables.load(spark, sf, "part")
+        .select($"p_partkey", $"p_brand"),
+        $"l_partkey" === $"p_partkey")
+      .select($"p_brand", $"l_partkey",
+        to_date($"l_shipdate").cast("string"),
+        $"l_quantity".cast("long"),
+        round($"l_extendedprice" * 100).cast("long"))
+      .as[(String, Long, String, Long, Long)].collect()
+    val d0 = java.time.LocalDate.parse(li.map(_._3).min)
+    val d1 = java.time.LocalDate.parse(li.map(_._3).max)
+    val span = java.time.temporal.ChronoUnit.DAYS.between(d0, d1)
+    def half(s: String): Long =
+      if (java.time.temporal.ChronoUnit.DAYS
+        .between(d0, java.time.LocalDate.parse(s)) * 2 < span) 1L
+      else 2L
+    val pp = li.groupBy(r => (r._2, half(r._3))).flatMap {
+      case ((pk, h), rows) =>
+        val sq = rows.map(_._4).sum
+        if (sq > 0) Some((pk, h) -> (sq, rows.map(_._5).sum / sq))
+        else None
+    }
+    val brandOf = li.map(r => r._2 -> r._1).toMap
+    val matched = li.map(_._2).distinct.flatMap { pk =>
+      (pp.get((pk, 1L)), pp.get((pk, 2L))) match {
+        case (Some((q1, p1)), Some((q2, p2))) =>
+          Some((brandOf(pk), p1, p2, q1, q2))
+        case _ => None
+      }
+    }
+    val byBrand = matched.groupBy(_._1)
+    assert(got.map(_._1).toSet == byBrand.keySet)
+    got.foreach { case (brand, n, lm, pm) =>
+      val rows = byBrand(brand)
+      assert(n == rows.length.toLong, s"$brand matched parts")
+      val lNum = rows.map(r => r._3 * r._4).sum
+      val lDen = rows.map(r => r._2 * r._4).sum
+      val pNum = rows.map(r => r._3 * r._5).sum
+      val pDen = rows.map(r => r._2 * r._5).sum
+      assert(lm == lNum * 1000L / lDen, s"$brand laspeyres")
+      assert(pm == pNum * 1000L / pDen, s"$brand paasche")
+      // a price index near parity on stationary synthetic prices
+      assert(lm > 500L && lm < 2000L, s"$brand index sanity $lm")
+    }
+  }
+
+  test("dedup bias: shares conserve and shifts sum to ~zero") {
+    val got = Frontier3.queries("pipeline_dedup_bias")(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    val docs = graft.Tables.load(spark, sf, "documents")
+      .select($"doc_id", $"lang", md5($"text").as("dg"))
+      .as[(Long, String, String)].collect()
+    val keepIds = docs.groupBy(_._3).map(_._2.map(_._1).min).toSet
+    val byLang = docs.groupBy(_._2)
+    assert(got.map(_._1).toSet == byLang.keySet)
+    val tb = docs.length.toLong
+    val ta = keepIds.size.toLong
+    got.foreach { case (lang, nb, na, sb, sa, sh) =>
+      val rows = byLang(lang)
+      assert(nb == rows.length.toLong, s"$lang before")
+      assert(na == rows.count(r => keepIds(r._1)).toLong, s"$lang after")
+      assert(sb == nb * 1000L / tb && sa == na * 1000L / ta, s"$lang shares")
+      assert(sh == sa - sb, s"$lang shift")
+    }
+    assert(got.map(_._2).sum == tb && got.map(_._3).sum == ta,
+      "totals conserve")
+    // milli shares are floor-truncated, so each sums to (1000 - dust]
+    assert(math.abs(got.map(_._6).sum) <= got.length.toLong,
+      "shifts cancel to truncation dust")
+  }
+
   test("growth accounting: decomposition reconciles exactly via resid") {
     val got = Frontier3.queries("q163_growth_accounting")(spark, sf)
       .as[(String, Long, Long, Long, Long, Long, Long, Long)]
