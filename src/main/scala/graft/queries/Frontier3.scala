@@ -160,6 +160,65 @@ object Frontier3 {
         .orderBy($"l_suppkey")
     }),
 
+    // Tukey median polish of the (event type × day-of-week) revenue
+    // grid — the robust two-way decomposition: cell = row effect +
+    // column effect + residual, fitted by alternating row/column
+    // MEDIAN sweeps (2 full sweeps, the textbook budget). Where
+    // q127's mean decomposition chases outliers, the polish residual
+    // table IS the outlier report ("Tuesday errors are structurally
+    // off beyond what Tuesday and errors explain"). Everything is
+    // exact integers: cell values are LOWER MEDIANS of daily cent
+    // sums (ops.Quantiles count-table pass over a composite key —
+    // never a per-group sort), the polish runs driver-local on the
+    // ≤|enum|×7 grid (bytes), and the oracle unrolls the identical
+    // four half-sweeps as CTEs. dow is an explicit epoch-anchored
+    // formula (0 = Monday) — no engine dayofweek() convention leaks.
+    "q165_median_polish" -> ((s, d) => {
+      import s.implicits._
+      val daily = Tables.load(s, d, "events")
+        .select($"event_type", to_date($"ts").as("day"),
+          round($"value" * 100).cast("long").as("cents"))
+        .groupBy($"event_type", $"day").agg(sum($"cents").as("v"))
+        .select(concat($"event_type", lit("\u0001"),
+          pmod(datediff($"day", lit("1970-01-05")), lit(7))
+            .cast("string")).as("key"), $"v")
+      val cells = graft.ops.Quantiles.exactByGroup(daily, "key",
+          $"v", Seq("med" -> 0.5))
+        .select($"key", $"med").as[(String, Long)].collect()
+        .map { case (k, m) =>
+          val Array(t, w) = k.split("\u0001"); (t, w.toLong, m) }
+        .sortBy(t => (t._1, t._2)) // enum×7-bounded
+      val types = cells.map(_._1).distinct.sorted
+      val dows = cells.map(_._2).distinct.sorted
+      val grid = scala.collection.mutable.Map[(String, Long), Long]()
+      cells.foreach { case (t, w, m) => grid((t, w)) = m }
+      def lowerMedian(xs: Seq[Long]): Long =
+        xs.sorted.apply((xs.length + 1) / 2 - 1)
+      val rowEff = scala.collection.mutable.Map[String, Long]()
+        .withDefaultValue(0L)
+      val colEff = scala.collection.mutable.Map[Long, Long]()
+        .withDefaultValue(0L)
+      for (_ <- 1 to 2) {
+        types.foreach { t =>
+          val pres = dows.filter(w => grid.contains((t, w)))
+          val m = lowerMedian(pres.map(w => grid((t, w))))
+          rowEff(t) += m
+          pres.foreach(w => grid((t, w)) -= m)
+        }
+        dows.foreach { w =>
+          val pres = types.filter(t => grid.contains((t, w)))
+          val m = lowerMedian(pres.map(t => grid((t, w))))
+          colEff(w) += m
+          pres.foreach(t => grid((t, w)) -= m)
+        }
+      }
+      cells.map { case (t, w, m) =>
+        (t, w, m, rowEff(t), colEff(w), grid((t, w))) }.toSeq
+        .toDF("event_type", "dow", "cell_cents", "row_eff_cents",
+          "col_eff_cents", "resid_cents")
+        .orderBy($"event_type", $"dow")
+    }),
+
     // Laspeyres / Paasche price index per brand — "did prices move,
     // holding the basket fixed": H1→H2 unit-price relatives weighted
     // by H1 (Laspeyres) and H2 (Paasche) quantities, the two classic
@@ -585,6 +644,58 @@ object Frontier3 {
            q.p50_lag_days, q.p90_lag_days
          FROM base b JOIN q ON q.l_suppkey = b.l_suppkey
          ORDER BY b.l_suppkey""",
+
+    "q165_median_polish" -> {
+      // lower median of `v` grouped by $grp over $src
+      def med(src: String, grp: String, out: String): String =
+        s"""$out AS (
+             SELECT $grp, ls[CAST((len(ls) + 1) // 2 AS INT)] AS m
+             FROM (SELECT $grp, list_sort(list(v)) AS ls
+                   FROM $src GROUP BY 1) g)"""
+      s"""WITH daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS v
+           FROM events GROUP BY 1, 2),
+         dw AS (
+           SELECT event_type,
+             ((date_diff('day', DATE '1970-01-05', day) % 7) + 7) % 7
+               AS dow,
+             v
+           FROM daily),
+         cells AS (
+           SELECT event_type, CAST(dow AS BIGINT) AS dow,
+             ls[CAST((len(ls) + 1) // 2 AS INT)] AS v
+           FROM (SELECT event_type, dow, list_sort(list(v)) AS ls
+                 FROM dw GROUP BY 1, 2) g),
+         ${med("cells", "event_type", "rm1")},
+         r1 AS (
+           SELECT c.event_type, c.dow, c.v - rm1.m AS v
+           FROM cells c JOIN rm1 USING (event_type)),
+         ${med("r1", "dow", "cm1")},
+         r2 AS (
+           SELECT r.event_type, r.dow, r.v - cm1.m AS v
+           FROM r1 r JOIN cm1 USING (dow)),
+         ${med("r2", "event_type", "rm2")},
+         r3 AS (
+           SELECT r.event_type, r.dow, r.v - rm2.m AS v
+           FROM r2 r JOIN rm2 USING (event_type)),
+         ${med("r3", "dow", "cm2")},
+         r4 AS (
+           SELECT r.event_type, r.dow, r.v - cm2.m AS v
+           FROM r3 r JOIN cm2 USING (dow))
+         SELECT c.event_type, c.dow, c.v AS cell_cents,
+           rm1.m + rm2.m AS row_eff_cents,
+           cm1.m + cm2.m AS col_eff_cents,
+           r4.v AS resid_cents
+         FROM cells c
+         JOIN rm1 ON rm1.event_type = c.event_type
+         JOIN rm2 ON rm2.event_type = c.event_type
+         JOIN cm1 ON cm1.dow = c.dow
+         JOIN cm2 ON cm2.dow = c.dow
+         JOIN r4 ON r4.event_type = c.event_type AND r4.dow = c.dow
+         ORDER BY c.event_type, c.dow"""
+    },
 
     "q164_price_index" ->
       """WITH li AS (

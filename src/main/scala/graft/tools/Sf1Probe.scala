@@ -78,7 +78,9 @@ object Sf1Probe {
     // round-11 batch 13
     "emb_pq_distortion", "q163_growth_accounting",
     // round-11 batch 14
-    "q164_price_index", "pipeline_dedup_bias")
+    "q164_price_index", "pipeline_dedup_bias",
+    // round-11 batch 15
+    "q165_median_polish")
 
   private def pow10Above(maxKey: Long): Long = {
     var p = 1L

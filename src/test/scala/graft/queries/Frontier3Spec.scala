@@ -123,6 +123,55 @@ class Frontier3Spec extends SparkSpec {
     }
   }
 
+  test("median polish: decomposition identity and sweep replay") {
+    val got = Frontier3.queries("q165_median_polish")(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    spark.catalog.clearCache() // Quantiles persists inside
+    assert(got.nonEmpty)
+    // identity: cell = row effect + col effect + residual, exactly
+    got.foreach { case (t, w, cell, re, ce, res) =>
+      assert(cell == re + ce + res, s"($t,$w) identity")
+    }
+    // literal replay: daily sums -> lower medians -> 2 full sweeps
+    val daily = graft.Tables.load(spark, sf, "events")
+      .select($"event_type", to_date($"ts").cast("string").as("day"),
+        round($"value" * 100).cast("long").as("c"))
+      .groupBy($"event_type", $"day").agg(sum($"c").as("v"))
+      .as[(String, String, Long)].collect()
+    val anchor = java.time.LocalDate.parse("1970-01-05")
+    def lm(xs: Seq[Long]): Long = xs.sorted.apply((xs.size + 1) / 2 - 1)
+    val cells = daily.groupBy { r =>
+      val dow = java.lang.Math.floorMod(
+        java.time.temporal.ChronoUnit.DAYS.between(
+          anchor, java.time.LocalDate.parse(r._2)), 7L)
+      (r._1, dow)
+    }.map { case (k, rs) => k -> lm(rs.map(_._3).toSeq) }
+    val types = cells.keys.map(_._1).toSeq.distinct.sorted
+    val dows = cells.keys.map(_._2).toSeq.distinct.sorted
+    val g = scala.collection.mutable.Map(cells.toSeq: _*)
+    val rEff = scala.collection.mutable.Map[String, Long]()
+      .withDefaultValue(0L)
+    val cEff = scala.collection.mutable.Map[Long, Long]()
+      .withDefaultValue(0L)
+    for (_ <- 1 to 2) {
+      types.foreach { t =>
+        val pres = dows.filter(w => g.contains((t, w)))
+        val m = lm(pres.map(w => g((t, w))))
+        rEff(t) += m; pres.foreach(w => g((t, w)) -= m)
+      }
+      dows.foreach { w =>
+        val pres = types.filter(t => g.contains((t, w)))
+        val m = lm(pres.map(t => g((t, w))))
+        cEff(w) += m; pres.foreach(t => g((t, w)) -= m)
+      }
+    }
+    got.foreach { case (t, w, cell, re, ce, res) =>
+      assert(cell == cells((t, w)), s"($t,$w) cell")
+      assert(re == rEff(t) && ce == cEff(w), s"($t,$w) effects")
+      assert(res == g((t, w)), s"($t,$w) residual")
+    }
+  }
+
   test("price index: exact matched-model Laspeyres/Paasche recompute") {
     val got = Frontier3.queries("q164_price_index")(spark, sf)
       .as[(String, Long, Long, Long)].collect()
