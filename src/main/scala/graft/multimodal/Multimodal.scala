@@ -467,8 +467,11 @@ object Multimodal {
       .toDF()
   }
 
-  /** The stub decode is pure byte-length arithmetic, so DuckDB can
-    * replay it from length(text) (ASCII corpus: chars == bytes).
+  /** Byte-length contract sites (payload_bytes, decode dims, frame
+    * counts) replay via strlen = BYTE length; the per-character
+    * kernels (scene_cut/vad/embed frame folds) still index chars —
+    * equal to bytes on the ASCII fixture, documented divergence on
+    * non-ASCII corpora (the real kernels consume raw payload bytes).
     */
   /** Letter-count list literal for the mm_embed oracle (generated —
     * 26 hand-written regexp_extract_all calls would drift).
@@ -621,12 +624,12 @@ object Multimodal {
            md5(array_to_string(v, ',')) AS vec_fp
          FROM c ORDER BY doc_id""",
     "mm_pack" ->
-      """SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS payload_bytes,
+      """SELECT d.doc_id, CAST(strlen(d.text) AS BIGINT) AS payload_bytes,
          d.lang, d.source, e.label, CAST(len(e.embedding) AS BIGINT) AS emb_dim
          FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
          ORDER BY d.doc_id""",
     "mm_decode" ->
-      """WITH m AS (SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n
+      """WITH m AS (SELECT d.doc_id, CAST(strlen(d.text) AS BIGINT) AS n
            FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id)
          SELECT doc_id, n AS byte_len,
            64 + n % 512 AS width, 64 + (n * 7) % 512 AS height,
@@ -684,7 +687,7 @@ object Multimodal {
          FROM g ORDER BY doc_id""",
     "mm_frame_sample" ->
       """WITH m AS (SELECT d.doc_id,
-           1 + CAST(length(d.text) AS BIGINT) % 8 AS n_frames
+           1 + CAST(strlen(d.text) AS BIGINT) % 8 AS n_frames
            FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id)
          SELECT doc_id, n_frames, CAST(f AS BIGINT) AS frame_idx
          FROM m, LATERAL (SELECT unnest(range(0, n_frames, 2)) AS f)
