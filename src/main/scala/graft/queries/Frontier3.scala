@@ -160,6 +160,92 @@ object Frontier3 {
         .orderBy($"l_suppkey")
     }),
 
+    // Log-rank churn test — does the BUILDING segment churn on a
+    // DIFFERENT clock than everyone else? q120's Kaplan–Meier curve
+    // describes one population; the log-rank statistic is the
+    // standard two-sample comparison on censored time-to-event data
+    // (the hypothesis test behind "segment A retains better").
+    // Same churn/censoring rule as q120 (90-day horizon, 30-day
+    // months); per month: at-risk and churn counts per arm from a
+    // DENSE month×arm grid (reverse cumulative over the
+    // months-bounded risk table, window PARTITIONED by arm);
+    // hypergeometric E/V per month assemble in doubles row-local;
+    // the global χ² folds over the month-SORTED struct array in a
+    // one-row aggregate, joined back via crossJoin(broadcast).
+    "q166_logrank_churn" -> ((s, d) => {
+      import s.implicits._
+      val maxd = Tables.load(s, d, "orders")
+        .agg(max(to_date($"o_orderdate")).as("maxd"))
+      val cust = Tables.load(s, d, "orders")
+        .join(broadcast(Tables.load(s, d, "customer")
+          .select($"c_custkey", $"c_mktsegment")),
+          $"o_custkey" === $"c_custkey")
+        .select($"o_custkey", $"c_mktsegment",
+          to_date($"o_orderdate").as("day"))
+        .groupBy($"o_custkey")
+        .agg(min($"day").as("first"), max($"day").as("last"),
+          first($"c_mktsegment").as("seg"))
+        .crossJoin(broadcast(maxd))
+        .select(
+          when($"seg" === "BUILDING", "A").otherwise("B").as("arm"),
+          (datediff($"maxd", $"last") > 90).as("churned"),
+          expr("""CAST(CASE WHEN datediff(maxd, last) > 90
+                  THEN datediff(last, first) div 30
+                  ELSE datediff(maxd, first) div 30 END AS BIGINT)""")
+            .as("t"))
+      val byMonth = cust.groupBy($"arm", $"t")
+        .agg(sum(when($"churned", 1L).otherwise(0L)).as("d"),
+          count(lit(1)).as("e"))
+      val tmax = byMonth.agg(max($"t").as("tm"))
+      val dense = tmax
+        .select(explode(sequence(lit(0L), $"tm")).as("t"))
+        .crossJoin(broadcast(Seq("A", "B").toDF("arm")))
+        .join(byMonth, Seq("arm", "t"), "left")
+        .select($"arm", $"t", coalesce($"d", lit(0L)).as("d"),
+          coalesce($"e", lit(0L)).as("e"))
+      // at risk at t = customers whose event/censor month >= t:
+      // reverse cumulative of month totals, per arm (months-bounded)
+      val wRev = Window.partitionBy($"arm").orderBy($"t")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val risk = dense
+        .withColumn("n_at_risk", sum($"e").over(wRev))
+      val wide = risk.groupBy($"t")
+        .agg(max(when($"arm" === "A", $"n_at_risk")).as("na"),
+          max(when($"arm" === "B", $"n_at_risk")).as("nb"),
+          max(when($"arm" === "A", $"d")).as("da"),
+          max(when($"arm" === "B", $"d")).as("db"))
+        .filter($"da" + $"db" > 0L && $"na" + $"nb" > 0L)
+        .withColumn("ea",
+          ($"da" + $"db").cast("double") * $"na".cast("double") /
+            ($"na" + $"nb").cast("double"))
+        .withColumn("v", when($"na" + $"nb" <= 1L, lit(0.0))
+          .otherwise(
+            ($"da" + $"db").cast("double") *
+              ($"na".cast("double") / ($"na" + $"nb").cast("double")) *
+              (lit(1.0) - $"na".cast("double") /
+                ($"na" + $"nb").cast("double")) *
+              (($"na" + $"nb" - $"da" - $"db").cast("double") /
+                ($"na" + $"nb" - 1L).cast("double"))))
+      val glob = wide
+        .agg(sort_array(collect_list(struct($"t", $"da", $"ea", $"v")))
+          .as("g"))
+        .select(
+          expr("""aggregate(g, CAST(0.0 AS DOUBLE), (a, x) ->
+               a + (CAST(x.da AS DOUBLE) - x.ea))""").as("o_minus_e"),
+          expr("""aggregate(g, CAST(0.0 AS DOUBLE), (a, x) ->
+               a + x.v)""").as("vsum"))
+        .select($"o_minus_e",
+          when($"vsum" === 0.0, lit(0.0))
+            .otherwise($"o_minus_e" * $"o_minus_e" / $"vsum")
+            .as("chi2"))
+      wide.crossJoin(broadcast(glob))
+        .select($"t", $"na", $"nb", $"da", $"db",
+          Tables.nz(round($"ea", 4)).as("e_a"),
+          Tables.nz(round($"o_minus_e", 4)).as("o_minus_e_a"),
+          Tables.nz(round($"chi2", 4)).as("logrank_chi2"))
+        .orderBy($"t")
+    }),
+
     // Tukey median polish of the (event type × day-of-week) revenue
     // grid — the robust two-way decomposition: cell = row effect +
     // column effect + residual, fitted by alternating row/column
@@ -644,6 +730,77 @@ object Frontier3 {
            q.p50_lag_days, q.p90_lag_days
          FROM base b JOIN q ON q.l_suppkey = b.l_suppkey
          ORDER BY b.l_suppkey""",
+
+    "q166_logrank_churn" ->
+      """WITH md AS (SELECT max(o_orderdate) AS maxd FROM orders),
+         cust AS (
+           SELECT o.o_custkey,
+             CASE WHEN min(c.c_mktsegment) = 'BUILDING'
+               THEN 'A' ELSE 'B' END AS arm,
+             min(o.o_orderdate) AS first, max(o.o_orderdate) AS last
+           FROM orders o JOIN customer c
+             ON o.o_custkey = c.c_custkey
+           GROUP BY 1),
+         cc AS (
+           SELECT arm,
+             CAST(CASE WHEN date_diff('day', last, m.maxd) > 90
+               THEN date_diff('day', first, last) // 30
+               ELSE date_diff('day', first, m.maxd) // 30 END
+               AS BIGINT) AS t,
+             CASE WHEN date_diff('day', last, m.maxd) > 90
+               THEN 1 ELSE 0 END AS churned
+           FROM cust, md m),
+         bm AS (
+           SELECT arm, t, CAST(sum(churned) AS BIGINT) AS d,
+             CAST(count(*) AS BIGINT) AS e
+           FROM cc GROUP BY 1, 2),
+         tm AS (SELECT max(t) AS tm FROM bm),
+         dense AS (
+           SELECT a.arm, CAST(g.t AS BIGINT) AS t,
+             coalesce(b.d, 0) AS d, coalesce(b.e, 0) AS e
+           FROM (SELECT unnest(range(0, tm + 1)) AS t FROM tm) g
+           CROSS JOIN (SELECT unnest(['A', 'B']) AS arm) a
+           LEFT JOIN bm b ON b.arm = a.arm AND b.t = g.t),
+         risk AS (
+           SELECT arm, t, d,
+             CAST(sum(e) OVER (PARTITION BY arm ORDER BY t DESC
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_at_risk
+           FROM dense),
+         wide AS (
+           SELECT t,
+             max(CASE WHEN arm = 'A' THEN n_at_risk END) AS na,
+             max(CASE WHEN arm = 'B' THEN n_at_risk END) AS nb,
+             max(CASE WHEN arm = 'A' THEN d END) AS da,
+             max(CASE WHEN arm = 'B' THEN d END) AS db
+           FROM risk GROUP BY 1),
+         w2 AS (
+           SELECT t, na, nb, da, db,
+             CAST(da + db AS DOUBLE) * CAST(na AS DOUBLE)
+               / CAST(na + nb AS DOUBLE) AS ea,
+             CASE WHEN na + nb <= 1 THEN 0.0 ELSE
+               CAST(da + db AS DOUBLE) *
+                 (CAST(na AS DOUBLE) / CAST(na + nb AS DOUBLE)) *
+                 (1.0 - CAST(na AS DOUBLE) / CAST(na + nb AS DOUBLE)) *
+                 (CAST(na + nb - da - db AS DOUBLE)
+                   / CAST(na + nb - 1 AS DOUBLE)) END AS v
+           FROM wide
+           WHERE da + db > 0 AND na + nb > 0),
+         gl AS (
+           SELECT
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(CAST(da AS DOUBLE) - ea ORDER BY t)),
+               (a, b) -> a + b) AS o_minus_e,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(v ORDER BY t)), (a, b) -> a + b) AS vsum
+           FROM w2)
+         SELECT w.t, w.na, w.nb, w.da, w.db,
+           round(w.ea, 4) + 0.0 AS e_a,
+           round(g.o_minus_e, 4) + 0.0 AS o_minus_e_a,
+           round(CASE WHEN g.vsum = 0 THEN 0.0
+             ELSE g.o_minus_e * g.o_minus_e / g.vsum END, 4) + 0.0
+             AS logrank_chi2
+         FROM w2 w, gl g ORDER BY w.t""",
+
 
     "q165_median_polish" -> {
       // lower median of `v` grouped by $grp over $src

@@ -80,7 +80,9 @@ object Sf1Probe {
     // round-11 batch 14
     "q164_price_index", "pipeline_dedup_bias",
     // round-11 batch 15
-    "q165_median_polish")
+    "q165_median_polish",
+    // round-11 batch 16
+    "q166_logrank_churn")
 
   private def pow10Above(maxKey: Long): Long = {
     var p = 1L

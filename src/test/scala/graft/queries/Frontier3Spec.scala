@@ -123,6 +123,58 @@ class Frontier3Spec extends SparkSpec {
     }
   }
 
+  test("logrank churn: counts, hypergeometric moments, chi2 replay") {
+    val got = Frontier3.queries("q166_logrank_churn")(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Double, Double, Double)]
+      .collect().sortBy(_._1)
+    assert(got.nonEmpty)
+    val custs = graft.Tables.load(spark, sf, "orders")
+      .join(graft.Tables.load(spark, sf, "customer")
+        .select($"c_custkey", $"c_mktsegment"),
+        $"o_custkey" === $"c_custkey")
+      .select($"o_custkey", $"c_mktsegment",
+        to_date($"o_orderdate").cast("string"))
+      .as[(Long, String, String)].collect()
+    val maxd = java.time.LocalDate.parse(custs.map(_._3).max)
+    def days(a: java.time.LocalDate, b: java.time.LocalDate) =
+      java.time.temporal.ChronoUnit.DAYS.between(a, b)
+    // per customer: arm, event month, churned flag (q120's rule)
+    val perCust = custs.groupBy(_._1).map { case (_, rs) =>
+      val arm = if (rs.head._2 == "BUILDING") "A" else "B"
+      val first = java.time.LocalDate.parse(rs.map(_._3).min)
+      val last = java.time.LocalDate.parse(rs.map(_._3).max)
+      val churned = days(last, maxd) > 90
+      val t = if (churned) days(first, last) / 30
+        else days(first, maxd) / 30
+      (arm, t, churned)
+    }.toSeq
+    // at-risk and event counts per month per arm
+    def atRisk(arm: String, t: Long) =
+      perCust.count(c => c._1 == arm && c._2 >= t).toLong
+    def events(arm: String, t: Long) =
+      perCust.count(c => c._1 == arm && c._2 == t && c._3).toLong
+    var oMinusE = 0.0; var vSum = 0.0
+    got.foreach { case (t, na, nb, da, db, ea, _, _) =>
+      assert(na == atRisk("A", t) && nb == atRisk("B", t), s"t$t risk")
+      assert(da == events("A", t) && db == events("B", t), s"t$t ev")
+      val n = na + nb; val dd = da + db
+      val eaExp = dd.toDouble * na.toDouble / n.toDouble
+      assert(math.abs(ea - BigDecimal(eaExp).setScale(4,
+        BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9, s"t$t e_a")
+      oMinusE += da.toDouble - eaExp
+      if (n > 1)
+        vSum += dd.toDouble * (na.toDouble / n.toDouble) *
+          (1.0 - na.toDouble / n.toDouble) *
+          ((n - dd).toDouble / (n - 1).toDouble)
+    }
+    val chi2 = if (vSum == 0.0) 0.0 else oMinusE * oMinusE / vSum
+    def r4(x: Double) = BigDecimal(x)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(got.head._8 - r4(chi2)) < 1e-6, "chi2")
+    assert(got.head._8 >= 0.0, "chi2 sign")
+    assert(got.map(_._8).distinct.length == 1, "one global stat")
+  }
+
   test("median polish: decomposition identity and sweep replay") {
     val got = Frontier3.queries("q165_median_polish")(spark, sf)
       .as[(String, Long, Long, Long, Long, Long)].collect()
