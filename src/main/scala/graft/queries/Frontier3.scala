@@ -160,6 +160,71 @@ object Frontier3 {
         .orderBy($"l_suppkey")
     }),
 
+    // Hapax ratio — per-language lexical richness: the share of word
+    // TYPES occurring exactly once in that language's sub-corpus.
+    // Hapax mass is the vocabulary frontier (Heaps' growth lives in
+    // the hapax tail), and a collapsing hapax share flags template/
+    // boilerplate corpora that stopped teaching the tokenizer new
+    // words — the type-level companion to text_heaps_fit (growth
+    // curve) and text_dup_ngram_share (gram-level duplication). One
+    // (lang, token) map-side-combined rollup; everything after is
+    // type-table-bounded; exact milli.
+    "text_hapax_ratio" -> ((s, d) => {
+      import s.implicits._
+      Tables.spread(Tables.load(s, d, "documents"))
+        .select($"lang",
+          explode(split(lower($"text"), "\\s+")).as("token"))
+        .groupBy($"lang", $"token").agg(count(lit(1)).as("c"))
+        .groupBy($"lang")
+        .agg(sum($"c").as("n_tokens"),
+          count(lit(1)).as("n_types"),
+          sum(when($"c" === 1L, 1L).otherwise(0L)).as("n_hapax"))
+        .select($"lang", $"n_tokens", $"n_types", $"n_hapax",
+          expr("n_hapax * 1000 div n_types").as("hapax_type_milli"),
+          expr("n_types * 1000 div n_tokens").as("ttr_milli"))
+        .orderBy($"lang")
+    }),
+
+    // Sampler seed-stability audit — how much does the A-Res weighted
+    // sample (pipeline_weighted_sample) change under a different RNG
+    // seed? Large overlap = the weights dominate (the sample is
+    // basically deterministic top-weight), tiny overlap = the seed
+    // dominates (any single sample is noise) — the number that says
+    // whether downstream evals on one sample generalize. Three seeded
+    // top-50 draws (same exact hex-fold uniforms, TakeOrdered each),
+    // membership flags reduced in ONE aggregate over the ≤150-row
+    // union — pairwise overlaps and Jaccard milli, all exact ints.
+    "pipeline_seed_variance" -> ((s, d) => {
+      import s.implicits._
+      def draw(seed: String) = {
+        val u = expr(
+          s"""(aggregate(sequence(1, 8), CAST(0 AS BIGINT),
+               (acc, i) -> acc * 16 +
+                 (instr('0123456789abcdef',
+                    substring(md5(concat('$seed:',
+                      CAST(doc_id AS STRING))), i, 1)) - 1)) + 1)""")
+          .cast("double") / lit(4294967297.0)
+        Tables.load(s, d, "documents")
+          .select($"doc_id", $"n_chars",
+            pow(u, lit(1.0) / $"n_chars".cast("double")).as("key"))
+          .orderBy($"key".desc, $"doc_id").limit(50)
+          .select($"doc_id", lit(seed).as("seed"))
+      }
+      val all = draw("ws42").unionAll(draw("ws43"))
+        .unionAll(draw("ws44"))
+      all.groupBy($"doc_id")
+        .agg(max(when($"seed" === "ws42", 1L).otherwise(0L)).as("a"),
+          max(when($"seed" === "ws43", 1L).otherwise(0L)).as("b"),
+          max(when($"seed" === "ws44", 1L).otherwise(0L)).as("c"))
+        .agg(sum($"a" * $"b").as("ov_ab"),
+          sum($"a" * $"c").as("ov_ac"),
+          sum($"b" * $"c").as("ov_bc"))
+        .select(lit(50L).as("k"), $"ov_ab", $"ov_ac", $"ov_bc",
+          expr("ov_ab * 1000 div (100 - ov_ab)").as("jac_ab_milli"),
+          expr("ov_ac * 1000 div (100 - ov_ac)").as("jac_ac_milli"),
+          expr("ov_bc * 1000 div (100 - ov_bc)").as("jac_bc_milli"))
+    }),
+
     // Log-rank churn test — does the BUILDING segment churn on a
     // DIFFERENT clock than everyone else? q120's Kaplan–Meier curve
     // describes one population; the log-rank statistic is the
@@ -730,6 +795,69 @@ object Frontier3 {
            q.p50_lag_days, q.p90_lag_days
          FROM base b JOIN q ON q.l_suppkey = b.l_suppkey
          ORDER BY b.l_suppkey""",
+
+    "text_hapax_ratio" ->
+      """WITH tok AS (
+           SELECT lang,
+             unnest(string_split_regex(lower(text), '\s+')) AS token
+           FROM documents),
+         tc AS (
+           SELECT lang, token, CAST(count(*) AS BIGINT) AS c
+           FROM tok GROUP BY 1, 2),
+         agg AS (
+           SELECT lang, CAST(sum(c) AS BIGINT) AS n_tokens,
+             CAST(count(*) AS BIGINT) AS n_types,
+             CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hapax
+           FROM tc GROUP BY 1)
+         SELECT lang, n_tokens, n_types, n_hapax,
+           CAST(n_hapax * 1000 // n_types AS BIGINT)
+             AS hapax_type_milli,
+           CAST(n_types * 1000 // n_tokens AS BIGINT) AS ttr_milli
+         FROM agg ORDER BY lang""",
+
+    "pipeline_seed_variance" -> {
+      def draw(seed: String, out: String): String =
+        s"""$out AS (
+             SELECT doc_id FROM (
+               SELECT doc_id,
+                 pow(CAST((list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform(range(1, 9), i ->
+                     CAST(strpos('0123456789abcdef',
+                       substr(md5('$seed:' || CAST(doc_id AS VARCHAR)),
+                         CAST(i AS INT), 1)) - 1 AS BIGINT))),
+                   (acc, x) -> acc * 16 + x) + 1) AS DOUBLE)
+                   / 4294967297.0,
+                   1.0 / CAST(n_chars AS DOUBLE)) AS key
+               FROM documents) s
+             ORDER BY key DESC, doc_id LIMIT 50)"""
+      s"""WITH ${draw("ws42", "sa")},
+         ${draw("ws43", "sb")},
+         ${draw("ws44", "sc")},
+         u AS (
+           SELECT doc_id, 'a' AS s FROM sa
+           UNION ALL SELECT doc_id, 'b' FROM sb
+           UNION ALL SELECT doc_id, 'c' FROM sc),
+         fl AS (
+           SELECT doc_id,
+             max(CASE WHEN s = 'a' THEN 1 ELSE 0 END) AS a,
+             max(CASE WHEN s = 'b' THEN 1 ELSE 0 END) AS b,
+             max(CASE WHEN s = 'c' THEN 1 ELSE 0 END) AS c
+           FROM u GROUP BY 1),
+         ov AS (
+           SELECT CAST(sum(a * b) AS BIGINT) AS ov_ab,
+             CAST(sum(a * c) AS BIGINT) AS ov_ac,
+             CAST(sum(b * c) AS BIGINT) AS ov_bc
+           FROM fl)
+         SELECT CAST(50 AS BIGINT) AS k, ov_ab, ov_ac, ov_bc,
+           CAST(ov_ab * 1000 // (100 - ov_ab) AS BIGINT)
+             AS jac_ab_milli,
+           CAST(ov_ac * 1000 // (100 - ov_ac) AS BIGINT)
+             AS jac_ac_milli,
+           CAST(ov_bc * 1000 // (100 - ov_bc) AS BIGINT)
+             AS jac_bc_milli
+         FROM ov"""
+    },
 
     "q166_logrank_churn" ->
       """WITH md AS (SELECT max(o_orderdate) AS maxd FROM orders),

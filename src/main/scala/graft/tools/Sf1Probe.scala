@@ -82,7 +82,9 @@ object Sf1Probe {
     // round-11 batch 15
     "q165_median_polish",
     // round-11 batch 16
-    "q166_logrank_churn")
+    "q166_logrank_churn",
+    // round-11 batch 17
+    "text_hapax_ratio", "pipeline_seed_variance")
 
   private def pow10Above(maxKey: Long): Long = {
     var p = 1L

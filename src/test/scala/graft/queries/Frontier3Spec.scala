@@ -123,6 +123,54 @@ class Frontier3Spec extends SparkSpec {
     }
   }
 
+  test("hapax ratio: exact per-language type accounting") {
+    val got = Frontier3.queries("text_hapax_ratio")(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    val toks = graft.Tables.load(spark, sf, "documents")
+      .select($"lang", lower($"text")).as[(String, String)].collect()
+      .flatMap { case (l, t) => t.split("\\s+").map(l -> _) }
+    val byLang = toks.groupBy(_._1)
+    assert(got.map(_._1).toSet == byLang.keySet)
+    got.foreach { case (lang, nt, ty, hx, hm, ttr) =>
+      val counts = byLang(lang).groupBy(_._2)
+        .map { case (_, xs) => xs.length.toLong }
+      assert(nt == counts.sum, s"$lang tokens")
+      assert(ty == counts.size.toLong, s"$lang types")
+      assert(hx == counts.count(_ == 1L).toLong, s"$lang hapax")
+      assert(hm == hx * 1000L / ty && ttr == ty * 1000L / nt)
+      assert(hx <= ty && ty <= nt, s"$lang accounting order")
+    }
+  }
+
+  test("seed variance: overlaps reconcile with three literal draws") {
+    val got = Frontier3.queries("pipeline_seed_variance")(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(got.length == 1)
+    val (k, ab, ac, bc, jab, jac, jbc) = got.head
+    assert(k == 50L)
+    val docs = graft.Tables.load(spark, sf, "documents")
+      .select($"doc_id", $"n_chars".cast("long"))
+      .as[(Long, Long)].collect()
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    def draw(seed: String): Set[Long] =
+      docs.map { case (id, w) =>
+        val u = (java.lang.Long.parseLong(
+          md5hex(s"$seed:$id").take(8), 16) + 1L).toDouble /
+          4294967297.0
+        (id, math.pow(u, 1.0 / w.toDouble))
+      }.sortBy { case (id, key) => (-key, id) }.take(50)
+        .map(_._1).toSet
+    val (sa, sb, sc) = (draw("ws42"), draw("ws43"), draw("ws44"))
+    assert(ab == (sa & sb).size.toLong, "overlap ab")
+    assert(ac == (sa & sc).size.toLong, "overlap ac")
+    assert(bc == (sb & sc).size.toLong, "overlap bc")
+    assert(jab == ab * 1000L / (100L - ab) &&
+      jac == ac * 1000L / (100L - ac) &&
+      jbc == bc * 1000L / (100L - bc), "jaccards")
+  }
+
   test("logrank churn: counts, hypergeometric moments, chi2 replay") {
     val got = Frontier3.queries("q166_logrank_churn")(spark, sf)
       .as[(Long, Long, Long, Long, Long, Double, Double, Double)]
