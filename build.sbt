@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// r11 postmortem: the bench summary line reached the driver's tail
+// complete but still parsed:null — sbt's default LoggedOutput strategy
+// re-logs the forked JVM's stdout with an "[info] " prefix, which is
+// not valid JSON. StdoutOutput passes the child's stdout through
+// verbatim, so Bench's one JSON line arrives bare.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// ...and with the "[success] Total time" trailer suppressed, that JSON
+// line is the TRUE last line of stdout (exit status still carries
+// success/failure for the driver's rc check).
+ThisBuild / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

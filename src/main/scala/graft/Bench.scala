@@ -206,7 +206,15 @@ object Bench {
       .mkString("[", ",", "]")
     val fjCap = failed.sorted.take(5).map("\"" + _ + "\"")
       .mkString("[", ",", "]")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"queries":$topW,"cpu_sec":$topC,"gc_sec":$topG,"note":"queries=top20 slowest; full maps in bench_full.json","n_retried":${retried.size},"retried_sample":$rjCap,"n_failed":${failed.size},"failed_sample":$fjCap,"sf":"$sfDir"}""")
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"queries":$topW,"cpu_sec":$topC,"gc_sec":$topG,"note":"queries=top20 slowest; full maps in bench_full.json","n_retried":${retried.size},"retried_sample":$rjCap,"n_failed":${failed.size},"failed_sample":$fjCap,"sf":"$sfDir"}"""
+    // r11 postmortem: the line reached the driver tail complete but
+    // parsed:null because sbt's logger prefixed it "[info] ". Fixed
+    // in build.sbt (StdoutOutput + showSuccess:=false makes this the
+    // TRUE last stdout line, bare); a stderr copy is belt-and-braces
+    // in case the driver reads the merged stream.
+    println(line)
+    Console.out.flush()
+    System.err.println(line)
     spark.stop()
   }
 }

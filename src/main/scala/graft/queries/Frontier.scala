@@ -748,7 +748,13 @@ object Frontier {
     // q43 moment discipline with a regression assembly instead of a
     // correlation one. Segments are the part-key mod-8 buckets (the
     // fixture has no category column); one map-side-combined rollup,
-    // one 8-row assembly.
+    // one 8-row assembly. Width audit (r11 verdict item #4): unlike
+    // q100's data-dependent degree products, x and y are VALUE-
+    // domain-bounded (discount ≤ 10 pct-units, quantity ≤ 5000
+    // centi-units), so the largest partial Σxy ≤ 5·10⁴·rows — the
+    // long ceiling lands at ~1.8e14 lineitem rows ≈ sf 30M, three
+    // orders past the 100 TB target. Longs are safe by bound; no
+    // escalation wired.
     "q149_price_elasticity" -> ((s, d) => {
       import s.implicits._
       val t = Tables.load(s, d, "lineitem")

@@ -108,55 +108,18 @@ object Frontier2 {
     // (n, Σx, Σy, Σxy, Σx², Σy²) accumulate as exact longs in ONE
     // RANGE frame over the integer day index; Pearson assembles once
     // per row in doubles (cross-multiplied form; zero-variance
-    // windows → NULL). Pair space is |enum|²/2 — bounded. Moments are
-    // plain longs here: safe while daily cent sums stay below ~2^31
-    // (their squares then fit 2^63); a corpus whose daily sums exceed
-    // that needs the q25/q118 decimal(38,0) escalation, which is NOT
-    // yet wired in — both engines would fail loudly (ANSI overflow)
-    // rather than compute wrongly.
-    "q157_rolling_corr" -> ((s, d) => {
-      import s.implicits._
-      val daily = Tables.load(s, d, "events")
-        .select($"event_type", to_date($"ts").as("day"),
-          round($"value" * 100).cast("long").as("cents"))
-        .groupBy($"event_type", $"day").agg(sum($"cents").as("v"))
-      val span = daily.agg(min($"day").as("d0"), max($"day").as("d1"))
-      val types = daily.select($"event_type").distinct()
-      val grid = span
-        .select(explode(sequence($"d0", $"d1")).as("day"), $"d0")
-        .crossJoin(broadcast(types))
-        .join(daily, Seq("event_type", "day"), "left")
-        .select($"event_type", $"day",
-          datediff($"day", $"d0").cast("long").as("di"),
-          coalesce($"v", lit(0L)).as("v"))
-      val a = grid.select($"event_type".as("ta"), $"di", $"day",
-        $"v".as("x"))
-      val b = grid.select($"event_type".as("tb"), $"di",
-        $"v".as("y"))
-      val pair = a.join(b, Seq("di")).filter($"ta" < $"tb")
-      val w = Window.partitionBy($"ta", $"tb").orderBy($"di")
-        .rangeBetween(-6, 0)
-      val m = pair
-        .withColumn("n", count(lit(1)).over(w))
-        .withColumn("sx", sum($"x").over(w))
-        .withColumn("sy", sum($"y").over(w))
-        .withColumn("sxy", sum($"x" * $"y").over(w))
-        .withColumn("sxx", sum($"x" * $"x").over(w))
-        .withColumn("syy", sum($"y" * $"y").over(w))
-        .filter($"n" === 7)
-      m.select($"ta", $"tb", date_format($"day", "yyyy-MM-dd").as("day"),
-          Tables.nz(round(
-            when(
-              ($"n" * $"sxx" - $"sx" * $"sx") === 0L ||
-                ($"n" * $"syy" - $"sy" * $"sy") === 0L,
-              lit(null).cast("double"))
-              .otherwise(
-                ($"n" * $"sxy" - $"sx" * $"sy").cast("double") /
-                  sqrt(($"n" * $"sxx" - $"sx" * $"sx").cast("double") *
-                    ($"n" * $"syy" - $"sy" * $"sy").cast("double"))),
-            4)).as("corr7"))
-        .orderBy($"ta", $"tb", $"day")
-    }),
+    // windows → NULL). Pair space is |enum|²/2 — bounded. Moments
+    // accumulate as decimal(38,0) (r11 verdict item #4): unlike q25's
+    // corpus-sized moment scan (where decimal cost 15× and the
+    // try_sum-detect-then-retry fast path earns its keep), the window
+    // input here is the gap-filled GRID — span×|enum| rows, data-size
+    // independent — so exact 38-digit moments are free at any corpus
+    // size, and a day whose cent sum passes 2^31 (≈ $21M/day, real at
+    // 100 TB) no longer ANSI-overflows the squared sums. The daily
+    // rollup itself stays long (corpus-sized, bounded by total corpus
+    // value ≤ ~9e16 $); the oracle mirrors with HUGEINT products.
+    "q157_rolling_corr" -> ((s, d) =>
+      rollingCorr(Tables.load(s, d, "events"))),
 
     // Multi-epoch training-order plan — every multi-epoch run needs a
     // DIFFERENT deterministic global permutation per epoch (same
@@ -429,6 +392,58 @@ object Frontier2 {
         .orderBy($"bucket_milli")
     }))
 
+  /** q157's body, factored so MomentWidthSpec can drive it with a
+    * synthetic corpus whose daily cent sums overflow 64-bit squares.
+    * Window moments are decimal(38,0) — exact far past the long
+    * ceiling, and cheap because the window input is the
+    * span×|enum| day grid, not the corpus.
+    */
+  private[queries] def rollingCorr(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    val dec = "decimal(38,0)"
+    val daily = events
+      .select($"event_type", to_date($"ts").as("day"),
+        round($"value" * 100).cast("long").as("cents"))
+      .groupBy($"event_type", $"day").agg(sum($"cents").as("v"))
+    val span = daily.agg(min($"day").as("d0"), max($"day").as("d1"))
+    val types = daily.select($"event_type").distinct()
+    val grid = span
+      .select(explode(sequence($"d0", $"d1")).as("day"), $"d0")
+      .crossJoin(broadcast(types))
+      .join(daily, Seq("event_type", "day"), "left")
+      .select($"event_type", $"day",
+        datediff($"day", $"d0").cast("long").as("di"),
+        coalesce($"v", lit(0L)).cast(dec).as("v"))
+    val a = grid.select($"event_type".as("ta"), $"di", $"day",
+      $"v".as("x"))
+    val b = grid.select($"event_type".as("tb"), $"di",
+      $"v".as("y"))
+    val pair = a.join(b, Seq("di")).filter($"ta" < $"tb")
+    val w = Window.partitionBy($"ta", $"tb").orderBy($"di")
+      .rangeBetween(-6, 0)
+    val m = pair
+      .withColumn("n", count(lit(1)).over(w).cast(dec))
+      .withColumn("sx", sum($"x").over(w))
+      .withColumn("sy", sum($"y").over(w))
+      .withColumn("sxy", sum(($"x" * $"y").cast(dec)).over(w))
+      .withColumn("sxx", sum(($"x" * $"x").cast(dec)).over(w))
+      .withColumn("syy", sum(($"y" * $"y").cast(dec)).over(w))
+      .filter($"n" === 7)
+    m.select($"ta", $"tb", date_format($"day", "yyyy-MM-dd").as("day"),
+        Tables.nz(round(
+          when(
+            ($"n" * $"sxx" - $"sx" * $"sx") === 0 ||
+              ($"n" * $"syy" - $"sy" * $"sy") === 0,
+            lit(null).cast("double"))
+            .otherwise(
+              ($"n" * $"sxy" - $"sx" * $"sy").cast("double") /
+                sqrt(($"n" * $"sxx" - $"sx" * $"sx").cast("double") *
+                  ($"n" * $"syy" - $"sy" * $"sy").cast("double"))),
+          4)).as("corr7"))
+      .orderBy($"ta", $"tb", $"day")
+  }
+
   def oracles: Map[String, String] = Map(
 
     "q155_funnel_latency" ->
@@ -509,13 +524,16 @@ object Frontier2 {
            FROM grid a JOIN grid b ON a.di = b.di
            WHERE a.event_type < b.event_type),
          m AS (
+           -- moments stay HUGEINT (the decimal(38,0) twin of the
+           -- Spark side): BIGINT products overflow exactly when a
+           -- daily cent sum passes 2^31
            SELECT ta, tb, day,
-             CAST(count(*) OVER w AS BIGINT) AS n,
-             CAST(sum(x) OVER w AS BIGINT) AS sx,
-             CAST(sum(y) OVER w AS BIGINT) AS sy,
-             CAST(sum(x * y) OVER w AS BIGINT) AS sxy,
-             CAST(sum(x * x) OVER w AS BIGINT) AS sxx,
-             CAST(sum(y * y) OVER w AS BIGINT) AS syy
+             CAST(count(*) OVER w AS HUGEINT) AS n,
+             CAST(sum(x) OVER w AS HUGEINT) AS sx,
+             CAST(sum(y) OVER w AS HUGEINT) AS sy,
+             sum(CAST(x AS HUGEINT) * y) OVER w AS sxy,
+             sum(CAST(x AS HUGEINT) * x) OVER w AS sxx,
+             sum(CAST(y AS HUGEINT) * y) OVER w AS syy
            FROM pair
            WINDOW w AS (PARTITION BY ta, tb ORDER BY di
              RANGE BETWEEN 6 PRECEDING AND CURRENT ROW))

@@ -218,11 +218,19 @@ object Frontier3 {
           max(when($"seed" === "ws44", 1L).otherwise(0L)).as("c"))
         .agg(sum($"a" * $"b").as("ov_ab"),
           sum($"a" * $"c").as("ov_ac"),
-          sum($"b" * $"c").as("ov_bc"))
-        .select(lit(50L).as("k"), $"ov_ab", $"ov_ac", $"ov_bc",
-          expr("ov_ab * 1000 div (100 - ov_ab)").as("jac_ab_milli"),
-          expr("ov_ac * 1000 div (100 - ov_ac)").as("jac_ac_milli"),
-          expr("ov_bc * 1000 div (100 - ov_bc)").as("jac_bc_milli"))
+          sum($"b" * $"c").as("ov_bc"),
+          // per-draw sizes derived from the data (ADVICE r11): a
+          // corpus smaller than the LIMIT yields draws of n_docs
+          // rows, so the Jaccard denominator is |A|+|B|−|A∩B|, not
+          // the hardcoded 100−ov; k reports the realized draw size
+          sum($"a").as("ka"), sum($"b").as("kb"), sum($"c").as("kc"))
+        .select($"ka".as("k"), $"ov_ab", $"ov_ac", $"ov_bc",
+          expr("ov_ab * 1000 div (ka + kb - ov_ab)")
+            .as("jac_ab_milli"),
+          expr("ov_ac * 1000 div (ka + kc - ov_ac)")
+            .as("jac_ac_milli"),
+          expr("ov_bc * 1000 div (kb + kc - ov_bc)")
+            .as("jac_bc_milli"))
     }),
 
     // Log-rank churn test — does the BUILDING segment churn on a
@@ -847,14 +855,17 @@ object Frontier3 {
          ov AS (
            SELECT CAST(sum(a * b) AS BIGINT) AS ov_ab,
              CAST(sum(a * c) AS BIGINT) AS ov_ac,
-             CAST(sum(b * c) AS BIGINT) AS ov_bc
+             CAST(sum(b * c) AS BIGINT) AS ov_bc,
+             CAST(sum(a) AS BIGINT) AS ka,
+             CAST(sum(b) AS BIGINT) AS kb,
+             CAST(sum(c) AS BIGINT) AS kc
            FROM fl)
-         SELECT CAST(50 AS BIGINT) AS k, ov_ab, ov_ac, ov_bc,
-           CAST(ov_ab * 1000 // (100 - ov_ab) AS BIGINT)
+         SELECT ka AS k, ov_ab, ov_ac, ov_bc,
+           CAST(ov_ab * 1000 // (ka + kb - ov_ab) AS BIGINT)
              AS jac_ab_milli,
-           CAST(ov_ac * 1000 // (100 - ov_ac) AS BIGINT)
+           CAST(ov_ac * 1000 // (ka + kc - ov_ac) AS BIGINT)
              AS jac_ac_milli,
-           CAST(ov_bc * 1000 // (100 - ov_bc) AS BIGINT)
+           CAST(ov_bc * 1000 // (kb + kc - ov_bc) AS BIGINT)
              AS jac_bc_milli
          FROM ov"""
     },

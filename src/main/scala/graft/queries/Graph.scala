@@ -272,13 +272,19 @@ object Graph {
     // over every (symmetric) edge — do hubs link to hubs (r > 0,
     // social-network shape) or to leaves (r < 0, internet/biology
     // shape)? The single number that says which skew regime the
-    // graph's joins will face. q43's float discipline: all six
-    // moments (n, Σx, Σy, Σxy, Σx², Σy²) are EXACT longs (degree ≤
-    // nodes, products fit far past the test scales), and only the
-    // final r assembles them in one fixed IEEE expression, round(4).
-    // Degrees broadcast onto both endpoints of the persisted edge
-    // list; the moment reduce is one map-side-combined 1-row
-    // aggregate.
+    // graph's joins will face. Moments (n, Σx, Σy, Σxy, Σx², Σy²)
+    // are exact; unlike q149's value-domain-bounded products, degree
+    // products are DATA-dependent (two 10⁶-degree hubs meeting on
+    // 10⁹ edges pass 2^63), so the moment pass uses the q25
+    // momentStats discipline (r11 verdict item #4): long partials
+    // through try_sum/try_multiply with overflow counters, and a
+    // decimal(38,0) retry only when a counter fires — the corpus-
+    // sized scan pays primitive-long codegen except in the overflow
+    // regime. Cross-terms (n·Σxy − Σx·Σy…) assemble EXACTLY in
+    // decimal before the one double conversion, matching the
+    // oracle's HUGEINT assembly digit-for-digit. Degrees broadcast
+    // onto both endpoints of the persisted edge list; the moment
+    // reduce is one map-side-combined 1-row aggregate.
     "q100_assortativity" -> ((s, d) => {
       import s.implicits._
       val e = coOccurrenceEdges(s, d)
@@ -287,23 +293,11 @@ object Graph {
           struct($"b".as("u"), $"a".as("v")))).as("e"))
         .select($"e.u", $"e.v")
       val deg = ed.groupBy($"u").agg(count(lit(1)).as("deg"))
-      ed
+      assortativityFromDxDy(ed
         .join(broadcast(deg.select($"u", $"deg".as("dx"))), Seq("u"))
         .join(broadcast(deg.select($"u".as("v"), $"deg".as("dy"))),
           Seq("v"))
-        .agg(count(lit(1)).as("n"),
-          sum($"dx").as("sx"), sum($"dy").as("sy"),
-          sum($"dx" * $"dy").as("sxy"),
-          sum($"dx" * $"dx").as("sxx"),
-          sum($"dy" * $"dy").as("syy"))
-        .select($"n",
-          Tables.nz(round((($"n".cast("double") * $"sxy" -
-              $"sx".cast("double") * $"sy") /
-            sqrt(($"n".cast("double") * $"sxx" -
-              $"sx".cast("double") * $"sx") *
-              ($"n".cast("double") * $"syy" -
-                $"sy".cast("double") * $"sy"))), 4))
-            .as("assortativity"))
+        .select($"dx", $"dy"))
     }),
 
     // Single-source weighted shortest paths (4 relaxation rounds) —
@@ -561,6 +555,62 @@ object Graph {
     }
   }
 
+  /** q100's moment pass + Pearson assembly, factored so
+    * MomentWidthSpec can drive it with degree pairs past the 64-bit
+    * product ceiling. Input: one row per directed edge with long
+    * columns (dx, dy) — the endpoint degrees, non-null by
+    * construction. Long partials through try_sum/try_multiply with an
+    * overflow counter; a decimal(38,0) recompute only when it fires
+    * (the q25 momentStats detection-not-prewidening discipline —
+    * VERDICT r7 #4 measured the always-decimal corpus pass at 15×).
+    * Both paths finalize through the same decimal-typed 1-row frame,
+    * so rounding semantics cannot diverge between them.
+    */
+  private[queries] def assortativityFromDxDy(dd: DataFrame)
+      : DataFrame = {
+    val s = dd.sparkSession
+    import s.implicits._
+    val dec = "decimal(38,0)"
+    val tm = (a: org.apache.spark.sql.Column,
+        b: org.apache.spark.sql.Column) => try_multiply(a, b)
+    val r = dd.agg(
+      count(lit(1)).as("n"),
+      try_sum($"dx").as("sx"), try_sum($"dy").as("sy"),
+      try_sum(tm($"dx", $"dy")).as("sxy"),
+      try_sum(tm($"dx", $"dx")).as("sxx"),
+      try_sum(tm($"dy", $"dy")).as("syy"),
+      sum(when(tm($"dx", $"dy").isNull || tm($"dx", $"dx").isNull ||
+        tm($"dy", $"dy").isNull, 1L).otherwise(0L)).as("bad"))
+      .collect().head
+    val n = r.getAs[Long]("n")
+    // degrees are never null, so any null sum with n > 0 rows (or a
+    // fired product counter) means 64-bit overflow
+    val overflow = r.getAs[Long]("bad") > 0 ||
+      (n > 0 && (1 to 5).exists(r.isNullAt)) // fields sx..syy
+    val moments =
+      if (overflow)
+        dd.select($"dx".cast(dec).as("dx"), $"dy".cast(dec).as("dy"))
+          .agg(count(lit(1)).cast(dec).as("n"),
+            sum($"dx").as("sx"), sum($"dy").as("sy"),
+            sum($"dx" * $"dy").as("sxy"),
+            sum($"dx" * $"dx").as("sxx"),
+            sum($"dy" * $"dy").as("syy"))
+      else
+        Seq((n, r.getAs[Long]("sx"), r.getAs[Long]("sy"),
+          r.getAs[Long]("sxy"), r.getAs[Long]("sxx"),
+          r.getAs[Long]("syy")))
+          .toDF("n", "sx", "sy", "sxy", "sxx", "syy")
+          .select(col("n").cast(dec), col("sx").cast(dec),
+            col("sy").cast(dec), col("sxy").cast(dec),
+            col("sxx").cast(dec), col("syy").cast(dec))
+    moments.select($"n".cast("long").as("n"),
+      Tables.nz(round(
+        ($"n" * $"sxy" - $"sx" * $"sy").cast("double") /
+          sqrt(($"n" * $"sxx" - $"sx" * $"sx").cast("double") *
+            ($"n" * $"syy" - $"sy" * $"sy").cast("double")), 4))
+        .as("assortativity"))
+  }
+
   /** Distinct undirected co-occurrence edges (a < b) — the unweighted
     * projection of [[coOccurrencePairCounts]], shared by q72
     * (triangles), q75 (k-core), q90 (profile), q100 (assortativity).
@@ -722,22 +772,23 @@ object Graph {
            SELECT u, CAST(count(*) AS BIGINT) AS deg FROM ed
            GROUP BY u),
          m AS (
-           SELECT CAST(count(*) AS BIGINT) AS n,
-             CAST(sum(dx.deg) AS BIGINT) AS sx,
-             CAST(sum(dy.deg) AS BIGINT) AS sy,
-             CAST(sum(dx.deg * dy.deg) AS BIGINT) AS sxy,
-             CAST(sum(dx.deg * dx.deg) AS BIGINT) AS sxx,
-             CAST(sum(dy.deg * dy.deg) AS BIGINT) AS syy
+           -- HUGEINT moments + exact cross-terms (the decimal(38,0)
+           -- twin of the Spark side): BIGINT degree products
+           -- overflow when two ~10^6-degree hubs meet
+           SELECT CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(dx.deg) AS HUGEINT) AS sx,
+             CAST(sum(dy.deg) AS HUGEINT) AS sy,
+             sum(CAST(dx.deg AS HUGEINT) * dy.deg) AS sxy,
+             sum(CAST(dx.deg AS HUGEINT) * dx.deg) AS sxx,
+             sum(CAST(dy.deg AS HUGEINT) * dy.deg) AS syy
            FROM ed
            JOIN deg dx ON ed.u = dx.u
            JOIN deg dy ON ed.v = dy.u)
-         SELECT n,
-           round((CAST(n AS DOUBLE) * sxy -
-               CAST(sx AS DOUBLE) * sy) /
-             sqrt((CAST(n AS DOUBLE) * sxx -
-               CAST(sx AS DOUBLE) * sx) *
-               (CAST(n AS DOUBLE) * syy -
-                 CAST(sy AS DOUBLE) * sy)), 4) + 0.0 AS assortativity
+         SELECT CAST(n AS BIGINT) AS n,
+           round(CAST(n * sxy - sx * sy AS DOUBLE) /
+             sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
+               CAST(n * syy - sy * sy AS DOUBLE)), 4) + 0.0
+             AS assortativity
          FROM m""",
 
     // floor(log2(deg)) as length(bin(deg))−1 — integer on both

@@ -1096,7 +1096,12 @@ object Similarity {
         val u = matvec(v)
         var m = 0.0
         u.foreach(x => if (math.abs(x) > m) m = math.abs(x))
-        v = u.map(x => math.floor(x / m * 1000000.0) / 1000000.0)
+        // degenerate all-zero matvec (constant/single embedding →
+        // zero covariance): quantize to the zero vector instead of
+        // 0/0 NaN loadings — same guard as emb_pc2; the oracle's
+        // renorm CTE applies the matching CASE
+        v = if (m == 0.0) Array.fill(d64)(0.0)
+          else u.map(x => math.floor(x / m * 1000000.0) / 1000000.0)
       }
       var vv = 0.0
       v.foreach(x => vv += x * x)
@@ -1114,14 +1119,23 @@ object Similarity {
              (a, i) -> a + element_at(cv, i) * element_at(cv, i))"""))
         .orderBy(abs($"p").desc, $"vec_id").limit(20)
         .select($"vec_id",
-          Tables.nz(round($"p" / lit(math.sqrt(vv)), 6)).as("proj"),
+          // vv == 0 (degenerate corpus, zero principal vector): the
+          // projection is identically 0, so report proj 0 and keep
+          // the residual equal to the original — no x/0 NaN/NULL
+          // divergence between engines (ADVICE r11)
+          Tables.nz(round(
+            if (vv == 0.0) lit(0.0) else $"p" / lit(math.sqrt(vv)),
+            6)).as("proj"),
           Tables.nz(round(sqrt($"cc"), 6)).as("orig_norm"),
           Tables.nz(round(sqrt(greatest(
-            $"cc" - $"p" * $"p" / lit(vv), lit(0.0))), 6))
+            $"cc" - (if (vv == 0.0) lit(0.0)
+              else $"p" * $"p" / lit(vv)), lit(0.0))), 6))
             .as("resid_norm"),
           Tables.nz(round(
             when($"cc" === 0.0, lit(0.0)).otherwise(sqrt(greatest(
-              $"cc" - $"p" * $"p" / lit(vv), lit(0.0))) / sqrt($"cc")),
+              $"cc" - (if (vv == 0.0) lit(0.0)
+                else $"p" * $"p" / lit(vv)),
+              lit(0.0))) / sqrt($"cc")),
             4)).as("resid_ratio"))
         .orderBy($"vec_id")
     }),
@@ -2415,8 +2429,10 @@ object Similarity {
       def renorm(uprev: String, out: String): String =
         s"""$out AS MATERIALIZED (
              SELECT i AS j,
-               floor(u / (SELECT max(abs(u)) FROM $uprev)
-                 * 1000000.0) / 1000000.0 AS val
+               CASE WHEN (SELECT max(abs(u)) FROM $uprev) = 0
+                 THEN CAST(0.0 AS DOUBLE)
+                 ELSE floor(u / (SELECT max(abs(u)) FROM $uprev)
+                   * 1000000.0) / 1000000.0 END AS val
              FROM $uprev)"""
       s"""WITH qv AS MATERIALIZED (
            SELECT vec_id, list_transform(embedding, v ->
@@ -2477,12 +2493,14 @@ object Similarity {
            SELECT * FROM pc, vv
            ORDER BY abs(p) DESC, vec_id LIMIT 20)
          SELECT vec_id,
-           round(p / sqrt(vv), 6) + 0.0 AS proj,
+           round(CASE WHEN vv = 0 THEN 0.0 ELSE p / sqrt(vv) END, 6)
+             + 0.0 AS proj,
            round(sqrt(cc), 6) + 0.0 AS orig_norm,
-           round(sqrt(greatest(cc - p * p / vv, 0.0)), 6) + 0.0
-             AS resid_norm,
+           round(sqrt(greatest(cc - CASE WHEN vv = 0 THEN 0.0
+             ELSE p * p / vv END, 0.0)), 6) + 0.0 AS resid_norm,
            round(CASE WHEN cc = 0 THEN 0.0
-             ELSE sqrt(greatest(cc - p * p / vv, 0.0)) / sqrt(cc)
+             ELSE sqrt(greatest(cc - CASE WHEN vv = 0 THEN 0.0
+               ELSE p * p / vv END, 0.0)) / sqrt(cc)
              END, 4) + 0.0 AS resid_ratio
          FROM top ORDER BY vec_id"""
     },

@@ -25,6 +25,83 @@ class MomentWidthSpec extends SparkSpec {
     }
   }
 
+  test("q157 rolling corr survives daily sums past the 2^31 ceiling") {
+    // two types, 8 days, one event/day with cents ≈ 9e9 (> 2^31):
+    // the squared window moments (~8.1e19·7) overflow BIGINT, so the
+    // pre-escalation long window moments would ANSI-throw; the
+    // decimal(38,0) moments must produce the exact Pearson
+    val base = java.sql.Timestamp.valueOf("2024-01-01 12:00:00")
+    def ts(day: Int) = new java.sql.Timestamp(
+      base.getTime + day * 86400000L)
+    // y = a·x + noise keeps corr well inside (0, 1) — a boundary-free
+    // assertion target
+    val xs = (0 until 8).map(i => 9.0e7 + i * 31000 + (i % 3) * 7000)
+    val ys = (0 until 8).map(i => 1.8e8 + i * 62000 + (i % 2) * 9000)
+    val events = (0 until 8).flatMap { i =>
+      Seq(("alpha", xs(i), ts(i)), ("beta", ys(i), ts(i)))
+    }.toDF("event_type", "value", "ts")
+    val rows = Frontier2.rollingCorr(events).collect()
+    // 8 grid days → windows with n=7 at day 6 and day 7
+    assert(rows.length == 2)
+    def expected(off: Int): Double = {
+      val cx = xs.slice(off, off + 7).map(v => BigInt(math.round(v * 100)))
+      val cy = ys.slice(off, off + 7).map(v => BigInt(math.round(v * 100)))
+      val n = BigInt(7)
+      val (sx, sy) = (cx.sum, cy.sum)
+      val sxy = cx.zip(cy).map { case (a, b) => a * b }.sum
+      val (sxx, syy) = (cx.map(a => a * a).sum, cy.map(a => a * a).sum)
+      val num = (n * sxy - sx * sy).toDouble
+      val den = math.sqrt((n * sxx - sx * sx).toDouble *
+        (n * syy - sy * sy).toDouble)
+      math.rint(num / den * 10000) / 10000
+    }
+    rows.zipWithIndex.foreach { case (r, i) =>
+      assert(math.abs(r.getAs[Double]("corr7") - expected(i)) < 2e-4,
+        s"window $i: ${r.getAs[Double]("corr7")} vs ${expected(i)}")
+    }
+  }
+
+  test("q100 assortativity escalates to decimal past 64-bit products") {
+    // degree pairs whose products exceed Long.MaxValue: 4e9² =
+    // 1.6e19 — try_multiply nulls, the overflow counter fires, and
+    // the decimal recompute must match the BigInt reference
+    val dxy = Seq((4_000_000_000L, 3_900_000_000L),
+      (3_800_000_000L, 4_100_000_000L),
+      (100L, 200L), (250L, 50L), (7L, 4_000_000_123L))
+    val out = Graph.assortativityFromDxDy(
+      dxy.toDF("dx", "dy")).collect().head
+    val n = BigInt(dxy.size)
+    val bx = dxy.map(p => BigInt(p._1))
+    val by = dxy.map(p => BigInt(p._2))
+    val (sx, sy) = (bx.sum, by.sum)
+    val sxy = bx.zip(by).map { case (a, b) => a * b }.sum
+    val (sxx, syy) = (bx.map(a => a * a).sum, by.map(a => a * a).sum)
+    val exp = (n * sxy - sx * sy).toDouble /
+      math.sqrt((n * sxx - sx * sx).toDouble *
+        (n * syy - sy * sy).toDouble)
+    assert(out.getAs[Long]("n") == 5L)
+    assert(math.abs(out.getAs[Double]("assortativity") -
+      math.rint(exp * 10000) / 10000) < 2e-4)
+  }
+
+  test("q100 fast path (no overflow) matches the same reference") {
+    val dxy = Seq((10L, 20L), (20L, 10L), (10L, 30L),
+      (30L, 10L), (20L, 30L), (30L, 20L))
+    val out = Graph.assortativityFromDxDy(
+      dxy.toDF("dx", "dy")).collect().head
+    val n = BigInt(dxy.size)
+    val bx = dxy.map(p => BigInt(p._1))
+    val by = dxy.map(p => BigInt(p._2))
+    val (sx, sy) = (bx.sum, by.sum)
+    val sxy = bx.zip(by).map { case (a, b) => a * b }.sum
+    val (sxx, syy) = (bx.map(a => a * a).sum, by.map(a => a * a).sum)
+    val exp = (n * sxy - sx * sy).toDouble /
+      math.sqrt((n * sxx - sx * sx).toDouble *
+        (n * syy - sy * sy).toDouble)
+    assert(math.abs(out.getAs[Double]("assortativity") -
+      math.rint(exp * 10000) / 10000) < 2e-4)
+  }
+
   test("decimal-width momentStats stays exact beyond the long bound") {
     val row = Relational.momentStats(events).collect().head
     // replicate the moments exactly with BigInt
