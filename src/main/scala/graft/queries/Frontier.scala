@@ -868,9 +868,16 @@ object Frontier {
           struct($"a".as("src"), $"b".as("dst")),
           struct($"b".as("src"), $"a".as("dst")))).as("x"))
         .select($"x.src", $"x.dst")
-      val wedges = sym.groupBy($"src")
+      // degree cap BEFORE the neighbor collect (r11 CollectGuard
+      // discipline, same as q108): sym has no duplicate (src,dst),
+      // so the degree pre-join equals the old post-collect size
+      // filter and the buffer is ≤ 64 rows by construction
+      val deg = sym.groupBy($"src").agg(count(lit(1)).as("dc"))
+      val wedges = sym
+        .join(deg.filter($"dc" >= 2 && $"dc" <= 64).select($"src"),
+          Seq("src"))
+        .groupBy($"src")
         .agg(sort_array(collect_set($"dst")).as("ns"))
-        .filter(size($"ns") >= 2 && size($"ns") <= 64)
         .withColumn("wq",
           floor(lit(1000000.0) / log(size($"ns").cast("double")))
             .cast("long"))

@@ -413,9 +413,17 @@ object Graph {
         .select($"x.src", $"x.dst")
       val deg = sym.groupBy($"src".as("node"))
         .agg(count(lit(1)).as("deg"))
-      val cn = sym.groupBy($"src")
+      // the degree cap applies BEFORE the neighbor collect (r11
+      // CollectGuard discipline): sym has no duplicate (src,dst) —
+      // e is distinct pairs — so deg == size(collect_set) and the
+      // pre-join is exactly the old post-collect size filter, but a
+      // hub never buffers its full adjacency (buffer ≤ 64 rows by
+      // construction); the deg join co-partitions with the groupBy
+      val cn = sym
+        .join(deg.filter($"deg" <= 64).select($"node".as("src")),
+          Seq("src"))
+        .groupBy($"src")
         .agg(sort_array(collect_set($"dst")).as("ns"))
-        .filter(size($"ns") <= 64)
         .select(explode(expr(
           """flatten(transform(ns, (x, i) ->
              transform(slice(ns, i + 2, size(ns)),
