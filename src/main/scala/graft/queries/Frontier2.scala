@@ -171,9 +171,10 @@ object Frontier2 {
     // propagation communities (Newman Q: Σ_c [e_c/m − (d_c/2m)²]).
     // Without it, "we found communities" is unfalsifiable; with it,
     // partition changes (more LPA rounds, a different seed graph) are
-    // comparable numbers. The labels replay q101's exact 4-round loop
-    // (same broadcast-join form, same per-round LogicalRDD rebase
-    // killing the 2^r plan blow-up); e_c is one edges⋈labels⋈labels
+    // comparable numbers. The labels come from Graph.lpaLabels — the
+    // SESSION-SHARED materialization of q101's exact 4-round loop
+    // (r11 verdict item #5: both queries replayed the identical loop
+    // for byte-identical labels); e_c is one edges⋈labels⋈labels
     // join, d_c one degree rollup. The per-community contribution is
     // the EXACT integer 4m·e_c − d_c² (the cross-multiplied form —
     // zero floats until the final /4m² assembly); global Q sums the
@@ -191,24 +192,7 @@ object Frontier2 {
         .select($"x.src", $"x.dst")
         .persist(StorageLevel.MEMORY_AND_DISK)
       val m = e.count()
-      var labels = sym.select($"src".as("node")).distinct()
-        .select($"node", $"node".as("lab"))
-      var prev: Option[DataFrame] = None
-      for (_ <- 1 to 4) {
-        val updated = sym
-          .join(broadcast(labels), $"src" === $"node")
-          .groupBy($"dst", $"lab").agg(count(lit(1)).as("c"))
-          .groupBy($"dst")
-          .agg(max(struct($"c", (-$"lab").as("nl"))).as("mm"))
-          .select($"dst".as("node"), (-$"mm.nl").as("lab"))
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        updated.count()
-        val flat = s.createDataFrame(updated.rdd, updated.schema)
-        prev.foreach(_.unpersist(false))
-        prev = Some(updated)
-        labels = flat
-      }
-      val labs = labels.persist(StorageLevel.MEMORY_AND_DISK)
+      val labs = graft.queries.Graph.lpaLabels(s, d)
       val deg = sym.groupBy($"src".as("node"))
         .agg(count(lit(1)).as("deg"))
       val comm = labs.join(deg, Seq("node"))

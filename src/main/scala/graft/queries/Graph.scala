@@ -356,38 +356,14 @@ object Graph {
     // that's dedup_clusters' machinery): 4 SYNCHRONOUS rounds where
     // each node adopts the most frequent label among its neighbors,
     // ties broken by smallest label — a total order, so the rounds
-    // replay identically in the oracle's unrolled CTE chain. Per
-    // round: one edge⋈labels broadcast join (labels are node-sized),
-    // a (dst, label) count agg, and the argmax as max(struct(count,
-    // -label)) — a map-side-collapsible agg, NO per-node window.
-    // Rounds rebase onto their materialized RDD (the q75/q87 lineage
-    // discipline) and ride the session-shared edge frame.
+    // replay identically in the oracle's unrolled CTE chain. The
+    // label frame itself is SESSION-SHARED via [[lpaLabels]] (r11
+    // verdict item #5): q158_modularity scores the identical
+    // partition, and both replaying the 4-round loop doubled ~150 s
+    // of fleet cpu for byte-identical labels.
     "q101_label_propagation" -> ((s, d) => {
       import s.implicits._
-      val sym = coOccurrencePairCounts(s, d)
-        .select(explode(array(
-          struct($"a".as("src"), $"b".as("dst")),
-          struct($"b".as("src"), $"a".as("dst")))).as("e"))
-        .select($"e.src", $"e.dst")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      var labels = sym.select($"src".as("node")).distinct()
-        .select($"node", $"node".as("lab"))
-      var prev: Option[DataFrame] = None
-      for (_ <- 1 to 4) {
-        val updated = sym
-          .join(broadcast(labels), $"src" === $"node")
-          .groupBy($"dst", $"lab").agg(count(lit(1)).as("c"))
-          .groupBy($"dst")
-          .agg(max(struct($"c", (-$"lab").as("nl"))).as("m"))
-          .select($"dst".as("node"), (-$"m.nl").as("lab"))
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        updated.count()
-        val flat = s.createDataFrame(updated.rdd, updated.schema)
-        prev.foreach(_.unpersist(false))
-        prev = Some(updated)
-        labels = flat
-      }
-      labels.groupBy($"lab".as("community"))
+      lpaLabels(s, d).groupBy($"lab".as("community"))
         .agg(count(lit(1)).as("n_members"),
           min($"node").as("min_node"), max($"node").as("max_node"))
         .orderBy($"community")
@@ -533,6 +509,68 @@ object Graph {
     * stance, available when wanted — the default measures the shared
     * shape a real session runs).
     */
+  /** One scratch-parquet label table per dataset dir per JVM —
+    * [[lpaLabels]]'s twin of [[pairCountPaths]]. */
+  private val lpaLabelPaths =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The 4-round synchronous LPA label frame (node, lab) over the
+    * co-occurrence graph — q101's loop, factored out because
+    * q158_modularity scores the IDENTICAL partition: before sharing,
+    * both queries replayed the full loop from scratch (~150 s
+    * combined cpu per fleet run, the r11 verdict's watch item). Per
+    * round: one edge⋈labels broadcast join (labels are node-sized),
+    * a (dst, label) count agg, the argmax as max(struct(count,
+    * −label)) — map-side-collapsible, no per-node window — and a
+    * LogicalRDD rebase (the q75/q87 lineage discipline).
+    *
+    * MATERIALIZED ONCE PER SESSION to scratch parquet, exactly like
+    * [[coOccurrencePairCounts]]: the 100 TB user computes communities
+    * once and points every downstream scorer at the label table.
+    * `GRAFT_GRAPH_EDGE_ISOLATED=1` restores the in-plan rebuild for
+    * per-operator timing.
+    */
+  def lpaLabels(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame = {
+    import s.implicits._
+    def build: DataFrame = {
+      val sym = coOccurrencePairCounts(s, d)
+        .select(explode(array(
+          struct($"a".as("src"), $"b".as("dst")),
+          struct($"b".as("src"), $"a".as("dst")))).as("e"))
+        .select($"e.src", $"e.dst")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      var labels = sym.select($"src".as("node")).distinct()
+        .select($"node", $"node".as("lab"))
+      var prev: Option[DataFrame] = None
+      for (_ <- 1 to 4) {
+        val updated = sym
+          .join(broadcast(labels), $"src" === $"node")
+          .groupBy($"dst", $"lab").agg(count(lit(1)).as("c"))
+          .groupBy($"dst")
+          .agg(max(struct($"c", (-$"lab").as("nl"))).as("m"))
+          .select($"dst".as("node"), (-$"m.nl").as("lab"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        updated.count()
+        val flat = s.createDataFrame(updated.rdd, updated.schema)
+        prev.foreach(_.unpersist(false))
+        prev = Some(updated)
+        labels = flat
+      }
+      labels
+    }
+    if (sys.env.contains("GRAFT_GRAPH_EDGE_ISOLATED")) build
+    else {
+      val path = lpaLabelPaths.computeIfAbsent(d, _ => {
+        val p = graft.ScratchDir.path(
+          "lpa-" + d.replaceAll("[^A-Za-z0-9._-]", "_"))
+        build.write.mode("overwrite").parquet(p)
+        p
+      })
+      s.read.parquet(path).persist(StorageLevel.MEMORY_AND_DISK)
+    }
+  }
+
   def coOccurrencePairCounts(s: org.apache.spark.sql.SparkSession,
       d: String): DataFrame = {
     import s.implicits._
