@@ -48,10 +48,13 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    // manifest of ALL query names (oracle-less ones included) so the
-    // compare harness can flag a query that crashed and produced no
-    // output dir — otherwise a rows-only query failure is invisible
-    val manifest = SparkEntry.queries.keys.toSeq.sorted
+    // manifest of the SELECTED query names (oracle-less ones
+    // included) so the compare harness can flag a query that crashed
+    // and produced no output dir — otherwise a rows-only query
+    // failure is invisible. Under SPARK_GRAFT_ONLY (local subset
+    // iteration; the driver never sets it) the manifest shrinks to
+    // the subset so the local compare doesn't flag the unrun rest.
+    val manifest = selected.keys.toSeq.sorted
       .map(q).mkString("[", ",", "]")
     Files.writeString(Paths.get(s"$outDir/queries.json"), manifest)
     spark.stop()

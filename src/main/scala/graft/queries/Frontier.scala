@@ -757,22 +757,10 @@ object Frontier {
     // escalation wired.
     "q149_price_elasticity" -> ((s, d) => {
       import s.implicits._
-      val t = Tables.load(s, d, "lineitem")
+      elasticitySlopes(Tables.load(s, d, "lineitem")
         .select(($"l_partkey" % 8).as("segment"),
           round($"l_discount" * 100).cast("long").as("x"),
-          round($"l_quantity" * 100).cast("long").as("y"))
-      t.groupBy($"segment")
-        .agg(count(lit(1)).as("n"), sum($"x").as("sx"),
-          sum($"y").as("sy"), sum($"x" * $"x").as("sxx"),
-          sum($"x" * $"y").as("sxy"))
-        .select($"segment", $"n",
-          Tables.nz(round(
-            ($"n".cast("double") * $"sxy".cast("double") -
-              $"sx".cast("double") * $"sy".cast("double")) /
-            ($"n".cast("double") * $"sxx".cast("double") -
-              $"sx".cast("double") * $"sx".cast("double")), 6))
-            .as("slope_centi_units_per_pct"))
-        .orderBy($"segment")
+          round($"l_quantity" * 100).cast("long").as("y")))
     }),
 
     // Duplicate-invoice detector: order pairs by the SAME customer
@@ -986,6 +974,33 @@ object Frontier {
            i -> ${fold(graft.functions.PolyHash.B1)} * $M +
                 ${fold(graft.functions.PolyHash.B2)}))
        ELSE CAST([] AS BIGINT[]) END"""
+  }
+
+  /** q149's per-segment OLS rollup, factored so MomentWidthSpec can
+    * pin the documented width bound. Input: one row per observation
+    * with long columns (segment, x, y). Moments stay EXACT longs —
+    * no escalation wired, by VALUE-domain bound (r11 verdict item
+    * #4): x ≤ 10 pct-units and y ≤ 5000 centi-units in production,
+    * so the largest partial Σxy ≤ 5·10⁴·rows and the long ceiling
+    * lands at ~1.8e14 lineitem rows ≈ sf 30M, three orders past the
+    * 100 TB target. Past the ceiling the ANSI sum fails LOUD
+    * (spec-pinned), never wraps silently.
+    */
+  private[queries] def elasticitySlopes(t: DataFrame): DataFrame = {
+    val s = t.sparkSession
+    import s.implicits._
+    t.groupBy($"segment")
+      .agg(count(lit(1)).as("n"), sum($"x").as("sx"),
+        sum($"y").as("sy"), sum($"x" * $"x").as("sxx"),
+        sum($"x" * $"y").as("sxy"))
+      .select($"segment", $"n",
+        Tables.nz(round(
+          ($"n".cast("double") * $"sxy".cast("double") -
+            $"sx".cast("double") * $"sy".cast("double")) /
+          ($"n".cast("double") * $"sxx".cast("double") -
+            $"sx".cast("double") * $"sx".cast("double")), 6))
+          .as("slope_centi_units_per_pct"))
+      .orderBy($"segment")
   }
 
   def oracles: Map[String, String] = Map(

@@ -224,12 +224,16 @@ object Frontier3 {
           // rows, so the Jaccard denominator is |A|+|B|−|A∩B|, not
           // the hardcoded 100−ov; k reports the realized draw size
           sum($"a").as("ka"), sum($"b").as("kb"), sum($"c").as("kc"))
+        // nullif on the union size: both draws empty (possible only
+        // on an empty corpus, where the sums are NULL anyway, but the
+        // guard keeps the div total under ANSI — same degenerate-
+        // corpus symmetry as emb_abtt's vv=0 projection)
         .select($"ka".as("k"), $"ov_ab", $"ov_ac", $"ov_bc",
-          expr("ov_ab * 1000 div (ka + kb - ov_ab)")
+          expr("ov_ab * 1000 div nullif(ka + kb - ov_ab, 0)")
             .as("jac_ab_milli"),
-          expr("ov_ac * 1000 div (ka + kc - ov_ac)")
+          expr("ov_ac * 1000 div nullif(ka + kc - ov_ac, 0)")
             .as("jac_ac_milli"),
-          expr("ov_bc * 1000 div (kb + kc - ov_bc)")
+          expr("ov_bc * 1000 div nullif(kb + kc - ov_bc, 0)")
             .as("jac_bc_milli"))
     }),
 
@@ -861,11 +865,11 @@ object Frontier3 {
              CAST(sum(c) AS BIGINT) AS kc
            FROM fl)
          SELECT ka AS k, ov_ab, ov_ac, ov_bc,
-           CAST(ov_ab * 1000 // (ka + kb - ov_ab) AS BIGINT)
+           CAST(ov_ab * 1000 // nullif(ka + kb - ov_ab, 0) AS BIGINT)
              AS jac_ab_milli,
-           CAST(ov_ac * 1000 // (ka + kc - ov_ac) AS BIGINT)
+           CAST(ov_ac * 1000 // nullif(ka + kc - ov_ac, 0) AS BIGINT)
              AS jac_ac_milli,
-           CAST(ov_bc * 1000 // (kb + kc - ov_bc) AS BIGINT)
+           CAST(ov_bc * 1000 // nullif(kb + kc - ov_bc, 0) AS BIGINT)
              AS jac_bc_milli
          FROM ov"""
     },

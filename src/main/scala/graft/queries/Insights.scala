@@ -796,30 +796,8 @@ object Insights {
           .select(col("v").as(c),
             (lit(2L) * col("cum") - col("cnt") + 1L).as(out))
       }
-      // moments in decimal(38,0) (q25/q118 discipline, applied per
-      // the r9 advice instead of just documented): Σrank² ≈ 4n³
-      // overflows BIGINT past n ≈ 1.3e6 customers — corpus scale,
-      // not edge case. Products form in long (safe to n ~ 1.5e9, the
-      // decimal bound documented at q92), sums accumulate exactly in
-      // decimal; the final assembly already casts to double.
-      val dec = "decimal(38,0)"
-      cust.join(ranks2("x", "rx"), Seq("x"))
-        .join(ranks2("y", "ry"), Seq("y"))
-        .agg(count(lit(1)).as("n"),
-          sum($"rx".cast(dec)).as("sx"),
-          sum($"ry".cast(dec)).as("sy"),
-          sum(($"rx" * $"rx").cast(dec)).as("sxx"),
-          sum(($"ry" * $"ry").cast(dec)).as("syy"),
-          sum(($"rx" * $"ry").cast(dec)).as("sxy"))
-        .select($"n".as("n_cust"),
-          Tables.nz(round(
-            ($"n".cast("double") * $"sxy".cast("double") -
-             $"sx".cast("double") * $"sy".cast("double")) /
-            (sqrt($"n".cast("double") * $"sxx".cast("double") -
-               $"sx".cast("double") * $"sx".cast("double")) *
-             sqrt($"n".cast("double") * $"syy".cast("double") -
-               $"sy".cast("double") * $"sy".cast("double"))), 4))
-            .as("spearman_rho"))
+      spearmanFromScaledRanks(cust.join(ranks2("x", "rx"), Seq("x"))
+        .join(ranks2("y", "ry"), Seq("y")))
     }),
 
     // Additive seasonal decomposition (STL-lite) of daily event value
@@ -1242,6 +1220,41 @@ object Insights {
     }),
 
   )
+
+  /** q126's moment pass + ρ assembly, factored so MomentWidthSpec
+    * can drive it with ×2-scaled ranks past the 64-bit sum ceiling.
+    * Input: one row per customer with long columns (rx, ry) — the
+    * tie-averaged ranks ×2. Moments in decimal(38,0) (q25/q118
+    * discipline, applied per the r9 advice instead of just
+    * documented): Σrank² ≈ 4n³ overflows BIGINT past n ≈ 1.3e6
+    * customers — corpus scale, not edge case. Products form in long
+    * (safe to n ~ 1.5e9, the decimal bound documented at q92), sums
+    * accumulate exactly in decimal; the final assembly casts to
+    * double once. The ×2 scaling cancels in ρ.
+    */
+  private[queries] def spearmanFromScaledRanks(
+      ranked: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val s = ranked.sparkSession
+    import s.implicits._
+    val dec = "decimal(38,0)"
+    ranked
+      .agg(count(lit(1)).as("n"),
+        sum($"rx".cast(dec)).as("sx"),
+        sum($"ry".cast(dec)).as("sy"),
+        sum(($"rx" * $"rx").cast(dec)).as("sxx"),
+        sum(($"ry" * $"ry").cast(dec)).as("syy"),
+        sum(($"rx" * $"ry").cast(dec)).as("sxy"))
+      .select($"n".as("n_cust"),
+        Tables.nz(round(
+          ($"n".cast("double") * $"sxy".cast("double") -
+           $"sx".cast("double") * $"sy".cast("double")) /
+          (sqrt($"n".cast("double") * $"sxx".cast("double") -
+             $"sx".cast("double") * $"sx".cast("double")) *
+           sqrt($"n".cast("double") * $"syy".cast("double") -
+             $"sy".cast("double") * $"sy".cast("double"))), 4))
+          .as("spearman_rho"))
+  }
 
   /** One UNION ALL arm of the q112 oracle — the count-of-counts
     * cumulative formulation replayed per key column.

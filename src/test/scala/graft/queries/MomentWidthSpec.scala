@@ -102,6 +102,86 @@ class MomentWidthSpec extends SparkSpec {
       math.rint(exp * 10000) / 10000) < 2e-4)
   }
 
+  test("q126 spearman rank moments survive sums past the 64-bit bound") {
+    // ×2-scaled ranks of a ~1.5e9-customer corpus: rx ≈ 3e9, so each
+    // product rx² ≈ 9e18 still fits a long but THREE of them do not —
+    // the decimal(38,0) accumulation is what keeps Σrank² exact
+    val rx = Seq(3_000_000_000L, 2_900_000_000L, 2_800_000_000L,
+      2_700_000_000L, 2_600_000_000L)
+    val ry = Seq(2_600_000_000L, 2_900_000_000L, 2_700_000_000L,
+      3_000_000_000L, 2_800_000_000L)
+    val out = Insights.spearmanFromScaledRanks(
+      rx.zip(ry).toDF("rx", "ry")).collect().head
+    val n = BigInt(rx.size)
+    val (bx, by) = (rx.map(BigInt(_)), ry.map(BigInt(_)))
+    val (sx, sy) = (bx.sum, by.sum)
+    val sxy = bx.zip(by).map { case (a, b) => a * b }.sum
+    val (sxx, syy) = (bx.map(a => a * a).sum, by.map(a => a * a).sum)
+    assert(sxx > BigInt(Long.MaxValue), "case must exceed the long sum")
+    val exp = (n * sxy - sx * sy).toDouble /
+      (math.sqrt((n * sxx - sx * sx).toDouble) *
+       math.sqrt((n * syy - sy * sy).toDouble))
+    assert(out.getAs[Long]("n_cust") == 5L)
+    assert(math.abs(out.getAs[Double]("spearman_rho") -
+      math.rint(exp * 10000) / 10000) < 2e-4)
+  }
+
+  test("q131 neighbor-degree mass is exact at the documented bound " +
+      "and fails loud past it") {
+    // documented bound: Σnbr_deg per bucket < 2^63 by value domain.
+    // Four rows of 2.3e18 land at 9.2e18 — under Long.MaxValue by
+    // 0.25% — and must come back EXACT (a double path would be ~1e3
+    // off at this magnitude); a fifth row crosses 2^63 and the ANSI
+    // sum must throw, never wrap.
+    def rows(n: Int) = (1 to n).map(i =>
+      (i.toLong, 5L, 2_300_000_000_000_000_000L))
+    val ok = Graph.avgNeighborDegreeBuckets(
+      rows(4).toDF("src", "deg", "nbr_deg")).collect()
+    assert(ok.length == 1)
+    assert(ok.head.getAs[Long]("bucket") == 2L) // bin(5)="101"
+    assert(ok.head.getAs[Long]("n_nodes") == 4L)
+    assert(ok.head.getAs[Long]("n_endpoints") == 4L)
+    assert(ok.head.getAs[Long]("nbr_deg_mass") ==
+      9_200_000_000_000_000_000L)
+    assert(math.abs(ok.head.getAs[Double]("avg_nbr_deg") /
+      2.3e18 - 1.0) < 1e-12)
+    intercept[Exception] {
+      Graph.avgNeighborDegreeBuckets(
+        rows(5).toDF("src", "deg", "nbr_deg")).collect()
+    }
+  }
+
+  test("q149 elasticity moments are exact near the documented bound " +
+      "and fail loud past it") {
+    // value-domain bound: Σxy grows with rows, documented long-safe
+    // to ~sf 30M. Near-bound exactness: products ≈ 4.4e18 summing to
+    // 8.4e18 (under 2^63) must assemble the exact slope; one more
+    // magnitude step and the ANSI sum throws instead of wrapping.
+    val t = Seq((1L, 2_100_000_000L, 2_000_000_000L),
+      (1L, 2_000_000_000L, 2_150_000_000L))
+      .toDF("segment", "x", "y")
+    val out = Frontier.elasticitySlopes(t).collect().head
+    val (bx, by) = (Seq(BigInt(2100000000L), BigInt(2000000000L)),
+      Seq(BigInt(2000000000L), BigInt(2150000000L)))
+    val n = BigInt(2)
+    val (sx, sy) = (bx.sum, by.sum)
+    val sxy = bx.zip(by).map { case (a, b) => a * b }.sum
+    val sxx = bx.map(a => a * a).sum
+    assert((sxx + sxy) > BigInt(Long.MaxValue) / 2,
+      "case must sit near the long bound")
+    val exp = (n * sxy - sx * sy).toDouble /
+      (n * sxx - sx * sx).toDouble
+    assert(out.getAs[Long]("n") == 2L)
+    assert(math.abs(out.getAs[Double]("slope_centi_units_per_pct") -
+      math.rint(exp * 1000000) / 1000000) < 2e-6)
+    intercept[Exception] {
+      Frontier.elasticitySlopes(
+        Seq((1L, 2_200_000_000L, 2_200_000_000L),
+          (1L, 2_200_000_000L, 2_200_000_000L))
+          .toDF("segment", "x", "y")).collect()
+    }
+  }
+
   test("decimal-width momentStats stays exact beyond the long bound") {
     val row = Relational.momentStats(events).collect().head
     // replicate the moments exactly with BigInt

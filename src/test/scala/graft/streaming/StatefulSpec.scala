@@ -365,4 +365,86 @@ class StatefulSpec extends SparkSpec {
       }
     }
   }
+
+  test("windowTopKStream: restart across a window close — MapState and " +
+      "timer survive the checkpoint; leaderboard emitted exactly once") {
+    val prev = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // memory sink can't recover from a checkpoint — file source +
+      // foreachBatch is the restartable shape (heavy-hitters spec's
+      // pattern). Lines are "event_type<TAB>yyyy-MM-dd HH:mm:ss".
+      val dir = java.nio.file.Files.createTempDirectory("graft-wtk-in")
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-wtk-ck")
+      val seen = new java.util.concurrent.ConcurrentLinkedQueue[
+        StreamOps.WindowTopK]()
+      def start() = StreamOps.windowTopKStream(
+        spark.readStream.text(dir.toString).as[String]
+          .map { l =>
+            // Timestamp.valueOf inline: calling the spec's ts helper
+            // here would capture the (non-serializable) suite instance
+            val p = l.split("\t", 2)
+            StreamOps.WinEvent(p(0), java.sql.Timestamp.valueOf(p(1)))
+          },
+        windowMs = 600000L, watermarkDelay = "0 seconds", k = 2)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt.toString)
+        .foreachBatch {
+          (df: org.apache.spark.sql.Dataset[StreamOps.WindowTopK],
+              _: Long) => df.collect().foreach(seen.add)
+        }.start()
+      def feed(name: String, lines: (String, String)*): Unit =
+        java.nio.file.Files.writeString(dir.resolve(name),
+          lines.map { case (t, w) => s"$t\t$w" }.mkString("\n"))
+      // pre-restart: the 10:00 window accumulates, stays OPEN
+      feed("b1.txt",
+        "view" -> "2024-01-01 10:01:00",
+        "view" -> "2024-01-01 10:02:00",
+        "click" -> "2024-01-01 10:03:00",
+        "view" -> "2024-01-01 10:04:00",
+        "purchase" -> "2024-01-01 10:05:00",
+        "click" -> "2024-01-01 10:06:00")
+      val q1 = start()
+      q1.processAllAvailable()
+      q1.stop()
+      assert(seen.isEmpty, "window closed before the restart")
+      // restart from the checkpoint: one more in-window event must
+      // ACCUMULATE onto the recovered MapState (view 3 -> 4)
+      feed("b2.txt", "view" -> "2024-01-01 10:07:00")
+      val q2 = start()
+      q2.processAllAvailable()
+      // advance the watermark past the window end; the (recovered)
+      // timer fires on the batch AFTER the watermark passes it
+      feed("b3.txt", "drain" -> "2024-01-01 10:21:00")
+      q2.processAllAvailable()
+      feed("b4.txt", "drain" -> "2024-01-01 10:22:00")
+      q2.processAllAvailable()
+      val w0 = ts("2024-01-01 10:00:00").getTime
+      val out = seen.toArray.map(_.asInstanceOf[StreamOps.WindowTopK])
+        .filter(_.window_start == w0).sortBy(_.rank)
+      assert(out.length == 2,
+        s"exactly-once window close across restart, got ${out.toSeq}")
+      assert(out(0) == StreamOps.WindowTopK(w0, 1L, "view", 4L),
+        "post-restart event did not accumulate onto recovered state")
+      assert(out(1) == StreamOps.WindowTopK(w0, 2L, "click", 2L))
+      // drain the 10:20 window too and re-check no duplicate emission
+      feed("b5.txt", "drain" -> "2024-01-01 11:00:00")
+      q2.processAllAvailable()
+      feed("b6.txt", "drain" -> "2024-01-01 11:00:01")
+      q2.processAllAvailable()
+      q2.stop()
+      val all = seen.toArray.map(_.asInstanceOf[StreamOps.WindowTopK])
+      assert(all.count(_.window_start == w0) == 2,
+        "closed window re-emitted after further progress")
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set(
+          "spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset(
+          "spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
