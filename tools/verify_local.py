@@ -94,21 +94,90 @@ def compare(name: str, spark_df: pd.DataFrame, oracle_df: pd.DataFrame):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify"
-    con = duckdb.connect()
+    # positional: sfDir outDir; flags: --only=a,b  --skip=a,b
+    # --timeout=SECS (per-oracle watchdog via duckdb interrupt —
+    # a timed-out oracle reports [SLOW] and the run continues; used
+    # by the sf1 gate where a handful of dedup oracles are
+    # DuckDB-quadratic and get dedicated passes)
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    flags = dict(a[2:].split("=", 1) for a in sys.argv[1:]
+                 if a.startswith("--") and "=" in a)
+    only = set(flags["only"].split(",")) if "only" in flags else None
+    skip = set(flags["skip"].split(",")) if "skip" in flags else set()
+    timeout = float(flags["timeout"]) if "timeout" in flags else None
+    sf_dir = args[0] if len(args) > 0 else "/root/testdata/sf0.01"
+    out_dir = args[1] if len(args) > 1 else "/tmp/graft_verify"
     import os
-    for t in TABLES:
-        # driver testdata is one file per table; Sf1Probe writes
-        # Spark-style directories — glob those
-        p = f"{sf_dir}/{t}.parquet"
-        if os.path.isdir(p):
-            p = f"{p}/*.parquet"
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+    def connect():
+        c = duckdb.connect()
+        # out-of-core: an in-memory duckdb has NO temp_directory, so a
+        # bigger-than-memory oracle OOMs instead of spilling; give it
+        # one, plus a cap so one oracle can't take the whole box
+        c.sql("SET temp_directory='/tmp/duck_spill'")
+        c.sql(f"SET memory_limit='{flags.get('mem', '48GB')}'")
+        for t in TABLES:
+            # driver testdata is one file per table; Sf1Probe writes
+            # Spark-style directories — glob those
+            p = f"{sf_dir}/{t}.parquet"
+            if os.path.isdir(p):
+                p = f"{p}/*.parquet"
+            c.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+        return c
+
+    # --fork: one subprocess per oracle — an interrupted or OOM-killed
+    # heavy oracle can poison duckdb's process-wide allocator (seen on
+    # the sf1 gate: after two interrupts even a FRESH connection OOMs
+    # on CREATE VIEW), so full process isolation is the only reliable
+    # containment. The child is this same script with --only=<name>.
+    if "fork" in flags:
+        import subprocess
+        manifest_path = f"{out_dir}/queries.json"
+        expected = sorted(
+            set(json.load(open(manifest_path)))
+            if os.path.exists(manifest_path)
+            else set(json.load(open(f"{out_dir}/oracle_sql.json"))))
+        if only is not None:
+            expected = [n for n in expected if n in only]
+        expected = [n for n in expected if n not in skip]
+        n_pass = n_fail = n_slow = 0
+        for name in expected:
+            cmd = [sys.executable, __file__, sf_dir, out_dir,
+                   f"--only={name}"]
+            if timeout:
+                cmd.append(f"--timeout={timeout}")
+            if "mem" in flags:
+                cmd.append(f"--mem={flags['mem']}")
+            try:
+                r = subprocess.run(
+                    cmd, capture_output=True, text=True,
+                    timeout=(timeout * 1.5 + 300) if timeout else None)
+                out = r.stdout
+            except subprocess.TimeoutExpired as e:
+                out = (e.stdout or "") + f"[SLOW] {name}: child killed\n"
+            for line in out.splitlines():
+                if line.startswith(("[ ok ]", "[FAIL]", "[rows]",
+                                    "[SLOW]", "       ")):
+                    print(line, flush=True)
+                    if line.startswith(("[ ok ]", "[rows]")):
+                        n_pass += 1
+                    elif line.startswith("[FAIL]"):
+                        n_fail += 1
+                    elif line.startswith("[SLOW]"):
+                        n_slow += 1
+        slow = f", {n_slow} slow" if n_slow else ""
+        print(f"\n{n_pass} ok, {n_fail} fail{slow}")
+        sys.exit(1 if n_fail else 0)
+
+    con = connect()
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     result_dirs = {p.split("/")[-1]: p for p in glob.glob(f"{out_dir}/*") if not p.endswith(".json")}
-    n_pass = n_fail = 0
+    n_pass = n_fail = n_slow = 0
+    import threading
+    import time as _time
     for name in sorted(result_dirs):
+        if (only is not None and name not in only) or name in skip:
+            continue
         files = glob.glob(f"{result_dirs[name]}/*.parquet")
         if not files:
             print(f"[FAIL] {name}: no spark output parquet")
@@ -119,20 +188,50 @@ def main():
             print(f"[rows] {name}: {len(spark_df)} rows (no oracle — rows-only)")
             n_pass += 1
             continue
+        t0 = _time.time()
+        timed_out = [False]
+        watchdog = None
+        if timeout:
+            def interrupt():
+                timed_out[0] = True
+                con.interrupt()
+            watchdog = threading.Timer(timeout, interrupt)
+            watchdog.start()
         try:
             oracle_df = con.sql(oracles[name]).df()
         except Exception as e:
-            print(f"[FAIL] {name}: oracle SQL error: {e}")
-            n_fail += 1
+            if watchdog:
+                watchdog.cancel()
+            if timed_out[0]:
+                print(f"[SLOW] {name}: oracle exceeded {timeout:.0f}s "
+                      f"— rerun individually with a higher --timeout",
+                      flush=True)
+                n_slow += 1
+            else:
+                print(f"[FAIL] {name}: oracle SQL error: {e}", flush=True)
+                n_fail += 1
+            # an interrupted (or OOM-killed) query can leave the
+            # connection's allocator poisoned — every later query then
+            # fails with bogus tiny-block OOMs. Reconnect fresh.
+            try:
+                con.close()
+            except Exception:
+                pass
+            con = connect()
             continue
+        finally:
+            if watchdog:
+                watchdog.cancel()
+        oracle_sec = _time.time() - t0
         problems = compare(name, spark_df, oracle_df)
         if problems:
-            print(f"[FAIL] {name}:")
+            print(f"[FAIL] {name}:", flush=True)
             for p in problems:
                 print(f"       {p}")
             n_fail += 1
         else:
-            print(f"[ ok ] {name}: {len(spark_df)} rows")
+            print(f"[ ok ] {name}: {len(spark_df)} rows "
+                  f"(oracle {oracle_sec:.1f}s)", flush=True)
             n_pass += 1
     # a crashed query writes no output dir; check against the full
     # manifest (rows-only queries included), not just oracle keys
@@ -140,11 +239,15 @@ def main():
     manifest_path = f"{out_dir}/queries.json"
     expected = set(json.load(open(manifest_path))) \
         if os.path.exists(manifest_path) else set(oracles)
+    if only is not None:
+        expected &= only
+    expected -= skip
     missing = expected - set(result_dirs)
     for name in sorted(missing):
         print(f"[FAIL] {name}: query produced no spark output (crashed?)")
         n_fail += 1
-    print(f"\n{n_pass} ok, {n_fail} fail")
+    slow = f", {n_slow} slow" if n_slow else ""
+    print(f"\n{n_pass} ok, {n_fail} fail{slow}")
     sys.exit(1 if n_fail else 0)
 
 
