@@ -95,7 +95,18 @@ object Sf1Probe {
   /** Union `copies` key-offset (and where needed content-renamed)
     * copies of every table into `dstDir`.
     */
-  def generate(spark: SparkSession): Unit = {
+  def generate(spark: SparkSession): Unit =
+    generate(spark, srcDir, dstDir, "c")
+
+  /** Parameterized variant so [[Sf10Probe]] can stack a second decade
+    * on top of the sf1 corpus with the same scaling discipline. The
+    * `tokenPrefix` must differ per decade (c → d) so the per-copy
+    * token renames stay injective when applied to already-renamed
+    * text, and it salts the embedding sign-flip so sf10's copies
+    * decorrelate from sf1's.
+    */
+  def generate(spark: SparkSession, srcDir: String, dstDir: String,
+      tokenPrefix: String): Unit = {
     import spark.implicits._
 
     def maxOf(t: String, c: String): Long =
@@ -142,14 +153,22 @@ object Sf1Probe {
           if (i == 0) d
           else d
             .withColumn("text",
-              regexp_replace(col("text"), "(\\S+)", s"c${i}_$$1"))
+              regexp_replace(col("text"), "(\\S+)",
+                s"$tokenPrefix${i}_$$1"))
             .withColumn("n_chars", length(col("text")).cast("long"))),
       "embeddings" -> scaled("embeddings", Map("vec_id" -> kVec),
         (d, i) =>
           if (i == 0) d
           else d.withColumn("embedding",
+            // sf1 keeps its original unsalted flip so the corpus on
+            // disk stays byte-reproducible; later decades salt by
+            // prefix so their flips differ from sf1's
             expr(s"transform(embedding, (x, j) -> " +
-              s"CASE WHEN pmod(hash($i, j), 2) = 0 THEN x ELSE -x END)"))))
+              (if (tokenPrefix == "c")
+                s"CASE WHEN pmod(hash($i, j), 2) = 0 "
+              else
+                s"CASE WHEN pmod(hash('$tokenPrefix', $i, j), 2) = 0 ") +
+              s"THEN x ELSE -x END)"))))
 
     out.foreach { case (name, df) =>
       df.write.mode("overwrite").parquet(s"$dstDir/$name.parquet")

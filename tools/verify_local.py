@@ -116,6 +116,10 @@ def main():
         # one, plus a cap so one oracle can't take the whole box
         c.sql("SET temp_directory='/tmp/duck_spill'")
         c.sql(f"SET memory_limit='{flags.get('mem', '48GB')}'")
+        if "threads" in flags:
+            # cap a long-grinding oracle (dedup_clusters' recursive
+            # closure) so it can share the box with timing work
+            c.sql(f"SET threads={int(flags['threads'])}")
         for t in TABLES:
             # driver testdata is one file per table; Sf1Probe writes
             # Spark-style directories — glob those
@@ -148,6 +152,8 @@ def main():
                 cmd.append(f"--timeout={timeout}")
             if "mem" in flags:
                 cmd.append(f"--mem={flags['mem']}")
+            if "threads" in flags:
+                cmd.append(f"--threads={flags['threads']}")
             try:
                 r = subprocess.run(
                     cmd, capture_output=True, text=True,
