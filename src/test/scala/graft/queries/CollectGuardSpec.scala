@@ -78,6 +78,8 @@ class CollectGuardSpec extends SparkSpec {
     "q92_chi_square" -> "type x weekday obs grid, 35 cells",
     "q160_entropy_rate" ->
       "per-state transition rows (event-type enum squared)",
+    "q168_fdr_bh" ->
+      "one-row BH panel, <= |event types| (p, type) structs",
     "q91_source_overlap" -> "per-token source set (source enum)",
     "text_source_purity" -> "per-source lang histogram (lang enum)",
     // --- k-bounded: an explicit top-k / rank filter / limit runs
@@ -89,6 +91,8 @@ class CollectGuardSpec extends SparkSpec {
     "text_zipf_fit" -> "rank <= 100 filter per lang before collect",
     // --- frame-bounded: window collect over an explicit ROWS frame
     "q102_rolling_median" -> "rowsBetween(-4, 0) frame, 5 rows",
+    "q169_conformal_interval" ->
+      "per-type 14-day calibration score list (fixed window)",
     // --- count-table / domain-sized aggregate input
     "q120_survival_km" ->
       "months-bounded risk table, <= span/30 rows",
