@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.{Q, Tables}
@@ -217,7 +218,281 @@ object Frontier4 {
           $"n_covered",
           expr("n_covered * 1000 div n_test").as("coverage_milli"))
         .orderBy($"event_type")
-    }))
+    }),
+
+    // Kendall tau-b between the two segments' daily revenue series —
+    // the CONCORDANCE companion of q167's Pearson CCF on the SAME
+    // series pair: counts agreeing/disagreeing day-pair directions
+    // instead of products, so one $50M outlier day can move it by at
+    // most 1/n0 (q126's robustness argument, lifted from ranks to
+    // pairs). Naive Kendall is O(rows²) and does NOT scale over a
+    // corpus-sized frame; this one is EXACT AND BOUNDED because the
+    // pair space is the gap-filled DAY GRID (span²/2 pairs at any
+    // corpus size — the q167 spine discipline). Every count is an
+    // exact long off one triangular self-join; tie corrections enter
+    // via the textbook tau-b denominator; one final IEEE assembly.
+    "q170_kendall_tau" -> ((s, d) => {
+      import s.implicits._
+      val segs = Seq("BUILDING", "MACHINERY")
+      val daily = Tables.load(s, d, "orders")
+        .join(broadcast(Tables.load(s, d, "customer")
+          .select($"c_custkey", $"c_mktsegment")
+          .filter($"c_mktsegment".isin(segs: _*))),
+          $"o_custkey" === $"c_custkey")
+        .select($"c_mktsegment".as("seg"),
+          to_date($"o_orderdate").as("day"),
+          round($"o_totalprice" * 100).cast("long").as("cents"))
+        .groupBy($"seg", $"day").agg(sum($"cents").as("v"))
+      val span = daily.agg(min($"day").as("d0"), max($"day").as("d1"))
+      val grid = span
+        .select(explode(sequence($"d0", $"d1")).as("day"), $"d0")
+        .crossJoin(broadcast(segs.toDF("seg")))
+        .join(daily, Seq("seg", "day"), "left")
+        .select($"seg", datediff($"day", $"d0").cast("long").as("di"),
+          coalesce($"v", lit(0L)).as("v"))
+      val xy = grid.groupBy($"di")
+        .agg(max(when($"seg" === "BUILDING", $"v")).as("x"),
+          max(when($"seg" === "MACHINERY", $"v")).as("y"))
+      val a = xy.select($"di".as("ai"), $"x".as("xa"), $"y".as("ya"))
+      val b = xy.select($"di".as("bi"), $"x".as("xb"), $"y".as("yb"))
+      val pairs = a.join(b, $"ai" < $"bi")
+        .select(
+          (($"xa" - $"xb") > 0 && ($"ya" - $"yb") > 0 ||
+           ($"xa" - $"xb") < 0 && ($"ya" - $"yb") < 0).as("conc"),
+          (($"xa" - $"xb") > 0 && ($"ya" - $"yb") < 0 ||
+           ($"xa" - $"xb") < 0 && ($"ya" - $"yb") > 0).as("disc"),
+          ($"xa" === $"xb").as("tx"), ($"ya" === $"yb").as("ty"))
+      pairs.agg(
+          count(lit(1)).as("n0"),
+          sum(when($"conc", 1L).otherwise(0L)).as("nc"),
+          sum(when($"disc", 1L).otherwise(0L)).as("nd"),
+          sum(when($"tx", 1L).otherwise(0L)).as("tied_x"),
+          sum(when($"ty", 1L).otherwise(0L)).as("tied_y"))
+        .select($"n0", $"nc", $"nd", $"tied_x", $"tied_y",
+          Tables.nz(round(
+            when(($"n0" - $"tied_x") === 0 || ($"n0" - $"tied_y") === 0,
+              lit(null).cast("double"))
+              .otherwise(($"nc" - $"nd").cast("double") /
+                sqrt(($"n0" - $"tied_x").cast("double") *
+                  ($"n0" - $"tied_y").cast("double"))), 6))
+            .as("tau_b"))
+    }),
+
+    // Mann–Whitney rank-sum test between URGENT and LOW order prices
+    // — the DISTRIBUTION-FREE "is one group systematically larger"
+    // readout on the exact frame q125's KS test already audits for
+    // shape (KS asks "any difference anywhere"; U asks "stochastic
+    // dominance" — the pair every analyst runs together). Average
+    // ranks under ties ride q126's ×2-scaled count-table idiom (one
+    // PrefixSum over DISTINCT cents — value-domain-bounded, never a
+    // global row_number); the rank sum and the tie-correction term
+    // Σ(t³−t) accumulate as decimal(38,0) over the value table (t and
+    // rank2 are corpus-magnitude, their cubes/products overflow long
+    // exactly when the corpus is big enough to care); U, the normal
+    // mean/variance and z assemble once in doubles: u1 = u1x2/2
+    // where u1x2 = 2·U₁ stays an exact decimal integer even under
+    // tied (half-integer) average ranks — the one double division is
+    // the display cast, identical IEEE on both engines.
+    "q171_mann_whitney" -> ((s, d) => {
+      import s.implicits._
+      val dec = "decimal(38,0)"
+      val o = Tables.load(s, d, "orders")
+        .filter($"o_orderpriority".isin("1-URGENT", "5-LOW"))
+        .select(round($"o_totalprice" * 100).cast("long").as("cents"),
+          ($"o_orderpriority" === "1-URGENT").as("isa"))
+      val byVal = o.groupBy($"cents")
+        .agg(sum(when($"isa", 1L).otherwise(0L)).as("k1"),
+          count(lit(1)).as("t"))
+      val ranked = graft.ops.PrefixSum.runningTotal(byVal,
+          Seq($"cents"), $"t", "cum")
+        .select($"k1", $"t",
+          (lit(2L) * $"cum" - $"t" + 1L).cast(dec).as("rank2"))
+      ranked.agg(
+          sum($"k1").cast(dec).as("n1d"),
+          sum($"t" - $"k1").cast(dec).as("n2d"),
+          sum(($"k1".cast(dec) * $"rank2").cast(dec)).as("r1x2"),
+          sum(($"t".cast(dec) * $"t" * $"t" - $"t").cast(dec))
+            .as("tie3"))
+        // u1x2 = 2·U₁ — exact even under tied (half-integer) ranks
+        .withColumn("nd", $"n1d" + $"n2d")
+        .withColumn("u1x2",
+          ($"r1x2" - $"n1d" * ($"n1d" + 1)).cast(dec))
+        .select(
+          $"n1d".cast("long").as("n1"), $"n2d".cast("long").as("n2"),
+          ($"u1x2".cast("double") / 2.0).as("u1"),
+          Tables.nz(round(
+            when($"n1d" === 0 || $"n2d" === 0 || $"nd" < 2 ||
+                $"tie3" === ($"nd" + 1) * $"nd" * ($"nd" - 1),
+              lit(null).cast("double"))
+              .otherwise(
+                (($"u1x2" - $"n1d" * $"n2d").cast("double") / 2.0) /
+                sqrt(($"n1d" * $"n2d").cast("double") / 12.0 *
+                  (($"nd" + 1).cast("double") -
+                    $"tie3".cast("double") /
+                      ($"nd" * ($"nd" - 1)).cast("double")))), 4))
+            .as("z_stat"))
+    }),
+
+    // Yuen's trimmed-mean test between URGENT and LOW order prices —
+    // the ROBUST location test completing the q125/q171 panel (KS:
+    // any difference; U: stochastic dominance; Yuen: trimmed-mean
+    // difference that a 1% price-glitch tail cannot move — the
+    // heavy-tail case where Student's t silently loses power).
+    // Rank-based 20% trimming runs EXACTLY on the count table (one
+    // rollup over DISTINCT cents — value-domain-bounded): each value
+    // cell contributes max(0, min(cum, n−r) − max(cum−cnt, r))
+    // occurrences to the trimmed sum, the winsorized tails re-enter
+    // at the exact boundary order statistics x_(r+1)/x_(n−r), and
+    // the winsorized SS n·Σw² − (Σw)² stays decimal(38,0) to the
+    // 100 TB magnitude. Yuen's d_g = SSw/(n·h·(h−1)) and the final
+    // t assemble once in doubles (h = n − 2r).
+    "q172_yuen_trimmed" -> ((s, d) => {
+      import s.implicits._
+      val dec = "decimal(38,0)"
+      val o = Tables.load(s, d, "orders")
+        .filter($"o_orderpriority".isin("1-URGENT", "5-LOW"))
+        .select(
+          when($"o_orderpriority" === "1-URGENT", "urgent")
+            .otherwise("low").as("grp"),
+          round($"o_totalprice" * 100).cast("long").as("cents"))
+      val byVal = o.groupBy($"grp", $"cents")
+        .agg(count(lit(1)).as("cnt"))
+      val ns = byVal.groupBy($"grp").agg(sum($"cnt").as("n"))
+        .withColumn("r", expr("n div 5"))
+        .withColumn("h", $"n" - lit(2L) * $"r")
+      val wCum = org.apache.spark.sql.expressions.Window
+        .partitionBy($"grp").orderBy($"cents")
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, 0)
+      val cells = byVal
+        .withColumn("cum", sum($"cnt").over(wCum))
+        .join(broadcast(ns), Seq("grp"))
+        .withColumn("c_mid",
+          greatest(lit(0L), least($"cum", $"n" - $"r") -
+            greatest($"cum" - $"cnt", $"r")))
+      val bounds = cells.groupBy($"grp")
+        .agg(min(when($"cum" >= $"r" + 1L, $"cents")).as("xlo"),
+          min(when($"cum" >= $"n" - $"r", $"cents")).as("xhi"))
+      val per = cells.groupBy($"grp")
+        .agg(min($"n").as("n"), min($"r").as("r"), min($"h").as("h"),
+          sum(($"c_mid".cast(dec) * $"cents").cast(dec)).as("tsum"),
+          sum(($"c_mid".cast(dec) * $"cents" * $"cents").cast(dec))
+            .as("tsq"))
+        .join(broadcast(bounds), Seq("grp"))
+        .withColumn("wsum", ($"tsum" + $"r".cast(dec) *
+          ($"xlo".cast(dec) + $"xhi".cast(dec))).cast(dec))
+        .withColumn("wsq", ($"tsq" + $"r".cast(dec) *
+          ($"xlo".cast(dec) * $"xlo" + $"xhi".cast(dec) * $"xhi"))
+          .cast(dec))
+        .withColumn("ssw",
+          ($"n".cast(dec) * $"wsq" - $"wsum" * $"wsum").cast(dec))
+      per.agg(
+          max(when($"grp" === "urgent", $"n")).as("n1"),
+          max(when($"grp" === "low", $"n")).as("n2"),
+          max(when($"grp" === "urgent", $"h")).as("h1"),
+          max(when($"grp" === "low", $"h")).as("h2"),
+          max(when($"grp" === "urgent", $"tsum")).as("ts1"),
+          max(when($"grp" === "low", $"tsum")).as("ts2"),
+          max(when($"grp" === "urgent", $"ssw")).as("ssw1"),
+          max(when($"grp" === "low", $"ssw")).as("ssw2"))
+        .select($"n1", $"n2", $"h1", $"h2",
+          Tables.nz(round($"ts1".cast("double") /
+            $"h1".cast("double"), 4)).as("tmean_urgent"),
+          Tables.nz(round($"ts2".cast("double") /
+            $"h2".cast("double"), 4)).as("tmean_low"),
+          Tables.nz(round(
+            when($"h1" < 2 || $"h2" < 2 ||
+                ($"ssw1" === 0 && $"ssw2" === 0),
+              lit(null).cast("double"))
+              .otherwise(
+                ($"ts1".cast("double") / $"h1".cast("double") -
+                 $"ts2".cast("double") / $"h2".cast("double")) /
+                sqrt($"ssw1".cast("double") /
+                    ($"n1".cast("double") * $"h1".cast("double") *
+                      ($"h1" - 1).cast("double")) +
+                  $"ssw2".cast("double") /
+                    ($"n2".cast("double") * $"h2".cast("double") *
+                      ($"h2" - 1).cast("double")))),
+            4)).as("t_yuen"))
+    }),
+
+    // OLS influence diagnostics of the per-type daily revenue trend —
+    // WHICH days bend the fitted line (q141 fits the robust slope;
+    // q149 the elasticity; neither says "day 217 alone moved the
+    // trend"). The regression runs on the gap-filled COMPLETE day
+    // grid in the ×2-centered design u = 2t−(n−1), so Σu = 0 EXACTLY
+    // and every OLS quantity is a ratio of exact decimal(38,0)
+    // moments: residual e = (v·n·Σu² − Σv·Σu² − n·Σuv·u)/(n·Σu²),
+    // leverage h = 1/n + u²/Σu², SSE·(n·Σu²) = n·Σu²·Σvv −
+    // Σv²·Σu² − n·(Σuv)² — one IEEE assembly per day. Reports the
+    // days with Cook's D > 4/n (the textbook screen; output is
+    // influential-days-bounded). Widths: the (Σuv)² term caps the
+    // exact domain near daily cent sums ~8e11 × span 2400
+    // (≈ sf 100 events) — documented, MomentWidthSpec-pinned.
+    "q173_ols_influence" -> ((s, d) =>
+      olsInfluence(Tables.load(s, d, "events"))))
+
+  /** q173's body behind a frame seam, so MomentWidthSpec can feed a
+    * synthetic corpus whose daily cent sums overflow 64-bit squares
+    * (the q157 rollingCorr discipline). All moments decimal(38,0);
+    * the (Σuv)² term in SSE·(n·Σu²) caps the exact domain near
+    * daily cents ~8e11 × span 2400 (≈ sf 100 of the events table) —
+    * far past the board's probe range; past it, the q25 detect-then-
+    * escalate pass is the documented remedy.
+    */
+  private[queries] def olsInfluence(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    val dec = "decimal(38,0)"
+    val daily = events
+        .select($"event_type", to_date($"ts").as("day"),
+          round($"value" * 100).cast("long").as("cents"))
+        .groupBy($"event_type", $"day").agg(sum($"cents").as("v"))
+      val span = daily.agg(min($"day").as("d0"), max($"day").as("d1"))
+      val types = daily.select($"event_type").distinct()
+      val grid = span
+        .select(explode(sequence($"d0", $"d1")).as("day"), $"d0",
+          (datediff($"d1", $"d0") + 1).cast("long").as("n"))
+        .crossJoin(broadcast(types))
+        .join(daily, Seq("event_type", "day"), "left")
+        .select($"event_type", $"day", $"n",
+          datediff($"day", $"d0").cast("long").as("t"),
+          coalesce($"v", lit(0L)).as("v"))
+        .withColumn("u", (lit(2L) * $"t" - ($"n" - 1L)).cast(dec))
+      val mom = grid.groupBy($"event_type")
+        .agg(min($"n").as("n"),
+          sum(($"u" * $"u").cast(dec)).as("su2"),
+          sum(($"u" * $"v").cast(dec)).as("suv"),
+          sum($"v".cast(dec)).as("sv"),
+          sum(($"v".cast(dec) * $"v").cast(dec)).as("svv"))
+        .withColumn("sse_sc",
+          ($"n".cast(dec) * $"su2" * $"svv" -
+            $"sv" * $"sv" * $"su2" -
+            $"n".cast(dec) * $"suv" * $"suv").cast(dec))
+      grid.join(broadcast(mom.drop("n")), Seq("event_type"))
+        .withColumn("esc",
+          ($"v".cast(dec) * $"n" * $"su2" - $"sv" * $"su2" -
+            $"n".cast(dec) * $"suv" * $"u").cast(dec))
+        .withColumn("e", $"esc".cast("double") /
+          ($"n".cast(dec) * $"su2").cast("double"))
+        .withColumn("hlev", lit(1.0) / $"n".cast("double") +
+          ($"u" * $"u").cast("double") / $"su2".cast("double"))
+        .withColumn("s2", $"sse_sc".cast("double") /
+          ($"n".cast(dec) * $"su2").cast("double") /
+          ($"n" - 2L).cast("double"))
+        .withColumn("cook_d",
+          when($"s2" === 0.0, lit(null).cast("double"))
+            .otherwise($"e" * $"e" * $"hlev" /
+              (lit(2.0) * $"s2" *
+                (lit(1.0) - $"hlev") * (lit(1.0) - $"hlev"))))
+        .filter($"cook_d" > lit(4.0) / $"n".cast("double"))
+        .select($"event_type",
+          date_format($"day", "yyyy-MM-dd").as("day"), $"v",
+          Tables.nz(round($"e", 4)).as("residual"),
+          Tables.nz(round($"hlev", 6)).as("leverage"),
+          Tables.nz(round($"cook_d", 6)).as("cook_d"))
+        .orderBy($"event_type", $"day")
+  }
 
   def oracles: Map[String, String] = Map(
 
@@ -393,5 +668,241 @@ object Frontier4 {
              AS coverage_milli
          FROM scored s JOIN q ON q.event_type = s.event_type
          WHERE s.di > s.dmax - 7
-         GROUP BY 1, 2, 3 ORDER BY 1""")
+         GROUP BY 1, 2, 3 ORDER BY 1""",
+
+    "q170_kendall_tau" ->
+      """WITH cust AS (
+           SELECT c_custkey, c_mktsegment FROM customer
+           WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')),
+         daily AS (
+           SELECT c.c_mktsegment AS seg, o.o_orderdate AS day,
+             CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+               AS BIGINT) AS v
+           FROM orders o JOIN cust c ON o.o_custkey = c.c_custkey
+           GROUP BY 1, 2),
+         span AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+         days AS (
+           SELECT unnest(generate_series(d0, d1,
+             INTERVAL 1 DAY))::DATE AS day, d0
+           FROM span),
+         grid AS (
+           SELECT s.seg,
+             CAST(date_diff('day', dy.d0, dy.day) AS BIGINT) AS di,
+             coalesce(d.v, 0) AS v
+           FROM days dy
+           CROSS JOIN (SELECT unnest(['BUILDING', 'MACHINERY'])
+             AS seg) s
+           LEFT JOIN daily d ON d.seg = s.seg AND d.day = dy.day),
+         xy AS (
+           SELECT di,
+             max(CASE WHEN seg = 'BUILDING' THEN v END) AS x,
+             max(CASE WHEN seg = 'MACHINERY' THEN v END) AS y
+           FROM grid GROUP BY 1),
+         pr AS (
+           SELECT
+             (a.x - b.x > 0 AND a.y - b.y > 0 OR
+              a.x - b.x < 0 AND a.y - b.y < 0) AS conc,
+             (a.x - b.x > 0 AND a.y - b.y < 0 OR
+              a.x - b.x < 0 AND a.y - b.y > 0) AS disc,
+             a.x = b.x AS tx, a.y = b.y AS ty
+           FROM xy a JOIN xy b ON a.di < b.di),
+         agg AS (
+           SELECT CAST(count(*) AS BIGINT) AS n0,
+             CAST(sum(CASE WHEN conc THEN 1 ELSE 0 END) AS BIGINT)
+               AS nc,
+             CAST(sum(CASE WHEN disc THEN 1 ELSE 0 END) AS BIGINT)
+               AS nd,
+             CAST(sum(CASE WHEN tx THEN 1 ELSE 0 END) AS BIGINT)
+               AS tied_x,
+             CAST(sum(CASE WHEN ty THEN 1 ELSE 0 END) AS BIGINT)
+               AS tied_y
+           FROM pr)
+         SELECT n0, nc, nd, tied_x, tied_y,
+           round(CASE WHEN n0 - tied_x = 0 OR n0 - tied_y = 0
+             THEN NULL
+             ELSE CAST(nc - nd AS DOUBLE) /
+               sqrt(CAST(n0 - tied_x AS DOUBLE) *
+                 CAST(n0 - tied_y AS DOUBLE)) END, 6) + 0.0 AS tau_b
+         FROM agg""",
+
+    "q171_mann_whitney" ->
+      """WITH o AS (
+           SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             o_orderpriority = '1-URGENT' AS isa
+           FROM orders
+           WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+         bv AS (
+           SELECT cents,
+             CAST(sum(CASE WHEN isa THEN 1 ELSE 0 END) AS BIGINT)
+               AS k1,
+             CAST(count(*) AS BIGINT) AS t
+           FROM o GROUP BY 1),
+         rk AS (
+           SELECT k1, t,
+             CAST(2 * sum(t) OVER (ORDER BY cents
+               ROWS UNBOUNDED PRECEDING) - t + 1 AS HUGEINT)
+               AS rank2
+           FROM bv),
+         agg AS (
+           SELECT CAST(sum(k1) AS HUGEINT) AS n1d,
+             CAST(sum(t - k1) AS HUGEINT) AS n2d,
+             sum(CAST(k1 AS HUGEINT) * rank2) AS r1x2,
+             sum(CAST(t AS HUGEINT) * t * t - t) AS tie3
+           FROM rk),
+         u AS (
+           SELECT n1d, n2d, n1d + n2d AS nd,
+             r1x2 - n1d * (n1d + 1) AS u1x2, tie3
+           FROM agg)
+         SELECT CAST(n1d AS BIGINT) AS n1, CAST(n2d AS BIGINT) AS n2,
+           CAST(u1x2 AS DOUBLE) / 2.0 AS u1,
+           round(CASE WHEN n1d = 0 OR n2d = 0 OR nd < 2
+               OR tie3 = (nd + 1) * nd * (nd - 1) THEN NULL
+             ELSE (CAST(u1x2 - n1d * n2d AS DOUBLE) / 2.0) /
+               sqrt(CAST(n1d * n2d AS DOUBLE) / 12.0 *
+                 (CAST(nd + 1 AS DOUBLE) -
+                  CAST(tie3 AS DOUBLE) /
+                    CAST(nd * (nd - 1) AS DOUBLE))) END, 4) + 0.0
+             AS z_stat
+         FROM u""",
+
+    "q172_yuen_trimmed" ->
+      """WITH o AS (
+           SELECT CASE WHEN o_orderpriority = '1-URGENT'
+               THEN 'urgent' ELSE 'low' END AS grp,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+           FROM orders
+           WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+         bv AS (
+           SELECT grp, cents, CAST(count(*) AS BIGINT) AS cnt
+           FROM o GROUP BY 1, 2),
+         ns AS (
+           SELECT grp, CAST(sum(cnt) AS BIGINT) AS n,
+             CAST(sum(cnt) // 5 AS BIGINT) AS r
+           FROM bv GROUP BY 1),
+         cells AS (
+           SELECT b.grp, b.cents, b.cnt,
+             CAST(sum(b.cnt) OVER (PARTITION BY b.grp ORDER BY b.cents
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+             s.n, s.r, s.n - 2 * s.r AS h
+           FROM bv b JOIN ns s ON s.grp = b.grp),
+         c2 AS (
+           SELECT *,
+             greatest(0, least(cum, n - r) - greatest(cum - cnt, r))
+               AS c_mid
+           FROM cells),
+         bounds AS (
+           SELECT grp,
+             min(CASE WHEN cum >= r + 1 THEN cents END) AS xlo,
+             min(CASE WHEN cum >= n - r THEN cents END) AS xhi
+           FROM c2 GROUP BY 1),
+         per AS (
+           SELECT grp, min(n) AS n, min(r) AS r, min(h) AS h,
+             sum(CAST(c_mid AS HUGEINT) * cents) AS tsum,
+             sum(CAST(c_mid AS HUGEINT) * cents * cents) AS tsq
+           FROM c2 GROUP BY 1),
+         pw AS (
+           SELECT p.grp, p.n, p.h, p.tsum,
+             p.tsum + CAST(p.r AS HUGEINT) * (b.xlo + b.xhi) AS wsum,
+             p.tsq + CAST(p.r AS HUGEINT) *
+               (CAST(b.xlo AS HUGEINT) * b.xlo +
+                CAST(b.xhi AS HUGEINT) * b.xhi) AS wsq
+           FROM per p JOIN bounds b ON b.grp = p.grp),
+         pv AS (
+           SELECT grp, n, h, tsum,
+             CAST(n AS HUGEINT) * wsq - wsum * wsum AS ssw
+           FROM pw),
+         wide AS (
+           SELECT
+             max(CASE WHEN grp = 'urgent' THEN n END) AS n1,
+             max(CASE WHEN grp = 'low' THEN n END) AS n2,
+             max(CASE WHEN grp = 'urgent' THEN h END) AS h1,
+             max(CASE WHEN grp = 'low' THEN h END) AS h2,
+             max(CASE WHEN grp = 'urgent' THEN tsum END) AS ts1,
+             max(CASE WHEN grp = 'low' THEN tsum END) AS ts2,
+             max(CASE WHEN grp = 'urgent' THEN ssw END) AS ssw1,
+             max(CASE WHEN grp = 'low' THEN ssw END) AS ssw2
+           FROM pv)
+         SELECT n1, n2, h1, h2,
+           round(CAST(ts1 AS DOUBLE) / CAST(h1 AS DOUBLE), 4) + 0.0
+             AS tmean_urgent,
+           round(CAST(ts2 AS DOUBLE) / CAST(h2 AS DOUBLE), 4) + 0.0
+             AS tmean_low,
+           round(CASE WHEN h1 < 2 OR h2 < 2
+               OR (ssw1 = 0 AND ssw2 = 0) THEN NULL
+             ELSE (CAST(ts1 AS DOUBLE) / CAST(h1 AS DOUBLE) -
+                   CAST(ts2 AS DOUBLE) / CAST(h2 AS DOUBLE)) /
+               sqrt(CAST(ssw1 AS DOUBLE) /
+                   (CAST(n1 AS DOUBLE) * CAST(h1 AS DOUBLE) *
+                    CAST(h1 - 1 AS DOUBLE)) +
+                 CAST(ssw2 AS DOUBLE) /
+                   (CAST(n2 AS DOUBLE) * CAST(h2 AS DOUBLE) *
+                    CAST(h2 - 1 AS DOUBLE))) END, 4) + 0.0
+             AS t_yuen
+         FROM wide""",
+
+    "q173_ols_influence" ->
+      """WITH daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS v
+           FROM events GROUP BY 1, 2),
+         span AS (
+           SELECT d0, d1,
+             CAST(date_diff('day', d0, d1) + 1 AS BIGINT) AS n
+           FROM (SELECT min(day) AS d0, max(day) AS d1 FROM daily)),
+         days AS (
+           SELECT unnest(generate_series(d0, d1,
+             INTERVAL 1 DAY))::DATE AS day, d0, n
+           FROM span),
+         types AS (SELECT DISTINCT event_type FROM daily),
+         grid AS (
+           SELECT t.event_type, dy.day, dy.n,
+             CAST(date_diff('day', dy.d0, dy.day) AS BIGINT) AS t,
+             coalesce(d.v, 0) AS v
+           FROM days dy CROSS JOIN types t
+           LEFT JOIN daily d
+             ON d.event_type = t.event_type AND d.day = dy.day),
+         g2 AS (
+           SELECT event_type, day, n, v,
+             CAST(2 * t - (n - 1) AS HUGEINT) AS u
+           FROM grid),
+         mom AS (
+           SELECT event_type,
+             sum(u * u) AS su2,
+             sum(u * v) AS suv,
+             CAST(sum(v) AS HUGEINT) AS sv,
+             sum(CAST(v AS HUGEINT) * v) AS svv
+           FROM g2 GROUP BY 1),
+         m2 AS (
+           SELECT g.event_type, g.day, g.n, g.v, g.u,
+             m.su2, m.suv, m.sv,
+             CAST(g.n AS HUGEINT) * m.su2 * m.svv -
+               m.sv * m.sv * m.su2 -
+               CAST(g.n AS HUGEINT) * m.suv * m.suv AS sse_sc
+           FROM g2 g JOIN mom m ON m.event_type = g.event_type),
+         rows_ AS (
+           SELECT event_type, day, n, v,
+             CAST(CAST(v AS HUGEINT) * n * su2 - sv * su2 -
+               CAST(n AS HUGEINT) * suv * u AS DOUBLE) /
+               CAST(CAST(n AS HUGEINT) * su2 AS DOUBLE) AS e,
+             1.0 / CAST(n AS DOUBLE) +
+               CAST(u * u AS DOUBLE) / CAST(su2 AS DOUBLE) AS hlev,
+             CAST(sse_sc AS DOUBLE) /
+               CAST(CAST(n AS HUGEINT) * su2 AS DOUBLE) /
+               CAST(n - 2 AS DOUBLE) AS s2
+           FROM m2),
+         ck AS (
+           SELECT event_type, day, n, v, e, hlev,
+             CASE WHEN s2 = 0.0 THEN NULL
+               ELSE e * e * hlev /
+                 (2.0 * s2 * (1.0 - hlev) * (1.0 - hlev)) END
+               AS cook_d
+           FROM rows_)
+         SELECT event_type, strftime(day, '%Y-%m-%d') AS day, v,
+           round(e, 4) + 0.0 AS residual,
+           round(hlev, 6) + 0.0 AS leverage,
+           round(cook_d, 6) + 0.0 AS cook_d
+         FROM ck
+         WHERE cook_d > 4.0 / CAST(n AS DOUBLE)
+         ORDER BY event_type, day""")
 }

@@ -136,6 +136,188 @@ class Frontier4Spec extends SparkSpec {
     }
   }
 
+  /** Gap-filled daily cent series per segment from raw orders —
+    * shared replay for the q167/q170 series pair.
+    */
+  private def segmentSeries(): (Map[Long, Long], Map[Long, Long], Long) = {
+    val rows = graft.Tables.load(spark, sf, "orders")
+      .join(graft.Tables.load(spark, sf, "customer"),
+        $"o_custkey" === $"c_custkey")
+      .filter($"c_mktsegment".isin("BUILDING", "MACHINERY"))
+      .select($"c_mktsegment", to_date($"o_orderdate").cast("string"),
+        round($"o_totalprice" * 100).cast("long"))
+      .as[(String, String, Long)].collect()
+    val days = rows.map(_._2).distinct.map(java.time.LocalDate.parse)
+    val d0 = days.min(Ordering.fromLessThan[java.time.LocalDate](_ isBefore _))
+    val d1 = days.max(Ordering.fromLessThan[java.time.LocalDate](_ isBefore _))
+    val dmax = java.time.temporal.ChronoUnit.DAYS.between(d0, d1)
+    def series(seg: String): Map[Long, Long] = {
+      val sparse = rows.filter(_._1 == seg)
+        .groupBy(r => java.time.temporal.ChronoUnit.DAYS.between(
+          d0, java.time.LocalDate.parse(r._2)))
+        .map { case (di, rs) => di -> rs.map(_._3).sum }
+      (0L to dmax).map(di => di -> sparse.getOrElse(di, 0L)).toMap
+    }
+    (series("BUILDING"), series("MACHINERY"), dmax)
+  }
+
+  test("kendall tau-b: exact pair counts and tie-corrected assembly") {
+    val got = Frontier4.queries("q170_kendall_tau")(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Option[Double])].collect()
+    assert(got.length == 1)
+    val (n0, nc, nd, tx, ty, tau) = got.head match {
+      case (a, b, c, dd, e, f) => (a, b, c, dd, e, f)
+    }
+    val (x, y, dmax) = segmentSeries()
+    val n = dmax + 1
+    assert(n0 == n * (n - 1) / 2, "n0 = n(n-1)/2")
+    var (enc, end, etx, ety) = (0L, 0L, 0L, 0L)
+    for (i <- 0L until n; j <- (i + 1) to dmax) {
+      val dx = x(i) - x(j); val dy = y(i) - y(j)
+      if (dx > 0 && dy > 0 || dx < 0 && dy < 0) enc += 1
+      else if (dx > 0 && dy < 0 || dx < 0 && dy > 0) end += 1
+      if (dx == 0) etx += 1
+      if (dy == 0) ety += 1
+    }
+    assert((nc, nd, tx, ty) == ((enc, end, etx, ety)), "pair counts")
+    def r6(v: Double) = BigDecimal(v)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    if (n0 - etx == 0 || n0 - ety == 0) assert(tau.isEmpty)
+    else {
+      val e = (enc - end).toDouble /
+        math.sqrt((n0 - etx).toDouble * (n0 - ety).toDouble)
+      assert(math.abs(tau.get - r6(e)) < 1e-9, "tau_b")
+      assert(tau.get >= -1.0 && tau.get <= 1.0)
+    }
+  }
+
+  test("mann-whitney: exact tied-rank U and tie-corrected z") {
+    val got = Frontier4.queries("q171_mann_whitney")(spark, sf)
+      .as[(Long, Long, Double, Option[Double])].collect()
+    assert(got.length == 1)
+    val (n1, n2, u1, z) = got.head match {
+      case (a, b, c, dd) => (a, b, c, dd)
+    }
+    val vals = graft.Tables.load(spark, sf, "orders")
+      .filter($"o_orderpriority".isin("1-URGENT", "5-LOW"))
+      .select(round($"o_totalprice" * 100).cast("long"),
+        ($"o_orderpriority" === "1-URGENT"))
+      .as[(Long, Boolean)].collect()
+    val en1 = vals.count(_._2).toLong
+    val en2 = vals.length - en1
+    assert(n1 == en1 && n2 == en2)
+    // pooled average ranks under ties, ×2-scaled exact integers
+    val byVal = vals.groupBy(_._1).toSeq.sortBy(_._1)
+    var cum = 0L
+    var r1x2 = BigInt(0)
+    var tie3 = BigInt(0)
+    byVal.foreach { case (_, vs) =>
+      val t = vs.length.toLong
+      val k1 = vs.count(_._2).toLong
+      cum += t
+      val rank2 = 2 * cum - t + 1
+      r1x2 += BigInt(k1) * BigInt(rank2)
+      tie3 += BigInt(t) * t * t - t
+    }
+    val u1x2 = r1x2 - BigInt(en1) * (en1 + 1)
+    assert(u1 == u1x2.toDouble / 2.0, "u1 = u1x2/2")
+    val nd = en1 + en2
+    def r4(v: Double) = BigDecimal(v)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    if (en1 == 0 || en2 == 0 || nd < 2 ||
+        tie3 == BigInt(nd + 1) * nd * (nd - 1)) assert(z.isEmpty)
+    else {
+      val ez = ((u1x2 - BigInt(en1) * en2).toDouble / 2.0) /
+        math.sqrt(en1.toDouble * en2 / 12.0 *
+          ((nd + 1).toDouble - tie3.toDouble / (nd.toDouble * (nd - 1))))
+      assert(math.abs(z.get - r4(ez)) < 1e-9, s"z: ${z.get} vs $ez")
+    }
+  }
+
+  test("yuen trimmed test: exact rank-based trim/winsorize replay") {
+    val got = Frontier4.queries("q172_yuen_trimmed")(spark, sf)
+      .as[(Long, Long, Long, Long, Double, Double, Option[Double])]
+      .collect()
+    assert(got.length == 1)
+    val (n1, n2, h1, h2, tm1, tm2, t) = got.head match {
+      case (a, b, c, dd, e, f, g) => (a, b, c, dd, e, f, g)
+    }
+    val vals = graft.Tables.load(spark, sf, "orders")
+      .filter($"o_orderpriority".isin("1-URGENT", "5-LOW"))
+      .select(round($"o_totalprice" * 100).cast("long"),
+        ($"o_orderpriority" === "1-URGENT"))
+      .as[(Long, Boolean)].collect()
+    def r4(v: Double) = BigDecimal(v)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // literal replay: sort, drop r = n/5 from each end, winsorize
+    def grp(isa: Boolean): (Long, Long, Double, BigInt) = {
+      val xs = vals.filter(_._2 == isa).map(_._1).sorted
+      val n = xs.length
+      val r = n / 5
+      val h = n - 2 * r
+      val trimmed = xs.slice(r, n - r)
+      val tsum = trimmed.map(BigInt(_)).sum
+      val wvals = Array.fill(r)(xs(r)) ++ trimmed ++
+        Array.fill(r)(xs(n - r - 1))
+      val wsum = wvals.map(BigInt(_)).sum
+      val wsq = wvals.map(v => BigInt(v) * v).sum
+      val ssw = BigInt(n) * wsq - wsum * wsum
+      (n.toLong, h.toLong, tsum.toDouble / h, ssw)
+    }
+    val (en1, eh1, etm1, ssw1) = grp(true)
+    val (en2, eh2, etm2, ssw2) = grp(false)
+    assert((n1, n2, h1, h2) == ((en1, en2, eh1, eh2)))
+    assert(math.abs(tm1 - r4(etm1)) < 1e-9, "trimmed mean urgent")
+    assert(math.abs(tm2 - r4(etm2)) < 1e-9, "trimmed mean low")
+    val et = (etm1 - etm2) / math.sqrt(
+      ssw1.toDouble / (en1.toDouble * eh1 * (eh1 - 1)) +
+      ssw2.toDouble / (en2.toDouble * eh2 * (eh2 - 1)))
+    assert(math.abs(t.get - r4(et)) < 1e-9, s"t_yuen ${t.get} vs $et")
+  }
+
+  test("ols influence: flagged days match the closed-form replay") {
+    val got = Frontier4.queries("q173_ols_influence")(spark, sf)
+      .as[(String, String, Long, Double, Double, Double)].collect()
+    val (series, dmax) = dailyEventSeries()
+    val n = dmax + 1
+    var expected = Vector.empty[(String, Long, Double, Double, Double)]
+    series.toSeq.sortBy(_._1).foreach { case (tpe, s) =>
+      val u = (0L until n).map(t => BigInt(2 * t - (n - 1)))
+      val v = (0L until n).map(t => BigInt(s(t)))
+      val su2 = u.map(x => x * x).sum
+      val suv = u.zip(v).map { case (a, b) => a * b }.sum
+      val sv = v.sum
+      val svv = v.map(x => x * x).sum
+      val sseSc = BigInt(n) * su2 * svv - sv * sv * su2 -
+        BigInt(n) * suv * suv
+      val nsu2 = (BigInt(n) * su2).toDouble
+      val s2 = sseSc.toDouble / nsu2 / (n - 2).toDouble
+      (0L until n).foreach { t =>
+        val esc = BigInt(s(t)) * n * su2 - sv * su2 -
+          BigInt(n) * suv * u(t.toInt)
+        val e = esc.toDouble / nsu2
+        val h = 1.0 / n + (u(t.toInt) * u(t.toInt)).toDouble /
+          su2.toDouble
+        if (s2 != 0.0) {
+          val cd = e * e * h / (2.0 * s2 * (1.0 - h) * (1.0 - h))
+          if (cd > 4.0 / n) expected :+= ((tpe, t, e, h, cd))
+        }
+      }
+    }
+    assert(got.length == expected.length,
+      s"${got.length} flagged vs ${expected.length}")
+    def r(v: Double, sc: Int) = BigDecimal(v)
+      .setScale(sc, BigDecimal.RoundingMode.HALF_UP).toDouble
+    got.zip(expected).foreach {
+      case ((tpe, _, v, res, lev, cd), (etpe, et, ee, eh, ecd)) =>
+        assert(tpe == etpe)
+        assert(v == series(tpe)(et), s"$tpe day $et cents")
+        assert(math.abs(res - r(ee, 4)) < 1e-9, s"$tpe residual")
+        assert(math.abs(lev - r(eh, 6)) < 1e-9, s"$tpe leverage")
+        assert(math.abs(cd - r(ecd, 6)) < 1e-9, s"$tpe cook_d")
+    }
+  }
+
   test("conformal: q-hat is the ceil((n+1)(1-a))-th score; coverage exact") {
     val got = Frontier4.queries("q169_conformal_interval")(spark, sf)
       .as[(String, Long, Option[Long], Long, Long, Long)].collect()

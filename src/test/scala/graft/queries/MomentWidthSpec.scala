@@ -182,6 +182,49 @@ class MomentWidthSpec extends SparkSpec {
     }
   }
 
+  test("q173 ols influence survives daily sums past the long-square " +
+      "ceiling") {
+    // 10 grid days with cents ≈ 9e9: svv ≈ 8.1e19·10 and the (Σuv)²
+    // SSE term would ANSI-throw in longs; the decimal(38,0) moments
+    // must reproduce the BigInt reference exactly
+    val base = java.sql.Timestamp.valueOf("2024-01-01 12:00:00")
+    def ts(day: Int) = new java.sql.Timestamp(
+      base.getTime + day * 86400000L)
+    // linear-plus-spike: day 7 is the influential point the screen
+    // must flag
+    val xs = (0 until 10).map(i =>
+      9.0e7 + i * 50000 + (if (i == 7) 4.0e7 else 0.0))
+    val events = (0 until 10).map(i => ("alpha", xs(i), ts(i)))
+      .toDF("event_type", "value", "ts")
+    val rows = Frontier4.olsInfluence(events).collect()
+    val n = 10
+    val v = xs.map(x => BigInt(math.round(x * 100)))
+    val u = (0 until n).map(t => BigInt(2 * t - (n - 1)))
+    val su2 = u.map(x => x * x).sum
+    val suv = u.zip(v).map { case (a, b) => a * b }.sum
+    val sv = v.sum
+    val svv = v.map(x => x * x).sum
+    val sseSc = BigInt(n) * su2 * svv - sv * sv * su2 -
+      BigInt(n) * suv * suv
+    val nsu2 = (BigInt(n) * su2).toDouble
+    val s2 = sseSc.toDouble / nsu2 / (n - 2).toDouble
+    val expected = (0 until n).flatMap { t =>
+      val esc = v(t) * n * su2 - sv * su2 - BigInt(n) * suv * u(t)
+      val e = esc.toDouble / nsu2
+      val h = 1.0 / n + (u(t) * u(t)).toDouble / su2.toDouble
+      val cd = e * e * h / (2.0 * s2 * (1.0 - h) * (1.0 - h))
+      if (cd > 4.0 / n) Some((t, e, cd)) else None
+    }
+    assert(expected.exists(_._1 == 7), "the spike day is flagged")
+    assert(rows.length == expected.length)
+    rows.zip(expected).foreach { case (r, (_, e, cd)) =>
+      assert(math.abs(r.getAs[Double]("residual") - e) <
+        math.abs(e) * 1e-9 + 1e-4, "residual exact")
+      assert(math.abs(r.getAs[Double]("cook_d") - cd) <
+        math.abs(cd) * 1e-9 + 1e-6, "cook_d exact")
+    }
+  }
+
   test("decimal-width momentStats stays exact beyond the long bound") {
     val row = Relational.momentStats(events).collect().head
     // replicate the moments exactly with BigInt
