@@ -430,7 +430,147 @@ object Frontier4 {
     // exact domain near daily cent sums ~8e11 × span 2400
     // (≈ sf 100 events) — documented, MomentWidthSpec-pinned.
     "q173_ols_influence" -> ((s, d) =>
-      olsInfluence(Tables.load(s, d, "events"))))
+      olsInfluence(Tables.load(s, d, "events"))),
+
+    // Jarque–Bera normality screen of each type's daily revenue —
+    // the distribution-shape gate the q173 diagnostics assume: OLS
+    // t/F reads are only calibrated if residual/level noise is
+    // near-Gaussian, and JB is the standard omnibus (skewness² +
+    // excess-kurtosis²) test. Runs on the gap-filled daily grid
+    // (span-bounded after one corpus rollup). Raw power sums Σc..Σc⁴
+    // are decimal(38,0) over INTEGER-PIVOT-CENTERED cents c = v − p
+    // (p = round(mean) — an agreed exact integer on both engines),
+    // which kills the cancellation that raw Σv⁴ assembly would hit
+    // and keeps the exact domain at |c| ≲ 4.5e8 cents of daily
+    // deviation (≈ sf100 events; MomentWidthSpec pins past-long
+    // exactness — c⁴ overflows int64 at |c| > 55k cents, so decimal
+    // is load-bearing even at sf0.01). Central moments and JB
+    // assemble once per type in doubles; p-value is the closed-form
+    // χ²(2) tail exp(−JB/2) — in-engine on both sides.
+    "q174_jarque_bera" -> ((s, d) =>
+      jarqueBera(Tables.load(s, d, "events"))),
+
+    // Partial correlation of the BUILDING and MACHINERY daily revenue
+    // series CONTROLLING for the total market — "do the two segments
+    // co-move beyond what the shared market tide explains". q167's
+    // CCF reads their raw co-movement; a common driver (seasonality,
+    // promotions) inflates it — the first-order partial
+    // r_xy·z = (r_xy − r_xz·r_yz)/√((1−r_xz²)(1−r_yz²)) removes the
+    // linear effect of the total. All three series live on the
+    // gap-filled order-date spine (span-bounded after one corpus
+    // rollup); the three Pearson terms assemble from one shared set
+    // of decimal(38,0) moments in q167's cross-multiplied shape.
+    // Degenerate guards: any zero-variance series → NULL r's; a
+    // perfectly-explained pair (|r·z| = 1) → NULL partial.
+    "q175_partial_corr" -> ((s, d) => {
+      import s.implicits._
+      val dec = "decimal(38,0)"
+      val segs = Seq("BUILDING", "MACHINERY")
+      val o = Tables.load(s, d, "orders")
+        .join(broadcast(Tables.load(s, d, "customer")
+          .select($"c_custkey", $"c_mktsegment")),
+          $"o_custkey" === $"c_custkey")
+        .select($"c_mktsegment".as("seg"),
+          to_date($"o_orderdate").as("day"),
+          round($"o_totalprice" * 100).cast("long").as("cents"))
+      val daily = o.groupBy($"day").agg(
+        sum(when($"seg" === "BUILDING", $"cents").otherwise(0L))
+          .as("xv"),
+        sum(when($"seg" === "MACHINERY", $"cents").otherwise(0L))
+          .as("yv"),
+        sum($"cents").as("zv"))
+      val span = daily.agg(min($"day").as("d0"), max($"day").as("d1"))
+      val grid = span
+        .select(explode(sequence($"d0", $"d1")).as("day"))
+        .join(daily, Seq("day"), "left")
+        .select(coalesce($"xv", lit(0L)).cast(dec).as("x"),
+          coalesce($"yv", lit(0L)).cast(dec).as("y"),
+          coalesce($"zv", lit(0L)).cast(dec).as("z"))
+      val m = grid.agg(count(lit(1)).cast(dec).as("n"),
+        sum($"x").as("sx"), sum($"y").as("sy"), sum($"z").as("sz"),
+        sum(($"x" * $"x").cast(dec)).as("sxx"),
+        sum(($"y" * $"y").cast(dec)).as("syy"),
+        sum(($"z" * $"z").cast(dec)).as("szz"),
+        sum(($"x" * $"y").cast(dec)).as("sxy"),
+        sum(($"x" * $"z").cast(dec)).as("sxz"),
+        sum(($"y" * $"z").cast(dec)).as("syz"))
+      def corr2(sab: String, a: String, b: String) = {
+        val (saa, sbb) = (s"s$a$a", s"s$b$b")
+        val (sa, sb) = (s"s$a", s"s$b")
+        when((col("n") * col(saa) - col(sa) * col(sa)) === 0 ||
+             (col("n") * col(sbb) - col(sb) * col(sb)) === 0,
+          lit(null).cast("double"))
+          .otherwise(
+            (col("n") * col(sab) - col(sa) * col(sb)).cast("double") /
+              sqrt((col("n") * col(saa) - col(sa) * col(sa))
+                  .cast("double") *
+                (col("n") * col(sbb) - col(sb) * col(sb))
+                  .cast("double")))
+      }
+      m.select($"n".cast("long").as("n_days"),
+          corr2("sxy", "x", "y").as("rxy"),
+          corr2("sxz", "x", "z").as("rxz"),
+          corr2("syz", "y", "z").as("ryz"))
+        .select($"n_days",
+          Tables.nz(round($"rxy", 6)).as("r_xy"),
+          Tables.nz(round($"rxz", 6)).as("r_xz"),
+          Tables.nz(round($"ryz", 6)).as("r_yz"),
+          Tables.nz(round(
+            when($"rxy".isNull || $"rxz".isNull || $"ryz".isNull ||
+                (lit(1.0) - $"rxz" * $"rxz") *
+                  (lit(1.0) - $"ryz" * $"ryz") <= 0.0,
+              lit(null).cast("double"))
+              .otherwise(($"rxy" - $"rxz" * $"ryz") /
+                sqrt((lit(1.0) - $"rxz" * $"rxz") *
+                  (lit(1.0) - $"ryz" * $"ryz"))), 6))
+            .as("r_partial"))
+    }),
+
+    // Durbin–Watson serial-correlation screen of the q173 trend
+    // residuals — the OTHER classical OLS diagnostic: influence asks
+    // "which day bent the line", DW asks "are the errors even
+    // independent" (positively autocorrelated residuals make every
+    // q173/q141 trend SE overconfident). Rides the SAME
+    // olsResidualGrid frame as q173 (one shared derivation — the
+    // q101/q158 LPA-sharing lesson applied at birth). Each residual
+    // e_t is the exact-decimal ratio esc/(n·Σu²) assembled
+    // identically on both engines; DW = Σ(e_t−e_{t−1})²/Σe_t² and
+    // ρ₁ = Σe_t·e_{t−1}/Σe_t² fold the span-bounded per-type daily
+    // series in DAY ORDER (sorted-array IEEE folds, the q160
+    // discipline — a groupBy SUM of doubles would be
+    // order-nondeterministic across engines).
+    "q176_durbin_watson" -> ((s, d) => {
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"event_type").orderBy($"day")
+      val terms = olsResidualGrid(Tables.load(s, d, "events"))
+        .select($"event_type", $"day", $"n", $"e")
+        .withColumn("ep", lag($"e", 1).over(w))
+        .select($"event_type", $"day", $"n",
+          ($"e" * $"e").as("e2"),
+          coalesce((($"e" - $"ep") * ($"e" - $"ep")), lit(0.0))
+            .as("d2"),
+          coalesce($"e" * $"ep", lit(0.0)).as("cr"))
+      terms.groupBy($"event_type")
+        .agg(min($"n").as("n_days"),
+          sort_array(collect_list(struct($"day", $"e2", $"d2",
+            $"cr"))).as("arr"))
+        .select($"event_type", $"n_days",
+          expr("""aggregate(arr, CAST(0.0 AS DOUBLE),
+               (a, x) -> a + x.e2)""").as("se2"),
+          expr("""aggregate(arr, CAST(0.0 AS DOUBLE),
+               (a, x) -> a + x.d2)""").as("sd2"),
+          expr("""aggregate(arr, CAST(0.0 AS DOUBLE),
+               (a, x) -> a + x.cr)""").as("scr"))
+        .select($"event_type", $"n_days",
+          Tables.nz(round(
+            when($"se2" === 0.0, lit(null).cast("double"))
+              .otherwise($"sd2" / $"se2"), 5)).as("dw"),
+          Tables.nz(round(
+            when($"se2" === 0.0, lit(null).cast("double"))
+              .otherwise($"scr" / $"se2"), 5)).as("rho1"))
+        .orderBy($"event_type")
+    }))
 
   /** q173's body behind a frame seam, so MomentWidthSpec can feed a
     * synthetic corpus whose daily cent sums overflow 64-bit squares
@@ -441,6 +581,104 @@ object Frontier4 {
     * escalate pass is the documented remedy.
     */
   private[queries] def olsInfluence(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    val dec = "decimal(38,0)"
+    olsResidualGrid(events)
+        .withColumn("hlev", lit(1.0) / $"n".cast("double") +
+          ($"u" * $"u").cast("double") / $"su2".cast("double"))
+        .withColumn("s2", $"sse_sc".cast("double") /
+          ($"n".cast(dec) * $"su2").cast("double") /
+          ($"n" - 2L).cast("double"))
+        .withColumn("cook_d",
+          when($"s2" === 0.0, lit(null).cast("double"))
+            .otherwise($"e" * $"e" * $"hlev" /
+              (lit(2.0) * $"s2" *
+                (lit(1.0) - $"hlev") * (lit(1.0) - $"hlev"))))
+        .filter($"cook_d" > lit(4.0) / $"n".cast("double"))
+        .select($"event_type",
+          date_format($"day", "yyyy-MM-dd").as("day"), $"v",
+          Tables.nz(round($"e", 4)).as("residual"),
+          Tables.nz(round($"hlev", 6)).as("leverage"),
+          Tables.nz(round($"cook_d", 6)).as("cook_d"))
+        .orderBy($"event_type", $"day")
+  }
+
+  /** q174's body behind a frame seam, so MomentWidthSpec can feed a
+    * synthetic corpus whose centered daily cents overflow 64-bit
+    * fourth powers (|c| > 55k cents ⇒ c⁴ > Long.MaxValue — decimal
+    * is load-bearing even at sf0.01). Exact domain: Σc⁴ < 10³⁸ ⇒
+    * |c| ≲ 4.5e8 cents of daily deviation (≈ sf100 events); past it
+    * the q25 detect-then-escalate pass is the documented remedy.
+    */
+  private[queries] def jarqueBera(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    val dec = "decimal(38,0)"
+    val daily = events
+        .select($"event_type", to_date($"ts").as("day"),
+          round($"value" * 100).cast("long").as("cents"))
+        .groupBy($"event_type", $"day").agg(sum($"cents").as("v"))
+      val span = daily.agg(min($"day").as("d0"), max($"day").as("d1"))
+      val types = daily.select($"event_type").distinct()
+      val grid = span
+        .select(explode(sequence($"d0", $"d1")).as("day"),
+          (datediff($"d1", $"d0") + 1).cast("long").as("n"))
+        .crossJoin(broadcast(types))
+        .join(daily, Seq("event_type", "day"), "left")
+        .select($"event_type", $"n", coalesce($"v", lit(0L)).as("v"))
+      val piv = grid.groupBy($"event_type")
+        .agg(min($"n").as("n"), sum($"v".cast(dec)).as("s1"))
+        .select($"event_type",
+          round($"s1".cast("double") / $"n".cast("double"))
+            .cast("long").as("piv"))
+      val mom = grid.join(broadcast(piv), Seq("event_type"))
+        .withColumn("c", ($"v" - $"piv").cast(dec))
+        .groupBy($"event_type")
+        .agg(min($"n").as("n_days"), min($"piv").as("piv"),
+          sum($"c").as("s1"),
+          sum(($"c" * $"c").cast(dec)).as("s2"),
+          sum(($"c" * $"c" * $"c").cast(dec)).as("s3"),
+          sum(($"c" * $"c" * $"c" * $"c").cast(dec)).as("s4"))
+      val a = mom
+        .withColumn("nd", $"n_days".cast("double"))
+        .withColumn("m1", $"s1".cast("double") / $"nd")
+        .withColumn("r2", $"s2".cast("double") / $"nd")
+        .withColumn("r3", $"s3".cast("double") / $"nd")
+        .withColumn("r4", $"s4".cast("double") / $"nd")
+        .withColumn("m2", $"r2" - $"m1" * $"m1")
+        .withColumn("m3", $"r3" - lit(3.0) * $"m1" * $"r2" +
+          lit(2.0) * $"m1" * $"m1" * $"m1")
+        .withColumn("m4", $"r4" - lit(4.0) * $"m1" * $"r3" +
+          lit(6.0) * $"m1" * $"m1" * $"r2" -
+          lit(3.0) * $"m1" * $"m1" * $"m1" * $"m1")
+        .withColumn("skew",
+          when($"m2" === 0.0, lit(null).cast("double"))
+            .otherwise($"m3" / (sqrt($"m2") * $"m2")))
+        .withColumn("exk",
+          when($"m2" === 0.0, lit(null).cast("double"))
+            .otherwise($"m4" / ($"m2" * $"m2") - lit(3.0)))
+        .withColumn("jb", $"nd" / lit(6.0) *
+          ($"skew" * $"skew" + $"exk" * $"exk" / lit(4.0)))
+      a.select($"event_type", $"n_days",
+          Tables.nz(round($"piv".cast("double") + $"m1", 2))
+            .as("mean_cents"),
+          Tables.nz(round($"skew", 5)).as("skewness"),
+          Tables.nz(round($"exk", 5)).as("ex_kurtosis"),
+          Tables.nz(round($"jb", 4)).as("jb_stat"),
+          Tables.nz(round(exp(-$"jb" / lit(2.0)), 6)).as("p_value"))
+        .orderBy($"event_type")
+  }
+
+  /** The shared per-type OLS residual frame q173 and q176 both read:
+    * the gap-filled complete day grid in the ×2-centered design
+    * (u = 2t−(n−1), Σu = 0 exactly), its decimal(38,0) moments, the
+    * scaled residual esc = v·n·Σu² − Σv·Σu² − n·Σuv·u, and the IEEE
+    * residual e = esc/(n·Σu²) — extracted verbatim from q173 (same
+    * expression tree, same plan) so the Durbin–Watson pass reuses the
+    * frame instead of replaying it in divergent form.
+    */
+  private[queries] def olsResidualGrid(events: DataFrame): DataFrame = {
     val s = events.sparkSession
     import s.implicits._
     val dec = "decimal(38,0)"
@@ -475,23 +713,6 @@ object Frontier4 {
             $"n".cast(dec) * $"suv" * $"u").cast(dec))
         .withColumn("e", $"esc".cast("double") /
           ($"n".cast(dec) * $"su2").cast("double"))
-        .withColumn("hlev", lit(1.0) / $"n".cast("double") +
-          ($"u" * $"u").cast("double") / $"su2".cast("double"))
-        .withColumn("s2", $"sse_sc".cast("double") /
-          ($"n".cast(dec) * $"su2").cast("double") /
-          ($"n" - 2L).cast("double"))
-        .withColumn("cook_d",
-          when($"s2" === 0.0, lit(null).cast("double"))
-            .otherwise($"e" * $"e" * $"hlev" /
-              (lit(2.0) * $"s2" *
-                (lit(1.0) - $"hlev") * (lit(1.0) - $"hlev"))))
-        .filter($"cook_d" > lit(4.0) / $"n".cast("double"))
-        .select($"event_type",
-          date_format($"day", "yyyy-MM-dd").as("day"), $"v",
-          Tables.nz(round($"e", 4)).as("residual"),
-          Tables.nz(round($"hlev", 6)).as("leverage"),
-          Tables.nz(round($"cook_d", 6)).as("cook_d"))
-        .orderBy($"event_type", $"day")
   }
 
   def oracles: Map[String, String] = Map(
@@ -904,5 +1125,199 @@ object Frontier4 {
            round(cook_d, 6) + 0.0 AS cook_d
          FROM ck
          WHERE cook_d > 4.0 / CAST(n AS DOUBLE)
-         ORDER BY event_type, day""")
+         ORDER BY event_type, day""",
+
+    "q174_jarque_bera" ->
+      """WITH daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS v
+           FROM events GROUP BY 1, 2),
+         span AS (
+           SELECT d0, d1,
+             CAST(date_diff('day', d0, d1) + 1 AS BIGINT) AS n
+           FROM (SELECT min(day) AS d0, max(day) AS d1 FROM daily)),
+         days AS (
+           SELECT unnest(generate_series(d0, d1,
+             INTERVAL 1 DAY))::DATE AS day, n
+           FROM span),
+         types AS (SELECT DISTINCT event_type FROM daily),
+         grid AS (
+           SELECT t.event_type, dy.n, coalesce(d.v, 0) AS v
+           FROM days dy CROSS JOIN types t
+           LEFT JOIN daily d
+             ON d.event_type = t.event_type AND d.day = dy.day),
+         piv AS (
+           SELECT event_type,
+             CAST(round(CAST(sum(CAST(v AS HUGEINT)) AS DOUBLE) /
+               CAST(min(n) AS DOUBLE)) AS BIGINT) AS piv
+           FROM grid GROUP BY 1),
+         cen AS (
+           SELECT g.event_type, g.n, p.piv,
+             CAST(g.v - p.piv AS HUGEINT) AS c
+           FROM grid g JOIN piv p ON p.event_type = g.event_type),
+         mom AS (
+           SELECT event_type, min(n) AS n_days, min(piv) AS piv,
+             sum(c) AS s1, sum(c * c) AS s2,
+             sum(c * c * c) AS s3, sum(c * c * c * c) AS s4
+           FROM cen GROUP BY 1),
+         a AS (
+           SELECT event_type, n_days, piv,
+             CAST(n_days AS DOUBLE) AS nd,
+             CAST(s1 AS DOUBLE) / CAST(n_days AS DOUBLE) AS m1,
+             CAST(s2 AS DOUBLE) / CAST(n_days AS DOUBLE) AS r2,
+             CAST(s3 AS DOUBLE) / CAST(n_days AS DOUBLE) AS r3,
+             CAST(s4 AS DOUBLE) / CAST(n_days AS DOUBLE) AS r4
+           FROM mom),
+         b AS (
+           SELECT event_type, n_days, piv, nd, m1,
+             r2 - m1 * m1 AS m2,
+             r3 - 3.0 * m1 * r2 + 2.0 * m1 * m1 * m1 AS m3,
+             r4 - 4.0 * m1 * r3 + 6.0 * m1 * m1 * r2 -
+               3.0 * m1 * m1 * m1 * m1 AS m4
+           FROM a),
+         c2 AS (
+           SELECT event_type, n_days, piv, nd, m1, m2,
+             CASE WHEN m2 = 0.0 THEN NULL
+               ELSE m3 / (sqrt(m2) * m2) END AS skew,
+             CASE WHEN m2 = 0.0 THEN NULL
+               ELSE m4 / (m2 * m2) - 3.0 END AS exk
+           FROM b),
+         j AS (
+           SELECT event_type, n_days, piv, m1, skew, exk,
+             nd / 6.0 * (skew * skew + exk * exk / 4.0) AS jb
+           FROM c2)
+         SELECT event_type, n_days,
+           round(CAST(piv AS DOUBLE) + m1, 2) + 0.0 AS mean_cents,
+           round(skew, 5) + 0.0 AS skewness,
+           round(exk, 5) + 0.0 AS ex_kurtosis,
+           round(jb, 4) + 0.0 AS jb_stat,
+           round(exp(-jb / 2.0), 6) + 0.0 AS p_value
+         FROM j ORDER BY event_type""",
+
+    "q175_partial_corr" ->
+      """WITH o AS (
+           SELECT c.c_mktsegment AS seg, o.o_orderdate AS day,
+             CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+           FROM orders o JOIN customer c
+             ON o.o_custkey = c.c_custkey),
+         daily AS (
+           SELECT day,
+             CAST(sum(CASE WHEN seg = 'BUILDING' THEN cents
+               ELSE 0 END) AS BIGINT) AS xv,
+             CAST(sum(CASE WHEN seg = 'MACHINERY' THEN cents
+               ELSE 0 END) AS BIGINT) AS yv,
+             CAST(sum(cents) AS BIGINT) AS zv
+           FROM o GROUP BY 1),
+         span AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+         days AS (
+           SELECT unnest(generate_series(d0, d1,
+             INTERVAL 1 DAY))::DATE AS day
+           FROM span),
+         grid AS (
+           SELECT CAST(coalesce(d.xv, 0) AS HUGEINT) AS x,
+             CAST(coalesce(d.yv, 0) AS HUGEINT) AS y,
+             CAST(coalesce(d.zv, 0) AS HUGEINT) AS z
+           FROM days dy LEFT JOIN daily d ON d.day = dy.day),
+         m AS (
+           SELECT CAST(count(*) AS HUGEINT) AS n,
+             sum(x) AS sx, sum(y) AS sy, sum(z) AS sz,
+             sum(x * x) AS sxx, sum(y * y) AS syy,
+             sum(z * z) AS szz, sum(x * y) AS sxy,
+             sum(x * z) AS sxz, sum(y * z) AS syz
+           FROM grid),
+         r AS (
+           SELECT CAST(n AS BIGINT) AS n_days,
+             CASE WHEN (n * sxx - sx * sx) = 0 OR
+                 (n * syy - sy * sy) = 0 THEN NULL
+               ELSE CAST(n * sxy - sx * sy AS DOUBLE) /
+                 sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
+                   CAST(n * syy - sy * sy AS DOUBLE)) END AS rxy,
+             CASE WHEN (n * sxx - sx * sx) = 0 OR
+                 (n * szz - sz * sz) = 0 THEN NULL
+               ELSE CAST(n * sxz - sx * sz AS DOUBLE) /
+                 sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
+                   CAST(n * szz - sz * sz AS DOUBLE)) END AS rxz,
+             CASE WHEN (n * syy - sy * sy) = 0 OR
+                 (n * szz - sz * sz) = 0 THEN NULL
+               ELSE CAST(n * syz - sy * sz AS DOUBLE) /
+                 sqrt(CAST(n * syy - sy * sy AS DOUBLE) *
+                   CAST(n * szz - sz * sz AS DOUBLE)) END AS ryz
+           FROM m)
+         SELECT n_days,
+           round(rxy, 6) + 0.0 AS r_xy,
+           round(rxz, 6) + 0.0 AS r_xz,
+           round(ryz, 6) + 0.0 AS r_yz,
+           round(CASE WHEN rxy IS NULL OR rxz IS NULL OR
+               ryz IS NULL OR
+               (1.0 - rxz * rxz) * (1.0 - ryz * ryz) <= 0.0
+               THEN NULL
+             ELSE (rxy - rxz * ryz) /
+               sqrt((1.0 - rxz * rxz) * (1.0 - ryz * ryz)) END, 6)
+             + 0.0 AS r_partial
+         FROM r""",
+
+    "q176_durbin_watson" ->
+      """WITH daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS v
+           FROM events GROUP BY 1, 2),
+         span AS (
+           SELECT d0, d1,
+             CAST(date_diff('day', d0, d1) + 1 AS BIGINT) AS n
+           FROM (SELECT min(day) AS d0, max(day) AS d1 FROM daily)),
+         days AS (
+           SELECT unnest(generate_series(d0, d1,
+             INTERVAL 1 DAY))::DATE AS day, d0, n
+           FROM span),
+         types AS (SELECT DISTINCT event_type FROM daily),
+         grid AS (
+           SELECT t.event_type, dy.day, dy.n,
+             CAST(date_diff('day', dy.d0, dy.day) AS BIGINT) AS t,
+             coalesce(d.v, 0) AS v
+           FROM days dy CROSS JOIN types t
+           LEFT JOIN daily d
+             ON d.event_type = t.event_type AND d.day = dy.day),
+         g2 AS (
+           SELECT event_type, day, n, v,
+             CAST(2 * t - (n - 1) AS HUGEINT) AS u
+           FROM grid),
+         mom AS (
+           SELECT event_type,
+             sum(u * u) AS su2,
+             sum(u * v) AS suv,
+             CAST(sum(v) AS HUGEINT) AS sv
+           FROM g2 GROUP BY 1),
+         rows_ AS (
+           SELECT g.event_type, g.day, g.n,
+             CAST(CAST(g.v AS HUGEINT) * g.n * m.su2 - m.sv * m.su2 -
+               CAST(g.n AS HUGEINT) * m.suv * g.u AS DOUBLE) /
+               CAST(CAST(g.n AS HUGEINT) * m.su2 AS DOUBLE) AS e
+           FROM g2 g JOIN mom m ON m.event_type = g.event_type),
+         lg AS (
+           SELECT event_type, day, n, e,
+             lag(e) OVER (PARTITION BY event_type
+               ORDER BY day) AS ep
+           FROM rows_),
+         t AS (
+           SELECT event_type, day, n, e * e AS e2,
+             coalesce((e - ep) * (e - ep), 0.0) AS d2,
+             coalesce(e * ep, 0.0) AS cr
+           FROM lg),
+         f AS (
+           SELECT event_type, min(n) AS n_days,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(e2 ORDER BY day)), (a, x) -> a + x) AS se2,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(d2 ORDER BY day)), (a, x) -> a + x) AS sd2,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(cr ORDER BY day)), (a, x) -> a + x) AS scr
+           FROM t GROUP BY 1)
+         SELECT event_type, n_days,
+           round(CASE WHEN se2 = 0.0 THEN NULL
+             ELSE sd2 / se2 END, 5) + 0.0 AS dw,
+           round(CASE WHEN se2 = 0.0 THEN NULL
+             ELSE scr / se2 END, 5) + 0.0 AS rho1
+         FROM f ORDER BY event_type""")
 }

@@ -107,6 +107,8 @@ class CollectGuardSpec extends SparkSpec {
       "per-customer order history (TPC-H tens-of-orders contract)",
     "q114_holt_forecast" -> "per-type daily series, span days",
     "q117_runs_test" -> "per-type daily series, span days",
+    "q176_durbin_watson" ->
+      "per-type daily residual series, span days (q160-style fold)",
     "q141_theil_sen" ->
       "pairwise slopes of the daily series, span^2/2 per type",
     "q142_bootstrap_ci" -> "one list of B=200 bootstrap means",

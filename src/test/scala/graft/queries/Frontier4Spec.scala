@@ -340,4 +340,142 @@ class Frontier4Spec extends SparkSpec {
       assert(covMilli == cov * 1000 / test.length, s"$t coverage")
     }
   }
+
+  test("jarque-bera: BigInt centered moments, closed-form chi2 tail") {
+    val got = Frontier4.queries("q174_jarque_bera")(spark, sf)
+      .as[(String, Long, Double, Option[Double], Option[Double],
+        Option[Double], Option[Double])].collect().sortBy(_._1)
+    val (series, dmax) = dailyEventSeries()
+    assert(got.map(_._1).toSeq == series.keys.toSeq.sorted)
+    def r(v: Double, p: Int) = BigDecimal(v)
+      .setScale(p, BigDecimal.RoundingMode.HALF_UP).toDouble
+    got.foreach { case (t, nDays, mean, sk, ek, jb, pv) =>
+      val vs = (0L to dmax).map(series(t))
+      assert(nDays == dmax + 1, s"$t n_days")
+      val s1raw = vs.map(BigInt(_)).sum
+      val piv = math.round(s1raw.toDouble / nDays.toDouble)
+      val cs = vs.map(v => BigInt(v - piv))
+      val nd = nDays.toDouble
+      val m1 = cs.sum.toDouble / nd
+      val r2 = cs.map(c => c * c).sum.toDouble / nd
+      val r3 = cs.map(c => c * c * c).sum.toDouble / nd
+      val r4 = cs.map(c => c * c * c * c).sum.toDouble / nd
+      val m2 = r2 - m1 * m1
+      val m3 = r3 - 3.0 * m1 * r2 + 2.0 * m1 * m1 * m1
+      val m4 = r4 - 4.0 * m1 * r3 + 6.0 * m1 * m1 * r2 -
+        3.0 * m1 * m1 * m1 * m1
+      assert(math.abs(mean - r(piv.toDouble + m1, 2)) < 1e-9, s"$t mean")
+      if (m2 == 0.0) {
+        assert(sk.isEmpty && ek.isEmpty && jb.isEmpty && pv.isEmpty)
+      } else {
+        val skew = m3 / (math.sqrt(m2) * m2)
+        val exk = m4 / (m2 * m2) - 3.0
+        val j = nd / 6.0 * (skew * skew + exk * exk / 4.0)
+        assert(math.abs(sk.get - r(skew, 5)) < 1e-9, s"$t skew")
+        assert(math.abs(ek.get - r(exk, 5)) < 1e-9, s"$t kurt")
+        assert(math.abs(jb.get - r(j, 4)) < 1e-9, s"$t jb")
+        assert(math.abs(pv.get - r(math.exp(-j / 2.0), 6)) < 1e-9,
+          s"$t p")
+      }
+    }
+  }
+
+  test("partial corr: controlling the market total changes the read") {
+    val got = Frontier4.queries("q175_partial_corr")(spark, sf)
+      .as[(Long, Option[Double], Option[Double], Option[Double],
+        Option[Double])].collect()
+    assert(got.length == 1)
+    val (nDays, rxy, rxz, ryz, rp) = got.head
+    // independent replay: daily series from raw orders × customer
+    val rows = graft.Tables.load(spark, sf, "orders")
+      .join(graft.Tables.load(spark, sf, "customer"),
+        $"o_custkey" === $"c_custkey")
+      .select($"c_mktsegment", to_date($"o_orderdate").cast("string"),
+        round($"o_totalprice" * 100).cast("long"))
+      .as[(String, String, Long)].collect()
+    val days = rows.map(_._2).distinct.map(java.time.LocalDate.parse)
+    val d0 = days.min(Ordering.fromLessThan[java.time.LocalDate](_ isBefore _))
+    val d1 = days.max(Ordering.fromLessThan[java.time.LocalDate](_ isBefore _))
+    val dmax = java.time.temporal.ChronoUnit.DAYS.between(d0, d1)
+    assert(nDays == dmax + 1)
+    def series(p: ((String, String, Long)) => Boolean): IndexedSeq[BigInt] = {
+      val sparse = rows.filter(p)
+        .groupBy(r => java.time.temporal.ChronoUnit.DAYS.between(
+          d0, java.time.LocalDate.parse(r._2)))
+        .map { case (di, rs) => di -> rs.map(r => BigInt(r._3)).sum }
+      (0L to dmax).map(di => sparse.getOrElse(di, BigInt(0)))
+    }
+    val (xs, ys, zs) = (series(_._1 == "BUILDING"),
+      series(_._1 == "MACHINERY"), series(_ => true))
+    val n = BigInt(xs.length)
+    def corr(a: IndexedSeq[BigInt], b: IndexedSeq[BigInt]): Option[Double] = {
+      val (sa, sb) = (a.sum, b.sum)
+      val saa = a.map(v => v * v).sum
+      val sbb = b.map(v => v * v).sum
+      val sab = a.zip(b).map { case (u, v) => u * v }.sum
+      val (da, db) = (n * saa - sa * sa, n * sbb - sb * sb)
+      if (da == 0 || db == 0) None
+      else Some((n * sab - sa * sb).toDouble /
+        math.sqrt(da.toDouble * db.toDouble))
+    }
+    def r6(v: Double) = BigDecimal(v)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val (exy, exz, eyz) = (corr(xs, ys), corr(xs, zs), corr(ys, zs))
+    assert(rxy.isDefined == exy.isDefined, "r_xy definedness")
+    (rxy zip exy).foreach { case (g, e) =>
+      assert(math.abs(g - r6(e)) < 1e-9, "r_xy") }
+    (rxz zip exz).foreach { case (g, e) =>
+      assert(math.abs(g - r6(e)) < 1e-9, "r_xz") }
+    (ryz zip eyz).foreach { case (g, e) =>
+      assert(math.abs(g - r6(e)) < 1e-9, "r_yz") }
+    for (a <- exy; b <- exz; c <- eyz) {
+      val den = (1.0 - b * b) * (1.0 - c * c)
+      if (den > 0.0) {
+        val ep = (a - b * c) / math.sqrt(den)
+        assert(math.abs(rp.get - r6(ep)) < 1e-9, "r_partial")
+        // the control must do SOMETHING on this corpus: raw and
+        // partial reads differ (both exist, not bit-identical)
+        assert(rp.get != rxy.get, "partial differs from raw")
+      }
+    }
+  }
+
+  test("durbin-watson: day-ordered fold replay of the OLS residuals") {
+    val got = Frontier4.queries("q176_durbin_watson")(spark, sf)
+      .as[(String, Long, Option[Double], Option[Double])].collect()
+      .sortBy(_._1)
+    val (series, dmax) = dailyEventSeries()
+    assert(got.map(_._1).toSeq == series.keys.toSeq.sorted)
+    def r5(v: Double) = BigDecimal(v)
+      .setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble
+    got.foreach { case (t, nDays, dw, rho1) =>
+      val n = dmax + 1
+      assert(nDays == n, s"$t n_days")
+      val vs = (0L to dmax).map(series(t))
+      val us = (0L to dmax).map(di => BigInt(2 * di - (n - 1)))
+      val su2 = us.map(u => u * u).sum
+      val sv = vs.map(BigInt(_)).sum
+      val suv = us.zip(vs).map { case (u, v) => u * v }.sum
+      val es = (0L to dmax).map { di =>
+        val esc = BigInt(vs(di.toInt)) * n * su2 - sv * su2 -
+          BigInt(n) * suv * us(di.toInt)
+        esc.toDouble / (BigInt(n) * su2).toDouble
+      }
+      // left fold in day order — the engine's sorted-array fold
+      val se2 = es.map(e => e * e).foldLeft(0.0)(_ + _)
+      val sd2 = (1 until es.length)
+        .map(i => (es(i) - es(i - 1)) * (es(i) - es(i - 1)))
+        .foldLeft(0.0)(_ + _)
+      val scr = (1 until es.length).map(i => es(i) * es(i - 1))
+        .foldLeft(0.0)(_ + _)
+      if (se2 == 0.0) assert(dw.isEmpty && rho1.isEmpty, s"$t nulls")
+      else {
+        assert(math.abs(dw.get - r5(sd2 / se2)) < 1e-9, s"$t dw")
+        assert(math.abs(rho1.get - r5(scr / se2)) < 1e-9, s"$t rho1")
+        // textbook identity: dw ≈ 2(1 − rho1) up to end effects
+        assert(math.abs(dw.get - 2.0 * (1.0 - rho1.get)) < 0.5,
+          s"$t dw-rho identity")
+      }
+    }
+  }
 }

@@ -248,4 +248,44 @@ class MomentWidthSpec extends SparkSpec {
       math.sqrt(variance) * 1e-9 + 0.01)
     assert(math.abs(row.getAs[Double]("corr_vk") - corr) < 0.01)
   }
+
+  test("q174 jarque-bera fourth powers survive past the long ceiling") {
+    // daily deviations ~9e7 cents: c⁴ ≈ 6.6e31 >> Long.MaxValue
+    // (9.2e18) — the long-width pipeline would ANSI-throw on a single
+    // day's fourth power; the decimal(38,0) moments must yield the
+    // exact BigInt-replayed JB
+    val base = java.sql.Timestamp.valueOf("2024-01-01 12:00:00")
+    def ts(day: Int) = new java.sql.Timestamp(
+      base.getTime + day * 86400000L)
+    // asymmetric series → nonzero skew, finite kurtosis
+    val vs = Seq(1.0e6, 2.0e6, 1.5e6, 9.0e5, 4.0e6, 1.2e6, 8.0e5,
+      2.5e6)
+    val events = vs.zipWithIndex.map { case (v, i) =>
+      ("heavy", v, ts(i))
+    }.toDF("event_type", "value", "ts")
+    val row = Frontier4.jarqueBera(events).collect().head
+    val cents = vs.map(v => math.round(v * 100))
+    val n = cents.length
+    val piv = math.round(cents.map(BigInt(_)).sum.toDouble / n.toDouble)
+    val cs = cents.map(c => BigInt(c - piv))
+    val nd = n.toDouble
+    val m1 = cs.sum.toDouble / nd
+    val r2 = cs.map(c => c * c).sum.toDouble / nd
+    val r3 = cs.map(c => c * c * c).sum.toDouble / nd
+    val r4 = cs.map(c => c * c * c * c).sum.toDouble / nd
+    val m2 = r2 - m1 * m1
+    val m3 = r3 - 3.0 * m1 * r2 + 2.0 * m1 * m1 * m1
+    val m4 = r4 - 4.0 * m1 * r3 + 6.0 * m1 * m1 * r2 -
+      3.0 * m1 * m1 * m1 * m1
+    val skew = m3 / (math.sqrt(m2) * m2)
+    val exk = m4 / (m2 * m2) - 3.0
+    val jb = nd / 6.0 * (skew * skew + exk * exk / 4.0)
+    assert(row.getAs[Long]("n_days") == n.toLong)
+    assert(math.abs(row.getAs[Double]("skewness") - skew) < 1e-4,
+      s"skew ${row.getAs[Double]("skewness")} vs $skew")
+    assert(math.abs(row.getAs[Double]("ex_kurtosis") - exk) < 1e-4)
+    assert(math.abs(row.getAs[Double]("jb_stat") - jb) < 1e-3)
+    // sanity: c⁴ really is past the long ceiling at this magnitude
+    assert(cs.map(c => c * c * c * c).max > BigInt(Long.MaxValue))
+  }
 }
