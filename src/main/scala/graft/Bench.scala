@@ -182,12 +182,18 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cpu_sec":${jmap(cpuSec)},"gc_sec":${jmap(gcSec)},"retried":$rj,"failed":$fj,"sf":"$sfDir"}"""
+    // A SPARK_GRAFT_ONLY subset run must never clobber the committed
+    // full-board artifact (ADVICE r12: a 1-query smoke run replaced
+    // the 296-query map that downstream verdict tooling reads) —
+    // subset runs write bench_subset.json instead.
+    val fullPath =
+      if (only.isEmpty) "bench_full.json" else "bench_subset.json"
     try {
       java.nio.file.Files.write(
-        java.nio.file.Paths.get("bench_full.json"),
+        java.nio.file.Paths.get(fullPath),
         full.getBytes("UTF-8"))
     } catch { case t: Throwable =>
-      System.err.println(s"[bench] bench_full.json write failed: $t")
+      System.err.println(s"[bench] $fullPath write failed: $t")
     }
     val top = results.toSeq.sortBy(-_._2).take(20)
     val topW = top.map { case (k, v) => f""""$k":$v%.3f""" }
