@@ -570,6 +570,93 @@ object Frontier4 {
             when($"se2" === 0.0, lit(null).cast("double"))
               .otherwise($"scr" / $"se2"), 5)).as("rho1"))
         .orderBy($"event_type")
+    }),
+
+    // Simpson diversity of each language's token distribution —
+    // λ = Σnᵢ(nᵢ−1)/(N(N−1)), the probability two tokens drawn
+    // without replacement are the SAME type, and 1/λ the "effective
+    // vocabulary" (how many equally-common types would look like
+    // this corpus). The concentration companion of text_hapax_ratio
+    // (type frontier) and text_zipf_rank_score (rank law): hapax
+    // reads the tail, Simpson the head — a boilerplate-flooded
+    // corpus shows λ spiking while TTR still looks healthy. One
+    // (lang, token) map-side-combined rollup; numerator and
+    // denominator decimal(38,0) (Σnᵢ² passes long at ~3e9 tokens per
+    // language — real at 100 TB), one IEEE ratio.
+    "text_simpson_diversity" -> ((s, d) => {
+      import s.implicits._
+      val dec = "decimal(38,0)"
+      Tables.spread(Tables.load(s, d, "documents"))
+        .select($"lang",
+          explode(split(lower($"text"), "\\s+")).as("token"))
+        .groupBy($"lang", $"token").agg(count(lit(1)).as("c"))
+        .groupBy($"lang")
+        .agg(sum($"c").cast(dec).as("n_tok"),
+          count(lit(1)).as("n_types"),
+          sum(($"c".cast(dec) * ($"c" - 1L)).cast(dec)).as("num"))
+        .select($"lang", $"n_tok".cast("long").as("n_tokens"),
+          $"n_types",
+          Tables.nz(round(
+            when($"n_tok" < 2, lit(null).cast("double"))
+              .otherwise($"num".cast("double") /
+                ($"n_tok" * ($"n_tok" - 1)).cast("double")), 6))
+            .as("simpson"),
+          Tables.nz(round(
+            when($"n_tok" < 2 || $"num" === 0,
+              lit(null).cast("double"))
+              .otherwise(($"n_tok" * ($"n_tok" - 1)).cast("double") /
+                $"num".cast("double")), 4)).as("inv_simpson"))
+        .orderBy($"lang")
+    }),
+
+    // Cohen's kappa between two length "raters" on the documents
+    // table — chance-corrected agreement, the metric behind every
+    // labeling-QA dashboard ("my two quality heuristics agree 85% of
+    // the time" is meaningless when the marginals already force 80%).
+    // Rater A buckets by stored n_chars, rater B by tokenizer output
+    // (whitespace token count): their kappa is exactly the
+    // stored-metadata-vs-recomputed drift read that q148_schema_drift
+    // does for schemas, applied to annotations. The 3×3 contingency
+    // is enum-bounded after one corpus pass; κ = (N·diag − Σrᵢcᵢ)/
+    // (N² − Σrᵢcᵢ) assembles from exact decimal(38,0) products (row
+    // marginal products pass long at ~3e9 docs — real at 100 TB).
+    "q177_cohens_kappa" -> ((s, d) => {
+      import s.implicits._
+      val dec = "decimal(38,0)"
+      val ntok = size(split(lower($"text"), "\\s+"))
+      val cell = Tables.spread(Tables.load(s, d, "documents"))
+        .select(
+          when($"n_chars" < 200L, "short")
+            .when($"n_chars" < 1000L, "medium")
+            .otherwise("long").as("ra"),
+          when(ntok < 40, "short")
+            .when(ntok < 200, "medium")
+            .otherwise("long").as("rb"))
+        .groupBy($"ra", $"rb").agg(count(lit(1)).as("c"))
+      val m = cell.agg(sum($"c").cast(dec).as("n"),
+        sum(when($"ra" === $"rb", $"c").otherwise(0L)).cast(dec)
+          .as("diag"))
+      val rowm = cell.groupBy($"ra").agg(sum($"c").as("rn"))
+      val colm = cell.groupBy($"rb").agg(sum($"c").as("cn"))
+      val pen = rowm.join(colm, $"ra" === $"rb")
+        .agg(coalesce(sum(($"rn".cast(dec) * $"cn").cast(dec)),
+          lit(0).cast(dec)).as("pen"))
+      m.crossJoin(pen)
+        .select($"n".cast("long").as("n_docs"),
+          Tables.nz(round(
+            when($"n" === 0, lit(null).cast("double"))
+              .otherwise($"diag".cast("double") / $"n".cast("double")),
+            6)).as("p_observed"),
+          Tables.nz(round(
+            when($"n" === 0, lit(null).cast("double"))
+              .otherwise($"pen".cast("double") /
+                ($"n" * $"n").cast("double")), 6)).as("p_expected"),
+          Tables.nz(round(
+            when(($"n" * $"n" - $"pen") === 0,
+              lit(null).cast("double"))
+              .otherwise(($"n" * $"diag" - $"pen").cast("double") /
+                ($"n" * $"n" - $"pen").cast("double")), 6))
+            .as("kappa"))
     }))
 
   /** q173's body behind a frame seam, so MomentWidthSpec can feed a
@@ -1319,5 +1406,71 @@ object Frontier4 {
              ELSE sd2 / se2 END, 5) + 0.0 AS dw,
            round(CASE WHEN se2 = 0.0 THEN NULL
              ELSE scr / se2 END, 5) + 0.0 AS rho1
-         FROM f ORDER BY event_type""")
+         FROM f ORDER BY event_type""",
+
+    "text_simpson_diversity" ->
+      """WITH tok AS (
+           SELECT lang,
+             unnest(string_split_regex(lower(text), '\s+')) AS token
+           FROM documents),
+         tc AS (
+           SELECT lang, token, CAST(count(*) AS BIGINT) AS c
+           FROM tok GROUP BY 1, 2),
+         agg AS (
+           SELECT lang, CAST(sum(c) AS HUGEINT) AS n_tok,
+             CAST(count(*) AS BIGINT) AS n_types,
+             CAST(sum(CAST(c AS HUGEINT) * (c - 1)) AS HUGEINT)
+               AS num
+           FROM tc GROUP BY 1)
+         SELECT lang, CAST(n_tok AS BIGINT) AS n_tokens, n_types,
+           round(CASE WHEN n_tok < 2 THEN NULL
+             ELSE CAST(num AS DOUBLE) /
+               CAST(n_tok * (n_tok - 1) AS DOUBLE) END, 6) + 0.0
+             AS simpson,
+           round(CASE WHEN n_tok < 2 OR num = 0 THEN NULL
+             ELSE CAST(n_tok * (n_tok - 1) AS DOUBLE) /
+               CAST(num AS DOUBLE) END, 4) + 0.0 AS inv_simpson
+         FROM agg ORDER BY lang""",
+
+    "q177_cohens_kappa" ->
+      """WITH r AS (
+           SELECT
+             CASE WHEN n_chars < 200 THEN 'short'
+               WHEN n_chars < 1000 THEN 'medium'
+               ELSE 'long' END AS ra,
+             CASE WHEN len(string_split_regex(lower(text), '\s+'))
+                 < 40 THEN 'short'
+               WHEN len(string_split_regex(lower(text), '\s+'))
+                 < 200 THEN 'medium'
+               ELSE 'long' END AS rb
+           FROM documents),
+         cell AS (
+           SELECT ra, rb, CAST(count(*) AS BIGINT) AS c
+           FROM r GROUP BY 1, 2),
+         m AS (
+           SELECT CAST(sum(c) AS HUGEINT) AS n,
+             CAST(sum(CASE WHEN ra = rb THEN c ELSE 0 END)
+               AS HUGEINT) AS diag
+           FROM cell),
+         rowm AS (
+           SELECT ra, CAST(sum(c) AS BIGINT) AS rn
+           FROM cell GROUP BY 1),
+         colm AS (
+           SELECT rb, CAST(sum(c) AS BIGINT) AS cn
+           FROM cell GROUP BY 1),
+         pen AS (
+           SELECT coalesce(CAST(sum(CAST(rn AS HUGEINT) * cn)
+             AS HUGEINT), 0) AS pen
+           FROM rowm JOIN colm ON colm.rb = rowm.ra)
+         SELECT CAST(n AS BIGINT) AS n_docs,
+           round(CASE WHEN n = 0 THEN NULL
+             ELSE CAST(diag AS DOUBLE) / CAST(n AS DOUBLE) END, 6)
+             + 0.0 AS p_observed,
+           round(CASE WHEN n = 0 THEN NULL
+             ELSE CAST(pen AS DOUBLE) / CAST(n * n AS DOUBLE) END, 6)
+             + 0.0 AS p_expected,
+           round(CASE WHEN n * n - pen = 0 THEN NULL
+             ELSE CAST(n * diag - pen AS DOUBLE) /
+               CAST(n * n - pen AS DOUBLE) END, 6) + 0.0 AS kappa
+         FROM m, pen""")
 }

@@ -1353,6 +1353,62 @@ object Similarity {
         .select(col("q_id"), col("rank"), col("doc_id"),
           round(col("rrf"), 6).as("rrf"))
         .orderBy(col("q_id"), col("rank"))
+    }),
+
+    // Hubness audit of the embedding space (Radovanović et al. 2010,
+    // JMLR 11) — the curse-of-dimensionality failure mode every ANN
+    // serving path inherits: in high-dim spaces a few "hub" vectors
+    // appear in MANY k-NN lists (inflating their retrieval frequency)
+    // while "antihubs" appear in none, and a right-skewed
+    // k-occurrence distribution is the canonical symptom. Runs on a
+    // FIXED 512-vector panel (first 512 by vec_id — an eval harness
+    // like ann_recall_eval: the panel is corpus-size-independent by
+    // design, 512² = 262k exact cosine pairs at ANY scale). Reports
+    // the N_k(x) distribution: max, hub count (N_k ≥ 2k), antihub
+    // count (N_k = 0), and the skewness of N_k via exact long power
+    // sums with the q174 one-IEEE-assembly shape.
+    "emb_hubness" -> ((s, d) => {
+      val k = 10
+      val panel = Tables.load(s, d, "embeddings")
+        .orderBy(col("vec_id")).limit(512)
+        .select(col("vec_id"), col("embedding"))
+      val q = panel.select(col("vec_id").as("q_id"),
+        col("embedding").as("q_emb"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(desc("cosine"), col("vec_id"))
+      val top = panel.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("cosine", cosine(col("q_emb"), col("embedding")))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= k)
+      val occ = top.groupBy(col("vec_id"))
+        .agg(count(lit(1)).as("nk0"))
+      val nk = panel.select(col("vec_id"))
+        .join(occ, Seq("vec_id"), "left")
+        .select(coalesce(col("nk0"), lit(0L)).as("nk"))
+      nk.agg(count(lit(1)).as("n"),
+          sum(col("nk")).as("s1"),
+          sum(col("nk") * col("nk")).as("s2"),
+          sum(col("nk") * col("nk") * col("nk")).as("s3"),
+          max(col("nk")).as("max_nk"),
+          sum(when(col("nk") >= 2L * k, 1L).otherwise(0L))
+            .as("n_hubs"),
+          sum(when(col("nk") === 0L, 1L).otherwise(0L))
+            .as("n_antihubs"))
+        .withColumn("nd", col("n").cast("double"))
+        .withColumn("m1", col("s1").cast("double") / col("nd"))
+        .withColumn("r2", col("s2").cast("double") / col("nd"))
+        .withColumn("r3", col("s3").cast("double") / col("nd"))
+        .withColumn("m2", col("r2") - col("m1") * col("m1"))
+        .withColumn("m3", col("r3") -
+          lit(3.0) * col("m1") * col("r2") +
+          lit(2.0) * col("m1") * col("m1") * col("m1"))
+        .select(col("n").as("panel_n"), lit(k.toLong).as("k"),
+          col("max_nk"), col("n_hubs"), col("n_antihubs"),
+          graft.Tables.nz(round(
+            when(col("m2") === 0.0, lit(null).cast("double"))
+              .otherwise(col("m3") / (sqrt(col("m2")) * col("m2"))),
+            5)).as("nk_skew"))
     }))
 
   /** TF-IDF lexical top-k per query doc (doc_id % 100, the same query
@@ -2589,5 +2645,67 @@ object Similarity {
            round(g.db, 4) + 0.0 AS db_index
          FROM sc s LEFT JOIN dbi d ON d.cell = s.cell, dbg g
          ORDER BY s.cell"""
-    })
+    },
+
+    "emb_hubness" ->
+      """WITH panel AS (
+           SELECT vec_id, embedding FROM embeddings
+           ORDER BY vec_id LIMIT 512),
+         q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM panel),
+         pairs AS (
+           SELECT q.q_id, e.vec_id,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(range(1, len(q.q_emb) + 1),
+                 i -> CAST(q.q_emb[i] AS DOUBLE) *
+                   CAST(e.embedding[i] AS DOUBLE))),
+               (x, y) -> x + y) /
+             (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(range(1, len(q.q_emb) + 1),
+                 i -> CAST(q.q_emb[i] AS DOUBLE) *
+                   CAST(q.q_emb[i] AS DOUBLE))),
+               (x, y) -> x + y)) *
+              sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(range(1, len(e.embedding) + 1),
+                 i -> CAST(e.embedding[i] AS DOUBLE) *
+                   CAST(e.embedding[i] AS DOUBLE))),
+               (x, y) -> x + y))) AS cosine
+           FROM panel e CROSS JOIN q WHERE e.vec_id <> q.q_id),
+         ranked AS (
+           SELECT q_id, vec_id,
+             row_number() OVER (PARTITION BY q_id
+               ORDER BY cosine DESC, vec_id) AS rank
+           FROM pairs),
+         occ AS (
+           SELECT vec_id, CAST(count(*) AS BIGINT) AS nk0
+           FROM ranked WHERE rank <= 10 GROUP BY 1),
+         nk AS (
+           SELECT coalesce(o.nk0, 0) AS nk
+           FROM panel p LEFT JOIN occ o ON o.vec_id = p.vec_id),
+         m AS (
+           SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(nk) AS BIGINT) AS s1,
+             CAST(sum(nk * nk) AS BIGINT) AS s2,
+             CAST(sum(nk * nk * nk) AS BIGINT) AS s3,
+             CAST(max(nk) AS BIGINT) AS max_nk,
+             CAST(sum(CASE WHEN nk >= 20 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_hubs,
+             CAST(sum(CASE WHEN nk = 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_antihubs
+           FROM nk),
+         a AS (
+           SELECT n, max_nk, n_hubs, n_antihubs,
+             CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS m1,
+             CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS r2,
+             CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS r3
+           FROM m),
+         b AS (
+           SELECT n, max_nk, n_hubs, n_antihubs,
+             r2 - m1 * m1 AS m2,
+             r3 - 3.0 * m1 * r2 + 2.0 * m1 * m1 * m1 AS m3
+           FROM a)
+         SELECT n AS panel_n, CAST(10 AS BIGINT) AS k, max_nk,
+           n_hubs, n_antihubs,
+           round(CASE WHEN m2 = 0.0 THEN NULL
+             ELSE m3 / (sqrt(m2) * m2) END, 5) + 0.0 AS nk_skew
+         FROM b""")
 }

@@ -478,4 +478,74 @@ class Frontier4Spec extends SparkSpec {
       }
     }
   }
+
+  test("simpson diversity: exact BigInt replay off the token counts") {
+    val got = Frontier4.queries("text_simpson_diversity")(spark, sf)
+      .as[(String, Long, Long, Option[Double], Option[Double])]
+      .collect().sortBy(_._1)
+    assert(got.nonEmpty)
+    val counts = graft.Tables.spread(
+        graft.Tables.load(spark, sf, "documents"))
+      .select($"lang",
+        explode(split(lower($"text"), "\\s+")).as("token"))
+      .groupBy($"lang", $"token").agg(count(lit(1)).as("c"))
+      .as[(String, String, Long)].collect()
+      .groupBy(_._1).map { case (l, rs) => l -> rs.map(_._3) }
+    assert(got.map(_._1).toSeq == counts.keys.toSeq.sorted)
+    def r(v: Double, p: Int) = BigDecimal(v)
+      .setScale(p, BigDecimal.RoundingMode.HALF_UP).toDouble
+    got.foreach { case (lang, nTok, nTypes, simp, inv) =>
+      val cs = counts(lang).map(BigInt(_))
+      assert(nTok == cs.sum.toLong, s"$lang n_tokens")
+      assert(nTypes == cs.length.toLong, s"$lang n_types")
+      val num = cs.map(c => c * (c - 1)).sum
+      val den = cs.sum * (cs.sum - 1)
+      if (cs.sum < 2) assert(simp.isEmpty)
+      else {
+        val e = num.toDouble / den.toDouble
+        assert(math.abs(simp.get - r(e, 6)) < 1e-9, s"$lang simpson")
+        // probability: λ ∈ [0, 1]
+        assert(simp.get >= 0.0 && simp.get <= 1.0, s"$lang range")
+        if (num != 0)
+          assert(math.abs(inv.get - r(den.toDouble / num.toDouble, 4))
+            < 1e-9, s"$lang inv")
+      }
+    }
+  }
+
+  test("cohens kappa: exact contingency replay of the two raters") {
+    val got = Frontier4.queries("q177_cohens_kappa")(spark, sf)
+      .as[(Long, Option[Double], Option[Double], Option[Double])]
+      .collect()
+    assert(got.length == 1)
+    val (nDocs, po, pe, kappa) = got.head
+    val docs = graft.Tables.spread(
+        graft.Tables.load(spark, sf, "documents"))
+      .select($"n_chars",
+        size(split(lower($"text"), "\\s+")).cast("long").as("ntok"))
+      .as[(Long, Long)].collect()
+    assert(nDocs == docs.length.toLong)
+    def bucketA(nc: Long) =
+      if (nc < 200) "short" else if (nc < 1000) "medium" else "long"
+    def bucketB(nt: Long) =
+      if (nt < 40) "short" else if (nt < 200) "medium" else "long"
+    val pairs = docs.map { case (nc, nt) => (bucketA(nc), bucketB(nt)) }
+    val n = BigInt(pairs.length)
+    val diag = BigInt(pairs.count { case (a, b) => a == b })
+    val rowM = pairs.groupBy(_._1).map { case (k, v) => k -> BigInt(v.length) }
+    val colM = pairs.groupBy(_._2).map { case (k, v) => k -> BigInt(v.length) }
+    val pen = rowM.map { case (k, rn) =>
+      rn * colM.getOrElse(k, BigInt(0)) }.sum
+    def r6(v: Double) = BigDecimal(v)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(po.get - r6(diag.toDouble / n.toDouble)) < 1e-9)
+    assert(math.abs(pe.get -
+      r6(pen.toDouble / (n * n).toDouble)) < 1e-9)
+    if (n * n - pen != 0)
+      assert(math.abs(kappa.get -
+        r6((n * diag - pen).toDouble / (n * n - pen).toDouble)) < 1e-9)
+    // kappa ≤ po-style bound: chance-corrected agreement can't
+    // exceed raw agreement
+    assert(kappa.get <= po.get + 1e-12, "kappa <= p_observed")
+  }
 }

@@ -561,4 +561,49 @@ class SimilaritySpec extends SparkSpec {
     // one global value across rows
     assert(got.map(_._5).distinct.length == 1)
   }
+
+  test("hubness: k-occurrence counts replay from a driver-side kNN") {
+    val got = graft.sim.Similarity.queries("emb_hubness")(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Option[Double])].collect()
+    spark.catalog.clearCache()
+    assert(got.length == 1)
+    val (panelN, k, maxNk, nHubs, nAntihubs, skew) = got.head
+    assert(k == 10L)
+    // driver-side exact replay on the same panel
+    val panel = graft.Tables.load(spark, sf, "embeddings")
+      .orderBy($"vec_id").limit(512)
+      .selectExpr("vec_id", "cast(embedding as array<double>) as v")
+      .as[(Long, Seq[Double])].collect().sortBy(_._1)
+    assert(panelN == panel.length.toLong)
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.foldLeft(0.0)(_ + _)
+      val na = math.sqrt(a.map(x => x * x).foldLeft(0.0)(_ + _))
+      val nb = math.sqrt(b.map(x => x * x).foldLeft(0.0)(_ + _))
+      dot / (na * nb)
+    }
+    val occ = scala.collection.mutable.Map[Long, Long]()
+      .withDefaultValue(0L)
+    panel.foreach { case (qid, qv) =>
+      panel.filter(_._1 != qid)
+        .map { case (vid, vv) => (vid, cos(qv, vv)) }
+        .sortBy { case (vid, c) => (-c, vid) }
+        .take(10)
+        .foreach { case (vid, _) => occ(vid) += 1L }
+    }
+    val nks = panel.map(p => occ(p._1))
+    assert(maxNk == nks.max, "max_nk")
+    assert(nHubs == nks.count(_ >= 20L).toLong, "n_hubs")
+    assert(nAntihubs == nks.count(_ == 0L).toLong, "n_antihubs")
+    assert(nks.sum == panel.length.toLong * 10L,
+      "total occurrences = panel*k")
+    val nd = nks.length.toDouble
+    val m1 = nks.sum.toDouble / nd
+    val r2 = nks.map(n => n * n).sum.toDouble / nd
+    val r3 = nks.map(n => n * n * n).sum.toDouble / nd
+    val m2 = r2 - m1 * m1
+    val m3 = r3 - 3.0 * m1 * r2 + 2.0 * m1 * m1 * m1
+    if (m2 == 0.0) assert(skew.isEmpty)
+    else assert(math.abs(skew.get - m3 / (math.sqrt(m2) * m2)) < 1e-4,
+      s"skew ${skew.get} vs ${m3 / (math.sqrt(m2) * m2)}")
+  }
 }

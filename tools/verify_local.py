@@ -100,8 +100,11 @@ def main():
     # by the sf1 gate where a handful of dedup oracles are
     # DuckDB-quadratic and get dedicated passes)
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    flags = dict(a[2:].split("=", 1) for a in sys.argv[1:]
-                 if a.startswith("--") and "=" in a)
+    # bare `--fork` counts as `--fork=1` — the "=" -only parse
+    # silently ignored bare flags, and an un-forked sf1 gate died on
+    # the first allocator-poisoning OOM (round-13 lesson)
+    flags = dict((a[2:].split("=", 1) + ["1"])[:2] for a in sys.argv[1:]
+                 if a.startswith("--"))
     only = set(flags["only"].split(",")) if "only" in flags else None
     skip = set(flags["skip"].split(",")) if "skip" in flags else set()
     timeout = float(flags["timeout"]) if "timeout" in flags else None
