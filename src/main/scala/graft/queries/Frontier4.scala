@@ -657,6 +657,119 @@ object Frontier4 {
               .otherwise(($"n" * $"diag" - $"pen").cast("double") /
                 ($"n" * $"n" - $"pen").cast("double")), 6))
             .as("kappa"))
+    }),
+
+    // Kruskal–Wallis rank ANOVA of order price across the 7 weekdays
+    // — the k-sample generalization of q171's two-sample U: "does
+    // price distribution differ by weekday AT ALL" (the omnibus
+    // q165's median polish decomposes but never tests). Rides the
+    // q126/q171 ×2-scaled count-table rank idiom: one rollup over
+    // DISTINCT cents (value-domain-bounded), PrefixSum average ranks,
+    // per-group rank sums as decimal(38,0) (2R_g ~ N² passes long at
+    // ~3e9 orders). H assembles over the ≤7-row weekday panel in one
+    // sorted-array fold (CollectGuard: enum-bounded); tie correction
+    // 1 − Σ(t³−t)/(N³−N) exact-decimal; p-value via the CLOSED-FORM
+    // even-dof χ²(6) survival exp(−h/2)(1+q+q²/2) — in-engine both
+    // sides, only emitted when all 7 weekdays are present (dof = 6).
+    "q178_kruskal_wallis" -> ((s, d) => {
+      import s.implicits._
+      val dec = "decimal(38,0)"
+      val o = Tables.load(s, d, "orders")
+        .select(round($"o_totalprice" * 100).cast("long").as("cents"),
+          pmod(datediff(to_date($"o_orderdate"), lit("1970-01-05")),
+            lit(7)).cast("long").as("wd"))
+      val bv = o.groupBy($"cents", $"wd").agg(count(lit(1)).as("c"))
+      val tv = o.groupBy($"cents").agg(count(lit(1)).as("t"))
+      val ranked = graft.ops.PrefixSum.runningTotal(tv,
+          Seq($"cents"), $"t", "cum")
+        .select($"cents",
+          (lit(2L) * $"cum" - $"t" + 1L).cast(dec).as("rank2"))
+      val grp = bv.join(ranked, Seq("cents"))
+        .groupBy($"wd")
+        .agg(sum($"c").as("ng"),
+          sum(($"c".cast(dec) * $"rank2").cast(dec)).as("rg2"))
+      val glob = tv.agg(sum($"t").cast(dec).as("n"),
+        sum(($"t".cast(dec) * $"t" * $"t" - $"t").cast(dec))
+          .as("tie3"))
+      val panel = grp.agg(count(lit(1)).as("n_groups"),
+          sort_array(collect_list(struct($"wd", $"ng", $"rg2")))
+            .as("arr"))
+        .crossJoin(broadcast(glob))
+        .withColumn("nd", $"n".cast("double"))
+        .withColumn("sterm", expr(
+          """aggregate(arr, CAST(0.0 AS DOUBLE), (a, x) ->
+             a + (CAST(x.rg2 AS DOUBLE) / 2.0 *
+               (CAST(x.rg2 AS DOUBLE) / 2.0)) /
+               CAST(x.ng AS DOUBLE))"""))
+        .withColumn("h",
+          when($"n_groups" < 2 || $"n" < 2, lit(null).cast("double"))
+            .otherwise(lit(12.0) / ($"nd" * ($"nd" + lit(1.0))) *
+              $"sterm" - lit(3.0) * ($"nd" + lit(1.0))))
+        .withColumn("corr",
+          lit(1.0) - $"tie3".cast("double") /
+            ($"n" * $"n" * $"n" - $"n").cast("double"))
+        .withColumn("htc",
+          when($"h".isNull || $"corr" === 0.0,
+            lit(null).cast("double"))
+            .otherwise($"h" / $"corr"))
+      panel.select($"n".cast("long").as("n_orders"), $"n_groups",
+          Tables.nz(round($"h", 4)).as("h_stat"),
+          Tables.nz(round($"htc", 4)).as("h_tie_corr"),
+          Tables.nz(round(
+            when($"n_groups" =!= 7 || $"htc".isNull,
+              lit(null).cast("double"))
+              .otherwise(exp(-$"htc" / lit(2.0)) *
+                (lit(1.0) + $"htc" / lit(2.0) +
+                  ($"htc" / lit(2.0)) * ($"htc" / lit(2.0)) /
+                    lit(2.0))), 6)).as("p_value"))
+    }),
+
+    // One-way ANOVA F of order price across weekdays — the parametric
+    // companion the q178 omnibus reads against (KW tests rank
+    // dominance; F tests mean shifts under equal-variance normality).
+    // SSB/SSW assemble from exact decimal(38,0) group moments (Σv,
+    // Σv², n per weekday: v² passes long at order prices ≥ $30M —
+    // decimal from birth); the Σ(s_g²/n_g) term folds over the
+    // ≤7-row weekday panel in weekday order (one sorted-array IEEE
+    // fold, CollectGuard-annotated), F and η² assemble once.
+    "q179_weekday_anova" -> ((s, d) => {
+      import s.implicits._
+      val dec = "decimal(38,0)"
+      val o = Tables.load(s, d, "orders")
+        .select(round($"o_totalprice" * 100).cast("long").as("v"),
+          pmod(datediff(to_date($"o_orderdate"), lit("1970-01-05")),
+            lit(7)).cast("long").as("wd"))
+      val grp = o.groupBy($"wd")
+        .agg(count(lit(1)).as("ng"),
+          sum($"v".cast(dec)).as("sg"),
+          sum(($"v".cast(dec) * $"v").cast(dec)).as("sgg"))
+      val panel = grp.agg(count(lit(1)).as("k"),
+          sum($"ng").cast(dec).as("n"),
+          sum($"sg").cast(dec).as("sv"),
+          sum($"sgg").cast(dec).as("svv"),
+          sort_array(collect_list(struct($"wd", $"ng", $"sg")))
+            .as("arr"))
+        .withColumn("sbterm", expr(
+          """aggregate(arr, CAST(0.0 AS DOUBLE), (a, x) ->
+             a + (CAST(x.sg AS DOUBLE) * CAST(x.sg AS DOUBLE)) /
+               CAST(x.ng AS DOUBLE))"""))
+        .withColumn("nd", $"n".cast("double"))
+        .withColumn("ssb", $"sbterm" -
+          $"sv".cast("double") * $"sv".cast("double") / $"nd")
+        .withColumn("ssw", $"svv".cast("double") - $"sbterm")
+        .withColumn("sst", $"svv".cast("double") -
+          $"sv".cast("double") * $"sv".cast("double") / $"nd")
+      panel.select($"n".cast("long").as("n_orders"),
+          $"k".as("n_groups"),
+          Tables.nz(round(
+            when($"k" < 2 || $"n" <= $"k".cast(dec) ||
+                $"ssw" <= 0.0, lit(null).cast("double"))
+              .otherwise(($"ssb" / ($"k" - 1L).cast("double")) /
+                ($"ssw" / ($"nd" - $"k".cast("double")))), 4))
+            .as("f_stat"),
+          Tables.nz(round(
+            when($"sst" <= 0.0, lit(null).cast("double"))
+              .otherwise($"ssb" / $"sst"), 6)).as("eta_sq"))
     }))
 
   /** q173's body behind a frame seam, so MomentWidthSpec can feed a
@@ -1472,5 +1585,104 @@ object Frontier4 {
            round(CASE WHEN n * n - pen = 0 THEN NULL
              ELSE CAST(n * diag - pen AS DOUBLE) /
                CAST(n * n - pen AS DOUBLE) END, 6) + 0.0 AS kappa
-         FROM m, pen""")
+         FROM m, pen""",
+
+    "q178_kruskal_wallis" ->
+      """WITH o AS (
+           SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             CAST(((date_diff('day', DATE '1970-01-05',
+               o_orderdate) % 7) + 7) % 7 AS BIGINT) AS wd
+           FROM orders),
+         bv AS (
+           SELECT cents, wd, CAST(count(*) AS BIGINT) AS c
+           FROM o GROUP BY 1, 2),
+         tv AS (
+           SELECT cents, CAST(count(*) AS BIGINT) AS t
+           FROM o GROUP BY 1),
+         rk AS (
+           SELECT cents,
+             CAST(2 * sum(t) OVER (ORDER BY cents
+               ROWS UNBOUNDED PRECEDING) - t + 1 AS HUGEINT)
+               AS rank2
+           FROM tv),
+         grp AS (
+           SELECT b.wd, CAST(sum(b.c) AS BIGINT) AS ng,
+             sum(CAST(b.c AS HUGEINT) * r.rank2) AS rg2
+           FROM bv b JOIN rk r ON r.cents = b.cents GROUP BY 1),
+         gtot AS (
+           SELECT CAST(sum(t) AS HUGEINT) AS n,
+             CAST(sum(CAST(t AS HUGEINT) * t * t - t) AS HUGEINT)
+               AS tie3
+           FROM tv),
+         panel AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_groups,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list((CAST(rg2 AS DOUBLE) / 2.0 *
+                 (CAST(rg2 AS DOUBLE) / 2.0)) / CAST(ng AS DOUBLE)
+                 ORDER BY wd)),
+               (a, x) -> a + x) AS sterm
+           FROM grp),
+         a AS (
+           SELECT p.n_groups, p.sterm, g.n, g.tie3,
+             CAST(g.n AS DOUBLE) AS nd
+           FROM panel p, gtot g),
+         b AS (
+           SELECT n_groups, n,
+             CASE WHEN n_groups < 2 OR n < 2 THEN NULL
+               ELSE 12.0 / (nd * (nd + 1.0)) * sterm -
+                 3.0 * (nd + 1.0) END AS h,
+             1.0 - CAST(tie3 AS DOUBLE) /
+               CAST(n * n * n - n AS DOUBLE) AS corr
+           FROM a),
+         c AS (
+           SELECT n_groups, n, h,
+             CASE WHEN h IS NULL OR corr = 0.0 THEN NULL
+               ELSE h / corr END AS htc
+           FROM b)
+         SELECT CAST(n AS BIGINT) AS n_orders, n_groups,
+           round(h, 4) + 0.0 AS h_stat,
+           round(htc, 4) + 0.0 AS h_tie_corr,
+           round(CASE WHEN n_groups <> 7 OR htc IS NULL THEN NULL
+             ELSE exp(-htc / 2.0) * (1.0 + htc / 2.0 +
+               (htc / 2.0) * (htc / 2.0) / 2.0) END, 6) + 0.0
+             AS p_value
+         FROM c""",
+
+    "q179_weekday_anova" ->
+      """WITH o AS (
+           SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+             CAST(((date_diff('day', DATE '1970-01-05',
+               o_orderdate) % 7) + 7) % 7 AS BIGINT) AS wd
+           FROM orders),
+         grp AS (
+           SELECT wd, CAST(count(*) AS BIGINT) AS ng,
+             CAST(sum(CAST(v AS HUGEINT)) AS HUGEINT) AS sg,
+             sum(CAST(v AS HUGEINT) * v) AS sgg
+           FROM o GROUP BY 1),
+         panel AS (
+           SELECT CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(ng) AS HUGEINT) AS n,
+             CAST(sum(sg) AS HUGEINT) AS sv,
+             CAST(sum(sgg) AS HUGEINT) AS svv,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list((CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)) /
+                 CAST(ng AS DOUBLE) ORDER BY wd)),
+               (a, x) -> a + x) AS sbterm
+           FROM grp),
+         a AS (
+           SELECT k, n, CAST(n AS DOUBLE) AS nd, sbterm,
+             sbterm - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE) /
+               CAST(n AS DOUBLE) AS ssb,
+             CAST(svv AS DOUBLE) - sbterm AS ssw,
+             CAST(svv AS DOUBLE) - CAST(sv AS DOUBLE) *
+               CAST(sv AS DOUBLE) / CAST(n AS DOUBLE) AS sst
+           FROM panel)
+         SELECT CAST(n AS BIGINT) AS n_orders, k AS n_groups,
+           round(CASE WHEN k < 2 OR n <= k OR ssw <= 0.0 THEN NULL
+             ELSE (ssb / CAST(k - 1 AS DOUBLE)) /
+               (ssw / (nd - CAST(k AS DOUBLE))) END, 4) + 0.0
+             AS f_stat,
+           round(CASE WHEN sst <= 0.0 THEN NULL
+             ELSE ssb / sst END, 6) + 0.0 AS eta_sq
+         FROM a""")
 }

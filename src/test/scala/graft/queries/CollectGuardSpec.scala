@@ -109,6 +109,8 @@ class CollectGuardSpec extends SparkSpec {
     "q117_runs_test" -> "per-type daily series, span days",
     "q176_durbin_watson" ->
       "per-type daily residual series, span days (q160-style fold)",
+    "q178_kruskal_wallis" -> "weekday enum panel, <= 7 rows",
+    "q179_weekday_anova" -> "weekday enum panel, <= 7 rows",
     "q141_theil_sen" ->
       "pairwise slopes of the daily series, span^2/2 per type",
     "q142_bootstrap_ci" -> "one list of B=200 bootstrap means",
