@@ -93,6 +93,16 @@ object Bench {
     //    fleet so far is re-run once and the better sample kept (with
     //    the name recorded under "retried") — a one-off scheduling
     //    spike self-corrects instead of standing as the artifact.
+    //  * a PRIOR retry (round-13 verdict item #5): the median heuristic
+    //    is relative to the current fleet, so a box that is uniformly
+    //    contended inflates the median itself and 21 >2× regressions
+    //    shipped unflagged in BENCH_r13. The fix reads the previous
+    //    full-board artifact (bench_full.json on disk at startup) and
+    //    retries any query whose wall exceeds its own prior by >2×
+    //    (plus a 1 s absolute floor so sub-second noise can't trigger
+    //    retry storms); a query still >2×-prior after the retry is
+    //    recorded under "prior_regressed" so the artifact self-reports
+    //    suspect rows instead of needing a judge diff.
     val osBean = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean
       .asInstanceOf[com.sun.management.OperatingSystemMXBean]
@@ -141,13 +151,34 @@ object Bench {
       if (walls.size < 8) None
       else { val s = walls.sorted; Some(s(s.size / 2)) }
     val retried = scala.collection.mutable.ArrayBuffer[String]()
+    val priorRegressed = scala.collection.mutable.ArrayBuffer[String]()
     val cpuSec = scala.collection.mutable.LinkedHashMap[String, Double]()
     val gcSec = scala.collection.mutable.LinkedHashMap[String, Double]()
+    // previous round's full-board walls, read BEFORE this run
+    // overwrites the file; controlled format, so a flat regex parse
+    // ("queries":{"name":sec,...}) is enough — no json lib needed
+    val prior: Map[String, Double] = try {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("bench_full.json")), "UTF-8")
+      // priors only make sense at the SAME scale factor: a sf0.1 run
+      // after a sf0.001 dev run would otherwise 2×-trigger on every
+      // query and double the fleet time with pointless retries
+      val sfMatch = s""""sf":"${java.util.regex.Pattern.quote(sfDir)}""""
+        .r.findFirstIn(txt).isDefined
+      if (!sfMatch) Map.empty
+      else """"queries":\{([^}]*)\}""".r.findFirstMatchIn(txt)
+        .map(m => """"([A-Za-z0-9_]+)":([0-9][0-9.Ee+-]*)""".r
+          .findAllMatchIn(m.group(1))
+          .map(g => g.group(1) -> g.group(2).toDouble).toMap)
+        .getOrElse(Map.empty)
+    } catch { case _: Throwable => Map.empty }
+    def overPrior(name: String, sec: Double): Boolean =
+      prior.get(name).exists(p => sec > 2 * p && sec - p > 1.0)
     val results = selected.map {
       case (name, fn) =>
         var (sec, cpu, gc, ok) = sample(name, fn)
         val med = trailingMedian
-        if (ok && med.exists(m => sec > 3 * m)) {
+        if (ok && (med.exists(m => sec > 3 * m) || overPrior(name, sec))) {
           // one retry; keep the better sample — a genuine plan cost
           // reproduces, a scheduling spike doesn't
           val (sec2, cpu2, gc2, ok2) = sample(name, fn)
@@ -155,6 +186,11 @@ object Bench {
             f"[bench] $name retried: $sec%.2f s -> $sec2%.2f s")
           retried += name
           if (ok2 && sec2 < sec) { sec = sec2; cpu = cpu2; gc = gc2 }
+        }
+        if (ok && overPrior(name, sec)) {
+          priorRegressed += name
+          System.err.println(f"[bench] $name STILL >2x prior " +
+            f"(${prior(name)}%.2f s -> $sec%.2f s) after retry")
         }
         if (!ok) failed += name
         System.err.println(
@@ -170,6 +206,8 @@ object Bench {
         .mkString("{", ",", "}")
     val fj = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val rj = retried.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val pj = priorRegressed.sorted.map("\"" + _ + "\"")
+      .mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // Round-9 postmortem: the driver captures only the TAIL of stdout,
     // and the three full 240-entry maps pushed the wall-time map out
@@ -181,7 +219,7 @@ object Bench {
     // that the whole line always fits the tail window.
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cpu_sec":${jmap(cpuSec)},"gc_sec":${jmap(gcSec)},"retried":$rj,"failed":$fj,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cpu_sec":${jmap(cpuSec)},"gc_sec":${jmap(gcSec)},"retried":$rj,"prior_regressed":$pj,"failed":$fj,"sf":"$sfDir"}"""
     // A SPARK_GRAFT_ONLY subset run must never clobber the committed
     // full-board artifact (ADVICE r12: a 1-query smoke run replaced
     // the 296-query map that downstream verdict tooling reads) —
@@ -212,7 +250,9 @@ object Bench {
       .mkString("[", ",", "]")
     val fjCap = failed.sorted.take(5).map("\"" + _ + "\"")
       .mkString("[", ",", "]")
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"queries":$topW,"cpu_sec":$topC,"gc_sec":$topG,"note":"queries=top20 slowest; full maps in bench_full.json","n_retried":${retried.size},"retried_sample":$rjCap,"n_failed":${failed.size},"failed_sample":$fjCap,"sf":"$sfDir"}"""
+    val pjCap = priorRegressed.sorted.take(5).map("\"" + _ + "\"")
+      .mkString("[", ",", "]")
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"queries":$topW,"cpu_sec":$topC,"gc_sec":$topG,"note":"queries=top20 slowest; full maps in bench_full.json","n_retried":${retried.size},"retried_sample":$rjCap,"n_prior_regressed":${priorRegressed.size},"prior_regressed_sample":$pjCap,"n_failed":${failed.size},"failed_sample":$fjCap,"sf":"$sfDir"}"""
     // r11 postmortem: the line reached the driver tail complete but
     // parsed:null because sbt's logger prefixed it "[info] ". Fixed
     // in build.sbt (StdoutOutput + showSuccess:=false makes this the

@@ -1368,6 +1368,10 @@ object Similarity {
     // count (N_k = 0), and the skewness of N_k via exact long power
     // sums with the q174 one-IEEE-assembly shape.
     "emb_hubness" -> ((s, d) => {
+      // k is PINNED at 10: the DuckDB oracle hardcodes the derived
+      // constants (rank <= 10, hub threshold nk >= 2k = 20) — if you
+      // change k here, change BOTH literals in the oracle or the gate
+      // silently diverges instead of failing loudly (r13 advice)
       val k = 10
       val panel = Tables.load(s, d, "embeddings")
         .orderBy(col("vec_id")).limit(512)
@@ -2676,6 +2680,8 @@ object Similarity {
                ORDER BY cosine DESC, vec_id) AS rank
            FROM pairs),
          occ AS (
+           -- rank <= 10 and the hub threshold nk >= 20 below are the
+           -- k = 10 / 2k literals pinned to the Scala query's val k
            SELECT vec_id, CAST(count(*) AS BIGINT) AS nk0
            FROM ranked WHERE rank <= 10 GROUP BY 1),
          nk AS (

@@ -102,9 +102,20 @@ def main():
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     # bare `--fork` counts as `--fork=1` — the "=" -only parse
     # silently ignored bare flags, and an un-forked sf1 gate died on
-    # the first allocator-poisoning OOM (round-13 lesson)
-    flags = dict((a[2:].split("=", 1) + ["1"])[:2] for a in sys.argv[1:]
-                 if a.startswith("--"))
+    # the first allocator-poisoning OOM (round-13 lesson). Only `fork`
+    # may appear bare: a bare value-requiring flag (e.g. a typo'd
+    # `--only` with no "=") would otherwise select zero queries and
+    # let the gate pass vacuously (round-13 advice).
+    BARE_OK = {"fork"}
+    flags = {}
+    for a in sys.argv[1:]:
+        if not a.startswith("--"):
+            continue
+        k, eq, v = a[2:].partition("=")
+        if not eq and k not in BARE_OK:
+            sys.exit(f"flag --{k} requires a value (--{k}=...); "
+                     f"only {sorted(BARE_OK)} may appear bare")
+        flags[k] = v if eq else "1"
     only = set(flags["only"].split(",")) if "only" in flags else None
     skip = set(flags["skip"].split(",")) if "skip" in flags else set()
     timeout = float(flags["timeout"]) if "timeout" in flags else None
@@ -147,6 +158,8 @@ def main():
         if only is not None:
             expected = [n for n in expected if n in only]
         expected = [n for n in expected if n not in skip]
+        if not expected:
+            sys.exit("selection matched zero queries — check --only/--skip")
         n_pass = n_fail = n_slow = 0
         for name in expected:
             cmd = [sys.executable, __file__, sf_dir, out_dir,
@@ -257,6 +270,8 @@ def main():
         n_fail += 1
     slow = f", {n_slow} slow" if n_slow else ""
     print(f"\n{n_pass} ok, {n_fail} fail{slow}")
+    if n_pass + n_fail + n_slow == 0:
+        sys.exit("selection matched zero queries — check --only/--skip")
     sys.exit(1 if n_fail else 0)
 
 
