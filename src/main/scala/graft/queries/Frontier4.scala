@@ -770,6 +770,38 @@ object Frontier4 {
           Tables.nz(round(
             when($"sst" <= 0.0, lit(null).cast("double"))
               .otherwise($"ssb" / $"sst"), 6)).as("eta_sq"))
+    }),
+
+    // IVM parity twin of the streaming CUSUM monitor (r13 verdict
+    // item #8): the corpus is replayed through the PRODUCTION
+    // foreachBatch state machinery — StreamOps.cusumDriftBatch's
+    // swap-renamed parquet state, fed three chronological delta
+    // batches — and the served snapshot (cusumDriftSnapshot =
+    // Mining.cusumOverDaily over the merged state) is what the
+    // oracle hashes. The oracle recomputes q84's CUSUM directly over
+    // the full table, so the hash match IS the proof that
+    // merge(merge(partial(b1), partial(b2)), partial(b3)) ==
+    // recompute(full) — the q64 IVM contract, extended to the
+    // streaming sink's on-disk state path. State is domain-bounded
+    // (types × days rows, never event-sized); the fact table is
+    // scanned once per delta, exactly as a micro-batch would.
+    "q180_cusum_ivm" -> ((s, d) => {
+      import s.implicits._
+      val daily = Tables.load(s, d, "events")
+        .select($"event_type",
+          datediff(to_date($"ts"), lit("2024-01-01")).cast("long")
+            .as("day"),
+          round($"value" * 100).cast("long").as("cents"))
+      val stateDir = java.nio.file.Files
+        .createTempDirectory("graft_cusum_ivm").toString + "/state"
+      // three chronological micro-batches (thirds of the year) —
+      // each write goes through the torn-restart-safe swap-rename
+      Seq($"day" < 120L, $"day" >= 120L && $"day" < 240L,
+        $"day" >= 240L).zipWithIndex.foreach { case (pred, i) =>
+        graft.streaming.StreamOps.cusumDriftBatch(stateDir)(
+          daily.filter(pred), i.toLong)
+      }
+      graft.streaming.StreamOps.cusumDriftSnapshot(s, stateDir)
     }))
 
   /** q173's body behind a frame seam, so MomentWidthSpec can feed a
@@ -1684,5 +1716,42 @@ object Frontier4 {
              AS f_stat,
            round(CASE WHEN sst <= 0.0 THEN NULL
              ELSE ssb / sst END, 6) + 0.0 AS eta_sq
-         FROM a""")
+         FROM a""",
+
+    // The IVM proof: the oracle recomputes the CUSUM DIRECTLY over
+    // the full events table (q84's oracle replayed verbatim) while
+    // the Spark side merged three on-disk state batches — a hash
+    // match certifies merge == recompute through the real sink path.
+    "q180_cusum_ivm" ->
+      """WITH daily AS (
+           SELECT event_type,
+             CAST(datediff('day', DATE '2024-01-01',
+                 CAST(ts AS DATE)) AS BIGINT) AS day,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS x
+           FROM events GROUP BY 1, 2),
+         stats AS (
+           SELECT event_type, day, x,
+             count(*) OVER (PARTITION BY event_type) AS n_days,
+             sum(x) OVER (PARTITION BY event_type) AS tot
+           FROM daily),
+         c AS (
+           SELECT event_type, day, n_days,
+             sum(n_days * x - tot)
+               OVER (PARTITION BY event_type ORDER BY day
+                     ROWS UNBOUNDED PRECEDING) AS cum
+           FROM stats),
+         s AS (
+           SELECT event_type, day, n_days,
+             cum - least(min(cum) OVER (PARTITION BY event_type
+               ORDER BY day ROWS UNBOUNDED PRECEDING), 0) AS cusum
+           FROM c),
+         r AS (
+           SELECT event_type, day, n_days, cusum,
+             row_number() OVER (PARTITION BY event_type
+               ORDER BY cusum DESC, day) AS rn
+           FROM s)
+         SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+           CAST(cusum AS BIGINT) AS peak_cusum, day AS peak_day
+         FROM r WHERE rn = 1 ORDER BY event_type""")
 }

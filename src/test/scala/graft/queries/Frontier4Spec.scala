@@ -653,4 +653,19 @@ class Frontier4Spec extends SparkSpec {
       .select($"n_groups").as[Long].collect().head
     assert(kw == k, "q178/q179 group-count parity")
   }
+
+  test("cusum ivm twin: merged-state snapshot equals q84's direct batch") {
+    // the IVM statement in-engine: replaying the corpus through the
+    // production cusumDriftBatch state path (three deltas, swap-rename
+    // parquet merges) serves EXACTLY the frame the one-pass batch
+    // query computes — row-for-row, not just hash-level
+    val twin = Frontier4.queries("q180_cusum_ivm")(spark, sf)
+      .as[(String, Long, Long, Long)].collect().sortBy(_._1)
+    val direct = graft.queries.Mining.queries("q84_cusum")(spark, sf)
+      .as[(String, Long, Long, Long)].collect().sortBy(_._1)
+    assert(twin.nonEmpty, "snapshot served rows")
+    assert(twin.toSeq == direct.toSeq,
+      s"IVM snapshot diverged from direct recompute:\n" +
+        s"twin   = ${twin.toSeq}\ndirect = ${direct.toSeq}")
+  }
 }

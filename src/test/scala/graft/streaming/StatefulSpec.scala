@@ -447,4 +447,75 @@ class StatefulSpec extends SparkSpec {
       }
     }
   }
+
+  test("decontamination guard: restart mid-quarantine — torn re-delivery " +
+      "duplicates are confined to one (doc_id, batch_id) cell; restart " +
+      "continues without reflagging passed docs") {
+    import spark.implicits._
+    val inDir = java.nio.file.Files.createTempDirectory("graft-dg-in")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-dg-ck")
+    val qDir = java.nio.file.Files
+      .createTempDirectory("graft-dg-q").toString + "/quarantine"
+    val testDoc = "the quick brown fox jumps over the lazy dog " +
+      "again and again in the golden evening light"
+    val testCorpus = Seq((1L, testDoc)).toDF("doc_id", "text")
+    def start() = spark.readStream.text(inDir.toString).as[String]
+      .map { l =>
+        val p = l.split("\t", 2)
+        (p(0).toLong, p(1))
+      }.toDF("doc_id", "text").writeStream
+      .option("checkpointLocation", ckpt.toString)
+      .foreachBatch(StreamOps.decontaminationGuard(testCorpus, qDir) _)
+      .outputMode("append").start()
+    def feed(name: String, docs: (Long, String)*): Unit =
+      java.nio.file.Files.writeString(inDir.resolve(name),
+        docs.map { case (id, t) => s"$id\t$t" }.mkString("\n"))
+    val contaminated1 = testDoc.replace("golden", "silver")
+    feed("b1.txt",
+      10L -> ("completely unrelated text about spark plans and " +
+        "shuffle exchanges in a distributed engine runtime"),
+      20L -> contaminated1)
+    val q1 = start()
+    q1.processAllAvailable()
+    q1.stop()
+    val afterB1 = spark.read.parquet(qDir)
+      .as[(Long, Long)].collect().toSeq
+    assert(afterB1 == Seq((20L, 0L)), s"batch-1 quarantine: $afterB1")
+    // torn re-delivery: the process died AFTER the quarantine append
+    // but BEFORE the checkpoint commit, so foreachBatch re-runs the
+    // SAME batch with the SAME deterministic batchId. The audit log
+    // is append-mode at-least-once BY DESIGN — the duplicate must
+    // land in the same (doc_id, batch_id) cell, which is the read
+    // side's dedup key (mirrors the replay semantics foreachBatch
+    // documents: same batchId on re-delivery).
+    StreamOps.decontaminationGuard(testCorpus, qDir)(
+      Seq(10L -> ("completely unrelated text about spark plans and " +
+        "shuffle exchanges in a distributed engine runtime"),
+        20L -> contaminated1).toDF("doc_id", "text"), 0L)
+    val afterTear = spark.read.parquet(qDir)
+      .as[(Long, Long)].collect().toSeq
+    assert(afterTear.sorted == Seq((20L, 0L), (20L, 0L)),
+      s"torn re-delivery must duplicate only the same cell: $afterTear")
+    // exactly-once read discipline: distinct (doc_id, batch_id)
+    val exact = spark.read.parquet(qDir).distinct()
+      .as[(Long, Long)].collect().toSeq
+    assert(exact == Seq((20L, 0L)), s"deduped view: $exact")
+    // restart from the checkpoint with a NEW contaminated doc: batch
+    // ids continue past the recovered offset, doc 20 is NOT re-read
+    // (its file is committed in the checkpoint), doc 30 flags fresh
+    val contaminated2 = testDoc.replace("quick", "rapid")
+    feed("b2.txt",
+      30L -> contaminated2,
+      31L -> ("another unrelated document mentioning parquet footers " +
+        "and columnar pruning for wide analytical scans"))
+    val q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+    val all = spark.read.parquet(qDir).distinct()
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(all.map(_._1) == Seq(20L, 30L),
+      s"post-restart quarantine set: $all")
+    assert(all(1)._2 > all.head._2,
+      "restarted batch id must advance past the recovered offset")
+  }
 }
