@@ -940,17 +940,17 @@ object Graph {
     },
 
     "q72_triangle_count" ->
-      """WITH li AS (
+      """WITH li AS MATERIALIZED (
            SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
            FROM lineitem),
-         e AS (
+         e AS MATERIALIZED (
            SELECT DISTINCT x.pk AS a, y.pk AS b
            FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk),
-         deg AS (
+         deg AS MATERIALIZED (
            SELECT n, count(*) AS deg FROM (
              SELECT a AS n FROM e UNION ALL SELECT b AS n FROM e)
            GROUP BY n),
-         o AS (
+         o AS MATERIALIZED (
            SELECT CASE WHEN da.deg < db.deg
                          OR (da.deg = db.deg AND e.a < e.b)
                   THEN e.a ELSE e.b END AS u,
@@ -958,10 +958,10 @@ object Graph {
                          OR (da.deg = db.deg AND e.a < e.b)
                   THEN e.b ELSE e.a END AS v
            FROM e JOIN deg da ON da.n = e.a JOIN deg db ON db.n = e.b),
-         wedges AS (
+         wedges AS MATERIALIZED (
            SELECT w1.u AS x, w1.v AS y, w2.v AS z
            FROM o w1 JOIN o w2 ON w1.u = w2.u AND w1.v < w2.v),
-         tri AS (
+         tri AS MATERIALIZED (
            SELECT x, y, z
            FROM wedges w JOIN o c
              ON least(w.y, w.z) = least(c.u, c.v)
@@ -975,10 +975,10 @@ object Graph {
          ORDER BY n_triangles DESC, p_partkey LIMIT 100""",
 
     "q131_avg_neighbor_degree" ->
-      """WITH li AS (
+      """WITH li AS MATERIALIZED (
            SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
            FROM lineitem),
-         e AS (
+         e AS MATERIALIZED (
            SELECT DISTINCT x.pk AS a, y.pk AS b
            FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk),
          sym AS (
@@ -1003,17 +1003,17 @@ object Graph {
     // q72's brute-force wedge formulation extended with the degree
     // left join and the single-divide coefficient.
     "q109_clustering_coeff" ->
-      """WITH li AS (
+      """WITH li AS MATERIALIZED (
            SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
            FROM lineitem),
-         e AS (
+         e AS MATERIALIZED (
            SELECT DISTINCT x.pk AS a, y.pk AS b
            FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk),
-         deg AS (
+         deg AS MATERIALIZED (
            SELECT n, count(*) AS deg FROM (
              SELECT a AS n FROM e UNION ALL SELECT b AS n FROM e)
            GROUP BY n),
-         o AS (
+         o AS MATERIALIZED (
            SELECT CASE WHEN da.deg < db.deg
                          OR (da.deg = db.deg AND e.a < e.b)
                   THEN e.a ELSE e.b END AS u,
@@ -1021,15 +1021,15 @@ object Graph {
                          OR (da.deg = db.deg AND e.a < e.b)
                   THEN e.b ELSE e.a END AS v
            FROM e JOIN deg da ON da.n = e.a JOIN deg db ON db.n = e.b),
-         wedges AS (
+         wedges AS MATERIALIZED (
            SELECT w1.u AS x, w1.v AS y, w2.v AS z
            FROM o w1 JOIN o w2 ON w1.u = w2.u AND w1.v < w2.v),
-         tri AS (
+         tri AS MATERIALIZED (
            SELECT x, y, z
            FROM wedges w JOIN o c
              ON least(w.y, w.z) = least(c.u, c.v)
             AND greatest(w.y, w.z) = greatest(c.u, c.v)),
-         cnt AS (
+         cnt AS MATERIALIZED (
            SELECT p_partkey, CAST(count(*) AS BIGINT) AS n_triangles
            FROM (
              SELECT x AS p_partkey FROM tri
@@ -1046,32 +1046,36 @@ object Graph {
 
     // Three unrolled rounds, each = authority aggregate + normalizer
     // + hub aggregate + normalizer — the identical integer-division
-    // sequence the Spark loop runs.
+    // sequence the Spark loop runs. Every CTE is MATERIALIZED: the
+    // chain references each level twice (directly + through its
+    // normalizer), so DuckDB's default inlining re-expands the base
+    // join exponentially — >420 s at sf1 where the hinted form runs
+    // in ~12 s (round-14 sf1 gate finding).
     "q138_hits" -> {
       def hitsRound(prevH: String, k: Int): String =
-        s"""ra$k AS (
+        s"""ra$k AS MATERIALIZED (
              SELECT e.p, CAST(sum(h.h) AS BIGINT) AS ra
              FROM edges e JOIN $prevH h ON h.c = e.c GROUP BY e.p),
-           sa$k AS (SELECT CAST(sum(ra) AS BIGINT) AS sa FROM ra$k),
-           a$k AS (
+           sa$k AS MATERIALIZED (SELECT CAST(sum(ra) AS BIGINT) AS sa FROM ra$k),
+           a$k AS MATERIALIZED (
              SELECT p, CAST(ra // greatest(sa // 1000000000000, 1)
                AS BIGINT) AS a
              FROM ra$k, sa$k),
-           rh$k AS (
+           rh$k AS MATERIALIZED (
              SELECT e.c, CAST(sum(a.a) AS BIGINT) AS rh
              FROM edges e JOIN a$k a ON a.p = e.p GROUP BY e.c),
-           sh$k AS (SELECT CAST(sum(rh) AS BIGINT) AS sh FROM rh$k),
-           h$k AS (
+           sh$k AS MATERIALIZED (SELECT CAST(sum(rh) AS BIGINT) AS sh FROM rh$k),
+           h$k AS MATERIALIZED (
              SELECT c, CAST(rh // greatest(sh // 1000000000000, 1)
                AS BIGINT) AS h
              FROM rh$k, sh$k)"""
-      s"""WITH edges AS (
+      s"""WITH edges AS MATERIALIZED (
            SELECT o.o_custkey AS c, l.l_suppkey AS p
            FROM lineitem l JOIN orders o
              ON l.l_orderkey = o.o_orderkey),
-         nh AS (SELECT CAST(count(DISTINCT c) AS BIGINT) AS n
+         nh AS MATERIALIZED (SELECT CAST(count(DISTINCT c) AS BIGINT) AS n
                 FROM edges),
-         h0 AS (
+         h0 AS MATERIALIZED (
            SELECT DISTINCT c,
              CAST(1000000000000 // (SELECT n FROM nh) AS BIGINT) AS h
            FROM edges),
