@@ -1437,23 +1437,23 @@ object Frontier {
          WHERE rank <= 100 ORDER BY rank""",
 
     "q144_adamic_adar" ->
-      """WITH li AS (
+      """WITH li AS MATERIALIZED (
            SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
            FROM lineitem),
          e AS MATERIALIZED (
            SELECT DISTINCT x.pk AS a, y.pk AS b
            FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk),
-         sym AS (SELECT a AS src, b AS dst FROM e
+         sym AS MATERIALIZED (SELECT a AS src, b AS dst FROM e
                  UNION ALL SELECT b, a FROM e),
-         ctr AS (
+         ctr AS MATERIALIZED (
            SELECT src, CAST(count(*) AS BIGINT) AS deg FROM sym
            GROUP BY src HAVING count(*) BETWEEN 2 AND 64),
-         wq AS (
+         wq AS MATERIALIZED (
            SELECT src,
              CAST(floor(1000000.0 / ln(CAST(deg AS DOUBLE)))
                AS BIGINT) AS wq
            FROM ctr),
-         cn AS (
+         cn AS MATERIALIZED (
            SELECT s1.dst AS a, s2.dst AS b,
              CAST(count(*) AS BIGINT) AS cn,
              CAST(sum(w.wq) AS BIGINT) AS aa_micro
@@ -1461,7 +1461,7 @@ object Frontier {
            JOIN sym s2 ON s1.src = s2.src AND s1.dst < s2.dst
            JOIN wq w ON w.src = s1.src
            GROUP BY 1, 2),
-         ne AS (
+         ne AS MATERIALIZED (
            SELECT cn.a, cn.b, cn.cn, cn.aa_micro
            FROM cn LEFT JOIN e ON e.a = cn.a AND e.b = cn.b
            WHERE e.a IS NULL)

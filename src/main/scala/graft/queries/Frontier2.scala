@@ -534,7 +534,7 @@ object Frontier2 {
 
     "q158_modularity" -> {
       def lpaRound(prev: String, out: String): String =
-        s"""$out AS (
+        s"""$out AS MATERIALIZED (
              SELECT node, lab FROM (
                SELECT s.dst AS node, l.lab, count(*) AS c,
                  row_number() OVER (PARTITION BY s.dst
@@ -542,28 +542,28 @@ object Frontier2 {
                FROM sym s JOIN $prev l ON s.src = l.node
                GROUP BY s.dst, l.lab)
              WHERE rn = 1)"""
-      s"""WITH li AS (
+      s"""WITH li AS MATERIALIZED (
            SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
            FROM lineitem),
-         e AS (
+         e AS MATERIALIZED (
            SELECT DISTINCT x.pk AS a, y.pk AS b
            FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk),
-         sym AS (SELECT a AS src, b AS dst FROM e
+         sym AS MATERIALIZED (SELECT a AS src, b AS dst FROM e
                  UNION ALL SELECT b, a FROM e),
-         l0 AS (SELECT DISTINCT src AS node, src AS lab FROM sym),
+         l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS lab FROM sym),
          ${lpaRound("l0", "l1")},
          ${lpaRound("l1", "l2")},
          ${lpaRound("l2", "l3")},
          ${lpaRound("l3", "l4")},
-         mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e),
-         deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+         mm AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS m FROM e),
+         deg AS MATERIALIZED (SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
                  FROM sym GROUP BY 1),
-         comm AS (
+         comm AS MATERIALIZED (
            SELECT l.lab AS community,
              CAST(count(*) AS BIGINT) AS n_members,
              CAST(sum(d.deg) AS BIGINT) AS deg_sum
            FROM l4 l JOIN deg d ON d.node = l.node GROUP BY 1),
-         intra AS (
+         intra AS MATERIALIZED (
            SELECT la.lab AS community,
              CAST(count(*) AS BIGINT) AS intra_edges
            FROM e

@@ -84,7 +84,12 @@ object Sf1Probe {
     // round-11 batch 16
     "q166_logrank_churn",
     // round-11 batch 17
-    "text_hapax_ratio", "pipeline_seed_variance")
+    "text_hapax_ratio", "pipeline_seed_variance",
+    // round-13 batches 5–6 (deferred to the r14 idle-box session)
+    // + the r13-close/r14 registrations
+    "q174_jarque_bera", "q175_partial_corr", "q176_durbin_watson",
+    "q177_cohens_kappa", "emb_hubness", "text_simpson_diversity",
+    "q178_kruskal_wallis", "q179_weekday_anova", "q180_cusum_ivm")
 
   private def pow10Above(maxKey: Long): Long = {
     var p = 1L
