@@ -1405,12 +1405,12 @@ object Dedup {
       s"""((((((7 * $mult + th[i]) % 1000000007)
             * $mult + th[i + 1]) % 1000000007)
             * $mult + th[i + 2]) % 1000000007)"""
-    s"""tokl AS (
+    s"""tokl AS MATERIALIZED (
          SELECT doc_id,
            list_transform(string_split_regex(lower(text), '\\s+'),
              t -> ${tokSql("t")}) AS th
          FROM $from),
-       sh AS (
+       sh AS MATERIALIZED (
          SELECT doc_id,
            CASE WHEN len(th) >= 3 THEN
              list_distinct(list_transform(range(1, len(th) - 1),
@@ -1495,7 +1495,7 @@ object Dedup {
            FROM d2 x JOIN d2 y
              ON x.block = y.block AND x.doc_id < y.doc_id
            WHERE ${jaccardSql("x.shh", "y.shh")} >= 0.5),
-         cand AS (
+         cand AS MATERIALIZED (
            SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
            FROM bk x JOIN bk y
              ON x.b = y.b AND x.key = y.key AND x.doc_id < y.doc_id),
@@ -1612,7 +1612,7 @@ object Dedup {
                           GROUP BY 1)
            WHERE occ BETWEEN 2 AND 20),
          rp AS (SELECT p.doc_id, p.g FROM posting p JOIN rare USING (g)),
-         cand AS (
+         cand AS MATERIALIZED (
            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
            FROM rp a JOIN rp b ON a.g = b.g AND a.doc_id < b.doc_id
            GROUP BY 1, 2 HAVING count(*) >= 2),
@@ -1649,7 +1649,7 @@ object Dedup {
     // recursive transitive closure (tiny graph: only docs that appear
     // in a near-dup pair) with component = min reachable id
     "dedup_clusters" ->
-      """WITH RECURSIVE docs AS (
+      """WITH RECURSIVE docs AS MATERIALIZED (
            SELECT doc_id,
              lang || '#' || CAST(CAST(floor(n_chars / 100) AS BIGINT) AS VARCHAR) AS block,
              list_distinct(list_transform(
@@ -1878,7 +1878,7 @@ object Dedup {
       """WITH tok AS (
            SELECT doc_id, string_split_regex(lower(text), '\s+') AS t
            FROM documents),
-         posting AS (
+         posting AS MATERIALIZED (
            SELECT doc_id, term, count(*) AS tf FROM (
              SELECT doc_id, unnest(list_transform(
                range(1, greatest(len(t) - 2, 0) + 1),
@@ -1970,24 +1970,24 @@ object Dedup {
     * dedup_prefix_filter oracle and pipeline_dedup_sweep's near tier.
     */
   private[graft] def prefixFilterSqlCtes: String =
-    """posting AS (
+    """posting AS MATERIALIZED (
            SELECT doc_id, unnest(shh) AS tok FROM sh
            WHERE len(shh) > 0),
          dft AS (SELECT tok, count(*) AS df FROM posting GROUP BY 1),
-         docsx AS (
+         docsx AS MATERIALIZED (
            SELECT p.doc_id, list(p.tok ORDER BY d.df, p.tok) AS toks
            FROM posting p JOIN dft d ON d.tok = p.tok GROUP BY 1),
-         pre AS (
+         pre AS MATERIALIZED (
            SELECT doc_id, CAST(len(toks) AS BIGINT) AS l,
              unnest(list_slice(toks, 1,
                len(toks) - ((len(toks) + 1) // 2) + 1)) AS tok
            FROM docsx),
-         cand AS (
+         cand AS MATERIALIZED (
            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
            FROM pre a JOIN pre b ON a.tok = b.tok
            WHERE a.doc_id < b.doc_id
              AND least(a.l, b.l) * 2 >= greatest(a.l, b.l)),
-         v AS (
+         v AS MATERIALIZED (
            SELECT doc_a, doc_b,
              CAST(len(list_intersect(da.toks, db.toks)) AS BIGINT)
                AS n_inter,

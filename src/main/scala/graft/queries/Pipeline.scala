@@ -950,18 +950,18 @@ object Pipeline {
     // replay, plus the two-row report arithmetic. Re-derived for the
     // round-10 candidate-generator swap (see the Spark side's comment).
     "pipeline_dedup_sweep" ->
-      s"""WITH RECURSIVE keep1 AS (
+      s"""WITH RECURSIVE keep1 AS MATERIALIZED (
            SELECT min(doc_id) AS doc_id
            FROM documents GROUP BY md5(text)),
-         docs0 AS (
+         docs0 AS MATERIALIZED (
            SELECT d.doc_id, d.text
            FROM documents d JOIN keep1 k ON k.doc_id = d.doc_id),
          ${graft.dedup.Dedup.shingleCtesOver("docs0")},
          ${graft.dedup.Dedup.prefixFilterSqlCtes},
-         pairs AS (
+         pairs AS MATERIALIZED (
            SELECT doc_a, doc_b FROM v
            WHERE n_inter * 2 >= n_union),
-         edges AS (
+         edges AS MATERIALIZED (
            SELECT doc_a AS src, doc_b AS dst FROM pairs
            UNION ALL SELECT doc_b, doc_a FROM pairs),
          reach(src, dst) AS (
@@ -969,8 +969,8 @@ object Pipeline {
            UNION
            SELECT r.src, e.dst FROM reach r JOIN edges e
              ON r.dst = e.src),
-         members AS (SELECT DISTINCT src AS doc_id FROM edges),
-         cc AS (
+         members AS MATERIALIZED (SELECT DISTINCT src AS doc_id FROM edges),
+         cc AS MATERIALIZED (
            SELECT least(m.doc_id, min(r.dst)) AS component, m.doc_id
            FROM members m JOIN reach r ON r.src = m.doc_id
            GROUP BY m.doc_id),
@@ -1013,19 +1013,19 @@ object Pipeline {
          SELECT CAST(vtime AS BIGINT) AS vtime, lang, rn, doc_id
          FROM v ORDER BY vtime, lang, doc_id LIMIT 200""",
     "pipeline_training_prep_v2" ->
-      """WITH RECURSIVE scored AS (
+      """WITH RECURSIVE scored AS MATERIALIZED (
            SELECT doc_id, lang, source, n_chars, text,
              CAST(len(list_distinct(string_split_regex(lower(text), '\s+'))) AS DOUBLE) /
              CAST(len(string_split_regex(lower(text), '\s+')) AS DOUBLE) AS ttr
            FROM documents
            WHERE n_chars >= 200),
-         filtered AS (SELECT * FROM scored WHERE ttr >= 0.3),
-         dedup1 AS (
+         filtered AS MATERIALIZED (SELECT * FROM scored WHERE ttr >= 0.3),
+         dedup1 AS MATERIALIZED (
            SELECT * FROM (
              SELECT *, min(doc_id) OVER (PARTITION BY md5(text)) AS keeper
              FROM filtered)
            WHERE doc_id = keeper),
-         shingled AS (
+         shingled AS MATERIALIZED (
            SELECT doc_id,
              lang || '#' || CAST(CAST(floor(n_chars / 100) AS BIGINT) AS VARCHAR) AS block,
              list_distinct(list_transform(
@@ -1034,21 +1034,21 @@ object Pipeline {
                     string_split_regex(lower(text), '\s+')[i+1] || ' ' ||
                     string_split_regex(lower(text), '\s+')[i+2])) AS sh
            FROM dedup1),
-         pairs AS (
+         pairs AS MATERIALIZED (
            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
            FROM shingled a JOIN shingled b
              ON a.block = b.block AND a.doc_id < b.doc_id
            WHERE len(a.sh) > 0 AND len(b.sh) > 0 AND
                  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
                  CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) >= 0.6),
-         edges AS (
+         edges AS MATERIALIZED (
            SELECT doc_a AS src, doc_b AS dst FROM pairs
            UNION ALL SELECT doc_b, doc_a FROM pairs),
          reach(src, dst) AS (
            SELECT src, dst FROM edges
            UNION
            SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
-         members AS (SELECT DISTINCT src AS doc_id FROM edges),
+         members AS MATERIALIZED (SELECT DISTINCT src AS doc_id FROM edges),
          droppees AS (
            SELECT m.doc_id FROM members m JOIN reach r ON r.src = m.doc_id
            GROUP BY m.doc_id
