@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.{Q, Tables}
@@ -770,6 +771,178 @@ object Frontier4 {
           Tables.nz(round(
             when($"sst" <= 0.0, lit(null).cast("double"))
               .otherwise($"ssb" / $"sst"), 6)).as("eta_sq"))
+    }),
+
+    // Brown–Forsythe (median-based Levene) homogeneity-of-variance
+    // test across weekdays — the assumption check q179's classic F
+    // silently makes (equal group variances): one-way ANOVA on the
+    // absolute deviations from each group's median. Group medians are
+    // the house lower median (Quantiles.exactByGroup p=0.5 — the
+    // exact count-table order statistic q80_mad uses, rank
+    // floor(0.5(n−1))+1), broadcast back as a ≤7-row frame, so the
+    // deviations stay integral longs and the ANOVA-on-deviations
+    // reuses q179's exact decimal(38,0) moment shape verbatim.
+    "q181_levene_bf" -> ((s, d) => {
+      import s.implicits._
+      val dec = "decimal(38,0)"
+      val o = Tables.load(s, d, "orders")
+        .select(round($"o_totalprice" * 100).cast("long").as("cents"),
+          pmod(datediff(to_date($"o_orderdate"), lit("1970-01-05")),
+            lit(7)).cast("long").as("wd"))
+      val med = graft.ops.Quantiles.exactByGroup(o, "wd", $"cents",
+        Seq("med_cents" -> 0.5))
+      val dev = o.join(broadcast(med.drop("n")), Seq("wd"))
+        .select($"wd", abs($"cents" - $"med_cents").as("v"))
+      val grp = dev.groupBy($"wd")
+        .agg(count(lit(1)).as("ng"),
+          sum($"v".cast(dec)).as("sg"),
+          sum(($"v".cast(dec) * $"v").cast(dec)).as("sgg"))
+      val panel = grp.agg(count(lit(1)).as("k"),
+          sum($"ng").cast(dec).as("n"),
+          sum($"sg").cast(dec).as("sv"),
+          sum($"sgg").cast(dec).as("svv"),
+          sort_array(collect_list(struct($"wd", $"ng", $"sg")))
+            .as("arr"))
+        .withColumn("sbterm", expr(
+          """aggregate(arr, CAST(0.0 AS DOUBLE), (a, x) ->
+             a + (CAST(x.sg AS DOUBLE) * CAST(x.sg AS DOUBLE)) /
+               CAST(x.ng AS DOUBLE))"""))
+        .withColumn("nd", $"n".cast("double"))
+        .withColumn("ssb", $"sbterm" -
+          $"sv".cast("double") * $"sv".cast("double") / $"nd")
+        .withColumn("ssw", $"svv".cast("double") - $"sbterm")
+      panel.select($"n".cast("long").as("n_orders"),
+          $"k".as("n_groups"),
+          Tables.nz(round(
+            when($"k" < 2 || $"n" <= $"k".cast(dec) ||
+                $"ssw" <= 0.0, lit(null).cast("double"))
+              .otherwise(($"ssb" / ($"k" - 1L).cast("double")) /
+                ($"ssw" / ($"nd" - $"k".cast("double")))), 4))
+            .as("f_bf"))
+    }),
+
+    // Welch's heteroscedastic one-way ANOVA on the same weekday frame
+    // — the robust companion that stays valid exactly when q181 says
+    // q179's equal-variance assumption fails. Assembles ENTIRELY from
+    // q179's exact decimal group moments (n, Σv, Σv² per weekday):
+    // per-group mean and variance become weights w_g = n_g/s²_g, and
+    // the Welch F* and Satterthwaite dof fold over the ≤7-row enum
+    // panel in weekday order (four chained IEEE folds — W, weighted
+    // mean, between-term, correction term — each deterministic).
+    "q182_welch_anova" -> ((s, d) => {
+      import s.implicits._
+      val dec = "decimal(38,0)"
+      val o = Tables.load(s, d, "orders")
+        .select(round($"o_totalprice" * 100).cast("long").as("v"),
+          pmod(datediff(to_date($"o_orderdate"), lit("1970-01-05")),
+            lit(7)).cast("long").as("wd"))
+      val grp = o.groupBy($"wd")
+        .agg(count(lit(1)).as("ng"),
+          sum($"v".cast(dec)).as("sg"),
+          sum(($"v".cast(dec) * $"v").cast(dec)).as("sgg"))
+      val panel = grp.agg(count(lit(1)).as("k"),
+          sum($"ng").cast(dec).as("n"),
+          min($"ng").as("min_ng"),
+          sort_array(collect_list(struct($"wd", $"ng", $"sg", $"sgg")))
+            .as("arr"))
+        // per-group w_g = n_g / s²_g with s²_g the unbiased variance
+        // off the exact moments; folds below all run in wd order
+        .withColumn("warr", expr(
+          """transform(arr, x -> named_struct(
+             'w', CAST(x.ng AS DOUBLE) /
+               ((CAST(x.sgg AS DOUBLE) -
+                 CAST(x.sg AS DOUBLE) * CAST(x.sg AS DOUBLE) /
+                   CAST(x.ng AS DOUBLE)) /
+                (CAST(x.ng AS DOUBLE) - 1.0)),
+             'yb', CAST(x.sg AS DOUBLE) / CAST(x.ng AS DOUBLE),
+             'ng', CAST(x.ng AS DOUBLE)))"""))
+        .withColumn("bigw", expr(
+          """aggregate(warr, CAST(0.0 AS DOUBLE),
+             (a, x) -> a + x.w)"""))
+        .withColumn("ybw", expr(
+          """aggregate(warr, CAST(0.0 AS DOUBLE),
+             (a, x) -> a + x.w * x.yb)""") / $"bigw")
+        .withColumn("aterm", expr(
+          """aggregate(warr, CAST(0.0 AS DOUBLE),
+             (a, x) -> a + x.w * (x.yb - ybw) * (x.yb - ybw))""") /
+          ($"k" - 1L).cast("double"))
+        .withColumn("bterm", expr(
+          """aggregate(warr, CAST(0.0 AS DOUBLE),
+             (a, x) -> a + (1.0 - x.w / bigw) * (1.0 - x.w / bigw) /
+               (x.ng - 1.0))"""))
+        .withColumn("kd", $"k".cast("double"))
+      panel.select($"n".cast("long").as("n_orders"),
+          $"k".as("n_groups"),
+          Tables.nz(round(
+            when($"k" < 2 || $"min_ng" < 2L, lit(null).cast("double"))
+              .otherwise($"aterm" /
+                (lit(1.0) + lit(2.0) * ($"kd" - 2.0) /
+                  ($"kd" * $"kd" - 1.0) * $"bterm")), 4))
+            .as("f_welch"),
+          Tables.nz(round(
+            when($"k" < 2 || $"min_ng" < 2L || $"bterm" === 0.0,
+              lit(null).cast("double"))
+              .otherwise(($"kd" * $"kd" - 1.0) /
+                (lit(3.0) * $"bterm")), 2)).as("dof2"))
+    }),
+
+    // Friedman blocked rank test: do weekdays differ CONSISTENTLY
+    // month after month? Blocks = calendar months (only complete
+    // blocks with all 7 weekdays), treatments = weekdays, observation
+    // = the month×weekday revenue total. The (month, weekday) rollup
+    // is span-bounded (months × 7 cells at ANY corpus size), ranks
+    // within each 7-cell block are exact ×2-scaled average tied ranks
+    // (2·cnt_lt + cnt_eq + 1 — rank() + an equality-count window,
+    // both over 7-row partitions), and χ²_F assembles from the
+    // ≤7-row per-weekday rank sums in one wd-ordered fold.
+    // Uncorrected-for-ties form (documented: observations are
+    // month-level cent sums — exact integer ties are measure-zero,
+    // and both engines compute identical average ranks either way);
+    // p via the closed χ²(6) survival (k−1 = 6, even) when k = 7.
+    "q183_friedman" -> ((s, d) => {
+      import s.implicits._
+      val dec = "decimal(38,0)"
+      val cells = Tables.load(s, d, "orders")
+        .select((year(to_date($"o_orderdate")) * 12 +
+            month(to_date($"o_orderdate"))).cast("long").as("m"),
+          pmod(datediff(to_date($"o_orderdate"), lit("1970-01-05")),
+            lit(7)).cast("long").as("wd"),
+          round($"o_totalprice" * 100).cast("long").as("cents"))
+        .groupBy($"m", $"wd")
+        .agg(sum($"cents".cast(dec)).as("v"))
+      val full = cells
+        .withColumn("nw", count(lit(1))
+          .over(Window.partitionBy($"m")))
+        .filter($"nw" === 7)
+      val wLt = Window.partitionBy($"m").orderBy($"v")
+      val wEq = Window.partitionBy($"m", $"v")
+      val ranked = full
+        .withColumn("rk", rank().over(wLt).cast("long"))
+        .withColumn("ceq", count(lit(1)).over(wEq).cast("long"))
+        .withColumn("rank2", lit(2L) * ($"rk" - 1L) + $"ceq" + 1L)
+      val rj = ranked.groupBy($"wd")
+        .agg(sum($"rank2").as("r2j"), count(lit(1)).as("b"))
+      val panel = rj.agg(count(lit(1)).as("k"),
+          max($"b").as("b"),
+          sort_array(collect_list(struct($"wd", $"r2j"))).as("arr"))
+        .withColumn("sr2", expr(
+          """aggregate(arr, CAST(0.0 AS DOUBLE), (a, x) ->
+             a + (CAST(x.r2j AS DOUBLE) / 2.0) *
+               (CAST(x.r2j AS DOUBLE) / 2.0))"""))
+        .withColumn("bd", $"b".cast("double"))
+        .withColumn("kd", $"k".cast("double"))
+        .withColumn("chi2", lit(12.0) /
+          ($"bd" * $"kd" * ($"kd" + 1.0)) * $"sr2" -
+          lit(3.0) * $"bd" * ($"kd" + 1.0))
+      panel.select($"b".as("n_blocks"), $"k".as("n_groups"),
+          Tables.nz(round(when($"b" < 2L, lit(null).cast("double"))
+            .otherwise($"chi2"), 4)).as("chi2_f"),
+          Tables.nz(round(
+            when($"k" =!= 7L || $"b" < 2L, lit(null).cast("double"))
+              .otherwise(exp(-$"chi2" / lit(2.0)) *
+                (lit(1.0) + $"chi2" / lit(2.0) +
+                  ($"chi2" / lit(2.0)) * ($"chi2" / lit(2.0)) /
+                    lit(2.0))), 6)).as("p_value"))
     }),
 
     // IVM parity twin of the streaming CUSUM monitor (r13 verdict
@@ -1716,6 +1889,163 @@ object Frontier4 {
              AS f_stat,
            round(CASE WHEN sst <= 0.0 THEN NULL
              ELSE ssb / sst END, 6) + 0.0 AS eta_sq
+         FROM a""",
+
+    // The house lower median (q80's rank floor(0.5(n-1))+1) replayed
+    // per weekday, then q179's exact-moment ANOVA on the deviations.
+    "q181_levene_bf" ->
+      """WITH o AS MATERIALIZED (
+           SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             CAST(((date_diff('day', DATE '1970-01-05',
+               o_orderdate) % 7) + 7) % 7 AS BIGINT) AS wd
+           FROM orders),
+         r1 AS MATERIALIZED (
+           SELECT wd, cents,
+             row_number() OVER (PARTITION BY wd ORDER BY cents) AS rn,
+             count(*) OVER (PARTITION BY wd) AS n
+           FROM o),
+         med AS MATERIALIZED (
+           SELECT wd,
+             min(CASE WHEN rn = CAST(floor(0.5 * (n - 1)) AS BIGINT) + 1
+                      THEN cents END) AS med_cents
+           FROM r1 GROUP BY wd),
+         dev AS MATERIALIZED (
+           SELECT o.wd, abs(o.cents - m.med_cents) AS v
+           FROM o JOIN med m ON m.wd = o.wd),
+         grp AS MATERIALIZED (
+           SELECT wd, CAST(count(*) AS BIGINT) AS ng,
+             CAST(sum(CAST(v AS HUGEINT)) AS HUGEINT) AS sg,
+             sum(CAST(v AS HUGEINT) * v) AS sgg
+           FROM dev GROUP BY 1),
+         panel AS (
+           SELECT CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(ng) AS HUGEINT) AS n,
+             CAST(sum(sg) AS HUGEINT) AS sv,
+             CAST(sum(sgg) AS HUGEINT) AS svv,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list((CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)) /
+                 CAST(ng AS DOUBLE) ORDER BY wd)),
+               (a, x) -> a + x) AS sbterm
+           FROM grp),
+         a AS (
+           SELECT k, n, CAST(n AS DOUBLE) AS nd, sbterm,
+             sbterm - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE) /
+               CAST(n AS DOUBLE) AS ssb,
+             CAST(svv AS DOUBLE) - sbterm AS ssw
+           FROM panel)
+         SELECT CAST(n AS BIGINT) AS n_orders, k AS n_groups,
+           round(CASE WHEN k < 2 OR n <= k OR ssw <= 0.0 THEN NULL
+             ELSE (ssb / CAST(k - 1 AS DOUBLE)) /
+               (ssw / (nd - CAST(k AS DOUBLE))) END, 4) + 0.0
+             AS f_bf
+         FROM a""",
+
+    // Welch's F* and Satterthwaite dof assembled from the same exact
+    // moments in the same wd-ordered fold sequence (W, weighted mean,
+    // between-term, correction term).
+    "q182_welch_anova" ->
+      """WITH o AS MATERIALIZED (
+           SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+             CAST(((date_diff('day', DATE '1970-01-05',
+               o_orderdate) % 7) + 7) % 7 AS BIGINT) AS wd
+           FROM orders),
+         grp AS MATERIALIZED (
+           SELECT wd, CAST(count(*) AS BIGINT) AS ng,
+             CAST(sum(CAST(v AS HUGEINT)) AS HUGEINT) AS sg,
+             sum(CAST(v AS HUGEINT) * v) AS sgg
+           FROM o GROUP BY 1),
+         w AS MATERIALIZED (
+           SELECT wd, ng,
+             CAST(ng AS DOUBLE) /
+               ((CAST(sgg AS DOUBLE) -
+                 CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE) /
+                   CAST(ng AS DOUBLE)) /
+                (CAST(ng AS DOUBLE) - 1.0)) AS wg,
+             CAST(sg AS DOUBLE) / CAST(ng AS DOUBLE) AS yb,
+             CAST(ng AS DOUBLE) AS ngd
+           FROM grp),
+         s1 AS MATERIALIZED (
+           SELECT CAST(count(*) AS BIGINT) AS k,
+             CAST(min(ng) AS BIGINT) AS min_ng,
+             (SELECT CAST(sum(ng) AS BIGINT) FROM grp) AS n,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(wg ORDER BY wd)), (a, x) -> a + x) AS bigw,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(wg * yb ORDER BY wd)), (a, x) -> a + x) AS swyb
+           FROM w),
+         s2 AS MATERIALIZED (
+           SELECT k, min_ng, n, bigw, swyb / bigw AS ybw,
+             CAST(k AS DOUBLE) AS kd
+           FROM s1),
+         s3 AS (
+           SELECT s2.k, s2.min_ng, s2.n, s2.kd,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(w.wg * (w.yb - s2.ybw) * (w.yb - s2.ybw)
+                 ORDER BY w.wd)), (a, x) -> a + x) /
+               (s2.kd - 1.0) AS aterm,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list((1.0 - w.wg / s2.bigw) * (1.0 - w.wg / s2.bigw) /
+                 (w.ngd - 1.0) ORDER BY w.wd)),
+               (a, x) -> a + x) AS bterm
+           FROM w, s2
+           GROUP BY s2.k, s2.min_ng, s2.n, s2.kd, s2.ybw, s2.bigw)
+         SELECT n AS n_orders, k AS n_groups,
+           round(CASE WHEN k < 2 OR min_ng < 2 THEN NULL
+             ELSE aterm / (1.0 + 2.0 * (kd - 2.0) /
+               (kd * kd - 1.0) * bterm) END, 4) + 0.0 AS f_welch,
+           round(CASE WHEN k < 2 OR min_ng < 2 OR bterm = 0.0
+             THEN NULL
+             ELSE (kd * kd - 1.0) / (3.0 * bterm) END, 2) + 0.0
+             AS dof2
+         FROM s3""",
+
+    // The same x2-scaled average tied ranks (rank() + equality-count
+    // windows over 7-row blocks), rank sums, and chi2 assembly.
+    "q183_friedman" ->
+      """WITH cells AS MATERIALIZED (
+           SELECT (year(o_orderdate) * 12 + month(o_orderdate)) AS m,
+             CAST(((date_diff('day', DATE '1970-01-05',
+               o_orderdate) % 7) + 7) % 7 AS BIGINT) AS wd,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+               AS HUGEINT) AS v
+           FROM orders GROUP BY 1, 2),
+         full_b AS MATERIALIZED (
+           SELECT * FROM (
+             SELECT m, wd, v,
+               count(*) OVER (PARTITION BY m) AS nw
+             FROM cells) WHERE nw = 7),
+         ranked AS MATERIALIZED (
+           SELECT m, wd,
+             2 * (rank() OVER (PARTITION BY m ORDER BY v) - 1) +
+               count(*) OVER (PARTITION BY m, v) + 1 AS rank2
+           FROM full_b),
+         rj AS MATERIALIZED (
+           SELECT wd, CAST(sum(rank2) AS BIGINT) AS r2j,
+             CAST(count(*) AS BIGINT) AS b
+           FROM ranked GROUP BY 1),
+         panel AS (
+           SELECT CAST(count(*) AS BIGINT) AS k,
+             CAST(max(b) AS BIGINT) AS b,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list((CAST(r2j AS DOUBLE) / 2.0) *
+                 (CAST(r2j AS DOUBLE) / 2.0) ORDER BY wd)),
+               (a, x) -> a + x) AS sr2
+           FROM rj),
+         a AS (
+           SELECT b, k, CAST(b AS DOUBLE) AS bd,
+             CAST(k AS DOUBLE) AS kd, sr2,
+             12.0 / (CAST(b AS DOUBLE) * CAST(k AS DOUBLE) *
+               (CAST(k AS DOUBLE) + 1.0)) * sr2 -
+               3.0 * CAST(b AS DOUBLE) * (CAST(k AS DOUBLE) + 1.0)
+               AS chi2
+           FROM panel)
+         SELECT b AS n_blocks, k AS n_groups,
+           round(CASE WHEN b < 2 THEN NULL ELSE chi2 END, 4) + 0.0
+             AS chi2_f,
+           round(CASE WHEN k <> 7 OR b < 2 THEN NULL
+             ELSE exp(-chi2 / 2.0) * (1.0 + chi2 / 2.0 +
+               (chi2 / 2.0) * (chi2 / 2.0) / 2.0) END, 6) + 0.0
+             AS p_value
          FROM a""",
 
     // The IVM proof: the oracle recomputes the CUSUM DIRECTLY over

@@ -89,7 +89,9 @@ object Sf1Probe {
     // + the r13-close/r14 registrations
     "q174_jarque_bera", "q175_partial_corr", "q176_durbin_watson",
     "q177_cohens_kappa", "emb_hubness", "text_simpson_diversity",
-    "q178_kruskal_wallis", "q179_weekday_anova", "q180_cusum_ivm")
+    "q178_kruskal_wallis", "q179_weekday_anova", "q180_cusum_ivm",
+    // round-14 batch 4 (probed in the registering session)
+    "q181_levene_bf", "q182_welch_anova", "q183_friedman")
 
   private def pow10Above(maxKey: Long): Long = {
     var p = 1L

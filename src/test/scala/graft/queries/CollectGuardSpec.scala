@@ -111,6 +111,9 @@ class CollectGuardSpec extends SparkSpec {
       "per-type daily residual series, span days (q160-style fold)",
     "q178_kruskal_wallis" -> "weekday enum panel, <= 7 rows",
     "q179_weekday_anova" -> "weekday enum panel, <= 7 rows",
+    "q181_levene_bf" -> "weekday enum panel, <= 7 rows",
+    "q182_welch_anova" -> "weekday enum panel, <= 7 rows",
+    "q183_friedman" -> "weekday rank-sum panel, <= 7 rows",
     "q141_theil_sen" ->
       "pairwise slopes of the daily series, span^2/2 per type",
     "q142_bootstrap_ci" -> "one list of B=200 bootstrap means",

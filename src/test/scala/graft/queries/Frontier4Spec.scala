@@ -654,6 +654,128 @@ class Frontier4Spec extends SparkSpec {
     assert(kw == k, "q178/q179 group-count parity")
   }
 
+  test("brown-forsythe: lower-median deviations, exact-moment F replay") {
+    val got = Frontier4.queries("q181_levene_bf")(spark, sf)
+      .as[(Long, Long, Option[Double])].collect()
+    assert(got.length == 1)
+    val (nOrders, k, fBf) = got.head
+    val pairs = orderCentsWeekday()
+    assert(nOrders == pairs.length.toLong)
+    val grp = pairs.groupBy(_._2)
+    assert(k == grp.size.toLong)
+    // house lower median: rank floor(0.5(n-1))+1 in sorted order
+    def lowerMedian(vs: Seq[Long]): Long = {
+      val s = vs.sorted
+      s((0.5 * (s.length - 1)).floor.toInt)
+    }
+    val meds = grp.map { case (wd, rs) => wd -> lowerMedian(rs.map(_._1)) }
+    val dev = pairs.map { case (c, wd) => (wd, math.abs(c - meds(wd))) }
+    val g = dev.groupBy(_._1).map { case (wd, rs) =>
+      (wd, BigInt(rs.length), rs.map(r => BigInt(r._2)).sum,
+        rs.map(r => BigInt(r._2) * BigInt(r._2)).sum)
+    }.toSeq.sortBy(_._1)
+    val n = g.map(_._2).sum
+    val sv = g.map(_._3).sum
+    val svv = g.map(_._4).sum
+    val sbterm = g.foldLeft(0.0) { case (a, (_, ng, sg, _)) =>
+      a + (sg.toDouble * sg.toDouble) / ng.toDouble }
+    val nd = n.toDouble
+    val ssb = sbterm - sv.toDouble * sv.toDouble / nd
+    val ssw = svv.toDouble - sbterm
+    def r(v: Double, p: Int) = BigDecimal(v)
+      .setScale(p, BigDecimal.RoundingMode.HALF_UP).toDouble
+    if (k >= 2 && n.toLong > k && ssw > 0.0) {
+      val f = (ssb / (k - 1L).toDouble) / (ssw / (nd - k.toDouble))
+      assert(math.abs(fBf.get - r(f, 4)) < 1e-9, "f_bf")
+      assert(fBf.get >= 0.0)
+    } else assert(fBf.isEmpty)
+  }
+
+  test("welch anova: weights, weighted mean, F* and Satterthwaite dof") {
+    val got = Frontier4.queries("q182_welch_anova")(spark, sf)
+      .as[(Long, Long, Option[Double], Option[Double])].collect()
+    assert(got.length == 1)
+    val (nOrders, k, fW, dof2) = got.head
+    val pairs = orderCentsWeekday()
+    assert(nOrders == pairs.length.toLong)
+    val g = pairs.groupBy(_._2).map { case (wd, rs) =>
+      (wd, BigInt(rs.length), rs.map(r => BigInt(r._1)).sum,
+        rs.map(r => BigInt(r._1) * BigInt(r._1)).sum)
+    }.toSeq.sortBy(_._1)
+    assert(k == g.length.toLong)
+    // per-group (w, yb, ngd) exactly as the engine's transform
+    val warr = g.map { case (_, ng, sg, sgg) =>
+      val ngd = ng.toDouble
+      val s2 = (sgg.toDouble - sg.toDouble * sg.toDouble / ngd) /
+        (ngd - 1.0)
+      (ngd / s2, sg.toDouble / ngd, ngd)
+    }
+    val bigW = warr.foldLeft(0.0)((a, x) => a + x._1)
+    val ybw = warr.foldLeft(0.0)((a, x) => a + x._1 * x._2) / bigW
+    val kd = k.toDouble
+    val aterm = warr.foldLeft(0.0)((a, x) =>
+      a + x._1 * (x._2 - ybw) * (x._2 - ybw)) / (kd - 1.0)
+    val bterm = warr.foldLeft(0.0)((a, x) =>
+      a + (1.0 - x._1 / bigW) * (1.0 - x._1 / bigW) / (x._3 - 1.0))
+    def r(v: Double, p: Int) = BigDecimal(v)
+      .setScale(p, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val minNg = g.map(_._2).min
+    if (k >= 2 && minNg >= 2) {
+      val f = aterm / (1.0 + 2.0 * (kd - 2.0) / (kd * kd - 1.0) * bterm)
+      assert(math.abs(fW.get - r(f, 4)) < 1e-9, "f_welch")
+      if (bterm != 0.0) {
+        val d2 = (kd * kd - 1.0) / (3.0 * bterm)
+        assert(math.abs(dof2.get - r(d2, 2)) < 1e-9, "dof2")
+        // Satterthwaite dof is bounded by the pooled classic dof
+        assert(dof2.get <= (nOrders - k).toDouble + 1e-9)
+      }
+    } else assert(fW.isEmpty)
+  }
+
+  test("friedman: blocked x2 tied ranks, chi2 and chi2(6) tail") {
+    val got = Frontier4.queries("q183_friedman")(spark, sf)
+      .as[(Long, Long, Option[Double], Option[Double])].collect()
+    assert(got.length == 1)
+    val (b, k, chi2, p) = got.head
+    // independent replay off raw orders through the same projections
+    val rows = graft.Tables.load(spark, sf, "orders")
+      .select((year(to_date($"o_orderdate")) * 12 +
+          month(to_date($"o_orderdate"))).cast("long").as("m"),
+        pmod(datediff(to_date($"o_orderdate"), lit("1970-01-05")),
+          lit(7)).cast("long").as("wd"),
+        round($"o_totalprice" * 100).cast("long").as("cents"))
+      .as[(Long, Long, Long)].collect()
+    val cells = rows.groupBy(r => (r._1, r._2))
+      .map { case ((m, wd), rs) => (m, wd, rs.map(r => BigInt(r._3)).sum) }
+    val fullBlocks = cells.groupBy(_._1).filter(_._2.size == 7)
+    assert(b == fullBlocks.size.toLong)
+    assert(k == 7L)
+    // x2-scaled average tied rank: 2*cnt_lt + cnt_eq + 1
+    val r2j = scala.collection.mutable.Map.empty[Long, Long]
+    fullBlocks.values.foreach { cs =>
+      cs.foreach { case (_, wd, v) =>
+        val lt = cs.count(_._3 < v)
+        val eq = cs.count(_._3 == v)
+        r2j(wd) = r2j.getOrElse(wd, 0L) + (2L * lt + eq + 1L)
+      }
+    }
+    val sr2 = r2j.toSeq.sortBy(_._1).foldLeft(0.0) { case (a, (_, r2)) =>
+      a + (r2.toDouble / 2.0) * (r2.toDouble / 2.0) }
+    val bd = b.toDouble
+    val kd = 7.0
+    val expChi = 12.0 / (bd * kd * (kd + 1.0)) * sr2 -
+      3.0 * bd * (kd + 1.0)
+    def r(v: Double, prec: Int) = BigDecimal(v)
+      .setScale(prec, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(chi2.get - r(expChi, 4)) < 1e-9, "chi2_f")
+    // rank-sum invariant: sum of 2x rank sums = b * k(k+1)
+    assert(r2j.values.sum == b * 7L * 8L, "rank-sum telescope")
+    val q = expChi / 2.0
+    val expP = math.exp(-q) * (1.0 + q + q * q / 2.0)
+    assert(math.abs(p.get - r(expP, 6)) < 1e-9, "p chi2(6)")
+    assert(p.get >= 0.0 && p.get <= 1.0)
+  }
+
   test("cusum ivm twin: merged-state snapshot equals q84's direct batch") {
     // the IVM statement in-engine: replaying the corpus through the
     // production cusumDriftBatch state path (three deltas, swap-rename
