@@ -1034,13 +1034,29 @@ object Pipeline {
                     string_split_regex(lower(text), '\s+')[i+1] || ' ' ||
                     string_split_regex(lower(text), '\s+')[i+2])) AS sh
            FROM dedup1),
+         -- posting-list form of the same J >= 0.6 verify (r14 sf1 gate
+         -- finding: per-pair list_intersect ran on ~4 cores; a shared-
+         -- shingle hash join + group-by enumerates exactly the same
+         -- passing set, since a zero-overlap pair can never reach 0.6;
+         -- the len > 0 guards are implied — empty lists post nothing)
+         sizes AS MATERIALIZED (
+           SELECT doc_id, CAST(len(sh) AS BIGINT) AS l FROM shingled),
+         posting AS MATERIALIZED (
+           SELECT doc_id, block, unnest(sh) AS tok FROM shingled),
+         inter AS MATERIALIZED (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(count(*) AS BIGINT) AS ni
+           FROM posting a JOIN posting b
+             ON a.block = b.block AND a.tok = b.tok
+            AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
          pairs AS MATERIALIZED (
-           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-           FROM shingled a JOIN shingled b
-             ON a.block = b.block AND a.doc_id < b.doc_id
-           WHERE len(a.sh) > 0 AND len(b.sh) > 0 AND
-                 CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-                 CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) >= 0.6),
+           SELECT i.doc_a, i.doc_b
+           FROM inter i
+           JOIN sizes sa ON sa.doc_id = i.doc_a
+           JOIN sizes sb ON sb.doc_id = i.doc_b
+           WHERE CAST(i.ni AS DOUBLE) /
+                 CAST(sa.l + sb.l - i.ni AS DOUBLE) >= 0.6),
          edges AS MATERIALIZED (
            SELECT doc_a AS src, doc_b AS dst FROM pairs
            UNION ALL SELECT doc_b, doc_a FROM pairs),
