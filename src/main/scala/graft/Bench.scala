@@ -154,12 +154,18 @@ object Bench {
     val priorRegressed = scala.collection.mutable.ArrayBuffer[String]()
     val cpuSec = scala.collection.mutable.LinkedHashMap[String, Double]()
     val gcSec = scala.collection.mutable.LinkedHashMap[String, Double]()
-    // previous round's full-board walls, read BEFORE this run
-    // overwrites the file; controlled format, so a flat regex parse
-    // ("queries":{"name":sec,...}) is enough — no json lib needed
-    val prior: Map[String, Double] = try {
+    // Prior walls come from the PINNED clean baseline, not the
+    // immediately previous run: bench_full.json is rolling, so a
+    // persistent >2x regression flagged in round N would silently
+    // become the new prior in round N+1 (r14 ADVICE — the r14
+    // artifact itself carried 7 contended rows that would have
+    // re-baselined). bench_baseline.json is written only by a run
+    // whose own prior_regressed/failed lists are empty (promotion
+    // below), so regressed walls can never poison the reference;
+    // bench_full.json remains the fallback for a fresh checkout.
+    def readWalls(path: String): Map[String, Double] = try {
       val txt = new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get("bench_full.json")), "UTF-8")
+        java.nio.file.Paths.get(path)), "UTF-8")
       // priors only make sense at the SAME scale factor: a sf0.1 run
       // after a sf0.001 dev run would otherwise 2×-trigger on every
       // query and double the fleet time with pointless retries
@@ -172,6 +178,10 @@ object Bench {
           .map(g => g.group(1) -> g.group(2).toDouble).toMap)
         .getOrElse(Map.empty)
     } catch { case _: Throwable => Map.empty }
+    val prior: Map[String, Double] = {
+      val pinned = readWalls("bench_baseline.json")
+      if (pinned.nonEmpty) pinned else readWalls("bench_full.json")
+    }
     def overPrior(name: String, sec: Double): Boolean =
       prior.get(name).exists(p => sec > 2 * p && sec - p > 1.0)
     val results = selected.map {
@@ -230,6 +240,15 @@ object Bench {
       java.nio.file.Files.write(
         java.nio.file.Paths.get(fullPath),
         full.getBytes("UTF-8"))
+      // promotion: a full-board run with nothing regressed, nothing
+      // failed becomes the new pinned baseline (a clean run is the
+      // ONLY writer of bench_baseline.json — see prior-read above)
+      if (only.isEmpty && priorRegressed.isEmpty && failed.isEmpty) {
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get("bench_baseline.json"),
+          full.getBytes("UTF-8"))
+        System.err.println("[bench] clean run -> bench_baseline.json promoted")
+      }
     } catch { case t: Throwable =>
       System.err.println(s"[bench] $fullPath write failed: $t")
     }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.{Q, Tables}
+import graft.{Q, ScratchDir, Tables}
 
 /** Round-13 frontier (batch 2): lead-lag cross-correlation, the
   * Benjamini–Hochberg multiple-testing gate, and split-conformal
@@ -20,6 +20,10 @@ import graft.{Q, Tables}
   * identical arithmetic.
   */
 object Frontier4 {
+
+  // q180 state-dir uniquifier — monotone per JVM, so repeated bench/
+  // gate invocations never replay onto a previous run's state
+  private val ivmRun = new java.util.concurrent.atomic.AtomicLong(0L)
 
   def queries: Map[String, Q] = Map(
 
@@ -843,6 +847,14 @@ object Frontier4 {
       val panel = grp.agg(count(lit(1)).as("k"),
           sum($"ng").cast(dec).as("n"),
           min($"ng").as("min_ng"),
+          // a zero-variance group makes w_g = n/0: Inf/NaN outputs,
+          // and double-div-by-zero semantics differ across DuckDB
+          // versions — guard on min per-group variance > 0 (r14
+          // ADVICE; min_ng >= 2 alone does not cover it)
+          min(($"sgg".cast("double") -
+              $"sg".cast("double") * $"sg".cast("double") /
+                $"ng".cast("double")) /
+            ($"ng".cast("double") - 1.0)).as("min_s2"),
           sort_array(collect_list(struct($"wd", $"ng", $"sg", $"sgg")))
             .as("arr"))
         // per-group w_g = n_g / s²_g with s²_g the unbiased variance
@@ -874,13 +886,15 @@ object Frontier4 {
       panel.select($"n".cast("long").as("n_orders"),
           $"k".as("n_groups"),
           Tables.nz(round(
-            when($"k" < 2 || $"min_ng" < 2L, lit(null).cast("double"))
+            when($"k" < 2 || $"min_ng" < 2L || !($"min_s2" > 0.0),
+              lit(null).cast("double"))
               .otherwise($"aterm" /
                 (lit(1.0) + lit(2.0) * ($"kd" - 2.0) /
                   ($"kd" * $"kd" - 1.0) * $"bterm")), 4))
             .as("f_welch"),
           Tables.nz(round(
-            when($"k" < 2 || $"min_ng" < 2L || $"bterm" === 0.0,
+            when($"k" < 2 || $"min_ng" < 2L || !($"min_s2" > 0.0) ||
+              $"bterm" === 0.0,
               lit(null).cast("double"))
               .otherwise(($"kd" * $"kd" - 1.0) /
                 (lit(3.0) * $"bterm")), 2)).as("dof2"))
@@ -965,8 +979,14 @@ object Frontier4 {
           datediff(to_date($"ts"), lit("2024-01-01")).cast("long")
             .as("day"),
           round($"value" * 100).cast("long").as("cents"))
-      val stateDir = java.nio.file.Files
-        .createTempDirectory("graft_cusum_ivm").toString + "/state"
+      // fresh state per invocation (replay on existing state would
+      // double-count), but under the ScratchDir root so the JVM
+      // shutdown hook reclaims it — a bench retry loop must not leak
+      // one parquet state tree per call into /tmp (r14 ADVICE). The
+      // snapshot below reads the parquet lazily, so cleanup has to be
+      // at-exit, not eager.
+      val stateDir = ScratchDir.path(
+        s"cusum_ivm_${ivmRun.incrementAndGet()}") + "/state"
       // three chronological micro-batches (thirds of the year) —
       // each write goes through the torn-restart-safe swap-rename
       Seq($"day" < 120L, $"day" >= 120L && $"day" < 240L,
@@ -975,6 +995,122 @@ object Frontier4 {
           daily.filter(pred), i.toLong)
       }
       graft.streaming.StreamOps.cusumDriftSnapshot(s, stateDir)
+    }),
+
+    // IVM parity twin of the streaming lateness monitor (r14 verdict
+    // item #3 — the q180 pattern applied to the next stateful op):
+    // the events table is replayed in ARRIVAL order (event_id —
+    // q124's arrival proxy) through the PRODUCTION
+    // StreamOps.latenessMonitorBatch swap-renamed parquet state as
+    // three consecutive micro-batches, and the served
+    // latenessSnapshot is what the oracle hashes. The oracle
+    // recomputes q124's audit directly over the full table, so the
+    // hash match proves the cross-batch high-watermark chain —
+    // greatest(prior hwm, within-batch running hwm) — charges
+    // lateness identically to the single-pass window, including
+    // events older than a PREVIOUS batch's max. State stays per-user
+    // compact (5 longs/user); the fact table is scanned once per
+    // delta, exactly as a micro-batch would.
+    "q184_lateness_ivm" -> ((s, d) => {
+      import s.implicits._
+      val ev = Tables.load(s, d, "events")
+        .select($"user_id", $"event_id", unix_micros($"ts").as("us"))
+      val stateDir = ScratchDir.path(
+        s"lateness_ivm_${ivmRun.incrementAndGet()}") + "/state"
+      // arrival-order thirds off one bounded scalar (max event_id) —
+      // batches MUST partition by arrival order or the replay would
+      // tell a different story than the audit it mirrors
+      val cut = ev.agg(max($"event_id")).first.getLong(0)
+      Seq($"event_id" <= cut / 3,
+        $"event_id" > cut / 3 && $"event_id" <= 2 * cut / 3,
+        $"event_id" > 2 * cut / 3).zipWithIndex.foreach {
+        case (pred, i) =>
+          graft.streaming.StreamOps.latenessMonitorBatch(stateDir)(
+            ev.filter(pred), i.toLong)
+      }
+      graft.streaming.StreamOps.latenessSnapshot(s, stateDir)
+    }),
+
+    // Streaming parity twin for the window-close leaderboard — and
+    // the first driver-visible row that runs the PRODUCTION
+    // transformWithState path end-to-end (q180/q184 replay foreachBatch
+    // parquet state; this one drives the real state store). The events
+    // table is staged as three chronological parquet files (weekly
+    // windows, day-split at 120/240 — NOT window-aligned, so the
+    // boundary windows accumulate MapState across micro-batches) plus
+    // two far-future sentinel files whose only job is advancing the
+    // watermark past every real window end (wm trails data by one
+    // batch, hence two). A file-source stream with maxFilesPerTrigger=1
+    // replays them in mtime order through windowTopKStream (RocksDB
+    // state, event-time timers, append mode) into a parquet sink; the
+    // oracle recomputes every window's top-3 from the table in one
+    // pass, so the hash match certifies close-once exact leaderboards
+    // over the real streaming runtime. Zero-delay watermark is safe by
+    // construction: the day-ordered split means no batch carries an
+    // event older than a prior batch's max.
+    "q185_topk_ivm" -> ((s, d) => {
+      import s.implicits._
+      val weekMs = 604800000L
+      val ev = Tables.load(s, d, "events")
+        .select($"event_type", $"ts",
+          datediff(to_date($"ts"), lit("2024-01-01")).cast("long")
+            .as("day"))
+      val root = ScratchDir.path(
+        s"topk_ivm_${ivmRun.incrementAndGet()}")
+      val staging = s"$root/staging"
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(staging))
+      // epoch-pinned sentinels (2025-06-01/02 UTC) — tz-free longs so
+      // the staged bytes are identical on any JVM default zone
+      def sentinel(ms: Long): DataFrame = s.range(1)
+        .select(lit("drain").as("event_type"),
+          timestamp_millis(lit(ms)).as("ts"))
+      val batches = Seq(
+        ev.filter($"day" < 120L),
+        ev.filter($"day" >= 120L && $"day" < 240L),
+        ev.filter($"day" >= 240L),
+        sentinel(1748736000000L), sentinel(1748822400000L))
+      batches.zipWithIndex.foreach { case (b, i) =>
+        val tmp = s"$root/tmp_$i"
+        b.select($"event_type", $"ts").coalesce(1)
+          .write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(f => f.getName.startsWith("part-") &&
+            f.getName.endsWith(".parquet")).get
+        val dst = new java.io.File(staging, f"batch_$i%02d.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        // mtime IS the replay order for the file source — 60 s apart
+        // clears any coarse-mtime filesystem
+        dst.setLastModified(1700000000000L + i * 60000L)
+      }
+      val provKey = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(provKey)
+      s.conf.set(provKey, "org.apache.spark.sql.execution.streaming" +
+        ".state.RocksDBStateStoreProvider")
+      try {
+        val src = s.readStream.schema("event_type STRING, ts TIMESTAMP")
+          .option("maxFilesPerTrigger", "1").parquet(staging)
+          .as[graft.streaming.StreamOps.WinEvent]
+        val q = graft.streaming.StreamOps
+          .windowTopKStream(src, weekMs, "0 seconds", k = 3)
+          .writeStream.format("parquet")
+          .option("path", s"$root/out")
+          .option("checkpointLocation", s"$root/ckpt")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } finally {
+        prev match {
+          case Some(p) => s.conf.set(provKey, p)
+          case None => s.conf.unset(provKey)
+        }
+      }
+      // sentinel windows never close (nothing advances wm past them)
+      // — the filter is belt-and-braces documentation of the exclusion
+      s.read.parquet(s"$root/out")
+        .filter($"window_start" < 1740000000000L)
+        .select($"window_start", $"rank", $"event_type", $"n")
     }))
 
   /** q173's body behind a frame seam, so MomentWidthSpec can feed a
@@ -1956,6 +2092,10 @@ object Frontier4 {
            FROM o GROUP BY 1),
          w AS MATERIALIZED (
            SELECT wd, ng,
+             (CAST(sgg AS DOUBLE) -
+                 CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE) /
+                   CAST(ng AS DOUBLE)) /
+                (CAST(ng AS DOUBLE) - 1.0) AS s2g,
              CAST(ng AS DOUBLE) /
                ((CAST(sgg AS DOUBLE) -
                  CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE) /
@@ -1967,6 +2107,7 @@ object Frontier4 {
          s1 AS MATERIALIZED (
            SELECT CAST(count(*) AS BIGINT) AS k,
              CAST(min(ng) AS BIGINT) AS min_ng,
+             CAST(min(s2g) AS DOUBLE) AS min_s2,
              (SELECT CAST(sum(ng) AS BIGINT) FROM grp) AS n,
              list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
                list(wg ORDER BY wd)), (a, x) -> a + x) AS bigw,
@@ -1974,11 +2115,11 @@ object Frontier4 {
                list(wg * yb ORDER BY wd)), (a, x) -> a + x) AS swyb
            FROM w),
          s2 AS MATERIALIZED (
-           SELECT k, min_ng, n, bigw, swyb / bigw AS ybw,
+           SELECT k, min_ng, min_s2, n, bigw, swyb / bigw AS ybw,
              CAST(k AS DOUBLE) AS kd
            FROM s1),
          s3 AS (
-           SELECT s2.k, s2.min_ng, s2.n, s2.kd,
+           SELECT s2.k, s2.min_ng, s2.min_s2, s2.n, s2.kd,
              list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
                list(w.wg * (w.yb - s2.ybw) * (w.yb - s2.ybw)
                  ORDER BY w.wd)), (a, x) -> a + x) /
@@ -1988,12 +2129,15 @@ object Frontier4 {
                  (w.ngd - 1.0) ORDER BY w.wd)),
                (a, x) -> a + x) AS bterm
            FROM w, s2
-           GROUP BY s2.k, s2.min_ng, s2.n, s2.kd, s2.ybw, s2.bigw)
+           GROUP BY s2.k, s2.min_ng, s2.min_s2, s2.n, s2.kd,
+             s2.ybw, s2.bigw)
          SELECT n AS n_orders, k AS n_groups,
-           round(CASE WHEN k < 2 OR min_ng < 2 THEN NULL
+           round(CASE WHEN k < 2 OR min_ng < 2
+               OR NOT (min_s2 > 0.0) THEN NULL
              ELSE aterm / (1.0 + 2.0 * (kd - 2.0) /
                (kd * kd - 1.0) * bterm) END, 4) + 0.0 AS f_welch,
-           round(CASE WHEN k < 2 OR min_ng < 2 OR bterm = 0.0
+           round(CASE WHEN k < 2 OR min_ng < 2
+               OR NOT (min_s2 > 0.0) OR bterm = 0.0
              THEN NULL
              ELSE (kd * kd - 1.0) / (3.0 * bterm) END, 2) + 0.0
              AS dof2
@@ -2083,5 +2227,61 @@ object Frontier4 {
            FROM s)
          SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
            CAST(cusum AS BIGINT) AS peak_cusum, day AS peak_day
-         FROM r WHERE rn = 1 ORDER BY event_type""")
+         FROM r WHERE rn = 1 ORDER BY event_type""",
+
+    // The IVM proof, lateness edition: the oracle is q124's audit
+    // recomputed in one pass over the full table while the Spark
+    // side merged three swap-renamed per-user state batches — the
+    // hash match certifies the cross-batch hwm chain == the global
+    // arrival-order running max.
+    "q184_lateness_ivm" ->
+      """WITH e AS (
+           SELECT user_id, event_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS us
+           FROM events),
+         h AS (
+           SELECT us,
+             max(us) OVER (PARTITION BY user_id ORDER BY event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS hwm
+           FROM e),
+         l AS (
+           SELECT CASE WHEN hwm IS NOT NULL AND us < hwm
+                  THEN hwm - us ELSE 0 END AS late_us
+           FROM h)
+         SELECT CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_late,
+           CAST(max(late_us) AS BIGINT) AS max_late_us,
+           CAST(sum(late_us) //
+             greatest(sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END), 1)
+             AS BIGINT) AS mean_late_us,
+           round(CAST(sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END)
+               AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS late_share
+         FROM l""",
+
+    // The streaming-parity proof: every epoch-aligned weekly window's
+    // exact top-3 (count desc, name tiebreak) recomputed in one batch
+    // pass — what the transformWithState replay must emit once per
+    // closed window, with cross-batch MapState merged exactly.
+    "q185_topk_ivm" ->
+      """WITH e AS (
+           SELECT event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) // 1000 AS ms
+           FROM events),
+         w AS (
+           SELECT event_type, ms - ms % 604800000 AS window_start
+           FROM e),
+         c AS (
+           SELECT window_start, event_type,
+             CAST(count(*) AS BIGINT) AS n
+           FROM w GROUP BY 1, 2),
+         r AS (
+           SELECT window_start, event_type, n,
+             row_number() OVER (PARTITION BY window_start
+               ORDER BY n DESC, event_type) AS rk
+           FROM c)
+         SELECT CAST(window_start AS BIGINT) AS window_start,
+           CAST(rk AS BIGINT) AS rank, event_type, n
+         FROM r WHERE rk <= 3""")
 }
