@@ -27,7 +27,8 @@ object SparkEntry {
       Graph.queries ++ Mining.queries ++ Insights.queries ++ graft.ml.QualityModel.queries ++
       graft.text.Bpe.queries ++ graft.queries.Frontier.queries ++
       graft.queries.Frontier2.queries ++
-      graft.queries.Frontier3.queries ++ graft.queries.Frontier4.queries
+      graft.queries.Frontier3.queries ++
+      graft.queries.Frontier4.queries ++ graft.queries.Frontier5.queries
 
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Analytics.oracles ++ LogOps.oracles ++
@@ -36,5 +37,6 @@ object SparkEntry {
       Graph.oracles ++ Mining.oracles ++ Insights.oracles ++ graft.ml.QualityModel.oracles ++
       graft.text.Bpe.oracles ++ graft.queries.Frontier.oracles ++
       graft.queries.Frontier2.oracles ++
-      graft.queries.Frontier3.oracles ++ graft.queries.Frontier4.oracles
+      graft.queries.Frontier3.oracles ++
+      graft.queries.Frontier4.oracles ++ graft.queries.Frontier5.oracles
 }

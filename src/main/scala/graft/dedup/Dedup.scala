@@ -2017,6 +2017,15 @@ object Dedup {
            JOIN docsx da ON da.doc_id = cand.doc_a
            JOIN docsx db ON db.doc_id = cand.doc_b)"""
 
+  /** [[minhashSigCtes]] + [[jaccardSql]] exposed for cross-file oracle
+    * composition — q186_decontam_ivm (Frontier5) replays the
+    * decontamination guard's MinHash screen, which is this module's
+    * signature/banding chain verbatim.
+    */
+  private[graft] def minhashCtesShared: String = minhashSigCtes
+  private[graft] def jaccardSqlShared(a: String, b: String): String =
+    jaccardSql(a, b)
+
   /** [[shingleSqlCtesFrom]] exposed for cross-file oracle composition
     * (pipeline_dedup_sweep shingles exact-dup survivors).
     */

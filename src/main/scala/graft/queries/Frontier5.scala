@@ -1,0 +1,584 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{Q, ScratchDir, Tables}
+
+/** Round-15 frontier (batch 1): the decontamination-guard IVM twin
+  * (completing the streaming-parity set the r14 verdict named), the
+  * Ljung–Box portmanteau test, Mood's median test, a Cramér's V
+  * association panel, and a Page–Hinkley drift monitor.
+  *
+  * Reference note: the reference engine (`/root/reference/`, a Go log
+  * forwarder — SURVEY.md §1) has no analytics surface; these extend
+  * the Insights/Frontier families under the house disciplines —
+  * exact integer domains until one final IEEE assembly (decimal(38,0)
+  * where 64-bit products can overflow), order-deterministic double
+  * folds (sort_array + `aggregate` HOF, mirrored by DuckDB's ordered
+  * `list(...)` + `list_reduce` — the q92 discipline), `Tables.nz` on
+  * signable float outputs, bounded collects only, and DuckDB oracles
+  * replaying the identical arithmetic.
+  */
+object Frontier5 {
+
+  // IVM state-dir uniquifier (q180's pattern) — monotone per JVM so
+  // repeated bench/gate invocations never replay onto a prior run's
+  // quarantine log; lives under the shutdown-hook-cleaned ScratchDir
+  private val ivmRun = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  def queries: Map[String, Q] = Map(
+
+    // IVM parity twin of the streaming decontamination guard — the
+    // last of the stateful ops the r14 verdict named (q180 CUSUM,
+    // q184 lateness, q185 window-top-k, and now the quarantine path).
+    // Documents arriving after the held-out corpus (doc_id >= 250,
+    // the dedup_minhash_incremental pivot) are replayed through the
+    // PRODUCTION StreamOps.decontaminationGuard as three id-ordered
+    // micro-batches; each invocation runs the MinHash screen against
+    // the corpus and APPENDS flagged docs to the parquet quarantine
+    // log — and that accumulated log is what the oracle hashes. The
+    // oracle recomputes the screen in one pass over the full table
+    // (band-collision candidates × exact-Jaccard ≥ 0.5 verify, the
+    // committed minhash CTE replay), so the hash match proves the
+    // per-batch guard quarantines exactly the docs a full-corpus
+    // screen would — batch boundaries can neither hide a contaminated
+    // doc nor flag a clean one (per-doc decisions depend only on
+    // (doc, corpus), a property the replay certifies rather than
+    // assumes). Batch ids are the id-range thirds, replayed by the
+    // oracle in integer arithmetic.
+    "q186_decontam_ivm" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.load(s, d, "documents")
+      val test = docs.filter($"doc_id" < 250L).select($"doc_id", $"text")
+      val train = docs.filter($"doc_id" >= 250L)
+        .select($"doc_id", $"text")
+      // bounded driver scalar (1 row) — the same arrival-cut pattern
+      // as q184's event_id thirds
+      val cut = docs.agg(max($"doc_id")).first.getLong(0)
+      val r = cut - 250L
+      val t1 = 250L + r / 3L
+      val t2 = 250L + (2L * r) / 3L
+      val qdir = ScratchDir.path(
+        s"decontam_ivm_${ivmRun.incrementAndGet()}") + "/quarantine"
+      Seq($"doc_id" <= t1,
+        $"doc_id" > t1 && $"doc_id" <= t2,
+        $"doc_id" > t2).zipWithIndex.foreach { case (pred, i) =>
+        graft.streaming.StreamOps.decontaminationGuard(test, qdir)(
+          train.filter(pred), i.toLong)
+      }
+      // explicit schema: a batch with zero flagged docs appends no
+      // part files, and an all-clean corpus would leave the log
+      // schema-less — the read must not depend on that
+      s.read.schema("doc_id BIGINT, batch_id BIGINT").parquet(qdir)
+        .select($"batch_id", $"doc_id")
+        .orderBy($"batch_id", $"doc_id")
+    }),
+
+    // Ljung–Box portmanteau test (lags 1..7) on each type's daily
+    // revenue series — "is there ANY autocorrelation left" as one
+    // statistic, the standard post-fit whiteness check next to
+    // q176's Durbin–Watson (which reads only lag 1) and q132's ACF
+    // (which reports the lags separately, on observed days only).
+    // The series is the gap-filled complete day grid (span-bounded —
+    // data-size-independent after the daily rollup; missing days are
+    // genuine zeros, as in q127/q174), so lag pairs are well-defined
+    // calendar shifts. Sample autocorrelations use the standard
+    // full-series-mean estimator: rho_k assembles from exact
+    // decimal(38,0) sums (pair products Σv_t·v_{t+k}, head/tail sums,
+    // and the type's Σv, Σv² — daily cent sums past 2^31 square past
+    // 2^63, the q157 discipline) in one fixed IEEE expression;
+    // Q = n(n+2)·Σ rho_k²/(n−k) folds the 7 terms in lag order
+    // (sort_array + aggregate, the q92 order-deterministic fold). A
+    // zero-variance series yields NULL rho → NULL Q on both engines.
+    "q187_ljung_box" -> ((s, d) => {
+      import s.implicits._
+      val dec = "decimal(38,0)"
+      val daily = Tables.load(s, d, "events")
+        .select($"event_type", to_date($"ts").as("day"),
+          round($"value" * 100).cast("long").as("cents"))
+        .groupBy($"event_type", $"day").agg(sum($"cents").as("v"))
+      val span = daily.agg(min($"day").as("d0"), max($"day").as("d1"))
+      val types = daily.select($"event_type").distinct()
+      val grid = span
+        .select(explode(sequence($"d0", $"d1")).as("day"), $"d0",
+          (datediff($"d1", $"d0") + 1).cast("long").as("n"))
+        .crossJoin(broadcast(types))
+        .join(daily, Seq("event_type", "day"), "left")
+        .select($"event_type", $"n",
+          datediff($"day", $"d0").cast("long").as("t"),
+          coalesce($"v", lit(0L)).as("v"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val tot = grid.groupBy($"event_type")
+        .agg(min($"n").as("n"), sum($"v".cast(dec)).as("s"),
+          sum(($"v".cast(dec) * $"v").cast(dec)).as("ss"))
+      val lagged = grid
+        .select($"event_type", $"t", $"v".as("v1"),
+          explode(sequence(lit(1L), lit(7L))).as("lag"))
+        .withColumn("t2", $"t" + $"lag")
+        .join(grid.select($"event_type", $"t".as("t2"), $"v".as("v2")),
+          Seq("event_type", "t2"))
+        .groupBy($"event_type", $"lag")
+        .agg(sum(($"v1".cast(dec) * $"v2").cast(dec)).as("sp"),
+          sum($"v1".cast(dec)).as("sh"),
+          sum($"v2".cast(dec)).as("st"))
+      val terms = lagged.join(broadcast(tot), Seq("event_type"))
+        .withColumn("nd", $"n".cast("double"))
+        .withColumn("m", $"s".cast("double") / $"nd")
+        .withColumn("num", $"sp".cast("double") -
+          $"m" * ($"sh".cast("double") + $"st".cast("double")) +
+          ($"nd" - $"lag".cast("double")) * $"m" * $"m")
+        .withColumn("c0", $"ss".cast("double") - $"nd" * $"m" * $"m")
+        .withColumn("rho",
+          when($"c0" === 0.0, lit(null).cast("double"))
+            .otherwise($"num" / $"c0"))
+        .withColumn("term",
+          $"rho" * $"rho" / ($"nd" - $"lag".cast("double")))
+      terms.groupBy($"event_type")
+        .agg(min($"n").as("n_days"), min($"nd").as("nd"),
+          sort_array(collect_list(struct($"lag", $"term"))).as("cs"))
+        .select($"event_type", $"n_days", lit(7L).as("df"),
+          Tables.nz(round($"nd" * ($"nd" + 2.0) * expr(
+            """aggregate(cs, cast(0.0 as double),
+               (acc, c) -> acc + c.term)"""), 4)).as("lb_stat"))
+        .orderBy($"event_type")
+    }),
+
+    // Mood's median test across market segments on order value — the
+    // nonparametric "do the segments share a median" screen that
+    // stays valid under the heavy right tail that invalidates
+    // q179's ANOVA readout (q178's Kruskal–Wallis ranks everything;
+    // this one needs only one pooled median and per-segment counts,
+    // the cheapest possible k-sample location test). Pooled median
+    // via percentile_cont over exact cents (the q71-proven
+    // interpolation parity); per segment, the 2×k table of counts
+    // above/≤ the median; chi² assembles each cell's (O−E)²/E in one
+    // fixed IEEE expression and folds the segment terms in name
+    // order (q92 discipline). Degenerate panels (all or no values
+    // above the pooled median) yield NULL chi² on both engines.
+    "q188_mood_median" -> ((s, d) => {
+      import s.implicits._
+      val oc = Tables.load(s, d, "orders")
+        .join(broadcast(Tables.load(s, d, "customer")
+          .select($"c_custkey", $"c_mktsegment")),
+          $"o_custkey" === $"c_custkey")
+        .select($"c_mktsegment".as("segment"),
+          round($"o_totalprice" * 100).cast("long").as("cents"))
+      val med = oc.agg(
+        expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY cents)")
+          .as("med"))
+      val per = oc.crossJoin(broadcast(med))
+        .groupBy($"segment")
+        .agg(count(lit(1)).as("n_g"),
+          sum(when($"cents" > $"med", 1L).otherwise(0L)).as("a_g"))
+      val tot = per.agg(sum($"n_g").as("nn"), sum($"a_g").as("aa"),
+        count(lit(1)).as("k"))
+      val cells = per.crossJoin(broadcast(tot))
+        .withColumn("ea", $"n_g".cast("double") *
+          $"aa".cast("double") / $"nn".cast("double"))
+        .withColumn("eb", $"n_g".cast("double") *
+          ($"nn".cast("double") - $"aa".cast("double")) /
+          $"nn".cast("double"))
+        .withColumn("term",
+          when($"aa" === 0L || $"aa" === $"nn",
+            lit(null).cast("double"))
+            .otherwise(
+              ($"a_g".cast("double") - $"ea") *
+                ($"a_g".cast("double") - $"ea") / $"ea" +
+              (($"n_g" - $"a_g").cast("double") - $"eb") *
+                (($"n_g" - $"a_g").cast("double") - $"eb") / $"eb"))
+      val stat = cells
+        .agg(sort_array(collect_list(struct($"segment", $"term")))
+          .as("cs"), min($"k").as("k"))
+        .select(expr(
+          """aggregate(cs, cast(0.0 as double),
+             (acc, c) -> acc + c.term)""").as("chi2raw"),
+          ($"k" - 1L).as("df"))
+      cells.crossJoin(broadcast(stat))
+        .select($"segment", $"n_g", $"a_g".as("n_above"),
+          Tables.nz(round($"ea", 4)).as("exp_above"),
+          Tables.nz(round($"chi2raw", 4)).as("chi2"), $"df")
+        .orderBy($"segment")
+    }),
+
+    // Cramér's V association panel — effect-size-normalized chi² for
+    // a fixed list of categorical column pairs, the "is this
+    // dependence LARGE or merely significant" companion to q92's
+    // single chi² (V is comparable across tables of different size
+    // and shape; a 0.02 V on 6M rows is real but negligible).
+    // Contingency cells are key-domain-bounded groupBys (never
+    // row-sized); the chi² deviation N·O−R·C squares past 2^63 once
+    // N nears ~3e9 (inside the 100 TB shape), so it assembles in
+    // decimal(38,0) and casts the exact integer to double once (the
+    // q92 discipline, HUGEINT on the DuckDB side); cell terms fold
+    // in (row, col) order. V = sqrt(chi²/(N·(min(r,c)−1))).
+    "q189_cramers_v" -> ((s, d) => {
+      import s.implicits._
+      val dec = "decimal(38,0)"
+      def cram(cells0: DataFrame, label: String): DataFrame = {
+        val cells = cells0.toDF("a", "b", "o")
+        val rowc = cells.groupBy($"a").agg(sum($"o").as("rn"))
+        val colc = cells.groupBy($"b").agg(sum($"o").as("cn"))
+        val tot = cells.agg(sum($"o").as("nn"),
+          countDistinct($"a").as("r"), countDistinct($"b").as("c"))
+        val terms = cells
+          .join(broadcast(rowc), Seq("a"))
+          .join(broadcast(colc), Seq("b"))
+          .crossJoin(broadcast(tot))
+          .withColumn("dv",
+            ($"nn".cast(dec) * $"o" - $"rn".cast(dec) * $"cn")
+              .cast("double"))
+          .withColumn("term", $"dv" * $"dv" /
+            ($"nn".cast("double") * $"rn".cast("double") *
+              $"cn".cast("double")))
+        terms
+          .agg(min($"nn").as("nn"), min($"r").as("r"),
+            min($"c").as("c"),
+            sort_array(collect_list(struct($"a", $"b", $"term")))
+              .as("cs"))
+          .withColumn("chi2raw", expr(
+            """aggregate(cs, cast(0.0 as double),
+               (acc, c) -> acc + c.term)"""))
+          .select(lit(label).as("pair"), $"nn".as("n"),
+            $"r".as("n_rows"), $"c".as("n_cols"),
+            Tables.nz(round($"chi2raw", 4)).as("chi2"),
+            Tables.nz(round(sqrt($"chi2raw" /
+              ($"nn".cast("double") *
+                (least($"r", $"c") - 1L).cast("double"))), 6))
+              .as("cramers_v"))
+      }
+      val li = Tables.load(s, d, "lineitem")
+      val pa = Tables.load(s, d, "part")
+      val or = Tables.load(s, d, "orders")
+      val cu = Tables.load(s, d, "customer")
+      cram(li.groupBy($"l_returnflag".as("a"), $"l_linestatus".as("b"))
+          .agg(count(lit(1)).as("o")), "return_status")
+        .unionByName(cram(
+          pa.groupBy($"p_brand".as("a"),
+              $"p_size".cast("string").as("b"))
+            .agg(count(lit(1)).as("o")), "brand_size"))
+        .unionByName(cram(
+          or.groupBy($"o_orderpriority".as("a"),
+              $"o_orderstatus".as("b"))
+            .agg(count(lit(1)).as("o")), "priority_status"))
+        .unionByName(cram(
+          cu.groupBy($"c_mktsegment".as("a"),
+              $"c_nationkey".cast("string").as("b"))
+            .agg(count(lit(1)).as("o")), "segment_nation"))
+        .orderBy($"pair")
+    }),
+
+    // Page–Hinkley drift monitor on each type's daily revenue — the
+    // sequential change detector next to q84's CUSUM (CUSUM tracks
+    // one-sided drift from a reference mean with a per-step
+    // allowance; Page–Hinkley reads the gap between the cumulative
+    // deviation and its running minimum, the classic "has the level
+    // shifted upward since ANY past point" alarm). The reference
+    // level is the type's span mean, snapped to an integer pivot
+    // (q174's piv discipline) so the cumulative walk m_t, its prefix
+    // minimum M_t, and the PH statistic m_t−M_t are EXACT longs —
+    // no float prefix sums (a windowed double running sum would be
+    // association-order-sensitive and break cross-engine hashing).
+    // The alarm threshold λ = round(2·sd) comes from the exact
+    // decimal moments in one fixed IEEE expression. All windows
+    // partition by event_type over the span-bounded day grid.
+    "q190_page_hinkley" -> ((s, d) => {
+      import s.implicits._
+      val dec = "decimal(38,0)"
+      val daily = Tables.load(s, d, "events")
+        .select($"event_type", to_date($"ts").as("day"),
+          round($"value" * 100).cast("long").as("cents"))
+        .groupBy($"event_type", $"day").agg(sum($"cents").as("v"))
+      val span = daily.agg(min($"day").as("d0"), max($"day").as("d1"))
+      val types = daily.select($"event_type").distinct()
+      val grid = span
+        .select(explode(sequence($"d0", $"d1")).as("day"),
+          (datediff($"d1", $"d0") + 1).cast("long").as("n"))
+        .crossJoin(broadcast(types))
+        .join(daily, Seq("event_type", "day"), "left")
+        .select($"event_type", $"day", $"n",
+          coalesce($"v", lit(0L)).as("v"))
+      val tot = grid.groupBy($"event_type")
+        .agg(min($"n").as("n"), sum($"v".cast(dec)).as("s"),
+          sum(($"v".cast(dec) * $"v").cast(dec)).as("ss"))
+        .withColumn("nd", $"n".cast("double"))
+        .withColumn("m", $"s".cast("double") / $"nd")
+        .withColumn("piv", round($"m").cast("long"))
+        .withColumn("vr", greatest(
+          $"ss".cast("double") / $"nd" - $"m" * $"m", lit(0.0)))
+        .withColumn("lambda",
+          round(lit(2.0) * sqrt($"vr")).cast("long"))
+        .select($"event_type", $"piv", $"lambda")
+      val w = Window.partitionBy($"event_type").orderBy($"day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val walk = grid.join(broadcast(tot), Seq("event_type"))
+        .withColumn("dev", $"v" - $"piv")
+        .withColumn("mt", sum($"dev").over(w))
+        .withColumn("ph", $"mt" - min($"mt").over(w))
+        .withColumn("alarm", $"ph" > $"lambda")
+      walk.groupBy($"event_type")
+        .agg(min($"n").as("n_days"), min($"lambda").as("lambda"),
+          sum(when($"alarm", 1L).otherwise(0L)).as("n_alarm_days"),
+          date_format(min(when($"alarm", $"day")), "yyyy-MM-dd")
+            .as("first_alarm_day"),
+          max($"ph").as("max_ph"))
+        .orderBy($"event_type")
+    }))
+
+  private def cramOracleCtes(tag: String, from: String, a: String,
+      b: String): String =
+    s"""${tag}c AS (SELECT CAST($a AS VARCHAR) AS a,
+           CAST($b AS VARCHAR) AS b,
+           CAST(count(*) AS BIGINT) AS o
+         FROM $from GROUP BY 1, 2),
+       ${tag}r AS (SELECT a, CAST(sum(o) AS BIGINT) AS rn
+                   FROM ${tag}c GROUP BY 1),
+       ${tag}l AS (SELECT b, CAST(sum(o) AS BIGINT) AS cn
+                   FROM ${tag}c GROUP BY 1),
+       ${tag}t AS (SELECT CAST(sum(o) AS BIGINT) AS nn,
+                     CAST(count(DISTINCT a) AS BIGINT) AS r,
+                     CAST(count(DISTINCT b) AS BIGINT) AS c
+                   FROM ${tag}c),
+       ${tag}j AS (
+         SELECT cc.a, cc.b,
+           CAST(CAST(t.nn AS HUGEINT) * cc.o
+                - CAST(r.rn AS HUGEINT) * l.cn AS DOUBLE)
+             * CAST(CAST(t.nn AS HUGEINT) * cc.o
+                - CAST(r.rn AS HUGEINT) * l.cn AS DOUBLE)
+             / (CAST(t.nn AS DOUBLE) * r.rn * l.cn) AS term
+         FROM ${tag}c cc
+         JOIN ${tag}r r ON cc.a = r.a
+         JOIN ${tag}l l ON cc.b = l.b
+         CROSS JOIN ${tag}t t),
+       ${tag}f AS (
+         SELECT t.nn, t.r, t.c,
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             (SELECT list(term ORDER BY a, b) FROM ${tag}j)),
+             (x, y) -> x + y) AS chi2raw
+         FROM ${tag}t t)"""
+
+  private def cramOracleRow(tag: String, label: String): String =
+    s"""SELECT '$label' AS pair, nn AS n, r AS n_rows, c AS n_cols,
+         round(chi2raw, 4) + 0.0 AS chi2,
+         round(sqrt(chi2raw /
+           (CAST(nn AS DOUBLE) *
+            CAST(least(r, c) - 1 AS DOUBLE))), 6) + 0.0 AS cramers_v
+       FROM ${tag}f"""
+
+  def oracles: Map[String, String] = Map(
+
+    "q186_decontam_ivm" -> {
+      val sh = graft.dedup.Dedup.shingleCtesOver("documents")
+      val mh = graft.dedup.Dedup.minhashCtesShared
+      val jac = graft.dedup.Dedup.jaccardSqlShared("sa.shh", "sb.shh")
+      s"""WITH $sh,
+         $mh,
+         mx AS (SELECT CAST(max(doc_id) - 250 AS BIGINT) AS r
+                FROM documents),
+         cand AS (SELECT DISTINCT x.doc_id AS t_id, y.doc_id AS c_id
+                  FROM bk x JOIN bk y
+                    ON x.b = y.b AND x.key = y.key
+                  WHERE x.doc_id >= 250 AND y.doc_id < 250),
+         drp AS (SELECT DISTINCT c.t_id
+                 FROM cand c
+                 JOIN sh sa ON sa.doc_id = c.t_id
+                 JOIN sh sb ON sb.doc_id = c.c_id
+                 WHERE $jac >= 0.5)
+         SELECT CAST(CASE WHEN d.t_id <= 250 + m.r // 3 THEN 0
+                          WHEN d.t_id <= 250 + (2 * m.r) // 3 THEN 1
+                          ELSE 2 END AS BIGINT) AS batch_id,
+           d.t_id AS doc_id
+         FROM drp d, mx m
+         ORDER BY 1, 2"""
+    },
+
+    "q187_ljung_box" ->
+      """WITH daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS v
+           FROM events GROUP BY 1, 2),
+         span AS (
+           SELECT d0, d1,
+             CAST(date_diff('day', d0, d1) + 1 AS BIGINT) AS n
+           FROM (SELECT min(day) AS d0, max(day) AS d1 FROM daily)),
+         days AS (
+           SELECT unnest(generate_series(d0, d1,
+             INTERVAL 1 DAY))::DATE AS day, d0, n
+           FROM span),
+         types AS (SELECT DISTINCT event_type FROM daily),
+         grid AS MATERIALIZED (
+           SELECT t.event_type, dy.n,
+             CAST(date_diff('day', dy.d0, dy.day) AS BIGINT) AS t,
+             coalesce(d.v, 0) AS v
+           FROM days dy CROSS JOIN types t
+           LEFT JOIN daily d
+             ON d.event_type = t.event_type AND d.day = dy.day),
+         tot AS (SELECT event_type, min(n) AS n,
+                   sum(CAST(v AS HUGEINT)) AS s,
+                   sum(CAST(v AS HUGEINT) * v) AS ss
+                 FROM grid GROUP BY 1),
+         lagged AS (
+           SELECT a.event_type, l.lag,
+             sum(CAST(a.v AS HUGEINT) * b.v) AS sp,
+             sum(CAST(a.v AS HUGEINT)) AS sh,
+             sum(CAST(b.v AS HUGEINT)) AS st
+           FROM grid a
+           CROSS JOIN (SELECT CAST(unnest(range(1, 8)) AS BIGINT)
+                         AS lag) l
+           JOIN grid b ON b.event_type = a.event_type
+                      AND b.t = a.t + l.lag
+           GROUP BY 1, 2),
+         terms AS (
+           SELECT g.event_type, g.lag, t.n,
+             CAST(t.n AS DOUBLE) AS nd,
+             CASE WHEN CAST(t.ss AS DOUBLE)
+                    - CAST(t.n AS DOUBLE)
+                      * (CAST(t.s AS DOUBLE) / CAST(t.n AS DOUBLE))
+                      * (CAST(t.s AS DOUBLE) / CAST(t.n AS DOUBLE))
+                    = 0.0
+               THEN NULL
+               ELSE (CAST(g.sp AS DOUBLE)
+                 - (CAST(t.s AS DOUBLE) / CAST(t.n AS DOUBLE))
+                   * (CAST(g.sh AS DOUBLE) + CAST(g.st AS DOUBLE))
+                 + (CAST(t.n AS DOUBLE) - CAST(g.lag AS DOUBLE))
+                   * (CAST(t.s AS DOUBLE) / CAST(t.n AS DOUBLE))
+                   * (CAST(t.s AS DOUBLE) / CAST(t.n AS DOUBLE)))
+                / (CAST(t.ss AS DOUBLE)
+                 - CAST(t.n AS DOUBLE)
+                   * (CAST(t.s AS DOUBLE) / CAST(t.n AS DOUBLE))
+                   * (CAST(t.s AS DOUBLE) / CAST(t.n AS DOUBLE)))
+             END AS rho
+           FROM lagged g JOIN tot t ON t.event_type = g.event_type),
+         folded AS (
+           SELECT event_type, min(n) AS n_days, min(nd) AS nd,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(rho * rho / (nd - CAST(lag AS DOUBLE))
+                    ORDER BY lag)),
+               (a, b) -> a + b) AS acc
+           FROM terms GROUP BY event_type)
+         SELECT event_type, n_days, CAST(7 AS BIGINT) AS df,
+           round(nd * (nd + 2.0) * acc, 4) + 0.0 AS lb_stat
+         FROM folded ORDER BY event_type""",
+
+    "q188_mood_median" ->
+      """WITH oc AS (
+           SELECT c.c_mktsegment AS segment,
+             CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+           FROM orders o JOIN customer c
+             ON o.o_custkey = c.c_custkey),
+         med AS (SELECT percentile_cont(0.5)
+                   WITHIN GROUP (ORDER BY cents) AS med
+                 FROM oc),
+         per AS (
+           SELECT segment, CAST(count(*) AS BIGINT) AS n_g,
+             CAST(sum(CASE WHEN cents > (SELECT med FROM med)
+                      THEN 1 ELSE 0 END) AS BIGINT) AS a_g
+           FROM oc GROUP BY 1),
+         tot AS (SELECT CAST(sum(n_g) AS BIGINT) AS nn,
+                   CAST(sum(a_g) AS BIGINT) AS aa,
+                   CAST(count(*) AS BIGINT) AS k
+                 FROM per),
+         cells AS (
+           SELECT p.segment, p.n_g, p.a_g, t.nn, t.aa, t.k,
+             CAST(p.n_g AS DOUBLE) * CAST(t.aa AS DOUBLE)
+               / CAST(t.nn AS DOUBLE) AS ea,
+             CAST(p.n_g AS DOUBLE)
+               * (CAST(t.nn AS DOUBLE) - CAST(t.aa AS DOUBLE))
+               / CAST(t.nn AS DOUBLE) AS eb
+           FROM per p CROSS JOIN tot t),
+         terms AS (
+           SELECT segment, n_g, a_g, k, ea,
+             CASE WHEN aa = 0 OR aa = nn THEN NULL
+               ELSE (CAST(a_g AS DOUBLE) - ea)
+                    * (CAST(a_g AS DOUBLE) - ea) / ea
+                  + (CAST(n_g - a_g AS DOUBLE) - eb)
+                    * (CAST(n_g - a_g AS DOUBLE) - eb) / eb
+             END AS term
+           FROM cells),
+         stat AS (
+           SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               (SELECT list(term ORDER BY segment) FROM terms)),
+               (a, b) -> a + b) AS chi2raw,
+             (SELECT min(k) - 1 FROM terms) AS df)
+         SELECT t.segment, t.n_g, t.a_g AS n_above,
+           round(t.ea, 4) + 0.0 AS exp_above,
+           round(s.chi2raw, 4) + 0.0 AS chi2,
+           CAST(s.df AS BIGINT) AS df
+         FROM terms t CROSS JOIN stat s
+         ORDER BY t.segment""",
+
+    "q189_cramers_v" -> {
+      s"""WITH ${cramOracleCtes("p1", "lineitem",
+             "l_returnflag", "l_linestatus")},
+         ${cramOracleCtes("p2", "part",
+             "p_brand", "p_size")},
+         ${cramOracleCtes("p3", "orders",
+             "o_orderpriority", "o_orderstatus")},
+         ${cramOracleCtes("p4", "customer",
+             "c_mktsegment", "c_nationkey")}
+         SELECT * FROM (
+           ${cramOracleRow("p1", "return_status")}
+           UNION ALL ${cramOracleRow("p2", "brand_size")}
+           UNION ALL ${cramOracleRow("p3", "priority_status")}
+           UNION ALL ${cramOracleRow("p4", "segment_nation")})
+         ORDER BY pair"""
+    },
+
+    "q190_page_hinkley" ->
+      """WITH daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS v
+           FROM events GROUP BY 1, 2),
+         span AS (
+           SELECT d0, d1,
+             CAST(date_diff('day', d0, d1) + 1 AS BIGINT) AS n
+           FROM (SELECT min(day) AS d0, max(day) AS d1 FROM daily)),
+         days AS (
+           SELECT unnest(generate_series(d0, d1,
+             INTERVAL 1 DAY))::DATE AS day, n
+           FROM span),
+         types AS (SELECT DISTINCT event_type FROM daily),
+         grid AS MATERIALIZED (
+           SELECT t.event_type, dy.day, dy.n, coalesce(d.v, 0) AS v
+           FROM days dy CROSS JOIN types t
+           LEFT JOIN daily d
+             ON d.event_type = t.event_type AND d.day = dy.day),
+         tot AS (
+           SELECT event_type, min(n) AS n,
+             CAST(round(CAST(sum(CAST(v AS HUGEINT)) AS DOUBLE)
+               / CAST(min(n) AS DOUBLE)) AS BIGINT) AS piv,
+             CAST(round(2.0 * sqrt(greatest(
+               CAST(sum(CAST(v AS HUGEINT) * v) AS DOUBLE)
+                 / CAST(min(n) AS DOUBLE)
+               - (CAST(sum(CAST(v AS HUGEINT)) AS DOUBLE)
+                  / CAST(min(n) AS DOUBLE))
+                 * (CAST(sum(CAST(v AS HUGEINT)) AS DOUBLE)
+                    / CAST(min(n) AS DOUBLE)), 0.0)))
+               AS BIGINT) AS lambda
+           FROM grid GROUP BY event_type),
+         walk1 AS (
+           SELECT g.event_type, g.day, g.n, t.lambda,
+             sum(g.v - t.piv) OVER (
+               PARTITION BY g.event_type ORDER BY g.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS mt
+           FROM grid g JOIN tot t ON t.event_type = g.event_type),
+         walk AS (
+           SELECT event_type, day, n, lambda,
+             mt - min(mt) OVER (
+               PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS ph
+           FROM walk1)
+         SELECT event_type, min(n) AS n_days,
+           CAST(min(lambda) AS BIGINT) AS lambda,
+           CAST(sum(CASE WHEN ph > lambda THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_alarm_days,
+           strftime(min(CASE WHEN ph > lambda THEN day END),
+             '%Y-%m-%d') AS first_alarm_day,
+           CAST(max(ph) AS BIGINT) AS max_ph
+         FROM walk GROUP BY event_type ORDER BY event_type""")
+}

@@ -91,7 +91,11 @@ object Sf1Probe {
     "q177_cohens_kappa", "emb_hubness", "text_simpson_diversity",
     "q178_kruskal_wallis", "q179_weekday_anova", "q180_cusum_ivm",
     // round-14 batch 4 (probed in the registering session)
-    "q181_levene_bf", "q182_welch_anova", "q183_friedman")
+    "q181_levene_bf", "q182_welch_anova", "q183_friedman",
+    // round-15: the q184/q185 streaming parity rows + batch 1
+    "q184_lateness_ivm", "q185_topk_ivm", "q186_decontam_ivm",
+    "q187_ljung_box", "q188_mood_median", "q189_cramers_v",
+    "q190_page_hinkley")
 
   private def pow10Above(maxKey: Long): Long = {
     var p = 1L
@@ -199,6 +203,10 @@ object Sf1Probe {
       generate(spark)
       marker.createNewFile()
     }
+    // `genonly`: build (or confirm) the corpus and exit — the sf1
+    // oracle-gate session wants the corpus without re-running the
+    // timing tier (timing needs an idle box; the gate does not)
+    if (args.contains("genonly")) { spark.stop(); return }
 
     val osBean = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean

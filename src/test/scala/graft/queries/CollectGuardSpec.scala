@@ -110,6 +110,10 @@ class CollectGuardSpec extends SparkSpec {
     "q176_durbin_watson" ->
       "per-type daily residual series, span days (q160-style fold)",
     "q178_kruskal_wallis" -> "weekday enum panel, <= 7 rows",
+    "q187_ljung_box" -> "per-type 7-lag rho panel (lag literal grid)",
+    "q188_mood_median" -> "segment enum panel, <= |segments| rows",
+    "q189_cramers_v" ->
+      "contingency cell grids, key-domain-bounded (25x50 max)",
     "q179_weekday_anova" -> "weekday enum panel, <= 7 rows",
     "q181_levene_bf" -> "weekday enum panel, <= 7 rows",
     "q182_welch_anova" -> "weekday enum panel, <= 7 rows",
