@@ -37,7 +37,13 @@ object Sf10Probe {
     */
   val heavy: Seq[String] = Seq(
     "q158_modularity", "q138_hits", "ann_hybrid_rrf",
-    "emb_effective_dim", "emb_dim_corr")
+    "emb_effective_dim", "emb_dim_corr",
+    // round-15 (r14 verdict item #4): every >40 cpu-s family gets a
+    // measured second decade — the dedup blocking tier, the sweep
+    // that composes it, and the pagerank representative of the graph
+    // family's cheap half
+    "dedup_prefix_filter", "dedup_tfidf_cosine", "dedup_containment",
+    "pipeline_dedup_sweep", "q62_pagerank")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
