@@ -806,7 +806,7 @@ object Corpus {
          ORDER BY gen""",
 
     "pipeline_keep_best" ->
-      """WITH RECURSIVE docs AS (
+      """WITH RECURSIVE docs AS MATERIALIZED (
            SELECT doc_id,
              lang || '#' || CAST(CAST(floor(n_chars / 100) AS BIGINT) AS VARCHAR) AS block,
              list_distinct(list_transform(
@@ -815,20 +815,40 @@ object Corpus {
                     string_split_regex(lower(text), '\s+')[i+1] || ' ' ||
                     string_split_regex(lower(text), '\s+')[i+2])) AS sh
            FROM documents),
-         pairs AS (
-           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-           FROM docs a JOIN docs b ON a.block = b.block AND a.doc_id < b.doc_id
-           WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-                 CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) >= 0.05),
-         edges AS (
+         -- posting-list form of the same J >= 0.05 verify (the r14
+         -- sf1-gate rewrite, applied here in r15 when this was the
+         -- one cluster replay still on per-pair list_intersect: the
+         -- block self-join ran on ~4 DuckDB cores and blew a 60 min
+         -- budget at sf1; zero-overlap pairs have J = 0 and can never
+         -- pass, so the shared-shingle join enumerates exactly the
+         -- passing set)
+         sizes AS MATERIALIZED (
+           SELECT doc_id, CAST(len(sh) AS BIGINT) AS l FROM docs),
+         posting AS MATERIALIZED (
+           SELECT doc_id, block, unnest(sh) AS tok FROM docs),
+         inter AS MATERIALIZED (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(count(*) AS BIGINT) AS ni
+           FROM posting a JOIN posting b
+             ON a.block = b.block AND a.tok = b.tok
+            AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         pairs AS MATERIALIZED (
+           SELECT i.doc_a, i.doc_b
+           FROM inter i
+           JOIN sizes sa ON sa.doc_id = i.doc_a
+           JOIN sizes sb ON sb.doc_id = i.doc_b
+           WHERE CAST(i.ni AS DOUBLE) /
+                 CAST(sa.l + sb.l - i.ni AS DOUBLE) >= 0.05),
+         edges AS MATERIALIZED (
            SELECT doc_a AS src, doc_b AS dst FROM pairs
            UNION ALL SELECT doc_b, doc_a FROM pairs),
          reach(src, dst) AS (
            SELECT src, dst FROM edges
            UNION
            SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
-         members AS (SELECT DISTINCT src AS doc_id FROM edges),
-         comp AS (
+         members AS MATERIALIZED (SELECT DISTINCT src AS doc_id FROM edges),
+         comp AS MATERIALIZED (
            SELECT least(m.doc_id, min(r.dst)) AS component, m.doc_id
            FROM members m JOIN reach r ON r.src = m.doc_id
            GROUP BY m.doc_id),
