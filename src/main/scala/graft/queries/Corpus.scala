@@ -662,7 +662,7 @@ object Corpus {
          ORDER BY month""",
 
     "q58_closure_cte" ->
-      """WITH RECURSIVE docs AS (
+      """WITH RECURSIVE docs AS MATERIALIZED (
            SELECT doc_id,
              lang || '#' || CAST(CAST(floor(n_chars / 100) AS BIGINT) AS VARCHAR) AS block,
              list_distinct(list_transform(
@@ -671,21 +671,41 @@ object Corpus {
                     string_split_regex(lower(text), '\s+')[i+1] || ' ' ||
                     string_split_regex(lower(text), '\s+')[i+2])) AS sh
            FROM documents),
-         pairs AS (
-           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-           FROM docs a JOIN docs b ON a.block = b.block AND a.doc_id < b.doc_id
-           WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-                 CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) >= 0.05),
-         edges AS (
+         -- posting-list pairs + per-level dedup (r15 sf1 finding: the
+         -- per-pair list_intersect join was slow AND the UNION ALL
+         -- closure multiplied clique paths combinatorially — k^4 rows
+         -- per source inside a k-clique. UNION with the lvl column
+         -- dedups (src, dst, lvl) per level, which leaves the final
+         -- DISTINCT (src, dst) reachable set — the compared result —
+         -- exactly as before)
+         sizes AS MATERIALIZED (
+           SELECT doc_id, CAST(len(sh) AS BIGINT) AS l FROM docs),
+         posting AS MATERIALIZED (
+           SELECT doc_id, block, unnest(sh) AS tok FROM docs),
+         inter AS MATERIALIZED (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(count(*) AS BIGINT) AS ni
+           FROM posting a JOIN posting b
+             ON a.block = b.block AND a.tok = b.tok
+            AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         pairs AS MATERIALIZED (
+           SELECT i.doc_a, i.doc_b
+           FROM inter i
+           JOIN sizes sa ON sa.doc_id = i.doc_a
+           JOIN sizes sb ON sb.doc_id = i.doc_b
+           WHERE CAST(i.ni AS DOUBLE) /
+                 CAST(sa.l + sb.l - i.ni AS DOUBLE) >= 0.05),
+         edges AS MATERIALIZED (
            SELECT doc_a AS src, doc_b AS dst FROM pairs
            UNION ALL SELECT doc_b, doc_a FROM pairs),
          reach(src, dst, lvl) AS (
            SELECT src, dst, 1 FROM edges
-           UNION ALL
+           UNION
            SELECT r.src, e.dst, r.lvl + 1
            FROM reach r JOIN edges e ON r.dst = e.src
            WHERE r.lvl < 4),
-         members AS (SELECT DISTINCT src AS doc_id FROM edges)
+         members AS MATERIALIZED (SELECT DISTINCT src AS doc_id FROM edges)
          SELECT least(m.doc_id, min(r.dst)) AS component, m.doc_id
          FROM members m
          JOIN (SELECT DISTINCT src, dst FROM reach) r ON r.src = m.doc_id
