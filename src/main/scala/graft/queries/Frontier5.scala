@@ -324,6 +324,167 @@ object Frontier5 {
             .as("first_alarm_day"),
           max($"ph").as("max_ph"))
         .orderBy($"event_type")
+    }),
+
+    // Tukey HSD post-hoc panel — WHICH weekday pairs differ, once
+    // q179's omnibus F rejects (an omnibus test only says "not all
+    // equal"; every dashboard's next question is the pairwise one).
+    // The studentized-range statistic q = |m_a − m_b| /
+    // √(MSW/2·(1/n_a+1/n_b)) assembles per pair from the SAME exact
+    // decimal(38,0) weekday moments as q179 (shared-derivation
+    // discipline): group means are single IEEE divides of exact
+    // sums, MSW folds Σ(Σv_g)²/n_g in weekday order (q92 fold), and
+    // the 7×6/2 = 21-pair frame is a broadcast self-join of the
+    // ≤7-row panel. Degenerate guards (k < 2, n ≤ k, SSW ≤ 0) yield
+    // NULL q on both engines.
+    "q191_tukey_hsd" -> ((s, d) => {
+      import s.implicits._
+      val dec = "decimal(38,0)"
+      val o = Tables.load(s, d, "orders")
+        .select(round($"o_totalprice" * 100).cast("long").as("v"),
+          pmod(datediff(to_date($"o_orderdate"), lit("1970-01-05")),
+            lit(7)).cast("long").as("wd"))
+      val grp = o.groupBy($"wd")
+        .agg(count(lit(1)).as("ng"),
+          sum($"v".cast(dec)).as("sg"),
+          sum(($"v".cast(dec) * $"v").cast(dec)).as("sgg"))
+      val panel = grp.agg(count(lit(1)).as("k"),
+          sum($"ng").cast(dec).as("n"),
+          sum($"sgg").cast(dec).as("svv"),
+          sort_array(collect_list(struct($"wd", $"ng", $"sg")))
+            .as("arr"))
+        .withColumn("sbterm", expr(
+          """aggregate(arr, CAST(0.0 AS DOUBLE), (a, x) ->
+             a + (CAST(x.sg AS DOUBLE) * CAST(x.sg AS DOUBLE)) /
+               CAST(x.ng AS DOUBLE))"""))
+        .withColumn("msw",
+          when($"k" < 2L || $"n" <= $"k".cast(dec) ||
+              ($"svv".cast("double") - $"sbterm") <= 0.0,
+            lit(null).cast("double"))
+            .otherwise(($"svv".cast("double") - $"sbterm") /
+              ($"n".cast("double") - $"k".cast("double"))))
+        .select($"msw")
+      val a = grp.select($"wd".as("wd_a"), $"ng".as("na"),
+        ($"sg".cast("double") / $"ng".cast("double")).as("ma"))
+      val b = grp.select($"wd".as("wd_b"), $"ng".as("nb"),
+        ($"sg".cast("double") / $"ng".cast("double")).as("mb"))
+      a.join(b, $"wd_a" < $"wd_b").crossJoin(broadcast(panel))
+        .select($"wd_a", $"wd_b", $"na", $"nb",
+          Tables.nz(round(($"ma" - $"mb") / 100.0, 4))
+            .as("mean_diff"),
+          Tables.nz(round(abs($"ma" - $"mb") /
+            sqrt($"msw" / 2.0 *
+              (lit(1.0) / $"na".cast("double") +
+               lit(1.0) / $"nb".cast("double"))), 4)).as("q_stat"))
+        .orderBy($"wd_a", $"wd_b")
+    }),
+
+    // Bartlett's homogeneity-of-variance test across weekdays — the
+    // parametric (normality-assuming) sharp-variance companion to
+    // q181's robust Brown–Forsythe: B = [(N−k)·ln(Sp²) −
+    // Σ(n_g−1)·ln(S_g²)] / [1 + (Σ1/(n_g−1) − 1/(N−k))/(3(k−1))].
+    // Group variances assemble from the SAME exact decimal(38,0)
+    // weekday moments as q179/q181 (unbiased S² = (Σv² − (Σv)²/n)/
+    // (n−1), one IEEE expression each); both log folds run in
+    // weekday order (q92 discipline); ln stays IN-ENGINE on both
+    // sides (the house ln-fold rule — never driver libm vs engine
+    // libm). Guards: any n_g < 2 or S_g² ≤ 0 → NULL.
+    "q192_bartlett" -> ((s, d) => {
+      import s.implicits._
+      val dec = "decimal(38,0)"
+      val o = Tables.load(s, d, "orders")
+        .select(round($"o_totalprice" * 100).cast("long").as("v"),
+          pmod(datediff(to_date($"o_orderdate"), lit("1970-01-05")),
+            lit(7)).cast("long").as("wd"))
+      val grp = o.groupBy($"wd")
+        .agg(count(lit(1)).as("ng"),
+          sum($"v".cast(dec)).as("sg"),
+          sum(($"v".cast(dec) * $"v").cast(dec)).as("sgg"))
+        .withColumn("s2",
+          when($"ng" < 2L, lit(null).cast("double"))
+            .otherwise(($"sgg".cast("double") -
+              $"sg".cast("double") * $"sg".cast("double") /
+                $"ng".cast("double")) /
+              ($"ng".cast("double") - 1.0)))
+      val panel = grp.agg(count(lit(1)).as("k"),
+          sum($"ng").as("n"),
+          min($"ng").as("min_ng"), min($"s2").as("min_s2"),
+          sort_array(collect_list(struct($"wd", $"ng", $"s2")))
+            .as("arr"))
+        .withColumn("nd", $"n".cast("double"))
+        .withColumn("kd", $"k".cast("double"))
+        .withColumn("sp2", expr(
+          """aggregate(arr, CAST(0.0 AS DOUBLE), (a, x) ->
+             a + (CAST(x.ng AS DOUBLE) - 1.0) * x.s2)""") /
+          ($"nd" - $"kd"))
+        .withColumn("lnsum", expr(
+          """aggregate(arr, CAST(0.0 AS DOUBLE), (a, x) ->
+             a + (CAST(x.ng AS DOUBLE) - 1.0) * ln(x.s2))"""))
+        .withColumn("invsum", expr(
+          """aggregate(arr, CAST(0.0 AS DOUBLE), (a, x) ->
+             a + 1.0 / (CAST(x.ng AS DOUBLE) - 1.0))"""))
+        .withColumn("c", lit(1.0) +
+          ($"invsum" - lit(1.0) / ($"nd" - $"kd")) /
+            (lit(3.0) * ($"kd" - 1.0)))
+      panel.select($"n".cast("long").as("n_orders"),
+          $"k".as("n_groups"),
+          Tables.nz(round(
+            when($"k" < 2L || $"min_ng" < 2L || $"min_s2" <= 0.0,
+              lit(null).cast("double"))
+              .otherwise((($"nd" - $"kd") * log($"sp2") - $"lnsum")
+                / $"c"), 4)).as("bartlett_stat"))
+    }),
+
+    // Grubbs max-deviation outlier screen on each type's daily
+    // revenue — "is the single worst day a statistical outlier":
+    // G = max|v_t − mean| / sd over the gap-filled span grid. The
+    // argmax day rides a deterministic struct-max (deviation as an
+    // EXACT long, day as tiebreak — no float compare decides the
+    // winner); mean/sd assemble once per type from the exact
+    // decimal(38,0) moments, and G is a single IEEE divide. The
+    // zero-variance guard yields NULL G on both engines.
+    "q193_grubbs_outlier" -> ((s, d) => {
+      import s.implicits._
+      val dec = "decimal(38,0)"
+      val daily = Tables.load(s, d, "events")
+        .select($"event_type", to_date($"ts").as("day"),
+          round($"value" * 100).cast("long").as("cents"))
+        .groupBy($"event_type", $"day").agg(sum($"cents").as("v"))
+      val span = daily.agg(min($"day").as("d0"), max($"day").as("d1"))
+      val types = daily.select($"event_type").distinct()
+      val grid = span
+        .select(explode(sequence($"d0", $"d1")).as("day"),
+          (datediff($"d1", $"d0") + 1).cast("long").as("n"))
+        .crossJoin(broadcast(types))
+        .join(daily, Seq("event_type", "day"), "left")
+        .select($"event_type", $"day", $"n",
+          coalesce($"v", lit(0L)).as("v"))
+      val tot = grid.groupBy($"event_type")
+        .agg(min($"n").as("n"), sum($"v".cast(dec)).as("s"),
+          sum(($"v".cast(dec) * $"v").cast(dec)).as("ss"))
+        .withColumn("nd", $"n".cast("double"))
+        .withColumn("m", $"s".cast("double") / $"nd")
+        .withColumn("piv", round($"m").cast("long"))
+        .select($"event_type", $"nd", $"m", $"piv", $"ss")
+      // |v − piv| is an exact long, so the (deviation, day) struct
+      // max is integer-deterministic; the CONTINUOUS deviation for G
+      // re-assembles at the winner as |v − m| in one IEEE expression
+      val win = grid.join(broadcast(tot), Seq("event_type"))
+        .withColumn("adev", abs($"v" - $"piv"))
+        .groupBy($"event_type")
+        .agg(max(struct($"adev", $"day", $"v")).as("w"),
+          min($"n").as("n_days"), min($"nd").as("nd"),
+          min($"m").as("m"), min($"ss").as("ss"))
+        .withColumn("varr",
+          $"ss".cast("double") / $"nd" - $"m" * $"m")
+      win.select($"event_type", $"n_days",
+          date_format($"w.day", "yyyy-MM-dd").as("worst_day"),
+          $"w.v".as("worst_cents"),
+          Tables.nz(round(
+            when($"varr" <= 0.0, lit(null).cast("double"))
+              .otherwise(abs($"w.v".cast("double") - $"m") /
+                sqrt($"varr")), 4)).as("grubbs_g"))
+        .orderBy($"event_type")
     }))
 
   private def cramOracleCtes(tag: String, from: String, a: String,
@@ -525,6 +686,134 @@ object Frontier5 {
            UNION ALL ${cramOracleRow("p4", "segment_nation")})
          ORDER BY pair"""
     },
+
+    "q191_tukey_hsd" ->
+      """WITH o AS (
+           SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+             CAST(((date_diff('day', DATE '1970-01-05',
+               o_orderdate) % 7) + 7) % 7 AS BIGINT) AS wd
+           FROM orders),
+         grp AS (
+           SELECT wd, CAST(count(*) AS BIGINT) AS ng,
+             sum(CAST(v AS HUGEINT)) AS sg,
+             sum(CAST(v AS HUGEINT) * v) AS sgg
+           FROM o GROUP BY 1),
+         panel AS (
+           SELECT CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(ng) AS HUGEINT) AS n,
+             sum(sgg) AS svv,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)
+                    / CAST(ng AS DOUBLE) ORDER BY wd)),
+               (a, b) -> a + b) AS sbterm
+           FROM grp),
+         msw AS (
+           SELECT CASE WHEN k < 2 OR CAST(n AS DOUBLE) <= CAST(k AS DOUBLE)
+                    OR (CAST(svv AS DOUBLE) - sbterm) <= 0.0 THEN NULL
+                  ELSE (CAST(svv AS DOUBLE) - sbterm)
+                    / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE)) END AS msw
+           FROM panel)
+         SELECT a.wd AS wd_a, b.wd AS wd_b,
+           a.ng AS na, b.ng AS nb,
+           round((CAST(a.sg AS DOUBLE) / CAST(a.ng AS DOUBLE)
+                  - CAST(b.sg AS DOUBLE) / CAST(b.ng AS DOUBLE))
+                 / 100.0, 4) + 0.0 AS mean_diff,
+           round(abs(CAST(a.sg AS DOUBLE) / CAST(a.ng AS DOUBLE)
+                     - CAST(b.sg AS DOUBLE) / CAST(b.ng AS DOUBLE))
+                 / sqrt(m.msw / 2.0 *
+                   (1.0 / CAST(a.ng AS DOUBLE)
+                    + 1.0 / CAST(b.ng AS DOUBLE))), 4) + 0.0 AS q_stat
+         FROM grp a JOIN grp b ON a.wd < b.wd
+         CROSS JOIN msw m
+         ORDER BY wd_a, wd_b""",
+
+    "q192_bartlett" ->
+      """WITH o AS (
+           SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+             CAST(((date_diff('day', DATE '1970-01-05',
+               o_orderdate) % 7) + 7) % 7 AS BIGINT) AS wd
+           FROM orders),
+         grp AS (
+           SELECT wd, CAST(count(*) AS BIGINT) AS ng,
+             sum(CAST(v AS HUGEINT)) AS sg,
+             sum(CAST(v AS HUGEINT) * v) AS sgg
+           FROM o GROUP BY 1),
+         g2 AS (
+           SELECT wd, ng,
+             CASE WHEN ng < 2 THEN NULL
+               ELSE (CAST(sgg AS DOUBLE)
+                 - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)
+                   / CAST(ng AS DOUBLE))
+                 / (CAST(ng AS DOUBLE) - 1.0) END AS s2
+           FROM grp),
+         panel AS (
+           SELECT CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(ng) AS BIGINT) AS n,
+             CAST(min(ng) AS BIGINT) AS min_ng, min(s2) AS min_s2,
+             CAST(sum(ng) AS DOUBLE) AS nd,
+             CAST(count(*) AS DOUBLE) AS kd,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list((CAST(ng AS DOUBLE) - 1.0) * s2 ORDER BY wd)),
+               (a, b) -> a + b) AS spsum,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list((CAST(ng AS DOUBLE) - 1.0) * ln(s2) ORDER BY wd)),
+               (a, b) -> a + b) AS lnsum,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(1.0 / (CAST(ng AS DOUBLE) - 1.0) ORDER BY wd)),
+               (a, b) -> a + b) AS invsum
+           FROM g2)
+         SELECT n AS n_orders, k AS n_groups,
+           round(CASE WHEN k < 2 OR min_ng < 2 OR min_s2 <= 0.0
+               THEN NULL
+             ELSE ((nd - kd) * ln(spsum / (nd - kd)) - lnsum)
+               / (1.0 + (invsum - 1.0 / (nd - kd)) / (3.0 * (kd - 1.0)))
+             END, 4) + 0.0 AS bartlett_stat
+         FROM panel""",
+
+    "q193_grubbs_outlier" ->
+      """WITH daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS v
+           FROM events GROUP BY 1, 2),
+         span AS (
+           SELECT d0, d1,
+             CAST(date_diff('day', d0, d1) + 1 AS BIGINT) AS n
+           FROM (SELECT min(day) AS d0, max(day) AS d1 FROM daily)),
+         days AS (
+           SELECT unnest(generate_series(d0, d1,
+             INTERVAL 1 DAY))::DATE AS day, n
+           FROM span),
+         types AS (SELECT DISTINCT event_type FROM daily),
+         grid AS MATERIALIZED (
+           SELECT t.event_type, dy.day, dy.n, coalesce(d.v, 0) AS v
+           FROM days dy CROSS JOIN types t
+           LEFT JOIN daily d
+             ON d.event_type = t.event_type AND d.day = dy.day),
+         tot AS (
+           SELECT event_type, min(n) AS n,
+             CAST(min(n) AS DOUBLE) AS nd,
+             CAST(sum(CAST(v AS HUGEINT)) AS DOUBLE)
+               / CAST(min(n) AS DOUBLE) AS m,
+             CAST(round(CAST(sum(CAST(v AS HUGEINT)) AS DOUBLE)
+               / CAST(min(n) AS DOUBLE)) AS BIGINT) AS piv,
+             CAST(sum(CAST(v AS HUGEINT) * v) AS DOUBLE) AS ssd
+           FROM grid GROUP BY event_type),
+         win AS (
+           SELECT g.event_type,
+             max(struct_pack(adev := abs(g.v - t.piv), day := g.day,
+               v := g.v)) AS w,
+             min(g.n) AS n_days, min(t.nd) AS nd, min(t.m) AS m,
+             min(t.ssd) AS ssd
+           FROM grid g JOIN tot t ON t.event_type = g.event_type
+           GROUP BY g.event_type)
+         SELECT event_type, n_days,
+           strftime(w.day, '%Y-%m-%d') AS worst_day,
+           CAST(w.v AS BIGINT) AS worst_cents,
+           round(CASE WHEN ssd / nd - m * m <= 0.0 THEN NULL
+             ELSE abs(CAST(w.v AS DOUBLE) - m) / sqrt(ssd / nd - m * m)
+             END, 4) + 0.0 AS grubbs_g
+         FROM win ORDER BY event_type""",
 
     "q190_page_hinkley" ->
       """WITH daily AS (

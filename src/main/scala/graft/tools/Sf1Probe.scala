@@ -95,7 +95,9 @@ object Sf1Probe {
     // round-15: the q184/q185 streaming parity rows + batch 1
     "q184_lateness_ivm", "q185_topk_ivm", "q186_decontam_ivm",
     "q187_ljung_box", "q188_mood_median", "q189_cramers_v",
-    "q190_page_hinkley")
+    "q190_page_hinkley",
+    // round-15 batch 2
+    "q191_tukey_hsd", "q192_bartlett", "q193_grubbs_outlier")
 
   private def pow10Above(maxKey: Long): Long = {
     var p = 1L

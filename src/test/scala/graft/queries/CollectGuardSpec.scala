@@ -111,6 +111,8 @@ class CollectGuardSpec extends SparkSpec {
       "per-type daily residual series, span days (q160-style fold)",
     "q178_kruskal_wallis" -> "weekday enum panel, <= 7 rows",
     "q187_ljung_box" -> "per-type 7-lag rho panel (lag literal grid)",
+    "q191_tukey_hsd" -> "weekday enum panel, <= 7 rows",
+    "q192_bartlett" -> "weekday enum panel, <= 7 rows",
     "q188_mood_median" -> "segment enum panel, <= |segments| rows",
     "q189_cramers_v" ->
       "contingency cell grids, key-domain-bounded (25x50 max)",

@@ -182,6 +182,102 @@ class Frontier5Spec extends SparkSpec {
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
   }
 
+  /** Exact weekday (wd, n, Σv, Σv²) panel off raw orders — the q179
+    * frame q191/q192 replay against.
+    */
+  private def weekdayPanel(): Map[Long, (Long, BigInt, BigInt)] = {
+    val rows = graft.Tables.load(spark, sf, "orders")
+      .select(
+        pmod(datediff(to_date($"o_orderdate"), lit("1970-01-05")),
+          lit(7)).cast("long"),
+        round($"o_totalprice" * 100).cast("long"))
+      .as[(Long, Long)].collect()
+    rows.groupBy(_._1).map { case (wd, rs) =>
+      wd -> (rs.length.toLong,
+        rs.map(r => BigInt(r._2)).sum,
+        rs.map(r => BigInt(r._2) * r._2).sum)
+    }
+  }
+
+  test("tukey hsd: pairwise q replays from the exact weekday moments") {
+    val got = Frontier5.queries("q191_tukey_hsd")(spark, sf)
+      .as[(Long, Long, Long, Long, Double, Option[Double])].collect()
+    val panel = weekdayPanel()
+    val k = panel.size
+    assert(got.length == k * (k - 1) / 2, "one row per weekday pair")
+    val n = panel.values.map(_._1).sum
+    val svv = panel.values.map(_._3).sum
+    val sbterm = panel.toSeq.sortBy(_._1).map { case (_, (ng, sg, _)) =>
+      sg.toDouble * sg.toDouble / ng.toDouble
+    }.foldLeft(0.0)(_ + _)
+    val msw = (svv.toDouble - sbterm) / (n.toDouble - k.toDouble)
+    got.foreach { case (a, b, na, nb, diff, q) =>
+      val (pa, pb) = (panel(a), panel(b))
+      assert(na == pa._1 && nb == pb._1)
+      val ma = pa._2.toDouble / pa._1.toDouble
+      val mb = pb._2.toDouble / pb._1.toDouble
+      assert(math.abs(diff - round4((ma - mb) / 100.0)) < 1e-9)
+      val qr = math.abs(ma - mb) /
+        math.sqrt(msw / 2.0 * (1.0 / na.toDouble + 1.0 / nb.toDouble))
+      assert(q.isDefined && math.abs(q.get - round4(qr)) < 1e-9,
+        s"pair ($a,$b): q ${q} != replay $qr")
+    }
+  }
+
+  test("bartlett: log-variance fold replays from the exact moments") {
+    val got = Frontier5.queries("q192_bartlett")(spark, sf)
+      .as[(Long, Long, Option[Double])].collect()
+    assert(got.length == 1)
+    val panel = weekdayPanel()
+    val k = panel.size
+    val n = panel.values.map(_._1).sum
+    val byWd = panel.toSeq.sortBy(_._1)
+    val s2 = byWd.map { case (_, (ng, sg, sgg)) =>
+      (ng, (sgg.toDouble - sg.toDouble * sg.toDouble / ng.toDouble) /
+        (ng.toDouble - 1.0))
+    }
+    val nd = n.toDouble
+    val kd = k.toDouble
+    val sp2 = s2.map { case (ng, v) => (ng.toDouble - 1.0) * v }
+      .foldLeft(0.0)(_ + _) / (nd - kd)
+    val lnsum = s2.map { case (ng, v) =>
+      (ng.toDouble - 1.0) * math.log(v) }.foldLeft(0.0)(_ + _)
+    val invsum = s2.map { case (ng, _) => 1.0 / (ng.toDouble - 1.0) }
+      .foldLeft(0.0)(_ + _)
+    val c = 1.0 + (invsum - 1.0 / (nd - kd)) / (3.0 * (kd - 1.0))
+    val stat = ((nd - kd) * math.log(sp2) - lnsum) / c
+    val (gn, gk, gs) = got(0)
+    assert(gn == n && gk == k)
+    assert(gs.isDefined && math.abs(gs.get - round4(stat)) < 1e-9,
+      s"bartlett ${gs} != replay $stat")
+  }
+
+  test("grubbs: argmax day and G replay from the exact daily grid") {
+    val got = Frontier5.queries("q193_grubbs_outlier")(spark, sf)
+      .as[(String, Long, String, Long, Option[Double])].collect()
+      .map(r => r._1 -> r).toMap
+    val (series, dmax) = dailyEventSeries()
+    val n = dmax + 1
+    series.foreach { case (t, byDi) =>
+      val v = (0L until n).map(byDi).toArray
+      val s = v.map(BigInt(_)).sum
+      val ss = v.map(x => BigInt(x) * x).sum
+      val nd = n.toDouble
+      val m = s.toDouble / nd
+      val piv = BigDecimal(m)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      // deterministic struct-max: max (|v-piv|, day-index, v)
+      val wi = v.zipWithIndex.maxBy { case (x, i) =>
+        (math.abs(x - piv), i.toLong) }
+      val varr = ss.toDouble / nd - m * m
+      val g = math.abs(wi._1.toDouble - m) / math.sqrt(varr)
+      val (_, nDays, _, wc, gg) = got(t)
+      assert(nDays == n)
+      assert(wc == wi._1, s"$t worst_cents $wc != replay ${wi._1}")
+      assert(gg.isDefined && math.abs(gg.get - round4(g)) < 1e-9)
+    }
+  }
+
   test("page-hinkley: exact integer walk, pivot, lambda, alarms") {
     val got = Frontier5.queries("q190_page_hinkley")(spark, sf)
       .as[(String, Long, Long, Long, Option[String], Long)].collect()
