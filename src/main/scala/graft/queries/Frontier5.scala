@@ -485,6 +485,51 @@ object Frontier5 {
               .otherwise(abs($"w.v".cast("double") - $"m") /
                 sqrt($"varr")), 4)).as("grubbs_g"))
         .orderBy($"event_type")
+    }),
+
+    // Cochran–Armitage trend test — does the HIGH-VALUE share of
+    // orders trend monotonically across the week (ordered weekday
+    // scores 0..6), the ordered-alternative sharpening of q92-style
+    // independence tests (a monotone dose-response the omnibus χ²
+    // dilutes across 6 dof concentrates into one Z here). Success =
+    // order value above the pooled median (q188's exact-cents
+    // percentile_cont, q71-proven parity, one 1-row broadcast). The
+    // statistic needs NO fold at all: T = Σw·a − p̄·Σw·n and
+    // Var = p̄(1−p̄)(Σw²n − (Σwn)²/N) assemble from five EXACT long
+    // aggregates (weights ≤ 6, counts ≤ N — products bounded by 36N,
+    // decimal only for (Σwn)² which squares past 2^63 near N ≈ 4e8)
+    // in one fixed IEEE expression per side. Degenerate guards: all
+    // or none above the median, or zero variance → NULL Z.
+    "q194_cochran_armitage" -> ((s, d) => {
+      import s.implicits._
+      val dec = "decimal(38,0)"
+      val o = Tables.load(s, d, "orders")
+        .select(round($"o_totalprice" * 100).cast("long").as("cents"),
+          pmod(datediff(to_date($"o_orderdate"), lit("1970-01-05")),
+            lit(7)).cast("long").as("wd"))
+      val med = o.agg(
+        expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY cents)")
+          .as("med"))
+      val agg = o.crossJoin(broadcast(med))
+        .select($"wd", when($"cents" > $"med", 1L).otherwise(0L)
+          .as("hi"))
+        .agg(count(lit(1)).as("n"), sum($"hi").as("a"),
+          sum($"wd" * $"hi").as("swa"),
+          sum($"wd").as("swn"),
+          sum($"wd" * $"wd").as("sw2n"))
+        .withColumn("nd", $"n".cast("double"))
+        .withColumn("p", $"a".cast("double") / $"nd")
+        .withColumn("t", $"swa".cast("double") -
+          $"p" * $"swn".cast("double"))
+        .withColumn("vr", $"p" * (lit(1.0) - $"p") *
+          ($"sw2n".cast("double") -
+            ($"swn".cast(dec) * $"swn").cast("double") / $"nd"))
+      agg.select($"n".cast("long").as("n_orders"),
+          $"a".as("n_high"),
+          Tables.nz(round(
+            when($"a" === 0L || $"a" === $"n" || $"vr" <= 0.0,
+              lit(null).cast("double"))
+              .otherwise($"t" / sqrt($"vr")), 4)).as("z_trend"))
     }))
 
   private def cramOracleCtes(tag: String, from: String, a: String,
@@ -769,6 +814,44 @@ object Frontier5 {
                / (1.0 + (invsum - 1.0 / (nd - kd)) / (3.0 * (kd - 1.0)))
              END, 4) + 0.0 AS bartlett_stat
          FROM panel""",
+
+    "q194_cochran_armitage" ->
+      """WITH o AS (
+           SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             CAST(((date_diff('day', DATE '1970-01-05',
+               o_orderdate) % 7) + 7) % 7 AS BIGINT) AS wd
+           FROM orders),
+         med AS (SELECT percentile_cont(0.5)
+                   WITHIN GROUP (ORDER BY cents) AS med
+                 FROM o),
+         h AS (
+           SELECT wd,
+             CASE WHEN cents > (SELECT med FROM med)
+               THEN 1 ELSE 0 END AS hi
+           FROM o),
+         agg AS (
+           SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(hi) AS BIGINT) AS a,
+             CAST(sum(wd * hi) AS BIGINT) AS swa,
+             CAST(sum(wd) AS BIGINT) AS swn,
+             CAST(sum(wd * wd) AS BIGINT) AS sw2n
+           FROM h),
+         fin AS (
+           SELECT n, a,
+             CAST(a AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+             CAST(swa AS DOUBLE)
+               - (CAST(a AS DOUBLE) / CAST(n AS DOUBLE))
+                 * CAST(swn AS DOUBLE) AS t,
+             (CAST(a AS DOUBLE) / CAST(n AS DOUBLE))
+               * (1.0 - CAST(a AS DOUBLE) / CAST(n AS DOUBLE))
+               * (CAST(sw2n AS DOUBLE)
+                  - CAST(CAST(swn AS HUGEINT) * swn AS DOUBLE)
+                    / CAST(n AS DOUBLE)) AS vr
+           FROM agg)
+         SELECT n AS n_orders, a AS n_high,
+           round(CASE WHEN a = 0 OR a = n OR vr <= 0.0 THEN NULL
+             ELSE t / sqrt(vr) END, 4) + 0.0 AS z_trend
+         FROM fin""",
 
     "q193_grubbs_outlier" ->
       """WITH daily AS (

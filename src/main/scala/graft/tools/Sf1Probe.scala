@@ -97,7 +97,8 @@ object Sf1Probe {
     "q187_ljung_box", "q188_mood_median", "q189_cramers_v",
     "q190_page_hinkley",
     // round-15 batch 2
-    "q191_tukey_hsd", "q192_bartlett", "q193_grubbs_outlier")
+    "q191_tukey_hsd", "q192_bartlett", "q193_grubbs_outlier",
+    "q194_cochran_armitage")
 
   private def pow10Above(maxKey: Long): Long = {
     var p = 1L

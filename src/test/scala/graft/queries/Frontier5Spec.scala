@@ -278,6 +278,37 @@ class Frontier5Spec extends SparkSpec {
     }
   }
 
+  test("cochran-armitage: exact score sums, T and Var replay") {
+    val got = Frontier5.queries("q194_cochran_armitage")(spark, sf)
+      .as[(Long, Long, Option[Double])].collect()
+    assert(got.length == 1)
+    val rows = graft.Tables.load(spark, sf, "orders")
+      .select(
+        pmod(datediff(to_date($"o_orderdate"), lit("1970-01-05")),
+          lit(7)).cast("long"),
+        round($"o_totalprice" * 100).cast("long"))
+      .as[(Long, Long)].collect()
+    val sorted = rows.map(_._2).sorted
+    val pos = 0.5 * (sorted.length - 1)
+    val lo = sorted(pos.toInt)
+    val hi = sorted(math.ceil(pos).toInt)
+    val med = lo + (pos - pos.toInt) * (hi - lo)
+    val n = rows.length.toLong
+    val a = rows.count(_._2 > med).toLong
+    val swa = rows.filter(_._2 > med).map(_._1).sum
+    val swn = rows.map(_._1).sum
+    val sw2n = rows.map(r => r._1 * r._1).sum
+    val p = a.toDouble / n.toDouble
+    val t = swa.toDouble - p * swn.toDouble
+    val vr = p * (1.0 - p) *
+      (sw2n.toDouble - (BigInt(swn) * swn).toDouble / n.toDouble)
+    val z = t / math.sqrt(vr)
+    val (gn, ga, gz) = got(0)
+    assert(gn == n && ga == a)
+    assert(gz.isDefined && math.abs(gz.get - round4(z)) < 1e-9,
+      s"z ${gz} != replay $z")
+  }
+
   test("page-hinkley: exact integer walk, pivot, lambda, alarms") {
     val got = Frontier5.queries("q190_page_hinkley")(spark, sf)
       .as[(String, Long, Long, Long, Option[String], Long)].collect()
