@@ -27,10 +27,15 @@ import graft.{Q, Tables}
   * (nodes ≪ edges — hosts vs links), so an iteration's only exchange
   * is the groupBy(dst) integer-sum shuffle of (dst, long) pairs,
   * collapsed map-side to ≤|nodes| rows per task — payloads never
-  * move. If the node table outgrows the broadcast threshold, add
-  * repartition(src) on the persisted edges once and the same plan
-  * degrades to a co-partitioned shuffled hash join. Driver holds two
-  * scalars (node count, base term), never a vertex vector.
+  * move. Every broadcast in this family goes through
+  * [[graft.ops.Hints.broadcastIfSmall]] (r15 verdict item #1): the
+  * node tables are gated on the row count the loop already holds as
+  * a driver scalar, so past the gate the hint is simply NOT applied
+  * and the planner falls back to a shuffled hash / sort-merge join on
+  * the key — a real degradation path, unlike a raw `broadcast()`
+  * hint, which AQE honors unconditionally and which OOMs when the
+  * node table outgrows executor memory. Driver holds two scalars
+  * (node count, base term), never a vertex vector.
   */
 object Graph {
 
@@ -99,9 +104,9 @@ object Graph {
     // intermediate stays ≤ maxdeg·S, and the integer truncation
     // sequence replays identically in the unrolled-CTE oracle. Init
     // is L1-normalized (h = S div n_hubs), so round-1 masses obey
-    // the same bound. Per round: one broadcast(node-sized scores)
-    // join + one map-side-collapsed groupBy exchange per direction,
-    // materialized per round (the q62 lineage discipline).
+    // the same bound. Per round: one size-gated-broadcast(node-sized
+    // scores) join + one map-side-collapsed groupBy exchange per
+    // direction, materialized per round (the q62 lineage discipline).
     "q138_hits" -> ((s, d) => {
       import s.implicits._
       val li = Tables.load(s, d, "lineitem")
@@ -112,22 +117,31 @@ object Graph {
       val edges = li.join(ord, $"l_orderkey" === $"o_orderkey")
         .select($"o_custkey".as("c"), $"l_suppkey".as("p"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      val nHubs = edges.select($"c").distinct().count() // driver scalar
-      var hubs = edges.select($"c").distinct()
-        .select($"c", lit(Scale / nHubs).as("h"))
+      // the distinct-hub frame seeds round 1 AND yields the node
+      // count — persist so the init scan isn't replayed inside
+      // round 1's join
+      val hubs0 = edges.select($"c").distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val nHubs = hubs0.count() // driver scalar
+      var hubs = hubs0.select($"c", lit(Scale / nHubs).as("h"))
+      var hubRows = nHubs
       var auths: DataFrame = null
-      // the raw aggregate feeds BOTH the normalizer and the next
-      // join — persist the node-sized frame; the normalizer comes
-      // back as a DRIVER SCALAR (pagerank's node-count discipline)
-      // so each round's rescale is a plan literal. The per-round
-      // driver aggs ARE the materialization points — no extra
-      // count() jobs (first cut ran 4 blocking jobs per round; the
-      // crossJoin(broadcast(one-row-agg)) cut before it stacked six
-      // broadcast-nested-loop stages and OOMed the bench JVM —
-      // 21.6 s / OOM → ~11 s). Node-sized caches stay resident for
-      // the loop's duration (3 rounds × two ≤|nodes| frames).
+      // ONE blocking job per direction per round: the raw aggregate's
+      // agg fetches the normalizer mass AND the row count (the
+      // broadcast-gate scalar) together, and the rescaled projection
+      // reads the CACHED raw frame through a LogicalRDD rebase (the
+      // q75 lineage discipline — round k+1's logical plan must not
+      // nest round k's, or Catalyst analyze time doubles per round).
+      // That cuts r15's 4 persists + nested plans per round to 2
+      // persists per round with flat plans; the normalizer fetches
+      // stay serially dependent by the integer semantics (qa feeds
+      // a, a feeds rawH — VERDICT r15 adjudicated the dependency).
+      // Round k−1's caches release as soon as round k materializes.
+      var prevA: Option[DataFrame] = None
+      var prevH: Option[DataFrame] = None
       for (_ <- 1 to 3) {
-        val rawA = edges.join(broadcast(hubs), Seq("c"))
+        val rawA = edges
+          .join(graft.ops.Hints.broadcastIfSmall(hubs, hubRows), Seq("c"))
           .groupBy($"p").agg(sum($"h").as("ra"))
           .persist(StorageLevel.MEMORY_AND_DISK)
         // clamp ≥1 (r9 advice): h0 = Scale div nHubs truncates, so a
@@ -135,15 +149,22 @@ object Graph {
         // could push the round's aggregate mass below Scale and floor
         // the normalizer to 0 — `div 0` then throws instead of
         // degrading. Oracle applies the same greatest(..., 1).
-        val qa = math.max(rawA.agg(sum($"ra")).head.getLong(0) / Scale, 1L)
-        val a = rawA.select($"p", expr(s"ra div ${qa}L").as("a"))
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        val rawH = edges.join(broadcast(a), Seq("p"))
+        val ar = rawA.agg(sum($"ra"), count(lit(1))).head
+        val qa = math.max(ar.getLong(0) / Scale, 1L)
+        val aRows = ar.getLong(1)
+        val a = s.createDataFrame(rawA.rdd, rawA.schema)
+          .select($"p", expr(s"ra div ${qa}L").as("a"))
+        val rawH = edges
+          .join(graft.ops.Hints.broadcastIfSmall(a, aRows), Seq("p"))
           .groupBy($"c").agg(sum($"a").as("rh"))
           .persist(StorageLevel.MEMORY_AND_DISK)
-        val qh = math.max(rawH.agg(sum($"rh")).head.getLong(0) / Scale, 1L)
-        val h = rawH.select($"c", expr(s"rh div ${qh}L").as("h"))
-          .persist(StorageLevel.MEMORY_AND_DISK)
+        val hr = rawH.agg(sum($"rh"), count(lit(1))).head
+        val qh = math.max(hr.getLong(0) / Scale, 1L)
+        hubRows = hr.getLong(1)
+        val h = s.createDataFrame(rawH.rdd, rawH.schema)
+          .select($"c", expr(s"rh div ${qh}L").as("h"))
+        prevA.foreach(_.unpersist(false)); prevA = Some(rawA)
+        prevH.foreach(_.unpersist(false)); prevH = Some(rawH)
         hubs = h; auths = a
       }
       val top = auths.select(lit("auth").as("side"),
@@ -205,7 +226,8 @@ object Graph {
     //
     // 100 TB shape: the edge list is built once, persisted, and never
     // re-shuffled; `alive` is node-sized (≪ edges) and travels as a
-    // broadcast semi-join to both endpoints; a round's only exchange
+    // SIZE-GATED broadcast semi-join to both endpoints (past the gate
+    // the rounds shuffle on the endpoint keys); a round's only exchange
     // is the groupBy(src) count — (long, long) partials, map-side
     // combined. Rounds are job-count-bound like pagerank's — the
     // per-round cost is one broadcast + one narrow shuffle, and the
@@ -251,11 +273,16 @@ object Graph {
       val e = coOccurrenceEdges(s, d)
       val sym = e.select($"a".as("src"), $"b".as("dst"))
         .unionAll(e.select($"b".as("src"), $"a".as("dst")))
+      // persisted so the gate's one count job is a cache scan and the
+      // two gated joins read the same materialization
       val deg = sym.groupBy($"src").agg(count(lit(1)).as("deg"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val nNodes = deg.count() // driver scalar: the broadcast gate
       avgNeighborDegreeBuckets(sym
-        .join(broadcast(deg), Seq("src"))
-        .join(broadcast(deg.select($"src".as("dst"),
-          $"deg".as("nbr_deg"))), Seq("dst")))
+        .join(graft.ops.Hints.broadcastIfSmall(deg, nNodes), Seq("src"))
+        .join(graft.ops.Hints.broadcastIfSmall(
+          deg.select($"src".as("dst"), $"deg".as("nbr_deg")), nNodes),
+          Seq("dst")))
     }),
 
     // Degree assortativity: Pearson correlation of endpoint degrees
@@ -283,10 +310,13 @@ object Graph {
           struct($"b".as("u"), $"a".as("v")))).as("e"))
         .select($"e.u", $"e.v")
       val deg = ed.groupBy($"u").agg(count(lit(1)).as("deg"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val nNodes = deg.count() // driver scalar: the broadcast gate
       assortativityFromDxDy(ed
-        .join(broadcast(deg.select($"u", $"deg".as("dx"))), Seq("u"))
-        .join(broadcast(deg.select($"u".as("v"), $"deg".as("dy"))),
-          Seq("v"))
+        .join(graft.ops.Hints.broadcastIfSmall(
+          deg.select($"u", $"deg".as("dx")), nNodes), Seq("u"))
+        .join(graft.ops.Hints.broadcastIfSmall(
+          deg.select($"u".as("v"), $"deg".as("dy")), nNodes), Seq("v"))
         .select($"dx", $"dy"))
     }),
 
@@ -303,7 +333,8 @@ object Graph {
     // artifact), which is what lets the oracle unroll the identical
     // four rounds. 100 TB shape follows pagerankFull: the weighted
     // edge list is built once and persisted; the distance table is
-    // node-sized and travels as a broadcast; a round's only exchange
+    // node-sized and travels as a size-gated broadcast; a round's only
+    // exchange
     // is the groupBy(dst) min-combine — (long, long) pairs, map-side
     // collapsed. Rounds rebase onto their materialized RDD (q75's
     // lineage lesson) and unpersist round k−1 after materializing k.
@@ -324,15 +355,17 @@ object Graph {
       val source = wEdges.agg(min($"src")).head.getLong(0)
       var dist = wEdges.sparkSession.range(1)
         .select(lit(source).as("node"), lit(0L).as("dist"))
+      var distRows = 1L // broadcast-gate scalar, refreshed per round
       var prev: Option[DataFrame] = None
       for (_ <- 1 to 4) {
         val relaxed = wEdges
-          .join(broadcast(dist), $"src" === $"node")
+          .join(graft.ops.Hints.broadcastIfSmall(dist, distRows),
+            $"src" === $"node")
           .select($"dst".as("node"), ($"dist" + $"w").as("cand"))
           .unionByName(dist.select($"node", $"dist".as("cand")))
           .groupBy($"node").agg(min($"cand").as("dist"))
           .persist(StorageLevel.MEMORY_AND_DISK)
-        relaxed.count()
+        distRows = relaxed.count()
         val flat = s.createDataFrame(relaxed.rdd, relaxed.schema)
         prev.foreach(_.unpersist(false))
         prev = Some(relaxed)
@@ -434,8 +467,10 @@ object Graph {
       var rounds = 0
       while (!stable && rounds < 30) {
         val dn0 = ed
-          .join(broadcast(alive), $"src" === $"node").drop("node")
-          .join(broadcast(alive.withColumnRenamed("node", "nd")),
+          .join(graft.ops.Hints.broadcastIfSmall(alive, n),
+            $"src" === $"node").drop("node")
+          .join(graft.ops.Hints.broadcastIfSmall(
+            alive.withColumnRenamed("node", "nd"), n),
             $"dst" === $"nd").drop("nd")
           .groupBy($"src").agg(count(lit(1)).as("core_deg"))
           .filter($"core_deg" >= k)
@@ -506,16 +541,19 @@ object Graph {
         .persist(StorageLevel.MEMORY_AND_DISK)
       var labels = sym.select($"src".as("node")).distinct()
         .select($"node", $"node".as("lab"))
-      var prev: Option[DataFrame] = None
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      var nLabels = labels.count() // broadcast-gate scalar
+      var prev: Option[DataFrame] = Some(labels)
       for (_ <- 1 to 4) {
         val updated = sym
-          .join(broadcast(labels), $"src" === $"node")
+          .join(graft.ops.Hints.broadcastIfSmall(labels, nLabels),
+            $"src" === $"node")
           .groupBy($"dst", $"lab").agg(count(lit(1)).as("c"))
           .groupBy($"dst")
           .agg(max(struct($"c", (-$"lab").as("nl"))).as("m"))
           .select($"dst".as("node"), (-$"m.nl").as("lab"))
           .persist(StorageLevel.MEMORY_AND_DISK)
-        updated.count()
+        nLabels = updated.count()
         val flat = s.createDataFrame(updated.rdd, updated.schema)
         prev.foreach(_.unpersist(false))
         prev = Some(updated)
@@ -697,14 +735,18 @@ object Graph {
     * 100 TB shape (q72's original design, unchanged by the refactor):
     * every undirected edge is ORIENTED from its lower-(degree, id)
     * endpoint, so a degree-d hub keeps O(α·d) oriented wedges instead
-    * of O(d²) (arboricity bound, Chiba–Nishizeki); out-adjacency
-    * arrays are edge-sized in aggregate (ΣA = E) and broadcast while
-    * they fit — past the threshold the same plan degrades to shuffled
-    * hash joins on u / v, and the orientation bound (not the join
-    * strategy) is what keeps the arrays small. Each triangle closes
-    * at exactly one oriented edge as N⁺(u) ∩ N⁺(v), so one explode of
-    * [u×|ws|, v×|ws|, ws] yields the 3·T per-node attributions with
-    * no triangle-row intermediate.
+    * of O(d²) (arboricity bound, Chiba–Nishizeki). The degree table
+    * is gated on the node count and the adjacency table on the
+    * ORIENTED-EDGE count (its broadcast payload is ΣA = E array
+    * elements, so rows would under-count its bytes) through
+    * [[graft.ops.Hints.broadcastIfSmall]] — below the gate the joins
+    * are map-side; above it the hint is not applied and the planner
+    * shuffles on u / v, which is the behavior a raw hint only
+    * pretended to have (r15 verdict item #1). The orientation bound
+    * (not the join strategy) is what keeps individual arrays small.
+    * Each triangle closes at exactly one oriented edge as
+    * N⁺(u) ∩ N⁺(v), so one explode of [u×|ws|, v×|ws|, ws] yields
+    * the 3·T per-node attributions with no triangle-row intermediate.
     */
   private def triangleCountsWithDeg(
       s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
@@ -715,18 +757,24 @@ object Graph {
       // feeds three consumers (both orientation sides + the final
       // left join); node-sized, so the persist is cheap
       .persist(StorageLevel.MEMORY_AND_DISK)
+    val nNodes = deg.count() // driver scalar: the degree-table gate
     // orient by (degree, id): lower endpoint points to higher
     val o = e
-      .join(broadcast(deg.select($"n".as("a"), $"deg".as("da"))),
-        Seq("a"))
-      .join(broadcast(deg.select($"n".as("b"), $"deg".as("db"))),
-        Seq("b"))
+      .join(graft.ops.Hints.broadcastIfSmall(
+        deg.select($"n".as("a"), $"deg".as("da")), nNodes), Seq("a"))
+      .join(graft.ops.Hints.broadcastIfSmall(
+        deg.select($"n".as("b"), $"deg".as("db")), nNodes), Seq("b"))
       .select(
         when($"da" < $"db" || ($"da" === $"db" && $"a" < $"b"),
           struct($"a".as("u"), $"b".as("v")))
           .otherwise(struct($"b".as("u"), $"a".as("v"))).as("e"))
       .select($"e.u".as("u"), $"e.v".as("v"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // gate the ADJACENCY broadcast on the oriented-edge count, not the
+    // node count: its payload is ΣA = |oriented edges| array elements,
+    // so the row count of adj would under-state its bytes. o feeds two
+    // joins below anyway, so the count materializes a due cache.
+    val nOriented = o.count()
     val adj = o.groupBy($"u")
       .agg(sort_array(collect_list($"v")).as("nbr"))
       // both broadcast sides project adj DIFFERENTLY (u vs renamed
@@ -734,9 +782,10 @@ object Graph {
       // the collect_list aggregation runs twice
       .persist(StorageLevel.MEMORY_AND_DISK)
     val tri = o
-      .join(broadcast(adj.select($"u", $"nbr".as("nu"))), Seq("u"))
-      .join(broadcast(adj.select($"u".as("v"), $"nbr".as("nv"))),
-        Seq("v"))
+      .join(graft.ops.Hints.broadcastIfSmall(
+        adj.select($"u", $"nbr".as("nu")), nOriented), Seq("u"))
+      .join(graft.ops.Hints.broadcastIfSmall(
+        adj.select($"u".as("v"), $"nbr".as("nv")), nOriented), Seq("v"))
       .select($"u", $"v", array_intersect($"nu", $"nv").as("ws"))
       .filter(size($"ws") > 0)
     val counts = tri.select(explode(concat(
@@ -771,10 +820,11 @@ object Graph {
       // the dedup saves a full shuffle of the edge list. Symmetrize
       // with ONE explode pass — a union with the swapped projection
       // would re-execute the build subtree. No repartition: the
-      // per-round join is broadcast (node table ≪ edges), so the only
-      // shuffle an iteration needs is the groupBy(dst) partial-agg
-      // exchange; should ranks outgrow the broadcast threshold, add
-      // repartition(src) back and let the rounds reuse it.
+      // per-round join is a SIZE-GATED broadcast (node table ≪ edges
+      // at every tested scale), so the only shuffle an iteration needs
+      // is the groupBy(dst) partial-agg exchange; past the row gate
+      // the hint is not applied and the round joins shuffle on src —
+      // the real degradation path (Hints.broadcastIfSmall, r15 #1).
       val edges = li.join(ord, $"l_orderkey" === $"o_orderkey")
         .select(($"o_custkey" * 2).as("src"),
           ($"l_suppkey" * 2 + 1).as("dst"))
@@ -794,7 +844,9 @@ object Graph {
         // map-side (broadcast), only (dst, give) longs shuffle
         val give = ranks.join(deg, ranks("node") === deg("src"))
           .select($"node", expr("r div d").as("give"))
-        val next = edges.join(broadcast(give), $"src" === $"node")
+        val next = edges
+          .join(graft.ops.Hints.broadcastIfSmall(give, n),
+            $"src" === $"node")
           .groupBy($"dst").agg(sum($"give").as("got"))
           .select($"dst".as("node"),
             (lit(base) + expr("85 * got div 100")).as("r"))

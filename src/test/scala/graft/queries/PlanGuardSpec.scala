@@ -123,6 +123,81 @@ class PlanGuardSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       "the blocked embedding dedup must never degrade to all-pairs")
   }
 
+  test("Hints.broadcastIfSmall hints below the row gate, shuffles above it") {
+    val dim = spark.range(0, 200).toDF("k")
+    val fact = spark.range(0, 5000).toDF("k")
+    // neutralize size-based auto-broadcast so the HINT is the only
+    // mechanism that could broadcast the 200-row dim — otherwise the
+    // above-gate assertion would be vacuously satisfied by the planner
+    val thrKey = "spark.sql.autoBroadcastJoinThreshold"
+    val prevThr = spark.conf.get(thrKey)
+    try {
+      spark.conf.set(thrKey, "-1")
+      val below = fact.join(
+        graft.ops.Hints.broadcastIfSmall(dim, 200), Seq("k"))
+      below.collect()
+      val bhjBelow = collectWithSubqueries(
+        below.queryExecution.executedPlan) {
+        case b: BroadcastHashJoinExec => b
+      }
+      assert(bhjBelow.nonEmpty,
+        "below the gate the hint must force a broadcast hash join")
+      sys.props("graft.bcast.max.rows") = "100"
+      try {
+        val above = fact.join(
+          graft.ops.Hints.broadcastIfSmall(dim, 200), Seq("k"))
+        above.collect()
+        val plan = above.queryExecution.executedPlan
+        val bhjAbove = collectWithSubqueries(plan) {
+          case b: BroadcastHashJoinExec => b
+        }
+        assert(bhjAbove.isEmpty,
+          "above the gate no broadcast hint may be applied — the raw " +
+            "hint would be honored unconditionally and OOM at scale")
+        val shuffled = collectWithSubqueries(plan) {
+          case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+          case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+        }
+        assert(shuffled.nonEmpty,
+          "above the gate the planner must pick a shuffled join strategy")
+      } finally sys.props.remove("graft.bcast.max.rows")
+    } finally spark.conf.set(thrKey, prevThr)
+  }
+
+  test("graph iterations are strategy-invariant across the broadcast gate") {
+    // The gated queries must return IDENTICAL rows whether the node
+    // tables broadcast (default gate, the measured-fast plan) or the
+    // rounds degrade to shuffled joins (gate forced to 0 rows +
+    // auto-broadcast off — the 100-TB node-count regime). kcore k=65
+    // exercises the cascading peel at sf0.001; pagerank exercises the
+    // damped-iteration loop.
+    def run(): (Seq[String], Seq[String]) = {
+      val pr = SparkEntry.queries("q62_pagerank")(spark, sf)
+        .collect().map(_.toString).toSeq
+      spark.catalog.clearCache()
+      val kc = Graph.kcoreAt(spark, sf, 65)
+        .collect().map(_.toString).toSeq
+      spark.catalog.clearCache()
+      (pr, kc)
+    }
+    val (prBelow, kcBelow) = run()
+    val thrKey = "spark.sql.autoBroadcastJoinThreshold"
+    val prevThr = spark.conf.get(thrKey)
+    sys.props("graft.bcast.max.rows") = "0"
+    try {
+      spark.conf.set(thrKey, "-1")
+      val (prAbove, kcAbove) = run()
+      assert(prAbove == prBelow,
+        "pagerank must be identical on both sides of the broadcast gate")
+      assert(kcAbove == kcBelow,
+        "k-core must be identical on both sides of the broadcast gate")
+      assert(kcBelow.nonEmpty, "k=65 must keep a nonempty core at sf0.001")
+    } finally {
+      sys.props.remove("graft.bcast.max.rows")
+      spark.conf.set(thrKey, prevThr)
+    }
+  }
+
   test("ann_bruteforce broadcasts the query side and partial-limits the window") {
     val plan = executedPlan("ann_bruteforce")
     val bnl = collectWithSubqueries(plan) {
