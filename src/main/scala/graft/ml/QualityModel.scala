@@ -207,12 +207,85 @@ object QualityModel {
     x
   }
 
-  def queries: Map[String, Q] = Map(
-    "pipeline_quality_classifier" -> ((s, d) =>
-      trainScore(Tables.spread(Tables.load(s, d, "documents")))))
-
-  /** Iterative MLE fits are not SQL-expressible — rows-only check;
-    * the behavioral contract lives in QualityModelSpec.
+  /** The registered row (r15 verdict item #3 — this was the board's
+    * last `no_oracle` entry): the per-document scores of an iterative
+    * MLE fit are not SQL-expressible, so the row hashes the model
+    * CONTRACT instead, the q29 sketch-contract pattern. Exact
+    * companions (document count, rule-label class sizes — the label
+    * is text_quality's composite thresholded at 1.5, which the
+    * DuckDB oracle replays bit-for-bit: both engines add
+    * len_ok + distinct_ratio + stop_ratio in the same IEEE order,
+    * proven by text_quality's hash-green doubles) ride next to
+    * bound-satisfaction booleans computed from the REAL fit:
+    *   - auc_ge_95: exact Mann-Whitney AUC in scaled integers
+    *     (wins2 = Σ 2·pos(s)·neg_below(s) + pos(s)·neg(s) over the
+    *     ≤10001-value score domain — round(·,4) bounds the
+    *     partitionless window by construction) against 0.95·2·P·N,
+    *     QualityModelSpec's envelope;
+    *   - keep_near_label_rate: |n_keep − n_pos| ≤ 5% of the corpus —
+    *     a well-calibrated distillation keeps about what the rule
+    *     keeps;
+    *   - threshold_consistent: keep == (score ≥ 0.5) for every row.
+    * A training regression flips a hashed boolean and fails the
+    * driver gate loudly; the oracle asserts the booleans as literal
+    * TRUE and recomputes the class sizes from the exact-feature
+    * replay.
     */
-  def oracles: Map[String, String] = Map.empty
+  def queries: Map[String, Q] = Map(
+    "pipeline_quality_classifier" -> ((s, d) => {
+      import s.implicits._
+      val scored = trainScore(Tables.spread(Tables.load(s, d, "documents")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // per-distinct-score class counts: scores are round(·,4) in
+      // [0,1], so this frame is ≤10001 rows and the unpartitioned
+      // rank window below is bounded by the VALUE DOMAIN, not data
+      val byScore = scored.groupBy($"score")
+        .agg(sum($"label").as("p"), sum(lit(1L) - $"label").as("ng"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy($"score")
+        .rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val wins = byScore
+        .withColumn("neg_below", coalesce(sum($"ng").over(w), lit(0L)))
+        .agg(
+          sum($"p" * $"neg_below" * 2L + $"p" * $"ng").as("wins2"),
+          sum($"p").as("n_pos"), sum($"ng").as("n_neg"))
+      val counts = scored.agg(
+        count(lit(1)).as("n_docs"),
+        sum(when($"keep", 1L).otherwise(0L)).as("n_keep"),
+        sum(when($"keep" =!= ($"score" >= 0.5), 1L).otherwise(0L))
+          .as("n_inconsistent"))
+      wins.crossJoin(counts).select(
+        $"n_docs", $"n_pos", $"n_neg",
+        ($"wins2".cast("double") >=
+          lit(0.95) * 2.0 * $"n_pos".cast("double") * $"n_neg")
+          .as("auc_ge_95"),
+        (abs($"n_keep" - $"n_pos").cast("double") <=
+          lit(0.05) * $"n_docs").as("keep_near_label_rate"),
+        ($"n_inconsistent" === 0L).as("threshold_consistent"))
+    }))
+
+  /** The exact-feature label replay (text_quality's composite — same
+    * token split, same stopword list, same IEEE addition order) plus
+    * literal TRUE for the fit-quality booleans the Spark side
+    * computes from the real model.
+    */
+  def oracles: Map[String, String] = Map(
+    "pipeline_quality_classifier" ->
+      """WITH t AS (SELECT doc_id, text,
+           string_split_regex(lower(text), '\s+') AS tk FROM documents),
+         lab AS (SELECT
+           CASE WHEN (CASE WHEN length(text) >= 100 THEN 1.0 ELSE 0.0 END +
+             CAST(len(list_distinct(tk)) AS DOUBLE) / CAST(len(tk) AS DOUBLE) +
+             CAST(len(list_filter(tk,
+               x -> x IN ('the','a','of','and','is','to','in'))) AS DOUBLE) /
+               CAST(len(tk) AS DOUBLE)) >= 1.5
+           THEN 1 ELSE 0 END AS y FROM t)
+         SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(y) AS BIGINT) AS n_pos,
+           CAST(count(*) - sum(y) AS BIGINT) AS n_neg,
+           TRUE AS auc_ge_95,
+           TRUE AS keep_near_label_rate,
+           TRUE AS threshold_consistent
+         FROM lab""")
 }

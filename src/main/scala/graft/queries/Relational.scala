@@ -428,18 +428,52 @@ object Relational {
       // quantiles at 100 TB: HyperLogLog++ (fixed ~kB state per group,
       // map-side mergeable — an exact distinct shuffles every key) and
       // the positional quantile sketch behind approx_percentile
-      // (bounded state vs a full sort). Sketch outputs are
-      // implementation-defined → rows-only driver check; error bounds
-      // vs exact values are asserted in ApproxAggSpec.
-      Tables.load(s, d, "events")
+      // (bounded state vs a full sort). Sketch OUTPUTS are
+      // implementation-defined, so the registered row hashes the
+      // sketch CONTRACT instead (r15 verdict item #3 — this row was
+      // the board's last-but-one `no_oracle`): exact companions
+      // (group size, exact distinct) plus bound-satisfaction booleans
+      // computed Spark-side from exact rank/distinct passes. The
+      // oracle recomputes the exact companions and asserts the
+      // booleans as literal TRUE — a bound the sketch ever violates
+      // flips a boolean and fails the hash gate loudly. The exact
+      // passes exist only to make the contract hashable; the
+      // production 100 TB shape is [[approxAggRaw]] (sketches only),
+      // which ApproxAggSpec drives against its error bounds.
+      val approx = approxAggRaw(s, d)
+      val ev = Tables.load(s, d, "events")
+      val exact = ev.groupBy($"event_type")
+        .agg(countDistinct($"user_id").as("exact_users"))
+      // rank positions of the returned quantile values: the sketch
+      // guarantee is |rank(x) − p·n| ≤ eps·n with eps = 1/accuracy;
+      // [lt+1, le] is x's rank interval under ties, checked against
+      // the target ± (eps·n + 1) band
+      val ranks = ev.select($"event_type", $"value")
+        .join(broadcast(approx), Seq("event_type"))
         .groupBy($"event_type")
         .agg(
-          approx_count_distinct($"user_id").as("approx_users"),
-          approx_count_distinct($"user_id", rsd = 0.01)
-            .as("approx_users_1pct"),
-          percentile_approx($"value", lit(0.5), lit(10000)).as("p50"),
-          percentile_approx($"value", lit(0.95), lit(10000)).as("p95"),
-          count(lit(1)).as("n"))
+          sum(when($"value" < $"p50", 1L).otherwise(0L)).as("lt50"),
+          sum(when($"value" <= $"p50", 1L).otherwise(0L)).as("le50"),
+          sum(when($"value" < $"p95", 1L).otherwise(0L)).as("lt95"),
+          sum(when($"value" <= $"p95", 1L).otherwise(0L)).as("le95"))
+      val epsN = $"n".cast("double") * lit(1e-4) + lit(1.0)
+      approx.join(exact, Seq("event_type"))
+        .join(ranks, Seq("event_type"))
+        .select($"event_type", $"n", $"exact_users",
+          // 3 standard errors at rsd 5% / 1% (ApproxAggSpec's bands),
+          // with an absolute floor of 2 for tiny groups
+          (abs($"approx_users" - $"exact_users").cast("double") <=
+            greatest(lit(2.0), lit(0.15) * $"exact_users"))
+            .as("users_ok"),
+          (abs($"approx_users_1pct" - $"exact_users").cast("double") <=
+            greatest(lit(2.0), lit(0.03) * $"exact_users"))
+            .as("users_1pct_ok"),
+          (($"lt50" + 1).cast("double") <= lit(0.5) * $"n" + epsN &&
+            $"le50".cast("double") >= lit(0.5) * $"n" - epsN)
+            .as("p50_rank_ok"),
+          (($"lt95" + 1).cast("double") <= lit(0.95) * $"n" + epsN &&
+            $"le95".cast("double") >= lit(0.95) * $"n" - epsN)
+            .as("p95_rank_ok"))
         .orderBy($"event_type")
     }),
 
@@ -1038,6 +1072,29 @@ object Relational {
     * a magnitude where the long path provably overflows and asserts
     * the decimal retry still answers exactly.
     */
+  /** q29's production shape: the sketch aggregates ALONE — HLL++ at
+    * default and 1% rsd, positional quantile sketches at accuracy
+    * 10000, plus the group count. Fixed ~kB state per group,
+    * map-side mergeable, no exact-distinct shuffle anywhere. The
+    * registered q29_approx_agg row wraps THIS frame with exact
+    * companions + bound booleans so the driver can hash the sketch
+    * contract; ApproxAggSpec drives the raw frame against the
+    * HLL/percentile error bounds directly.
+    */
+  def approxAggRaw(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    Tables.load(s, d, "events")
+      .groupBy($"event_type")
+      .agg(
+        approx_count_distinct($"user_id").as("approx_users"),
+        approx_count_distinct($"user_id", rsd = 0.01)
+          .as("approx_users_1pct"),
+        percentile_approx($"value", lit(0.5), lit(10000)).as("p50"),
+        percentile_approx($"value", lit(0.95), lit(10000)).as("p95"),
+        count(lit(1)).as("n"))
+  }
+
   def momentStats(events: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     val s = events.sparkSession
@@ -1165,6 +1222,23 @@ object Relational {
   }
 
   def oracles: Map[String, String] = Map(
+
+    // The sketch-contract row (r15 #3): the oracle recomputes the
+    // exact companions (group size, exact distinct users) and asserts
+    // the Spark-side bound-satisfaction booleans as literal TRUE —
+    // the sketches themselves are implementation-defined, but the
+    // CONTRACT (HLL within 3σ of its rsd, quantiles within the
+    // positional accuracy band) is engine-independent and any
+    // violation flips a hashed boolean.
+    "q29_approx_agg" ->
+      """SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS users_ok,
+           TRUE AS users_1pct_ok,
+           TRUE AS p50_rank_ok,
+           TRUE AS p95_rank_ok
+         FROM events GROUP BY event_type ORDER BY event_type""",
 
     // ANSI three-valued logic is engine-independent — the oracle runs
     // the identical four scalar subqueries.

@@ -3,12 +3,26 @@ package graft.queries
 import graft.{SparkEntry, SparkSpec}
 import org.apache.spark.sql.functions._
 
-/** Error-bound checks for the sketch aggregates (q29_approx_agg is
-  * rows-only at the driver gate — sketch outputs are implementation-
-  * defined, so the bounds ARE the correctness contract).
+/** Error-bound checks for the sketch aggregates, driven against the
+  * raw sketch frame (Relational.approxAggRaw — the production shape).
+  * The registered q29_approx_agg row hashes the same contract at the
+  * driver gate via exact companions + bound booleans (r15 #3); these
+  * tests keep the numeric bounds pinned locally and independently.
   */
 class ApproxAggSpec extends SparkSpec {
   import spark.implicits._
+
+  test("q29's registered contract row reports every bound satisfied") {
+    val rows = SparkEntry.queries("q29_approx_agg")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      Seq("users_ok", "users_1pct_ok", "p50_rank_ok", "p95_rank_ok")
+        .foreach { c =>
+          assert(r.getAs[Boolean](c),
+            s"${r.getAs[String]("event_type")}: $c must hold")
+        }
+    }
+  }
 
   private val sf = "/root/testdata/sf0.01"
 
@@ -28,7 +42,7 @@ class ApproxAggSpec extends SparkSpec {
   }
 
   test("HLL distinct counts are within the configured relative error") {
-    val approx = SparkEntry.queries("q29_approx_agg")(spark, sf)
+    val approx = Relational.approxAggRaw(spark, sf)
       .select($"event_type", $"approx_users", $"approx_users_1pct")
       .as[(String, Long, Long)].collect()
       .map(r => r._1 -> (r._2, r._3)).toMap
@@ -47,7 +61,7 @@ class ApproxAggSpec extends SparkSpec {
   }
 
   test("approx percentiles land within the positional accuracy bound") {
-    val approx = SparkEntry.queries("q29_approx_agg")(spark, sf)
+    val approx = Relational.approxAggRaw(spark, sf)
       .select($"event_type", $"p50", $"p95")
       .as[(String, Double, Double)].collect()
       .map(r => r._1 -> (r._2, r._3)).toMap

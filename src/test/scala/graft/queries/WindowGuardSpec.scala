@@ -57,6 +57,8 @@ class WindowGuardSpec extends SparkSpec {
       "reverse cumulative over the months-bounded risk table (<= span/30 rows at any corpus size)",
     "q133_rfm_migration" ->
       "period-offset windows over the 2-row period table; per-period ranks ride PrefixSum",
+    "pipeline_quality_classifier" ->
+      "AUC rank window over the round(score,4) value domain — <= 10001 distinct-score rows at any corpus size",
     "q143_2hop_reach" ->
       "rank window on the post-limit 100-row reach frame (TakeOrdered runs before the window)",
     "q158_modularity" ->
