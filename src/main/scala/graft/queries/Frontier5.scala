@@ -28,6 +28,76 @@ object Frontier5 {
   // quarantine log; lives under the shutdown-hook-cleaned ScratchDir
   private val ivmRun = new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** Stage `batches` as single parquet files whose mtimes ARE the
+    * replay order for a maxFilesPerTrigger=1 file-source stream —
+    * q185's staging discipline, factored for the q195/q196
+    * transformWithState parity rows. Epoch-pinned mtimes 60 s apart
+    * clear any coarse-mtime filesystem.
+    */
+  private def stageBatches(root: String,
+      batches: Seq[DataFrame]): String = {
+    val staging = s"$root/staging"
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(staging))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      val tmp = s"$root/tmp_$i"
+      b.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") &&
+          f.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(staging, f"batch_$i%02d.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(1700000000000L + i * 60000L)
+    }
+    staging
+  }
+
+  /** Drain a staged maxFilesPerTrigger=1 replay, then stop. A
+    * transformWithState query under a processing-time mode (TTL)
+    * NEVER self-terminates: Trigger.AvailableNow kept committing
+    * empty maintenance batches after the source drained (measured:
+    * 868 commits at a constant logOffset), and even
+    * processAllAvailable() never latches no-new-data because each
+    * maintenance batch advances the batch timestamp. The reliable
+    * stop condition is the SOURCE's own committed offset: poll
+    * lastProgress until the file source's endOffset reaches the last
+    * staged file's log entry (logOffset is 0-indexed per staged
+    * file), then stop. The sink commit of that batch happens inside
+    * the batch, so everything staged is in the output when the poll
+    * fires; later maintenance batches add no rows.
+    */
+  private def drainStagedReplay(
+      q: org.apache.spark.sql.streaming.StreamingQuery,
+      nFiles: Int): Unit = {
+    val deadlineNs = System.nanoTime() + 600L * 1000000000L
+    def drained: Boolean = Option(q.lastProgress).exists { p =>
+      p.sources.nonEmpty && {
+        val eo = p.sources.head.endOffset
+        eo != null && eo.contains("\"logOffset\":" + (nFiles - 1))
+      }
+    }
+    while (!drained && q.isActive && System.nanoTime() < deadlineNs)
+      Thread.sleep(100)
+    q.stop()
+    q.awaitTermination()
+  }
+
+  /** Run `body` with the RocksDB state-store provider set (the
+    * transformWithState v2 runtime requirement), restoring the prior
+    * provider after — q185's conf discipline.
+    */
+  private def withRocksDb[T](s: SparkSession)(body: => T): T = {
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(provKey)
+    s.conf.set(provKey, "org.apache.spark.sql.execution.streaming" +
+      ".state.RocksDBStateStoreProvider")
+    try body
+    finally prev match {
+      case Some(p) => s.conf.set(provKey, p)
+      case None => s.conf.unset(provKey)
+    }
+  }
+
   def queries: Map[String, Q] = Map(
 
     // IVM parity twin of the streaming decontamination guard — the
@@ -74,6 +144,95 @@ object Frontier5 {
       s.read.schema("doc_id BIGINT, batch_id BIGINT").parquet(qdir)
         .select($"batch_id", $"doc_id")
         .orderBy($"batch_id", $"doc_id")
+    }),
+
+    // Driver-gated parity row for the v2 QuotaProcessor (r15 verdict
+    // item #4 — quotaStream was spec-only while q185 proved the
+    // replay pattern): the events table is replayed in ARRIVAL order
+    // (event_id, q184's proxy) as three staged parquet batches
+    // through the PRODUCTION transformWithState path — RocksDB
+    // provider (the v2 runtime requirement), file source with
+    // maxFilesPerTrigger=1, append mode — admitting the first 5
+    // events per user with a running count. No sentinels: quota has
+    // no timers/watermark, so AvailableNow drains every batch.
+    // Within a batch the processor admits in event_id order and
+    // batches partition the id range in order, so global admission ==
+    // first-5-by-event_id per user — which is exactly the oracle's
+    // one-pass row_number replay: the hash match proves the per-key
+    // ValueState count carries across real micro-batch boundaries.
+    "q195_quota_ivm" -> ((s, d) => {
+      import s.implicits._
+      val ev = Tables.load(s, d, "events")
+        .select($"user_id", $"event_id", $"value")
+      val cut = ev.agg(max($"event_id")).first.getLong(0)
+      val root = ScratchDir.path(
+        s"quota_ivm_${ivmRun.incrementAndGet()}")
+      val staging = stageBatches(root, Seq(
+        ev.filter($"event_id" <= cut / 3),
+        ev.filter($"event_id" > cut / 3 && $"event_id" <= 2 * cut / 3),
+        ev.filter($"event_id" > 2 * cut / 3)))
+      withRocksDb(s) {
+        val src = s.readStream
+          .schema("user_id BIGINT, event_id BIGINT, value DOUBLE")
+          .option("maxFilesPerTrigger", "1").parquet(staging)
+          .as[graft.streaming.StreamOps.QuotaEvent]
+        val q = graft.streaming.StreamOps.quotaStream(src, limit = 5L)
+          .writeStream.format("parquet")
+          .option("path", s"$root/out")
+          .option("checkpointLocation", s"$root/ckpt")
+          .outputMode("append")
+          .start()
+        drainStagedReplay(q, nFiles = 3)
+      }
+      s.read.schema("user_id BIGINT, event_id BIGINT, n_allowed BIGINT")
+        .parquet(s"$root/out")
+        .select($"user_id", $"event_id", $"n_allowed")
+        .orderBy($"user_id", $"event_id")
+    }),
+
+    // Driver-gated parity row for the v2 TTL seen-guard (the other
+    // spec-only processor the r15 verdict named). Same replay
+    // harness; the guard's "seen" mark is a ValueState with a REAL
+    // TTLConfig (1 h) under TimeMode.ProcessingTime — the declarative
+    // state-eviction path through the real RocksDB store. One hour
+    // dwarfs the replay's wall clock, so no mark expires mid-run and
+    // the admission semantics are deterministic: per user, exactly
+    // the globally-first event (batches are id-ordered and the
+    // processor takes the within-batch min) — the oracle's
+    // min(event_id) per user. Clock-driven EXPIRY (readmission after
+    // the mark dies) is inherently wall-time-dependent and stays
+    // pinned by StreamOpsSpec's real-clock test; this row gates the
+    // TTL-configured state path end-to-end where the driver can hash
+    // it.
+    "q196_ttl_ivm" -> ((s, d) => {
+      import s.implicits._
+      val ev = Tables.load(s, d, "events")
+        .select($"user_id", $"event_id")
+      val cut = ev.agg(max($"event_id")).first.getLong(0)
+      val root = ScratchDir.path(
+        s"ttl_ivm_${ivmRun.incrementAndGet()}")
+      val staging = stageBatches(root, Seq(
+        ev.filter($"event_id" <= cut / 3),
+        ev.filter($"event_id" > cut / 3 && $"event_id" <= 2 * cut / 3),
+        ev.filter($"event_id" > 2 * cut / 3)))
+      withRocksDb(s) {
+        val src = s.readStream
+          .schema("user_id BIGINT, event_id BIGINT")
+          .option("maxFilesPerTrigger", "1").parquet(staging)
+          .as[graft.streaming.StreamOps.SeenEvent]
+        val q = graft.streaming.StreamOps
+          .ttlSeenGuardStream(src, ttlMs = 3600000L)
+          .writeStream.format("parquet")
+          .option("path", s"$root/out")
+          .option("checkpointLocation", s"$root/ckpt")
+          .outputMode("append")
+          .start()
+        drainStagedReplay(q, nFiles = 3)
+      }
+      s.read.schema("user_id BIGINT, event_id BIGINT")
+        .parquet(s"$root/out")
+        .select($"user_id", $"event_id")
+        .orderBy($"user_id")
     }),
 
     // Ljung–Box portmanteau test (lags 1..7) on each type's daily
@@ -598,6 +757,23 @@ object Frontier5 {
          FROM drp d, mx m
          ORDER BY 1, 2"""
     },
+
+    // one-pass admission replay: first 5 per user in event_id order,
+    // with the running admitted-count
+    "q195_quota_ivm" ->
+      """SELECT user_id, event_id, CAST(rn AS BIGINT) AS n_allowed
+         FROM (
+           SELECT user_id, event_id,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY event_id) AS rn
+           FROM events) t
+         WHERE rn <= 5 ORDER BY user_id, event_id""",
+
+    // windowed first-seen dedup with the window (TTL) wider than the
+    // replay: exactly the per-user global first event
+    "q196_ttl_ivm" ->
+      """SELECT user_id, CAST(min(event_id) AS BIGINT) AS event_id
+         FROM events GROUP BY user_id ORDER BY user_id""",
 
     "q187_ljung_box" ->
       """WITH daily AS (

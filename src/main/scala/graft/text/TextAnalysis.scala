@@ -160,16 +160,19 @@ object TextAnalysis {
 
     // Heavy hitters via the SpaceSaving sketch aggregate (bounded
     // memory per group regardless of stream length — the 100 TB
-    // shape; see SpaceSavingAgg). Capacity 4096 exceeds the
-    // per-language vocabulary of every gate corpus through sf100
-    // (the synthetic vocab is ~31 tokens/lang, ×10 per Sf1Probe
-    // decade), so the sketch is provably EXACT at gate scales and
-    // the oracle is a plain GROUP BY count top-10 — the eviction and
-    // merge paths (the real-corpus regime, where vocabulary always
-    // exceeds ANY fixed capacity) are pinned by SpaceSavingSpec, and
-    // the r15 sf1 gate verified the ε-contract numerically when the
-    // old capacity 256 fell below the renamed sf1 vocab (PLANS.md:
-    // no under-estimates, over-estimates ≤ N/m on every language).
+    // shape; see SpaceSavingAgg). Exactness bound, stated as
+    // arithmetic (r15 ADVICE): the synthetic vocab is ~31 tokens/lang
+    // at base, ×10 per Sf1Probe decade, so capacity 4096 exceeds it
+    // THROUGH sf10 (~3,100) but NOT at sf100 (~31,000) — within the
+    // bound the sketch is provably EXACT and the oracle is a plain
+    // GROUP BY count top-10; an sf100 gate would need a capacity bump
+    // (m ≳ 31·10^decades) or an ε-aware oracle for this row. The
+    // eviction and merge paths (the real-corpus regime, where
+    // vocabulary always exceeds ANY fixed capacity) are pinned by
+    // SpaceSavingSpec, and the r15 sf1 gate verified the ε-contract
+    // numerically when the old capacity 256 fell below the renamed
+    // sf1 vocab (PLANS.md: no under-estimates, over-estimates ≤ N/m
+    // on every language).
     // The sketch array arrives sorted (est desc, item asc), so
     // top-10 is a slice, no window.
     "text_heavy_hitters" -> ((s, d) => {
