@@ -22,15 +22,28 @@ import java.util.{Map => JMap}
   *   spark.readStream.format("kinesis-registry")
   *     .option("registryId", "cli").option("stream", "my-stream").load()
   *
-  * Schema: `seq long, data binary, partition_key string` — seq is the
-  * record's position in the shard-like registry (per-key FIFO order is
-  * the sink's delivery guarantee, §1.4). Offsets are positions into
-  * the append-only registry, so micro-batches are replayable slices —
-  * the same recovery contract a real Kinesis consumer gets from
-  * sequence numbers. Local-mode scope by design: the registry lives in
-  * the shared JVM, exactly like the InMemoryRecordsClient transport it
-  * reads from (an SDK-backed consumer would swap in GetRecords against
-  * real shards behind the same offset model).
+  * Schema: `seq long, data binary, partition_key string,
+  * shard_id string` — seq is the record's position WITHIN its shard
+  * (per-key FIFO order is the sink's delivery guarantee, §1.4).
+  * Offsets are per-shard positions into the append-only shards, so
+  * micro-batches are replayable slices — the same recovery contract a
+  * real Kinesis consumer gets from sequence numbers.
+  *
+  * RESHARDING (r16): the registry models shard split/merge with
+  * parent/child lineage, and this source honors the real GetRecords
+  * contract — a child shard contributes NO records until every parent
+  * is CLOSED and fully drained to its end-sequence in the consumer's
+  * own committed offset (SdkShardFeed's comment block documents the
+  * SDK twin). Without that gate a split mid-stream would replay
+  * children before parents drain and break per-key ordering across
+  * the reshard boundary — the first operational event a production
+  * consumer hits. The gate lives in the OFFSET MODEL (latestOffset
+  * holds a child at its start position until the parents are drained
+  * in the start offset), so recovery/replay slices inherit it for
+  * free. Local-mode scope by design: the registry lives in the shared
+  * JVM, exactly like the InMemoryRecordsClient transport it reads
+  * from (an SDK-backed consumer would swap in ListShards lineage +
+  * GetRecords against real shards behind the same offset model).
   */
 class KinesisRegistrySource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "kinesis-registry"
@@ -50,7 +63,8 @@ object KinesisRegistrySource {
   val schema: StructType = StructType(Seq(
     StructField("seq", LongType, nullable = false),
     StructField("data", BinaryType),
-    StructField("partition_key", StringType)))
+    StructField("partition_key", StringType),
+    StructField("shard_id", StringType)))
 }
 
 class KinesisRegistryTable(registryId: String, stream: String)
@@ -74,34 +88,81 @@ class KinesisRegistryScanBuilder(registryId: String, stream: String)
     new KinesisRegistryMicroBatchStream(registryId, stream)
 }
 
-/** Offset = number of records ever appended (the registry is
-  * append-only, like a shard); a batch is the [start, end) slice.
+/** Offset = per-shard consumed positions (records read so far from
+  * each shard — sequence numbers, exactly like a checkpointed Kinesis
+  * consumer stores per shard). Serialized as sorted `id=pos` pairs so
+  * the json is stable for checkpoint replay; shards not yet present
+  * in the map are at position 0.
   */
-case class RegistryOffset(pos: Long) extends Offset {
-  override def json(): String = pos.toString
+case class RegistryShardsOffset(pos: Map[String, Long]) extends Offset {
+  override def json(): String =
+    pos.toSeq.sorted.map { case (id, p) => s"$id=$p" }.mkString(";")
+}
+
+object RegistryShardsOffset {
+  def parse(json: String): RegistryShardsOffset =
+    RegistryShardsOffset(
+      if (json.isEmpty) Map.empty
+      else json.split(";").map { kv =>
+        val i = kv.lastIndexOf('=')
+        kv.substring(0, i) -> kv.substring(i + 1).toLong
+      }.toMap)
 }
 
 case class RegistrySlice(registryId: String, stream: String,
-    from: Long, until: Long) extends InputPartition
+    shardId: String, from: Long, until: Long) extends InputPartition
 
 class KinesisRegistryMicroBatchStream(registryId: String, stream: String)
-    extends MicroBatchStream {
+    extends MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming
+      .SupportsAdmissionControl {
+  import org.apache.spark.sql.connector.read.streaming.ReadLimit
 
-  override def initialOffset(): Offset = RegistryOffset(0L)
+  override def initialOffset(): Offset =
+    RegistryShardsOffset(Map.empty)
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  /** The lineage gate lives here: a shard's next position advances to
+    * its current size ONLY once every parent is closed and drained to
+    * its end-sequence in the START offset — the GetRecords contract
+    * (drain parents before children). A still-gated child stays at
+    * its start position, so the committed offsets never claim records
+    * the batch did not emit.
+    */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val st = start.asInstanceOf[RegistryShardsOffset].pos
+    val snap = InMemoryRecordsClient.shardSnapshot(registryId, stream)
+    val byId = snap.map(s => s.id -> s).toMap
+    def parentDrained(id: String): Boolean =
+      byId.get(id).exists(p => p.closed && st.getOrElse(id, 0L) >= p.size)
+    val next = snap.map { s =>
+      val from = st.getOrElse(s.id, 0L)
+      val until =
+        if (s.parents.forall(parentDrained)) math.max(from, s.size)
+        else from
+      s.id -> until
+    }.toMap
+    RegistryShardsOffset(next)
+  }
 
   override def latestOffset(): Offset =
-    RegistryOffset(
-      InMemoryRecordsClient.recordsFor(registryId, stream).size.toLong)
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) should be called instead " +
+        "(SupportsAdmissionControl)")
 
   override def deserializeOffset(json: String): Offset =
-    RegistryOffset(json.toLong)
+    RegistryShardsOffset.parse(json)
 
   override def planInputPartitions(start: Offset, end: Offset)
       : Array[InputPartition] = {
-    val s = start.asInstanceOf[RegistryOffset].pos
-    val e = end.asInstanceOf[RegistryOffset].pos
-    if (e <= s) Array.empty
-    else Array(RegistrySlice(registryId, stream, s, e))
+    val s = start.asInstanceOf[RegistryShardsOffset].pos
+    val e = end.asInstanceOf[RegistryShardsOffset].pos
+    e.toSeq.sortBy(_._1).flatMap { case (id, until) =>
+      val from = s.getOrElse(id, 0L)
+      if (until <= from) None
+      else Some(RegistrySlice(registryId, stream, id, from, until))
+    }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -111,15 +172,16 @@ class KinesisRegistryMicroBatchStream(registryId: String, stream: String)
         val slice = partition.asInstanceOf[RegistrySlice]
         new PartitionReader[InternalRow] {
           private val records = InMemoryRecordsClient
-            .recordsFor(slice.registryId, slice.stream)
-            .slice(slice.from.toInt, slice.until.toInt)
+            .recordsSlice(slice.registryId, slice.stream, slice.shardId,
+              slice.from, slice.until)
             .zipWithIndex.iterator
           private var current: InternalRow = _
           override def next(): Boolean = {
             if (records.hasNext) {
               val (r, i) = records.next()
               current = InternalRow(slice.from + i, r.data,
-                UTF8String.fromString(r.partitionKey))
+                UTF8String.fromString(r.partitionKey),
+                UTF8String.fromString(slice.shardId))
               true
             } else false
           }
