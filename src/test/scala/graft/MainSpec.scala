@@ -112,6 +112,70 @@ class MainSpec extends SparkSpec {
       """{"LogEntry":"[Wed Aug 12 05:00:02 2026] [error] disk full","LogFile":"ErrorLog"}""").sorted)
   }
 
+  test("functest twin: httpd.conf's two pipe scenarios through Main " +
+      "→ sink → registry readback, one assertion chain") {
+    // The reference ships a docker functest wiring Apache to the
+    // binary twice, BOTH into stream "Test" (functest/apachelogs/
+    // httpd.conf): ErrorLog '|… --format line --output-format json
+    // --add-entry LogFile=HTTPErrorLog Test' (httpd.conf:182) and
+    // CustomLog '|… --format json Test' with the accessjson
+    // LogFormat (httpd.conf:192–204). This drives both scenarios
+    // through the REAL CLI stdin path into one registry stream and
+    // reads the stream back through the kinesis-registry consumer —
+    // payloads, partition keys, and cross-scenario per-shard order
+    // asserted in one place.
+    InMemoryRecordsClient.clear()
+    val client = new InMemoryRecordsClient("functest")
+    // scenario 1 — ErrorLog pipe (line mode, wrap + enrich)
+    val errCfg = Main.parse(Seq("--format", "line",
+      "--output-format", "json",
+      "--add-entry", "LogFile=HTTPErrorLog", "--stdin", "Test"))
+      .toOption.get
+    Main.runStdin(spark, errCfg,
+      new java.io.ByteArrayInputStream(
+        ("[Wed Aug 12 05:00:01 2026] [warn] worker exiting\n" +
+          "[Wed Aug 12 05:00:02 2026] [error] disk full\n")
+          .getBytes("UTF-8")),
+      client, Files.createTempDirectory("graft-ft-err-ck").toString)
+    // scenario 2 — CustomLog pipe (json mode, accessjson-shaped
+    // records, canonical re-marshal)
+    val accCfg = Main.parse(Seq("--format", "json", "--stdin", "Test"))
+      .toOption.get
+    Main.runStdin(spark, accCfg,
+      new java.io.ByteArrayInputStream(
+        ("""{"Status": 200, "RequestMethod": "GET", "UrlPath": "/"}""" +
+          "\n" +
+          """{"Status": 404, "RequestMethod": "GET", "UrlPath": "/x"}""" +
+          "\n").getBytes("UTF-8")),
+      client, Files.createTempDirectory("graft-ft-acc-ck").toString)
+
+    // readback through the consumer source — the downstream half of
+    // the loop the reference's functest never verifies
+    val q = spark.readStream.format("kinesis-registry")
+      .option("registryId", "functest").option("stream", "Test").load()
+      .selectExpr("seq", "CAST(data AS STRING) AS rec",
+        "partition_key", "shard_id")
+      .writeStream.format("memory").queryName("functest_twin")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    import spark.implicits._
+    val rows = spark.table("functest_twin")
+      .as[(Long, String, String, String)].collect().sortBy(_._1)
+    q.stop()
+
+    // one host, no reshard → one shard; seq IS the delivery order:
+    // scenario 1's two records precede scenario 2's, each in input
+    // order (K1 same-key FIFO, §1.4)
+    assert(rows.map(_._2).toSeq == Seq(
+      """{"LogEntry":"[Wed Aug 12 05:00:01 2026] [warn] worker exiting","LogFile":"HTTPErrorLog"}""",
+      """{"LogEntry":"[Wed Aug 12 05:00:02 2026] [error] disk full","LogFile":"HTTPErrorLog"}""",
+      """{"RequestMethod":"GET","Status":200.0,"UrlPath":"/"}""",
+      """{"RequestMethod":"GET","Status":404.0,"UrlPath":"/x"}"""))
+    // K1: every record carries the host partition key (hostid chain)
+    assert(rows.map(_._3).toSet == Set(graft.sinks.HostId.cached))
+    assert(rows.map(_._4).toSet.size == 1, "single-host → one shard")
+  }
+
   test("stdin spooler rolls only at newline boundaries and keeps the EOF tail") {
     val dir = Files.createTempDirectory("graft-spool-spec")
     // 1-byte roll threshold forces a roll attempt after every read;
