@@ -28,7 +28,8 @@ object SparkEntry {
       graft.text.Bpe.queries ++ graft.queries.Frontier.queries ++
       graft.queries.Frontier2.queries ++
       graft.queries.Frontier3.queries ++
-      graft.queries.Frontier4.queries ++ graft.queries.Frontier5.queries
+      graft.queries.Frontier4.queries ++ graft.queries.Frontier5.queries ++
+      graft.queries.Frontier6.queries
 
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Analytics.oracles ++ LogOps.oracles ++
@@ -38,5 +39,6 @@ object SparkEntry {
       graft.text.Bpe.oracles ++ graft.queries.Frontier.oracles ++
       graft.queries.Frontier2.oracles ++
       graft.queries.Frontier3.oracles ++
-      graft.queries.Frontier4.oracles ++ graft.queries.Frontier5.oracles
+      graft.queries.Frontier4.oracles ++ graft.queries.Frontier5.oracles ++
+      graft.queries.Frontier6.oracles
 }

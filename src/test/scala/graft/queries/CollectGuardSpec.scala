@@ -113,6 +113,12 @@ class CollectGuardSpec extends SparkSpec {
     "q187_ljung_box" -> "per-type 7-lag rho panel (lag literal grid)",
     "q191_tukey_hsd" -> "weekday enum panel, <= 7 rows",
     "q192_bartlett" -> "weekday enum panel, <= 7 rows",
+    "q198_g_test" -> "cell table, event-type enum x 7 weekdays",
+    "q199_cronbach_alpha" ->
+      "per-item moment panel, bounded by the event-type enum",
+    "q200_psi" -> "decile x half count cells, <= 10 rows",
+    "q202_nelson_aalen" ->
+      "months-bounded risk table (q120's frame, <= span/30 rows)",
     "q188_mood_median" -> "segment enum panel, <= |segments| rows",
     "q189_cramers_v" ->
       "contingency cell grids, key-domain-bounded (25x50 max)",

@@ -55,6 +55,8 @@ class WindowGuardSpec extends SparkSpec {
       "windows over the count-of-counts table, bounded by distinct multiplicities, never by keys",
     "q120_survival_km" ->
       "reverse cumulative over the months-bounded risk table (<= span/30 rows at any corpus size)",
+    "q202_nelson_aalen" ->
+      "reverse cumulative over the months-bounded risk table (q120's frame; <= span/30 rows at any corpus size)",
     "q133_rfm_migration" ->
       "period-offset windows over the 2-row period table; per-period ranks ride PrefixSum",
     "pipeline_quality_classifier" ->
