@@ -114,6 +114,7 @@ class CollectGuardSpec extends SparkSpec {
     "q191_tukey_hsd" -> "weekday enum panel, <= 7 rows",
     "q192_bartlett" -> "weekday enum panel, <= 7 rows",
     "q198_g_test" -> "cell table, event-type enum x 7 weekdays",
+    "q206_cmh" -> "per-stratum 2x2 panel, region enum (5 rows)",
     "q199_cronbach_alpha" ->
       "per-item moment panel, bounded by the event-type enum",
     "q200_psi" -> "decile x half count cells, <= 10 rows",
