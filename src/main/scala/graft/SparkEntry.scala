@@ -29,7 +29,8 @@ object SparkEntry {
       graft.queries.Frontier2.queries ++
       graft.queries.Frontier3.queries ++
       graft.queries.Frontier4.queries ++ graft.queries.Frontier5.queries ++
-      graft.queries.Frontier6.queries ++ graft.queries.Frontier7.queries
+      graft.queries.Frontier6.queries ++ graft.queries.Frontier7.queries ++
+      graft.queries.LlmFrontier.queries
 
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Analytics.oracles ++ LogOps.oracles ++
@@ -40,5 +41,6 @@ object SparkEntry {
       graft.queries.Frontier2.oracles ++
       graft.queries.Frontier3.oracles ++
       graft.queries.Frontier4.oracles ++ graft.queries.Frontier5.oracles ++
-      graft.queries.Frontier6.oracles ++ graft.queries.Frontier7.oracles
+      graft.queries.Frontier6.oracles ++ graft.queries.Frontier7.oracles ++
+      graft.queries.LlmFrontier.oracles
 }

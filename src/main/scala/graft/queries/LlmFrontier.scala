@@ -1,0 +1,273 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{Q, Tables}
+
+/** Round-16 frontier (batch 4): LLM-training data ops — hard-negative
+  * mining for contrastive/embedding training (the triplet-margin read
+  * every retriever-distillation pipeline runs), Matryoshka
+  * dimension-truncation evaluation (recall@10 of prefix-dim search vs
+  * full-dim truth — the "how small can the serving dim go" knob), and
+  * T5-style span-corruption planning (deterministic mask-span layout
+  * + stats, the denoising-objective twin of pipeline_vocab_encode's
+  * encoding pass).
+  *
+  * Reference note: the reference engine (`/root/reference/`, a Go log
+  * forwarder — SURVEY.md §1) has no analytics surface; these extend
+  * the LLM-pipeline families (SURVEY §2c). House disciplines: exact
+  * integer domains (recall/mask counts are exact longs, one final
+  * IEEE divide), the index-ordered left-fold cosine shared with the
+  * ANN family (bit-replayable in DuckDB), deterministic integer
+  * hashing generated from ONE Scala builder for both engines, and
+  * query workloads capped at the eval tier (vec_id % 100) so the
+  * brute-force truth stays corpus-size-bounded per query.
+  */
+object LlmFrontier {
+
+  /** The mix32 scramble (sim.Similarity.mix32) inlined as an engine-
+    * portable SQL string over expression `x`: every intermediate fits
+    * a signed 64-bit integer WITHOUT wraparound — the input is first
+    * reduced mod 2³¹−1 so the 2654435761 multiply peaks at ~5.7e18
+    * < 2⁶³ (DuckDB errors on BIGINT overflow; Spark would silently
+    * wrap — the pre-reduction keeps both on the same exact values).
+    * Both the Spark expression and the DuckDB oracle are generated
+    * from THIS builder, so cross-engine parity is by construction.
+    * Spark and DuckDB both parse `%`, `&`-free arithmetic, `>>` and
+    * named `xor(a, b)`... except Spark's xor is the `^` operator and
+    * DuckDB's is `xor(...)`, so the op is a parameter.
+    */
+  private def mixSql(x: String, xor: (String, String) => String,
+      shr16: String => String): String = {
+    val s0 = s"(($x) % 2147483647)"
+    val v1 = s"(($s0 * 2654435761) % 4294967296)"
+    val v2 = xor(v1, shr16(v1))
+    val v3 = s"(($v2 * 40503) % 4294967296)"
+    xor(v3, shr16(v3))
+  }
+  private def sparkMix(x: String): String =
+    mixSql(x, (a, b) => s"($a ^ $b)", v => s"shiftright($v, 16)")
+  private def duckMix(x: String): String =
+    mixSql(x, (a, b) => s"xor($a, $b)", v => s"($v >> 16)")
+
+  /** Span-corruption layout constants: a span STARTS at token i when
+    * mix(doc_id·1000003 + i) ≡ 0 (mod 20) — ~5 % start rate — and
+    * covers 3 tokens (clipped at the document end): ~15 % expected
+    * mask rate, the T5 default neighborhood.
+    */
+  private val SpanSeed = 1000003L
+  private val StartMod = 20L
+  private val SpanLen = 3L
+
+  def queries: Map[String, Q] = Map(
+
+    // Hard-negative mining: for every query vector, the top-5 most
+    // similar corpus vectors with a DIFFERENT label (the "hard"
+    // negatives a contrastive trainer wants — near the query but
+    // wrong), each with the query's best same-label positive cosine
+    // and the triplet margin pos − neg (negative margin = the
+    // negative OUTSCORES every positive — the rows that dominate the
+    // gradient). Plan: the ann_bruteforce skeleton (query side
+    // broadcast — eval tier, corpus side stays a scan; one fused
+    // codegen cosine), WindowGroupLimit partial top-k per map side
+    // for BOTH the negative top-5 and the positive top-1, then a
+    // queries×1-row broadcast join stitches the margin. At 100 TB the
+    // exact scan is the eval-tier truth path (queries are capped);
+    // the production candidate path is the LSH/IVF family.
+    "ann_hard_negatives" -> ((s, d) => {
+      val e = Tables.load(s, d, "embeddings")
+      val q = e.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          col("label").as("q_label"))
+      val scored = e.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("cosine",
+          graft.dedup.Dedup.cosine(col("q_emb"), col("embedding")))
+      val wq = Window.partitionBy(col("q_id"))
+        .orderBy(desc("cosine"), col("vec_id"))
+      val negs = scored.filter(col("label") =!= col("q_label"))
+        .withColumn("rank", row_number().over(wq).cast("long"))
+        .filter(col("rank") <= 5)
+      val pos1 = scored.filter(col("label") === col("q_label"))
+        .withColumn("prank", row_number().over(wq))
+        .filter(col("prank") === 1)
+        .select(col("q_id"), col("cosine").as("pos_cosine"))
+      negs.join(broadcast(pos1), Seq("q_id"))
+        .select(col("q_id"), col("rank"), col("vec_id"),
+          col("cosine").as("neg_cosine"), col("pos_cosine"),
+          Tables.nz(round(col("pos_cosine") - col("cosine"), 6))
+            .as("margin"))
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
+    // Matryoshka truncation eval: recall@10 of brute-force search
+    // over the first `dim` embedding dimensions against the full-dim
+    // brute-force truth, for dim ∈ {8, 16, 32, 64} — the measurement
+    // behind prefix-truncatable (MRL) embeddings: how much recall
+    // does a 8×-smaller serving vector give up. The dim = 64 row IS
+    // the truth run (recall exactly 1.0 — a built-in sanity row).
+    // Plan: ONE query-broadcast × corpus scan (eval-tier workload),
+    // exploded 4× by the dim literal grid BEFORE the cosine so each
+    // (query, dim) ranks its own prefix-cosine; WindowGroupLimit
+    // bounds each map side at 10; overlap vs the dim-64 set is an
+    // exact integer join-count per (dim), and recall is ONE final
+    // IEEE divide of exact longs. 100 TB: 4× the ann_bruteforce scan
+    // cost on the capped query tier; everything after the top-10s is
+    // (4·|queries|·10)-row arithmetic.
+    "emb_matryoshka_eval" -> ((s, d) => {
+      val e = Tables.load(s, d, "embeddings")
+      val q = e.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val wq = Window.partitionBy(col("dim"), col("q_id"))
+        .orderBy(desc("cosine"), col("vec_id"))
+      val top = e.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("dim", explode(expr("array(8, 16, 32, 64)")))
+        .withColumn("cosine", graft.dedup.Dedup.cosine(
+          expr("slice(q_emb, 1, dim)"), expr("slice(embedding, 1, dim)")))
+        .withColumn("rank", row_number().over(wq))
+        .filter(col("rank") <= 10)
+        .select(col("dim").cast("long").as("dim"), col("q_id"),
+          col("vec_id"))
+      // left join + hit marker, NOT a semi join: a query whose
+      // truncated top-10 overlaps the truth in ZERO rows must still
+      // count in the recall denominator
+      val truth = top.filter(col("dim") === 64L)
+        .select(col("q_id"), col("vec_id"), lit(1L).as("hit"))
+      top.join(truth, Seq("q_id", "vec_id"), "left")
+        .groupBy(col("dim"))
+        .agg(countDistinct(col("q_id")).as("n_queries"),
+          sum(coalesce(col("hit"), lit(0L))).as("sum_overlap"))
+        .select(col("dim"), col("n_queries"), col("sum_overlap"),
+          Tables.nz(round(col("sum_overlap").cast("double") /
+            (lit(10.0) * col("n_queries").cast("double")), 4))
+            .as("recall_at_10"))
+        .orderBy(col("dim"))
+    }),
+
+    // T5-style span-corruption plan: per document, the deterministic
+    // mask-span layout (starts from the mix32 scramble of
+    // doc_id·P + token index, spans of 3 clipped at the end) and its
+    // stats — token count, span count, masked-token count, realized
+    // mask rate, and the md5 fingerprint of the exact masked index
+    // set (the gate-hashable stand-in for the mask arrays a trainer
+    // materializes; the emb_quantize lesson — the driver's compare
+    // can't sort raw arrays). Row-local over the scan: tokens are the
+    // house whitespace split, starts a filter over the index range,
+    // masked indices the deduped union of 3-token windows — zero
+    // shuffles before the display sort. Determinism is the point:
+    // ANY engine (and any retry, any partitioning) lays out the SAME
+    // spans, so the corruption plan is reproducible data, not
+    // run-state — the DuckDB oracle replays the identical scramble
+    // from the same builder.
+    "pipeline_span_corruption" -> ((s, d) => {
+      val mix = sparkMix(s"doc_id * $SpanSeed + i")
+      Tables.spread(Tables.load(s, d, "documents"))
+        .select(col("doc_id"),
+          size(split(lower(col("text")), "\\s+")).cast("long").as("n"))
+        .withColumn("starts", expr(
+          s"filter(sequence(0L, n - 1L), i -> $mix % $StartMod = 0)"))
+        .withColumn("masked", expr(
+          s"""array_sort(array_distinct(flatten(transform(starts,
+              s -> sequence(s, least(s + ${SpanLen - 1}L, n - 1L))))))"""))
+        .select(col("doc_id"), col("n").as("n_tokens"),
+          size(col("starts")).cast("long").as("n_spans"),
+          size(col("masked")).cast("long").as("n_masked"),
+          Tables.nz(round(size(col("masked")).cast("double") /
+            col("n").cast("double"), 4)).as("mask_rate"),
+          md5(concat_ws(",",
+            expr("transform(masked, i -> cast(i as string))")))
+            .as("mask_fp"))
+        .orderBy(col("doc_id"))
+    }))
+
+  def oracles: Map[String, String] = {
+    val cos = graft.sim.Similarity.cosSql _
+    Map(
+
+      "ann_hard_negatives" ->
+        s"""WITH q AS (
+             SELECT vec_id AS q_id, embedding AS q_emb,
+               label AS q_label
+             FROM embeddings WHERE vec_id % 100 = 0),
+           scored AS (
+             SELECT q.q_id, q.q_label, e.vec_id, e.label,
+               ${cos("q.q_emb", "e.embedding")} AS cosine
+             FROM embeddings e CROSS JOIN q
+             WHERE e.vec_id <> q.q_id),
+           negs AS (
+             SELECT q_id, vec_id, cosine,
+               row_number() OVER (PARTITION BY q_id
+                 ORDER BY cosine DESC, vec_id) AS rank
+             FROM scored WHERE label <> q_label),
+           pos1 AS (
+             SELECT q_id, cosine AS pos_cosine FROM (
+               SELECT q_id, cosine,
+                 row_number() OVER (PARTITION BY q_id
+                   ORDER BY cosine DESC, vec_id) AS prank
+               FROM scored WHERE label = q_label) p
+             WHERE prank = 1)
+           SELECT n.q_id, CAST(n.rank AS BIGINT) AS rank, n.vec_id,
+             n.cosine AS neg_cosine, p.pos_cosine,
+             round(p.pos_cosine - n.cosine, 6) + 0.0 AS margin
+           FROM negs n JOIN pos1 p ON n.q_id = p.q_id
+           WHERE n.rank <= 5
+           ORDER BY n.q_id, n.rank""",
+
+      "emb_matryoshka_eval" ->
+        s"""WITH q AS (
+             SELECT vec_id AS q_id, embedding AS q_emb
+             FROM embeddings WHERE vec_id % 100 = 0),
+           top AS (
+             SELECT dim, q_id, vec_id FROM (
+               SELECT d.dim, q.q_id, e.vec_id,
+                 row_number() OVER (PARTITION BY d.dim, q.q_id
+                   ORDER BY ${cos("list_slice(q.q_emb, 1, d.dim)",
+                       "list_slice(e.embedding, 1, d.dim)")} DESC,
+                     e.vec_id) AS rank
+               FROM embeddings e
+               CROSS JOIN q
+               CROSS JOIN (SELECT unnest([8, 16, 32, 64]) AS dim) d
+               WHERE e.vec_id <> q.q_id) t
+             WHERE rank <= 10),
+           truth AS (
+             SELECT q_id, vec_id, 1 AS hit FROM top WHERE dim = 64)
+           SELECT CAST(t.dim AS BIGINT) AS dim,
+             CAST(count(DISTINCT t.q_id) AS BIGINT) AS n_queries,
+             CAST(sum(COALESCE(tr.hit, 0)) AS BIGINT) AS sum_overlap,
+             round(CAST(sum(COALESCE(tr.hit, 0)) AS DOUBLE) /
+               (10.0 * CAST(count(DISTINCT t.q_id) AS DOUBLE)), 4)
+               + 0.0 AS recall_at_10
+           FROM top t
+           LEFT JOIN truth tr ON t.q_id = tr.q_id
+             AND t.vec_id = tr.vec_id
+           GROUP BY t.dim ORDER BY dim""",
+
+      "pipeline_span_corruption" -> {
+        val mix = duckMix(s"doc_id * $SpanSeed + i")
+        s"""WITH toks AS (
+             SELECT doc_id,
+               CAST(len(string_split_regex(lower(text), '\\s+'))
+                 AS BIGINT) AS n
+             FROM documents),
+           spans AS (
+             SELECT doc_id, n,
+               list_filter(range(0, n), i -> $mix % $StartMod = 0)
+                 AS starts
+             FROM toks),
+           masked AS (
+             SELECT doc_id, n, starts,
+               list_sort(list_distinct(flatten(list_transform(starts,
+                 s -> range(s, least(s + $SpanLen, n)))))) AS m
+             FROM spans)
+           SELECT doc_id, n AS n_tokens,
+             CAST(len(starts) AS BIGINT) AS n_spans,
+             CAST(len(m) AS BIGINT) AS n_masked,
+             round(CAST(len(m) AS DOUBLE) / CAST(n AS DOUBLE), 4)
+               + 0.0 AS mask_rate,
+             md5(COALESCE(array_to_string(m, ','), '')) AS mask_fp
+           FROM masked ORDER BY doc_id"""
+      })
+  }
+}
