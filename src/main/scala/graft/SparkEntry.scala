@@ -30,7 +30,7 @@ object SparkEntry {
       graft.queries.Frontier3.queries ++
       graft.queries.Frontier4.queries ++ graft.queries.Frontier5.queries ++
       graft.queries.Frontier6.queries ++ graft.queries.Frontier7.queries ++
-      graft.queries.LlmFrontier.queries
+      graft.queries.LlmFrontier.queries ++ graft.queries.Frontier8.queries
 
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Analytics.oracles ++ LogOps.oracles ++
@@ -42,5 +42,5 @@ object SparkEntry {
       graft.queries.Frontier3.oracles ++
       graft.queries.Frontier4.oracles ++ graft.queries.Frontier5.oracles ++
       graft.queries.Frontier6.oracles ++ graft.queries.Frontier7.oracles ++
-      graft.queries.LlmFrontier.oracles
+      graft.queries.LlmFrontier.oracles ++ graft.queries.Frontier8.oracles
 }
