@@ -70,9 +70,12 @@ object Frontier5 {
       q: org.apache.spark.sql.streaming.StreamingQuery,
       nFiles: Int): Unit = {
     val deadlineNs = System.nanoTime() + 600L * 1000000000L
+    // forall, not head: a two-source query (q212's stream-stream
+    // join) drains only when EVERY file source reached its last
+    // staged file; single-source queries are unchanged
     def drained: Boolean = Option(q.lastProgress).exists { p =>
-      p.sources.nonEmpty && {
-        val eo = p.sources.head.endOffset
+      p.sources.nonEmpty && p.sources.forall { s =>
+        val eo = s.endOffset
         eo != null && eo.contains("\"logOffset\":" + (nFiles - 1))
       }
     }
@@ -233,6 +236,81 @@ object Frontier5 {
         .parquet(s"$root/out")
         .select($"user_id", $"event_id")
         .orderBy($"user_id")
+    }),
+
+    // Driver-gated parity row for the stream-stream interval join —
+    // the last spec-only streaming operator after q195/q196 closed
+    // the v2 processors. Clicks and purchases are staged as two
+    // SEPARATE file-source streams, each cut into the same
+    // EVENT-TIME thirds (min/max-µs driver scalars), so arrival
+    // order respects event time and the 1 h watermark can never drop
+    // a row: a click expires from join state only once the watermark
+    // passes click_ts + 30 min, and any purchase it could still
+    // match would itself lie beyond that watermark — so the staged
+    // replay through the PRODUCTION intervalJoinStream (symmetric
+    // hash join, real RocksDB store, both sides watermarked,
+    // maxFilesPerTrigger=1 advancing the two sources in lockstep)
+    // emits EXACTLY the batch interval join, which is what the
+    // oracle replays. The hash match proves buffered-side state
+    // carries matches across micro-batch boundaries (a batch-2
+    // purchase finds its batch-1 click) without duplication.
+    "q212_interval_join_ivm" -> ((s, d) => {
+      import s.implicits._
+      val ev = Tables.load(s, d, "events")
+        .filter($"event_type".isin("click", "purchase"))
+        .select($"user_id", $"ts", $"event_id", $"value",
+          $"event_type", unix_micros($"ts").as("us"))
+      val mm = ev.agg(min($"us"), max($"us")).first
+      val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+      val t1 = lo + (hi - lo) / 3L
+      val t2 = lo + (2L * (hi - lo)) / 3L
+      val root = ScratchDir.path(
+        s"ijoin_ivm_${ivmRun.incrementAndGet()}")
+      def thirds(df: DataFrame): Seq[DataFrame] = Seq(
+        df.filter($"us" <= t1), df.filter($"us" > t1 && $"us" <= t2),
+        df.filter($"us" > t2))
+      val cStage = stageBatches(s"$root/clicks", thirds(
+        ev.filter($"event_type" === "click")
+          .select($"user_id", $"ts", $"event_id", $"us")))
+      val pStage = stageBatches(s"$root/purchases", thirds(
+        ev.filter($"event_type" === "purchase")
+          .select($"user_id", $"ts", $"event_id", $"value", $"us")))
+      // 4 state partitions, not the session's 32: the symmetric hash
+      // join opens/commits FOUR RocksDB stores per partition per
+      // micro-batch (left/right × keyToNumValues/keyWithIndexToValue)
+      // — at 32 partitions × 3 batches that store churn IS the wall
+      // (measured at sf0.1: 12.7 s @32 → 8.1 @8 → 7.1 @4, cpu 105 →
+      // 26). A production stream sizes this to its rate; a 3-batch
+      // staged replay doesn't need parallel state. Fresh checkpoint
+      // per run, so the partition count is free to differ from the
+      // session's; the conf is restored right after the stream stops.
+      val spKey = "spark.sql.shuffle.partitions"
+      val spPrev = s.conf.get(spKey)
+      s.conf.set(spKey, "4")
+      try withRocksDb(s) {
+        val clicks = s.readStream
+          .schema("user_id BIGINT, ts TIMESTAMP, event_id BIGINT, us BIGINT")
+          .option("maxFilesPerTrigger", "1").parquet(cStage)
+        val purchases = s.readStream
+          .schema("user_id BIGINT, ts TIMESTAMP, event_id BIGINT, " +
+            "value DOUBLE, us BIGINT")
+          .option("maxFilesPerTrigger", "1").parquet(pStage)
+        val q = graft.streaming.StreamOps
+          .intervalJoinStream(clicks, purchases)
+          .writeStream.format("parquet")
+          .option("path", s"$root/out")
+          .option("checkpointLocation", s"$root/ckpt")
+          .outputMode("append")
+          .start()
+        drainStagedReplay(q, nFiles = 3)
+      } finally s.conf.set(spKey, spPrev)
+      s.read.schema("user_id BIGINT, purchase_id BIGINT, " +
+          "purchase_ts TIMESTAMP, click_id BIGINT, " +
+          "click_ts TIMESTAMP, value DOUBLE")
+        .parquet(s"$root/out")
+        .select($"user_id", $"purchase_id", $"purchase_ts",
+          $"click_id", $"click_ts", $"value")
+        .orderBy($"purchase_id", $"click_id")
     }),
 
     // Ljung–Box portmanteau test (lags 1..7) on each type's daily
@@ -774,6 +852,19 @@ object Frontier5 {
     "q196_ttl_ivm" ->
       """SELECT user_id, CAST(min(event_id) AS BIGINT) AS event_id
          FROM events GROUP BY user_id ORDER BY user_id""",
+
+    // the batch interval join the staged streaming replay must equal
+    // (event-time-ordered arrival => the watermark drops nothing)
+    "q212_interval_join_ivm" ->
+      """SELECT p.user_id, p.event_id AS purchase_id,
+           p.ts AS purchase_ts, c.event_id AS click_id,
+           c.ts AS click_ts, p.value
+         FROM events p
+         JOIN events c ON c.user_id = p.user_id
+           AND c.ts <= p.ts
+           AND c.ts >= p.ts - INTERVAL 30 MINUTE
+         WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+         ORDER BY purchase_id, click_id""",
 
     "q187_ljung_box" ->
       """WITH daily AS (
