@@ -173,6 +173,46 @@ object Frontier8 {
             .as("es95_dollars"))
     }),
 
+    // Upper-tail dependence of daily (spend, volume): given a
+    // top-decile spend day, how often is volume ALSO top-decile —
+    // the λ_U estimator P(Y > q_Y | X > q_X) at u = 0.9. Pearson
+    // (q43) reads average co-movement; tail dependence reads the
+    // co-movement of EXTREMES, which is what capacity planning and
+    // incident correlation actually ask (under independence the
+    // conditional rate would be 0.1; the output exposes that
+    // baseline implicitly via the marginal counts). Plan: the daily
+    // panel, the two 0.9-quantiles in ONE percentile_cont row
+    // broadcast back (q197/q206 pattern), one conditional aggregate
+    // of exact counts, one final IEEE divide.
+    "q214_tail_dependence" -> ((s, d) => {
+      import s.implicits._
+      val daily = Tables.load(s, d, "events")
+        .select(to_date($"ts").as("day"),
+          round($"value" * 100).cast("long").as("cents"))
+        .groupBy($"day")
+        .agg(sum($"cents").as("y"), count(lit(1)).as("v"))
+      val qs = daily.agg(
+        expr("percentile_cont(0.9) WITHIN GROUP (ORDER BY y)")
+          .as("qy"),
+        expr("percentile_cont(0.9) WITHIN GROUP (ORDER BY v)")
+          .as("qv"))
+      daily.crossJoin(broadcast(qs))
+        .agg(count(lit(1)).as("n_days"),
+          sum(when($"y".cast("double") > $"qy", 1L).otherwise(0L))
+            .as("n_tail_spend"),
+          sum(when($"v".cast("double") > $"qv", 1L).otherwise(0L))
+            .as("n_tail_volume"),
+          sum(when($"y".cast("double") > $"qy" &&
+            $"v".cast("double") > $"qv", 1L).otherwise(0L))
+            .as("n_joint"))
+        .select($"n_days", $"n_tail_spend", $"n_tail_volume",
+          $"n_joint",
+          Tables.nz(round(when($"n_tail_spend" === 0L,
+              lit(null).cast("double"))
+            .otherwise($"n_joint".cast("double") /
+              $"n_tail_spend".cast("double")), 4)).as("lambda_u"))
+    }),
+
     // Newey–West HAC long-run variance of daily spend (Bartlett
     // kernel, L = 7 lags): γ₀ + 2Σ w_l·γ_l with w_l = 1 − l/(L+1),
     // where γ_l uses the GLOBAL mean and the 1/N convention — the
@@ -338,6 +378,35 @@ object Frontier8 {
              ELSE CAST(tail_cents AS DOUBLE)
                   / CAST(n_tail AS DOUBLE) / 100.0 END, 4) + 0.0
              AS es95_dollars
+         FROM agg""",
+
+    "q214_tail_dependence" ->
+      s"""WITH daily AS (
+           SELECT CAST(ts AS DATE) AS day,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS y,
+             CAST(count(*) AS BIGINT) AS v
+           FROM events GROUP BY 1),
+         qs AS (
+           SELECT
+             percentile_cont(0.9) WITHIN GROUP (ORDER BY y) AS qy,
+             percentile_cont(0.9) WITHIN GROUP (ORDER BY v) AS qv
+           FROM daily),
+         agg AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_days,
+             CAST(sum(CASE WHEN CAST(y AS DOUBLE) > qy
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_tail_spend,
+             CAST(sum(CASE WHEN CAST(v AS DOUBLE) > qv
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_tail_volume,
+             CAST(sum(CASE WHEN CAST(y AS DOUBLE) > qy
+               AND CAST(v AS DOUBLE) > qv
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_joint
+           FROM daily, qs)
+         SELECT n_days, n_tail_spend, n_tail_volume, n_joint,
+           round(CASE WHEN n_tail_spend = 0 THEN NULL
+             ELSE CAST(n_joint AS DOUBLE)
+                  / CAST(n_tail_spend AS DOUBLE) END, 4) + 0.0
+             AS lambda_u
          FROM agg""",
 
     "q211_newey_west" ->

@@ -61,6 +61,91 @@ object Graph {
         .orderBy($"rank_scaled".desc, $"node").limit(100)
     }),
 
+    // Personalized PageRank: q62's random surfer, but every teleport
+    // lands on the SEED COHORT (nation-0 customers) instead of
+    // uniformly — "importance as seen FROM this cohort", the
+    // recommendation/expansion primitive (seed-biased crawl
+    // prioritization, related-entity retrieval) global PageRank
+    // cannot express. Same integer discipline as q62 (scaled longs,
+    // r div outdeg, 85·got div 100 — every truncation replays
+    // identically in the unrolled-CTE oracle) with TWO seed-aware
+    // changes: the teleport mass (0.15·S/|S| on seeds, zero
+    // elsewhere) is stitched back each round by a left join against
+    // the COHORT-SIZED seed set (size-gated broadcast — far smaller
+    // than a node-sized bias table), and the init puts the whole
+    // unit mass on the seeds (S div |S|). Nodes outside the
+    // seeds' reach stay exactly 0 through all rounds — integer zero
+    // flow, not float underflow — so the ranking is a true reach
+    // ordering. Per round: one size-gated broadcast join + one
+    // map-side-combined groupBy exchange, materialized per round
+    // (the q62 lineage discipline).
+    "q213_ppr" -> ((s, d) => {
+      import s.implicits._
+      val li = Tables.load(s, d, "lineitem")
+        .select($"l_orderkey", $"l_suppkey")
+      val ord = Tables.load(s, d, "orders")
+        .select($"o_orderkey", $"o_custkey")
+      val edges = li.join(ord, $"l_orderkey" === $"o_orderkey")
+        .select(($"o_custkey" * 2).as("src"),
+          ($"l_suppkey" * 2 + 1).as("dst"))
+        .select(explode(array(
+          struct($"src", $"dst"),
+          struct($"dst".as("src"), $"src".as("dst")))).as("e"))
+        .select($"e.src".as("src"), $"e.dst".as("dst"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val deg = edges.groupBy($"src").agg(count(lit(1)).as("d"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val n = deg.count()
+      val seeds = deg.select($"src".as("node"))
+        .join(Tables.load(s, d, "customer")
+            .filter($"c_nationkey" === 0)
+            .select(($"c_custkey" * 2).as("node")),
+          Seq("node"), "left_semi")
+      val ns = seeds.count() // driver scalar: seed-cohort size
+      // the teleport bias is nonzero ONLY on the seed cohort, so the
+      // per-round stitch broadcasts the cohort-sized seed set (a left
+      // join + when), never a full node-sized bias table — measured
+      // 13.3 s → parity with q62's wall at sf0.1 when the node-sized
+      // variant was replaced
+      val seedB = seeds.select($"node".as("bnode"))
+        .withColumn("is_seed", lit(1L))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val b = (15L * Scale) / (100L * ns)
+      var ranks = deg.select($"src".as("node"))
+        .join(graft.ops.Hints.broadcastIfSmall(seedB, ns),
+          $"node" === $"bnode", "left")
+        .select($"node",
+          when($"is_seed".isNotNull, lit(Scale / ns)).otherwise(0L)
+            .as("r"))
+      var prev: Option[DataFrame] = None
+      for (_ <- 1 to 5) {
+        val give = ranks.join(deg, ranks("node") === deg("src"))
+          .select($"node", expr("r div d").as("give"))
+        val next = edges
+          .join(graft.ops.Hints.broadcastIfSmall(give, n),
+            $"src" === $"node")
+          .groupBy($"dst").agg(sum($"give").as("got"))
+          .join(graft.ops.Hints.broadcastIfSmall(seedB, ns),
+            $"dst" === $"bnode", "left")
+          .select($"dst".as("node"),
+            (when($"is_seed".isNotNull, lit(b)).otherwise(0L)
+              + expr("85 * got div 100")).as("r"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        next.count()
+        prev.foreach(_.unpersist(false))
+        prev = Some(next)
+        ranks = next
+      }
+      ranks
+        .select(when($"node" % 2 === 0,
+            concat(lit("c"), expr("node div 2").cast("string")))
+          .otherwise(
+            concat(lit("s"), expr("(node - 1) div 2").cast("string")))
+          .as("node"),
+          $"r".as("ppr_scaled"))
+        .orderBy($"ppr_scaled".desc, $"node").limit(100)
+    }),
+
     // Triangle counting over the part co-occurrence graph (two parts
     // are adjacent when they ship in the same order) — the
     // clustering/community primitive a curation pipeline runs to find
@@ -1187,6 +1272,59 @@ object Graph {
            r AS rank_scaled
          FROM it5
          ORDER BY rank_scaled DESC, node LIMIT 100"""
+    },
+
+    // q62's unrolled-round skeleton with the per-node bias table
+    // replacing the global base scalar; identical integer truncation
+    // sequence (r // d per edge, 85·sum // 100, bias add).
+    "q213_ppr" -> {
+      def round(prev: String, cur: String): String =
+        s"""$cur AS (
+           SELECT e.dst AS node,
+             CAST(bb.bias +
+                  (85 * sum(p.r // dg.d)) // 100 AS BIGINT) AS r
+           FROM edges e
+           JOIN $prev p ON e.src = p.node
+           JOIN deg dg ON e.src = dg.src
+           JOIN bias bb ON bb.node = e.dst
+           GROUP BY e.dst, bb.bias)"""
+      s"""WITH pairs AS (
+           SELECT o.o_custkey * 2 AS src,
+                  l.l_suppkey * 2 + 1 AS dst
+           FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+         edges AS (
+           SELECT src, dst FROM pairs
+           UNION ALL
+           SELECT dst AS src, src AS dst FROM pairs),
+         deg AS (SELECT src, count(*) AS d FROM edges GROUP BY 1),
+         seeds AS (
+           SELECT DISTINCT dg.src AS node
+           FROM deg dg JOIN customer c
+             ON dg.src = c.c_custkey * 2 AND c.c_nationkey = 0),
+         nseed AS (SELECT count(*) AS ns FROM seeds),
+         bias AS (
+           SELECT dg.src AS node,
+             CAST(CASE WHEN s.node IS NOT NULL
+               THEN 15000000000000 // (100 * (SELECT ns FROM nseed))
+               ELSE 0 END AS BIGINT) AS bias
+           FROM deg dg LEFT JOIN seeds s ON s.node = dg.src),
+         r0 AS (
+           SELECT node,
+             CAST(CASE WHEN bias > 0
+               THEN 1000000000000 // (SELECT ns FROM nseed)
+               ELSE 0 END AS BIGINT) AS r
+           FROM bias),
+         ${round("r0", "it1")},
+         ${round("it1", "it2")},
+         ${round("it2", "it3")},
+         ${round("it3", "it4")},
+         ${round("it4", "it5")}
+         SELECT CASE WHEN node % 2 = 0
+                  THEN 'c' || CAST(node // 2 AS VARCHAR)
+                  ELSE 's' || CAST((node - 1) // 2 AS VARCHAR) END AS node,
+           r AS ppr_scaled
+         FROM it5
+         ORDER BY ppr_scaled DESC, node LIMIT 100"""
     },
 
     // Independent formulation: the 4 synchronous LPA rounds unrolled
