@@ -51,7 +51,10 @@ object LlmFrontier2 {
     // documented 100-TB candidate path on the existing LSH tier.
     "ann_mips" -> ((s, d) => {
       val e = Tables.load(s, d, "embeddings")
-      val q = e.filter(col("vec_id") % 100 === 0)
+      // fixed-size eval tier (matryoshka's cap): ≤1000 queries at any
+      // corpus size — the truth scan stays LINEAR in the corpus
+      val q = e.filter(col("vec_id") % 100 === 0 &&
+          col("vec_id") < 100000)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
       val w = Window.partitionBy(col("q_id"))
         .orderBy(desc("dot"), col("vec_id"))
@@ -149,7 +152,8 @@ object LlmFrontier2 {
     "ann_mips" ->
       s"""WITH q AS (
            SELECT vec_id AS q_id, embedding AS q_emb
-           FROM embeddings WHERE vec_id % 100 = 0),
+           FROM embeddings
+           WHERE vec_id % 100 = 0 AND vec_id < 100000),
          scored AS (
            SELECT q.q_id, e.vec_id,
              ${dotSql("q.q_emb", "e.embedding")} AS dot

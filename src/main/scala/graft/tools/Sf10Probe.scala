@@ -43,7 +43,13 @@ object Sf10Probe {
     // that composes it, and the pagerank representative of the graph
     // family's cheap half
     "dedup_prefix_filter", "dedup_tfidf_cosine", "dedup_containment",
-    "pipeline_dedup_sweep", "q62_pagerank")
+    "pipeline_dedup_sweep", "q62_pagerank",
+    // round-16: one representative per new family shape — the
+    // PrefixSum support-CDF scaffold (domain-bounded support is the
+    // scale claim), the 4×-exploded eval-tier brute force, the
+    // seed-biased graph loop, and the row-local scramble layout
+    "q203_wasserstein", "emb_matryoshka_eval", "q213_ppr",
+    "pipeline_span_corruption")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
