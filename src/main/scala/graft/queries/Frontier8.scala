@@ -173,6 +173,91 @@ object Frontier8 {
             .as("es95_dollars"))
     }),
 
+    // Engle's ARCH-LM test (lag 1): does today's squared revenue
+    // change predict tomorrow's — volatility CLUSTERING, the
+    // second-moment memory q208 (level persistence) and q132 (level
+    // autocorrelation) cannot see; significant LM says variance-
+    // sensitive monitors (q210's VaR) need conditional, not
+    // unconditional, variance. Plan: the q205/q208 skeleton on the
+    // SQUARED lag pairs. Exactness: Δ² is computed in decimal and
+    // floor-divided by 10⁴ (cents²→hundredth-dollars², the identical
+    // truncation both engines replay) so its squares stay inside
+    // decimal(38,0)/HUGEINT through sf100; LM = n·R² with
+    // R² = c_uy²/(c_uu·c_yy), one fixed IEEE expression.
+    "q215_arch_lm" -> ((s, d) => {
+      import s.implicits._
+      val daily = dailySpend(s, d)
+      val sq = daily.select($"day", $"y")
+        .join(daily.select(expr("date_add(day, 1)").as("day"),
+          $"y".as("u0")), Seq("day"))
+        // `div` is the INTEGRAL divide (yields a long) — the exact
+        // truncation DuckDB's `//` on HUGEINT replays
+        .select(expr(
+          s"(cast(y - u0 as $dec) * (y - u0)) div 10000").as("e2"),
+          $"day")
+      val pairs = sq.select($"day", $"e2".as("ey"))
+        .join(sq.select(expr("date_add(day, 1)").as("day"),
+          $"e2".as("eu")), Seq("day"))
+      pairs.agg(count(lit(1)).as("n"),
+          sum($"ey".cast(dec)).as("sy"), sum($"eu".cast(dec)).as("su"),
+          sum($"ey".cast(dec) * $"ey").as("syy"),
+          sum($"eu".cast(dec) * $"eu").as("suu"),
+          sum($"ey".cast(dec) * $"eu").as("syu"))
+        .withColumn("nd", $"n".cast("double"))
+        .withColumn("cyy", $"syy".cast("double") -
+          $"sy".cast("double") * $"sy".cast("double") / $"nd")
+        .withColumn("cuu", $"suu".cast("double") -
+          $"su".cast("double") * $"su".cast("double") / $"nd")
+        .withColumn("cyu", $"syu".cast("double") -
+          $"sy".cast("double") * $"su".cast("double") / $"nd")
+        .withColumn("r2", when($"cuu" <= 0.0 || $"cyy" <= 0.0,
+            lit(null).cast("double"))
+          .otherwise($"cyu" * $"cyu" / ($"cuu" * $"cyy")))
+        .select($"n".as("n_pairs"),
+          Tables.nz(round($"r2", 6)).as("r2"),
+          Tables.nz(round($"nd" * $"r2", 4)).as("arch_lm"))
+    }),
+
+    // Minimum detectable effect: for each event type, the absolute
+    // and relative per-user effect a two-arm test could detect at
+    // α = 0.05 (two-sided) / 80 % power if HALF the users were
+    // treated — the experiment-sizing read that turns q123's
+    // after-the-fact z-test into a design tool ("is this segment big
+    // enough to test in"). MDE = (z₀.₉₇₅ + z₀.₈)·√(2σ²/(n/2)) with
+    // the z's as shared literal constants (no inverse-CDF divergence
+    // risk — both engines read the same doubles). σ² is the
+    // population variance of per-user total value from exact
+    // decimal moments (one user rollup, one per-type moment row);
+    // the assembly is a fixed IEEE expression.
+    "q216_mde" -> ((s, d) => {
+      import s.implicits._
+      val per = Tables.load(s, d, "events")
+        .select($"event_type", $"user_id",
+          round($"value" * 100).cast("long").as("cents"))
+        .groupBy($"event_type", $"user_id")
+        .agg(sum($"cents").as("x"))
+      per.groupBy($"event_type")
+        .agg(count(lit(1)).as("n_users"), sum($"x").as("sx"),
+          sum($"x".cast(dec) * $"x").as("sxx"))
+        .withColumn("nd", $"n_users".cast("double"))
+        .withColumn("mu", $"sx".cast("double") / $"nd")
+        .withColumn("sig2", $"sxx".cast("double") / $"nd" -
+          $"mu" * $"mu")
+        // one shared literal (z_0.975 + z_0.8 = 2.801585), NOT a sum
+        // of two literals — a Scala-side float add could differ from
+        // the oracle's parsed constant by an ulp
+        .withColumn("mde_cents",
+          lit(2.801585) *
+            sqrt(lit(2.0) * $"sig2" / ($"nd" / 2.0)))
+        .select($"event_type", $"n_users",
+          Tables.nz(round($"mu" / 100.0, 4)).as("mean_dollars"),
+          Tables.nz(round($"mde_cents" / 100.0, 4)).as("mde_dollars"),
+          Tables.nz(round(when($"mu" <= 0.0,
+              lit(null).cast("double"))
+            .otherwise($"mde_cents" / $"mu"), 6)).as("mde_relative"))
+        .orderBy($"event_type")
+    }),
+
     // Upper-tail dependence of daily (spend, volume): given a
     // top-decile spend day, how often is volume ALSO top-decile —
     // the λ_U estimator P(Y > q_Y | X > q_X) at u = 0.9. Pearson
@@ -379,6 +464,75 @@ object Frontier8 {
                   / CAST(n_tail AS DOUBLE) / 100.0 END, 4) + 0.0
              AS es95_dollars
          FROM agg""",
+
+    "q215_arch_lm" ->
+      s"""WITH daily AS ($dailySql),
+         sq AS (
+           SELECT t.day,
+             (CAST(t.y - p.y AS HUGEINT) * (t.y - p.y)) // 10000
+               AS e2
+           FROM daily t JOIN daily p ON t.day = p.day + 1),
+         pairs AS (
+           SELECT t.e2 AS ey, p.e2 AS eu
+           FROM sq t JOIN sq p ON t.day = p.day + 1),
+         m AS (
+           SELECT CAST(count(*) AS BIGINT) AS n,
+             sum(CAST(ey AS HUGEINT)) AS sy,
+             sum(CAST(eu AS HUGEINT)) AS su,
+             sum(CAST(ey AS HUGEINT) * ey) AS syy,
+             sum(CAST(eu AS HUGEINT) * eu) AS suu,
+             sum(CAST(ey AS HUGEINT) * eu) AS syu
+           FROM pairs),
+         cm AS (
+           SELECT n, CAST(n AS DOUBLE) AS nd,
+             CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)
+               * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS cyy,
+             CAST(suu AS DOUBLE) - CAST(su AS DOUBLE)
+               * CAST(su AS DOUBLE) / CAST(n AS DOUBLE) AS cuu,
+             CAST(syu AS DOUBLE) - CAST(sy AS DOUBLE)
+               * CAST(su AS DOUBLE) / CAST(n AS DOUBLE) AS cyu
+           FROM m),
+         r AS (
+           SELECT n, nd,
+             CASE WHEN cuu <= 0.0 OR cyy <= 0.0 THEN NULL
+               ELSE cyu * cyu / (cuu * cyy) END AS r2
+           FROM cm)
+         SELECT n AS n_pairs,
+           round(r2, 6) + 0.0 AS r2,
+           round(nd * r2, 4) + 0.0 AS arch_lm
+         FROM r""",
+
+    "q216_mde" ->
+      """WITH per AS (
+           SELECT event_type, user_id,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS x
+           FROM events GROUP BY 1, 2),
+         m AS (
+           SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_users,
+             sum(CAST(x AS HUGEINT)) AS sx,
+             sum(CAST(x AS HUGEINT) * x) AS sxx
+           FROM per GROUP BY 1),
+         a AS (
+           SELECT event_type, n_users,
+             CAST(n_users AS DOUBLE) AS nd,
+             CAST(sx AS DOUBLE) / CAST(n_users AS DOUBLE) AS mu,
+             CAST(sxx AS DOUBLE) / CAST(n_users AS DOUBLE)
+               - (CAST(sx AS DOUBLE) / CAST(n_users AS DOUBLE))
+                 * (CAST(sx AS DOUBLE) / CAST(n_users AS DOUBLE))
+               AS sig2
+           FROM m),
+         b AS (
+           SELECT event_type, n_users, mu,
+             2.801585 * sqrt(2.0 * sig2 / (nd / 2.0)) AS mde_cents
+           FROM a)
+         SELECT event_type, n_users,
+           round(mu / 100.0, 4) + 0.0 AS mean_dollars,
+           round(mde_cents / 100.0, 4) + 0.0 AS mde_dollars,
+           round(CASE WHEN mu <= 0.0 THEN NULL
+             ELSE mde_cents / mu END, 6) + 0.0 AS mde_relative
+         FROM b ORDER BY event_type""",
 
     "q214_tail_dependence" ->
       s"""WITH daily AS (

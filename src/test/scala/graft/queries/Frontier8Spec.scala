@@ -95,6 +95,57 @@ class Frontier8Spec extends SparkSpec {
     assert(got._4 <= got._3, "ES is at least as severe as VaR")
   }
 
+  test("arch-lm: n*R2 on squared-change lag pairs matches") {
+    val d = daily()
+    val e2 = d.toSeq.flatMap { case (t, y) =>
+      d.get(t - 1).map { u =>
+        t -> ((BigInt(y - u) * BigInt(y - u)) / 10000)
+      }
+    }.toMap
+    val pairs = e2.toSeq.flatMap { case (t, ey) =>
+      e2.get(t - 1).map(eu => (ey, eu))
+    }
+    val n = pairs.size
+    val nd = n.toDouble
+    val sy = pairs.map(_._1).sum.toDouble
+    val su = pairs.map(_._2).sum.toDouble
+    val cyy = pairs.map(p => p._1 * p._1).sum.toDouble - sy * sy / nd
+    val cuu = pairs.map(p => p._2 * p._2).sum.toDouble - su * su / nd
+    val cyu = pairs.map(p => p._1 * p._2).sum.toDouble - sy * su / nd
+    val r2 = cyu * cyu / (cuu * cyy)
+    val got = Frontier8.queries("q215_arch_lm")(spark, sf)
+      .as[(Long, Double, Double)].collect().head
+    assert(got._1 == n.toLong)
+    assert(math.abs(got._2 - r2) < 1e-6)
+    assert(math.abs(got._3 - nd * r2) < 1e-3)
+    assert(got._2 >= 0.0 && got._2 <= 1.0, "R2 is a squared correlation")
+  }
+
+  test("mde: per-type power sizing from exact user moments") {
+    val per = graft.Tables.load(spark, sf, "events")
+      .select($"event_type", $"user_id",
+        round($"value" * 100).cast("long").as("cents"))
+      .as[(String, Long, Long)].collect()
+      .groupBy(r => (r._1, r._2)).view
+      .mapValues(_.map(_._3).sum).toSeq
+      .groupBy(_._1._1)
+    val got = Frontier8.queries("q216_mde")(spark, sf)
+      .as[(String, Long, Double, Double, Double)].collect()
+    assert(got.length == per.size)
+    got.foreach { case (tpe, n, mean, mde, rel) =>
+      val xs = per(tpe).map(_._2)
+      val nd = xs.size.toDouble
+      val mu = xs.map(BigInt(_)).sum.toDouble / nd
+      val sig2 = xs.map(x => BigInt(x) * x).sum.toDouble / nd - mu * mu
+      val expMde = 2.801585 * math.sqrt(2.0 * sig2 / (nd / 2.0))
+      assert(n == xs.size.toLong)
+      assert(math.abs(mean - mu / 100.0) < 1e-3)
+      assert(math.abs(mde - expMde / 100.0) < 1e-3)
+      assert(math.abs(rel - expMde / mu) < 1e-4)
+      assert(mde > 0.0, "MDE is positive for a non-constant metric")
+    }
+  }
+
   test("newey-west: Bartlett-weighted long-run variance matches") {
     val d = daily()
     val nn = d.size.toDouble
