@@ -117,6 +117,68 @@ object LlmFrontier2 {
         .orderBy($"bin")
     }),
 
+    // Temporal token-distribution drift: Jensen–Shannon divergence
+    // between the first- and second-half (ingest order = doc_id, the
+    // text_ngram_novelty convention) token distributions over the
+    // top-500 vocabulary + one OOV bucket — "did the crawl shift",
+    // the drift monitor a curation pipeline runs per ingest batch
+    // (text_divergence reads BETWEEN SOURCES; this is its time-axis
+    // twin, and JS is symmetric + bounded by ln 2 where KL is
+    // neither). Plan: one (token, half) rollup, a TakeOrdered top-500
+    // pick (count desc, token asc — deterministic), the OOV bucket
+    // from exact total-minus-top sums, and the JS fold over the
+    // 501-cell token-sorted panel (k-bounded collect,
+    // CollectGuardSpec) with q200's +0.5 Laplace smoothing so zero
+    // cells stay finite on both engines identically.
+    "text_token_drift" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.spread(Tables.load(s, d, "documents"))
+      val mid = Tables.load(s, d, "documents")
+        .agg((max($"doc_id") / 2).cast("long").as("m"))
+      val tok = docs.crossJoin(broadcast(mid))
+        .select(explode(split(lower($"text"), "\\s+")).as("token"),
+          when($"doc_id" <= $"m", 1L).otherwise(0L).as("f"))
+        .groupBy($"token")
+        .agg(sum($"f").as("nf"), sum(lit(1L) - $"f").as("ns"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val tot = tok.agg(sum($"nf").as("n1"), sum($"ns").as("n2"))
+      val top = tok.orderBy(($"nf" + $"ns").desc, $"token".asc)
+        .limit(500)
+      val oov = top.agg(sum($"nf").as("tf"), sum($"ns").as("ts"))
+        .crossJoin(broadcast(tot))
+        .select(lit("~other~").as("token"),
+          ($"n1" - $"tf").as("nf"), ($"n2" - $"ts").as("ns"))
+      top.unionByName(oov)
+        .groupBy()
+        .agg(count(lit(1)).as("n_cells"),
+          sort_array(collect_list(struct($"token", $"nf", $"ns")))
+            .as("cs"))
+        .crossJoin(broadcast(tot))
+        .withColumn("js", expr(
+          """aggregate(cs, cast(0.0 as double), (acc, c) ->
+             acc + 0.5 * ((cast(c.nf as double) + 0.5)
+                          / (cast(n1 as double) + 250.5))
+                 * ln(((cast(c.nf as double) + 0.5)
+                       / (cast(n1 as double) + 250.5))
+                      / (0.5 * ((cast(c.nf as double) + 0.5)
+                                / (cast(n1 as double) + 250.5)
+                                + (cast(c.ns as double) + 0.5)
+                                  / (cast(n2 as double) + 250.5))))
+                 + 0.5 * ((cast(c.ns as double) + 0.5)
+                          / (cast(n2 as double) + 250.5))
+                 * ln(((cast(c.ns as double) + 0.5)
+                       / (cast(n2 as double) + 250.5))
+                      / (0.5 * ((cast(c.nf as double) + 0.5)
+                                / (cast(n1 as double) + 250.5)
+                                + (cast(c.ns as double) + 0.5)
+                                  / (cast(n2 as double) + 250.5)))))"""))
+        .select($"n1".as("n_first_tokens"), $"n2".as("n_second_tokens"),
+          $"n_cells",
+          Tables.nz(round($"js", 6)).as("js_divergence"),
+          Tables.nz(round(sqrt(greatest($"js", lit(0.0))), 6))
+            .as("js_distance"))
+    }),
+
     // Soft-dedup loss weights: every training document keeps flowing,
     // but near-duplicate cluster members are down-weighted to
     // 1/cluster-size so each CONTENT contributes one unit of loss
@@ -209,6 +271,67 @@ object LlmFrontier2 {
            round(e.e, 6) + 0.0 AS ece
          FROM bins b, ece e ORDER BY bin"""
     },
+
+    "text_token_drift" ->
+      """WITH mid AS (
+           SELECT max(doc_id) // 2 AS m FROM documents),
+         tok AS (
+           SELECT token,
+             CAST(sum(CASE WHEN doc_id <= m THEN 1 ELSE 0 END)
+               AS BIGINT) AS nf,
+             CAST(sum(CASE WHEN doc_id > m THEN 1 ELSE 0 END)
+               AS BIGINT) AS ns
+           FROM (SELECT doc_id,
+                   unnest(string_split_regex(lower(text), '\s+'))
+                     AS token
+                 FROM documents), mid
+           GROUP BY 1),
+         tot AS (
+           SELECT CAST(sum(nf) AS BIGINT) AS n1,
+             CAST(sum(ns) AS BIGINT) AS n2
+           FROM tok),
+         top AS (
+           SELECT token, nf, ns FROM tok
+           ORDER BY (nf + ns) DESC, token LIMIT 500),
+         cells AS (
+           SELECT token, nf, ns FROM top
+           UNION ALL
+           SELECT '~other~' AS token,
+             (SELECT n1 FROM tot) - CAST(sum(nf) AS BIGINT) AS nf,
+             (SELECT n2 FROM tot) - CAST(sum(ns) AS BIGINT) AS ns
+           FROM top),
+         panel AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_cells,
+             list({'token': token, 'nf': nf, 'ns': ns}
+               ORDER BY token) AS cs
+           FROM cells),
+         js AS (
+           SELECT n_cells, n1, n2,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(cs, c ->
+                 0.5 * ((CAST(c.nf AS DOUBLE) + 0.5)
+                        / (CAST(n1 AS DOUBLE) + 250.5))
+                 * ln(((CAST(c.nf AS DOUBLE) + 0.5)
+                       / (CAST(n1 AS DOUBLE) + 250.5))
+                      / (0.5 * ((CAST(c.nf AS DOUBLE) + 0.5)
+                                / (CAST(n1 AS DOUBLE) + 250.5)
+                                + (CAST(c.ns AS DOUBLE) + 0.5)
+                                  / (CAST(n2 AS DOUBLE) + 250.5))))
+                 + 0.5 * ((CAST(c.ns AS DOUBLE) + 0.5)
+                          / (CAST(n2 AS DOUBLE) + 250.5))
+                 * ln(((CAST(c.ns AS DOUBLE) + 0.5)
+                       / (CAST(n2 AS DOUBLE) + 250.5))
+                      / (0.5 * ((CAST(c.nf AS DOUBLE) + 0.5)
+                                / (CAST(n1 AS DOUBLE) + 250.5)
+                                + (CAST(c.ns AS DOUBLE) + 0.5)
+                                  / (CAST(n2 AS DOUBLE) + 250.5)))))),
+               (a, b) -> a + b) AS js
+           FROM panel, tot)
+         SELECT n1 AS n_first_tokens, n2 AS n_second_tokens, n_cells,
+           round(js, 6) + 0.0 AS js_divergence,
+           round(sqrt(greatest(js, CAST(0.0 AS DOUBLE))), 6) + 0.0
+             AS js_distance
+         FROM js""",
 
     "pipeline_soft_dedup_weights" ->
       s"""WITH clus AS (

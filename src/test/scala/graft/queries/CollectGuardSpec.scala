@@ -117,6 +117,7 @@ class CollectGuardSpec extends SparkSpec {
     "q206_cmh" -> "per-stratum 2x2 panel, region enum (5 rows)",
     "q211_newey_west" -> "per-lag autocovariance panel, 8-lag literal grid",
     "pipeline_calibration" -> "calibration-bin panel, <= 10 rows (integer decile grid)",
+    "text_token_drift" -> "top-500+OOV vocab panel, <= 501 rows (k-bounded before the fold)",
     "q199_cronbach_alpha" ->
       "per-item moment panel, bounded by the event-type enum",
     "q200_psi" -> "decile x half count cells, <= 10 rows",

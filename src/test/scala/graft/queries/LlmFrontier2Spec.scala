@@ -73,6 +73,41 @@ class LlmFrontier2Spec extends SparkSpec {
     }
   }
 
+  test("token drift: JS over top-500+OOV matches re-derivation") {
+    val docs = graft.Tables.load(spark, sf, "documents")
+      .select($"doc_id", lower($"text")).as[(Long, String)].collect()
+    val mid = docs.map(_._1).max / 2
+    val counts = scala.collection.mutable.Map[String, (Long, Long)]()
+      .withDefaultValue((0L, 0L))
+    docs.foreach { case (id, text) =>
+      text.split("\\s+", -1).foreach { t =>
+        val (f, s0) = counts(t)
+        counts(t) = if (id <= mid) (f + 1, s0) else (f, s0 + 1)
+      }
+    }
+    val n1 = counts.values.map(_._1).sum
+    val n2 = counts.values.map(_._2).sum
+    val top = counts.toSeq
+      .sortBy { case (t, (f, s0)) => (-(f + s0), t) }.take(500)
+    val oovF = n1 - top.map(_._2._1).sum
+    val oovS = n2 - top.map(_._2._2).sum
+    val cells = (top :+ ("~other~" -> (oovF, oovS))).sortBy(_._1)
+    val js = cells.foldLeft(0.0) { case (acc, (_, (f, s0))) =>
+      val p = (f.toDouble + 0.5) / (n1.toDouble + 250.5)
+      val q = (s0.toDouble + 0.5) / (n2.toDouble + 250.5)
+      val m = 0.5 * (p + q)
+      acc + 0.5 * p * math.log(p / m) + 0.5 * q * math.log(q / m)
+    }
+    val got = LlmFrontier2.queries("text_token_drift")(spark, sf)
+      .as[(Long, Long, Long, Double, Double)].collect().head
+    assert(got._1 == n1 && got._2 == n2)
+    assert(got._3 == cells.size.toLong)
+    assert(math.abs(got._4 - js) < 1e-6)
+    assert(got._4 >= 0.0 && got._4 <= math.log(2.0) + 1e-9,
+      "JS divergence is bounded by ln 2")
+    assert(math.abs(got._5 - math.sqrt(math.max(js, 0.0))) < 1e-6)
+  }
+
   test("soft-dedup weights: 1/cluster-size, singletons keep weight 1") {
     val clus = graft.dedup.Dedup.queries("dedup_clusters")(spark, sf)
       .select($"doc_id", $"component").as[(Long, Long)].collect()
