@@ -1087,6 +1087,13 @@ object Frontier4 {
       val prev = s.conf.getOption(provKey)
       s.conf.set(provKey, "org.apache.spark.sql.execution.streaming" +
         ".state.RocksDBStateStoreProvider")
+      // 4 state partitions for the staged replay (the q212 finding:
+      // per-partition RocksDB store churn × 5 micro-batches is the
+      // wall at the session's 32; hash-neutral, fresh checkpoint,
+      // restored below)
+      val spKey = "spark.sql.shuffle.partitions"
+      val spPrev = s.conf.get(spKey)
+      s.conf.set(spKey, "4")
       try {
         val src = s.readStream.schema("event_type STRING, ts TIMESTAMP")
           .option("maxFilesPerTrigger", "1").parquet(staging)
@@ -1101,6 +1108,7 @@ object Frontier4 {
           .start()
         q.awaitTermination()
       } finally {
+        s.conf.set(spKey, spPrev)
         prev match {
           case Some(p) => s.conf.set(provKey, p)
           case None => s.conf.unset(provKey)

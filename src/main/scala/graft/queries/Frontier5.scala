@@ -89,15 +89,32 @@ object Frontier5 {
     * transformWithState v2 runtime requirement), restoring the prior
     * provider after — q185's conf discipline.
     */
+  /** RocksDB provider + 4 state partitions for a staged replay. The
+    * partition pin is the q212 finding generalized: every stateful
+    * operator opens its stores per partition per micro-batch, and at
+    * the session's 32 partitions that store churn IS the wall for a
+    * 3–5-batch replay (q212 measured 12.7 s → 7.1 s at 4). A
+    * production stream sizes this to its rate; a staged parity replay
+    * doesn't need parallel state. Fresh checkpoint per run, so the
+    * count is free to differ from the session's; both confs restore
+    * on exit. Hash-neutral: per-key state content is independent of
+    * which partition hosts the key.
+    */
   private def withRocksDb[T](s: SparkSession)(body: => T): T = {
     val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val spKey = "spark.sql.shuffle.partitions"
     val prev = s.conf.getOption(provKey)
+    val spPrev = s.conf.get(spKey)
     s.conf.set(provKey, "org.apache.spark.sql.execution.streaming" +
       ".state.RocksDBStateStoreProvider")
+    s.conf.set(spKey, "4")
     try body
-    finally prev match {
-      case Some(p) => s.conf.set(provKey, p)
-      case None => s.conf.unset(provKey)
+    finally {
+      s.conf.set(spKey, spPrev)
+      prev match {
+        case Some(p) => s.conf.set(provKey, p)
+        case None => s.conf.unset(provKey)
+      }
     }
   }
 
@@ -275,19 +292,11 @@ object Frontier5 {
       val pStage = stageBatches(s"$root/purchases", thirds(
         ev.filter($"event_type" === "purchase")
           .select($"user_id", $"ts", $"event_id", $"value", $"us")))
-      // 4 state partitions, not the session's 32: the symmetric hash
-      // join opens/commits FOUR RocksDB stores per partition per
-      // micro-batch (left/right × keyToNumValues/keyWithIndexToValue)
-      // — at 32 partitions × 3 batches that store churn IS the wall
-      // (measured at sf0.1: 12.7 s @32 → 8.1 @8 → 7.1 @4, cpu 105 →
-      // 26). A production stream sizes this to its rate; a 3-batch
-      // staged replay doesn't need parallel state. Fresh checkpoint
-      // per run, so the partition count is free to differ from the
-      // session's; the conf is restored right after the stream stops.
-      val spKey = "spark.sql.shuffle.partitions"
-      val spPrev = s.conf.get(spKey)
-      s.conf.set(spKey, "4")
-      try withRocksDb(s) {
+      // the 4-state-partition pin lives inside withRocksDb now
+      // (measured here first: 12.7 s @32 → 8.1 @8 → 7.1 @4 at sf0.1,
+      // cpu 105 → 26 — the symmetric hash join opens FOUR RocksDB
+      // stores per partition per micro-batch)
+      withRocksDb(s) {
         val clicks = s.readStream
           .schema("user_id BIGINT, ts TIMESTAMP, event_id BIGINT, us BIGINT")
           .option("maxFilesPerTrigger", "1").parquet(cStage)
@@ -303,7 +312,7 @@ object Frontier5 {
           .outputMode("append")
           .start()
         drainStagedReplay(q, nFiles = 3)
-      } finally s.conf.set(spKey, spPrev)
+      }
       s.read.schema("user_id BIGINT, purchase_id BIGINT, " +
           "purchase_ts TIMESTAMP, click_id BIGINT, " +
           "click_ts TIMESTAMP, value DOUBLE")
