@@ -191,6 +191,15 @@ object Bench {
       else { val s = walls.sorted; Some(s(s.size / 2)) }
     val retried = scala.collection.mutable.ArrayBuffer[String]()
     val priorRegressed = scala.collection.mutable.ArrayBuffer[String]()
+    // Round-16 verdict item #1: `contended` was derived from the
+    // START-of-run load sample alone, so a box that got loaded
+    // MID-run (r16: 57 retries, 23 prior-regressed rows at 3-10x
+    // their pinned walls) still shipped `contended: false`. Track the
+    // max 1-min loadavg observed across the run — re-sampled at every
+    // retry (retries are exactly the moments the heuristics suspect
+    // interference) and once at run end — and let the final flag also
+    // weigh the run's own evidence (retry / regression counts).
+    var loadMax = loadAtStart
     val cpuSec = scala.collection.mutable.LinkedHashMap[String, Double]()
     val gcSec = scala.collection.mutable.LinkedHashMap[String, Double]()
     // Prior walls come from the PINNED clean baseline, not the
@@ -234,6 +243,7 @@ object Bench {
           System.err.println(
             f"[bench] $name retried: $sec%.2f s -> $sec2%.2f s")
           retried += name
+          loadMax = math.max(loadMax, load1)
           if (ok2 && sec2 < sec) { sec = sec2; cpu = cpu2; gc = gc2 }
         }
         if (ok && overPrior(name, sec)) {
@@ -268,10 +278,16 @@ object Bench {
     // that the whole line always fits the tail window.
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    // the self-label the r15 verdict asked for: an artifact captured
-    // above the idle threshold (budget expired) says so in its own
-    // fields instead of needing a judge inference
-    val boxState = f""""idle_wait_s":$idleWaitS%.0f,"load_at_start":$loadAtStart%.2f,"contended":${loadAtStart > idleThresh}"""
+    // the self-label the r15 verdict asked for, recalibrated per the
+    // r16 verdict: a start-only load sample mislabeled two rounds of
+    // mid-run contention as idle. The flag is now run-evidence-first —
+    // many retries or ANY prior-regressed row means the heuristics
+    // fired, and the max loadavg observed at those moments is recorded
+    // alongside so the artifact carries the mid-run box state itself.
+    loadMax = math.max(loadMax, load1) // end-of-run sample
+    val contended = loadMax > idleThresh ||
+      retried.size > 5 || priorRegressed.nonEmpty
+    val boxState = f""""idle_wait_s":$idleWaitS%.0f,"load_at_start":$loadAtStart%.2f,"load_max":$loadMax%.2f,"contended":$contended"""
     val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cpu_sec":${jmap(cpuSec)},"gc_sec":${jmap(gcSec)},"retried":$rj,"prior_regressed":$pj,"failed":$fj,$boxState,"sf":"$sfDir"}"""
     // A SPARK_GRAFT_ONLY subset run must never clobber the committed
     // full-board artifact (ADVICE r12: a 1-query smoke run replaced
@@ -289,8 +305,7 @@ object Bench {
       // bench_baseline.json — see prior-read above; a contended run
       // can pass the per-query heuristics and still carry uniform
       // inflation, so it may never re-baseline)
-      if (only.isEmpty && priorRegressed.isEmpty && failed.isEmpty &&
-          loadAtStart <= idleThresh) {
+      if (only.isEmpty && !contended && failed.isEmpty) {
         java.nio.file.Files.write(
           java.nio.file.Paths.get("bench_baseline.json"),
           full.getBytes("UTF-8"))

@@ -28,17 +28,30 @@ import org.apache.spark.sql.functions.broadcast
   * frame once — a cache scan, and the materialization was due anyway
   * before the join consumed it.
   *
-  * The gate is ROWS, not bytes: the gated frames are 2–3 primitive
-  * columns (≤ ~32 B/row), so the default 8M-row gate bounds the
-  * broadcast at ~256 MB of row data — inside every plausible executor
-  * memory, and two orders of magnitude below where a shuffled join
-  * would be slower than the broadcast anyway. Frames carrying arrays
-  * (the triangle adjacency lists) are additionally bounded by
-  * structure — ΣA = |E| oriented out-edges, per-row O(arboricity·d) —
-  * and their callers gate on the node count with that caveat in their
-  * scaladoc. Override for tests / unusual deployments via the
-  * `graft.bcast.max.rows` system property or `GRAFT_BCAST_MAX_ROWS`
-  * env (property wins — in-JVM tests can only set properties).
+  * TWO gate kinds (round-16 verdict item #2 split them):
+  *
+  * 1. THE ROW GATE ([[broadcastIfSmall]]) — for frames of 2–3
+  *    primitive columns (≤ ~32 B/row): the default 8M-row gate bounds
+  *    the broadcast at ~256 MB of row data — inside every plausible
+  *    executor memory, and two orders of magnitude below where a
+  *    shuffled join would be slower than the broadcast anyway. The
+  *    score/degree/label frames of every iterative graph loop use it.
+  *
+  * 2. THE BYTE GATE ([[broadcastIfSmallBytes]]) — for frames whose
+  *    payload is NOT O(rows): the triangle-kernel adjacency-array
+  *    table holds ΣA = |E| oriented out-edges across its rows, so a
+  *    graph under any row gate but with high average degree would
+  *    still broadcast O(|E|) bytes — the same OOM class the row gate
+  *    was built to kill, on a narrower trigger. Callers pass an
+  *    explicit payload-byte estimate (element count × element width +
+  *    per-row overhead — driver scalars every call site already
+  *    holds) and the gate compares against a byte ceiling set to the
+  *    same ~256 MB the row gate implies.
+  *
+  * Override for tests / unusual deployments via the
+  * `graft.bcast.max.rows` / `graft.bcast.max.bytes` system properties
+  * or `GRAFT_BCAST_MAX_ROWS` / `GRAFT_BCAST_MAX_BYTES` env (property
+  * wins — in-JVM tests can only set properties).
   */
 object Hints {
 
@@ -48,8 +61,16 @@ object Hints {
       .map(_.toLong)
       .getOrElse(8000000L)
 
+  def maxBroadcastBytes: Long =
+    sys.props.get("graft.bcast.max.bytes")
+      .orElse(sys.env.get("GRAFT_BCAST_MAX_BYTES"))
+      .map(_.toLong)
+      .getOrElse(256L << 20) // the same ceiling the 8M-row gate implies
+
   /** Hint `df` for broadcast iff its known row count is under the gate;
     * otherwise return it unhinted so the planner picks a shuffled join.
+    * For primitive-column frames ONLY — array-payload frames must use
+    * [[broadcastIfSmallBytes]] (rows under-count their bytes).
     */
   def broadcastIfSmall(df: DataFrame, knownRows: Long): DataFrame =
     if (knownRows <= maxBroadcastRows) broadcast(df) else df
@@ -61,4 +82,13 @@ object Hints {
     */
   def broadcastIfSmall(df: DataFrame): DataFrame =
     broadcastIfSmall(df, df.count())
+
+  /** Byte-estimate gate for frames whose payload is dominated by
+    * variable-length columns (arrays): hint iff the caller's payload
+    * estimate is under [[maxBroadcastBytes]], else return unhinted so
+    * the planner shuffles on the join key.
+    */
+  def broadcastIfSmallBytes(df: DataFrame, estPayloadBytes: Long)
+      : DataFrame =
+    if (estPayloadBytes <= maxBroadcastBytes) broadcast(df) else df
 }

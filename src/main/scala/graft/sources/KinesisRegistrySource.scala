@@ -128,22 +128,18 @@ class KinesisRegistryMicroBatchStream(registryId: String, stream: String)
     * its end-sequence in the START offset — the GetRecords contract
     * (drain parents before children). A still-gated child stays at
     * its start position, so the committed offsets never claim records
-    * the batch did not emit.
+    * the batch did not emit. The predicate itself is the SHARED
+    * [[ShardLineage]] gate (r16 verdict item #3) — the SDK feed
+    * adapts `ListShards` lineage to the same [[ShardLineage.ShardMeta]]
+    * shape, so both feeds honor one audited rule.
     */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val st = start.asInstanceOf[RegistryShardsOffset].pos
     val snap = InMemoryRecordsClient.shardSnapshot(registryId, stream)
-    val byId = snap.map(s => s.id -> s).toMap
-    def parentDrained(id: String): Boolean =
-      byId.get(id).exists(p => p.closed && st.getOrElse(id, 0L) >= p.size)
-    val next = snap.map { s =>
-      val from = st.getOrElse(s.id, 0L)
-      val until =
-        if (s.parents.forall(parentDrained)) math.max(from, s.size)
-        else from
-      s.id -> until
-    }.toMap
-    RegistryShardsOffset(next)
+    val metas = snap.map(s => ShardLineage.ShardMeta(
+      s.id, s.parents, if (s.closed) Some(s.size) else None))
+    val latest = snap.map(s => s.id -> s.size).toMap
+    RegistryShardsOffset(ShardLineage.advance(metas, latest, st, 0L))
   }
 
   override def latestOffset(): Offset =

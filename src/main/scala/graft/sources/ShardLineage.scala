@@ -1,0 +1,82 @@
+package graft.sources
+
+/** The parents-drain-before-children gate, shared by BOTH consumer
+  * feeds (r16 verdict item #3: the gate lived only in the registry
+  * source's offset model, so the production SDK seam documented as
+  * its swap-in had no lineage to apply it to).
+  *
+  * Kinesis resharding (split/merge) gives every child shard one or
+  * two parents; the GetRecords contract is that a consumer must fully
+  * drain a CLOSED parent to its ending sequence number before reading
+  * the child, or per-key ordering breaks across the reshard boundary
+  * — the first operational event a production consumer hits (the
+  * reference's producer binds to exactly this service surface).
+  *
+  * The gate is generic in the position type `P`:
+  *   - the in-JVM registry source uses `Long` record positions
+  *     ([[KinesisRegistryMicroBatchStream.latestOffset]]);
+  *   - an SDK-backed consumer uses `BigInt` — Kinesis sequence
+  *     numbers are decimal strings that overflow Long
+  *     ([[SdkShardFeed.toMeta]] adapts `ListShards` output).
+  *
+  * A shard is DRAINED when it is closed (its `end` is known) and the
+  * consumer's committed position has reached that end; a shard is
+  * READY (may contribute records) when every parent is drained. Open
+  * parents (end = None) are never drained, so their children stay
+  * gated — exactly the registry source's original rule.
+  */
+object ShardLineage {
+
+  /** One shard's lineage as the gate needs it: `end` is the drain
+    * target when the shard is closed (registry: its final size; SDK:
+    * `sequenceNumberRange().endingSequenceNumber()`), None while the
+    * shard is open.
+    */
+  case class ShardMeta[P](id: String, parents: Seq[String],
+      end: Option[P])
+
+  /** Has shard `id` been fully consumed? Unknown ids (a parent
+    * already expired out of the listing — Kinesis retires shards
+    * past retention) count as drained: their records are gone, so
+    * holding the child forever would wedge the stream.
+    */
+  def drained[P](byId: Map[String, ShardMeta[P]], pos: Map[String, P],
+      zero: P)(id: String)(implicit ord: Ordering[P]): Boolean =
+    byId.get(id).forall(m =>
+      m.end.exists(e => ord.gteq(pos.getOrElse(id, zero), e)))
+
+  /** May this shard contribute records at the current positions? */
+  def ready[P](m: ShardMeta[P], byId: Map[String, ShardMeta[P]],
+      pos: Map[String, P], zero: P)(implicit ord: Ordering[P]): Boolean =
+    m.parents.forall(drained(byId, pos, zero))
+
+  /** Shards a poll-loop consumer may read this cycle — the SDK-side
+    * use (the registry source's offset model calls [[advance]]
+    * instead, which bakes the same predicate into offsets).
+    */
+  def pollable[P](metas: Seq[ShardMeta[P]], pos: Map[String, P],
+      zero: P)(implicit ord: Ordering[P]): Seq[String] = {
+    val byId = metas.map(m => m.id -> m).toMap
+    metas.filter(m => ready(m, byId, pos, zero)).map(_.id)
+  }
+
+  /** Advance per-shard consumer positions to `latest`, holding every
+    * gated child at its current position — the micro-batch offset
+    * model. Committed offsets therefore never claim records a batch
+    * did not emit, and recovery/replay slices inherit the gate for
+    * free.
+    */
+  def advance[P](metas: Seq[ShardMeta[P]], latest: Map[String, P],
+      pos: Map[String, P], zero: P)(implicit ord: Ordering[P])
+      : Map[String, P] = {
+    val byId = metas.map(m => m.id -> m).toMap
+    metas.map { m =>
+      val from = pos.getOrElse(m.id, zero)
+      val until =
+        if (ready(m, byId, pos, zero))
+          ord.max(from, latest.getOrElse(m.id, from))
+        else from
+      m.id -> until
+    }.toMap
+  }
+}

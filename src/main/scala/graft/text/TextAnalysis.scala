@@ -37,6 +37,15 @@ object TextAnalysis {
   // use before merges.
   private val BpePattern = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
 
+  /** text_heavy_hitters' SpaceSaving capacity. Exactness needs
+    * capacity > per-language vocabulary (~31·10^decades in the
+    * synthetic corpus — 4096 covers through sf10); the query enforces
+    * this at run time. Overridable for bigger corpora / the squeeze
+    * spec via the `graft.ss.capacity` system property.
+    */
+  def heavyHitterCapacity: Int =
+    sys.props.get("graft.ss.capacity").map(_.toInt).getOrElse(4096)
+
   // PII patterns, restricted to the Java∩RE2 subset (no lookarounds,
   // no backrefs) so Spark and the DuckDB oracle compile the same
   // automaton. Exposed for PiiRedactSpec.
@@ -173,15 +182,35 @@ object TextAnalysis {
     // numerically when the old capacity 256 fell below the renamed
     // sf1 vocab (PLANS.md: no under-estimates, over-estimates ≤ N/m
     // on every language).
+    // The bound is also ENFORCED at run time (r16 verdict item #5): a
+    // sketch that reaches capacity may have evicted, so exactness vs
+    // the plain GROUP-BY oracle is no longer provable — the query
+    // fails with the sizing rule instead of letting an sf100 gate
+    // surface a spurious hash mismatch. The check reads max(size(hh))
+    // off the persisted per-language frame: one cache-scan aggregate
+    // over ~|langs| rows, no recompute of the token rollup.
     // The sketch array arrives sorted (est desc, item asc), so
     // top-10 is a slice, no window.
     "text_heavy_hitters" -> ((s, d) => {
       import s.implicits._
-      Tables.spread(Tables.load(s, d, "documents"))
+      val cap = heavyHitterCapacity
+      val hh = Tables.spread(Tables.load(s, d, "documents"))
         .select($"lang", explode(toks($"text")).as("token"))
         .groupBy($"lang")
-        .agg(graft.functions.SpaceSavingAgg.space_saving($"token", 4096)
+        .agg(graft.functions.SpaceSavingAgg.space_saving($"token", cap)
           .as("hh"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val maxTracked = hh
+        .agg(coalesce(max(size($"hh")), lit(0))).head.getInt(0)
+      require(maxTracked < cap,
+        s"text_heavy_hitters: SpaceSaving sketch filled (tracked " +
+          s"$maxTracked = capacity $cap) — a full sketch may have " +
+          "evicted, so exactness vs the exact GROUP-BY oracle is not " +
+          "provable. Size capacity above the per-language vocabulary " +
+          "(synthetic corpus: ~31·10^decades tokens/lang, so e.g. " +
+          "capacity ≥ 40960 at sf100 via -Dgraft.ss.capacity) or " +
+          "pair the row with an ε-aware oracle.")
+      hh
         .select($"lang", posexplode(slice($"hh", 1, 10)).as(Seq("p", "e")))
         .select($"lang", ($"p" + 1).cast("long").as("rank"),
           $"e.item".as("token"), $"e.est".as("n"))

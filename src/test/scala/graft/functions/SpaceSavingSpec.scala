@@ -95,4 +95,26 @@ class SpaceSavingSpec extends SparkSpec {
       .select(col("e.item"), col("e.est")).as[(String, Long)].collect()
     assert(out.toSet == Set(("a", 2L), ("b", 1L)))
   }
+
+  test("text_heavy_hitters fails LOUDLY when capacity <= vocabulary") {
+    // r16 verdict item #5: an sf whose vocabulary reaches the sketch
+    // capacity must fail with the sizing rule, not surface later as a
+    // spurious hash mismatch against the exact GROUP-BY oracle.
+    // Squeeze capacity below sf0.001's vocab via the sysprop to stand
+    // in for the sf100 regime.
+    val sf = "/root/testdata/sf0.001"
+    sys.props("graft.ss.capacity") = "8"
+    try {
+      val ex = intercept[IllegalArgumentException] {
+        graft.SparkEntry.queries("text_heavy_hitters")(spark, sf).collect()
+      }
+      assert(ex.getMessage.contains("capacity"),
+        s"got: ${ex.getMessage.take(200)}")
+      assert(ex.getMessage.contains("graft.ss.capacity"),
+        "the failure must name the sizing knob")
+    } finally sys.props.remove("graft.ss.capacity")
+    // and at the default capacity the gate passes — the exact regime
+    val ok = graft.SparkEntry.queries("text_heavy_hitters")(spark, sf)
+    assert(ok.collect().nonEmpty)
+  }
 }

@@ -164,6 +164,77 @@ class PlanGuardSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     } finally spark.conf.set(thrKey, prevThr)
   }
 
+  test("Hints.broadcastIfSmallBytes hints below the byte gate, shuffles above it") {
+    // The array-payload gate (r16 verdict item #2): the triangle
+    // kernel's adjacency table carries ΣA = |E| elements, so it is
+    // gated on an explicit payload-byte estimate, not rows. Assert
+    // both sides with the same hint-only discipline as the row gate.
+    import org.apache.spark.sql.functions._
+    val dim = spark.range(0, 200).toDF("k")
+      .withColumn("nbr", sequence(lit(0L), lit(9L)))
+    val fact = spark.range(0, 5000).toDF("k")
+    val estBytes = 200L * 10 * 8 + 200L * 32 // elems*8B + rows*32B
+    val thrKey = "spark.sql.autoBroadcastJoinThreshold"
+    val prevThr = spark.conf.get(thrKey)
+    try {
+      spark.conf.set(thrKey, "-1")
+      val below = fact.join(
+        graft.ops.Hints.broadcastIfSmallBytes(dim, estBytes), Seq("k"))
+      below.collect()
+      val bhjBelow = collectWithSubqueries(
+        below.queryExecution.executedPlan) {
+        case b: BroadcastHashJoinExec => b
+      }
+      assert(bhjBelow.nonEmpty,
+        "below the byte gate the hint must force a broadcast hash join")
+      sys.props("graft.bcast.max.bytes") = (estBytes - 1).toString
+      try {
+        val above = fact.join(
+          graft.ops.Hints.broadcastIfSmallBytes(dim, estBytes), Seq("k"))
+        above.collect()
+        val plan = above.queryExecution.executedPlan
+        val bhjAbove = collectWithSubqueries(plan) {
+          case b: BroadcastHashJoinExec => b
+        }
+        assert(bhjAbove.isEmpty,
+          "above the byte gate no broadcast hint may be applied — an " +
+            "O(|E|)-byte adjacency broadcast is the OOM the gate kills")
+        val shuffled = collectWithSubqueries(plan) {
+          case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+          case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+        }
+        assert(shuffled.nonEmpty,
+          "above the byte gate the planner must pick a shuffled join")
+      } finally sys.props.remove("graft.bcast.max.bytes")
+    } finally spark.conf.set(thrKey, prevThr)
+  }
+
+  test("triangle kernel is strategy-invariant across the byte gate") {
+    // q72/q109 must return identical rows whether the adjacency table
+    // broadcasts (default gate) or the joins shuffle (gate forced to
+    // 0 bytes — the dense-graph 100-TB regime).
+    def run(): Seq[String] = {
+      val r = SparkEntry.queries("q72_triangle_count")(spark, sf)
+        .collect().map(_.toString).toSeq
+      spark.catalog.clearCache()
+      r
+    }
+    val below = run()
+    val thrKey = "spark.sql.autoBroadcastJoinThreshold"
+    val prevThr = spark.conf.get(thrKey)
+    sys.props("graft.bcast.max.bytes") = "0"
+    try {
+      spark.conf.set(thrKey, "-1")
+      val above = run()
+      assert(above == below,
+        "triangle counts must be identical on both sides of the byte gate")
+      assert(below.nonEmpty, "sf0.001 must produce triangle rows")
+    } finally {
+      sys.props.remove("graft.bcast.max.bytes")
+      spark.conf.set(thrKey, prevThr)
+    }
+  }
+
   test("graph iterations are strategy-invariant across the broadcast gate") {
     // The gated queries must return IDENTICAL rows whether the node
     // tables broadcast (default gate, the measured-fast plan) or the
