@@ -318,6 +318,63 @@ object Frontier5 {
         .orderBy($"purchase_id", $"click_id")
     }),
 
+    // Driver-gated parity row for the streaming as-of enrichment —
+    // the oldest streaming twin without one (r16 verdict item #4;
+    // q27_asof_join is its batch twin, StreamOpsSpec pins the
+    // constructed cross-batch carry). Clicks + purchases ride ONE
+    // stream: asofEnrichStream keeps O(1) last-click state per user
+    // (flatMapGroupsWithState), not a buffered window — the
+    // complement of q212's symmetric hash join. Staged as three
+    // EVENT-TIME thirds (min/max-µs driver scalars), so arrival
+    // respects event time: no purchase precedes a click it should
+    // see, equal timestamps land in one batch (the same µs cut), and
+    // the carried RocksDB state provides the "past" side across
+    // batches — a batch-1 click enriches a batch-3 purchase with no
+    // rescan. The replay must therefore hash-equal the BATCH as-of
+    // join, which is what the oracle (DuckDB native ASOF JOIN, q27's
+    // exact form) replays; the tie-breaks match by construction
+    // (within-batch sort puts clicks before purchases at equal ts,
+    // max event_id wins among simultaneous clicks).
+    "q217_asof_ivm" -> ((s, d) => {
+      import s.implicits._
+      val ev = Tables.load(s, d, "events")
+        .filter($"event_type".isin("click", "purchase"))
+        .select($"user_id", $"ts", $"event_type", $"event_id",
+          $"value", unix_micros($"ts").as("us"))
+      val mm = ev.agg(min($"us"), max($"us")).first
+      val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+      val t1 = lo + (hi - lo) / 3L
+      val t2 = lo + (2L * (hi - lo)) / 3L
+      val root = ScratchDir.path(
+        s"asof_ivm_${ivmRun.incrementAndGet()}")
+      val cols = Seq($"user_id", $"ts", $"event_type", $"event_id",
+        $"value")
+      val staged = stageBatches(root, Seq(
+        ev.filter($"us" <= t1).select(cols: _*),
+        ev.filter($"us" > t1 && $"us" <= t2).select(cols: _*),
+        ev.filter($"us" > t2).select(cols: _*)))
+      withRocksDb(s) {
+        val src = s.readStream
+          .schema("user_id BIGINT, ts TIMESTAMP, event_type STRING, " +
+            "event_id BIGINT, value DOUBLE")
+          .option("maxFilesPerTrigger", "1").parquet(staged)
+          .as[graft.streaming.StreamOps.TypedEvent]
+        val q = graft.streaming.StreamOps.asofEnrichStream(src)
+          .writeStream.format("parquet")
+          .option("path", s"$root/out")
+          .option("checkpointLocation", s"$root/ckpt")
+          .outputMode("append")
+          .start()
+        drainStagedReplay(q, nFiles = 3)
+      }
+      s.read.schema("event_id BIGINT, user_id BIGINT, ts TIMESTAMP, " +
+          "click_event_id BIGINT, click_value DOUBLE")
+        .parquet(s"$root/out")
+        .select($"event_id", $"user_id", $"ts", $"click_event_id",
+          $"click_value")
+        .orderBy($"event_id")
+    }),
+
     // Ljung–Box portmanteau test (lags 1..7) on each type's daily
     // revenue series — "is there ANY autocorrelation left" as one
     // statistic, the standard post-fit whiteness check next to
@@ -870,6 +927,26 @@ object Frontier5 {
            AND c.ts >= p.ts - INTERVAL 30 MINUTE
          WHERE p.event_type = 'purchase' AND c.event_type = 'click'
          ORDER BY purchase_id, click_id""",
+
+    // the batch as-of join the staged streaming replay must equal —
+    // q27_asof_join's oracle verbatim (DuckDB native ASOF JOIN with
+    // the same per-(user, ts) max-event_id click dedupe)
+    "q217_asof_ivm" ->
+      """WITH clicks AS (
+           SELECT user_id, ts, event_id, value,
+             row_number() OVER (PARTITION BY user_id, ts
+                                ORDER BY event_id DESC) AS rn
+           FROM events WHERE event_type = 'click'),
+         c AS (SELECT user_id, ts, event_id AS click_event_id,
+                      value AS click_value
+               FROM clicks WHERE rn = 1),
+         p AS (SELECT event_id, user_id, ts, value FROM events
+               WHERE event_type = 'purchase')
+         SELECT p.event_id, p.user_id, p.ts, c.click_event_id,
+                c.click_value
+         FROM p ASOF JOIN c
+           ON p.user_id = c.user_id AND p.ts >= c.ts
+         ORDER BY p.event_id""",
 
     "q187_ljung_box" ->
       """WITH daily AS (
