@@ -49,7 +49,12 @@ object Sf10Probe {
     // scale claim), the 4×-exploded eval-tier brute force, the
     // seed-biased graph loop, and the row-local scramble layout
     "q203_wasserstein", "emb_matryoshka_eval", "q213_ppr",
-    "pipeline_span_corruption")
+    "pipeline_span_corruption",
+    // round-17 (r16 verdict item #7): the r16 top-cpu keys under
+    // load. ann_hybrid_rrf's r14 row predates the fixed ≤1000-query
+    // eval tier, so its current shape needed a fresh second decade;
+    // emb_abtt had only the first decade on record
+    "emb_abtt")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
