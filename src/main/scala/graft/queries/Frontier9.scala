@@ -1,0 +1,739 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.{Q, Tables}
+
+/** Round-17 frontier: the nonparametric-inference completions and two
+  * sequential/privacy pipeline ops —
+  *
+  *   - q218_wilcoxon_signed_rank: the PAIRED location test the panel
+  *     lacked (q171 Mann–Whitney is unpaired; q183 Friedman is
+  *     k-sample blocks) on day-paired click vs purchase revenue;
+  *   - q219_hurst: rescaled-range long-memory exponent of daily spend
+  *     — the "does today predict next month" persistence read next to
+  *     q132's ACF (fixed lags) and q209's variance ratio (aggregation
+  *     consistency);
+  *   - q220_cramer_von_mises: the L² member of the two-sample
+  *     distribution-test family (q125 KS is sup-norm, q203 W₁ is
+  *     mass-transport). Chosen over Anderson–Darling deliberately:
+  *     CvM's per-value term has a COMMON denominator, so the sum
+  *     stays exact-decimal and commutes across partitions (the q203
+  *     discipline); AD's per-value B(N−B) denominator would force an
+  *     ordered double fold over the whole support;
+  *   - q221_jonckheere: the ORDERED-alternative k-sample test (is
+  *     order price stochastically increasing in priority class) —
+  *     q178's Kruskal–Wallis asks "any difference", JT asks "a
+  *     monotone one", which is the hypothesis a priority ladder
+  *     actually implies;
+  *   - q222_sprt: Wald's sequential probability ratio test over the
+  *     event stream — the ALWAYS-VALID A/B stopping rule next to
+  *     q123's fixed-horizon z-test and q216's MDE sizing (peeking at
+  *     a z-test inflates α; SPRT's boundaries are the design);
+  *   - pipeline_dp_count: ε-differentially-private release of the
+  *     per-(lang, source) corpus histogram — Laplace(1/ε) noise from
+  *     the house deterministic-RNG (md5 inverse-CDF), the privacy
+  *     accounting row a training-data pipeline publishes.
+  *
+  * Reference note: the reference engine (`/root/reference/`, a Go log
+  * forwarder — SURVEY.md §1) has no analytics surface; these extend
+  * the Frontier statistics family. Shared machinery: value-domain
+  * count tables + ops.PrefixSum (never a partition-less window),
+  * exact decimal(38,0) moments, fixed IEEE assembly on one
+  * (or enum-bounded) rows, ulp-pinned constants interpolated from ONE
+  * Scala value into BOTH engines, DuckDB oracles replaying identical
+  * arithmetic.
+  */
+object Frontier9 {
+
+  private val dec = "decimal(38,0)"
+
+  // ---- ulp-pinned design constants (ONE Scala value, interpolated
+  // into both the Spark plan and the DuckDB oracle; Double.toString
+  // round-trips exactly, so both engines hold the same bits) --------
+  /** SPRT design: H0 p=0.40 vs H1 p=0.50, alpha = beta = 0.05. */
+  private val SprtC1 = math.log(0.50 / 0.40) // per-success LLR
+  private val SprtC2 = math.log(0.50 / 0.60) // per-failure LLR
+  private val SprtA = math.log(0.95 / 0.05) // upper (reject H0)
+  private val SprtB = math.log(0.05 / 0.95) // lower (accept H0)
+  private val Ln2 = math.log(2.0)
+
+  /** Complete HOURLY-spend grid (all event types pooled): t = hour
+    * index from the span start, v = exact cents (missing hours are
+    * genuine zeros — the q127/q174/q187 grid convention, one level
+    * finer). Hourly, not daily, deliberately: the fixture's event
+    * span is 30 days at every SF, so a daily series could never fill
+    * a 32- or 64-point R/S block — the hourly grid (720 points) keeps
+    * every block size populated while staying span-bounded (24×days
+    * rows at any corpus size).
+    */
+  private def hourGrid(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val hourly = Tables.load(s, d, "events")
+      .select(date_trunc("hour", $"ts").as("h"),
+        round($"value" * 100).cast("long").as("cents"))
+      .groupBy($"h").agg(sum($"cents").as("v"))
+    hourly.agg(min($"h").as("h0"), max($"h").as("h1"))
+      .select(explode(sequence($"h0", $"h1",
+        expr("interval 1 hour"))).as("h"), $"h0")
+      .join(hourly, Seq("h"), "left")
+      .select(expr("(unix_micros(h) - unix_micros(h0)) div 3600000000")
+        .as("t"), coalesce($"v", lit(0L)).as("v"))
+  }
+
+  private val hourGridSql =
+    """hourly AS (
+         SELECT date_trunc('hour', ts) AS h,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
+         FROM events GROUP BY 1),
+       span AS (SELECT min(h) AS h0, max(h) AS h1 FROM hourly),
+       hours AS (
+         SELECT unnest(generate_series(h0, h1,
+           INTERVAL 1 HOUR)) AS h, h0
+         FROM span),
+       grid AS (
+         SELECT CAST(date_diff('hour', hy.h0, hy.h) AS BIGINT) AS t,
+           coalesce(d.v, 0) AS v
+         FROM hours hy LEFT JOIN hourly d ON d.h = hy.h)"""
+
+  def queries: Map[String, Q] = Map(
+
+    // Wilcoxon signed-rank on HOUR-paired (click − purchase) revenue:
+    // "do the two streams differ in location, judged within hours" —
+    // pairing removes the time-of-day seasonality that q171's
+    // unpaired U test would launder into noise (hours, not days: the
+    // fixture spans 30 days at every SF — 720 hour pairs give the
+    // rank machinery an actual sample). Zero differences drop
+    // (the standard convention); |d| ranks ride the q171 exact
+    // machinery (2·rank stays integer under midrank ties: rank2 =
+    // 2·cum − t + 1 on the |d| count table via PrefixSum), 2·W⁺ is an
+    // exact decimal, and the tie-corrected normal z assembles once:
+    // 48·Var = 2n(n+1)(2n+1) − Σ(t³−t) exactly. The hour-paired
+    // frame is span-bounded (24×days rows); the |d| count table
+    // value-domain-bounded.
+    "q218_wilcoxon_signed_rank" -> ((s, d) => {
+      import s.implicits._
+      val daily = Tables.load(s, d, "events")
+        .filter($"event_type".isin("click", "purchase"))
+        .select(date_trunc("hour", $"ts").as("day"),
+          when($"event_type" === "click",
+            round($"value" * 100).cast("long")).otherwise(0L).as("c"),
+          when($"event_type" === "purchase",
+            round($"value" * 100).cast("long")).otherwise(0L).as("p"))
+        .groupBy($"day")
+        .agg(sum($"c").as("c"), sum($"p").as("p"))
+        .select(($"c" - $"p").as("diff"))
+        .filter($"diff" =!= 0L)
+      val byAbs = daily
+        .select(abs($"diff").as("absd"),
+          when($"diff" > 0, 1L).otherwise(0L).as("pos"))
+        .groupBy($"absd")
+        .agg(sum($"pos").as("kpos"), count(lit(1)).as("t"))
+      val ranked = graft.ops.PrefixSum.runningTotal(byAbs,
+          Seq($"absd"), $"t", "cum")
+        .select($"kpos", $"t",
+          (lit(2L) * $"cum" - $"t" + 1L).cast(dec).as("rank2"))
+      ranked.agg(
+          sum($"t").cast(dec).as("nd"),
+          sum(($"kpos".cast(dec) * $"rank2").cast(dec)).as("w2"),
+          sum(($"t".cast(dec) * $"t" * $"t" - $"t").cast(dec))
+            .as("tie3"))
+        .withColumn("v48",
+          (lit(2).cast(dec) * $"nd" * ($"nd" + 1) * (lit(2).cast(dec)
+            * $"nd" + 1) - $"tie3").cast(dec))
+        .select($"nd".cast("long").as("n_pairs"),
+          ($"w2".cast("double") / 2.0).as("w_plus"),
+          Tables.nz(round(
+            when($"nd" < 2 || $"v48" <= 0, lit(null).cast("double"))
+              .otherwise(
+                (lit(2).cast(dec) * $"w2" - $"nd" * ($"nd" + 1))
+                  .cast("double") /
+                (lit(4.0) * sqrt($"v48".cast("double") / 48.0))), 4))
+            .as("z_stat"))
+    }),
+
+    // Hurst exponent via rescaled range: block the HOURLY grid at
+    // m ∈ {8,16,32,64}, per block compute R (range of the cumulative
+    // mean-deviation profile) over S (population std), average R/S
+    // per m in block order, and read H as the 4-point OLS slope of
+    // ln(R/S) on ln m — H ≈ 0.5 is a random walk, > 0.5 persistent
+    // trending, < 0.5 mean-reverting. Exactness: per-block Σx (long)
+    // and Σx² (decimal) are exact, the ≤64-element profile folds
+    // integer prefixes cast to double in index order (IEEE-identical
+    // both engines), block averages fold in block order (q92
+    // discipline), and the OLS slope collapses to a fixed centered
+    // form because ln m are consecutive multiples of ln 2. Blocks are
+    // span-bounded (≤ hours/8 rows); per-block lists ≤ 64 elements.
+    "q219_hurst" -> ((s, d) => {
+      import s.implicits._
+      val grid = hourGrid(s, d)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val nDays = grid.count() // driver scalar; materializes the cache
+      val perBlock = grid
+        .select($"t", $"v",
+          explode(array(lit(8L), lit(16L), lit(32L), lit(64L)))
+            .as("m"))
+        .withColumn("b", expr("t div m"))
+        .withColumn("pos", $"t" % $"m")
+        .filter(expr(s"b < ${nDays}L div m")) // FULL blocks only
+        .groupBy($"m", $"b")
+        .agg(sort_array(collect_list(struct($"pos", $"v"))).as("arr"),
+          sum($"v").as("sx"),
+          sum(($"v".cast(dec) * $"v").cast(dec)).as("sxx"),
+          count(lit(1)).as("cnt"))
+        .withColumn("mu", $"sx".cast("double") / $"m".cast("double"))
+        // profile p_i = (exact integer prefix) − i·mu, i = 1..m;
+        // R = max − min over the fixed-order double array
+        .withColumn("prof", expr(
+          """transform(sequence(1L, m), i ->
+               cast(aggregate(slice(arr, 1, cast(i as int)), 0L,
+                 (a, e) -> a + e.v) as double)
+               - cast(i as double) * mu)"""))
+        .withColumn("rng",
+          expr("array_max(prof) - array_min(prof)"))
+        .withColumn("s2num",
+          ($"m".cast(dec) * $"sxx" - $"sx".cast(dec) * $"sx")
+            .cast(dec))
+        .withColumn("sd",
+          sqrt($"s2num".cast("double")) / $"m".cast("double"))
+        .select($"m", $"b",
+          when($"sd" > 0.0, $"rng" / $"sd").as("rs"))
+        .filter($"rs".isNotNull) // zero-variance blocks drop (both engines)
+      val perM = perBlock
+        .groupBy($"m")
+        .agg(count($"rs").as("n_blocks"),
+          sort_array(collect_list(struct($"b", $"rs"))).as("bs"))
+        .select($"m", $"n_blocks",
+          when($"n_blocks" > 0, expr(
+            """aggregate(bs, cast(0.0 as double),
+               (a, e) -> a + e.rs)""") / $"n_blocks".cast("double"))
+            .as("avg_rs"))
+      perM.groupBy()
+        .agg(
+          max(when($"m" === 8, $"avg_rs")).as("rs8"),
+          max(when($"m" === 16, $"avg_rs")).as("rs16"),
+          max(when($"m" === 32, $"avg_rs")).as("rs32"),
+          max(when($"m" === 64, $"avg_rs")).as("rs64"),
+          min($"n_blocks").as("min_blocks"))
+        .select(lit(nDays).as("n_days"),
+          Tables.nz(round($"rs8", 6)).as("rs8"),
+          Tables.nz(round($"rs16", 6)).as("rs16"),
+          Tables.nz(round($"rs32", 6)).as("rs32"),
+          Tables.nz(round($"rs64", 6)).as("rs64"),
+          Tables.nz(round(
+            when($"min_blocks" < 1 || $"rs8".isNull || $"rs16".isNull
+              || $"rs32".isNull || $"rs64".isNull
+              || $"rs8" <= 0.0 || $"rs16" <= 0.0 || $"rs32" <= 0.0
+              || $"rs64" <= 0.0, lit(null).cast("double"))
+              .otherwise(
+                (lit(-1.5) * log($"rs8") - lit(0.5) * log($"rs16")
+                  + lit(0.5) * log($"rs32") + lit(1.5) * log($"rs64"))
+                / (lit(5.0) * lit(Ln2))), 4)).as("hurst"))
+    }),
+
+    // Cramér–von Mises two-sample statistic between URGENT and LOW
+    // order prices — the L² companion to q125's KS on the SAME frame:
+    // KS reads the single worst ECDF gap, CvM integrates ALL of them,
+    // so a broad small shift that never spikes registers. Tie-aware
+    // discrete form: T = Σ_v t_v·(F₁(v) − F₂(v))² · nm/N² with
+    // right-continuous ECDFs; the per-value term clears denominators
+    // to t_v·(cf·m − cs·n)² — exact decimal(38,0), so the Σ commutes
+    // across partitions (NO ordered fold — the reason CvM was chosen
+    // over Anderson–Darling, whose B(N−B) denominator varies per
+    // value). Exact through N ≈ 4·10⁷ pooled rows (term ≤ N⁵ <
+    // 10³⁸); past that rescale cents to dollars (the stated-bound
+    // discipline from text_heavy_hitters). One final IEEE divide.
+    "q220_cramer_von_mises" -> ((s, d) => {
+      import s.implicits._
+      val o = Tables.load(s, d, "orders")
+        .filter($"o_orderpriority".isin("1-URGENT", "5-LOW"))
+        .select(round($"o_totalprice" * 100).cast("long").as("cents"),
+          ($"o_orderpriority" === "1-URGENT").as("isa"))
+      val byVal = o.groupBy($"cents")
+        .agg(sum(when($"isa", 1L).otherwise(0L)).as("ka"),
+          count(lit(1)).as("t"))
+      val cum1 = graft.ops.PrefixSum.runningTotal(byVal,
+        Seq($"cents"), $"t", "cum")
+      val cum2 = graft.ops.PrefixSum.runningTotal(cum1,
+        Seq($"cents"), $"ka", "cuma")
+      val tot = byVal.agg(sum($"ka").as("n1"),
+        sum($"t" - $"ka").as("n2"), count(lit(1)).as("n_support"))
+      cum2.crossJoin(broadcast(tot))
+        .withColumn("df",
+          ($"cuma".cast(dec) * $"n2"
+            - ($"cum" - $"cuma").cast(dec) * $"n1").cast(dec))
+        .select($"n1", $"n2", $"n_support",
+          ($"t".cast(dec) * ($"df" * $"df").cast(dec)).cast(dec)
+            .as("term"))
+        .groupBy($"n1", $"n2", $"n_support")
+        .agg(sum($"term").as("num"))
+        .select($"n1", $"n2", $"n_support",
+          Tables.nz(round(
+            when($"n1" === 0 || $"n2" === 0, lit(null).cast("double"))
+              .otherwise($"num".cast("double") /
+                ($"n1".cast("double") * $"n2".cast("double") *
+                  (($"n1" + $"n2").cast("double") *
+                   ($"n1" + $"n2").cast("double")))), 6))
+            .as("cvm_t"),
+          Tables.nz(round((lit(1.0) +
+            lit(1.0) / ($"n1" + $"n2").cast("double")) / 6.0, 6))
+            .as("cvm_t_null_mean"))
+    }),
+
+    // Jonckheere–Terpstra ordered-alternative test across the FIVE
+    // priority classes in their label order — "is order price
+    // stochastically increasing in priority", the monotone hypothesis
+    // a priority ladder implies (q178 KW only asks "any difference").
+    // JT = Σ_{g<h} U_gh rides the value-domain count table: explode
+    // to (group, cents, k) rows, ONE PrefixSum over (group, cents)
+    // gives every group's inclusive cumulative (per-group base
+    // subtracted — the pipeline_epoch_order trick), re-pivot to a
+    // wide support row, and 2·JT = Σ_v Σ_{g<h} k_h·(2·cum_g − k_g)
+    // exactly (ties counted half). Mean and the THREE-term
+    // tie-corrected variance assemble from exact decimal pieces
+    // (group sizes + value tie counts); one final IEEE z.
+    "q221_jonckheere" -> ((s, d) => {
+      import s.implicits._
+      val o = Tables.load(s, d, "orders")
+        .select(round($"o_totalprice" * 100).cast("long").as("cents"),
+          substring($"o_orderpriority", 1, 1).cast("int").as("g"))
+      // wide support row per distinct cents: per-group counts k1..k5;
+      // each group's INCLUSIVE cumulative then rides its own
+      // PrefixSum over the support table (five passes over a
+      // value-domain-bounded frame — a value absent from group g
+      // contributes k_g = 0, so the running total is exactly
+      // cum_g(v) with no forward-fill gymnastics)
+      val wide = o.groupBy($"cents")
+        .agg(
+          sum(when($"g" === 1, 1L).otherwise(0L)).as("k1"),
+          sum(when($"g" === 2, 1L).otherwise(0L)).as("k2"),
+          sum(when($"g" === 3, 1L).otherwise(0L)).as("k3"),
+          sum(when($"g" === 4, 1L).otherwise(0L)).as("k4"),
+          sum(when($"g" === 5, 1L).otherwise(0L)).as("k5"))
+      val sup1 = graft.ops.PrefixSum.runningTotal(wide,
+        Seq($"cents"), $"k1", "q1")
+      val sup2 = graft.ops.PrefixSum.runningTotal(sup1,
+        Seq($"cents"), $"k2", "q2")
+      val sup3 = graft.ops.PrefixSum.runningTotal(sup2,
+        Seq($"cents"), $"k3", "q3")
+      val sup4 = graft.ops.PrefixSum.runningTotal(sup3,
+        Seq($"cents"), $"k4", "q4")
+      val sup = graft.ops.PrefixSum.runningTotal(sup4,
+        Seq($"cents"), $"k5", "q5")
+      def u2pair(kh: Column, cg: Column, kg: Column): Column =
+        (kh.cast(dec) * (lit(2).cast(dec) * cg - kg)).cast(dec)
+      val terms = sup.select((
+          u2pair($"k2", $"q1", $"k1") + u2pair($"k3", $"q1", $"k1")
+        + u2pair($"k4", $"q1", $"k1") + u2pair($"k5", $"q1", $"k1")
+        + u2pair($"k3", $"q2", $"k2") + u2pair($"k4", $"q2", $"k2")
+        + u2pair($"k5", $"q2", $"k2") + u2pair($"k4", $"q3", $"k3")
+        + u2pair($"k5", $"q3", $"k3") + u2pair($"k5", $"q4", $"k4"))
+          .cast(dec).as("u2t"),
+          ($"k1" + $"k2" + $"k3" + $"k4" + $"k5").as("tv"))
+      val tieAgg = terms.agg(
+        sum($"u2t").as("u2"),
+        sum(($"tv".cast(dec) * ($"tv" - 1) * (lit(2).cast(dec)
+          * $"tv" + 5)).cast(dec)).as("tA"),
+        sum(($"tv".cast(dec) * ($"tv" - 1) * ($"tv" - 2)).cast(dec))
+          .as("tB"),
+        sum(($"tv".cast(dec) * ($"tv" - 1)).cast(dec)).as("tC"))
+      val grp = o.groupBy($"g").agg(count(lit(1)).as("ng"))
+        .agg(sum($"ng").cast(dec).as("nn"),
+          sum(($"ng".cast(dec) * $"ng").cast(dec)).as("gsq"),
+          sum(($"ng".cast(dec) * ($"ng" - 1) * (lit(2).cast(dec)
+            * $"ng" + 5)).cast(dec)).as("gA"),
+          sum(($"ng".cast(dec) * ($"ng" - 1) * ($"ng" - 2)).cast(dec))
+            .as("gB"),
+          sum(($"ng".cast(dec) * ($"ng" - 1)).cast(dec)).as("gC"))
+      tieAgg.crossJoin(broadcast(grp))
+        .withColumn("e4", ($"nn" * $"nn" - $"gsq").cast(dec))
+        .withColumn("va",
+          ($"nn" * ($"nn" - 1) * (lit(2).cast(dec) * $"nn" + 5)
+            - $"gA" - $"tA").cast("double") / 72.0)
+        .withColumn("vb",
+          $"gB".cast("double") * $"tB".cast("double") /
+            (lit(36.0) * ($"nn" * ($"nn" - 1) * ($"nn" - 2))
+              .cast("double")))
+        .withColumn("vc",
+          $"gC".cast("double") * $"tC".cast("double") /
+            (lit(8.0) * ($"nn" * ($"nn" - 1)).cast("double")))
+        .withColumn("v", $"va" + $"vb" + $"vc")
+        .select($"nn".cast("long").as("n"),
+          ($"u2".cast("double") / 2.0).as("jt_stat"),
+          Tables.nz(round(
+            when($"v" <= 0.0, lit(null).cast("double"))
+              .otherwise((lit(2).cast(dec) * $"u2" - $"e4")
+                .cast("double") / (lit(4.0) * sqrt($"v"))), 4))
+            .as("z_stat"))
+    }),
+
+    // Wald's SPRT on per-arm conversion rate (purchase share of
+    // click+purchase events), arms split by the house md5 RNG on
+    // user_id: cumulative LLR over the EVENT-TIME-ordered trial
+    // stream, stop at the first boundary crossing. H0 p=0.40 vs
+    // H1 p=0.50, alpha = beta = 0.05 — the boundaries ln(19)/−ln(19)
+    // and the per-trial increments are ulp-pinned Scala constants
+    // interpolated into both engines. The LLR at trial n is a
+    // function of exact running (n, k) only, so the stream rides TWO
+    // ops.PrefixSum passes (trials, successes) — never a
+    // partition-less window — and the "first crossing" is a min_by
+    // over the crossing rows. 100 TB: prefix sums are the
+    // distributed-scan shape; everything after is arm-sized.
+    "q222_sprt" -> ((s, d) => {
+      import s.implicits._
+      val ev = Tables.load(s, d, "events")
+        .filter($"event_type".isin("click", "purchase"))
+        .select(
+          (conv(substring(md5($"user_id".cast("string")), 1, 1),
+            16, 10).cast("long") % 2).as("arm"),
+          unix_micros($"ts").as("us"), $"event_id",
+          when($"event_type" === "purchase", 1L).otherwise(0L)
+            .as("s"))
+      val g1 = graft.ops.PrefixSum.runningTotal(ev,
+        Seq($"arm", $"us", $"event_id"), lit(1L), "grn")
+      val g2 = graft.ops.PrefixSum.runningTotal(g1,
+        Seq($"arm", $"us", $"event_id"), $"s", "kcum")
+      val bases = g2.groupBy($"arm")
+        .agg(min($"grn").as("n0"), min($"kcum" - $"s").as("k0"))
+      val t = g2.join(broadcast(bases), Seq("arm"))
+        .select($"arm", ($"grn" - $"n0" + 1L).as("n"),
+          ($"kcum" - $"k0").as("k"))
+        .withColumn("llr",
+          $"k".cast("double") * lit(SprtC1)
+            + ($"n" - $"k").cast("double") * lit(SprtC2))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val crossed = t
+        .filter($"llr" >= lit(SprtA) || $"llr" <= lit(SprtB))
+        .withColumn("dir",
+          when($"llr" >= lit(SprtA), "reject_h0")
+            .otherwise("accept_h0"))
+        .groupBy($"arm")
+        .agg(min_by(struct($"n", $"k", $"llr", $"dir"), $"n")
+          .as("fst"))
+      val totals = t.groupBy($"arm")
+        .agg(max($"n").as("n_trials"), max_by($"k", $"n").as("k_total"),
+          max_by($"llr", $"n").as("llr_final"))
+      totals.join(crossed, Seq("arm"), "left")
+        .select(
+          when($"arm" === 0, "A").otherwise("B").as("arm"),
+          $"n_trials", $"k_total",
+          coalesce($"fst.dir", lit("continue")).as("decision"),
+          $"fst.n".as("n_at_decision"),
+          Tables.nz(round($"fst.llr", 6)).as("llr_at_decision"),
+          Tables.nz(round($"llr_final", 6)).as("llr_final"))
+        .orderBy($"arm")
+    }),
+
+    // ε-differentially-private release of the per-(lang, source)
+    // document histogram: Laplace(Δ/ε) noise, Δ = 1 (counting query),
+    // ε = 1, drawn DETERMINISTICALLY per group from the house md5 RNG
+    // by inverse CDF — u from the first 12 hex nibbles (exact integer
+    // /16¹², identical both engines), noise = −sign(u−½)·ln(1−2|u−½|).
+    // The parity row keeps true_n so the gate can hash it; a
+    // production release drops that column and publishes (group,
+    // released, epsilon) — the accounting row a training-data
+    // pipeline ships next to pipeline_dataset_card. Group rollup +
+    // row-local noise: scan-shaped at any corpus size.
+    "pipeline_dp_count" -> ((s, d) => {
+      import s.implicits._
+      Tables.load(s, d, "documents")
+        .groupBy($"lang", $"source")
+        .agg(count(lit(1)).as("true_n"))
+        .withColumn("u",
+          conv(substring(md5(concat(lit("dp:"), $"lang", lit(":"),
+            $"source")), 1, 12), 16, 10).cast("long")
+            .cast("double") / lit(281474976710656.0))
+        .withColumn("noise",
+          -signum($"u" - 0.5) * log(lit(1.0)
+            - lit(2.0) * abs($"u" - 0.5)))
+        .select($"lang", $"source", $"true_n",
+          lit(1.0).as("epsilon"),
+          Tables.nz(round($"noise", 6)).as("noise"),
+          Tables.nz(round($"true_n".cast("double") + $"noise", 6))
+            .as("released"))
+        .orderBy($"lang", $"source")
+    }))
+
+  def oracles: Map[String, String] = Map(
+
+    "q218_wilcoxon_signed_rank" ->
+      """WITH daily AS (
+           SELECT date_trunc('hour', ts) AS day,
+             CAST(sum(CASE WHEN event_type = 'click'
+               THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+               AS BIGINT) AS c,
+             CAST(sum(CASE WHEN event_type = 'purchase'
+               THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+               AS BIGINT) AS p
+           FROM events
+           WHERE event_type IN ('click', 'purchase')
+           GROUP BY 1),
+         dif AS (
+           SELECT c - p AS diff FROM daily WHERE c - p <> 0),
+         byabs AS (
+           SELECT abs(diff) AS absd,
+             CAST(sum(CASE WHEN diff > 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS kpos,
+             CAST(count(*) AS BIGINT) AS t
+           FROM dif GROUP BY 1),
+         rk AS (
+           SELECT kpos, t,
+             CAST(2 * sum(t) OVER (ORDER BY absd
+               ROWS UNBOUNDED PRECEDING) - t + 1 AS HUGEINT)
+               AS rank2
+           FROM byabs),
+         agg AS (
+           SELECT CAST(sum(t) AS HUGEINT) AS nd,
+             sum(CAST(kpos AS HUGEINT) * rank2) AS w2,
+             sum(CAST(t AS HUGEINT) * t * t - t) AS tie3
+           FROM rk),
+         v AS (
+           SELECT nd, w2,
+             2 * nd * (nd + 1) * (2 * nd + 1) - tie3 AS v48
+           FROM agg)
+         SELECT CAST(nd AS BIGINT) AS n_pairs,
+           CAST(w2 AS DOUBLE) / 2.0 AS w_plus,
+           round(CASE WHEN nd < 2 OR v48 <= 0 THEN NULL
+             ELSE CAST(2 * w2 - nd * (nd + 1) AS DOUBLE) /
+               (4.0 * sqrt(CAST(v48 AS DOUBLE) / 48.0)) END, 4) + 0.0
+             AS z_stat
+         FROM v""",
+
+    "q219_hurst" -> {
+      s"""WITH $hourGridSql,
+         nn AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM grid),
+         blk AS (
+           SELECT m, t // m AS b, t % m AS pos, v
+           FROM grid, (SELECT unnest([8, 16, 32, 64]) AS m) ms, nn
+           WHERE t // m < n_days // m),
+         per AS (
+           SELECT m, b,
+             list({'pos': pos, 'v': v} ORDER BY pos) AS arr,
+             CAST(sum(v) AS BIGINT) AS sx,
+             sum(CAST(v AS HUGEINT) * v) AS sxx,
+             CAST(count(*) AS BIGINT) AS cnt
+           FROM blk GROUP BY 1, 2),
+         rs AS (
+           SELECT m, b,
+             CASE WHEN sqrt(CAST(m * sxx - CAST(sx AS HUGEINT) * sx
+                 AS DOUBLE)) / CAST(m AS DOUBLE) > 0.0
+               THEN (list_max(prof) - list_min(prof)) /
+                 (sqrt(CAST(m * sxx - CAST(sx AS HUGEINT) * sx
+                   AS DOUBLE)) / CAST(m AS DOUBLE))
+               ELSE NULL END AS rs
+           FROM (
+             SELECT m, b, sx, sxx,
+               list_transform(range(1, CAST(m AS INTEGER) + 1), i ->
+                 CAST(list_sum(list_transform(arr[1:i], e -> e.v))
+                   AS DOUBLE)
+                 - CAST(i AS DOUBLE)
+                   * (CAST(sx AS DOUBLE) / CAST(m AS DOUBLE)))
+                 AS prof
+             FROM per)),
+         perm AS (
+           SELECT m, CAST(count(rs) AS BIGINT) AS n_blocks,
+             CASE WHEN count(rs) > 0 THEN
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                 list(rs ORDER BY b)), (a, x) -> a + x)
+               / CAST(count(rs) AS DOUBLE)
+             ELSE NULL END AS avg_rs
+           FROM rs WHERE rs IS NOT NULL GROUP BY 1),
+         piv AS (
+           SELECT
+             max(CASE WHEN m = 8 THEN avg_rs END) AS rs8,
+             max(CASE WHEN m = 16 THEN avg_rs END) AS rs16,
+             max(CASE WHEN m = 32 THEN avg_rs END) AS rs32,
+             max(CASE WHEN m = 64 THEN avg_rs END) AS rs64,
+             min(n_blocks) AS min_blocks
+           FROM perm)
+         SELECT nn.n_days,
+           round(rs8, 6) + 0.0 AS rs8, round(rs16, 6) + 0.0 AS rs16,
+           round(rs32, 6) + 0.0 AS rs32, round(rs64, 6) + 0.0 AS rs64,
+           round(CASE WHEN min_blocks < 1 OR rs8 IS NULL
+               OR rs16 IS NULL OR rs32 IS NULL OR rs64 IS NULL
+               OR rs8 <= 0.0 OR rs16 <= 0.0 OR rs32 <= 0.0
+               OR rs64 <= 0.0 THEN NULL
+             ELSE (-1.5 * ln(rs8) - 0.5 * ln(rs16) + 0.5 * ln(rs32)
+               + 1.5 * ln(rs64)) / (5.0 * $Ln2) END, 4) + 0.0
+             AS hurst
+         FROM piv, nn"""
+    },
+
+    "q220_cramer_von_mises" ->
+      """WITH o AS (
+           SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             o_orderpriority = '1-URGENT' AS isa
+           FROM orders
+           WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+         bv AS (
+           SELECT cents,
+             CAST(sum(CASE WHEN isa THEN 1 ELSE 0 END) AS BIGINT)
+               AS ka,
+             CAST(count(*) AS BIGINT) AS t
+           FROM o GROUP BY 1),
+         cu AS (
+           SELECT ka, t,
+             CAST(sum(t) OVER w AS BIGINT) AS cum,
+             CAST(sum(ka) OVER w AS BIGINT) AS cuma
+           FROM bv
+           WINDOW w AS (ORDER BY cents ROWS UNBOUNDED PRECEDING)),
+         tot AS (
+           SELECT CAST(sum(ka) AS BIGINT) AS n1,
+             CAST(sum(t - ka) AS BIGINT) AS n2,
+             CAST(count(*) AS BIGINT) AS n_support
+           FROM bv),
+         agg AS (
+           SELECT sum(CAST(t AS HUGEINT) *
+             (CAST(cuma AS HUGEINT) * n2
+               - CAST(cum - cuma AS HUGEINT) * n1) *
+             (CAST(cuma AS HUGEINT) * n2
+               - CAST(cum - cuma AS HUGEINT) * n1)) AS num
+           FROM cu, tot)
+         SELECT n1, n2, n_support,
+           round(CASE WHEN n1 = 0 OR n2 = 0 THEN NULL
+             ELSE CAST(num AS DOUBLE) /
+               (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) *
+                 (CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 AS DOUBLE)))
+             END, 6) + 0.0 AS cvm_t,
+           round((1.0 + 1.0 / CAST(n1 + n2 AS DOUBLE)) / 6.0, 6)
+             + 0.0 AS cvm_t_null_mean
+         FROM agg, tot""",
+
+    "q221_jonckheere" ->
+      """WITH o AS (
+           SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             CAST(substr(o_orderpriority, 1, 1) AS INTEGER) AS g
+           FROM orders),
+         bv AS (
+           SELECT cents,
+             CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS k1,
+             CAST(sum(CASE WHEN g = 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS k2,
+             CAST(sum(CASE WHEN g = 3 THEN 1 ELSE 0 END) AS BIGINT)
+               AS k3,
+             CAST(sum(CASE WHEN g = 4 THEN 1 ELSE 0 END) AS BIGINT)
+               AS k4,
+             CAST(sum(CASE WHEN g = 5 THEN 1 ELSE 0 END) AS BIGINT)
+               AS k5
+           FROM o GROUP BY 1),
+         cu AS (
+           SELECT k1, k2, k3, k4, k5,
+             k1 + k2 + k3 + k4 + k5 AS tv,
+             CAST(sum(k1) OVER w AS BIGINT) AS q1,
+             CAST(sum(k2) OVER w AS BIGINT) AS q2,
+             CAST(sum(k3) OVER w AS BIGINT) AS q3,
+             CAST(sum(k4) OVER w AS BIGINT) AS q4,
+             CAST(sum(k5) OVER w AS BIGINT) AS q5
+           FROM bv
+           WINDOW w AS (ORDER BY cents ROWS UNBOUNDED PRECEDING)),
+         terms AS (
+           SELECT
+             CAST(k2 AS HUGEINT) * (2 * q1 - k1)
+             + CAST(k3 AS HUGEINT) * (2 * q1 - k1)
+             + CAST(k4 AS HUGEINT) * (2 * q1 - k1)
+             + CAST(k5 AS HUGEINT) * (2 * q1 - k1)
+             + CAST(k3 AS HUGEINT) * (2 * q2 - k2)
+             + CAST(k4 AS HUGEINT) * (2 * q2 - k2)
+             + CAST(k5 AS HUGEINT) * (2 * q2 - k2)
+             + CAST(k4 AS HUGEINT) * (2 * q3 - k3)
+             + CAST(k5 AS HUGEINT) * (2 * q3 - k3)
+             + CAST(k5 AS HUGEINT) * (2 * q4 - k4) AS u2t,
+             tv
+           FROM cu),
+         ta AS (
+           SELECT CAST(sum(u2t) AS HUGEINT) AS u2,
+             sum(CAST(tv AS HUGEINT) * (tv - 1) * (2 * tv + 5)) AS tA,
+             sum(CAST(tv AS HUGEINT) * (tv - 1) * (tv - 2)) AS tB,
+             sum(CAST(tv AS HUGEINT) * (tv - 1)) AS tC
+           FROM terms),
+         gr AS (
+           SELECT CAST(sum(ng) AS HUGEINT) AS nn,
+             sum(CAST(ng AS HUGEINT) * ng) AS gsq,
+             sum(CAST(ng AS HUGEINT) * (ng - 1) * (2 * ng + 5)) AS gA,
+             sum(CAST(ng AS HUGEINT) * (ng - 1) * (ng - 2)) AS gB,
+             sum(CAST(ng AS HUGEINT) * (ng - 1)) AS gC
+           FROM (SELECT g, CAST(count(*) AS BIGINT) AS ng
+                 FROM o GROUP BY 1)),
+         fin AS (
+           SELECT nn, u2, nn * nn - gsq AS e4,
+             CAST(nn * (nn - 1) * (2 * nn + 5) - gA - tA AS DOUBLE)
+               / 72.0
+             + CAST(gB AS DOUBLE) * CAST(tB AS DOUBLE) /
+               (36.0 * CAST(nn * (nn - 1) * (nn - 2) AS DOUBLE))
+             + CAST(gC AS DOUBLE) * CAST(tC AS DOUBLE) /
+               (8.0 * CAST(nn * (nn - 1) AS DOUBLE)) AS v
+           FROM ta, gr)
+         SELECT CAST(nn AS BIGINT) AS n,
+           CAST(u2 AS DOUBLE) / 2.0 AS jt_stat,
+           round(CASE WHEN v <= 0.0 THEN NULL
+             ELSE CAST(2 * u2 - e4 AS DOUBLE) / (4.0 * sqrt(v))
+             END, 4) + 0.0 AS z_stat
+         FROM fin""",
+
+    "q222_sprt" ->
+      s"""WITH ev AS (
+           SELECT
+             CAST(strpos('0123456789abcdef',
+               substr(md5(CAST(user_id AS VARCHAR)), 1, 1)) - 1
+               AS BIGINT) % 2 AS arm,
+             epoch_us(ts) AS us, event_id,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS s
+           FROM events
+           WHERE event_type IN ('click', 'purchase')),
+         t AS (
+           SELECT arm,
+             CAST(row_number() OVER w AS BIGINT) AS n,
+             CAST(sum(s) OVER w AS BIGINT) AS k
+           FROM ev
+           WINDOW w AS (PARTITION BY arm ORDER BY us, event_id
+             ROWS UNBOUNDED PRECEDING)),
+         l AS (
+           SELECT arm, n, k,
+             CAST(k AS DOUBLE) * ($SprtC1)
+               + CAST(n - k AS DOUBLE) * ($SprtC2) AS llr
+           FROM t),
+         crossed AS (
+           SELECT arm, n, k, llr,
+             CASE WHEN llr >= ($SprtA) THEN 'reject_h0'
+               ELSE 'accept_h0' END AS dir,
+             row_number() OVER (PARTITION BY arm ORDER BY n) AS rn
+           FROM l
+           WHERE llr >= ($SprtA) OR llr <= ($SprtB)),
+         totals AS (
+           SELECT arm, max(n) AS n_trials,
+             max_by(k, n) AS k_total,
+             max_by(llr, n) AS llr_final
+           FROM l GROUP BY 1)
+         SELECT CASE WHEN t.arm = 0 THEN 'A' ELSE 'B' END AS arm,
+           t.n_trials, t.k_total,
+           coalesce(c.dir, 'continue') AS decision,
+           c.n AS n_at_decision,
+           round(c.llr, 6) + 0.0 AS llr_at_decision,
+           round(t.llr_final, 6) + 0.0 AS llr_final
+         FROM totals t LEFT JOIN crossed c
+           ON c.arm = t.arm AND c.rn = 1
+         ORDER BY arm""",
+
+    "pipeline_dp_count" ->
+      """WITH g AS (
+           SELECT lang, source, CAST(count(*) AS BIGINT) AS true_n
+           FROM documents GROUP BY 1, 2),
+         u AS (
+           SELECT lang, source, true_n,
+             CAST(CAST(('0x' || substr(md5('dp:' || lang || ':' ||
+               source), 1, 12)) AS BIGINT) AS DOUBLE)
+               / 281474976710656.0 AS u
+           FROM g)
+         SELECT lang, source, true_n,
+           1.0 AS epsilon,
+           round(-sign(u - 0.5) * ln(1.0 - 2.0 * abs(u - 0.5)), 6)
+             + 0.0 AS noise,
+           round(CAST(true_n AS DOUBLE)
+             + (-sign(u - 0.5) * ln(1.0 - 2.0 * abs(u - 0.5))), 6)
+             + 0.0 AS released
+         FROM u
+         ORDER BY lang, source""")
+}

@@ -123,6 +123,9 @@ class CollectGuardSpec extends SparkSpec {
     "q200_psi" -> "decile x half count cells, <= 10 rows",
     "q202_nelson_aalen" ->
       "months-bounded risk table (q120's frame, <= span/30 rows)",
+    "q219_hurst" ->
+      ("per-block <= 64-element list + per-m block panel (<= hours/8 "
+        + "rows) — both span-bounded on the hourly grid"),
     "q188_mood_median" -> "segment enum panel, <= |segments| rows",
     "q189_cramers_v" ->
       "contingency cell grids, key-domain-bounded (25x50 max)",

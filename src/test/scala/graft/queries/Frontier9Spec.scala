@@ -1,0 +1,188 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Behavioral specs for the round-17 batch — independent driver-side
+  * re-derivations at sf0.001 on top of the DuckDB gate.
+  */
+class Frontier9Spec extends SparkSpec {
+  import spark.implicits._
+  private val sf = "/root/testdata/sf0.001"
+
+  /** (hour → (clickCents, purchaseCents)) over observed hours. */
+  private def dayPairs(): Map[String, (Long, Long)] =
+    graft.Tables.load(spark, sf, "events")
+      .filter($"event_type".isin("click", "purchase"))
+      .select(date_trunc("hour", $"ts").cast("string").as("day"),
+        $"event_type",
+        round($"value" * 100).cast("long").as("cents"))
+      .as[(String, String, Long)].collect()
+      .groupBy(_._1)
+      .view.mapValues { rows =>
+        (rows.filter(_._2 == "click").map(_._3).sum,
+          rows.filter(_._2 == "purchase").map(_._3).sum)
+      }.toMap
+
+  test("wilcoxon signed-rank: matches the textbook midrank re-derivation") {
+    val diffs = dayPairs().values.map { case (c, p) => c - p }
+      .filter(_ != 0L).toSeq
+    val n = diffs.size
+    // midranks of |d|
+    val sorted = diffs.map(math.abs).sorted
+    val rankOf = sorted.zipWithIndex.groupBy(_._1)
+      .view.mapValues(g => g.map(_._2 + 1).sum.toDouble / g.size).toMap
+    val wPlus = diffs.filter(_ > 0).map(d => rankOf(math.abs(d))).sum
+    val ties = sorted.groupBy(identity).values.map(_.size.toLong)
+    val v48 = 2.0 * n * (n + 1.0) * (2.0 * n + 1.0) -
+      ties.map(t => t.toDouble * t * t - t).sum
+    val z = (4.0 * wPlus - n * (n + 1.0)) / (4.0 * math.sqrt(v48 / 48.0))
+    val got = Frontier9.queries("q218_wilcoxon_signed_rank")(spark, sf)
+      .as[(Long, Double, Double)].collect().head
+    assert(got._1 == n.toLong)
+    assert(math.abs(got._2 - wPlus) < 1e-9, s"W+ ${got._2} vs $wPlus")
+    assert(math.abs(got._3 - z) < 1e-3, s"z ${got._3} vs $z")
+  }
+
+  test("hurst: matches brute-force R/S on the complete grid; H in (0,1)") {
+    val d = graft.Tables.load(spark, sf, "events")
+      .select((unix_micros(date_trunc("hour", $"ts"))
+        / lit(3600000000L)).cast("long").as("hr"),
+        round($"value" * 100).cast("long").as("cents"))
+      .as[(Long, Long)].collect()
+      .groupBy(_._1)
+      .view.mapValues(_.map(_._2).sum).toMap
+    val t0 = d.keys.min
+    val n = (d.keys.max - t0 + 1).toInt
+    val xs = (0 until n).map(i => d.getOrElse(t0 + i, 0L))
+    def avgRs(m: Int): Double = {
+      val rss = (0 until n / m).flatMap { b =>
+        val blk = xs.slice(b * m, b * m + m)
+        val mu = blk.map(BigInt(_)).sum.toDouble / m
+        val prof = blk.scanLeft(0.0)((a, x) => a + (x - mu)).tail
+        val r = prof.max - prof.min
+        val sx = blk.map(BigInt(_)).sum
+        val sxx = blk.map(x => BigInt(x) * x).sum
+        val s = math.sqrt((BigInt(m) * sxx - sx * sx).toDouble) / m
+        if (s > 0.0) Some(r / s) else None
+      }
+      rss.sum / rss.size
+    }
+    val got = Frontier9.queries("q219_hurst")(spark, sf)
+      .as[(Long, Double, Double, Double, Double, Double)]
+      .collect().head
+    assert(got._1 == n.toLong)
+    Seq(8, 16, 32, 64).zip(Seq(got._2, got._3, got._4, got._5))
+      .foreach { case (m, v) =>
+        assert(math.abs(v - avgRs(m)) < 1e-4, s"rs$m $v vs ${avgRs(m)}")
+      }
+    val h = (-1.5 * math.log(avgRs(8)) - 0.5 * math.log(avgRs(16))
+      + 0.5 * math.log(avgRs(32)) + 1.5 * math.log(avgRs(64))) /
+      (5.0 * math.log(2.0))
+    assert(math.abs(got._6 - h) < 1e-3)
+    assert(got._6 > 0.0 && got._6 < 1.0, s"H out of range: ${got._6}")
+  }
+
+  test("cramer-von-mises: matches the brute-force discrete form") {
+    val o = graft.Tables.load(spark, sf, "orders")
+      .filter($"o_orderpriority".isin("1-URGENT", "5-LOW"))
+      .select(round($"o_totalprice" * 100).cast("long").as("cents"),
+        ($"o_orderpriority" === "1-URGENT").as("isa"))
+      .as[(Long, Boolean)].collect()
+    val a = o.filter(_._2).map(_._1).sorted
+    val b = o.filter(!_._2).map(_._1).sorted
+    val (n1, n2) = (a.length, b.length)
+    val nn = (n1 + n2).toDouble
+    val support = (a ++ b).distinct.sorted
+    val t = support.map { v =>
+      val tv = (a.count(_ == v) + b.count(_ == v)).toDouble
+      val f1 = a.count(_ <= v).toDouble / n1
+      val f2 = b.count(_ <= v).toDouble / n2
+      tv * (f1 - f2) * (f1 - f2)
+    }.sum * n1 * n2 / (nn * nn)
+    val got = Frontier9.queries("q220_cramer_von_mises")(spark, sf)
+      .as[(Long, Long, Long, Double, Double)].collect().head
+    assert(got._1 == n1.toLong && got._2 == n2.toLong)
+    assert(got._3 == support.length.toLong)
+    // the query's exact-decimal form equals T = nm/N² Σ t(F1-F2)²
+    assert(math.abs(got._4 - t) < 1e-5, s"cvm ${got._4} vs $t")
+  }
+
+  test("jonckheere: JT matches the O(n²) pairwise count; z finite") {
+    val o = graft.Tables.load(spark, sf, "orders")
+      .select(round($"o_totalprice" * 100).cast("long").as("cents"),
+        substring($"o_orderpriority", 1, 1).cast("int").as("g"))
+      .as[(Long, Int)].collect()
+    var jt2 = 0L // 2·JT: ties count 1, strict wins 2
+    for (x <- o; y <- o if x._2 < y._2) {
+      if (x._1 < y._1) jt2 += 2
+      else if (x._1 == y._1) jt2 += 1
+    }
+    val got = Frontier9.queries("q221_jonckheere")(spark, sf)
+      .as[(Long, Double, Double)].collect().head
+    assert(got._1 == o.length.toLong)
+    assert(math.abs(got._2 - jt2 / 2.0) < 1e-9,
+      s"JT ${got._2} vs ${jt2 / 2.0}")
+    assert(!got._3.isNaN && !got._3.isInfinite)
+  }
+
+  test("sprt: decision point matches the scalar replay of the llr walk") {
+    val ev = graft.Tables.load(spark, sf, "events")
+      .filter($"event_type".isin("click", "purchase"))
+      .select(
+        (conv(substring(md5($"user_id".cast("string")), 1, 1), 16, 10)
+          .cast("long") % 2).as("arm"),
+        unix_micros($"ts").as("us"), $"event_id",
+        ($"event_type" === "purchase").as("s"))
+      .as[(Long, Long, Long, Boolean)].collect()
+    val c1 = math.log(0.50 / 0.40)
+    val c2 = math.log(0.50 / 0.60)
+    val bA = math.log(0.95 / 0.05)
+    val got = Frontier9.queries("q222_sprt")(spark, sf)
+      .as[(String, Long, Long, String, Option[Long], Option[Double],
+        Double)].collect().sortBy(_._1)
+    Seq(0L -> "A", 1L -> "B").foreach { case (armId, armName) =>
+      val trials = ev.filter(_._1 == armId)
+        .sortBy(e => (e._2, e._3)).map(_._4)
+      var k = 0
+      var dec: Option[(Int, String)] = None
+      trials.zipWithIndex.foreach { case (s, i) =>
+        if (s) k += 1
+        val llr = k * c1 + (i + 1 - k) * c2
+        if (dec.isEmpty && (llr >= bA || llr <= -bA))
+          dec = Some((i + 1, if (llr >= bA) "reject_h0" else "accept_h0"))
+      }
+      val row = got.find(_._1 == armName).get
+      assert(row._2 == trials.length.toLong, s"$armName trials")
+      assert(row._3 == k.toLong, s"$armName successes")
+      assert(row._4 == dec.map(_._2).getOrElse("continue"),
+        s"$armName decision")
+      assert(row._5 == dec.map(_._1.toLong), s"$armName stop point")
+    }
+    // at the fixture's ~0.49 purchase share, the 0.40-vs-0.50 design
+    // must actually stop — otherwise the row never exercises the
+    // boundary and the parity is vacuous
+    assert(got.exists(_._4 != "continue"), "no arm ever crossed")
+  }
+
+  test("dp counts: noise is deterministic Laplace(1), release adds it") {
+    val got = Frontier9.queries("pipeline_dp_count")(spark, sf)
+      .as[(String, String, Long, Double, Double, Double)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (lang, source, n, eps, noise, released) =>
+      assert(eps == 1.0)
+      assert(math.abs(released - (n + noise)) < 1e-4)
+      // replay the inverse-CDF draw
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"dp:$lang:$source".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 12)
+      val u = java.lang.Long.parseLong(h, 16).toDouble / 281474976710656.0
+      val exp = -math.signum(u - 0.5) * math.log(1.0 - 2.0 * math.abs(u - 0.5))
+      assert(math.abs(noise - exp) < 1e-5, s"$lang/$source noise")
+    }
+    // Laplace(1) scale sanity on the fixture's ~100 groups: the
+    // mean |noise| estimates b = 1 (loose band, deterministic data)
+    val meanAbs = got.map(r => math.abs(r._5)).sum / got.length
+    assert(meanAbs > 0.3 && meanAbs < 3.0, s"meanAbs $meanAbs")
+  }
+}
