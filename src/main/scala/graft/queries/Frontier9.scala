@@ -454,6 +454,163 @@ object Frontier9 {
           Tables.nz(round($"true_n".cast("double") + $"noise", 6))
             .as("released"))
         .orderBy($"lang", $"source")
+    }),
+
+    // Restricted mean survival time at τ ∈ {6, 12, 24} months — the
+    // survival panel's EFFECT-SIZE number (q120 draws the KM curve,
+    // q202 the hazard, q166 tests two curves; RMST is "expected
+    // months retained within the first τ", the quantity a retention
+    // business case actually prices). Step integral of the KM curve
+    // over the SAME months-bounded risk table (q120's frame, factors
+    // 1 − d/n in the identical IEEE order): per event index i, the
+    // τ-clamped segment times the PREFIX product of factors (the
+    // q202 slice+aggregate idiom — O(months²) on a ≤ span/30 array),
+    // plus the τ tail segment. Deliberately NOT a struct-accumulator
+    // fold: DuckDB's list_reduce evaluates struct-literal fields
+    // sequentially, so an accumulator whose 'r' reads 's' silently
+    // sees the CURRENT step's update — measured 5.9927 vs the
+    // correct 5.9960 before the prefix-product rewrite. τ rows are a
+    // 3-literal explode.
+    "q223_rmst" -> ((s, d) => {
+      import s.implicits._
+      val maxd = Tables.load(s, d, "orders")
+        .agg(max(to_date($"o_orderdate")).as("maxd"))
+      val cust = Tables.load(s, d, "orders")
+        .select($"o_custkey", to_date($"o_orderdate").as("day"))
+        .groupBy($"o_custkey")
+        .agg(min($"day").as("first"), max($"day").as("last"))
+        .crossJoin(broadcast(maxd))
+        .select(
+          (datediff($"maxd", $"last") > 90).as("churned"),
+          expr("""CAST(CASE WHEN datediff(maxd, last) > 90
+                  THEN datediff(last, first) div 30
+                  ELSE datediff(maxd, first) div 30 END AS BIGINT)""")
+            .as("t"))
+      val byMonth = cust.groupBy($"t")
+        .agg(sum(when($"churned", 1L).otherwise(0L)).as("d"),
+          sum(when($"churned", 0L).otherwise(1L)).as("c"))
+      val risk = byMonth
+        .withColumn("n_at_risk",
+          sum($"d" + $"c").over(
+            org.apache.spark.sql.expressions.Window.orderBy($"t")
+              .rowsBetween(org.apache.spark.sql.expressions.Window
+                .currentRow, org.apache.spark.sql.expressions.Window
+                .unboundedFollowing)))
+        .withColumn("factor",
+          lit(1.0) - $"d".cast("double") / $"n_at_risk".cast("double"))
+      risk
+        .agg(sort_array(collect_list(struct($"t", $"factor")))
+          .as("arr"))
+        .select($"arr",
+          explode(array(lit(6L), lit(12L), lit(24L))).as("tau"))
+        .select($"tau",
+          Tables.nz(round(expr(
+            """CASE WHEN size(arr) = 0 THEN cast(tau as double) ELSE
+                 aggregate(
+                   transform(sequence(1, size(arr)), i ->
+                     cast(least(element_at(arr, i).t, tau)
+                       - least(if(i = 1, 0L,
+                           element_at(arr, i - 1).t), tau) as double)
+                     * aggregate(slice(arr, 1, i - 1),
+                         cast(1.0 as double),
+                         (a, x) -> a * x.factor)),
+                   cast(0.0 as double), (a, v) -> a + v)
+                 + cast(tau - least(element_at(arr, size(arr)).t, tau)
+                     as double)
+                   * aggregate(arr, cast(1.0 as double),
+                       (a, x) -> a * x.factor)
+               END"""), 6)).as("rmst_months"),
+          Tables.nz(round(expr(
+            """aggregate(filter(arr, x -> x.t <= tau),
+                 cast(1.0 as double), (a, x) -> a * x.factor)"""), 6))
+            .as("s_at_tau"))
+        .orderBy($"tau")
+    }),
+
+    // Linear CKA between the full 64-d embedding and its 16-d
+    // matryoshka prefix — the REPRESENTATION-similarity read next to
+    // emb_matryoshka_eval's retrieval recall: "how much of the full
+    // geometry does the prefix already encode", the number used to
+    // pick truncation dims for cheap retrieval tiers. Rides
+    // emb_effective_dim's exact machinery verbatim: components
+    // quantized to the 1e6 grid (exact long partials, so distributed
+    // sums commute), ONE triangular covariance panel (d(d+1)/2 =
+    // 2080 cells, d-bounded — the CollectGuard whitelist class), and
+    // THREE weighted Frobenius folds over the sorted panel: the full
+    // matrix (wt), the 16×16 block, and the 16×64 cross block
+    // (weight 2/1/0 by how many of i, j fall under the prefix).
+    // CKA = ‖C_xy‖²_F / √(‖C_xx‖²_F·‖C_yy‖²_F), one final IEEE
+    // expression; frob terms ship unrounded (the emb_effective_dim
+    // 1e22-magnitude rounding lesson).
+    "emb_cka" -> ((s, d) => {
+      val P = 16 // matryoshka prefix width
+      val q = Tables.spread(Tables.load(s, d, "embeddings"))
+        .select(expr("transform(embedding, v -> " +
+          "CAST(floor(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT))")
+          .as("q"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val nVecs = q.count()
+      val dims = q.select(posexplode(col("q")).as(Seq("i", "x")))
+        .groupBy(col("i"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("x") * col("x")).as("sxx"))
+      val dDim = q.select(size(col("q"))).limit(1).head.getInt(0)
+      val pairs = q.select(posexplode(expr(
+          """flatten(transform(sequence(0, size(q) - 2), i ->
+             transform(sequence(i + 1, size(q) - 1), j ->
+               element_at(q, i + 1) * element_at(q, j + 1))))"""))
+          .as(Seq("pos", "xy")))
+        .groupBy(col("pos")).agg(sum(col("xy")).as("sxy"))
+      val idx = q.sparkSession.range(1).select(posexplode(expr(
+          s"""flatten(transform(sequence(0, $dDim - 2), i ->
+              transform(sequence(i + 1, $dDim - 1), j ->
+                struct(i AS i, j AS j))))""")).as(Seq("pos", "ij")))
+        .select(col("pos"), col("ij.i").as("i"), col("ij.j").as("j"))
+      val off = pairs
+        .join(broadcast(idx), Seq("pos"))
+        .join(broadcast(dims), Seq("i"))
+        .join(broadcast(dims.select(col("i").as("j"),
+          col("sx").as("sy"))), Seq("j"))
+        .select(col("i").cast("long").as("i"),
+          col("j").cast("long").as("j"), lit(2L).as("wt"),
+          ((col("n").cast("double") * col("sxy").cast("double")
+            - col("sx").cast("double") * col("sy").cast("double")) /
+           (col("n").cast("double") * col("n").cast("double")))
+            .as("cov"))
+      val diag = dims.select(col("i").cast("long").as("i"),
+        col("i").cast("long").as("j"), lit(1L).as("wt"),
+        ((col("n").cast("double") * col("sxx").cast("double")
+          - col("sx").cast("double") * col("sx").cast("double")) /
+         (col("n").cast("double") * col("n").cast("double")))
+          .as("cov"))
+      off.unionAll(diag)
+        .agg(sort_array(collect_list(struct(col("i"), col("j"),
+          col("wt"), col("cov")))).as("cs"))
+        .select(
+          lit(nVecs).as("n_vecs"),
+          lit(dDim.toLong).as("d_full"),
+          lit(P.toLong).as("d_prefix"),
+          expr("""aggregate(cs, CAST(0.0 AS DOUBLE), (a, x) ->
+            a + x.wt * x.cov * x.cov)""").as("fxx"),
+          expr(s"""aggregate(cs, CAST(0.0 AS DOUBLE), (a, x) ->
+            a + CASE WHEN x.i < $P AND x.j < $P
+              THEN x.wt * x.cov * x.cov ELSE CAST(0.0 AS DOUBLE)
+            END)""").as("fyy"),
+          expr(s"""aggregate(cs, CAST(0.0 AS DOUBLE), (a, x) ->
+            a + CASE WHEN x.wt = 1 THEN
+                  CASE WHEN x.i < $P THEN x.cov * x.cov
+                    ELSE CAST(0.0 AS DOUBLE) END
+                ELSE (CASE WHEN x.i < $P THEN 1.0 ELSE 0.0 END
+                    + CASE WHEN x.j < $P THEN 1.0 ELSE 0.0 END)
+                  * x.cov * x.cov
+            END)""").as("fxy"))
+        .select(col("n_vecs"), col("d_full"), col("d_prefix"),
+          col("fxx"), col("fyy"), col("fxy"),
+          Tables.nz(round(
+            when(col("fxx") <= 0.0 || col("fyy") <= 0.0,
+              lit(null).cast("double"))
+              .otherwise(col("fxy") /
+                sqrt(col("fxx") * col("fyy"))), 6)).as("cka"))
     }))
 
   def oracles: Map[String, String] = Map(
@@ -735,5 +892,130 @@ object Frontier9 {
              + (-sign(u - 0.5) * ln(1.0 - 2.0 * abs(u - 0.5))), 6)
              + 0.0 AS released
          FROM u
-         ORDER BY lang, source""")
+         ORDER BY lang, source""",
+
+    "q223_rmst" ->
+      """WITH maxd AS (
+           SELECT max(CAST(o_orderdate AS DATE)) AS maxd FROM orders),
+         cust AS (
+           SELECT o_custkey, min(CAST(o_orderdate AS DATE)) AS first,
+             max(CAST(o_orderdate AS DATE)) AS last
+           FROM orders GROUP BY 1),
+         ev AS (
+           SELECT (maxd - last) > 90 AS churned,
+             CAST(CASE WHEN (maxd - last) > 90
+                  THEN (last - first) // 30
+                  ELSE (maxd - first) // 30 END AS BIGINT) AS t
+           FROM cust, maxd),
+         bymonth AS (
+           SELECT t,
+             CAST(sum(CASE WHEN churned THEN 1 ELSE 0 END) AS BIGINT)
+               AS d,
+             CAST(sum(CASE WHEN churned THEN 0 ELSE 1 END) AS BIGINT)
+               AS c
+           FROM ev GROUP BY 1),
+         risk AS (
+           SELECT t,
+             CAST(1.0 AS DOUBLE) - CAST(d AS DOUBLE) /
+               CAST(CAST(sum(d + c) OVER (ORDER BY t DESC) AS BIGINT)
+                 AS DOUBLE) AS factor
+           FROM bymonth),
+         one AS (
+           SELECT list({'t': t, 'factor': factor} ORDER BY t) AS arr
+           FROM risk),
+         taus AS (SELECT CAST(unnest([6, 12, 24]) AS BIGINT) AS tau),
+         red AS (
+           SELECT tau,
+             CASE WHEN len(arr) = 0 THEN CAST(tau AS DOUBLE) ELSE
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                 list_transform(range(1, len(arr) + 1), i ->
+                   CAST(least(arr[i].t, tau)
+                     - least(CASE WHEN i = 1 THEN 0
+                         ELSE arr[i - 1].t END, tau) AS DOUBLE)
+                   * list_reduce(list_prepend(CAST(1.0 AS DOUBLE),
+                       list_transform(arr[1:i - 1], x -> x.factor)),
+                       (a, b) -> a * b))), (a, b) -> a + b)
+               + CAST(tau - least(arr[len(arr)].t, tau) AS DOUBLE)
+                 * list_reduce(list_prepend(CAST(1.0 AS DOUBLE),
+                     list_transform(arr, x -> x.factor)),
+                     (a, b) -> a * b)
+             END AS r,
+             list_reduce(list_prepend(CAST(1.0 AS DOUBLE),
+               list_transform(list_filter(arr, x -> x.t <= tau),
+                 x -> x.factor)), (a, b) -> a * b) AS s_tau
+           FROM one, taus)
+         SELECT tau,
+           round(r, 6) + 0.0 AS rmst_months,
+           round(s_tau, 6) + 0.0 AS s_at_tau
+         FROM red
+         ORDER BY tau""",
+
+    "emb_cka" ->
+      """WITH q AS (
+           SELECT list_transform(embedding, v ->
+             CAST(floor(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT)) AS q
+           FROM embeddings),
+         nv AS (SELECT CAST(count(*) AS BIGINT) AS n_vecs FROM q),
+         dd AS (SELECT CAST(max(len(q)) AS BIGINT) AS d_full FROM q),
+         dims AS (
+           SELECT pos - 1 AS i, count(*) AS n,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(x * x) AS BIGINT) AS sxx
+           FROM (SELECT unnest(q) AS x,
+                   unnest(range(1, len(q) + 1)) AS pos FROM q)
+           GROUP BY 1),
+         p AS (
+           SELECT unnest(flatten(list_transform(range(0, len(q) - 1),
+             i -> list_transform(range(i + 1, len(q)), j ->
+               {'i': i, 'j': j, 'xy': q[i + 1] * q[j + 1]})))) AS s
+           FROM q),
+         prs AS (
+           SELECT s.i AS i, s.j AS j, CAST(sum(s.xy) AS BIGINT) AS sxy
+           FROM p GROUP BY 1, 2),
+         covs AS (
+           SELECT CAST(prs.i AS BIGINT) AS i, CAST(prs.j AS BIGINT) AS j,
+             CAST(2 AS BIGINT) AS wt,
+             (CAST(di.n AS DOUBLE) * CAST(prs.sxy AS DOUBLE)
+               - CAST(di.sx AS DOUBLE) * CAST(dj.sx AS DOUBLE)) /
+             (CAST(di.n AS DOUBLE) * CAST(di.n AS DOUBLE)) AS cov
+           FROM prs
+           JOIN dims di ON di.i = prs.i
+           JOIN dims dj ON dj.i = prs.j
+           UNION ALL
+           SELECT CAST(i AS BIGINT), CAST(i AS BIGINT),
+             CAST(1 AS BIGINT),
+             (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) /
+             (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+           FROM dims),
+         one AS (
+           SELECT list({'i': i, 'j': j, 'wt': wt, 'cov': cov}
+             ORDER BY i, j, wt, cov) AS cs
+           FROM covs),
+         fr AS (
+           SELECT
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(cs, x -> x.wt * x.cov * x.cov)),
+               (a, b) -> a + b) AS fxx,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(cs, x ->
+                 CASE WHEN x.i < 16 AND x.j < 16
+                   THEN x.wt * x.cov * x.cov
+                   ELSE CAST(0.0 AS DOUBLE) END)),
+               (a, b) -> a + b) AS fyy,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(cs, x ->
+                 CASE WHEN x.wt = 1 THEN
+                     CASE WHEN x.i < 16 THEN x.cov * x.cov
+                       ELSE CAST(0.0 AS DOUBLE) END
+                   ELSE (CASE WHEN x.i < 16 THEN 1.0 ELSE 0.0 END
+                       + CASE WHEN x.j < 16 THEN 1.0 ELSE 0.0 END)
+                     * x.cov * x.cov
+                 END)), (a, b) -> a + b) AS fxy
+           FROM one)
+         SELECT nv.n_vecs, dd.d_full, CAST(16 AS BIGINT) AS d_prefix,
+           fxx, fyy, fxy,
+           round(CASE WHEN fxx <= 0.0 OR fyy <= 0.0 THEN NULL
+             ELSE fxy / sqrt(fxx * fyy) END, 6) + 0.0 AS cka
+         FROM fr, nv, dd""")
 }

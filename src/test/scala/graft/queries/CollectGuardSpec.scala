@@ -55,6 +55,8 @@ class CollectGuardSpec extends SparkSpec {
     "emb_outliers" -> "corpus-mean dim-moment list, size = d",
     "emb_effective_dim" ->
       "one global covariance list, size = d(d+1)/2 = 2016 keys",
+    "emb_cka" ->
+      "one global covariance list, size = d(d+1)/2 + d (d-bounded)",
     // --- doc-bounded: group = one document; buffer scales with max
     // document length (KB-scale data contract), never corpus rows
     "pipeline_bpe_encode" ->
@@ -122,6 +124,8 @@ class CollectGuardSpec extends SparkSpec {
       "per-item moment panel, bounded by the event-type enum",
     "q200_psi" -> "decile x half count cells, <= 10 rows",
     "q202_nelson_aalen" ->
+      "months-bounded risk table (q120's frame, <= span/30 rows)",
+    "q223_rmst" ->
       "months-bounded risk table (q120's frame, <= span/30 rows)",
     "q219_hurst" ->
       ("per-block <= 64-element list + per-m block panel (<= hours/8 "

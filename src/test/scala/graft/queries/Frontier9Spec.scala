@@ -185,4 +185,88 @@ class Frontier9Spec extends SparkSpec {
     val meanAbs = got.map(r => math.abs(r._5)).sum / got.length
     assert(meanAbs > 0.3 && meanAbs < 3.0, s"meanAbs $meanAbs")
   }
+
+  test("rmst: matches the scalar step-integral of q120's KM curve") {
+    // independent scalar replay off the q120 risk table
+    val maxd = graft.Tables.load(spark, sf, "orders")
+      .agg(max(to_date($"o_orderdate"))).head.getDate(0).toLocalDate
+    val cust = graft.Tables.load(spark, sf, "orders")
+      .select($"o_custkey", to_date($"o_orderdate").as("day"))
+      .as[(Long, java.sql.Date)].collect()
+      .groupBy(_._1).values.map { rows =>
+        val days = rows.map(_._2.toLocalDate)
+        val (first, last) = (days.min, days.max)
+        val gap = java.time.temporal.ChronoUnit.DAYS
+          .between(last, maxd)
+        val churned = gap > 90
+        val t =
+          if (churned)
+            java.time.temporal.ChronoUnit.DAYS.between(first, last) / 30
+          else
+            java.time.temporal.ChronoUnit.DAYS.between(first, maxd) / 30
+        (churned, t)
+      }.toSeq
+    val byMonth = cust.groupBy(_._2).toSeq.sortBy(_._1).map {
+      case (t, rows) => (t, rows.count(_._1).toLong, rows.size.toLong)
+    }
+    val totalFrom = byMonth.map(_._3).sum
+    var remaining = totalFrom
+    val risk = byMonth.map { case (t, d, all) =>
+      val f = 1.0 - d.toDouble / remaining
+      remaining -= all
+      (t, f)
+    }
+    def rmst(tau: Long): Double = {
+      var (pt, s, r) = (0L, 1.0, 0.0)
+      risk.foreach { case (t, f) =>
+        r += (math.min(t, tau) - math.min(pt, tau)) * s
+        s *= f
+        pt = t
+      }
+      r + (tau - math.min(pt, tau)) * s
+    }
+    val got = Frontier9.queries("q223_rmst")(spark, sf)
+      .as[(Long, Double, Double)].collect().sortBy(_._1)
+    assert(got.map(_._1).toSeq == Seq(6L, 12L, 24L))
+    got.foreach { case (tau, r, sTau) =>
+      assert(math.abs(r - rmst(tau)) < 1e-4, s"tau=$tau $r vs ${rmst(tau)}")
+      assert(r > 0.0 && r <= tau.toDouble, s"tau=$tau rmst $r")
+      assert(sTau > 0.0 && sTau <= 1.0)
+    }
+    // monotone in tau, and each extension adds at most the new span
+    assert(got(0)._2 <= got(1)._2 && got(1)._2 <= got(2)._2)
+  }
+
+  test("cka: matches the brute-force quantized-grid linear CKA") {
+    val vecs = graft.Tables.load(spark, sf, "embeddings")
+      .select($"embedding").as[Seq[Float]].collect()
+      .map(_.map(v => math.floor(v.toDouble * 1e6).toLong).toArray)
+    val n = vecs.length
+    val dFull = vecs.head.length
+    val p = 16
+    val mean = Array.tabulate(dFull)(i =>
+      vecs.map(v => BigInt(v(i))).sum)
+    def cov(i: Int, j: Int): Double = {
+      val sxy = vecs.map(v => BigInt(v(i)) * v(j)).sum
+      (n.toDouble * sxy.toDouble - mean(i).toDouble * mean(j).toDouble) /
+        (n.toDouble * n)
+    }
+    var (fxx, fyy, fxy) = (0.0, 0.0, 0.0)
+    for (i <- 0 until dFull; j <- 0 until dFull) {
+      val c2 = cov(i, j) * cov(i, j)
+      fxx += c2
+      if (i < p && j < p) fyy += c2
+      if (i < p) fxy += c2
+    }
+    val cka = fxy / math.sqrt(fxx * fyy)
+    val got = Frontier9.queries("emb_cka")(spark, sf)
+      .as[(Long, Long, Long, Double, Double, Double, Double)]
+      .collect().head
+    assert(got._1 == n.toLong && got._2 == dFull.toLong && got._3 == p)
+    assert(math.abs(got._4 / fxx - 1.0) < 1e-9, s"fxx ${got._4} vs $fxx")
+    assert(math.abs(got._5 / fyy - 1.0) < 1e-9)
+    assert(math.abs(got._6 / fxy - 1.0) < 1e-9)
+    assert(math.abs(got._7 - cka) < 1e-5, s"cka ${got._7} vs $cka")
+    assert(got._7 > 0.0 && got._7 <= 1.0)
+  }
 }

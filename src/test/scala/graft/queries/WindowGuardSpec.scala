@@ -57,6 +57,8 @@ class WindowGuardSpec extends SparkSpec {
       "reverse cumulative over the months-bounded risk table (<= span/30 rows at any corpus size)",
     "q202_nelson_aalen" ->
       "reverse cumulative over the months-bounded risk table (q120's frame; <= span/30 rows at any corpus size)",
+    "q223_rmst" ->
+      "reverse cumulative over the months-bounded risk table (q120's frame; <= span/30 rows at any corpus size)",
     "q133_rfm_migration" ->
       "period-offset windows over the 2-row period table; per-period ranks ride PrefixSum",
     "pipeline_quality_classifier" ->
