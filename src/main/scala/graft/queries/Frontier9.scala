@@ -611,6 +611,127 @@ object Frontier9 {
               lit(null).cast("double"))
               .otherwise(col("fxy") /
                 sqrt(col("fxx") * col("fyy"))), 6)).as("cka"))
+    }),
+
+    // Ansari–Bradley two-sample SCALE test on line quantity between
+    // return flags A and R — the dispersion member completing the
+    // nonparametric pair panel (location: q171 U / q218 signed-rank;
+    // omnibus: q125 KS / q220 CvM; scale: this). AB scores walk in
+    // from both ends (a(r) = min(r, N+1−r)), so a sample concentrated
+    // mid-range scores high — "same spread?" without any normality
+    // assumption. Midrank ties ride EXACTLY: a cell occupying pooled
+    // ranks [cum−t+1, cum] has an integer score SUM with a closed
+    // arithmetic-series form split at ⌊(N+1)/2⌋, so T = Σ k_A·S/t,
+    // ā = ΣS/N and Σa² = ΣS²/t assemble from exact integers; the
+    // per-cell rational divisions fold in quantity order over the
+    // 50-cell panel (l_quantity ∈ 1..50 — value-domain-bounded by
+    // the data contract, the q189 whitelist class). Normal z from
+    // the general-scores moments E = n1·ā,
+    // Var = n1·n2·(Σa² − N·ā²)/(N(N−1)). Stated bound (the
+    // text_heavy_hitters discipline): the series products are exact
+    // BIGINT through N ≈ 2·10⁹ pooled rows; past that lift S to
+    // decimal(38,0).
+    "q224_ansari_bradley" -> ((s, d) => {
+      import s.implicits._
+      val li = Tables.load(s, d, "lineitem")
+        .filter($"l_returnflag".isin("A", "R"))
+        .select($"l_quantity".cast("long").as("qty"),
+          ($"l_returnflag" === "A").as("isa"))
+      val byVal = li.groupBy($"qty")
+        .agg(sum(when($"isa", 1L).otherwise(0L)).as("ka"),
+          count(lit(1)).as("t"))
+      val cum = graft.ops.PrefixSum.runningTotal(byVal,
+        Seq($"qty"), $"t", "cum")
+      val tot = byVal.agg(sum($"ka").as("n1"),
+        sum($"t" - $"ka").as("n2"))
+      cum.crossJoin(broadcast(tot))
+        .agg(max($"n1").as("n1"), max($"n2").as("n2"),
+          sort_array(collect_list(struct($"qty", $"ka", $"t",
+            $"cum"))).as("cs"))
+        // per-cell integer score sum S over ranks [cum−t+1, cum]:
+        // Σ min(r, M−r) splits at h = M div 2 into two arithmetic
+        // series (M = N+1); computed inside ONE transform so both
+        // engines evaluate the identical expression
+        .withColumn("cells", expr(
+          """transform(cs, x -> named_struct(
+               'ka', x.ka, 't', x.t,
+               's', CAST(
+                 CASE WHEN least(x.cum, (n1 + n2 + 1) div 2)
+                        >= x.cum - x.t + 1
+                   THEN ((x.cum - x.t + 1)
+                     + least(x.cum, (n1 + n2 + 1) div 2))
+                     * (least(x.cum, (n1 + n2 + 1) div 2)
+                        - (x.cum - x.t + 1) + 1) div 2
+                   ELSE 0 END
+                 + CASE WHEN x.cum
+                          >= greatest(x.cum - x.t + 1,
+                               (n1 + n2 + 1) div 2 + 1)
+                   THEN (n1 + n2 + 1)
+                     * (x.cum - greatest(x.cum - x.t + 1,
+                         (n1 + n2 + 1) div 2 + 1) + 1)
+                     - (greatest(x.cum - x.t + 1,
+                         (n1 + n2 + 1) div 2 + 1) + x.cum)
+                       * (x.cum - greatest(x.cum - x.t + 1,
+                           (n1 + n2 + 1) div 2 + 1) + 1) div 2
+                   ELSE 0 END AS BIGINT)))"""))
+        .withColumn("tstat", expr(
+          """aggregate(cells, CAST(0.0 AS DOUBLE), (a, x) ->
+             a + CAST(x.ka AS DOUBLE) * CAST(x.s AS DOUBLE)
+               / CAST(x.t AS DOUBLE))"""))
+        .withColumn("ssum", expr(
+          "aggregate(cells, 0L, (a, x) -> a + x.s)"))
+        .withColumn("s2sum", expr(
+          """aggregate(cells, CAST(0.0 AS DOUBLE), (a, x) ->
+             a + CAST(x.s AS DOUBLE) * CAST(x.s AS DOUBLE)
+               / CAST(x.t AS DOUBLE))"""))
+        .withColumn("nn", ($"n1" + $"n2").cast("double"))
+        .withColumn("abar", $"ssum".cast("double") / $"nn")
+        .withColumn("v",
+          $"n1".cast("double") * $"n2".cast("double")
+            * ($"s2sum" - $"nn" * $"abar" * $"abar")
+            / ($"nn" * ($"nn" - 1.0)))
+        .select($"n1", $"n2",
+          Tables.nz(round($"tstat", 4)).as("ab_t"),
+          Tables.nz(round(
+            when($"v" <= 0.0, lit(null).cast("double"))
+              .otherwise(($"tstat" - $"n1".cast("double") * $"abar")
+                / sqrt($"v")), 4)).as("z_stat"))
+    }),
+
+    // Moving-average type-token ratio (MATTR, window 50) per document
+    // — the lexical-diversity score that, unlike raw TTR
+    // (text_quality) or hapax share (text_hapax_ratio), does NOT
+    // shrink mechanically with document length, so long and short
+    // docs are comparable on one scale (Covington & McFall 2010's
+    // motivation). Row-local: per doc, every 50-token window's
+    // distinct count via array HOFs (O(len·w) work on KB-scale docs —
+    // the data contract), window ratios averaged in window order;
+    // docs shorter than the window fall back to plain TTR. Zero
+    // shuffles before the display sort.
+    "text_mattr" -> ((s, d) => {
+      import s.implicits._
+      val W = 50
+      Tables.spread(Tables.load(s, d, "documents"))
+        .select($"doc_id",
+          split(lower($"text"), "\\s+").as("toks"))
+        .withColumn("n", size($"toks").cast("long"))
+        .withColumn("mattr", expr(
+          s"""CASE WHEN n <= 0 THEN CAST(NULL AS DOUBLE)
+              WHEN n < $W THEN
+                CAST(size(array_distinct(toks)) AS DOUBLE)
+                  / CAST(n AS DOUBLE)
+              ELSE
+                aggregate(
+                  transform(sequence(1L, n - ${W}L + 1L), i ->
+                    CAST(size(array_distinct(
+                        slice(toks, cast(i as int), $W))) AS DOUBLE)
+                      / CAST($W AS DOUBLE)),
+                  CAST(0.0 AS DOUBLE), (a, v) -> a + v)
+                / CAST(n - ${W}L + 1L AS DOUBLE)
+              END"""))
+        .select($"doc_id", $"n".as("n_tokens"),
+          Tables.nz(round($"mattr", 6)).as("mattr"))
+        .orderBy($"doc_id")
     }))
 
   def oracles: Map[String, String] = Map(
@@ -1017,5 +1138,110 @@ object Frontier9 {
            fxx, fyy, fxy,
            round(CASE WHEN fxx <= 0.0 OR fyy <= 0.0 THEN NULL
              ELSE fxy / sqrt(fxx * fyy) END, 6) + 0.0 AS cka
-         FROM fr, nv, dd""")
+         FROM fr, nv, dd""",
+
+    "q224_ansari_bradley" ->
+      """WITH li AS (
+           SELECT CAST(l_quantity AS BIGINT) AS qty,
+             l_returnflag = 'A' AS isa
+           FROM lineitem WHERE l_returnflag IN ('A', 'R')),
+         bv AS (
+           SELECT qty,
+             CAST(sum(CASE WHEN isa THEN 1 ELSE 0 END) AS BIGINT)
+               AS ka,
+             CAST(count(*) AS BIGINT) AS t
+           FROM li GROUP BY 1),
+         cu AS (
+           SELECT qty, ka, t,
+             CAST(sum(t) OVER (ORDER BY qty
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+           FROM bv),
+         tot AS (
+           SELECT CAST(sum(ka) AS BIGINT) AS n1,
+             CAST(sum(t - ka) AS BIGINT) AS n2
+           FROM bv),
+         one AS (
+           SELECT n1, n2,
+             list({'qty': qty, 'ka': ka, 't': t, 'cum': cum}
+               ORDER BY qty) AS cs
+           FROM cu, tot GROUP BY n1, n2),
+         cells AS (
+           SELECT n1, n2,
+             list_transform(cs, x -> {
+               'ka': x.ka, 't': x.t,
+               's': CAST(
+                 CASE WHEN least(x.cum, (n1 + n2 + 1) // 2)
+                        >= x.cum - x.t + 1
+                   THEN ((x.cum - x.t + 1)
+                     + least(x.cum, (n1 + n2 + 1) // 2))
+                     * (least(x.cum, (n1 + n2 + 1) // 2)
+                        - (x.cum - x.t + 1) + 1) // 2
+                   ELSE 0 END
+                 + CASE WHEN x.cum
+                          >= greatest(x.cum - x.t + 1,
+                               (n1 + n2 + 1) // 2 + 1)
+                   THEN (n1 + n2 + 1)
+                     * (x.cum - greatest(x.cum - x.t + 1,
+                         (n1 + n2 + 1) // 2 + 1) + 1)
+                     - (greatest(x.cum - x.t + 1,
+                         (n1 + n2 + 1) // 2 + 1) + x.cum)
+                       * (x.cum - greatest(x.cum - x.t + 1,
+                           (n1 + n2 + 1) // 2 + 1) + 1) // 2
+                   ELSE 0 END AS BIGINT)}) AS cells
+           FROM one),
+         folds AS (
+           SELECT n1, n2,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(cells, x ->
+                 CAST(x.ka AS DOUBLE) * CAST(x.s AS DOUBLE)
+                   / CAST(x.t AS DOUBLE))), (a, b) -> a + b) AS tstat,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(cells, x -> x.s)), (a, b) -> a + b)
+               AS ssum,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(cells, x ->
+                 CAST(x.s AS DOUBLE) * CAST(x.s AS DOUBLE)
+                   / CAST(x.t AS DOUBLE))), (a, b) -> a + b) AS s2sum
+           FROM cells),
+         fin AS (
+           SELECT n1, n2, tstat,
+             CAST(n1 + n2 AS DOUBLE) AS nn,
+             CAST(ssum AS DOUBLE) / CAST(n1 + n2 AS DOUBLE) AS abar,
+             CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+               * (s2sum - CAST(n1 + n2 AS DOUBLE)
+                   * (CAST(ssum AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
+                   * (CAST(ssum AS DOUBLE) / CAST(n1 + n2 AS DOUBLE)))
+               / (CAST(n1 + n2 AS DOUBLE)
+                  * (CAST(n1 + n2 AS DOUBLE) - 1.0)) AS v
+           FROM folds)
+         SELECT n1, n2, round(tstat, 4) + 0.0 AS ab_t,
+           round(CASE WHEN v <= 0.0 THEN NULL
+             ELSE (tstat - CAST(n1 AS DOUBLE) * abar) / sqrt(v)
+             END, 4) + 0.0 AS z_stat
+         FROM fin""",
+
+    "text_mattr" ->
+      """WITH d AS (
+           SELECT doc_id,
+             string_split_regex(lower(text), '\s+') AS toks
+           FROM documents),
+         n AS (
+           SELECT doc_id, toks,
+             CAST(len(toks) AS BIGINT) AS n
+           FROM d)
+         SELECT doc_id, n AS n_tokens,
+           round(CASE WHEN n <= 0 THEN NULL
+             WHEN n < 50 THEN
+               CAST(len(list_distinct(toks)) AS DOUBLE)
+                 / CAST(n AS DOUBLE)
+             ELSE
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                 list_transform(range(1, CAST(n AS INTEGER) - 50 + 2),
+                   i -> CAST(len(list_distinct(
+                       toks[i:i + 49])) AS DOUBLE) / 50.0)),
+                 (a, b) -> a + b)
+               / CAST(n - 50 + 1 AS DOUBLE)
+             END, 6) + 0.0 AS mattr
+         FROM n
+         ORDER BY doc_id""")
 }

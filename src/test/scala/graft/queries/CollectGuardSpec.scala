@@ -133,6 +133,8 @@ class CollectGuardSpec extends SparkSpec {
     "q188_mood_median" -> "segment enum panel, <= |segments| rows",
     "q189_cramers_v" ->
       "contingency cell grids, key-domain-bounded (25x50 max)",
+    "q224_ansari_bradley" ->
+      "50-cell quantity panel (l_quantity in 1..50, value-domain-bounded)",
     "q179_weekday_anova" -> "weekday enum panel, <= 7 rows",
     "q181_levene_bf" -> "weekday enum panel, <= 7 rows",
     "q182_welch_anova" -> "weekday enum panel, <= 7 rows",

@@ -269,4 +269,56 @@ class Frontier9Spec extends SparkSpec {
     assert(math.abs(got._7 - cka) < 1e-5, s"cka ${got._7} vs $cka")
     assert(got._7 > 0.0 && got._7 <= 1.0)
   }
+
+  test("ansari-bradley: matches explicit midrank scores; moments exact") {
+    val o = graft.Tables.load(spark, sf, "lineitem")
+      .filter($"l_returnflag".isin("A", "R"))
+      .select($"l_quantity".cast("long").as("q"),
+        ($"l_returnflag" === "A").as("isa"))
+      .as[(Long, Boolean)].collect()
+    val pooled = o.sortBy(_._1)
+    val nTot = pooled.length
+    // midrank Ansari scores: average min(r, N+1-r) over each tie block
+    val scoreByVal = pooled.map(_._1).zipWithIndex
+      .groupBy(_._1).view.mapValues { g =>
+        g.map { case (_, idx) =>
+          val r = idx + 1
+          math.min(r, nTot + 1 - r).toDouble
+        }.sum / g.size
+      }.toMap
+    val t = o.filter(_._2).map(x => scoreByVal(x._1)).sum
+    val n1 = o.count(_._2)
+    val n2 = nTot - n1
+    val abar = pooled.map(x => scoreByVal(x._1)).sum / nTot
+    val a2 = pooled.map(x => math.pow(scoreByVal(x._1), 2)).sum
+    val v = n1.toDouble * n2 * (a2 - nTot * abar * abar) /
+      (nTot.toDouble * (nTot - 1))
+    val z = (t - n1 * abar) / math.sqrt(v)
+    val got = Frontier9.queries("q224_ansari_bradley")(spark, sf)
+      .as[(Long, Long, Double, Double)].collect().head
+    assert(got._1 == n1.toLong && got._2 == n2.toLong)
+    assert(math.abs(got._3 - t) < 1e-3, s"T ${got._3} vs $t")
+    assert(math.abs(got._4 - z) < 1e-3, s"z ${got._4} vs $z")
+  }
+
+  test("mattr: matches the brute-force sliding window; length-stable") {
+    val docs = graft.Tables.load(spark, sf, "documents")
+      .select($"doc_id", lower($"text").as("t"))
+      .as[(Long, String)].collect()
+    val got = Frontier9.queries("text_mattr")(spark, sf)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    val w = 50
+    docs.foreach { case (id, text) =>
+      val toks = text.split("\\s+").toSeq
+      val exp =
+        if (toks.size < w) toks.distinct.size.toDouble / toks.size
+        else (0 to toks.size - w)
+          .map(i => toks.slice(i, i + w).distinct.size.toDouble / w)
+          .sum / (toks.size - w + 1)
+      val (_, n, m) = got(id)
+      assert(n == toks.size.toLong, s"doc $id token count")
+      assert(math.abs(m - exp) < 1e-4, s"doc $id mattr $m vs $exp")
+      assert(m > 0.0 && m <= 1.0)
+    }
+  }
 }
