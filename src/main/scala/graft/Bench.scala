@@ -200,6 +200,13 @@ object Bench {
     // interference) and once at run end — and let the final flag also
     // weigh the run's own evidence (retry / regression counts).
     var loadMax = loadAtStart
+    // a retry whose re-sample HALVED the wall: the first sample was
+    // interference, not plan cost. Trailing-median retries of
+    // naturally slow queries reproduce their walls (the r16 clean
+    // baseline run retried 25 queries with zero regressions — retry
+    // COUNT alone cannot separate an idle run from a loaded one), so
+    // the flag counts recovered spikes instead.
+    val spiky = scala.collection.mutable.ArrayBuffer[String]()
     val cpuSec = scala.collection.mutable.LinkedHashMap[String, Double]()
     val gcSec = scala.collection.mutable.LinkedHashMap[String, Double]()
     // Prior walls come from the PINNED clean baseline, not the
@@ -244,6 +251,7 @@ object Bench {
             f"[bench] $name retried: $sec%.2f s -> $sec2%.2f s")
           retried += name
           loadMax = math.max(loadMax, load1)
+          if (ok2 && 2 * sec2 < sec) spiky += name
           if (ok2 && sec2 < sec) { sec = sec2; cpu = cpu2; gc = gc2 }
         }
         if (ok && overPrior(name, sec)) {
@@ -280,20 +288,22 @@ object Bench {
       .mkString("{", ",", "}")
     // the self-label the r15 verdict asked for, recalibrated per the
     // r16 verdict: a start-only load sample mislabeled two rounds of
-    // mid-run contention as idle. The flag is now run-evidence-first —
-    // many retries or ANY prior-regressed row means the per-query
-    // heuristics fired mid-run. load_max (per-retry + end-of-run
-    // samples) is RECORDED for the artifact but kept OUT of the flag:
-    // mid-run loadavg includes the bench's own 32-thread Spark work
-    // (a clean full-board run ends at load1 ≈ its own parallelism),
-    // so thresholding it would mark every run contended and block
-    // baseline promotion forever — external interference shows up as
-    // load_max >> the bench's own cpu/wall, which the retry counters
-    // already catch as inflated walls.
+    // mid-run contention as idle. The flag is run-evidence-first, and
+    // BOTH naive signals proved miscalibrated when measured:
+    //  - mid-run loadavg includes the bench's own 32-thread Spark
+    //    work (a full-board run ends at load1 ≈ its own parallelism),
+    //    so load_max is RECORDED but kept out of the flag;
+    //  - raw retry count includes trailing-median retries of
+    //    naturally slow queries (the r16 CLEAN pinned run retried 25
+    //    with zero regressions), so the flag counts only SPIKES —
+    //    retries whose re-sample halved the wall, i.e. the first
+    //    sample was interference, not plan cost.
+    // Contention therefore = started loaded, OR >5 recovered spikes,
+    // OR any row still >2x the pinned baseline after retry.
     loadMax = math.max(loadMax, load1) // end-of-run sample
     val contended = loadAtStart > idleThresh ||
-      retried.size > 5 || priorRegressed.nonEmpty
-    val boxState = f""""idle_wait_s":$idleWaitS%.0f,"load_at_start":$loadAtStart%.2f,"load_max":$loadMax%.2f,"contended":$contended"""
+      spiky.size > 5 || priorRegressed.nonEmpty
+    val boxState = f""""idle_wait_s":$idleWaitS%.0f,"load_at_start":$loadAtStart%.2f,"load_max":$loadMax%.2f,"n_spiky":${spiky.size},"contended":$contended"""
     val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cpu_sec":${jmap(cpuSec)},"gc_sec":${jmap(gcSec)},"retried":$rj,"prior_regressed":$pj,"failed":$fj,$boxState,"sf":"$sfDir"}"""
     // A SPARK_GRAFT_ONLY subset run must never clobber the committed
     // full-board artifact (ADVICE r12: a 1-query smoke run replaced
