@@ -698,6 +698,96 @@ object Frontier9 {
                 / sqrt($"v")), 4)).as("z_stat"))
     }),
 
+    // Maximal-marginal-relevance diversity rerank (Carbonell &
+    // Goldstein 1998): from each eval-tier query's top-50
+    // inner-product candidates, greedily select 10 maximizing
+    // λ·rel − (1−λ)·max-sim-to-selected (λ = ½) — the rerank every
+    // retrieval-augmented pipeline runs so the context window isn't
+    // 10 near-duplicates of the same passage. DETERMINISM BY
+    // CONSTRUCTION: the greedy's argmax runs on EXACT INTEGERS — the
+    // 50 candidate embeddings quantize to the house 1e6 grid, all
+    // rel/sim values are exact long dots, the doubled MMR score
+    // (rel − maxsim, λ = ½ cleared) is a long, and each step's argmax
+    // is one integer fold with (score, index) packed into a single
+    // long (score·128 + (128 − idx) — idx ≤ 50 < 128, so the pack is
+    // order-isomorphic to (score desc, idx asc)). A float greedy
+    // would flip SELECTIONS on 1-ulp noise; integers cannot.
+    // Preselection rides the ann_mips skeleton verbatim (fused
+    // codegen DotProduct, query tier capped ≤1000, WindowGroupLimit
+    // top-50); the per-query 50×50 sim matrix + 10-step greedy are
+    // row-local HOFs over a k-bounded collect (CollectGuard class).
+    "ann_mmr" -> ((s, d) => {
+      import s.implicits._
+      val e = Tables.load(s, d, "embeddings")
+      val quant = "transform(%s, v -> " +
+        "CAST(floor(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT))"
+      val q = e.filter(col("vec_id") % 100 === 0 &&
+          col("vec_id") < 100000)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"q_id").orderBy(desc("dot"), $"vec_id")
+      val cands = e.crossJoin(broadcast(q))
+        .filter($"vec_id" =!= $"q_id")
+        .withColumn("dot", graft.functions.VectorFunctions
+          .dot_product($"q_emb", $"embedding"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter($"rank" <= 50)
+        .select($"q_id", $"rank", $"vec_id",
+          expr(quant.format("embedding")).as("qe"))
+      val qq = q.select($"q_id", expr(quant.format("q_emb")).as("qqe"))
+      val LMin = "-9223372036854775807L"
+      def dotq(a: String, b: String) =
+        s"aggregate(zip_with($a, $b, (u, v) -> u * v), 0L, (x, y) -> x + y)"
+      val mats = cands.groupBy($"q_id")
+        .agg(sort_array(collect_list(struct($"rank", $"vec_id", $"qe")))
+          .as("cands"))
+        .join(broadcast(qq), Seq("q_id"))
+        .withColumn("n", size($"cands").cast("long"))
+        .withColumn("rels", expr(
+          s"transform(cands, c -> ${dotq("qqe", "c.qe")})"))
+        .withColumn("simmat", expr(
+          s"""transform(cands, a -> transform(cands, b ->
+              ${dotq("a.qe", "b.qe")}))"""))
+        // MATERIALIZATION BARRIER (measured hang without it):
+        // CollapseProject inlines the rels/simmat aliases into the
+        // greedy expression below, and element_at(<inlined
+        // transform>, i) re-evaluates the WHOLE 50×50×64 matrix per
+        // lambda invocation — the 10×50×10-deep fold turns O(n²·d)
+        // into O(n³·k²·d) per query. The persist pins the computed
+        // arrays as real columns (query-tier-sized: ≤1000 rows ×
+        // ~20 KB); the greedy then reads them as attributes.
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      mats
+        .withColumn("sel", expr(
+          s"""aggregate(sequence(1L, least(10L, n)),
+               cast(array() as array<struct<idx: int, m: bigint>>),
+               (sel, step) -> array_append(sel,
+                 element_at(transform(array(
+                   aggregate(sequence(1, cast(n as int)), $LMin,
+                     (best, i) -> greatest(best,
+                       CASE WHEN exists(sel, sl -> sl.idx = i)
+                         THEN $LMin
+                       ELSE (element_at(rels, i)
+                         - CASE WHEN size(sel) = 0 THEN 0L
+                           ELSE aggregate(transform(sel, sl ->
+                               element_at(element_at(simmat, i),
+                                 sl.idx)),
+                             $LMin, (mx, v) -> greatest(mx, v)) END
+                         ) * 128L + (128L - i) END))),
+                   be -> named_struct(
+                     'idx', CAST(128L - ((be % 128L + 128L) % 128L)
+                       AS INT),
+                     'm', (be - ((be % 128L + 128L) % 128L))
+                       div 128L)), 1)))"""))
+        .select($"q_id", $"cands", $"rels",
+          posexplode($"sel").as(Seq("p", "s")))
+        .select($"q_id", ($"p" + 1).cast("long").as("mmr_rank"),
+          expr("element_at(cands, s.idx).vec_id").as("vec_id"),
+          expr("element_at(rels, s.idx)").as("rel_dot"),
+          $"s.m".as("mmr2"))
+        .orderBy($"q_id", $"mmr_rank")
+    }),
+
     // Moving-average type-token ratio (MATTR, window 50) per document
     // — the lexical-diversity score that, unlike raw TTR
     // (text_quality) or hapax share (text_hapax_ratio), does NOT
@@ -1219,6 +1309,89 @@ object Frontier9 {
              ELSE (tstat - CAST(n1 AS DOUBLE) * abar) / sqrt(v)
              END, 4) + 0.0 AS z_stat
          FROM fin""",
+
+    "ann_mmr" -> {
+      def dotq(a: String, b: String) =
+        s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(range(1, len($a) + 1),
+               i -> $a[i] * $b[i])), (x, y) -> x + y)"""
+      val dotd =
+        """list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(range(1, len(q_emb) + 1),
+               i -> CAST(q_emb[i] AS DOUBLE)
+                 * CAST(embedding[i] AS DOUBLE))), (x, y) -> x + y)"""
+      val LMin = "CAST(-9223372036854775807 AS BIGINT)"
+      s"""WITH q AS (
+           SELECT vec_id AS q_id, embedding AS q_emb
+           FROM embeddings
+           WHERE vec_id % 100 = 0 AND vec_id < 100000),
+         scored AS (
+           SELECT q.q_id, e.vec_id, e.embedding, q.q_emb,
+             $dotd AS dot
+           FROM embeddings e CROSS JOIN q
+           WHERE e.vec_id <> q.q_id),
+         top AS (
+           SELECT q_id, vec_id, embedding, q_emb,
+             CAST(row_number() OVER (PARTITION BY q_id
+               ORDER BY dot DESC, vec_id) AS BIGINT) AS rank
+           FROM scored),
+         cand AS (
+           SELECT q_id, rank, vec_id,
+             list_transform(embedding, v ->
+               CAST(floor(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT))
+               AS qe,
+             list_transform(q_emb, v ->
+               CAST(floor(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT))
+               AS qqe
+           FROM top WHERE rank <= 50),
+         per AS (
+           SELECT q_id, any_value(qqe) AS qqe,
+             list({'rank': rank, 'vec_id': vec_id, 'qe': qe}
+               ORDER BY rank) AS cands,
+             CAST(count(*) AS BIGINT) AS n
+           FROM cand GROUP BY q_id),
+         mats AS (
+           SELECT q_id, cands, n,
+             list_transform(cands, c -> ${dotq("qqe", "c.qe")})
+               AS rels,
+             list_transform(cands, a -> list_transform(cands, b ->
+               ${dotq("a.qe", "b.qe")})) AS simmat
+           FROM per),
+         sel AS (
+           SELECT q_id, cands, rels,
+             list_reduce(
+               list_prepend(
+                 CAST([] AS STRUCT(idx INTEGER, m BIGINT)[]),
+                 list_transform(range(1,
+                     CAST(least(10, n) AS INTEGER) + 1),
+                   z -> CAST([] AS STRUCT(idx INTEGER, m BIGINT)[]))),
+               (sel, z) -> list_append(sel,
+                 list_transform([
+                   list_reduce(list_prepend($LMin,
+                     list_transform(range(1, CAST(n AS INTEGER) + 1),
+                       i -> CASE WHEN len(list_filter(sel,
+                           sl -> sl.idx = i)) > 0 THEN $LMin
+                         ELSE (rels[i]
+                           - CASE WHEN len(sel) = 0
+                               THEN CAST(0 AS BIGINT)
+                             ELSE list_reduce(list_prepend($LMin,
+                               list_transform(sel,
+                                 sl -> simmat[i][sl.idx])),
+                               (mx, v) -> greatest(mx, v)) END
+                           ) * 128 + (128 - i) END)),
+                     (x, y) -> greatest(x, y))],
+                   be -> {'idx': CAST(128 - ((be % 128 + 128) % 128)
+                       AS INTEGER),
+                     'm': (be - ((be % 128 + 128) % 128)) // 128})[1]))
+               AS picks
+           FROM mats)
+         SELECT q_id, CAST(u.p AS BIGINT) AS mmr_rank,
+           cands[picks[u.p].idx].vec_id AS vec_id,
+           rels[picks[u.p].idx] AS rel_dot,
+           picks[u.p].m AS mmr2
+         FROM sel, unnest(range(1, len(picks) + 1)) AS u(p)
+         ORDER BY q_id, mmr_rank"""
+    },
 
     "text_mattr" ->
       """WITH d AS (

@@ -301,6 +301,56 @@ class Frontier9Spec extends SparkSpec {
     assert(math.abs(got._4 - z) < 1e-3, s"z ${got._4} vs $z")
   }
 
+  test("mmr: greedy matches the scalar replay; diversifies vs pure top-k") {
+    val vecs = graft.Tables.load(spark, sf, "embeddings")
+      .select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect()
+      .map { case (id, e) =>
+        id -> e.map(v => math.floor(v.toDouble * 1e6).toLong).toArray
+      }.toMap
+    def dot(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    val got = Frontier9.queries("ann_mmr")(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    assert(got.nonEmpty)
+    got.foreach { case (qId, rows) =>
+      // scalar replay: top-50 by integer dot (desc, id), greedy MMR
+      val qe = vecs(qId)
+      val cands = vecs.toSeq.filter(_._1 != qId)
+        .map { case (id, e) => (id, dot(qe, e), e) }
+        .sortBy(c => (-c._2, c._1)).take(50)
+      val sel = scala.collection.mutable.ArrayBuffer[Int]()
+      val expect = (1 to math.min(10, cands.size)).map { _ =>
+        val best = (1 to cands.size).filter(i => !sel.contains(i))
+          .map { i =>
+            val maxSim =
+              if (sel.isEmpty) 0L
+              else sel.map(j => dot(cands(i - 1)._3, cands(j - 1)._3)).max
+            (cands(i - 1)._2 - maxSim, i)
+          }.maxBy { case (m, i) => (m, -i) }
+        sel += best._2
+        (cands(best._2 - 1)._1, best._1)
+      }
+      rows.zip(expect).foreach { case ((_, rk, vid, rel, m2), (evid, em2)) =>
+        assert(vid == evid, s"q$qId rank $rk picked $vid, expected $evid")
+        assert(m2 == em2, s"q$qId rank $rk mmr2 $m2 vs $em2")
+        assert(rel == dot(qe, vecs(vid)), s"q$qId rel mismatch")
+      }
+      // diversity: the MMR set's mean pairwise sim must not exceed the
+      // pure top-10-by-relevance set's (equality when no dup pressure)
+      def meanPairSim(ids: Seq[Long]): Double = {
+        val ps = for {
+          a <- ids; b <- ids if a < b
+        } yield dot(vecs(a), vecs(b)).toDouble
+        ps.sum / ps.size
+      }
+      val mmrIds = rows.map(_._3).toSeq
+      val topIds = cands.take(10).map(_._1)
+      assert(meanPairSim(mmrIds) <= meanPairSim(topIds) + 1e-9,
+        s"q$qId MMR did not diversify")
+    }
+  }
+
   test("mattr: matches the brute-force sliding window; length-stable") {
     val docs = graft.Tables.load(spark, sf, "documents")
       .select($"doc_id", lower($"text").as("t"))
