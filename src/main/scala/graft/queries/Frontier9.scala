@@ -798,6 +798,75 @@ object Frontier9 {
     // the data contract), window ratios averaged in window order;
     // docs shorter than the window fall back to plain TTR. Zero
     // shuffles before the display sort.
+    // Burrows's Delta between sources — the stylometric distance
+    // curation uses to spot same-author / templated content ACROSS
+    // source labels (near-dup dedup sees shared strings; Delta sees
+    // shared STYLE through disjoint text). Classic recipe: the top-50
+    // corpus-wide tokens (function words dominate any corpus head),
+    // per-source relative frequencies, per-token z-scores across the
+    // source panel, Δ(a,b) = mean_w |z_w(a) − z_w(b)|. Exactness:
+    // counts are exact longs end-to-end (frequencies = ONE divide per
+    // (source, token) cell from exact sums), the per-token mean/sd
+    // fold over the ≤|sources| panel and the per-pair 50-token fold
+    // both run in sorted order (q92 discipline), and the pair table
+    // is enum-bounded (|sources|²/2 rows). The top-50 pick is
+    // (count desc, token asc) — deterministic under ties.
+    "text_burrows_delta" -> ((s, d) => {
+      import s.implicits._
+      val tok = Tables.spread(Tables.load(s, d, "documents"))
+        .select($"source",
+          explode(split(lower($"text"), "\\s+")).as("token"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val top = tok.groupBy($"token")
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"n".desc, $"token".asc)
+        .limit(50)
+        .select($"token")
+      val srcTotals = tok.groupBy($"source")
+        .agg(count(lit(1)).as("n_tok"))
+      val cells = tok.join(broadcast(top), Seq("token"))
+        .groupBy($"source", $"token")
+        .agg(count(lit(1)).as("k"))
+      // complete (source × top-token) grid: absent cells are genuine
+      // zero frequencies (a source that never uses a function word is
+      // a STRONG style signal, not missing data)
+      val grid = srcTotals.crossJoin(broadcast(top))
+        .join(cells, Seq("source", "token"), "left")
+        .select($"source", $"token", $"n_tok",
+          (coalesce($"k", lit(0L)).cast("double") * 1000.0 /
+            $"n_tok".cast("double")).as("f"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      // per-token moments across the source panel (sorted fold)
+      val moments = grid.groupBy($"token")
+        .agg(count(lit(1)).as("ns"),
+          sort_array(collect_list(struct($"source", $"f"))).as("sf"))
+        .withColumn("mu", expr(
+          """aggregate(sf, cast(0.0 as double), (a, x) -> a + x.f)""")
+          / $"ns".cast("double"))
+        .withColumn("sd", sqrt(expr(
+          """aggregate(sf, cast(0.0 as double),
+             (a, x) -> a + (x.f - mu) * (x.f - mu))""")
+          / $"ns".cast("double")))
+        .select($"token", $"mu", $"sd")
+      val z = grid.join(broadcast(moments), Seq("token"))
+        .select($"source", $"token",
+          when($"sd" > 0.0, ($"f" - $"mu") / $"sd").otherwise(0.0)
+            .as("z"))
+      val za = z.select($"source".as("src_a"), $"token", $"z".as("za"))
+      val zb = z.select($"source".as("src_b"), $"token", $"z".as("zb"))
+      za.join(zb, Seq("token"))
+        .filter($"src_a" < $"src_b")
+        .groupBy($"src_a", $"src_b")
+        .agg(count(lit(1)).as("n_words"),
+          sort_array(collect_list(struct($"token",
+            abs($"za" - $"zb").as("dz")))).as("ds"))
+        .select($"src_a", $"src_b", $"n_words",
+          Tables.nz(round(expr(
+            """aggregate(ds, cast(0.0 as double), (a, x) -> a + x.dz)""")
+            / $"n_words".cast("double"), 6)).as("delta"))
+        .orderBy($"src_a", $"src_b")
+    }),
+
     "text_mattr" -> ((s, d) => {
       import s.implicits._
       val W = 50
@@ -1392,6 +1461,65 @@ object Frontier9 {
          FROM sel, unnest(range(1, len(picks) + 1)) AS u(p)
          ORDER BY q_id, mmr_rank"""
     },
+
+    "text_burrows_delta" ->
+      """WITH tok AS (
+           SELECT source,
+             unnest(string_split_regex(lower(text), '\s+')) AS token
+           FROM documents),
+         top AS (
+           SELECT token FROM (
+             SELECT token, count(*) AS n FROM tok GROUP BY 1
+             ORDER BY n DESC, token LIMIT 50)),
+         srct AS (
+           SELECT source, CAST(count(*) AS BIGINT) AS n_tok
+           FROM tok GROUP BY 1),
+         cells AS (
+           SELECT t.source, t.token, CAST(count(*) AS BIGINT) AS k
+           FROM tok t JOIN top ON top.token = t.token
+           GROUP BY 1, 2),
+         grid AS (
+           SELECT s.source, tp.token,
+             CAST(coalesce(c.k, 0) AS DOUBLE) * 1000.0
+               / CAST(s.n_tok AS DOUBLE) AS f
+           FROM srct s CROSS JOIN top tp
+           LEFT JOIN cells c
+             ON c.source = s.source AND c.token = tp.token),
+         mom AS (
+           SELECT token, CAST(count(*) AS BIGINT) AS ns,
+             list({'source': source, 'f': f} ORDER BY source) AS sf
+           FROM grid GROUP BY 1),
+         mom2 AS (
+           SELECT token, ns,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(sf, x -> x.f)), (a, b) -> a + b)
+               / CAST(ns AS DOUBLE) AS mu, sf
+           FROM mom),
+         mom3 AS (
+           SELECT token, mu,
+             sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(sf, x -> (x.f - mu) * (x.f - mu))),
+               (a, b) -> a + b) / CAST(ns AS DOUBLE)) AS sd
+           FROM mom2),
+         z AS (
+           SELECT g.source, g.token,
+             CASE WHEN m.sd > 0.0 THEN (g.f - m.mu) / m.sd
+               ELSE 0.0 END AS z
+           FROM grid g JOIN mom3 m ON m.token = g.token),
+         pairs AS (
+           SELECT a.source AS src_a, b.source AS src_b,
+             CAST(count(*) AS BIGINT) AS n_words,
+             list({'token': a.token, 'dz': abs(a.z - b.z)}
+               ORDER BY a.token) AS ds
+           FROM z a JOIN z b
+             ON a.token = b.token AND a.source < b.source
+           GROUP BY 1, 2)
+         SELECT src_a, src_b, n_words,
+           round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(ds, x -> x.dz)), (a, b) -> a + b)
+             / CAST(n_words AS DOUBLE), 6) + 0.0 AS delta
+         FROM pairs
+         ORDER BY src_a, src_b""",
 
     "text_mattr" ->
       """WITH d AS (

@@ -351,6 +351,42 @@ class Frontier9Spec extends SparkSpec {
     }
   }
 
+  test("burrows delta: matches the scalar stylometric re-derivation") {
+    val docs = graft.Tables.load(spark, sf, "documents")
+      .select($"source", lower($"text")).as[(String, String)].collect()
+    val toks = docs.flatMap { case (s, t) => t.split("\\s+").map(s -> _) }
+    val top = toks.groupBy(_._2).view.mapValues(_.size).toSeq
+      .sortBy { case (t, n) => (-n, t) }.take(50).map(_._1)
+    val sources = toks.map(_._1).distinct.sorted
+    val nTok = toks.groupBy(_._1).view.mapValues(_.size).toMap
+    val f = (for (s <- sources; w <- top) yield {
+      val k = toks.count(p => p._1 == s && p._2 == w)
+      (s, w) -> k.toDouble * 1000.0 / nTok(s)
+    }).toMap
+    val z = (for (w <- top) yield {
+      val fs = sources.map(s => f((s, w)))
+      val mu = fs.sum / fs.size
+      val sd = math.sqrt(fs.map(x => (x - mu) * (x - mu)).sum / fs.size)
+      w -> sources.map(s =>
+        s -> (if (sd > 0) (f((s, w)) - mu) / sd else 0.0)).toMap
+    }).toMap
+    def delta(a: String, b: String): Double =
+      top.map(w => math.abs(z(w)(a) - z(w)(b))).sum / top.size
+    val got = Frontier9.queries("text_burrows_delta")(spark, sf)
+      .as[(String, String, Long, Double)].collect()
+    assert(got.length == sources.size * (sources.size - 1) / 2)
+    got.foreach { case (a, b, nw, d) =>
+      // the synthetic sf0.001 vocab has only 31 distinct tokens, so
+      // top-50 degrades to the whole vocabulary — assert the actual cap
+      assert(nw == top.size.toLong, s"n_words $nw vs ${top.size}")
+      assert(math.abs(d - delta(a, b)) < 1e-4,
+        s"delta($a,$b) $d vs ${delta(a, b)}")
+      assert(d >= 0.0)
+    }
+    // style distance must separate at least some pair (non-degenerate)
+    assert(got.map(_._4).max > 0.0)
+  }
+
   test("mattr: matches the brute-force sliding window; length-stable") {
     val docs = graft.Tables.load(spark, sf, "documents")
       .select($"doc_id", lower($"text").as("t"))
