@@ -54,7 +54,11 @@ object Sf10Probe {
     // load. ann_hybrid_rrf's r14 row predates the fixed ≤1000-query
     // eval tier, so its current shape needed a fresh second decade;
     // emb_abtt had only the first decade on record
-    "emb_abtt")
+    "emb_abtt",
+    // round-17 batch shapes: the capped-tier greedy rerank (scan-
+    // bound claim) and the d²-panel covariance CKA (corpus passes
+    // amortize into fixed d-bounded work)
+    "ann_mmr", "emb_cka")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
