@@ -798,6 +798,42 @@ object Frontier9 {
     // the data contract), window ratios averaged in window order;
     // docs shorter than the window fall back to plain TTR. Zero
     // shuffles before the display sort.
+    // Importance-reweighting ESS toward a lang-uniform target — the
+    // number that decides REWEIGHT vs RESAMPLE when balancing a
+    // skewed corpus (pipeline_budget_mix/temperature_mix compute the
+    // weights; this reports what they COST): per-doc weight
+    // w_g = N/(G·n_g) normalizes the target mixture to corpus mass,
+    // and Kish's effective sample size (Σw)²/Σw² collapses in closed
+    // form to G²/Σ_g(1/n_g) — G·harmonic-mean(n_g), equal to N only
+    // when the corpus is already uniform. A tiny stratum craters ESS
+    // (its docs carry huge weights), which is exactly the signal to
+    // resample instead. Exact integers to ONE divide per lang; the
+    // 1/n_g fold runs in lang order over the enum-bounded panel.
+    "pipeline_reweight_ess" -> ((s, d) => {
+      import s.implicits._
+      val per = Tables.load(s, d, "documents")
+        .groupBy($"lang").agg(count(lit(1)).as("n_docs"))
+      val tot = per.agg(sum($"n_docs").as("nn"),
+        count(lit(1)).as("g"),
+        sort_array(collect_list(struct($"lang", $"n_docs"))).as("ls"))
+        .withColumn("inv", expr(
+          """aggregate(ls, cast(0.0 as double),
+             (a, x) -> a + 1.0 / cast(x.n_docs as double))"""))
+        .select($"nn", $"g",
+          ($"g".cast("double") * $"g".cast("double") / $"inv")
+            .as("ess"))
+      per.crossJoin(broadcast(tot))
+        .select($"lang", $"n_docs",
+          Tables.nz(round($"nn".cast("double") /
+            ($"g".cast("double") * $"n_docs".cast("double")), 6))
+            .as("weight"),
+          $"nn".as("n_total"), $"g".as("n_langs"),
+          Tables.nz(round($"ess", 4)).as("ess"),
+          Tables.nz(round($"ess" / $"nn".cast("double"), 6))
+            .as("ess_ratio"))
+        .orderBy($"lang")
+    }),
+
     // Burrows's Delta between sources — the stylometric distance
     // curation uses to spot same-author / templated content ACROSS
     // source labels (near-dup dedup sees shared strings; Delta sees
@@ -1461,6 +1497,28 @@ object Frontier9 {
          FROM sel, unnest(range(1, len(picks) + 1)) AS u(p)
          ORDER BY q_id, mmr_rank"""
     },
+
+    "pipeline_reweight_ess" ->
+      """WITH per AS (
+           SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+           FROM documents GROUP BY 1),
+         tot AS (
+           SELECT CAST(sum(n_docs) AS BIGINT) AS nn,
+             CAST(count(*) AS BIGINT) AS g,
+             CAST(count(*) AS DOUBLE) * CAST(count(*) AS DOUBLE) /
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                 list(1.0 / CAST(n_docs AS DOUBLE) ORDER BY lang)),
+                 (a, b) -> a + b) AS ess
+           FROM per)
+         SELECT lang, n_docs,
+           round(CAST(nn AS DOUBLE) /
+             (CAST(g AS DOUBLE) * CAST(n_docs AS DOUBLE)), 6) + 0.0
+             AS weight,
+           nn AS n_total, g AS n_langs,
+           round(ess, 4) + 0.0 AS ess,
+           round(ess / CAST(nn AS DOUBLE), 6) + 0.0 AS ess_ratio
+         FROM per, tot
+         ORDER BY lang""",
 
     "text_burrows_delta" ->
       """WITH tok AS (

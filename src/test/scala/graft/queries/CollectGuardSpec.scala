@@ -84,6 +84,8 @@ class CollectGuardSpec extends SparkSpec {
       "one-row BH panel, <= |event types| (p, type) structs",
     "q91_source_overlap" -> "per-token source set (source enum)",
     "text_source_purity" -> "per-source lang histogram (lang enum)",
+    "pipeline_reweight_ess" ->
+      "per-lang count panel (lang enum, <= |langs| rows)",
     "text_burrows_delta" ->
       "per-token source panel (source enum) + per-pair top-50 word fold (k-bounded)",
     // --- k-bounded: an explicit top-k / rank filter / limit runs

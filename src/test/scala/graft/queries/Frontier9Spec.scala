@@ -351,6 +351,34 @@ class Frontier9Spec extends SparkSpec {
     }
   }
 
+  test("reweight ess: Kish identity and uniform-corpus fixed point") {
+    val counts = graft.Tables.load(spark, sf, "documents")
+      .groupBy($"lang").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().sortBy(_._1)
+    val nn = counts.map(_._2).sum
+    val g = counts.length
+    // Kish ESS computed the long way: per-doc weights w = N/(G·n_g)
+    val sw = counts.map { case (_, n) => n * (nn.toDouble / (g * n)) }.sum
+    val sw2 = counts.map { case (_, n) =>
+      n * math.pow(nn.toDouble / (g * n), 2)
+    }.sum
+    val essLong = sw * sw / sw2
+    val got = Frontier9.queries("pipeline_reweight_ess")(spark, sf)
+      .as[(String, Long, Double, Long, Long, Double, Double)]
+      .collect().sortBy(_._1)
+    assert(got.map(r => (r._1, r._2)).toSeq == counts.toSeq)
+    got.foreach { case (_, n, w, nT, nL, ess, ratio) =>
+      assert(nT == nn && nL == g.toLong)
+      assert(math.abs(w - nn.toDouble / (g * n)) < 1e-6)
+      assert(math.abs(ess - essLong) < 1e-2, s"ess $ess vs $essLong")
+      assert(ratio > 0.0 && ratio <= 1.0 + 1e-9)
+      assert(math.abs(ratio - ess / nn) < 1e-6)
+    }
+    // weighted mass is conserved: sum of n_g * w_g = N exactly
+    val mass = got.map(r => r._2 * r._3).sum
+    assert(math.abs(mass - nn) < 1e-3)
+  }
+
   test("burrows delta: matches the scalar stylometric re-derivation") {
     val docs = graft.Tables.load(spark, sf, "documents")
       .select($"source", lower($"text")).as[(String, String)].collect()
