@@ -115,18 +115,18 @@ object Frontier9 {
     // value-domain-bounded.
     "q218_wilcoxon_signed_rank" -> ((s, d) => {
       import s.implicits._
-      val daily = Tables.load(s, d, "events")
+      val hourly = Tables.load(s, d, "events")
         .filter($"event_type".isin("click", "purchase"))
-        .select(date_trunc("hour", $"ts").as("day"),
+        .select(date_trunc("hour", $"ts").as("hr"),
           when($"event_type" === "click",
             round($"value" * 100).cast("long")).otherwise(0L).as("c"),
           when($"event_type" === "purchase",
             round($"value" * 100).cast("long")).otherwise(0L).as("p"))
-        .groupBy($"day")
+        .groupBy($"hr")
         .agg(sum($"c").as("c"), sum($"p").as("p"))
         .select(($"c" - $"p").as("diff"))
         .filter($"diff" =!= 0L)
-      val byAbs = daily
+      val byAbs = hourly
         .select(abs($"diff").as("absd"),
           when($"diff" > 0, 1L).otherwise(0L).as("pos"))
         .groupBy($"absd")
@@ -170,14 +170,14 @@ object Frontier9 {
       import s.implicits._
       val grid = hourGrid(s, d)
         .persist(StorageLevel.MEMORY_AND_DISK)
-      val nDays = grid.count() // driver scalar; materializes the cache
+      val nHours = grid.count() // driver scalar; materializes the cache
       val perBlock = grid
         .select($"t", $"v",
           explode(array(lit(8L), lit(16L), lit(32L), lit(64L)))
             .as("m"))
         .withColumn("b", expr("t div m"))
         .withColumn("pos", $"t" % $"m")
-        .filter(expr(s"b < ${nDays}L div m")) // FULL blocks only
+        .filter(expr(s"b < ${nHours}L div m")) // FULL blocks only
         .groupBy($"m", $"b")
         .agg(sort_array(collect_list(struct($"pos", $"v"))).as("arr"),
           sum($"v").as("sx"),
@@ -217,7 +217,7 @@ object Frontier9 {
           max(when($"m" === 32, $"avg_rs")).as("rs32"),
           max(when($"m" === 64, $"avg_rs")).as("rs64"),
           min($"n_blocks").as("min_blocks"))
-        .select(lit(nDays).as("n_days"),
+        .select(lit(nHours).as("n_hours"),
           Tables.nz(round($"rs8", 6)).as("rs8"),
           Tables.nz(round($"rs16", 6)).as("rs16"),
           Tables.nz(round($"rs32", 6)).as("rs32"),
@@ -429,8 +429,11 @@ object Frontier9 {
     // ε-differentially-private release of the per-(lang, source)
     // document histogram: Laplace(Δ/ε) noise, Δ = 1 (counting query),
     // ε = 1, drawn DETERMINISTICALLY per group from the house md5 RNG
-    // by inverse CDF — u from the first 12 hex nibbles (exact integer
-    // /16¹², identical both engines), noise = −sign(u−½)·ln(1−2|u−½|).
+    // by inverse CDF — u = (hex + ½)/16¹² from the first 12 hex
+    // nibbles (the +½ clamps u strictly inside (0, 1): a group whose
+    // nibbles were all zero would otherwise draw u = 0 and poison the
+    // release with ln(0) = −∞ — r17 ADVICE; exact integer arithmetic,
+    // identical both engines), noise = −sign(u−½)·ln(1−2|u−½|).
     // The parity row keeps true_n so the gate can hash it; a
     // production release drops that column and publishes (group,
     // released, epsilon) — the accounting row a training-data
@@ -442,9 +445,9 @@ object Frontier9 {
         .groupBy($"lang", $"source")
         .agg(count(lit(1)).as("true_n"))
         .withColumn("u",
-          conv(substring(md5(concat(lit("dp:"), $"lang", lit(":"),
+          (conv(substring(md5(concat(lit("dp:"), $"lang", lit(":"),
             $"source")), 1, 12), 16, 10).cast("long")
-            .cast("double") / lit(281474976710656.0))
+            .cast("double") + lit(0.5)) / lit(281474976710656.0))
         .withColumn("noise",
           -signum($"u" - 0.5) * log(lit(1.0)
             - lit(2.0) * abs($"u" - 0.5)))
@@ -932,8 +935,8 @@ object Frontier9 {
   def oracles: Map[String, String] = Map(
 
     "q218_wilcoxon_signed_rank" ->
-      """WITH daily AS (
-           SELECT date_trunc('hour', ts) AS day,
+      """WITH hourly AS (
+           SELECT date_trunc('hour', ts) AS hr,
              CAST(sum(CASE WHEN event_type = 'click'
                THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
                AS BIGINT) AS c,
@@ -944,7 +947,7 @@ object Frontier9 {
            WHERE event_type IN ('click', 'purchase')
            GROUP BY 1),
          dif AS (
-           SELECT c - p AS diff FROM daily WHERE c - p <> 0),
+           SELECT c - p AS diff FROM hourly WHERE c - p <> 0),
          byabs AS (
            SELECT abs(diff) AS absd,
              CAST(sum(CASE WHEN diff > 0 THEN 1 ELSE 0 END)
@@ -976,11 +979,11 @@ object Frontier9 {
 
     "q219_hurst" -> {
       s"""WITH $hourGridSql,
-         nn AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM grid),
+         nn AS (SELECT CAST(count(*) AS BIGINT) AS n_hours FROM grid),
          blk AS (
            SELECT m, t // m AS b, t % m AS pos, v
            FROM grid, (SELECT unnest([8, 16, 32, 64]) AS m) ms, nn
-           WHERE t // m < n_days // m),
+           WHERE t // m < n_hours // m),
          per AS (
            SELECT m, b,
              list({'pos': pos, 'v': v} ORDER BY pos) AS arr,
@@ -1021,7 +1024,7 @@ object Frontier9 {
              max(CASE WHEN m = 64 THEN avg_rs END) AS rs64,
              min(n_blocks) AS min_blocks
            FROM perm)
-         SELECT nn.n_days,
+         SELECT nn.n_hours,
            round(rs8, 6) + 0.0 AS rs8, round(rs16, 6) + 0.0 AS rs16,
            round(rs32, 6) + 0.0 AS rs32, round(rs64, 6) + 0.0 AS rs64,
            round(CASE WHEN min_blocks < 1 OR rs8 IS NULL
@@ -1196,8 +1199,8 @@ object Frontier9 {
            FROM documents GROUP BY 1, 2),
          u AS (
            SELECT lang, source, true_n,
-             CAST(CAST(('0x' || substr(md5('dp:' || lang || ':' ||
-               source), 1, 12)) AS BIGINT) AS DOUBLE)
+             (CAST(CAST(('0x' || substr(md5('dp:' || lang || ':' ||
+               source), 1, 12)) AS BIGINT) AS DOUBLE) + 0.5)
                / 281474976710656.0 AS u
            FROM g)
          SELECT lang, source, true_n,

@@ -191,8 +191,16 @@ class SdkShardFeed(region: Option[String] = None,
     api.shardIteratorOf.invoke(resp).asInstanceOf[String]
   }
 
-  /** One GetRecords poll: records + the iterator for the next poll
-    * (null next-iterator = shard closed).
+  /** One GetRecords poll: records + the iterator for the next poll.
+    * A `None` next-iterator is the service's SHARD_END signal — the
+    * shard is fully drained even though the last record's sequence
+    * number may sit below the listing's endingSequenceNumber
+    * (sequence numbers are sparse). A checkpointing consumer must
+    * record that observation — add the shard id to the `atEnd` set
+    * it passes to [[ShardLineage.pollable]]/[[ShardLineage.advance]],
+    * or checkpoint the listing's endingSequenceNumber at that moment
+    * — or the `pos >= end` drain test would gate the shard's
+    * children forever.
     */
   def getRecords(shardIterator: String, limit: Int)
       : (Seq[FeedRecord], Option[String]) = {

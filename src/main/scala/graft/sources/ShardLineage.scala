@@ -39,25 +39,44 @@ object ShardLineage {
     * already expired out of the listing — Kinesis retires shards
     * past retention) count as drained: their records are gone, so
     * holding the child forever would wedge the stream.
+    *
+    * `atEnd` is the SHARD_END sentinel set: shards the consumer has
+    * positively observed drained because GetRecords returned a null
+    * NextShardIterator. On real Kinesis the LAST READABLE record's
+    * sequence number can sit strictly below the shard's
+    * endingSequenceNumber (sequence numbers are sparse), so a
+    * consumer that checkpoints last-read sequence numbers alone would
+    * gate children forever on the `pos >= end` test; the null
+    * next-iterator IS the service's drain signal, and recording the
+    * shard id in `atEnd` (or checkpointing the listing's
+    * endingSequenceNumber at that moment) is the required
+    * complement. The in-JVM registry (where end == final size and
+    * positions are dense record counts) never needs the sentinel.
     */
   def drained[P](byId: Map[String, ShardMeta[P]], pos: Map[String, P],
-      zero: P)(id: String)(implicit ord: Ordering[P]): Boolean =
-    byId.get(id).forall(m =>
+      zero: P, atEnd: Set[String] = Set.empty)(id: String)(
+      implicit ord: Ordering[P]): Boolean =
+    atEnd.contains(id) || byId.get(id).forall(m =>
       m.end.exists(e => ord.gteq(pos.getOrElse(id, zero), e)))
 
   /** May this shard contribute records at the current positions? */
   def ready[P](m: ShardMeta[P], byId: Map[String, ShardMeta[P]],
-      pos: Map[String, P], zero: P)(implicit ord: Ordering[P]): Boolean =
-    m.parents.forall(drained(byId, pos, zero))
+      pos: Map[String, P], zero: P, atEnd: Set[String] = Set.empty)(
+      implicit ord: Ordering[P]): Boolean =
+    m.parents.forall(drained(byId, pos, zero, atEnd))
 
   /** Shards a poll-loop consumer may read this cycle — the SDK-side
     * use (the registry source's offset model calls [[advance]]
-    * instead, which bakes the same predicate into offsets).
+    * instead, which bakes the same predicate into offsets). SDK
+    * callers pass the SHARD_END set they accumulate from null
+    * NextShardIterator observations ([[SdkShardFeed.getRecords]]'s
+    * None); see [[drained]].
     */
   def pollable[P](metas: Seq[ShardMeta[P]], pos: Map[String, P],
-      zero: P)(implicit ord: Ordering[P]): Seq[String] = {
+      zero: P, atEnd: Set[String] = Set.empty)(
+      implicit ord: Ordering[P]): Seq[String] = {
     val byId = metas.map(m => m.id -> m).toMap
-    metas.filter(m => ready(m, byId, pos, zero)).map(_.id)
+    metas.filter(m => ready(m, byId, pos, zero, atEnd)).map(_.id)
   }
 
   /** Advance per-shard consumer positions to `latest`, holding every
@@ -67,13 +86,13 @@ object ShardLineage {
     * free.
     */
   def advance[P](metas: Seq[ShardMeta[P]], latest: Map[String, P],
-      pos: Map[String, P], zero: P)(implicit ord: Ordering[P])
-      : Map[String, P] = {
+      pos: Map[String, P], zero: P, atEnd: Set[String] = Set.empty)(
+      implicit ord: Ordering[P]): Map[String, P] = {
     val byId = metas.map(m => m.id -> m).toMap
     metas.map { m =>
       val from = pos.getOrElse(m.id, zero)
       val until =
-        if (ready(m, byId, pos, zero))
+        if (ready(m, byId, pos, zero, atEnd))
           ord.max(from, latest.getOrElse(m.id, from))
         else from
       m.id -> until

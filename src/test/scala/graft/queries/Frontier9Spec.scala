@@ -176,7 +176,8 @@ class Frontier9Spec extends SparkSpec {
       val h = java.security.MessageDigest.getInstance("MD5")
         .digest(s"dp:$lang:$source".getBytes("UTF-8"))
         .map("%02x".format(_)).mkString.substring(0, 12)
-      val u = java.lang.Long.parseLong(h, 16).toDouble / 281474976710656.0
+      val u = (java.lang.Long.parseLong(h, 16).toDouble + 0.5) /
+        281474976710656.0
       val exp = -math.signum(u - 0.5) * math.log(1.0 - 2.0 * math.abs(u - 0.5))
       assert(math.abs(noise - exp) < 1e-5, s"$lang/$source noise")
     }

@@ -75,6 +75,29 @@ class ShardLineageSpec extends AnyFunSuite {
     assert(pollable(metas, Map.empty, BigInt(-1)) == Seq("c"))
   }
 
+  test("SHARD_END sentinel drains a parent whose last-read seq sits below its end-seq") {
+    // real Kinesis sequence numbers are sparse: the last READABLE
+    // record can sit strictly below the listing's
+    // endingSequenceNumber, and the drain signal is GetRecords
+    // returning a null NextShardIterator (r17 ADVICE). A consumer
+    // that checkpoints last-read positions alone would gate the
+    // children forever; the atEnd sentinel set is the complement.
+    val metas = Seq(
+      toMeta(ShardListing("p", Nil, Some(seqEnd))),
+      toMeta(ShardListing("c", Seq("p"), None)))
+    val zero = BigInt(-1)
+    val lastRead = Map("p" -> (big(seqEnd) - 12345)) // below end-seq
+    assert(pollable(metas, lastRead, zero) == Seq("p"),
+      "without the sentinel the child must stay gated")
+    assert(pollable(metas, lastRead, zero, Set("p")).toSet ==
+      Set("p", "c"),
+      "a null-next-iterator observation must release the child")
+    // advance threads the same sentinel
+    val adv = advance(metas, Map("c" -> big(seqEnd)), lastRead, zero,
+      Set("p"))
+    assert(adv("c") == big(seqEnd))
+  }
+
   test("advance holds a gated child and releases it after the drain — the registry offset model") {
     val metas: Seq[ShardMeta[Long]] = Seq(
       ShardMeta("p", Nil, Some(10L)),

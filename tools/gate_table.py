@@ -74,7 +74,11 @@ if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--selftest":
         selftest()
         sys.exit(0)
-    rows, flipped = collate([open(p) for p in sys.argv[1:]])
+    logs = []
+    for p in sys.argv[1:]:
+        with open(p) as f:
+            logs.append(f.readlines())
+    rows, flipped = collate(logs)
     n_ok = sum(1 for v in rows.values() if v[0] in ("ok", "rows-only"))
     n_bad = len(rows) - n_ok
     print(f"<!-- {len(rows)} rows: {n_ok} ok, {n_bad} fail/slow -->")
