@@ -209,15 +209,20 @@ object Bench {
     val spiky = scala.collection.mutable.ArrayBuffer[String]()
     val cpuSec = scala.collection.mutable.LinkedHashMap[String, Double]()
     val gcSec = scala.collection.mutable.LinkedHashMap[String, Double]()
-    // Prior walls come from the PINNED clean baseline, not the
-    // immediately previous run: bench_full.json is rolling, so a
-    // persistent >2x regression flagged in round N would silently
-    // become the new prior in round N+1 (r14 ADVICE — the r14
-    // artifact itself carried 7 contended rows that would have
-    // re-baselined). bench_baseline.json is written only by a run
-    // whose own prior_regressed/failed lists are empty (promotion
-    // below), so regressed walls can never poison the reference;
-    // bench_full.json remains the fallback for a fresh checkout.
+    // Prior walls come from the ROUND-OPEN ANCHOR (r17 verdict item
+    // #1), not from the self-promoting baseline: bench_baseline.json
+    // re-promotes on every clean run, and comparing against it let a
+    // slow per-key drift ratchet through unchecked (r16→r17 pinned
+    // baselines drifted +10.5%/shared-key with 7 untouched keys
+    // ending >2× their r16 walls, inside runs reporting "zero
+    // regressions"). bench_anchor.json is a copy of the baseline
+    // taken when the round opens — Bench creates it ONLY when absent
+    // and no promotion ever writes it, so every run in a round is
+    // judged against the same walls; refreshing the anchor is a
+    // deliberate act (delete the file after an adjudicated re-pin,
+    // recorded in PLANS.md). Fallback chain for a fresh checkout:
+    // anchor → pinned baseline → rolling bench_full.json (the r14
+    // lesson: a rolling prior silently re-baselines regressions).
     def readWalls(path: String): Map[String, Double] = try {
       val txt = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(path)), "UTF-8")
@@ -233,9 +238,27 @@ object Bench {
           .map(g => g.group(1) -> g.group(2).toDouble).toMap)
         .getOrElse(Map.empty)
     } catch { case _: Throwable => Map.empty }
+    // round-open anchor capture: absent anchor + existing baseline →
+    // the baseline AS OF NOW becomes the round's fixed comparison
+    // point (content-neutral: the file is a byte copy, and readWalls
+    // sf-gates it like any prior source)
+    val anchorPath = java.nio.file.Paths.get("bench_anchor.json")
+    try {
+      if (!java.nio.file.Files.exists(anchorPath) &&
+          java.nio.file.Files.exists(
+            java.nio.file.Paths.get("bench_baseline.json")))
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get("bench_baseline.json"), anchorPath)
+    } catch { case t: Throwable =>
+      System.err.println(s"[bench] anchor capture failed: $t")
+    }
+    val anchor: Map[String, Double] = readWalls("bench_anchor.json")
     val prior: Map[String, Double] = {
-      val pinned = readWalls("bench_baseline.json")
-      if (pinned.nonEmpty) pinned else readWalls("bench_full.json")
+      if (anchor.nonEmpty) anchor
+      else {
+        val pinned = readWalls("bench_baseline.json")
+        if (pinned.nonEmpty) pinned else readWalls("bench_full.json")
+      }
     }
     def overPrior(name: String, sec: Double): Boolean =
       prior.get(name).exists(p => sec > 2 * p && sec - p > 1.0)
@@ -301,9 +324,25 @@ object Bench {
     // Contention therefore = started loaded, OR >5 recovered spikes,
     // OR any row still >2x the pinned baseline after retry.
     loadMax = math.max(loadMax, load1) // end-of-run sample
-    val contended = loadAtStart > idleThresh ||
-      spiky.size > 5 || priorRegressed.nonEmpty
-    val boxState = f""""idle_wait_s":$idleWaitS%.0f,"load_at_start":$loadAtStart%.2f,"load_max":$loadMax%.2f,"n_spiky":${spiky.size},"contended":$contended"""
+    // box evidence (load / recovered spikes) and regression evidence
+    // (rows still >2× the round-open anchor) fold into one `contended`
+    // flag for the artifact, but promotion treats them differently
+    // below: an adjudication note can accept a KNOWN regression, it
+    // can never excuse a loaded box.
+    val boxContended = loadAtStart > idleThresh || spiky.size > 5
+    val contended = boxContended || priorRegressed.nonEmpty
+    // the r17 verdict's drift lens, in the artifact every run: the
+    // shared-key aggregate wall ratio of THIS run vs the round-open
+    // anchor (null when no anchor / no shared keys — fresh checkout)
+    val vsAnchor = graft.tools.BenchGate.sharedKeyRatio(results, anchor)
+    val anchorShared = results.keySet.intersect(anchor.keySet).size
+    val promoteNote = sys.env.get("SPARK_GRAFT_PROMOTE_NOTE")
+      .map(_.trim).filter(_.nonEmpty)
+    val vsAnchorJson = vsAnchor.map(r => f"$r%.4f").getOrElse("null")
+    val noteJson = promoteNote
+      .map(n => "\"" + n.replace("\\", "\\\\").replace("\"", "\\\"")
+        + "\"").getOrElse("null")
+    val boxState = f""""idle_wait_s":$idleWaitS%.0f,"load_at_start":$loadAtStart%.2f,"load_max":$loadMax%.2f,"n_spiky":${spiky.size},"contended":$contended,"vs_anchor_ratio":$vsAnchorJson,"anchor_n_shared":$anchorShared,"promote_note":$noteJson"""
     val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cpu_sec":${jmap(cpuSec)},"gc_sec":${jmap(gcSec)},"retried":$rj,"prior_regressed":$pj,"failed":$fj,$boxState,"sf":"$sfDir"}"""
     // A SPARK_GRAFT_ONLY subset run must never clobber the committed
     // full-board artifact (ADVICE r12: a 1-query smoke run replaced
@@ -315,17 +354,35 @@ object Bench {
       java.nio.file.Files.write(
         java.nio.file.Paths.get(fullPath),
         full.getBytes("UTF-8"))
-      // promotion: a full-board run with nothing regressed, nothing
-      // failed, captured on an IDLE box becomes the new pinned
-      // baseline (a clean run is the ONLY writer of
-      // bench_baseline.json — see prior-read above; a contended run
-      // can pass the per-query heuristics and still carry uniform
-      // inflation, so it may never re-baseline)
-      if (only.isEmpty && !contended && failed.isEmpty) {
+      // promotion: a full-board run captured on an IDLE box with
+      // nothing failed becomes the new pinned baseline — IF it also
+      // clears the anchor drift gate (r17 verdict item #1): its
+      // shared-key aggregate ratio vs the round-open anchor must stay
+      // ≤ 1.05, and any row still >2× its anchor wall blocks, unless
+      // an explicit adjudication note (SPARK_GRAFT_PROMOTE_NOTE)
+      // names the accepted cause — the note lands in the artifact, so
+      // an adjudicated re-pin is a record, never silence. Box
+      // evidence (started loaded / >5 recovered spikes) can NEVER be
+      // excused: a contended run can pass every per-query heuristic
+      // and still carry uniform inflation. Promotions never touch
+      // bench_anchor.json, so later runs in the round keep being
+      // judged against the same walls.
+      val regressionOk = priorRegressed.isEmpty || promoteNote.isDefined
+      val driftOk = graft.tools.BenchGate.promotionAllowed(
+        results, anchor, 1.05, promoteNote)
+      if (only.isEmpty && !boxContended && failed.isEmpty &&
+          regressionOk && driftOk) {
         java.nio.file.Files.write(
           java.nio.file.Paths.get("bench_baseline.json"),
           full.getBytes("UTF-8"))
-        System.err.println("[bench] clean run -> bench_baseline.json promoted")
+        System.err.println("[bench] clean run -> bench_baseline.json promoted" +
+          vsAnchor.map(r => f" (vs_anchor_ratio $r%.4f)").getOrElse("") +
+          promoteNote.map(n => s" [adjudicated: $n]").getOrElse(""))
+      } else if (only.isEmpty && !boxContended && failed.isEmpty) {
+        System.err.println("[bench] promotion REFUSED: " +
+          vsAnchor.map(r => f"vs_anchor_ratio $r%.4f").getOrElse("") +
+          s" prior_regressed=${priorRegressed.size}" +
+          " — set SPARK_GRAFT_PROMOTE_NOTE=<cause> to adjudicate")
       }
     } catch { case t: Throwable =>
       System.err.println(s"[bench] $fullPath write failed: $t")

@@ -23,96 +23,10 @@ import graft.{Q, ScratchDir, Tables}
   */
 object Frontier5 {
 
-  // IVM state-dir uniquifier (q180's pattern) — monotone per JVM so
-  // repeated bench/gate invocations never replay onto a prior run's
-  // quarantine log; lives under the shutdown-hook-cleaned ScratchDir
-  private val ivmRun = new java.util.concurrent.atomic.AtomicLong(0L)
-
-  /** Stage `batches` as single parquet files whose mtimes ARE the
-    * replay order for a maxFilesPerTrigger=1 file-source stream —
-    * q185's staging discipline, factored for the q195/q196
-    * transformWithState parity rows. Epoch-pinned mtimes 60 s apart
-    * clear any coarse-mtime filesystem.
-    */
-  private def stageBatches(root: String,
-      batches: Seq[DataFrame]): String = {
-    val staging = s"$root/staging"
-    java.nio.file.Files.createDirectories(
-      java.nio.file.Paths.get(staging))
-    batches.zipWithIndex.foreach { case (b, i) =>
-      val tmp = s"$root/tmp_$i"
-      b.coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = new java.io.File(tmp).listFiles()
-        .find(f => f.getName.startsWith("part-") &&
-          f.getName.endsWith(".parquet")).get
-      val dst = new java.io.File(staging, f"batch_$i%02d.parquet")
-      java.nio.file.Files.move(part.toPath, dst.toPath)
-      dst.setLastModified(1700000000000L + i * 60000L)
-    }
-    staging
-  }
-
-  /** Drain a staged maxFilesPerTrigger=1 replay, then stop. A
-    * transformWithState query under a processing-time mode (TTL)
-    * NEVER self-terminates: Trigger.AvailableNow kept committing
-    * empty maintenance batches after the source drained (measured:
-    * 868 commits at a constant logOffset), and even
-    * processAllAvailable() never latches no-new-data because each
-    * maintenance batch advances the batch timestamp. The reliable
-    * stop condition is the SOURCE's own committed offset: poll
-    * lastProgress until the file source's endOffset reaches the last
-    * staged file's log entry (logOffset is 0-indexed per staged
-    * file), then stop. The sink commit of that batch happens inside
-    * the batch, so everything staged is in the output when the poll
-    * fires; later maintenance batches add no rows.
-    */
-  private def drainStagedReplay(
-      q: org.apache.spark.sql.streaming.StreamingQuery,
-      nFiles: Int): Unit = {
-    val deadlineNs = System.nanoTime() + 600L * 1000000000L
-    // forall, not head: a two-source query (q212's stream-stream
-    // join) drains only when EVERY file source reached its last
-    // staged file; single-source queries are unchanged
-    def drained: Boolean = Option(q.lastProgress).exists { p =>
-      p.sources.nonEmpty && p.sources.forall { s =>
-        val eo = s.endOffset
-        eo != null && eo.contains("\"logOffset\":" + (nFiles - 1))
-      }
-    }
-    while (!drained && q.isActive && System.nanoTime() < deadlineNs)
-      Thread.sleep(100)
-    q.stop()
-    q.awaitTermination()
-  }
-
-  /** RocksDB provider + 4 state partitions for a staged replay. The
-    * partition pin is the q212 finding generalized: every stateful
-    * operator opens its stores per partition per micro-batch, and at
-    * the session's 32 partitions that store churn IS the wall for a
-    * 3–5-batch replay (q212 measured 12.7 s → 7.1 s at 4). A
-    * production stream sizes this to its rate; a staged parity replay
-    * doesn't need parallel state. Fresh checkpoint per run, so the
-    * count is free to differ from the session's; both confs restore
-    * on exit. Hash-neutral: per-key state content is independent of
-    * which partition hosts the key.
-    */
-  private def withRocksDb[T](s: SparkSession)(body: => T): T = {
-    val provKey = "spark.sql.streaming.stateStore.providerClass"
-    val spKey = "spark.sql.shuffle.partitions"
-    val prev = s.conf.getOption(provKey)
-    val spPrev = s.conf.get(spKey)
-    s.conf.set(provKey, "org.apache.spark.sql.execution.streaming" +
-      ".state.RocksDBStateStoreProvider")
-    s.conf.set(spKey, "4")
-    try body
-    finally {
-      s.conf.set(spKey, spPrev)
-      prev match {
-        case Some(p) => s.conf.set(provKey, p)
-        case None => s.conf.unset(provKey)
-      }
-    }
-  }
+  // The staged-replay machinery (stageBatches / drainStagedReplay /
+  // withRocksDb / the ivmRun uniquifier) was proven here across
+  // q186/q195/q196/q212/q217 and moved to [[Replay]] in round 18 so
+  // the q225–q228 parity rows share it.
 
   def queries: Map[String, Q] = Map(
 
@@ -147,7 +61,7 @@ object Frontier5 {
       val t1 = 250L + r / 3L
       val t2 = 250L + (2L * r) / 3L
       val qdir = ScratchDir.path(
-        s"decontam_ivm_${ivmRun.incrementAndGet()}") + "/quarantine"
+        s"decontam_ivm_${Replay.run()}") + "/quarantine"
       Seq($"doc_id" <= t1,
         $"doc_id" > t1 && $"doc_id" <= t2,
         $"doc_id" > t2).zipWithIndex.foreach { case (pred, i) =>
@@ -182,12 +96,12 @@ object Frontier5 {
         .select($"user_id", $"event_id", $"value")
       val cut = ev.agg(max($"event_id")).first.getLong(0)
       val root = ScratchDir.path(
-        s"quota_ivm_${ivmRun.incrementAndGet()}")
-      val staging = stageBatches(root, Seq(
+        s"quota_ivm_${Replay.run()}")
+      val staging = Replay.stageBatches(root, Seq(
         ev.filter($"event_id" <= cut / 3),
         ev.filter($"event_id" > cut / 3 && $"event_id" <= 2 * cut / 3),
         ev.filter($"event_id" > 2 * cut / 3)))
-      withRocksDb(s) {
+      Replay.withRocksDb(s) {
         val src = s.readStream
           .schema("user_id BIGINT, event_id BIGINT, value DOUBLE")
           .option("maxFilesPerTrigger", "1").parquet(staging)
@@ -198,7 +112,7 @@ object Frontier5 {
           .option("checkpointLocation", s"$root/ckpt")
           .outputMode("append")
           .start()
-        drainStagedReplay(q, nFiles = 3)
+        Replay.drainStagedReplay(q, nFiles = 3)
       }
       s.read.schema("user_id BIGINT, event_id BIGINT, n_allowed BIGINT")
         .parquet(s"$root/out")
@@ -226,12 +140,12 @@ object Frontier5 {
         .select($"user_id", $"event_id")
       val cut = ev.agg(max($"event_id")).first.getLong(0)
       val root = ScratchDir.path(
-        s"ttl_ivm_${ivmRun.incrementAndGet()}")
-      val staging = stageBatches(root, Seq(
+        s"ttl_ivm_${Replay.run()}")
+      val staging = Replay.stageBatches(root, Seq(
         ev.filter($"event_id" <= cut / 3),
         ev.filter($"event_id" > cut / 3 && $"event_id" <= 2 * cut / 3),
         ev.filter($"event_id" > 2 * cut / 3)))
-      withRocksDb(s) {
+      Replay.withRocksDb(s) {
         val src = s.readStream
           .schema("user_id BIGINT, event_id BIGINT")
           .option("maxFilesPerTrigger", "1").parquet(staging)
@@ -243,7 +157,7 @@ object Frontier5 {
           .option("checkpointLocation", s"$root/ckpt")
           .outputMode("append")
           .start()
-        drainStagedReplay(q, nFiles = 3)
+        Replay.drainStagedReplay(q, nFiles = 3)
       }
       s.read.schema("user_id BIGINT, event_id BIGINT")
         .parquet(s"$root/out")
@@ -278,21 +192,21 @@ object Frontier5 {
       val t1 = lo + (hi - lo) / 3L
       val t2 = lo + (2L * (hi - lo)) / 3L
       val root = ScratchDir.path(
-        s"ijoin_ivm_${ivmRun.incrementAndGet()}")
+        s"ijoin_ivm_${Replay.run()}")
       def thirds(df: DataFrame): Seq[DataFrame] = Seq(
         df.filter($"us" <= t1), df.filter($"us" > t1 && $"us" <= t2),
         df.filter($"us" > t2))
-      val cStage = stageBatches(s"$root/clicks", thirds(
+      val cStage = Replay.stageBatches(s"$root/clicks", thirds(
         ev.filter($"event_type" === "click")
           .select($"user_id", $"ts", $"event_id", $"us")))
-      val pStage = stageBatches(s"$root/purchases", thirds(
+      val pStage = Replay.stageBatches(s"$root/purchases", thirds(
         ev.filter($"event_type" === "purchase")
           .select($"user_id", $"ts", $"event_id", $"value", $"us")))
-      // the 4-state-partition pin lives inside withRocksDb now
+      // the 4-state-partition pin lives inside Replay.withRocksDb now
       // (measured here first: 12.7 s @32 → 8.1 @8 → 7.1 @4 at sf0.1,
       // cpu 105 → 26 — the symmetric hash join opens FOUR RocksDB
       // stores per partition per micro-batch)
-      withRocksDb(s) {
+      Replay.withRocksDb(s) {
         val clicks = s.readStream
           .schema("user_id BIGINT, ts TIMESTAMP, event_id BIGINT, us BIGINT")
           .option("maxFilesPerTrigger", "1").parquet(cStage)
@@ -307,7 +221,7 @@ object Frontier5 {
           .option("checkpointLocation", s"$root/ckpt")
           .outputMode("append")
           .start()
-        drainStagedReplay(q, nFiles = 3)
+        Replay.drainStagedReplay(q, nFiles = 3)
       }
       s.read.schema("user_id BIGINT, purchase_id BIGINT, " +
           "purchase_ts TIMESTAMP, click_id BIGINT, " +
@@ -346,14 +260,14 @@ object Frontier5 {
       val t1 = lo + (hi - lo) / 3L
       val t2 = lo + (2L * (hi - lo)) / 3L
       val root = ScratchDir.path(
-        s"asof_ivm_${ivmRun.incrementAndGet()}")
+        s"asof_ivm_${Replay.run()}")
       val cols = Seq($"user_id", $"ts", $"event_type", $"event_id",
         $"value")
-      val staged = stageBatches(root, Seq(
+      val staged = Replay.stageBatches(root, Seq(
         ev.filter($"us" <= t1).select(cols: _*),
         ev.filter($"us" > t1 && $"us" <= t2).select(cols: _*),
         ev.filter($"us" > t2).select(cols: _*)))
-      withRocksDb(s) {
+      Replay.withRocksDb(s) {
         val src = s.readStream
           .schema("user_id BIGINT, ts TIMESTAMP, event_type STRING, " +
             "event_id BIGINT, value DOUBLE")
@@ -365,7 +279,7 @@ object Frontier5 {
           .option("checkpointLocation", s"$root/ckpt")
           .outputMode("append")
           .start()
-        drainStagedReplay(q, nFiles = 3)
+        Replay.drainStagedReplay(q, nFiles = 3)
       }
       s.read.schema("event_id BIGINT, user_id BIGINT, ts TIMESTAMP, " +
           "click_event_id BIGINT, click_value DOUBLE")

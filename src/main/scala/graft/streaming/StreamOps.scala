@@ -210,6 +210,40 @@ object StreamOps {
         col("value"))
   }
 
+  /** LEFT OUTER twin of [[intervalJoinStream]] — the ad-attribution
+    * question inverted: every click, WITH its attributed purchases
+    * when they exist and with nulls when none ever arrives. The outer
+    * semantics are a genuinely distinct streaming surface: an inner
+    * join can emit a match the moment both rows are buffered, but an
+    * UNMATCHED click can only be declared unmatched once no future
+    * purchase could still join it — i.e. when the watermark expires
+    * the click from join state — so null-joined rows surface with
+    * watermark latency, never eagerly. Both sides are watermarked and
+    * the condition bounds event-time distance in both directions, so
+    * state stays O(rate × (watermark + window)) exactly like the
+    * inner form; late rows beyond the watermark are dropped, and the
+    * batch left join is reproduced only up to allowed lateness (the
+    * standard contract — q228 stages arrival in event-time order so
+    * the replay loses nothing and must hash-equal the batch oracle).
+    */
+  def intervalJoinLeftOuterStream(clicks: DataFrame, purchases: DataFrame,
+      window: String = "30 minutes"): DataFrame = {
+    val c = clicks.withWatermark("ts", "1 hour")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+    val p = purchases.withWatermark("ts", "1 hour")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+    c.join(p,
+      col("c_user") === col("p_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr(s"interval $window"),
+      "left_outer")
+      .select(col("c_user").as("user_id"), col("click_id"),
+        col("click_ts"), col("purchase_id"), col("purchase_ts"),
+        col("value"))
+  }
+
   // ----------------------------------------------------- custom state
   case class UserEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
   case class UserState(count: Long, sum: Double, lastTs: Long)
@@ -391,16 +425,32 @@ object StreamOps {
         TimeMode.ProcessingTime(), OutputMode.Append())
   }
 
-  /** Idle-close on the v2 API with EVENT-TIME TIMERS — the
-    * [[idleUserSummaries]] twin on transformWithState: accumulate a
-    * per-user summary, (re-)arm a timer for lastTs + idle gap, and
-    * emit from `handleExpiredTimer` when the watermark passes it.
+  /** Idle-close SESSIONIZATION on the v2 API with EVENT-TIME TIMERS —
+    * the [[idleUserSummaries]] twin on transformWithState, upgraded
+    * (round 18) to the full gap-sessionization contract of the batch
+    * twins (q15/q52): accumulate a per-user session summary, CLOSE it
+    * on EITHER signal —
+    *   - a subsequent arrival whose event time sits ≥ idleMs past the
+    *     session's last event closes the old session immediately
+    *     (closed_by_timeout = false) and starts a new one (without
+    *     this, two gap-separated events landing in one micro-batch
+    *     would silently merge, and parity with batch sessionization
+    *     would depend on where micro-batch boundaries fell);
+    *   - an event-time timer armed at lastTs + idleMs closes the
+    *     session when the watermark passes it and nothing extended it
+    *     (closed_by_timeout = true) — the only way a user's FINAL
+    *     session ever closes.
+    * Within a batch, rows are walked in event-time (ms) order; gap
+    * arithmetic is on `Timestamp.getTime` milliseconds (the state's
+    * clock), which the q226 oracle replays via epoch µs div 1000.
     * Stale timers (superseded by later events — the v2 API
     * accumulates timers rather than replacing them) are recognized by
     * comparing the fired expiry against the state's current deadline
-    * and dropped, the standard guard. The timer is clamped past the
-    * current watermark like the v1 twin (a late event's raw deadline
-    * could otherwise be un-armable).
+    * and dropped, the standard guard; input is processed before
+    * expired timers within a batch, so a gap-closure and a pending
+    * timer for the same old session resolve to the gap-closure. The
+    * timer is clamped past the current watermark like the v1 twin (a
+    * late event's raw deadline could otherwise be un-armable).
     */
   class IdleCloseProcessor(idleMs: Long)
       extends org.apache.spark.sql.streaming.StatefulProcessor[
@@ -423,14 +473,23 @@ object StreamOps {
     override def handleInputRows(key: Long, rows: Iterator[UserEvent],
         tv: org.apache.spark.sql.streaming.TimerValues)
         : Iterator[UserSummary] = {
-      val prev = if (agg.exists()) agg.get() else UserState(0L, 0.0, 0L)
-      val next = rows.foldLeft(prev) { (a, e) =>
-        UserState(a.count + 1, a.sum + e.value,
-          math.max(a.lastTs, e.ts.getTime))
+      val out = Seq.newBuilder[UserSummary]
+      var st = if (agg.exists()) agg.get() else UserState(0L, 0.0, 0L)
+      rows.toSeq.sortBy(_.ts.getTime).foreach { e =>
+        val t = e.ts.getTime
+        if (st.count > 0L && t - st.lastTs >= idleMs) {
+          // arrival past the gap: the old session is over AS OF THE
+          // DATA, no watermark needed
+          out += UserSummary(key, st.count, st.sum,
+            closed_by_timeout = false)
+          st = UserState(0L, 0.0, 0L)
+        }
+        st = UserState(st.count + 1, st.sum + e.value,
+          math.max(st.lastTs, t))
       }
-      agg.update(next)
-      getHandle.registerTimer(deadline(next, tv))
-      Iterator.empty
+      agg.update(st)
+      getHandle.registerTimer(deadline(st, tv))
+      out.result().iterator
     }
 
     override def handleExpiredTimer(key: Long,
