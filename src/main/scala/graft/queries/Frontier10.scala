@@ -270,6 +270,122 @@ object Frontier10 {
         .select($"user_id", $"click_id", $"click_ts", $"purchase_id",
           $"purchase_ts", $"value")
         .orderBy($"click_id", $"purchase_id")
+    }),
+
+    // Driver-gated parity row for the NATIVE session-window store —
+    // with q212/q217 (join & flatMapGroups state), q185/q195/q196/
+    // q226 (transformWithState), q225 (streaming dedup state) and
+    // q233 (windowed-agg state), this completes driver gates over
+    // every stateful operator class Structured Streaming ships.
+    // session_window(ts, 30 min) merges events within the gap in the
+    // dedicated session store (merge-on-update, a distinct state
+    // format from the agg store); append mode emits a session only
+    // when the watermark passes its end. Replay = three event-time
+    // thirds + the two far-future sentinels (user −1, filtered) that
+    // close every real session; the oracle is q52's gap
+    // sessionization verbatim (same µs clock, same
+    // event-at-exactly-gap starts-a-new-session boundary), so the
+    // hash match proves cross-batch session MERGE in the real store
+    // — a batch-2 event extends a batch-1 session, and the merged
+    // [start, last+gap) interval comes out exactly once.
+    "q232_session_window_ivm" -> ((s, d) => {
+      import s.implicits._
+      val ev = Tables.load(s, d, "events")
+        .select($"user_id", $"ts", unix_micros($"ts").as("us"))
+      val mm = ev.agg(min($"us"), max($"us")).first
+      val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+      val t1 = lo + (hi - lo) / 3L
+      val t2 = lo + (2L * (hi - lo)) / 3L
+      val root = ScratchDir.path(s"sesswin_ivm_${Replay.run()}")
+      val cols = Seq($"user_id", $"ts")
+      def sentinel(ms: Long): DataFrame = s.range(1)
+        .select(lit(-1L).as("user_id"),
+          timestamp_millis(lit(ms)).as("ts"))
+      val staged = Replay.stageBatches(root, Seq(
+        ev.filter($"us" <= t1).select(cols: _*),
+        ev.filter($"us" > t1 && $"us" <= t2).select(cols: _*),
+        ev.filter($"us" > t2).select(cols: _*),
+        sentinel(Sentinel1Ms), sentinel(Sentinel2Ms)))
+      Replay.withRocksDb(s) {
+        val src = s.readStream
+          .schema("user_id BIGINT, ts TIMESTAMP")
+          .option("maxFilesPerTrigger", "1").parquet(staged)
+        val q = graft.streaming.StreamOps
+          .sessionCounts(src, "ts", "30 minutes", "0 seconds",
+            Seq("user_id"))
+          .writeStream.format("parquet")
+          .option("path", s"$root/out")
+          .option("checkpointLocation", s"$root/ckpt")
+          .outputMode("append")
+          .start()
+        Replay.drainStagedReplay(q, nFiles = 5)
+      }
+      s.read.schema("session_window STRUCT<start: TIMESTAMP, " +
+          "end: TIMESTAMP>, user_id BIGINT, n BIGINT")
+        .parquet(s"$root/out")
+        .filter($"user_id" >= 0L)
+        .select($"user_id",
+          unix_micros($"session_window.start").as("s_start_us"),
+          unix_micros($"session_window.end").as("s_end_us"),
+          $"n".as("n_events"))
+        .orderBy($"user_id", $"s_start_us")
+    }),
+
+    // Driver-gated parity row for the windowed-AGGREGATION state
+    // store (StateStoreSave/Restore — the oldest stateful path in
+    // Structured Streaming, and the last one without a board row):
+    // epoch-aligned 7-day tumbling counts + sums per event type
+    // through the production tumblingCounts, append mode emitting
+    // each window's FINAL row once the watermark passes its end.
+    // Replay = event-time thirds + sentinels ('drain' type, filtered
+    // — their window never closes and must not leak rows); values
+    // ride as exact cents in the double field so window sums fold
+    // associatively. The day-split thirds are NOT window-aligned, so
+    // boundary windows accumulate partial aggregates across
+    // micro-batches — the cross-batch merge the hash proves. Oracle
+    // = the one-pass batch rollup on the same µs window floor.
+    "q233_tumbling_window_ivm" -> ((s, d) => {
+      import s.implicits._
+      val ev = Tables.load(s, d, "events")
+        .select($"event_type", $"ts",
+          round($"value" * 100).cast("long").cast("double").as("value"),
+          unix_micros($"ts").as("us"))
+      val mm = ev.agg(min($"us"), max($"us")).first
+      val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+      val t1 = lo + (hi - lo) / 3L
+      val t2 = lo + (2L * (hi - lo)) / 3L
+      val root = ScratchDir.path(s"tumble_ivm_${Replay.run()}")
+      val cols = Seq($"event_type", $"ts", $"value")
+      def sentinel(ms: Long): DataFrame = s.range(1)
+        .select(lit("drain").as("event_type"),
+          timestamp_millis(lit(ms)).as("ts"), lit(0.0).as("value"))
+      val staged = Replay.stageBatches(root, Seq(
+        ev.filter($"us" <= t1).select(cols: _*),
+        ev.filter($"us" > t1 && $"us" <= t2).select(cols: _*),
+        ev.filter($"us" > t2).select(cols: _*),
+        sentinel(Sentinel1Ms), sentinel(Sentinel2Ms)))
+      Replay.withRocksDb(s) {
+        val src = s.readStream
+          .schema("event_type STRING, ts TIMESTAMP, value DOUBLE")
+          .option("maxFilesPerTrigger", "1").parquet(staged)
+        val q = graft.streaming.StreamOps
+          .tumblingCounts(src, "ts", "7 days", "0 seconds",
+            Seq("event_type"))
+          .writeStream.format("parquet")
+          .option("path", s"$root/out")
+          .option("checkpointLocation", s"$root/ckpt")
+          .outputMode("append")
+          .start()
+        Replay.drainStagedReplay(q, nFiles = 5)
+      }
+      s.read.schema("window STRUCT<start: TIMESTAMP, end: TIMESTAMP>, " +
+          "event_type STRING, n BIGINT, sum_value DOUBLE")
+        .parquet(s"$root/out")
+        .filter($"event_type" =!= "drain")
+        .select($"event_type",
+          unix_micros($"window.start").as("w_start_us"),
+          $"n", $"sum_value")
+        .orderBy($"event_type", $"w_start_us")
     }))
 
   def oracles: Map[String, String] = Map(
@@ -355,6 +471,42 @@ object Frontier10 {
            CAST(min(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS lo,
            CAST(max(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS hi
          FROM events GROUP BY user_id ORDER BY k""",
+
+    // q52's gap sessionization verbatim (µs clock, >= gap starts a
+    // new session, end = last + gap) — what the native session store
+    // must reproduce across batch boundaries
+    "q232_session_window_ivm" ->
+      """WITH e AS (
+           SELECT user_id, event_id, epoch_us(ts) AS us,
+             lag(epoch_us(ts)) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS prev_us
+           FROM events),
+         m AS (
+           SELECT user_id, us,
+             CAST(sum(CASE WHEN prev_us IS NULL
+                           OR us - prev_us >= 1800000000
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY us, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS sess
+           FROM e)
+         SELECT user_id,
+           CAST(min(us) AS BIGINT) AS s_start_us,
+           CAST(max(us) + 1800000000 AS BIGINT) AS s_end_us,
+           count(*) AS n_events
+         FROM m GROUP BY user_id, sess
+         ORDER BY user_id, s_start_us""",
+
+    // the one-pass weekly rollup on the same epoch-aligned µs floor
+    "q233_tumbling_window_ivm" ->
+      """SELECT event_type,
+           CAST((epoch_us(ts) // 604800000000) * 604800000000
+             AS BIGINT) AS w_start_us,
+           count(*) AS n,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+             AS sum_value
+         FROM events
+         GROUP BY 1, 2 ORDER BY event_type, w_start_us""",
 
     // the batch LEFT join the staged streaming replay must equal —
     // matched pairs exactly as q212's inner oracle, unmatched clicks

@@ -34,11 +34,19 @@ object Sf100Probe {
   val srcDir = "/tmp/graft-sf10"
   val dstDir = "/tmp/graft-sf100"
 
-  /** The third-decade tier: the r17 verdict's named cost leader plus
-    * one ANN pair and the dedup family's linear representative.
+  /** The third-decade tier: the r17 verdict's named cost leader, the
+    * dedup family's designed-linear representative, and the ANN
+    * family's PRODUCTION path. The brute-force eval tiers (ann_mmr,
+    * ann_hybrid_rrf's dense ranker) are deliberately NOT here: their
+    * per-query top-k sort spills ∝ corpus × queries ≈ 48 GB at sf100,
+    * past this box's free disk (measured: the first probe run died
+    * SPILL_OUT_OF_MEMORY on ann_mmr's stage) — the PLANS.md
+    * third-decade table records their extrapolated envelope and the
+    * capacity rule instead, and ann_lsh stands in as the corpus-wide
+    * ANN path that actually runs at this scale.
     */
   val heavy: Seq[String] = Seq(
-    "emb_cka", "ann_mmr", "ann_hybrid_rrf", "dedup_tfidf_cosine")
+    "emb_cka", "dedup_tfidf_cosine", "ann_lsh")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
