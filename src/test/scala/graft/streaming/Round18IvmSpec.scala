@@ -3,6 +3,7 @@ package graft.streaming
 import graft.SparkSpec
 import graft.streaming.StreamOps.{UserEvent, UserSummary}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.unix_micros
 import java.sql.Timestamp
 
 /** Constructed-data pins for the four round-18 driver-gated streaming
@@ -136,6 +137,79 @@ class Round18IvmSpec extends SparkSpec {
         out.head.sum_value == 3.0 && !out.head.closed_by_timeout,
         s"the within-batch gap must close session 1 on arrival: " +
           s"${out.toSeq}")
+    }
+  }
+
+  test("q232 mechanism: the native session store MERGES a session " +
+      "across a micro-batch boundary and emits it exactly once, only " +
+      "after the watermark passes its end") {
+    implicit val sqlCtx = spark.sqlContext
+    withRocksDb {
+      val in = MemoryStream[UserEvent]
+      val q = StreamOps.sessionCounts(
+          in.toDS().toDF().select($"user_id", $"ts"),
+          "ts", "30 minutes", "0 seconds", Seq("user_id"))
+        .writeStream.format("memory").queryName("sess18")
+        .outputMode("append").start()
+      // batch 1: two events of one session
+      in.addData(UserEvent(1L, ts("2024-01-01 10:00:00"), 0.0),
+        UserEvent(1L, ts("2024-01-01 10:10:00"), 0.0))
+      q.processAllAvailable()
+      // batch 2: a third event EXTENDS the same session (gap < 30 min)
+      in.addData(UserEvent(1L, ts("2024-01-01 10:30:00"), 0.0))
+      q.processAllAvailable()
+      assert(spark.table("sess18").count() == 0,
+        "an open session must not emit")
+      // watermark passes end = 11:00 → the merged session emits once
+      in.addData(UserEvent(999L, ts("2024-01-01 12:30:00"), 0.0))
+      q.processAllAvailable()
+      in.addData(UserEvent(999L, ts("2024-01-01 12:31:00"), 0.0))
+      q.processAllAvailable()
+      val out = spark.table("sess18")
+        .filter($"user_id" === 1L)
+        .select(unix_micros($"session_window.start"),
+          unix_micros($"session_window.end"), $"n")
+        .as[(Long, Long, Long)].collect()
+      q.stop()
+      assert(out.length == 1, s"merged session emits ONCE: ${out.toSeq}")
+      val (st, en, n) = out.head
+      assert(n == 3L, "all three events in the merged session")
+      assert(en - st == (30 * 60 + 30 * 60) * 1000000L,
+        s"[start, last+gap): ${(st, en)}")
+    }
+  }
+
+  test("q233 mechanism: a tumbling window spanning micro-batches " +
+      "merges partial aggregates and closes once per watermark pass") {
+    implicit val sqlCtx = spark.sqlContext
+    withRocksDb {
+      val in = MemoryStream[UserEvent]
+      val q = StreamOps.tumblingCounts(
+          in.toDS().toDF()
+            .select($"user_id".cast("string").as("event_type"),
+              $"ts", $"value"),
+          "ts", "1 hour", "0 seconds", Seq("event_type"))
+        .writeStream.format("memory").queryName("tumble18")
+        .outputMode("append").start()
+      // the 10:00-11:00 window accumulates across TWO batches
+      in.addData(UserEvent(1L, ts("2024-01-01 10:05:00"), 2.0))
+      q.processAllAvailable()
+      in.addData(UserEvent(1L, ts("2024-01-01 10:55:00"), 3.0))
+      q.processAllAvailable()
+      assert(spark.table("tumble18").count() == 0,
+        "an open window must not emit")
+      in.addData(UserEvent(9L, ts("2024-01-01 12:00:00"), 0.0))
+      q.processAllAvailable()
+      in.addData(UserEvent(9L, ts("2024-01-01 12:01:00"), 0.0))
+      q.processAllAvailable()
+      val out = spark.table("tumble18")
+        .filter($"event_type" === "1")
+        .select(unix_micros($"window.start"), $"n", $"sum_value")
+        .as[(Long, Long, Double)].collect()
+      q.stop()
+      assert(out.length == 1, s"window closes ONCE: ${out.toSeq}")
+      assert(out.head._2 == 2L && out.head._3 == 5.0,
+        "cross-batch partials merged (2 events, sum 5.0)")
     }
   }
 
