@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -39,6 +40,18 @@ import graft.{Q, Tables}
   *     segmentation over the daily series — the retrospective
   *     split-point locator next to the ONLINE drift monitors
   *     (q84 CUSUM, q190 Page–Hinkley).
+  *
+  * Batch 5 — the physical-layout diagnostics a 100 TB deployment
+  * tunes by:
+  *
+  *   - pipeline_skew_report: the shuffle-skew audit for a planned
+  *     partitioning key — heavy-key shares and the per-key salt
+  *     factor that caps any key at one partition's fair share (the
+  *     number you set BEFORE the first straggler, not after);
+  *   - pipeline_zorder_layout: Morton (Z-order) interleave of two
+  *     filter dimensions + the measured file-skipping rate a
+  *     Z-clustered layout buys over naive single-column clustering —
+  *     the Delta/Iceberg OPTIMIZE ZORDER decision, quantified.
   *
   * Reference note: the reference (`/root/reference/`, a 656-line Go
   * log forwarder — SURVEY.md §1) has none of this surface; these are
@@ -435,6 +448,118 @@ object Frontier11 {
           expr("CAST((num div (t * (n - t))) div 10000 AS BIGINT)")
             .as("gain_dollars2"))
         .orderBy($"event_type")
+    }),
+
+    // Shuffle-skew audit for a planned partitioning key: the top-5
+    // heaviest user_id keys of the events stream with their row
+    // shares, plus the SALT FACTOR that caps each at one partition's
+    // fair share under the session's 32-way shuffle — salt =
+    // ceil(key_rows · P / total) sub-keys spreads the key to ≤
+    // total/P rows apiece, which is exactly the number you configure
+    // into a salted join/agg BEFORE the first straggler (AQE's
+    // skew-join split handles sort-merge joins at runtime; a salt is
+    // still the only lever for skewed AGGREGATION keys). Everything
+    // is exact integers; the top-5 pick is k-bounded (count desc,
+    // key asc). Scale shape: one groupBy(key) rollup — the histogram
+    // a 100 TB shuffle plan is costed from — then a 5-row frame.
+    "pipeline_skew_report" -> ((s, d) => {
+      import s.implicits._
+      val P = 32L
+      val counts = Tables.load(s, d, "events")
+        .groupBy($"user_id").agg(count(lit(1)).as("c"))
+      val tot = counts.agg(sum($"c").as("n_rows"),
+        count(lit(1)).as("n_keys"))
+      // top-5 via orderBy+limit (TakeOrderedAndProject — distributed
+      // partial top-k per map task, never a global window over the
+      // key histogram, which is user-domain-sized at 100 TB); the
+      // rank window then runs on the ≤5-row frame
+      val wtop = Window.orderBy($"c".desc, $"user_id")
+      counts.orderBy($"c".desc, $"user_id").limit(5)
+        .withColumn("rk", row_number().over(wtop).cast("long"))
+        .crossJoin(broadcast(tot))
+        .select($"rk".as("rank"), $"user_id", $"c".as("n_rows_key"),
+          $"n_keys", $"n_rows",
+          round($"c".cast("double") / $"n_rows".cast("double"), 6)
+            .as("share"),
+          expr(s"($P * c + n_rows - 1) div n_rows").as("salt_factor"))
+        .orderBy($"rank")
+    }),
+
+    // Z-order (Morton) layout quality, measured: interleave the two
+    // filter dimensions a log-analytics table is actually pruned by
+    // — user bucket (user_id % 128) and day index (both ≤ 10
+    // bits) — sort by the interleaved key, chunk into 64 equal
+    // "files", and count how many files each layout SKIPS for a
+    // middle-eighth range predicate on EACH dimension, against the
+    // two single-column clusterings. This is the OPTIMIZE ZORDER
+    // decision quantified: single-column layouts skip ~7/8 of files
+    // on their own dimension and ZERO on the other; the Z layout
+    // buys real skipping on BOTH — min/max file stats are what
+    // parquet/Delta pruning consumes, so the skipped count IS the
+    // scan saved. All integer arithmetic (bit interleave, PrefixSum
+    // global ranks — never a partition-less window — fid = rank·64
+    // div n, interval-overlap tests); output is 3 layouts × 2
+    // predicates = 6 rows.
+    "pipeline_zorder_layout" -> ((s, d) => {
+      import s.implicits._
+      val nFiles = 64L
+      val zExpr = (0 until 10).map(i =>
+        s"(((u >> $i) & 1) << ${2 * i}) | (((dd >> $i) & 1) << ${2 * i + 1})")
+        .mkString("(", " | ", ")")
+      val base = Tables.load(s, d, "events")
+        .select($"event_id", ($"user_id" % 128L).as("u"),
+          to_date($"ts").as("day"))
+      val span = base.agg(min($"day").as("d0"), max($"day").as("d1"),
+          max($"u").as("um"))
+        .select($"d0", datediff($"d1", $"d0").cast("long").as("sp"),
+          $"um")
+        .first
+      val (d0, sp, um) = (span.getDate(0), span.getLong(1),
+        span.getLong(2))
+      val dims = base
+        .select($"event_id", $"u",
+          datediff($"day", lit(d0)).cast("long").as("dd"))
+        .withColumn("z", expr(zExpr))
+      // the three physical orders; fid = global-rank·64 div n
+      val nTotal = dims.count() // bounded driver scalar
+      def layout(name: String, orderCols: Seq[org.apache.spark.sql
+          .Column]): DataFrame = {
+        val ranked = graft.ops.PrefixSum.runningTotal(dims,
+          orderCols :+ $"event_id", lit(1L), "rn")
+        ranked
+          .withColumn("fid",
+            expr(s"((rn - 1) * $nFiles) div ${nTotal}L"))
+          .groupBy($"fid")
+          .agg(min($"u").as("u_lo"), max($"u").as("u_hi"),
+            min($"dd").as("d_lo"), max($"dd").as("d_hi"))
+          .withColumn("layout", lit(name))
+      }
+      val files = layout("zorder", Seq($"z"))
+        .unionByName(layout("by_user", Seq($"u")))
+        .unionByName(layout("by_day", Seq($"dd")))
+      // middle-eighth predicates on each dimension, bounds derived
+      // from the OBSERVED domain (a fixed bucket slice was vacuous at
+      // small SF: the fixture has 150·sf/0.01 users, so an absolute
+      // [448, 575] window selected nothing below sf1)
+      val uLo = (um * 7L) / 16L
+      val uHi = (um * 9L) / 16L
+      val dLo = (sp * 7L) / 16L
+      val dHi = (sp * 9L) / 16L
+      files
+        .select($"layout",
+          explode(array(
+            struct(lit("user").as("pred_dim"),
+              ($"u_hi" < uLo || $"u_lo" > uHi).as("skipped")),
+            struct(lit("day").as("pred_dim"),
+              ($"d_hi" < dLo || $"d_lo" > dHi).as("skipped"))))
+            .as("p"))
+        .groupBy($"layout", $"p.pred_dim")
+        .agg(count(lit(1)).as("n_files"),
+          sum(when($"p.skipped", 1L).otherwise(0L)).as("n_skipped"))
+        .withColumn("skip_rate",
+          round($"n_skipped".cast("double") / $"n_files".cast("double"),
+            4))
+        .orderBy($"layout", $"pred_dim")
     }))
 
   def oracles: Map[String, String] = Map(
@@ -685,6 +810,81 @@ object Frontier11 {
              * (CAST(n AS HUGEINT) * sl - CAST(t AS HUGEINT) * s)
              // (t * (n - t))) // 10000 AS BIGINT) AS gain_dollars2
          FROM pick WHERE rk = 1 ORDER BY event_type""",
+
+    "pipeline_skew_report" ->
+      """WITH c AS (
+           SELECT user_id, CAST(count(*) AS BIGINT) AS c
+           FROM events GROUP BY 1),
+         t AS (
+           SELECT CAST(sum(c) AS BIGINT) AS n_rows,
+             CAST(count(*) AS BIGINT) AS n_keys
+           FROM c),
+         r AS (
+           SELECT user_id, c,
+             CAST(row_number() OVER (ORDER BY c DESC, user_id)
+               AS BIGINT) AS rk
+           FROM c)
+         SELECT rk AS rank, user_id, c AS n_rows_key,
+           t.n_keys, t.n_rows,
+           round(CAST(c AS DOUBLE) / CAST(t.n_rows AS DOUBLE), 6)
+             + 0.0 AS share,
+           CAST((32 * c + t.n_rows - 1) // t.n_rows AS BIGINT)
+             AS salt_factor
+         FROM r, t WHERE rk <= 5 ORDER BY rank""",
+
+    "pipeline_zorder_layout" -> {
+      val zExpr = (0 until 10).map(i =>
+        s"(((u >> $i) & 1) << ${2 * i}) | (((dd >> $i) & 1) << ${2 * i + 1})")
+        .mkString("(", " | ", ")")
+      s"""WITH span AS (
+           SELECT min(CAST(ts AS DATE)) AS d0,
+             CAST(date_diff('day', min(CAST(ts AS DATE)),
+               max(CAST(ts AS DATE))) AS BIGINT) AS sp,
+             CAST(max(user_id % 128) AS BIGINT) AS um
+           FROM events),
+         dims AS (
+           SELECT event_id, user_id % 128 AS u,
+             CAST(date_diff('day', span.d0, CAST(ts AS DATE))
+               AS BIGINT) AS dd
+           FROM events, span),
+         z AS (SELECT *, $zExpr AS zv FROM dims),
+         n AS (SELECT CAST(count(*) AS BIGINT) AS nt FROM dims),
+         lz AS (
+           SELECT 'zorder' AS layout, u, dd,
+             CAST(row_number() OVER (ORDER BY zv, event_id)
+               AS BIGINT) AS rn
+           FROM z
+           UNION ALL
+           SELECT 'by_user', u, dd,
+             CAST(row_number() OVER (ORDER BY u, event_id) AS BIGINT)
+           FROM z
+           UNION ALL
+           SELECT 'by_day', u, dd,
+             CAST(row_number() OVER (ORDER BY dd, event_id) AS BIGINT)
+           FROM z),
+         f AS (
+           SELECT layout, (rn - 1) * 64 // nt AS fid,
+             min(u) AS u_lo, max(u) AS u_hi,
+             min(dd) AS d_lo, max(dd) AS d_hi
+           FROM lz, n GROUP BY 1, 2),
+         p AS (
+           SELECT layout, 'user' AS pred_dim,
+             CASE WHEN u_hi < (SELECT um * 7 // 16 FROM span)
+                    OR u_lo > (SELECT um * 9 // 16 FROM span)
+               THEN 1 ELSE 0 END AS sk
+           FROM f
+           UNION ALL
+           SELECT layout, 'day',
+             CASE WHEN d_hi < (SELECT sp * 7 // 16 FROM span)
+                    OR d_lo > (SELECT sp * 9 // 16 FROM span)
+               THEN 1 ELSE 0 END
+           FROM f)
+         SELECT layout, pred_dim, count(*) AS n_files,
+           CAST(sum(sk) AS BIGINT) AS n_skipped,
+           round(CAST(sum(sk) AS DOUBLE) / count(*), 4) + 0.0
+             AS skip_rate
+         FROM p GROUP BY 1, 2 ORDER BY layout, pred_dim"""
+    },
 
     "q229_mann_kendall" ->
       """WITH daily AS (

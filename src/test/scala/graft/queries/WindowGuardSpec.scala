@@ -49,6 +49,8 @@ class WindowGuardSpec extends SparkSpec {
       "id-assignment window over the top-1000-BOUNDED vocabulary (top-k selected before the window)",
     "pipeline_weighted_sample" ->
       "rank window on the post-TakeOrderedAndProject 50-row frame (orderBy+limit runs first)",
+    "pipeline_skew_report" ->
+      "rank window on the post-TakeOrderedAndProject 5-row frame (orderBy+limit runs first)",
     "q105_gains_table" ->
       "cumulative window over the 10-row decile aggregate; the customer rank itself rides PrefixSum",
     "q112_skew_profile" ->
