@@ -253,6 +253,18 @@ object Bench {
       System.err.println(s"[bench] anchor capture failed: $t")
     }
     val anchor: Map[String, Double] = readWalls("bench_anchor.json")
+    // ADVICE r18: an anchor file captured at a DIFFERENT sf parses to
+    // an empty wall map, which would silently fall the per-query
+    // prior back to the self-promoting baseline and make the drift
+    // gate vacuously pass — the exact ratchet the anchor exists to
+    // kill — while the stale file blocks round-open re-capture. Call
+    // it out and refuse promotion below (adjudication note required).
+    val anchorStale =
+      java.nio.file.Files.exists(anchorPath) && anchor.isEmpty
+    if (anchorStale)
+      System.err.println("[bench] bench_anchor.json present but " +
+        s"sf-mismatched (sf=$sfDir) — drift gate INACTIVE, promotion " +
+        "disabled; delete the stale anchor to re-capture for this sf")
     val prior: Map[String, Double] = {
       if (anchor.nonEmpty) anchor
       else {
@@ -370,18 +382,34 @@ object Bench {
       val regressionOk = priorRegressed.isEmpty || promoteNote.isDefined
       val driftOk = graft.tools.BenchGate.promotionAllowed(
         results, anchor, 1.05, promoteNote)
+      val anchorOk = !anchorStale || promoteNote.isDefined
       if (only.isEmpty && !boxContended && failed.isEmpty &&
-          regressionOk && driftOk) {
+          regressionOk && driftOk && anchorOk) {
+        // per-key pin rule (r18 verdict What's-wrong #1): one noisy
+        // sample must not RAISE a pinned wall >1.5× — held keys keep
+        // their prior pin; the raw run stays in bench_full.json.
+        val priorPins = readWalls("bench_baseline.json")
+        val (pins, held) = graft.tools.BenchGate.pinWalls(
+          results, priorPins, 1.5, 0.5, promoteNote)
+        val pinQs = pins.toSeq.sortBy(_._1)
+          .map { case (k, v) => "\"" + k + "\":" + v }
+          .mkString("{", ",", "}")
+        val pinTotal = pins.values.sum
+        val heldJson = held.map("\"" + _ + "\"").mkString("[", ",", "]")
+        val promoted = s"""{"metric":"total","value":$pinTotal,"unit":"sec","queries":$pinQs,"cpu_sec":${jmap(cpuSec)},"gc_sec":${jmap(gcSec)},"retried":$rj,"prior_regressed":$pj,"failed":$fj,$boxState,"pin_held":$heldJson,"sf":"$sfDir"}"""
         java.nio.file.Files.write(
           java.nio.file.Paths.get("bench_baseline.json"),
-          full.getBytes("UTF-8"))
+          promoted.getBytes("UTF-8"))
         System.err.println("[bench] clean run -> bench_baseline.json promoted" +
           vsAnchor.map(r => f" (vs_anchor_ratio $r%.4f)").getOrElse("") +
+          (if (held.nonEmpty)
+            s" [pin held at prior for: ${held.mkString(", ")}]" else "") +
           promoteNote.map(n => s" [adjudicated: $n]").getOrElse(""))
       } else if (only.isEmpty && !boxContended && failed.isEmpty) {
         System.err.println("[bench] promotion REFUSED: " +
           vsAnchor.map(r => f"vs_anchor_ratio $r%.4f").getOrElse("") +
           s" prior_regressed=${priorRegressed.size}" +
+          (if (anchorStale) " anchor_stale=true" else "") +
           " — set SPARK_GRAFT_PROMOTE_NOTE=<cause> to adjudicate")
       }
     } catch { case t: Throwable =>

@@ -5,9 +5,12 @@ import org.apache.spark.sql.functions._
 
 import graft.{Q, ScratchDir, Tables}
 
-/** Round-18 frontier: the four streaming components the r17 verdict
-  * named as extension-surface residue, each driver-gated through the
-  * PRODUCTION runtime on the [[Replay]] staged-replay harness —
+/** Round-18 frontier: six streaming-parity rows, each driver-gated
+  * through the PRODUCTION runtime on the [[Replay]] staged-replay
+  * harness — the four components the r17 verdict named as
+  * extension-surface residue (q225–q228) plus the two stateful
+  * store classes that completed the sweep (q232 session-window
+  * merge store, q233 windowed-agg StateStoreSave) —
   *
   *   - q225_training_prep_ivm: the streaming training-prep
   *     composition (quality filter → digest dedup within watermark →
@@ -22,7 +25,12 @@ import graft.{Q, ScratchDir, Tables}
   *     sink path itself;
   *   - q228_outer_interval_ivm: the stream-stream LEFT OUTER interval
   *     join — watermark-expiry null emission, the semantics q212's
-  *     inner join cannot exercise.
+  *     inner join cannot exercise;
+  *   - q232_session_window_ivm: native `session_window` gap merge —
+  *     the dedicated session-store class (merging-window state);
+  *   - q233_tumbling_window_ivm: watermarked tumbling-window
+  *     aggregate through StateStoreSave/Restore — the windowed-agg
+  *     store class.
   *
   * Reference note: the reference engine (`/root/reference/`, a Go
   * stdin→Kinesis log forwarder — SURVEY.md §1; basestreamer.go:65–87

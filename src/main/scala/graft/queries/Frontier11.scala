@@ -125,21 +125,11 @@ object Frontier11 {
           when($"n_sk" < KmvK, $"n_sk".cast("double"))
             .otherwise(lit((KmvK - 1).toDouble) * lit(KmvDomain.toDouble)
               / $"hk".cast("double")).as("est"))
-      // pair frame: |sources|² rows — enum-sized, broadcast both ways
-      val merged = sk.as("a").join(sk.as("b"),
-          $"a.source" < $"b.source",
-          "inner")
-        .select($"a.source".as("sa"), $"b.source".as("sb"),
-          $"a.h".as("ha"), $"b.h".as("hb"))
       // union-k per pair: K smallest distinct values of the merged
       // sketches; a value is in the intersection estimate iff both
-      // sides' sketches contain it
-      val uni = sk.select($"source", $"h")
-      val pairs = uni.as("a").select($"source".as("sa"), $"h")
-        .join(uni.as("b").select($"source".as("sb"), $"h"),
-          Seq("h"), "full_outer")
-      // simpler, exactly-shaped: explode per-pair merged values from
-      // the two K-bounded sketch sets
+      // sides' sketches contain it — explode per-pair merged values
+      // from the two K-bounded sketch sets (pair frame is
+      // |sources|² and enum-sized, so both joins broadcast)
       val names = sk.select($"source").distinct()
       val pairNames = names.as("x").select($"source".as("sa"))
         .join(names.as("y").select($"source".as("sb")), $"sa" < $"sb")
@@ -273,8 +263,7 @@ object Frontier11 {
       val ties = daily.groupBy($"event_type", $"v")
         .agg(count(lit(1)).as("t"))
         .groupBy($"event_type")
-        .agg(count(lit(1)).as("n_distinct"),
-          sum($"t").as("n"),
+        .agg(sum($"t").as("n"),
           sum(($"t".cast(dec) * ($"t" - 1) * (lit(2).cast(dec) * $"t"
             + 5)).cast(dec)).as("tie3"))
       sStat.join(ties, Seq("event_type"))
@@ -407,7 +396,8 @@ object Frontier11 {
     // 2.7e14 at sf100-scale cents ⇒ squared < 10²⁹ ≪ 10³⁸) and the
     // one divide to double is identical IEEE on both engines, so the
     // argmax (gain desc, t asc) cannot flip cross-engine. Segment
-    // means publish as exact integer `div` cents, and the published
+    // means publish as exact FLOOR-division cents (DuckDB `//`
+    // parity even for negative segment sums), and the published
     // gain is the EXACT integer division num div (t(n−t)) div 10⁴
     // (dollars²): a first cut published round(gain, 4) on the
     // ~1e13-cents² double and the decimal rendering of that huge
@@ -443,8 +433,13 @@ object Frontier11 {
         .filter($"rk" === 1)
         .select($"event_type", $"n".as("n_days"), $"t".as("t_star"),
           date_format($"day", "yyyy-MM-dd").as("split_day"),
-          expr("sl div t").as("mean_left_cents"),
-          expr("(s - sl) div (n - t)").as("mean_right_cents"),
+          // floor division (not `div`, which truncates toward zero)
+          // to stay parity-exact with DuckDB's `//` when a segment's
+          // cents sum is negative — refunds would flip `div` vs `//`
+          expr("CAST(FLOOR(CAST(sl AS DECIMAL(38,0)) / t) AS BIGINT)")
+            .as("mean_left_cents"),
+          expr("CAST(FLOOR(CAST(s - sl AS DECIMAL(38,0)) / (n - t)) " +
+            "AS BIGINT)").as("mean_right_cents"),
           expr("CAST((num div (t * (n - t))) div 10000 AS BIGINT)")
             .as("gain_dollars2"))
         .orderBy($"event_type")

@@ -719,77 +719,7 @@ object Frontier9 {
     // codegen DotProduct, query tier capped ≤1000, WindowGroupLimit
     // top-50); the per-query 50×50 sim matrix + 10-step greedy are
     // row-local HOFs over a k-bounded collect (CollectGuard class).
-    "ann_mmr" -> ((s, d) => {
-      import s.implicits._
-      val e = Tables.load(s, d, "embeddings")
-      val quant = "transform(%s, v -> " +
-        "CAST(floor(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT))"
-      val q = e.filter(col("vec_id") % 100 === 0 &&
-          col("vec_id") < 100000)
-        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy($"q_id").orderBy(desc("dot"), $"vec_id")
-      val cands = e.crossJoin(broadcast(q))
-        .filter($"vec_id" =!= $"q_id")
-        .withColumn("dot", graft.functions.VectorFunctions
-          .dot_product($"q_emb", $"embedding"))
-        .withColumn("rank", row_number().over(w).cast("long"))
-        .filter($"rank" <= 50)
-        .select($"q_id", $"rank", $"vec_id",
-          expr(quant.format("embedding")).as("qe"))
-      val qq = q.select($"q_id", expr(quant.format("q_emb")).as("qqe"))
-      val LMin = "-9223372036854775807L"
-      def dotq(a: String, b: String) =
-        s"aggregate(zip_with($a, $b, (u, v) -> u * v), 0L, (x, y) -> x + y)"
-      val mats = cands.groupBy($"q_id")
-        .agg(sort_array(collect_list(struct($"rank", $"vec_id", $"qe")))
-          .as("cands"))
-        .join(broadcast(qq), Seq("q_id"))
-        .withColumn("n", size($"cands").cast("long"))
-        .withColumn("rels", expr(
-          s"transform(cands, c -> ${dotq("qqe", "c.qe")})"))
-        .withColumn("simmat", expr(
-          s"""transform(cands, a -> transform(cands, b ->
-              ${dotq("a.qe", "b.qe")}))"""))
-        // MATERIALIZATION BARRIER (measured hang without it):
-        // CollapseProject inlines the rels/simmat aliases into the
-        // greedy expression below, and element_at(<inlined
-        // transform>, i) re-evaluates the WHOLE 50×50×64 matrix per
-        // lambda invocation — the 10×50×10-deep fold turns O(n²·d)
-        // into O(n³·k²·d) per query. The persist pins the computed
-        // arrays as real columns (query-tier-sized: ≤1000 rows ×
-        // ~20 KB); the greedy then reads them as attributes.
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      mats
-        .withColumn("sel", expr(
-          s"""aggregate(sequence(1L, least(10L, n)),
-               cast(array() as array<struct<idx: int, m: bigint>>),
-               (sel, step) -> array_append(sel,
-                 element_at(transform(array(
-                   aggregate(sequence(1, cast(n as int)), $LMin,
-                     (best, i) -> greatest(best,
-                       CASE WHEN exists(sel, sl -> sl.idx = i)
-                         THEN $LMin
-                       ELSE (element_at(rels, i)
-                         - CASE WHEN size(sel) = 0 THEN 0L
-                           ELSE aggregate(transform(sel, sl ->
-                               element_at(element_at(simmat, i),
-                                 sl.idx)),
-                             $LMin, (mx, v) -> greatest(mx, v)) END
-                         ) * 128L + (128L - i) END))),
-                   be -> named_struct(
-                     'idx', CAST(128L - ((be % 128L + 128L) % 128L)
-                       AS INT),
-                     'm', (be - ((be % 128L + 128L) % 128L))
-                       div 128L)), 1)))"""))
-        .select($"q_id", $"cands", $"rels",
-          posexplode($"sel").as(Seq("p", "s")))
-        .select($"q_id", ($"p" + 1).cast("long").as("mmr_rank"),
-          expr("element_at(cands, s.idx).vec_id").as("vec_id"),
-          expr("element_at(rels, s.idx)").as("rel_dot"),
-          $"s.m".as("mmr2"))
-        .orderBy($"q_id", $"mmr_rank")
-    }),
+    "ann_mmr" -> ((s, d) => mmrRerank(s, d)),
 
     // Moving-average type-token ratio (MATTR, window 50) per document
     // — the lexical-diversity score that, unlike raw TTR
@@ -1606,4 +1536,82 @@ object Frontier9 {
              END, 6) + 0.0 AS mattr
          FROM n
          ORDER BY doc_id""")
+
+  /** The ann_mmr body, factored so the board entry (tierMod 100, the
+    * ≤1000-query eval tier) and the Sf100Probe capacity-rule tier
+    * (tierMod 1000 — ≤100 queries, the single-box sf100 cut recorded
+    * in the PLANS.md third-decade table) share one plan verbatim.
+    */
+  def mmrRerank(s: org.apache.spark.sql.SparkSession, d: String,
+      tierMod: Int = 100): DataFrame = {
+      import s.implicits._
+      val e = Tables.load(s, d, "embeddings")
+      val quant = "transform(%s, v -> " +
+        "CAST(floor(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT))"
+      val q = e.filter(col("vec_id") % tierMod === 0 &&
+          col("vec_id") < 100000)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"q_id").orderBy(desc("dot"), $"vec_id")
+      val cands = e.crossJoin(broadcast(q))
+        .filter($"vec_id" =!= $"q_id")
+        .withColumn("dot", graft.functions.VectorFunctions
+          .dot_product($"q_emb", $"embedding"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter($"rank" <= 50)
+        .select($"q_id", $"rank", $"vec_id",
+          expr(quant.format("embedding")).as("qe"))
+      val qq = q.select($"q_id", expr(quant.format("q_emb")).as("qqe"))
+      val LMin = "-9223372036854775807L"
+      def dotq(a: String, b: String) =
+        s"aggregate(zip_with($a, $b, (u, v) -> u * v), 0L, (x, y) -> x + y)"
+      val mats = cands.groupBy($"q_id")
+        .agg(sort_array(collect_list(struct($"rank", $"vec_id", $"qe")))
+          .as("cands"))
+        .join(broadcast(qq), Seq("q_id"))
+        .withColumn("n", size($"cands").cast("long"))
+        .withColumn("rels", expr(
+          s"transform(cands, c -> ${dotq("qqe", "c.qe")})"))
+        .withColumn("simmat", expr(
+          s"""transform(cands, a -> transform(cands, b ->
+              ${dotq("a.qe", "b.qe")}))"""))
+        // MATERIALIZATION BARRIER (measured hang without it):
+        // CollapseProject inlines the rels/simmat aliases into the
+        // greedy expression below, and element_at(<inlined
+        // transform>, i) re-evaluates the WHOLE 50×50×64 matrix per
+        // lambda invocation — the 10×50×10-deep fold turns O(n²·d)
+        // into O(n³·k²·d) per query. The persist pins the computed
+        // arrays as real columns (query-tier-sized: ≤1000 rows ×
+        // ~20 KB); the greedy then reads them as attributes.
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      mats
+        .withColumn("sel", expr(
+          s"""aggregate(sequence(1L, least(10L, n)),
+               cast(array() as array<struct<idx: int, m: bigint>>),
+               (sel, step) -> array_append(sel,
+                 element_at(transform(array(
+                   aggregate(sequence(1, cast(n as int)), $LMin,
+                     (best, i) -> greatest(best,
+                       CASE WHEN exists(sel, sl -> sl.idx = i)
+                         THEN $LMin
+                       ELSE (element_at(rels, i)
+                         - CASE WHEN size(sel) = 0 THEN 0L
+                           ELSE aggregate(transform(sel, sl ->
+                               element_at(element_at(simmat, i),
+                                 sl.idx)),
+                             $LMin, (mx, v) -> greatest(mx, v)) END
+                         ) * 128L + (128L - i) END))),
+                   be -> named_struct(
+                     'idx', CAST(128L - ((be % 128L + 128L) % 128L)
+                       AS INT),
+                     'm', (be - ((be % 128L + 128L) % 128L))
+                       div 128L)), 1)))"""))
+        .select($"q_id", $"cands", $"rels",
+          posexplode($"sel").as(Seq("p", "s")))
+        .select($"q_id", ($"p" + 1).cast("long").as("mmr_rank"),
+          expr("element_at(cands, s.idx).vec_id").as("vec_id"),
+          expr("element_at(rels, s.idx)").as("rel_dot"),
+          $"s.m".as("mmr2"))
+        .orderBy($"q_id", $"mmr_rank")
+  }
 }

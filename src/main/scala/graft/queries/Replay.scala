@@ -11,7 +11,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * (where the recipe was proven) so new parity rows don't re-derive
   * the three hard-won operational findings documented on each member.
   */
-private[queries] object Replay {
+private[graft] object Replay {
 
   /** IVM state/staging-dir uniquifier (q180's pattern) — monotone per
     * JVM so repeated bench/gate invocations never replay onto a prior
@@ -78,7 +78,13 @@ private[queries] object Replay {
     // staged file's sink commit already happened (the commit is
     // inside the data batch), so that race is benign by construction
     // and ONLY then is it swallowed; any failure before the drain, or
-    // any non-interrupt cause, still propagates.
+    // any non-interrupt cause, still propagates. ADVICE r18 narrowed
+    // the guard further: the swallow additionally requires that OUR
+    // stop() call was already issued (the interrupt provably ours)
+    // and that the failure surfaced as the StreamingQueryException
+    // wrapper awaitTermination uses for the stop-race — a genuine
+    // task failure that merely WRAPS an interrupt but fires before
+    // stop(), or arrives as any other exception type, propagates.
     def interruptCaused(t: Throwable): Boolean = {
       var c: Throwable = t
       while (c != null) {
@@ -87,11 +93,14 @@ private[queries] object Replay {
       }
       false
     }
+    var stopIssued = false
     try {
       q.stop()
+      stopIssued = true
       q.awaitTermination()
     } catch {
-      case t: Throwable if drained && interruptCaused(t) =>
+      case t: org.apache.spark.sql.streaming.StreamingQueryException
+          if drained && stopIssued && interruptCaused(t) =>
         System.err.println(
           s"[replay] benign stop-race after drain: ${t.getClass.getName}")
     }

@@ -34,15 +34,22 @@ object Similarity {
     * round 16); with it they are linear in the corpus. The same cap
     * appears in every oracle's SQL tier and in LlmFrontier/
     * LlmFrontier2's query tiers.
+    *
+    * `tierMod` widens the stride for the single-box sf100 capacity
+    * rule (PLANS.md third-decade table): the brute eval tiers spill
+    * ∝ corpus × queries, so at sf100 on one box the rule says "cut
+    * queries to ≤100" — tierMod = 1000 is that cut (≤100 queries).
+    * Board queries and oracles always use the default 100.
     */
-  private def queryVecs(e: DataFrame): DataFrame =
-    e.filter(col("vec_id") % 100 === 0 && col("vec_id") < 100000)
+  private def queryVecs(e: DataFrame, tierMod: Int = 100): DataFrame =
+    e.filter(col("vec_id") % tierMod === 0 && col("vec_id") < 100000)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
 
   // ------------------------------------------------------ brute force
-  def bruteForceTopK(s: SparkSession, d: String, k: Int = 10): DataFrame = {
+  def bruteForceTopK(s: SparkSession, d: String, k: Int = 10,
+      tierMod: Int = 100): DataFrame = {
     val e = Tables.load(s, d, "embeddings")
-    val q = queryVecs(e)
+    val q = queryVecs(e, tierMod)
     val w = Window.partitionBy(col("q_id"))
       .orderBy(desc("cosine"), col("vec_id"))
     // broadcast the small query side; corpus side stays a scan
@@ -1343,27 +1350,7 @@ object Similarity {
     // of two rank lists (≤ 2k rows per query) + one deterministic
     // IEEE sum of two exact divides — rank fusion needs no score
     // calibration, which is exactly why serving stacks use it.
-    "ann_hybrid_rrf" -> ((s, d) => {
-      val k = 10
-      val vec = bruteForceTopK(s, d, k)
-        .select(col("q_id"), col("vec_id").as("doc_id"),
-          col("rank").as("r_vec"))
-      val lex = lexicalTopK(s, d, k)
-        .select(col("q_id"), col("doc_id"), col("rank").as("r_lex"))
-      val wR = Window.partitionBy(col("q_id"))
-        .orderBy(desc("rrf"), col("doc_id"))
-      vec.join(lex, Seq("q_id", "doc_id"), "full_outer")
-        .withColumn("rrf",
-          coalesce(lit(1.0) / (col("r_vec") + lit(60L)).cast("double"),
-            lit(0.0)) +
-          coalesce(lit(1.0) / (col("r_lex") + lit(60L)).cast("double"),
-            lit(0.0)))
-        .withColumn("rank", row_number().over(wR).cast("long"))
-        .filter(col("rank") <= k)
-        .select(col("q_id"), col("rank"), col("doc_id"),
-          round(col("rrf"), 6).as("rrf"))
-        .orderBy(col("q_id"), col("rank"))
-    }),
+    "ann_hybrid_rrf" -> ((s, d) => hybridRrf(s, d)),
 
     // Hubness audit of the embedding space (Radovanović et al. 2010,
     // JMLR 11) — the curse-of-dimensionality failure mode every ANN
@@ -1431,7 +1418,34 @@ object Similarity {
     * Reuses [[graft.dedup.Dedup.tfidfTermWeights]]; the query side of
     * the term join is broadcast (queries ≪ corpus).
     */
-  def lexicalTopK(s: SparkSession, d: String, k: Int): DataFrame = {
+  /** The ann_hybrid_rrf body, factored so the board entry (tierMod
+    * 100) and the Sf100Probe capacity-rule tier (tierMod 1000 — ≤100
+    * queries, the single-box sf100 cut) share one plan verbatim.
+    */
+  def hybridRrf(s: SparkSession, d: String, k: Int = 10,
+      tierMod: Int = 100): DataFrame = {
+    val vec = bruteForceTopK(s, d, k, tierMod)
+      .select(col("q_id"), col("vec_id").as("doc_id"),
+        col("rank").as("r_vec"))
+    val lex = lexicalTopK(s, d, k, tierMod)
+      .select(col("q_id"), col("doc_id"), col("rank").as("r_lex"))
+    val wR = Window.partitionBy(col("q_id"))
+      .orderBy(desc("rrf"), col("doc_id"))
+    vec.join(lex, Seq("q_id", "doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (col("r_vec") + lit(60L)).cast("double"),
+          lit(0.0)) +
+        coalesce(lit(1.0) / (col("r_lex") + lit(60L)).cast("double"),
+          lit(0.0)))
+      .withColumn("rank", row_number().over(wR).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("doc_id"),
+        round(col("rrf"), 6).as("rrf"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  def lexicalTopK(s: SparkSession, d: String, k: Int,
+      tierMod: Int = 100): DataFrame = {
     val byTerm = graft.dedup.Dedup.tfidfTermWeights(
       graft.Tables.spread(Tables.load(s, d, "documents")))
     // posting-shaped weights feed THREE consumers (norms + both
@@ -1443,7 +1457,8 @@ object Similarity {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val norms = weighted.groupBy(col("doc_id"))
       .agg(sum(expr("wq * wq")).as("norm2"))
-    val qw = weighted.filter(col("doc_id") % 100 === 0 && col("doc_id") < 100000)
+    val qw = weighted.filter(col("doc_id") % tierMod === 0 &&
+        col("doc_id") < 100000)
       .select(col("term"), col("doc_id").as("q_id"),
         col("wq").as("wq_q"))
     val dots = weighted.join(broadcast(qw), Seq("term"))

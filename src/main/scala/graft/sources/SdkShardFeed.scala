@@ -34,11 +34,10 @@ import java.lang.reflect.Method
   * }}}
   */
 class SdkShardFeed(region: Option[String] = None,
-    profile: Option[String] = None) extends Serializable {
+    profile: Option[String] = None)
+    extends ShardRecordFeed with Serializable {
 
-  case class FeedRecord(sequenceNumber: String, data: Array[Byte],
-      partitionKey: String)
-
+  import SdkShardFeed.FeedRecord
   import graft.sinks.SdkKinesis.loadSdk
 
   @transient private lazy val api = new {
@@ -226,6 +225,16 @@ class SdkShardFeed(region: Option[String] = None,
 }
 
 object SdkShardFeed {
+
+  /** One consumed record, engine-shaped: the decimal-string sequence
+    * number (the consumer's checkpoint token), payload bytes, and
+    * the producer's partition key. Companion-level (not nested in
+    * the class) so feed-generic consumers ([[ShardPollLoop]], the
+    * contract suite's scripted service) share the type without a
+    * path-dependent prefix.
+    */
+  case class FeedRecord(sequenceNumber: String, data: Array[Byte],
+      partitionKey: String)
 
   /** One stream shard with its reshard lineage, as `ListShards`
     * reports it: a split child names one parent, a merge child names

@@ -55,4 +55,37 @@ object BenchGate {
       adjudication: Option[String]): Boolean =
     adjudication.exists(_.trim.nonEmpty) ||
       sharedKeyRatio(candidate, anchor).forall(_ <= maxRatio)
+
+  /** Per-key pin rule for a promotion (r18 verdict "What's wrong"
+    * #1): the q102_rolling_median pin jumped 0.60 s → 1.22 s off ONE
+    * noisy sample inside an otherwise-clean run, then the anchor
+    * refresh baked the bad wall in — doubling that key's regression
+    * headroom. A single clean sample is good evidence a query got
+    * FASTER (the plan is a lower bound witness) but weak evidence it
+    * got slower (one scheduling hiccup suffices), so pins are
+    * asymmetric: a candidate wall replaces the prior pin freely
+    * downward or within noise, but a rise beyond `maxRise`× AND
+    * `minAbsRise` seconds keeps the prior pin and reports the key as
+    * held — a genuine plan-cost increase reproduces next clean run
+    * (where the same rule holds it again) and is accepted via an
+    * adjudication note, which disables holding entirely.
+    *
+    * Returns (walls to pin, keys held at their prior pin).
+    */
+  def pinWalls(candidate: Map[String, Double],
+      priorPins: Map[String, Double], maxRise: Double,
+      minAbsRise: Double,
+      adjudication: Option[String]): (Map[String, Double], Seq[String]) = {
+    val adjudicated = adjudication.exists(_.trim.nonEmpty)
+    val held = if (adjudicated) Seq.empty[String]
+      else candidate.collect { case (k, v)
+        if priorPins.get(k)
+          .exists(p => v > maxRise * p && v - p > minAbsRise) => k
+      }.toSeq.sorted
+    val heldSet = held.toSet
+    val walls = candidate.map { case (k, v) =>
+      k -> (if (heldSet(k)) priorPins(k) else v)
+    }
+    (walls, held)
+  }
 }

@@ -11,9 +11,11 @@ import org.apache.spark.sql.functions._
   * events, 5M docs, 2M vectors, ~16 GB parquet) and measure the
   * top-cpu scan-bound representatives whose 100 TB story so far
   * rests on two decades: emb_cka (the board's cpu cost leader,
-  * 3,015 cpu-s at sf10), ann_hybrid_rrf (the ANN family's cpu
-  * leader) + ann_mmr (the capped-tier scan-bound claim), and
-  * dedup_tfidf_cosine (the dedup family's designed-linear row).
+  * 3,015 cpu-s at sf10), ann_lsh (the ANN family's PRODUCTION
+  * serving path — the brute-force eval tiers ann_mmr /
+  * ann_hybrid_rrf are excluded by the capacity rule documented on
+  * [[heavy]]), and dedup_tfidf_cosine (the dedup family's
+  * designed-linear row).
   *
   * Same generation discipline, token prefix e (c → d → e keeps the
   * per-copy renames injective across decades and salts the
@@ -40,13 +42,30 @@ object Sf100Probe {
     * ann_hybrid_rrf's dense ranker) are deliberately NOT here: their
     * per-query top-k sort spills ∝ corpus × queries ≈ 48 GB at sf100,
     * past this box's free disk (measured: the first probe run died
-    * SPILL_OUT_OF_MEMORY on ann_mmr's stage) — the PLANS.md
-    * third-decade table records their extrapolated envelope and the
-    * capacity rule instead, and ann_lsh stands in as the corpus-wide
-    * ANN path that actually runs at this scale.
+    * SPILL_OUT_OF_MEMORY on ann_mmr's stage) — they are measured
+    * under the capacity rule in [[bruteCap]] instead, and ann_lsh
+    * stands in as the corpus-wide ANN path that actually runs at
+    * this scale.
     */
   val heavy: Seq[String] = Seq(
     "emb_cka", "dedup_tfidf_cosine", "ann_lsh")
+
+  /** The brute eval tiers MEASURED under their written capacity rule
+    * (r18 verdict item #2): at sf100 on one box the full ≤1000-query
+    * tier sorts ~2×10⁹ (score, id) pairs ≈ 48 GB of spill (the first
+    * probe died SPILL_OUT_OF_MEMORY), and the rule says cut the
+    * truth tier to ≤100 queries — tierMod 1000 IS that cut, the same
+    * plan verbatim at a 10×-smaller query panel. Both decades run
+    * the capped tier, so the growth exponent is like-for-like.
+    */
+  val bruteCap: Seq[(String, (SparkSession, String) => DataFrame)] =
+    Seq(
+      "ann_mmr[q<=100]" ->
+        ((s: SparkSession, d: String) =>
+          graft.queries.Frontier9.mmrRerank(s, d, tierMod = 1000)),
+      "ann_hybrid_rrf[q<=100]" ->
+        ((s: SparkSession, d: String) =>
+          graft.sim.Similarity.hybridRrf(s, d, k = 10, tierMod = 1000)))
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
@@ -96,13 +115,14 @@ object Sf100Probe {
     }
     println("| query | sf10 wall | sf100 wall | growth exp | sf10 cpu | sf100 cpu |")
     println("|---|---|---|---|---|---|")
-    heavy.filter(n => only.forall(_.contains(n))).foreach { name =>
-      val fn = SparkEntry.queries(name)
-      val (w10, c10) = time(fn(spark, srcDir))
-      val (w100, c100) = time(fn(spark, dstDir))
-      val e = math.log10(w100 / w10)
-      println(f"| $name | $w10%.2f s | $w100%.2f s | $e%.2f | $c10%.1f | $c100%.1f |")
-    }
+    val rows = heavy.map(n => n -> SparkEntry.queries(n)) ++ bruteCap
+    rows.filter { case (n, _) => only.forall(_.contains(n)) }
+      .foreach { case (name, fn) =>
+        val (w10, c10) = time(fn(spark, srcDir))
+        val (w100, c100) = time(fn(spark, dstDir))
+        val e = math.log10(w100 / w10)
+        println(f"| $name | $w10%.2f s | $w100%.2f s | $e%.2f | $c10%.1f | $c100%.1f |")
+      }
     spark.stop()
   }
 }

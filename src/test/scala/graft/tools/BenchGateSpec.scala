@@ -55,4 +55,41 @@ class BenchGateSpec extends AnyFunSuite {
     val fast = anchor.view.mapValues(_ * 0.8).toMap
     assert(promotionAllowed(fast, anchor, 1.05, None))
   }
+
+  // --- pinWalls: the r18 q102_rolling_median noise pin, generalized.
+  // One noisy sample raised a 0.60 s pin to 1.22 s inside an
+  // otherwise-clean promoted run; the per-key rule must hold such a
+  // key at its prior pin while letting speedups and in-noise moves
+  // through, and an adjudication note must disable holding.
+
+  test("pinWalls holds a >1.5x single-sample rise at the prior pin") {
+    val prior = Map("q102" -> 0.60, "q1" -> 2.00)
+    val cand = Map("q102" -> 1.22, "q1" -> 2.05)
+    val (walls, held) = pinWalls(cand, prior, 1.5, 0.5, None)
+    assert(held == Seq("q102"))
+    assert(walls("q102") == 0.60, "the noisy rise must not enter the pin")
+    assert(walls("q1") == 2.05, "an in-noise move pins normally")
+  }
+
+  test("pinWalls lets speedups and sub-threshold rises through") {
+    val prior = Map("a" -> 1.0, "b" -> 1.0, "c" -> 0.2)
+    // a: faster; b: +40% (< 1.5x); c: 2x but only +0.2s (< minAbs)
+    val cand = Map("a" -> 0.7, "b" -> 1.4, "c" -> 0.4)
+    val (walls, held) = pinWalls(cand, prior, 1.5, 0.5, None)
+    assert(held.isEmpty)
+    assert(walls == cand)
+  }
+
+  test("pinWalls: new keys (no prior) always pin; adjudication disables holds") {
+    val prior = Map("a" -> 1.0)
+    val cand = Map("a" -> 5.0, "new" -> 9.9)
+    val (w1, h1) = pinWalls(cand, prior, 1.5, 0.5, None)
+    assert(h1 == Seq("a") && w1("a") == 1.0 && w1("new") == 9.9)
+    val (w2, h2) = pinWalls(cand, prior, 1.5, 0.5,
+      Some("q-a plan now does 5x the work, accepted per PLANS.md"))
+    assert(h2.isEmpty && w2 == cand,
+      "an adjudicated promotion pins the measured walls verbatim")
+    val (_, h3) = pinWalls(cand, prior, 1.5, 0.5, Some("  "))
+    assert(h3 == Seq("a"), "a blank note is not an adjudication")
+  }
 }
