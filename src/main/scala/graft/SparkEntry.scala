@@ -32,7 +32,8 @@ object SparkEntry {
       graft.queries.Frontier6.queries ++ graft.queries.Frontier7.queries ++
       graft.queries.LlmFrontier.queries ++ graft.queries.Frontier8.queries ++
       graft.queries.LlmFrontier2.queries ++ graft.queries.Frontier9.queries ++
-      graft.queries.Frontier10.queries ++ graft.queries.Frontier11.queries
+      graft.queries.Frontier10.queries ++ graft.queries.Frontier11.queries ++
+      graft.queries.Frontier12.queries
 
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Analytics.oracles ++ LogOps.oracles ++
@@ -46,5 +47,6 @@ object SparkEntry {
       graft.queries.Frontier6.oracles ++ graft.queries.Frontier7.oracles ++
       graft.queries.LlmFrontier.oracles ++ graft.queries.Frontier8.oracles ++
       graft.queries.LlmFrontier2.oracles ++ graft.queries.Frontier9.oracles ++
-      graft.queries.Frontier10.oracles ++ graft.queries.Frontier11.oracles
+      graft.queries.Frontier10.oracles ++ graft.queries.Frontier11.oracles ++
+      graft.queries.Frontier12.oracles
 }

@@ -40,6 +40,10 @@ object Verify {
         .config("spark.executor.extraClassPath",
           jar + java.io.File.pathSeparator + "/opt/spark/jars/*")
         .config("spark.executor.extraJavaOptions", addOpens)
+        // local-cluster grants executors spark.executor.memory (1g
+        // default), NOT the worker size from the master string —
+        // size it to the worker so the gate isn't memory-starved
+        .config("spark.executor.memory", "4g")
     }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -1,0 +1,678 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{Q, ScratchDir, Tables}
+
+/** Round-19 frontier: the two streaming-surface residues the r18
+  * verdict named as the remaining §2b-adjacent gaps —
+  *
+  *   - q234_watermark_drop_ivm: the drop-late-data audit. Every
+  *     prior streaming parity row stages arrival in EVENT-TIME order
+  *     precisely so the watermark drops nothing; this row does the
+  *     opposite on purpose: a deterministic "straggler shard" replay
+  *     (md5-selected rows arrive two micro-batches late) makes the
+  *     runtime actually DROP late contributions, and the DuckDB
+  *     oracle replays Spark's exact micro-batch watermark semantics.
+  *     MEASURED finding (tools/WmProbe.scala, Spark 4.1.2): a
+  *     stateful operator runs each batch with TWO watermark values —
+  *     EVICTION uses V(k-1) (the running-max event time over batches
+  *     <= k-1, ms-floored, minus the delay) but the LATE-EVENTS
+  *     filter lags one further batch, using V(k-2). The lag is load-
+  *     bearing, not a quirk: "window not yet evicted at batch k-1"
+  *     is exactly "end > V(k-2)", so the lagged filter admits a late
+  *     row iff its window's state is provably still live — merge or
+  *     drop, never double-emit. A one-batch-late straggler therefore
+  *     NEVER drops (the probe showed it merging into live state and
+  *     emitting in the same batch); drops require >= 2 batches of
+  *     lateness. Oracle rule: batch-k contribution to window W is
+  *     dropped iff W.end <= V(k-2); the hash match certifies the
+  *     drop RULE itself, not just the no-drop happy path (pairs with
+  *     q124's batch out-of-order audit, which measures lateness but
+  *     never exercises the runtime's gate);
+  *   - q235_right_outer_interval_ivm: the RIGHT OUTER stream-stream
+  *     interval join — the mirror of q228 with the PRESERVED side
+  *     flipped: an orphan purchase (no click in the preceding 30 min)
+  *     emits null-joined only when the watermark expires it from the
+  *     right side's join state, the state class q228's left-outer
+  *     replay cannot touch;
+  *   - q236_full_outer_interval_ivm: the FULL OUTER completion — the
+  *     only join mode where BOTH sides' state classes emit null rows
+  *     in one query (unmatched clicks on left-state expiry AND
+  *     orphan purchases on right-state expiry).
+  *
+  * Plus the round's batch-analytics additions (house disciplines:
+  * exact integer/decimal domains until one final IEEE assembly,
+  * span- or value-domain-bounded frames, never corpus-sized windows):
+  *
+  *   - q237_hodges_lehmann: the HL shift estimator between every
+  *     pair of event types' daily revenue — the point estimate that
+  *     accompanies a Mann–Whitney verdict (q171 gives significance,
+  *     this gives the magnitude, robustly);
+  *   - q238_kpss: KPSS level-stationarity statistic per type's daily
+  *     series — the complement of q208's ADF (ADF's null is unit
+  *     root, KPSS's null is stationarity; the pair brackets the
+  *     verdict), with a Bartlett-kernel long-run variance kept
+  *     exact-integer by multiplying through by (q+1);
+  *   - q239_cliffs_delta: Cliff's δ ordinal effect size between
+  *     URGENT and LOW order prices — the magnitude readout for the
+  *     q171 rank test, exact from the same count-table frame;
+  *   - q240_page_trend: Page's L test for an ordered weekly revenue
+  *     pattern (Mon≤…≤Sun) across complete calendar weeks — the
+  *     ordered-alternative twin of q183's Friedman.
+  *
+  * Reference note: the reference engine (`/root/reference/`, a Go
+  * stdin→Kinesis log forwarder — SURVEY.md §1) has no event-time
+  * runtime at all; these are §2b extension rows for the analytics
+  * consumers build over the streams it ships.
+  */
+object Frontier12 {
+
+  // epoch-pinned far-future sentinels (q185's values)
+  private val Sentinel1Ms = 1748736000000L
+  private val Sentinel2Ms = 1748822400000L
+
+  def queries: Map[String, Q] = Map(
+
+    // Staging: event-time thirds by the house integer cut (lo +
+    // (hi-lo)/3), then rows whose md5(event_id) opens with '0' (a
+    // deterministic ~1/16 "straggler shard") shift TWO batches later
+    // — batch = third + 2·straggler ∈ {0,1,2,3,4}. Two, not one,
+    // because of the measured late-filter lag (header): at batch k
+    // the late gate is V(k-2), so a third-k straggler arriving at
+    // k+2 faces V(k) — the watermark its OWN third advanced — and
+    // every third-k window except the cut-boundary day's is below
+    // it. Real drops occur in every third, and their exact set is
+    // pure integer arithmetic both engines replay.
+    // Exactness: values ride as exact cents-in-double (q233's
+    // discipline) so the surviving window sums fold associatively;
+    // batch cuts, the ms-floored watermark, and epoch-aligned window
+    // bounds are all integer µs.
+    "q234_watermark_drop_ivm" -> ((s, d) => {
+      import s.implicits._
+      val ev = Tables.load(s, d, "events")
+        .select($"event_type", $"ts", $"event_id",
+          round($"value" * 100).cast("long").cast("double").as("value"),
+          unix_micros($"ts").as("us"))
+      val mm = ev.agg(min($"us"), max($"us")).first
+      val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+      val t1 = lo + (hi - lo) / 3L
+      val t2 = lo + (2L * (hi - lo)) / 3L
+      val root = ScratchDir.path(s"wmdrop_ivm_${Replay.run()}")
+      val batched = ev.withColumn("batch",
+        (when($"us" <= t1, 0L).when($"us" <= t2, 1L).otherwise(2L)) +
+          when(substring(md5($"event_id".cast("string")), 1, 1) === "0",
+            2L).otherwise(0L))
+      val cols = Seq($"event_type", $"ts", $"value")
+      def sentinel(ms: Long): DataFrame = s.range(1)
+        .select(lit("drain").as("event_type"),
+          timestamp_millis(lit(ms)).as("ts"), lit(0.0).as("value"))
+      val staged = Replay.stageBatches(root,
+        (0L to 4L).map(k =>
+          batched.filter($"batch" === k).select(cols: _*)) ++
+          Seq(sentinel(Sentinel1Ms), sentinel(Sentinel2Ms)))
+      Replay.withRocksDb(s) {
+        val src = s.readStream
+          .schema("event_type STRING, ts TIMESTAMP, value DOUBLE")
+          .option("maxFilesPerTrigger", "1").parquet(staged)
+        val q = graft.streaming.StreamOps
+          .tumblingCounts(src, "ts", "1 day", "1 hour",
+            Seq("event_type"))
+          .writeStream.format("parquet")
+          .option("path", s"$root/out")
+          .option("checkpointLocation", s"$root/ckpt")
+          .outputMode("append")
+          .start()
+        Replay.drainStagedReplay(q, nFiles = 7)
+      }
+      s.read.schema("window STRUCT<start: TIMESTAMP, end: TIMESTAMP>, " +
+          "event_type STRING, n BIGINT, sum_value DOUBLE")
+        .parquet(s"$root/out")
+        .filter($"event_type" =!= "drain")
+        .select($"event_type",
+          unix_micros($"window.start").as("w_start_us"),
+          $"n", $"sum_value")
+        .orderBy($"event_type", $"w_start_us")
+    }),
+
+    // Identical staging to q228 (event-time thirds + sentinels per
+    // stream, so the replay itself loses nothing and the hash
+    // isolates the OUTER-side semantics): clicks and purchases join
+    // on user within [click_ts, click_ts + 30 min], right outer.
+    "q235_right_outer_interval_ivm" -> ((s, d) => {
+      import s.implicits._
+      val ev = Tables.load(s, d, "events")
+        .select($"user_id", $"ts", $"event_id", $"value",
+          $"event_type", unix_micros($"ts").as("us"))
+      val mm = ev.agg(min($"us"), max($"us")).first
+      val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+      val t1 = lo + (hi - lo) / 3L
+      val t2 = lo + (2L * (hi - lo)) / 3L
+      val root = ScratchDir.path(s"rojoin_ivm_${Replay.run()}")
+      def thirds(df: DataFrame): Seq[DataFrame] = Seq(
+        df.filter($"us" <= t1), df.filter($"us" > t1 && $"us" <= t2),
+        df.filter($"us" > t2))
+      def cSentinel(ms: Long): DataFrame = s.range(1)
+        .select(lit(-1L).as("user_id"),
+          timestamp_millis(lit(ms)).as("ts"), lit(-1L).as("event_id"))
+      def pSentinel(ms: Long): DataFrame = s.range(1)
+        .select(lit(-1L).as("user_id"),
+          timestamp_millis(lit(ms)).as("ts"), lit(-1L).as("event_id"),
+          lit(0.0).as("value"))
+      val cStage = Replay.stageBatches(s"$root/clicks", thirds(
+        ev.filter($"event_type" === "click")
+          .select($"user_id", $"ts", $"event_id")) ++
+        Seq(cSentinel(Sentinel1Ms), cSentinel(Sentinel2Ms)))
+      val pStage = Replay.stageBatches(s"$root/purchases", thirds(
+        ev.filter($"event_type" === "purchase")
+          .select($"user_id", $"ts", $"event_id", $"value")) ++
+        Seq(pSentinel(Sentinel1Ms), pSentinel(Sentinel2Ms)))
+      Replay.withRocksDb(s) {
+        val clicks = s.readStream
+          .schema("user_id BIGINT, ts TIMESTAMP, event_id BIGINT")
+          .option("maxFilesPerTrigger", "1").parquet(cStage)
+        val purchases = s.readStream
+          .schema("user_id BIGINT, ts TIMESTAMP, event_id BIGINT, " +
+            "value DOUBLE")
+          .option("maxFilesPerTrigger", "1").parquet(pStage)
+        val q = graft.streaming.StreamOps
+          .intervalJoinRightOuterStream(clicks, purchases)
+          .writeStream.format("parquet")
+          .option("path", s"$root/out")
+          .option("checkpointLocation", s"$root/ckpt")
+          .outputMode("append")
+          .start()
+        Replay.drainStagedReplay(q, nFiles = 5)
+      }
+      s.read.schema("user_id BIGINT, purchase_id BIGINT, " +
+          "purchase_ts TIMESTAMP, click_id BIGINT, " +
+          "click_ts TIMESTAMP, value DOUBLE")
+        .parquet(s"$root/out")
+        .filter($"user_id" >= 0L)
+        .select($"user_id", $"purchase_id", $"purchase_ts",
+          $"click_id", $"click_ts", $"value")
+        .orderBy($"purchase_id", $"click_id")
+    }),
+
+    // FULL OUTER interval join — q228 + q235's staging verbatim, so
+    // the hash isolates the one new semantic: BOTH unmatched sides
+    // null-emit (clicks on LEFT-state watermark expiry, purchases on
+    // RIGHT-state expiry) in a single query. Sentinel rows on either
+    // stream can only null-join or join each other; both carry
+    // user -1 and are filtered.
+    "q236_full_outer_interval_ivm" -> ((s, d) => {
+      import s.implicits._
+      val ev = Tables.load(s, d, "events")
+        .select($"user_id", $"ts", $"event_id", $"value",
+          $"event_type", unix_micros($"ts").as("us"))
+      val mm = ev.agg(min($"us"), max($"us")).first
+      val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+      val t1 = lo + (hi - lo) / 3L
+      val t2 = lo + (2L * (hi - lo)) / 3L
+      val root = ScratchDir.path(s"fojoin_ivm_${Replay.run()}")
+      def thirds(df: DataFrame): Seq[DataFrame] = Seq(
+        df.filter($"us" <= t1), df.filter($"us" > t1 && $"us" <= t2),
+        df.filter($"us" > t2))
+      def cSentinel(ms: Long): DataFrame = s.range(1)
+        .select(lit(-1L).as("user_id"),
+          timestamp_millis(lit(ms)).as("ts"), lit(-1L).as("event_id"))
+      def pSentinel(ms: Long): DataFrame = s.range(1)
+        .select(lit(-1L).as("user_id"),
+          timestamp_millis(lit(ms)).as("ts"), lit(-1L).as("event_id"),
+          lit(0.0).as("value"))
+      val cStage = Replay.stageBatches(s"$root/clicks", thirds(
+        ev.filter($"event_type" === "click")
+          .select($"user_id", $"ts", $"event_id")) ++
+        Seq(cSentinel(Sentinel1Ms), cSentinel(Sentinel2Ms)))
+      val pStage = Replay.stageBatches(s"$root/purchases", thirds(
+        ev.filter($"event_type" === "purchase")
+          .select($"user_id", $"ts", $"event_id", $"value")) ++
+        Seq(pSentinel(Sentinel1Ms), pSentinel(Sentinel2Ms)))
+      Replay.withRocksDb(s) {
+        val clicks = s.readStream
+          .schema("user_id BIGINT, ts TIMESTAMP, event_id BIGINT")
+          .option("maxFilesPerTrigger", "1").parquet(cStage)
+        val purchases = s.readStream
+          .schema("user_id BIGINT, ts TIMESTAMP, event_id BIGINT, " +
+            "value DOUBLE")
+          .option("maxFilesPerTrigger", "1").parquet(pStage)
+        val q = graft.streaming.StreamOps
+          .intervalJoinFullOuterStream(clicks, purchases)
+          .writeStream.format("parquet")
+          .option("path", s"$root/out")
+          .option("checkpointLocation", s"$root/ckpt")
+          .outputMode("append")
+          .start()
+        Replay.drainStagedReplay(q, nFiles = 5)
+      }
+      s.read.schema("user_id BIGINT, click_id BIGINT, " +
+          "click_ts TIMESTAMP, purchase_id BIGINT, " +
+          "purchase_ts TIMESTAMP, value DOUBLE")
+        .parquet(s"$root/out")
+        .filter($"user_id" >= 0L)
+        .select($"user_id", $"click_id", $"click_ts",
+          $"purchase_id", $"purchase_ts", $"value")
+    }),
+
+    // Hodges–Lehmann shift between every PAIR of event types' daily
+    // revenue: the median of all cross-pair differences aᵢ − bⱼ —
+    // the robust "how much bigger" companion to q171's Mann–Whitney
+    // "is it bigger". Frame: the day-span-bounded daily rollup
+    // (≈30·|types| rows, corpus-independent after the scan), paired
+    // via an explicit broadcast of the same tiny frame — a
+    // deliberate, bounded nested-loop (days² × type-pairs ≈ 9k rows
+    // at ANY corpus size; the guard-suite ban targets corpus-sized
+    // all-pairs, not calendar-bounded ones). The 2×-median integer
+    // (d₍⌈m/2⌉₎ + d₍⌊m/2⌋₊₁₎) keeps the even-m midpoint exact; the
+    // single /2.0 publish is an exact IEEE halving (.0 or .5).
+    "q237_hodges_lehmann" -> ((s, d) => {
+      import s.implicits._
+      val daily = Tables.load(s, d, "events")
+        .select($"event_type", to_date($"ts").as("day"),
+          round($"value" * 100).cast("long").as("cents"))
+        .groupBy($"event_type", $"day").agg(sum($"cents").as("v"))
+      val a = daily.select($"event_type".as("ta"), $"v".as("va"))
+      val b = daily.select($"event_type".as("tb"), $"v".as("vb"))
+      val diffs = a.join(broadcast(b), $"ta" < $"tb")
+        .select($"ta", $"tb", ($"va" - $"vb").as("dd"))
+      val w = Window.partitionBy($"ta", $"tb").orderBy($"dd")
+      val wn = Window.partitionBy($"ta", $"tb")
+      diffs
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("m", count(lit(1)).over(wn).cast("long"))
+        // Spark `/` on longs is DOUBLE division — cast back to long
+        // (floor for these positives) or the even-m lower-middle
+        // rank (m+1)/2 = x.5 matches nothing and the midpoint
+        // degrades to 2× the upper middle
+        .filter($"rn" === (($"m" + 1L) / 2L).cast("long") ||
+          $"rn" === (($"m" + 2L) / 2L).cast("long"))
+        .groupBy($"ta", $"tb")
+        .agg(first($"m").as("n_pairs"),
+          sum($"dd").as("sd"), count(lit(1)).as("npick"))
+        .select($"ta", $"tb", $"n_pairs",
+          (when($"npick" === 1L, $"sd" * 2L).otherwise($"sd"))
+            .as("hl_x2_cents"),
+          ((when($"npick" === 1L, $"sd" * 2L).otherwise($"sd"))
+            .cast("double") / 2.0).as("hl_cents"))
+        .orderBy($"ta", $"tb")
+    }),
+
+    // KPSS level-stationarity statistic per event type's daily-cents
+    // series — the null-reversed complement of q208's ADF (ADF null:
+    // unit root; KPSS null: stationary; running both brackets the
+    // verdict). All-integer until one division: with the scaled
+    // residual E_t = n·x_t − Σx (exact decimal — no 1/n mean), the
+    // partial sums S̃_t prefix-accumulate exactly (S̃_n = 0 by
+    // construction), Σ S̃² stays decimal(38,0) (≈3e31 at sf100-scale
+    // daily sums — headroom to 10⁶× that), the Bartlett long-run
+    // variance multiplies through by (q+1) so the kernel weights
+    // (q+1−j)/(q+1) never materialize as doubles, and
+    //   η = (q+1)·ΣS̃² / (n · [(q+1)Γ₀ + 2Σ(q+1−j)Γⱼ])
+    // is ONE IEEE division. Γⱼ rides an equality-keyed lag self-join
+    // bounded by n·(q+1) pairs; the Schwert lag q = ⌊4(n/100)^¼⌋ is
+    // evaluated as the INTEGER condition 100·k⁴ ≤ 256·n (identical
+    // on both engines — no cross-engine pow at the floor boundary).
+    "q238_kpss" -> ((s, d) => {
+      import s.implicits._
+      val dec = "decimal(38,0)"
+      val daily = Tables.load(s, d, "events")
+        .select($"event_type", to_date($"ts").as("day"),
+          round($"value" * 100).cast("long").as("cents"))
+        .groupBy($"event_type", $"day").agg(sum($"cents").as("v"))
+      val w = Window.partitionBy($"event_type").orderBy($"day")
+      val idx = daily
+        .withColumn("t", row_number().over(w).cast("long"))
+      val tot = idx.groupBy($"event_type")
+        .agg(count(lit(1)).as("n"), sum($"v").as("sv"))
+        .withColumn("q",
+          when(lit(100L) * 4096L <= lit(256L) * $"n", 8L)
+            .when(lit(100L) * 2401L <= lit(256L) * $"n", 7L)
+            .when(lit(100L) * 1296L <= lit(256L) * $"n", 6L)
+            .when(lit(100L) * 625L <= lit(256L) * $"n", 5L)
+            .when(lit(100L) * 256L <= lit(256L) * $"n", 4L)
+            .when(lit(100L) * 81L <= lit(256L) * $"n", 3L)
+            .when(lit(100L) * 16L <= lit(256L) * $"n", 2L)
+            .when(lit(100L) * 1L <= lit(256L) * $"n", 1L)
+            .otherwise(0L))
+      val e = idx.join(broadcast(tot), Seq("event_type"))
+        .select($"event_type", $"t", $"n", $"q",
+          ($"v".cast(dec) * $"n".cast(dec) - $"sv".cast(dec))
+            .cast(dec).as("ee"))
+      val ws = Window.partitionBy($"event_type").orderBy($"t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val aSum = e
+        .withColumn("st", sum($"ee").over(ws).cast(dec))
+        .groupBy($"event_type")
+        .agg(sum(($"st" * $"st").cast(dec)).as("a2"))
+      val gam = e.as("x").join(e.as("y"),
+          $"x.event_type" === $"y.event_type" &&
+            $"x.t" >= $"y.t" && $"x.t" - $"y.t" <= $"x.q")
+        .groupBy($"x.event_type".as("event_type"),
+          ($"x.t" - $"y.t").as("j"))
+        .agg(first($"x.q").as("q"), first($"x.n").as("n"),
+          sum(($"x.ee" * $"y.ee").cast(dec)).as("g"))
+      val den = gam.groupBy($"event_type")
+        .agg(first($"q").as("q"), first($"n").as("n"),
+          sum(when($"j" === 0L, ($"q" + 1).cast(dec) * $"g")
+            .otherwise(lit(2).cast(dec) * ($"q" + 1 - $"j") * $"g"))
+            .cast(dec).as("dd"))
+      aSum.join(den, Seq("event_type"))
+        .select($"event_type", $"n".cast("long").as("n_days"),
+          $"q".cast("long").as("lag_q"),
+          Tables.nz(round(
+            when($"dd" <= 0, lit(null).cast("double"))
+              .otherwise(
+                (($"q" + 1).cast(dec) * $"a2").cast("double") /
+                ($"n".cast(dec) * $"dd").cast("double")), 6))
+            .as("kpss_stat"))
+        .orderBy($"event_type")
+    }),
+
+    // Cliff's δ between URGENT and LOW order prices — the ordinal
+    // effect size on q171's exact count-table frame: δ = (#(x>y) −
+    // #(x<y)) / (n₁·n₂), assembled from one PrefixSum over DISTINCT
+    // cents (value-domain-bounded, never an all-pairs join): a value
+    // cell with k₁ URGENT and cum₂ LOW-at-or-below contributes
+    // k₁·(cum₂−k₂) greater-pairs and k₁·(n₂−cum₂) lesser-pairs.
+    // Counts stay decimal(38,0) (n₁·n₂ overflows long at ~10¹⁰ rows
+    // per group); δ is one double division.
+    "q239_cliffs_delta" -> ((s, d) => {
+      import s.implicits._
+      val dec = "decimal(38,0)"
+      val o = Tables.load(s, d, "orders")
+        .filter($"o_orderpriority".isin("1-URGENT", "5-LOW"))
+        .select(round($"o_totalprice" * 100).cast("long").as("cents"),
+          ($"o_orderpriority" === "1-URGENT").as("isa"))
+      val byVal = o.groupBy($"cents")
+        .agg(sum(when($"isa", 1L).otherwise(0L)).as("k1"),
+          sum(when($"isa", 0L).otherwise(1L)).as("k2"))
+      val cum = graft.ops.PrefixSum.runningTotal(byVal,
+        Seq($"cents"), $"k2", "cum2")
+      cum.agg(
+          sum($"k1").cast(dec).as("n1d"),
+          sum($"k2").cast(dec).as("n2d"),
+          sum(($"k1".cast(dec) * $"cum2").cast(dec)).as("skc"),
+          sum(($"k1".cast(dec) * $"k2").cast(dec)).as("skk"))
+        .withColumn("gt", ($"skc" - $"skk").cast(dec))
+        .withColumn("lt", ($"n1d" * $"n2d" - $"skc").cast(dec))
+        .select($"n1d".cast("long").as("n1"),
+          $"n2d".cast("long").as("n2"),
+          Tables.nz(round(
+            when($"n1d" === 0 || $"n2d" === 0,
+              lit(null).cast("double"))
+              .otherwise(($"gt" - $"lt").cast("double") /
+                ($"n1d" * $"n2d").cast("double")), 6))
+            .as("cliffs_delta"))
+    }),
+
+    // Page's L test for an ORDERED weekly pattern (Mon ≤ … ≤ Sun in
+    // total daily revenue) across complete calendar weeks — the
+    // ordered-alternative companion of q183's Friedman (Friedman:
+    // "any weekday differs"; Page: "they INCREASE across the week").
+    // Calendar math is pure integers (epoch-day + 3 mod/div 7 —
+    // 1970-01-01 was a Thursday — so no cross-engine ISO-week or
+    // dow-origin trap); blocks are weeks with all 7 days present;
+    // within-block average ranks ride the ×2-integer idiom via a
+    // 7×7 block self-join (49 pairs per block, span-bounded). L is
+    // exact via L2 = 2L; z assembles once in doubles from the
+    // classical no-tie moments (ties in daily cents sums are
+    // measure-zero; the rank2 handling keeps them deterministic).
+    "q240_page_trend" -> ((s, d) => {
+      import s.implicits._
+      val daily = Tables.load(s, d, "events")
+        .select(to_date($"ts").as("day"),
+          round($"value" * 100).cast("long").as("cents"))
+        .groupBy($"day").agg(sum($"cents").as("v"))
+        .withColumn("ed",
+          datediff($"day", lit("1970-01-01")).cast("long"))
+        .withColumn("blk", (($"ed" + 3L) / 7L).cast("long"))
+        .withColumn("j", (($"ed" + 3L) % 7L + 1L).cast("long"))
+      val complete = daily.groupBy($"blk")
+        .agg(count(lit(1)).as("ndays")).filter($"ndays" === 7L)
+        .select($"blk")
+      val wk = daily.join(complete, Seq("blk"))
+      val ranked = wk.as("x").join(wk.as("y"), $"x.blk" === $"y.blk")
+        .groupBy($"x.blk".as("blk"), $"x.j".as("j"))
+        .agg((lit(2L) * sum(when($"y.v" < $"x.v", 1L).otherwise(0L)) +
+          sum(when($"y.v" === $"x.v", 1L).otherwise(0L)) + 1L)
+          .as("rank2"))
+      ranked.agg(
+          (count(lit(1)) / 7L).cast("long").as("b"),
+          sum($"j" * $"rank2").as("l2"))
+        .select($"b".as("n_blocks"), $"l2".as("l_x2"),
+          Tables.nz(round(
+            when($"b" === 0L, lit(null).cast("double"))
+              .otherwise(
+                (lit(6L) * $"l2" - lit(3L) * $"b" * 7L * 64L)
+                  .cast("double") /
+                (lit(56.0) * sqrt((lit(6L) * $"b").cast("double")))),
+            4)).as("z_stat"))
+    }))
+
+  def oracles: Map[String, String] = Map(
+
+    // Spark's micro-batch LATE-EVENTS watermark replayed in SQL:
+    // batch = house third cut + 2·md5-straggler shift; the late gate
+    // for batch k is V(k-2) — the running max of batch maxes over
+    // batches <= k-2 (one batch STALER than the eviction watermark;
+    // the measured lag, see the Scala-side header), ms-floored,
+    // minus 1 h; a contribution is dropped iff its epoch-aligned
+    // day-window end <= that gate (LessThanOrEqual, as the runtime's
+    // WatermarkSupport builds it). Survivors aggregate exactly like
+    // the batch rollup — eviction timing never changes WHAT is
+    // emitted, only WHEN, and the sentinels flush everything.
+    "q234_watermark_drop_ivm" ->
+      """WITH e AS (
+           SELECT event_type, epoch_us(ts) AS us,
+             CAST(round(value * 100) AS DOUBLE) AS v,
+             CASE WHEN substr(md5(CAST(event_id AS VARCHAR)), 1, 1)
+               = '0' THEN 2 ELSE 0 END AS straggler
+           FROM events),
+         mm AS (SELECT min(us) AS lo, max(us) AS hi FROM e),
+         b AS (
+           SELECT event_type, us, v,
+             (CASE WHEN us <= lo + (hi - lo) // 3 THEN 0
+                   WHEN us <= lo + (2 * (hi - lo)) // 3 THEN 1
+                   ELSE 2 END) + straggler AS batch
+           FROM e, mm),
+         bmax AS (
+           SELECT batch, max(us) AS mx FROM b GROUP BY batch),
+         wm AS (
+           -- RANGE, not ROWS: an empty staged batch still consumes a
+           -- batch index in the runtime but has no bmax row, and a
+           -- ROWS frame would misalign the lag past it
+           SELECT batch,
+             (max(mx) OVER (ORDER BY batch
+                RANGE BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING)
+               // 1000 - 3600000) * 1000 AS wm_us
+           FROM bmax),
+         kept AS (
+           SELECT b.event_type,
+             (b.us // 86400000000) * 86400000000 AS w_start_us,
+             b.v
+           FROM b JOIN wm ON b.batch = wm.batch
+           WHERE wm.wm_us IS NULL
+             OR (b.us // 86400000000 + 1) * 86400000000 > wm.wm_us)
+         SELECT event_type, w_start_us,
+           CAST(count(*) AS BIGINT) AS n,
+           sum(v) AS sum_value
+         FROM kept
+         GROUP BY event_type, w_start_us
+         ORDER BY event_type, w_start_us""",
+
+    // batch right-outer interval join (expressed purchase-side LEFT
+    // so the preserved side is explicit)
+    "q235_right_outer_interval_ivm" ->
+      """SELECT p.user_id, p.event_id AS purchase_id,
+           p.ts AS purchase_ts, c.event_id AS click_id,
+           c.ts AS click_ts, p.value
+         FROM events p LEFT JOIN events c
+           ON c.user_id = p.user_id AND c.event_type = 'click'
+           AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+         WHERE p.event_type = 'purchase'
+         ORDER BY purchase_id, click_id""",
+
+    // batch full-outer interval join between the click and purchase
+    // subsets
+    "q236_full_outer_interval_ivm" ->
+      """SELECT coalesce(c.user_id, p.user_id) AS user_id,
+           c.event_id AS click_id, c.ts AS click_ts,
+           p.event_id AS purchase_id, p.ts AS purchase_ts, p.value
+         FROM (SELECT user_id, event_id, ts FROM events
+               WHERE event_type = 'click') c
+         FULL JOIN (SELECT user_id, event_id, ts, value FROM events
+               WHERE event_type = 'purchase') p
+           ON c.user_id = p.user_id AND p.ts >= c.ts
+           AND p.ts <= c.ts + INTERVAL 30 MINUTE""",
+
+    "q237_hodges_lehmann" ->
+      """WITH daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS v
+           FROM events GROUP BY 1, 2),
+         d AS (
+           SELECT a.event_type AS ta, b.event_type AS tb,
+             a.v - b.v AS dd
+           FROM daily a JOIN daily b
+             ON a.event_type < b.event_type),
+         r AS (
+           SELECT ta, tb, dd,
+             CAST(row_number() OVER (PARTITION BY ta, tb
+               ORDER BY dd) AS BIGINT) AS rn,
+             CAST(count(*) OVER (PARTITION BY ta, tb) AS BIGINT) AS m
+           FROM d),
+         p AS (
+           SELECT ta, tb, m, dd FROM r
+           WHERE rn = (m + 1) // 2 OR rn = (m + 2) // 2)
+         SELECT ta, tb, CAST(max(m) AS BIGINT) AS n_pairs,
+           CAST(CASE WHEN count(*) = 1 THEN 2 * sum(dd)
+             ELSE sum(dd) END AS BIGINT) AS hl_x2_cents,
+           CAST(CASE WHEN count(*) = 1 THEN 2 * sum(dd)
+             ELSE sum(dd) END AS DOUBLE) / 2.0 AS hl_cents
+         FROM p GROUP BY ta, tb ORDER BY ta, tb""",
+
+    "q238_kpss" ->
+      """WITH daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS v
+           FROM events GROUP BY 1, 2),
+         idx AS (
+           SELECT event_type, v,
+             CAST(row_number() OVER (PARTITION BY event_type
+               ORDER BY day) AS BIGINT) AS t
+           FROM daily),
+         tot AS (
+           SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(v) AS HUGEINT) AS sv
+           FROM idx GROUP BY 1),
+         qv AS (
+           SELECT event_type, n, sv,
+             CASE WHEN 100 * 4096 <= 256 * n THEN 8
+                  WHEN 100 * 2401 <= 256 * n THEN 7
+                  WHEN 100 * 1296 <= 256 * n THEN 6
+                  WHEN 100 * 625 <= 256 * n THEN 5
+                  WHEN 100 * 256 <= 256 * n THEN 4
+                  WHEN 100 * 81 <= 256 * n THEN 3
+                  WHEN 100 * 16 <= 256 * n THEN 2
+                  WHEN 100 * 1 <= 256 * n THEN 1
+                  ELSE 0 END AS q
+           FROM tot),
+         e AS (
+           SELECT i.event_type, i.t, qv.n, qv.q,
+             CAST(i.v AS HUGEINT) * qv.n - qv.sv AS ee
+           FROM idx i JOIN qv ON i.event_type = qv.event_type),
+         s AS (
+           SELECT event_type,
+             sum(ee) OVER (PARTITION BY event_type ORDER BY t
+               ROWS UNBOUNDED PRECEDING) AS st
+           FROM e),
+         a AS (
+           SELECT event_type, sum(st * st) AS a2 FROM s GROUP BY 1),
+         g AS (
+           SELECT x.event_type, x.t - y.t AS j, max(x.q) AS q,
+             max(x.n) AS n, sum(x.ee * y.ee) AS g
+           FROM e x JOIN e y
+             ON x.event_type = y.event_type AND x.t >= y.t
+             AND x.t - y.t <= x.q
+           GROUP BY 1, 2),
+         den AS (
+           SELECT event_type, max(q) AS q, max(n) AS n,
+             sum(CASE WHEN j = 0 THEN (q + 1) * g
+               ELSE 2 * (q + 1 - j) * g END) AS dd
+           FROM g GROUP BY 1)
+         SELECT a.event_type, CAST(den.n AS BIGINT) AS n_days,
+           CAST(den.q AS BIGINT) AS lag_q,
+           round(CASE WHEN dd <= 0 THEN NULL
+             ELSE CAST((den.q + 1) * a2 AS DOUBLE) /
+               CAST(den.n * dd AS DOUBLE) END, 6) + 0.0 AS kpss_stat
+         FROM a JOIN den ON a.event_type = den.event_type
+         ORDER BY a.event_type""",
+
+    "q239_cliffs_delta" ->
+      """WITH o AS (
+           SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             o_orderpriority = '1-URGENT' AS isa
+           FROM orders
+           WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+         bv AS (
+           SELECT cents,
+             CAST(sum(CASE WHEN isa THEN 1 ELSE 0 END) AS BIGINT)
+               AS k1,
+             CAST(sum(CASE WHEN isa THEN 0 ELSE 1 END) AS BIGINT)
+               AS k2
+           FROM o GROUP BY 1),
+         c AS (
+           SELECT k1, k2,
+             CAST(sum(k2) OVER (ORDER BY cents
+               ROWS UNBOUNDED PRECEDING) AS HUGEINT) AS cum2
+           FROM bv),
+         agg AS (
+           SELECT CAST(sum(k1) AS HUGEINT) AS n1d,
+             CAST(sum(k2) AS HUGEINT) AS n2d,
+             sum(CAST(k1 AS HUGEINT) * cum2) AS skc,
+             sum(CAST(k1 AS HUGEINT) * k2) AS skk
+           FROM c)
+         SELECT CAST(n1d AS BIGINT) AS n1, CAST(n2d AS BIGINT) AS n2,
+           round(CASE WHEN n1d = 0 OR n2d = 0 THEN NULL
+             ELSE CAST((skc - skk) - (n1d * n2d - skc) AS DOUBLE) /
+               CAST(n1d * n2d AS DOUBLE) END, 6) + 0.0
+             AS cliffs_delta
+         FROM agg""",
+
+    "q240_page_trend" ->
+      """WITH daily AS (
+           SELECT CAST(ts AS DATE) AS day,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS v
+           FROM events GROUP BY 1),
+         dd AS (
+           SELECT v, CAST(day - DATE '1970-01-01' AS BIGINT) AS ed
+           FROM daily),
+         wk AS (
+           SELECT v, (ed + 3) // 7 AS blk, (ed + 3) % 7 + 1 AS j
+           FROM dd),
+         complete AS (
+           SELECT blk FROM wk GROUP BY blk HAVING count(*) = 7),
+         w2 AS (
+           SELECT wk.* FROM wk JOIN complete USING (blk)),
+         rk AS (
+           SELECT x.blk, x.j,
+             2 * sum(CASE WHEN y.v < x.v THEN 1 ELSE 0 END) +
+               sum(CASE WHEN y.v = x.v THEN 1 ELSE 0 END) + 1
+               AS rank2
+           FROM w2 x JOIN w2 y ON x.blk = y.blk GROUP BY 1, 2),
+         ag AS (
+           SELECT CAST(count(*) // 7 AS BIGINT) AS b,
+             CAST(sum(j * rank2) AS BIGINT) AS l2
+           FROM rk)
+         SELECT b AS n_blocks, l2 AS l_x2,
+           round(CASE WHEN b = 0 THEN NULL
+             ELSE CAST(6 * l2 - 3 * b * 7 * 64 AS DOUBLE) /
+               (56.0 * sqrt(CAST(6 * b AS DOUBLE))) END, 4) + 0.0
+             AS z_stat
+         FROM ag""")
+}

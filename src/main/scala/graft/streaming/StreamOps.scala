@@ -244,6 +244,64 @@ object StreamOps {
         col("value"))
   }
 
+  /** RIGHT OUTER twin of [[intervalJoinStream]] — every purchase,
+    * with its attributing clicks when they exist and nulls when no
+    * click in the preceding window ever arrives (the orphan-purchase
+    * audit: conversions with no recorded touchpoint). Mirror image
+    * of the LEFT OUTER form, but the PRESERVED side is now the one
+    * whose rows wait on the OTHER side's watermark: an unmatched
+    * purchase is emitted null-joined only once the watermark expires
+    * it from the join state — the symmetric hash join's right-side
+    * state class that q228's left-outer replay cannot exercise.
+    * Same state bound: O(rate × (watermark + window)) per side.
+    */
+  def intervalJoinRightOuterStream(clicks: DataFrame,
+      purchases: DataFrame, window: String = "30 minutes"): DataFrame = {
+    val c = clicks.withWatermark("ts", "1 hour")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+    val p = purchases.withWatermark("ts", "1 hour")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+    c.join(p,
+      col("c_user") === col("p_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr(s"interval $window"),
+      "right_outer")
+      .select(col("p_user").as("user_id"), col("purchase_id"),
+        col("purchase_ts"), col("click_id"), col("click_ts"),
+        col("value"))
+  }
+
+  /** FULL OUTER completion of the interval-join family
+    * ([[intervalJoinStream]] inner, [[intervalJoinStream]]'s
+    * left-outer twin, [[intervalJoinRightOuterStream]]): every click
+    * AND every purchase appears exactly once-or-joined — unmatched
+    * clicks null-join when the watermark expires them from the LEFT
+    * side's state, unmatched purchases when it expires them from the
+    * RIGHT side's — the only join mode where BOTH sides' state
+    * classes emit null rows, which neither one-sided outer replay
+    * exercises together. Same state bound per side:
+    * O(rate × (watermark + window)).
+    */
+  def intervalJoinFullOuterStream(clicks: DataFrame,
+      purchases: DataFrame, window: String = "30 minutes"): DataFrame = {
+    val c = clicks.withWatermark("ts", "1 hour")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+    val p = purchases.withWatermark("ts", "1 hour")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+    c.join(p,
+      col("c_user") === col("p_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr(s"interval $window"),
+      "full_outer")
+      .select(coalesce(col("c_user"), col("p_user")).as("user_id"),
+        col("click_id"), col("click_ts"),
+        col("purchase_id"), col("purchase_ts"), col("value"))
+  }
+
   // ----------------------------------------------------- custom state
   case class UserEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
   case class UserState(count: Long, sum: Double, lastTs: Long)
