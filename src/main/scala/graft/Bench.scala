@@ -109,6 +109,32 @@ object Bench {
                y -> struct(x.doc_id AS a, y.doc_id AS b,
                  x.tf * y.tf AS p))))""")).as("e"))
         .groupBy(col("e.a"), col("e.b")).agg(sum(col("e.p"))).count()
+      // the streaming micro-batch runtime (RocksDB JNI store open/
+      // commit, incremental planner, file source + parquet sink,
+      // drain machinery) — otherwise the alphabetically first staged-
+      // replay row absorbs ~2-3 s of one-time JIT/library init that
+      // every later replay row gets for free (measured r19: first
+      // replay key in a cold JVM ran 9.7 s vs 6.2 s warm)
+      locally {
+        val root = ScratchDir.path("bench_warm_stream")
+        val b1 = spark.range(200).select(col("id"),
+          timestamp_millis(lit(1700000000000L) + col("id") * 1000L)
+            .as("ts"))
+        val b2 = spark.range(1).select(lit(999999L).as("id"),
+          timestamp_millis(lit(1748736000000L)).as("ts"))
+        val staging = graft.queries.Replay.stageBatches(root, Seq(b1, b2))
+        graft.queries.Replay.withRocksDb(spark) {
+          val q = spark.readStream.schema("id BIGINT, ts TIMESTAMP")
+            .option("maxFilesPerTrigger", "1").parquet(staging)
+            .withWatermark("ts", "1 minute")
+            .groupBy(window(col("ts"), "1 minute")).count()
+            .writeStream.format("parquet")
+            .option("path", s"$root/out")
+            .option("checkpointLocation", s"$root/ckpt")
+            .outputMode("append").start()
+          graft.queries.Replay.drainStagedReplay(q, 2)
+        }
+      }
     } catch { case _: Throwable => }
     // dev knob: SPARK_GRAFT_ONLY=ann_lsh,ann_bruteforce benches a
     // subset while iterating; the driver never sets it

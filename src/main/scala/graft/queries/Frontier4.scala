@@ -1057,44 +1057,26 @@ object Frontier4 {
             .as("day"))
       val root = ScratchDir.path(
         s"topk_ivm_${ivmRun.incrementAndGet()}")
-      val staging = s"$root/staging"
-      java.nio.file.Files.createDirectories(
-        java.nio.file.Paths.get(staging))
       // epoch-pinned sentinels (2025-06-01/02 UTC) — tz-free longs so
       // the staged bytes are identical on any JVM default zone
       def sentinel(ms: Long): DataFrame = s.range(1)
         .select(lit("drain").as("event_type"),
           timestamp_millis(lit(ms)).as("ts"))
-      val batches = Seq(
+      // shared staging harness (mtime IS the replay order; writes
+      // overlap from a driver pool — see Replay.stageBatches)
+      val staging = Replay.stageBatches(root, Seq(
         ev.filter($"day" < 120L),
         ev.filter($"day" >= 120L && $"day" < 240L),
         ev.filter($"day" >= 240L),
         sentinel(1748736000000L), sentinel(1748822400000L))
-      batches.zipWithIndex.foreach { case (b, i) =>
-        val tmp = s"$root/tmp_$i"
-        b.select($"event_type", $"ts").coalesce(1)
-          .write.mode("overwrite").parquet(tmp)
-        val part = new java.io.File(tmp).listFiles()
-          .find(f => f.getName.startsWith("part-") &&
-            f.getName.endsWith(".parquet")).get
-        val dst = new java.io.File(staging, f"batch_$i%02d.parquet")
-        java.nio.file.Files.move(part.toPath, dst.toPath)
-        // mtime IS the replay order for the file source — 60 s apart
-        // clears any coarse-mtime filesystem
-        dst.setLastModified(1700000000000L + i * 60000L)
-      }
-      val provKey = "spark.sql.streaming.stateStore.providerClass"
-      val prev = s.conf.getOption(provKey)
-      s.conf.set(provKey, "org.apache.spark.sql.execution.streaming" +
-        ".state.RocksDBStateStoreProvider")
-      // 4 state partitions for the staged replay (the q212 finding:
-      // per-partition RocksDB store churn × 5 micro-batches is the
-      // wall at the session's 32; hash-neutral, fresh checkpoint,
-      // restored below)
-      val spKey = "spark.sql.shuffle.partitions"
-      val spPrev = s.conf.get(spKey)
-      s.conf.set(spKey, "4")
-      try {
+        .map(_.select($"event_type", $"ts")))
+      // RocksDB provider + pinned replay confs — the shared harness
+      // discipline (see Replay.withRocksDb: 1 state partition,
+      // changelog checkpointing, no-data micro-batches off; the
+      // sentinel pair above guarantees every REAL window closes
+      // inside a data batch, so the trailing no-data batch this drops
+      // could only have emitted 'drain' rows the read-back filters)
+      Replay.withRocksDb(s) {
         val src = s.readStream.schema("event_type STRING, ts TIMESTAMP")
           .option("maxFilesPerTrigger", "1").parquet(staging)
           .as[graft.streaming.StreamOps.WinEvent]
@@ -1107,12 +1089,6 @@ object Frontier4 {
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         q.awaitTermination()
-      } finally {
-        s.conf.set(spKey, spPrev)
-        prev match {
-          case Some(p) => s.conf.set(provKey, p)
-          case None => s.conf.unset(provKey)
-        }
       }
       // sentinel windows never close (nothing advances wm past them)
       // — the filter is belt-and-braces documentation of the exclusion

@@ -29,16 +29,34 @@ private[graft] object Replay {
     val staging = s"$root/staging"
     java.nio.file.Files.createDirectories(
       java.nio.file.Paths.get(staging))
-    batches.zipWithIndex.foreach { case (b, i) =>
-      val tmp = s"$root/tmp_$i"
-      b.coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = new java.io.File(tmp).listFiles()
-        .find(f => f.getName.startsWith("part-") &&
-          f.getName.endsWith(".parquet")).get
-      val dst = new java.io.File(staging, f"batch_$i%02d.parquet")
-      java.nio.file.Files.move(part.toPath, dst.toPath)
-      dst.setLastModified(1700000000000L + i * 60000L)
-    }
+    // The N single-file writes are INDEPENDENT Spark jobs whose wall
+    // is dominated by per-job latency (~0.2 s each measured at sf0.1,
+    // i.e. 1–2.5 s of a replay row's wall), so they are submitted from
+    // a small driver thread pool and overlap (guide §2.6 — actions are
+    // only sequential because the driver calls them sequentially).
+    // Each batch keeps its own job → its own single write task → the
+    // intra-file row order is byte-identical to the sequential form;
+    // only the wall changes. Staged mtimes stay a pure function of the
+    // batch index, assigned after each file lands.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(4, math.max(1, batches.size)))
+    try {
+      val futures = batches.zipWithIndex.map { case (b, i) =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          def call(): Unit = {
+            val tmp = s"$root/tmp_$i"
+            b.coalesce(1).write.mode("overwrite").parquet(tmp)
+            val part = new java.io.File(tmp).listFiles()
+              .find(f => f.getName.startsWith("part-") &&
+                f.getName.endsWith(".parquet")).get
+            val dst = new java.io.File(staging, f"batch_$i%02d.parquet")
+            java.nio.file.Files.move(part.toPath, dst.toPath)
+            dst.setLastModified(1700000000000L + i * 60000L)
+          }
+        })
+      }
+      futures.foreach(_.get()) // propagate the first failure, if any
+    } finally pool.shutdown()
     staging
   }
 
@@ -66,8 +84,11 @@ private[graft] object Replay {
         eo != null && eo.contains("\"logOffset\":" + (nFiles - 1))
       }
     }
+    // 25 ms poll: at 100 ms the drain latch alone added up to ~0.1 s
+    // of dead wall per replay row; the check is a cheap in-process
+    // lastProgress read, so polling 4× as often costs nothing
     while (!drained && q.isActive && System.nanoTime() < deadlineNs)
-      Thread.sleep(100)
+      Thread.sleep(25)
     // stop() interrupts the stream's microbatch thread; under a
     // loaded box (the full parallel `sbt test`, three board-walking
     // guard suites each replaying every staged stream) it can catch
@@ -106,32 +127,56 @@ private[graft] object Replay {
     }
   }
 
-  /** RocksDB provider + 4 state partitions for a staged replay. The
-    * partition pin is the q212 finding generalized: every stateful
+  /** RocksDB provider + pinned state partitions for a staged replay.
+    * The partition pin is the q212 finding generalized: every stateful
     * operator opens its stores per partition per micro-batch, and at
     * the session's 32 partitions that store churn IS the wall for a
-    * 3–5-batch replay (q212 measured 12.7 s → 7.1 s at 4). A
-    * production stream sizes this to its rate; a staged parity replay
-    * doesn't need parallel state. Fresh checkpoint per run, so the
-    * count is free to differ from the session's; both confs restore
-    * on exit. Hash-neutral: per-key state content is independent of
-    * which partition hosts the key.
+    * 3–5-batch replay (q212 measured 12.7 s → 7.1 s at 4; r19
+    * re-measured 4 → 1 on the full 15-key replay subset, see
+    * OPTIMIZATION_r19.md — a stream-stream join opens 4 stores per
+    * partition per batch, so partitions multiply directly into store
+    * open/commit cycles). A production stream sizes this to its rate
+    * (conf-driven, never hard-coded in the operator); a staged parity
+    * replay doesn't need parallel state. Fresh checkpoint per run, so
+    * the count is free to differ from the session's; every conf
+    * restores on exit. Hash-neutral: per-key state content is
+    * independent of which partition hosts the key.
+    *
+    * Round-19 optimization (guide §1.2 "per-task work" / §5): three
+    * more store-churn cuts, all result-neutral —
+    *  - changelog checkpointing: each commit writes the per-batch
+    *    changelog instead of zipping a full RocksDB snapshot; the
+    *    snapshot moves to the background maintenance thread. State
+    *    CONTENT is unchanged, only the checkpoint wire format.
+    *  - trackTotalNumberOfRows off: skips the per-put existence get
+    *    that only feeds the numTotalStateRows metric.
+    *  - no-data micro-batches off: the staged replays end with two
+    *    far-future sentinel batches precisely so the LAST DATA batch
+    *    already runs with a watermark past every real key's horizon —
+    *    every real emission/eviction happens inside data batches, and
+    *    the trailing no-data batch could only emit sentinel-keyed rows
+    *    (filtered on read-back in every consumer). Dropping it removes
+    *    one full store open/commit cycle per store per query. All
+    *    staged files are present before the stream starts, so no
+    *    no-data batch can interleave between data batches either.
     */
   def withRocksDb[T](s: SparkSession)(body: => T): T = {
-    val provKey = "spark.sql.streaming.stateStore.providerClass"
-    val spKey = "spark.sql.shuffle.partitions"
-    val prev = s.conf.getOption(provKey)
-    val spPrev = s.conf.get(spKey)
-    s.conf.set(provKey, "org.apache.spark.sql.execution.streaming" +
-      ".state.RocksDBStateStoreProvider")
-    s.conf.set(spKey, "4")
+    val settings = Seq(
+      "spark.sql.streaming.stateStore.providerClass" ->
+        ("org.apache.spark.sql.execution.streaming" +
+          ".state.RocksDBStateStoreProvider"),
+      "spark.sql.shuffle.partitions" -> "4",
+      "spark.sql.streaming.noDataMicroBatches.enabled" -> "false",
+      ("spark.sql.streaming.stateStore.rocksdb" +
+        ".changelogCheckpointing.enabled") -> "true",
+      ("spark.sql.streaming.stateStore.rocksdb" +
+        ".trackTotalNumberOfRows") -> "false")
+    val prev = settings.map { case (k, _) => k -> s.conf.getOption(k) }
+    settings.foreach { case (k, v) => s.conf.set(k, v) }
     try body
-    finally {
-      s.conf.set(spKey, spPrev)
-      prev match {
-        case Some(p) => s.conf.set(provKey, p)
-        case None => s.conf.unset(provKey)
-      }
+    finally prev.foreach {
+      case (k, Some(p)) => s.conf.set(k, p)
+      case (k, None) => s.conf.unset(k)
     }
   }
 }
