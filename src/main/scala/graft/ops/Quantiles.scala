@@ -34,10 +34,21 @@ object Quantiles {
     * `value` must be long-typed (the integer-cents discipline).
     */
   def exactByGroup(df: DataFrame, groupCol: String, value: Column,
+      ps: Seq[(String, Double)]): DataFrame =
+    exactByGroupCounts(
+      df.select(col(groupCol), value.as("__qv"))
+        .groupBy(col(groupCol), col("__qv"))
+        .agg(count(lit(1)).as("__qc")),
+      groupCol, ps)
+
+  /** Same, over a pre-built `(groupCol, __qv, __qc)` count table — for
+    * callers that already rolled rows up to the value domain (and
+    * often need other aggregates off the SAME table: q161 derives its
+    * fill-rate counters from it too, so the fact scan runs once
+    * instead of twice — r19, guide §1.2).
+    */
+  def exactByGroupCounts(vc: DataFrame, groupCol: String,
       ps: Seq[(String, Double)]): DataFrame = {
-    val vc = df.select(col(groupCol), value.as("__qv"))
-      .groupBy(col(groupCol), col("__qv"))
-      .agg(count(lit(1)).as("__qc"))
     val cum = PrefixSum.runningTotal(vc,
       Seq(col(groupCol), col("__qv")), col("__qc"), "__qcum")
     val base = cum.groupBy(col(groupCol))

@@ -183,15 +183,24 @@ object Frontier6 {
       val o = Tables.load(s, d, "orders")
         .select(round($"o_totalprice" * 100).cast("long").as("cents"),
           to_date($"o_orderdate").as("day"))
-      val span = o.agg(min($"day").as("d0"), max($"day").as("d1"))
-        .select(expr("date_add(d0, CAST(datediff(d1, d0) div 2 AS INT))")
-          .as("mid"))
-      val pcols = (1 to 9).map(j =>
-        expr(s"percentile_cont(0.${j}) WITHIN GROUP (ORDER BY cents)")
-          .as(s"b$j"))
-      val bs = o.agg(pcols.head, pcols.tail: _*)
-      val bucketed = o.crossJoin(broadcast(span))
-        .crossJoin(broadcast(bs))
+      // r19 optimization (guide §1.2/§4): the nine decile boundaries
+      // and the span midpoint come out of ONE aggregate pass —
+      // percentile(cents, array(...)) keeps a single value buffer
+      // where nine separate percentile_cont calls each buffered the
+      // full column (9× the boxed map updates and buffer shuffle),
+      // and folding min/max(day) into the same agg drops a second
+      // orders scan + serial broadcast job. Value-identical: Spark
+      // resolves percentile_cont(p) to the exact Percentile
+      // aggregate, so each array element is the same interpolated
+      // double the old per-p calls produced (oracle re-proven).
+      val pre = o.agg(min($"day").as("d0"), max($"day").as("d1"),
+          expr("percentile(cents, array(0.1, 0.2, 0.3, 0.4, 0.5, " +
+            "0.6, 0.7, 0.8, 0.9))").as("bsa"))
+        .select(
+          expr("date_add(d0, CAST(datediff(d1, d0) div 2 AS INT))")
+            .as("mid") +:
+          (1 to 9).map(j => element_at($"bsa", j).as(s"b$j")): _*)
+      val bucketed = o.crossJoin(broadcast(pre))
         .select(
           (1 to 9).map(j => when($"cents" > col(s"b$j"), 1L)
             .otherwise(0L)).reduce(_ + _).as("bucket"),

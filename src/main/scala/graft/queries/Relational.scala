@@ -579,14 +579,19 @@ object Relational {
         .select($"l_returnflag",
           round($"l_extendedprice" * 100).cast("long").as("cents"))
         .groupBy($"l_returnflag")
-        .agg(
-          (expr("percentile_cont(0.25) WITHIN GROUP (ORDER BY cents)")
-            / 100).as("p25"),
-          (expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY cents)")
-            / 100).as("p50"),
-          (expr("percentile_cont(0.75) WITHIN GROUP (ORDER BY cents)")
-            / 100).as("p75"),
+        // r19 optimization (guide §1.2): one percentile(_, array(...))
+        // buffer instead of three percentile_cont calls — Spark
+        // resolves percentile_cont to the same exact Percentile
+        // aggregate, so the three interpolated doubles are
+        // bit-identical (oracle re-proven); the per-group value
+        // buffer is built and shuffled once instead of three times
+        .agg(expr("percentile(cents, array(0.25, 0.5, 0.75))").as("ps"),
           count(lit(1)).as("n"))
+        .select($"l_returnflag",
+          (element_at($"ps", 1) / 100).as("p25"),
+          (element_at($"ps", 2) / 100).as("p50"),
+          (element_at($"ps", 3) / 100).as("p75"),
+          $"n")
         .orderBy($"l_returnflag")
     }),
 
