@@ -575,10 +575,15 @@ object Pipeline {
       import s.implicits._
       val docs = Tables.spread(Tables.load(s, d, "documents"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // persist: the digest rollup (an md5 pass over every text) has
+      // THREE consumers below (the survivor join, nKeep1, and t2's
+      // reuse of nKeep1) — unpersisted it re-hashed the corpus each
+      // time (r19, guide §1.2)
       val keep1 = docs
         .select($"doc_id", md5($"text").as("digest"))
         .groupBy($"digest").agg(min($"doc_id").as("doc_id"))
         .select($"doc_id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val survivors = docs.join(keep1, Seq("doc_id"))
       val cc = graft.dedup.Dedup.connectedComponents(
         graft.dedup.Dedup.prefixFilterPairsOver(
