@@ -33,6 +33,21 @@ class QuantilesSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("exactByGroupCounts over a pre-built count table == exactByGroup") {
+    // the r19 q161 path: callers that already rolled rows up to the
+    // (group, value, count) domain must get the identical quantiles
+    val df = mk(4000)
+    val ps = Seq("p05" -> 0.05, "p50" -> 0.5, "p90" -> 0.9)
+    val want = Quantiles.exactByGroup(df, "g", $"v", ps)
+      .as[(String, Long, Long, Long, Long)].collect().sortBy(_._1)
+    val vc = df.groupBy($"g", $"v".as("__qv"))
+      .agg(count(lit(1)).as("__qc"))
+    val got = Quantiles.exactByGroupCounts(vc, "g", ps)
+      .as[(String, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == want.toSeq)
+    spark.catalog.clearCache()
+  }
+
   test("ntileFromRank replays ntile()'s fill rule at awkward n") {
     // n chosen to exercise n % k != 0, n < k, and n == k
     for (n <- Seq(3, 5, 8, 97, 1000); k <- Seq(5, 8)) {
