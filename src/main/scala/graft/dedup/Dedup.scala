@@ -447,9 +447,20 @@ object Dedup {
     * the df join; hashed, 4.2 s).
     */
   def prefixFilterPairsOver(docs0: DataFrame): DataFrame = {
+    // persist + eager materialize (r19, guide §1.2 "don't compute
+    // twice"): `posting` below has TWO consumers — the df aggregate
+    // and the rank join — and they are independent leaf stages of one
+    // job, so without the persist the scan+shingle kernel (the
+    // query's expensive stage) ran twice, and without the eager count
+    // the two stages raced to fill the same cold cache (the
+    // pipeline_kmv_overlap finding). Same multi-consumer discipline
+    // as ngramJaccardPairs/containmentPairsOver/minhashLshOver; the
+    // cached frame is (doc_id, hashed-shingle array) — no text.
     val docs = docs0
       .filter(size(col("shh")) > 0)
       .select(col("doc_id"), col("shh").as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    docs.count()
     val posting = docs.select(col("doc_id"), explode(col("sh")).as("tok"))
     val dft = posting.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     // canonical order materialized per doc: shingles sorted (df ASC,

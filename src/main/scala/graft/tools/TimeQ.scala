@@ -31,17 +31,27 @@ object TimeQ {
       graft.Tables.names.foreach(n =>
         graft.Tables.load(spark, sfDir, n).count())
     } catch { case _: Throwable => }
+    // process CPU per rep as well as wall: under hypervisor noise
+    // (the r17 "quietly-busy box" postmortem) wall stretches
+    // arbitrarily while CPU time only counts scheduled cycles — for
+    // cpu-bound kernels the A/B signal lives in the cpu column
+    val osBean = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean()
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
     names.foreach { n =>
       val samples = (1 to nReps).map { _ =>
+        val c0 = osBean.getProcessCpuTime
         val t0 = System.nanoTime()
         SparkEntry.queries(n)(spark, sfDir)
           .agg(bit_xor(xxhash64(struct(col("*"))))).collect()
         val s = (System.nanoTime() - t0) / 1e9
+        val c = (osBean.getProcessCpuTime - c0) / 1e9
         spark.catalog.clearCache()
-        s
+        (s, c)
       }
       println(f"[timeq] $n%-28s " +
-        samples.map(s => f"$s%6.2f").mkString(" "))
+        samples.map { case (s, c) => f"$s%6.2f (cpu $c%6.1f)" }
+          .mkString(" "))
     }
     spark.stop()
   }
