@@ -45,41 +45,73 @@ object PrefixSum {
     * already do — the repo's cache-lifecycle discipline).
     */
   def runningTotal(df: DataFrame, order: Seq[Column], value: Column,
-      outCol: String): DataFrame = {
+      outCol: String): DataFrame =
+    runningTotals(df, order, Seq(value -> outCol))
+
+  /** Running totals of SEVERAL values under ONE order, in one pass.
+    *
+    * Chaining k `runningTotal` calls on the same order pays k range
+    * shuffles, k sorts, k persists and 2k jobs — but the scan carries
+    * each column independently, so every extra column rides the SAME
+    * two-pass machinery for free: one vector of longs per partition
+    * to the driver instead of one long (r19, guide §1.2/§2.4; the
+    * q221 Jonckheere five-chain was 10 serial jobs, now 2). Callers
+    * with a single value go through `runningTotal` above, which
+    * delegates here — PrefixSumSpec's window-parity and
+    * partition-invariance properties therefore pin this path too.
+    */
+  def runningTotals(df: DataFrame, order: Seq[Column],
+      values: Seq[(Column, String)]): DataFrame = {
     val spark = df.sparkSession
     val n = spark.sessionState.conf.numShufflePartitions
-    val withV = df.withColumn("__psv", value.cast(LongType))
+    val k = values.size
+    val withV = values.zipWithIndex.foldLeft(df) {
+      case (acc, ((v, _), i)) =>
+        acc.withColumn(s"__psv$i", v.cast(LongType))
+    }
     val sorted = withV.repartitionByRange(n, order: _*)
       .sortWithinPartitions(order: _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val vIdx = sorted.schema.fieldIndex("__psv")
+    val vIdx = (0 until k)
+      .map(i => sorted.schema.fieldIndex(s"__psv$i")).toArray
     // both jobs walk the same deserialized view of the persisted
     // frame; pid indexing is consistent because the range partitioner
     // is deterministic for a given input
     val rowRdd = sorted.rdd
-    // job A: one (pid, total) pair per partition — bytes to the driver
+    // job A: one (pid, totals-vector) pair per partition — k longs per
+    // partition to the driver
     val totals = rowRdd
       .mapPartitionsWithIndex { (pid, it) =>
-        var s = 0L
-        it.foreach(r => s += r.getLong(vIdx))
+        val s = new Array[Long](k)
+        it.foreach { r =>
+          var i = 0
+          while (i < k) { s(i) += r.getLong(vIdx(i)); i += 1 }
+        }
         Iterator((pid, s))
       }.collect().sortBy(_._1).map(_._2)
     // exclusive scan → partition start offsets (driver arithmetic)
-    val offsets = totals.scanLeft(0L)(_ + _)
+    val offsets = totals.scanLeft(new Array[Long](k)) { (a, b) =>
+      Array.tabulate(k)(i => a(i) + b(i))
+    }
     val bc = spark.sparkContext.broadcast(offsets)
-    val outSchema = StructType(sorted.schema.fields)
-      .add(outCol, LongType, nullable = false)
+    val outSchema = values.foldLeft(StructType(sorted.schema.fields)) {
+      case (sch, (_, out)) => sch.add(out, LongType, nullable = false)
+    }
     // job B: local inclusive scan + my partition's broadcast offset,
     // reading from the persisted sorted frame (no re-sort)
     val resultRdd = rowRdd.mapPartitionsWithIndex { (pid, it) =>
-      var acc = bc.value(pid)
+      val acc = bc.value(pid).clone()
       it.map { r =>
-        acc += r.getLong(vIdx)
-        Row.fromSeq(r.toSeq :+ acc)
+        var i = 0
+        while (i < k) { acc(i) += r.getLong(vIdx(i)); i += 1 }
+        // acc mutates per row — materialize a snapshot into the Row
+        Row.fromSeq(r.toSeq ++ acc.toList)
       }
     }
-    spark.createDataFrame(resultRdd, outSchema)
-      .drop("__psv")
+    (0 until k).foldLeft(
+      spark.createDataFrame(resultRdd, outSchema)) { (acc, i) =>
+      acc.drop(s"__psv$i")
+    }
   }
 
   /** Append `outCol` = maximum of `value` over all STRICTLY EARLIER

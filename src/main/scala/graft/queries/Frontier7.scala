@@ -71,10 +71,11 @@ object Frontier7 {
         sum(when($"day" > $"mid", 1L).otherwise(0L)).as("ns"))
     val tot = sup.agg(sum($"nf").as("n1"), sum($"ns").as("n2"),
       count(lit(1)).as("n_support"))
-    val ranked = graft.ops.PrefixSum.runningTotal(sup,
-      Seq($"cents"), lit(1L), "rnk")
-    val cur = graft.ops.PrefixSum.runningTotal(ranked,
-        Seq($"cents"), $"nf" * HalfShift + $"ns", "cum")
+    // one multi-value scan (r19): rank and packed cumulative share
+    // the cents order — was two chained range shuffles
+    val cur = graft.ops.PrefixSum.runningTotals(sup, Seq($"cents"),
+        Seq(lit(1L) -> "rnk",
+          ($"nf" * HalfShift + $"ns") -> "cum"))
       .select($"cents", $"rnk",
         expr(s"cum div $HalfShift").as("cf"),
         ($"cum" % HalfShift).as("cs"))

@@ -254,10 +254,11 @@ object Frontier9 {
       val byVal = o.groupBy($"cents")
         .agg(sum(when($"isa", 1L).otherwise(0L)).as("ka"),
           count(lit(1)).as("t"))
-      val cum1 = graft.ops.PrefixSum.runningTotal(byVal,
-        Seq($"cents"), $"t", "cum")
-      val cum2 = graft.ops.PrefixSum.runningTotal(cum1,
-        Seq($"cents"), $"ka", "cuma")
+      // one multi-value scan (r19): both cumulatives share the cents
+      // order, so chaining two runningTotal calls paid a second range
+      // shuffle + sort + job pair for nothing
+      val cum2 = graft.ops.PrefixSum.runningTotals(byVal,
+        Seq($"cents"), Seq($"t" -> "cum", $"ka" -> "cuma"))
       val tot = byVal.agg(sum($"ka").as("n1"),
         sum($"t" - $"ka").as("n2"), count(lit(1)).as("n_support"))
       cum2.crossJoin(broadcast(tot))
@@ -312,16 +313,12 @@ object Frontier9 {
           sum(when($"g" === 3, 1L).otherwise(0L)).as("k3"),
           sum(when($"g" === 4, 1L).otherwise(0L)).as("k4"),
           sum(when($"g" === 5, 1L).otherwise(0L)).as("k5"))
-      val sup1 = graft.ops.PrefixSum.runningTotal(wide,
-        Seq($"cents"), $"k1", "q1")
-      val sup2 = graft.ops.PrefixSum.runningTotal(sup1,
-        Seq($"cents"), $"k2", "q2")
-      val sup3 = graft.ops.PrefixSum.runningTotal(sup2,
-        Seq($"cents"), $"k3", "q3")
-      val sup4 = graft.ops.PrefixSum.runningTotal(sup3,
-        Seq($"cents"), $"k4", "q4")
-      val sup = graft.ops.PrefixSum.runningTotal(sup4,
-        Seq($"cents"), $"k5", "q5")
+      // one multi-value scan (r19): the five cumulatives share the
+      // cents order — the chained form paid five range shuffles,
+      // five sorts and ten serial jobs; this is one shuffle, two jobs
+      val sup = graft.ops.PrefixSum.runningTotals(wide, Seq($"cents"),
+        Seq($"k1" -> "q1", $"k2" -> "q2", $"k3" -> "q3",
+          $"k4" -> "q4", $"k5" -> "q5"))
       def u2pair(kh: Column, cg: Column, kg: Column): Column =
         (kh.cast(dec) * (lit(2).cast(dec) * cg - kg)).cast(dec)
       val terms = sup.select((
@@ -391,10 +388,11 @@ object Frontier9 {
           unix_micros($"ts").as("us"), $"event_id",
           when($"event_type" === "purchase", 1L).otherwise(0L)
             .as("s"))
-      val g1 = graft.ops.PrefixSum.runningTotal(ev,
-        Seq($"arm", $"us", $"event_id"), lit(1L), "grn")
-      val g2 = graft.ops.PrefixSum.runningTotal(g1,
-        Seq($"arm", $"us", $"event_id"), $"s", "kcum")
+      // one multi-value scan (r19): trials and successes share the
+      // (arm, us, event_id) order
+      val g2 = graft.ops.PrefixSum.runningTotals(ev,
+        Seq($"arm", $"us", $"event_id"),
+        Seq(lit(1L) -> "grn", $"s" -> "kcum"))
       val bases = g2.groupBy($"arm")
         .agg(min($"grn").as("n0"), min($"kcum" - $"s").as("k0"))
       val t = g2.join(broadcast(bases), Seq("arm"))

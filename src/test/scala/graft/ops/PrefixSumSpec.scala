@@ -78,6 +78,25 @@ class PrefixSumSpec extends SparkSpec {
     assert(run("1") == run("7") && run("7") == run("32"))
   }
 
+  test("multi-value scan equals chained single-value scans") {
+    // the r19 one-pass overload must be column-for-column identical
+    // to the chained form it replaces (q220/q221/q222/supportCdf)
+    val df = mk(4000).withColumn("w", ($"id" % 13))
+    val got = PrefixSum.runningTotals(df, Seq($"k", $"id"),
+        Seq($"v" -> "rv", $"w" -> "rw", lit(1L) -> "rn"))
+      .select($"id", $"rv", $"rw", $"rn")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    spark.catalog.clearCache()
+    val c1 = PrefixSum.runningTotal(df, Seq($"k", $"id"), $"v", "rv")
+    val c2 = PrefixSum.runningTotal(c1, Seq($"k", $"id"), $"w", "rw")
+    val want = PrefixSum.runningTotal(c2, Seq($"k", $"id"), lit(1L),
+        "rn")
+      .select($"id", $"rv", $"rw", $"rn")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == want)
+    spark.catalog.clearCache()
+  }
+
   test("descending order keys work (the pareto shape)") {
     val df = mk(500).withColumn("neg", -$"v")
     val got = PrefixSum.runningTotal(df, Seq($"neg", $"id"), $"v", "run")
