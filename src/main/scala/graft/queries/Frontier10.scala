@@ -76,13 +76,9 @@ object Frontier10 {
     // one-pass distinct-digest replay of the same filter + stamp.
     "q225_training_prep_ivm" -> ((s, d) => {
       import s.implicits._
-      // persist (r19, guide §1.2): the cut agg below is the FIRST
-      // action (fills the cache with no consumer race) and the staged
-      // filter-writes then read it instead of re-scanning parquet
       val docs = Tables.load(s, d, "documents")
         .select($"doc_id", $"text",
           timestamp_millis(lit(1700000000000L) + $"doc_id").as("ts"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val cut = docs.agg(max($"doc_id")).first.getLong(0)
       val root = ScratchDir.path(s"tprep_ivm_${Replay.run()}")
       val staged = Replay.stageBatches(root, Seq(
@@ -131,13 +127,10 @@ object Frontier10 {
     // that timers — not data arrival — close idle tails.
     "q226_idle_session_ivm" -> ((s, d) => {
       import s.implicits._
-      // persist: mm is the first action (no-race cache fill); the
-      // three staged thirds then filter the cache, not parquet (r19)
       val ev = Tables.load(s, d, "events")
         .select($"user_id", $"ts",
           round($"value" * 100).cast("long").cast("double").as("value"),
           unix_micros($"ts").as("us"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val mm = ev.agg(min($"us"), max($"us")).first
       val (lo, hi) = (mm.getLong(0), mm.getLong(1))
       val t1 = lo + (hi - lo) / 3L
@@ -192,7 +185,6 @@ object Frontier10 {
       val ev = Tables.load(s, d, "events")
         .select($"user_id".as("k"),
           round($"value" * 100).cast("long").as("v"), $"event_id")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val cut = ev.agg(max($"event_id")).first.getLong(0)
       val root = ScratchDir.path(s"incagg_ivm_${Replay.run()}")
       val staged = Replay.stageBatches(root, Seq(
@@ -234,13 +226,10 @@ object Frontier10 {
     // user_id filter is belt-and-braces documentation.
     "q228_outer_interval_ivm" -> ((s, d) => {
       import s.implicits._
-      // persist: mm fills the cache first; SIX staged thirds (two
-      // sources) then filter the cache, not parquet (r19)
       val ev = Tables.load(s, d, "events")
         .filter($"event_type".isin("click", "purchase"))
         .select($"user_id", $"ts", $"event_id", $"value",
           $"event_type", unix_micros($"ts").as("us"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val mm = ev.agg(min($"us"), max($"us")).first
       val (lo, hi) = (mm.getLong(0), mm.getLong(1))
       val t1 = lo + (hi - lo) / 3L
@@ -311,7 +300,6 @@ object Frontier10 {
       import s.implicits._
       val ev = Tables.load(s, d, "events")
         .select($"user_id", $"ts", unix_micros($"ts").as("us"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val mm = ev.agg(min($"us"), max($"us")).first
       val (lo, hi) = (mm.getLong(0), mm.getLong(1))
       val t1 = lo + (hi - lo) / 3L
@@ -370,7 +358,6 @@ object Frontier10 {
         .select($"event_type", $"ts",
           round($"value" * 100).cast("long").cast("double").as("value"),
           unix_micros($"ts").as("us"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val mm = ev.agg(min($"us"), max($"us")).first
       val (lo, hi) = (mm.getLong(0), mm.getLong(1))
       val t1 = lo + (hi - lo) / 3L

@@ -92,14 +92,10 @@ object Frontier12 {
     // bounds are all integer µs.
     "q234_watermark_drop_ivm" -> ((s, d) => {
       import s.implicits._
-      // persist (r19, guide §1.2): mm is the first action (no-race
-      // cache fill); the five staged batch filters then read the
-      // cache, not parquet
       val ev = Tables.load(s, d, "events")
         .select($"event_type", $"ts", $"event_id",
           round($"value" * 100).cast("long").cast("double").as("value"),
           unix_micros($"ts").as("us"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val mm = ev.agg(min($"us"), max($"us")).first
       val (lo, hi) = (mm.getLong(0), mm.getLong(1))
       val t1 = lo + (hi - lo) / 3L
@@ -147,12 +143,9 @@ object Frontier12 {
     // on user within [click_ts, click_ts + 30 min], right outer.
     "q235_right_outer_interval_ivm" -> ((s, d) => {
       import s.implicits._
-      // persist: mm fills the cache first; six staged thirds (two
-      // sources) then filter the cache, not parquet (r19)
       val ev = Tables.load(s, d, "events")
         .select($"user_id", $"ts", $"event_id", $"value",
           $"event_type", unix_micros($"ts").as("us"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val mm = ev.agg(min($"us"), max($"us")).first
       val (lo, hi) = (mm.getLong(0), mm.getLong(1))
       val t1 = lo + (hi - lo) / 3L
@@ -211,12 +204,9 @@ object Frontier12 {
     // user -1 and are filtered.
     "q236_full_outer_interval_ivm" -> ((s, d) => {
       import s.implicits._
-      // persist: mm fills the cache first; six staged thirds (two
-      // sources) then filter the cache, not parquet (r19)
       val ev = Tables.load(s, d, "events")
         .select($"user_id", $"ts", $"event_id", $"value",
           $"event_type", unix_micros($"ts").as("us"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val mm = ev.agg(min($"us"), max($"us")).first
       val (lo, hi) = (mm.getLong(0), mm.getLong(1))
       val t1 = lo + (hi - lo) / 3L

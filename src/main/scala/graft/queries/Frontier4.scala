@@ -974,15 +974,11 @@ object Frontier4 {
     // scanned once per delta, exactly as a micro-batch would.
     "q180_cusum_ivm" -> ((s, d) => {
       import s.implicits._
-      // persist (r19, guide §1.2): three sequential delta-batch calls
-      // below each scanned the fact table — batch 0 fills the cache
-      // (sequential consumers, no race), batches 1–2 read it
       val daily = Tables.load(s, d, "events")
         .select($"event_type",
           datediff(to_date($"ts"), lit("2024-01-01")).cast("long")
             .as("day"),
           round($"value" * 100).cast("long").as("cents"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // fresh state per invocation (replay on existing state would
       // double-count), but under the ScratchDir root so the JVM
       // shutdown hook reclaims it — a bench retry loop must not leak
@@ -1017,12 +1013,8 @@ object Frontier4 {
     // delta, exactly as a micro-batch would.
     "q184_lateness_ivm" -> ((s, d) => {
       import s.implicits._
-      // persist (r19, guide §1.2): ev feeds the cut scalar plus three
-      // full-table delta scans (one per replayed batch) — the cut agg
-      // is the first action, so the cache fills race-free
       val ev = Tables.load(s, d, "events")
         .select($"user_id", $"event_id", unix_micros($"ts").as("us"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val stateDir = ScratchDir.path(
         s"lateness_ivm_${ivmRun.incrementAndGet()}") + "/state"
       // arrival-order thirds off one bounded scalar (max event_id) —
@@ -1059,15 +1051,10 @@ object Frontier4 {
     "q185_topk_ivm" -> ((s, d) => {
       import s.implicits._
       val weekMs = 604800000L
-      // persist + eager count (r19, guide §1.2): the three staged
-      // thirds are submitted concurrently from stageBatches' pool and
-      // would race to fill a cold cache — materialize first
       val ev = Tables.load(s, d, "events")
         .select($"event_type", $"ts",
           datediff(to_date($"ts"), lit("2024-01-01")).cast("long")
             .as("day"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      ev.count()
       val root = ScratchDir.path(
         s"topk_ivm_${ivmRun.incrementAndGet()}")
       // epoch-pinned sentinels (2025-06-01/02 UTC) — tz-free longs so

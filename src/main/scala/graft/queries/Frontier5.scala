@@ -50,11 +50,7 @@ object Frontier5 {
     // oracle in integer arithmetic.
     "q186_decontam_ivm" -> ((s, d) => {
       import s.implicits._
-      // persist (r19, guide §1.2): docs feeds the cut scalar plus the
-      // test and per-batch train slices of all three guard calls —
-      // the cut agg is the first action, so the cache fills race-free
       val docs = Tables.load(s, d, "documents")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val test = docs.filter($"doc_id" < 250L).select($"doc_id", $"text")
       val train = docs.filter($"doc_id" >= 250L)
         .select($"doc_id", $"text")
@@ -98,7 +94,6 @@ object Frontier5 {
       import s.implicits._
       val ev = Tables.load(s, d, "events")
         .select($"user_id", $"event_id", $"value")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val cut = ev.agg(max($"event_id")).first.getLong(0)
       val root = ScratchDir.path(
         s"quota_ivm_${Replay.run()}")
@@ -143,7 +138,6 @@ object Frontier5 {
       import s.implicits._
       val ev = Tables.load(s, d, "events")
         .select($"user_id", $"event_id")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val cut = ev.agg(max($"event_id")).first.getLong(0)
       val root = ScratchDir.path(
         s"ttl_ivm_${Replay.run()}")
@@ -189,13 +183,10 @@ object Frontier5 {
     // purchase finds its batch-1 click) without duplication.
     "q212_interval_join_ivm" -> ((s, d) => {
       import s.implicits._
-      // persist: mm fills the cache first; six staged thirds (two
-      // sources) then filter the cache, not parquet (r19)
       val ev = Tables.load(s, d, "events")
         .filter($"event_type".isin("click", "purchase"))
         .select($"user_id", $"ts", $"event_id", $"value",
           $"event_type", unix_micros($"ts").as("us"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val mm = ev.agg(min($"us"), max($"us")).first
       val (lo, hi) = (mm.getLong(0), mm.getLong(1))
       val t1 = lo + (hi - lo) / 3L
@@ -264,7 +255,6 @@ object Frontier5 {
         .filter($"event_type".isin("click", "purchase"))
         .select($"user_id", $"ts", $"event_type", $"event_id",
           $"value", unix_micros($"ts").as("us"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val mm = ev.agg(min($"us"), max($"us")).first
       val (lo, hi) = (mm.getLong(0), mm.getLong(1))
       val t1 = lo + (hi - lo) / 3L
