@@ -433,6 +433,15 @@ object Dedup {
     * n_union) — the threshold test is 2·inter ≥ union, no float
     * anywhere.
     */
+  /** CALLER CONTRACT (cache lifecycle, ADVICE r19): like every
+    * multi-consumer generator in this file, the pipeline persists
+    * two bounded intermediates (the shingled docs and the
+    * canonically-sorted frame) and does NOT unpersist them — the
+    * repo-wide discipline is that the session owner clears the cache
+    * between queries (Bench/Verify run spark.catalog.clearCache()
+    * after every key). A long-lived session embedding this operator
+    * must do the same or cached shingle corpora accumulate.
+    */
   def prefixFilterPairs(s: SparkSession, d: String): DataFrame =
     prefixFilterPairsOver(docsWithShingles(s, d))
 

@@ -65,6 +65,10 @@ object PrefixSum {
     val spark = df.sparkSession
     val n = spark.sessionState.conf.numShufflePartitions
     val k = values.size
+    // withColumn REPLACES by name — a caller column named __psvN would
+    // be silently corrupted (ADVICE r19), so reject the collision
+    require(!df.schema.fieldNames.exists(_.startsWith("__psv")),
+      "runningTotals: input must not contain __psv-prefixed columns")
     val withV = values.zipWithIndex.foldLeft(df) {
       case (acc, ((v, _), i)) =>
         acc.withColumn(s"__psv$i", v.cast(LongType))

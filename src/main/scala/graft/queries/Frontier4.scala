@@ -1071,7 +1071,7 @@ object Frontier4 {
         sentinel(1748736000000L), sentinel(1748822400000L))
         .map(_.select($"event_type", $"ts")))
       // RocksDB provider + pinned replay confs — the shared harness
-      // discipline (see Replay.withRocksDb: 1 state partition,
+      // discipline (see Replay.withRocksDb: 4 state partitions,
       // changelog checkpointing, no-data micro-batches off; the
       // sentinel pair above guarantees every REAL window closes
       // inside a data batch, so the trailing no-data batch this drops

@@ -128,14 +128,28 @@ private[graft] object Replay {
   }
 
   /** RocksDB provider + pinned state partitions for a staged replay.
+    *
+    * PRECONDITION (because this pins noDataMicroBatches=false): the
+    * caller's staged batches MUST end with far-future sentinel rows
+    * whose event time exceeds every real key's horizon (watermark
+    * delay included), so that every real emission/eviction happens
+    * inside a DATA batch. A replay staged WITHOUT sentinels would
+    * silently lose its final emissions under this conf — if a new
+    * replay row cannot stage sentinels, it must not use this wrapper
+    * (set noDataMicroBatches back to true inside its own body).
+    * Every current caller (all 17 `*_ivm` rows) stages sentinel
+    * batches; keep it that way or opt out explicitly.
+    *
     * The partition pin is the q212 finding generalized: every stateful
     * operator opens its stores per partition per micro-batch, and at
     * the session's 32 partitions that store churn IS the wall for a
     * 3–5-batch replay (q212 measured 12.7 s → 7.1 s at 4; r19
-    * re-measured 4 → 1 on the full 15-key replay subset, see
-    * OPTIMIZATION_r19.md — a stream-stream join opens 4 stores per
-    * partition per batch, so partitions multiply directly into store
-    * open/commit cycles). A production stream sizes this to its rate
+    * re-measured partitions=1 and partitions=2 against 4 and BOTH
+    * LOST — addBatch's per-row work serializes below 4, see
+    * OPTIMIZATION_r19.md — so 4 stays; do NOT "re-apply" 1. A
+    * stream-stream join opens 4 stores per partition per batch, so
+    * partitions multiply directly into store open/commit cycles.)
+    * A production stream sizes this to its rate
     * (conf-driven, never hard-coded in the operator); a staged parity
     * replay doesn't need parallel state. Fresh checkpoint per run, so
     * the count is free to differ from the session's; every conf
@@ -170,7 +184,23 @@ private[graft] object Replay {
       ("spark.sql.streaming.stateStore.rocksdb" +
         ".changelogCheckpointing.enabled") -> "true",
       ("spark.sql.streaming.stateStore.rocksdb" +
-        ".trackTotalNumberOfRows") -> "false")
+        ".trackTotalNumberOfRows") -> "false",
+      // r20 (guide §1.2 per-task work / §5): stream-stream joins open
+      // FOUR RocksDB stores per partition per micro-batch under the
+      // default state format v2 — with 4 partitions × 4 stores × N
+      // batches the store open/commit cycle count IS the wall of the
+      // interval-join replays. Format v3 (Spark 4.x, RocksDB only)
+      // keeps the same four logical state spaces as virtual column
+      // families inside ONE store, cutting the cycles 4×. State
+      // CONTENT and join semantics are unchanged (layout only); the
+      // conf is read at query start and these replays always begin
+      // from a fresh checkpoint, so no cross-version state mixing is
+      // possible. Non-join replays ignore the conf. The system
+      // property is a measurement seam (tools/ReplayAb interleaves
+      // v2/v3 reps inside ONE JVM — the only A/B form that survives
+      // this box's duty-cycled host noise); production default is 3.
+      "spark.sql.streaming.join.stateFormatVersion" ->
+        sys.props.getOrElse("graft.join.stateFormatVersion", "3"))
     val prev = settings.map { case (k, _) => k -> s.conf.getOption(k) }
     settings.foreach { case (k, v) => s.conf.set(k, v) }
     try body

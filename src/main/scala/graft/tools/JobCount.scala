@@ -1,7 +1,7 @@
 package graft.tools
 
 import graft.SparkEntry
-import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
@@ -30,21 +30,29 @@ object JobCount {
     spark.sparkContext.setLogLevel("WARN")
     val jobs = new java.util.concurrent.atomic.AtomicLong(0)
     val stages = new java.util.concurrent.atomic.AtomicLong(0)
+    val ends = new java.util.concurrent.atomic.AtomicLong(0)
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit = {
         jobs.incrementAndGet()
         stages.addAndGet(j.stageInfos.size.toLong)
       }
+      override def onJobEnd(j: SparkListenerJobEnd): Unit =
+        ends.incrementAndGet()
     })
     names.foreach { n =>
-      jobs.set(0); stages.set(0)
+      jobs.set(0); stages.set(0); ends.set(0)
       SparkEntry.queries(n)(spark, sfDir)
         .agg(bit_xor(xxhash64(struct(col("*"))))).collect()
       spark.catalog.clearCache()
-      // listener events drain asynchronously — settle before reading
-      // (listenerBus is spark-private; a short sleep suffices for a
-      // measurement-only tool)
-      Thread.sleep(1500)
+      // listener events drain asynchronously — wait until every
+      // started job's end event arrived (bounded: a contended host
+      // can stall the bus; the fixed 1.5 s sleep it replaces could
+      // undercount there, ADVICE r19). collect() returned, so all
+      // jobs HAVE ended; we are only waiting for the bus to drain.
+      val deadline = System.nanoTime() + 15L * 1000000000L
+      while (ends.get < jobs.get && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      Thread.sleep(200) // tail margin for a JobStart still in flight
       println(f"[jobcount] $n%-28s jobs=${jobs.get}%3d " +
         f"stages=${stages.get}%3d")
     }

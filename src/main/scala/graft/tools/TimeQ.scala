@@ -35,17 +35,23 @@ object TimeQ {
     // (the r17 "quietly-busy box" postmortem) wall stretches
     // arbitrarily while CPU time only counts scheduled cycles — for
     // cpu-bound kernels the A/B signal lives in the cpu column
-    val osBean = java.lang.management.ManagementFactory
-      .getOperatingSystemMXBean()
-      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+    // pattern-match, not cast: on a non-HotSpot JVM the bean lacks
+    // getProcessCpuTime — fall back to wall-only instead of a CCE
+    val osBean: Option[com.sun.management.OperatingSystemMXBean] =
+      java.lang.management.ManagementFactory
+        .getOperatingSystemMXBean() match {
+        case b: com.sun.management.OperatingSystemMXBean => Some(b)
+        case _ => None
+      }
+    def cpuNow(): Long = osBean.map(_.getProcessCpuTime).getOrElse(0L)
     names.foreach { n =>
       val samples = (1 to nReps).map { _ =>
-        val c0 = osBean.getProcessCpuTime
+        val c0 = cpuNow()
         val t0 = System.nanoTime()
         SparkEntry.queries(n)(spark, sfDir)
           .agg(bit_xor(xxhash64(struct(col("*"))))).collect()
         val s = (System.nanoTime() - t0) / 1e9
-        val c = (osBean.getProcessCpuTime - c0) / 1e9
+        val c = (cpuNow() - c0) / 1e9
         spark.catalog.clearCache()
         (s, c)
       }
