@@ -528,12 +528,20 @@ object Frontier11 {
         .first
       val (d0, sp, um) = (span.getDate(0), span.getLong(1),
         span.getLong(2))
+      // persist + eager count (r20, guide §1.2 "don't compute
+      // twice"): dims has FOUR consumers — the count below and the
+      // three layout() calls, each of whose runningTotal starts with
+      // a repartitionByRange over it (plus the range partitioner's
+      // own sampling pass) — so unpersisted, the events scan + bit
+      // interleave ran four times over. The cached frame is four
+      // integer columns, fact-bounded.
       val dims = base
         .select($"event_id", $"u",
           datediff($"day", lit(d0)).cast("long").as("dd"))
         .withColumn("z", expr(zExpr))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // the three physical orders; fid = global-rank·64 div n
-      val nTotal = dims.count() // bounded driver scalar
+      val nTotal = dims.count() // bounded driver scalar (fills cache)
       def layout(name: String, orderCols: Seq[org.apache.spark.sql
           .Column]): DataFrame = {
         val ranked = graft.ops.PrefixSum.runningTotal(dims,

@@ -390,8 +390,34 @@ object Insights {
           .select(lit(s"$table.$a -> $table.$b").as("fd"),
             $"n_det", $"n_pairs", $"n_violating",
             ($"n_violating" === 0L).as("holds"))
-      fd("orders", "o_orderkey", "o_custkey")
-        .unionAll(fd("orders", "o_orderkey", "o_orderstatus"))
+      // r20 (guide §1.2/§2.4): the two o_orderkey candidates shared
+      // the SAME determinant, so their two full orders scans + two
+      // groupBy(o_orderkey) exchanges fuse into one pass (two
+      // countDistinct buffers over one exchange; the Expand rewrite
+      // duplicates rows map-side, so shuffled bytes match the old two
+      // branches while the scan + agg pipeline runs once). Row values
+      // are identical by construction — each fd's (n_det, n_pairs,
+      // n_violating) is computed from its own countDistinct exactly
+      // as the unfused branch did.
+      val okFused = Tables.load(s, d, "orders")
+        .groupBy($"o_orderkey".as("k"))
+        .agg(countDistinct($"o_custkey").as("nb1"),
+          countDistinct($"o_orderstatus").as("nb2"))
+        .agg(count(lit(1)).as("n_det"),
+          sum($"nb1").as("p1"),
+          sum(when($"nb1" > 1, 1L).otherwise(0L)).as("v1"),
+          sum($"nb2").as("p2"),
+          sum(when($"nb2" > 1, 1L).otherwise(0L)).as("v2"))
+        .select(explode(array(
+          struct(lit("orders.o_orderkey -> orders.o_custkey").as("fd"),
+            $"n_det", $"p1".as("n_pairs"), $"v1".as("n_violating")),
+          struct(
+            lit("orders.o_orderkey -> orders.o_orderstatus").as("fd"),
+            $"n_det", $"p2".as("n_pairs"), $"v2".as("n_violating"))))
+          .as("r"))
+        .select($"r.fd", $"r.n_det", $"r.n_pairs", $"r.n_violating",
+          ($"r.n_violating" === 0L).as("holds"))
+      okFused
         .unionAll(fd("orders", "o_custkey", "o_orderpriority"))
         .unionAll(fd("lineitem", "l_orderkey", "l_suppkey"))
         .unionAll(fd("lineitem", "l_partkey", "l_suppkey"))
