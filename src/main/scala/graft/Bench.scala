@@ -300,9 +300,24 @@ object Bench {
     }
     def overPrior(name: String, sec: Double): Boolean =
       prior.get(name).exists(p => sec > 2 * p && sec - p > 1.0)
+    // r20 (VERDICT r19 item 5): optional min-of-N companion walls.
+    // SPARK_GRAFT_EXTRA_SAMPLES=k (builder-only; the driver never
+    // sets it, so its methodology — one sample + heuristic retry —
+    // is unchanged) takes k additional timed samples per key and
+    // records the per-key MINIMUM across every sample of the run in
+    // bench_full.json's "min_sec" map, next to the raw walls. The
+    // stdout JSON line, promotion, and the drift gate all keep using
+    // the raw methodology walls; min_sec exists so a close artifact
+    // on a duty-cycle-noisy host carries a noise-floor reading the
+    // judge can compare across rounds.
+    val extraN = sys.env.get("SPARK_GRAFT_EXTRA_SAMPLES")
+      .flatMap(s => scala.util.Try(s.trim.toInt).toOption)
+      .filter(_ > 0).getOrElse(0)
+    val minSec = scala.collection.mutable.LinkedHashMap[String, Double]()
     val results = selected.map {
       case (name, fn) =>
         var (sec, cpu, gc, ok) = sample(name, fn)
+        var minWall = sec
         val med = trailingMedian
         if (ok && (med.exists(m => sec > 3 * m) || overPrior(name, sec))) {
           // one retry; keep the better sample — a genuine plan cost
@@ -314,7 +329,13 @@ object Bench {
           loadMax = math.max(loadMax, load1)
           if (ok2 && 2 * sec2 < sec) spiky += name
           if (ok2 && sec2 < sec) { sec = sec2; cpu = cpu2; gc = gc2 }
+          if (ok2) minWall = math.min(minWall, sec2)
         }
+        if (ok && extraN > 0) (1 to extraN).foreach { _ =>
+          val (secE, _, _, okE) = sample(name, fn)
+          if (okE) minWall = math.min(minWall, secE)
+        }
+        minSec(name) = minWall
         if (ok && overPrior(name, sec)) {
           priorRegressed += name
           System.err.println(f"[bench] $name STILL >2x prior " +
@@ -381,7 +402,7 @@ object Bench {
       .map(n => "\"" + n.replace("\\", "\\\\").replace("\"", "\\\"")
         + "\"").getOrElse("null")
     val boxState = f""""idle_wait_s":$idleWaitS%.0f,"load_at_start":$loadAtStart%.2f,"load_max":$loadMax%.2f,"n_spiky":${spiky.size},"contended":$contended,"vs_anchor_ratio":$vsAnchorJson,"anchor_n_shared":$anchorShared,"promote_note":$noteJson"""
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cpu_sec":${jmap(cpuSec)},"gc_sec":${jmap(gcSec)},"retried":$rj,"prior_regressed":$pj,"failed":$fj,$boxState,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cpu_sec":${jmap(cpuSec)},"gc_sec":${jmap(gcSec)},"min_sec":${jmap(minSec)},"n_extra_samples":$extraN,"retried":$rj,"prior_regressed":$pj,"failed":$fj,$boxState,"sf":"$sfDir"}"""
     // A SPARK_GRAFT_ONLY subset run must never clobber the committed
     // full-board artifact (ADVICE r12: a 1-query smoke run replaced
     // the 296-query map that downstream verdict tooling reads) —
@@ -392,6 +413,17 @@ object Bench {
       java.nio.file.Files.write(
         java.nio.file.Paths.get(fullPath),
         full.getBytes("UTF-8"))
+      // r20 (VERDICT r19 item 5): bench_full.json is overwritten by
+      // EVERY full-board run, so a contended late run can clobber the
+      // round's clean close map (it did in r19 — the tree shipped the
+      // driver's contended c8 run). A CLEAN full-board run (idle box,
+      // zero failures) additionally writes bench_clean.json; contended
+      // runs never touch it, so the committed tree always carries the
+      // latest clean per-key map.
+      if (only.isEmpty && !contended && failed.isEmpty)
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get("bench_clean.json"),
+          full.getBytes("UTF-8"))
       // promotion: a full-board run captured on an IDLE box with
       // nothing failed becomes the new pinned baseline — IF it also
       // clears the anchor drift gate (r17 verdict item #1): its

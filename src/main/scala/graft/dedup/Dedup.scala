@@ -547,7 +547,7 @@ object Dedup {
     val nDocs = docs.select(count(lit(1)).as("n_docs"))
     val wTerm = org.apache.spark.sql.expressions.Window
       .partitionBy(col("term")).orderBy(col("doc_id"))
-    posting
+    val byTerm = posting
       .withColumn("rn", row_number().over(wTerm))
       .filter(col("rn") <= maxDf + 1)
       .groupBy(col("term"))
@@ -562,6 +562,14 @@ object Dedup {
         """transform(ps, p -> struct(p.doc_id AS doc_id,
            least(p.tf, 255L) * idfq AS wq))""").as("ws"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // eager materialization (r20, the kmv-overlap/prefix-filter
+    // discipline): every caller fans this frame into ≥2 independent
+    // consumers (norms + dots; norms + both term-join sides), which
+    // are concurrent leaf stages — without the count they RACE to
+    // fill the cold cache and the posting kernel (the expensive
+    // stage) can run twice. One fill job here, consumers read cache.
+    byTerm.count()
+    byTerm
   }
 
   /** Same pipeline over any documents-shaped frame — spec fixtures. */

@@ -110,34 +110,40 @@ object Graph {
       require(ns > 0,
         "q213_ppr: seed cohort (nation-0 customers present in the " +
           "order graph) is empty — personalized teleport is undefined")
-      // the teleport bias is nonzero ONLY on the seed cohort, so the
-      // per-round stitch broadcasts the cohort-sized seed set (a left
-      // join + when), never a full node-sized bias table — measured
-      // 13.3 s → parity with q62's wall at sf0.1 when the node-sized
-      // variant was replaced
-      val seedB = seeds.select($"node".as("bnode"))
-        .withColumn("is_seed", lit(1L))
+      // the teleport bias is nonzero ONLY on the seed cohort; r20
+      // (guide §1.2/§2.4): the per-round stitch used to be TWO
+      // node-table joins per round (ranks ⋈ deg to form give, then
+      // got ⋈ seed set for the teleport). Folding the seed flag into
+      // ONE static (node, d, is_seed) table and carrying d on the
+      // persisted rank frame makes give a node-local select and the
+      // round's only node-table join the degTele attach — identical
+      // integer arithmetic per round (r div d, 85·got div 100,
+      // teleport when(is_seed)), just fewer joins/broadcast builds.
+      val degTele = deg
+        .join(graft.ops.Hints.broadcastIfSmall(
+            seeds.select($"node".as("bnode"))
+              .withColumn("is_seed", lit(1L)), ns),
+          $"src" === $"bnode", "left")
+        .select($"src", $"d",
+          coalesce($"is_seed", lit(0L)).as("is_seed"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       val b = (15L * Scale) / (100L * ns)
-      var ranks = deg.select($"src".as("node"))
-        .join(graft.ops.Hints.broadcastIfSmall(seedB, ns),
-          $"node" === $"bnode", "left")
-        .select($"node",
-          when($"is_seed".isNotNull, lit(Scale / ns)).otherwise(0L)
-            .as("r"))
+      var ranks = degTele
+        .select($"src".as("node"),
+          when($"is_seed" === 1L, lit(Scale / ns)).otherwise(0L)
+            .as("r"), $"d")
       var prev: Option[DataFrame] = None
       for (_ <- 1 to 5) {
-        val give = ranks.join(deg, ranks("node") === deg("src"))
-          .select($"node", expr("r div d").as("give"))
+        val give = ranks.select($"node", expr("r div d").as("give"))
         val next = edges
           .join(graft.ops.Hints.broadcastIfSmall(give, n),
             $"src" === $"node")
           .groupBy($"dst").agg(sum($"give").as("got"))
-          .join(graft.ops.Hints.broadcastIfSmall(seedB, ns),
-            $"dst" === $"bnode", "left")
+          .join(graft.ops.Hints.broadcastIfSmall(degTele, n),
+            $"dst" === $"src")
           .select($"dst".as("node"),
-            (when($"is_seed".isNotNull, lit(b)).otherwise(0L)
-              + expr("85 * got div 100")).as("r"))
+            (when($"is_seed" === 1L, lit(b)).otherwise(0L)
+              + expr("85 * got div 100")).as("r"), $"d")
           .persist(StorageLevel.MEMORY_AND_DISK)
         next.count()
         prev.foreach(_.unpersist(false))

@@ -1455,6 +1455,11 @@ object Similarity {
       .select(col("term"), col("w.doc_id").as("doc_id"),
         col("w.wq").as("wq"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // eager fill (r20): the three consumers include the qw BROADCAST
+    // build, which runs as a concurrent future job and raced the
+    // norms/dots stages for the cold cache; the explode now reads the
+    // eagerly-filled byTerm cache, so this fill is one cheap job
+    weighted.count()
     val norms = weighted.groupBy(col("doc_id"))
       .agg(sum(expr("wq * wq")).as("norm2"))
     val qw = weighted.filter(col("doc_id") % tierMod === 0 &&

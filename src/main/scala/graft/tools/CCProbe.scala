@@ -45,6 +45,44 @@ object CCProbe {
     timed("full dedup_clusters query") {
       graft.dedup.Dedup.dupClusters(spark, sfDir).count()
     }
+    // r20 (VERDICT r19 item 4): pipeline_dedup_sweep tier attribution
+    // — the sweep shares dedup_prefix_filter's pair kernel but reads
+    // ~1 s slower steady-state; decompose exactly its tiers.
+    spark.catalog.clearCache()
+    locally {
+      import org.apache.spark.sql.functions._
+      val docs = graft.Tables.spread(
+        graft.Tables.load(spark, sfDir, "documents"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      timed("sweep: docs materialize") { docs.count() }
+      val keep1 = docs
+        .select(col("doc_id"), md5(col("text")).as("digest"))
+        .groupBy(col("digest")).agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      timed("sweep: keep1 digest rollup") { keep1.count() }
+      val survivors = docs.join(keep1, Seq("doc_id"))
+      val pairs2 = timed("sweep: prefix-filter pairs") {
+        val p = graft.dedup.Dedup.prefixFilterPairsOver(
+          graft.dedup.Dedup.shingleBlocks(survivors))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        p.count()
+        p
+      }
+      timed("sweep: connectedComponents") {
+        graft.dedup.Dedup.connectedComponents(pairs2).count()
+      }
+      spark.catalog.clearCache()
+      timed("sweep: full query") {
+        graft.SparkEntry.queries("pipeline_dedup_sweep")(spark, sfDir)
+          .agg(bit_xor(xxhash64(struct(col("*"))))).collect()
+      }
+      spark.catalog.clearCache()
+      timed("prefix_filter: full query") {
+        graft.SparkEntry.queries("dedup_prefix_filter")(spark, sfDir)
+          .agg(bit_xor(xxhash64(struct(col("*"))))).collect()
+      }
+    }
     spark.stop()
   }
 }
