@@ -192,11 +192,24 @@ object Dedup {
       .filter(size(col("shh")) > 0)
       .select(col("doc_id"), col("shh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // eager fill (r20, the kmv discipline): the final job reads docs
+    // from FIVE concurrent leaves (rare's posting scan, both rp
+    // sides, both verification joins) — persisted but unfilled they
+    // raced to run the shingle kernel (the query's expensive stage)
+    // repeatedly
+    docs.count()
     val posting = docs.select(col("doc_id"), explode(col("shh")).as("sh"))
     val rare = posting.groupBy(col("sh")).agg(count(lit(1)).as("occ"))
       .filter(col("occ") >= 2 && col("occ") <= maxOcc)
       .select(col("sh"))
+    // persist + eager fill (r20, guide §1.2 "don't compute twice"):
+    // rp feeds BOTH candidate self-join sides — unpersisted, each
+    // side re-ran the posting explode, the rare groupBy AND the join.
+    // The cached frame is occurrence-capped (occ ≤ maxOcc per
+    // shingle), so it is posting-bounded, never quadratic.
     val rp = posting.join(rare, Seq("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    rp.count()
     val cand = rp.select(col("sh"), col("doc_id").as("doc_a"))
       .join(rp.select(col("sh"), col("doc_id").as("doc_b")), Seq("sh"))
       .filter(col("doc_a") < col("doc_b"))
@@ -755,6 +768,12 @@ object Dedup {
         .minhash_signature(col("shh"), NumPerms).as("sig"))
     val cand = minhashCandidates(sigs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // eager fills (r20, the kmv discipline): hits/nT/nC below are
+    // three independent leaf aggregates of ONE job — unfilled, they
+    // race to compute truth's pair kernel and cand's signature
+    // pipeline twice each (truth.count also fills the shared docs
+    // cache, which cand then reads instead of re-shingling)
+    truth.count(); cand.count()
     val hits = cand.join(truth, Seq("doc_a", "doc_b"))
       .agg(count(lit(1)).as("n_hits"))
     val nT = truth.agg(count(lit(1)).as("n_truth"))
@@ -1063,6 +1082,11 @@ object Dedup {
       .select(col("v1"), col("v2")).persist(lvl)
     val cand = embeddingLshCandidates(tier, probeBits = 1, nPlanes)
       .select(col("v1"), col("v2")).persist(lvl)
+    // eager fills (r20, the kmv discipline): the three one-row
+    // aggregates below are independent leaves of one job and raced to
+    // fill truth (the all-pairs cosine kernel — the expensive tier)
+    // and cand cold caches, running each up to twice
+    truth.count(); cand.count()
     val hits = cand.join(truth, Seq("v1", "v2"))
       .agg(count(lit(1)).as("n_hits"))
     val nT = truth.agg(count(lit(1)).as("n_truth"))
@@ -1119,6 +1143,11 @@ object Dedup {
       // both sides of the within-cluster self-join read this frame —
       // without persist the broadcast-assign pass runs twice
       .persist(lvl)
+    // eager fill (r20, the kmv discipline): the self-join's two sides
+    // are concurrent leaf stages — persisted but unfilled, they still
+    // raced to run the broadcast-assign pass (crossJoin + max_by over
+    // the corpus, the query's expensive stage) twice
+    assigned.count()
     val a = assigned.select(col("cell"), col("vec_id").as("v1"),
       col("embedding").as("emb_a"))
     val b = assigned.select(col("cell"), col("vec_id").as("v2"),

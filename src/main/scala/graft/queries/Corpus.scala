@@ -374,6 +374,11 @@ object Corpus {
         .filter($"rn" === 1)
         .withColumn("t", split(lower($"text"), "\\s+"))
         .persist(lvl) // feeds grams, quality, and the final join
+      // eager fill (r20, the kmv discipline): the survivors job reads
+      // kept from THREE concurrent leaves (nGrams maps, hapax maps,
+      // the join's own scan) — unfilled they raced to run the
+      // md5+window+split pass up to three times
+      kept.count()
       val grams = kept.select($"doc_id", $"lang",
         explode(when(size($"t") >= 3, expr(
           "transform(sequence(1, size(t) - 2), i -> " +

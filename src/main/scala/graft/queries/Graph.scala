@@ -888,6 +888,10 @@ object Graph {
       // v), so exchange reuse can't kick in — without the persist
       // the collect_list aggregation runs twice
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // eager fill (r20, the kmv discipline): the two broadcast builds
+    // below are CONCURRENT futures — persisted but unfilled, they
+    // still raced to compute the collect_list aggregation twice
+    adj.count()
     val tri = o
       .join(graft.ops.Hints.broadcastIfSmallBytes(
         adj.select($"u", $"nbr".as("nu")), adjBytes), Seq("u"))
