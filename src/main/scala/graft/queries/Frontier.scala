@@ -304,6 +304,10 @@ object Frontier {
             .as("e4"))
         .groupBy($"pk", $"m").agg(sum($"e4").as("rev"))
         .persist(StorageLevel.MEMORY_AND_DISK)
+      // eager fill (r20, the kmv discipline): months/parts/grid are
+      // three concurrent leaf consumers — unfilled they raced to run
+      // the fact-scale lineitem rollup up to three times
+      rev.count()
       val months = rev.select($"m").distinct()
       val parts = rev.select($"pk").distinct()
       val grid = parts.crossJoin(months)
@@ -642,6 +646,9 @@ object Frontier {
             split(lower($"text"), "\\s+")).as("th"))
         .select($"doc_id", explode(gram13(col("th"))).as("g"))
         .persist(StorageLevel.MEMORY_AND_DISK)
+      // eager fill (r20): the firstSeen agg and the join probe side
+      // are concurrent leaves racing to run the 13-gram hash kernel
+      grams.count()
       val firstSeen = grams.groupBy($"g").agg(min($"doc_id").as("fd"))
       grams.join(firstSeen, Seq("g"))
         .groupBy($"doc_id")
@@ -671,6 +678,9 @@ object Frontier {
             split(lower($"text"), "\\s+")).as("th"))
         .select($"doc_id", explode(gram13(col("th"))).as("g"))
         .persist(StorageLevel.MEMORY_AND_DISK)
+      // eager fill (r20): df agg + join probe side raced (novelty's
+      // reasoning — same kernel, same shape)
+      grams.count()
       val df = grams.groupBy($"g").agg(count(lit(1)).as("df"))
       grams.join(df, Seq("g"))
         .groupBy($"doc_id")

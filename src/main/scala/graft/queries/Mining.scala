@@ -125,6 +125,10 @@ object Mining {
         .select($"l_orderkey".as("ok"), $"l_partkey".as("pk"))
         .distinct()
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // eager fill (r20, the kmv discipline): nTot and na are both
+      // broadcast builds — concurrent futures racing to run the
+      // fact-scale lineitem distinct twice
+      op.count()
       val nTot = op.agg(countDistinct($"ok").as("n_orders"))
       val na = op.groupBy($"pk").agg(count(lit(1)).as("n_p"))
       // support pruning ON the session-shared pair-count frame

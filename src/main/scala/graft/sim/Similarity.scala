@@ -371,6 +371,10 @@ object Similarity {
       .select(col("vec_id"), col("best.km_cell").as("km_cell"),
         col("best.embedding").as("embedding"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // eager fill (r20, the kmv discipline): the probe-side broadcast
+    // build (a concurrent future) and the main cell scan raced to run
+    // the corpus assignment pass twice
+    cells.count()
     val q = cells.filter(col("vec_id") % 100 === 0 && col("vec_id") < 100000)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
     // probe the nprobe nearest centroids per query
@@ -941,6 +945,9 @@ object Similarity {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val lsh = lshTopK(s, d).select(col("q_id"), col("vec_id"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // eager fill (r20): hits and nl are concurrent leaves racing to
+      // run the signature+rerank pipeline twice
+      lsh.count()
       val hits = bf
         .join(lsh.withColumn("hit", lit(1L)), Seq("q_id", "vec_id"),
           "left")
