@@ -105,6 +105,13 @@ class CollectGuardSpec extends SparkSpec {
       "per-doc (df, shingle) list (Dedup.prefixFilter shared path) - doc-length-bounded",
     "dedup_tfidf_cosine" ->
       "per-term posting truncated to rn <= maxDf+1 BEFORE collect (df-capped)",
+    // r20: the query-stage walk (stages materialize now that the
+    // persisted frames fill eagerly) surfaced two collects that were
+    // always there behind caches
+    "ann_hybrid_rrf" ->
+      "per-term posting (lexicalTopK reuses tfidfTermWeights) - df-capped like dedup_tfidf_cosine",
+    "emb_pq_distortion" ->
+      "per-(subspace, cell) dim-moment list, size = d/m (ann_pq's shared codebook build)",
     "q72_triangle_count" ->
       "oriented adjacency lists, per-row O(arboricity*degree) by the lower-(deg,id) orientation",
     "q109_clustering_coeff" ->
@@ -195,6 +202,15 @@ class CollectGuardSpec extends SparkSpec {
         // recurse through its current physical plan
         case a: org.apache.spark.sql.execution.adaptive
             .AdaptiveSparkPlanExec => physCollects(a.executedPlan)
+        // an EXECUTED adaptive plan (r20: queries now eagerly fill
+        // their persisted frames, so cachedPlan arrives materialized)
+        // wraps each materialized stage in a LEAF QueryStageExec —
+        // recurse into the stage's plan or the collect hides there
+        case q: org.apache.spark.sql.execution.adaptive
+            .QueryStageExec => physCollects(q.plan)
+        // nested caches: a cached plan can scan ANOTHER cached frame
+        case s: org.apache.spark.sql.execution.columnar
+            .InMemoryTableScanExec => physCollects(s.relation.cachedPlan)
         case n => exprCollects(n.expressions)
       }
       val collects = plans.flatMap(p => p.flatMap {
